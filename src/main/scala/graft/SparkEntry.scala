@@ -1,13 +1,180 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions._
+import graft.functions.Exact._
+
+/** Driver contract: one `queries` entry (+ DuckDB oracle SQL) per
+  * operator in SURVEY.md §2. Every query is expressed through the
+  * graft API (not raw Spark) so the correctness gate exercises the
+  * library surface.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- table access ------------------------------------------------------
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def li(s: SparkSession, d: String) = t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = t(s, d, "customer")
+  private def sup(s: SparkSession, d: String) = t(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = t(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = t(s, d, "region")
+  private def part(s: SparkSession, d: String) = t(s, d, "part")
+
+  private val revenueExpr: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revenueSql = "l_extendedprice*(1-l_discount)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Pricing(spark, "/root/testdata/sf0.001")
+
+  // ---- headline queries (§2.8) ------------------------------------------
+  /** TPC-H Q1-shaped pricing summary: single scan, partial aggs. */
+  private def q1Pricing(s: SparkSession, d: String): DataFrame =
+    li(s, d).graft
+      .filterRows(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .summarise(
+        "sum_qty" -> dsum(col("l_quantity")),
+        "sum_base_price" -> dsum(col("l_extendedprice")),
+        "sum_disc_price" -> dsum(revenueExpr),
+        "avg_qty" -> davg(col("l_quantity")),
+        "avg_price" -> davg(col("l_extendedprice")),
+        "count_order" -> count(lit(1)))
+      .ungroup.arrange(col("l_returnflag"), col("l_linestatus")).df
+
+  /** TPC-H Q3-shaped: selective dim filter into the fact join, then
+    * agg + top-k by revenue. */
+  private def q3TopK(s: SparkSession, d: String): DataFrame =
+    cust(s, d).graft
+      .filterRows(col("c_mktsegment") === "BUILDING")
+      .rename("o_custkey" -> "c_custkey")
+      .innerJoin(ord(s, d).graft, Seq("o_custkey"), broadcastRight = true)
+      .rename("l_orderkey" -> "o_orderkey")
+      .innerJoin(li(s, d).graft, Seq("l_orderkey"))
+      .groupBy("l_orderkey")
+      .summarise("revenue" -> dsum(revenueExpr))
+      .ungroup
+      .arrange(col("revenue").desc, col("l_orderkey"))
+      .sliceHead(10).df
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+
+  /** TPC-H Q5-shaped: broadcast dim chain region→nation→customer, agg
+    * revenue by nation. */
+  private def q5Region(s: SparkSession, d: String): DataFrame = {
+    val dims = nat(s, d).graft
+      .rename("c_nationkey" -> "n_nationkey")
+      .innerJoin(reg(s, d).graft.rename("n_regionkey" -> "r_regionkey"),
+        Seq("n_regionkey"), broadcastRight = true)
+    cust(s, d).graft
+      .innerJoin(dims, Seq("c_nationkey"), broadcastRight = true)
+      .filterRows(col("r_name") === "ASIA")
+      .rename("o_custkey" -> "c_custkey")
+      .innerJoin(ord(s, d).graft, Seq("o_custkey"))
+      .rename("l_orderkey" -> "o_orderkey")
+      .innerJoin(li(s, d).graft, Seq("l_orderkey"))
+      .groupBy("n_name")
+      .summarise("revenue" -> dsum(revenueExpr))
+      .ungroup
+      .arrange(col("n_name")).df
+  }
+
+  // ---- registry ----------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // headline
+    "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
+    "q3_topk" -> ((s, d) => q3TopK(s, d)),
+    "q5_region_revenue" -> ((s, d) => q5Region(s, d)),
+
+    // dplyr core
+    "d_select" -> ((s, d) =>
+      li(s, d).graft
+        .select(TidySelect.cols("l_orderkey", "l_linenumber") |
+          (TidySelect.startsWith("l_r") & -TidySelect.cols("l_returnflag")) |
+          TidySelect.contains("price"))
+        .arrange(col("l_orderkey"), col("l_linenumber"))
+        .sliceHead(100).df
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "d_mutate" -> ((s, d) =>
+      li(s, d).graft
+        .mutate(
+          "revenue" -> revenueExpr,
+          "charge" -> (revenueExpr * (lit(1) + col("l_tax"))),
+          "qty_int" -> col("l_quantity").cast("long"))
+        .select("l_orderkey", "l_linenumber", "revenue", "charge", "qty_int")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_mutate_grouped" -> ((s, d) =>
+      li(s, d).graft
+        .groupBy("l_returnflag")
+        .mutate(
+          "grp_qty" -> dsum(col("l_quantity")),
+          "grp_n" -> count(lit(1)),
+          "qty_share" -> (col("l_quantity") / dsum(col("l_quantity"))),
+          "qty_centered" -> (col("l_quantity") - davg(col("l_quantity"))))
+        .ungroup
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "grp_qty", "grp_n", "qty_share", "qty_centered")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql(revenueSql)} AS sum_disc_price,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  ${davgSql("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      s"""SELECT o_orderkey AS l_orderkey,
+         |  ${dsumSql(revenueSql)} AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |GROUP BY o_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${dsumSql(revenueSql)} AS revenue
+         |FROM customer, orders, lineitem, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "d_select" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "d_mutate" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  $revenueSql AS revenue,
+         |  $revenueSql*(1+l_tax) AS charge,
+         |  CAST(l_quantity AS BIGINT) AS qty_int
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_mutate_grouped" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE) AS grp_qty,
+         |  count(*) OVER w AS grp_n,
+         |  l_quantity / CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE) AS qty_share,
+         |  l_quantity - CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         |    / CAST(count(l_quantity) OVER w AS DOUBLE) AS qty_centered
+         |FROM lineitem
+         |WINDOW w AS (PARTITION BY l_returnflag)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
 }

@@ -1,0 +1,306 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The dplyr-grammar frame: an immutable wrapper around a Spark
+  * DataFrame carrying the grammar's evaluation context — the active
+  * grouping and the last `arrange` order (Spark plans are unordered;
+  * dplyr verbs that consume "current row order" take it from here).
+  *
+  * Capability map (reference: /root/reference/datar_polars/api/dplyr):
+  * every verb builds a single Catalyst plan; no collect, no RDDs.
+  */
+final class GraftFrame private (
+    val df: DataFrame,
+    val groups: Seq[String],
+    val sortKeys: Seq[Column]) {
+
+  import GraftFrame._
+
+  private def groupCols: Seq[Column] = groups.map(df.col)
+  private def withDf(d: DataFrame): GraftFrame = new GraftFrame(d, groups, sortKeys)
+  private def spark: SparkSession = df.sparkSession
+
+  // ---- grouping (dplyr/group_by.py) -------------------------------------
+  def groupBy(cols: String*): GraftFrame = new GraftFrame(df, cols.toSeq, sortKeys)
+  def groupByAdd(cols: String*): GraftFrame =
+    new GraftFrame(df, (groups ++ cols).distinct, sortKeys)
+  def ungroup: GraftFrame = new GraftFrame(df, Nil, sortKeys)
+  def groupVars: Seq[String] = groups
+
+  /** group metadata — dplyr group_data family, computed as one agg. */
+  def groupKeys: DataFrame =
+    if (groups.isEmpty) df.sparkSession.emptyDataFrame
+    else df.select(groups.map(df.col): _*).distinct().orderBy(groups.map(df.col): _*)
+  def nGroups: Long = if (groups.isEmpty) 1L else groupKeys.count()
+  def groupSize: DataFrame =
+    df.groupBy(groupCols: _*).agg(count(lit(1)).as("size"))
+  /** dense integer id per group, ordered by group key (cur_group_id). */
+  def withGroupId(name: String = "group_id"): GraftFrame = withDf(
+    df.withColumn(name,
+      dense_rank().over(Window.orderBy(groups.map(df.col): _*)) - lit(1)))
+
+  // ---- select / rename / relocate (select.py, rename.py, relocate.py) ---
+  def select(sel: Selector): GraftFrame = {
+    val names = sel.resolve(df.schema)
+    // dplyr keeps group columns even when not selected
+    val keep = groups.filterNot(names.contains) ++ names
+    new GraftFrame(df.select(keep.map(df.col): _*), groups, sortKeys)
+  }
+  def select(first: String, rest: String*): GraftFrame =
+    select(TidySelect.cols(first +: rest: _*))
+
+  /** dplyr rename(new = old). */
+  def rename(pairs: (String, String)*): GraftFrame = {
+    val m = pairs.map { case (nw, old) => old -> nw }.toMap
+    val renamed = df.columns.foldLeft(df)((d, c) =>
+      m.get(c).fold(d)(nw => d.withColumnRenamed(c, nw)))
+    new GraftFrame(renamed, groups.map(g => m.getOrElse(g, g)), sortKeys)
+  }
+  def renameWith(f: String => String, sel: Selector = TidySelect.everything): GraftFrame = {
+    val targets = sel.resolve(df.schema).toSet
+    val renamed = df.columns.foldLeft(df)((d, c) =>
+      if (targets(c)) d.withColumnRenamed(c, f(c)) else d)
+    new GraftFrame(renamed, groups.map(g => if (targets(g)) f(g) else g), sortKeys)
+  }
+
+  def relocate(sel: Selector, before: Option[String] = None,
+               after: Option[String] = None): GraftFrame = {
+    val moved = sel.resolve(df.schema)
+    val rest = df.columns.toSeq.filterNot(moved.contains)
+    val anchorIdx = (before, after) match {
+      case (Some(b), _) => rest.indexOf(b)
+      case (_, Some(a)) => rest.indexOf(a) + 1
+      case _            => 0
+    }
+    val (pre, post) = rest.splitAt(anchorIdx)
+    withDf(df.select((pre ++ moved ++ post).map(df.col): _*))
+  }
+
+  // ---- mutate / transmute (mutate.py) ------------------------------------
+  /** Grouped frames: aggregate calls become per-group window aggs
+    * (one shared shuffle — see WindowRewrite). */
+  def mutate(cols: (String, Column)*): GraftFrame = {
+    val rewritten = cols.map { case (n, c) => n -> WindowRewrite.overGroups(c, groupCols) }
+    withDf(df.withColumns(rewritten.toMap))
+  }
+  def transmute(cols: (String, Column)*): GraftFrame = {
+    val m = mutate(cols: _*).df
+    val keep = (groups ++ cols.map(_._1)).distinct
+    new GraftFrame(m.select(keep.map(m.col): _*), groups, sortKeys)
+  }
+
+  /** across: apply named functions to every selected column
+    * (dplyr/across.py). Produces `col_fn` columns. */
+  def across(sel: Selector, fns: Seq[(String, Column => Column)],
+             nameGlue: (String, String) => String = (c, f) => s"${c}_$f"): GraftFrame = {
+    val targets = sel.resolve(df.schema)
+    val cols = for (c <- targets; (fn, f) <- fns) yield nameGlue(c, fn) -> f(df.col(c))
+    mutate(cols: _*)
+  }
+  /** summarise flavor of across: aggregates per selected column. */
+  def acrossSummarise(sel: Selector, fns: Seq[(String, Column => Column)],
+                      nameGlue: (String, String) => String = (c, f) => s"${c}_$f"): GraftFrame = {
+    val targets = sel.resolve(df.schema)
+    val aggs = for (c <- targets; (fn, f) <- fns) yield nameGlue(c, fn) -> f(df.col(c))
+    summarise(aggs: _*)
+  }
+  def ifAny(sel: Selector, p: Column => Column): Column =
+    sel.resolve(df.schema).map(c => coalesce(p(df.col(c)), lit(false))).reduce(_ || _)
+  def ifAll(sel: Selector, p: Column => Column): Column =
+    sel.resolve(df.schema).map(c => coalesce(p(df.col(c)), lit(false))).reduce(_ && _)
+
+  // ---- filter (filter_.py) ----------------------------------------------
+  /** Grouped frames may use aggregate predicates, e.g.
+    * filter(x == max(x)) keeps per-group maxima. */
+  def filterRows(preds: Column*): GraftFrame = {
+    val combined = preds.reduce(_ && _)
+    val rewritten =
+      if (groups.nonEmpty && WindowRewrite.hasAgg(combined))
+        WindowRewrite.overGroups(combined, groupCols)
+      else combined
+    withDf(df.filter(rewritten))
+  }
+
+  // ---- arrange (arrange.py) ---------------------------------------------
+  def arrange(keys: Column*): GraftFrame = {
+    val effective = if (groups.nonEmpty) groupCols ++ keys else keys.toSeq
+    new GraftFrame(df.orderBy(effective: _*), groups, keys.toSeq)
+  }
+
+  // ---- distinct (distinct.py) -------------------------------------------
+  def distinctRows(cols: String*): GraftFrame = distinctRows(cols.toSeq, keepAll = false)
+  def distinctRows(cols: Seq[String], keepAll: Boolean): GraftFrame = {
+    val keys = (groups ++ cols).distinct
+    if (keys.isEmpty) withDf(df.distinct())
+    else if (!keepAll) withDf(df.select(keys.map(df.col): _*).distinct())
+    else { // keep first full row per key (any deterministic representative)
+      val w = Window.partitionBy(keys.map(df.col): _*)
+        .orderBy(df.columns.filterNot(keys.contains).map(df.col).toSeq: _*)
+      withDf(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+    }
+  }
+
+  // ---- summarise / reframe (summarise.py, reframe.py) -------------------
+  /** Aggregates; result keeps all but the last grouping level
+    * (dplyr's default `.groups="drop_last"`). */
+  def summarise(aggs: (String, Column)*): GraftFrame = {
+    val exprs = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (groups.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+      else df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
+    new GraftFrame(out, groups.dropRight(1), Nil)
+  }
+  /** reframe: like summarise but aggregates may be array-valued and are
+    * exploded back to multiple rows per group. */
+  def reframe(aggs: (String, Column)*): GraftFrame = {
+    val s = summarise(aggs: _*).df
+    val arrayCols = s.schema.fields.filter(_.dataType.typeName == "array").map(_.name)
+    val exploded = arrayCols.foldLeft(s)((d, c) => d.withColumn(c, explode(col(c))))
+    new GraftFrame(exploded, groups.dropRight(1), Nil)
+  }
+
+  // ---- count / tally (count.py) -----------------------------------------
+  def countBy(cols: String*): GraftFrame = {
+    val keys = (groups ++ cols).distinct
+    val out = if (keys.isEmpty) df.agg(count(lit(1)).as("n"))
+              else df.groupBy(keys.map(df.col): _*).agg(count(lit(1)).as("n"))
+    new GraftFrame(out, groups, Nil)
+  }
+  def tally(wt: Option[Column] = None): GraftFrame = {
+    val agg = wt.fold(count(lit(1)))(w => sum(w)).as("n")
+    val out = if (groups.isEmpty) df.agg(agg) else df.groupBy(groupCols: _*).agg(agg)
+    new GraftFrame(out, Nil, Nil)
+  }
+  def addCount(cols: String*): GraftFrame = {
+    val keys = (groups ++ cols).distinct
+    withDf(df.withColumn("n", count(lit(1)).over(Window.partitionBy(keys.map(df.col): _*))))
+  }
+  def addTally(wt: Option[Column] = None): GraftFrame = {
+    val w = Window.partitionBy(groupCols: _*)
+    withDf(df.withColumn("n", wt.fold(count(lit(1)).over(w))(x => sum(x).over(w))))
+  }
+
+  // ---- slice family (slice_.py) -----------------------------------------
+  private def orderedWindow(keys: Seq[Column]) = {
+    val w = Window.partitionBy(groupCols: _*)
+    if (keys.nonEmpty) w.orderBy(keys: _*) else w.orderBy(lit(1))
+  }
+  private def sliceByRank(keys: Seq[Column], n: Int, withTies: Boolean): GraftFrame = {
+    val rk = if (withTies) rank() else row_number()
+    withDf(df.withColumn("__rk", rk.over(orderedWindow(keys)))
+      .filter(col("__rk") <= n).drop("__rk"))
+  }
+  def sliceHead(n: Int): GraftFrame =
+    if (groups.isEmpty && sortKeys.nonEmpty)
+      // sort+limit → TakeOrderedAndProject: distributed top-k, no
+      // single-partition window
+      withDf(df.orderBy(sortKeys: _*).limit(n))
+    else if (groups.isEmpty) withDf(df.limit(n))
+    else sliceByRank(sortKeys, n, withTies = false)
+  def sliceTail(n: Int): GraftFrame = {
+    val rev = (if (sortKeys.nonEmpty) sortKeys else Seq(lit(1).asc)).map(k => reverseOrder(k))
+    if (groups.isEmpty && sortKeys.nonEmpty) withDf(df.orderBy(rev: _*).limit(n))
+    else sliceByRank(rev, n, withTies = false)
+  }
+  def sliceMin(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
+    if (groups.isEmpty && !withTies) withDf(df.orderBy(c.asc).limit(n))
+    else sliceByRank(Seq(c.asc), n, withTies)
+  def sliceMax(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
+    if (groups.isEmpty && !withTies) withDf(df.orderBy(c.desc).limit(n))
+    else sliceByRank(Seq(c.desc), n, withTies)
+  /** Seeded per-group sample of n rows: deterministic rand-ranked. */
+  def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
+    sliceByRank(Seq(rand(seed).asc), n, withTies = false)
+
+  // ---- joins (join.py) ---------------------------------------------------
+  /** dplyr-suffix joins on shared key names; `broadcastRight` hints the
+    * dimension side for a shuffle-free map-side join (the default for
+    * the TPC-H dims at any scale — Catalyst still falls back if the
+    * side exceeds the broadcast threshold with AQE on).
+    */
+  private def joined(other: GraftFrame, by: Seq[String], how: String,
+                     suffix: (String, String), broadcastRight: Boolean): GraftFrame = {
+    val l = df
+    val overlap = (l.columns.toSet & other.df.columns.toSet) -- by.toSet
+    val r0 = overlap.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + suffix._2))
+    val l0 = overlap.foldLeft(l)((d, c) => d.withColumnRenamed(c, c + suffix._1))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    new GraftFrame(l0.join(r, by, how), groups, Nil)
+  }
+  def innerJoin(o: GraftFrame, by: Seq[String], suffix: (String, String) = ("_x", "_y"),
+                broadcastRight: Boolean = false): GraftFrame =
+    joined(o, by, "inner", suffix, broadcastRight)
+  def leftJoin(o: GraftFrame, by: Seq[String], suffix: (String, String) = ("_x", "_y"),
+               broadcastRight: Boolean = false): GraftFrame =
+    joined(o, by, "left", suffix, broadcastRight)
+  def rightJoin(o: GraftFrame, by: Seq[String], suffix: (String, String) = ("_x", "_y"),
+                broadcastRight: Boolean = false): GraftFrame =
+    joined(o, by, "right", suffix, broadcastRight)
+  def fullJoin(o: GraftFrame, by: Seq[String], suffix: (String, String) = ("_x", "_y")): GraftFrame =
+    joined(o, by, "full", suffix, broadcastRight = false)
+  def semiJoin(o: GraftFrame, by: Seq[String]): GraftFrame =
+    withDf(df.join(o.df.select(by.map(o.df.col): _*), by, "left_semi"))
+  def antiJoin(o: GraftFrame, by: Seq[String]): GraftFrame =
+    withDf(df.join(o.df.select(by.map(o.df.col): _*), by, "left_anti"))
+  def crossJoinF(o: GraftFrame, suffix: (String, String) = ("_x", "_y")): GraftFrame = {
+    val overlap = df.columns.toSet & o.df.columns.toSet
+    val l0 = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix._1))
+    val r0 = overlap.foldLeft(o.df)((d, c) => d.withColumnRenamed(c, c + suffix._2))
+    withDf(l0.crossJoin(r0))
+  }
+  /** nest_join: left rows + array<struct> of matching right rows.
+    * One shuffle: right side pre-aggregated to array per key. */
+  def nestJoin(o: GraftFrame, by: Seq[String], as: String): GraftFrame = {
+    val payload = o.df.columns.filterNot(by.contains)
+    val nested = o.df.groupBy(by.map(o.df.col): _*)
+      .agg(collect_list(struct(payload.map(o.df.col).toSeq: _*)).as(as))
+    withDf(df.join(nested, by, "left")
+      .withColumn(as, coalesce(col(as), array())))
+  }
+
+  // ---- pull / nth / first / last ----------------------------------------
+  def pull(c: String): DataFrame = df.select(c)
+
+  // ---- group_modify (group_iter.py) — typed per-group transform ----------
+  /** Apply an arbitrary DataFrame transform per group via
+    * flatMapGroups-equivalent composition: the transform must itself be
+    * plan-expressible; for truly imperative per-group logic use
+    * `df.groupByKey(...).flatMapGroups` directly. Here: a window-scoped
+    * helper that adds per-group computed columns.
+    */
+  def groupModify(f: DataFrame => DataFrame): GraftFrame = withDf(f(df))
+
+  // ---- output ------------------------------------------------------------
+  /** glimpse: schema + head, driver-side formatting only. */
+  def glimpse(n: Int = 5): String = {
+    val head = df.limit(n).collect()
+    val cols = df.schema.fields.map { f =>
+      val vals = head.map(r => Option(r.getAs[Any](f.name)).map(_.toString).getOrElse("NA"))
+      s"$$ ${f.name} <${f.dataType.simpleString}> ${vals.mkString(", ")}"
+    }
+    s"Rows: ? (lazy)\nColumns: ${df.columns.length}\n" + cols.mkString("\n")
+  }
+}
+
+object GraftFrame {
+  def apply(df: DataFrame): GraftFrame = new GraftFrame(df, Nil, Nil)
+  def apply(df: DataFrame, groups: Seq[String]): GraftFrame = new GraftFrame(df, groups, Nil)
+
+  private[core] def reverseOrder(c: Column): Column = {
+    // flip asc/desc on a sort key by inspecting the expression
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.expr(c) match {
+      case SortOrder(child, Ascending, _, _)  => ExpressionUtils.column(child).desc
+      case SortOrder(child, Descending, _, _) => ExpressionUtils.column(child).asc
+      case other                              => ExpressionUtils.column(other).desc
+    }
+  }
+
+  implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
+    def graft: GraftFrame = GraftFrame(df)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Tidyselect column-selector algebra (reference semantics:
+  * /root/reference/datar_polars/api/dplyr/tidyselect.py:1-261).
+  * Selectors are evaluated purely against the schema — no data access,
+  * no plan nodes — then compiled into one Catalyst Project.
+  */
+sealed trait Selector {
+  /** Resolve to ordered column names against a schema. */
+  def resolve(schema: StructType): Seq[String]
+
+  def &(other: Selector): Selector = Selector.And(this, other)
+  def |(other: Selector): Selector = Selector.Or(this, other)
+  def unary_- : Selector = Selector.Not(this)
+}
+
+object Selector {
+  private[core] final case class Named(names: Seq[String], strict: Boolean) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val have = schema.fieldNames.toSet
+      val missing = names.filterNot(have)
+      if (strict && missing.nonEmpty)
+        throw new IllegalArgumentException(s"Unknown columns: ${missing.mkString(", ")}")
+      names.filter(have)
+    }
+  }
+  private[core] final case class Pred(p: String => Boolean) extends Selector {
+    def resolve(schema: StructType): Seq[String] = schema.fieldNames.toSeq.filter(p)
+  }
+  private[core] final case class TypePred(p: DataType => Boolean) extends Selector {
+    def resolve(schema: StructType): Seq[String] =
+      schema.fields.toSeq.filter(f => p(f.dataType)).map(_.name)
+  }
+  private[core] final case class And(a: Selector, b: Selector) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val bs = b.resolve(schema).toSet
+      a.resolve(schema).filter(bs)
+    }
+  }
+  private[core] final case class Or(a: Selector, b: Selector) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val as = a.resolve(schema)
+      as ++ b.resolve(schema).filterNot(as.toSet)
+    }
+  }
+  private[core] final case class Not(s: Selector) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val drop = s.resolve(schema).toSet
+      schema.fieldNames.toSeq.filterNot(drop)
+    }
+  }
+  private[core] case object LastCol extends Selector {
+    def resolve(schema: StructType): Seq[String] = schema.fieldNames.toSeq.takeRight(1)
+  }
+  private[core] final case class Range(from: String, to: String) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val names = schema.fieldNames.toSeq
+      val i = names.indexOf(from); val j = names.indexOf(to)
+      require(i >= 0 && j >= 0, s"Unknown columns in range $from:$to")
+      if (i <= j) names.slice(i, j + 1) else names.slice(j, i + 1).reverse
+    }
+  }
+}
+
+/** User-facing tidyselect helpers. */
+object TidySelect {
+  import Selector._
+  def cols(names: String*): Selector = Named(names, strict = true)
+  def allOf(names: Seq[String]): Selector = Named(names, strict = true)
+  def anyOf(names: Seq[String]): Selector = Named(names, strict = false)
+  def startsWith(prefix: String): Selector = Pred(_.startsWith(prefix))
+  def endsWith(suffix: String): Selector = Pred(_.endsWith(suffix))
+  def contains(sub: String): Selector = Pred(_.contains(sub))
+  def matches(regex: String): Selector = { val r = regex.r; Pred(n => r.findFirstIn(n).isDefined) }
+  def numRange(prefix: String, from: Int, to: Int): Selector =
+    Named((from to to).map(i => s"$prefix$i"), strict = false)
+  def everything: Selector = Pred(_ => true)
+  def lastCol: Selector = LastCol
+  def range(from: String, to: String): Selector = Range(from, to)
+  def where(p: DataType => Boolean): Selector = TypePred(p)
+}

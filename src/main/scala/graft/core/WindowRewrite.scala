@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+
+/** Grouped-mutate semantics: rewrite aggregate calls inside an
+  * expression into per-group window aggregates over the dplyr group
+  * columns, so `mutate(share = x / sum(x))` on a grouped frame divides
+  * by the group total (reference behavior:
+  * /root/reference/datar_polars/api/dplyr/mutate.py — polars
+  * `over(groups)`; tests/dplyr/test_mutate_windowed.py).
+  *
+  * Scale note: every aggregate in the same verb shares one
+  * `WindowSpecDefinition(groups)` — Catalyst collapses these into a
+  * single Window operator and thus a single hash-partition shuffle,
+  * instead of the groupBy+self-join a naive translation would do.
+  */
+object WindowRewrite {
+
+  /** Unresolved names of SQL aggregate functions we auto-window. */
+  private val AggNames: Set[String] = Set(
+    "sum", "avg", "mean", "min", "max", "count", "count_distinct",
+    "stddev", "stddev_samp", "stddev_pop", "std", "variance", "var_samp",
+    "var_pop", "first", "first_value", "last", "last_value",
+    "collect_list", "collect_set", "array_agg", "approx_count_distinct",
+    "percentile", "percentile_approx", "approx_percentile", "median",
+    "corr", "covar_samp", "covar_pop", "skewness", "kurtosis",
+    "any_value", "bool_and", "bool_or", "every", "any", "some",
+    "product", "sum_distinct", "mode", "max_by", "min_by")
+
+  /** Wrap every aggregate call in `col` in an unordered window over
+    * `groupCols`. Explicit windows are left untouched. Implemented on
+    * Spark 4's ColumnNode tree (see ColumnBridge).
+    */
+  def overGroups(col: Column, groupCols: Seq[Column]): Column =
+    if (groupCols.isEmpty) col
+    else ExpressionUtils.overGroups(col, groupCols, AggNames.contains)
+
+  /** True if the expression contains any aggregate call (used by
+    * grouped filter to decide whether a rewrite is needed). */
+  def hasAgg(col: Column): Boolean =
+    ExpressionUtils.hasAgg(col, AggNames.contains)
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-rank family + lead/lag + cumulatives
+  * (reference: /root/reference/datar_polars/api/dplyr/rank.py,
+  * lead-lag in funs.py, base/cum.py, base/rank.py).
+  *
+  * Each helper takes explicit partition/order columns — at scale all
+  * helpers used in one verb with the same (partition, order) collapse
+  * into a single Window operator (one shuffle + one sort).
+  */
+object WindowFns {
+  private def w(part: Seq[Column], order: Seq[Column]) = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    base.orderBy(order: _*)
+  }
+
+  def rowNumber(order: Seq[Column], part: Seq[Column] = Nil): Column =
+    row_number().over(w(part, order))
+  def minRank(order: Seq[Column], part: Seq[Column] = Nil): Column =
+    rank().over(w(part, order))
+  def denseRank(order: Seq[Column], part: Seq[Column] = Nil): Column =
+    dense_rank().over(w(part, order))
+  def percentRank(order: Seq[Column], part: Seq[Column] = Nil): Column =
+    percent_rank().over(w(part, order))
+  def cumeDist(order: Seq[Column], part: Seq[Column] = Nil): Column =
+    cume_dist().over(w(part, order))
+  def ntileOf(n: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    ntile(n).over(w(part, order))
+
+  def leadBy(x: Column, n: Int, order: Seq[Column], part: Seq[Column] = Nil,
+             default: Column = lit(null)): Column =
+    lead(x, n, null).over(w(part, order)) match {
+      case c => coalesce(c, default)
+    }
+  def lagBy(x: Column, n: Int, order: Seq[Column], part: Seq[Column] = Nil,
+            default: Column = lit(null)): Column =
+    coalesce(lag(x, n, null).over(w(part, order)), default)
+
+  /** consecutive_id: new id each time the value (combination) changes
+    * along `order` — dplyr::consecutive_id. */
+  def consecutiveId(xs: Seq[Column], order: Seq[Column], part: Seq[Column] = Nil): Column = {
+    val ww = w(part, order)
+    val changed = xs.map(x => x =!= lag(x, 1).over(ww) ||
+      (x.isNull =!= lag(x, 1).over(ww).isNull))
+      .map(c => coalesce(c, lit(true)))
+      .reduce(_ || _)
+    sum(when(changed, 1).otherwise(0)).over(w(part, order).rowsBetween(Window.unboundedPreceding, 0))
+  }
+}
+
+/** Cumulative functions over an explicit order. */
+object CumFns {
+  private def cw(order: Seq[Column], part: Seq[Column]) = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    base.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
+  def cumsum(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    sum(x).over(cw(order, part))
+  def cummax(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    max(x).over(cw(order, part))
+  def cummin(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    min(x).over(cw(order, part))
+  def cummean(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    avg(x).over(cw(order, part))
+  /** cumprod via exp∘sum∘log with sign tracking (no native cumprod). */
+  def cumprod(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column = {
+    val ww = cw(order, part)
+    val negatives = sum(when(x < 0, 1).otherwise(0)).over(ww)
+    val zeros = sum(when(x === 0, 1).otherwise(0)).over(ww)
+    val mag = exp(sum(log(abs(x))).over(ww))
+    when(zeros > 0, lit(0.0))
+      .otherwise(when(pmod(negatives, lit(2)) === 1, -mag).otherwise(mag))
+  }
+  def cumall(p: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    min(when(coalesce(p, lit(false)), 1).otherwise(0)).over(cw(order, part)) === 1
+  def cumany(p: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    max(when(coalesce(p, lit(false)), 1).otherwise(0)).over(cw(order, part)) === 1
+}

@@ -1,0 +1,61 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.internal._
+
+/** Column internals bridge. Spark 4 moved Column to a lazy ColumnNode
+  * representation (for Connect parity) and hid the converters behind
+  * `private[sql]`; this shim lives in the sql package namespace to
+  * expose the conversions plus a ColumnNode-level tree rewrite that
+  * graft's grouped-verb semantics need.
+  */
+object ColumnBridge {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Wrap every aggregate-function call inside `c` in an unordered
+    * window partitioned by `groups` — dplyr's grouped mutate/filter.
+    * Explicit windows are left untouched; aggregate arguments are not
+    * recursed (nested aggs are illegal anyway).
+    */
+  def overGroups(c: Column, groups: Seq[Column], isAgg: String => Boolean): Column = {
+    val spec = WindowSpec(groups.map(_.node), Nil, None)
+    def rw(n: ColumnNode): ColumnNode = n match {
+      case w: Window => w
+      case f: UnresolvedFunction if isAgg(f.functionName.toLowerCase) =>
+        Window(f, spec, f.origin)
+      case f: UnresolvedFunction => f.copy(arguments = f.arguments.map(rw))
+      case a: Alias              => a.copy(child = rw(a.child))
+      case t: Cast               => t.copy(child = rw(t.child))
+      case cw: CaseWhenOtherwise =>
+        cw.copy(branches = cw.branches.map { case (p, v) => (rw(p), rw(v)) },
+          otherwise = cw.otherwise.map(rw))
+      case ev: UnresolvedExtractValue =>
+        ev.copy(child = rw(ev.child), extraction = rw(ev.extraction))
+      case so: SortOrder => so.copy(child = rw(so.child))
+      case lf: LambdaFunction => lf.copy(function = rw(lf.function))
+      case other => other
+    }
+    Column(rw(c.node))
+  }
+
+  /** True if the column's node tree contains an aggregate call. */
+  def hasAgg(c: Column, isAgg: String => Boolean): Boolean = {
+    def walk(n: ColumnNode): Boolean = n match {
+      case _: Window => false // already windowed: not a bare aggregate
+      case f: UnresolvedFunction =>
+        isAgg(f.functionName.toLowerCase) || f.arguments.exists(walk)
+      case a: Alias              => walk(a.child)
+      case t: Cast               => walk(t.child)
+      case cw: CaseWhenOtherwise =>
+        cw.branches.exists { case (p, v) => walk(p) || walk(v) } ||
+          cw.otherwise.exists(walk)
+      case ev: UnresolvedExtractValue => walk(ev.child) || walk(ev.extraction)
+      case so: SortOrder => walk(so.child)
+      case _ => false
+    }
+    walk(c.node)
+  }
+}
