@@ -1,0 +1,658 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions._
+import graft.functions.Exact._
+
+/** dplyr-verb coverage queries (SURVEY §2.1), one per operator. */
+object QueriesDplyr {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "d_transmute" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .transmute(
+          "o_orderkey" -> col("o_orderkey"),
+          "year" -> year(col("o_orderdate")),
+          "price_k" -> (col("o_totalprice") / lit(1000.0)))
+        .arrange(col("o_orderkey")).df),
+
+    "d_rename" -> ((s, d) =>
+      t(s, d, "region").graft
+        .rename("region_id" -> "r_regionkey", "region_name" -> "r_name")
+        .arrange(col("region_id")).df),
+
+    "d_relocate" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .relocate(TidySelect.cols("c_acctbal", "c_mktsegment"), after = Some("c_custkey"))
+        .select(TidySelect.everything)
+        .arrange(col("c_custkey")).df),
+
+    "d_filter" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .filterRows(
+          col("l_quantity") > 45,
+          col("l_discount") >= 0.05,
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_filter_grouped" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_orderkey")
+        .filterRows(col("l_quantity") === max(col("l_quantity")))
+        .ungroup
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_arrange" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .arrange(col("o_totalprice").desc, col("o_orderkey"))
+        .sliceHead(50)
+        .select("o_orderkey", "o_totalprice").df
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    "d_distinct" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .distinctRows("c_mktsegment", "c_nationkey")
+        .arrange(col("c_mktsegment"), col("c_nationkey")).df),
+
+    "d_summarise" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus")
+        .summarise(
+          "n" -> count(lit(1)),
+          "total" -> dsum(col("o_totalprice")),
+          "avg_price" -> davg(col("o_totalprice")),
+          "first_date" -> min(col("o_orderdate")),
+          "last_date" -> max(col("o_orderdate")),
+          "n_cust" -> countDistinct(col("o_custkey")))
+        .ungroup.arrange(col("o_orderstatus")).df),
+
+    "d_groupmeta" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .groupBy("c_mktsegment")
+        .summarise("size" -> count(lit(1)))
+        .groupBy() // no-op; demonstrate ungrouped mutate over summary
+        .mutate("group_id" -> (WindowFns.denseRank(Seq(col("c_mktsegment"))) - lit(1)))
+        .arrange(col("c_mktsegment")).df),
+
+    "d_count" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .countBy("o_orderpriority")
+        .arrange(col("o_orderpriority")).df),
+
+    "d_add_count" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .addCount("c_mktsegment")
+        .select("c_custkey", "c_mktsegment", "n")
+        .arrange(col("c_custkey")).df),
+
+    "d_n_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_returnflag")
+        .summarise(
+          "n_supp" -> countDistinct(col("l_suppkey")),
+          "n_part" -> countDistinct(col("l_partkey")))
+        .ungroup.arrange(col("l_returnflag")).df),
+
+    "d_first_last" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_custkey")
+        .summarise(
+          "first_price" -> min_by(col("o_totalprice"), col("o_orderkey")),
+          "last_price" -> max_by(col("o_totalprice"), col("o_orderkey")),
+          "nth_key" -> min(col("o_orderkey")))
+        .ungroup.arrange(col("o_custkey")).df),
+
+    "d_pull" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .arrange(col("o_totalprice").desc, col("o_orderkey"))
+        .sliceHead(20).df
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
+    "d_slice_head" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus")
+        .arrange(col("o_orderdate"), col("o_orderkey"))
+        .sliceHead(3)
+        .ungroup
+        .select("o_orderstatus", "o_orderkey", "o_orderdate")
+        .arrange(col("o_orderstatus"), col("o_orderkey")).df),
+
+    "d_slice_min" -> ((s, d) =>
+      t(s, d, "part").graft
+        .groupBy("p_brand")
+        .sliceMin(col("p_retailprice"), n = 2, withTies = true)
+        .ungroup
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .arrange(col("p_brand"), col("p_partkey")).df),
+
+    "d_slice_max" -> ((s, d) =>
+      t(s, d, "supplier").graft
+        .groupBy("s_nationkey")
+        .sliceMax(col("s_acctbal"), n = 1, withTies = false)
+        .ungroup
+        .select("s_nationkey", "s_suppkey", "s_acctbal")
+        .arrange(col("s_nationkey"), col("s_suppkey")).df),
+
+    "d_slice_sample" -> ((s, d) =>
+      t(s, d, "supplier").graft
+        .groupBy("s_nationkey")
+        .sliceSample(3, seed = 42)
+        .ungroup
+        .select("s_nationkey", "s_suppkey")
+        .arrange(col("s_nationkey"), col("s_suppkey")).df),
+
+    "d_join_inner" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .rename("n_nationkey" -> "c_nationkey")
+        .innerJoin(t(s, d, "nation").graft, Seq("n_nationkey"), broadcastRight = true)
+        .select("c_custkey", "c_name", "n_name")
+        .arrange(col("c_custkey")).df),
+
+    "d_join_left" -> ((s, d) =>
+      t(s, d, "nation").graft
+        .rename("c_nationkey" -> "n_nationkey")
+        .leftJoin(
+          t(s, d, "customer").graft.countBy("c_nationkey"),
+          Seq("c_nationkey"))
+        .mutate("n" -> coalesce(col("n"), lit(0L)))
+        .select("c_nationkey", "n_name", "n")
+        .arrange(col("c_nationkey")).df),
+
+    "d_join_full" -> ((s, d) => {
+      val byCust = t(s, d, "orders").graft.countBy("o_custkey")
+        .rename("cust" -> "o_custkey", "n_orders" -> "n")
+      val highBal = t(s, d, "customer").graft
+        .filterRows(col("c_acctbal") > 9000)
+        .transmute("cust" -> col("c_custkey"), "bal" -> col("c_acctbal"))
+      highBal.fullJoin(byCust, Seq("cust"))
+        .arrange(col("cust")).df
+    }),
+
+    "d_join_semi" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .rename("o_custkey" -> "c_custkey")
+        .semiJoin(
+          t(s, d, "orders").graft.filterRows(col("o_totalprice") > 400000),
+          Seq("o_custkey"))
+        .select("o_custkey", "c_name")
+        .arrange(col("o_custkey")).df),
+
+    "d_join_anti" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .rename("o_custkey" -> "c_custkey")
+        .antiJoin(t(s, d, "orders").graft.filterRows(col("o_totalprice") > 400000),
+          Seq("o_custkey"))
+        .select("o_custkey", "c_name")
+        .arrange(col("o_custkey")).df),
+
+    "d_join_cross" -> ((s, d) =>
+      t(s, d, "region").graft
+        .crossJoinF(t(s, d, "customer").graft.distinctRows("c_mktsegment"))
+        .arrange(col("r_regionkey"), col("c_mktsegment")).df),
+
+    "d_join_nest" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .rename("o_custkey" -> "c_custkey")
+        .nestJoin(t(s, d, "orders").graft, Seq("o_custkey"), as = "orders")
+        .transmute("o_custkey" -> col("o_custkey"), "n_orders" -> size(col("orders")))
+        .arrange(col("o_custkey")).df),
+
+    "d_bind_rows" -> ((s, d) => {
+      val c = t(s, d, "customer").graft
+        .transmute("id" -> col("c_custkey"), "name" -> col("c_name"),
+          "bal" -> col("c_acctbal"), "kind" -> lit("customer")).df
+      val p = t(s, d, "supplier").graft
+        .transmute("id" -> col("s_suppkey"), "name" -> col("s_name"),
+          "kind" -> lit("supplier")).df
+      Bind.rows(c, p).orderBy(col("kind"), col("id"))
+    }),
+
+    "d_bind_cols" -> ((s, d) => {
+      val a = t(s, d, "region").select("r_regionkey", "r_name")
+      val b = t(s, d, "region").graft
+        .transmute("rev_key" -> col("r_regionkey"), "rev_name" -> col("r_name")).df
+      Bind.colsOrdered(a, Seq(col("r_regionkey").asc), b, Seq(col("rev_key").desc))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    "d_setops" -> ((s, d) => {
+      val a = t(s, d, "customer").graft
+        .filterRows(col("c_mktsegment") === "BUILDING").df.select("c_nationkey").distinct()
+      val b = t(s, d, "customer").graft
+        .filterRows(col("c_acctbal") > 9900).df.select("c_nationkey").distinct()
+      Bind.rows(
+        Sets.intersect(a, b).withColumn("op", lit("intersect")),
+        Sets.setdiff(a, b).withColumn("op", lit("setdiff")))
+        .orderBy(col("op"), col("c_nationkey"))
+    }),
+
+    "d_symdiff" -> ((s, d) => {
+      val a = t(s, d, "orders").graft
+        .filterRows(col("o_orderpriority") === "1-URGENT").df.select("o_custkey").distinct()
+      val b = t(s, d, "orders").graft
+        .filterRows(col("o_orderpriority") === "5-LOW").df.select("o_custkey").distinct()
+      Sets.symdiff(a, b).orderBy(col("o_custkey"))
+    }),
+
+    "d_ranks" -> ((s, d) => {
+      val part = Seq(col("o_orderstatus"))
+      val ord = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders").graft
+        .mutate(
+          "rn" -> WindowFns.rowNumber(ord, part),
+          "mrank" -> WindowFns.minRank(ord, part),
+          "drank" -> WindowFns.denseRank(ord, part),
+          "prank" -> WindowFns.percentRank(ord, part),
+          "cdist" -> WindowFns.cumeDist(ord, part),
+          "quartile" -> WindowFns.ntileOf(4, ord, part))
+        .select("o_orderstatus", "o_orderkey", "rn", "mrank", "drank", "prank", "cdist", "quartile")
+        .arrange(col("o_orderstatus"), col("o_orderkey")).df
+    }),
+
+    "d_lead_lag" -> ((s, d) => {
+      val part = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").graft
+        .mutate(
+          "prev_price" -> WindowFns.lagBy(col("o_totalprice"), 1, ord, part),
+          "next_price" -> WindowFns.leadBy(col("o_totalprice"), 1, ord, part),
+          "prev2_price" -> WindowFns.lagBy(col("o_totalprice"), 2, ord, part, default = lit(0.0)))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price", "prev2_price")
+        .arrange(col("o_custkey"), col("o_orderkey")).df
+    }),
+
+    "d_cum" -> ((s, d) => {
+      val part = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").graft
+        .mutate(
+          "run_total" -> CumFns.cumsum(col("o_totalprice").cast("decimal(28,6)"), ord, part).cast("double"),
+          "run_max" -> CumFns.cummax(col("o_totalprice"), ord, part),
+          "run_min" -> CumFns.cummin(col("o_totalprice"), ord, part),
+          "seen_urgent" -> CumFns.cumany(col("o_orderpriority") === "1-URGENT", ord, part),
+          "all_filled" -> CumFns.cumall(col("o_orderstatus") === "F", ord, part))
+        .select("o_custkey", "o_orderkey", "run_total", "run_max", "run_min", "seen_urgent", "all_filled")
+        .arrange(col("o_custkey"), col("o_orderkey")).df
+    }),
+
+    "d_cumprod" -> ((s, d) => {
+      val part = Seq(col("l_orderkey"))
+      val ord = Seq(col("l_linenumber").asc)
+      t(s, d, "lineitem").graft
+        .mutate("disc_factor" -> CumFns.cumprod(lit(1.0) - col("l_discount"), ord, part),
+          "run_mean_qty" -> CumFns.cummean(col("l_quantity").cast("decimal(28,6)"), ord, part))
+        .select("l_orderkey", "l_linenumber", "disc_factor", "run_mean_qty")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df
+    }),
+
+    "d_case" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .mutate(
+          "size_class" -> CondFns.caseWhen(Seq(
+            (col("l_quantity") >= 40) -> lit("large"),
+            (col("l_quantity") >= 15) -> lit("medium")), lit("small")),
+          "flag_desc" -> CondFns.caseMatch(col("l_returnflag"), Seq(
+            Seq[Any]("A") -> lit("accepted"),
+            Seq[Any]("R") -> lit("returned")), lit("none")),
+          "discounted" -> CondFns.ifElse(col("l_discount") > 0, lit("yes"), lit("no")))
+        .select("l_orderkey", "l_linenumber", "size_class", "flag_desc", "discounted")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_na_fns" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .mutate(
+          "tax_or_null" -> CondFns.naIf(col("l_tax"), lit(0.0)),
+          "tax_filled" -> CondFns.coalesceAll(CondFns.naIf(col("l_tax"), lit(0.0)), lit(-1.0)),
+          "is_near" -> CondFns.near(col("l_discount"), lit(0.05), tol = 1e-9),
+          "mid_qty" -> CondFns.between(col("l_quantity"), lit(20), lit(30)))
+        .select("l_orderkey", "l_linenumber", "tax_or_null", "tax_filled", "is_near", "mid_qty")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_recode" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .mutate("prio_code" -> CondFns.recode(col("o_orderpriority"), Map[Any, Any](
+          "1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3, "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5),
+          default = Some(lit(0))))
+        .select("o_orderkey", "o_orderpriority", "prio_code")
+        .arrange(col("o_orderkey")).df),
+
+    "d_consecutive_id" -> ((s, d) => {
+      val part = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").graft
+        .mutate("run_id" -> WindowFns.consecutiveId(Seq(col("o_orderstatus")), ord, part))
+        .select("o_custkey", "o_orderkey", "run_id")
+        .arrange(col("o_custkey"), col("o_orderkey")).df
+    }),
+
+    "d_rows_upsert" -> ((s, d) => {
+      val x = t(s, d, "region")
+      val y = Bind.rows(
+        t(s, d, "region").graft.filterRows(col("r_regionkey") <= 1)
+          .transmute("r_regionkey" -> col("r_regionkey"),
+            "r_name" -> concat(col("r_name"), lit("_v2"))).df,
+        t(s, d, "region").graft.sliceMin(col("r_regionkey"), 1, withTies = false)
+          .transmute("r_regionkey" -> lit(99), "r_name" -> lit("NEWREGION")).df)
+      RowsVerbs.upsert(x, y, Seq("r_regionkey")).orderBy(col("r_regionkey"))
+    }),
+
+    "d_rows_patch_delete" -> ((s, d) => {
+      val x = t(s, d, "nation").graft
+        .mutate("n_name" -> CondFns.naIf(col("n_name"), lit("CHINA"))).df
+      val y = t(s, d, "nation").select("n_nationkey")
+        .filter(col("n_nationkey") > 20)
+      val patched = RowsVerbs.patch(x,
+        t(s, d, "nation").graft.transmute(
+          "n_nationkey" -> col("n_nationkey"),
+          "n_name" -> lower(col("n_name"))).df,
+        Seq("n_nationkey"))
+      RowsVerbs.delete(patched, y, Seq("n_nationkey")).orderBy(col("n_nationkey"))
+    }),
+
+    "d_across" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_returnflag")
+        .acrossSummarise(
+          TidySelect.cols("l_quantity", "l_extendedprice", "l_discount"),
+          Seq("mean" -> (c => davg(c)), "max" -> (c => max(c))))
+        .ungroup.arrange(col("l_returnflag")).df),
+
+    "d_if_any" -> ((s, d) => {
+      val g = t(s, d, "customer").graft
+      g.filterRows(g.ifAny(TidySelect.cols("c_acctbal"), _ < 0) ||
+          g.ifAll(TidySelect.cols("c_nationkey"), _ > 20))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .arrange(col("c_custkey")).df
+    }),
+
+    "d_rowwise" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .mutate("charges" -> array(col("l_extendedprice"), col("l_tax"), col("l_discount")))
+        .mutate(
+          "row_sum" -> aggregate(col("charges"), lit(0.0), (acc, x) => acc + x),
+          "row_max" -> greatest(col("l_extendedprice"), col("l_tax"), col("l_discount")),
+          "row_min" -> least(col("l_extendedprice"), col("l_tax"), col("l_discount")))
+        .select("l_orderkey", "l_linenumber", "row_sum", "row_max", "row_min")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_transmute" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
+        |  o_totalprice/1000.0 AS price_k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "d_rename" ->
+      "SELECT r_regionkey AS region_id, r_name AS region_name FROM region ORDER BY region_id",
+
+    "d_relocate" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment, c_name, c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_filter_grouped" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |QUALIFY l_quantity = max(l_quantity) OVER (PARTITION BY l_orderkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_arrange" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "d_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "d_summarise" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  ${davgSql("o_totalprice")} AS avg_price,
+         |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+         |  count(DISTINCT o_custkey) AS n_cust
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "d_groupmeta" ->
+      """SELECT c_mktsegment, count(*) AS size,
+        |  CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS group_id
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "d_count" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "d_add_count" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "d_n_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_first_last" ->
+      """SELECT o_custkey, min_by(o_totalprice, o_orderkey) AS first_price,
+        |  max_by(o_totalprice, o_orderkey) AS last_price,
+        |  min(o_orderkey) AS nth_key
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "d_pull" ->
+      """SELECT o_totalprice, o_orderkey FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "d_slice_head" ->
+      """SELECT o_orderstatus, o_orderkey, o_orderdate FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) <= 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "d_slice_min" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part
+        |QUALIFY rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) <= 2
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "d_slice_max" ->
+      """SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
+        |QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) <= 1
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "d_join_inner" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey""".stripMargin,
+
+    "d_join_left" ->
+      """SELECT n_nationkey AS c_nationkey, n_name, coalesce(cnt, 0) AS n
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey AS k, count(*) AS cnt FROM customer GROUP BY 1
+        |) ON n_nationkey = k
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "d_join_full" ->
+      """SELECT coalesce(a.cust, b.cust) AS cust, a.bal, b.n_orders FROM
+        |  (SELECT c_custkey AS cust, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000) a
+        |  FULL JOIN
+        |  (SELECT o_custkey AS cust, count(*) AS n_orders FROM orders GROUP BY 1) b
+        |  USING (cust)
+        |ORDER BY cust""".stripMargin,
+
+    "d_join_semi" ->
+      """SELECT c_custkey AS o_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "d_join_anti" ->
+      """SELECT c_custkey AS o_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "d_join_cross" ->
+      """SELECT r.r_regionkey, r.r_name, m.c_mktsegment
+        |FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) m
+        |ORDER BY r_regionkey, c_mktsegment""".stripMargin,
+
+    "d_join_nest" ->
+      """SELECT c_custkey AS o_custkey, CAST(coalesce(cnt, 0) AS INT) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        |) ON c_custkey = o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "d_bind_rows" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, NULL, 'supplier' FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+
+    "d_bind_cols" ->
+      """WITH a AS (SELECT r_regionkey, r_name,
+        |    row_number() OVER (ORDER BY r_regionkey) AS i FROM region),
+        |  b AS (SELECT r_regionkey AS rev_key, r_name AS rev_name,
+        |    row_number() OVER (ORDER BY r_regionkey DESC) AS i FROM region)
+        |SELECT a.r_regionkey, a.r_name, b.rev_key, b.rev_name
+        |FROM a JOIN b USING (i) ORDER BY a.r_regionkey""".stripMargin,
+
+    "d_setops" ->
+      """WITH a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |  b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9900)
+        |SELECT c_nationkey, 'intersect' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT c_nationkey, 'setdiff' FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |ORDER BY op, c_nationkey""".stripMargin,
+
+    "d_symdiff" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |  b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT o_custkey FROM (
+        |  (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |  UNION
+        |  (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |ORDER BY o_custkey""".stripMargin,
+
+    "d_ranks" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w2 AS INT) AS mrank,
+        |  CAST(dense_rank() OVER w2 AS INT) AS drank,
+        |  percent_rank() OVER w2 AS prank,
+        |  cume_dist() OVER w2 AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |  w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "d_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  coalesce(lag(o_totalprice, 2) OVER w, 0.0) AS prev2_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "d_cum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS run_total,
+        |  max(o_totalprice) OVER wr AS run_max,
+        |  min(o_totalprice) OVER wr AS run_min,
+        |  CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) OVER wr AS INT) = 1 AS seen_urgent,
+        |  CAST(min(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) OVER wr AS INT) = 1 AS all_filled
+        |FROM orders
+        |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // d_cumprod: no oracle (exp/ln differ across engines in last ulp) —
+    // rows-only check; semantics covered by CumFnsSpec.
+
+    "d_case" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 40 THEN 'large'
+        |       WHEN l_quantity >= 15 THEN 'medium' ELSE 'small' END AS size_class,
+        |  CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned'
+        |       ELSE 'none' END AS flag_desc,
+        |  CASE WHEN l_discount > 0 THEN 'yes' ELSE 'no' END AS discounted
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_na_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_tax, 0.0) AS tax_or_null,
+        |  coalesce(nullif(l_tax, 0.0), -1.0) AS tax_filled,
+        |  abs(l_discount - 0.05) < 1e-9 AS is_near,
+        |  l_quantity BETWEEN 20 AND 30 AS mid_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_recode" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+        |    WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+        |    WHEN '5-LOW' THEN 5 ELSE 0 END AS prio_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "d_consecutive_id" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderstatus IS DISTINCT FROM lag(o_orderstatus)
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "d_rows_upsert" ->
+      """WITH y AS (
+        |  SELECT r_regionkey, r_name || '_v2' AS r_name FROM region WHERE r_regionkey <= 1
+        |  UNION ALL SELECT 99, 'NEWREGION')
+        |SELECT coalesce(y.r_regionkey, x.r_regionkey) AS r_regionkey,
+        |  coalesce(y.r_name, x.r_name) AS r_name
+        |FROM region x FULL JOIN y USING (r_regionkey)
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "d_rows_patch_delete" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey,
+        |    coalesce(nullif(n_name, 'CHINA'), lower(n_name)) AS n_name,
+        |    n_regionkey
+        |  FROM nation)
+        |WHERE n_nationkey <= 20
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "d_across" ->
+      s"""SELECT l_returnflag,
+         |  ${davgSql("l_quantity")} AS l_quantity_mean,
+         |  max(l_quantity) AS l_quantity_max,
+         |  ${davgSql("l_extendedprice")} AS l_extendedprice_mean,
+         |  max(l_extendedprice) AS l_extendedprice_max,
+         |  ${davgSql("l_discount")} AS l_discount_mean,
+         |  max(l_discount) AS l_discount_max
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_if_any" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |WHERE coalesce(c_acctbal < 0, FALSE) OR coalesce(c_nationkey > 20, FALSE)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "d_rowwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  0.0 + l_extendedprice + l_tax + l_discount AS row_sum,
+        |  greatest(l_extendedprice, l_tax, l_discount) AS row_max,
+        |  least(l_extendedprice, l_tax, l_discount) AS row_min
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

@@ -36,6 +36,17 @@ object Bind {
     val bi = b.withColumn("__i", row_number().over(Window.orderBy(monotonically_increasing_id())))
     ai.join(bi, Seq("__i"), "inner").drop("__i")
   }
+
+  /** Deterministic positional bind: explicit total orders on each side
+    * define the positions. (Positional semantics inherently need a
+    * global order — a single-sort window each side; prefer keyed joins
+    * at scale.) */
+  def colsOrdered(a: DataFrame, aOrder: Seq[Column],
+                  b: DataFrame, bOrder: Seq[Column]): DataFrame = {
+    val ai = a.withColumn("__i", row_number().over(Window.orderBy(aOrder: _*)))
+    val bi = b.withColumn("__i", row_number().over(Window.orderBy(bOrder: _*)))
+    ai.join(bi, Seq("__i"), "inner").drop("__i")
+  }
 }
 
 /** Frame set ops with dplyr/base-R semantics (sets.py). */

@@ -117,11 +117,12 @@ final class GraftFrame private (
     * filter(x == max(x)) keeps per-group maxima. */
   def filterRows(preds: Column*): GraftFrame = {
     val combined = preds.reduce(_ && _)
-    val rewritten =
-      if (groups.nonEmpty && WindowRewrite.hasAgg(combined))
-        WindowRewrite.overGroups(combined, groupCols)
-      else combined
-    withDf(df.filter(rewritten))
+    if (groups.nonEmpty && WindowRewrite.hasAgg(combined)) {
+      // window expressions are not allowed in WHERE: materialize the
+      // rewritten predicate as a column first (Catalyst prunes it)
+      val p = WindowRewrite.overGroups(combined, groupCols)
+      withDf(df.withColumn("__graft_p", p).filter(col("__graft_p")).drop("__graft_p"))
+    } else withDf(df.filter(combined))
   }
 
   // ---- arrange (arrange.py) ---------------------------------------------
