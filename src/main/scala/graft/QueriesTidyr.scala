@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions.CondFns
+
+/** tidyr + tibble coverage queries (SURVEY §2.2, §2.5). */
+object QueriesTidyr {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t_pivot_longer" -> ((s, d) =>
+      Tidyr.pivotLonger(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        TidySelect.cols("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        namesTo = "metric", valuesTo = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
+    "t_pivot_wider" -> ((s, d) =>
+      Tidyr.pivotWider(
+        t(s, d, "orders"),
+        idCols = Seq("o_custkey"), namesFrom = "o_orderstatus",
+        valuesFrom = col("o_orderkey"), agg = c => count(c),
+        nameValues = Seq("F", "O", "P"), prefix = "status_",
+        fill = Some(lit(0L)))
+        .orderBy(col("o_custkey"))),
+
+    "t_separate" -> ((s, d) =>
+      Tidyr.separate(
+        t(s, d, "part").select("p_partkey", "p_type"),
+        "p_type", Seq("t1", "t2", "t3"), sep = " ")
+        .orderBy(col("p_partkey"))),
+
+    "t_extract" -> ((s, d) =>
+      Tidyr.extract(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", Seq("prio_num", "prio_word"), "(\\d)-(.+)")
+        .orderBy(col("o_orderkey"))),
+
+    "t_unite" -> ((s, d) =>
+      Tidyr.unite(
+        t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_nationkey"),
+        "seg_nation", TidySelect.cols("c_mktsegment", "c_nationkey"), sep = "/")
+        .orderBy(col("c_custkey"))),
+
+    // l_linenumber is non-unique in this data: order by (ln, tax) so the
+    // fill traversal is deterministic
+    "t_fill" -> ((s, d) =>
+      Tidyr.fill(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_tax")
+          .withColumn("tax_sparse", CondFns.naIf(col("l_tax"), lit(0.0))),
+        TidySelect.cols("tax_sparse"),
+        order = Seq(col("l_linenumber"), col("l_tax")), part = Seq(col("l_orderkey")),
+        direction = "downup")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "t_drop_na" -> ((s, d) =>
+      Tidyr.dropNa(
+        t(s, d, "lineitem")
+          .withColumn("tax_sparse", CondFns.naIf(col("l_tax"), lit(0.0)))
+          .select("l_orderkey", "l_linenumber", "tax_sparse"),
+        TidySelect.cols("tax_sparse"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "t_replace_na" -> ((s, d) =>
+      Tidyr.replaceNa(
+        t(s, d, "lineitem")
+          .withColumn("tax_sparse", CondFns.naIf(col("l_tax"), lit(0.0)))
+          .select("l_orderkey", "l_linenumber", "tax_sparse"),
+        Map("tax_sparse" -> -1.0))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "t_complete" -> ((s, d) =>
+      Tidyr.complete(
+        t(s, d, "orders").graft.countBy("o_custkey", "o_orderstatus").df,
+        keys = Seq("o_custkey", "o_orderstatus"),
+        fill = Map("n" -> 0L))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))),
+
+    "t_expand" -> ((s, d) =>
+      Tidyr.expandGrid(
+        t(s, d, "customer").select("c_mktsegment"),
+        t(s, d, "orders").select("o_orderstatus"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))),
+
+    "t_uncount" -> ((s, d) =>
+      Tidyr.uncount(t(s, d, "region"), col("r_regionkey") + lit(1))
+        .orderBy(col("r_regionkey"))),
+
+    "t_separate_rows" -> ((s, d) =>
+      Tidyr.separateRows(
+        t(s, d, "part").select("p_partkey", "p_type"), "p_type", " ")
+        .orderBy(col("p_partkey"), col("p_type"))),
+
+    "t_chop" -> ((s, d) =>
+      Tidyr.chop(
+        t(s, d, "lineitem").withColumn("qty", col("l_quantity").cast("long")),
+        keys = Seq("l_orderkey"), values = Seq("qty"), order = col("l_linenumber"))
+        .select(col("l_orderkey"),
+          array_join(col("qty"), ",").as("qtys"),
+          size(col("qty")).as("n_items"))
+        .orderBy(col("l_orderkey"))),
+
+    "t_unnest" -> ((s, d) => {
+      val nested = Tidyr.nest(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        keys = Seq("l_orderkey"), as = "items", order = col("l_linenumber"))
+      Tidyr.unnest(nested, "items")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "t_pack" -> ((s, d) => {
+      val packed = Tidyr.pack(
+        t(s, d, "customer"), "details",
+        TidySelect.cols("c_name", "c_acctbal", "c_mktsegment"))
+      Tidyr.unpack(packed, "details")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    "t_full_seq" -> ((s, d) =>
+      Tidyr.fullSeq(
+        t(s, d, "orders").withColumn("yr", year(col("o_orderdate")).cast("long")),
+        col("yr"), period = 1L, as = "year")
+        .orderBy(col("year"))),
+
+    "t_tibble" -> ((s, d) => {
+      val tb = Tibble.of(s,
+        "id" -> Seq(1, 2, 3, 4),
+        "name" -> Seq("a", "b", "c", "d"),
+        "score" -> Seq(1.5, 2.5, 3.5, null))
+      Tibble.addRow(tb, Map("id" -> 5, "name" -> "e", "score" -> 9.9))
+        .orderBy(col("id"))
+    }),
+
+    "t_enframe" -> ((s, d) =>
+      Tibble.enframe(s, Seq("x" -> 1, "y" -> 2, "z" -> 3))
+        .orderBy(col("name"))),
+
+    "t_rowid" -> ((s, d) =>
+      Tibble.rowidToColumn(
+        t(s, d, "nation"), Seq(col("n_nationkey").asc))
+        .select("rowid", "n_nationkey", "n_name")
+        .orderBy(col("rowid")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_pivot_longer" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "t_pivot_wider" ->
+      """SELECT o_custkey,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "t_separate" ->
+      """SELECT p_partkey, nullif(split_part(p_type, ' ', 1), '') AS t1,
+        |  nullif(split_part(p_type, ' ', 2), '') AS t2,
+        |  nullif(split_part(p_type, ' ', 3), '') AS t3
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "t_extract" ->
+      """SELECT o_orderkey, regexp_extract(o_orderpriority, '(\d)-(.+)', 1) AS prio_num,
+        |  regexp_extract(o_orderpriority, '(\d)-(.+)', 2) AS prio_word
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t_unite" ->
+      """SELECT c_custkey, c_mktsegment || '/' || c_nationkey AS seg_nation
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "t_fill" ->
+      """SELECT l_orderkey, l_linenumber, l_tax,
+        |  coalesce(
+        |    last_value(nullif(l_tax,0.0) IGNORE NULLS) OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(nullif(l_tax,0.0) IGNORE NULLS) OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tax_sparse
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t_drop_na" ->
+      """SELECT l_orderkey, l_linenumber, l_tax AS tax_sparse FROM lineitem
+        |WHERE nullif(l_tax, 0.0) IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t_replace_na" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_tax, 0.0), -1.0) AS tax_sparse
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t_complete" ->
+      """WITH cnt AS (SELECT o_custkey, o_orderstatus, count(*) AS n
+        |    FROM orders GROUP BY 1, 2),
+        |  grid AS (SELECT k.o_custkey, st.o_orderstatus
+        |    FROM (SELECT DISTINCT o_custkey FROM orders) k
+        |    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st)
+        |SELECT g.o_custkey, g.o_orderstatus, coalesce(c.n, 0) AS n
+        |FROM grid g LEFT JOIN cnt c USING (o_custkey, o_orderstatus)
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin,
+
+    "t_expand" ->
+      """SELECT * FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin,
+
+    "t_uncount" ->
+      """SELECT r_regionkey, r_name FROM (
+        |  SELECT r_regionkey, r_name,
+        |    unnest(generate_series(1, r_regionkey + 1)) AS i
+        |  FROM region)
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "t_separate_rows" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS p_type
+        |FROM part ORDER BY p_partkey, p_type""".stripMargin,
+
+    "t_chop" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qtys,
+        |  CAST(count(*) AS INT) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "t_unnest" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t_pack" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "t_full_seq" ->
+      """SELECT unnest(generate_series(
+        |  (SELECT min(year(o_orderdate)) FROM orders),
+        |  (SELECT max(year(o_orderdate)) FROM orders))) AS year
+        |ORDER BY year""".stripMargin,
+
+    "t_tibble" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5),
+        |  (4, 'd', NULL), (5, 'e', 9.9)) AS t(id, name, score)
+        |ORDER BY id""".stripMargin,
+
+    "t_enframe" ->
+      """SELECT * FROM (VALUES ('x', 1), ('y', 2), ('z', 3)) AS t(name, value)
+        |ORDER BY name""".stripMargin,
+
+    "t_rowid" ->
+      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rowid,
+        |  n_nationkey, n_name
+        |FROM nation ORDER BY rowid""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** tibble construction helpers (reference:
+  * /root/reference/datar_polars/tibble.py, api/tibble.py).
+  * Literal frames are driver-side by nature (tiny); everything else
+  * stays planar.
+  */
+object Tibble {
+
+  private def sparkType(v: Any): DataType = v match {
+    case _: Int     => IntegerType
+    case _: Long    => LongType
+    case _: Double  => DoubleType
+    case _: Boolean => BooleanType
+    case _: String  => StringType
+    case null       => StringType
+    case other      => throw new IllegalArgumentException(s"tibble: ${other.getClass}")
+  }
+
+  /** tibble(x = [...], y = [...]): column-vector construction. */
+  def of(spark: SparkSession, cols: (String, Seq[Any])*): DataFrame = {
+    require(cols.nonEmpty && cols.map(_._2.length).distinct.size == 1,
+      "tibble: columns must have equal length")
+    val schema = StructType(cols.map { case (n, vs) =>
+      StructField(n, sparkType(vs.find(_ != null).orNull), nullable = true)
+    })
+    val rows = cols.head._2.indices.map(i => Row(cols.map(_._2(i)): _*))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** tribble: row-wise construction. */
+  def tribble(spark: SparkSession, names: Seq[String], rows: Seq[Any]*): DataFrame = {
+    val byCol = names.indices.map(i => names(i) -> rows.map(_(i)))
+    of(spark, byCol: _*)
+  }
+
+  /** enframe: name/value pairs to a two-column frame. */
+  def enframe(spark: SparkSession, m: Seq[(String, Any)],
+              name: String = "name", value: String = "value"): DataFrame =
+    of(spark, name -> m.map(_._1), value -> m.map(_._2))
+
+  /** deframe: two-column frame to driver map (action). */
+  def deframe(df: DataFrame): Map[String, Any] = {
+    val Array(k, v) = df.columns
+    df.collect().map(r => r.getAs[Any](k).toString -> r.getAs[Any](v)).toMap
+  }
+
+  def addRow(df: DataFrame, values: Map[String, Any]): DataFrame = {
+    val spark = df.sparkSession
+    val row = Row(df.schema.fieldNames.map(f => values.get(f).orNull).toIndexedSeq: _*)
+    df.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), df.schema))
+  }
+
+  def addColumn(df: DataFrame, name: String,
+                value: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(name, value)
+
+  /** rowid_to_column over an explicit total order (Spark frames are
+    * unordered; positional ids need a declared order). */
+  def rowidToColumn(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                    name: String = "rowid"): DataFrame =
+    df.withColumn(name, row_number().over(Window.orderBy(order: _*)))
+}

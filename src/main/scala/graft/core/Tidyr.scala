@@ -1,0 +1,182 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** tidyr reshaping verbs (reference:
+  * /root/reference/datar_polars/api/tidyr.py; tests/tidyr).
+  * All pure `DataFrame => DataFrame` Catalyst plans.
+  *
+  * Scale notes: pivot_longer is a per-row explode (no shuffle);
+  * pivot_wider is one groupBy (one shuffle) with an explicit value
+  * list so no discovery pass is needed; fill is a window over the
+  * fill order (one shuffle per partitioning); complete/expand build
+  * the key grid from per-column distincts (tiny) and join back.
+  */
+object Tidyr {
+
+  /** pivot_longer: stack selected columns into (namesTo, valuesTo).
+    * Values are cast to a common type (default double for numerics).
+    */
+  def pivotLonger(df: DataFrame, sel: Selector, namesTo: String = "name",
+                  valuesTo: String = "value", valueType: String = "double"): DataFrame = {
+    val cols = sel.resolve(df.schema)
+    val keep = df.columns.toSeq.filterNot(cols.contains)
+    val stacked = explode(array(cols.map(c =>
+      struct(lit(c).as(namesTo), col(c).cast(valueType).as(valuesTo))): _*)).as("__kv")
+    df.select(keep.map(col) :+ stacked: _*)
+      .select(keep.map(col) :+ col(s"__kv.$namesTo") :+ col(s"__kv.$valuesTo"): _*)
+  }
+
+  /** pivot_wider with an explicit (ordered) value list — required at
+    * scale to skip the value-discovery job. */
+  def pivotWider(df: DataFrame, idCols: Seq[String], namesFrom: String,
+                 valuesFrom: Column, agg: Column => Column,
+                 nameValues: Seq[String], prefix: String = "",
+                 fill: Option[Column] = None): DataFrame = {
+    val pivoted = df.groupBy(idCols.map(col): _*)
+      .pivot(namesFrom, nameValues)
+      .agg(agg(valuesFrom))
+    val renamed = nameValues.foldLeft(pivoted)((d, v) =>
+      d.withColumnRenamed(v, prefix + v))
+    fill.fold(renamed)(f =>
+      nameValues.foldLeft(renamed)((d, v) =>
+        d.withColumn(prefix + v, coalesce(col(prefix + v), f))))
+  }
+
+  /** separate: split a string column into fixed parts by regex. */
+  def separate(df: DataFrame, c: String, into: Seq[String], sep: String,
+               remove: Boolean = true): DataFrame = {
+    val parts = split(col(c), sep)
+    val out = into.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      d.withColumn(n, get(parts, lit(i))) // get() → NULL past the end (ANSI-safe)
+    }
+    if (remove) out.drop(c) else out
+  }
+
+  /** extract: regex capture groups into new columns. */
+  def extract(df: DataFrame, c: String, into: Seq[String], regex: String,
+              remove: Boolean = true): DataFrame = {
+    val out = into.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      d.withColumn(n, regexp_extract(col(c), regex, i + 1))
+    }
+    if (remove) out.drop(c) else out
+  }
+
+  /** unite columns into one string column. */
+  def unite(df: DataFrame, name: String, sel: Selector, sep: String = "_",
+            remove: Boolean = true): DataFrame = {
+    val cols = sel.resolve(df.schema)
+    val united = df.withColumn(name, concat_ws(sep, cols.map(col): _*))
+    if (remove) united.drop(cols.filterNot(_ == name): _*) else united
+  }
+
+  /** fill: propagate last (direction="down") / next ("up") / both
+    * ("downup") non-null value along `order` within `part`. */
+  def fill(df: DataFrame, sel: Selector, order: Seq[Column],
+           part: Seq[Column] = Nil, direction: String = "down"): DataFrame = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    val wDown = base.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val wUp = base.orderBy(order: _*).rowsBetween(0, Window.unboundedFollowing)
+    sel.resolve(df.schema).foldLeft(df) { (d, c) =>
+      val filled = direction match {
+        case "down"   => last(col(c), ignoreNulls = true).over(wDown)
+        case "up"     => first(col(c), ignoreNulls = true).over(wUp)
+        case "downup" => coalesce(last(col(c), ignoreNulls = true).over(wDown),
+                                  first(col(c), ignoreNulls = true).over(wUp))
+        case "updown" => coalesce(first(col(c), ignoreNulls = true).over(wUp),
+                                  last(col(c), ignoreNulls = true).over(wDown))
+      }
+      d.withColumn(c, filled)
+    }
+  }
+
+  def dropNa(df: DataFrame, sel: Selector): DataFrame =
+    df.na.drop(sel.resolve(df.schema))
+
+  def replaceNa(df: DataFrame, repl: Map[String, Any]): DataFrame =
+    df.na.fill(repl)
+
+  /** complete: expand to the full grid of observed key values, left-
+    * joining existing rows; missing value columns filled from `fill`.
+    */
+  def complete(df: DataFrame, keys: Seq[String],
+               fill: Map[String, Any] = Map.empty): DataFrame = {
+    val grid = keys.map(k => df.select(k).distinct()).reduce(_.crossJoin(_))
+    val joined = grid.join(df, keys, "left")
+    if (fill.isEmpty) joined else joined.na.fill(fill)
+  }
+
+  /** expand/crossing: cartesian grid of the given one-column frames. */
+  def expandGrid(frames: DataFrame*): DataFrame =
+    frames.map(_.distinct()).reduce(_.crossJoin(_))
+
+  /** nesting: only observed combinations. */
+  def nesting(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col): _*).distinct()
+
+  /** uncount: replicate each row `weight` times. */
+  def uncount(df: DataFrame, weight: Column): DataFrame =
+    df.withColumn("__w", explode(sequence(lit(1), weight.cast("int"))))
+      .drop("__w")
+
+  /** separate_rows: split + explode a delimited string column. */
+  def separateRows(df: DataFrame, c: String, sep: String): DataFrame =
+    df.withColumn(c, explode(split(col(c), sep)))
+
+  /** chop: collapse `values` into deterministic (order-sorted) arrays
+    * per key. One shuffle. */
+  def chop(df: DataFrame, keys: Seq[String], values: Seq[String],
+           order: Column): DataFrame = {
+    val aggs = values.map(v =>
+      transform(
+        array_sort(collect_list(struct(order.as("o"), col(v).as("v")))),
+        s => s.getField("v")).as(v))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** unchop: explode array columns in lockstep (arrays_zip). */
+  def unchop(df: DataFrame, values: Seq[String]): DataFrame = {
+    val zipped = df.withColumn("__z", explode(arrays_zip(values.map(col): _*)))
+    values.foldLeft(zipped)((d, v) => d.withColumn(v, col(s"__z.$v"))).drop("__z")
+  }
+
+  /** nest: whole non-key sub-rows into array<struct> per key. */
+  def nest(df: DataFrame, keys: Seq[String], as: String, order: Column): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct((order.as("__o") +: payload.map(col)): _*))),
+        s => struct(payload.map(p => s.getField(p).as(p)): _*)).as(as))
+  }
+
+  /** unnest: explode array<struct> back to rows. */
+  def unnest(df: DataFrame, c: String): DataFrame = {
+    val fields = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ArrayType(st: StructType, _) => st.fieldNames.toSeq
+      case other => throw new IllegalArgumentException(s"unnest: $c is $other")
+    }
+    val ex = df.withColumn("__e", explode(col(c)))
+    fields.foldLeft(ex)((d, f) => d.withColumn(f, col(s"__e.$f")))
+      .drop("__e").drop(c)
+  }
+
+  /** pack: gather columns into a struct column. */
+  def pack(df: DataFrame, name: String, sel: Selector): DataFrame = {
+    val cols = sel.resolve(df.schema)
+    df.withColumn(name, struct(cols.map(col): _*)).drop(cols: _*)
+  }
+
+  /** unpack: expand a struct column into top-level columns. */
+  def unpack(df: DataFrame, c: String): DataFrame = {
+    val fields = df.schema(c).dataType.asInstanceOf[StructType].fieldNames.toSeq
+    fields.foldLeft(df)((d, f) => d.withColumn(f, col(s"$c.$f"))).drop(c)
+  }
+
+  /** full_seq: the complete arithmetic sequence spanning a column. */
+  def fullSeq(df: DataFrame, c: Column, period: Long, as: String): DataFrame =
+    df.agg(min(c).as("__lo"), max(c).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(period))).as(as))
+}
