@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions._
+import graft.functions.Exact._
+
+/** base-R function coverage, themed queries (SURVEY §2.4).
+  * Transcendentals are rounded to 6 digits in BOTH engines (libm
+  * implementations differ in the last ulps); everything else uses
+  * bit-exact recipes. `round` on data-derived decimals is never used
+  * (boundary semantics differ across engines).
+  */
+object QueriesBase {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "b_stats" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_returnflag")
+        .summarise(
+          "mean_qty" -> BaseFns.mean(col("l_quantity")),
+          "var_qty" -> BaseFns.varExact(col("l_quantity")),
+          "sd_qty" -> BaseFns.sdExact(col("l_quantity")),
+          "med_qty" -> BaseFns.medianExact(col("l_quantity")),
+          "q25_qty" -> BaseFns.quantileOf(col("l_quantity"), 0.25),
+          "wmean_price" -> BaseFns.weightedMean(col("l_extendedprice"), col("l_quantity")))
+        .ungroup.arrange(col("l_returnflag")).df),
+
+    "b_arith" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "abs_bal" -> abs(col("c_acctbal")),
+          "sign_bal" -> signum(col("c_acctbal")),
+          "sqrt_bal" -> sqrt(abs(col("c_acctbal"))),
+          "floor_bal" -> floor(col("c_acctbal")),
+          "ceil_bal" -> ceil(col("c_acctbal")),
+          "trunc_bal" -> BaseFns.truncOf(col("c_acctbal")),
+          "exp6" -> round(exp(col("c_acctbal") / lit(10000.0)), 6),
+          "log6" -> round(log(abs(col("c_acctbal")) + lit(1.0)), 6),
+          "log10_6" -> round(log10(abs(col("c_acctbal")) + lit(1.0)), 6),
+          "log2_6" -> round(log2(abs(col("c_acctbal")) + lit(1.0)), 6),
+          "log1p_6" -> round(log1p(abs(col("c_acctbal"))), 6),
+          "pmax_bal" -> BaseFns.pmax(col("c_acctbal"), lit(0.0)),
+          "pmin_bal" -> BaseFns.pmin(col("c_acctbal"), lit(0.0)))
+        .arrange(col("c_custkey")).df),
+
+    "b_trig" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .filterRows(col("l_linenumber") === 1, col("l_orderkey") <= 5000)
+        .transmute(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_quantity" -> col("l_quantity"),
+          "sin6" -> round(sin(col("l_discount")), 6),
+          "cos6" -> round(cos(col("l_discount")), 6),
+          "tan6" -> round(tan(col("l_discount")), 6),
+          "asin6" -> round(asin(col("l_discount")), 6),
+          "acos6" -> round(acos(col("l_discount")), 6),
+          "atan6" -> round(atan(col("l_discount")), 6),
+          "atan2_6" -> round(atan2(col("l_discount"), col("l_tax") + lit(0.01)), 6),
+          "sinh6" -> round(sinh(col("l_discount")), 6),
+          "cosh6" -> round(cosh(col("l_discount")), 6),
+          "tanh6" -> round(tanh(col("l_discount")), 6),
+          "sinpi6" -> round(BaseFns.sinpi(col("l_discount")), 6),
+          "cospi6" -> round(BaseFns.cospi(col("l_discount")), 6))
+        .distinctRows(Seq("l_orderkey", "l_quantity", "sin6", "cos6", "tan6", "asin6",
+          "acos6", "atan6", "atan2_6", "sinh6", "cosh6", "tanh6", "sinpi6", "cospi6"), keepAll = false)
+        .arrange(col("l_orderkey"), col("l_quantity")).df),
+
+    "b_special" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .distinctRows("l_linenumber")
+        .transmute(
+          "n" -> col("l_linenumber"),
+          "fact_n" -> BaseFns.factorialOf(col("l_linenumber")),
+          "lfact6" -> round(BaseFns.lfactorialOf(col("l_linenumber")), 6),
+          "choose_n2" -> BaseFns.chooseOf(col("l_linenumber") + lit(2), col("l_linenumber")),
+          "lgamma6" -> round(BaseFns.lgammaOf(col("l_linenumber") + lit(0.5)), 6),
+          "gamma6" -> round(BaseFns.gammaOf(col("l_linenumber") + lit(0.5)), 6))
+        .arrange(col("n")).df),
+
+    "b_string" -> ((s, d) =>
+      t(s, d, "part").graft
+        .transmute(
+          "p_partkey" -> col("p_partkey"),
+          "pasted" -> StringFns.paste("-", col("p_brand"), col("p_type")),
+          "pasted0" -> StringFns.paste0(col("p_brand"), lit(":"), col("p_name")),
+          "fmt" -> StringFns.sprintfOf("%s#%d", col("p_brand"), col("p_size")),
+          "sub3" -> StringFns.substrOf(col("p_name"), 1, 3),
+          "n_words" -> size(StringFns.strsplit(col("p_type"), " ")),
+          "no_vowel" -> StringFns.gsub(col("p_name"), "[aeiou]", ""),
+          "has_steel" -> StringFns.grepl(col("p_type"), "STEEL"),
+          "upper_name" -> StringFns.toupper(col("p_name")),
+          "lower_type" -> StringFns.tolower(col("p_type")),
+          "trimmed" -> StringFns.trimws(StringFns.paste0(lit("  "), col("p_brand"), lit(" "))),
+          "len_name" -> StringFns.ncharOf(col("p_name")),
+          "swapped" -> StringFns.chartr(col("p_brand"), "#", "_"),
+          "starts_eco" -> StringFns.startsWith(col("p_type"), "ECONOMY"))
+        .arrange(col("p_partkey")).df),
+
+    "b_seq" -> ((s, d) =>
+      t(s, d, "region").graft
+        .mutate("i" -> explode(SeqFns.seqLen(col("r_regionkey") + lit(1))))
+        .transmute("r_regionkey" -> col("r_regionkey"), "i" -> col("i"),
+          "rep_name" -> array_join(SeqFns.repArr(col("r_name"), lit(2)), ","))
+        .arrange(col("r_regionkey"), col("i")).df),
+
+    "b_diff" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .mutate("price_diff" -> SeqFns.diffOf(col("o_totalprice"),
+          Seq(col("o_orderdate"), col("o_orderkey")), Seq(col("o_custkey"))))
+        .select("o_custkey", "o_orderkey", "price_diff")
+        .arrange(col("o_custkey"), col("o_orderkey")).df),
+
+    "b_table" -> ((s, d) =>
+      SetFns.tableOf(t(s, d, "customer"), "c_mktsegment", "c_nationkey")
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    "b_tabulate" -> ((s, d) =>
+      SetFns.tabulate(t(s, d, "lineitem"), col("l_linenumber"), 10)
+        .orderBy(col("bin"))),
+
+    "b_which" -> ((s, d) =>
+      SetFns.which(t(s, d, "nation"), length(col("n_name")) > 6,
+        Seq(col("n_nationkey")))
+        .orderBy(col("pos"))),
+
+    "b_duplicated" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .mutate("dup" -> SetFns.duplicated(
+          Seq(col("c_mktsegment"), col("c_nationkey")), Seq(col("c_custkey"))))
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "dup")
+        .arrange(col("c_custkey")).df),
+
+    "b_cut" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .mutate("bal_bin" -> TypeFns.cut(col("c_acctbal"),
+          Seq(-2000, 0, 2500, 5000, 7500, 12000),
+          Seq("neg", "low", "mid", "high", "top")))
+        .select("c_custkey", "c_acctbal", "bal_bin")
+        .arrange(col("c_custkey")).df),
+
+    "b_types" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .transmute(
+          "o_orderkey" -> col("o_orderkey"),
+          "key_str" -> TypeFns.asCharacter(col("o_orderkey")),
+          "price_int" -> TypeFns.asLong(BaseFns.truncOf(col("o_totalprice"))),
+          "date_day" -> TypeFns.asDate(col("o_orderdate")),
+          "is_na_x" -> TypeFns.isNa(
+            when(col("o_orderstatus") === "P", lit(null).cast("double"))
+              .otherwise(col("o_totalprice"))),
+          "finite_price" -> TypeFns.isFinite(
+            when(col("o_orderstatus") === "P", lit(Double.PositiveInfinity))
+              .otherwise(col("o_totalprice"))),
+          "complete" -> TypeFns.completeCases(col("o_orderkey"), CondFns.naIf(col("o_orderstatus"), lit("P"))))
+        .arrange(col("o_orderkey")).df)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b_stats" ->
+      s"""SELECT l_returnflag,
+         |  ${davgSql("l_quantity")} AS mean_qty,
+         |  (${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
+         |     / CAST(count(l_quantity) AS DOUBLE)) / (CAST(count(l_quantity) AS DOUBLE) - 1.0) AS var_qty,
+         |  sqrt((${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
+         |     / CAST(count(l_quantity) AS DOUBLE)) / (CAST(count(l_quantity) AS DOUBLE) - 1.0)) AS sd_qty,
+         |  quantile_cont(l_quantity, 0.5) AS med_qty,
+         |  quantile_cont(l_quantity, 0.25) AS q25_qty,
+         |  ${dsumSql("l_extendedprice*l_quantity")} / ${dsumSql("l_quantity")} AS wmean_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "b_arith" ->
+      """SELECT c_custkey, abs(c_acctbal) AS abs_bal, sign(c_acctbal) AS sign_bal,
+        |  sqrt(abs(c_acctbal)) AS sqrt_bal, floor(c_acctbal) AS floor_bal,
+        |  ceil(c_acctbal) AS ceil_bal, trunc(c_acctbal) AS trunc_bal,
+        |  round(exp(c_acctbal/10000.0), 6) AS exp6,
+        |  round(ln(abs(c_acctbal)+1.0), 6) AS log6,
+        |  round(log10(abs(c_acctbal)+1.0), 6) AS log10_6,
+        |  round(log2(abs(c_acctbal)+1.0), 6) AS log2_6,
+        |  round(ln(1.0+abs(c_acctbal)), 6) AS log1p_6,
+        |  greatest(c_acctbal, 0.0) AS pmax_bal, least(c_acctbal, 0.0) AS pmin_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b_trig" ->
+      """SELECT DISTINCT l_orderkey, l_quantity,
+        |  round(sin(l_discount),6) AS sin6, round(cos(l_discount),6) AS cos6,
+        |  round(tan(l_discount),6) AS tan6, round(asin(l_discount),6) AS asin6,
+        |  round(acos(l_discount),6) AS acos6, round(atan(l_discount),6) AS atan6,
+        |  round(atan2(l_discount, l_tax+0.01),6) AS atan2_6,
+        |  round((exp(l_discount)-exp(-l_discount))/2,6) AS sinh6,
+        |  round((exp(l_discount)+exp(-l_discount))/2,6) AS cosh6,
+        |  round((exp(l_discount)-exp(-l_discount))/(exp(l_discount)+exp(-l_discount)),6) AS tanh6,
+        |  round(sin(pi()*l_discount),6) AS sinpi6,
+        |  round(cos(pi()*l_discount),6) AS cospi6
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 5000
+        |ORDER BY l_orderkey, l_quantity""".stripMargin,
+
+    "b_special" ->
+      """SELECT DISTINCT l_linenumber AS n,
+        |  CAST(factorial(l_linenumber) AS DOUBLE) AS fact_n,
+        |  round(lgamma(l_linenumber + 1.0), 6) AS lfact6,
+        |  round(CAST(factorial(l_linenumber+2) AS DOUBLE)
+        |    / (CAST(factorial(l_linenumber) AS DOUBLE) * 2.0)) AS choose_n2,
+        |  round(lgamma(l_linenumber + 0.5), 6) AS lgamma6,
+        |  round(gamma(l_linenumber + 0.5), 6) AS gamma6
+        |FROM lineitem ORDER BY n""".stripMargin,
+
+    "b_string" ->
+      """SELECT p_partkey,
+        |  p_brand || '-' || p_type AS pasted,
+        |  p_brand || ':' || p_name AS pasted0,
+        |  printf('%s#%d', p_brand, p_size) AS fmt,
+        |  substr(p_name, 1, 3) AS sub3,
+        |  CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowel,
+        |  regexp_matches(p_type, 'STEEL') AS has_steel,
+        |  upper(p_name) AS upper_name, lower(p_type) AS lower_type,
+        |  trim('  ' || p_brand || ' ') AS trimmed,
+        |  CAST(len(p_name) AS INT) AS len_name,
+        |  translate(p_brand, '#', '_') AS swapped,
+        |  starts_with(p_type, 'ECONOMY') AS starts_eco
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "b_seq" ->
+      """SELECT r_regionkey, CAST(i AS INT) AS i, r_name || ',' || r_name AS rep_name
+        |FROM (SELECT r_regionkey, r_name,
+        |  unnest(generate_series(1, r_regionkey + 1)) AS i FROM region)
+        |ORDER BY r_regionkey, i""".stripMargin,
+
+    "b_diff" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_diff
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "b_table" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n FROM customer
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "b_tabulate" ->
+      """SELECT bin, coalesce(n, 0) AS n FROM
+        |  (SELECT unnest(generate_series(1, 10)) AS bin)
+        |LEFT JOIN (SELECT CAST(l_linenumber AS BIGINT) AS b, count(*) AS n
+        |  FROM lineitem WHERE l_linenumber BETWEEN 1 AND 10 GROUP BY 1)
+        |ON bin = b ORDER BY bin""".stripMargin,
+
+    "b_which" ->
+      """SELECT CAST(pos AS INT) AS pos FROM (
+        |  SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_name
+        |  FROM nation)
+        |WHERE len(n_name) > 6 ORDER BY pos""".stripMargin,
+
+    "b_duplicated" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey,
+        |  row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+        |    ORDER BY c_custkey) > 1 AS dup
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b_cut" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_acctbal > -2000 AND c_acctbal <= 0 THEN 'neg'
+        |       WHEN c_acctbal > 0 AND c_acctbal <= 2500 THEN 'low'
+        |       WHEN c_acctbal > 2500 AND c_acctbal <= 5000 THEN 'mid'
+        |       WHEN c_acctbal > 5000 AND c_acctbal <= 7500 THEN 'high'
+        |       WHEN c_acctbal > 7500 AND c_acctbal <= 12000 THEN 'top'
+        |  END AS bal_bin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b_types" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(o_orderdate AS DATE) AS date_day,
+        |  nullif(o_orderstatus, 'P') IS NULL AS is_na_x,
+        |  isfinite(CASE WHEN o_orderstatus = 'P' THEN CAST('Infinity' AS DOUBLE)
+        |    ELSE o_totalprice END) AS finite_price,
+        |  (o_orderkey IS NOT NULL AND nullif(o_orderstatus, 'P') IS NOT NULL) AS complete
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}
