@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.Exact._
+
+/** forcats coverage queries (SURVEY §2.3). */
+object QueriesForcats {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "f_fct_count" -> ((s, d) =>
+      Forcats.fctCount(t(s, d, "customer"), "c_mktsegment", sort = true)
+        .orderBy(col("n").desc, col("c_mktsegment"))),
+
+    "f_fct_infreq" -> ((s, d) =>
+      Forcats.levelsInfreq(t(s, d, "part"), "p_brand")
+        .orderBy(col("ord"))),
+
+    "f_fct_lump" -> ((s, d) =>
+      Forcats.fctLumpN(t(s, d, "part"), "p_brand", n = 5)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))),
+
+    "f_fct_recode" -> ((s, d) =>
+      Forcats.fctCollapse(
+        Forcats.fctRecode(t(s, d, "orders"), "o_orderstatus",
+          Map("Finished" -> "F", "Open" -> "O", "Pending" -> "P")),
+        "o_orderpriority",
+        Map("urgent" -> Seq("1-URGENT", "2-HIGH"),
+          "normal" -> Seq("3-MEDIUM"),
+          "low" -> Seq("4-NOT SPECIFIED", "5-LOW")))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    "f_fct_reorder" -> ((s, d) =>
+      Forcats.fctReorder(
+        t(s, d, "customer").withColumnRenamed("c_nationkey", "nation"),
+        "nation", davg(col("c_acctbal")))
+        .orderBy(col("ord"))),
+
+    "f_fct_na" -> ((s, d) => {
+      val sparse = t(s, d, "customer")
+        .withColumn("seg",
+          when(col("c_mktsegment") === "MACHINERY", lit(null)).otherwise(col("c_mktsegment")))
+      Forcats.fctCount(
+        Forcats.fctExplicitNa(sparse, "seg"), "seg", sort = false)
+        .orderBy(col("seg"))
+    }),
+
+    "f_fct_other" -> ((s, d) =>
+      Forcats.fctOther(t(s, d, "supplier"), "s_name",
+        keep = Seq.empty, other = "anon")
+        .groupBy("s_name").agg(count(lit(1)).as("n"))
+        .orderBy(col("s_name"))),
+
+    "f_fct_relevel" -> ((s, d) =>
+      Forcats.fctRelevel(
+        Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"),
+        "c_mktsegment", first = Seq("MACHINERY", "HOUSEHOLD"))
+        .orderBy(col("ord")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f_fct_count" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |GROUP BY 1 ORDER BY n DESC, c_mktsegment""".stripMargin,
+
+    "f_fct_infreq" ->
+      """SELECT p_brand, CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) AS INT) AS ord
+        |FROM part GROUP BY p_brand ORDER BY ord""".stripMargin,
+
+    "f_fct_lump" ->
+      """WITH keep AS (
+        |  SELECT p_brand FROM part GROUP BY p_brand
+        |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, p_brand) <= 5)
+        |SELECT CASE WHEN p_brand IN (SELECT p_brand FROM keep)
+        |  THEN p_brand ELSE 'Other' END AS p_brand, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "f_fct_recode" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'Finished' WHEN 'O' THEN 'Open'
+        |    WHEN 'P' THEN 'Pending' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'urgent'
+        |    WHEN o_orderpriority IN ('3-MEDIUM') THEN 'normal'
+        |    WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 'low'
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "f_fct_reorder" ->
+      """SELECT c_nationkey AS nation,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / CAST(count(c_acctbal) AS DOUBLE),
+        |    c_nationkey) AS INT) AS ord
+        |FROM customer GROUP BY c_nationkey ORDER BY ord""".stripMargin,
+
+    "f_fct_na" ->
+      """SELECT coalesce(nullif(c_mktsegment, 'MACHINERY'), '(Missing)') AS seg,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "f_fct_other" ->
+      "SELECT 'anon' AS s_name, count(*) AS n FROM supplier GROUP BY 1 ORDER BY 1",
+
+    "f_fct_relevel" ->
+      """WITH base AS (SELECT c_mktsegment,
+        |    row_number() OVER (ORDER BY c_mktsegment) AS ord0
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY
+        |    CASE c_mktsegment WHEN 'MACHINERY' THEN 0 WHEN 'HOUSEHOLD' THEN 1
+        |      ELSE 2147483647 END, ord0) AS INT) AS ord
+        |FROM base ORDER BY ord""".stripMargin
+  )
+}

@@ -1,0 +1,159 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** forcats verbs (reference: /root/reference/datar_polars/api/
+  * forcats.py). Spark has no factor dtype; graft models a factor as
+  * its string column plus a derived *level table* (level, ord). Level-
+  * dependent ops compute the level table with one aggregation (tiny:
+  * |levels| rows) and broadcast-join codes back — the scalable
+  * topology for 100 TB fact columns with small level cardinality.
+  */
+object Forcats {
+
+  /** fct_count: one row per level with n, optionally sorted by freq. */
+  def fctCount(df: DataFrame, f: String, sort: Boolean = false,
+               prop: Boolean = false): DataFrame = {
+    val counts = df.groupBy(col(f)).agg(count(lit(1)).as("n"))
+    val withProp =
+      if (prop) counts.withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+      else counts
+    if (sort) withProp.orderBy(col("n").desc, col(f)) else withProp.orderBy(col(f))
+  }
+
+  /** Level table ordered by descending frequency (fct_infreq). */
+  def levelsInfreq(df: DataFrame, f: String): DataFrame =
+    df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__n").desc, col(f))))
+      .drop("__n")
+
+  /** Level table by first appearance along an explicit order
+    * (fct_inorder; Spark frames are unordered so the order is given). */
+  def levelsInorder(df: DataFrame, f: String, order: Column): DataFrame =
+    df.groupBy(col(f)).agg(min(order).as("__first"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__first"), col(f))))
+      .drop("__first")
+
+  /** Level table in natural sequence order (fct_inseq / fct_inorder on
+    * numeric-like levels). */
+  def levelsInseq(df: DataFrame, f: String): DataFrame =
+    df.select(col(f)).distinct()
+      .withColumn("ord", row_number().over(Window.orderBy(col(f))))
+
+  /** fct_rev: reverse a level table's order. */
+  def fctRev(levels: DataFrame): DataFrame = {
+    val n = levels.count()
+    levels.withColumn("ord", lit(n + 1).cast("int") - col("ord"))
+  }
+
+  /** fct_relevel: move given levels to the front, rest keep order. */
+  def fctRelevel(levels: DataFrame, f: String, first: Seq[String]): DataFrame = {
+    val pri = first.zipWithIndex.toMap
+    val prioritized = levels.withColumn("__pri",
+      CondFns_priority(col(f), pri))
+    prioritized.withColumn("ord",
+      row_number().over(Window.orderBy(col("__pri"), col("ord")))).drop("__pri")
+  }
+  private def CondFns_priority(c: Column, pri: Map[String, Int]): Column =
+    pri.foldLeft(lit(Int.MaxValue)) { case (acc, (lvl, i)) =>
+      when(c === lvl, i).otherwise(acc)
+    }
+
+  /** fct_lump_n: keep the n most frequent levels, lump the rest.
+    * Two-phase: tiny level-count agg, then broadcast map-back. */
+  def fctLumpN(df: DataFrame, f: String, n: Int,
+               other: String = "Other"): DataFrame = {
+    val keep = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__n").desc, col(f))))
+      .filter(col("__rk") <= n).select(col(f).as("__keep"))
+    df.join(broadcast(keep), df(f) === col("__keep"), "left")
+      .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))
+      .drop("__keep")
+  }
+
+  /** fct_lump_min: lump levels with fewer than `min` occurrences. */
+  def fctLumpMin(df: DataFrame, f: String, minN: Long,
+                 other: String = "Other"): DataFrame = {
+    val keep = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minN).select(col(f).as("__keep"))
+    df.join(broadcast(keep), df(f) === col("__keep"), "left")
+      .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))
+      .drop("__keep")
+  }
+
+  /** fct_lump_prop: lump levels below a frequency proportion. */
+  def fctLumpProp(df: DataFrame, f: String, prop: Double,
+                  other: String = "Other"): DataFrame = {
+    val counts = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+    val keep = counts
+      .withColumn("__p", col("__n").cast("double") / sum(col("__n")).over(Window.partitionBy()))
+      .filter(col("__p") >= prop).select(col(f).as("__keep"))
+    df.join(broadcast(keep), df(f) === col("__keep"), "left")
+      .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))
+      .drop("__keep")
+  }
+
+  /** fct_other: keep only the given levels. */
+  def fctOther(df: DataFrame, f: String, keep: Seq[String],
+               other: String = "Other"): DataFrame =
+    df.withColumn(f, when(col(f).isin(keep: _*), col(f)).otherwise(lit(other)))
+
+  /** fct_recode: rename levels (new -> old). */
+  def fctRecode(df: DataFrame, f: String, recodes: Map[String, String]): DataFrame = {
+    val inv: Map[Any, Any] = recodes.map { case (nw, old) => (old: Any) -> (nw: Any) }
+    df.withColumn(f, graft.functions.CondFns.recode(col(f), inv))
+  }
+
+  /** fct_collapse: merge groups of levels (new -> members). */
+  def fctCollapse(df: DataFrame, f: String,
+                  groups: Map[String, Seq[String]]): DataFrame = {
+    val cases = groups.toSeq.map { case (nw, olds) => col(f).isin(olds: _*) -> lit(nw) }
+    df.withColumn(f, graft.functions.CondFns.caseWhen(cases, col(f)))
+  }
+
+  /** fct_reorder: level table ordered by an aggregate of x per level. */
+  def fctReorder(df: DataFrame, f: String, agg: Column): DataFrame =
+    df.groupBy(col(f)).agg(agg.as("__stat"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__stat"), col(f))))
+      .drop("__stat")
+
+  /** fct_explicit_na: make NULL a real level. */
+  def fctExplicitNa(df: DataFrame, f: String,
+                    naLevel: String = "(Missing)"): DataFrame =
+    df.withColumn(f, coalesce(col(f), lit(naLevel)))
+
+  /** fct_drop: observed levels only (a factor's levels ARE data-derived
+    * here, so this is the distinct level set). */
+  def fctDrop(df: DataFrame, f: String): DataFrame = df.select(col(f)).distinct()
+
+  /** fct_unique: distinct levels in level-table order. */
+  def fctUnique(levels: DataFrame, f: String): DataFrame =
+    levels.orderBy(col("ord")).select(col(f))
+
+  /** fct_match: rows whose level is in the given set. */
+  def fctMatch(df: DataFrame, f: String, lvls: Seq[String]): Column =
+    col(f).isin(lvls: _*)
+
+  /** fct_c: union of two factors' level tables (re-ranked). */
+  def fctC(a: DataFrame, b: DataFrame, f: String): DataFrame =
+    a.select(col(f)).union(b.select(col(f))).distinct()
+      .withColumn("ord", row_number().over(Window.orderBy(col(f))))
+
+  /** fct_anon: replace levels with anonymous integer codes. */
+  def fctAnon(df: DataFrame, f: String): DataFrame = {
+    val codes = df.select(col(f)).distinct()
+      .withColumn("__code", row_number().over(Window.orderBy(col(f))))
+    df.join(broadcast(codes), Seq(f), "left")
+      .withColumn(f, col("__code").cast("string")).drop("__code")
+  }
+
+  /** fct_shift / lvls_reorder: rotate a level table by n. */
+  def fctShift(levels: DataFrame, n: Int): DataFrame = {
+    val total = levels.count()
+    levels.withColumn("ord",
+      ((col("ord") - 1 + lit(n) % lit(total) + lit(total)) % lit(total) + 1).cast("int"))
+  }
+}
