@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.EventStreams
+
+/** LLM-pipeline + streaming coverage queries (SURVEY §2.6, §2.7). */
+object QueriesOps {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** First embedding vector (vec_id=0) as the standing query vector —
+    * read once per call; tiny. */
+  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+
+  val queries: Map[String, Q] = Map(
+    // ---- dedup ----------------------------------------------------------
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))),
+
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+        .orderBy(col("a"), col("b"))),
+
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy(col("a"), col("b"))),
+
+    "x_dedup_jaccard" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.15)
+      Dedup.ngramJaccardPairs(pairs.select("a", "b"),
+        t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "x_neardup_embed" -> ((s, d) =>
+      Dedup.embeddingNearDup(
+        t(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
+        "vec_id", "embedding", nPlanes = 8, threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
+
+    // ---- similarity search ----------------------------------------------
+    "x_ann_brute" -> ((s, d) =>
+      Similarity.bruteForceTopKJoin(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        t(s, d, "embeddings").filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("query_id"), col("rank"))),
+
+    "x_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryVec(s, d), k = 10, nPlanes = 8)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("cos").desc, col("vec_id"))),
+
+    "x_ann_ivf" -> ((s, d) => {
+      val (assigned, centroids) =
+        Similarity.ivfIndex(t(s, d, "embeddings"), "vec_id", "embedding", nLists = 8)
+      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
+        queryVec(s, d), k = 10, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // ---- text analysis --------------------------------------------------
+    "x_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    "x_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
+          "digit_ratio", "alpha_ratio", "stop_ratio", "quality")
+        .orderBy(col("doc_id"))),
+
+    "x_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_ish_tokens", "approx_tokens")
+        .orderBy(col("doc_id"))),
+
+    "x_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
+        .select("doc_id", "n_fingerprints", "doc_fingerprint")
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal (decode STUBBED — see Multimodal.scala) -------------
+    "x_multimodal" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // ---- streaming batch-equivalents ------------------------------------
+    "s_window_agg" -> ((s, d) =>
+      EventStreams.windowedAgg(t(s, d, "events"), "1 hour")
+        .orderBy(col("wstart"), col("event_type"))),
+
+    "s_sessionize" -> ((s, d) =>
+      EventStreams.sessionizeBatch(t(s, d, "events"), gapMinutes = 30)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"))
+        .orderBy(col("user_id"), col("session_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "x_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(len(list_intersect(list_distinct(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')),
+        |      ['the','a','of','and','to','in','is','it','that','for'])) AS DOUBLE) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, nw AS n_words,
+        |  alpha / greatest(nw, 1.0) AS mean_word_len,
+        |  punct / greatest(n, 1.0) AS punct_ratio,
+        |  digits / greatest(n, 1.0) AS digit_ratio,
+        |  alpha / greatest(n, 1.0) AS alpha_ratio,
+        |  stop_hits / greatest(nw, 1.0) AS stop_ratio,
+        |  greatest(0.0, least(1.0,
+        |    0.25 * least(nw / 50.0, 1.0) +
+        |    0.25 * (alpha / greatest(n, 1.0)) +
+        |    0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |    0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
+        |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "s_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS session_start
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -85,7 +85,7 @@ object SparkEntry {
   }
 
   // ---- registry ----------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = QueriesDplyr.queries ++ QueriesTidyr.queries ++ QueriesBase.queries ++ QueriesForcats.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = QueriesDplyr.queries ++ QueriesTidyr.queries ++ QueriesBase.queries ++ QueriesForcats.queries ++ QueriesOps.queries ++ Map(
     // headline
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => q3TopK(s, d)),
@@ -123,7 +123,7 @@ object SparkEntry {
         .arrange(col("l_orderkey"), col("l_linenumber")).df)
   )
 
-  def oracleSql: Map[String, String] = QueriesDplyr.oracles ++ QueriesTidyr.oracles ++ QueriesBase.oracles ++ QueriesForcats.oracles ++ Map(
+  def oracleSql: Map[String, String] = QueriesDplyr.oracles ++ QueriesTidyr.oracles ++ QueriesBase.oracles ++ QueriesForcats.oracles ++ QueriesOps.oracles ++ Map(
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §2.6). Kernels are higher-order-function compositions
+  * (zip_with + aggregate — codegen'd, no UDFs).
+  *
+  * Scale paths:
+  * - brute force: broadcast the (small) query set; linear scan of the
+  *   corpus, no shuffle — optimal when queries ≪ corpus.
+  * - LSH: random-hyperplane sign buckets prune the scan to matching
+  *   buckets (multi-probe = hamming-adjacent buckets).
+  * - IVF: k-means coarse quantizer (MLlib), probe nprobe nearest
+  *   centroids — the classic billion-vector layout.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  /** Deterministic pseudo-random hyperplane component r_{p,k} in
+    * [-0.5, 0.5): derived from xxhash64 — identical on every executor
+    * and run, no Random state. */
+  private def planeComponent(p: Column, k: Column): Column =
+    (pmod(xxhash64(concat(lit("plane"), p.cast("string"), lit("_"), k.cast("string"))),
+      lit(100000L)).cast("double") / lit(100000.0)) - lit(0.5)
+
+  /** Sign-bit bucket key from nPlanes random hyperplanes. */
+  def hyperplaneKey(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val d = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, k) => x * planeComponent(p, k)),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, shiftleft(lit(1L), 0).cast("long")).otherwise(lit(0L)) * shiftleft(lit(1L), p.cast("int"))
+      }),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** Brute-force top-k cosine against a literal query vector:
+    * distributed linear scan + TakeOrdered (no shuffle). */
+  def bruteForceTopK(corpus: DataFrame, id: String, vec: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    corpus
+      .select(col(id), cosine(col(vec).cast("array<double>"), q).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** Brute-force top-k for a whole query FRAME: broadcast the queries,
+    * one pass over the corpus, per-query top-k via partitioned window. */
+  def bruteForceTopKJoin(corpus: DataFrame, cid: String, cvec: String,
+                         queries: DataFrame, qid: String, qvec: String,
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.crossJoin(broadcast(queries.select(
+      col(qid).as("query_id"), col(qvec).as("__qv"))))
+      .withColumn("cos", cosine(col(cvec).cast("array<double>"), col("__qv").cast("array<double>")))
+    joined
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(cid))))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(cid).as("neighbor_id"), col("cos"), col("__rk").as("rank"))
+  }
+
+  /** LSH-bucketed top-k: prune to the query's bucket (plus multi-probe
+    * neighbors within hamming distance 1), then exact cosine. */
+  def lshTopK(corpus: DataFrame, id: String, vec: String,
+              query: Seq[Double], k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val keyed = corpus.withColumn("__bucket", hyperplaneKey(col(vec).cast("array<double>"), nPlanes))
+    val qKeyed = keyed.sparkSession.range(1)
+      .select(hyperplaneKey(q, nPlanes).as("qb"))
+    // multi-probe: query bucket + all buckets at hamming distance 1
+    val probes = qKeyed.select(explode(concat(array(col("qb")),
+      transform(sequence(lit(0), lit(nPlanes - 1)),
+        p => col("qb").bitwiseXOR(shiftleft(lit(1L), p.cast("int")))))).as("__bucket"))
+    keyed.join(broadcast(probes), Seq("__bucket"))
+      .select(col(id), cosine(col(vec).cast("array<double>"), q).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+
+  /** IVF: k-means coarse quantizer; each vector is assigned to its
+    * nearest centroid (the "inverted list"); queries probe the nprobe
+    * nearest lists only. Returns (assignments, centroids-as-frame).
+    */
+  def ivfIndex(corpus: DataFrame, id: String, vec: String,
+               nLists: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("features", array_to_vector(col(vec).cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(featured)
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "list_id").drop("features")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+    (assigned, centroids)
+  }
+
+  /** IVF query: probe the nprobe nearest centroids' lists. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, id: String, vec: String,
+              query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val lists = centroids
+      .select(col("list_id"), l2(col("centroid"), q).as("d"))
+      .orderBy(col("d").asc, col("list_id")).limit(nprobe).select("list_id")
+    assigned.join(broadcast(lists), Seq("list_id"))
+      .select(col(id), cosine(col(vec).cast("array<double>"), q).as("cos"))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.6):
+  * language ID, quality scoring, token counting, fingerprinting.
+  * Pure column compositions — codegen'd, linear scans, no shuffles.
+  */
+object TextAnalysis {
+
+  // ---- language ID -------------------------------------------------------
+  /** Tiny per-language stopword profiles (public common-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"),
+    "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "di", "in", "per"))
+
+  /** Heuristic language ID: CJK-character ratio decides zh; otherwise
+    * the stopword profile with the highest hit count wins (ties →
+    * lexicographic, deterministic). */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\p{script=Han}]", ""))
+    val toks = Dedup.tokens(text)
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    when(cjk > length(text) * 0.3, lit("zh"))
+      .otherwise(sort_array(array(scores: _*), asc = false).getItem(0).getField("lang"))
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+  /** Quality features + a composite score in [0,1]: length band,
+    * punctuation ratio, digit ratio, mean word length, stopword hit
+    * ratio, alpha ratio. */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val n = length(t).cast("double")
+    val toks = Dedup.tokens(t)
+    val nw = size(toks).cast("double")
+    val punct = (n - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+    val digits = (n - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val stopHits = size(array_intersect(toks,
+      array(stopwords("en").map(lit): _*))).cast("double")
+    df.withColumn("n_chars_q", n)
+      .withColumn("n_words", nw)
+      .withColumn("mean_word_len", alpha / greatest(nw, lit(1.0)))
+      .withColumn("punct_ratio", punct / greatest(n, lit(1.0)))
+      .withColumn("digit_ratio", digits / greatest(n, lit(1.0)))
+      .withColumn("alpha_ratio", alpha / greatest(n, lit(1.0)))
+      .withColumn("stop_ratio", stopHits / greatest(nw, lit(1.0)))
+  }
+
+  /** Composite quality score (weights are heuristic; deterministic). */
+  def qualityScore(df: DataFrame, text: String): DataFrame =
+    qualityFeatures(df, text).withColumn("quality",
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.25) * least(col("n_words") / lit(50.0), lit(1.0)) +
+          lit(0.25) * col("alpha_ratio") +
+          lit(0.25) * (lit(1.0) - least(col("punct_ratio") * lit(10.0), lit(1.0))) +
+          lit(0.25) * (lit(1.0) - least(col("digit_ratio") * lit(10.0), lit(1.0))))))
+
+  // ---- token counting ----------------------------------------------------
+  /** Whitespace tokens + a BPE-ish regex segmentation (letter runs,
+    * digit runs, single punctuation marks) + a chars/4 heuristic. */
+  def tokenCounts(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    df.withColumn("ws_tokens",
+        when(length(trim(t)) === 0, lit(0))
+          .otherwise(size(split(trim(t), "\\s+"))))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+      .withColumn("approx_tokens", ceil(length(t).cast("double") / lit(4.0)).cast("long"))
+  }
+
+  // ---- fingerprinting ----------------------------------------------------
+  /** Winnowing fingerprint (Schleimer et al.): k-gram rolling hashes,
+    * minimum per sliding window of w, distinct mins = fingerprint set.
+    * Output: fingerprint array + a single 64-bit doc fingerprint. */
+  def fingerprint(df: DataFrame, text: String, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = Dedup.charNgrams(col(text), k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val windows = when(size(hashes) <= w, array(array_min(hashes)))
+      .otherwise(transform(sequence(lit(1), size(hashes) - w + 1),
+        i => array_min(slice(hashes, i, w))))
+    df.withColumn("fingerprints", array_sort(array_distinct(windows)))
+      .withColumn("n_fingerprints", size(col("fingerprints")))
+      .withColumn("doc_fingerprint",
+        aggregate(col("fingerprints"), lit(1469598103934665603L),
+          (acc, v) => acc.bitwiseXOR(v) * lit(1099511628211L)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` table shape
+  * (SURVEY §2.7). Each has a batch-equivalent used by the correctness
+  * oracle; the streaming path shares the same aggregation logic.
+  */
+object EventStreams {
+
+  // ---- windowed aggregation ---------------------------------------------
+  /** Tumbling-window aggregate; works identically on a batch or
+    * streaming input frame (pass a readStream frame + watermark for
+    * streaming). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** Open a streaming scan over a parquet directory with the events
+    * schema (for tests: format("memory") sink + processAllAvailable).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  // ---- sessionization ----------------------------------------------------
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. One window
+    * shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(gap.isNull || gap > gapMinutes * 60L * 1000000L, 1L).otherwise(0L)
+    events.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                          event_type: String, value: Double)
+  case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                            n_events: Long, total_value: Double)
+  private case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Streaming sessionization with explicit state: emits a summary
+    * when a user's session times out. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val gapMicros = gapMinutes * 60L * 1000000L
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+          sorted.foreach { e =>
+            val t = e.ts.getTime * 1000L
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMicros =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += SessionSummary(userId, new java.sql.Timestamp(s.start / 1000L), s.n, s.total)
+                cur = Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach(s => state.update(s))
+          out.iterator
+      }
+  }
+
+  // ---- streaming dedup ---------------------------------------------------
+  /** Exactly-once-per-key within the watermark horizon. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+}
