@@ -1,24 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: times the §2.8 analytical queries plus one
+  * representative per heavy operator family (dedup, ANN, text,
+  * sessionization) at SPARK_GRAFT_SF_DIR. Prints ONE JSON line.
+  */
 object Bench {
+  /** Headline set — analytics + the scale-critical pipeline ops. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing", "q3_topk", "q5_region_revenue",
+    "d_ranks", "d_mutate_grouped", "d_join_inner",
+    "x_dedup_exact", "x_dedup_minhash", "x_ann_brute",
+    "x_langid", "x_tokens", "s_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

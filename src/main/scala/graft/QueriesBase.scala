@@ -160,7 +160,43 @@ object QueriesBase {
             when(col("o_orderstatus") === "P", lit(Double.PositiveInfinity))
               .otherwise(col("o_totalprice"))),
           "complete" -> TypeFns.completeCases(col("o_orderkey"), CondFns.naIf(col("o_orderstatus"), lit("P"))))
-        .arrange(col("o_orderkey")).df)
+        .arrange(col("o_orderkey")).df),
+
+    "b_rank" -> ((s, d) =>
+      // base::rank family with R tie semantics, partitioned by brand so
+      // no global window touches the full table
+      t(s, d, "part").graft
+        .mutate(
+          "rk_avg" -> SeqFns.rankAvg(col("p_size"), Seq(col("p_brand"))),
+          "rk_min" -> SeqFns.rankMin(col("p_size"), Seq(col("p_brand"))),
+          "ord_idx" -> SeqFns.orderOf(col("p_size"), Seq(col("p_partkey")), Seq(col("p_brand"))))
+        .select("p_brand", "p_partkey", "rk_avg", "rk_min", "ord_idx")
+        .arrange(col("p_brand"), col("p_partkey")).df),
+
+    "b_outer" -> ((s, d) =>
+      // base::outer(a, b, `*`) — cartesian of two small key vectors
+      t(s, d, "region").select(col("r_regionkey").as("a"))
+        .crossJoin(t(s, d, "nation").select(col("n_regionkey").as("b")).distinct())
+        .withColumn("prod", col("a") * col("b"))
+        .orderBy(col("a"), col("b"))),
+
+    "b_sprintf" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "msg" -> StringFns.sprintfOf("cust %d seg=%s", col("c_custkey"), col("c_mktsegment")),
+          "bal_fmt" -> StringFns.sprintfOf("%012.2f", col("c_acctbal")),
+          "pct" -> StringFns.sprintfOf("%d%%", (col("c_nationkey") * 4).cast("int")))
+        .arrange(col("c_custkey")).df),
+
+    "b_strsplit" -> ((s, d) =>
+      t(s, d, "part").graft
+        .transmute(
+          "p_partkey" -> col("p_partkey"),
+          "n_words" -> size(StringFns.strsplit(col("p_type"), "\\s+")),
+          "first2" -> concat_ws("|", StringFns.strsplitN(col("p_type"), " ", 2)),
+          "fixed_parts" -> size(StringFns.strsplitFixed(col("p_name"), " ")))
+        .arrange(col("p_partkey")).df)
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +318,33 @@ object QueriesBase {
         |  isfinite(CASE WHEN o_orderstatus = 'P' THEN CAST('Infinity' AS DOUBLE)
         |    ELSE o_totalprice END) AS finite_price,
         |  (o_orderkey IS NOT NULL AND nullif(o_orderstatus, 'P') IS NOT NULL) AS complete
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "b_rank" ->
+      """SELECT p_brand, p_partkey,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_size)
+        |    + (count(*) OVER (PARTITION BY p_brand, p_size) - 1) / 2.0 AS rk_avg,
+        |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS rk_min,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS ord_idx
+        |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "b_outer" ->
+      """SELECT r_regionkey AS a, b, r_regionkey * b AS prod
+        |FROM region CROSS JOIN (SELECT DISTINCT n_regionkey AS b FROM nation)
+        |ORDER BY a, b""".stripMargin,
+
+    "b_sprintf" ->
+      """SELECT c_custkey,
+        |  printf('cust %d seg=%s', c_custkey, c_mktsegment) AS msg,
+        |  printf('%012.2f', c_acctbal) AS bal_fmt,
+        |  printf('%d%%', CAST(c_nationkey * 4 AS INT)) AS pct
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b_strsplit" ->
+      """SELECT p_partkey,
+        |  CAST(len(string_split_regex(p_type, '\s+')) AS INT) AS n_words,
+        |  regexp_replace(p_type, ' ', '|') AS first2,
+        |  CAST(len(string_split(p_name, ' ')) AS INT) AS fixed_parts
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

@@ -383,7 +383,29 @@ object QueriesDplyr {
           "row_max" -> greatest(col("l_extendedprice"), col("l_tax"), col("l_discount")),
           "row_min" -> least(col("l_extendedprice"), col("l_tax"), col("l_discount")))
         .select("l_orderkey", "l_linenumber", "row_sum", "row_max", "row_min")
-        .arrange(col("l_orderkey"), col("l_linenumber")).df)
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "d_slice" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus")
+        .arrange(col("o_orderkey"))
+        .sliceAt(Seq(1, 3, 5))
+        .ungroup
+        .select("o_orderstatus", "o_orderkey")
+        .arrange(col("o_orderstatus"), col("o_orderkey")).df),
+
+    "d_group_modify" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val out = StructType(Seq(StructField("n", LongType), StructField("max_bal", DoubleType)))
+      t(s, d, "customer").select("c_mktsegment", "c_acctbal").graft
+        .groupBy("c_mktsegment")
+        .groupModify(out) { (_, rows) =>
+          var n = 0L; var mx = Double.MinValue
+          rows.foreach { r => n += 1; val b = r.getDouble(0); if (b > mx) mx = b }
+          Iterator.single(Row(n, mx))
+        }.df.orderBy("c_mktsegment")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -653,6 +675,15 @@ object QueriesDplyr {
         |  0.0 + l_extendedprice + l_tax + l_discount AS row_sum,
         |  greatest(l_extendedprice, l_tax, l_discount) AS row_max,
         |  least(l_extendedprice, l_tax, l_discount) AS row_min
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_slice" ->
+      """SELECT o_orderstatus, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) IN (1, 3, 5)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "d_group_modify" ->
+      """SELECT c_mktsegment, count(*) AS n, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -63,6 +63,33 @@ object QueriesForcats {
       Forcats.fctRelevel(
         Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"),
         "c_mktsegment", first = Seq("MACHINERY", "HOUSEHOLD"))
+        .orderBy(col("ord"))),
+
+    "f_fct_shift" -> ((s, d) =>
+      Forcats.fctShift(
+        Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), n = 2)
+        .orderBy(col("ord"))),
+
+    "f_fct_cross" -> ((s, d) =>
+      Forcats.fctCrossLevels(t(s, d, "orders"), "o_orderstatus", "o_orderpriority")
+        .orderBy(col("ord"))),
+
+    "f_fct_expand" -> ((s, d) =>
+      Forcats.fctExpand(
+        Forcats.levelsInseq(t(s, d, "region"), "r_name"),
+        "r_name", Seq("ATLANTIS", "AFRICA"))
+        .orderBy(col("ord"))),
+
+    "f_fct_relabel" -> ((s, d) =>
+      Forcats.fctRelabel(
+        Forcats.levelsInseq(t(s, d, "part"), "p_type"),
+        "p_type", c => split(c, " ").getItem(0))
+        .orderBy(col("ord"))),
+
+    // seeded md5 order — deterministic but engine-specific: rows-only check
+    "f_fct_shuffle" -> ((s, d) =>
+      Forcats.fctShuffle(
+        Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), "c_mktsegment")
         .orderBy(col("ord")))
   )
 
@@ -116,6 +143,39 @@ object QueriesForcats {
         |  CAST(row_number() OVER (ORDER BY
         |    CASE c_mktsegment WHEN 'MACHINERY' THEN 0 WHEN 'HOUSEHOLD' THEN 1
         |      ELSE 2147483647 END, ord0) AS INT) AS ord
-        |FROM base ORDER BY ord""".stripMargin
+        |FROM base ORDER BY ord""".stripMargin,
+
+    "f_fct_shift" ->
+      """WITH base AS (SELECT c_mktsegment,
+        |    CAST(row_number() OVER (ORDER BY c_mktsegment) AS INT) AS ord,
+        |    count(*) OVER () AS total
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c_mktsegment,
+        |  CAST((((ord - 1 - 2) % total + total) % total) + 1 AS INT) AS ord
+        |FROM base ORDER BY ord""".stripMargin,
+
+    "f_fct_cross" ->
+      """SELECT o_orderstatus || ':' || o_orderpriority AS level,
+        |  CAST(row_number() OVER (ORDER BY o_orderstatus, o_orderpriority) AS INT) AS ord
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |ORDER BY ord""".stripMargin,
+
+    "f_fct_expand" ->
+      """WITH lv AS (SELECT r_name, row_number() OVER (ORDER BY r_name) AS ord0, 0 AS nw, 0 AS i
+        |    FROM (SELECT DISTINCT r_name FROM region)
+        |  UNION ALL SELECT 'ATLANTIS', 2147483647, 1, 0
+        |  UNION ALL SELECT 'AFRICA', 2147483647, 1, 1)
+        |SELECT r_name, CAST(row_number() OVER (ORDER BY nw, ord0, i) AS INT) AS ord
+        |FROM lv WHERE NOT (nw = 1 AND r_name IN (SELECT DISTINCT r_name FROM region))
+        |ORDER BY ord""".stripMargin,
+
+    "f_fct_relabel" ->
+      """SELECT p_type, CAST(row_number() OVER (ORDER BY mo, p_type) AS INT) AS ord
+        |FROM (
+        |  SELECT split_part(p_type, ' ', 1) AS p_type, min(ord0) AS mo
+        |  FROM (SELECT p_type, row_number() OVER (ORDER BY p_type) AS ord0
+        |    FROM (SELECT DISTINCT p_type FROM part))
+        |  GROUP BY 1)
+        |ORDER BY ord""".stripMargin
   )
 }

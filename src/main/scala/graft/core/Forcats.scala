@@ -43,11 +43,11 @@ object Forcats {
     df.select(col(f)).distinct()
       .withColumn("ord", row_number().over(Window.orderBy(col(f))))
 
-  /** fct_rev: reverse a level table's order. */
-  def fctRev(levels: DataFrame): DataFrame = {
-    val n = levels.count()
-    levels.withColumn("ord", lit(n + 1).cast("int") - col("ord"))
-  }
+  /** fct_rev: reverse a level table's order. In-plan max (the level
+    * table is tiny; no driver-side count action). */
+  def fctRev(levels: DataFrame): DataFrame =
+    levels.withColumn("ord",
+      (max(col("ord")).over(Window.partitionBy()) + 1 - col("ord")).cast("int"))
 
   /** fct_relevel: move given levels to the front, rest keep order. */
   def fctRelevel(levels: DataFrame, f: String, first: Seq[String]): DataFrame = {
@@ -150,10 +150,71 @@ object Forcats {
       .withColumn(f, col("__code").cast("string")).drop("__code")
   }
 
-  /** fct_shift / lvls_reorder: rotate a level table by n. */
+  /** fct_shift / lvls_reorder: rotate a level table by n — positive n
+    * moves the first n levels to the end (forcats semantics). In-plan
+    * max (no driver-side count action). */
   def fctShift(levels: DataFrame, n: Int): DataFrame = {
-    val total = levels.count()
+    val total = max(col("ord")).over(Window.partitionBy())
     levels.withColumn("ord",
-      ((col("ord") - 1 + lit(n) % lit(total) + lit(total)) % lit(total) + 1).cast("int"))
+      (((col("ord") - 1 - lit(n)) % total + total) % total + 1).cast("int"))
   }
+
+  /** fct_cross: interaction factor of two factor columns — the data
+    * column is the sep-joined pair; the level table enumerates the
+    * OBSERVED combinations in (f1, f2) order (forcats keep_empty=FALSE).
+    */
+  def fctCross(df: DataFrame, f1: String, f2: String, sep: String = ":",
+               as: String = "fcross"): DataFrame =
+    df.withColumn(as, concat_ws(sep, col(f1), col(f2)))
+  def fctCrossLevels(df: DataFrame, f1: String, f2: String,
+                     sep: String = ":"): DataFrame =
+    df.select(col(f1), col(f2)).distinct()
+      .withColumn("ord", row_number().over(Window.orderBy(col(f1), col(f2))))
+      .select(concat_ws(sep, col(f1), col(f2)).as("level"), col("ord"))
+
+  /** fct_expand: append the given levels (those not already present)
+    * to the end of a level table, preserving existing order. */
+  def fctExpand(levels: DataFrame, f: String, extra: Seq[String]): DataFrame = {
+    val spark = levels.sparkSession
+    import spark.implicits._
+    val extraDf = extra.zipWithIndex.toDF(f, "__i")
+      .join(levels.select(col(f)), Seq(f), "left_anti")
+    val tagged = levels.select(col(f), col("ord"), lit(0).as("__new"), lit(0).as("__i"))
+      .unionByName(extraDf.select(col(f), lit(Int.MaxValue).as("ord"),
+        lit(1).as("__new"), col("__i")))
+    tagged.withColumn("ord",
+        row_number().over(Window.orderBy(col("__new"), col("ord"), col("__i"))))
+      .select(col(f), col("ord"))
+  }
+
+  /** fct_shuffle: random (seeded, reproducible) level order. */
+  def fctShuffle(levels: DataFrame, f: String, seed: Long = 42L): DataFrame =
+    levels.withColumn("ord",
+      row_number().over(Window.orderBy(md5(concat(lit(seed.toString), col(f))), col(f))))
+
+  /** fct_relabel: apply a column function to the level names, merging
+    * levels that map to the same label (keep the smallest ord). */
+  def fctRelabel(levels: DataFrame, f: String, fn: Column => Column): DataFrame =
+    levels.withColumn(f, fn(col(f)))
+      .groupBy(col(f)).agg(min(col("ord")).as("__o"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__o"), col(f))))
+      .select(col(f), col("ord"))
+
+  /** lvls_revalue: positional rename of levels (newNames(i) replaces
+    * the level with ord i+1). */
+  def lvlsRevalue(levels: DataFrame, f: String, newNames: Seq[String]): DataFrame = {
+    val m = newNames.zipWithIndex.foldLeft(col(f)) { case (acc, (nm, i)) =>
+      when(col("ord") === i + 1, lit(nm)).otherwise(acc)
+    }
+    levels.withColumn(f, m)
+  }
+
+  /** lvls_union: union of several factors' level tables in first-seen
+    * table order. */
+  def lvlsUnion(tables: Seq[DataFrame], f: String): DataFrame =
+    tables.zipWithIndex.map { case (t, i) => t.select(col(f), col("ord"), lit(i).as("__t")) }
+      .reduce(_.unionByName(_))
+      .groupBy(col(f)).agg(min(struct(col("__t"), col("ord"))).as("__k"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__k"), col(f))))
+      .select(col(f), col("ord"))
 }

@@ -37,10 +37,15 @@ final class GraftFrame private (
   def nGroups: Long = if (groups.isEmpty) 1L else groupKeys.count()
   def groupSize: DataFrame =
     df.groupBy(groupCols: _*).agg(count(lit(1)).as("size"))
-  /** dense integer id per group, ordered by group key (cur_group_id). */
-  def withGroupId(name: String = "group_id"): GraftFrame = withDf(
-    df.withColumn(name,
-      dense_rank().over(Window.orderBy(groups.map(df.col): _*)) - lit(1)))
+  /** dense integer id per group, ordered by group key (cur_group_id).
+    * Scale-safe: rank the (small) distinct-key table, then broadcast-
+    * join ids back — never an unpartitioned window over the fact rows. */
+  def withGroupId(name: String = "group_id"): GraftFrame = {
+    val keyTable = df.select(groupCols: _*).distinct()
+      .withColumn(name,
+        dense_rank().over(Window.orderBy(groups.map(col): _*)) - lit(1))
+    withDf(df.join(broadcast(keyTable), groups, "left"))
+  }
 
   // ---- select / rename / relocate (select.py, rename.py, relocate.py) ---
   def select(sel: Selector): GraftFrame = {
@@ -215,6 +220,18 @@ final class GraftFrame private (
   /** Seeded per-group sample of n rows: deterministic rand-ranked. */
   def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
     sliceByRank(Seq(rand(seed).asc), n, withTies = false)
+  /** slice(i1, i2, …): arbitrary 1-based row indices per group along
+    * the current arrange order (dplyr slice_.py's base verb). All-
+    * negative indices drop those rows. One window per partitioning. */
+  def sliceAt(indices: Seq[Int]): GraftFrame = {
+    require(indices.nonEmpty, "slice: no indices")
+    val rn = row_number().over(orderedWindow(sortKeys))
+    val keep =
+      if (indices.forall(_ > 0)) col("__rn").isin(indices: _*)
+      else if (indices.forall(_ < 0)) !col("__rn").isin(indices.map(-_): _*)
+      else throw new IllegalArgumentException("slice: mixed positive/negative indices")
+    withDf(df.withColumn("__rn", rn).filter(keep).drop("__rn"))
+  }
 
   // ---- joins (join.py) ---------------------------------------------------
   /** dplyr-suffix joins on shared key names; `broadcastRight` hints the
@@ -265,14 +282,53 @@ final class GraftFrame private (
   // ---- pull / nth / first / last ----------------------------------------
   def pull(c: String): DataFrame = df.select(c)
 
-  // ---- group_modify (group_iter.py) — typed per-group transform ----------
-  /** Apply an arbitrary DataFrame transform per group via
-    * flatMapGroups-equivalent composition: the transform must itself be
-    * plan-expressible; for truly imperative per-group logic use
-    * `df.groupByKey(...).flatMapGroups` directly. Here: a window-scoped
-    * helper that adds per-group computed columns.
-    */
-  def groupModify(f: DataFrame => DataFrame): GraftFrame = withDf(f(df))
+  // ---- group_iter (group_iter.py) — real per-group transforms ------------
+  /** group_modify: apply an imperative per-group transform distributed
+    * via groupByKey + flatMapGroups (one shuffle on the group key; each
+    * group's rows stream through the executor-side function). `f`
+    * receives (groupKey, rows of NON-key payload columns in input
+    * column order) and yields payload rows of `outSchema`; the group
+    * key columns are prepended to the output (dplyr semantics). */
+  def groupModify(outSchema: org.apache.spark.sql.types.StructType)(
+      f: (org.apache.spark.sql.Row, Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row]): GraftFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    require(groups.nonEmpty, "group_modify requires a grouped frame")
+    val keySchema = StructType(groups.map(df.schema(_)))
+    val fullSchema = StructType(keySchema.fields ++ outSchema.fields)
+    val keyIdx = groups.map(df.columns.indexOf(_))
+    val payloadIdx = df.columns.indices.filterNot(keyIdx.contains)
+    val grouped = df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(Encoders.row(keySchema))
+    val out = grouped.flatMapGroups { (k: Row, it: Iterator[Row]) =>
+      f(k, it.map(r => Row.fromSeq(payloadIdx.map(r.get))))
+        .map(r => Row.fromSeq(k.toSeq ++ r.toSeq))
+    }(Encoders.row(fullSchema))
+    new GraftFrame(out.toDF(), groups, Nil)
+  }
+  /** group_map: like group_modify but the per-group results are not
+    * re-keyed — output is exactly what `f` yields, concatenated. */
+  def groupMap(outSchema: org.apache.spark.sql.types.StructType)(
+      f: (org.apache.spark.sql.Row, Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    require(groups.nonEmpty, "group_map requires a grouped frame")
+    val keySchema = StructType(groups.map(df.schema(_)))
+    val keyIdx = groups.map(df.columns.indexOf(_))
+    val grouped = df.groupByKey(r => Row.fromSeq(keyIdx.map(r.get)))(Encoders.row(keySchema))
+    grouped.flatMapGroups((k: Row, it: Iterator[Row]) => f(k, it))(Encoders.row(outSchema)).toDF()
+  }
+  /** group_split: one DataFrame per group key. Collects the (small)
+    * distinct key table to the driver — the split itself is a driver-
+    * side construct (a list of frames); each frame is a filtered view
+    * that prunes partitions at scan time. */
+  def groupSplit(): Seq[DataFrame] = {
+    require(groups.nonEmpty, "group_split requires a grouped frame")
+    val keys = df.select(groupCols: _*).distinct().orderBy(groupCols: _*).collect()
+    keys.toSeq.map { k =>
+      val pred = groups.zipWithIndex.map { case (g, i) => df.col(g) <=> lit(k.get(i)) }.reduce(_ && _)
+      df.filter(pred)
+    }
+  }
 
   // ---- output ------------------------------------------------------------
   /** glimpse: schema + head, driver-side formatting only. */

@@ -62,8 +62,14 @@ object Tibble {
     df.withColumn(name, value)
 
   /** rowid_to_column over an explicit total order (Spark frames are
-    * unordered; positional ids need a declared order). */
+    * unordered; positional ids need a declared order). Scale-safe:
+    * distributed range-partitioned sort, then per-partition offsets
+    * via zipWithIndex — never a single-partition global window. */
   def rowidToColumn(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
-                    name: String = "rowid"): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(order: _*)))
+                    name: String = "rowid"): DataFrame = {
+    val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
+    val schema = StructType(StructField(name, LongType, nullable = false) +: sorted.schema.fields)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    sorted.sparkSession.createDataFrame(rdd, schema)
+  }
 }

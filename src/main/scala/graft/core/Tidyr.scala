@@ -46,6 +46,19 @@ object Tidyr {
         d.withColumn(prefix + v, coalesce(col(prefix + v), f))))
   }
 
+  /** pivot_wider with name DISCOVERY: runs one extra distinct-scan job
+    * over `namesFrom` to enumerate the output columns (tidyr's default
+    * behavior). Documented cost: an extra pass over the data before the
+    * pivot — at scale prefer the explicit-list overload above, which is
+    * exactly what Spark's own `.pivot(col)` would also have to do. */
+  def pivotWiderDiscover(df: DataFrame, idCols: Seq[String], namesFrom: String,
+                         valuesFrom: Column, agg: Column => Column,
+                         prefix: String = "", fill: Option[Column] = None): DataFrame = {
+    val names = df.select(col(namesFrom).cast("string")).distinct()
+      .orderBy(namesFrom).collect().map(_.getString(0)).toSeq
+    pivotWider(df, idCols, namesFrom, valuesFrom, agg, names, prefix, fill)
+  }
+
   /** separate: split a string column into fixed parts by regex. */
   def separate(df: DataFrame, c: String, into: Seq[String], sep: String,
                remove: Boolean = true): DataFrame = {
@@ -117,9 +130,12 @@ object Tidyr {
   def nesting(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(keys.map(col): _*).distinct()
 
-  /** uncount: replicate each row `weight` times. */
+  /** uncount: replicate each row `weight` times; weight <= 0 drops the
+    * row (two-arg sequence(1, 0) would step BACKWARD and duplicate it,
+    * so guard — explode drops the null array). */
   def uncount(df: DataFrame, weight: Column): DataFrame =
-    df.withColumn("__w", explode(sequence(lit(1), weight.cast("int"))))
+    df.withColumn("__w", explode(
+        when(weight >= 1, sequence(lit(1), weight.cast("int")))))
       .drop("__w")
 
   /** separate_rows: split + explode a delimited string column. */

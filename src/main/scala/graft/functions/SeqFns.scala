@@ -20,6 +20,27 @@ object SeqFns {
   }
   def revArr(x: Column): Column = reverse(x)
   def sortArr(x: Column): Column = array_sort(x)
+
+  /** base::rank with ties.method="average" (R's default): rank of the
+    * first tied row plus half the tie-group span. One window per
+    * (part, value). */
+  def rankAvg(x: Column, part: Seq[Column] = Nil): Column = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    val w = base.orderBy(x.asc)
+    val ties = Window.partitionBy((part :+ x): _*)
+    rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0
+  }
+  /** base::rank with ties.method="min" / "first". */
+  def rankMin(x: Column, part: Seq[Column] = Nil): Column = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    rank().over(base.orderBy(x.asc))
+  }
+  /** base::order — the permutation index: position of each row when
+    * sorted by `x` (ties broken by `tie`). */
+  def orderOf(x: Column, tie: Seq[Column], part: Seq[Column] = Nil): Column = {
+    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    row_number().over(base.orderBy(x.asc +: tie: _*))
+  }
 }
 
 object SetFns {

@@ -17,6 +17,12 @@ object StringFns {
   def substringR(x: Column, first: Column): Column =
     substrC(x, first, lit(Int.MaxValue)) // through end
   def strsplit(x: Column, pattern: String): Column = split(x, pattern)
+  /** strsplit(fixed=TRUE): delimiter taken literally, not as regex. */
+  def strsplitFixed(x: Column, delim: String): Column =
+    split(x, java.util.regex.Pattern.quote(delim))
+  /** strsplit with a result-length cap (R's n via stringr::str_split). */
+  def strsplitN(x: Column, pattern: String, n: Int): Column =
+    split(x, pattern, n)
   /** gsub: replace ALL matches (Spark regexp_replace is global). */
   def gsub(x: Column, pattern: String, repl: String): Column =
     regexp_replace(x, pattern, repl)
@@ -24,14 +30,15 @@ object StringFns {
     * replacement + suffix via the first match position. */
   def subFirst(x: Column, pattern: String, repl: String): Column = {
     val m = regexp_extract(x, pattern, 0)
-    val idx = locate_first(x, m)
-    when(m === "", x).otherwise(
+    // regexp_instr gives the TRUE first-match position — locate() on the
+    // matched text would find an earlier literal occurrence of the same
+    // string (e.g. sub("ab$","X","abcab") must touch the second "ab").
+    val idx = call_function("regexp_instr", x, lit(pattern))
+    when(idx === 0, x).otherwise(
       concat(substrC(x, lit(1), idx - 1),
         lit(repl),
         substrC(x, idx + length(m), lit(Int.MaxValue))))
   }
-  private def locate_first(x: Column, sub: Column): Column =
-    call_function("locate", sub, x)
   private def substrC(x: Column, pos: Column, len: Column): Column =
     call_function("substring", x, pos, len)
   def grepl(x: Column, pattern: String): Column = x.rlike(pattern)

@@ -31,24 +31,26 @@ object WindowFns {
   def ntileOf(n: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
     ntile(n).over(w(part, order))
 
+  /** lead/lag with dplyr default semantics: the default applies ONLY
+    * past the frame edge, never to genuine nulls in `x` — so the
+    * default is passed to the window function itself (via SQL lead/lag,
+    * whose third argument is an expression), not coalesced after. */
   def leadBy(x: Column, n: Int, order: Seq[Column], part: Seq[Column] = Nil,
              default: Column = lit(null)): Column =
-    lead(x, n, null).over(w(part, order)) match {
-      case c => coalesce(c, default)
-    }
+    call_function("lead", x, lit(n), default).over(w(part, order))
   def lagBy(x: Column, n: Int, order: Seq[Column], part: Seq[Column] = Nil,
             default: Column = lit(null)): Column =
-    coalesce(lag(x, n, null).over(w(part, order)), default)
+    call_function("lag", x, lit(n), default).over(w(part, order))
 
   /** consecutive_id: new id each time the value (combination) changes
-    * along `order` — dplyr::consecutive_id. */
+    * along `order` — dplyr::consecutive_id. Null-safe equality so a
+    * run of NULLs is one group (dplyr treats NA==NA as same). */
   def consecutiveId(xs: Seq[Column], order: Seq[Column], part: Seq[Column] = Nil): Column = {
     val ww = w(part, order)
-    val changed = xs.map(x => x =!= lag(x, 1).over(ww) ||
-      (x.isNull =!= lag(x, 1).over(ww).isNull))
-      .map(c => coalesce(c, lit(true)))
-      .reduce(_ || _)
-    sum(when(changed, 1).otherwise(0)).over(w(part, order).rowsBetween(Window.unboundedPreceding, 0))
+    val isFirst = row_number().over(ww) === 1
+    val changed = xs.map(x => !(x <=> lag(x, 1).over(ww))).reduce(_ || _)
+    sum(when(isFirst || changed, 1).otherwise(0))
+      .over(w(part, order).rowsBetween(Window.unboundedPreceding, 0))
   }
 }
 

@@ -24,27 +24,56 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")), " ")
 
-  /** w-word shingles of the token array. */
+  /** EVALUATION-SHAPE RULE for every kernel below: higher-order-
+    * function lambdas may reference ONLY their lambda variables.
+    * Referencing an outer subtree (e.g. `slice(toks, i, w)` inside a
+    * transform over indices) re-evaluates that whole subtree per array
+    * element — higher-order functions run interpreted, with no CSE —
+    * and when such transforms nest (shingle → signature → band) the
+    * cost multiplies per level. Sliding windows are therefore built by
+    * zip_with-combining k-shifted copies of an array: each shift is
+    * evaluated once per row at projection level; everything stays
+    * linear in document length. */
+
+  /** Elementwise combine of the k-shifted copies of `arr`:
+    * out(i) = f(arr(i), f(arr(i+1), … arr(i+w-1))), truncated to the
+    * size(arr)-w+1 full windows (min 1 — shorter arrays yield one
+    * partial window, the "whole doc" shingle). zip_with pads the
+    * shorter side with null; `f`'s null behavior (concat_ws/least/
+    * xxhash64 skip nulls) makes partial tail entries harmless before
+    * the cut. */
+  private[ops] def slidingCombine(arr: Column, w: Int,
+                                  f: (Column, Column) => Column): Column = {
+    val combined = (0 until w).map(k =>
+        slice(arr, lit(k + 1), greatest(size(arr) - k, lit(0))))
+      .reduce((a, b) => zip_with(a, b, f))
+    slice(combined, lit(1), greatest(size(arr) - w + 1, lit(1)))
+  }
+
+  /** w-word shingles of the token array (strings). */
   def shingles(toks: Column, w: Int): Column =
-    when(size(toks) < w, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(1), size(toks) - w + 1),
-        i => concat_ws(" ", slice(toks, i, w))))
+    slidingCombine(toks, w, (a, b) => concat_ws(" ", a, b))
 
-  /** One 64-bit base hash per distinct shingle. */
-  private def shingleHashes(text: Column, w: Int): Column =
-    transform(array_distinct(shingles(tokens(text), w)), s => xxhash64(s))
+  /** One 64-bit base hash per distinct shingle: rolling-combined token
+    * hashes (a hash of the window's token hashes — equivalent to
+    * hashing the window text for dedup purposes). */
+  private def shingleHashes(text: Column, w: Int): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    array_distinct(slidingCombine(hs, w, (a, b) => xxhash64(a, b)))
+  }
 
-  /** MinHash signature: numPerm universal-hash permutations
-    * sig_j = min_s (a_j * h(s) + b_j), with (a_j, b_j) derived from
-    * the permutation index — one base hash per shingle, then cheap
-    * arithmetic per permutation. */
+  /** MinHash signature: numPerm hash "permutations"
+    * sig_j = min_s xxhash64(h(s), j). Shaped as one n×numPerm matrix
+    * transform (lambda-vars only) + one zip_with-least fold, so the
+    * shingle set is computed exactly once per row. Overflow-free under
+    * ANSI mode (the classic a*h+b would throw on long overflow). */
   def minhashSignature(text: Column, w: Int, numPerm: Int): Column = {
     val hs = shingleHashes(text, w)
-    transform(sequence(lit(0), lit(numPerm - 1)), j => {
-      val a = xxhash64(concat(lit("a"), j.cast("string"))) | lit(1L) // odd
-      val b = xxhash64(concat(lit("b"), j.cast("string")))
-      array_min(transform(hs, h => a * h + b))
-    })
+    val perShingle = transform(hs, h =>
+      transform(sequence(lit(0), lit(numPerm - 1)), j => xxhash64(h, j)))
+    aggregate(perShingle,
+      array_repeat(lit(Long.MaxValue), numPerm),
+      (acc, row) => zip_with(acc, row, (a, b) => least(a, b)))
   }
 
   /** LSH banding: (bandId, bandHash) keys for a signature. */
@@ -52,32 +81,46 @@ object Dedup {
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       struct(b.as("band"),
         xxhash64(concat_ws(",",
-          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-            v => v.cast("string"))): _*).as("bucket")))
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("bucket")))
+
+  /** Within-bucket candidate pairs via a skew-safe SELF-JOIN on the
+    * bucket key with `a < b` — never materializes a bucket into one
+    * array (a hot bucket — empty docs, boilerplate — would otherwise
+    * collect every id into a single executor and OOM at 100 TB; AQE
+    * skew-join splits hot buckets instead). Buckets larger than
+    * `maxBucket` are dropped entirely: they are degenerate near-dup
+    * cliques whose pair count grows quadratically; cap them and let
+    * the caller count drops via `bucketStats` if needed. */
+  private def bucketPairs(keyed: DataFrame, bucketCols: Seq[String],
+                          payload: Seq[String], maxBucket: Int): DataFrame = {
+    val sizes = keyed.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val capped = keyed.join(sizes.filter(col("__bn") > 1 && col("__bn") <= maxBucket),
+      bucketCols).drop("__bn")
+    val l = capped.toDF(capped.columns.map(c => if (bucketCols.contains(c)) c else c + "_l"): _*)
+    val r = capped.toDF(capped.columns.map(c => if (bucketCols.contains(c)) c else c + "_r"): _*)
+    l.join(r, bucketCols).filter(col("doc_id_l") < col("doc_id_r"))
+      .select((Seq(col("doc_id_l").as("a"), col("doc_id_r").as("b")) ++
+        payload.flatMap(p => Seq(col(p + "_l").as(p + "_a"), col(p + "_r").as(p + "_b")))): _*)
+      .distinct()
+  }
 
   /** MinHash+LSH candidate pairs with exact-jaccard verification.
     * Topology: project signatures (map-side) → explode bands → one
-    * shuffle on (band,bucket) → within-bucket pairs via sorted
-    * collect_list (bucket cardinality is bounded by banding) →
-    * verify with true shingle-set jaccard ≥ threshold.
+    * shuffle on (band,bucket) → within-bucket pairs via capped
+    * self-join (skew-safe; see bucketPairs) → verify with true
+    * shingle-set jaccard ≥ threshold.
     */
   def minhashLsh(df: DataFrame, id: String, text: String,
                  w: Int = 3, numPerm: Int = 64, numBands: Int = 16,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerm / numBands
     val sigs = df.select(col(id).as("doc_id"), col(text).as("__text"))
       .withColumn("__sig", minhashSignature(col("__text"), w, numPerm))
       .withColumn("__band", explode(bands(col("__sig"), numBands, rowsPerBand)))
       .select(col("doc_id"), col("__band.band").as("band"),
         col("__band.bucket").as("bucket"))
-    val buckets = sigs.groupBy("band", "bucket")
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // pairwise (i<j) within bucket, deduplicated across bands
-    val pairs = buckets
-      .select(explode(pairUp(col("ids"))).as("p"))
-      .select(col("p._1").as("a"), col("p._2").as("b"))
-      .distinct()
+    val pairs = bucketPairs(sigs, Seq("band", "bucket"), Nil, maxBucket)
     // verification join: true jaccard over distinct shingle sets
     val sh = df.select(col(id).as("__vid"),
       array_distinct(shingles(tokens(col(text)), w)).as("__sh"))
@@ -89,52 +132,49 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** All ordered pairs (i<j) from a sorted array — array<struct<_1,_2>>. */
-  def pairUp(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("_1"), y.as("_2")))))
-
   /** Exact Jaccard over two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
   /** 64-bit SimHash: per-token hash votes on each bit; bucket by
-    * 16-bit chunks for hamming-distance LSH. */
+    * 16-bit chunks for hamming-distance LSH. Matrix shape (per-token
+    * ±1 vote vector → one zip_with-sum fold → sign bits): the token
+    * hashes are evaluated once per row (see EVALUATION-SHAPE RULE). */
   def simhash(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val hs = transform(toks, t => xxhash64(t))
-    // bit b of the simhash = sign of sum over tokens of (+1 / -1)
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      ) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(transform(bits, (bit, i) => shiftleft(bit, i.cast("int"))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    val hs = transform(array_distinct(tokens(text)), t => xxhash64(t))
+    // votes(s)(b) = +1 if bit b of hash s is set else -1
+    val votes = transform(hs, h =>
+      transform(sequence(lit(0), lit(63)), b =>
+        when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    val sums = aggregate(votes, array_repeat(lit(0L), 64),
+      (acc, row) => zip_with(acc, row, (a, b) => a + b))
+    val bits = transform(sums, (v, i) =>
+      when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within
-    * hamming distance 3 shares at least one of 4 chunks), then verify
-    * hamming ≤ maxDist. */
+  /** SimHash near-dup pairs: bucket on 16-bit chunks — by pigeonhole a
+    * pair within hamming distance 3 shares at least one of the 4
+    * chunks, so recall is guaranteed only for maxDist <= 3 (callers
+    * wanting a larger radius must probe more chunk combinations). Pairs
+    * come from a capped self-join per (chunk,key) — skew-safe, no
+    * per-bucket array materialization. */
   def simhashNearDup(df: DataFrame, id: String, text: String,
-                     maxDist: Int = 3): DataFrame = {
+                     maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3,
+      "simhashNearDup: 4x16-bit chunk bucketing guarantees recall only for maxDist <= 3")
     val sigs = df.select(col(id).as("doc_id"), simhash(col(text)).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),
-          shiftright(col("sig"), c.cast("int") * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
+          call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
-    val buckets = chunked.groupBy("chunk", "key")
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("sig")))).as("members"))
-      .filter(size(col("members")) > 1)
-    buckets.select(explode(pairUp(col("members"))).as("p"))
-      .select(col("p._1.doc_id").as("a"), col("p._1.sig").as("sig_a"),
-        col("p._2.doc_id").as("b"), col("p._2.sig").as("sig_b"))
-      .distinct()
+    bucketPairs(chunked, Seq("chunk", "key"), Seq("sig"), maxBucket)
       .withColumn("dist", hamming64(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
       .select("a", "b", "dist")
@@ -155,28 +195,23 @@ object Dedup {
 
   def charNgrams(text: Column, n: Int): Column = {
     val s = regexp_replace(lower(text), "\\s+", " ")
-    when(length(s) < n, array(s)).otherwise(
-      transform(sequence(lit(1), length(s) - n + 1), i => substring(s, i, lit(n))))
+    // split("", -1) appends a trailing empty element — cut to length(s)
+    val chars = slice(split(s, ""), lit(1), greatest(length(s), lit(1)))
+    when(length(s) < n, array(s))
+      .otherwise(slidingCombine(chars, n, (a, b) => concat(a, b)))
   }
-  private def substring(x: Column, pos: Column, len: Column): Column =
-    call_function("substring", x, pos, len)
 
   /** Embedding cosine near-dup: random-hyperplane LSH buckets then
     * within-bucket exact cosine ≥ threshold. Planes are derived
     * deterministically from hashes (no Random — reproducible plans).
     */
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
-                       nPlanes: Int = 12, threshold: Double = 0.97): DataFrame = {
+                       nPlanes: Int = 12, threshold: Double = 0.97,
+                       maxBucket: Int = 1000): DataFrame = {
     val key = Similarity.hyperplaneKey(col(vec), nPlanes)
     val withKey = df.select(col(id).as("doc_id"), col(vec).as("v"), key.as("bucket"))
-    val buckets = withKey.groupBy("bucket")
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("v")))).as("members"))
-      .filter(size(col("members")) > 1)
-    buckets.select(explode(pairUp(col("members"))).as("p"))
-      .select(col("p._1.doc_id").as("a"), col("p._1.v").as("va"),
-        col("p._2.doc_id").as("b"), col("p._2.v").as("vb"))
-      .distinct()
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+    bucketPairs(withKey, Seq("bucket"), Seq("v"), maxBucket)
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }

@@ -39,7 +39,7 @@ object Similarity {
           zip_with(vec, sequence(lit(0), size(vec) - 1),
             (x, k) => x * planeComponent(p, k)),
           lit(0.0), (acc, v) => acc + v)
-        when(d >= 0, shiftleft(lit(1L), 0).cast("long")).otherwise(lit(0L)) * shiftleft(lit(1L), p.cast("int"))
+        when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
@@ -74,16 +74,24 @@ object Similarity {
     * neighbors within hamming distance 1), then exact cosine. */
   def lshTopK(corpus: DataFrame, id: String, vec: String,
               query: Seq[Double], k: Int, nPlanes: Int = 8): DataFrame = {
-    val q = array(query.map(lit): _*)
+    val spark = corpus.sparkSession
+    val qDf = spark.range(1).select(array(query.map(lit): _*).as("qv"))
+    lshTopKFrame(corpus, id, vec, qDf, k, nPlanes)
+  }
+
+  /** LSH top-k against a one-row query FRAME (column `qv`:
+    * array<double>) — no driver-side action anywhere in plan
+    * construction; the query row is broadcast. */
+  def lshTopKFrame(corpus: DataFrame, id: String, vec: String,
+                   queryDf: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
     val keyed = corpus.withColumn("__bucket", hyperplaneKey(col(vec).cast("array<double>"), nPlanes))
-    val qKeyed = keyed.sparkSession.range(1)
-      .select(hyperplaneKey(q, nPlanes).as("qb"))
+    val qKeyed = queryDf.select(col("qv"), hyperplaneKey(col("qv"), nPlanes).as("qb"))
     // multi-probe: query bucket + all buckets at hamming distance 1
-    val probes = qKeyed.select(explode(concat(array(col("qb")),
+    val probes = qKeyed.select(col("qv"), explode(concat(array(col("qb")),
       transform(sequence(lit(0), lit(nPlanes - 1)),
-        p => col("qb").bitwiseXOR(shiftleft(lit(1L), p.cast("int")))))).as("__bucket"))
+        p => col("qb").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("__bucket"))
     keyed.join(broadcast(probes), Seq("__bucket"))
-      .select(col(id), cosine(col(vec).cast("array<double>"), q).as("cos"))
+      .select(col(id), cosine(col(vec).cast("array<double>"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }
@@ -112,12 +120,21 @@ object Similarity {
   /** IVF query: probe the nprobe nearest centroids' lists. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, id: String, vec: String,
               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    val lists = centroids
-      .select(col("list_id"), l2(col("centroid"), q).as("d"))
-      .orderBy(col("d").asc, col("list_id")).limit(nprobe).select("list_id")
+    val qDf = assigned.sparkSession.range(1).select(array(query.map(lit): _*).as("qv"))
+    ivfTopKFrame(assigned, centroids, id, vec, qDf, k, nprobe)
+  }
+
+  /** IVF top-k against a one-row query FRAME (column `qv`) — the
+    * centroid ranking happens in-plan over the tiny centroid table. */
+  def ivfTopKFrame(assigned: DataFrame, centroids: DataFrame, id: String, vec: String,
+                   queryDf: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lists = centroids.crossJoin(broadcast(queryDf))
+      .withColumn("d", l2(col("centroid"), col("qv")))
+      .withColumn("__r", row_number().over(Window.orderBy(col("d").asc, col("list_id"))))
+      .filter(col("__r") <= nprobe).select("list_id", "qv")
     assigned.join(broadcast(lists), Seq("list_id"))
-      .select(col(id), cosine(col(vec).cast("array<double>"), q).as("cos"))
+      .select(col(id), cosine(col(vec).cast("array<double>"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }

@@ -84,13 +84,15 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, text: String, k: Int = 8, w: Int = 4): DataFrame = {
     val grams = Dedup.charNgrams(col(text), k)
     val hashes = transform(grams, g => xxhash64(g))
-    val windows = when(size(hashes) <= w, array(array_min(hashes)))
-      .otherwise(transform(sequence(lit(1), size(hashes) - w + 1),
-        i => array_min(slice(hashes, i, w))))
+    // rolling min over width-w windows via shifted zip_with (least
+    // skips the null padding) — single evaluation of the hash array,
+    // see Dedup's EVALUATION-SHAPE RULE
+    val windows = Dedup.slidingCombine(hashes, w, (a, b) => least(a, b))
     df.withColumn("fingerprints", array_sort(array_distinct(windows)))
       .withColumn("n_fingerprints", size(col("fingerprints")))
+      // single 64-bit doc id: hash of the sorted fingerprint set (an
+      // FNV multiply-fold would long-overflow under ANSI mode)
       .withColumn("doc_fingerprint",
-        aggregate(col("fingerprints"), lit(1469598103934665603L),
-          (acc, v) => acc.bitwiseXOR(v) * lit(1099511628211L)))
+        xxhash64(concat_ws(",", transform(col("fingerprints"), v => v.cast("string")))))
   }
 }

@@ -48,35 +48,54 @@ object EventStreams {
                           event_type: String, value: Double)
   case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
                             n_events: Long, total_value: Double)
-  private case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+  // public: the state encoder's generated code must construct it
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
   /** Streaming sessionization with explicit state: emits a summary
-    * when a user's session times out. */
+    * when a user's session either rolls over (a new event past the gap)
+    * or times out (event-time watermark passes lastTs+gap — this is
+    * what flushes the final/idle session per user). EventTimeTimeout
+    * requires a watermark on the input; we set one here when the
+    * source is streaming (no-op shape on batch). */
   def sessionizeStream(events: Dataset[SessionEvent],
                        gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", s"$gapMinutes minutes")
+      else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val gapMicros = gapMinutes * 60L * 1000000L
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-          sorted.foreach { e =>
-            val t = e.ts.getTime * 1000L
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMicros =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                out += SessionSummary(userId, new java.sql.Timestamp(s.start / 1000L), s.n, s.total)
-                cur = Some(SessionState(t, t, 1L, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId,
+              new java.sql.Timestamp(s.start / 1000L), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            sorted.foreach { e =>
+              val t = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMicros =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += SessionSummary(userId, new java.sql.Timestamp(s.start / 1000L), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // flush the idle session once event time passes lastTs+gap
+              state.setTimeoutTimestamp(s.lastTs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.iterator
           }
-          cur.foreach(s => state.update(s))
-          out.iterator
       }
   }
 

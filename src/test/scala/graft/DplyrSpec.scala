@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions._
+
+/** Golden-value semantics mirroring /root/reference/tests/dplyr
+  * (test_mutate.py, test_filter.py, test_slice.py, test_lead_lag
+  * semantics, group_iter) — values recomputed by hand, not copied. */
+class DplyrSpec extends SparkTestBase {
+
+  private def gdf = sqlDf(
+    "g" -> Seq("a", "a", "b", "b", "b"),
+    "x" -> Seq(1, 2, 3, 4, 5))
+
+  test("grouped mutate rewrites aggregates to group windows") {
+    val out = gdf.graft.groupBy("g")
+      .mutate("total" -> sum(col("x")), "share" -> (col("x") / sum(col("x"))))
+      .ungroup.arrange(col("x")).df
+    assertRows(out.select("g", "x", "total", "share"),
+      Seq(Seq("a", 1, 3L, 1.0 / 3), Seq("a", 2, 3L, 2.0 / 3),
+        Seq("b", 3, 12L, 0.25), Seq("b", 4, 12L, 4.0 / 12), Seq("b", 5, 12L, 5.0 / 12)))
+  }
+
+  test("grouped filter with aggregate predicate keeps per-group maxima") {
+    val out = gdf.graft.groupBy("g").filterRows(col("x") === max(col("x")))
+      .ungroup.arrange(col("x")).df
+    assertRows(out.select("g", "x"), Seq(Seq("a", 2), Seq("b", 5)))
+  }
+
+  test("summarise drops last grouping level") {
+    val f = gdf.graft.groupBy("g").summarise("n" -> count(lit(1)))
+    assert(f.groupVars.isEmpty)
+    assertRows(f.arrange(col("g")).df, Seq(Seq("a", 2L), Seq("b", 3L)))
+  }
+
+  test("slice_head / slice_max / sliceAt honor group + order") {
+    val g = gdf.graft.groupBy("g").arrange(col("x").desc)
+    assertRows(g.sliceHead(1).ungroup.arrange(col("g")).df.select("g", "x"),
+      Seq(Seq("a", 2), Seq("b", 5)))
+    assertRows(gdf.graft.groupBy("g").sliceMax(col("x"), 1).ungroup
+      .arrange(col("g")).df.select("g", "x"),
+      Seq(Seq("a", 2), Seq("b", 5)))
+    // slice(2) per group along ascending x
+    assertRows(gdf.graft.groupBy("g").arrange(col("x")).sliceAt(Seq(2))
+      .ungroup.arrange(col("g")).df.select("g", "x"),
+      Seq(Seq("a", 2), Seq("b", 4)))
+    // negative indices drop
+    assertRows(gdf.graft.groupBy("g").arrange(col("x")).sliceAt(Seq(-1))
+      .ungroup.arrange(col("x")).df.select("g", "x"),
+      Seq(Seq("a", 2), Seq("b", 4), Seq("b", 5)))
+  }
+
+  test("lead/lag default applies only past the frame edge, not to genuine nulls") {
+    val df = sqlDf("ord" -> Seq(1, 2, 3), "v" -> Seq("x", null, "z"))
+    val out = df.select(col("ord"), col("v"),
+      WindowFns.lagBy(col("v"), 1, Seq(col("ord")), default = lit("DEF")).as("lagv"))
+      .orderBy("ord")
+    // row1: past edge -> DEF; row2: lag = "x"; row3: lag = genuine null (NOT DEF)
+    assertRows(out, Seq(Seq(1, "x", "DEF"), Seq(2, null, "x"), Seq(3, "z", null)))
+  }
+
+  test("consecutive_id treats a run of NULLs as one group and starts at 1") {
+    val df = sqlDf("ord" -> Seq(1, 2, 3, 4, 5, 6),
+      "v" -> Seq(null, null, "a", "a", null, "b"))
+    val out = df.select(col("ord"),
+      WindowFns.consecutiveId(Seq(col("v")), Seq(col("ord"))).as("id"))
+      .orderBy("ord")
+    assertRows(out, Seq(Seq(1, 1L), Seq(2, 1L), Seq(3, 2L), Seq(4, 2L), Seq(5, 3L), Seq(6, 4L)))
+  }
+
+  test("distinct keep_all keeps one full row per key") {
+    val df = sqlDf("k" -> Seq("a", "a", "b"), "v" -> Seq(1, 2, 3))
+    val out = df.graft.distinctRows(Seq("k"), keepAll = true).df
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("withGroupId assigns dense key-ordered ids via broadcast join") {
+    val f = gdf.graft.groupBy("g").withGroupId("gid")
+    assertRows(f.df.select("g", "gid").distinct().orderBy("g"),
+      Seq(Seq("a", 0), Seq("b", 1)))
+    // ids come from a broadcast-joined ranked key table, not a global
+    // window over the fact rows: the Window must sit above the distinct
+    // aggregate, inside the broadcast side
+    val plan = f.df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val broadcastIdx = plan.indexOf("BroadcastExchange")
+    assert(windowIdx > broadcastIdx, s"Window outside the broadcast key table:\n$plan")
+  }
+
+  test("group_modify applies f per group, re-keying output") {
+    val schema = StructType(Seq(StructField("mx", IntegerType)))
+    val out = gdf.graft.groupBy("g").groupModify(schema) { (_, rows) =>
+      val xs = rows.map(_.getInt(0)).toSeq
+      Iterator.single(Row(xs.max))
+    }.df.orderBy("g")
+    assertRows(out, Seq(Seq("a", 2), Seq("b", 5)))
+  }
+
+  test("group_split yields one frame per key") {
+    val parts = gdf.graft.groupBy("g").groupSplit()
+    assert(parts.length == 2)
+    assert(parts.map(_.count()).sorted == Seq(2L, 3L))
+  }
+
+  test("joins: semi/anti/nest") {
+    val l = sqlDf("k" -> Seq(1, 2, 3), "v" -> Seq("a", "b", "c"))
+    val r = sqlDf("k" -> Seq(2, 3, 3), "w" -> Seq("x", "y", "z"))
+    assertRows(l.graft.semiJoin(r.graft, Seq("k")).arrange(col("k")).df.select("k"),
+      Seq(Seq(2), Seq(3)))
+    assertRows(l.graft.antiJoin(r.graft, Seq("k")).df.select("k"), Seq(Seq(1)))
+    val nested = l.graft.nestJoin(r.graft, Seq("k"), "rows").arrange(col("k")).df
+    assertRows(nested.select(col("k"), size(col("rows"))),
+      Seq(Seq(1, 0), Seq(2, 1), Seq(3, 2)))
+  }
+
+  test("rows_upsert updates matches and inserts new keys") {
+    val x = sqlDf("k" -> Seq(1, 2), "v" -> Seq("a", "b"))
+    val y = sqlDf("k" -> Seq(2, 3), "v" -> Seq("B", "c"))
+    assertRows(RowsVerbs.upsert(x, y, Seq("k")).orderBy("k"),
+      Seq(Seq(1, "a"), Seq(2, "B"), Seq(3, "c")))
+  }
+
+  test("bind_rows unions mismatched schemas with nulls") {
+    val a = sqlDf("x" -> Seq(1), "y" -> Seq("p"))
+    val b = sqlDf("x" -> Seq(2), "z" -> Seq(9.5))
+    val out = Bind.rows(a, b).orderBy("x")
+    assert(out.columns.toSeq == Seq("x", "y", "z"))
+    assertRows(out, Seq(Seq(1, "p", null), Seq(2, null, 9.5)))
+  }
+
+  test("bind_cols zips positionally without a single-partition window") {
+    val a = sqlDf("x" -> Seq(1, 2, 3))
+    val b = sqlDf("y" -> Seq("a", "b", "c"))
+    val out = Bind.colsOrdered(a, Seq(col("x")), b, Seq(col("y")))
+    assertRows(out.orderBy("x"), Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
+
+  test("cumprod handles zeros and sign") {
+    val df = sqlDf("ord" -> Seq(1, 2, 3, 4), "x" -> Seq(2.0, -3.0, 1.0, 0.0))
+    val out = df.select(col("ord"),
+      round(CumFns.cumprod(col("x"), Seq(col("ord"))), 6).as("cp")).orderBy("ord")
+    assertRows(out, Seq(Seq(1, 2.0), Seq(2, -6.0), Seq(3, -6.0), Seq(4, 0.0)))
+  }
+}

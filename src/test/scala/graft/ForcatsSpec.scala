@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Forcats
+
+/** forcats level-table semantics (reference: tests/forcats). */
+class ForcatsSpec extends SparkTestBase {
+
+  private def fdf = sqlDf("f" -> Seq("a", "b", "b", "c", "c", "c"))
+
+  test("fct_count with sort and prop") {
+    val out = Forcats.fctCount(fdf, "f", sort = true, prop = true)
+    assertRows(out.select(col("f"), col("n"), round(col("p"), 6)),
+      Seq(Seq("c", 3L, 0.5), Seq("b", 2L, 0.333333), Seq("a", 1L, 0.166667)))
+  }
+
+  test("fct_infreq orders levels by descending frequency") {
+    assertRows(Forcats.levelsInfreq(fdf, "f").orderBy("ord"),
+      Seq(Seq("c", 1), Seq("b", 2), Seq("a", 3)))
+  }
+
+  test("fct_rev reverses level order without a driver-side action") {
+    val levels = Forcats.levelsInfreq(fdf, "f")
+    assertRows(Forcats.fctRev(levels).orderBy("ord"),
+      Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3)))
+  }
+
+  test("fct_lump_n keeps top-n levels and lumps the rest") {
+    val out = Forcats.fctLumpN(fdf, "f", 1)
+    assertRows(out.groupBy("f").count().orderBy("f"),
+      Seq(Seq("Other", 3L), Seq("c", 3L)))
+  }
+
+  test("fct_collapse merges level groups") {
+    val out = Forcats.fctCollapse(fdf, "f", Map("ab" -> Seq("a", "b")))
+    assertRows(out.groupBy("f").count().orderBy("f"),
+      Seq(Seq("ab", 3L), Seq("c", 3L)))
+  }
+
+  test("fct_shift moves the first n levels to the end") {
+    val levels = Forcats.levelsInfreq(fdf, "f") // c=1 b=2 a=3
+    val out = Forcats.fctShift(levels, 1).orderBy("ord")
+    assertRows(out.select("f", "ord"),
+      Seq(Seq("b", 1), Seq("a", 2), Seq("c", 3)))
+  }
+
+  test("fct_explicit_na makes NULL a level") {
+    val df = sqlDf("f" -> Seq("a", null))
+    assertRows(Forcats.fctExplicitNa(df, "f").orderBy("f"),
+      Seq(Seq("(Missing)"), Seq("a")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import graft.core._
+import graft.core.GraftFrame.DataFrameOps
+import graft.functions.Exact._
+
+/** Plan-shape asserts for the scale-critical paths (SURVEY §5/§6):
+  * pushdown reaches the scan, broadcasts where declared, one Exchange
+  * for a multi-expression grouped mutate, no unpartitioned Window over
+  * fact-table-shaped plans. Runs against the sf0.001 parquet. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def li = spark.read.parquet(s"$dir/lineitem.parquet")
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(collectPlan)
+
+  test("filter + projection are pushed down to the parquet scan") {
+    val q = li.filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("multi-expression grouped mutate shares ONE shuffle and ONE Window") {
+    val q = li.graft.groupBy("l_returnflag")
+      .mutate(
+        "t" -> dsum(col("l_quantity")),
+        "s" -> (col("l_quantity") / dsum(col("l_quantity"))),
+        "c" -> (col("l_quantity") - davg(col("l_quantity"))))
+      .df
+    val nodes = collectPlan(q.queryExecution.executedPlan)
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    val windows = nodes.count(_.isInstanceOf[WindowExec])
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles")
+    assert(windows == 1, s"expected 1 Window operator, got $windows")
+  }
+
+  test("declared dimension joins broadcast the dim side") {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val q = cust.graft.innerJoin(
+      nation.graft.rename("c_nationkey" -> "n_nationkey"),
+      Seq("c_nationkey"), broadcastRight = true).df
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("ungrouped sorted sliceHead lowers to TakeOrderedAndProject (distributed top-k)") {
+    val q = li.graft.arrange(col("l_extendedprice").desc).sliceHead(5).df
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("no unpartitioned Window over the fact table in any SparkEntry query") {
+    // every query must avoid Window.partitionBy() (empty) over large inputs;
+    // spot-check the grouped-mutate and slice queries compile to
+    // partitioned windows only
+    val q = li.graft.groupBy("l_returnflag").arrange(col("l_shipdate"))
+      .sliceAt(Seq(1, 2)).df
+    val windows = collectPlan(q.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a Window with empty partitionSpec over lineitem")
+  }
+
+  test("exact dedup aggregates with partial (map-side) aggregation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // partial-then-final pattern: two HashAggregate levels around the exchange
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
+  }
+}

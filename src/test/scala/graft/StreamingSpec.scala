@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionSummary}
+
+/** Structured-Streaming semantics: sessionization state machine +
+  * batch equivalence of the windowed agg. */
+class StreamingSpec extends SparkTestBase {
+
+  // base well above epoch 0: rows at ts <= the initial watermark (0)
+  // are dropped as late, so epoch-0 events never reach the operator
+  private val base = 1700000000000L
+  private def ts(minute: Int) = new java.sql.Timestamp(base + minute * 60L * 1000L)
+
+  test("sessionizeStream emits rolled-over sessions and flushes idle ones via timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionizeStream(input.toDS(), gapMinutes = 30)
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two events 10min apart (one session), then a 40-min gap
+      // event -> rollover emits the first session
+      input.addData(
+        SessionEvent(1L, ts(0), 1L, "view", 1.0),
+        SessionEvent(2L, ts(10), 1L, "click", 2.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(3L, ts(50), 1L, "view", 5.0))
+      query.processAllAvailable()
+      val afterRollover = s.table("sessions_out").as[SessionSummary].collect()
+      assert(afterRollover.length == 1)
+      assert(afterRollover(0).n_events == 2L && afterRollover(0).total_value == 3.0)
+      // advance the watermark far past the open session's timeout: the
+      // idle session (event 3) must flush WITHOUT another event for user 1
+      input.addData(SessionEvent(99L, ts(1000), 2L, "view", 0.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(100L, ts(1001), 2L, "view", 0.0))
+      query.processAllAvailable()
+      val flushed = s.table("sessions_out").as[SessionSummary].collect()
+        .filter(r => r.user_id == 1L)
+      assert(flushed.length == 2, s"idle session not flushed: ${flushed.toSeq}")
+    } finally query.stop()
+  }
+
+  test("windowedAgg batch matches a hand-computed hourly rollup") {
+    val events = sqlDf(
+      "event_type" -> Seq("a", "a", "b"),
+      "value" -> Seq(1.0, 2.0, 5.0))
+      .withColumn("ts",
+        when(col("value") === 5.0, lit("2024-01-01 01:30:00")).otherwise(lit("2024-01-01 00:10:00"))
+          .cast("timestamp"))
+    val out = EventStreams.windowedAgg(events, "1 hour").orderBy("wstart", "event_type")
+    val got = out.collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    assert(got.toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
+  }
+
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val deduped = EventStreams.dedupStream(input.toDF())
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts(0), 1L, "view", 1.0),
+        SessionEvent(1L, ts(0), 1L, "view", 1.0),
+        SessionEvent(2L, ts(1), 1L, "view", 1.0))
+      query.processAllAvailable()
+      assert(s.table("dedup_out").count() == 2)
+    } finally query.stop()
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Semantics mirrored from /root/reference/tests/tidyr (values
+  * recomputed independently). */
+class TidyrSpec extends SparkTestBase {
+
+  test("uncount drops weight-0 and negative-weight rows, replicates others") {
+    val df = sqlDf("v" -> Seq("a", "b", "c", "d"), "w" -> Seq(2, 0, 1, -1))
+    val out = Tidyr.uncount(df, col("w")).orderBy("v")
+    assertRows(out.select("v"), Seq(Seq("a"), Seq("a"), Seq("c")))
+  }
+
+  test("pivot_longer stacks columns; pivot_wider round-trips") {
+    val df = sqlDf("id" -> Seq(1, 2), "a" -> Seq(10, 30), "b" -> Seq(20, 40))
+    val long = Tidyr.pivotLonger(df, TidySelect.cols("a", "b"))
+    assertRows(long.orderBy("id", "name"),
+      Seq(Seq(1, "a", 10.0), Seq(1, "b", 20.0), Seq(2, "a", 30.0), Seq(2, "b", 40.0)))
+    val wide = Tidyr.pivotWider(long, Seq("id"), "name", col("value"),
+      first(_), Seq("a", "b"))
+    assertRows(wide.orderBy("id"), Seq(Seq(1, 10.0, 20.0), Seq(2, 30.0, 40.0)))
+  }
+
+  test("pivot_wider discovery path finds names from the data") {
+    val df = sqlDf("id" -> Seq(1, 1, 2), "k" -> Seq("x", "y", "x"),
+      "v" -> Seq(1.0, 2.0, 3.0))
+    val wide = Tidyr.pivotWiderDiscover(df, Seq("id"), "k", col("v"), first(_))
+    assert(wide.columns.toSeq == Seq("id", "x", "y"))
+    assertRows(wide.orderBy("id"), Seq(Seq(1, 1.0, 2.0), Seq(2, 3.0, null)))
+  }
+
+  test("separate splits with NULL past the end; unite joins") {
+    val df = sqlDf("s" -> Seq("a-b", "c"))
+    val sep = Tidyr.separate(df, "s", Seq("p", "q"), "-")
+    assertRows(sep.orderBy("p"), Seq(Seq("a", "b"), Seq("c", null)))
+    val uni = Tidyr.unite(sqlDf("p" -> Seq("a"), "q" -> Seq("b")), "s",
+      TidySelect.cols("p", "q"), "-")
+    assertRows(uni.select("s"), Seq(Seq("a-b")))
+  }
+
+  test("fill down/up/downup within partitions") {
+    val df = sqlDf("g" -> Seq("a", "a", "a"), "ord" -> Seq(1, 2, 3),
+      "v" -> Seq(null, 5, null))
+    def run(dir: String) = Tidyr.fill(df, TidySelect.cols("v"), Seq(col("ord")),
+      Seq(col("g")), dir).orderBy("ord").select("v")
+    assertRows(run("down"), Seq(Seq(null), Seq(5), Seq(5)))
+    assertRows(run("up"), Seq(Seq(5), Seq(5), Seq(null)))
+    assertRows(run("downup"), Seq(Seq(5), Seq(5), Seq(5)))
+  }
+
+  test("complete fills the key grid") {
+    val df = sqlDf("a" -> Seq("x", "y"), "b" -> Seq(1, 2), "v" -> Seq(1.5, 2.5))
+    val out = Tidyr.complete(df, Seq("a", "b"), Map("v" -> 0.0))
+    assert(out.count() == 4)
+    assert(out.filter(col("v") === 0.0).count() == 2)
+  }
+
+  test("chop/unchop round-trip; nest/unnest round-trip") {
+    val df = sqlDf("k" -> Seq("a", "a", "b"), "v" -> Seq(1, 2, 3))
+    val chopped = Tidyr.chop(df, Seq("k"), Seq("v"), col("v"))
+    assertRows(chopped.orderBy("k").select(col("k"), col("v")),
+      Seq(Seq("a", Seq(1, 2)), Seq("b", Seq(3))))
+    val unchopped = Tidyr.unchop(chopped, Seq("v"))
+    assert(unchopped.orderBy("k", "v").select("k", "v").collect().toSeq.map(_.toSeq) ==
+      Seq(Seq("a", 1), Seq("a", 2), Seq("b", 3)))
+    val nested = Tidyr.nest(df, Seq("k"), "data", col("v"))
+    val unnested = Tidyr.unnest(nested, "data")
+    assert(unnested.count() == 3)
+  }
+
+  test("separate_rows explodes delimited values") {
+    val df = sqlDf("id" -> Seq(1), "s" -> Seq("a,b,c"))
+    assert(Tidyr.separateRows(df, "s", ",").count() == 3)
+  }
+
+  test("full_seq spans the range at the given period") {
+    val df = sqlDf("x" -> Seq(2L, 9L, 4L))
+    assertRows(Tidyr.fullSeq(df, col("x"), 1, "x").orderBy("x").limit(3),
+      Seq(Seq(2L), Seq(3L), Seq(4L)))
+  }
+}
