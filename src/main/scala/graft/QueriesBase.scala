@@ -162,6 +162,57 @@ object QueriesBase {
           "complete" -> TypeFns.completeCases(col("o_orderkey"), CondFns.naIf(col("o_orderstatus"), lit("P"))))
         .arrange(col("o_orderkey")).df),
 
+    "b_cor" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_returnflag")
+        .summarise(
+          "cov_qp" -> BaseFns.covExact(col("l_quantity"), col("l_extendedprice")),
+          "cor_qp" -> BaseFns.corExact(col("l_quantity"), col("l_extendedprice")))
+        .ungroup.arrange(col("l_returnflag")).df),
+
+    "b_colstats" -> ((s, d) =>
+      // colSums / colMeans / colSds over the numeric columns (ungrouped
+      // one-row aggregate — the base-R matrix-stats shape)
+      t(s, d, "lineitem").graft
+        .summarise(
+          "sum_qty" -> BaseFns.sumExact(col("l_quantity")),
+          "sum_price" -> BaseFns.sumExact(col("l_extendedprice")),
+          "mean_qty" -> BaseFns.mean(col("l_quantity")),
+          "mean_disc" -> BaseFns.mean(col("l_discount")),
+          "sd_qty" -> BaseFns.sdExact(col("l_quantity")),
+          "sd_price" -> BaseFns.sdExact(col("l_extendedprice"))).df),
+
+    "b_allany" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus")
+        .summarise(
+          "all_pos" -> BaseFns.allOf(col("o_totalprice") > 0),
+          "any_urgent" -> BaseFns.anyOf(col("o_orderpriority") === "1-URGENT"),
+          "any_huge" -> BaseFns.anyOf(col("o_totalprice") > 500000))
+        .ungroup.arrange(col("o_orderstatus")).df),
+
+    // Bessel approximations + seeded draws: engine-specific (no DuckDB
+    // counterpart / different RNG) — rows-only here, golden values in
+    // FunctionsSpec
+    "b_bessel" -> ((s, d) =>
+      t(s, d, "part").graft
+        .transmute(
+          "p_partkey" -> col("p_partkey"),
+          "x" -> (col("p_size") / lit(10.0)),
+          "j0" -> BaseFns.besselJ0(col("p_size") / lit(10.0)),
+          "j1" -> BaseFns.besselJ1(col("p_size") / lit(10.0)),
+          "i0" -> BaseFns.besselI0(col("p_size") / lit(10.0)),
+          "i1" -> BaseFns.besselI1(col("p_size") / lit(10.0)))
+        .arrange(col("p_partkey")).df),
+
+    "b_random" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "u" -> BaseFns.runifCol(42L, 0.0, 10.0),
+          "z" -> BaseFns.rnormCol(42L))
+        .arrange(col("c_custkey")).df),
+
     "b_rank" -> ((s, d) =>
       // base::rank family with R tie semantics, partitioned by brand so
       // no global window touches the full table
@@ -319,6 +370,38 @@ object QueriesBase {
         |    ELSE o_totalprice END) AS finite_price,
         |  (o_orderkey IS NOT NULL AND nullif(o_orderstatus, 'P') IS NOT NULL) AS complete
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "b_cor" ->
+      s"""WITH s AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${dsumSql("l_quantity")} AS sx,
+         |    ${dsumSql("l_extendedprice")} AS sy,
+         |    ${dsumSql("l_quantity*l_extendedprice")} AS sxy,
+         |    ${dsumSql("l_quantity*l_quantity")} AS sxx,
+         |    ${dsumSql("l_extendedprice*l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (sxy - sx*sy/n) / (n - 1.0) AS cov_qp,
+         |  ((sxy - sx*sy/n) / (n - 1.0)) /
+         |    (sqrt((sxx - sx*sx/n) / (n - 1.0)) * sqrt((syy - sy*sy/n) / (n - 1.0))) AS cor_qp
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "b_colstats" ->
+      s"""SELECT ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  ${davgSql("l_quantity")} AS mean_qty,
+         |  ${davgSql("l_discount")} AS mean_disc,
+         |  sqrt((${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")}*${dsumSql("l_quantity")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_qty,
+         |  sqrt((${dsumSql("l_extendedprice*l_extendedprice")} - ${dsumSql("l_extendedprice")}*${dsumSql("l_extendedprice")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_price
+         |FROM lineitem""".stripMargin,
+
+    "b_allany" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  bool_or(o_totalprice > 500000) AS any_huge
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "b_rank" ->
       """SELECT p_brand, p_partkey,

@@ -394,6 +394,16 @@ object QueriesDplyr {
         .select("o_orderstatus", "o_orderkey")
         .arrange(col("o_orderstatus"), col("o_orderkey")).df),
 
+    "d_with_order" -> ((s, d) => {
+      val part = Seq(col("o_custkey"))
+      t(s, d, "orders").graft
+        .mutate("rev_cum" -> WindowFns.withOrder(col("o_orderkey").desc,
+          (x, ord) => CumFns.cumsum(x.cast("decimal(28,6)"), ord, part).cast("double"),
+          col("o_totalprice")))
+        .select("o_custkey", "o_orderkey", "rev_cum")
+        .arrange(col("o_custkey"), col("o_orderkey")).df
+    }),
+
     "d_group_modify" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -684,6 +694,13 @@ object QueriesDplyr {
 
     "d_group_modify" ->
       """SELECT c_mktsegment, count(*) AS n, max(c_acctbal) AS max_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "d_with_order" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_cum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -39,6 +39,14 @@ object QueriesTidyr {
         prefix = "st_", fill = Some(lit(0L)))
         .orderBy(col("o_custkey"))),
 
+    "t_pivot_multi" -> ((s, d) =>
+      Tidyr.pivotWiderMulti(t(s, d, "orders"), Seq("o_custkey"),
+        Seq("o_orderstatus", "o_orderpriority"), "_",
+        col("o_orderkey"), c => count(c),
+        nameValues = Seq("F_1-URGENT", "O_1-URGENT", "P_1-URGENT"),
+        prefix = "n_", fill = Some(lit(0L)))
+        .orderBy(col("o_custkey"))),
+
     "t_add_row" -> ((s, d) => {
       val base = t(s, d, "region").select("r_regionkey", "r_name")
       Tibble.addColumn(
@@ -189,6 +197,13 @@ object QueriesTidyr {
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_F,
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_O,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_P
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "t_pivot_multi" ->
+      """SELECT o_custkey,
+        |  count(CASE WHEN o_orderstatus = 'F' AND o_orderpriority = '1-URGENT' THEN 1 END) AS "n_F_1-URGENT",
+        |  count(CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT' THEN 1 END) AS "n_O_1-URGENT",
+        |  count(CASE WHEN o_orderstatus = 'P' AND o_orderpriority = '1-URGENT' THEN 1 END) AS "n_P_1-URGENT"
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "t_add_row" ->

@@ -46,6 +46,25 @@ object Tidyr {
         d.withColumn(prefix + v, coalesce(col(prefix + v), f))))
   }
 
+  /** pivot_wider over MULTIPLE namesFrom columns joined by namesSep
+    * (tidyr's names_sep): one derived name column, then the standard
+    * single-column pivot. */
+  def pivotWiderMulti(df: DataFrame, idCols: Seq[String], namesFrom: Seq[String],
+                      namesSep: String, valuesFrom: Column, agg: Column => Column,
+                      nameValues: Seq[String], prefix: String = "",
+                      fill: Option[Column] = None): DataFrame =
+    pivotWider(
+      df.withColumn("__names", concat_ws(namesSep, namesFrom.map(col): _*)),
+      idCols, "__names", valuesFrom, agg, nameValues, prefix, fill)
+
+  /** pivot_longer with names_sep: stack, then split the name column
+    * into several columns (tidyr names_sep / names_pattern via regex). */
+  def pivotLongerNames(df: DataFrame, sel: Selector, namesTo: Seq[String],
+                       namesSep: String, valuesTo: String = "value",
+                       valueType: String = "double"): DataFrame =
+    separate(pivotLonger(df, sel, "__name", valuesTo, valueType),
+      "__name", namesTo, namesSep)
+
   /** pivot_wider with name DISCOVERY: runs one extra distinct-scan job
     * over `namesFrom` to enumerate the output columns (tidyr's default
     * behavior). Documented cost: an extra pass over the data before the

@@ -31,10 +31,33 @@ object BaseFns {
   def weightedMean(x: Column, w: Column): Column =
     Exact.dsum(x * w) / Exact.dsum(w)
   def prodOf(x: Column): Column = product(x)
+  /** cov (sample) with the exact-sum recipe — cross-engine identical
+    * for inputs whose products fit 6 decimals (see Exact). */
+  def covExact(x: Column, y: Column): Column = {
+    val n = count(when(x.isNotNull && y.isNotNull, 1)).cast("double")
+    (Exact.dsum(x * y) - Exact.dsum(x) * Exact.dsum(y) / n) / (n - lit(1.0))
+  }
+  /** cor (Pearson) from the exact cov/var recipes. */
+  def corExact(x: Column, y: Column): Column =
+    covExact(x, y) / (sdExact(x) * sdExact(y))
+  /** base::all / any as aggregates (NULL-skipping like na.rm=TRUE). */
+  def allOf(p: Column): Column = bool_and(p)
+  def anyOf(p: Column): Column = bool_or(p)
 
   // ---- elementwise ------------------------------------------------------
   def pmin(cs: Column*): Column = least(cs: _*)
   def pmax(cs: Column*): Column = greatest(cs: _*)
+  /** R's %% — result takes the sign of the divisor. Spark's pmod is
+    * the always-positive modulo, so compute x - floor(x/y)*y. */
+  def modOf(x: Column, y: Column): Column = x - floor(x / y) * y
+  /** R's %/% — floor division (double result; Spark floor yields long). */
+  def intDiv(x: Column, y: Column): Column = floor(x / y).cast("double")
+  /** Seeded uniform / normal draws (base::runif / rnorm; sequences are
+    * engine-specific — deterministic within Spark, not oracle-able). */
+  def runifCol(seed: Long, lo: Double = 0.0, hi: Double = 1.0): Column =
+    rand(seed) * (hi - lo) + lo
+  def rnormCol(seed: Long, meanV: Double = 0.0, sd: Double = 1.0): Column =
+    randn(seed) * sd + meanV
   def ceiling(x: Column): Column = ceil(x)
   def floorOf(x: Column): Column = floor(x)
   def roundOf(x: Column, digits: Int = 0): Column = round(x, digits)
@@ -100,5 +123,70 @@ object BaseFns {
       inv2 * (lit(1.0 / 12) - inv2 * (lit(1.0 / 120) - inv2 * lit(1.0 / 252)))
     (0 until 6).map(i => lit(1.0) / (xIn + lit(i.toDouble)))
       .foldLeft(series)(_ - _)
+  }
+
+  // ---- Bessel functions (reference: datar base/bessel.py) --------------
+  // Abramowitz & Stegun §9 polynomial approximations (public-domain
+  // formulas), |err| < 1e-7. Pure arithmetic compositions — codegen'd.
+  private def poly(y: Column, cs: Seq[Double]): Column =
+    cs.reverse.foldLeft(lit(0.0): Column)((acc, c) => acc * y + lit(c))
+
+  def besselJ0(xIn: Column): Column = {
+    val ax = abs(xIn.cast("double"))
+    val y = xIn.cast("double") * xIn.cast("double")
+    val p = poly(y, Seq(57568490574.0, -13362590354.0, 651619640.7,
+      -11214424.18, 77392.33017, -184.9052456))
+    val q = poly(y, Seq(57568490411.0, 1029532985.0, 9494680.718,
+      59272.64853, 267.8532712, 1.0))
+    val z = lit(8.0) / ax; val y2 = z * z
+    val xx = ax - lit(0.785398164)
+    val p2 = poly(y2, Seq(1.0, -0.1098628627e-2, 0.2734510407e-4,
+      -0.2073370639e-5, 0.2093887211e-6))
+    val q2 = poly(y2, Seq(-0.1562499995e-1, 0.1430488765e-3,
+      -0.6911147651e-5, 0.7621095161e-6, -0.934935152e-7))
+    when(ax < 8.0, p / q)
+      .otherwise(sqrt(lit(0.636619772) / ax) * (cos(xx) * p2 - z * sin(xx) * q2))
+  }
+
+  def besselJ1(xIn: Column): Column = {
+    val x = xIn.cast("double"); val ax = abs(x)
+    val y = x * x
+    val p = x * poly(y, Seq(72362614232.0, -7895059235.0, 242396853.1,
+      -2972611.439, 15704.48260, -30.16036606))
+    val q = poly(y, Seq(144725228442.0, 2300535178.0, 18583304.74,
+      99447.43394, 376.9991397, 1.0))
+    val z = lit(8.0) / ax; val y2 = z * z
+    val xx = ax - lit(2.356194491)
+    val p2 = poly(y2, Seq(1.0, 0.183105e-2, -0.3516396496e-4,
+      0.2457520174e-5, -0.240337019e-6))
+    val q2 = poly(y2, Seq(0.04687499995, -0.2002690873e-3,
+      0.8449199096e-5, -0.88228987e-6, 0.105787412e-6))
+    val large = sqrt(lit(0.636619772) / ax) * (cos(xx) * p2 - z * sin(xx) * q2) *
+      signum(x)
+    when(ax < 8.0, p / q).otherwise(large)
+  }
+
+  def besselI0(xIn: Column): Column = {
+    val ax = abs(xIn.cast("double"))
+    val t = ax / lit(3.75); val y = t * t
+    val small = poly(y, Seq(1.0, 3.5156229, 3.0899424, 1.2067492,
+      0.2659732, 0.360768e-1, 0.45813e-2))
+    val y2 = lit(3.75) / ax
+    val large = (exp(ax) / sqrt(ax)) * poly(y2, Seq(0.39894228, 0.1328592e-1,
+      0.225319e-2, -0.157565e-2, 0.916281e-2, -0.2057706e-1,
+      0.2635537e-1, -0.1647633e-1, 0.392377e-2))
+    when(ax < 3.75, small).otherwise(large)
+  }
+
+  def besselI1(xIn: Column): Column = {
+    val x = xIn.cast("double"); val ax = abs(x)
+    val t = ax / lit(3.75); val y = t * t
+    val small = ax * poly(y, Seq(0.5, 0.87890594, 0.51498869, 0.15084934,
+      0.2658733e-1, 0.301532e-2, 0.32411e-3))
+    val y2 = lit(3.75) / ax
+    val large = (exp(ax) / sqrt(ax)) * poly(y2, Seq(0.39894228, -0.3988024e-1,
+      -0.362018e-2, 0.163801e-2, -0.1031555e-1, 0.2282967e-1,
+      -0.2895312e-1, 0.1787654e-1, -0.420059e-2))
+    when(ax < 3.75, small).otherwise(large) * signum(x)
   }
 }

@@ -42,6 +42,15 @@ object WindowFns {
             default: Column = lit(null)): Column =
     call_function("lag", x, lit(n), default).over(w(part, order))
 
+  /** dplyr::order_by / with_order (reference:
+    * datar_polars/api/dplyr/order_by.py): evaluate an order-sensitive
+    * windowed function under an explicit ordering. Our window helpers
+    * already take the order as a parameter, so these are the faithful
+    * adapter shapes. */
+  def orderBy(order: Column*)(f: Seq[Column] => Column): Column = f(order.toSeq)
+  def withOrder(order: Column, f: (Column, Seq[Column]) => Column, x: Column): Column =
+    f(x, Seq(order))
+
   /** consecutive_id: new id each time the value (combination) changes
     * along `order` — dplyr::consecutive_id. Null-safe equality so a
     * run of NULLs is one group (dplyr treats NA==NA as same). */

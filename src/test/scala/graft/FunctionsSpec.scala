@@ -48,6 +48,49 @@ class FunctionsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq("hi"), Seq("lo"), Seq("mid")))
   }
 
+  test("bessel approximations match reference values to 1e-6") {
+    val out = sqlDf("x" -> Seq(1.0))
+      .select(BaseFns.besselJ0(col("x")), BaseFns.besselJ1(col("x")),
+        BaseFns.besselI0(col("x")), BaseFns.besselI1(col("x")))
+      .collect()(0)
+    assert(math.abs(out.getDouble(0) - 0.7651976866) < 1e-6) // J0(1)
+    assert(math.abs(out.getDouble(1) - 0.4400505857) < 1e-6) // J1(1)
+    assert(math.abs(out.getDouble(2) - 1.2660658778) < 1e-6) // I0(1)
+    assert(math.abs(out.getDouble(3) - 0.5651591040) < 1e-6) // I1(1)
+    // large-argument branch (ax >= 8)
+    val big = sqlDf("x" -> Seq(10.0))
+      .select(BaseFns.besselJ0(col("x"))).collect()(0).getDouble(0)
+    assert(math.abs(big - (-0.2459357645)) < 1e-6) // J0(10)
+  }
+
+  test("mod follows R sign-of-divisor semantics; intDiv floors") {
+    val df = sqlDf("x" -> Seq(5.0), "y" -> Seq(-2.0))
+    val r = df.select(BaseFns.modOf(col("x"), col("y")),
+      BaseFns.intDiv(col("x"), col("y"))).collect()(0)
+    assert(r.getDouble(0) == -1.0) // 5 %% -2 = -1 in R
+    assert(r.getDouble(1) == -3.0) // 5 %/% -2 = -3
+  }
+
+  test("cov/cor exact recipes match hand-computed values") {
+    val df = sqlDf("x" -> Seq(1.0, 2.0, 3.0), "y" -> Seq(2.0, 4.0, 7.0))
+    val r = df.select(BaseFns.covExact(col("x"), col("y")),
+      round(BaseFns.corExact(col("x"), col("y")), 9)).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-12)       // cov = 2.5
+    assert(math.abs(r.getDouble(1) - 0.99339927) < 1e-6) // cor
+  }
+
+  test("seeded runif/rnorm are deterministic and in range") {
+    val df = spark.range(1000)
+      .select(BaseFns.runifCol(42L, 0.0, 10.0).as("u"), BaseFns.rnormCol(42L).as("z"))
+    val stats = df.agg(min("u"), max("u"), avg("z")).collect()(0)
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 10.0)
+    assert(math.abs(stats.getDouble(2)) < 0.2) // mean ~ 0
+    // determinism: same seed, same values
+    val a = df.collect().map(_.getDouble(0)).toSeq
+    val b = spark.range(1000).select(BaseFns.runifCol(42L, 0.0, 10.0)).collect().map(_.getDouble(0)).toSeq
+    assert(a == b)
+  }
+
   test("recode maps values with passthrough for unmatched") {
     val df = sqlDf("x" -> Seq("a", "b", "z"))
     val out = df.select(CondFns.recode(col("x"),

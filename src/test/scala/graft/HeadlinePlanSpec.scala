@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+
+/** Explain audit for the §2.8 headline queries: the broadcast hints
+  * must sit on dimension-sized inputs (filtered customer, region/
+  * nation chain), never on a fact table (orders/lineitem) — a fact
+  * broadcast works at sf0.001 and falls over at 100×. */
+class HeadlinePlanSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val tableByPrefix = Map("l" -> "lineitem", "o" -> "orders",
+    "c" -> "customer", "s" -> "supplier", "p" -> "part",
+    "n" -> "nation", "r" -> "region")
+
+  private def hintedTables(name: String): Seq[Set[String]] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.analyzed.collect {
+      case ResolvedHint(child, hints) if hints.strategy.isDefined =>
+        child.collectLeaves()
+          .flatMap(_.output.map(_.name.takeWhile(_ != '_')))
+          .flatMap(tableByPrefix.get).toSet
+    }
+  }
+
+  test("q3_topk broadcasts the filtered customer selection, not orders") {
+    val hinted = hintedTables("q3_topk")
+    assert(hinted.nonEmpty, "q3 lost its broadcast hint")
+    assert(hinted.forall(t => !t.contains("orders") && !t.contains("lineitem")),
+      s"fact table under a broadcast hint: $hinted")
+    assert(hinted.exists(_.contains("customer")))
+  }
+
+  test("q5_region_revenue broadcasts only the dim chain") {
+    val hinted = hintedTables("q5_region_revenue")
+    assert(hinted.nonEmpty, "q5 lost its broadcast hints")
+    assert(hinted.forall(t => !t.contains("orders") && !t.contains("lineitem")),
+      s"fact table under a broadcast hint: $hinted")
+  }
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val df = SparkEntry.queries("q1_pricing")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$plan")
+  }
+}
