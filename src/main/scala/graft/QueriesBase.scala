@@ -162,6 +162,24 @@ object QueriesBase {
           "complete" -> TypeFns.completeCases(col("o_orderkey"), CondFns.naIf(col("o_orderstatus"), lit("P"))))
         .arrange(col("o_orderkey")).df),
 
+    "b_maxcol" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .transmute(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "biggest" -> SetFns.maxCol(col("l_quantity"), col("l_discount") * 100,
+            col("l_tax") * 100))
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
+    "b_transpose" -> ((s, d) =>
+      Tidyr.transpose(
+        t(s, d, "lineitem").graft
+          .groupBy("l_returnflag")
+          .summarise("qty" -> dsum(col("l_quantity")), "disc" -> dsum(col("l_discount")))
+          .ungroup.df,
+        idCol = "l_returnflag")
+        .orderBy(col("column"))),
+
     "b_cor" -> ((s, d) =>
       t(s, d, "lineitem").graft
         .groupBy("l_returnflag")
@@ -370,6 +388,32 @@ object QueriesBase {
         |    ELSE o_totalprice END) AS finite_price,
         |  (o_orderkey IS NOT NULL AND nullif(o_orderstatus, 'P') IS NOT NULL) AS complete
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "b_maxcol" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE greatest(l_quantity, l_discount*100, l_tax*100)
+        |    WHEN l_quantity THEN 1
+        |    WHEN l_discount*100 THEN 2
+        |    ELSE 3 END AS biggest
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "b_transpose" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag, ${dsumSql("l_quantity")} AS qty,
+         |    ${dsumSql("l_discount")} AS disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT 'qty' AS "column",
+         |  max(CASE WHEN l_returnflag='A' THEN qty END) AS A,
+         |  max(CASE WHEN l_returnflag='N' THEN qty END) AS N,
+         |  max(CASE WHEN l_returnflag='R' THEN qty END) AS R
+         |FROM agg
+         |UNION ALL
+         |SELECT 'disc',
+         |  max(CASE WHEN l_returnflag='A' THEN disc END),
+         |  max(CASE WHEN l_returnflag='N' THEN disc END),
+         |  max(CASE WHEN l_returnflag='R' THEN disc END)
+         |FROM agg
+         |ORDER BY "column"""".stripMargin,
 
     "b_cor" ->
       s"""WITH s AS (

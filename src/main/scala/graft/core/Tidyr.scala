@@ -210,6 +210,18 @@ object Tidyr {
     fields.foldLeft(df)((d, f) => d.withColumn(f, col(s"$c.$f"))).drop(c)
   }
 
+  /** base::t — transpose a (small) frame: id column becomes the
+    * header, remaining numeric columns become rows. Stack + pivot;
+    * the value-discovery pass makes this a small-frame verb (R's t()
+    * is a matrix op — document the cost, don't hide it). */
+  def transpose(df: DataFrame, idCol: String, valueType: String = "double"): DataFrame = {
+    val valueCols = df.columns.toSeq.filterNot(_ == idCol)
+    val long = pivotLonger(df, TidySelect.cols(valueCols: _*), "__col", "__val", valueType)
+    pivotWiderDiscover(long.withColumnRenamed(idCol, "__hdr"),
+      Seq("__col"), "__hdr", col("__val"), c => first(c))
+      .withColumnRenamed("__col", "column")
+  }
+
   /** full_seq: the complete arithmetic sequence spanning a column. */
   def fullSeq(df: DataFrame, c: Column, period: Long, as: String): DataFrame =
     df.agg(min(c).as("__lo"), max(c).as("__hi"))

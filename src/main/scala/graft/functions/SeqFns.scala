@@ -75,6 +75,14 @@ object SetFns {
       .filter(cond).select(col("__pos").as("pos"))
   def whichMin(x: Column, order: Column): Column = min_by(order, x)
   def whichMax(x: Column, order: Column): Column = max_by(order, x)
+  /** base::max.col — 1-based index of the row-wise maximum column
+    * (ties.method="first"). */
+  def maxCol(cs: Column*): Column = {
+    val mx = greatest(cs: _*)
+    cs.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (c, i)) =>
+      coalesce(acc, when(c === mx, lit(i + 1)))
+    }
+  }
 }
 
 object TypeFns {

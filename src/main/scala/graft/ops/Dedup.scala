@@ -94,9 +94,15 @@ object Dedup {
     * the caller count drops via `bucketStats` if needed. */
   private def bucketPairs(keyed: DataFrame, bucketCols: Seq[String],
                           payload: Seq[String], maxBucket: Int): DataFrame = {
-    val sizes = keyed.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bn"))
-    val capped = keyed.join(sizes.filter(col("__bn") > 1 && col("__bn") <= maxBucket),
-      bucketCols).drop("__bn")
+    import org.apache.spark.sql.expressions.Window
+    // bucket size via a window over the SAME hash-partitioning the
+    // self-join needs: the expensive signature subplan sits under one
+    // Exchange that both join sides share (ReuseExchange) — signatures
+    // are computed once, not once per side, and no separate
+    // count-aggregate join is needed.
+    val capped = keyed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(bucketCols.map(col): _*)))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket).drop("__bn")
     val l = capped.toDF(capped.columns.map(c => if (bucketCols.contains(c)) c else c + "_l"): _*)
     val r = capped.toDF(capped.columns.map(c => if (bucketCols.contains(c)) c else c + "_r"): _*)
     l.join(r, bucketCols).filter(col("doc_id_l") < col("doc_id_r"))

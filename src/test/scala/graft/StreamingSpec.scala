@@ -58,6 +58,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 
+  test("windowedAgg over a STREAM emits finalized windows after the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val agg = EventStreams.windowedAgg(input.toDF(), "1 hour", watermark = Some("10 minutes"))
+    val query = agg.writeStream.format("memory")
+      .queryName("winagg_out").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts(5), 1L, "view", 1.0),
+        SessionEvent(2L, ts(20), 1L, "view", 2.0))
+      query.processAllAvailable()
+      // advance event time far past hour 0 + watermark: hour-0 window finalizes
+      input.addData(SessionEvent(3L, ts(200), 1L, "view", 5.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(4L, ts(210), 1L, "view", 0.5))
+      query.processAllAvailable()
+      val rows = s.table("winagg_out").collect()
+      assert(rows.length == 1, s"expected exactly the finalized hour-0 window: ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("n") == 2L && rows(0).getAs[Double]("total") == 3.0)
+    } finally query.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     val s = spark
     import s.implicits._
