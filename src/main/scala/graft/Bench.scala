@@ -24,6 +24,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    // absorb session/codegen/parquet-footer warmup so per-query times
+    // measure the queries, not JVM startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }

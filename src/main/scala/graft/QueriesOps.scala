@@ -116,6 +116,12 @@ object QueriesOps {
       Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
     }),
 
+    "x_frames" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- streaming batch-equivalents ------------------------------------
     "s_window_agg" -> ((s, d) =>
       EventStreams.windowedAgg(events(s, d), "1 hour")
@@ -166,6 +172,19 @@ object QueriesOps {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_ann_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS rawcos
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, rawcos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(rawcos, 6) AS cos, CAST(rk AS INT) AS rank
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "s_window_agg" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,

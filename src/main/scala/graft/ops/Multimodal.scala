@@ -66,7 +66,7 @@ object Multimodal {
     media.select(col("media_id"),
       posexplode(transform(
         sequence(lit(0),
-          greatest((length(col("payload")) - 1) / (frameBytes * stride), lit(0))),
+          greatest(((length(col("payload")) - 1) / (frameBytes * stride)).cast("int"), lit(0))),
         i => substring(base64(col("payload")), (i * frameBytes * stride + 1).cast("int"), frameBytes))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_b64")

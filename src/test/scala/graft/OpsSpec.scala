@@ -64,6 +64,27 @@ class OpsSpec extends SparkTestBase {
     assert(top(1).getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("LSH top-k finds an exact-match query vector (self-recall = 1)") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top = Similarity.lshTopKFrame(vecs, "vec_id", "embedding", q, k = 1, nPlanes = 8)
+      .collect()(0)
+    // the query IS corpus vector 0 → identical hyperplane bucket → found
+    assert(top.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
+  }
+
+  test("IVF top-k finds an exact-match query vector through its probed list") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nLists = 4)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val top = Similarity.ivfTopKFrame(assigned, centroids, "vec_id", "embedding",
+      q, k = 1, nprobe = 1).collect()(0)
+    assert(top.getAs[Long]("vec_id") == 0L)
+  }
+
   test("fingerprint: identical docs share doc_fingerprint; different docs don't") {
     val out = TextAnalysis.fingerprint(docs, "text").select("doc_id", "doc_fingerprint")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
