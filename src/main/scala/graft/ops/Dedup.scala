@@ -76,6 +76,22 @@ object Dedup {
       (acc, row) => zip_with(acc, row, (a, b) => least(a, b)))
   }
 
+  // ---- native-Expression fast paths (graft.plans.TextKernels) ----------
+  // Higher-order functions evaluate interpreted (outside whole-stage
+  // codegen); the kernel expressions below do the identical signature
+  // work in one generated-code call — the default for the pipelines.
+  private def bridge(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expr(c)
+  private def fromExpr(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  def minhashSignatureFast(text: Column, w: Int, numPerm: Int): Column =
+    fromExpr(graft.plans.MinHashSignatureExpr(bridge(text), w, numPerm))
+  def shingleHashesFast(text: Column, w: Int): Column =
+    fromExpr(graft.plans.ShingleHashesExpr(bridge(text), w))
+  def simhashFast(text: Column): Column =
+    fromExpr(graft.plans.SimHashExpr(bridge(text)))
+
   /** LSH banding: (bandId, bandHash) keys for a signature. */
   def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
@@ -122,14 +138,16 @@ object Dedup {
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerm / numBands
     val sigs = df.select(col(id).as("doc_id"), col(text).as("__text"))
-      .withColumn("__sig", minhashSignature(col("__text"), w, numPerm))
+      .withColumn("__sig", minhashSignatureFast(col("__text"), w, numPerm))
       .withColumn("__band", explode(bands(col("__sig"), numBands, rowsPerBand)))
       .select(col("doc_id"), col("__band.band").as("band"),
         col("__band.bucket").as("bucket"))
     val pairs = bucketPairs(sigs, Seq("band", "bucket"), Nil, maxBucket)
-    // verification join: true jaccard over distinct shingle sets
+    // verification join: true jaccard over the distinct shingle-HASH
+    // sets (hash-set jaccard == string-set jaccard modulo negligible
+    // 64-bit collisions; the hash arrays are far cheaper to shuffle)
     val sh = df.select(col(id).as("__vid"),
-      array_distinct(shingles(tokens(col(text)), w)).as("__sh"))
+      shingleHashesFast(col(text), w).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__vid", "a").withColumnRenamed("__sh", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("__vid", "b").withColumnRenamed("__sh", "sh_b"), Seq("b"))
@@ -174,7 +192,7 @@ object Dedup {
                      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3,
       "simhashNearDup: 4x16-bit chunk bucketing guarantees recall only for maxDist <= 3")
-    val sigs = df.select(col(id).as("doc_id"), simhash(col(text)).as("sig"))
+    val sigs = df.select(col(id).as("doc_id"), simhashFast(col(text)).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),

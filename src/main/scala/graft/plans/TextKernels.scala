@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels for the text-signature hot paths.
+  *
+  * The Column-composition versions (ops/Dedup.scala) are correct and
+  * linear, but Spark evaluates higher-order functions (transform /
+  * aggregate / zip_with) INTERPRETED — they never enter whole-stage
+  * codegen, so every shingle pays expression-tree walking overhead.
+  * These kernels do the same work in one tight loop; the Expressions
+  * below splice a static call into generated code (doGenCode), keeping
+  * the 100 TB scan path fully codegen'd.
+  *
+  * Hashing uses Spark's own XXH64 (seed 42, the xxhash64 SQL default),
+  * so signatures are stable across JVMs/executors.
+  */
+object TextKernels {
+  final val Seed = 42L
+
+  /** Lowercase alphanumeric word tokens, hashed — one pass, no regex. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val s = text.toString.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[Long](32)
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i <= n) {
+      val alnum = i < n && Character.isLetterOrDigit(s.charAt(i))
+      if (alnum) sb.append(s.charAt(i))
+      else if (sb.length > 0) { out += hashStr(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (out.isEmpty) out += hashStr("") // tokens("") convention: one empty token
+    out.toArray
+  }
+
+  def hashStr(s: String): Long = {
+    val b = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(b.getBaseObject, b.getBaseOffset, b.numBytes, Seed)
+  }
+
+  @inline def hash2(a: Long, b: Long): Long =
+    XXH64.hashLong(b, XXH64.hashLong(a, Seed))
+
+  /** Distinct w-token rolling shingle hashes (<= size-w+1 windows,
+    * min 1 partial window for short docs). */
+  def shingleHashes(text: UTF8String, w: Int): Array[Long] = {
+    val hs = tokenHashes(text)
+    val nOut = math.max(hs.length - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nOut * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nOut)
+    var i = 0
+    while (i < nOut) {
+      var h = hs(i)
+      var k = 1
+      while (k < w && i + k < hs.length) { h = hash2(h, hs(i + k)); k += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** MinHash signature: sig(j) = min over shingles of hash2(h, j). */
+  def minhashSignature(text: UTF8String, w: Int, numPerm: Int): ArrayData = {
+    val sh = shingleHashes(text, w)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = sh(i)
+      var j = 0
+      while (j < numPerm) {
+        val v = hash2(h, j.toLong)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over distinct token hashes. */
+  def simhash(text: UTF8String): Long = {
+    val hs = tokenHashes(text)
+    val seen = new java.util.HashSet[java.lang.Long](hs.length * 2)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+object TextKernelsBridge {
+  def shingleHashArray(text: UTF8String, w: Int): ArrayData =
+    new GenericArrayData(TextKernels.shingleHashes(text, w))
+}
+
+/** shingle_hashes(text) — the distinct rolling w-shingle hash set. */
+case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelsBridge.shingleHashArray(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernelsBridge.shingleHashArray($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** minhash_signature(text) as a native expression — codegen'd via a
+  * static kernel call (stays inside WholeStageCodegen). */
+case class MinHashSignatureExpr(child: Expression, w: Int, numPerm: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[UTF8String], w, numPerm)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.minhashSignature($c, $w, $numPerm)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** simhash(text) as a native expression. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
