@@ -86,10 +86,25 @@ final class GraftFrame private (
 
   // ---- mutate / transmute (mutate.py) ------------------------------------
   /** Grouped frames: aggregate calls become per-group window aggs
-    * (one shared shuffle — see WindowRewrite). */
+    * (one shared shuffle — see WindowRewrite). Later expressions may
+    * reference columns created earlier in the same call (dplyr
+    * semantics: mutate(b = a+1, c = b*2)) — earlier definitions are
+    * SUBSTITUTED into later trees at build time, so the whole verb is
+    * still ONE projection and grouped windows collapse into a single
+    * Window operator (one shuffle). */
   def mutate(cols: (String, Column)*): GraftFrame = {
-    val rewritten = cols.map { case (n, c) => n -> WindowRewrite.overGroups(c, groupCols) }
-    withDf(df.withColumns(rewritten.toMap))
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
+    val groupColsByName = groups.map(col)
+    val (_, out) = cols.foldLeft((Map.empty[String, Column], Vector.empty[(String, Column)])) {
+      case ((defs, acc), (n, c)) =>
+        val sub = CB.substitute(c, defs)
+        val rewritten = WindowRewrite.overGroups(sub, groupColsByName)
+        // only NEW names participate in later substitution: redefining an
+        // existing column shadows it for later exprs too (dplyr), which
+        // the substitution also covers
+        (defs + (n -> sub), acc :+ (n -> rewritten))
+    }
+    withDf(df.withColumns(out.toMap))
   }
   def transmute(cols: (String, Column)*): GraftFrame = {
     val m = mutate(cols: _*).df

@@ -18,10 +18,18 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"),
     "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "di", "in", "per"))
 
-  /** Heuristic language ID: CJK-character ratio decides zh; otherwise
-    * the stopword profile with the highest hit count wins (ties →
-    * lexicographic, deterministic). */
+  /** langId via the native codegen kernel (graft.plans.LangIdExpr) —
+    * same heuristic as `langIdColumns` below, one generated-code call. */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.LangIdExpr(ColumnBridge.expr(text)))
+  }
+
+  /** Heuristic language ID (Column-composition reference form):
+    * CJK-character ratio decides zh; otherwise the stopword profile
+    * with the highest hit count wins (ties → lexicographically largest
+    * code, matching the descending struct sort). */
+  def langIdColumns(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\p{script=Han}]", ""))
     val toks = Dedup.tokens(text)
     val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -112,6 +112,58 @@ object TextKernels {
 object TextKernelsBridge {
   def shingleHashArray(text: UTF8String, w: Int): ArrayData =
     new GenericArrayData(TextKernels.shingleHashes(text, w))
+
+  /** Stopword-profile language ID (same heuristic as
+    * TextAnalysis.langId): CJK-char ratio decides zh; else the profile
+    * with the most DISTINCT-token hits wins, ties lexicographic. */
+  private val profiles: Array[(String, java.util.HashSet[String])] = {
+    val m = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "en"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+      "it" -> Seq("il", "la", "gli", "e", "è", "un", "una", "di", "in", "per"))
+    m.map { case (l, ws) =>
+      val s = new java.util.HashSet[String](); ws.foreach(s.add); (l, s)
+    }.toArray
+  }
+
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var cjk = 0
+    var i = 0
+    while (i < s.length) {
+      if (Character.UnicodeScript.of(s.codePointAt(i)) == Character.UnicodeScript.HAN) cjk += 1
+      i += 1
+    }
+    if (s.nonEmpty && cjk > s.length * 0.3) return UTF8String.fromString("zh")
+    // distinct lowercase tokens
+    val toks = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(16)
+    val lower = s.toLowerCase
+    i = 0
+    while (i <= lower.length) {
+      val alnum = i < lower.length && Character.isLetterOrDigit(lower.charAt(i))
+      if (alnum) sb.append(lower.charAt(i))
+      else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    // tie-break matches the Column form's descending struct sort:
+    // equal scores pick the lexicographically LARGEST language code
+    var best = ""; var bestScore = -1
+    var p = 0
+    while (p < profiles.length) {
+      val (lang, ws) = profiles(p)
+      var score = 0
+      val it = ws.iterator()
+      while (it.hasNext) if (toks.contains(it.next())) score += 1
+      if (score > bestScore || (score == bestScore && lang > best)) {
+        bestScore = score; best = lang
+      }
+      p += 1
+    }
+    UTF8String.fromString(best)
+  }
 }
 
 /** shingle_hashes(text) — the distinct rolling w-shingle hash set. */
@@ -139,6 +191,18 @@ case class MinHashSignatureExpr(child: Expression, w: Int, numPerm: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.TextKernels.minhashSignature($c, $w, $numPerm)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** lang_id(text) as a native expression. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelsBridge.langId(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernelsBridge.langId($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
 }
 

@@ -41,6 +41,37 @@ object ColumnBridge {
     Column(rw(c.node))
   }
 
+  /** Substitute references to previously-defined mutate columns into a
+    * later expression (dplyr's sequential mutate semantics) WITHOUT
+    * splitting the plan into per-column projections — the caller emits
+    * one withColumns, so grouped windows still collapse into a single
+    * Window operator. */
+  def substitute(c: Column, defs: Map[String, Column]): Column = {
+    if (defs.isEmpty) return c
+    def rw(n: ColumnNode): ColumnNode = n match {
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 1 && defs.contains(a.nameParts.head) =>
+        defs(a.nameParts.head).node
+      case f: UnresolvedFunction => f.copy(arguments = f.arguments.map(rw))
+      case a: Alias              => a.copy(child = rw(a.child))
+      case t: Cast               => t.copy(child = rw(t.child))
+      case w: Window =>
+        w.copy(windowFunction = rw(w.windowFunction),
+          windowSpec = w.windowSpec.copy(
+            partitionColumns = w.windowSpec.partitionColumns.map(rw),
+            sortColumns = w.windowSpec.sortColumns.map(so => so.copy(child = rw(so.child)))))
+      case cw: CaseWhenOtherwise =>
+        cw.copy(branches = cw.branches.map { case (p, v) => (rw(p), rw(v)) },
+          otherwise = cw.otherwise.map(rw))
+      case ev: UnresolvedExtractValue =>
+        ev.copy(child = rw(ev.child), extraction = rw(ev.extraction))
+      case so: SortOrder => so.copy(child = rw(so.child))
+      case lf: LambdaFunction => lf.copy(function = rw(lf.function))
+      case other => other
+    }
+    Column(rw(c.node))
+  }
+
   /** True if the column's node tree contains an aggregate call. */
   def hasAgg(c: Column, isAgg: String => Boolean): Boolean = {
     def walk(n: ColumnNode): Boolean = n match {

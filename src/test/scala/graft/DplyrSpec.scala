@@ -25,6 +25,20 @@ class DplyrSpec extends SparkTestBase {
         Seq("b", 3, 12L, 0.25), Seq("b", 4, 12L, 4.0 / 12), Seq("b", 5, 12L, 5.0 / 12)))
   }
 
+  test("mutate expressions see columns created earlier in the same call") {
+    val out = gdf.graft
+      .mutate("b" -> (col("x") + 1), "c" -> (col("b") * 2))
+      .arrange(col("x")).df
+    assertRows(out.select("x", "b", "c").limit(2),
+      Seq(Seq(1, 2, 4), Seq(2, 3, 6)))
+    // grouped flavor: the derived column participates in the window agg
+    val g = gdf.graft.groupBy("g")
+      .mutate("d" -> (col("x") * 10), "dsum" -> sum(col("d")))
+      .ungroup.arrange(col("x")).df
+    assertRows(g.select("g", "dsum").distinct().orderBy("g"),
+      Seq(Seq("a", 30L), Seq("b", 120L)))
+  }
+
   test("grouped filter with aggregate predicate keeps per-group maxima") {
     val out = gdf.graft.groupBy("g").filterRows(col("x") === max(col("x")))
       .ungroup.arrange(col("x")).df

@@ -100,6 +100,14 @@ class OpsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq("de"), Seq("en")))
   }
 
+  test("langId kernel agrees with the Column-composition reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val both = docs.select(
+      TextAnalysis.langId(col("text")).as("fast"),
+      TextAnalysis.langIdColumns(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("token counting: ws/bpe-ish/approx") {
     val df = sqlDf("text" -> Seq("Hello, world 42!"))
     val out = TextAnalysis.tokenCounts(df, "text")
