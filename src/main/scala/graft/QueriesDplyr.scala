@@ -394,6 +394,15 @@ object QueriesDplyr {
         .select("o_orderstatus", "o_orderkey")
         .arrange(col("o_orderstatus"), col("o_orderkey")).df),
 
+    "d_slice_prop" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus")
+        .arrange(col("o_orderkey"))
+        .sliceHeadProp(0.4)
+        .ungroup
+        .select("o_orderstatus", "o_orderkey")
+        .arrange(col("o_orderstatus"), col("o_orderkey")).df),
+
     "d_with_order" -> ((s, d) => {
       val part = Seq(col("o_custkey"))
       t(s, d, "orders").graft
@@ -695,6 +704,12 @@ object QueriesDplyr {
     "d_group_modify" ->
       """SELECT c_mktsegment, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "d_slice_prop" ->
+      """SELECT o_orderstatus, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |  <= floor(0.4 * count(*) OVER (PARTITION BY o_orderstatus))
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "d_with_order" ->
       """SELECT o_custkey, o_orderkey,

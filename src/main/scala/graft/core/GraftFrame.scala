@@ -235,6 +235,31 @@ final class GraftFrame private (
   /** Seeded per-group sample of n rows: deterministic rand-ranked. */
   def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
     sliceByRank(Seq(rand(seed).asc), n, withTies = false)
+
+  /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
+    * per group — n from a count window over the same partitioning, so
+    * still one shuffle. */
+  private def sliceByRankProp(keys: Seq[Column], prop: Double,
+                              withTies: Boolean): GraftFrame = {
+    val rk = if (withTies) rank() else row_number()
+    val cnt = count(lit(1)).over(Window.partitionBy(groupCols: _*))
+    withDf(df.withColumn("__rk", rk.over(orderedWindow(keys)))
+      .withColumn("__n", cnt)
+      .filter(col("__rk") <= floor(col("__n") * prop))
+      .drop("__rk", "__n"))
+  }
+  def sliceHeadProp(prop: Double): GraftFrame =
+    sliceByRankProp(sortKeys, prop, withTies = false)
+  def sliceTailProp(prop: Double): GraftFrame = {
+    val rev = (if (sortKeys.nonEmpty) sortKeys else Seq(lit(1).asc)).map(reverseOrder)
+    sliceByRankProp(rev, prop, withTies = false)
+  }
+  def sliceMinProp(c: Column, prop: Double, withTies: Boolean = true): GraftFrame =
+    sliceByRankProp(Seq(c.asc), prop, withTies)
+  def sliceMaxProp(c: Column, prop: Double, withTies: Boolean = true): GraftFrame =
+    sliceByRankProp(Seq(c.desc), prop, withTies)
+  def sliceSampleProp(prop: Double, seed: Long = 42L): GraftFrame =
+    sliceByRankProp(Seq(rand(seed).asc), prop, withTies = false)
   /** slice(i1, i2, …): arbitrary 1-based row indices per group along
     * the current arrange order (dplyr slice_.py's base verb). All-
     * negative indices drop those rows. One window per partitioning. */

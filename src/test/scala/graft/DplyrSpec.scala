@@ -68,6 +68,19 @@ class DplyrSpec extends SparkTestBase {
       Seq(Seq("a", 2), Seq("b", 4), Seq("b", 5)))
   }
 
+  test("slice prop variants keep floor(prop*n) rows per group") {
+    // reference tests/dplyr/test_slice.py: slice_head(prop=0.5) of 4 -> 2
+    val df = sqlDf("x" -> Seq(1, 2, 3, 4))
+    assertRows(df.graft.arrange(col("x")).sliceHeadProp(0.5).df.select("x").orderBy("x"),
+      Seq(Seq(1), Seq(2)))
+    assertRows(df.graft.arrange(col("x")).sliceTailProp(0.5).df.select("x").orderBy("x"),
+      Seq(Seq(3), Seq(4)))
+    // grouped: per-group floor(0.5 * group size)
+    val out = gdf.graft.groupBy("g").arrange(col("x")).sliceHeadProp(0.5)
+      .ungroup.arrange(col("x")).df
+    assertRows(out.select("g", "x"), Seq(Seq("a", 1), Seq("b", 3)))
+  }
+
   test("lead/lag default applies only past the frame edge, not to genuine nulls") {
     val df = sqlDf("ord" -> Seq(1, 2, 3), "v" -> Seq("x", null, "z"))
     val out = df.select(col("ord"), col("v"),
