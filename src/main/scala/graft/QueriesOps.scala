@@ -173,6 +173,51 @@ object QueriesOps {
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Quadratic ground truth is feasible oracle-side at 500 docs; the
+    // synthetic near-dups all sit at jaccard >= 0.9 where 16-band LSH
+    // recall is certain, so the LSH result EQUALS the ground truth and
+    // hash-compares exactly (integer-count jaccards divide identically
+    // in both engines).
+    "x_dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+
+    "x_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |cand AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.15),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ns) < 5 THEN [ns]
+        |    ELSE list_distinct(list_transform(range(1, len(ns)-3), i -> substring(ns, i, 5))) END AS gs
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns FROM documents))
+        |SELECT c.a, c.b,
+        |  CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) / CAST(len(list_distinct(ga.gs || gb.gs)) AS DOUBLE) AS ngram_jaccard
+        |FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b
+        |ORDER BY a, b""".stripMargin,
+
     "x_ann_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
