@@ -168,6 +168,18 @@ class DplyrSpec extends SparkTestBase {
     assertRows(out.orderBy("x"), Seq(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
   }
 
+  test("saltedJoin equals the plain join and shuffles on (key, salt)") {
+    val big = sqlDf("k" -> Seq(1, 1, 1, 2, 3), "v" -> Seq(10, 11, 12, 20, 30))
+    val small = sqlDf("k" -> Seq(1, 2), "w" -> Seq("a", "b"))
+    val salted = ScaleJoins.saltedJoin(big, small, Seq("k"), "inner", salt = 4)
+      .orderBy("k", "v")
+    val plain = big.join(small, Seq("k"), "inner").orderBy("k", "v")
+    assert(rowsOf(salted) == rowsOf(plain))
+    val plan = ScaleJoins.saltedJoin(big, small, Seq("k"), "inner", salt = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__salt"), s"salt key missing from join:\n$plan")
+  }
+
   test("cumprod handles zeros and sign") {
     val df = sqlDf("ord" -> Seq(1, 2, 3, 4), "x" -> Seq(2.0, -3.0, 1.0, 0.0))
     val out = df.select(col("ord"),
