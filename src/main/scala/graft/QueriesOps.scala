@@ -127,6 +127,17 @@ object QueriesOps {
       EventStreams.windowedAgg(events(s, d), "1 hour")
         .orderBy(col("wstart"), col("event_type"))),
 
+    // batch equivalent of streaming dedup: duplicate the stream, drop
+    // duplicates by key (identical full rows, so the kept row is
+    // deterministic), count per user
+    "s_dedup" -> ((s, d) => {
+      val ev = events(s, d).select("event_id", "user_id", "event_type")
+      graft.core.Bind.rows(ev, ev)
+        .dropDuplicates("event_id")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     "s_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
         .groupBy("user_id", "session_id")
@@ -235,6 +246,11 @@ object QueriesOps {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "s_dedup" ->
+      """SELECT user_id, count(*) AS n_events FROM (
+        |  SELECT DISTINCT event_id, user_id, event_type FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native kernel expressions as SQL functions, so
+  * `spark.sql("SELECT minhash_signature(text, 3, 64) ...")` works for
+  * SQL-first users.
+  *
+  * Two entry points:
+  * - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  * - runtime: `GraftExtensions.register(spark)` on an existing session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private[plans] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => MinHashSignatureExpr(t, 3, 64)
+        case Seq(t, w, p) => MinHashSignatureExpr(t, intArg(w, "w"), intArg(p, "numPerm"))
+        case _ => throw new IllegalArgumentException("minhash_signature(text[, w, numPerm])")
+      }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => ShingleHashesExpr(t, 3)
+        case Seq(t, w) => ShingleHashesExpr(t, intArg(w, "w"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, w])")
+      }),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash"),
+      (es: Seq[Expression]) => SimHashExpr(es.head)),
+    ("lang_id",
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (es: Seq[Expression]) => LangIdExpr(es.head)))
+
+  /** Runtime registration into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

@@ -108,6 +108,19 @@ class OpsSpec extends SparkTestBase {
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
+  test("kernel functions are SQL-callable after extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs_sql")
+    val out = spark.sql(
+      """SELECT doc_id, simhash(text) AS sig, lang_id(text) AS lang,
+        |  size(minhash_signature(text, 3, 16)) AS nsig
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("sig") == out(1).getAs[Long]("sig")) // exact dups
+    assert(out.forall(_.getAs[Int]("nsig") == 16))
+    assert(out(0).getAs[String]("lang") == "en")
+  }
+
   test("token counting: ws/bpe-ish/approx") {
     val df = sqlDf("text" -> Seq("Hello, world 42!"))
     val out = TextAnalysis.tokenCounts(df, "text")
