@@ -287,10 +287,20 @@ object QueriesDplyr {
 
     "d_cumprod" -> ((s, d) => {
       val part = Seq(col("l_orderkey"))
-      val ord = Seq(col("l_linenumber").asc)
+      // l_linenumber is non-unique: tiebreak on the aggregated values
+      // themselves so the running product/sum are order-independent
+      // within residual ties
+      val ord = Seq(col("l_linenumber").asc, col("l_discount").asc, col("l_quantity").asc)
+      // run_mean as exact-sum / count with an explicit DOUBLE division,
+      // so both engines divide the same exact operands (a decimal avg
+      // would round on a different path than DuckDB's)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+        .orderBy(ord: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       t(s, d, "lineitem").graft
         .mutate("disc_factor" -> CumFns.cumprod(lit(1.0) - col("l_discount"), ord, part),
-          "run_mean_qty" -> CumFns.cummean(col("l_quantity").cast("decimal(28,6)"), ord, part))
+          "run_mean_qty" -> (CumFns.cumsum(col("l_quantity").cast("decimal(28,6)"), ord, part)
+            .cast("double") / count(lit(1)).over(w).cast("double")))
         .select("l_orderkey", "l_linenumber", "disc_factor", "run_mean_qty")
         .arrange(col("l_orderkey"), col("l_linenumber")).df
     }),
@@ -617,8 +627,15 @@ object QueriesDplyr {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
-    // d_cumprod: no oracle (exp/ln differ across engines in last ulp) —
-    // rows-only check; semantics covered by CumFnsSpec.
+    "d_cumprod" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  product(1.0 - l_discount) OVER wr AS disc_factor,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER wr AS DOUBLE)
+        |    / CAST(count(*) OVER wr AS DOUBLE) AS run_mean_qty
+        |FROM lineitem
+        |WINDOW wr AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_discount, l_quantity
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "d_case" ->
       """SELECT l_orderkey, l_linenumber,

@@ -77,15 +77,11 @@ object CumFns {
     min(x).over(cw(order, part))
   def cummean(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
     avg(x).over(cw(order, part))
-  /** cumprod via exp∘sum∘log with sign tracking (no native cumprod). */
-  def cumprod(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column = {
-    val ww = cw(order, part)
-    val negatives = sum(when(x < 0, 1).otherwise(0)).over(ww)
-    val zeros = sum(when(x === 0, 1).otherwise(0)).over(ww)
-    val mag = exp(sum(log(abs(x))).over(ww))
-    when(zeros > 0, lit(0.0))
-      .otherwise(when(pmod(negatives, lit(2)) === 1, -mag).otherwise(mag))
-  }
+  /** cumprod via the native product aggregate over the running frame —
+    * multiplies in frame order, so results are bit-identical to any
+    * engine that does the same (an exp∘sum∘log recipe would not be). */
+  def cumprod(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    product(x).over(cw(order, part))
   def cumall(p: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
     min(when(coalesce(p, lit(false)), 1).otherwise(0)).over(cw(order, part)) === 1
   def cumany(p: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =

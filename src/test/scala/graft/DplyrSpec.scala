@@ -183,7 +183,10 @@ class DplyrSpec extends SparkTestBase {
   test("cumprod handles zeros and sign") {
     val df = sqlDf("ord" -> Seq(1, 2, 3, 4), "x" -> Seq(2.0, -3.0, 1.0, 0.0))
     val out = df.select(col("ord"),
-      round(CumFns.cumprod(col("x"), Seq(col("ord"))), 6).as("cp")).orderBy("ord")
-    assertRows(out, Seq(Seq(1, 2.0), Seq(2, -6.0), Seq(3, -6.0), Seq(4, 0.0)))
+      CumFns.cumprod(col("x"), Seq(col("ord"))).as("cp")).orderBy("ord")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // IEEE: -6.0 * 0.0 = -0.0; compare numerically, not by bit pattern
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(out.zip(Seq(2.0, -6.0, -6.0, 0.0)).forall { case ((_, g), e) => g == e })
   }
 }
