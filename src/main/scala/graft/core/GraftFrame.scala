@@ -146,9 +146,14 @@ final class GraftFrame private (
   }
 
   // ---- arrange (arrange.py) ---------------------------------------------
+  /** dplyr/R semantics: NAs sort LAST regardless of direction (Spark's
+    * default is nulls-first for ascending) — each key is normalized to
+    * its nulls-last variant unless the caller set an explicit null
+    * ordering. */
   def arrange(keys: Column*): GraftFrame = {
-    val effective = if (groups.nonEmpty) groupCols ++ keys else keys.toSeq
-    new GraftFrame(df.orderBy(effective: _*), groups, keys.toSeq)
+    val normalized = keys.map(nullsLast)
+    val effective = if (groups.nonEmpty) groupCols ++ normalized else normalized
+    new GraftFrame(df.orderBy(effective: _*), groups, normalized)
   }
 
   // ---- distinct (distinct.py) -------------------------------------------
@@ -386,16 +391,13 @@ object GraftFrame {
   def apply(df: DataFrame): GraftFrame = new GraftFrame(df, Nil, Nil)
   def apply(df: DataFrame, groups: Seq[String]): GraftFrame = new GraftFrame(df, groups, Nil)
 
-  private[core] def reverseOrder(c: Column): Column = {
-    // flip asc/desc on a sort key by inspecting the expression
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.expr(c) match {
-      case SortOrder(child, Ascending, _, _)  => ExpressionUtils.column(child).desc
-      case SortOrder(child, Descending, _, _) => ExpressionUtils.column(child).asc
-      case other                              => ExpressionUtils.column(other).desc
-    }
-  }
+  private[core] def reverseOrder(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.reverseOrder(c)
+
+  /** Normalize a sort key to NAs-last (R semantics) while preserving
+    * its direction; explicit orderings set by the caller are kept. */
+  private[core] def nullsLast(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.nullsLast(c)
 
   implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
     def graft: GraftFrame = GraftFrame(df)

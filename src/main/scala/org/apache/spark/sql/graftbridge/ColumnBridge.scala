@@ -72,6 +72,32 @@ object ColumnBridge {
     Column(rw(c.node))
   }
 
+  /** Sort-key normalization at the ColumnNode level (no catalyst
+    * round-trip, which can leave evaluable SortOrder wrappers in
+    * projections). dplyr/R: NAs last in BOTH directions — rewrite only
+    * Spark's default (Ascending, NullsFirst) pairing. */
+  def nullsLast(c: Column): Column = c.node match {
+    case so: SortOrder
+        if so.sortDirection == SortOrder.Ascending && so.nullOrdering == SortOrder.NullsFirst =>
+      Column(so.copy(nullOrdering = SortOrder.NullsLast))
+    case _: SortOrder => c
+    case other => Column(SortOrder(other, SortOrder.Ascending, SortOrder.NullsLast, other.origin))
+  }
+
+  /** True inverse of a sort key: flip BOTH direction and null
+    * placement, so the reversed order's first row is the original
+    * order's last row. */
+  def reverseOrder(c: Column): Column = c.node match {
+    case so: SortOrder =>
+      val dir = if (so.sortDirection == SortOrder.Ascending) SortOrder.Descending
+                else SortOrder.Ascending
+      val no = if (so.nullOrdering == SortOrder.NullsFirst) SortOrder.NullsLast
+               else SortOrder.NullsFirst
+      Column(so.copy(sortDirection = dir, nullOrdering = no))
+    case other =>
+      Column(SortOrder(other, SortOrder.Descending, SortOrder.NullsLast, other.origin))
+  }
+
   /** True if the column's node tree contains an aggregate call. */
   def hasAgg(c: Column, isAgg: String => Boolean): Boolean = {
     def walk(n: ColumnNode): Boolean = n match {

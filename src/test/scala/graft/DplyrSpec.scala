@@ -99,6 +99,19 @@ class DplyrSpec extends SparkTestBase {
     assertRows(out, Seq(Seq(1, 1L), Seq(2, 1L), Seq(3, 2L), Seq(4, 2L), Seq(5, 3L), Seq(6, 4L)))
   }
 
+  test("arrange puts NAs last in both directions; sliceTail reaches them") {
+    val df = sqlDf("ord" -> Seq(1, 2, 3, 4), "v" -> Seq(3, null, 1, 2))
+    // ascending: 1, 2, 3, NA
+    assertRows(df.graft.arrange(col("v")).df.select("v"),
+      Seq(Seq(1), Seq(2), Seq(3), Seq(null)))
+    // descending: 3, 2, 1, NA (R semantics — NAs last either way)
+    assertRows(df.graft.arrange(col("v").desc).df.select("v"),
+      Seq(Seq(3), Seq(2), Seq(1), Seq(null)))
+    // sliceTail(1) of the ascending order is the NA row
+    assertRows(df.graft.arrange(col("v")).sliceTail(1).df.select("v"),
+      Seq(Seq(null)))
+  }
+
   test("distinct keep_all keeps one full row per key") {
     val df = sqlDf("k" -> Seq("a", "a", "b"), "v" -> Seq(1, 2, 3))
     val out = df.graft.distinctRows(Seq("k"), keepAll = true).df
