@@ -39,6 +39,13 @@ object QueriesOps {
         w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
         .orderBy(col("a"), col("b"))),
 
+    "x_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      Dedup.dedupClusters(pairs.select("a", "b"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_dedup_simhash" -> ((s, d) =>
       // maxDist=3 is the radius the 4x16-bit chunk bucketing actually
       // guarantees recall for (pigeonhole) — a larger radius here would
@@ -228,6 +235,30 @@ object QueriesOps {
         |  CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) / CAST(len(list_distinct(ga.gs || gb.gs)) AS DOUBLE) AS ngram_jaccard
         |FROM cand c JOIN g ga ON ga.doc_id = c.a JOIN g gb ON gb.doc_id = c.b
         |ORDER BY a, b""".stripMargin,
+
+    // components of the same ground-truth pair graph, via transitive
+    // closure in a recursive CTE (25 pairs at this scale)
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

@@ -229,6 +229,41 @@ object Dedup {
     * within-bucket exact cosine ≥ threshold. Planes are derived
     * deterministically from hashes (no Random — reproducible plans).
     */
+  /** Connected components over near-dup pairs → duplicate clusters:
+    * iterative min-label propagation (each node takes the minimum
+    * component id among itself and its neighbors until fixpoint).
+    * Converges in O(diameter) rounds — near-dup graphs are unions of
+    * small cliques, so a handful of iterations; each round is one
+    * shuffle join + aggregate, localCheckpointed to keep lineage flat.
+    * The driver-side loop-with-count is inherent to iterative graph
+    * algorithms (same structure GraphX uses), not a per-row action.
+    * Returns (doc_id, cluster_id = min doc_id in the component); docs
+    * in no pair keep themselves as singleton clusters via the caller's
+    * left join. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nc")).as("mn"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("mn"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
                        nPlanes: Int = 12, threshold: Double = 0.97,
                        maxBucket: Int = 1000): DataFrame = {

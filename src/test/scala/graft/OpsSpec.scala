@@ -35,6 +35,13 @@ class OpsSpec extends SparkTestBase {
       s"bucket pairing still materializes arrays:\n$plan")
   }
 
+  test("dedupClusters merges transitive pairs into one component") {
+    // chain 1-2, 2-3 plus isolated pair 5-6: components {1,2,3} and {5,6}
+    val pairs = sqlDf("a" -> Seq(1L, 2L, 5L), "b" -> Seq(2L, 3L, 6L))
+    val out = Dedup.dedupClusters(pairs).orderBy("doc_id")
+    assertRows(out, Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(5L, 5L), Seq(6L, 5L)))
+  }
+
   test("simhash near-dup respects its hamming radius guarantee") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 3)
     val pairs = out.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
