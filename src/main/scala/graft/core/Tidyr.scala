@@ -198,6 +198,26 @@ object Tidyr {
       .drop("__e").drop(c)
   }
 
+  /** unnest_longer: one row per element of an array column (index
+    * optionally kept, tidyr's indices_to). */
+  def unnestLonger(df: DataFrame, c: String,
+                   indicesTo: Option[String] = None): DataFrame =
+    indicesTo match {
+      case None => df.withColumn(c, explode(col(c)))
+      case Some(idx) =>
+        df.select(df.columns.map(col).toSeq :+ posexplode(col(c)).as(Seq(idx, s"__$c")): _*)
+          .drop(c).withColumnRenamed(s"__$c", c)
+    }
+
+  /** unnest_wider: one column per struct field (= unpack). */
+  def unnestWider(df: DataFrame, c: String): DataFrame = unpack(df, c)
+
+  /** hoist: pull single fields out of a struct column, keeping it. */
+  def hoist(df: DataFrame, c: String, fields: (String, String)*): DataFrame =
+    fields.foldLeft(df) { case (d, (as, field)) =>
+      d.withColumn(as, col(s"$c.$field"))
+    }
+
   /** pack: gather columns into a struct column. */
   def pack(df: DataFrame, name: String, sel: Selector): DataFrame = {
     val cols = sel.resolve(df.schema)

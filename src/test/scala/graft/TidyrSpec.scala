@@ -70,6 +70,19 @@ class TidyrSpec extends SparkTestBase {
     assert(unnested.count() == 3)
   }
 
+  test("unnest_longer/wider and hoist") {
+    val df = sqlDf("id" -> Seq(1))
+      .withColumn("xs", array(lit(10), lit(20)))
+      .withColumn("meta", struct(lit("a").as("tag"), lit(5).as("n")))
+    assertRows(Tidyr.unnestLonger(df, "xs").select("id", "xs").orderBy("xs"),
+      Seq(Seq(1, 10), Seq(1, 20)))
+    val withIdx = Tidyr.unnestLonger(df, "xs", indicesTo = Some("i"))
+    assertRows(withIdx.select("i", "xs").orderBy("i"), Seq(Seq(0, 10), Seq(1, 20)))
+    assert(Tidyr.unnestWider(df, "meta").columns.toSeq == Seq("id", "xs", "tag", "n"))
+    assertRows(Tidyr.hoist(df, "meta", "tag_out" -> "tag").select("tag_out"),
+      Seq(Seq("a")))
+  }
+
   test("separate_rows explodes delimited values") {
     val df = sqlDf("id" -> Seq(1), "s" -> Seq("a,b,c"))
     assert(Tidyr.separateRows(df, "s", ",").count() == 3)
