@@ -162,6 +162,17 @@ object QueriesBase {
           "complete" -> TypeFns.completeCases(col("o_orderkey"), CondFns.naIf(col("o_orderstatus"), lit("P"))))
         .arrange(col("o_orderkey")).df),
 
+    "b_rowstats" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .transmute(
+          "l_orderkey" -> col("l_orderkey"),
+          "l_linenumber" -> col("l_linenumber"),
+          "row_sum" -> BaseFns.rowSums(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          "row_mean" -> BaseFns.rowMeans(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          "row_med" -> BaseFns.rowMedians(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          "row_any_na" -> BaseFns.anyNaRow(col("l_quantity"), col("l_extendedprice")))
+        .arrange(col("l_orderkey"), col("l_linenumber")).df),
+
     "b_maxcol" -> ((s, d) =>
       t(s, d, "lineitem").graft
         .transmute(
@@ -388,6 +399,14 @@ object QueriesBase {
         |    ELSE o_totalprice END) AS finite_price,
         |  (o_orderkey IS NOT NULL AND nullif(o_orderstatus, 'P') IS NOT NULL) AS complete
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "b_rowstats" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity + l_extendedprice + l_tax AS row_sum,
+        |  (l_quantity + l_extendedprice + l_tax) / 3 AS row_mean,
+        |  list_sort([l_quantity, l_extendedprice, l_tax])[2] AS row_med,
+        |  (l_quantity IS NULL OR l_extendedprice IS NULL) AS row_any_na
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "b_maxcol" ->
       """SELECT l_orderkey, l_linenumber,

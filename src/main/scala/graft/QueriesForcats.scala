@@ -86,6 +86,16 @@ object QueriesForcats {
         "p_type", c => split(c, " ").getItem(0))
         .orderBy(col("ord"))),
 
+    "f_fct_lowfreq" -> ((s, d) =>
+      Forcats.fctLumpLowfreq(t(s, d, "part"), "p_brand")
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))),
+
+    "f_fct_reorder2" -> ((s, d) =>
+      Forcats.fctReorder2(t(s, d, "customer"), "c_mktsegment",
+        col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("ord"))),
+
     // seeded md5 order — deterministic but engine-specific: rows-only check
     "f_fct_shuffle" -> ((s, d) =>
       Forcats.fctShuffle(
@@ -144,6 +154,21 @@ object QueriesForcats {
         |    CASE c_mktsegment WHEN 'MACHINERY' THEN 0 WHEN 'HOUSEHOLD' THEN 1
         |      ELSE 2147483647 END, ord0) AS INT) AS ord
         |FROM base ORDER BY ord""".stripMargin,
+
+    "f_fct_lowfreq" ->
+      """WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1),
+        |k AS (SELECT p_brand FROM (
+        |  SELECT p_brand, n, sum(n) OVER (ORDER BY n, p_brand
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM c)
+        |  WHERE n > cs - n)
+        |SELECT CASE WHEN p_brand IN (SELECT p_brand FROM k)
+        |  THEN p_brand ELSE 'Other' END AS p_brand, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "f_fct_reorder2" ->
+      """SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY arg_max(c_acctbal, c_custkey) DESC, c_mktsegment) AS INT) AS ord
+        |FROM customer GROUP BY c_mktsegment ORDER BY ord""".stripMargin,
 
     "f_fct_shift" ->
       """WITH base AS (SELECT c_mktsegment,

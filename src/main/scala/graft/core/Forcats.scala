@@ -209,6 +209,45 @@ object Forcats {
     levels.withColumn(f, m)
   }
 
+  /** fct_lump_lowfreq: lump the rarest levels so "Other" stays the
+    * least frequent level (forcats' parameterless lump). Keep levels
+    * whose count exceeds the total of all smaller-or-equal counts. */
+  def fctLumpLowfreq(df: DataFrame, f: String, other: String = "Other"): DataFrame = {
+    val counts = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__n").asc, col(f))
+    val keep = counts
+      .withColumn("__csum", sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // level survives if its count is strictly greater than the sum of
+      // everything at-or-below it (that sum becomes Other's count)
+      .filter(col("__n") > col("__csum") - col("__n"))
+      .select(col(f).as("__keep"))
+    df.join(broadcast(keep), df(f) === col("__keep"), "left")
+      .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))
+      .drop("__keep")
+  }
+
+  /** fct_reorder2: level order by an aggregate of y at the maximum x
+    * per level (forcats' default .fun = last2, i.e. y at greatest x),
+    * descending — the legend-matching ordering. */
+  def fctReorder2(df: DataFrame, f: String, x: Column, y: Column): DataFrame =
+    df.groupBy(col(f)).agg(max_by(y, x).as("__stat"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("__stat").desc, col(f))))
+      .drop("__stat")
+
+  /** fct_unify: re-level several factors' tables to their shared
+    * (sorted) union of levels. */
+  def fctUnify(tables: Seq[DataFrame], f: String): Seq[DataFrame] = {
+    val union = tables.map(_.select(col(f))).reduce(_.union(_)).distinct()
+      .withColumn("ord", row_number().over(Window.orderBy(col(f))))
+    tables.map(_ => union)
+  }
+
+  /** droplevels — alias of fctDrop (levels are data-derived here). */
+  def droplevels(df: DataFrame, f: String): DataFrame = fctDrop(df, f)
+  /** nlevels as a one-row frame (no driver action). */
+  def nlevels(df: DataFrame, f: String): DataFrame =
+    df.agg(countDistinct(col(f)).as("nlevels"))
+
   /** lvls_union: union of several factors' level tables in first-seen
     * table order. */
   def lvlsUnion(tables: Seq[DataFrame], f: String): DataFrame =

@@ -58,6 +58,31 @@ object BaseFns {
     rand(seed) * (hi - lo) + lo
   def rnormCol(seed: Long, meanV: Double = 0.0, sd: Double = 1.0): Column =
     randn(seed) * sd + meanV
+  /** Exponential draw via inverse transform: -ln(U)/rate. */
+  def rexpCol(seed: Long, rate: Double = 1.0): Column =
+    -log(lit(1.0) - rand(seed)) / rate
+  /** Cauchy draw: location + scale * tan(pi * (U - 1/2)). */
+  def rcauchyCol(seed: Long, location: Double = 0.0, scale: Double = 1.0): Column =
+    lit(location) + lit(scale) * tan(lit(math.Pi) * (rand(seed) - lit(0.5)))
+  /** Chi-squared with k df: sum of k squared standard normals. */
+  def rchisqCol(seed: Long, df: Int): Column =
+    (0 until df).map(i => { val z = randn(seed + i); z * z })
+      .reduce(_ + _)
+
+  // ---- row-wise matrix stats (base verbs row_sums/means/sds) -----------
+  def rowSums(cs: Column*): Column = cs.map(_.cast("double")).reduce(_ + _)
+  def rowMeans(cs: Column*): Column = rowSums(cs: _*) / cs.length
+  /** Sample sd across the given columns, per row. */
+  def rowSds(cs: Column*): Column = {
+    val m = rowMeans(cs: _*)
+    val ss = cs.map(c => (c.cast("double") - m) * (c.cast("double") - m)).reduce(_ + _)
+    sqrt(ss / (cs.length - 1))
+  }
+  def rowMedians(cs: Column*): Column =
+    sort_array(array(cs.map(_.cast("double")): _*))
+      .getItem((cs.length - 1) / 2) // lower median for even n (documented)
+  /** any_na across columns per row. */
+  def anyNaRow(cs: Column*): Column = cs.map(_.isNull).reduce(_ || _)
   def ceiling(x: Column): Column = ceil(x)
   def floorOf(x: Column): Column = floor(x)
   def roundOf(x: Column, digits: Int = 0): Column = round(x, digits)
@@ -123,6 +148,26 @@ object BaseFns {
       inv2 * (lit(1.0 / 12) - inv2 * (lit(1.0 / 120) - inv2 * lit(1.0 / 252)))
     (0 until 6).map(i => lit(1.0) / (xIn + lit(i.toDouble)))
       .foldLeft(series)(_ - _)
+  }
+
+  /** trigamma via the asymptotic series after a 6-step shift:
+    * psi'(x) = sum 1/(x+k)^2 for the shifted terms, then
+    * 1/x + 1/(2x^2) + 1/(6x^3) - 1/(30x^5) + 1/(42x^7). */
+  def trigammaOf(xIn: Column): Column = {
+    val x = xIn.cast("double") + lit(6.0)
+    val inv = lit(1.0) / x
+    val inv2 = inv * inv
+    val series = inv + lit(0.5) * inv2 +
+      inv2 * inv * (lit(1.0 / 6) - inv2 * (lit(1.0 / 30) - inv2 * lit(1.0 / 42)))
+    (0 until 6).map(i => { val t = xIn.cast("double") + lit(i.toDouble); lit(1.0) / (t * t) })
+      .foldLeft(series)(_ + _)
+  }
+  /** psigamma for deriv 0 (digamma) and 1 (trigamma) — the orders the
+    * reference's tests exercise; higher orders are out of scope. */
+  def psigammaOf(x: Column, deriv: Int): Column = deriv match {
+    case 0 => digammaOf(x)
+    case 1 => trigammaOf(x)
+    case d => throw new IllegalArgumentException(s"psigamma deriv=$d unsupported (0|1)")
   }
 
   // ---- Bessel functions (reference: datar base/bessel.py) --------------

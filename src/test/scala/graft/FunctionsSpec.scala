@@ -63,6 +63,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(big - (-0.2459357645)) < 1e-6) // J0(10)
   }
 
+  test("trigamma matches reference values; psigamma dispatches") {
+    val out = sqlDf("x" -> Seq(1.0, 5.0))
+      .select(col("x"), round(BaseFns.trigammaOf(col("x")), 8).as("tg"))
+      .orderBy("x").collect()
+    assert(math.abs(out(0).getDouble(1) - 1.64493407) < 1e-6) // pi^2/6
+    assert(math.abs(out(1).getDouble(1) - 0.22132295) < 1e-6) // trigamma(5)
+    intercept[IllegalArgumentException] { BaseFns.psigammaOf(lit(1.0), 2) }
+  }
+
+  test("row-wise stats compute across columns per row") {
+    val df = sqlDf("a" -> Seq(1.0), "b" -> Seq(5.0), "c" -> Seq(3.0))
+    val r = df.select(
+      BaseFns.rowSums(col("a"), col("b"), col("c")),
+      BaseFns.rowMeans(col("a"), col("b"), col("c")),
+      BaseFns.rowMedians(col("a"), col("b"), col("c")),
+      round(BaseFns.rowSds(col("a"), col("b"), col("c")), 6)).collect()(0)
+    assert(r.getDouble(0) == 9.0 && r.getDouble(1) == 3.0 && r.getDouble(2) == 3.0)
+    assert(r.getDouble(3) == 2.0) // sd of 1,5,3 = 2
+  }
+
   test("mod follows R sign-of-divisor semantics; intDiv floors") {
     val df = sqlDf("x" -> Seq(5.0), "y" -> Seq(-2.0))
     val r = df.select(BaseFns.modOf(col("x"), col("y")),
