@@ -100,7 +100,17 @@ object EventStreams {
   }
 
   // ---- streaming dedup ---------------------------------------------------
-  /** Exactly-once-per-key within the watermark horizon. */
+  /** Exactly-once-per-key across the whole stream (state grows with
+    * distinct keys — fine for bounded key spaces). */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** State-BOUNDED variant: duplicates are only guaranteed dropped
+    * within the watermark horizon, and key state is evicted as the
+    * watermark advances — the mode that survives an unbounded 100 TB
+    * stream. */
+  def dedupStreamWithinWatermark(events: DataFrame,
+                                 watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -99,4 +99,21 @@ class StreamingSpec extends SparkTestBase {
       assert(s.table("dedup_out").count() == 2)
     } finally query.stop()
   }
+
+  test("dedupStreamWithinWatermark drops dups and bounds state by the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val deduped = EventStreams.dedupStreamWithinWatermark(input.toDF(), "30 minutes")
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_wm_out").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts(0), 1L, "view", 1.0),
+        SessionEvent(1L, ts(1), 1L, "view", 1.0))
+      query.processAllAvailable()
+      assert(s.table("dedup_wm_out").count() == 1)
+    } finally query.stop()
+  }
 }
