@@ -231,7 +231,9 @@ object QueriesBase {
           "j0" -> BaseFns.besselJ0(col("p_size") / lit(10.0)),
           "j1" -> BaseFns.besselJ1(col("p_size") / lit(10.0)),
           "i0" -> BaseFns.besselI0(col("p_size") / lit(10.0)),
-          "i1" -> BaseFns.besselI1(col("p_size") / lit(10.0)))
+          "i1" -> BaseFns.besselI1(col("p_size") / lit(10.0)),
+          "k0" -> BaseFns.besselK0(col("p_size") / lit(10.0)),
+          "y0" -> BaseFns.besselY0(col("p_size") / lit(10.0)))
         .arrange(col("p_partkey")).df),
 
     "b_random" -> ((s, d) =>

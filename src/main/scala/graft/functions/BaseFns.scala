@@ -234,4 +234,66 @@ object BaseFns {
       -0.2895312e-1, 0.1787654e-1, -0.420059e-2))
     when(ax < 3.75, small).otherwise(large) * signum(x)
   }
+
+  /** K0 (A&S 9.8.5/9.8.6), x > 0. */
+  def besselK0(xIn: Column): Column = {
+    val x = xIn.cast("double")
+    val y = x * x / lit(4.0)
+    val small = -log(x / 2.0) * besselI0(x) + poly(y, Seq(-0.57721566,
+      0.42278420, 0.23069756, 0.3488590e-1, 0.262698e-2, 0.10750e-3, 0.74e-5))
+    val y2 = lit(2.0) / x
+    val large = (exp(-x) / sqrt(x)) * poly(y2, Seq(1.25331414, -0.7832358e-1,
+      0.2189568e-1, -0.1062446e-1, 0.587872e-2, -0.251540e-2, 0.53208e-3))
+    when(x <= 2.0, small).otherwise(large)
+  }
+
+  /** K1 (A&S 9.8.7/9.8.8), x > 0. */
+  def besselK1(xIn: Column): Column = {
+    val x = xIn.cast("double")
+    val y = x * x / lit(4.0)
+    val small = log(x / 2.0) * besselI1(x) + (lit(1.0) / x) * poly(y, Seq(1.0,
+      0.15443144, -0.67278579, -0.18156897, -0.1919402e-1, -0.110404e-2, -0.4686e-4))
+    val y2 = lit(2.0) / x
+    val large = (exp(-x) / sqrt(x)) * poly(y2, Seq(1.25331414, 0.23498619,
+      -0.3655620e-1, 0.1504268e-1, -0.780353e-2, 0.325614e-2, -0.68245e-3))
+    when(x <= 2.0, small).otherwise(large)
+  }
+
+  /** Y0 (A&S §9.1 rational approximations), x > 0. */
+  def besselY0(xIn: Column): Column = {
+    val x = xIn.cast("double")
+    val y = x * x
+    val p = poly(y, Seq(-2957821389.0, 7062834065.0, -512359803.6,
+      10879881.29, -86327.92757, 228.4622733))
+    val q = poly(y, Seq(40076544269.0, 745249964.8, 7189466.438,
+      47447.26470, 226.1030244, 1.0))
+    val small = p / q + lit(0.636619772) * besselJ0(x) * log(x)
+    val z = lit(8.0) / x; val y2 = z * z
+    val xx = x - lit(0.785398164)
+    val p2 = poly(y2, Seq(1.0, -0.1098628627e-2, 0.2734510407e-4,
+      -0.2073370639e-5, 0.2093887211e-6))
+    val q2 = poly(y2, Seq(-0.1562499995e-1, 0.1430488765e-3,
+      -0.6911147651e-5, 0.7621095161e-6, -0.934935152e-7))
+    val large = sqrt(lit(0.636619772) / x) * (sin(xx) * p2 + z * cos(xx) * q2)
+    when(x < 8.0, small).otherwise(large)
+  }
+
+  /** Y1 (A&S §9.1 rational approximations), x > 0. */
+  def besselY1(xIn: Column): Column = {
+    val x = xIn.cast("double")
+    val y = x * x
+    val p = x * poly(y, Seq(-4.900604943e12, 1.27527439e12, -5.153438139e10,
+      7.349264551e8, -4.237922726e6, 8511.937935))
+    val q = poly(y, Seq(2.499580570e13, 4.244419664e11, 3.733650367e9,
+      2.245904002e7, 1.02042605e5, 354.9632885, 1.0))
+    val small = p / q + lit(0.636619772) * (besselJ1(x) * log(x) - lit(1.0) / x)
+    val z = lit(8.0) / x; val y2 = z * z
+    val xx = x - lit(2.356194491)
+    val p2 = poly(y2, Seq(1.0, 0.183105e-2, -0.3516396496e-4,
+      0.2457520174e-5, -0.240337019e-6))
+    val q2 = poly(y2, Seq(0.04687499995, -0.2002690873e-3,
+      0.8449199096e-5, -0.88228987e-6, 0.105787412e-6))
+    val large = sqrt(lit(0.636619772) / x) * (sin(xx) * p2 + z * cos(xx) * q2)
+    when(x < 8.0, small).otherwise(large)
+  }
 }

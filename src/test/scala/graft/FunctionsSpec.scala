@@ -61,6 +61,14 @@ class FunctionsSpec extends SparkTestBase {
     val big = sqlDf("x" -> Seq(10.0))
       .select(BaseFns.besselJ0(col("x"))).collect()(0).getDouble(0)
     assert(math.abs(big - (-0.2459357645)) < 1e-6) // J0(10)
+    // K and Y families
+    val ky = sqlDf("x" -> Seq(1.0))
+      .select(BaseFns.besselK0(col("x")), BaseFns.besselK1(col("x")),
+        BaseFns.besselY0(col("x")), BaseFns.besselY1(col("x"))).collect()(0)
+    assert(math.abs(ky.getDouble(0) - 0.4210244382) < 1e-6) // K0(1)
+    assert(math.abs(ky.getDouble(1) - 0.6019072302) < 1e-6) // K1(1)
+    assert(math.abs(ky.getDouble(2) - 0.0882569642) < 1e-6) // Y0(1)
+    assert(math.abs(ky.getDouble(3) - (-0.7812128213)) < 1e-6) // Y1(1)
   }
 
   test("trigamma matches reference values; psigamma dispatches") {
