@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-process output through unprefixed: sbt's logger wraps each
+// line as "[info] ..."/"[error] ...", which broke the driver's parse of
+// Bench's single JSON stdout line (BENCH_r02.json: parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

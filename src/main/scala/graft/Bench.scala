@@ -30,12 +30,17 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed query records -1.0, not its (near-zero) elapsed time —
+      // a silent near-zero would flatter the headline total.
+      val elapsed =
+        try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+      name -> elapsed
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,11 +42,15 @@ object QueriesBase {
           "floor_bal" -> floor(col("c_acctbal")),
           "ceil_bal" -> ceil(col("c_acctbal")),
           "trunc_bal" -> BaseFns.truncOf(col("c_acctbal")),
-          "exp6" -> round(exp(col("c_acctbal") / lit(10000.0)), 6),
-          "log6" -> round(log(abs(col("c_acctbal")) + lit(1.0)), 6),
-          "log10_6" -> round(log10(abs(col("c_acctbal")) + lit(1.0)), 6),
-          "log2_6" -> round(log2(abs(col("c_acctbal")) + lit(1.0)), 6),
-          "log1p_6" -> round(log1p(abs(col("c_acctbal"))), 6),
+          // 4 digits, not 6: 1500 distinct data-derived inputs hit libm
+          // functions whose last-ulp results differ across engines; 4
+          // digits leaves ~1e-11/value flip probability vs ~1e-9 at 6
+          // (the driver hash-compares exactly, unlike tools/check.py).
+          "exp4" -> round(exp(col("c_acctbal") / lit(10000.0)), 4),
+          "log4" -> round(log(abs(col("c_acctbal")) + lit(1.0)), 4),
+          "log10_4" -> round(log10(abs(col("c_acctbal")) + lit(1.0)), 4),
+          "log2_4" -> round(log2(abs(col("c_acctbal")) + lit(1.0)), 4),
+          "log1p_4" -> round(log1p(abs(col("c_acctbal"))), 4),
           "pmax_bal" -> BaseFns.pmax(col("c_acctbal"), lit(0.0)),
           "pmin_bal" -> BaseFns.pmin(col("c_acctbal"), lit(0.0)))
         .arrange(col("c_custkey")).df),
@@ -285,24 +289,24 @@ object QueriesBase {
     "b_stats" ->
       s"""SELECT l_returnflag,
          |  ${davgSql("l_quantity")} AS mean_qty,
-         |  (${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
+         |  (${dprodSumSql("l_quantity","l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
          |     / CAST(count(l_quantity) AS DOUBLE)) / (CAST(count(l_quantity) AS DOUBLE) - 1.0) AS var_qty,
-         |  sqrt((${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
+         |  sqrt((${dprodSumSql("l_quantity","l_quantity")} - ${dsumSql("l_quantity")} * ${dsumSql("l_quantity")}
          |     / CAST(count(l_quantity) AS DOUBLE)) / (CAST(count(l_quantity) AS DOUBLE) - 1.0)) AS sd_qty,
          |  quantile_cont(l_quantity, 0.5) AS med_qty,
          |  quantile_cont(l_quantity, 0.25) AS q25_qty,
-         |  ${dsumSql("l_extendedprice*l_quantity")} / ${dsumSql("l_quantity")} AS wmean_price
+         |  ${dprodSumSql("l_extendedprice","l_quantity")} / ${dsumSql("l_quantity")} AS wmean_price
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "b_arith" ->
       """SELECT c_custkey, abs(c_acctbal) AS abs_bal, sign(c_acctbal) AS sign_bal,
         |  sqrt(abs(c_acctbal)) AS sqrt_bal, floor(c_acctbal) AS floor_bal,
         |  ceil(c_acctbal) AS ceil_bal, trunc(c_acctbal) AS trunc_bal,
-        |  round(exp(c_acctbal/10000.0), 6) AS exp6,
-        |  round(ln(abs(c_acctbal)+1.0), 6) AS log6,
-        |  round(log10(abs(c_acctbal)+1.0), 6) AS log10_6,
-        |  round(log2(abs(c_acctbal)+1.0), 6) AS log2_6,
-        |  round(ln(1.0+abs(c_acctbal)), 6) AS log1p_6,
+        |  round(exp(c_acctbal/10000.0), 4) AS exp4,
+        |  round(ln(abs(c_acctbal)+1.0), 4) AS log4,
+        |  round(log10(abs(c_acctbal)+1.0), 4) AS log10_4,
+        |  round(log2(abs(c_acctbal)+1.0), 4) AS log2_4,
+        |  round(ln(1.0+abs(c_acctbal)), 4) AS log1p_4,
         |  greatest(c_acctbal, 0.0) AS pmax_bal, least(c_acctbal, 0.0) AS pmin_bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
@@ -442,9 +446,9 @@ object QueriesBase {
          |    CAST(count(*) AS DOUBLE) AS n,
          |    ${dsumSql("l_quantity")} AS sx,
          |    ${dsumSql("l_extendedprice")} AS sy,
-         |    ${dsumSql("l_quantity*l_extendedprice")} AS sxy,
-         |    ${dsumSql("l_quantity*l_quantity")} AS sxx,
-         |    ${dsumSql("l_extendedprice*l_extendedprice")} AS syy
+         |    ${dprodSumSql("l_quantity","l_extendedprice")} AS sxy,
+         |    ${dprodSumSql("l_quantity","l_quantity")} AS sxx,
+         |    ${dprodSumSql("l_extendedprice","l_extendedprice")} AS syy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
          |  (sxy - sx*sy/n) / (n - 1.0) AS cov_qp,
@@ -457,8 +461,8 @@ object QueriesBase {
          |  ${dsumSql("l_extendedprice")} AS sum_price,
          |  ${davgSql("l_quantity")} AS mean_qty,
          |  ${davgSql("l_discount")} AS mean_disc,
-         |  sqrt((${dsumSql("l_quantity*l_quantity")} - ${dsumSql("l_quantity")}*${dsumSql("l_quantity")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_qty,
-         |  sqrt((${dsumSql("l_extendedprice*l_extendedprice")} - ${dsumSql("l_extendedprice")}*${dsumSql("l_extendedprice")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_price
+         |  sqrt((${dprodSumSql("l_quantity","l_quantity")} - ${dsumSql("l_quantity")}*${dsumSql("l_quantity")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_qty,
+         |  sqrt((${dprodSumSql("l_extendedprice","l_extendedprice")} - ${dsumSql("l_extendedprice")}*${dsumSql("l_extendedprice")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_price
          |FROM lineitem""".stripMargin,
 
     "b_allany" ->

@@ -157,10 +157,14 @@ object QueriesForcats {
 
     "f_fct_lowfreq" ->
       """WITH c AS (SELECT p_brand, count(*) AS n FROM part GROUP BY 1),
-        |k AS (SELECT p_brand FROM (
-        |  SELECT p_brand, n, sum(n) OVER (ORDER BY n, p_brand
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM c)
-        |  WHERE n > cs - n)
+        |r AS (SELECT p_brand, n,
+        |    row_number() OVER (ORDER BY n DESC, p_brand) AS rk,
+        |    sum(n) OVER () - sum(n) OVER (ORDER BY n DESC, p_brand
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail
+        |  FROM c),
+        |cut AS (SELECT min(rk) AS cutoff FROM r WHERE n > tail),
+        |k AS (SELECT p_brand FROM r, cut
+        |  WHERE cut.cutoff IS NULL OR r.rk <= cut.cutoff)
         |SELECT CASE WHEN p_brand IN (SELECT p_brand FROM k)
         |  THEN p_brand ELSE 'Other' END AS p_brand, count(*) AS n
         |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,

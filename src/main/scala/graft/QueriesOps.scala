@@ -76,7 +76,9 @@ object QueriesOps {
         t(s, d, "embeddings"), "vec_id", "embedding",
         t(s, d, "embeddings").filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 10)
-        .withColumn("cos", round(col("cos"), 6))
+        // 4 digits: DuckDB's list_cosine_similarity sums in a different
+        // order than our aggregate(), so rawcos differs by ~dim·ulp.
+        .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))),
 
     "x_ann_lsh" -> ((s, d) =>
@@ -270,7 +272,7 @@ object QueriesOps {
         |  SELECT query_id, neighbor_id, rawcos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rk
         |  FROM scored)
-        |SELECT query_id, neighbor_id, round(rawcos, 6) AS cos, CAST(rk AS INT) AS rank
+        |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "s_window_agg" ->

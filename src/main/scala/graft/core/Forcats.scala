@@ -214,12 +214,22 @@ object Forcats {
     * whose count exceeds the total of all smaller-or-equal counts. */
   def fctLumpLowfreq(df: DataFrame, f: String, other: String = "Other"): DataFrame = {
     val counts = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__n").asc, col(f))
+    // forcats' _lump_cutoff: rank levels by count DESCENDING; the first
+    // rank whose count exceeds the sum of everything after it is the
+    // cutoff, and every rank up to it survives — so "Other" (the lumped
+    // tail) stays strictly smaller than the smallest kept level. On
+    // counts [40,27,10,5,1,1,1,1,1]: rank2 (27) > tail(20) → keep
+    // {40,27}, lump the rest.
+    val wDesc = Window.orderBy(col("__n").desc, col(f))
     val keep = counts
-      .withColumn("__csum", sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      // level survives if its count is strictly greater than the sum of
-      // everything at-or-below it (that sum becomes Other's count)
-      .filter(col("__n") > col("__csum") - col("__n"))
+      .withColumn("__rk", row_number().over(wDesc))
+      .withColumn("__tail", coalesce(
+        sum(col("__n")).over(wDesc.rowsBetween(1, Window.unboundedFollowing)),
+        lit(0L)))
+      // global window is fine: this is the (small) level table
+      .withColumn("__cut", min(when(col("__n") > col("__tail"), col("__rk")))
+        .over(Window.partitionBy()))
+      .filter(col("__cut").isNull || col("__rk") <= col("__cut"))
       .select(col(f).as("__keep"))
     df.join(broadcast(keep), df(f) === col("__keep"), "left")
       .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))

@@ -44,7 +44,13 @@ final class GraftFrame private (
     val keyTable = df.select(groupCols: _*).distinct()
       .withColumn(name,
         dense_rank().over(Window.orderBy(groups.map(col): _*)) - lit(1))
-    withDf(df.join(broadcast(keyTable), groups, "left"))
+    // null-safe join: a NULL group key is a legitimate dplyr group and
+    // must receive an id, so <=> rather than a using-columns join
+    val kt = keyTable.select(
+      groups.map(g => col(g).as(s"__k_$g")) :+ col(name): _*)
+    val cond = groups.map(g => df(g) <=> kt(s"__k_$g")).reduce(_ && _)
+    withDf(df.join(broadcast(kt), cond, "left")
+      .drop(groups.map(g => s"__k_$g"): _*))
   }
 
   // ---- select / rename / relocate (select.py, rename.py, relocate.py) ---

@@ -19,7 +19,7 @@ object BaseFns {
   def varExact(x: Column): Column = {
     val n = count(x).cast("double")
     val s = Exact.dsum(x)
-    val ss = Exact.dsum(x * x)
+    val ss = Exact.dprodSum(x, x) // decimal-first square: see Exact.dprodSum
     (ss - s * s / n) / (n - lit(1.0))
   }
   def sdExact(x: Column): Column = sqrt(varExact(x))
@@ -29,17 +29,25 @@ object BaseFns {
   private def expr_percentile(x: Column, p: Double): Column =
     percentile(x, lit(p))
   def weightedMean(x: Column, w: Column): Column =
-    Exact.dsum(x * w) / Exact.dsum(w)
+    Exact.dprodSum(x, w) / Exact.dsum(w)
   def prodOf(x: Column): Column = product(x)
   /** cov (sample) with the exact-sum recipe — cross-engine identical
     * for inputs whose products fit 6 decimals (see Exact). */
   def covExact(x: Column, y: Column): Column = {
-    val n = count(when(x.isNotNull && y.isNotNull, 1)).cast("double")
-    (Exact.dsum(x * y) - Exact.dsum(x) * Exact.dsum(y) / n) / (n - lit(1.0))
+    // complete pairs only (SQL covar_samp semantics): a row where exactly
+    // one of x,y is null must not contribute to either marginal sum
+    val both = x.isNotNull && y.isNotNull
+    val xm = when(both, x)
+    val ym = when(both, y)
+    val n = count(when(both, 1)).cast("double")
+    (Exact.dprodSum(xm, ym) - Exact.dsum(xm) * Exact.dsum(ym) / n) / (n - lit(1.0))
   }
-  /** cor (Pearson) from the exact cov/var recipes. */
-  def corExact(x: Column, y: Column): Column =
-    covExact(x, y) / (sdExact(x) * sdExact(y))
+  /** cor (Pearson) from the exact cov/var recipes — marginal sds are
+    * likewise computed over complete pairs (SQL corr semantics). */
+  def corExact(x: Column, y: Column): Column = {
+    val both = x.isNotNull && y.isNotNull
+    covExact(x, y) / (sdExact(when(both, x)) * sdExact(when(both, y)))
+  }
   /** base::all / any as aggregates (NULL-skipping like na.rm=TRUE). */
   def allOf(p: Column): Column = bool_and(p)
   def anyOf(p: Column): Column = bool_or(p)

@@ -13,15 +13,40 @@ import org.apache.spark.sql.functions._
   * treatment; only aggregates do. Overflow margin: decimal(28,6)
   * sums hold ~1e21 — far beyond 100 TB-scale totals of price-sized
   * values.
+  *
+  * The final decimal→double conversion is bridged THROUGH A STRING on
+  * both engines: DuckDB's direct decimal→double cast converts the
+  * unscaled int128 to double and then divides by 10^scale — two
+  * roundings — which is wrong by an ulp whenever the unscaled value
+  * exceeds 2^53 and lands near a tie, while Java's
+  * BigDecimal.doubleValue rounds once, correctly. Both engines parse
+  * decimal strings correctly rounded (strtod / Double.parseDouble), so
+  * the identical exact decimal yields the identical double. The cast
+  * runs once per aggregate group — no per-row cost.
   */
 object Exact {
+  private def decToDouble(c: Column): Column = c.cast("string").cast("double")
   /** Order-independent exact sum of a double column, as double. */
-  def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+  def dsum(c: Column): Column = decToDouble(sum(c.cast("decimal(28,6)")))
   /** Exact-sum mean, as double. */
-  def davg(c: Column): Column =
-    sum(c.cast("decimal(28,6)")).cast("double") / count(c).cast("double")
-  /** SQL fragments for the DuckDB oracle. */
-  def dsumSql(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+  def davg(c: Column): Column = dsum(c) / count(c).cast("double")
+  /** Order-independent exact sum of a PRODUCT of two double columns.
+    * Factors are cast to decimal BEFORE multiplying: a large double
+    * product (ulp near 1e-6 — e.g. price² ~ 1e10) rounds to 6 decimals
+    * ambiguously across engines (Java rounds the shortest decimal repr,
+    * DuckDB the exact binary expansion), whereas money-scale factors
+    * convert unambiguously and the decimal multiply is then exact.
+    * Factor domain: |x| < 1e12 (DECIMAL(18,6)). */
+  def dprodSum(x: Column, y: Column): Column =
+    decToDouble(sum(x.cast("decimal(18,6)") * y.cast("decimal(18,6)")))
+  /** SQL fragments for the DuckDB oracle (same string-bridged cast). */
+  def dsumSql(x: String): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
   def davgSql(x: String): String =
-    s"(CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE) / CAST(count($x) AS DOUBLE))"
+    s"(${dsumSql(x)} / CAST(count($x) AS DOUBLE))"
+  // width ≥19 so the DuckDB multiply runs in int128 (width 18 is int64
+  // and overflows); Spark's side uses ≤18 so product precision 2·w+1
+  // stays ≤38 without scale loss. The VALUES are identical.
+  def dprodSumSql(x: String, y: String): String =
+    s"CAST(CAST(sum(CAST($x AS DECIMAL(19,6)) * CAST($y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)"
 }

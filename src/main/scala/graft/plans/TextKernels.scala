@@ -24,19 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   final val Seed = 42L
 
-  /** Lowercase alphanumeric word tokens, hashed — one pass, no regex. */
+  /** Lowercase alphanumeric word tokens, hashed — one pass, no regex.
+    * Locale.ROOT lowercase (a Turkish-default JVM would otherwise fold
+    * 'I' to dotless i, breaking cross-executor signature stability) and
+    * code-point iteration for parity with \p{L}\p{N}. */
   def tokenHashes(text: UTF8String): Array[Long] = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[Long](32)
     var i = 0
     val n = s.length
     val sb = new java.lang.StringBuilder(16)
-    while (i <= n) {
-      val alnum = i < n && Character.isLetterOrDigit(s.charAt(i))
-      if (alnum) sb.append(s.charAt(i))
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp)
       else if (sb.length > 0) { out += hashStr(sb.toString); sb.setLength(0) }
-      i += 1
+      i += Character.charCount(cp)
     }
+    if (sb.length > 0) out += hashStr(sb.toString)
     if (out.isEmpty) out += hashStr("") // tokens("") convention: one empty token
     out.toArray
   }
@@ -140,14 +144,15 @@ object TextKernelsBridge {
     // distinct lowercase tokens
     val toks = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder(16)
-    val lower = s.toLowerCase
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
     i = 0
-    while (i <= lower.length) {
-      val alnum = i < lower.length && Character.isLetterOrDigit(lower.charAt(i))
-      if (alnum) sb.append(lower.charAt(i))
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp)
       else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
-      i += 1
+      i += Character.charCount(cp)
     }
+    if (sb.length > 0) toks.add(sb.toString)
     // tie-break matches the Column form's descending struct sort:
     // equal scores pick the lexicographically LARGEST language code
     var best = ""; var bestScore = -1

@@ -44,6 +44,23 @@ class ForcatsSpec extends SparkTestBase {
       Seq(Seq("b", 1), Seq("a", 2), Seq("c", 3)))
   }
 
+  test("fct_lump_lowfreq uses the descending prefix cutoff") {
+    // reference TestFctLumpLowfreq counts: 40,27,10,5,1,1,1,1,1 —
+    // rank2 (27) > tail-sum (20), so keep {40,27}, Other = 20
+    val counts = Map("a" -> 40, "b" -> 27, "c" -> 10, "d" -> 5,
+      "e" -> 1, "f" -> 1, "g" -> 1, "h" -> 1, "i" -> 1)
+    val df = sqlDf("f" -> counts.toSeq.sortBy(_._1)
+      .flatMap { case (l, n) => Seq.fill(n)(l) })
+    assertRows(Forcats.fctLumpLowfreq(df, "f").groupBy("f").count().orderBy("f"),
+      Seq(Seq("Other", 20L), Seq("a", 40L), Seq("b", 27L)))
+  }
+
+  test("fct_lump_lowfreq keeps everything when no level dominates its tail") {
+    val df = sqlDf("f" -> Seq("a", "a", "b", "b", "c", "c"))
+    assertRows(Forcats.fctLumpLowfreq(df, "f").groupBy("f").count().orderBy("f"),
+      Seq(Seq("a", 2L), Seq("b", 2L), Seq("c", 2L)))
+  }
+
   test("fct_explicit_na makes NULL a level") {
     val df = sqlDf("f" -> Seq("a", null))
     assertRows(Forcats.fctExplicitNa(df, "f").orderBy("f"),

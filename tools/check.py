@@ -38,10 +38,15 @@ for name, sql in sorted(oracle.items()):
         a, b = gs[c], es[c]
         try:
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                # EXACT compare — the driver hashes values bit-for-bit, so a
+                # 1-ulp libm difference is a real failure, not noise.
                 aa = pd.to_numeric(a, errors="coerce"); bb = pd.to_numeric(b, errors="coerce")
                 if not ((aa.isna() == bb.isna()).all() and
-                        (abs(aa.fillna(0) - bb.fillna(0)) <= 1e-9 + 1e-9 * abs(bb.fillna(0))).all()):
-                    ok = False; print(f"FAIL {name}: col {c} numeric mismatch"); break
+                        (aa.fillna(0) == bb.fillna(0)).all()):
+                    near = ((aa.isna() == bb.isna()).all() and
+                            (abs(aa.fillna(0) - bb.fillna(0)) <= 1e-9 + 1e-9 * abs(bb.fillna(0))).all())
+                    tag = " (within 1e-9 — ulp-level; reduce round digits)" if near else ""
+                    ok = False; print(f"FAIL {name}: col {c} numeric mismatch{tag}"); break
             else:
                 if not a.astype(str).equals(b.astype(str)):
                     ok = False; print(f"FAIL {name}: col {c} mismatch\n{a.head()}\nvs\n{b.head()}"); break
