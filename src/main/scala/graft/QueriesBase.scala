@@ -213,7 +213,9 @@ object QueriesBase {
           "mean_qty" -> BaseFns.mean(col("l_quantity")),
           "mean_disc" -> BaseFns.mean(col("l_discount")),
           "sd_qty" -> BaseFns.sdExact(col("l_quantity")),
-          "sd_price" -> BaseFns.sdExact(col("l_extendedprice"))).df),
+          "sd_price" -> BaseFns.sdExact(col("l_extendedprice")),
+          "cmed_qty" -> BaseFns.medianExact(col("l_quantity")),
+          "cmed_price" -> BaseFns.medianExact(col("l_extendedprice"))).df),
 
     "b_allany" -> ((s, d) =>
       t(s, d, "orders").graft
@@ -245,8 +247,36 @@ object QueriesBase {
         .transmute(
           "c_custkey" -> col("c_custkey"),
           "u" -> BaseFns.runifCol(42L, 0.0, 10.0),
-          "z" -> BaseFns.rnormCol(42L))
+          "z" -> BaseFns.rnormCol(42L),
+          "pois" -> BaseFns.rpoisCol(43L, lambda = 4.0),
+          "binom" -> BaseFns.rbinomCol(44L, n = 20, prob = 0.3))
         .arrange(col("c_custkey")).df),
+
+    // inverse hyperbolics — DuckDB lacks asinh/acosh/atanh, so the
+    // oracle uses the ln identities; 4-digit rounding per libm policy
+    "b_hyper" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "asinh4" -> round(BaseFns.asinhOf(col("c_acctbal") / lit(10000.0)), 4),
+          "acosh4" -> round(BaseFns.acoshOf(lit(1.0) + abs(col("c_acctbal")) / lit(10000.0)), 4),
+          "atanh4" -> round(BaseFns.atanhOf(col("c_acctbal") / lit(20000.0)), 4))
+        .arrange(col("c_custkey")).df),
+
+    // list-column vector verbs: lengths / is.element / append / rev
+    "b_vec2" -> ((s, d) => {
+      val words = split(col("p_name"), " ")
+      t(s, d, "part").graft
+        .transmute(
+          "p_partkey" -> col("p_partkey"),
+          "n_words" -> SeqFns.lengthsOf(words),
+          "has_green" -> array_contains(words, "green"),
+          "is_el" -> SeqFns.isElement(col("p_size"), Seq(1, 7, 23)),
+          "appended" -> concat_ws("|",
+            SeqFns.appendArr(words, array(lit("zz")), after = 1)),
+          "revd" -> concat_ws("|", SeqFns.revArr(words)))
+        .arrange(col("p_partkey")).df
+    }),
 
     "b_rank" -> ((s, d) =>
       // base::rank family with R tie semantics, partitioned by brand so
@@ -462,8 +492,26 @@ object QueriesBase {
          |  ${davgSql("l_quantity")} AS mean_qty,
          |  ${davgSql("l_discount")} AS mean_disc,
          |  sqrt((${dprodSumSql("l_quantity","l_quantity")} - ${dsumSql("l_quantity")}*${dsumSql("l_quantity")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_qty,
-         |  sqrt((${dprodSumSql("l_extendedprice","l_extendedprice")} - ${dsumSql("l_extendedprice")}*${dsumSql("l_extendedprice")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_price
+         |  sqrt((${dprodSumSql("l_extendedprice","l_extendedprice")} - ${dsumSql("l_extendedprice")}*${dsumSql("l_extendedprice")}/CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) AS sd_price,
+         |  quantile_cont(l_quantity, 0.5) AS cmed_qty,
+         |  quantile_cont(l_extendedprice, 0.5) AS cmed_price
          |FROM lineitem""".stripMargin,
+
+    "b_hyper" ->
+      """SELECT c_custkey,
+        |  round(ln(c_acctbal/10000.0 + sqrt((c_acctbal/10000.0)*(c_acctbal/10000.0) + 1.0)), 4) AS asinh4,
+        |  round(ln((1.0 + abs(c_acctbal)/10000.0) + sqrt((1.0 + abs(c_acctbal)/10000.0)*(1.0 + abs(c_acctbal)/10000.0) - 1.0)), 4) AS acosh4,
+        |  round(0.5 * ln((1.0 + c_acctbal/20000.0) / (1.0 - c_acctbal/20000.0)), 4) AS atanh4
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "b_vec2" ->
+      """SELECT p_partkey,
+        |  CAST(len(str_split(p_name, ' ')) AS INT) AS n_words,
+        |  list_contains(str_split(p_name, ' '), 'green') AS has_green,
+        |  p_size IN (1, 7, 23) AS is_el,
+        |  array_to_string(str_split(p_name, ' ')[1:1] || ['zz'] || str_split(p_name, ' ')[2:], '|') AS appended,
+        |  array_to_string(list_reverse(str_split(p_name, ' ')), '|') AS revd
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "b_allany" ->
       """SELECT o_orderstatus,

@@ -15,6 +15,15 @@ object QueriesDplyr {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "d_with_groups" -> ((s, d) =>
+      t(s, d, "lineitem").graft
+        .groupBy("l_returnflag")
+        // temporary regroup by linestatus for the tally, then the
+        // returnflag grouping is restored for the summarise
+        .withGroups(Seq("l_linestatus"))(_.addTally())
+        .summarise("max_ls_n" -> max(col("n")))
+        .ungroup.arrange(col("l_returnflag")).df),
+
     "d_transmute" -> ((s, d) =>
       t(s, d, "orders").graft
         .transmute(
@@ -438,6 +447,12 @@ object QueriesDplyr {
   )
 
   val oracles: Map[String, String] = Map(
+    "d_with_groups" ->
+      """SELECT l_returnflag, max(c) AS max_ls_n FROM (
+        |  SELECT l_returnflag, count(*) OVER (PARTITION BY l_linestatus) AS c
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "d_transmute" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
         |  o_totalprice/1000.0 AS price_k

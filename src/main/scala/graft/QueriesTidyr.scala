@@ -14,6 +14,8 @@ object QueriesTidyr {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t_diag" -> ((s, _) => Tibble.diagMatrix(s, 5).orderBy("rowid")),
+
     "t_pivot_longer" -> ((s, d) =>
       Tidyr.pivotLonger(
         t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
@@ -177,6 +179,15 @@ object QueriesTidyr {
   )
 
   val oracles: Map[String, String] = Map(
+    "t_diag" ->
+      """SELECT CAST(i AS BIGINT) AS rowid,
+        |  CASE WHEN i=1 THEN 1 ELSE 0 END AS v1,
+        |  CASE WHEN i=2 THEN 1 ELSE 0 END AS v2,
+        |  CASE WHEN i=3 THEN 1 ELSE 0 END AS v3,
+        |  CASE WHEN i=4 THEN 1 ELSE 0 END AS v4,
+        |  CASE WHEN i=5 THEN 1 ELSE 0 END AS v5
+        |FROM generate_series(1,5) t(i) ORDER BY rowid""".stripMargin,
+
     "t_pivot_longer" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem

@@ -381,6 +381,26 @@ final class GraftFrame private (
     }
   }
 
+  /** dplyr with_groups: run `f` under a temporary grouping, then
+    * restore the frame's own grouping (order_by.py's sibling wrapper
+    * in group_by.py). */
+  def withGroups(tmp: Seq[String])(f: GraftFrame => GraftFrame): GraftFrame = {
+    val out = f(new GraftFrame(df, tmp, sortKeys))
+    new GraftFrame(out.df, groups, out.sortKeys)
+  }
+
+  /** dplyr group_walk: driver-side side effect per group key (walk is
+    * inherently driver-side, like glimpse); returns the frame
+    * unchanged. Collects only the distinct KEY table, never the rows. */
+  def groupWalk(f: org.apache.spark.sql.Row => Unit): GraftFrame = {
+    groupKeys.collect().foreach(f); this
+  }
+
+  /** dplyr group_trim: drop unused factor levels from the grouping.
+    * Levels here are data-derived (no stored level tables on frames),
+    * so trimming is the identity — kept for API parity. */
+  def groupTrim: GraftFrame = this
+
   // ---- output ------------------------------------------------------------
   /** glimpse: schema + head, driver-side formatting only. */
   def glimpse(n: Int = 5): String = {

@@ -72,4 +72,14 @@ object Tibble {
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** base::diag(n) — the n×n identity as a tibble (rowid, v1..vn).
+    * Matrix verbs are small-frame by contract (like transpose); rows
+    * still distribute via range. Ref: api/base/verbs.py (_diag_obj). */
+  def diagMatrix(s: SparkSession, n: Int): DataFrame = {
+    val base = s.range(1, n + 1L).withColumnRenamed("id", "rowid")
+    (1 to n).foldLeft(base) { (d, j) =>
+      d.withColumn(s"v$j", when(col("rowid") === j, 1).otherwise(0))
+    }
+  }
 }

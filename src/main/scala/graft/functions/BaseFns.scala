@@ -76,6 +76,44 @@ object BaseFns {
   def rchisqCol(seed: Long, df: Int): Column =
     (0 until df).map(i => { val z = randn(seed + i); z * z })
       .reduce(_ + _)
+  /** Seeded Poisson draw via inverse CDF. λ is fixed at plan time, so
+    * the cumulative table is built driver-side (to machine precision)
+    * and the draw is a codegen'd when-chain over one uniform — no
+    * per-row loop, no UDF. Bounded support table (P(tail) < 1e-12). */
+  def rpoisCol(seed: Long, lambda: Double): Column = {
+    require(lambda > 0 && lambda <= 64, "inverse-CDF table sized for small lambda")
+    val u = rand(seed)
+    val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
+    var p = math.exp(-lambda); var cdf = p; var k = 0
+    cdfs += ((cdf, 0))
+    while (cdf < 1.0 - 1e-12 && k < 256) {
+      k += 1; p = p * lambda / k; cdf += p; cdfs += ((cdf, k))
+    }
+    cdfs.tail.foldLeft(when(u < lit(cdfs.head._1), lit(0))) {
+      case (acc, (c, kk)) => acc.when(u < lit(c), lit(kk))
+    }.otherwise(lit(cdfs.last._2 + 1))
+  }
+  /** Seeded binomial draw, same inverse-CDF construction (pmf by the
+    * multiplicative recurrence). */
+  def rbinomCol(seed: Long, n: Int, prob: Double): Column = {
+    require(n > 0 && n <= 256 && prob > 0 && prob < 1)
+    val u = rand(seed)
+    val q = 1.0 - prob
+    val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
+    var p = math.pow(q, n); var cdf = p
+    cdfs += ((cdf, 0))
+    var k = 0
+    while (k < n && cdf < 1.0 - 1e-12) {
+      k += 1; p = p * (n - k + 1) * prob / (k * q); cdf += p; cdfs += ((cdf, k))
+    }
+    cdfs.tail.foldLeft(when(u < lit(cdfs.head._1), lit(0))) {
+      case (acc, (c, kk)) => acc.when(u < lit(c), lit(kk))
+    }.otherwise(lit(math.min(cdfs.last._2 + 1, n)))
+  }
+  /** Inverse hyperbolics (base::asinh/acosh/atanh — Spark builtins). */
+  def asinhOf(x: Column): Column = asinh(x)
+  def acoshOf(x: Column): Column = acosh(x)
+  def atanhOf(x: Column): Column = atanh(x)
 
   // ---- row-wise matrix stats (base verbs row_sums/means/sds) -----------
   def rowSums(cs: Column*): Column = cs.map(_.cast("double")).reduce(_ + _)

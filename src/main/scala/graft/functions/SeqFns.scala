@@ -20,6 +20,15 @@ object SeqFns {
   }
   def revArr(x: Column): Column = reverse(x)
   def sortArr(x: Column): Column = array_sort(x)
+  /** base::lengths — element count of a list column. */
+  def lengthsOf(x: Column): Column = size(x)
+  /** base::is.element / %in% against a literal set. */
+  def isElement(x: Column, values: Seq[Any]): Column = x.isin(values: _*)
+  /** base::append(x, values, after): insert `values` after 1-based
+    * position `after` (0 prepends). Pure slicing — stays in codegen. */
+  def appendArr(x: Column, values: Column, after: Int): Column =
+    concat(slice(x, 1, after), values,
+      slice(x, lit(after + 1), greatest(size(x) - after, lit(0))))
 
   /** base::rank with ties.method="average" (R's default): rank of the
     * first tied row plus half the tie-group span. One window per

@@ -202,4 +202,21 @@ class DplyrSpec extends SparkTestBase {
     assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
     assert(out.zip(Seq(2.0, -6.0, -6.0, 0.0)).forall { case ((_, g), e) => g == e })
   }
+
+  test("with_groups applies a temporary grouping then restores the original") {
+    val df = sqlDf("g" -> Seq("a", "a", "b"), "h" -> Seq("x", "y", "y"))
+    val out = df.graft.groupBy("g")
+      .withGroups(Seq("h"))(_.addTally())   // n = count per h: x->1, y->2
+      .summarise("mx" -> max(col("n")))     // grouping restored: per g
+      .ungroup.arrange(col("g")).df
+    assertRows(out, Seq(Seq("a", 2L), Seq("b", 2L)))
+  }
+
+  test("group_walk visits each key once; group_trim is identity") {
+    val df = sqlDf("g" -> Seq("a", "b", "b"))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val g = df.graft.groupBy("g").groupWalk(r => seen += r.getString(0))
+    assert(seen.sorted == Seq("a", "b"))
+    assert(g.groupTrim.df.count() == 3)
+  }
 }

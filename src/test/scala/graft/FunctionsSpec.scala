@@ -119,6 +119,37 @@ class FunctionsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("seeded rpois/rbinom match their distributions' moments") {
+    val df = spark.range(20000).select(
+      BaseFns.rpoisCol(43L, lambda = 4.0).as("p"),
+      BaseFns.rbinomCol(44L, n = 20, prob = 0.3).as("b"))
+    val r = df.agg(avg("p"), variance("p"), avg("b"), min("p"), min("b"), max("b")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0) < 0.1)  // E[Pois(4)] = 4
+    assert(math.abs(r.getDouble(1) - 4.0) < 0.25) // Var[Pois(4)] = 4
+    assert(math.abs(r.getDouble(2) - 6.0) < 0.1)  // E[Bin(20,.3)] = 6
+    assert(r.getInt(3) >= 0 && r.getInt(4) >= 0 && r.getInt(5) <= 20)
+  }
+
+  test("append inserts values at an R 1-based position; lengths counts") {
+    val df = sqlDf("s" -> Seq("a b c"))
+    val words = split(col("s"), " ")
+    val out = df.select(
+      concat_ws("|", SeqFns.appendArr(words, array(lit("zz")), after = 1)).as("mid"),
+      concat_ws("|", SeqFns.appendArr(words, array(lit("zz")), after = 0)).as("pre"),
+      concat_ws("|", SeqFns.appendArr(words, array(lit("zz")), after = 3)).as("post"),
+      SeqFns.lengthsOf(words).as("len"))
+    assertRows(out, Seq(Seq("a|zz|b|c", "zz|a|b|c", "a|b|c|zz", 3)))
+  }
+
+  test("inverse hyperbolics match the ln identities") {
+    val df = sqlDf("x" -> Seq(0.5))
+    val r = df.select(BaseFns.asinhOf(col("x")), BaseFns.acoshOf(lit(2.0)),
+      BaseFns.atanhOf(col("x"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - math.log(0.5 + math.sqrt(1.25))) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.log(2.0 + math.sqrt(3.0))) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.5 * math.log(3.0)) < 1e-12)
+  }
+
   test("recode maps values with passthrough for unmatched") {
     val df = sqlDf("x" -> Seq("a", "b", "z"))
     val out = df.select(CondFns.recode(col("x"),
