@@ -30,18 +30,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      // A failed query records -1.0, not its (near-zero) elapsed time —
-      // a silent near-zero would flatter the headline total.
-      val elapsed =
-        try { qs(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      // A failed query is reported in a separate "failed" array and
+      // omitted from the timings map, so consumers summing/min-ing the
+      // map can't mistake a sentinel for a timing.
+      val elapsed: Option[Double] =
+        try { qs(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
       name -> elapsed
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qJson = results.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val failedJson = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

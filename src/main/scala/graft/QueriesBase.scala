@@ -39,9 +39,11 @@ object QueriesBase {
           "abs_bal" -> abs(col("c_acctbal")),
           "sign_bal" -> signum(col("c_acctbal")),
           "sqrt_bal" -> sqrt(abs(col("c_acctbal"))),
-          "floor_bal" -> floor(col("c_acctbal")),
-          "ceil_bal" -> ceil(col("c_acctbal")),
-          "trunc_bal" -> BaseFns.truncOf(col("c_acctbal")),
+          // R floor/ceiling/trunc return double; Spark's return integral
+          // types — cast so schema matches both R semantics and the oracle.
+          "floor_bal" -> floor(col("c_acctbal")).cast("double"),
+          "ceil_bal" -> ceil(col("c_acctbal")).cast("double"),
+          "trunc_bal" -> BaseFns.truncOf(col("c_acctbal")).cast("double"),
           // 4 digits, not 6: 1500 distinct data-derived inputs hit libm
           // functions whose last-ulp results differ across engines; 4
           // digits leaves ~1e-11/value flip probability vs ~1e-9 at 6
@@ -248,8 +250,8 @@ object QueriesBase {
           "c_custkey" -> col("c_custkey"),
           "u" -> BaseFns.runifCol(42L, 0.0, 10.0),
           "z" -> BaseFns.rnormCol(42L),
-          "pois" -> BaseFns.rpoisCol(43L, lambda = 4.0),
-          "binom" -> BaseFns.rbinomCol(44L, n = 20, prob = 0.3))
+          "pois" -> BaseFns.rpoisCol(BaseFns.hashUnif(col("c_custkey"), 43L), lambda = 4.0),
+          "binom" -> BaseFns.rbinomCol(BaseFns.hashUnif(col("c_custkey"), 44L), n = 20, prob = 0.3))
         .arrange(col("c_custkey")).df),
 
     // inverse hyperbolics — DuckDB lacks asinh/acosh/atanh, so the
@@ -329,9 +331,12 @@ object QueriesBase {
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "b_arith" ->
-      """SELECT c_custkey, abs(c_acctbal) AS abs_bal, sign(c_acctbal) AS sign_bal,
-        |  sqrt(abs(c_acctbal)) AS sqrt_bal, floor(c_acctbal) AS floor_bal,
-        |  ceil(c_acctbal) AS ceil_bal, trunc(c_acctbal) AS trunc_bal,
+      """SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+        |  CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+        |  sqrt(abs(c_acctbal)) AS sqrt_bal,
+        |  CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
+        |  CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+        |  CAST(trunc(c_acctbal) AS DOUBLE) AS trunc_bal,
         |  round(exp(c_acctbal/10000.0), 4) AS exp4,
         |  round(ln(abs(c_acctbal)+1.0), 4) AS log4,
         |  round(log10(abs(c_acctbal)+1.0), 4) AS log10_4,

@@ -211,7 +211,14 @@ object Forcats {
 
   /** fct_lump_lowfreq: lump the rarest levels so "Other" stays the
     * least frequent level (forcats' parameterless lump). Keep levels
-    * whose count exceeds the total of all smaller-or-equal counts. */
+    * whose count exceeds the total of all smaller-or-equal counts.
+    *
+    * Tie-break: levels with equal counts rank by level value ascending
+    * (deterministic, engine-independent). forcats breaks ties by level
+    * appearance order instead; when a tie group straddles the cutoff a
+    * different tied level may survive than in R. Intentional: appearance
+    * order is not well-defined over an unordered distributed frame, and
+    * the DuckDB oracle encodes this same alphabetical rule. */
   def fctLumpLowfreq(df: DataFrame, f: String, other: String = "Other"): DataFrame = {
     val counts = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
     // forcats' _lump_cutoff: rank levels by count DESCENDING; the first

@@ -76,13 +76,24 @@ object BaseFns {
   def rchisqCol(seed: Long, df: Int): Column =
     (0 until df).map(i => { val z = randn(seed + i); z * z })
       .reduce(_ + _)
-  /** Seeded Poisson draw via inverse CDF. λ is fixed at plan time, so
-    * the cumulative table is built driver-side (to machine precision)
-    * and the draw is a codegen'd when-chain over one uniform — no
-    * per-row loop, no UDF. Bounded support table (P(tail) < 1e-12). */
-  def rpoisCol(seed: Long, lambda: Double): Column = {
+  /** Deterministic per-row uniform in [0,1) from a key column + seed
+    * (xxhash64 avalanche). Unlike `rand(seed)`, this is a pure function
+    * of the key: safe to reference many times in one expression (a
+    * nondeterministic `rand` node re-draws on EVERY evaluation, so an
+    * inverse-CDF when-chain over it compares each branch against a
+    * different uniform), and reproducible across repartitioning. */
+  def hashUnif(key: Column, seed: Long): Column =
+    xxhash64(key, lit(seed)).cast("double") / lit(math.pow(2.0, 64)) + lit(0.5)
+
+  /** Seeded Poisson draw via inverse CDF over a caller-supplied uniform
+    * (use [[hashUnif]] — it must be a deterministic expression; see
+    * there for why a raw `rand` breaks the chain). λ is fixed at plan
+    * time, so the cumulative table is built driver-side (to machine
+    * precision) and the draw is a codegen'd when-chain over one
+    * uniform — no per-row loop, no UDF. Bounded support table
+    * (P(tail) < 1e-12). */
+  def rpoisCol(u: Column, lambda: Double): Column = {
     require(lambda > 0 && lambda <= 64, "inverse-CDF table sized for small lambda")
-    val u = rand(seed)
     val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
     var p = math.exp(-lambda); var cdf = p; var k = 0
     cdfs += ((cdf, 0))
@@ -93,11 +104,11 @@ object BaseFns {
       case (acc, (c, kk)) => acc.when(u < lit(c), lit(kk))
     }.otherwise(lit(cdfs.last._2 + 1))
   }
-  /** Seeded binomial draw, same inverse-CDF construction (pmf by the
-    * multiplicative recurrence). */
-  def rbinomCol(seed: Long, n: Int, prob: Double): Column = {
+  /** Seeded binomial draw over a caller-supplied uniform ([[hashUnif]]),
+    * same inverse-CDF construction (pmf by the multiplicative
+    * recurrence). */
+  def rbinomCol(u: Column, n: Int, prob: Double): Column = {
     require(n > 0 && n <= 256 && prob > 0 && prob < 1)
-    val u = rand(seed)
     val q = 1.0 - prob
     val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
     var p = math.pow(q, n); var cdf = p

@@ -26,9 +26,11 @@ object SeqFns {
   def isElement(x: Column, values: Seq[Any]): Column = x.isin(values: _*)
   /** base::append(x, values, after): insert `values` after 1-based
     * position `after` (0 prepends). Pure slicing — stays in codegen. */
-  def appendArr(x: Column, values: Column, after: Int): Column =
+  def appendArr(x: Column, values: Column, after: Int): Column = {
+    require(after >= 0, s"append: 'after' must be >= 0 (got $after)")
     concat(slice(x, 1, after), values,
       slice(x, lit(after + 1), greatest(size(x) - after, lit(0))))
+  }
 
   /** base::rank with ties.method="average" (R's default): rank of the
     * first tied row plus half the tie-group span. One window per

@@ -121,8 +121,8 @@ class FunctionsSpec extends SparkTestBase {
 
   test("seeded rpois/rbinom match their distributions' moments") {
     val df = spark.range(20000).select(
-      BaseFns.rpoisCol(43L, lambda = 4.0).as("p"),
-      BaseFns.rbinomCol(44L, n = 20, prob = 0.3).as("b"))
+      BaseFns.rpoisCol(BaseFns.hashUnif(col("id"), 43L), lambda = 4.0).as("p"),
+      BaseFns.rbinomCol(BaseFns.hashUnif(col("id"), 44L), n = 20, prob = 0.3).as("b"))
     val r = df.agg(avg("p"), variance("p"), avg("b"), min("p"), min("b"), max("b")).collect()(0)
     assert(math.abs(r.getDouble(0) - 4.0) < 0.1)  // E[Pois(4)] = 4
     assert(math.abs(r.getDouble(1) - 4.0) < 0.25) // Var[Pois(4)] = 4
