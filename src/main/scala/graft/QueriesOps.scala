@@ -131,6 +131,68 @@ object QueriesOps {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // ---- sampling / quality / repetition / decontamination --------------
+    // deterministic stratified sample: downsample dominant en to 25%,
+    // keep the rest at 75% — pure md5-prefix filter, pushes to the scan
+    "x_sample_strat" -> ((s, d) =>
+      Sampling.stratifiedSample(t(s, d, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 0.25), defaultRate = 0.75)
+        .select("doc_id", "lang", "source")
+        .orderBy(col("doc_id"))),
+
+    "x_gopher" -> ((s, d) =>
+      TextAnalysis.gopherRules(t(s, d, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+          "symbol_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+          "stop_hits", "gopher_pass")
+        .orderBy(col("doc_id"))),
+
+    "x_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // train docs sharing any 8-gram with the held-out set (doc_id % 37)
+    "x_contam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Contamination.decontaminate(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- as-of join -----------------------------------------------------
+    // for every non-purchase event, the value of the user's most recent
+    // purchase at-or-before it (union-merge: one shuffle on user_id)
+    "x_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+      val rest = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      AsofJoin.asof(rest, purchases, by = Seq("user_id"), on = "ts",
+          valueCols = Seq("purchase_value"))
+        .select("event_id", "user_id", "event_type", "value", "purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
+    // same join bounded by a 1-hour tolerance: matches farther back are
+    // nulled (pandas merge_asof tolerance semantics)
+    "x_asof_tol" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+      val rest = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      AsofJoin.asof(rest, purchases, by = Seq("user_id"), on = "ts",
+          valueCols = Seq("purchase_value"),
+          tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select("event_id", "user_id", "event_type", "value", "purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- streaming batch-equivalents ------------------------------------
     "s_window_agg" -> ((s, d) =>
       EventStreams.windowedAgg(events(s, d), "1 hour")
@@ -155,7 +217,109 @@ object QueriesOps {
         .orderBy(col("user_id"), col("session_id")))
   )
 
+  /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
+  private val toksSql =
+    """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"""
+
   val oracles: Map[String, String] = Map(
+    "x_sample_strat" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_gopher" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+        |    $toksSql AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) AS mean_word_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) AS alpha_word_frac,
+        |    CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |      / greatest(CAST(len(w) AS DOUBLE), 1.0) AS symbol_word_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS bullet_line_frac,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+        |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ellipsis_line_frac,
+        |    len(list_intersect(list_distinct(toks),
+        |      ['the','a','of','and','to','in','is','it','that','for'])) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_frac,
+        |  bullet_line_frac, ellipsis_line_frac, CAST(stop_hits AS INT) AS stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND alpha_word_frac >= 0.80 AND symbol_word_frac <= 0.10
+        |    AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
+        |    AND stop_hits >= 2) AS gopher_pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x_repetition" ->
+      s"""WITH lines AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) AS line
+        |  FROM documents),
+        |pl AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt * len(line) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cnt * len(line)) AS DOUBLE) AS dup_char_frac
+        |  FROM pl GROUP BY 1),
+        |toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+        |  ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS bigram
+        |  FROM toks),
+        |pb AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |  AS top_bigram_frac FROM pb GROUP BY 1)
+        |SELECT coalesce(ls.doc_id, bs.doc_id) AS doc_id, n_lines, dup_line_frac,
+        |  dup_char_frac, top_bigram_frac
+        |FROM ls FULL JOIN bs ON ls.doc_id = bs.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x_contam" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) <= 7 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) END
+        |  )) AS gram FROM toks),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE (doc_id % 37) = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE (doc_id % 37) <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS contam_frac,
+        |  sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM tr LEFT JOIN tg ON tr.gram = tg.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_asof" ->
+      """WITH r AS (SELECT user_id, ts, max_by("value", event_id) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     l AS (SELECT event_id, user_id, ts, event_type, "value"
+        |           FROM events WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.event_type, l."value", r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "x_asof_tol" ->
+      """WITH r AS (SELECT user_id, ts, max_by("value", event_id) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     l AS (SELECT event_id, user_id, ts, event_type, "value"
+        |           FROM events WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.event_type, l."value",
+        |  CASE WHEN l.ts - r.ts <= INTERVAL 1 HOUR THEN r.purchase_value END
+        |    AS purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     "x_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -85,6 +85,82 @@ object TextAnalysis {
       .withColumn("approx_tokens", ceil(length(t).cast("double") / lit(4.0)).cast("long"))
   }
 
+  // ---- Gopher-style quality rules ---------------------------------------
+  /** Document-level quality-filter features in the style of the Gopher
+    * rules (Rae et al. 2021, "Scaling Language Models", table A1):
+    * word count bounds, mean word length, symbol-to-word ratio,
+    * bullet/ellipsis line fractions, fraction of words with an
+    * alphabetic character, stopword hits — plus the composite pass
+    * flag. One linear scan, per-row column arithmetic only (ratios are
+    * single IEEE divisions — engine-exact, no rounding). */
+  def gopherRules(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nw = size(words).cast("double")
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nl = size(lines).cast("double")
+    val charsInWords = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val symbolWords = size(filter(words,
+      w => w.contains("#") || w.contains("..."))).cast("double")
+    val bulletLines = size(filter(lines,
+      l => ltrim(l).rlike("^[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines,
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+    val stopHits = size(array_intersect(Dedup.tokens(t),
+      array(stopwords("en").map(lit): _*)))
+    df.withColumn("n_words", nw.cast("long"))
+      .withColumn("mean_word_len", charsInWords.cast("double") / greatest(nw, lit(1.0)))
+      .withColumn("alpha_word_frac", alphaWords / greatest(nw, lit(1.0)))
+      .withColumn("symbol_word_frac", symbolWords / greatest(nw, lit(1.0)))
+      .withColumn("bullet_line_frac", bulletLines / greatest(nl, lit(1.0)))
+      .withColumn("ellipsis_line_frac", ellipsisLines / greatest(nl, lit(1.0)))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("gopher_pass",
+        nw >= 50 && nw <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_word_frac") >= 0.80 &&
+          col("symbol_word_frac") <= 0.10 &&
+          col("bullet_line_frac") <= 0.90 &&
+          col("ellipsis_line_frac") <= 0.30 &&
+          col("stop_hits") >= 2)
+  }
+
+  // ---- repetition detection ----------------------------------------------
+  /** Repetition features (the Gopher duplicate-content rules): fraction
+    * of lines (and of their characters) that are duplicates of another
+    * line in the same document, and the share of the document's word
+    * bigrams taken by its single most frequent bigram.
+    *
+    * Scale shape: two explode→partial-agg pipelines keyed by
+    * (doc, line) / (doc, bigram) — map-side combine absorbs the
+    * within-doc repetition that this operator exists to find — then a
+    * re-agg to doc grain and one join of two doc-grain frames. No
+    * per-doc collect; skew (one giant doc) is bounded by the partial
+    * aggregation. */
+  def repetition(df: DataFrame, id: String, text: String): DataFrame = {
+    val lines = df.select(col(id),
+        explode(filter(split(col(text), "\n"), l => length(trim(l)) > 0)).as("line"))
+    val lineStats = lines.groupBy(col(id), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", length(col("line")).cast("long"))
+      .groupBy(col(id))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        (sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).cast("double") /
+          sum(col("cnt")).cast("double")).as("dup_line_frac"),
+        (sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L)).cast("double") /
+          sum(col("cnt") * col("chars")).cast("double")).as("dup_char_frac"))
+    val bigrams = df.select(col(id),
+        explode(Dedup.shingles(Dedup.tokens(col(text)), 2)).as("bigram"))
+    val bigramStats = bigrams.groupBy(col(id), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+        .as("top_bigram_frac"))
+    lineStats.join(bigramStats, Seq(id), "full")
+  }
+
   // ---- fingerprinting ----------------------------------------------------
   /** Winnowing fingerprint (Schleimer et al.): k-gram rolling hashes,
     * minimum per sliding window of w, distinct mins = fingerprint set.

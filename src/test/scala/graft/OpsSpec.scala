@@ -135,4 +135,104 @@ class OpsSpec extends SparkTestBase {
     // ws: [Hello,] [world] [42!] = 3; bpe-ish: Hello , world 42 ! = 5; 16 chars/4 = 4
     assertRows(out, Seq(Seq(3, 5, 4L)))
   }
+
+  private def asofLeft = sqlDf(
+    "k" -> Seq("a", "a", "a", "b"),
+    "t" -> Seq(5L, 10L, 2L, 7L),
+    "lv" -> Seq("l1", "l2", "l3", "l4"))
+  private def asofRight = sqlDf(
+    "k" -> Seq("a", "a", "b"),
+    "t" -> Seq(5L, 8L, 9L),
+    "rv" -> Seq(50.0, 80.0, 90.0))
+
+  test("asof backward attaches most recent right row, inclusive on ties") {
+    val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"))
+      .orderBy("k", "t").collect()
+    // a@2 -> none; a@5 -> 5 (inclusive); a@10 -> 8; b@7 -> none (9 is after)
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq ==
+      Seq(None, Some(50.0), Some(80.0), None))
+  }
+
+  test("asof forward attaches earliest right row at-or-after") {
+    val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
+        direction = "forward")
+      .orderBy("k", "t").collect()
+    // a@2 -> 5; a@5 -> 5 (inclusive); a@10 -> none; b@7 -> 9
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq ==
+      Seq(Some(50.0), Some(50.0), None, Some(90.0)))
+  }
+
+  test("asof tolerance nulls matches farther than the bound") {
+    val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
+        tolerance = Some(lit(2L)))
+      .orderBy("k", "t").collect()
+    // a@5 -> 5 (gap 0 <= 2); a@10 -> 8 (gap 2 <= 2); a@2, b@7 -> none
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq ==
+      Seq(None, Some(50.0), Some(80.0), None))
+  }
+
+  test("hash sampling is deterministic, nested, and near the target rate") {
+    val ids = spark.range(20000).toDF("k")
+    val s20 = Sampling.hashSample(ids, col("k"), 0.2).collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.hashSample(ids, col("k"), 0.5).collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s50), "lower-rate sample must nest inside higher-rate")
+    assert(math.abs(s20.size / 20000.0 - 0.2) < 0.02)
+    assert(math.abs(s50.size / 20000.0 - 0.5) < 0.02)
+    // re-run = same rows (pure filter, no RNG)
+    val again = Sampling.hashSample(ids, col("k"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(again == s20)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = spark.range(20000).toDF("k")
+      .withColumn("g", when(col("k") % 2 === 0, "big").otherwise("small"))
+    val out = Sampling.stratifiedSample(df, col("k"), col("g"),
+        Map("big" -> 0.1), defaultRate = 0.9)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("big") / 10000.0 - 0.1) < 0.02, s"got $out")
+    assert(math.abs(out("small") / 10000.0 - 0.9) < 0.02, s"got $out")
+  }
+
+  test("gopher rules: bullet/ellipsis/alpha/symbol fractions on a crafted doc") {
+    val text = "- bullet one\nplain line here...\nwords ### 42"
+    val out = TextAnalysis.gopherRules(sqlDf("text" -> Seq(text)), "text").collect()(0)
+    assert(out.getAs[Long]("n_words") == 9)
+    assert(math.abs(out.getAs[Double]("bullet_line_frac") - 1.0 / 3) < 1e-15)
+    assert(math.abs(out.getAs[Double]("ellipsis_line_frac") - 1.0 / 3) < 1e-15)
+    // '###' and 'here...' are symbol words
+    assert(math.abs(out.getAs[Double]("symbol_word_frac") - 2.0 / 9) < 1e-15)
+    assert(!out.getAs[Boolean]("gopher_pass")) // < 50 words
+  }
+
+  test("repetition: duplicate lines and dominant bigram are measured") {
+    val text = "same line\nsame line\nunique content words"
+    val out = TextAnalysis.repetition(
+      sqlDf("doc_id" -> Seq(1L), "text" -> Seq(text)), "doc_id", "text").collect()(0)
+    assert(out.getAs[Long]("n_lines") == 3)
+    assert(math.abs(out.getAs[Double]("dup_line_frac") - 2.0 / 3) < 1e-15)
+    // bigrams: (same line)x2, (line same), (line unique), (unique content),
+    // (content words) -> top 2 of 6
+    assert(math.abs(out.getAs[Double]("top_bigram_frac") - 2.0 / 6) < 1e-15)
+  }
+
+  test("decontamination flags train docs sharing an n-gram with test docs") {
+    val train = sqlDf(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("alpha beta gamma delta", "totally unrelated words here"))
+    val test = sqlDf(
+      "doc_id" -> Seq(9L),
+      "text" -> Seq("prefix alpha beta gamma suffix"))
+    val out = Contamination.decontaminate(train, test, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("contaminated"))   // shares "alpha beta gamma"
+    assert(out(0).getAs[Long]("n_contaminated") == 1L)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("asof join plan is one shuffle on the by-key, no join node") {
+    val plan = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+    assert("hashpartitioning\\(k".r.findAllIn(plan).size >= 1)
+  }
 }
