@@ -144,6 +144,19 @@ object QueriesDplyr {
         .select("p_brand", "p_partkey", "p_retailprice")
         .arrange(col("p_brand"), col("p_partkey")).df),
 
+    // the custom GroupedTopK plan (partial heaps -> pruned shuffle ->
+    // final heaps; no sort, no WindowExec) — top-3 lineitems per
+    // (returnflag, linestatus) by price, total ordering for determinism
+    "d_topk" -> ((s, d) =>
+      graft.plans.TopK.topKPerGroup(t(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+          k = 3)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_linenumber"))),
+
     "d_slice_max" -> ((s, d) =>
       t(s, d, "supplier").graft
         .groupBy("s_nationkey")
@@ -535,6 +548,13 @@ object QueriesDplyr {
       """SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
         |QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) <= 1
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "d_topk" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+        |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin,
 
     "d_join_inner" ->
       """SELECT c_custkey, c_name, n_name FROM customer

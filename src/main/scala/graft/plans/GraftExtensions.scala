@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => GroupedTopKStrategy)
+  }
 }
 
 object GraftExtensions {

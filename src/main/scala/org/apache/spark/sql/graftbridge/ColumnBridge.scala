@@ -15,6 +15,13 @@ object ColumnBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Eager ColumnNode → catalyst conversion. `expr` wraps lazily in a
+    * ColumnNodeExpression that only standard Dataset operators unwrap
+    * during analysis; expressions placed inside CUSTOM logical plans
+    * must be converted eagerly or they reach execution unresolved. */
+  def catalystExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap every aggregate-function call inside `c` in an unordered
     * window partitioned by `groups` — dplyr's grouped mutate/filter.
     * Explicit windows are left untouched; aggregate arguments are not

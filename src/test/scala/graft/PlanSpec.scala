@@ -19,6 +19,34 @@ class PlanSpec extends SparkTestBase {
 
   private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(collectPlan)
 
+  test("GroupedTopK matches the window form and plans partial->shuffle->final") {
+    import graft.plans.{GroupedTopKExec, TopK}
+    val q = TopK.topKPerGroup(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), k = 3)
+    // correctness vs the window idiom (total ordering -> unique answer)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val expected = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    val key = (r: org.apache.spark.sql.Row) => r.mkString("|")
+    assert(q.collect().map(key).sorted.toSeq == expected.collect().map(key).sorted.toSeq)
+    // plan shape: two custom nodes with exactly one shuffle between, no sort/window
+    val nodes = collectPlan(q.queryExecution.executedPlan)
+    val topks = nodes.collect { case t: GroupedTopKExec => t }
+    assert(topks.map(_.partial) == Seq(false, true), s"want final over partial:\n${q.queryExecution.executedPlan}")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]))
+  }
+
+  test("GroupedTopK handles k larger than groups and single groups") {
+    import graft.plans.TopK
+    val tiny = sqlDf("g" -> Seq("a", "a", "b"), "v" -> Seq(3L, 1L, 9L))
+    val out = TopK.topKPerGroup(tiny, Seq("g"), Seq(col("v")), k = 5)
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 1L), ("a", 3L), ("b", 9L)))
+  }
+
   test("filter + projection are pushed down to the parquet scan") {
     val q = li.filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
     val scan = q.queryExecution.executedPlan.toString
