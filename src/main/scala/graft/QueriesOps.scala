@@ -161,6 +161,13 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    "x_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"), col("term"))),
+
+    "x_ngram_freq" -> ((s, d) =>
+      TextAnalysis.ngramFreq(t(s, d, "documents"), "text", n = 3, k = 50)),
+
     // ---- as-of join -----------------------------------------------------
     // for every non-purchase event, the value of the user's most recent
     // purchase at-or-before it (union-merge: one shuffle on user_id)
@@ -207,6 +214,20 @@ object QueriesOps {
         .dropDuplicates("event_id")
         .groupBy("user_id").agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // batch equivalent of the stream-stream interval join: clicks with
+    // the same user's purchases in the trailing hour
+    "s_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      EventStreams.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          windowMinutes = 60)
+        .groupBy(col("l_event_id").as("event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("r_value").cast("decimal(28,6)")).cast("double").as("total_purchase"))
+        .orderBy(col("event_id"))
     }),
 
     "s_sessionize" -> ((s, d) =>
@@ -299,6 +320,28 @@ object QueriesOps {
         |  sum(CASE WHEN tg.gram IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
         |FROM tr LEFT JOIN tg ON tr.gram = tg.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS rn
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+        |FROM scored WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin,
+
+    "x_ngram_freq" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+        |  ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS gram
+        |  FROM toks)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
 
     "x_asof" ->
       """WITH r AS (SELECT user_id, ts, max_by("value", event_id) AS purchase_value
@@ -448,6 +491,15 @@ object QueriesOps {
       """SELECT user_id, count(*) AS n_events FROM (
         |  SELECT DISTINCT event_id, user_id, event_type FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "s_interval_join" ->
+      """SELECT l.event_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(r."value" AS DECIMAL(28,6))) AS DOUBLE) AS total_purchase
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts > l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s_sessionize" ->
       """WITH g AS (

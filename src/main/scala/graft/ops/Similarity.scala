@@ -17,11 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  private def k2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                     org.apache.spark.sql.catalyst.expressions.Expression) =>
+                    org.apache.spark.sql.catalyst.expressions.Expression)
+                (a: Column, b: Column): Column =
+    ColumnBridge.column(f(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  /** Distance kernels: native codegen Expressions (plans.VectorKernels)
+    * — the distance is the inner loop of a corpus scan and must stay
+    * inside whole-stage codegen (higher-order functions evaluate
+    * interpreted). Same index-order accumulation as the Column forms
+    * below, so results are bit-identical. */
+  // cast is a no-op when already array<double>; it is what makes
+  // array<float> inputs safe (the kernel reads packed doubles)
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-  def norm(a: Column): Column = sqrt(dot(a, a))
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+    k2(graft.plans.DotProductExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
+  def cosine(a: Column, b: Column): Column =
+    k2(graft.plans.CosineSimExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
   def l2(a: Column, b: Column): Column =
+    k2(graft.plans.L2DistanceExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Column-composition reference forms (documented semantics). */
+  def dotColumns(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def cosineColumns(a: Column, b: Column): Column =
+    dotColumns(a, b) / (sqrt(dotColumns(a, a)) * sqrt(dotColumns(b, b)))
+  def l2Columns(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
   /** Deterministic pseudo-random hyperplane component r_{p,k} in

@@ -85,6 +85,42 @@ object TextAnalysis {
       .withColumn("approx_tokens", ceil(length(t).cast("double") / lit(4.0)).cast("long"))
   }
 
+  // ---- TF-IDF ------------------------------------------------------------
+  /** Top-k characteristic terms per document with smoothed TF-IDF
+    * scores (idf = ln((N+1)/(df+1)) + 1).
+    *
+    * Scale shape: explode → (doc, term) partial-agg (map-side combine
+    * absorbs within-doc repetition), a term-grain re-agg for document
+    * frequency, one shuffle join of two term-keyed frames, and a
+    * broadcast of the 1-row corpus count. Selection of the top terms
+    * uses the integer (tf desc, term) ordering, so the chosen rows are
+    * deterministic across engines even though the score itself is
+    * libm-derived. */
+  def tfidf(df: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(id), explode(Dedup.tokens(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col(id)).orderBy(col("tf").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("nd") + 1.0) / (col("dfc") + 1.0)) + 1.0), 6))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(id), col("term"), col("tf"), col("tfidf"))
+  }
+
+  // ---- corpus n-gram frequency -------------------------------------------
+  /** Corpus-wide top-k word n-grams by occurrence count (ties broken
+    * by gram text). Explode → partial-agg groupBy → global
+    * TakeOrderedAndProject: one shuffle, top-k never materializes the
+    * full frequency table on one node. */
+  def ngramFreq(df: DataFrame, text: String, n: Int, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).limit(k)
+
   // ---- Gopher-style quality rules ---------------------------------------
   /** Document-level quality-filter features in the style of the Gopher
     * rules (Rae et al. 2021, "Scaling Language Models", table A1):

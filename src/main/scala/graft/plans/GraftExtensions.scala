@@ -48,7 +48,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHashExpr(es.head)),
     ("lang_id",
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
-      (es: Seq[Expression]) => LangIdExpr(es.head)))
+      (es: Seq[Expression]) => LangIdExpr(es.head)),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    ("l2_distance",
+      new ExpressionInfo(classOf[L2DistanceExpr].getName, "l2_distance"),
+      (es: Seq[Expression]) => L2DistanceExpr(es(0), es(1))))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -99,6 +99,31 @@ object EventStreams {
       }
   }
 
+  // ---- stream-stream interval join ---------------------------------------
+  /** Stream-stream (or batch-batch: same plan logic) interval join:
+    * each left event paired with the same user's right events inside
+    * `(left.ts - windowMinutes, left.ts]`.
+    *
+    * The equality key (user_id) makes it a keyed shuffle join; the
+    * time-range predicate is what BOUNDS THE JOIN STATE in streaming —
+    * with both sides watermarked, rows older than the watermark minus
+    * the interval are evicted, so state stays proportional to the
+    * window, not the stream. Without a range condition Spark must keep
+    * every row forever (unbounded-state stream join). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   windowMinutes: Int = 60): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("user_id"),
+      col("ts").as("l_ts"))
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id"), col("value").as("r_value"))
+    val lw = if (l.isStreaming) l.withWatermark("l_ts", s"$windowMinutes minutes") else l
+    val rw = if (r.isStreaming) r.withWatermark("r_ts", s"$windowMinutes minutes") else r
+    lw.join(rw,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") > col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   // ---- streaming dedup ---------------------------------------------------
   /** Exactly-once-per-key across the whole stream (state grows with
     * distinct keys — fine for bounded key spaces). */

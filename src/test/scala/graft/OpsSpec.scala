@@ -136,6 +136,20 @@ class OpsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq(3, 5, 4L)))
   }
 
+  test("native distance kernels are bit-identical to the Column forms") {
+    val vecs = spark.range(200).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        i => sin(i * (col("id") + 1).cast("double"))).as("v"),
+      transform(sequence(lit(0), lit(15)),
+        i => cos(i * (col("id") + 2).cast("double"))).as("w"))
+    val diffs = vecs.select(
+      (Similarity.cosine(col("v"), col("w")) === Similarity.cosineColumns(col("v"), col("w"))).as("c"),
+      (Similarity.dot(col("v"), col("w")) === Similarity.dotColumns(col("v"), col("w"))).as("d"),
+      (Similarity.l2(col("v"), col("w")) === Similarity.l2Columns(col("v"), col("w"))).as("l"))
+      .filter(!col("c") || !col("d") || !col("l")).count()
+    assert(diffs == 0L)
+  }
+
   private def asofLeft = sqlDf(
     "k" -> Seq("a", "a", "a", "b"),
     "t" -> Seq(5L, 10L, 2L, 7L),

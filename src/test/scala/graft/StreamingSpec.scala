@@ -82,6 +82,47 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("intervalJoin joins two STREAMS within the time window only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[SessionEvent]
+    val purchases = MemoryStream[SessionEvent]
+    val joined = EventStreams.intervalJoin(clicks.toDF(), purchases.toDF(),
+      windowMinutes = 60)
+    val query = joined.writeStream.format("memory")
+      .queryName("ij_out").outputMode("append").start()
+    try {
+      // purchase 30min before click (in window), one 2h before (outside),
+      // one AFTER the click (outside: join looks backward only)
+      purchases.addData(
+        SessionEvent(10L, ts(0), 1L, "purchase", 5.0),    // click-30m: in
+        SessionEvent(11L, ts(-90), 1L, "purchase", 7.0),  // click-2h: out
+        SessionEvent(12L, ts(60), 1L, "purchase", 9.0))   // click+30m: out
+      clicks.addData(SessionEvent(1L, ts(30), 1L, "click", 0.0))
+      query.processAllAvailable()
+      val rows = s.table("ij_out").collect()
+      assert(rows.length == 1, s"expected one in-window pair: ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("r_event_id") == 10L)
+      assert(rows(0).getAs[Double]("r_value") == 5.0)
+    } finally query.stop()
+  }
+
+  test("intervalJoin batch form matches a hand-computed rollup") {
+    val ev = sqlDf(
+      "event_id" -> Seq(1L, 10L, 11L, 12L),
+      "user_id" -> Seq(1L, 1L, 1L, 2L),
+      "event_type" -> Seq("click", "purchase", "purchase", "purchase"),
+      "value" -> Seq(0.0, 5.0, 7.0, 9.0),
+      "m" -> Seq(30, 0, -90, 10)) // minutes relative to base
+      .withColumn("ts", timestamp_millis(lit(base) + col("m") * 60000L))
+    val out = EventStreams.intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"), 60).collect()
+    // only purchase 10 is in user 1's trailing hour (11 too old, 12 is user 2)
+    assert(out.length == 1 && out(0).getAs[Long]("r_event_id") == 10L)
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     val s = spark
     import s.implicits._
