@@ -9,9 +9,10 @@ object Bench {
   /** Headline set — analytics + the scale-critical pipeline ops. */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topk", "q5_region_revenue",
-    "d_ranks", "d_mutate_grouped", "d_join_inner",
+    "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk",
     "x_dedup_exact", "x_dedup_minhash", "x_ann_brute",
-    "x_langid", "x_tokens", "s_sessionize")
+    "x_langid", "x_tokens", "x_asof", "x_contam", "x_gopher",
+    "s_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,7 +26,7 @@ object Contamination {
   def decontaminate(train: DataFrame, test: DataFrame, id: String,
                     text: String, n: Int = 13): DataFrame = {
     def docGrams(df: DataFrame) = df.select(col(id),
-      explode(array_distinct(Dedup.shingles(Dedup.tokens(col(text)), n)))
+      explode(array_distinct(Dedup.shinglesFast(col(text), n)))
         .as("gram"))
 
     val testGrams = docGrams(test).select("gram").distinct()

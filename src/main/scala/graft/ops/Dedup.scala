@@ -54,6 +54,12 @@ object Dedup {
   def shingles(toks: Column, w: Int): Column =
     slidingCombine(toks, w, (a, b) => concat_ws(" ", a, b))
 
+  /** Same output straight from the text column via the native codegen
+    * kernel (one pass; the Column form above pays w interpreted
+    * zip_with levels, each re-evaluating the tokenizer subtree). */
+  def shinglesFast(text: Column, w: Int): Column =
+    fromExpr(graft.plans.ShingleStringsExpr(bridge(text), w))
+
   /** One 64-bit base hash per distinct shingle: rolling-combined token
     * hashes (a hash of the window's token hashes — equivalent to
     * hashing the window text for dedup purposes). */

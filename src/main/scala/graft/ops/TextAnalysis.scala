@@ -117,7 +117,7 @@ object TextAnalysis {
     * TakeOrderedAndProject: one shuffle, top-k never materializes the
     * full frequency table on one node. */
   def ngramFreq(df: DataFrame, text: String, n: Int, k: Int): DataFrame =
-    df.select(explode(Dedup.shingles(Dedup.tokens(col(text)), n)).as("gram"))
+    df.select(explode(Dedup.shinglesFast(col(text), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram")).limit(k)
 
@@ -188,7 +188,7 @@ object TextAnalysis {
         (sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L)).cast("double") /
           sum(col("cnt") * col("chars")).cast("double")).as("dup_char_frac"))
     val bigrams = df.select(col(id),
-        explode(Dedup.shingles(Dedup.tokens(col(text)), 2)).as("bigram"))
+        explode(Dedup.shinglesFast(col(text), 2)).as("bigram"))
     val bigramStats = bigrams.groupBy(col(id), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col(id))

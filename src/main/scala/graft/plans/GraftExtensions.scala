@@ -49,6 +49,13 @@ object GraftExtensions {
     ("lang_id",
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (es: Seq[Expression]) => LangIdExpr(es.head)),
+    ("shingle_strings",
+      new ExpressionInfo(classOf[ShingleStringsExpr].getName, "shingle_strings"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => ShingleStringsExpr(t, 3)
+        case Seq(t, w) => ShingleStringsExpr(t, intArg(w, "w"))
+        case _ => throw new IllegalArgumentException("shingle_strings(text[, w])")
+      }),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))),

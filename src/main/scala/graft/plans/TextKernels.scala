@@ -71,6 +71,48 @@ object TextKernels {
     out.toArray
   }
 
+  /** Lowercase alphanumeric word tokens as strings — the string twin
+    * of tokenHashes (same tokenizer, same [""] convention). */
+  def tokenStrings(text: UTF8String): Array[String] = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = new scala.collection.mutable.ArrayBuffer[String](32)
+    var i = 0
+    val n = s.length
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out += sb.toString
+    if (out.isEmpty) out += ""
+    out.toArray
+  }
+
+  /** w-token shingle STRINGS (space-joined; size-w+1 full windows, min
+    * 1 partial window for short docs) — identical output to
+    * `Dedup.shingles(Dedup.tokens(text), w)` but one codegen'd pass
+    * instead of w interpreted zip_with levels that each re-tokenize. */
+  def shingleStrings(text: UTF8String, w: Int): ArrayData = {
+    val toks = tokenStrings(text)
+    val nOut = math.max(toks.length - w + 1, 1)
+    val out = new Array[Any](nOut)
+    var i = 0
+    while (i < nOut) {
+      val sb = new java.lang.StringBuilder(16 * w)
+      var k = 0
+      while (k < w && i + k < toks.length) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: sig(j) = min over shingles of hash2(h, j). */
   def minhashSignature(text: UTF8String, w: Int, numPerm: Int): ArrayData = {
     val sh = shingleHashes(text, w)
@@ -181,6 +223,19 @@ case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression 
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.TextKernelsBridge.shingleHashArray($c, $w)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** shingle_strings(text, w) — w-word shingle strings. */
+case class ShingleStringsExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleStrings(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.shingleStrings($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsExpr =
     copy(child = newChild)
 }
 

@@ -136,6 +136,24 @@ class OpsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq(3, 5, 4L)))
   }
 
+  test("shinglesFast kernel matches the Column shingle form exactly") {
+    val df = sqlDf("text" -> Seq(
+      "The quick brown fox, jumps over the lazy dog!",
+      "short",
+      "two words",
+      "  Ünïcode Tökens 42 here  ",
+      ""))
+    for (w <- Seq(2, 3, 8)) {
+      val rows = df.select(
+        Dedup.shingles(Dedup.tokens(col("text")), w).as("col_form"),
+        Dedup.shinglesFast(col("text"), w).as("kernel")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"w=$w mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("native distance kernels are bit-identical to the Column forms") {
     val vecs = spark.range(200).select(col("id"),
       transform(sequence(lit(0), lit(15)),
