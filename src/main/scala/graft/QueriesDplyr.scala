@@ -327,6 +327,21 @@ object QueriesDplyr {
         .arrange(col("l_orderkey"), col("l_linenumber")).df
     }),
 
+    "d_rolling" -> ((s, d) => {
+      val part = Seq(col("l_orderkey"))
+      // tiebreak on quantity: l_linenumber is non-unique in this data
+      val ord = Seq(col("l_linenumber").asc, col("l_quantity").asc)
+      t(s, d, "lineitem").graft
+        .mutate(
+          "roll_sum" -> WindowFns.rollSum(col("l_quantity"), 3, ord, part),
+          "roll_mean" -> WindowFns.rollMean(col("l_quantity"), 3, ord, part),
+          "roll_min" -> WindowFns.rollMin(col("l_quantity"), 3, ord, part),
+          "roll_max" -> WindowFns.rollMax(col("l_quantity"), 3, ord, part))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "roll_sum", "roll_mean", "roll_min", "roll_max")
+        .arrange(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).df
+    }),
+
     "d_case" -> ((s, d) =>
       t(s, d, "lineitem").graft
         .mutate(
@@ -671,6 +686,18 @@ object QueriesDplyr {
         |WINDOW wr AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_discount, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_rolling" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) AS roll_mean,
+        |  min(l_quantity) OVER w AS roll_min,
+        |  max(l_quantity) OVER w AS roll_max
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "d_case" ->
       """SELECT l_orderkey, l_linenumber,

@@ -18,6 +18,26 @@ object WindowFns {
     base.orderBy(order: _*)
   }
 
+  /** Rolling (sliding-frame) aggregates over the trailing k rows,
+    * current row inclusive (slider/zoo-style `roll_*` with partial
+    * head windows). One shared shuffle+sort per (part, order) like
+    * every other helper here; the frame is evaluated incrementally by
+    * WindowExec, not re-scanned per row. Sum/mean go through exact
+    * decimal accumulation so results are engine-exact. */
+  private def rollW(part: Seq[Column], order: Seq[Column], k: Int) = {
+    require(k >= 1, s"rolling window width must be >= 1 (got $k)")
+    w(part, order).rowsBetween(-(k - 1), 0)
+  }
+  def rollSum(x: Column, k: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    sum(x.cast("decimal(28,6)")).over(rollW(part, order, k)).cast("double")
+  def rollMean(x: Column, k: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    rollSum(x, k, order, part) /
+      count(lit(1)).over(rollW(part, order, k)).cast("double")
+  def rollMin(x: Column, k: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    min(x).over(rollW(part, order, k))
+  def rollMax(x: Column, k: Int, order: Seq[Column], part: Seq[Column] = Nil): Column =
+    max(x).over(rollW(part, order, k))
+
   def rowNumber(order: Seq[Column], part: Seq[Column] = Nil): Column =
     row_number().over(w(part, order))
   def minRank(order: Seq[Column], part: Seq[Column] = Nil): Column =

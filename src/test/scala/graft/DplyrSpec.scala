@@ -68,6 +68,26 @@ class DplyrSpec extends SparkTestBase {
       Seq(Seq("a", 2), Seq("b", 4), Seq("b", 5)))
   }
 
+  test("slice_min on a string column uses character ordering; out-of-range is empty") {
+    // reference tests/dplyr/test_slice.py: test_slice_min_string_column,
+    // test_slice_no_rows_returns_empty
+    val df = sqlDf("s" -> Seq("pear", "apple", "mango"))
+    assertRows(df.graft.arrange(col("s")).sliceMin(col("s"), 1).df.select("s"),
+      Seq(Seq("apple")))
+    assert(df.graft.arrange(col("s")).sliceAt(Seq(9)).df.count() == 0L)
+  }
+
+  test("rolling aggregates use trailing frames with partial heads") {
+    val df = sqlDf("g" -> Seq("a", "a", "a", "b"), "x" -> Seq(1.0, 2.0, 4.0, 9.0))
+    val out = df.select(col("g"), col("x"),
+        graft.functions.WindowFns.rollSum(col("x"), 2, Seq(col("x")), Seq(col("g"))).as("rs"),
+        graft.functions.WindowFns.rollMean(col("x"), 2, Seq(col("x")), Seq(col("g"))).as("rm"))
+      .orderBy("g", "x").collect()
+    // a: frames [1], [1,2], [2,4]; b: [9]
+    assert(out.map(_.getAs[Double]("rs")).toSeq == Seq(1.0, 3.0, 6.0, 9.0))
+    assert(out.map(_.getAs[Double]("rm")).toSeq == Seq(1.0, 1.5, 3.0, 9.0))
+  }
+
   test("slice prop variants keep floor(prop*n) rows per group") {
     // reference tests/dplyr/test_slice.py: slice_head(prop=0.5) of 4 -> 2
     val df = sqlDf("x" -> Seq(1, 2, 3, 4))
