@@ -321,6 +321,26 @@ object QueriesOps {
         |FROM tr LEFT JOIN tg ON tr.gram = tg.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // replicates the langId kernel: CJK-ratio gate (vacuous on this
+    // corpus) then stopword-profile argmax, ties -> lexicographically
+    // largest code (the struct list_sort descends on (score, lang))
+    "x_langid" ->
+      s"""WITH t AS (SELECT lang, list_distinct($toksSql) AS tk,
+        |  len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk, len(text) AS n
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN n > 0 AND cjk > n * 0.3 THEN 'zh'
+        |  ELSE list_sort([
+        |    struct_pack(s := len(list_intersect(tk, ['der','die','das','und','ist','ein','eine','zu','mit','von'])), l := 'de'),
+        |    struct_pack(s := len(list_intersect(tk, ['the','a','of','and','to','in','is','it','that','for'])), l := 'en'),
+        |    struct_pack(s := len(list_intersect(tk, ['el','la','los','las','y','es','un','una','de','en'])), l := 'es'),
+        |    struct_pack(s := len(list_intersect(tk, ['le','la','les','et','est','un','une','de','dans','pour'])), l := 'fr'),
+        |    struct_pack(s := len(list_intersect(tk, ['il','la','gli','e','è','un','una','di','in','per'])), l := 'it')
+        |  ])[-1].l END AS pred_lang
+        |  FROM t)
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "x_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
         |tf AS (SELECT doc_id, t AS term, count(*) AS tf
