@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (reference: `datar_polars/polars.py` re-exports
+  * polars IO — read_csv etc.; graft maps the same needs onto Spark's
+  * readers/writers with the options that matter at pipeline scale).
+  *
+  * Scale rules encoded here:
+  * - Readers take an EXPLICIT schema wherever possible. `inferSchema`
+  *   on CSV/JSON runs a full extra pass over the data — at 100 TB that
+  *   is a second scan before the first real one. Schema-on-read also
+  *   pins column types across runs (inference can flip types when the
+  *   data drifts).
+  * - Column pruning + predicate pushdown reach parquet scans
+  *   automatically because all downstream operators stay declarative.
+  * - Partitioned sinks (`writePartitioned`) give directory-level
+  *   partition pruning to every future reader; choose low-cardinality
+  *   keys (date, source) — high-cardinality partitioning creates a
+  *   small-files problem instead.
+  * - Bucketed sinks (`writeBucketed`) pre-shuffle ONCE at write time;
+  *   repeated joins/aggregations on the bucket key then plan with no
+  *   Exchange at all (asserted in SourcesSpec).
+  * - `maxRecordsPerFile` caps output file size so a skewed final task
+  *   cannot emit a multi-GB file that breaks downstream split sizing.
+  */
+object Sources {
+
+  // ---- readers -----------------------------------------------------------
+  def readParquet(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  /** Parquet with schema evolution across files (mergeSchema scans all
+    * footers — bounded metadata cost, pay it only when files really
+    * have heterogeneous schemas). */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, delimiter: String = ",",
+              nullValue: String = ""): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header).option("delimiter", delimiter)
+      .option("nullValue", nullValue)
+      // malformed rows go to a null-padded row rather than failing the
+      // 100 TB job at hour 9; count them via the corrupt-record column
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Schema inference escape hatch for EXPLORATION — documented extra
+    * pass; never in a production pipeline. */
+  def readCsvInferred(spark: SparkSession, path: String,
+                      header: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", "true").csv(path)
+
+  // ---- sinks -------------------------------------------------------------
+  def writeParquet(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite,
+                   maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode(mode)
+    (if (maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(path)
+  }
+
+  /** Hive-style partitioned layout: readers prune whole directories on
+    * partition-key predicates. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: the write pays one shuffle so that every
+    * subsequent join/agg on `by` plans with ZERO Exchange (both sides
+    * bucketed with the same count) — the standard layout for a fact
+    * table joined repeatedly on the same key. Bucketed tables go
+    * through the catalog (bucket metadata lives there). */
+  def writeBucketed(df: DataFrame, table: String, by: Seq[String],
+                    nBuckets: Int): Unit =
+    graft.core.ScaleJoins.bucketize(df, by, nBuckets, table)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}
