@@ -161,6 +161,10 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    "x_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "x_tfidf" -> ((s, d) =>
       TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy(col("doc_id"), col("term"))),
@@ -340,6 +344,19 @@ object QueriesOps {
         |  FROM t)
         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x_unigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY 1, 2),
+        |model AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+        |total AS (SELECT sum(cf) AS ct FROM model)
+        |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(tf.tf * -ln(CAST(cf AS DOUBLE) / CAST(ct AS DOUBLE))
+        |      AS DECIMAL(38,18))) AS DOUBLE)
+        |    / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_score
+        |FROM tf JOIN model USING (term) CROSS JOIN total
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -111,6 +111,34 @@ object TextAnalysis {
       .select(col(id), col("term"), col("tf"), col("tfidf"))
   }
 
+  // ---- unigram-LM perplexity proxy ---------------------------------------
+  /** CCNet-style language-model quality proxy, with the corpus itself
+    * as the unigram model: score(doc) = mean over tokens of
+    * -ln p(term), where p(term) = corpus_count(term) / corpus_tokens.
+    * Low score = typical text; high = rare-token soup (often junk).
+    *
+    * Scale shape: one explode → (doc, term) partial agg, a term-grain
+    * re-agg for the model, a term-keyed shuffle join back (the model
+    * frame usually broadcasts; AQE decides), and a doc-grain agg.
+    * The per-term -ln p is weighted by the doc's term count, so the
+    * join carries distinct (doc, term) rows, not every token. */
+  def unigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf = df.select(col(id), explode(Dedup.tokens(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val total = model.agg(sum("cf").as("ct"))
+    tf.join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        // decimal accumulation: a double SUM is addition-order-dependent
+        // and would break cross-engine hash comparison (Exact.dsum rule)
+        round((sum((col("tf") * -log(col("cf").cast("double") / col("ct").cast("double")))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("tf")).cast("double")), 6).as("lm_score"))
+  }
+
   // ---- corpus n-gram frequency -------------------------------------------
   /** Corpus-wide top-k word n-grams by occurrence count (ties broken
     * by gram text). Explode → partial-agg groupBy → global

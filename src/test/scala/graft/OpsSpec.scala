@@ -154,6 +154,21 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("unigram LM score ranks rare-token soup above typical text") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(
+        "the cat sat on the mat the cat sat again",
+        "the cat sat on the mat once more today",
+        "zyxwv qqqjj kkzzk"))  // tokens that appear nowhere else
+    val out = TextAnalysis.unigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val scores = out.map(_.getAs[Double]("lm_score"))
+    assert(scores(2) > scores(0) && scores(2) > scores(1),
+      s"rare-token doc must score highest: ${scores.toSeq}")
+    assert(out(0).getAs[Long]("n_tokens") == 10L)
+  }
+
   test("native distance kernels are bit-identical to the Column forms") {
     val vecs = spark.range(200).select(col("id"),
       transform(sequence(lit(0), lit(15)),

@@ -55,6 +55,18 @@ class SourcesSpec extends SparkTestBase {
 
   test("bucketed tables join with ZERO shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // a killed JVM can leave the managed location behind without the
+    // catalog entry; clear both so the test is idempotent
+    for (t <- Seq("graft_bucket_a", "graft_bucket_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(new java.net.URI(wh).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     Sources.writeBucketed(sample, "graft_bucket_a", Seq("id"), 4)
     Sources.writeBucketed(
       sample.withColumnRenamed("v", "w").drop("grp"), "graft_bucket_b", Seq("id"), 4)
