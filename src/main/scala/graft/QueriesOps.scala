@@ -28,6 +28,19 @@ object QueriesOps {
     t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** documents with deterministic synthetic PII prepended (URL, email,
+    * IPv4, phone derived from doc_id) — the scrub/domain queries need
+    * text that actually contains the patterns; the oracle builds the
+    * identical text in SQL. */
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("text",
+      concat(
+        lit("See https://ex"), pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(".org/a contact user"), col("doc_id").cast("string"),
+        lit("@mail.org or +49 170 "), col("doc_id").cast("string"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit(".7\n"), col("text")))
+
   val queries: Map[String, Q] = Map(
     // ---- dedup ----------------------------------------------------------
     "x_dedup_exact" -> ((s, d) =>
@@ -118,6 +131,44 @@ object QueriesOps {
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
         .orderBy(col("doc_id"))),
+
+    // engine-portable winnowing (md5 hex hashes) — same selection
+    // semantics as x_fingerprint but hash-comparable against DuckDB
+    "x_fingerprint_md5" -> ((s, d) =>
+      TextAnalysis.fingerprintPortable(t(s, d, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+        .orderBy(col("doc_id"))),
+
+    // ---- scrubbing / domains / paragraph dedup --------------------------
+    "x_scrub" -> ((s, d) =>
+      TextAnalysis.scrub(piiDocs(s, d), "text")
+        .select("doc_id", "n_urls", "n_emails", "n_ips", "n_phones", "clean_text")
+        .orderBy(col("doc_id"))),
+
+    "x_domains" -> ((s, d) =>
+      TextAnalysis.topDomains(piiDocs(s, d), "text", k = 20)),
+
+    "x_par_dedup" -> ((s, d) =>
+      TextAnalysis.paragraphDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- range join ------------------------------------------------------
+    // pure range predicate (no equi-key): every sampled order against
+    // every lineitem shipped inside its first fortnight
+    "x_range_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      val iv = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("o_end"))
+      RangeJoin.pointInIntervalTs(li, "l_shipdate", iv,
+          "o_orderdate", "o_end", binDays = 16)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- multimodal (decode STUBBED — see Multimodal.scala) -------------
     "x_multimodal" -> ((s, d) => {
@@ -246,7 +297,77 @@ object QueriesOps {
   private val toksSql =
     """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"""
 
+  /** The piiDocs text enrichment, in DuckDB. */
+  private val piiTextSql =
+    """'See https://ex' || (doc_id % 10) || '.org/a contact user' || doc_id ||
+      |'@mail.org or +49 170 ' || doc_id || ' at 10.0.' || (doc_id % 200) ||
+      |'.7' || chr(10) || text""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_fingerprint_md5" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns
+        |  FROM documents),
+        |h AS (SELECT doc_id, CASE WHEN len(ns) < 8 THEN [substring(md5(ns), 1, 16)]
+        |  ELSE list_transform(range(1, len(ns) - 6), i -> substring(md5(substring(ns, i, 8)), 1, 16)) END AS hs
+        |  FROM s),
+        |w AS (SELECT doc_id, list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |    i -> list_aggregate(hs[i:i+3], 'min')) AS wins FROM h),
+        |f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM w)
+        |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+        |  md5(array_to_string(fps, ',')) AS doc_fingerprint
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x_scrub" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^\\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+        |    '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "x_domains" ->
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents),
+        |d AS (SELECT unnest(regexp_extract_all(t, 'https?://([^/\\s]+)', 1)) AS domain FROM p)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS cnt FROM d
+        |GROUP BY 1 ORDER BY cnt DESC, domain LIMIT 20""".stripMargin,
+
+    "x_par_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls
+        |  FROM documents),
+        |e AS (SELECT doc_id, s.idx AS idx, s.line AS line FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> struct_pack(idx := i, line := ls[i]))) AS s FROM raw)),
+        |k AS (SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rk
+        |  FROM e)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(kk.dedup_text, '') AS dedup_text
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_lines FROM e GROUP BY 1) t USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS dedup_text
+        |  FROM k WHERE rk = 1 GROUP BY 1) kk USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "x_range_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 14 DAY
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x_sample_strat" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <

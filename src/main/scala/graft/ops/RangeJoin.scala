@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join — an operator Spark's built-in joins
+  * only express as a broadcast-nested-loop or a sort-merge on an
+  * inequality, both of which degrade to scanning every (point,
+  * interval) pair per key. graft lowers it to the standard binning
+  * topology (the same trick Spark's own range-join hints apply on
+  * Databricks, and DuckDB's IEJoin avoids natively):
+  *
+  *   - each interval is exploded to the integer bins it overlaps
+  *     (ceil(len/binWidth)+1 rows per interval, a bounded, plan-time
+  *     replication factor);
+  *   - each point maps to exactly ONE bin;
+  *   - the join becomes a hash equi-join on the bin id plus a residual
+  *     `point BETWEEN lo AND hi` filter.
+  *
+  * At 100 TB this shuffles both sides once on the bin key (AQE handles
+  * skewed bins) instead of materializing a per-key cross product.
+  * Choose `binWidth` ≈ the typical interval length: much smaller
+  * multiplies interval replication, much larger packs unrelated rows
+  * into one bin and pushes work into the residual filter.
+  *
+  * Reference surface: datar has no range join (polars `join_where` is
+  * the nearest); this is part of graft's pipeline extensions
+  * (SURVEY §2.6) alongside the as-of join.
+  */
+object RangeJoin {
+
+  /** Floor-division to a bin id, exact on longs (integer `/` truncates
+    * toward zero; pmod makes it a true floor for negative values). */
+  private def bin(c: Column, width: Long): Column =
+    ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+
+  /** Point-in-interval join on numeric (long-castable) columns.
+    * `points` rows join every `intervals` row whose
+    * `[loCol, hiCol]` (inclusive) contains `pointCol`.
+    * Column names must be disjoint between the two frames. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"range join: binWidth must be positive (got $binWidth)")
+    val p = points.withColumn("__bin", bin(col(pointCol).cast("long"), binWidth))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(bin(col(loCol).cast("long"), binWidth),
+        bin(col(hiCol).cast("long"), binWidth))))
+    // residual filter compares the ORIGINAL typed columns — the long
+    // cast is only for bin assignment (monotonic, so containment in
+    // [lo, hi] implies bin containment in [lo_bin, hi_bin])
+    p.join(i, Seq("__bin"))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop("__bin")
+  }
+
+  /** Timestamp flavor: converts both sides to epoch microseconds
+    * (TIMESTAMP_NTZ included — ANSI forbids a direct long cast) and
+    * bins `binDays` wide. */
+  def pointInIntervalTs(points: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        binDays: Int): DataFrame = {
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    pointInInterval(
+      points.withColumn("__p_us", micros(col(pointCol))), "__p_us",
+      intervals.withColumn("__lo_us", micros(col(loCol)))
+        .withColumn("__hi_us", micros(col(hiCol))), "__lo_us", "__hi_us",
+      binDays.toLong * 24L * 3600L * 1000000L)
+      .drop("__p_us", "__lo_us", "__hi_us")
+  }
+}

@@ -243,4 +243,100 @@ object TextAnalysis {
       .withColumn("doc_fingerprint",
         xxhash64(concat_ws(",", transform(col("fingerprints"), v => v.cast("string")))))
   }
+
+  /** Engine-portable winnowing variant: k-gram hashes are md5-prefix
+    * hex strings (identical in any engine), window minima are
+    * lexicographic. Same selection semantics as `fingerprint` (which
+    * uses the xxhash64 kernel and is engine-specific); this form is
+    * hash-comparable against a SQL oracle. */
+  def fingerprintPortable(df: DataFrame, id: String, text: String,
+                          k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = Dedup.charNgrams(col(text), k)
+    val hashes = transform(grams, g => substring(md5(g), 1, 16))
+    // least() skips the null padding of partial tail windows
+    val wins = Dedup.slidingCombine(hashes, w, (a, b) => least(a, b))
+    df.select(col(id), array_sort(array_distinct(wins)).as("__fps"))
+      .select(col(id),
+        size(col("__fps")).as("n_fingerprints"),
+        md5(concat_ws(",", col("__fps"))).as("doc_fingerprint"))
+  }
+
+  // ---- scrubbing / redaction ---------------------------------------------
+  // RE2-compatible patterns (no backrefs/lookaround) so a SQL engine
+  // oracle can replicate them exactly.
+  private val urlRe = "https?://[^\\s]+"
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII / boilerplate scrub: redact URLs, emails, IPv4s and
+    * +international phone numbers with typed placeholder tokens, and
+    * count each kind (counts are over the ORIGINAL text, independent
+    * per pattern). Pure codegen'd regex projection — linear scan, no
+    * shuffle; the 100 TB shape is a mapper. Replacement order
+    * url → email → ip → phone is part of the contract (a URL may
+    * contain an '@'; redacting it first keeps the email count and the
+    * redacted text consistent). */
+  def scrub(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    df.withColumn("n_urls", regexp_count(t, lit(urlRe)).cast("int"))
+      .withColumn("n_emails", regexp_count(t, lit(emailRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(t, lit(ipRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)).cast("int"))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, urlRe, "<URL>"),
+              emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>"))
+  }
+
+  /** Corpus-wide domain frequency: extract every URL's host, count,
+    * top-k (ties broken by domain). Explode → partial-agg groupBy →
+    * TakeOrdered: one shuffle at term grain. */
+  def topDomains(df: DataFrame, text: String, k: Int): DataFrame =
+    df.select(explode(regexp_extract_all(col(text),
+        lit("https?://([^/\\s]+)"), lit(1))).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("domain"))
+      .limit(k)
+
+  // ---- corpus paragraph dedup (CCNet-style) ------------------------------
+  /** Line-level exact dedup across the WHOLE corpus: every non-empty
+    * trimmed line keeps only its first occurrence (ordered by doc id,
+    * then line index — deterministic), and each document is rebuilt
+    * from its surviving lines. This is the CCNet paragraph-dedup pass
+    * that typically drops most boilerplate at web scale.
+    *
+    * Scale shape: one shuffle at LINE grain (window partitioned by the
+    * line text — hot boilerplate lines are exactly the skewed keys AQE
+    * splits), then one shuffle back to doc grain for reassembly. No
+    * driver-side state; the line universe never materializes on one
+    * node. */
+  def paragraphDedup(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(id), posexplode(
+        filter(transform(split(col(text), "\n"), l => trim(l)),
+          l => length(l) > 0)).as(Seq("idx", "line")))
+    val perDoc = lines.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
+    val keeper = Window.partitionBy(col("line")).orderBy(col(id), col("idx"))
+    val kept = lines
+      .withColumn("__rk", row_number().over(keeper))
+      .filter(col("__rk") === 1)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line"))).as("dedup_text"))
+    df.select(col(id))
+      .join(perDoc, Seq(id), "left")
+      .join(kept, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
 }

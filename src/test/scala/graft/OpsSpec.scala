@@ -169,6 +169,73 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("n_tokens") == 10L)
   }
 
+  test("scrub redacts URL/email/IP/phone and counts each kind") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L),
+      "text" -> Seq("visit https://ex.org/x?q=1 mail bob.smith+a@ex.co.uk " +
+        "from 192.168.0.1 call +44 20 7946-0958 done"))
+    val r = TextAnalysis.scrub(df, "text").select(
+      "n_urls", "n_emails", "n_ips", "n_phones", "clean_text").head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1)
+    val clean = r.getString(4)
+    assert(clean == "visit <URL> mail <EMAIL> from <IP> call <PHONE> done", clean)
+  }
+
+  test("topDomains counts hosts, ties broken by domain") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("https://a.org/1 https://b.org/2", "https://a.org/3", "http://c.io/"))
+    assertRows(TextAnalysis.topDomains(df, "text", 2),
+      Seq(Seq("a.org", 2L), Seq("b.org", 1L)))
+  }
+
+  test("paragraph dedup keeps the first corpus occurrence of each line") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq(
+        "alpha\nshared boilerplate\nbeta",
+        "shared boilerplate\ngamma",
+        "  \n\n"))  // only blank lines → empty doc
+    val out = TextAnalysis.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("dedup_text") == "alpha\nshared boilerplate\nbeta")
+    assert(out(1).getAs[String]("dedup_text") == "gamma")
+    assert(out(1).getAs[Long]("n_lines") == 2L && out(1).getAs[Long]("n_kept") == 1L)
+    assert(out(2).getAs[Long]("n_lines") == 0L && out(2).getAs[String]("dedup_text") == "")
+  }
+
+  test("portable fingerprint is deterministic and content-sensitive") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq("the quick brown fox", "the quick brown fox", "a different doc"))
+    val out = TextAnalysis.fingerprintPortable(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("doc_fingerprint") == out(1).getAs[String]("doc_fingerprint"))
+    assert(out(0).getAs[String]("doc_fingerprint") != out(2).getAs[String]("doc_fingerprint"))
+    assert(out(0).getAs[Int]("n_fingerprints") > 0)
+  }
+
+  test("range join matches the naive cross-product semantics") {
+    val points = sqlDf("p_id" -> Seq(1L, 2L, 3L, 4L), "v" -> Seq(5L, 17L, 30L, 100L))
+    val ivs = sqlDf("i_id" -> Seq(10L, 20L), "lo" -> Seq(0L, 15L), "hi" -> Seq(20L, 35L))
+    val got = RangeJoin.pointInInterval(points, "v", ivs, "lo", "hi", binWidth = 7L)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = points.crossJoin(ivs)
+      .filter(col("v").between(col("lo"), col("hi")))
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // v=17 is in both intervals; v=100 in neither
+    assert(got.contains((2L, 10L)) && got.contains((2L, 20L)) && !got.exists(_._1 == 4L))
+  }
+
+  test("range join plan is an equi-join on the bin, not a nested loop") {
+    val points = sqlDf("p_id" -> Seq(1L), "v" -> Seq(5L))
+    val ivs = sqlDf("i_id" -> Seq(10L), "lo" -> Seq(0L), "hi" -> Seq(20L))
+    val plan = RangeJoin.pointInInterval(points, "v", ivs, "lo", "hi", binWidth = 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("native distance kernels are bit-identical to the Column forms") {
     val vecs = spark.range(200).select(col("id"),
       transform(sequence(lit(0), lit(15)),
