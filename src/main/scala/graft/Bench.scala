@@ -12,6 +12,7 @@ object Bench {
     "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk",
     "x_dedup_exact", "x_dedup_minhash", "x_ann_brute",
     "x_langid", "x_tokens", "x_asof", "x_contam", "x_gopher",
+    "x_par_dedup", "x_range_join",
     "s_sessionize")
 
   def main(args: Array[String]): Unit = {
