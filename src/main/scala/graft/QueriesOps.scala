@@ -66,6 +66,12 @@ object QueriesOps {
       Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("a"), col("b"))),
 
+    // portable simhash signatures (md5-derived bits, hash-compared
+    // against DuckDB; the xxhash64 kernel path stays under x_dedup_simhash)
+    "x_simhash_port" -> ((s, d) =>
+      Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "x_dedup_jaccard" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
         w = 3, numPerm = 64, numBands = 16, threshold = 0.15)
@@ -285,6 +291,16 @@ object QueriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // batch equivalent of the stream-static broadcast enrichment:
+    // events keyed into the nation dim, rolled up per nation
+    "s_enrich" -> ((s, d) =>
+      EventStreams.enrichStatic(events(s, d), t(s, d, "nation"),
+          pmod(col("user_id"), lit(25)), col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+        .orderBy(col("n_name"))),
+
     "s_sessionize" -> ((s, d) =>
       EventStreams.sessionizeBatch(events(s, d), gapMinutes = 30)
         .groupBy("user_id", "session_id")
@@ -316,6 +332,18 @@ object QueriesOps {
         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
         |  md5(array_to_string(fps, ',')) AS doc_fingerprint
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x_simhash_port" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
+        |hx AS (SELECT doc_id, list_transform(tk, t -> substring(md5(t), 1, 16)) AS hs FROM toks),
+        |v AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        |    coalesce(list_sum(list_transform(hs, h ->
+        |      (CAST(floor((strpos('0123456789abcdef', h[CAST(floor(i/4) AS INT)+1]) - 1)
+        |        / pow(2, 3 - (i % 4))) AS INT) % 2) * 2 - 1)), 0)) AS votes
+        |  FROM hx)
+        |SELECT doc_id, array_to_string(list_transform(votes, x ->
+        |  CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS simhash_bits
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "x_scrub" ->
       s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)
@@ -657,6 +685,12 @@ object QueriesOps {
         |  ON l.user_id = r.user_id
         |  AND r.ts > l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s_enrich" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s_sessionize" ->

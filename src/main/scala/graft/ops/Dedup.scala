@@ -188,6 +188,33 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Engine-portable SimHash: token hashes are md5 hex prefixes and
+    * the signature is emitted as a 64-char '0'/'1' bit string, so any
+    * engine with md5 reproduces it exactly (xxhash64 in `simhash`
+    * above is Spark-specific). Bit b's vote per token reads hex digit
+    * b/4, tests bit 3-(b%4). Same matrix shape as `simhash`; this is
+    * the hash-comparable reference form, the kernel form stays the
+    * scale path. */
+  def simhashPortableBits(text: Column): Column = {
+    val toks = array_distinct(filter(tokens(text), t => length(t) > 0))
+    val hx = transform(toks, t => substring(md5(t), 1, 16))
+    val votes = transform(hx, h =>
+      transform(sequence(lit(0), lit(63)), b => {
+        val digit = conv(call_function("substring", h,
+          (floor(b / 4) + 1).cast("int"), lit(1)), 16, 10).cast("int")
+        val bitSet = call_function("shiftright", digit,
+          (lit(3) - pmod(b, lit(4))).cast("int")).bitwiseAND(1)
+        (bitSet * 2 - 1).cast("long")
+      }))
+    val sums = aggregate(votes, array_repeat(lit(0L), 64),
+      (acc, row) => zip_with(acc, row, (a, b) => a + b))
+    concat_ws("", transform(sums, v => when(v > 0, lit("1")).otherwise(lit("0"))))
+  }
+
+  /** Portable simhash signatures per document (see simhashPortableBits). */
+  def simhashPortable(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), simhashPortableBits(col(text)).as("simhash_bits"))
+
   /** SimHash near-dup pairs: bucket on 16-bit chunks — by pigeonhole a
     * pair within hamming distance 3 shares at least one of the 4
     * chunks, so recall is guaranteed only for maxDist <= 3 (callers

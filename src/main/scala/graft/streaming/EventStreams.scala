@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -123,6 +123,18 @@ object EventStreams {
         col("r_ts") > col("l_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("r_ts") <= col("l_ts"))
   }
+
+  // ---- stream-static enrichment ------------------------------------------
+  /** Stream-static join: enrich a (possibly streaming) event frame
+    * with a static dimension on a derived key. The static side is
+    * broadcast to every task — NO shuffle of the stream, no state
+    * (unlike stream-stream joins), and the dim is re-read per
+    * micro-batch so slowly-changing dimensions pick up updates. This
+    * is the canonical scale shape for enriching a firehose: the
+    * stream stays partitioned as it arrives. */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+                   eventKey: Column, dimKey: Column): DataFrame =
+    events.join(broadcast(dim), eventKey === dimKey, "left")
 
   // ---- streaming dedup ---------------------------------------------------
   /** Exactly-once-per-key across the whole stream (state grows with

@@ -169,6 +169,16 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("n_tokens") == 10L)
   }
 
+  test("portable simhash: near-dups land close in hamming, unrelated far") {
+    val out = Dedup.simhashPortable(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(out(0), out(1)) == 0, "identical docs must hash identically")
+    assert(ham(out(0), out(2)) < ham(out(0), out(3)),
+      s"near dup (${ham(out(0), out(2))}) must be closer than unrelated (${ham(out(0), out(3))})")
+  }
+
   test("scrub redacts URL/email/IP/phone and counts each kind") {
     val df = sqlDf(
       "doc_id" -> Seq(1L),

@@ -108,6 +108,28 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("enrichStatic joins a STREAM against a broadcast dim without state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = sqlDf("key" -> Seq(0L, 1L), "tier" -> Seq("bronze", "gold"))
+    val input = MemoryStream[SessionEvent]
+    val enriched = EventStreams.enrichStatic(input.toDF(), dim,
+      pmod(col("user_id"), lit(2)), col("key"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts(0), 1L, "view", 1.0),   // user 1 → gold
+        SessionEvent(2L, ts(1), 2L, "view", 2.0),   // user 2 → bronze
+        SessionEvent(3L, ts(2), 5L, "view", 3.0))   // user 5 → gold
+      query.processAllAvailable()
+      val got = s.table("enrich_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
+      assert(got == Set((1L, "gold"), (2L, "bronze"), (3L, "gold")), got.toString)
+    } finally query.stop()
+  }
+
   test("intervalJoin batch form matches a hand-computed rollup") {
     val ev = sqlDf(
       "event_id" -> Seq(1L, 10L, 11L, 12L),
