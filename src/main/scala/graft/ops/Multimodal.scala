@@ -59,6 +59,85 @@ object Multimodal {
       }
   }
 
+  // ---- real decode: PPM (P6) ---------------------------------------------
+  // PPM needs no codec library — the header is ASCII, the pixels are
+  // raw bytes — so unlike `decodeFeatures` above this path is NOT a
+  // stub: it byte-parses the payload exactly as a JPEG decoder would
+  // sit in the same mapPartitions slot.
+
+  /** Deterministic synthetic P6 image per row: header + w*h*3 pixel
+    * bytes derived from the md5 hex of `text` (ASCII, so chars ==
+    * bytes and a SQL oracle can recompute the expected statistics). */
+  def syntheticPpm(df: DataFrame, id: String, text: String,
+                   w: Int, h: Int): DataFrame = {
+    val n = w * h * 3
+    val px = substring(rpad(repeat(md5(col(text)), n / 32 + 1), n, "0"), lit(1), n)
+    df.select(col(id).cast("long").as("media_id"),
+      concat(encode(lit(s"P6\n$w $h\n255\n"), "UTF-8"),
+        encode(px, "UTF-8")).as("payload"),
+      struct(lit("image/x-portable-pixmap").as("mime"),
+        lit("synthetic").as("source")).as("meta"))
+  }
+
+  case class PpmFeatures(media_id: Long, ok: Boolean, width: Int, height: Int,
+                         mean_px: Double, mean_r: Double, mean_g: Double,
+                         mean_b: Double)
+
+  /** Real P6 parser: magic, comment-tolerant ASCII header, 8-bit
+    * RGB triplets; emits per-channel means. Malformed payloads yield
+    * ok=false rows (PERMISSIVE semantics) instead of failing the
+    * partition — at 100 TB some payloads WILL be corrupt. */
+  def decodePpm(media: DataFrame): Dataset[PpmFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try {
+            val b = payload
+            var p = 2
+            require(b != null && b.length > 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte,
+              "not a P6 ppm")
+            def skipWs(): Unit = {
+              var more = true
+              while (more && p < b.length) {
+                val c = b(p)
+                if (c == ' '.toByte || c == '\n'.toByte || c == '\t'.toByte || c == '\r'.toByte) p += 1
+                else if (c == '#'.toByte) { while (p < b.length && b(p) != '\n'.toByte) p += 1 }
+                else more = false
+              }
+            }
+            def readInt(): Int = {
+              skipWs()
+              require(p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte, "bad header int")
+              var v = 0
+              while (p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte) {
+                v = v * 10 + (b(p) - '0'); p += 1
+              }
+              v
+            }
+            val w = readInt(); val h = readInt(); val maxv = readInt()
+            require(maxv == 255, "only 8-bit ppm supported")
+            p += 1 // exactly one whitespace byte separates header and raster
+            val n = w * h * 3
+            require(n > 0 && b.length >= p + n, "truncated raster")
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              val v = b(p + i) & 0xFF
+              (i % 3) match { case 0 => sr += v; case 1 => sg += v; case _ => sb += v }
+              i += 1
+            }
+            val pxCount = w.toLong * h
+            PpmFeatures(id, ok = true, w, h, (sr + sg + sb).toDouble / n,
+              sr.toDouble / pxCount, sg.toDouble / pxCount, sb.toDouble / pxCount)
+          } catch {
+            case _: Exception => PpmFeatures(id, ok = false, 0, 0, 0.0, 0.0, 0.0, 0.0)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: take every `stride`-th fixed-size block of the
     * payload (the video-frame-sample topology: explode bounded slices,
     * never materialize the whole payload per row downstream). */
