@@ -165,10 +165,12 @@ object QueriesDplyr {
         .select("s_nationkey", "s_suppkey", "s_acctbal")
         .arrange(col("s_nationkey"), col("s_suppkey")).df),
 
+    // keyed md5-ranked sample — engine-portable, so the DuckDB oracle
+    // reproduces the exact sample from (seed, key)
     "d_slice_sample" -> ((s, d) =>
       t(s, d, "supplier").graft
         .groupBy("s_nationkey")
-        .sliceSample(3, seed = 42)
+        .sliceSample(3, 42L, col("s_suppkey"))
         .ungroup
         .select("s_nationkey", "s_suppkey")
         .arrange(col("s_nationkey"), col("s_suppkey")).df),
@@ -562,6 +564,12 @@ object QueriesDplyr {
     "d_slice_max" ->
       """SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
         |QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) <= 1
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "d_slice_sample" ->
+      """SELECT s_nationkey, s_suppkey FROM supplier
+        |QUALIFY row_number() OVER (PARTITION BY s_nationkey
+        |  ORDER BY md5('42' || CAST(s_suppkey AS VARCHAR)), s_suppkey) <= 3
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "d_topk" ->

@@ -96,7 +96,8 @@ object QueriesForcats {
         col("c_custkey"), col("c_acctbal"))
         .orderBy(col("ord"))),
 
-    // seeded md5 order — deterministic but engine-specific: rows-only check
+    // seeded md5 level order — md5 is engine-portable, so the "shuffle"
+    // is exactly reproducible by the DuckDB oracle
     "f_fct_shuffle" -> ((s, d) =>
       Forcats.fctShuffle(
         Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), "c_mktsegment")
@@ -104,6 +105,13 @@ object QueriesForcats {
   )
 
   val oracles: Map[String, String] = Map(
+    "f_fct_shuffle" ->
+      """SELECT c_mktsegment,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('42' || c_mktsegment), c_mktsegment) AS INT) AS ord
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |ORDER BY ord""".stripMargin,
+
     "f_fct_count" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |GROUP BY 1 ORDER BY n DESC, c_mktsegment""".stripMargin,

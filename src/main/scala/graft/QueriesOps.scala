@@ -176,10 +176,14 @@ object QueriesOps {
         .orderBy(col("o_orderkey"))
     }),
 
-    // ---- multimodal (decode STUBBED — see Multimodal.scala) -------------
+    // ---- multimodal (REAL byte-level P6 decode — see Multimodal.scala) --
+    // synthetic 8x6 P6 images (pixels = md5-hex ASCII of the text, so
+    // the oracle recomputes the channel means in pure SQL), parsed by
+    // the real decodePpm byte parser
     "x_multimodal" -> ((s, d) => {
-      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
-      Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
+      val media = Multimodal.syntheticPpm(t(s, d, "documents"), "doc_id", "text",
+        w = 8, h = 6)
+      Multimodal.decodePpm(media).toDF().orderBy(col("media_id"))
     }),
 
     "x_frames" -> ((s, d) => {
@@ -320,6 +324,42 @@ object QueriesOps {
       |'.7' || chr(10) || text""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // recompute the synthetic 8x6 P6 raster (pixels = md5-hex ASCII,
+    // repeated + '0'-padded to 144 bytes) and its channel means; the
+    // sums are small exact integers so the double divisions are
+    // bit-identical across engines
+    "x_multimodal" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 5), 144, '0'), 1, 144) AS px
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(1, 145),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1))) AS cs FROM p),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 48), j -> cs[CAST(j*3+1 AS INT)])) AS sr,
+        |    list_sum(list_transform(range(0, 48), j -> cs[CAST(j*3+2 AS INT)])) AS sg,
+        |    list_sum(list_transform(range(0, 48), j -> cs[CAST(j*3+3 AS INT)])) AS sb
+        |  FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, true AS ok,
+        |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |  CAST(sr+sg+sb AS DOUBLE)/144.0 AS mean_px,
+        |  CAST(sr AS DOUBLE)/48.0 AS mean_r,
+        |  CAST(sg AS DOUBLE)/48.0 AS mean_g,
+        |  CAST(sb AS DOUBLE)/48.0 AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // the frame-sampling topology over base64(payload): every 4th
+    // 32-char block; both engines emit RFC-4648 base64 of the same
+    // UTF-8 bytes
+    "x_frames" ->
+      """WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    base64(encode(text)) AS b64,
+        |    octet_length(encode(text)) AS blen FROM documents),
+        |f AS (SELECT media_id, b64, unnest(range(0,
+        |    greatest(CAST(floor((blen-1)/128.0) AS INT), 0) + 1)) AS i FROM m)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  substring(b64, CAST(i*128+1 AS INT), 32) AS frame_b64
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
     "x_fingerprint_md5" ->
       """WITH s AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns
         |  FROM documents),

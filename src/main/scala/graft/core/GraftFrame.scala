@@ -243,9 +243,20 @@ final class GraftFrame private (
   def sliceMax(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
     if (groups.isEmpty && !withTies) withDf(df.orderBy(c.desc).limit(n))
     else sliceByRank(Seq(c.desc), n, withTies)
-  /** Seeded per-group sample of n rows: deterministic rand-ranked. */
+  /** Seeded per-group sample of n rows: deterministic rand-ranked.
+    * `rand(seed)` depends on the engine's PRNG and partition layout —
+    * reproducible within Spark, but not across engines; prefer the
+    * keyed overload when a stable row id exists. */
   def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
     sliceByRank(Seq(rand(seed).asc), n, withTies = false)
+
+  /** Engine-portable seeded sample: ranks rows by md5(seed ++ key) —
+    * any SQL engine reproduces the exact same sample from the same
+    * seed and key (same topology as the rand form: one window
+    * shuffle). `key` must be a stable per-row id. */
+  def sliceSample(n: Int, seed: Long, key: Column): GraftFrame =
+    sliceByRank(Seq(md5(concat(lit(seed.toString), key.cast("string"))).asc,
+      key.asc), n, withTies = false)
 
   /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
     * per group — n from a count window over the same partitioning, so

@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY §2.6): image/audio/video as
-  * opaque `binary` payloads with typed struct metadata. The Spark-side
-  * machinery — schema, partition-sized batching, per-partition decode
-  * signature — is real; the actual codec step is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries),
-  * clearly marked below. On a real cluster the stub body is replaced
-  * by the codec call with NO plan changes.
+  * opaque `binary` payloads with typed struct metadata. The decode
+  * path (`decodePpm`) is a REAL byte-level image parser — PPM/P6 needs
+  * no codec library, so the whole pipeline (schema, per-partition
+  * batching, permissive corrupt-row handling) is exercised end-to-end
+  * and oracle-checked. Codec-library formats (JPEG/WAV/MP4) drop into
+  * the same mapPartitions slot with NO plan changes.
   */
 object Multimodal {
 
@@ -28,42 +28,11 @@ object Multimodal {
       encode(col(payloadText), "UTF-8").as("payload"),
       struct(lit(mime).as("mime"), lit("testdata").as("source")).as("meta"))
 
-  case class MediaFeatures(media_id: Long, byte_len: Long, width: Int,
-                           height: Int, mean_px: Double, n_frames: Int)
-
-  /** Per-partition "decode + feature extract". The iterator shape is
-    * the real contract (a codec processes a partition's payloads in
-    * one native session); the feature computation below is a
-    * ===== DETERMINISTIC FAKE (STUB) =====
-    * standing in for e.g. JPEG decode: dimensions and pixel stats are
-    * derived from the payload bytes, so results are stable and
-    * testable without codec libraries.
-    */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val bytes = if (payload == null) Array.empty[Byte] else payload
-          val len = bytes.length.toLong
-          // --- STUB: replace from here with real codec calls ---
-          val width = 64 + (math.abs(java.util.Arrays.hashCode(bytes)) % 512)
-          val height = 64 + (math.abs(java.util.Arrays.hashCode(bytes.reverse)) % 512)
-          val meanPx = if (len == 0) 0.0
-            else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / len
-          val nFrames = 1 + (len % 16).toInt
-          // --- end STUB ---
-          MediaFeatures(id, len, width, height, meanPx, nFrames)
-        }
-      }
-  }
-
   // ---- real decode: PPM (P6) ---------------------------------------------
   // PPM needs no codec library — the header is ASCII, the pixels are
-  // raw bytes — so unlike `decodeFeatures` above this path is NOT a
-  // stub: it byte-parses the payload exactly as a JPEG decoder would
-  // sit in the same mapPartitions slot.
+  // raw bytes — so this path is a genuine decoder: it byte-parses the
+  // payload exactly as a JPEG decoder would sit in the same
+  // mapPartitions slot.
 
   /** Deterministic synthetic P6 image per row: header + w*h*3 pixel
     * bytes derived from the md5 hex of `text` (ASCII, so chars ==
@@ -140,15 +109,19 @@ object Multimodal {
 
   /** Frame sampling: take every `stride`-th fixed-size block of the
     * payload (the video-frame-sample topology: explode bounded slices,
-    * never materialize the whole payload per row downstream). */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    * never materialize the whole payload per row downstream). Spark's
+    * base64 is MIME-chunked (CRLF every 76 chars); strip the breaks so
+    * the encoding is plain RFC-4648 like every other engine's. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val b64 = translate(base64(col("payload")), "\r\n", "")
     media.select(col("media_id"),
       posexplode(transform(
         sequence(lit(0),
           greatest(((length(col("payload")) - 1) / (frameBytes * stride)).cast("int"), lit(0))),
-        i => substring(base64(col("payload")), (i * frameBytes * stride + 1).cast("int"), frameBytes))))
+        i => substring(b64, (i * frameBytes * stride + 1).cast("int"), frameBytes))))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_b64")
+  }
 
   private def substring(x: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column,
                         len: Int): org.apache.spark.sql.Column =
