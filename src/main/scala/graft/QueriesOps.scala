@@ -265,6 +265,23 @@ object QueriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // GLOBAL as-of (no by key): every non-purchase event against the
+    // corpus-wide purchase timeline. asofGlobal stays distributed via
+    // hourly bins of the on domain — no single global window over the
+    // data (the keyed asof refuses empty `by` outright).
+    "x_asof_global" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("ts").agg(max_by(col("value"), col("event_id")).as("gp_value"))
+      val rest = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      AsofJoin.asofGlobal(rest, purchases, on = "ts",
+          valueCols = Seq("gp_value"))(
+          c => floor(unix_micros(c) / lit(3600L * 1000000L)).cast("long"))
+        .select("event_id", "user_id", "event_type", "value", "gp_value")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- streaming batch-equivalents ------------------------------------
     "s_window_agg" -> ((s, d) =>
       EventStreams.windowedAgg(events(s, d), "1 hour")
@@ -587,6 +604,15 @@ object QueriesOps {
         |  CASE WHEN l.ts - r.ts <= INTERVAL 1 HOUR THEN r.purchase_value END
         |    AS purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "x_asof_global" ->
+      """WITH r AS (SELECT ts, max_by("value", event_id) AS gp_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |     l AS (SELECT event_id, user_id, ts, event_type, "value"
+        |           FROM events WHERE event_type <> 'purchase')
+        |SELECT l.event_id, l.user_id, l.event_type, l."value", r.gp_value
+        |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "x_dedup_exact" ->

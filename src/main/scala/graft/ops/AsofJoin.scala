@@ -37,8 +37,10 @@ object AsofJoin {
     *
     * @param left      left frame (all its columns are kept)
     * @param right     right frame (must contain `by`, `on`, `valueCols`)
-    * @param by        equality keys (may be empty — then a single global
-    *                  ordering is required; avoid on large frames)
+    * @param by        equality keys (must be non-empty — the window
+    *                  partitions on them; for keyless as-of use
+    *                  [[asofGlobal]], which distributes by binning the
+    *                  `on` domain instead of collapsing to one partition)
     * @param on        ordering column name, present on both sides
     *                  (timestamp or numeric)
     * @param valueCols right columns to attach (null where no match)
@@ -54,6 +56,9 @@ object AsofJoin {
            tolerance: Option[Column] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asof: direction must be backward|forward (got $direction)")
+    require(by.nonEmpty,
+      "asof: empty `by` would sort the entire union in ONE partition; " +
+        "use asofGlobal(...), which stays distributed by binning the `on` domain")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__asof_side"), "asof: reserved column name")
 
@@ -76,8 +81,7 @@ object AsofJoin {
       case "backward" => Seq(col(on).asc, col(side).asc)
       case "forward"  => Seq(col(on).desc, col(side).asc)
     }
-    val w = (if (by.nonEmpty) Window.partitionBy(by.map(col): _*)
-             else Window.partitionBy())
+    val w = Window.partitionBy(by.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -97,5 +101,94 @@ object AsofJoin {
     }
     withinTol.select((by :+ on).map(col) ++ leftPayload.map(col) ++
       valueCols.map(col): _*)
+  }
+
+  /** Keyless (global-timeline) as-of join, distributed by binning the
+    * `on` domain. `bin` must map the `on` column MONOTONICALLY to a
+    * Long bin id — e.g. hourly bins over a timestamp:
+    * `c => floor(unix_micros(c) / lit(3600L * 1000000L)).cast("long")`.
+    * Pick the width so the bin count stays modest (1e3–1e6): the bin
+    * table is the only thing that ever passes through a single
+    * partition.
+    *
+    * Topology (backward; forward is the mirror):
+    *   1. right collapses to its latest row per bin — ONE partial-agg
+    *      shuffle;
+    *   2. each bin's carry-in (the latest right row from any EARLIER
+    *      bin) comes from an unpartitioned window over that per-bin
+    *      table — #bins rows, caller-bounded, never the data;
+    *   3. carry-in rows are unioned with the raw left/right rows and
+    *      the usual union-merge fill runs under
+    *      Window.partitionBy(bin) — fully distributed, one shuffle on
+    *      the bin id, no row multiplication.
+    * Right rows must be unique per `on` (pre-aggregate otherwise),
+    * same as [[asof]]. */
+  def asofGlobal(left: DataFrame, right: DataFrame, on: String,
+                 valueCols: Seq[String], direction: String = "backward",
+                 tolerance: Option[Column] = None)
+                (bin: Column => Column): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofGlobal: direction must be backward|forward (got $direction)")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__asof_side"), "asofGlobal: reserved column name")
+    val backward = direction == "backward"
+    val bkt = "__asof_bin"; val side = "__asof_side"; val matchedOn = "__asof_on"
+    val leftPayload = leftCols.filterNot(_ == on)
+    def nullsL = leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    def nullsV = valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+
+    val l = left.select(
+      Seq(bin(col(on)).as(bkt), col(on), lit(1).as(side)) ++
+        leftPayload.map(col) ++
+        Seq(lit(null).cast(right.schema(on).dataType).as(matchedOn)) ++ nullsV: _*)
+    val r = right.select(
+      Seq(bin(col(on)).as(bkt), col(on), lit(0).as(side)) ++ nullsL ++
+        Seq(col(on).as(matchedOn)) ++ valueCols.map(col): _*)
+
+    // 1. per-bin edge row of the right side
+    val edgeStruct = struct(col(on).as(matchedOn) +: valueCols.map(col): _*)
+    val edge = if (backward) max_by(edgeStruct, col(on)) else min_by(edgeStruct, col(on))
+    val perBin = right.select((on +: valueCols).map(col): _*)
+      .withColumn(bkt, bin(col(on)))
+      .groupBy(col(bkt)).agg(edge.as("__edge"))
+
+    // 2. carry-in per bin over the tiny bin table (left bins included,
+    // so left rows in right-empty bins still receive their carry)
+    val allBins = l.select(col(bkt)).distinct()
+      .unionByName(perBin.select(col(bkt))).distinct()
+    val carryW = Window
+      .orderBy(if (backward) col(bkt).asc else col(bkt).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the carried row keeps its ORIGINAL `on`: it came from an earlier
+    // (backward) / later (forward) bin, so it sorts before every
+    // in-bin row under the fill ordering by construction
+    val carry = allBins.join(perBin, Seq(bkt), "left")
+      .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(carryW))
+      .filter(col("__carry").isNotNull)
+      .select(
+        Seq(col(bkt), col(s"__carry.$matchedOn").as(on), lit(0).as(side)) ++ nullsL ++
+          Seq(col(s"__carry.$matchedOn").as(matchedOn)) ++
+          valueCols.map(c => col(s"__carry.$c").as(c)): _*)
+
+    // 3. distributed union-merge fill, partitioned on the bin id
+    val ord =
+      if (backward) Seq(col(on).asc, col(side).asc)
+      else Seq(col(on).desc, col(side).asc)
+    val w = Window.partitionBy(col(bkt)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r).unionByName(carry)
+      .withColumn(matchedOn, last(col(matchedOn), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(c =>
+        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .filter(col(side) === 1)
+
+    val withinTol = tolerance.fold(filled) { tol =>
+      val gap =
+        if (backward) col(on) - col(matchedOn)
+        else col(matchedOn) - col(on)
+      filled.withColumns(valueCols.map(c =>
+        c -> when(gap <= tol, col(c))).toMap)
+    }
+    withinTol.select(col(on) +: (leftPayload.map(col) ++ valueCols.map(col)): _*)
   }
 }

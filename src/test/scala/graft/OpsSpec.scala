@@ -359,4 +359,51 @@ class OpsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
     assert("hashpartitioning\\(k".r.findAllIn(plan).size >= 1)
   }
+
+  test("asof refuses an empty by key (single-partition hazard)") {
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(asofLeft, asofRight, Seq.empty, "t", Seq("rv"))
+    }
+    assert(e.getMessage.contains("asofGlobal"))
+  }
+
+  // keyless ground truth: the keyed asof with a constant by-column has
+  // identical semantics on a tiny frame (bins removed from the picture)
+  private def globalTruth(direction: String, tol: Option[org.apache.spark.sql.Column] = None) =
+    AsofJoin.asof(
+      asofLeft.drop("k").withColumn("c", lit(1)),
+      asofRight.drop("k").withColumn("c", lit(1)),
+      Seq("c"), "t", Seq("rv"), direction, tol)
+      .drop("c").orderBy("t", "lv").collect().toSeq
+
+  private def globalOut(direction: String, tol: Option[org.apache.spark.sql.Column] = None) =
+    AsofJoin.asofGlobal(asofLeft.drop("k"), asofRight.drop("k"), "t",
+      Seq("rv"), direction, tol)(c => floor(c / lit(3L)).cast("long"))
+      .orderBy("t", "lv").collect().toSeq
+
+  test("asofGlobal backward/forward/tolerance match the keyed ground truth") {
+    // bin width 3 over t in [2,10] -> carries cross several bin edges
+    assert(globalOut("backward") == globalTruth("backward"))
+    assert(globalOut("forward") == globalTruth("forward"))
+    assert(globalOut("backward", Some(lit(2L))) == globalTruth("backward", Some(lit(2L))))
+  }
+
+  test("asofGlobal fill window is partitioned on the bin, not global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q = AsofJoin.asofGlobal(asofLeft.drop("k"), asofRight.drop("k"), "t",
+      Seq("rv"))(c => floor(c / lit(3L)).cast("long"))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val ws = nodes(q.queryExecution.executedPlan).collect { case w: WindowExec => w }
+    // the data-sized fill window carries the value column (the
+    // __asof_on fill itself is pruned when tolerance is unused) and
+    // must be partitioned on the bin
+    val fills = ws.filter(_.windowExpression.mkString.contains("rv"))
+    assert(fills.nonEmpty)
+    assert(fills.forall(_.partitionSpec.nonEmpty),
+      "asofGlobal fill window lost its bin partitioning")
+    // at most the carry window (over the #bins-sized table) is unpartitioned
+    assert(ws.count(_.partitionSpec.isEmpty) <= 1)
+  }
 }
