@@ -100,18 +100,24 @@ object QueriesOps {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))),
 
+    // hyperplane signs are md5-derived (Similarity.planeDigest), so the
+    // DuckDB oracle recomputes the exact bucket assignment and replays
+    // the same multi-probe retrieval
     "x_ann_lsh" -> ((s, d) =>
       Similarity.lshTopKFrame(t(s, d, "embeddings"), "vec_id", "embedding",
         queryFrame(s, d), k = 10, nPlanes = 8)
-        .withColumn("cos", round(col("cos"), 6))
+        .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("cos").desc, col("vec_id"))),
 
+    // deterministic md5-ranked centroid sample -> the oracle rebuilds
+    // the identical IVF index and probes the same two lists
     "x_ann_ivf" -> ((s, d) => {
       val (assigned, centroids) =
-        Similarity.ivfIndex(t(s, d, "embeddings"), "vec_id", "embedding", nLists = 8)
+        Similarity.ivfIndexDeterministic(t(s, d, "embeddings"), "vec_id", "embedding",
+          nLists = 8)
       Similarity.ivfTopKFrame(assigned, centroids, "vec_id", "embedding",
         queryFrame(s, d), k = 10, nprobe = 2)
-        .withColumn("cos", round(col("cos"), 6))
+        .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("cos").desc, col("vec_id"))
     }),
 
@@ -720,6 +726,73 @@ object QueriesOps {
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // shared fragment semantics: bucket(p) bit = sign of <v, s_p> with
+    // s_{p,k} = bit (k-1)%4 of hex digit floor((k-1)/4) of
+    // md5('plane'||p||'_0') — mirrors Similarity.planeDigest exactly
+    "x_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |q AS (SELECT b.bucket AS qb, e.v AS qv FROM b JOIN e USING (vec_id) WHERE vec_id = 0),
+        |pr AS (SELECT qv, unnest([qb] || list_transform(range(0, 8),
+        |    p -> xor(qb, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM q),
+        |cand AS (SELECT e.vec_id, list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket))
+        |SELECT vec_id, round(rawcos, 4) AS cos
+        |FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "x_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+        |    v AS centroid
+        |  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |a AS (SELECT e.vec_id, e.v, c.list_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rk
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, list_id FROM a WHERE rk = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (SELECT c.list_id, q.qv,
+        |    row_number() OVER (ORDER BY list_distance(c.centroid, q.qv), c.list_id) AS rk
+        |  FROM c CROSS JOIN q),
+        |pr AS (SELECT list_id, qv FROM probe WHERE rk <= 2),
+        |cand AS (SELECT asg.vec_id, list_cosine_similarity(asg.v, pr.qv) AS rawcos
+        |  FROM asg JOIN pr USING (list_id))
+        |SELECT vec_id, round(rawcos, 4) AS cos
+        |FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // mirrors embeddingNearDup end-to-end: 4-plane buckets (same md5
+    // sign matrix), bucket-capped candidate pairs, exact cosine filter
+    "x_neardup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 4)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM b x JOIN b y USING (bucket)
+        |  WHERE x.vec_id < y.vec_id AND bucket IN (SELECT bucket FROM ok)),
+        |cand AS (SELECT p.a, p.b, list_cosine_similarity(ea.v, eb.v) AS cosine
+        |  FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b)
+        |SELECT a, b, cosine FROM cand WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

@@ -47,24 +47,32 @@ object Similarity {
   def l2Columns(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
 
-  /** Deterministic pseudo-random hyperplane component r_{p,k} in
-    * [-0.5, 0.5): derived from xxhash64 — identical on every executor
-    * and run, no Random state. */
-  private def planeComponent(p: Column, k: Column): Column =
-    (pmod(xxhash64(concat(lit("plane"), p.cast("string"), lit("_"), k.cast("string"))),
-      lit(100000L)).cast("double") / lit(100000.0)) - lit(0.5)
+  /** Engine-portable Rademacher hyperplanes: the sign s_{p,k} ∈ {-1,+1}
+    * for plane p, dimension k is bit (k mod 4) of hex digit ⌊k/4⌋ of a
+    * per-plane md5 digest chain — ONE constant md5 string per plane
+    * (constant-folded to a literal at plan time, zero per-row hashing),
+    * and any SQL engine with md5 recomputes the identical matrix, so
+    * LSH bucket assignments are exactly reproducible cross-engine.
+    * Sign-random-projection with ±1 entries is the standard SRP family
+    * (Charikar '02 allows any symmetric component distribution).
+    * The 4-digest chain carries 512 signs per plane (dims ≤ 512). */
+  private def planeDigest(p: Int): Column =
+    concat((0 until 4).map(b => md5(lit(s"plane${p}_$b"))): _*)
 
-  /** Sign-bit bucket key from nPlanes random hyperplanes. */
+  /** Sign-bit bucket key from nPlanes deterministic hyperplanes. */
   def hyperplaneKey(vec: Column, nPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-        val d = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, k) => x * planeComponent(p, k)),
-          lit(0.0), (acc, v) => acc + v)
-        when(d >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    (0 until nPlanes).map { p =>
+      val h = planeDigest(p)
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, k) => {
+          val digit = conv(call_function("substring", h,
+            (k / 4 + 1).cast("int"), lit(1)), 16, 10).cast("int")
+          val bit = call_function("shiftright", digit, pmod(k, lit(4)).cast("int")) % 2
+          x * (bit * 2 - 1).cast("double")
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
 
   /** Brute-force top-k cosine against a literal query vector:
     * distributed linear scan + TakeOrdered (no shuffle). */
@@ -137,6 +145,36 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
       .toDF("list_id", "centroid")
+    (assigned, centroids)
+  }
+
+  /** IVF with DETERMINISTIC, engine-portable centroid selection: the
+    * nLists corpus vectors ranked first by md5(id) are the centroids
+    * (a uniform pseudo-random sample any SQL engine reproduces), and
+    * each vector joins the list of its L2-nearest centroid. Recall
+    * behavior matches sampled-centroid IVF-flat; swap in [[ivfIndex]]
+    * (MLlib k-means) when centroid quality matters more than
+    * cross-engine reproducibility.
+    *
+    * Scale shape: centroid pick = TakeOrdered over md5(id) (no full
+    * sort); assignment = broadcast(nLists) cross join + partial-agg
+    * argmin — ONE shuffle on the vector id. */
+  def ivfIndexDeterministic(corpus: DataFrame, id: String, vec: String,
+                            nLists: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus
+      .select(col(id), col(vec).cast("array<double>").as("centroid"))
+      .orderBy(md5(col(id).cast("string")), col(id)).limit(nLists)
+      // window over nLists rows only (the tiny centroid table)
+      .withColumn("list_id",
+        (row_number().over(Window.orderBy(md5(col(id).cast("string")), col(id))) - 1))
+      .select("list_id", "centroid")
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2(col(vec).cast("array<double>"), col("centroid")))
+      .groupBy(col(id))
+      .agg(
+        min_by(col("list_id"), struct(col("__d"), col("list_id"))).as("list_id"),
+        first(col(vec)).as(vec))
     (assigned, centroids)
   }
 
