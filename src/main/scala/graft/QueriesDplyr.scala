@@ -434,6 +434,20 @@ object QueriesDplyr {
         .select("l_orderkey", "l_linenumber", "row_sum", "row_max", "row_min")
         .arrange(col("l_orderkey"), col("l_linenumber")).df),
 
+    // true rowwise() MODE: plain avg/sum/max calls reinterpreted per
+    // row over c_across columns (dplyr rowwise parity) — a pure
+    // projection, no window or shuffle in the plan
+    "d_rowwise2" -> ((s, d) => {
+      val g = t(s, d, "lineitem").graft.rowwise()
+      val across = g.cAcross(TidySelect.cols("l_extendedprice", "l_tax", "l_discount"))
+      g.mutate(
+          "row_mean" -> avg(across),
+          "row_sum" -> sum(across),
+          "row_max" -> max(across))
+        .select("l_orderkey", "l_linenumber", "row_mean", "row_sum", "row_max")
+        .arrange(col("l_orderkey"), col("l_linenumber")).df
+    }),
+
     "d_slice" -> ((s, d) =>
       t(s, d, "orders").graft
         .groupBy("o_orderstatus")
@@ -781,6 +795,13 @@ object QueriesDplyr {
         |  0.0 + l_extendedprice + l_tax + l_discount AS row_sum,
         |  greatest(l_extendedprice, l_tax, l_discount) AS row_max,
         |  least(l_extendedprice, l_tax, l_discount) AS row_min
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d_rowwise2" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (0.0 + l_extendedprice + l_tax + l_discount) / 3 AS row_mean,
+        |  0.0 + l_extendedprice + l_tax + l_discount AS row_sum,
+        |  greatest(l_extendedprice, l_tax, l_discount) AS row_max
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "d_slice" ->

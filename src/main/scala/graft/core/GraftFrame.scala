@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
 final class GraftFrame private (
     val df: DataFrame,
     val groups: Seq[String],
-    val sortKeys: Seq[Column]) {
+    val sortKeys: Seq[Column],
+    val isRowwise: Boolean = false) {
 
   import GraftFrame._
 
   private def groupCols: Seq[Column] = groups.map(df.col)
-  private def withDf(d: DataFrame): GraftFrame = new GraftFrame(d, groups, sortKeys)
+  private def withDf(d: DataFrame): GraftFrame =
+    new GraftFrame(d, groups, sortKeys, isRowwise)
   private def spark: SparkSession = df.sparkSession
 
   // ---- grouping (dplyr/group_by.py) -------------------------------------
@@ -29,6 +31,16 @@ final class GraftFrame private (
     new GraftFrame(df, (groups ++ cols).distinct, sortKeys)
   def ungroup: GraftFrame = new GraftFrame(df, Nil, sortKeys)
   def groupVars: Seq[String] = groups
+
+  /** dplyr rowwise(): a grouping MODE, not a grouping — subsequent
+    * mutate/transmute reinterpret the aggregate vocabulary per row
+    * over array-valued arguments (see [[cAcross]]); group_by and
+    * ungroup both leave rowwise mode. Pure projection — no shuffle. */
+  def rowwise(): GraftFrame = new GraftFrame(df, Nil, sortKeys, true)
+  /** c_across: the selected columns as one array (double-cast), the
+    * argument rowwise aggregates reduce over. */
+  def cAcross(sel: Selector): Column =
+    array(sel.resolve(df.schema).map(c => df.col(c).cast("double")): _*)
 
   /** group metadata — dplyr group_data family, computed as one agg. */
   def groupKeys: DataFrame =
@@ -104,7 +116,9 @@ final class GraftFrame private (
     val (_, out) = cols.foldLeft((Map.empty[String, Column], Vector.empty[(String, Column)])) {
       case ((defs, acc), (n, c)) =>
         val sub = CB.substitute(c, defs)
-        val rewritten = WindowRewrite.overGroups(sub, groupColsByName)
+        val rewritten =
+          if (isRowwise) WindowRewrite.perRow(sub)
+          else WindowRewrite.overGroups(sub, groupColsByName)
         // only NEW names participate in later substitution: redefining an
         // existing column shadows it for later exprs too (dplyr), which
         // the substitution also covers

@@ -40,4 +40,28 @@ object WindowRewrite {
     * grouped filter to decide whether a rewrite is needed). */
   def hasAgg(col: Column): Boolean =
     ExpressionUtils.hasAgg(col, AggNames.contains)
+
+  /** Rowwise mode (dplyr rowwise():
+    * /root/reference/datar_polars/api/dplyr/group_by.py): the aggregate
+    * vocabulary is reinterpreted PER ROW over an array-valued argument
+    * (c_across), instead of per group. Stays a pure projection — no
+    * window, no shuffle. Null elements propagate like R's default
+    * na.rm=FALSE (sum/mean of a null element is null). */
+  def perRow(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    def arrSum(a: Column): Column =
+      aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v)
+    ExpressionUtils.perRow(c, (name, args) => name match {
+      case "sum"          => Some(arrSum(args.head))
+      case "avg" | "mean" => Some(arrSum(args.head) / size(args.head))
+      case "min"          => Some(array_min(args.head))
+      case "max"          => Some(array_max(args.head))
+      case "count"        => Some(size(args.head))
+      case n if AggNames.contains(n) =>
+        throw new IllegalArgumentException(
+          s"rowwise: aggregate '$n' has no per-row form " +
+            "(supported: sum, mean/avg, min, max, count)")
+      case _ => None
+    })
+  }
 }

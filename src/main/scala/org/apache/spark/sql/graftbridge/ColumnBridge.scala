@@ -48,6 +48,32 @@ object ColumnBridge {
     Column(rw(c.node))
   }
 
+  /** Rowwise mode (dplyr rowwise + c_across): aggregate CALLS are
+    * reinterpreted as per-row reductions over their array-valued
+    * argument. `build` returns Some(replacement) for names it handles;
+    * other functions recurse into their arguments unchanged. */
+  def perRow(c: Column, build: (String, Seq[Column]) => Option[Column]): Column = {
+    def rw(n: ColumnNode): ColumnNode = n match {
+      case w: Window => w
+      case f: UnresolvedFunction =>
+        build(f.functionName.toLowerCase, f.arguments.map(a => Column(rw(a)))) match {
+          case Some(out) => out.node
+          case None      => f.copy(arguments = f.arguments.map(rw))
+        }
+      case a: Alias              => a.copy(child = rw(a.child))
+      case t: Cast               => t.copy(child = rw(t.child))
+      case cw: CaseWhenOtherwise =>
+        cw.copy(branches = cw.branches.map { case (p, v) => (rw(p), rw(v)) },
+          otherwise = cw.otherwise.map(rw))
+      case ev: UnresolvedExtractValue =>
+        ev.copy(child = rw(ev.child), extraction = rw(ev.extraction))
+      case so: SortOrder => so.copy(child = rw(so.child))
+      case lf: LambdaFunction => lf.copy(function = rw(lf.function))
+      case other => other
+    }
+    Column(rw(c.node))
+  }
+
   /** Substitute references to previously-defined mutate columns into a
     * later expression (dplyr's sequential mutate semantics) WITHOUT
     * splitting the plan into per-column projections — the caller emits

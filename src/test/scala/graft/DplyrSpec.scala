@@ -239,4 +239,27 @@ class DplyrSpec extends SparkTestBase {
     assert(seen.sorted == Seq("a", "b"))
     assert(g.groupTrim.df.count() == 3)
   }
+
+  test("rowwise(): agg vocabulary reduces per row over c_across, no shuffle") {
+    val df = sqlDf("a" -> Seq(1.0, 4.0), "b" -> Seq(3.0, 8.0), "c" -> Seq(5.0, 0.0))
+    val g = df.graft.rowwise()
+    val across = g.cAcross(TidySelect.cols("a", "b", "c"))
+    val out = g.mutate(
+        "m" -> avg(across), "s" -> sum(across), "mx" -> max(across))
+      .select("m", "s", "mx").arrange(col("s")).df
+    assertRows(out, Seq(Seq(3.0, 9.0, 5.0), Seq(4.0, 12.0, 8.0)))
+    // a pure projection: no Window, no Exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rowwise planned a window:\n$plan")
+  }
+
+  test("rowwise(): unsupported aggregate names fail fast; group_by exits the mode") {
+    val df = sqlDf("a" -> Seq(1.0), "b" -> Seq(2.0))
+    val g = df.graft.rowwise()
+    val e = intercept[IllegalArgumentException] {
+      g.mutate("x" -> stddev(g.cAcross(TidySelect.cols("a", "b"))))
+    }
+    assert(e.getMessage.contains("rowwise"))
+    assert(!g.groupBy("a").isRowwise && !g.ungroup.isRowwise)
+  }
 }
