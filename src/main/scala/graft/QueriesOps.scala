@@ -442,7 +442,8 @@ object QueriesOps {
         |SELECT d.doc_id,
         |  CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
         |  CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
-        |  coalesce(kk.dedup_text, '') AS dedup_text
+        |  coalesce(kk.dedup_text, '') AS dedup_text,
+        |  false AS truncated
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, count(*) AS n_lines FROM e GROUP BY 1) t USING (doc_id)
         |LEFT JOIN (SELECT doc_id, count(*) AS n_kept,

@@ -315,7 +315,14 @@ object TextAnalysis {
     * splits), then one shuffle back to doc grain for reassembly. No
     * driver-side state; the line universe never materializes on one
     * node. */
-  def paragraphDedup(df: DataFrame, id: String, text: String): DataFrame = {
+  /** @param maxDocLines reassembly guard: a doc with more than this
+    *   many KEPT lines is counted exactly but NOT re-materialized
+    *   (dedup_text = "", truncated = true). This bounds the per-group
+    *   collect_list buffer at maxDocLines lines, so one pathological
+    *   document cannot blow an executor's agg buffer at 100 TB; the
+    *   default (1M lines) is far above any sane document. */
+  def paragraphDedup(df: DataFrame, id: String, text: String,
+                     maxDocLines: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = df
       .select(col(id), posexplode(
@@ -323,13 +330,19 @@ object TextAnalysis {
           l => length(l) > 0)).as(Seq("idx", "line")))
     val perDoc = lines.groupBy(col(id)).agg(count(lit(1)).as("n_lines"))
     val keeper = Window.partitionBy(col("line")).orderBy(col(id), col("idx"))
+    // kept-line count rides a window over the SAME id partitioning the
+    // groupBy below reuses (one Exchange), so the guard costs no
+    // additional shuffle; collect_list skips the nulled-out rows of
+    // over-cap docs, keeping their agg buffer empty.
     val kept = lines
       .withColumn("__rk", row_number().over(keeper))
       .filter(col("__rk") === 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(id))))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          transform(array_sort(collect_list(
+              when(col("__n") <= maxDocLines, struct(col("idx"), col("line"))))),
             s => s.getField("line"))).as("dedup_text"))
     df.select(col(id))
       .join(perDoc, Seq(id), "left")
@@ -337,6 +350,7 @@ object TextAnalysis {
       .select(col(id),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("n_kept") > maxDocLines, lit(false)).as("truncated"))
   }
 }

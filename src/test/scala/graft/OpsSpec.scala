@@ -212,6 +212,21 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).getAs[String]("dedup_text") == "gamma")
     assert(out(1).getAs[Long]("n_lines") == 2L && out(1).getAs[Long]("n_kept") == 1L)
     assert(out(2).getAs[Long]("n_lines") == 0L && out(2).getAs[String]("dedup_text") == "")
+    assert(out.forall(!_.getAs[Boolean]("truncated")))
+  }
+
+  test("paragraph dedup guard: a pathological doc is counted but not reassembled") {
+    val giant = (1 to 50).map(i => s"line $i").mkString("\n")
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq(giant, "tiny\ndoc"))
+    val out = TextAnalysis.paragraphDedup(df, "doc_id", "text", maxDocLines = 10)
+      .orderBy("doc_id").collect()
+    // counts stay exact, reassembly is skipped, the flag says why
+    assert(out(0).getAs[Long]("n_lines") == 50L && out(0).getAs[Long]("n_kept") == 50L)
+    assert(out(0).getAs[String]("dedup_text") == "" && out(0).getAs[Boolean]("truncated"))
+    assert(out(1).getAs[String]("dedup_text") == "tiny\ndoc")
+    assert(!out(1).getAs[Boolean]("truncated"))
   }
 
   test("portable fingerprint is deterministic and content-sensitive") {
