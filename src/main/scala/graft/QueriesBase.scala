@@ -265,6 +265,29 @@ object QueriesBase {
           "atanh4" -> round(BaseFns.atanhOf(col("c_acctbal") / lit(20000.0)), 4))
         .arrange(col("c_custkey")).df),
 
+    // complex vector ops over the struct<re,im> encoding (base complex.py):
+    // Re/Im/Conj/Mod and +*/ are exact IEEE recipes both engines share;
+    // Arg (atan2) is transcendental -> 6-digit libm policy
+    "b_complex" -> ((s, d) => {
+      val z = ComplexFns.asComplex(col("c_acctbal"), (col("c_custkey") % 7) - 3)
+      val w = ComplexFns.asComplex((col("c_custkey") % 5).cast("double"), lit(1.0))
+      val prod = ComplexFns.cMul(z, w)
+      val quot = ComplexFns.cDiv(z, w)
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "z_re" -> ComplexFns.reOf(z),
+          "z_im" -> ComplexFns.imOf(z),
+          "conj_im" -> ComplexFns.imOf(ComplexFns.conj(z)),
+          "z_mod" -> ComplexFns.modOf(z),
+          "z_arg" -> round(ComplexFns.argOf(z), 6),
+          "prod_re" -> ComplexFns.reOf(prod),
+          "prod_im" -> ComplexFns.imOf(prod),
+          "quot_re" -> ComplexFns.reOf(quot),
+          "quot_im" -> ComplexFns.imOf(quot))
+        .arrange(col("c_custkey")).df
+    }),
+
     // list-column vector verbs: lengths / is.element / append / rev
     "b_vec2" -> ((s, d) => {
       val words = split(col("p_name"), " ")
@@ -501,6 +524,20 @@ object QueriesBase {
          |  quantile_cont(l_quantity, 0.5) AS cmed_qty,
          |  quantile_cont(l_extendedprice, 0.5) AS cmed_price
          |FROM lineitem""".stripMargin,
+
+    "b_complex" ->
+      """WITH z AS (SELECT c_custkey,
+        |    c_acctbal AS zr, CAST(c_custkey % 7 - 3 AS DOUBLE) AS zi,
+        |    CAST(c_custkey % 5 AS DOUBLE) AS wr, 1.0 AS wi
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  zr AS z_re, zi AS z_im, -zi AS conj_im,
+        |  sqrt(zr*zr + zi*zi) AS z_mod,
+        |  round(atan2(zi, zr), 6) AS z_arg,
+        |  zr*wr - zi*wi AS prod_re, zr*wi + zi*wr AS prod_im,
+        |  (zr*wr + zi*wi) / (wr*wr + wi*wi) AS quot_re,
+        |  (zi*wr - zr*wi) / (wr*wr + wi*wi) AS quot_im
+        |FROM z ORDER BY c_custkey""".stripMargin,
 
     "b_hyper" ->
       """SELECT c_custkey,

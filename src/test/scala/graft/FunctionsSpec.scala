@@ -156,4 +156,22 @@ class FunctionsSpec extends SparkTestBase {
       Map[Any, Any]("a" -> "A", "b" -> "B")).as("r")).orderBy("r")
     assertRows(out, Seq(Seq("A"), Seq("B"), Seq("z")))
   }
+
+  test("complex struct encoding: Mod/Arg/Conj and field arithmetic") {
+    import ComplexFns._
+    val df = sqlDf("re" -> Seq(3.0), "im" -> Seq(4.0))
+    val z = asComplex(col("re"), col("im"))
+    val w = asComplex(lit(1.0), lit(-1.0))
+    val r = df.select(
+      modOf(z), argOf(z), imOf(conj(z)),
+      reOf(cMul(z, w)), imOf(cMul(z, w)),
+      reOf(cDiv(z, w)), imOf(cDiv(z, w)),
+      reOf(cAdd(z, w)), imOf(cSub(z, w))).collect()(0)
+    assert(r.getDouble(0) == 5.0)                                 // |3+4i|
+    assert(math.abs(r.getDouble(1) - math.atan2(4.0, 3.0)) < 1e-15)
+    assert(r.getDouble(2) == -4.0)
+    assert(r.getDouble(3) == 7.0 && r.getDouble(4) == 1.0)        // (3+4i)(1-i)
+    assert(r.getDouble(5) == -0.5 && r.getDouble(6) == 3.5)       // (3+4i)/(1-i)
+    assert(r.getDouble(7) == 4.0 && r.getDouble(8) == 5.0)
+  }
 }
