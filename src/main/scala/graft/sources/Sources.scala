@@ -51,6 +51,11 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — Spark's second columnar format; same pushdown/pruning
+    * machinery as parquet (PushedFilters reach the OrcScan). */
+  def readOrc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
+
   /** Schema inference escape hatch for EXPLORATION — documented extra
     * pass; never in a production pipeline. */
   def readCsvInferred(spark: SparkSession, path: String,
@@ -89,4 +94,8 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String,
                  mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }

@@ -41,6 +41,18 @@ class SourcesSpec extends SparkTestBase {
       Seq(1.5, 2.5, 3.5, 4.5))
   }
 
+  test("orc round-trip preserves types; filters push to the OrcScan") {
+    val dir = tmp("graft_orc")
+    Sources.writeOrc(sample, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(1.5, 2.5, 3.5, 4.5))
+    val plan = back.filter(col("id") > 2).select("id", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"),
+      s"orc filter not pushed:\n$plan")
+  }
+
   test("partitioned write prunes directories on the partition predicate") {
     val dir = tmp("graft_part")
     Sources.writePartitioned(sample, dir, Seq("grp"))
