@@ -9,10 +9,10 @@ object Bench {
   /** Headline set — analytics + the scale-critical pipeline ops. */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topk", "q5_region_revenue",
-    "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk",
-    "x_dedup_exact", "x_dedup_minhash", "x_ann_brute",
-    "x_langid", "x_tokens", "x_asof", "x_contam", "x_gopher",
-    "x_par_dedup", "x_range_join",
+    "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk", "d_rowwise2",
+    "x_dedup_exact", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
+    "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
+    "x_par_dedup", "x_range_join", "x_multimodal",
     "s_sessionize")
 
   /** The driver-written sf parquet files are single row groups, so a

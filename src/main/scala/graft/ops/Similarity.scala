@@ -59,8 +59,18 @@ object Similarity {
   private def planeDigest(p: Int): Column =
     concat((0 until 4).map(b => md5(lit(s"plane${p}_$b"))): _*)
 
-  /** Sign-bit bucket key from nPlanes deterministic hyperplanes. */
+  /** Sign-bit bucket key from nPlanes deterministic hyperplanes —
+    * native codegen kernel (plans.SrpBucketExpr): bucketing scans the
+    * FULL corpus on every index build and must stay in whole-stage
+    * codegen. Bit-identical to [[hyperplaneKeyColumns]]. */
   def hyperplaneKey(vec: Column, nPlanes: Int): Column =
+    ColumnBridge.column(graft.plans.SrpBucketExpr(
+      ColumnBridge.expr(vec.cast("array<double>")), nPlanes))
+
+  /** Column-composition reference form of [[hyperplaneKey]] — spells
+    * the sign derivation out in Column space (and doubles as the
+    * template for the DuckDB oracle SQL). */
+  def hyperplaneKeyColumns(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val h = planeDigest(p)
       val d = aggregate(

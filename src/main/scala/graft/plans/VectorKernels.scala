@@ -48,6 +48,62 @@ object VectorKernels {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
+
+  /** Per-plane Rademacher sign rows, ±1.0 doubles, derived from the
+    * md5 digest chain "plane{p}_{0..3}" — the SAME matrix
+    * Similarity.planeDigest spells out in Column space and the DuckDB
+    * oracles recompute in SQL, precomputed ONCE per nPlanes here so the
+    * corpus-scan inner loop is a tight primitive-double walk.
+    * 4 digests × 128 bits = 512 signs per plane (dims ≤ 512). */
+  private val srpCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def srpSigns(nPlanes: Int): Array[Array[Double]] =
+    srpCache.computeIfAbsent(nPlanes, _ => Array.tabulate(nPlanes) { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = (0 until 4).map { b =>
+        md.reset()
+        md.digest(s"plane${p}_$b".getBytes("UTF-8"))
+          .map(x => f"${x & 0xff}%02x").mkString
+      }.mkString
+      Array.tabulate(512) { k =>
+        val digit = Character.digit(hex.charAt(k / 4), 16)
+        if (((digit >> (k % 4)) & 1) == 1) 1.0 else -1.0
+      }
+    })
+
+  /** Sign-random-projection bucket key: bit p = sign of <v, s_p>.
+    * Accumulation in index order — bit-identical to the Column form. */
+  def srpBucket(v: ArrayData, nPlanes: Int): Long = {
+    val signs = srpSigns(nPlanes)
+    val n = v.numElements()
+    var key = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val s = signs(p)
+      var d = 0.0
+      var k = 0
+      while (k < n) { d += v.getDouble(k) * s(k); k += 1 }
+      if (d >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+}
+
+/** srp_bucket(vec, nPlanes) — LSH bucket assignment as a codegen
+  * kernel: the bucketing runs over the FULL corpus on every index
+  * build, so like the distances it must not fall out of whole-stage
+  * codegen into interpreted higher-order functions. */
+case class SrpBucketExpr(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "srp_bucket"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.srpBucket(v.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorKernels.srpBucket($v, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): SrpBucketExpr =
+    copy(child = c)
 }
 
 /** Inputs must already be array<double> (callers cast; float arrays

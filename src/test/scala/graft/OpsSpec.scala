@@ -82,6 +82,16 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("SRP bucket kernel is bit-identical to the Column reference form") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val diff = vecs.select(
+      Similarity.hyperplaneKey(col("v"), 8).as("k"),
+      Similarity.hyperplaneKeyColumns(col("v"), 8).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
   test("IVF top-k finds an exact-match query vector through its probed list") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (assigned, centroids) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nLists = 4)
