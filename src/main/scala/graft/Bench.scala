@@ -25,9 +25,16 @@ object Bench {
     val name = new java.io.File(sfDir).getName
     val cache = new java.io.File(s"target/benchcache/$name")
     val ok = new java.io.File(cache, "_OK")
-    if (!ok.exists()) {
-      val tables = new java.io.File(sfDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val tables = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    // the marker carries a fingerprint of the source files, so a
+    // regenerated sf dir invalidates the cache instead of silently
+    // timing stale data
+    val fingerprint = tables
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").mkString("\n")
+    val stale = !ok.exists() ||
+      new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") != fingerprint
+    if (stale) {
       tables.foreach { f =>
         val tname = f.getName.stripSuffix(".parquet")
         // fact tables get one file per bench core cohort; dims stay few
@@ -35,7 +42,7 @@ object Bench {
         spark.read.parquet(f.getPath).repartition(parts)
           .write.mode("overwrite").parquet(s"${cache.getPath}/$tname.parquet")
       }
-      new java.io.FileOutputStream(ok).close()
+      java.nio.file.Files.write(ok.toPath, fingerprint.getBytes("UTF-8"))
     }
     cache.getPath
   }

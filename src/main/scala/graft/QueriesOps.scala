@@ -748,9 +748,10 @@ object QueriesOps {
         |pr AS (SELECT qv, unnest([qb] || list_transform(range(0, 8),
         |    p -> xor(qb, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM q),
         |cand AS (SELECT e.vec_id, list_cosine_similarity(e.v, pr.qv) AS rawcos
-        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket))
-        |SELECT vec_id, round(rawcos, 4) AS cos
-        |FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |topk AS (SELECT vec_id, round(rawcos, 4) AS cos
+        |  FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10)
+        |SELECT vec_id, cos FROM topk ORDER BY cos DESC, vec_id""".stripMargin,
 
     "x_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -768,9 +769,10 @@ object QueriesOps {
         |  FROM c CROSS JOIN q),
         |pr AS (SELECT list_id, qv FROM probe WHERE rk <= 2),
         |cand AS (SELECT asg.vec_id, list_cosine_similarity(asg.v, pr.qv) AS rawcos
-        |  FROM asg JOIN pr USING (list_id))
-        |SELECT vec_id, round(rawcos, 4) AS cos
-        |FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10""".stripMargin,
+        |  FROM asg JOIN pr USING (list_id)),
+        |topk AS (SELECT vec_id, round(rawcos, 4) AS cos
+        |  FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10)
+        |SELECT vec_id, cos FROM topk ORDER BY cos DESC, vec_id""".stripMargin,
 
     // mirrors embeddingNearDup end-to-end: 4-plane buckets (same md5
     // sign matrix), bucket-capped candidate pairs, exact cosine filter

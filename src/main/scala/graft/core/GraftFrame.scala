@@ -267,10 +267,15 @@ final class GraftFrame private (
   /** Engine-portable seeded sample: ranks rows by md5(seed ++ key) —
     * any SQL engine reproduces the exact same sample from the same
     * seed and key (same topology as the rand form: one window
-    * shuffle). `key` must be a stable per-row id. */
+    * shuffle). `key` must be a stable per-row id; a NULL key is hashed
+    * via a sentinel and tie-broken NULLS LAST, because a null hash
+    * would sort NULLS FIRST in Spark but NULLS LAST in DuckDB and the
+    * 'portable' sample would silently diverge cross-engine. */
   def sliceSample(n: Int, seed: Long, key: Column): GraftFrame =
-    sliceByRank(Seq(md5(concat(lit(seed.toString), key.cast("string"))).asc,
-      key.asc), n, withTies = false)
+    sliceByRank(Seq(
+      md5(concat(lit(seed.toString),
+        coalesce(key.cast("string"), lit(" <null-key>")))).asc,
+      key.asc_nulls_last), n, withTies = false)
 
   /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
     * per group — n from a count window over the same partitioning, so

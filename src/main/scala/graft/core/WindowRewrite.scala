@@ -51,11 +51,15 @@ object WindowRewrite {
     import org.apache.spark.sql.functions._
     def arrSum(a: Column): Column =
       aggregate(a.cast("array<double>"), lit(0.0), (acc, v) => acc + v)
+    // array_min/array_max skip null elements, so guard them explicitly:
+    // any null in the row makes the result null, same as sum/mean above.
+    def nullIfAnyNull(a: Column, agg: Column => Column): Column =
+      when(exists(a, v => v.isNull), lit(null)).otherwise(agg(a))
     ExpressionUtils.perRow(c, (name, args) => name match {
       case "sum"          => Some(arrSum(args.head))
       case "avg" | "mean" => Some(arrSum(args.head) / size(args.head))
-      case "min"          => Some(array_min(args.head))
-      case "max"          => Some(array_max(args.head))
+      case "min"          => Some(nullIfAnyNull(args.head, array_min))
+      case "max"          => Some(nullIfAnyNull(args.head, array_max))
       case "count"        => Some(size(args.head))
       case n if AggNames.contains(n) =>
         throw new IllegalArgumentException(

@@ -70,8 +70,14 @@ object Similarity {
   /** Column-composition reference form of [[hyperplaneKey]] — spells
     * the sign derivation out in Column space (and doubles as the
     * template for the DuckDB oracle SQL). */
-  def hyperplaneKeyColumns(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
+  def hyperplaneKeyColumns(vec: Column, nPlanes: Int): Column = {
+    // same loud failure as the kernel's require(n <= 512): without it
+    // this form would silently null the dot product past dim 512 and
+    // emit bit 0 where the kernel throws
+    val guard = when(size(vec) > 512, raise_error(concat(
+      lit("srp: vector has "), size(vec).cast("string"),
+      lit(" dims but the md5 sign chain carries 512"))))
+    val key = (0 until nPlanes).map { p =>
       val h = planeDigest(p)
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, k) => {
@@ -83,6 +89,8 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce[Column](_ bitwiseOR _)
+    guard.otherwise(key)
+  }
 
   /** Brute-force top-k cosine against a literal query vector:
     * distributed linear scan + TakeOrdered (no shuffle). */

@@ -76,6 +76,9 @@ object VectorKernels {
   def srpBucket(v: ArrayData, nPlanes: Int): Long = {
     val signs = srpSigns(nPlanes)
     val n = v.numElements()
+    require(n <= 512,
+      s"srp_bucket: vector has $n dims but the md5 sign chain carries 512; " +
+        "extend planeDigest's digest chain before indexing wider embeddings")
     var key = 0L
     var p = 0
     while (p < nPlanes) {
