@@ -55,30 +55,41 @@ object Similarity {
     * LSH bucket assignments are exactly reproducible cross-engine.
     * Sign-random-projection with ±1 entries is the standard SRP family
     * (Charikar '02 allows any symmetric component distribution).
-    * The 4-digest chain carries 512 signs per plane (dims ≤ 512). */
-  private def planeDigest(p: Int): Column =
-    concat((0 until 4).map(b => md5(lit(s"plane${p}_$b"))): _*)
+    * Chunk digest b carries 128 signs (dims 128b..128b+127) and depends
+    * only on (p, b), so the chain extends to ceil(dims/128) chunks for
+    * any embedding width while staying prefix-identical to the
+    * historical 4-chunk (512-sign) chain. */
+  private def planeDigest(p: Int, nChunks: Int): Column =
+    concat((0 until nChunks).map(b => md5(lit(s"plane${p}_$b"))): _*)
 
   /** Sign-bit bucket key from nPlanes deterministic hyperplanes —
     * native codegen kernel (plans.SrpBucketExpr): bucketing scans the
     * FULL corpus on every index build and must stay in whole-stage
-    * codegen. Bit-identical to [[hyperplaneKeyColumns]]. */
+    * codegen. Handles any vector width (the sign chain extends per
+    * row). Bit-identical to [[hyperplaneKeyColumns]] for vectors within
+    * that form's declared maxDims. */
   def hyperplaneKey(vec: Column, nPlanes: Int): Column =
     ColumnBridge.column(graft.plans.SrpBucketExpr(
       ColumnBridge.expr(vec.cast("array<double>")), nPlanes))
 
   /** Column-composition reference form of [[hyperplaneKey]] — spells
     * the sign derivation out in Column space (and doubles as the
-    * template for the DuckDB oracle SQL). */
-  def hyperplaneKeyColumns(vec: Column, nPlanes: Int): Column = {
-    // same loud failure as the kernel's require(n <= 512): without it
-    // this form would silently null the dot product past dim 512 and
-    // emit bit 0 where the kernel throws
-    val guard = when(size(vec) > 512, raise_error(concat(
+    * template for the DuckDB oracle SQL). Unlike the kernel, the
+    * digest-chain length here is fixed at plan time: pass `maxDims` at
+    * least as wide as the widest vector (default 512 keeps the
+    * historical plan shape; 768/1024/1536 all work). */
+  def hyperplaneKeyColumns(vec: Column, nPlanes: Int, maxDims: Int = 512): Column = {
+    val nChunks = math.max(1, (maxDims + 127) / 128)
+    val cap = nChunks * 128
+    // loud failure instead of the silent wrong answer: past the static
+    // chain this form would null the dot product and emit bit 0 where
+    // the kernel (dynamic chain) keeps computing real signs
+    val guard = when(size(vec) > cap, raise_error(concat(
       lit("srp: vector has "), size(vec).cast("string"),
-      lit(" dims but the md5 sign chain carries 512"))))
+      lit(s" dims but this reference form was planned with maxDims=$maxDims; " +
+        "pass a larger maxDims (the kernel form handles any width)"))))
     val key = (0 until nPlanes).map { p =>
-      val h = planeDigest(p)
+      val h = planeDigest(p, nChunks)
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, k) => {
           val digit = conv(call_function("substring", h,

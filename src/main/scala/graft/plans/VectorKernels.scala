@@ -50,35 +50,38 @@ object VectorKernels {
   }
 
   /** Per-plane Rademacher sign rows, ±1.0 doubles, derived from the
-    * md5 digest chain "plane{p}_{0..3}" — the SAME matrix
+    * md5 digest chain "plane{p}_{0..nChunks-1}" — the SAME matrix
     * Similarity.planeDigest spells out in Column space and the DuckDB
-    * oracles recompute in SQL, precomputed ONCE per nPlanes here so the
-    * corpus-scan inner loop is a tight primitive-double walk.
-    * 4 digests × 128 bits = 512 signs per plane (dims ≤ 512). */
+    * oracles recompute in SQL, precomputed ONCE per (nPlanes, nChunks)
+    * here so the corpus-scan inner loop is a tight primitive-double
+    * walk. Each chunk digest carries 32 hex digits × 4 bits = 128
+    * signs, and chunk b depends only on (p, b) — so a longer chain is
+    * prefix-identical to a shorter one, and 768/1024/1536-dim
+    * embeddings bucket consistently with the historical 512-sign
+    * (4-chunk) chain on their first 512 dims. */
   private val srpCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
-  private def srpSigns(nPlanes: Int): Array[Array[Double]] =
-    srpCache.computeIfAbsent(nPlanes, _ => Array.tabulate(nPlanes) { p =>
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def srpSigns(nPlanes: Int, nChunks: Int): Array[Array[Double]] =
+    srpCache.computeIfAbsent((nPlanes, nChunks), _ => Array.tabulate(nPlanes) { p =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = (0 until 4).map { b =>
+      val hex = (0 until nChunks).map { b =>
         md.reset()
         md.digest(s"plane${p}_$b".getBytes("UTF-8"))
           .map(x => f"${x & 0xff}%02x").mkString
       }.mkString
-      Array.tabulate(512) { k =>
+      Array.tabulate(nChunks * 128) { k =>
         val digit = Character.digit(hex.charAt(k / 4), 16)
         if (((digit >> (k % 4)) & 1) == 1) 1.0 else -1.0
       }
     })
 
   /** Sign-random-projection bucket key: bit p = sign of <v, s_p>.
-    * Accumulation in index order — bit-identical to the Column form. */
+    * Accumulation in index order — bit-identical to the Column form.
+    * The sign chain extends to ceil(dims/128) chunks, so any embedding
+    * width works (768/1024/1536 included). */
   def srpBucket(v: ArrayData, nPlanes: Int): Long = {
-    val signs = srpSigns(nPlanes)
     val n = v.numElements()
-    require(n <= 512,
-      s"srp_bucket: vector has $n dims but the md5 sign chain carries 512; " +
-        "extend planeDigest's digest chain before indexing wider embeddings")
+    val signs = srpSigns(nPlanes, math.max(1, (n + 127) / 128))
     var key = 0L
     var p = 0
     while (p < nPlanes) {
