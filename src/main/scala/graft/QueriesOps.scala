@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.streaming.EventStreams
@@ -18,6 +18,22 @@ object QueriesOps {
   private def queryFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"))
+
+  /** Deterministic wide-dim embedding fixture: replicate the 64-dim
+    * vector `reps` times with block r scaled by 1/(r+1) — every block
+    * is an exact IEEE double division both engines reproduce, so DuckDB
+    * replays the identical 768/1536-dim vectors
+    * (`flatten(list_transform(range(0,reps), r ->
+    * list_transform(v, x -> x / (r+1))))`). This is what exercises the
+    * multi-chunk SRP sign chain (ceil(768/128) = 6 md5 chunks/plane)
+    * that a 64-dim corpus never touches. */
+  private def widen(vec: Column, reps: Int): Column =
+    flatten(transform(sequence(lit(0), lit(reps - 1)),
+      r => transform(vec, x => x / (r + lit(1)).cast("double"))))
+
+  private def embeddings768(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      widen(col("embedding").cast("array<double>"), 12).as("embedding768"))
 
   /** events.parquet carries nanosecond timestamps (written by arrow);
     * Spark reads TIMESTAMP(NANOS) only as long via the legacy conf, so
@@ -108,6 +124,26 @@ object QueriesOps {
         queryFrame(s, d), k = 10, nPlanes = 8)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("cos").desc, col("vec_id"))),
+
+    // 768-dim variant: same retrieval topology, but the corpus vectors
+    // span SIX md5 sign chunks per plane — this is the query that
+    // actually executes the multi-chunk chain (everything else in the
+    // repo is 64-dim)
+    "x_ann_lsh_768" -> ((s, d) => {
+      val e = embeddings768(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding768").as("qv"))
+      Similarity.lshTopKFrame(e, "vec_id", "embedding768", q, k = 10, nPlanes = 8)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // 768-dim near-dup: multi-chunk sign chain through the
+    // embeddingNearDup production entry point (4 planes × 6 chunks)
+    "x_neardup_768" -> ((s, d) =>
+      Dedup.embeddingNearDup(embeddings768(s, d), "vec_id", "embedding768",
+        nPlanes = 4, threshold = 0.3)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("a"), col("b"))),
 
     // deterministic md5-ranked centroid sample -> the oracle rebuilds
     // the identical IVF index and probes the same two lists
@@ -729,8 +765,11 @@ object QueriesOps {
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // shared fragment semantics: bucket(p) bit = sign of <v, s_p> with
-    // s_{p,k} = bit (k-1)%4 of hex digit floor((k-1)/4) of
-    // md5('plane'||p||'_0') — mirrors Similarity.planeDigest exactly
+    // s_{p,k} = bit (k-1)%4 of hex digit floor((k-1)/4) of the chunked
+    // digest chain md5('plane'||p||'_0')||md5('plane'||p||'_1')||… —
+    // the 64-dim corpus here needs only chunk 0, so this query's SQL
+    // spells out the single-chunk instantiation; x_ann_lsh_768 below is
+    // the multi-chunk (6-digest) template for wider embeddings
     "x_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pl AS (SELECT unnest(range(0, 8)) AS p),
@@ -752,6 +791,69 @@ object QueriesOps {
         |topk AS (SELECT vec_id, round(rawcos, 4) AS cos
         |  FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10)
         |SELECT vec_id, cos FROM topk ORDER BY cos DESC, vec_id""".stripMargin,
+
+    // multi-chunk chain: 768 dims = 6 md5 chunks per plane; the fixture
+    // widens the 64-dim vectors with exact double divisions both
+    // engines reproduce (see embeddings768)
+    "x_ann_lsh_768" ->
+      """WITH e AS (SELECT vec_id,
+        |    flatten(list_transform(range(0, 12), r ->
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x / (r+1)))) AS v
+        |  FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |hx AS (SELECT p,
+        |    md5('plane'||p||'_0')||md5('plane'||p||'_1')||md5('plane'||p||'_2')||
+        |    md5('plane'||p||'_3')||md5('plane'||p||'_4')||md5('plane'||p||'_5') AS hex
+        |  FROM pl),
+        |d AS (SELECT e.vec_id, hx.p,
+        |    list_sum(list_transform(range(1, 769), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(hex,
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN hx),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |q AS (SELECT b.bucket AS qb, e.v AS qv FROM b JOIN e USING (vec_id) WHERE vec_id = 0),
+        |pr AS (SELECT qv, unnest([qb] || list_transform(range(0, 8),
+        |    p -> xor(qb, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM q),
+        |cand AS (SELECT e.vec_id, list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |topk AS (SELECT vec_id, round(rawcos, 4) AS cos
+        |  FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10)
+        |SELECT vec_id, cos FROM topk ORDER BY cos DESC, vec_id""".stripMargin,
+
+    // mirrors embeddingNearDup on the widened fixture: 4 planes × 6
+    // chunks, bucket cap 1000, exact-cosine filter before rounding
+    "x_neardup_768" ->
+      """WITH e AS (SELECT vec_id,
+        |    flatten(list_transform(range(0, 12), r ->
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x / (r+1)))) AS v
+        |  FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 4)) AS p),
+        |hx AS (SELECT p,
+        |    md5('plane'||p||'_0')||md5('plane'||p||'_1')||md5('plane'||p||'_2')||
+        |    md5('plane'||p||'_3')||md5('plane'||p||'_4')||md5('plane'||p||'_5') AS hex
+        |  FROM pl),
+        |d AS (SELECT e.vec_id, hx.p,
+        |    list_sum(list_transform(range(1, 769), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(hex,
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN hx),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 1000),
+        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM b x JOIN b y USING (bucket)
+        |  WHERE x.vec_id < y.vec_id AND bucket IN (SELECT bucket FROM ok)),
+        |cand AS (SELECT p.a, p.b, list_cosine_similarity(ea.v, eb.v) AS rawcos
+        |  FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b)
+        |SELECT a, b, round(rawcos, 4) AS cosine FROM cand
+        |WHERE rawcos >= 0.3 ORDER BY a, b""".stripMargin,
 
     "x_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -61,8 +61,14 @@ object VectorKernels {
     * (4-chunk) chain on their first 512 dims. */
   private val srpCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
-  private def srpSigns(nPlanes: Int, nChunks: Int): Array[Array[Double]] =
-    srpCache.computeIfAbsent((nPlanes, nChunks), _ => Array.tabulate(nPlanes) { p =>
+  // single-entry fast path: a corpus scan calls srpBucket with the same
+  // (nPlanes, nChunks) for every row, so the hot loop does one volatile
+  // read + two int compares instead of boxing a tuple key per row
+  @volatile private var lastSigns: (Int, Int, Array[Array[Double]]) = _
+  private def srpSigns(nPlanes: Int, nChunks: Int): Array[Array[Double]] = {
+    val last = lastSigns
+    if (last != null && last._1 == nPlanes && last._2 == nChunks) return last._3
+    val signs = srpCache.computeIfAbsent((nPlanes, nChunks), _ => Array.tabulate(nPlanes) { p =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = (0 until nChunks).map { b =>
         md.reset()
@@ -74,6 +80,15 @@ object VectorKernels {
         if (((digit >> (k % 4)) & 1) == 1) 1.0 else -1.0
       }
     })
+    lastSigns = (nPlanes, nChunks, signs)
+    signs
+  }
+
+  /** Generous sanity cap on the dynamic sign chain: one corrupt/giant
+    * array row would otherwise pin nPlanes*ceil(n/128)*128 doubles in
+    * the executor-static cache forever. 65536 dims is far beyond any
+    * real embedding model; malformed data fails loudly instead. */
+  val MaxDims = 65536
 
   /** Sign-random-projection bucket key: bit p = sign of <v, s_p>.
     * Accumulation in index order — bit-identical to the Column form.
@@ -81,6 +96,8 @@ object VectorKernels {
     * width works (768/1024/1536 included). */
   def srpBucket(v: ArrayData, nPlanes: Int): Long = {
     val n = v.numElements()
+    require(n <= MaxDims,
+      s"srp_bucket: vector has $n dims (cap $MaxDims) — malformed embedding row?")
     val signs = srpSigns(nPlanes, math.max(1, (n + 127) / 128))
     var key = 0L
     var p = 0

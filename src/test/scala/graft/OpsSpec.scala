@@ -92,6 +92,64 @@ class OpsSpec extends SparkTestBase {
     assert(diff == 0L)
   }
 
+  /** Widen the 64-dim fixture to reps×64 dims — same recipe as the
+    * QueriesOps embeddings768 fixture and its DuckDB oracle. */
+  private def widened(reps: Int) =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", flatten(transform(sequence(lit(0), lit(reps - 1)),
+        r => transform(col("embedding").cast("array<double>"),
+          x => x / (r + lit(1)).cast("double")))))
+
+  test("SRP kernel == Column form at 768 dims (6-chunk sign chain)") {
+    val diff = widened(12).select(
+      Similarity.hyperplaneKey(col("v"), 8).as("k"),
+      Similarity.hyperplaneKeyColumns(col("v"), 8, maxDims = 768).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
+  test("SRP kernel == Column form at 1536 dims (12-chunk sign chain)") {
+    val diff = widened(24).select(
+      Similarity.hyperplaneKey(col("v"), 8).as("k"),
+      Similarity.hyperplaneKeyColumns(col("v"), 8, maxDims = 1536).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
+  test("SRP kernel == Column form at a non-multiple-of-128 width (600 dims)") {
+    // kernel derives ceil(600/128)=5 chunks; the Column form planned at
+    // maxDims=640 builds the same 5-chunk chain — the documented
+    // form-equivalence within maxDims, at a chunk count > 1
+    val vecs = widened(12).withColumn("v", slice(col("v"), 1, 600))
+    val diff = vecs.select(
+      Similarity.hyperplaneKey(col("v"), 8).as("k"),
+      Similarity.hyperplaneKeyColumns(col("v"), 8, maxDims = 640).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
+  test("SRP chain is prefix-consistent: first 512 dims bucket identically under any wider chain") {
+    // chunk digest b depends only on (p, b): a 512-dim prefix must get
+    // the same signs whether the row is 512- or 768-dim
+    val both = widened(12)
+      .withColumn("v512", slice(col("v"), 1, 512))
+      .select(
+        Similarity.hyperplaneKey(col("v512"), 8).as("narrow"),
+        Similarity.hyperplaneKeyColumns(col("v512"), 8, maxDims = 768).as("wideform"))
+      .filter(col("narrow") =!= col("wideform")).count()
+    assert(both == 0L)
+  }
+
+  test("srp_bucket rejects absurd vector widths loudly") {
+    val e = intercept[Exception] {
+      spark.range(1)
+        .select(Similarity.hyperplaneKey(
+          array_repeat(lit(1.0), 70000), 4).as("k"))
+        .collect()
+    }
+    assert(e.getMessage.contains("cap") || e.getCause != null)
+  }
+
   test("IVF top-k finds an exact-match query vector through its probed list") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (assigned, centroids) = Similarity.ivfIndex(vecs, "vec_id", "embedding", nLists = 4)
