@@ -314,6 +314,25 @@ object QueriesBase {
         .select("p_brand", "p_partkey", "rk_avg", "rk_min", "ord_idx")
         .arrange(col("p_brand"), col("p_partkey")).df),
 
+    // UNGROUPED rank family: whole-frame ranks via the scale-safe
+    // sorted-zipWithIndex forms (no single-partition window anywhere —
+    // see PlanSpec's global-window assert)
+    "b_rank_u" -> ((s, d) => {
+      val base = t(s, d, "part")
+      val r1 = SeqFns.withRankAvg(base, col("p_size"), "rk_avg")
+      val r2 = SeqFns.withRankMin(r1, col("p_size"), "rk_min")
+      SeqFns.withOrderIndex(r2, col("p_size"), Seq(col("p_partkey")), "ord_idx")
+        .select("p_partkey", "rk_avg", "rk_min", "ord_idx")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // UNGROUPED diff: predecessor via rowid self-join, not a global lag
+    "b_diff_u" -> ((s, d) =>
+      SeqFns.withDiff(t(s, d, "orders"), col("o_totalprice"),
+        Seq(col("o_orderdate"), col("o_orderkey")), "price_diff")
+        .select("o_orderkey", "price_diff")
+        .orderBy(col("o_orderkey"))),
+
     "b_outer" -> ((s, d) =>
       // base::outer(a, b, `*`) — cartesian of two small key vectors
       t(s, d, "region").select(col("r_regionkey").as("a"))
@@ -569,6 +588,20 @@ object QueriesBase {
         |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS rk_min,
         |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS ord_idx
         |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "b_rank_u" ->
+      """SELECT p_partkey,
+        |  rank() OVER (ORDER BY p_size)
+        |    + (count(*) OVER (PARTITION BY p_size) - 1) / 2.0 AS rk_avg,
+        |  CAST(rank() OVER (ORDER BY p_size) AS BIGINT) AS rk_min,
+        |  CAST(row_number() OVER (ORDER BY p_size, p_partkey) AS BIGINT) AS ord_idx
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "b_diff_u" ->
+      """SELECT o_orderkey,
+        |  o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey)
+        |    AS price_diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "b_outer" ->
       """SELECT r_regionkey AS a, b, r_regionkey * b AS prod

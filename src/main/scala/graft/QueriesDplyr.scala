@@ -165,6 +165,28 @@ object QueriesDplyr {
         .select("s_nationkey", "s_suppkey", "s_acctbal")
         .arrange(col("s_nationkey"), col("s_suppkey")).df),
 
+    // UNGROUPED tied slice_min/max: kth-threshold TakeOrdered + filter
+    // (never a single-partition rank window — see PlanSpec)
+    "d_slice_min_u" -> ((s, d) =>
+      t(s, d, "part").graft
+        .sliceMin(col("p_retailprice"), n = 5, withTies = true)
+        .select("p_partkey", "p_retailprice")
+        .arrange(col("p_partkey")).df),
+
+    "d_slice_max_u" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .sliceMax(col("o_totalprice"), n = 7, withTies = true)
+        .select("o_orderkey", "o_totalprice")
+        .arrange(col("o_orderkey")).df),
+
+    // UNGROUPED prop slice: rowid-based ranks + broadcast count, with
+    // tie semantics (rank, not row_number) on the slice column
+    "d_slice_prop_u" -> ((s, d) =>
+      t(s, d, "supplier").graft
+        .sliceMaxProp(col("s_acctbal"), 0.1, withTies = true)
+        .select("s_suppkey", "s_acctbal")
+        .arrange(col("s_suppkey")).df),
+
     // keyed md5-ranked sample — engine-portable, so the DuckDB oracle
     // reproduces the exact sample from (seed, key)
     "d_slice_sample" -> ((s, d) =>
@@ -579,6 +601,22 @@ object QueriesDplyr {
       """SELECT s_nationkey, s_suppkey, s_acctbal FROM supplier
         |QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) <= 1
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    "d_slice_min_u" ->
+      """SELECT p_partkey, p_retailprice FROM part
+        |QUALIFY rank() OVER (ORDER BY p_retailprice) <= 5
+        |ORDER BY p_partkey""".stripMargin,
+
+    "d_slice_max_u" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |QUALIFY rank() OVER (ORDER BY o_totalprice DESC) <= 7
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d_slice_prop_u" ->
+      """SELECT s_suppkey, s_acctbal FROM supplier
+        |QUALIFY rank() OVER (ORDER BY s_acctbal DESC)
+        |  <= floor(count(*) OVER () * 0.1)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "d_slice_sample" ->
       """SELECT s_nationkey, s_suppkey FROM supplier

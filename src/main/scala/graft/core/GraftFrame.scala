@@ -253,10 +253,33 @@ final class GraftFrame private (
   }
   def sliceMin(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
     if (groups.isEmpty && !withTies) withDf(df.orderBy(c.asc).limit(n))
+    else if (groups.isEmpty) ungroupedTiedSlice(c, n, desc = false)
     else sliceByRank(Seq(c.asc), n, withTies)
   def sliceMax(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
     if (groups.isEmpty && !withTies) withDf(df.orderBy(c.desc).limit(n))
+    else if (groups.isEmpty) ungroupedTiedSlice(c, n, desc = true)
     else sliceByRank(Seq(c.desc), n, withTies)
+
+  /** Ungrouped TIED slice_min/max without a single-partition window:
+    * rank(v) <= n is equivalent to `v <= v_(n)` (the n-th order
+    * statistic), because rank(v) = #{w < v} + 1. So: distributed
+    * top-n (sort+limit → TakeOrderedAndProject), 1-row agg for the
+    * threshold, broadcast it back as a plain filter. Null handling
+    * mirrors the window form exactly: asc = NULLS FIRST (all nulls
+    * tie at rank 1 → always kept by slice_min); desc = NULLS LAST
+    * (kept only when fewer than n non-null rows exist, tracked by
+    * `__nn` = non-null count within the top n). */
+  private def ungroupedTiedSlice(c: Column, n: Int, desc: Boolean): GraftFrame = {
+    val ordered = df.select(c.as("__v"))
+      .orderBy(if (desc) col("__v").desc else col("__v").asc).limit(n)
+    val thr =
+      if (desc) ordered.agg(min(col("__v")).as("__kth"), count(col("__v")).as("__nn"))
+      else ordered.agg(max(col("__v")).as("__kth"), count(col("__v")).as("__nn"))
+    val keep =
+      if (desc) (c.isNull && col("__nn") < n) || (c >= col("__kth"))
+      else c.isNull || (c <= col("__kth"))
+    withDf(df.crossJoin(broadcast(thr)).filter(keep).drop("__kth", "__nn"))
+  }
   /** Seeded per-group sample of n rows: deterministic rand-ranked.
     * `rand(seed)` depends on the engine's PRNG and partition layout —
     * reproducible within Spark, but not across engines; prefer the
@@ -279,9 +302,12 @@ final class GraftFrame private (
 
   /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
     * per group — n from a count window over the same partitioning, so
-    * still one shuffle. */
+    * still one shuffle. GROUPED path only (the window partitions by
+    * the group keys); ungrouped calls route to [[ungroupedProp]]. */
   private def sliceByRankProp(keys: Seq[Column], prop: Double,
                               withTies: Boolean): GraftFrame = {
+    if (groups.isEmpty) throw new IllegalStateException(
+      "sliceByRankProp: ungrouped prop slices must use ungroupedProp")
     val rk = if (withTies) rank() else row_number()
     val cnt = count(lit(1)).over(Window.partitionBy(groupCols: _*))
     withDf(df.withColumn("__rk", rk.over(orderedWindow(keys)))
@@ -289,18 +315,43 @@ final class GraftFrame private (
       .filter(col("__rk") <= floor(col("__n") * prop))
       .drop("__rk", "__n"))
   }
+  /** Ungrouped prop slice without a single-partition window: global
+    * row positions from a range-partitioned sort + zipWithIndex
+    * (Tibble.rowidToColumn), tie-ranks (when `tieKey` is set) from a
+    * window partitioned BY VALUE, and the total row count from a
+    * broadcast 1-row aggregate — no stage ever sees the whole frame
+    * on one task. */
+  private def ungroupedProp(keys: Seq[Column], prop: Double,
+                            withTies: Boolean, tieKey: Option[Column]): GraftFrame = {
+    val order = if (keys.nonEmpty) keys else Seq(lit(1).asc)
+    val rn = Tibble.rowidToColumn(df, order, "__rk0")
+    val ranked = tieKey match {
+      case Some(tk) if withTies =>
+        rn.withColumn("__rk", min(col("__rk0")).over(Window.partitionBy(tk)))
+      case _ => rn.withColumn("__rk", col("__rk0"))
+    }
+    val cnt = df.agg(count(lit(1)).as("__n"))
+    withDf(ranked.crossJoin(broadcast(cnt))
+      .filter(col("__rk") <= floor(col("__n") * prop))
+      .drop("__rk0", "__rk", "__n"))
+  }
   def sliceHeadProp(prop: Double): GraftFrame =
-    sliceByRankProp(sortKeys, prop, withTies = false)
+    if (groups.isEmpty) ungroupedProp(sortKeys, prop, withTies = false, None)
+    else sliceByRankProp(sortKeys, prop, withTies = false)
   def sliceTailProp(prop: Double): GraftFrame = {
     val rev = (if (sortKeys.nonEmpty) sortKeys else Seq(lit(1).asc)).map(reverseOrder)
-    sliceByRankProp(rev, prop, withTies = false)
+    if (groups.isEmpty) ungroupedProp(rev, prop, withTies = false, None)
+    else sliceByRankProp(rev, prop, withTies = false)
   }
   def sliceMinProp(c: Column, prop: Double, withTies: Boolean = true): GraftFrame =
-    sliceByRankProp(Seq(c.asc), prop, withTies)
+    if (groups.isEmpty) ungroupedProp(Seq(c.asc), prop, withTies, Some(c))
+    else sliceByRankProp(Seq(c.asc), prop, withTies)
   def sliceMaxProp(c: Column, prop: Double, withTies: Boolean = true): GraftFrame =
-    sliceByRankProp(Seq(c.desc), prop, withTies)
+    if (groups.isEmpty) ungroupedProp(Seq(c.desc), prop, withTies, Some(c))
+    else sliceByRankProp(Seq(c.desc), prop, withTies)
   def sliceSampleProp(prop: Double, seed: Long = 42L): GraftFrame =
-    sliceByRankProp(Seq(rand(seed).asc), prop, withTies = false)
+    if (groups.isEmpty) ungroupedProp(Seq(rand(seed).asc), prop, withTies = false, None)
+    else sliceByRankProp(Seq(rand(seed).asc), prop, withTies = false)
   /** slice(i1, i2, …): arbitrary 1-based row indices per group along
     * the current arrange order (dplyr slice_.py's base verb). All-
     * negative indices drop those rows. One window per partitioning. */

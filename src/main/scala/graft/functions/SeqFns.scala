@@ -13,10 +13,25 @@ object SeqFns {
   def seqArr(from: Column, to: Column, by: Column): Column = sequence(from, to, by)
   def seqLen(n: Column): Column = sequence(lit(1), n)
   def repArr(x: Column, times: Column): Column = array_repeat(x, times.cast("int"))
-  /** diff: x - lag(x) over an explicit order. */
-  def diffOf(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    x - lag(x, 1).over(base.orderBy(order: _*))
+  /** diff: x - lag(x) over an explicit order, within partitions.
+    * Grouped-only by design: an ungrouped lag would need a
+    * single-partition global window (the whole frame on one task) —
+    * use [[withDiff]] for the ungrouped scale-safe form. */
+  def diffOf(x: Column, order: Seq[Column], part: Seq[Column]): Column = {
+    require(part.nonEmpty,
+      "ungrouped diff collapses the frame onto one task: use SeqFns.withDiff")
+    x - lag(x, 1).over(Window.partitionBy(part: _*).orderBy(order: _*))
+  }
+  /** UNGROUPED diff, scale-safe: range-partitioned sort + zipWithIndex
+    * row ids (graft.core.Tibble.rowidToColumn — never a global window),
+    * then a self-equi-join on rowid-1 to fetch the predecessor. Two
+    * distributed shuffles on a dense long key; no single-task stage. */
+  def withDiff(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame = {
+    val rn = graft.core.Tibble.rowidToColumn(df, order, "__drn")
+    val prev = rn.select((col("__drn") + 1).as("__drn"), x.as("__dprev"))
+    rn.join(prev, Seq("__drn"), "left")
+      .withColumn(as, x - col("__dprev"))
+      .drop("__drn", "__dprev")
   }
   def revArr(x: Column): Column = reverse(x)
   def sortArr(x: Column): Column = array_sort(x)
@@ -34,23 +49,58 @@ object SeqFns {
 
   /** base::rank with ties.method="average" (R's default): rank of the
     * first tied row plus half the tie-group span. One window per
-    * (part, value). */
-  def rankAvg(x: Column, part: Seq[Column] = Nil): Column = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    val w = base.orderBy(x.asc)
+    * (part, value). Grouped-only: an ungrouped rank would be a
+    * single-partition global window — use [[withRankAvg]]. */
+  def rankAvg(x: Column, part: Seq[Column]): Column = {
+    require(part.nonEmpty,
+      "ungrouped rank collapses the frame onto one task: use SeqFns.withRankAvg")
+    val w = Window.partitionBy(part: _*).orderBy(x.asc)
     val ties = Window.partitionBy((part :+ x): _*)
     rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0
   }
-  /** base::rank with ties.method="min" / "first". */
-  def rankMin(x: Column, part: Seq[Column] = Nil): Column = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    rank().over(base.orderBy(x.asc))
+  /** base::rank with ties.method="min" / "first". Grouped-only — use
+    * [[withRankMin]] for the ungrouped scale-safe form. */
+  def rankMin(x: Column, part: Seq[Column]): Column = {
+    require(part.nonEmpty,
+      "ungrouped rank collapses the frame onto one task: use SeqFns.withRankMin")
+    rank().over(Window.partitionBy(part: _*).orderBy(x.asc))
   }
   /** base::order — the permutation index: position of each row when
-    * sorted by `x` (ties broken by `tie`). */
-  def orderOf(x: Column, tie: Seq[Column], part: Seq[Column] = Nil): Column = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    row_number().over(base.orderBy(x.asc +: tie: _*))
+    * sorted by `x` (ties broken by `tie`). Grouped-only — use
+    * [[withOrderIndex]] for the ungrouped scale-safe form. */
+  def orderOf(x: Column, tie: Seq[Column], part: Seq[Column]): Column = {
+    require(part.nonEmpty,
+      "ungrouped order() collapses the frame onto one task: use SeqFns.withOrderIndex")
+    row_number().over(Window.partitionBy(part: _*).orderBy(x.asc +: tie: _*))
+  }
+
+  // ---- ungrouped rank family, scale-safe ---------------------------------
+  // A whole-frame rank needs a total order; the scale-safe way to get
+  // one in Spark is a range-partitioned sort + per-partition offsets
+  // (zipWithIndex) — the same pattern as tibble::rowid_to_column
+  // (core/Tibble.scala). Tie-group stats then come from a window
+  // partitioned BY VALUE (many partitions), never by ().
+
+  /** base::order over the whole frame: global permutation index. */
+  def withOrderIndex(df: DataFrame, x: Column, tie: Seq[Column],
+                     as: String): DataFrame =
+    graft.core.Tibble.rowidToColumn(df, x.asc +: tie, as)
+
+  /** base::rank(ties="min") over the whole frame: rank(v) = min rowid
+    * of v's tie group under the x-ascending total order. */
+  def withRankMin(df: DataFrame, x: Column, as: String): DataFrame =
+    graft.core.Tibble.rowidToColumn(df, Seq(x.asc), "__grn")
+      .withColumn(as, min(col("__grn")).over(Window.partitionBy(x)))
+      .drop("__grn")
+
+  /** base::rank(ties="average") over the whole frame: min-rank plus
+    * half the tie-group span (double, like R). */
+  def withRankAvg(df: DataFrame, x: Column, as: String): DataFrame = {
+    val ties = Window.partitionBy(x)
+    graft.core.Tibble.rowidToColumn(df, Seq(x.asc), "__grn")
+      .withColumn(as,
+        min(col("__grn")).over(ties) + (count(lit(1)).over(ties) - 1) / 2.0)
+      .drop("__grn")
   }
 }
 
@@ -80,10 +130,12 @@ object SetFns {
     bins.join(counts, Seq("bin"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
-  /** which: 1-based positions (by explicit order) where cond holds. */
+  /** which: 1-based positions (by explicit order) where cond holds.
+    * Positions come from a range-partitioned sort + zipWithIndex
+    * (Tibble.rowidToColumn) — not a single-partition global window. */
   def which(df: DataFrame, cond: Column, order: Seq[Column]): DataFrame =
-    df.withColumn("__pos", row_number().over(Window.orderBy(order: _*)))
-      .filter(cond).select(col("__pos").as("pos"))
+    graft.core.Tibble.rowidToColumn(df, order, "__pos")
+      .filter(cond).select(col("__pos").cast("int").as("pos"))
   def whichMin(x: Column, order: Column): Column = min_by(order, x)
   def whichMax(x: Column, order: Column): Column = max_by(order, x)
   /** base::max.col — 1-based index of the row-wise maximum column

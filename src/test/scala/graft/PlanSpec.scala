@@ -99,6 +99,50 @@ class PlanSpec extends SparkTestBase {
       "found a Window with empty partitionSpec over lineitem")
   }
 
+  test("ungrouped rank/which/slice paths plan with NO single-partition window") {
+    import graft.functions.{SeqFns, SetFns}
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val plans = Seq(
+      SeqFns.withRankAvg(part, col("p_size"), "rk"),
+      SeqFns.withRankMin(part, col("p_size"), "rk"),
+      SeqFns.withOrderIndex(part, col("p_size"), Seq(col("p_partkey")), "ord"),
+      SeqFns.withDiff(part, col("p_retailprice"), Seq(col("p_partkey")), "d"),
+      SetFns.which(part, col("p_size") > 40, Seq(col("p_partkey"))),
+      part.graft.sliceMin(col("p_retailprice"), 5, withTies = true).df,
+      part.graft.sliceMax(col("p_retailprice"), 5, withTies = true).df,
+      part.graft.sliceMaxProp(col("p_retailprice"), 0.1, withTies = true).df,
+      part.graft.arrange(col("p_partkey")).sliceHeadProp(0.2).df,
+      part.graft.arrange(col("p_partkey")).sliceTailProp(0.2).df)
+    plans.foreach { q =>
+      val ws = collectPlan(q.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"single-partition Window in:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
+  test("ungrouped Column-form rank/diff fail loudly instead of planning a global window") {
+    import graft.functions.SeqFns
+    intercept[IllegalArgumentException](SeqFns.rankAvg(col("x"), Nil))
+    intercept[IllegalArgumentException](SeqFns.rankMin(col("x"), Nil))
+    intercept[IllegalArgumentException](SeqFns.orderOf(col("x"), Nil, Nil))
+    intercept[IllegalArgumentException](SeqFns.diffOf(col("x"), Seq(col("x")), Nil))
+  }
+
+  test("ungrouped tied sliceMin/Max match the rank-window semantics (incl. ties)") {
+    val df = sqlDf("v" -> Seq(1L, 1L, 2L, 3L, 3L, 3L, 9L))
+    val got = df.graft.sliceMin(col("v"), 2, withTies = true).df
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 1L))
+    val got3 = df.graft.sliceMin(col("v"), 3, withTies = true).df
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got3 == Seq(1L, 1L, 2L))
+    val gmax = df.graft.sliceMax(col("v"), 2, withTies = true).df
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // rank()<=2 under DESC keeps 9 and all three 3s (tied at rank 2)
+    assert(gmax == Seq(3L, 3L, 3L, 9L))
+  }
+
   test("exact dedup aggregates with partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
