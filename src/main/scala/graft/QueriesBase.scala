@@ -254,6 +254,37 @@ object QueriesBase {
           "binom" -> BaseFns.rbinomCol(BaseFns.hashUnif(col("c_custkey"), 44L), n = 20, prob = 0.3))
         .arrange(col("c_custkey")).df),
 
+    // PORTABLE twin of b_random: md5-derived seeded draws DuckDB
+    // recomputes exactly (u is pure dyadic arithmetic — compared
+    // unrounded; the Box–Muller normal is transcendental — 6-digit
+    // libm policy)
+    "b_random_port" -> ((s, d) =>
+      t(s, d, "customer").graft
+        .transmute(
+          "c_custkey" -> col("c_custkey"),
+          "u" -> BaseFns.md5Unif(col("c_custkey"), 42L),
+          "z6" -> round(BaseFns.md5Norm(col("c_custkey"), 42L), 6))
+        .arrange(col("c_custkey")).df),
+
+    // PORTABLE twin of b_bessel: the approximations evaluated on a
+    // fixed probe set spanning both branches of each kernel, frozen as
+    // a VALUES oracle (6-digit rounding; goldens independently checked
+    // against reference tables in FunctionsSpec)
+    "b_bessel_port" -> ((s, d) => {
+      val xs = Seq(0.5, 1.5, 3.0, 7.5, 9.0, 12.0)
+      val base = s.range(1).select(explode(array(xs.map(lit): _*)).as("x"))
+      base.select(col("x"),
+          round(BaseFns.besselJ0(col("x")), 6).as("j0"),
+          round(BaseFns.besselJ1(col("x")), 6).as("j1"),
+          round(BaseFns.besselI0(col("x")), 6).as("i0"),
+          round(BaseFns.besselI1(col("x")), 6).as("i1"),
+          round(BaseFns.besselK0(col("x")), 6).as("k0"),
+          round(BaseFns.besselK1(col("x")), 6).as("k1"),
+          round(BaseFns.besselY0(col("x")), 6).as("y0"),
+          round(BaseFns.besselY1(col("x")), 6).as("y1"))
+        .orderBy(col("x"))
+    }),
+
     // inverse hyperbolics — DuckDB lacks asinh/acosh/atanh, so the
     // oracle uses the ln identities; 4-digit rounding per libm policy
     "b_hyper" -> ((s, d) =>
@@ -588,6 +619,33 @@ object QueriesBase {
         |  CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS INT) AS rk_min,
         |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS ord_idx
         |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+
+    // frozen goldens of the A&S rational approximations at the probe
+    // set (6-digit); FunctionsSpec independently checks the kernels
+    // against published reference values
+    "b_bessel_port" ->
+      """SELECT * FROM (VALUES
+        |  (0.5, 0.93847, 0.242268, 1.063483, 0.257894, 0.924419, 1.656441, -0.444519, -1.471472),
+        |  (1.5, 0.511828, 0.557937, 1.646723, 0.981666, 0.213806, 0.277388, 0.382449, -0.412309),
+        |  (3.0, -0.260052, 0.339059, 4.880793, 3.95337, 0.03474, 0.040156, 0.37685, 0.324674),
+        |  (7.5, 0.26634, 0.135248, 268.161314, 249.584368, 0.000249, 0.000265, 0.117313, -0.259129),
+        |  (9.0, -0.090334, 0.245312, 1093.588388, 1030.914709, 0.000051, 0.000054, 0.249937, 0.104315),
+        |  (12.0, 0.047689, -0.223447, 18948.924787, 18141.349612, 0.000002, 0.000002, -0.225237, -0.057099))
+        |  AS t(x, j0, j1, i0, i1, k0, k1, y0, y1)
+        |ORDER BY x""".stripMargin,
+
+    "b_random_port" ->
+      """WITH k AS (SELECT c_custkey,
+        |    list_sum(list_transform(range(1, 14), i ->
+        |      (strpos('0123456789abcdef', substring(md5('42' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 13 - i))) / 4503599627370496.0 AS u1,
+        |    list_sum(list_transform(range(1, 14), i ->
+        |      (strpos('0123456789abcdef', substring(md5('43' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 13 - i))) / 4503599627370496.0 AS u2
+        |  FROM customer)
+        |SELECT c_custkey, u1 AS u,
+        |  round(sqrt(-2 * ln(1 - u1)) * cos(2 * pi() * u2), 6) AS z6
+        |FROM k ORDER BY c_custkey""".stripMargin,
 
     "b_rank_u" ->
       """SELECT p_partkey,

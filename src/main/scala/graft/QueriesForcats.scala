@@ -101,6 +101,13 @@ object QueriesForcats {
     "f_fct_shuffle" -> ((s, d) =>
       Forcats.fctShuffle(
         Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), "c_mktsegment")
+        .orderBy(col("ord"))),
+
+    // anonymised zero-padded labels in seeded md5 order (the portable
+    // stand-in for forcats' random.shuffle)
+    "f_fct_anon" -> ((s, d) =>
+      Forcats.fctAnon(
+        Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), "c_mktsegment")
         .orderBy(col("ord")))
   )
 
@@ -115,6 +122,14 @@ object QueriesForcats {
     "f_fct_count" ->
       """SELECT c_mktsegment, count(*) AS n FROM customer
         |GROUP BY 1 ORDER BY n DESC, c_mktsegment""".stripMargin,
+
+    "f_fct_anon" ->
+      """WITH lv AS (SELECT DISTINCT c_mktsegment AS f FROM customer),
+        |n AS (SELECT count(*) AS n FROM lv),
+        |rk AS (SELECT f, row_number() OVER (ORDER BY md5('42' || f), f) AS rk FROM lv)
+        |SELECT lpad(CAST(rk - 1 AS VARCHAR), CAST(len(CAST(n.n AS VARCHAR)) AS INT), '0') AS c_mktsegment,
+        |  CAST(rk AS INT) AS ord
+        |FROM rk CROSS JOIN n ORDER BY ord""".stripMargin,
 
     "f_fct_infreq" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY count(*) DESC, p_brand) AS INT) AS ord

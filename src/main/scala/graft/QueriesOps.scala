@@ -329,6 +329,13 @@ object QueriesOps {
       EventStreams.windowedAgg(events(s, d), "1 hour")
         .orderBy(col("wstart"), col("event_type"))),
 
+    // sliding windows (2h length / 1h slide): every event contributes
+    // to exactly two hour-aligned windows; the oracle replays the
+    // window assignment by unnesting both starts per event
+    "s_window_slide" -> ((s, d) =>
+      EventStreams.windowedAgg(events(s, d), "2 hours", slide = Some("1 hour"))
+        .orderBy(col("wstart"), col("event_type"))),
+
     // batch equivalent of streaming dedup: duplicate the stream, drop
     // duplicates by key (identical full rows, so the kept row is
     // deterministic), count per user
@@ -916,6 +923,16 @@ object QueriesOps {
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // 2h/1h sliding windows: an event at t is in the windows starting
+    // at trunc_hour(t) and trunc_hour(t)-1h (hour-aligned, len 2h)
+    "s_window_slide" ->
+      """SELECT wstart, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM (SELECT unnest([date_trunc('hour', ts),
+        |        date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+        |      event_type, value FROM events)
+        |GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
 
     "s_dedup" ->
       """SELECT user_id, count(*) AS n_events FROM (

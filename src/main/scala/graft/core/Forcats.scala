@@ -142,12 +142,16 @@ object Forcats {
     a.select(col(f)).union(b.select(col(f))).distinct()
       .withColumn("ord", row_number().over(Window.orderBy(col(f))))
 
-  /** fct_anon: replace levels with anonymous integer codes. */
-  def fctAnon(df: DataFrame, f: String): DataFrame = {
-    val codes = df.select(col(f)).distinct()
-      .withColumn("__code", row_number().over(Window.orderBy(col(f))))
-    df.join(broadcast(codes), Seq(f), "left")
-      .withColumn(f, col("__code").cast("string")).drop("__code")
+  /** fct_anon applied to a data column: replace each VALUE with its
+    * anonymous label — the level→label mapping is [[anonLabel]] over
+    * the distinct level table, broadcast back onto the data (the level
+    * table is tiny; the fact side never shuffles). */
+  def fctAnonValues(df: DataFrame, f: String, prefix: String = "",
+                    seed: Long = 42L): DataFrame = {
+    val mapping = df.select(col(f)).distinct()
+      .withColumn("__anon", anonLabel(f, prefix, seed))
+    df.join(broadcast(mapping), Seq(f), "left")
+      .withColumn(f, col("__anon")).drop("__anon")
   }
 
   /** fct_shift / lvls_reorder: rotate a level table by n — positive n
@@ -191,6 +195,33 @@ object Forcats {
   def fctShuffle(levels: DataFrame, f: String, seed: Long = 42L): DataFrame =
     levels.withColumn("ord",
       row_number().over(Window.orderBy(md5(concat(lit(seed.toString), col(f))), col(f))))
+
+  /** fct_anon: anonymise levels — every level becomes a zero-padded
+    * number (width = digits of the level count, forcats' rjust rule),
+    * assigned in seeded pseudo-random order. The reference
+    * (api/forcats.py:679) uses random.shuffle; here the permutation is
+    * the md5(seed||level) rank — same device as [[fctShuffle]] — so any
+    * SQL engine reproduces the identical anonymisation. Returns the
+    * new level table (f = anon label, ord = numeric order). Windows
+    * here are over the (small) level table only, like the rest of the
+    * level-table verbs. */
+  def fctAnon(levels: DataFrame, f: String, prefix: String = "",
+              seed: Long = 42L): DataFrame =
+    levels.withColumn("__lab", anonLabel(f, prefix, seed))
+      .withColumn("ord", row_number().over(
+        Window.orderBy(md5(concat(lit(seed.toString), col(f))), col(f))))
+      .select(col("__lab").as(f), col("ord"))
+
+  /** The seeded anonymous label for a level column: zero-padded
+    * (md5-permutation rank − 1), width = digits of the level count —
+    * forcats' rjust rule. Windows span the level table only. */
+  private def anonLabel(f: String, prefix: String, seed: Long): Column = {
+    val rk = row_number().over(
+      Window.orderBy(md5(concat(lit(seed.toString), col(f))), col(f)))
+    val n = count(lit(1)).over(Window.partitionBy())
+    concat(lit(prefix), call_function("lpad",
+      (rk - 1).cast("string"), length(n.cast("string")), lit("0")))
+  }
 
   /** fct_relabel: apply a column function to the level names, merging
     * levels that map to the same label (keep the smallest ord). */

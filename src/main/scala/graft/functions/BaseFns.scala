@@ -85,6 +85,25 @@ object BaseFns {
   def hashUnif(key: Column, seed: Long): Column =
     xxhash64(key, lit(seed)).cast("double") / lit(math.pow(2.0, 64)) + lit(0.5)
 
+  /** ENGINE-PORTABLE seeded uniform in [0,1): the first 13 hex digits
+    * (52 bits) of md5(seed||key), scaled by 2^-52. Every step is exact
+    * integer/dyadic arithmetic, so any engine with md5 reproduces the
+    * identical doubles ([[hashUnif]] is cheaper but xxhash64 is
+    * Spark-specific; `rand(seed)` is engine-PRNG-specific). */
+  def md5Unif(key: Column, seed: Long): Column =
+    conv(substring(md5(concat(lit(seed.toString), key.cast("string"))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** Engine-portable seeded standard normal: Box–Muller over two
+    * [[md5Unif]] draws (seeds `seed` and `seed+1`). ln/cos/sqrt are
+    * transcendental — follow the libm policy (round to ≤6 digits) when
+    * hash-comparing across engines. */
+  def md5Norm(key: Column, seed: Long): Column = {
+    val u1 = md5Unif(key, seed)
+    val u2 = md5Unif(key, seed + 1)
+    sqrt(lit(-2.0) * log(lit(1.0) - u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
   /** Seeded Poisson draw via inverse CDF over a caller-supplied uniform
     * (use [[hashUnif]] — it must be a deterministic expression; see
     * there for why a raw `rand` breaks the chain). λ is fixed at plan

@@ -267,31 +267,49 @@ object Dedup {
     * component id among itself and its neighbors until fixpoint).
     * Converges in O(diameter) rounds — near-dup graphs are unions of
     * small cliques, so a handful of iterations; each round is one
-    * shuffle join + aggregate, localCheckpointed to keep lineage flat.
+    * shuffle join + aggregate, checkpointed to keep lineage flat.
     * The driver-side loop-with-count is inherent to iterative graph
     * algorithms (same structure GraphX uses), not a per-row action.
+    *
+    * Convergence is detected from a per-row change FLAG computed inside
+    * the same update join and counted on the already-materialized
+    * checkpoint — no extra join per iteration (the old shape re-joined
+    * updated⋈labels, a whole extra shuffle each round).
+    *
+    * Checkpointing: when the session has a reliable checkpoint dir
+    * (`sc.setCheckpointDir`, HDFS/S3 in production), use a real
+    * `checkpoint()` — executor loss mid-iteration recovers from storage.
+    * Otherwise fall back to `localCheckpoint(true)`, which pins blocks
+    * in executor memory and cannot survive executor loss: fine for
+    * local mode, NOT what you want for a 100 TB run. Set a checkpoint
+    * dir on a cluster.
+    *
     * Returns (doc_id, cluster_id = min doc_id in the component); docs
     * in no pair keep themselves as singleton clusters via the caller's
     * left join. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
+    val sc = pairs.sparkSession.sparkContext
+    def cp(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val edges = cp(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+      .distinct())
+    var labels = cp(edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nc")).as("mn"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val updated = cp(labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("mn"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
-      changed = updated.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = updated
+          least(col("cluster"), coalesce(col("mn"), col("cluster"))).as("cluster"),
+          (coalesce(col("mn"), col("cluster")) < col("cluster")).as("__chg")))
+      // scan of the materialized checkpoint, no join
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.drop("__chg")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))

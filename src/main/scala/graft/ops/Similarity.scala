@@ -187,9 +187,25 @@ object Similarity {
     *
     * Scale shape: centroid pick = TakeOrdered over md5(id) (no full
     * sort); assignment = broadcast(nLists) cross join + partial-agg
-    * argmin — ONE shuffle on the vector id. */
+    * argmin — ONE shuffle on the vector id.
+    *
+    * Centroid-broadcast bound: the broadcast table is nLists × (dims
+    * doubles + id), i.e. ~nLists·dims·8 bytes — 4096 lists × 1536 dims
+    * ≈ 50 MB, inside Spark's safe broadcast envelope; 65536 × 1536
+    * ≈ 800 MB is NOT. Beyond ~10 MB·executor-count of comfort, either
+    * raise `spark.sql.autoBroadcastJoinThreshold`-class memory headroom
+    * deliberately, or shard the assignment: range-partition the corpus,
+    * join against a bucketed centroid table, and take the per-vector
+    * argmin in a second partial agg (IVF-HNSW-style two-level
+    * quantizers also cut nLists itself). The billion-vector sweet spot
+    * (nLists ≈ √N ≈ 30k at 1e9 vectors, dims ≤ 768) stays under
+    * ~200 MB — workable but worth the deliberate-headroom check above.
+    * Guarded here (loudly) at 65536 lists. */
   def ivfIndexDeterministic(corpus: DataFrame, id: String, vec: String,
                             nLists: Int): (DataFrame, DataFrame) = {
+    require(nLists <= 65536,
+      s"ivfIndexDeterministic: nLists=$nLists would broadcast a centroid table " +
+        "past the safe envelope — shard the assignment join (see scaladoc)")
     import org.apache.spark.sql.expressions.Window
     val centroids = corpus
       .select(col(id), col(vec).cast("array<double>").as("centroid"))

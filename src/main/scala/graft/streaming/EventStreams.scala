@@ -11,13 +11,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   // ---- windowed aggregation ---------------------------------------------
-  /** Tumbling-window aggregate; works identically on a batch or
-    * streaming input frame (pass a readStream frame + watermark for
-    * streaming). */
+  /** Tumbling- or sliding-window aggregate; works identically on a
+    * batch or streaming input frame (pass a readStream frame +
+    * watermark for streaming). With `slide` set (< windowLen), each
+    * event lands in windowLen/slide overlapping windows — Spark's
+    * `window()` explodes the assignments map-side, so the shuffle
+    * carries (window,type)-keyed partial aggregates, not replicated
+    * raw rows. */
   def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
-                  watermark: Option[String] = None): DataFrame = {
+                  watermark: Option[String] = None,
+                  slide: Option[String] = None): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
-    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+    val w = slide.fold(window(col("ts"), windowLen))(
+      sl => window(col("ts"), windowLen, sl))
+    src.groupBy(w.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,6)")).cast("double").as("total"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total"))

@@ -42,6 +42,31 @@ class OpsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(5L, 5L), Seq(6L, 5L)))
   }
 
+  test("dedupClusters converges on a long path graph (diameter ≫ clique size)") {
+    // path 0-1-2-…-12: min-label propagation moves label 0 one hop per
+    // iteration, so this exercises the many-iteration convergence loop
+    // (and its fused change-count) rather than the 2-round clique case
+    val pairs = sqlDf("a" -> (0L until 12L), "b" -> (1L to 12L))
+    val out = Dedup.dedupClusters(pairs, maxIter = 20).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == (0L to 12L).map(i => (i, 0L)))
+  }
+
+  test("dedupClusters uses a reliable checkpoint when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = sqlDf("a" -> Seq(1L, 2L), "b" -> Seq(2L, 3L))
+      val out = Dedup.dedupClusters(pairs).orderBy("doc_id")
+      assertRows(out, Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)))
+      // the reliable path actually wrote RDD checkpoint files
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no checkpoint files written")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("simhash near-dup respects its hamming radius guarantee") {
     val out = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 3)
     val pairs = out.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -148,6 +173,23 @@ class OpsSpec extends SparkTestBase {
         .collect()
     }
     assert(e.getMessage.contains("cap") || e.getCause != null)
+  }
+
+  test("deterministic IVF stands up 4096 lists (documented broadcast bound)") {
+    // 5000 synthetic 4-dim vectors; 4096 centroids broadcast ≈ 130 KB —
+    // exercises the centroid table at production list counts
+    val corpus = spark.range(5000).select(col("id").as("vec_id"),
+      array(col("id") % 97, col("id") % 89, col("id") % 83, col("id") % 79)
+        .cast("array<double>").as("embedding"))
+    val (assigned, centroids) =
+      Similarity.ivfIndexDeterministic(corpus, "vec_id", "embedding", nLists = 4096)
+    assert(centroids.count() == 4096L)
+    // every vector lands in exactly one list, all lists in range
+    assert(assigned.count() == 5000L)
+    assert(assigned.filter(col("list_id") < 0 || col("list_id") >= 4096).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexDeterministic(corpus, "vec_id", "embedding", nLists = 100000)
+    }
   }
 
   test("IVF top-k finds an exact-match query vector through its probed list") {
