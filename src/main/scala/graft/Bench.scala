@@ -47,6 +47,55 @@ object Bench {
     cache.getPath
   }
 
+  /** sf1-rehearsal subset: the analytical headliners plus the heavy
+    * pipeline operators whose scale behavior matters most. */
+  val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
+    "x_dedup_minhash", "x_range_join", "x_par_dedup")
+
+  /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
+    * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
+    * doc_id + i·1e8, so join fan-outs stay exactly sf1-shaped), dims
+    * copied as-is, and every document line prefixed with a replica tag
+    * so the 10× corpus is genuinely distinct content — otherwise the
+    * dedup queries would measure a pathological 90%-duplicate corpus
+    * instead of scale-up. One-time build, cached and excluded from
+    * timings like the multi-rowgroup copy. */
+  private def synthSf1(spark: SparkSession, benchDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val cache = new java.io.File("target/benchcache/sf1synth")
+    val ok = new java.io.File(cache, "_OK")
+    val marker = s"from:$benchDir:v1"
+    if (ok.exists() &&
+        new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
+      return cache.getPath
+    val K = 100000000L
+    val shiftCols = Set("l_orderkey", "o_orderkey", "o_custkey", "c_custkey", "doc_id")
+    def replicate(tname: String, parts: Int): Unit = {
+      val src = spark.read.parquet(s"$benchDir/$tname.parquet")
+      val replicas = (0 until 10).map { i =>
+        val shifted = src.columns.foldLeft(src) { (d, c) =>
+          if (shiftCols.contains(c)) d.withColumn(c, col(c) + lit(i * K)) else d
+        }
+        if (tname == "documents" && i > 0)
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(?m)^", s"r$i "))
+        else shifted
+      }
+      replicas.reduce(_.unionByName(_)).repartition(parts)
+        .write.mode("overwrite").parquet(s"${cache.getPath}/$tname.parquet")
+    }
+    replicate("lineitem", 32)
+    replicate("orders", 32)
+    replicate("customer", 8)
+    replicate("documents", 16)
+    Seq("nation", "region").foreach { tname =>
+      spark.read.parquet(s"$benchDir/$tname.parquet")
+        .write.mode("overwrite").parquet(s"${cache.getPath}/$tname.parquet")
+    }
+    java.nio.file.Files.write(ok.toPath, marker.getBytes("UTF-8"))
+    cache.getPath
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -66,23 +115,38 @@ object Bench {
     // measure the queries, not JVM startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$benchDir/region.parquet").count()
-    val results = headline.filter(qs.contains).map { name =>
+    def time1(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
       // A failed query is reported in a separate "failed" array and
       // omitted from the timings map, so consumers summing/min-ing the
       // map can't mistake a sentinel for a timing.
-      val elapsed: Option[Double] =
-        try { qs(name)(spark, benchDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
-      name -> elapsed
+      try { qs(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+    }
+    // two timed runs per query, report the min — host noise between
+    // identical runs has a documented ±40% band and single-shot totals
+    // kept masking real signal round-over-round
+    val results = headline.filter(qs.contains).map { name =>
+      val runs = Seq(time1(name, benchDir), time1(name, benchDir)).flatten
+      name -> runs.reduceOption((a, b) => math.min(a, b))
     }
     val qJson = results.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val failedJson = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy"}""")
+    // sf1 rehearsal: only when benching the standard sf0.1 dir (the
+    // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
+    val sf1Json =
+      if (new java.io.File(sfDir).getName == "sf0.1" &&
+          sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+        val sf1Dir = synthSf1(spark, benchDir)
+        val rows = sf1Queries.filter(qs.contains).map(n => n -> time1(n, sf1Dir))
+        rows.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
+          .mkString(""","sf1_queries":{""", ",", """},"sf1_synth":"10x-key-shifted-replicas"""")
+      } else ""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2"$sf1Json}""")
     spark.stop()
   }
 }

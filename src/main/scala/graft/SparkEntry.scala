@@ -111,6 +111,17 @@ object SparkEntry {
         .sliceHead(100).df
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // tidyselect where(fn) with a VALUE predicate: all candidate
+    // aggregates evaluate in one 1-row scan during schema resolution
+    "d_select_where" -> ((s, d) =>
+      li(s, d).graft
+        .select(TidySelect.cols("l_orderkey", "l_linenumber") |
+          TidySelect.whereAgg(li(s, d), c => max(c) <= lit(50),
+            dt => dt.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        .arrange(col("l_orderkey"), col("l_linenumber"))
+        .sliceHead(100).df
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "d_mutate" -> ((s, d) =>
       li(s, d).graft
         .mutate(
@@ -167,6 +178,12 @@ object SparkEntry {
 
     "d_select" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    // the whereAgg predicate (numeric ∧ max<=50) resolves to
+    // l_linenumber/l_quantity/l_discount/l_tax on this data
+    "d_select_where" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     "d_mutate" ->

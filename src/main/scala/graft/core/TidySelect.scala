@@ -1,5 +1,7 @@
 package graft.core
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Tidyselect column-selector algebra (reference semantics:
@@ -51,6 +53,25 @@ object Selector {
       schema.fieldNames.toSeq.filterNot(drop)
     }
   }
+  private[core] final case class ValuePred(df: DataFrame, p: Column => Column,
+                                           dtypeGuard: DataType => Boolean) extends Selector {
+    def resolve(schema: StructType): Seq[String] = {
+      val cand = schema.fields.toSeq
+        .filter(f => dtypeGuard(f.dataType) && df.columns.contains(f.name))
+        .map(_.name)
+        // drop columns whose predicate cannot even analyze (type
+        // mismatch) — mirrors tidyselect where(fn) returning falsy
+        .filter(n => scala.util.Try(df.select(p(col(n)).cast("boolean"))).isSuccess)
+      if (cand.isEmpty) Nil
+      else {
+        val aggs = cand.map(n => p(col(n)).cast("boolean").as(n))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cand.zipWithIndex.collect {
+          case (n, i) if !row.isNullAt(i) && row.getBoolean(i) => n
+        }
+      }
+    }
+  }
   private[core] case object LastCol extends Selector {
     def resolve(schema: StructType): Seq[String] = schema.fieldNames.toSeq.takeRight(1)
   }
@@ -80,4 +101,16 @@ object TidySelect {
   def lastCol: Selector = LastCol
   def range(from: String, to: String): Selector = Range(from, to)
   def where(p: DataType => Boolean): Selector = TypePred(p)
+  /** tidyselect `where(fn)` with an arbitrary VALUE predicate
+    * (reference tidyselect.py:36–41 applies a function to each
+    * column's values and keeps truthy columns). `p` maps a column to a
+    * Boolean AGGREGATE (e.g. `c => max(c) <= lit(50)`); every
+    * candidate predicate evaluates in ONE 1-row aggregate scan of
+    * `df`, and only the n booleans reach the driver — same documented
+    * one-scan discovery cost as pivot_wider's name discovery (schema
+    * resolution is inherently driver-side). `dtypeGuard` pre-filters
+    * candidates by type, like composing with where(is.numeric). */
+  def whereAgg(df: DataFrame, p: Column => Column,
+               dtypeGuard: DataType => Boolean = _ => true): Selector =
+    ValuePred(df, p, dtypeGuard)
 }

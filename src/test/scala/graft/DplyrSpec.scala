@@ -16,6 +16,19 @@ class DplyrSpec extends SparkTestBase {
     "g" -> Seq("a", "a", "b", "b", "b"),
     "x" -> Seq(1, 2, 3, 4, 5))
 
+  test("tidyselect whereAgg selects by a value predicate in one scan") {
+    val df = sqlDf("name" -> Seq("x", "y"), "small" -> Seq(1, 2), "big" -> Seq(100, 200))
+    val sel = (TidySelect.cols("name") |
+      TidySelect.whereAgg(df, c => max(c) <= lit(50),
+        dt => dt.isInstanceOf[NumericType]))
+      .resolve(df.schema)
+    assert(sel == Seq("name", "small"))
+    // composition with Not, and the empty-candidate path
+    val none = TidySelect.whereAgg(df, c => max(c) < lit(0),
+      dt => dt.isInstanceOf[NumericType]).resolve(df.schema)
+    assert(none.isEmpty)
+  }
+
   test("grouped mutate rewrites aggregates to group windows") {
     val out = gdf.graft.groupBy("g")
       .mutate("total" -> sum(col("x")), "share" -> (col("x") / sum(col("x"))))
