@@ -228,48 +228,44 @@ object QueriesBase {
           "any_huge" -> BaseFns.anyOf(col("o_totalprice") > 500000))
         .ungroup.arrange(col("o_orderstatus")).df),
 
-    // Bessel approximations + seeded draws: engine-specific (no DuckDB
-    // counterpart / different RNG) — rows-only here, golden values in
-    // FunctionsSpec
+    // Bessel approximations over the full table: DuckDB has no bessel
+    // functions, but x = p_size/10 has only 50 distinct values, so the
+    // oracle joins a frozen 50-row golden table on p_size (6-digit
+    // rounding; kernels independently checked against published
+    // reference values in FunctionsSpec)
     "b_bessel" -> ((s, d) =>
       t(s, d, "part").graft
         .transmute(
           "p_partkey" -> col("p_partkey"),
+          "p_size" -> col("p_size"),
           "x" -> (col("p_size") / lit(10.0)),
-          "j0" -> BaseFns.besselJ0(col("p_size") / lit(10.0)),
-          "j1" -> BaseFns.besselJ1(col("p_size") / lit(10.0)),
-          "i0" -> BaseFns.besselI0(col("p_size") / lit(10.0)),
-          "i1" -> BaseFns.besselI1(col("p_size") / lit(10.0)),
-          "k0" -> BaseFns.besselK0(col("p_size") / lit(10.0)),
-          "y0" -> BaseFns.besselY0(col("p_size") / lit(10.0)))
+          "j0" -> round(BaseFns.besselJ0(col("p_size") / lit(10.0)), 6),
+          "j1" -> round(BaseFns.besselJ1(col("p_size") / lit(10.0)), 6),
+          "i0" -> round(BaseFns.besselI0(col("p_size") / lit(10.0)), 6),
+          "i1" -> round(BaseFns.besselI1(col("p_size") / lit(10.0)), 6),
+          "k0" -> round(BaseFns.besselK0(col("p_size") / lit(10.0)), 6),
+          "y0" -> round(BaseFns.besselY0(col("p_size") / lit(10.0)), 6))
         .arrange(col("p_partkey")).df),
 
+    // Seeded draws, ENGINE-PORTABLE end to end: md5-derived uniforms
+    // (exact dyadic arithmetic compared unrounded), Box–Muller normal
+    // under the 6-digit libm policy, and Poisson/binomial through the
+    // inverse-CDF when-chain whose exact double thresholds the oracle
+    // SQL re-emits (same literals → same branch per row). The
+    // engine-specific rand/randn forms (runifCol/rnormCol/hashUnif)
+    // stay covered by FunctionsSpec golden tests.
     "b_random" -> ((s, d) =>
       t(s, d, "customer").graft
         .transmute(
           "c_custkey" -> col("c_custkey"),
-          "u" -> BaseFns.runifCol(42L, 0.0, 10.0),
-          "z" -> BaseFns.rnormCol(42L),
-          "pois" -> BaseFns.rpoisCol(BaseFns.hashUnif(col("c_custkey"), 43L), lambda = 4.0),
-          "binom" -> BaseFns.rbinomCol(BaseFns.hashUnif(col("c_custkey"), 44L), n = 20, prob = 0.3))
+          "u10" -> (BaseFns.md5Unif(col("c_custkey"), 42L) * 10.0),
+          "z6" -> round(BaseFns.md5Norm(col("c_custkey"), 42L), 6),
+          "pois" -> BaseFns.rpoisCol(BaseFns.md5Unif(col("c_custkey"), 44L), lambda = 4.0),
+          "binom" -> BaseFns.rbinomCol(BaseFns.md5Unif(col("c_custkey"), 45L), n = 20, prob = 0.3))
         .arrange(col("c_custkey")).df),
 
-    // PORTABLE twin of b_random: md5-derived seeded draws DuckDB
-    // recomputes exactly (u is pure dyadic arithmetic — compared
-    // unrounded; the Box–Muller normal is transcendental — 6-digit
-    // libm policy)
-    "b_random_port" -> ((s, d) =>
-      t(s, d, "customer").graft
-        .transmute(
-          "c_custkey" -> col("c_custkey"),
-          "u" -> BaseFns.md5Unif(col("c_custkey"), 42L),
-          "z6" -> round(BaseFns.md5Norm(col("c_custkey"), 42L), 6))
-        .arrange(col("c_custkey")).df),
-
-    // PORTABLE twin of b_bessel: the approximations evaluated on a
-    // fixed probe set spanning both branches of each kernel, frozen as
-    // a VALUES oracle (6-digit rounding; goldens independently checked
-    // against reference tables in FunctionsSpec)
+    // Compact probe-set twin of b_bessel (both branches of each
+    // kernel at 6 fixed x values), frozen as a VALUES oracle
     "b_bessel_port" -> ((s, d) => {
       val xs = Seq(0.5, 1.5, 3.0, 7.5, 9.0, 12.0)
       val base = s.range(1).select(explode(array(xs.map(lit): _*)).as("x"))
@@ -620,6 +616,67 @@ object QueriesBase {
         |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS INT) AS ord_idx
         |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
 
+    // x = p_size/10 has 50 distinct values, so the full-table bessel
+    // query is oracle-checked by joining a frozen 50-row golden table
+    // on p_size (6-digit; kernels independently checked against
+    // published reference values in FunctionsSpec)
+    "b_bessel" ->
+      """WITH g(s, j0, j1, i0, i1, k0, y0) AS (VALUES
+        |  (1, 0.997502, 0.049938, 1.002502, 0.050063, 2.427069, -1.534239),
+        |  (2, 0.990025, 0.099501, 1.010025, 0.100501, 1.752704, -1.081105),
+        |  (3, 0.977626, 0.148319, 1.022627, 0.151694, 1.37246, -0.807274),
+        |  (4, 0.960398, 0.196027, 1.040402, 0.204027, 1.114529, -0.606025),
+        |  (5, 0.93847, 0.242268, 1.063483, 0.257894, 0.924419, -0.444519),
+        |  (6, 0.912005, 0.286701, 1.092045, 0.313704, 0.777522, -0.30851),
+        |  (7, 0.881201, 0.328996, 1.126303, 0.37188, 0.66052, -0.190665),
+        |  (8, 0.846287, 0.368842, 1.166515, 0.432865, 0.565347, -0.086802),
+        |  (9, 0.807524, 0.40595, 1.212985, 0.497126, 0.48673, 0.005628),
+        |  (10, 0.765198, 0.440051, 1.266066, 0.565159, 0.421024, 0.088257),
+        |  (11, 0.719622, 0.470902, 1.32616, 0.637489, 0.365602, 0.162163),
+        |  (12, 0.671133, 0.498289, 1.393726, 0.714678, 0.318508, 0.228084),
+        |  (13, 0.620086, 0.522023, 1.469278, 0.797329, 0.278248, 0.286535),
+        |  (14, 0.566855, 0.541948, 1.553395, 0.886092, 0.243655, 0.337895),
+        |  (15, 0.511828, 0.557937, 1.646723, 0.981666, 0.213806, 0.382449),
+        |  (16, 0.455402, 0.569896, 1.749981, 1.084811, 0.187955, 0.420427),
+        |  (17, 0.397985, 0.577765, 1.863965, 1.196347, 0.165496, 0.452027),
+        |  (18, 0.339986, 0.581517, 1.989559, 1.317167, 0.145931, 0.477432),
+        |  (19, 0.281819, 0.581157, 2.12774, 1.448244, 0.128846, 0.49682),
+        |  (20, 0.223891, 0.576725, 2.279585, 1.590637, 0.113894, 0.510376),
+        |  (21, 0.166607, 0.568292, 2.446283, 1.7455, 0.100784, 0.518294),
+        |  (22, 0.110362, 0.555963, 2.629143, 1.914095, 0.089269, 0.520784),
+        |  (23, 0.05554, 0.539873, 2.829606, 2.0978, 0.07914, 0.518075),
+        |  (24, 0.002508, 0.520185, 3.049257, 2.298124, 0.070217, 0.510415),
+        |  (25, -0.048384, 0.497094, 3.289839, 2.516716, 0.062348, 0.49807),
+        |  (26, -0.096805, 0.470818, 3.553269, 2.755384, 0.055398, 0.481331),
+        |  (27, -0.142449, 0.441601, 3.841651, 3.016108, 0.049255, 0.460504),
+        |  (28, -0.185036, 0.409709, 4.157298, 3.301056, 0.04382, 0.435916),
+        |  (29, -0.224312, 0.375427, 4.502749, 3.612607, 0.039006, 0.407912),
+        |  (30, -0.260052, 0.339059, 4.880793, 3.95337, 0.03474, 0.37685),
+        |  (31, -0.292064, 0.300921, 5.294491, 4.326206, 0.030955, 0.343103),
+        |  (32, -0.320188, 0.261343, 5.747207, 4.734254, 0.027595, 0.307053),
+        |  (33, -0.344296, 0.220663, 6.24263, 5.180959, 0.024611, 0.269092),
+        |  (34, -0.364296, 0.179226, 6.784813, 5.670102, 0.021958, 0.229615),
+        |  (35, -0.380128, 0.137378, 7.378203, 6.205835, 0.019599, 0.189022),
+        |  (36, -0.391769, 0.095466, 8.027685, 6.792715, 0.0175, 0.14771),
+        |  (37, -0.39923, 0.053834, 8.738618, 7.435746, 0.015631, 0.106074),
+        |  (38, -0.402556, 0.012821, 9.516888, 8.140425, 0.013966, 0.064503),
+        |  (39, -0.401826, -0.027244, 10.368958, 8.912788, 0.012482, 0.023376),
+        |  (40, -0.39715, -0.066043, 11.301922, 9.759465, 0.01116, -0.016941),
+        |  (41, -0.38867, -0.103273, 12.32357, 10.687742, 0.00998, -0.056095),
+        |  (42, -0.376557, -0.138647, 13.442457, 11.70562, 0.008927, -0.093751),
+        |  (43, -0.361011, -0.171897, 14.667973, 12.821893, 0.007988, -0.129596),
+        |  (44, -0.342257, -0.202776, 16.010436, 14.046221, 0.007149, -0.163336),
+        |  (45, -0.320543, -0.23106, 17.481172, 15.389223, 0.0064, -0.194705),
+        |  (46, -0.296138, -0.256553, 19.092623, 16.862565, 0.00573, -0.22346),
+        |  (47, -0.269331, -0.279081, 20.858455, 18.479071, 0.005132, -0.249388),
+        |  (48, -0.240425, -0.2985, 22.793678, 20.252835, 0.004597, -0.272304),
+        |  (49, -0.209738, -0.314695, 24.914779, 22.199348, 0.004119, -0.292055),
+        |  (50, -0.177597, -0.327579, 27.239872, 24.335642, 0.003691, -0.308518))
+        |SELECT p_partkey, p_size, p_size / 10.0 AS x,
+        |  g.j0, g.j1, g.i0, g.i1, g.k0, g.y0
+        |FROM part JOIN g ON g.s = p_size
+        |ORDER BY p_partkey""".stripMargin,
+
     // frozen goldens of the A&S rational approximations at the probe
     // set (6-digit); FunctionsSpec independently checks the kernels
     // against published reference values
@@ -634,18 +691,31 @@ object QueriesBase {
         |  AS t(x, j0, j1, i0, i1, k0, k1, y0, y1)
         |ORDER BY x""".stripMargin,
 
-    "b_random_port" ->
-      """WITH k AS (SELECT c_custkey,
-        |    list_sum(list_transform(range(1, 14), i ->
-        |      (strpos('0123456789abcdef', substring(md5('42' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |        * pow(16, 13 - i))) / 4503599627370496.0 AS u1,
-        |    list_sum(list_transform(range(1, 14), i ->
-        |      (strpos('0123456789abcdef', substring(md5('43' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
-        |        * pow(16, 13 - i))) / 4503599627370496.0 AS u2
-        |  FROM customer)
-        |SELECT c_custkey, u1 AS u,
-        |  round(sqrt(-2 * ln(1 - u1)) * cos(2 * pi() * u2), 6) AS z6
-        |FROM k ORDER BY c_custkey""".stripMargin,
+    // the pois/binom CASE chains are GENERATED from the same driver-side
+    // CDF tables the Spark when-chain uses (shortest-round-trip double
+    // literals), so both engines compare the same uniform against the
+    // same thresholds — bit-identical branches
+    "b_random" -> {
+      def u(seed: String): String =
+        s"""list_sum(list_transform(range(1, 14), i ->
+           |      (strpos('0123456789abcdef', substring(md5('$seed' || CAST(c_custkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+           |        * pow(16, 13 - i))) / 4503599627370496.0""".stripMargin
+      def chain(uExpr: String, cdfs: Seq[(Double, Int)], cap: Int): String =
+        cdfs.map { case (c, k) =>
+          s"WHEN $uExpr < ${java.lang.Double.toString(c)} THEN $k"
+        }.mkString("CASE ", " ", s" ELSE ${math.min(cdfs.last._2 + 1, cap)} END")
+      s"""WITH k AS (SELECT c_custkey,
+         |    ${u("42")} AS u1,
+         |    ${u("43")} AS u2,
+         |    ${u("44")} AS up,
+         |    ${u("45")} AS ub
+         |  FROM customer)
+         |SELECT c_custkey, u1 * 10.0 AS u10,
+         |  round(sqrt(-2 * ln(1 - u1)) * cos(2 * pi() * u2), 6) AS z6,
+         |  ${chain("up", BaseFns.poisCdf(4.0), Int.MaxValue)} AS pois,
+         |  ${chain("ub", BaseFns.binomCdf(20, 0.3), 20)} AS binom
+         |FROM k ORDER BY c_custkey""".stripMargin
+    },
 
     "b_rank_u" ->
       """SELECT p_partkey,

@@ -92,6 +92,16 @@ object QueriesDplyr {
         .mutate("group_id" -> (WindowFns.denseRank(Seq(col("c_mktsegment"))) - lit(1)))
         .arrange(col("c_mktsegment")).df),
 
+    // group_rows under a declared total order: per-group sorted row
+    // positions via the scale-safe rowid path (SURVEY §1 relaxation);
+    // the index list is serialized for the driver's scalar hash compare
+    "d_group_rows" -> ((s, d) =>
+      t(s, d, "nation").graft
+        .groupBy("n_regionkey")
+        .groupRows(Seq(col("n_nationkey")))
+        .withColumn("rows", concat_ws(",", col("rows")))
+        .orderBy(col("n_regionkey"))),
+
     "d_count" -> ((s, d) =>
       t(s, d, "orders").graft
         .countBy("o_orderpriority")
@@ -562,6 +572,14 @@ object QueriesDplyr {
       """SELECT c_mktsegment, count(*) AS size,
         |  CAST(row_number() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS group_id
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "d_group_rows" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(rn)), ',') AS rows,
+        |  count(*) AS size FROM (
+        |  SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rn
+        |  FROM nation)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "d_count" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders

@@ -49,6 +49,25 @@ final class GraftFrame private (
   def nGroups: Long = if (groups.isEmpty) 1L else groupKeys.count()
   def groupSize: DataFrame =
     df.groupBy(groupCols: _*).agg(count(lit(1)).as("size"))
+  /** dplyr group_rows / cur_group_rows under a DECLARED total order:
+    * the 1-based row positions (by `order`) belonging to each group,
+    * as a sorted array per group plus the group size. Row positions
+    * are undefined over an unordered distributed frame (SURVEY §1
+    * relaxation), so the order is an explicit argument; they come from
+    * the scale-safe range-partitioned sort + zipWithIndex — never a
+    * single-partition window. Output is group-count-sized (group_rows'
+    * own contract), so the per-group index list is a plain
+    * collect_list aggregate. */
+  def groupRows(order: Seq[Column]): DataFrame = {
+    require(groups.nonEmpty, "group_rows: no active groups")
+    require(order.nonEmpty,
+      "group_rows: row positions need a declared total order (SURVEY §1)")
+    Tibble.rowidToColumn(df, order, "__row")
+      .groupBy(groups.map(col): _*)
+      .agg(sort_array(collect_list(col("__row"))).as("rows"),
+        count(lit(1)).as("size"))
+  }
+
   /** dense integer id per group, ordered by group key (cur_group_id).
     * Scale-safe: rank the (small) distinct-key table, then broadcast-
     * join ids back — never an unpartitioned window over the fact rows. */

@@ -111,7 +111,12 @@ object BaseFns {
     * precision) and the draw is a codegen'd when-chain over one
     * uniform — no per-row loop, no UDF. Bounded support table
     * (P(tail) < 1e-12). */
-  def rpoisCol(u: Column, lambda: Double): Column = {
+  /** Poisson inverse-CDF threshold table (driver-side, machine
+    * precision, P(tail) < 1e-12). PUBLIC so oracle SQL can emit the
+    * identical double literals: the draw is `u < cdf_k` against these
+    * exact doubles, so any engine replaying the same thresholds over
+    * the same portable uniform reproduces the same integers. */
+  def poisCdf(lambda: Double): Seq[(Double, Int)] = {
     require(lambda > 0 && lambda <= 64, "inverse-CDF table sized for small lambda")
     val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
     var p = math.exp(-lambda); var cdf = p; var k = 0
@@ -119,14 +124,11 @@ object BaseFns {
     while (cdf < 1.0 - 1e-12 && k < 256) {
       k += 1; p = p * lambda / k; cdf += p; cdfs += ((cdf, k))
     }
-    cdfs.tail.foldLeft(when(u < lit(cdfs.head._1), lit(0))) {
-      case (acc, (c, kk)) => acc.when(u < lit(c), lit(kk))
-    }.otherwise(lit(cdfs.last._2 + 1))
+    cdfs.toSeq
   }
-  /** Seeded binomial draw over a caller-supplied uniform ([[hashUnif]]),
-    * same inverse-CDF construction (pmf by the multiplicative
-    * recurrence). */
-  def rbinomCol(u: Column, n: Int, prob: Double): Column = {
+  /** Binomial inverse-CDF threshold table (multiplicative pmf
+    * recurrence) — public for the same oracle-replay reason. */
+  def binomCdf(n: Int, prob: Double): Seq[(Double, Int)] = {
     require(n > 0 && n <= 256 && prob > 0 && prob < 1)
     val q = 1.0 - prob
     val cdfs = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
@@ -136,10 +138,27 @@ object BaseFns {
     while (k < n && cdf < 1.0 - 1e-12) {
       k += 1; p = p * (n - k + 1) * prob / (k * q); cdf += p; cdfs += ((cdf, k))
     }
+    cdfs.toSeq
+  }
+  private def cdfChain(u: Column, cdfs: Seq[(Double, Int)], cap: Int): Column =
     cdfs.tail.foldLeft(when(u < lit(cdfs.head._1), lit(0))) {
       case (acc, (c, kk)) => acc.when(u < lit(c), lit(kk))
-    }.otherwise(lit(math.min(cdfs.last._2 + 1, n)))
+    }.otherwise(lit(math.min(cdfs.last._2 + 1, cap)))
+
+  /** Seeded Poisson draw via inverse CDF over a caller-supplied uniform
+    * (use [[hashUnif]]/[[md5Unif]] — it must be a deterministic
+    * expression; see hashUnif for why a raw `rand` breaks the chain).
+    * λ is fixed at plan time, so the [[poisCdf]] table is built
+    * driver-side and the draw is a codegen'd when-chain over one
+    * uniform — no per-row loop, no UDF. */
+  def rpoisCol(u: Column, lambda: Double): Column = {
+    val cdfs = poisCdf(lambda)
+    cdfChain(u, cdfs, cdfs.last._2 + 1)
   }
+  /** Seeded binomial draw over a caller-supplied uniform, same
+    * inverse-CDF construction over [[binomCdf]]. */
+  def rbinomCol(u: Column, n: Int, prob: Double): Column =
+    cdfChain(u, binomCdf(n, prob), n)
   /** Inverse hyperbolics (base::asinh/acosh/atanh — Spark builtins). */
   def asinhOf(x: Column): Column = asinh(x)
   def acoshOf(x: Column): Column = acosh(x)
