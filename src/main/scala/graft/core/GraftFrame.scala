@@ -268,6 +268,11 @@ final class GraftFrame private (
   def sliceTail(n: Int): GraftFrame = {
     val rev = (if (sortKeys.nonEmpty) sortKeys else Seq(lit(1).asc)).map(k => reverseOrder(k))
     if (groups.isEmpty && sortKeys.nonEmpty) withDf(df.orderBy(rev: _*).limit(n))
+    else if (groups.isEmpty)
+      // no declared order: "last n" of an unordered distributed frame
+      // is any n rows (SURVEY §1 order-insensitivity) — a plain limit,
+      // never a single-partition window over lit(1)
+      withDf(df.limit(n))
     else sliceByRank(rev, n, withTies = false)
   }
   def sliceMin(c: Column, n: Int = 1, withTies: Boolean = true): GraftFrame =
@@ -304,7 +309,10 @@ final class GraftFrame private (
     * reproducible within Spark, but not across engines; prefer the
     * keyed overload when a stable row id exists. */
   def sliceSample(n: Int, seed: Long = 42L): GraftFrame =
-    sliceByRank(Seq(rand(seed).asc), n, withTies = false)
+    // ungrouped: first-n in rand order ≡ the rank path, but lowers to
+    // a distributed TakeOrdered instead of a single-partition window
+    if (groups.isEmpty) withDf(df.orderBy(rand(seed).asc).limit(n))
+    else sliceByRank(Seq(rand(seed).asc), n, withTies = false)
 
   /** Engine-portable seeded sample: ranks rows by md5(seed ++ key) —
     * any SQL engine reproduces the exact same sample from the same
@@ -313,11 +321,15 @@ final class GraftFrame private (
     * via a sentinel and tie-broken NULLS LAST, because a null hash
     * would sort NULLS FIRST in Spark but NULLS LAST in DuckDB and the
     * 'portable' sample would silently diverge cross-engine. */
-  def sliceSample(n: Int, seed: Long, key: Column): GraftFrame =
-    sliceByRank(Seq(
+  def sliceSample(n: Int, seed: Long, key: Column): GraftFrame = {
+    val ord = Seq(
       md5(concat(lit(seed.toString),
         coalesce(key.cast("string"), lit(" <null-key>")))).asc,
-      key.asc_nulls_last), n, withTies = false)
+      key.asc_nulls_last)
+    // ungrouped: distributed TakeOrdered, not a single-partition window
+    if (groups.isEmpty) withDf(df.orderBy(ord: _*).limit(n))
+    else sliceByRank(ord, n, withTies = false)
+  }
 
   /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
     * per group — n from a count window over the same partitioning, so
@@ -373,15 +385,22 @@ final class GraftFrame private (
     else sliceByRankProp(Seq(rand(seed).asc), prop, withTies = false)
   /** slice(i1, i2, …): arbitrary 1-based row indices per group along
     * the current arrange order (dplyr slice_.py's base verb). All-
-    * negative indices drop those rows. One window per partitioning. */
+    * negative indices drop those rows. Grouped: one window per
+    * partitioning; ungrouped: global positions via the scale-safe
+    * sorted-zipWithIndex rowid (never a single-partition window). */
   def sliceAt(indices: Seq[Int]): GraftFrame = {
     require(indices.nonEmpty, "slice: no indices")
-    val rn = row_number().over(orderedWindow(sortKeys))
-    val keep =
-      if (indices.forall(_ > 0)) col("__rn").isin(indices: _*)
-      else if (indices.forall(_ < 0)) !col("__rn").isin(indices.map(-_): _*)
+    def keep(rn: Column) =
+      if (indices.forall(_ > 0)) rn.isin(indices: _*)
+      else if (indices.forall(_ < 0)) !rn.isin(indices.map(-_): _*)
       else throw new IllegalArgumentException("slice: mixed positive/negative indices")
-    withDf(df.withColumn("__rn", rn).filter(keep).drop("__rn"))
+    if (groups.isEmpty) {
+      val order = if (sortKeys.nonEmpty) sortKeys else Seq(lit(1).asc)
+      withDf(Tibble.rowidToColumn(df, order, "__rn")
+        .filter(keep(col("__rn"))).drop("__rn"))
+    } else
+      withDf(df.withColumn("__rn", row_number().over(orderedWindow(sortKeys)))
+        .filter(keep(col("__rn"))).drop("__rn"))
   }
 
   // ---- joins (join.py) ---------------------------------------------------

@@ -112,7 +112,11 @@ class PlanSpec extends SparkTestBase {
       part.graft.sliceMax(col("p_retailprice"), 5, withTies = true).df,
       part.graft.sliceMaxProp(col("p_retailprice"), 0.1, withTies = true).df,
       part.graft.arrange(col("p_partkey")).sliceHeadProp(0.2).df,
-      part.graft.arrange(col("p_partkey")).sliceTailProp(0.2).df)
+      part.graft.arrange(col("p_partkey")).sliceTailProp(0.2).df,
+      part.graft.arrange(col("p_partkey")).sliceAt(Seq(1, 3, 5)).df,
+      part.graft.sliceTail(5).df,
+      part.graft.sliceSample(5).df,
+      part.graft.sliceSample(5, 42L, col("p_partkey")).df)
     plans.foreach { q =>
       val ws = collectPlan(q.queryExecution.executedPlan)
         .collect { case w: WindowExec => w }
