@@ -341,6 +341,20 @@ object QueriesDplyr {
         .arrange(col("o_custkey"), col("o_orderkey")).df
     }),
 
+    // UNGROUPED cum* over the whole fact table: distributed two-phase
+    // prefix scan (ScanFns), never a single-partition window; the sum
+    // accumulates in exact decimal so the two-phase association is
+    // bit-identical to DuckDB's sequential running sum
+    "d_cum_u" -> ((s, d) => {
+      val ord = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val base = t(s, d, "lineitem")
+      val s1 = ScanFns.withCumsum(base, col("l_quantity"), ord, "cum_qty")
+      val s2 = ScanFns.withCummax(s1, col("l_extendedprice"), ord, "cum_max_price")
+      ScanFns.withCummin(s2, col("l_extendedprice"), ord, "cum_min_price")
+        .select("l_orderkey", "l_linenumber", "cum_qty", "cum_max_price", "cum_min_price")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "d_cumprod" -> ((s, d) => {
       val part = Seq(col("l_orderkey"))
       // l_linenumber is non-unique: tiebreak on the aggregated values
@@ -754,6 +768,16 @@ object QueriesDplyr {
         |WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "d_cum_u" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS cum_qty,
+        |  max(l_extendedprice) OVER wr AS cum_max_price,
+        |  min(l_extendedprice) OVER wr AS cum_min_price
+        |FROM lineitem
+        |WINDOW wr AS (ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "d_cumprod" ->
       """SELECT l_orderkey, l_linenumber,

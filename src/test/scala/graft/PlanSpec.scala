@@ -147,6 +147,25 @@ class PlanSpec extends SparkTestBase {
     assert(gmax == Seq(3L, 3L, 3L, 9L))
   }
 
+  test("distributed prefix scan matches the single-partition window cum* exactly") {
+    import graft.functions.ScanFns
+    import org.apache.spark.sql.expressions.Window
+    val df = sqlDf("k" -> (1 to 200), "v" -> (1 to 200).map(i => (i * 7 % 13) / 7.0))
+      .repartition(8) // force multi-partition so offsets matter
+    val got = ScanFns.withCummax(
+        ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs"),
+        col("v"), Seq(col("k").asc), "cm")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cs", sum(col("v").cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("cm", max(col("v")).over(w))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // and the scan's plan has no Window at all
+    val q = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
+    assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
+  }
+
   test("exact dedup aggregates with partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
