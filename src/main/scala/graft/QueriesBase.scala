@@ -360,6 +360,15 @@ object QueriesBase {
         .select("o_orderkey", "price_diff")
         .orderBy(col("o_orderkey"))),
 
+    // UNGROUPED lead/lag over a whole-frame order, same rowid topology
+    "b_lead_lag_u" -> ((s, d) => {
+      val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+      val l1 = SeqFns.withLag(t(s, d, "orders"), col("o_totalprice"), 2, ord, "prev2_price")
+      SeqFns.withLead(l1, col("o_totalprice"), 1, ord, "next_price")
+        .select("o_orderkey", "prev2_price", "next_price")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "b_outer" -> ((s, d) =>
       // base::outer(a, b, `*`) — cartesian of two small key vectors
       t(s, d, "region").select(col("r_regionkey").as("a"))
@@ -729,6 +738,12 @@ object QueriesBase {
       """SELECT o_orderkey,
         |  o_totalprice - lag(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey)
         |    AS price_diff
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "b_lead_lag_u" ->
+      """SELECT o_orderkey,
+        |  lag(o_totalprice, 2) OVER (ORDER BY o_orderdate, o_orderkey) AS prev2_price,
+        |  lead(o_totalprice, 1) OVER (ORDER BY o_orderdate, o_orderkey) AS next_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "b_outer" ->

@@ -26,12 +26,27 @@ object SeqFns {
     * row ids (graft.core.Tibble.rowidToColumn — never a global window),
     * then a self-equi-join on rowid-1 to fetch the predecessor. Two
     * distributed shuffles on a dense long key; no single-task stage. */
-  def withDiff(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame = {
+  def withDiff(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame =
+    withShifted(df, x, n = 1, order, as)((cur, prev) => cur - prev)
+
+  /** UNGROUPED lag over a whole-frame total order (scale-safe twin of
+    * `WindowFns.lagBy` with no partition): value of `x` n rows back. */
+  def withLag(df: DataFrame, x: Column, n: Int, order: Seq[Column],
+              as: String): DataFrame =
+    withShifted(df, x, n, order, as)((_, prev) => prev)
+
+  /** UNGROUPED lead: value of `x` n rows ahead (negative shift). */
+  def withLead(df: DataFrame, x: Column, n: Int, order: Seq[Column],
+               as: String): DataFrame =
+    withShifted(df, x, -n, order, as)((_, next) => next)
+
+  private def withShifted(df: DataFrame, x: Column, n: Int, order: Seq[Column],
+                          as: String)(combine: (Column, Column) => Column): DataFrame = {
     val rn = graft.core.Tibble.rowidToColumn(df, order, "__drn")
-    val prev = rn.select((col("__drn") + 1).as("__drn"), x.as("__dprev"))
-    rn.join(prev, Seq("__drn"), "left")
-      .withColumn(as, x - col("__dprev"))
-      .drop("__drn", "__dprev")
+    val shifted = rn.select((col("__drn") + n).as("__drn"), x.as("__dshift"))
+    rn.join(shifted, Seq("__drn"), "left")
+      .withColumn(as, combine(x, col("__dshift")))
+      .drop("__drn", "__dshift")
   }
   def revArr(x: Column): Column = reverse(x)
   def sortArr(x: Column): Column = array_sort(x)

@@ -107,6 +107,8 @@ class PlanSpec extends SparkTestBase {
       SeqFns.withRankMin(part, col("p_size"), "rk"),
       SeqFns.withOrderIndex(part, col("p_size"), Seq(col("p_partkey")), "ord"),
       SeqFns.withDiff(part, col("p_retailprice"), Seq(col("p_partkey")), "d"),
+      SeqFns.withLag(part, col("p_retailprice"), 3, Seq(col("p_partkey")), "lg"),
+      SeqFns.withLead(part, col("p_retailprice"), 2, Seq(col("p_partkey")), "ld"),
       SetFns.which(part, col("p_size") > 40, Seq(col("p_partkey"))),
       part.graft.sliceMin(col("p_retailprice"), 5, withTies = true).df,
       part.graft.sliceMax(col("p_retailprice"), 5, withTies = true).df,
