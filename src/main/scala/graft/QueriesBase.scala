@@ -137,6 +137,20 @@ object QueriesBase {
         Seq(col("n_nationkey")))
         .orderBy(col("pos"))),
 
+    // base::match against a lookup table's values: the lookup's
+    // distinct values rank via sorted zipWithIndex (never a
+    // single-partition window — PlanSpec asserts), then join back
+    "b_match" -> ((s, d) =>
+      SetFns.matchIn(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority",
+        // partial lookup: priorities above '2' — '1-URGENT' rows
+        // exercise the no-match (null position) branch
+        t(s, d, "orders").filter(col("o_orderpriority") > "2")
+          .select("o_orderpriority"),
+        "o_orderpriority", "pos")
+        .orderBy(col("o_orderkey"))),
+
     "b_duplicated" -> ((s, d) =>
       t(s, d, "customer").graft
         .mutate("dup" -> SetFns.duplicated(
@@ -491,6 +505,15 @@ object QueriesBase {
         |  SELECT row_number() OVER (ORDER BY n_nationkey) AS pos, n_name
         |  FROM nation)
         |WHERE len(n_name) > 6 ORDER BY pos""".stripMargin,
+
+    "b_match" ->
+      """SELECT o_orderkey, o_orderpriority, pos FROM orders
+        |LEFT JOIN (
+        |  SELECT v AS o_orderpriority, row_number() OVER (ORDER BY v) AS pos
+        |  FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+        |        WHERE o_orderpriority > '2'))
+        |USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "b_duplicated" ->
       """SELECT c_custkey, c_mktsegment, c_nationkey,

@@ -88,8 +88,12 @@ object QueriesDplyr {
       t(s, d, "customer").graft
         .groupBy("c_mktsegment")
         .summarise("size" -> count(lit(1)))
-        .groupBy() // no-op; demonstrate ungrouped mutate over summary
-        .mutate("group_id" -> (WindowFns.denseRank(Seq(col("c_mktsegment"))) - lit(1)))
+        .ungroup
+        // dense id per segment via the scale-safe ranked-key broadcast
+        // (cur_group_id) — not an unpartitioned dense_rank window
+        .groupBy("c_mktsegment")
+        .withGroupId("group_id")
+        .ungroup
         .arrange(col("c_mktsegment")).df),
 
     // group_rows under a declared total order: per-group sorted row

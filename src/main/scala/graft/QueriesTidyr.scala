@@ -87,6 +87,22 @@ object QueriesTidyr {
         direction = "downup")
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // UNGROUPED fill over a whole-frame total order: the distributed
+    // two-phase last-non-null prefix scan (Tidyr.fillGlobal /
+    // ScanFns.withFillLast) — no single-partition window in the plan
+    // (PlanSpec asserts the shape)
+    "t_fill_global" -> ((s, d) =>
+      Tidyr.fillGlobal(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_tax")
+          .withColumn("tax_sparse", CondFns.naIf(col("l_tax"), lit(0.0))),
+        TidySelect.cols("tax_sparse"),
+        // l_tax joins the order so rows with a null tax_sparse sort
+        // deterministically relative to equal-key non-null rows
+        order = Seq(col("l_orderkey"), col("l_linenumber"), col("l_tax")),
+        direction = "downup")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     "t_drop_na" -> ((s, d) =>
       Tidyr.dropNa(
         t(s, d, "lineitem")
@@ -246,6 +262,17 @@ object QueriesTidyr {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |    first_value(nullif(l_tax,0.0) IGNORE NULLS) OVER (
         |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_tax
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tax_sparse
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "t_fill_global" ->
+      """SELECT l_orderkey, l_linenumber, l_tax,
+        |  coalesce(
+        |    last_value(nullif(l_tax,0.0) IGNORE NULLS) OVER (
+        |      ORDER BY l_orderkey, l_linenumber, l_tax
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    first_value(nullif(l_tax,0.0) IGNORE NULLS) OVER (
+        |      ORDER BY l_orderkey, l_linenumber, l_tax
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS tax_sparse
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

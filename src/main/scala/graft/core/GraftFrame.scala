@@ -69,12 +69,14 @@ final class GraftFrame private (
   }
 
   /** dense integer id per group, ordered by group key (cur_group_id).
-    * Scale-safe: rank the (small) distinct-key table, then broadcast-
-    * join ids back — never an unpartitioned window over the fact rows. */
+    * Scale-safe: rank the distinct-key table via the range-partitioned
+    * sort + zipWithIndex rowid (keys are distinct, so rowid == dense
+    * rank — no unpartitioned window even over the key table), then
+    * broadcast-join ids back. */
   def withGroupId(name: String = "group_id"): GraftFrame = {
-    val keyTable = df.select(groupCols: _*).distinct()
-      .withColumn(name,
-        dense_rank().over(Window.orderBy(groups.map(col): _*)) - lit(1))
+    val keyTable = Tibble.rowidToColumn(
+      df.select(groupCols: _*).distinct(), groups.map(col(_).asc), "__gid")
+      .withColumn(name, (col("__gid") - 1L).cast("int")).drop("__gid")
     // null-safe join: a NULL group key is a legitimate dplyr group and
     // must receive an id, so <=> rather than a using-columns join
     val kt = keyTable.select(

@@ -106,10 +106,17 @@ object Tidyr {
   }
 
   /** fill: propagate last (direction="down") / next ("up") / both
-    * ("downup") non-null value along `order` within `part`. */
+    * ("downup") non-null value along `order` within `part`.
+    *
+    * GROUPED-ONLY: `part = Nil` would be a single-partition global
+    * window (the whole frame on one task), so it fails loudly — the
+    * ungrouped form is [[fillGlobal]], a distributed two-phase prefix
+    * scan (ScanFns.withFillLast). */
   def fill(df: DataFrame, sel: Selector, order: Seq[Column],
            part: Seq[Column] = Nil, direction: String = "down"): DataFrame = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
+    require(part.nonEmpty,
+      "ungrouped fill collapses the frame onto one task: use Tidyr.fillGlobal")
+    val base = Window.partitionBy(part: _*)
     val wDown = base.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)
     val wUp = base.orderBy(order: _*).rowsBetween(0, Window.unboundedFollowing)
     sel.resolve(df.schema).foldLeft(df) { (d, c) =>
@@ -123,6 +130,35 @@ object Tidyr {
       }
       d.withColumn(c, filled)
     }
+  }
+
+  /** Ungrouped tidyr::fill over a whole-frame total order, scale-safe:
+    * a global rowid is materialized ONCE (range-partitioned sort +
+    * zipWithIndex, Tibble.rowidToColumn), then each direction is a
+    * two-phase last-non-null prefix scan along that rowid
+    * (ScanFns.withFillLast) — "up" is the same scan along rowid
+    * DESCENDING, "downup"/"updown" chain the two. Every selected
+    * column fills in the same passes; no single-partition window
+    * anywhere in the plan. Cost: one sort for the rowid plus one
+    * sort + two streamed passes per direction (see the ScanFns persist
+    * contract for the storage knob). */
+  def fillGlobal(df: DataFrame, sel: Selector, order: Seq[Column],
+                 direction: String = "down"): DataFrame = {
+    require(Set("down", "up", "downup", "updown").contains(direction),
+      s"fill: unknown direction '$direction'")
+    val cols = sel.resolve(df.schema)
+    val rid = Tibble.rowidToColumn(df, order, "__fill_rid")
+    val down = (d: DataFrame) =>
+      graft.functions.ScanFns.withFillLast(d, cols, Seq(col("__fill_rid").asc))
+    val up = (d: DataFrame) =>
+      graft.functions.ScanFns.withFillLast(d, cols, Seq(col("__fill_rid").desc))
+    val filled = direction match {
+      case "down"   => down(rid)
+      case "up"     => up(rid)
+      case "downup" => up(down(rid))
+      case "updown" => down(up(rid))
+    }
+    filled.drop("__fill_rid")
   }
 
   def dropNa(df: DataFrame, sel: Selector): DataFrame =

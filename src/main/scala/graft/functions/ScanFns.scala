@@ -4,6 +4,7 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed UNGROUPED cumulative aggregates (base/cum.py at
   * whole-frame scale). Grouped cum* is a partitioned window (CumFns);
@@ -26,16 +27,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType
   * matches any engine's sequential decimal running sum bit for bit.
   * max/min are associative and exact in double already.
   *
-  * The sorted RDD is persisted (memory-and-disk) because both phases
-  * traverse it; per-partition state is one accumulator.
+  * PERSIST CONTRACT: the scan is inherently 2-pass, so the sorted rows
+  * are persisted across both passes at `storage` (default
+  * MEMORY_AND_DISK — hot partitions stay in memory, the overflow
+  * spills). At 100 TB that persist is a full-dataset cache: budget
+  * executor storage for it, or pass `StorageLevel.DISK_ONLY` for wide
+  * frames so the scan costs one extra disk round-trip instead of
+  * evicting the working set. The alternative — recomputing the sort
+  * for pass 2 — costs a second full shuffle; persisting is strictly
+  * cheaper whenever the cluster has the disk.
   */
 object ScanFns {
 
   /** Running sum of `x` over the total order `order`, exact-decimal
     * accumulation, null-skipping like `sum() OVER` (null until the
     * first non-null value). */
-  def withCumsum(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame =
-    prefixScan(df, x, order, as, DoubleType)(
+  def withCumsum(df: DataFrame, x: Column, order: Seq[Column], as: String,
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    prefixScan(df, x, order, as, DoubleType, storage)(
       null,
       (acc, v) => {
         val d = JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
@@ -47,8 +56,9 @@ object ScanFns {
       acc => if (acc == null) null else acc.asInstanceOf[JBigDecimal].doubleValue)
 
   /** Running max over the total order (associative — plain doubles). */
-  def withCummax(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame =
-    prefixScan(df, x, order, as, DoubleType)(
+  def withCummax(df: DataFrame, x: Column, order: Seq[Column], as: String,
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    prefixScan(df, x, order, as, DoubleType, storage)(
       null,
       (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
         else java.lang.Double.valueOf(math.max(acc.asInstanceOf[java.lang.Double], v)),
@@ -58,8 +68,9 @@ object ScanFns {
       acc => acc)
 
   /** Running min over the total order. */
-  def withCummin(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame =
-    prefixScan(df, x, order, as, DoubleType)(
+  def withCummin(df: DataFrame, x: Column, order: Seq[Column], as: String,
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    prefixScan(df, x, order, as, DoubleType, storage)(
       null,
       (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
         else java.lang.Double.valueOf(math.min(acc.asInstanceOf[java.lang.Double], v)),
@@ -68,19 +79,64 @@ object ScanFns {
           a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
       acc => acc)
 
+  /** Whole-frame "fill down" — the running LAST NON-NULL value of each
+    * column in `cols` under the total order, written IN PLACE (types
+    * preserved, schema unchanged). Backs tidyr::fill's ungrouped form
+    * (Tidyr.fillGlobal) through the same two-phase scan: last-non-null
+    * is an associative accumulator (merge = "right wins unless null"),
+    * so each partition contributes one value per column and the
+    * carry-in broadcast is #partitions × #cols scalars. All columns
+    * fill in ONE sort + two passes, not one scan per column. */
+  def withFillLast(df: DataFrame, cols: Seq[String], order: Seq[Column],
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order.nonEmpty, "ungrouped fill needs a declared total order")
+    require(cols.nonEmpty, "fill: no columns selected")
+    val sorted = df.orderBy(order: _*)
+    val idxs = cols.map(sorted.schema.fieldIndex).toArray
+    val rdd = sorted.rdd.persist(storage)
+    val partLast: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = Array.fill[Any](idxs.length)(null)
+      it.foreach { r =>
+        var j = 0
+        while (j < idxs.length) {
+          val v = r.get(idxs(j)); if (v != null) acc(j) = v; j += 1
+        }
+      }
+      Iterator.single((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partLast.scanLeft(Array.fill[Any](idxs.length)(null)) { (a, b) =>
+      Array.tabulate(idxs.length)(j => if (b(j) != null) b(j) else a(j))
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bc.value(i).clone()
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        var j = 0
+        while (j < idxs.length) {
+          val v = vals(idxs(j))
+          if (v != null) acc(j) = v else vals(idxs(j)) = acc(j)
+          j += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    sorted.sparkSession.createDataFrame(outRows, sorted.schema)
+  }
+
   /** The two-phase scan skeleton: `zero` is the empty accumulator
     * (null = "no value yet"), `step` absorbs one non-null double,
     * `merge` combines two partition accumulators (must agree with a
     * sequential fold — use exact or associative arithmetic), `emit`
     * renders the accumulator as the output value. */
   private def prefixScan(df: DataFrame, x: Column, order: Seq[Column],
-                         as: String, outType: DataType)(
+                         as: String, outType: DataType, storage: StorageLevel)(
       zero: Any, step: (Any, Double) => Any, merge: (Any, Any) => Any,
       emit: Any => Any): DataFrame = {
     require(order.nonEmpty, "ungrouped cum* needs a declared total order")
     val sorted = df.orderBy(order: _*).withColumn("__sx", x.cast("double"))
     val xi = sorted.schema.fieldIndex("__sx")
-    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = sorted.rdd.persist(storage)
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>
       var acc = zero
       it.foreach(r => if (!r.isNullAt(xi)) acc = step(acc, r.getDouble(xi)))

@@ -121,11 +121,16 @@ object SeqFns {
 
 object SetFns {
   /** match: position of x in the distinct sorted values of a lookup
-    * frame (base::match against a table column). Returned via join. */
+    * frame (base::match against a table column). Returned via join.
+    * The lookup's distinct values are ranked via the scale-safe
+    * range-partitioned sort + zipWithIndex (Tibble.rowidToColumn) —
+    * nothing bounds the lookup's cardinality, so a single-partition
+    * `Window.orderBy` would collapse a large value table onto one
+    * task. */
   def matchIn(df: DataFrame, x: String, lookup: DataFrame, v: String,
               as: String): DataFrame = {
-    val ranked = lookup.select(col(v)).distinct()
-      .withColumn(as, row_number().over(Window.orderBy(col(v))))
+    val ranked = graft.core.Tibble.rowidToColumn(
+      lookup.select(col(v)).distinct(), Seq(col(v).asc), as)
     df.join(ranked.withColumnRenamed(v, x), Seq(x), "left")
   }
   /** duplicated: true for every occurrence after the first, with

@@ -11,11 +11,24 @@ import org.apache.spark.sql.functions._
   * Each helper takes explicit partition/order columns — at scale all
   * helpers used in one verb with the same (partition, order) collapse
   * into a single Window operator (one shuffle + one sort).
+  *
+  * GROUPED-ONLY by design: an empty partition would be a
+  * single-partition global window (the whole frame through ONE task),
+  * so every Column form here refuses `part = Nil` loudly. The
+  * ungrouped, scale-safe twins are DataFrame transforms built on
+  * range-partitioned sort + zipWithIndex / two-phase prefix scans:
+  *   - ranks / row ids  → SeqFns.withRankMin / withRankAvg /
+  *     withOrderIndex, Tibble.rowidToColumn
+  *   - lead / lag / diff → SeqFns.withLead / withLag / withDiff
+  *   - cum*             → ScanFns.withCumsum / withCummax / withCummin
   */
 object WindowFns {
   private def w(part: Seq[Column], order: Seq[Column]) = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    base.orderBy(order: _*)
+    require(part.nonEmpty,
+      "ungrouped window collapses the frame onto one task: use the " +
+        "scale-safe ungrouped twins (SeqFns.with*, ScanFns.withCum*, " +
+        "Tibble.rowidToColumn) or pass a partition")
+    Window.partitionBy(part: _*).orderBy(order: _*)
   }
 
   /** Rolling (sliding-frame) aggregates over the trailing k rows,
@@ -83,11 +96,19 @@ object WindowFns {
   }
 }
 
-/** Cumulative functions over an explicit order. */
+/** Cumulative functions over an explicit order.
+  *
+  * GROUPED-ONLY like WindowFns: `part = Nil` would put the whole frame
+  * through one task, so it fails loudly. For whole-frame running
+  * aggregates use the distributed two-phase prefix scan
+  * (ScanFns.withCumsum / withCummax / withCummin). */
 object CumFns {
   private def cw(order: Seq[Column], part: Seq[Column]) = {
-    val base = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-    base.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(part.nonEmpty,
+      "ungrouped cum* collapses the frame onto one task: use the " +
+        "distributed prefix scan (ScanFns.withCumsum/withCummax/withCummin)")
+    Window.partitionBy(part: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
   def cumsum(x: Column, order: Seq[Column], part: Seq[Column] = Nil): Column =
     sum(x).over(cw(order, part))

@@ -115,19 +115,22 @@ class DplyrSpec extends SparkTestBase {
   }
 
   test("lead/lag default applies only past the frame edge, not to genuine nulls") {
-    val df = sqlDf("ord" -> Seq(1, 2, 3), "v" -> Seq("x", null, "z"))
+    val df = sqlDf("g" -> Seq("a", "a", "a"), "ord" -> Seq(1, 2, 3),
+      "v" -> Seq("x", null, "z"))
     val out = df.select(col("ord"), col("v"),
-      WindowFns.lagBy(col("v"), 1, Seq(col("ord")), default = lit("DEF")).as("lagv"))
+      WindowFns.lagBy(col("v"), 1, Seq(col("ord")), Seq(col("g")),
+        default = lit("DEF")).as("lagv"))
       .orderBy("ord")
     // row1: past edge -> DEF; row2: lag = "x"; row3: lag = genuine null (NOT DEF)
     assertRows(out, Seq(Seq(1, "x", "DEF"), Seq(2, null, "x"), Seq(3, "z", null)))
   }
 
   test("consecutive_id treats a run of NULLs as one group and starts at 1") {
-    val df = sqlDf("ord" -> Seq(1, 2, 3, 4, 5, 6),
+    val df = sqlDf("g" -> Seq("a", "a", "a", "a", "a", "a"),
+      "ord" -> Seq(1, 2, 3, 4, 5, 6),
       "v" -> Seq(null, null, "a", "a", null, "b"))
     val out = df.select(col("ord"),
-      WindowFns.consecutiveId(Seq(col("v")), Seq(col("ord"))).as("id"))
+      WindowFns.consecutiveId(Seq(col("v")), Seq(col("ord")), Seq(col("g"))).as("id"))
       .orderBy("ord")
     assertRows(out, Seq(Seq(1, 1L), Seq(2, 1L), Seq(3, 2L), Seq(4, 2L), Seq(5, 3L), Seq(6, 4L)))
   }
@@ -156,14 +159,12 @@ class DplyrSpec extends SparkTestBase {
     val f = gdf.graft.groupBy("g").withGroupId("gid")
     assertRows(f.df.select("g", "gid").distinct().orderBy("g"),
       Seq(Seq("a", 0), Seq("b", 1)))
-    // ids come from a broadcast-joined ranked key table, not a global
-    // window over the fact rows: the Window must sit above the distinct
-    // aggregate, inside the broadcast side
+    // ids come from a broadcast-joined key table ranked by the
+    // sorted-zipWithIndex rowid — no Window operator anywhere, let
+    // alone a global one over the fact rows
     val plan = f.df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
-    val windowIdx = plan.indexOf("Window")
-    val broadcastIdx = plan.indexOf("BroadcastExchange")
-    assert(windowIdx > broadcastIdx, s"Window outside the broadcast key table:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in withGroupId:\n$plan")
   }
 
   test("group_modify applies f per group, re-keying output") {
@@ -227,9 +228,10 @@ class DplyrSpec extends SparkTestBase {
   }
 
   test("cumprod handles zeros and sign") {
-    val df = sqlDf("ord" -> Seq(1, 2, 3, 4), "x" -> Seq(2.0, -3.0, 1.0, 0.0))
+    val df = sqlDf("g" -> Seq("a", "a", "a", "a"), "ord" -> Seq(1, 2, 3, 4),
+      "x" -> Seq(2.0, -3.0, 1.0, 0.0))
     val out = df.select(col("ord"),
-      CumFns.cumprod(col("x"), Seq(col("ord"))).as("cp")).orderBy("ord")
+      CumFns.cumprod(col("x"), Seq(col("ord")), Seq(col("g"))).as("cp")).orderBy("ord")
       .collect().map(r => (r.getInt(0), r.getDouble(1)))
     // IEEE: -6.0 * 0.0 = -0.0; compare numerically, not by bit pattern
     assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))

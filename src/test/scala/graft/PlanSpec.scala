@@ -135,6 +135,76 @@ class PlanSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SeqFns.diffOf(col("x"), Seq(col("x")), Nil))
   }
 
+  test("ungrouped Column-form window/cum/fill fail loudly instead of planning a global window") {
+    import graft.functions.{CumFns, WindowFns}
+    val ord = Seq(col("x").asc)
+    intercept[IllegalArgumentException](WindowFns.rowNumber(ord))
+    intercept[IllegalArgumentException](WindowFns.denseRank(ord))
+    intercept[IllegalArgumentException](WindowFns.lagBy(col("x"), 1, ord))
+    intercept[IllegalArgumentException](WindowFns.leadBy(col("x"), 1, ord))
+    intercept[IllegalArgumentException](WindowFns.rollSum(col("x"), 3, ord))
+    intercept[IllegalArgumentException](WindowFns.consecutiveId(Seq(col("x")), ord))
+    intercept[IllegalArgumentException](CumFns.cumsum(col("x"), ord))
+    intercept[IllegalArgumentException](CumFns.cumprod(col("x"), ord))
+    intercept[IllegalArgumentException](
+      Tidyr.fill(sqlDf("x" -> Seq(1, 2)), TidySelect.cols("x"), Seq(col("x"))))
+  }
+
+  test("fillGlobal and matchIn plan with NO single-partition window") {
+    import graft.functions.SetFns
+    val part = spark.read.parquet(s"$dir/part.parquet")
+      .withColumn("sparse", when(col("p_size") > 25, col("p_retailprice")))
+    val lookup = spark.read.parquet(s"$dir/part.parquet").select("p_brand")
+    val plans = Seq(
+      Tidyr.fillGlobal(part, TidySelect.cols("sparse"), Seq(col("p_partkey"))),
+      Tidyr.fillGlobal(part, TidySelect.cols("sparse"), Seq(col("p_partkey")), "downup"),
+      SetFns.matchIn(part.select(col("p_brand")), "p_brand", lookup, "p_brand", "pos"))
+    plans.foreach { q =>
+      val ws = collectPlan(q.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"single-partition Window in:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
+  test("fillGlobal matches the single-partition window fill in every direction") {
+    import org.apache.spark.sql.expressions.Window
+    val df = sqlDf("k" -> (1 to 200),
+      "v" -> (1 to 200).map(i => if (i % 3 == 0) java.lang.Double.valueOf(i / 3.0) else null))
+      .repartition(8) // multi-partition so the carry-in offsets matter
+    val wD = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val wU = Window.orderBy("k").rowsBetween(0, Window.unboundedFollowing)
+    val want = Map(
+      "down"   -> df.withColumn("v", last(col("v"), ignoreNulls = true).over(wD)),
+      "up"     -> df.withColumn("v", first(col("v"), ignoreNulls = true).over(wU)),
+      "downup" -> df.withColumn("v", coalesce(
+        last(col("v"), ignoreNulls = true).over(wD),
+        first(col("v"), ignoreNulls = true).over(wU))))
+    want.foreach { case (dir, exp) =>
+      val got = Tidyr.fillGlobal(df, TidySelect.cols("v"), Seq(col("k").asc), dir)
+        .orderBy("k").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+      val ref = exp.orderBy("k").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+      assert(got == ref, s"direction $dir mismatch")
+    }
+  }
+
+  test("scan persist StorageLevel is a knob: DISK_ONLY results are unchanged") {
+    import graft.functions.ScanFns
+    import org.apache.spark.storage.StorageLevel
+    val df = sqlDf("k" -> (1 to 100), "v" -> (1 to 100).map(_.toDouble))
+      .repartition(5)
+    def run(s: StorageLevel) =
+      ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs", s)
+        .orderBy("k").collect().map(_.getDouble(2)).toSeq
+    assert(run(StorageLevel.DISK_ONLY) == run(StorageLevel.MEMORY_AND_DISK))
+    def runFill(s: StorageLevel) =
+      ScanFns.withFillLast(
+        df.withColumn("v", when(col("k") % 7 === 0, col("v"))),
+        Seq("v"), Seq(col("k").asc), s)
+        .orderBy("k").collect().map(r => Option(r.get(1))).toSeq
+    assert(runFill(StorageLevel.DISK_ONLY) == runFill(StorageLevel.MEMORY_AND_DISK))
+  }
+
   test("ungrouped tied sliceMin/Max match the rank-window semantics (incl. ties)") {
     val df = sqlDf("v" -> Seq(1L, 1L, 2L, 3L, 3L, 3L, 9L))
     val got = df.graft.sliceMin(col("v"), 2, withTies = true).df
