@@ -106,6 +106,30 @@ object QueriesDplyr {
         .withColumn("rows", concat_ws(",", col("rows")))
         .orderBy(col("n_regionkey"))),
 
+    // cur_data()/cur_group() accessor sugar inside a grouped mutate
+    // (reference api/dplyr/context.py): collect_list(struct) columns
+    // auto-windowed over the groups — all three accessors share the
+    // verb's ONE shuffle; derived values are order-free (size,
+    // array_max, exact-decimal aggregate) so the unordered group
+    // array is deterministic
+    "d_cur_data" -> ((s, d) => {
+      val g = t(s, d, "orders").graft.groupBy("o_orderpriority")
+      g.mutate(
+          "grp" -> g.curGroup.getField("o_orderpriority"),
+          "grp_n" -> size(g.curDataAll),
+          "grp_max_price" -> array_max(transform(
+            g.curData(TidySelect.cols("o_totalprice")),
+            r => r.getField("o_totalprice"))),
+          "share" -> (col("o_totalprice") / aggregate(
+            transform(g.curData(TidySelect.cols("o_totalprice")),
+              r => r.getField("o_totalprice").cast("decimal(28,6)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+            (acc, v) => acc + v).cast("double")))
+        .ungroup
+        .select("o_orderkey", "grp", "grp_n", "grp_max_price", "share")
+        .arrange(col("o_orderkey")).df
+    }),
+
     "d_count" -> ((s, d) =>
       t(s, d, "orders").graft
         .countBy("o_orderpriority")
@@ -598,6 +622,15 @@ object QueriesDplyr {
         |  SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rn
         |  FROM nation)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "d_cur_data" ->
+      """SELECT o_orderkey, o_orderpriority AS grp,
+        |  count(*) OVER w AS grp_n,
+        |  max(o_totalprice) OVER w AS grp_max_price,
+        |  o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS share
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d_count" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders

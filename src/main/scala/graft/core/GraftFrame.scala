@@ -68,6 +68,36 @@ final class GraftFrame private (
         count(lit(1)).as("size"))
   }
 
+  /** cur_group(): the current group's key values as one struct column
+    * (reference api/dplyr/context.py:cur_group returns a 1-row frame;
+    * a struct is the Spark-native shape — getField unpacks it). */
+  def curGroup: Column = {
+    require(groups.nonEmpty, "cur_group: no active groups")
+    struct(groups.map(df.col): _*)
+  }
+
+  /** cur_data(): the current group's rows (selected non-group columns)
+    * as an array<struct> column — the frame-valued expression context
+    * of reference api/dplyr/context.py:cur_data, realized under the
+    * SURVEY §1 relaxation. Returned as a plain collect_list aggregate,
+    * so inside a grouped [[mutate]] the WindowRewrite wraps it over
+    * the group partition and it SHARES the verb's single shuffle with
+    * every other aggregate. Element order is partition-arrival order
+    * (Spark frames are unordered): derive order-free values from it
+    * (size, array_max, exact-decimal aggregate()) or sort_array it;
+    * whole-group computation with a declared order belongs in
+    * groupModify/flatMapGroups, and positional indices in
+    * [[groupRows]]. */
+  def curData(sel: Selector): Column = {
+    require(groups.nonEmpty, "cur_data: no active groups")
+    val cols = sel.resolve(df.schema).filterNot(groups.contains)
+    require(cols.nonEmpty, "cur_data: selection resolves to no non-group columns")
+    collect_list(struct(cols.map(df.col): _*))
+  }
+
+  /** cur_data_all(): [[curData]] over every non-group column. */
+  def curDataAll: Column = curData(TidySelect.everything)
+
   /** dense integer id per group, ordered by group key (cur_group_id).
     * Scale-safe: rank the distinct-key table via the range-partitioned
     * sort + zipWithIndex rowid (keys are distinct, so rowid == dense

@@ -238,6 +238,41 @@ class PlanSpec extends SparkTestBase {
     assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
   }
 
+  test("cur_data/cur_group accessors share ONE shuffle and ONE partitioned Window") {
+    val g = li.graft.groupBy("l_returnflag")
+    val q = g.mutate(
+        "grp" -> g.curGroup.getField("l_returnflag"),
+        "n" -> size(g.curDataAll),
+        "mx" -> array_max(transform(
+          g.curData(TidySelect.cols("l_quantity")), r => r.getField("l_quantity"))))
+      .df
+    val nodes = collectPlan(q.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      s"accessors did not share one shuffle:\n${q.queryExecution.executedPlan}")
+    val ws = nodes.collect { case w: WindowExec => w }
+    assert(ws.length == 1 && ws.forall(_.partitionSpec.nonEmpty),
+      s"expected one partitioned Window:\n${q.queryExecution.executedPlan}")
+  }
+
+  test("cur_data/cur_group semantics; ungrouped access fails loudly") {
+    val df = sqlDf("g" -> Seq("a", "a", "b"), "x" -> Seq(1.0, 3.0, 5.0))
+    val gf = df.graft.groupBy("g")
+    val out = gf.mutate(
+        "n" -> size(gf.curDataAll),
+        "tot" -> aggregate(
+          transform(gf.curData(TidySelect.cols("x")),
+            r => r.getField("x").cast("decimal(28,6)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+          (a, b) => a + b).cast("double"),
+        "k" -> gf.curGroup.getField("g"))
+      .ungroup.df.orderBy("x").select("g", "x", "n", "tot", "k")
+    assertRows(out, Seq(
+      Seq("a", 1.0, 2, 4.0, "a"), Seq("a", 3.0, 2, 4.0, "a"),
+      Seq("b", 5.0, 1, 5.0, "b")))
+    intercept[IllegalArgumentException](df.graft.curDataAll)
+    intercept[IllegalArgumentException](df.graft.curGroup)
+  }
+
   test("exact dedup aggregates with partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
