@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * sessionization) at SPARK_GRAFT_SF_DIR. Prints ONE JSON line.
   */
 object Bench {
-  /** Headline set — analytics + the scale-critical pipeline ops. */
+  /** Headline set — analytics + the scale-critical pipeline ops +
+    * the ungrouped scan/rowid topologies (so sf0.1→sf1 growth factors
+    * for the prefix-scan family are visible every round). */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topk", "q5_region_revenue",
     "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk", "d_rowwise2",
+    "d_cum_u", "b_rank_u",
     "x_dedup_exact", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_range_join", "x_multimodal",
@@ -47,10 +50,12 @@ object Bench {
     cache.getPath
   }
 
-  /** sf1-rehearsal subset: the analytical headliners plus the heavy
-    * pipeline operators whose scale behavior matters most. */
+  /** sf1-rehearsal subset: the analytical headliners, the heavy
+    * pipeline operators, and the ungrouped rowid/prefix-scan
+    * topologies (d_cum_u over 10× lineitem, b_rank_u over 10× part)
+    * whose linear-growth claims need sf1 evidence. */
   val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
-    "x_dedup_minhash", "x_range_join", "x_par_dedup")
+    "x_dedup_minhash", "x_range_join", "x_par_dedup", "d_cum_u", "b_rank_u")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
@@ -64,12 +69,13 @@ object Bench {
     import org.apache.spark.sql.functions._
     val cache = new java.io.File("target/benchcache/sf1synth")
     val ok = new java.io.File(cache, "_OK")
-    val marker = s"from:$benchDir:v1"
+    val marker = s"from:$benchDir:v2"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
     val K = 100000000L
-    val shiftCols = Set("l_orderkey", "o_orderkey", "o_custkey", "c_custkey", "doc_id")
+    val shiftCols = Set("l_orderkey", "o_orderkey", "o_custkey", "c_custkey",
+      "doc_id", "p_partkey")
     def replicate(tname: String, parts: Int): Unit = {
       val src = spark.read.parquet(s"$benchDir/$tname.parquet")
       val replicas = (0 until 10).map { i =>
@@ -88,6 +94,7 @@ object Bench {
     replicate("orders", 32)
     replicate("customer", 8)
     replicate("documents", 16)
+    replicate("part", 8)
     Seq("nation", "region").foreach { tname =>
       spark.read.parquet(s"$benchDir/$tname.parquet")
         .write.mode("overwrite").parquet(s"${cache.getPath}/$tname.parquet")

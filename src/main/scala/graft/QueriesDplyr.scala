@@ -375,10 +375,12 @@ object QueriesDplyr {
     // bit-identical to DuckDB's sequential running sum
     "d_cum_u" -> ((s, d) => {
       val ord = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
-      val base = t(s, d, "lineitem")
-      val s1 = ScanFns.withCumsum(base, col("l_quantity"), ord, "cum_qty")
-      val s2 = ScanFns.withCummax(s1, col("l_extendedprice"), ord, "cum_max_price")
-      ScanFns.withCummin(s2, col("l_extendedprice"), ord, "cum_min_price")
+      // all three running aggregates FUSED into one scan: one sort +
+      // two streamed passes, not one sort/persist per aggregate
+      ScanFns.withCumulatives(t(s, d, "lineitem"), Seq(
+          (col("l_quantity"), ScanFns.SumOp, "cum_qty"),
+          (col("l_extendedprice"), ScanFns.MaxOp, "cum_max_price"),
+          (col("l_extendedprice"), ScanFns.MinOp, "cum_min_price")), ord)
         .select("l_orderkey", "l_linenumber", "cum_qty", "cum_max_price", "cum_min_price")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),

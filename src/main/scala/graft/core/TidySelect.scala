@@ -55,13 +55,25 @@ object Selector {
   }
   private[core] final case class ValuePred(df: DataFrame, p: Column => Column,
                                            dtypeGuard: DataType => Boolean) extends Selector {
+    // Drop columns whose predicate cannot even analyze (type mismatch)
+    // — mirrors tidyselect where(fn) returning falsy. Batched: ONE
+    // driver-side analyzer probe covers all candidates when they all
+    // analyze (the common case — a 3000-column frame costs one
+    // invocation, not 3000); on failure, bisect so each bad column
+    // costs O(log n) probes instead of hiding the good ones.
+    private def analyzable(cands: Seq[String]): Seq[String] =
+      if (cands.isEmpty) Nil
+      else if (scala.util.Try(
+        df.select(cands.map(n => p(col(n)).cast("boolean")): _*)).isSuccess) cands
+      else if (cands.length == 1) Nil
+      else {
+        val (a, b) = cands.splitAt(cands.length / 2)
+        analyzable(a) ++ analyzable(b)
+      }
     def resolve(schema: StructType): Seq[String] = {
-      val cand = schema.fields.toSeq
+      val cand = analyzable(schema.fields.toSeq
         .filter(f => dtypeGuard(f.dataType) && df.columns.contains(f.name))
-        .map(_.name)
-        // drop columns whose predicate cannot even analyze (type
-        // mismatch) — mirrors tidyselect where(fn) returning falsy
-        .filter(n => scala.util.Try(df.select(p(col(n)).cast("boolean"))).isSuccess)
+        .map(_.name))
       if (cand.isEmpty) Nil
       else {
         val aggs = cand.map(n => p(col(n)).cast("boolean").as(n))

@@ -3,7 +3,7 @@ package graft.functions
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed UNGROUPED cumulative aggregates (base/cum.py at
@@ -39,45 +39,114 @@ import org.apache.spark.storage.StorageLevel
   */
 object ScanFns {
 
+  /** One running aggregate's kernel: empty accumulator, non-null-value
+    * step, partition-accumulator merge (must agree with a sequential
+    * fold — exact or associative arithmetic), output render. */
+  final case class ScanOp(zero: Any, step: (Any, Double) => Any,
+                          merge: (Any, Any) => Any, emit: Any => Any)
+
+  /** Exact-decimal running sum (scale 6, the repo's Exact.dsum policy). */
+  val SumOp: ScanOp = ScanOp(
+    null,
+    (acc, v) => {
+      val d = JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+      if (acc == null) d else acc.asInstanceOf[JBigDecimal].add(d)
+    },
+    (a, b) =>
+      if (a == null) b else if (b == null) a
+      else a.asInstanceOf[JBigDecimal].add(b.asInstanceOf[JBigDecimal]),
+    acc => if (acc == null) null else acc.asInstanceOf[JBigDecimal].doubleValue)
+
+  /** Running max (associative — plain doubles). */
+  val MaxOp: ScanOp = ScanOp(
+    null,
+    (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
+      else java.lang.Double.valueOf(math.max(acc.asInstanceOf[java.lang.Double], v)),
+    (a, b) => if (a == null) b else if (b == null) a
+      else java.lang.Double.valueOf(math.max(
+        a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
+    acc => acc)
+
+  /** Running min. */
+  val MinOp: ScanOp = ScanOp(
+    null,
+    (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
+      else java.lang.Double.valueOf(math.min(acc.asInstanceOf[java.lang.Double], v)),
+    (a, b) => if (a == null) b else if (b == null) a
+      else java.lang.Double.valueOf(math.min(
+        a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
+    acc => acc)
+
   /** Running sum of `x` over the total order `order`, exact-decimal
     * accumulation, null-skipping like `sum() OVER` (null until the
     * first non-null value). */
   def withCumsum(df: DataFrame, x: Column, order: Seq[Column], as: String,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    prefixScan(df, x, order, as, DoubleType, storage)(
-      null,
-      (acc, v) => {
-        val d = JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
-        if (acc == null) d else acc.asInstanceOf[JBigDecimal].add(d)
-      },
-      (a, b) =>
-        if (a == null) b else if (b == null) a
-        else a.asInstanceOf[JBigDecimal].add(b.asInstanceOf[JBigDecimal]),
-      acc => if (acc == null) null else acc.asInstanceOf[JBigDecimal].doubleValue)
+    withCumulatives(df, Seq((x, SumOp, as)), order, storage)
 
   /** Running max over the total order (associative — plain doubles). */
   def withCummax(df: DataFrame, x: Column, order: Seq[Column], as: String,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    prefixScan(df, x, order, as, DoubleType, storage)(
-      null,
-      (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
-        else java.lang.Double.valueOf(math.max(acc.asInstanceOf[java.lang.Double], v)),
-      (a, b) => if (a == null) b else if (b == null) a
-        else java.lang.Double.valueOf(math.max(
-          a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
-      acc => acc)
+    withCumulatives(df, Seq((x, MaxOp, as)), order, storage)
 
   /** Running min over the total order. */
   def withCummin(df: DataFrame, x: Column, order: Seq[Column], as: String,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    prefixScan(df, x, order, as, DoubleType, storage)(
-      null,
-      (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
-        else java.lang.Double.valueOf(math.min(acc.asInstanceOf[java.lang.Double], v)),
-      (a, b) => if (a == null) b else if (b == null) a
-        else java.lang.Double.valueOf(math.min(
-          a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
-      acc => acc)
+    withCumulatives(df, Seq((x, MinOp, as)), order, storage)
+
+  /** N running aggregates in ONE scan: a single range-partitioned sort
+    * and two streamed passes cover every (input, op, name) triple —
+    * NOT one sort + persist + two passes per aggregate, which is what
+    * chaining withCumsum∘withCummax∘withCummin costs (3× the sorts and
+    * 3× the Row round-trips; at sf1 the chained d_cum_u form ran ~3×
+    * slower than fused). Use this whenever a verb computes several
+    * whole-frame cumulatives over the same order. */
+  def withCumulatives(df: DataFrame, ops: Seq[(Column, ScanOp, String)],
+                      order: Seq[Column],
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order.nonEmpty, "ungrouped cum* needs a declared total order")
+    require(ops.nonEmpty, "withCumulatives: no aggregates given")
+    val n = ops.length
+    val inCols = df.columns.map(df.col) ++
+      ops.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__sx$i") }
+    val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
+    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__sx$i"))
+    val kernels = ops.map(_._2).toArray
+    val rdd = sorted.rdd.persist(storage)
+    val totals: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = Array.tabulate[Any](n)(j => kernels(j).zero)
+      it.foreach { r =>
+        var j = 0
+        while (j < n) {
+          if (!r.isNullAt(xi(j))) acc(j) = kernels(j).step(acc(j), r.getDouble(xi(j)))
+          j += 1
+        }
+      }
+      Iterator.single((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(Array.tabulate[Any](n)(j => kernels(j).zero)) {
+      (a, b) => Array.tabulate[Any](n)(j => kernels(j).merge(a(j), b(j)))
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bc.value(i).clone()
+      it.map { r =>
+        val base = r.toSeq.dropRight(n)
+        val outs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          if (!r.isNullAt(xi(j))) acc(j) = kernels(j).step(acc(j), r.getDouble(xi(j)))
+          outs(j) = kernels(j).emit(acc(j))
+          j += 1
+        }
+        Row.fromSeq(base ++ outs)
+      }
+    }
+    val outSchema = StructType(
+      sorted.schema.fields.dropRight(n) ++
+        ops.map { case (_, _, as) => StructField(as, DoubleType, nullable = true) })
+    sorted.sparkSession.createDataFrame(outRows, outSchema)
+  }
 
   /** Whole-frame "fill down" — the running LAST NON-NULL value of each
     * column in `cols` under the total order, written IN PLACE (types
@@ -124,35 +193,4 @@ object ScanFns {
     sorted.sparkSession.createDataFrame(outRows, sorted.schema)
   }
 
-  /** The two-phase scan skeleton: `zero` is the empty accumulator
-    * (null = "no value yet"), `step` absorbs one non-null double,
-    * `merge` combines two partition accumulators (must agree with a
-    * sequential fold — use exact or associative arithmetic), `emit`
-    * renders the accumulator as the output value. */
-  private def prefixScan(df: DataFrame, x: Column, order: Seq[Column],
-                         as: String, outType: DataType, storage: StorageLevel)(
-      zero: Any, step: (Any, Double) => Any, merge: (Any, Any) => Any,
-      emit: Any => Any): DataFrame = {
-    require(order.nonEmpty, "ungrouped cum* needs a declared total order")
-    val sorted = df.orderBy(order: _*).withColumn("__sx", x.cast("double"))
-    val xi = sorted.schema.fieldIndex("__sx")
-    val rdd = sorted.rdd.persist(storage)
-    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = zero
-      it.foreach(r => if (!r.isNullAt(xi)) acc = step(acc, r.getDouble(xi)))
-      Iterator.single((i, acc))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(zero)(merge)
-    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
-    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { r =>
-        if (!r.isNullAt(xi)) acc = step(acc, r.getDouble(xi))
-        Row.fromSeq(r.toSeq.init :+ emit(acc))
-      }
-    }
-    val outSchema = StructType(
-      sorted.schema.fields.init :+ StructField(as, outType, nullable = true))
-    sorted.sparkSession.createDataFrame(outRows, outSchema)
-  }
 }

@@ -29,10 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Floor-division to a bin id, exact on longs (integer `/` truncates
     * toward zero; pmod makes it a true floor for negative values). */
   private def bin(c: Column, width: Long): Column =
     ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+
+  /** Bin rows one interval expands to: floor(hi/w) − floor(lo/w) + 1. */
+  private def binsPerInterval(loCol: String, hiCol: String, width: Long): Column =
+    bin(col(hiCol).cast("long"), width) - bin(col(loCol).cast("long"), width) + lit(1L)
+
+  /** Replication telemetry for the interval side — the knob a 100 TB
+    * user reads BEFORE running the join. One tiny aggregate over the
+    * intervals (an explicit action; the join itself never runs hidden
+    * jobs): how many bin rows the explode produces in total, on
+    * average, and in the worst row. avg ≫ 2 means `binWidth` is far
+    * below the typical interval length (shrink the blowup by widening
+    * the bins); max ≫ avg flags a few huge intervals that will fan out
+    * hot bins (consider splitting them or raising binWidth). */
+  final case class ReplicationStats(intervals: Long, replicatedRows: Long,
+                                    avgBinsPerInterval: Double,
+                                    maxBinsPerInterval: Long) {
+    override def toString: String =
+      f"ReplicationStats(intervals=$intervals, replicatedRows=$replicatedRows, " +
+        f"avg=$avgBinsPerInterval%.2f, max=$maxBinsPerInterval)"
+  }
+
+  def replicationStats(intervals: DataFrame, loCol: String, hiCol: String,
+                       binWidth: Long): ReplicationStats = {
+    require(binWidth > 0, s"range join: binWidth must be positive (got $binWidth)")
+    val b = binsPerInterval(loCol, hiCol, binWidth)
+    val r = intervals.agg(count(lit(1)).as("n"), sum(b).as("tot"), max(b).as("mx")).head()
+    val n = r.getLong(0)
+    val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val mx = if (r.isNullAt(2)) 0L else r.getLong(2)
+    ReplicationStats(n, tot, if (n == 0) 0.0 else tot.toDouble / n, mx)
+  }
 
   /** Point-in-interval join on numeric (long-castable) columns.
     * `points` rows join every `intervals` row whose
@@ -42,6 +75,12 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"range join: binWidth must be positive (got $binWidth)")
+    // telemetry, not a job: the actual replication count is one tiny
+    // aggregate away via replicationStats — surface the knob loudly so
+    // the blowup is visible before a 100 TB run
+    log.info(s"range join: binWidth=$binWidth; each interval explodes to " +
+      "floor(hi/binWidth)-floor(lo/binWidth)+1 bin rows - call " +
+      "RangeJoin.replicationStats(intervals, lo, hi, binWidth) to quantify")
     val p = points.withColumn("__bin", bin(col(pointCol).cast("long"), binWidth))
     val i = intervals.withColumn("__bin",
       explode(sequence(bin(col(loCol).cast("long"), binWidth),

@@ -363,6 +363,22 @@ class OpsSpec extends SparkTestBase {
     assert(got.contains((2L, 10L)) && got.contains((2L, 20L)) && !got.exists(_._1 == 4L))
   }
 
+  test("range join replication stats bound the bin explode for a known distribution") {
+    // ten aligned length-20 intervals, binWidth 10 → exactly 2 bins each
+    val ivs = sqlDf("i_id" -> (0L until 10L),
+      "lo" -> (0L until 10L).map(_ * 10L),
+      "hi" -> (0L until 10L).map(_ * 10L + 19L))
+    val s10 = RangeJoin.replicationStats(ivs, "lo", "hi", binWidth = 10L)
+    assert(s10 == RangeJoin.ReplicationStats(10L, 20L, 2.0, 2L), s10.toString)
+    // widening the bins to the full span collapses replication to ~1
+    val s100 = RangeJoin.replicationStats(ivs, "lo", "hi", binWidth = 100L)
+    assert(s100.replicatedRows <= 11L && s100.maxBinsPerInterval <= 2L, s100.toString)
+    // one huge interval shows up in max, not hidden in the average
+    val skew = sqlDf("i_id" -> Seq(1L, 2L), "lo" -> Seq(0L, 0L), "hi" -> Seq(9L, 999L))
+    val sk = RangeJoin.replicationStats(skew, "lo", "hi", binWidth = 10L)
+    assert(sk.maxBinsPerInterval == 100L && sk.intervals == 2L, sk.toString)
+  }
+
   test("range join plan is an equi-join on the bin, not a nested loop") {
     val points = sqlDf("p_id" -> Seq(1L), "v" -> Seq(5L))
     val ivs = sqlDf("i_id" -> Seq(10L), "lo" -> Seq(0L), "hi" -> Seq(20L))

@@ -238,6 +238,24 @@ class PlanSpec extends SparkTestBase {
     assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
   }
 
+  test("fused multi-aggregate scan equals the chained single scans") {
+    import graft.functions.ScanFns
+    val df = sqlDf("k" -> (1 to 300), "v" -> (1 to 300).map(i => (i * 11 % 17) / 3.0),
+      "w" -> (1 to 300).map(i => (i * 5 % 23) * 1.5))
+      .repartition(7)
+    val ord = Seq(col("k").asc)
+    val fused = ScanFns.withCumulatives(df, Seq(
+        (col("v"), ScanFns.SumOp, "cs"), (col("w"), ScanFns.MaxOp, "cm"),
+        (col("w"), ScanFns.MinOp, "cn")), ord)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val chained = ScanFns.withCummin(
+        ScanFns.withCummax(
+          ScanFns.withCumsum(df, col("v"), ord, "cs"), col("w"), ord, "cm"),
+        col("w"), ord, "cn")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(fused == chained)
+  }
+
   test("cur_data/cur_group accessors share ONE shuffle and ONE partitioned Window") {
     val g = li.graft.groupBy("l_returnflag")
     val q = g.mutate(
