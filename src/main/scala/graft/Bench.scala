@@ -127,9 +127,17 @@ object Bench {
       // A failed query is reported in a separate "failed" array and
       // omitted from the timings map, so consumers summing/min-ing the
       // map can't mistake a sentinel for a timing.
-      try { qs(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+      val r =
+        try { qs(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+      // the 2-pass scan operators persist their sorted rows and leave
+      // them cached (the output stays lazy); drop them OUTSIDE the
+      // timing so one query's cache pressure can't skew the next
+      // (x_contam swung 0.29->0.95 behind d_cum_u before this)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
     }
     // two timed runs per query, report the min — host noise between
     // identical runs has a documented ±40% band and single-shot totals

@@ -385,6 +385,29 @@ object QueriesDplyr {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // UNGROUPED rolling over the whole fact table: two-phase scan with
+    // a (k-1)-value carry between partitions — the scale-safe twin of
+    // WindowFns.roll* (no single-partition window; PlanSpec asserts)
+    "d_rolling_u" -> ((s, d) => {
+      val ord = Seq(col("o_orderkey").asc)
+      ScanFns.withRolling(t(s, d, "orders"), Seq(
+          (col("o_totalprice"), ScanFns.RollSum, "roll_sum"),
+          (col("o_totalprice"), ScanFns.RollMean, "roll_mean"),
+          (col("o_totalprice"), ScanFns.RollMin, "roll_min"),
+          (col("o_totalprice"), ScanFns.RollMax, "roll_max")), k = 3, ord)
+        .select("o_orderkey", "roll_sum", "roll_mean", "roll_min", "roll_max")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // UNGROUPED consecutive_id over a whole-frame order: per-partition
+    // (first, last, changes) summaries + broadcast carry — never a
+    // global window
+    "d_consecutive_id_u" -> ((s, d) =>
+      ScanFns.withConsecutiveId(t(s, d, "orders"),
+          Seq(col("o_orderstatus")), Seq(col("o_orderkey").asc), "run_id")
+        .select("o_orderkey", "o_orderstatus", "run_id")
+        .orderBy(col("o_orderkey"))),
+
     "d_cumprod" -> ((s, d) => {
       val part = Seq(col("l_orderkey"))
       // l_linenumber is non-unique: tiebreak on the aggregated values
@@ -839,6 +862,28 @@ object QueriesDplyr {
         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "d_rolling_u" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) AS roll_mean,
+        |  min(o_totalprice) OVER w AS roll_min,
+        |  max(o_totalprice) OVER w AS roll_max
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d_consecutive_id_u" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(sum(chg) OVER (ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus IS DISTINCT FROM lag(o_orderstatus)
+        |      OVER (ORDER BY o_orderkey) THEN 1 ELSE 0 END AS chg
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d_case" ->
       """SELECT l_orderkey, l_linenumber,

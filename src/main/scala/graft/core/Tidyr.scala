@@ -133,32 +133,36 @@ object Tidyr {
   }
 
   /** Ungrouped tidyr::fill over a whole-frame total order, scale-safe:
-    * a global rowid is materialized ONCE (range-partitioned sort +
-    * zipWithIndex, Tibble.rowidToColumn), then each direction is a
-    * two-phase last-non-null prefix scan along that rowid
-    * (ScanFns.withFillLast) — "up" is the same scan along rowid
-    * DESCENDING, "downup"/"updown" chain the two. Every selected
-    * column fills in the same passes; no single-partition window
-    * anywhere in the plan. Cost: one sort for the rowid plus one
-    * sort + two streamed passes per direction (see the ScanFns persist
-    * contract for the storage knob). */
+    * each direction is ONE two-phase last-non-null prefix scan
+    * (ScanFns.withFillLast) along the order — "down" sorts it
+    * ascending, "up" descending (`.asc`/`.desc` are exact reverses),
+    * "downup"/"updown" chain the two scans. Every selected column
+    * fills in the same passes; no single-partition window anywhere in
+    * the plan. Cost: one sort + two streamed passes per direction (see
+    * the ScanFns persist contract for the storage knob).
+    *
+    * `order` columns must be PLAIN expressions (no .asc/.desc — both
+    * traversal directions are derived here), and must be a total order
+    * up to rows with identical fill values: rows tied on `order` may
+    * interleave differently between directions, which is only
+    * observable if tied rows disagree on a filled column's nullity or
+    * value — include the filled columns in `order` (like t_fill does
+    * with l_tax) or use unique keys. */
   def fillGlobal(df: DataFrame, sel: Selector, order: Seq[Column],
                  direction: String = "down"): DataFrame = {
     require(Set("down", "up", "downup", "updown").contains(direction),
       s"fill: unknown direction '$direction'")
     val cols = sel.resolve(df.schema)
-    val rid = Tibble.rowidToColumn(df, order, "__fill_rid")
     val down = (d: DataFrame) =>
-      graft.functions.ScanFns.withFillLast(d, cols, Seq(col("__fill_rid").asc))
+      graft.functions.ScanFns.withFillLast(d, cols, order.map(_.asc))
     val up = (d: DataFrame) =>
-      graft.functions.ScanFns.withFillLast(d, cols, Seq(col("__fill_rid").desc))
-    val filled = direction match {
-      case "down"   => down(rid)
-      case "up"     => up(rid)
-      case "downup" => up(down(rid))
-      case "updown" => down(up(rid))
+      graft.functions.ScanFns.withFillLast(d, cols, order.map(_.desc))
+    direction match {
+      case "down"   => down(df)
+      case "up"     => up(df)
+      case "downup" => up(down(df))
+      case "updown" => down(up(df))
     }
-    filled.drop("__fill_rid")
   }
 
   def dropNa(df: DataFrame, sel: Selector): DataFrame =

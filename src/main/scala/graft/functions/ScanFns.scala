@@ -148,6 +148,159 @@ object ScanFns {
     sorted.sparkSession.createDataFrame(outRows, outSchema)
   }
 
+  /** Ungrouped dplyr::consecutive_id over a whole-frame total order —
+    * the scale-safe twin of WindowFns.consecutiveId with no partition:
+    * a new id (from 1) each time the key combination changes along the
+    * order, null-safe (a run of NULLs is one group, like <=>). Two
+    * phases: each partition reports (first key, last key, internal
+    * change count) — #partitions tiny rows to the driver — then the
+    * carry-in (id so far, previous key) broadcasts and every partition
+    * streams once. */
+  def withConsecutiveId(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                        as: String,
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order.nonEmpty, "ungrouped consecutive_id needs a declared total order")
+    require(keys.nonEmpty, "consecutive_id: no key columns")
+    val n = keys.length
+    val inCols = df.columns.map(df.col) ++
+      keys.zipWithIndex.map { case (k, i) => k.as(s"__ck$i") }
+    val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
+    val ki = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__ck$i"))
+    def keyOf(r: Row): Seq[Any] = ki.map(r.get).toSeq
+    val rdd = sorted.rdd.persist(storage)
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var first: Option[Seq[Any]] = None
+      var last: Option[Seq[Any]] = None
+      var changes = 0L
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (first.isEmpty) first = Some(k)
+        else if (k != last.get) changes += 1
+        last = Some(k)
+      }
+      Iterator.single((i, (first, last, changes)))
+    }.collect().sortBy(_._1).map(_._2)
+    // sequential replay over the partition summaries: carry-in for
+    // partition i is (id of its first row assuming no change at the
+    // boundary, key of the last row before it)
+    val offsets = new Array[(Long, Option[Seq[Any]])](sums.length)
+    var id = 1L
+    var prev: Option[Seq[Any]] = None
+    for (i <- sums.indices) {
+      offsets(i) = (id, prev)
+      val (f, l, c) = sums(i)
+      if (f.nonEmpty) {
+        if (prev.nonEmpty && f.get != prev.get) id += 1
+        id += c
+        prev = l
+      }
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(offsets)
+    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var (cur, prevK) = bc.value(i)
+      it.map { r =>
+        val k = keyOf(r)
+        if (prevK.nonEmpty && k != prevK.get) cur += 1
+        prevK = Some(k)
+        Row.fromSeq(r.toSeq.dropRight(n) :+ cur)
+      }
+    }
+    val outSchema = StructType(
+      sorted.schema.fields.dropRight(n) :+
+        StructField(as, org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(outRows, outSchema)
+  }
+
+  /** One rolling aggregate over the trailing-k frame: "sum" (exact
+    * decimal), "mean" (exact sum / window row count, like
+    * WindowFns.rollMean), "min", "max". Nulls are skipped like the SQL
+    * aggregates (an all-null window emits null; mean still divides by
+    * the window ROW count). */
+  sealed abstract class RollKind(val name: String)
+  case object RollSum extends RollKind("sum")
+  case object RollMean extends RollKind("mean")
+  case object RollMin extends RollKind("min")
+  case object RollMax extends RollKind("max")
+
+  /** Ungrouped rolling (trailing k rows, current inclusive, partial
+    * head windows) over a whole-frame total order — the scale-safe
+    * twin of WindowFns.roll* with no partition. The carry between
+    * partitions is just the previous k-1 values per spec column
+    * (#partitions × (k-1) scalars through the driver), so the whole
+    * frame never meets one task. Each row recomputes its ≤k-value
+    * window (O(k) per row — the expected regime is small k); sums are
+    * exact decimal so partition boundaries can't perturb association.
+    * All specs share ONE sort + two passes, like [[withCumulatives]]. */
+  def withRolling(df: DataFrame, specs: Seq[(Column, RollKind, String)], k: Int,
+                  order: Seq[Column],
+                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order.nonEmpty, "ungrouped rolling needs a declared total order")
+    require(specs.nonEmpty, "withRolling: no aggregates given")
+    require(k >= 1, s"rolling window width must be >= 1 (got $k)")
+    val n = specs.length
+    val inCols = df.columns.map(df.col) ++
+      specs.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__rx$i") }
+    val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
+    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__rx$i"))
+    val kinds = specs.map(_._2).toArray
+    val rdd = sorted.rdd.persist(storage)
+    // pass 1: the last k-1 values (nullable) of each partition, per
+    // spec, plus the partition's row count — short partitions pass
+    // their full contents so the walk below can look further back
+    val tails: Array[Array[Vector[Any]]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val buf = Array.fill(n)(Vector.empty[Any])
+      it.foreach { r =>
+        var j = 0
+        while (j < n) {
+          val v: Any = if (r.isNullAt(xi(j))) null else r.getDouble(xi(j))
+          buf(j) = (buf(j) :+ v).takeRight(math.max(k - 1, 0))
+          j += 1
+        }
+      }
+      Iterator.single((i, buf))
+    }.collect().sortBy(_._1).map(_._2)
+    // carry(i) = last k-1 values before partition i (per spec)
+    val carries = new Array[Array[Vector[Any]]](tails.length)
+    var run = Array.fill(n)(Vector.empty[Any])
+    for (i <- tails.indices) {
+      carries(i) = run.map(identity)
+      run = Array.tabulate(n)(j => (run(j) ++ tails(i)(j)).takeRight(math.max(k - 1, 0)))
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(carries)
+    def evalWindow(kind: RollKind, win: Vector[Any]): Any = {
+      val vs = win.collect { case d: Double => d }
+      kind match {
+        case RollSum | RollMean =>
+          if (vs.isEmpty) null
+          else {
+            val s = vs.foldLeft(JBigDecimal.ZERO)((a, v) =>
+              a.add(JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)))
+            if (kind == RollSum) s.doubleValue else s.doubleValue / win.length
+          }
+        case RollMin => if (vs.isEmpty) null else vs.min
+        case RollMax => if (vs.isEmpty) null else vs.max
+      }
+    }
+    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      val win = bc.value(i).map(identity)
+      it.map { r =>
+        val outs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val v: Any = if (r.isNullAt(xi(j))) null else r.getDouble(xi(j))
+          win(j) = (win(j) :+ v).takeRight(k)
+          outs(j) = evalWindow(kinds(j), win(j))
+          j += 1
+        }
+        Row.fromSeq(r.toSeq.dropRight(n) ++ outs)
+      }
+    }
+    val outSchema = StructType(
+      sorted.schema.fields.dropRight(n) ++
+        specs.map { case (_, _, as) => StructField(as, DoubleType, nullable = true) })
+    sorted.sparkSession.createDataFrame(outRows, outSchema)
+  }
+
   /** Whole-frame "fill down" — the running LAST NON-NULL value of each
     * column in `cols` under the total order, written IN PLACE (types
     * preserved, schema unchanged). Backs tidyr::fill's ungrouped form

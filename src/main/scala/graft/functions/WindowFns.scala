@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *   - ranks / row ids  → SeqFns.withRankMin / withRankAvg /
   *     withOrderIndex, Tibble.rowidToColumn
   *   - lead / lag / diff → SeqFns.withLead / withLag / withDiff
-  *   - cum*             → ScanFns.withCumsum / withCummax / withCummin
+  *   - cum*             → ScanFns.withCumulatives (withCumsum/max/min)
+  *   - rolling          → ScanFns.withRolling
+  *   - consecutive_id   → ScanFns.withConsecutiveId
   */
 object WindowFns {
   private def w(part: Seq[Column], order: Seq[Column]) = {

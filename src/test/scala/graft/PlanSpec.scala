@@ -181,7 +181,7 @@ class PlanSpec extends SparkTestBase {
         last(col("v"), ignoreNulls = true).over(wD),
         first(col("v"), ignoreNulls = true).over(wU))))
     want.foreach { case (dir, exp) =>
-      val got = Tidyr.fillGlobal(df, TidySelect.cols("v"), Seq(col("k").asc), dir)
+      val got = Tidyr.fillGlobal(df, TidySelect.cols("v"), Seq(col("k")), dir)
         .orderBy("k").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
       val ref = exp.orderBy("k").collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
       assert(got == ref, s"direction $dir mismatch")
@@ -236,6 +236,46 @@ class PlanSpec extends SparkTestBase {
     // and the scan's plan has no Window at all
     val q = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
     assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
+  }
+
+  test("ungrouped rolling/consecutive_id scans match the single-partition window forms") {
+    import graft.functions.ScanFns
+    import org.apache.spark.sql.expressions.Window
+    val df = sqlDf("k" -> (1 to 200),
+      "v" -> (1 to 200).map(i => if (i % 11 == 0) null else java.lang.Double.valueOf((i * 7 % 13) / 7.0)),
+      "s" -> (1 to 200).map(i => if (i % 17 < 3) null else s"g${i / 8 % 3}"))
+      .repartition(8) // multi-partition so the carries matter
+    val ord = Seq(col("k").asc)
+    // rolling: sum/mean/min/max over trailing 4 rows
+    val gotR = ScanFns.withRolling(df, Seq(
+        (col("v"), ScanFns.RollSum, "rs"), (col("v"), ScanFns.RollMean, "rm"),
+        (col("v"), ScanFns.RollMin, "rn"), (col("v"), ScanFns.RollMax, "rx")), 4, ord)
+      .orderBy("k").collect().map(r => (1 to 4).map(i => Option(r.get(r.length - 5 + i)))).toSeq
+    val w = Window.orderBy("k").rowsBetween(-3, 0)
+    val wantR = df
+      .withColumn("rs", sum(col("v").cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("rm", sum(col("v").cast("decimal(28,6)")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double"))
+      .withColumn("rn", min(col("v")).over(w))
+      .withColumn("rx", max(col("v")).over(w))
+      .orderBy("k").collect().map(r => (1 to 4).map(i => Option(r.get(r.length - 5 + i)))).toSeq
+    assert(gotR == wantR)
+    // consecutive_id: null runs are one group, starts at 1
+    val gotC = ScanFns.withConsecutiveId(df, Seq(col("s")), ord, "cid")
+      .orderBy("k").collect().map(r => r.getLong(r.length - 1)).toSeq
+    val ww = Window.orderBy("k")
+    val wantC = df
+      .withColumn("chg", when(row_number().over(ww) === 1 ||
+        !(col("s") <=> lag(col("s"), 1).over(ww)), 1).otherwise(0))
+      .withColumn("cid", sum(col("chg")).over(ww.rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("k").collect().map(r => r.getLong(r.length - 1)).toSeq
+    assert(gotC == wantC)
+    // and neither plan contains a Window operator at all
+    Seq(
+      ScanFns.withRolling(df, Seq((col("v"), ScanFns.RollSum, "rs")), 4, ord),
+      ScanFns.withConsecutiveId(df, Seq(col("s")), ord, "cid")).foreach { q =>
+      assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
+    }
   }
 
   test("fused multi-aggregate scan equals the chained single scans") {
