@@ -106,6 +106,27 @@ object QueriesDplyr {
         .withColumn("rows", concat_ws(",", col("rows")))
         .orderBy(col("n_regionkey"))),
 
+    // UNGROUPED mutate with whole-frame aggregates (dplyr: mutate over
+    // no groups references the GRAND aggregate): bare aggs extract
+    // into ONE agg + broadcast cross join — no bare agg in the
+    // projection, no single-partition window (PlanSpec asserts)
+    "d_mutate_agg_u" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .mutate(
+          "share" -> (col("o_totalprice") / dsum(col("o_totalprice"))),
+          "n_all" -> count(lit(1)),
+          "dev" -> (col("o_totalprice") - davg(col("o_totalprice"))))
+        .select("o_orderkey", "share", "n_all", "dev")
+        .arrange(col("o_orderkey")).df),
+
+    // UNGROUPED filter against a whole-frame aggregate (dplyr
+    // filter(x > mean(x))): same extract + broadcast topology
+    "d_filter_agg_u" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .filterRows(col("o_totalprice") > davg(col("o_totalprice")) * lit(1.5))
+        .select("o_orderkey", "o_totalprice")
+        .arrange(col("o_orderkey")).df),
+
     // cur_data()/cur_group() accessor sugar inside a grouped mutate
     // (reference api/dplyr/context.py): collect_list(struct) columns
     // auto-windowed over the groups — all three accessors share the
@@ -647,6 +668,24 @@ object QueriesDplyr {
         |  SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rn
         |  FROM nation)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "d_mutate_agg_u" ->
+      s"""SELECT o_orderkey,
+        |  o_totalprice / t AS share,
+        |  n AS n_all,
+        |  o_totalprice - a AS dev
+        |FROM orders CROSS JOIN (
+        |  SELECT ${Exact.dsumSql("o_totalprice")} AS t,
+        |         count(*) AS n,
+        |         ${Exact.davgSql("o_totalprice")} AS a
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "d_filter_agg_u" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+        |CROSS JOIN (SELECT ${Exact.davgSql("o_totalprice")} AS a FROM orders)
+        |WHERE o_totalprice > a * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
 
     "d_cur_data" ->
       """SELECT o_orderkey, o_orderpriority AS grp,

@@ -164,18 +164,32 @@ final class GraftFrame private (
   def mutate(cols: (String, Column)*): GraftFrame = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => CB}
     val groupColsByName = groups.map(col)
+    // UNGROUPED frames still honor dplyr's aggregate semantics —
+    // mutate(share = x / sum(x)) divides by the GRAND total: bare
+    // aggregates are extracted, computed in ONE whole-frame agg, and
+    // broadcast-cross-joined back (1 row), never a global window
+    val extractor =
+      if (groups.isEmpty && !isRowwise) Some(WindowRewrite.aggExtractor()) else None
     val (_, out) = cols.foldLeft((Map.empty[String, Column], Vector.empty[(String, Column)])) {
       case ((defs, acc), (n, c)) =>
         val sub = CB.substitute(c, defs)
         val rewritten =
           if (isRowwise) WindowRewrite.perRow(sub)
-          else WindowRewrite.overGroups(sub, groupColsByName)
+          else if (groups.nonEmpty) WindowRewrite.overGroups(sub, groupColsByName)
+          else extractor.get.extract(sub)
         // only NEW names participate in later substitution: redefining an
         // existing column shadows it for later exprs too (dplyr), which
         // the substitution also covers
         (defs + (n -> sub), acc :+ (n -> rewritten))
     }
-    withDf(df.withColumns(out.toMap))
+    val base = extractor match {
+      case Some(ex) if ex.aggs.nonEmpty =>
+        val aggCols = ex.aggs.map { case (name, a) => a.as(name) }
+        df.crossJoin(broadcast(df.agg(aggCols.head, aggCols.tail: _*)))
+      case _ => df
+    }
+    val withNew = base.withColumns(out.toMap)
+    withDf(extractor.fold(withNew)(ex => withNew.drop(ex.names: _*)))
   }
   def transmute(cols: (String, Column)*): GraftFrame = {
     val m = mutate(cols: _*).df
@@ -205,7 +219,10 @@ final class GraftFrame private (
 
   // ---- filter (filter_.py) ----------------------------------------------
   /** Grouped frames may use aggregate predicates, e.g.
-    * filter(x == max(x)) keeps per-group maxima. */
+    * filter(x == max(x)) keeps per-group maxima; UNGROUPED frames
+    * compare against the whole-frame aggregate (dplyr
+    * filter(x > mean(x))) via one agg + broadcast join — never a
+    * single-partition window. */
   def filterRows(preds: Column*): GraftFrame = {
     val combined = preds.reduce(_ && _)
     if (groups.nonEmpty && WindowRewrite.hasAgg(combined)) {
@@ -213,6 +230,12 @@ final class GraftFrame private (
       // rewritten predicate as a column first (Catalyst prunes it)
       val p = WindowRewrite.overGroups(combined, groupCols)
       withDf(df.withColumn("__graft_p", p).filter(col("__graft_p")).drop("__graft_p"))
+    } else if (groups.isEmpty && !isRowwise && WindowRewrite.hasAgg(combined)) {
+      val ex = WindowRewrite.aggExtractor()
+      val p = ex.extract(combined)
+      val aggCols = ex.aggs.map { case (name, a) => a.as(name) }
+      withDf(df.crossJoin(broadcast(df.agg(aggCols.head, aggCols.tail: _*)))
+        .filter(p).drop(ex.names: _*))
     } else withDf(df.filter(combined))
   }
 

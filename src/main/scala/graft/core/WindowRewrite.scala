@@ -41,6 +41,16 @@ object WindowRewrite {
   def hasAgg(col: Column): Boolean =
     ExpressionUtils.hasAgg(col, AggNames.contains)
 
+  /** Extractor for the UNGROUPED whole-frame aggregate path: dplyr's
+    * `mutate(share = x / sum(x))` / `filter(x > mean(x))` with no
+    * groups references the GRAND aggregate. The verb extracts every
+    * bare aggregate call (deduplicated), computes them all in ONE
+    * whole-frame agg, and broadcast-cross-joins the 1-row result —
+    * one extra source pass, no bare aggregate in a projection, no
+    * single-partition window. */
+  def aggExtractor(): ExpressionUtils.AggExtractor =
+    new ExpressionUtils.AggExtractor(AggNames.contains)
+
   /** Rowwise mode (dplyr rowwise():
     * /root/reference/datar_polars/api/dplyr/group_by.py): the aggregate
     * vocabulary is reinterpreted PER ROW over an array-valued argument

@@ -105,6 +105,42 @@ object ColumnBridge {
     Column(rw(c.node))
   }
 
+  /** Extraction for the UNGROUPED mutate/filter path (dplyr's
+    * whole-frame aggregate semantics: `mutate(share = x / sum(x))` on
+    * an ungrouped frame divides by the GRAND total). Every bare
+    * aggregate call is replaced by a reference to a generated column;
+    * the caller computes all extracted aggregates in ONE whole-frame
+    * agg and broadcast-cross-joins the 1-row result — never a bare
+    * aggregate in a projection, never a single-partition window.
+    * Aggregate subtrees are deduplicated by their printed form, so
+    * `sum(x)` appearing in three expressions is computed once. */
+  final class AggExtractor(isAgg: String => Boolean) {
+    private val found =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, ColumnNode)]
+    def extract(c: Column): Column = Column(rw(c.node))
+    /** (generated name, aggregate column) pairs, first-seen order. */
+    def aggs: Seq[(String, Column)] =
+      found.values.toSeq.map { case (n, node) => (n, Column(node)) }
+    def names: Seq[String] = found.values.toSeq.map(_._1)
+    private def rw(n: ColumnNode): ColumnNode = n match {
+      case w: Window => w
+      case f: UnresolvedFunction if isAgg(f.functionName.toLowerCase) =>
+        val (name, _) = found.getOrElseUpdate(f.toString, (s"__graft_agg${found.size}", f))
+        org.apache.spark.sql.functions.col(name).node
+      case f: UnresolvedFunction => f.copy(arguments = f.arguments.map(rw))
+      case a: Alias              => a.copy(child = rw(a.child))
+      case t: Cast               => t.copy(child = rw(t.child))
+      case cw: CaseWhenOtherwise =>
+        cw.copy(branches = cw.branches.map { case (p, v) => (rw(p), rw(v)) },
+          otherwise = cw.otherwise.map(rw))
+      case ev: UnresolvedExtractValue =>
+        ev.copy(child = rw(ev.child), extraction = rw(ev.extraction))
+      case so: SortOrder => so.copy(child = rw(so.child))
+      case lf: LambdaFunction => lf.copy(function = rw(lf.function))
+      case other => other
+    }
+  }
+
   /** Sort-key normalization at the ColumnNode level (no catalyst
     * round-trip, which can leave evaluable SortOrder wrappers in
     * projections). dplyr/R: NAs last in BOTH directions — rewrite only

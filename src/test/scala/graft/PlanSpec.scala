@@ -296,6 +296,30 @@ class PlanSpec extends SparkTestBase {
     assert(fused == chained)
   }
 
+  test("ungrouped mutate/filter with whole-frame aggregates broadcast one agg row") {
+    val gf = li.graft
+    val q = gf.mutate(
+        "share" -> (col("l_quantity") / dsum(col("l_quantity"))),
+        "dev" -> (col("l_quantity") - davg(col("l_quantity")))).df
+    val plan = q.queryExecution.executedPlan
+    val planStr = plan.toString
+    // the grand aggregate arrives via a broadcast join of a 1-row agg,
+    // not a Window (a bare agg would not even analyze)
+    assert(planStr.contains("BroadcastNestedLoopJoin"), s"no broadcast join:\n$planStr")
+    assert(!collectPlan(plan).exists(_.isInstanceOf[WindowExec]), s"Window in:\n$planStr")
+    // the same sum referenced twice is computed once
+    assert("sum\\(".r.findAllIn(planStr.replace("partial_sum", "sum")).length <= 4,
+      s"duplicate grand aggregates:\n$planStr")
+    // semantics: share sums to 1, dev is value minus the global mean
+    val tot = q.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-9)
+    // ungrouped filter against the whole-frame mean
+    val kept = gf.filterRows(col("l_quantity") > davg(col("l_quantity"))).df
+    val mean = li.agg(avg("l_quantity")).head().getDouble(0)
+    assert(kept.agg(min("l_quantity")).head().getDouble(0) > mean - 1e-6)
+    assert(!collectPlan(kept.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
+  }
+
   test("cur_data/cur_group accessors share ONE shuffle and ONE partitioned Window") {
     val g = li.graft.groupBy("l_returnflag")
     val q = g.mutate(
