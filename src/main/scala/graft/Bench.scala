@@ -51,11 +51,13 @@ object Bench {
   }
 
   /** sf1-rehearsal subset: the analytical headliners, the heavy
-    * pipeline operators, and the ungrouped rowid/prefix-scan
-    * topologies (d_cum_u over 10× lineitem, b_rank_u over 10× part)
-    * whose linear-growth claims need sf1 evidence. */
+    * pipeline operators, and every ungrouped rowid/scan topology
+    * (fused cum over 10× lineitem, ranks over 10× part, last-non-null
+    * fill over 10× lineitem, rolling-carry over 10× orders) whose
+    * linear-growth claims need sf1 evidence. */
   val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
-    "x_dedup_minhash", "x_range_join", "x_par_dedup", "d_cum_u", "b_rank_u")
+    "x_dedup_minhash", "x_range_join", "x_par_dedup",
+    "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

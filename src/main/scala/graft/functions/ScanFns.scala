@@ -77,6 +77,24 @@ object ScanFns {
         a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])),
     acc => acc)
 
+  /** Running product — the ungrouped cumprod twin. CAVEAT: double
+    * multiplication is not associative, so the two-phase merge
+    * ((p0)·(p1))·… can differ from a sequential left fold in the last
+    * ulp on arbitrary inputs (exact-decimal products are no refuge —
+    * precision grows without bound). Bit-exact whenever the factors
+    * are ulp-benign (powers of two, or any sequence whose partial
+    * products stay exactly representable); elsewhere the error is the
+    * usual 1-ulp-per-merge band. Grouped cumprod (CumFns.cumprod) is
+    * sequential per group and carries no such caveat. */
+  val ProdOp: ScanOp = ScanOp(
+    null,
+    (acc, v) => if (acc == null) java.lang.Double.valueOf(v)
+      else java.lang.Double.valueOf(acc.asInstanceOf[java.lang.Double] * v),
+    (a, b) => if (a == null) b else if (b == null) a
+      else java.lang.Double.valueOf(
+        a.asInstanceOf[java.lang.Double] * b.asInstanceOf[java.lang.Double]),
+    acc => acc)
+
   /** Running sum of `x` over the total order `order`, exact-decimal
     * accumulation, null-skipping like `sum() OVER` (null until the
     * first non-null value). */
@@ -245,19 +263,21 @@ object ScanFns {
     val kinds = specs.map(_._2).toArray
     val rdd = sorted.rdd.persist(storage)
     // pass 1: the last k-1 values (nullable) of each partition, per
-    // spec, plus the partition's row count — short partitions pass
-    // their full contents so the walk below can look further back
+    // spec — short partitions pass their full contents so the walk
+    // below can look further back. Ring-buffered: O(1) per row, not a
+    // Vector reallocation per row.
     val tails: Array[Array[Vector[Any]]] = rdd.mapPartitionsWithIndex { (i, it) =>
-      val buf = Array.fill(n)(Vector.empty[Any])
+      val buf = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Any])
       it.foreach { r =>
         var j = 0
         while (j < n) {
           val v: Any = if (r.isNullAt(xi(j))) null else r.getDouble(xi(j))
-          buf(j) = (buf(j) :+ v).takeRight(math.max(k - 1, 0))
+          buf(j).append(v)
+          if (buf(j).length > k - 1) buf(j).removeHead()
           j += 1
         }
       }
-      Iterator.single((i, buf))
+      Iterator.single((i, buf.map(_.toVector)))
     }.collect().sortBy(_._1).map(_._2)
     // carry(i) = last k-1 values before partition i (per spec)
     val carries = new Array[Array[Vector[Any]]](tails.length)
@@ -267,7 +287,7 @@ object ScanFns {
       run = Array.tabulate(n)(j => (run(j) ++ tails(i)(j)).takeRight(math.max(k - 1, 0)))
     }
     val bc = sorted.sparkSession.sparkContext.broadcast(carries)
-    def evalWindow(kind: RollKind, win: Vector[Any]): Any = {
+    def evalWindow(kind: RollKind, win: scala.collection.Seq[Any]): Any = {
       val vs = win.collect { case d: Double => d }
       kind match {
         case RollSum | RollMean =>
@@ -282,13 +302,14 @@ object ScanFns {
       }
     }
     val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
-      val win = bc.value(i).map(identity)
+      val win = bc.value(i).map(c => scala.collection.mutable.ArrayDeque.from(c))
       it.map { r =>
         val outs = new Array[Any](n)
         var j = 0
         while (j < n) {
           val v: Any = if (r.isNullAt(xi(j))) null else r.getDouble(xi(j))
-          win(j) = (win(j) :+ v).takeRight(k)
+          win(j).append(v)
+          if (win(j).length > k) win(j).removeHead()
           outs(j) = evalWindow(kinds(j), win(j))
           j += 1
         }

@@ -294,6 +294,18 @@ class PlanSpec extends SparkTestBase {
         col("w"), ord, "cn")
       .orderBy("k").collect().map(_.toSeq).toSeq
     assert(fused == chained)
+    // ProdOp on ulp-benign factors (powers of two): every association
+    // is exact, so the two-phase merge equals the sequential window
+    val pdf = sqlDf("k" -> (1 to 64),
+      "p" -> (1 to 64).map(i => math.pow(2.0, (i % 7) - 3)))
+      .repartition(5)
+    val gotP = ScanFns.withCumulatives(pdf, Seq((col("p"), ScanFns.ProdOp, "cp")), ord)
+      .orderBy("k").collect().map(_.getDouble(2)).toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wantP = pdf.withColumn("cp", product(col("p")).over(w))
+      .orderBy("k").collect().map(_.getDouble(2)).toSeq
+    assert(gotP == wantP)
   }
 
   test("ungrouped mutate/filter with whole-frame aggregates broadcast one agg row") {
