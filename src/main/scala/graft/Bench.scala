@@ -159,7 +159,12 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
         val sf1Dir = synthSf1(spark, benchDir)
-        val rows = sf1Queries.filter(qs.contains).map(n => n -> time1(n, sf1Dir))
+        // min-of-2 like the headline: single-shot sf1 rows rode the
+        // ±40% host-noise band and masked real round-over-round signal
+        val rows = sf1Queries.filter(qs.contains).map { n =>
+          val runs = Seq(time1(n, sf1Dir), time1(n, sf1Dir)).flatten
+          n -> runs.reduceOption((a, b) => math.min(a, b))
+        }
         rows.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
           .mkString(""","sf1_queries":{""", ",", """},"sf1_synth":"10x-key-shifted-replicas"""")
       } else ""

@@ -359,7 +359,9 @@ object QueriesBase {
     // sorted-zipWithIndex forms (no single-partition window anywhere —
     // see PlanSpec's global-window assert)
     "b_rank_u" -> ((s, d) => {
-      val base = t(s, d, "part")
+      // project first: the rowid sorts carry the full row through the
+      // zipWithIndex passes
+      val base = t(s, d, "part").select("p_partkey", "p_size")
       val r1 = SeqFns.withRankAvg(base, col("p_size"), "rk_avg")
       val r2 = SeqFns.withRankMin(r1, col("p_size"), "rk_min")
       SeqFns.withOrderIndex(r2, col("p_size"), Seq(col("p_partkey")), "ord_idx")

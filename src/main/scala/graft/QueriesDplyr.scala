@@ -397,11 +397,17 @@ object QueriesDplyr {
     "d_cum_u" -> ((s, d) => {
       val ord = Seq(col("l_orderkey").asc, col("l_linenumber").asc)
       // all three running aggregates FUSED into one scan: one sort +
-      // two streamed passes, not one sort/persist per aggregate
-      ScanFns.withCumulatives(t(s, d, "lineitem"), Seq(
-          (col("l_quantity"), ScanFns.SumOp, "cum_qty"),
-          (col("l_extendedprice"), ScanFns.MaxOp, "cum_max_price"),
-          (col("l_extendedprice"), ScanFns.MinOp, "cum_min_price")), ord)
+      // two streamed passes, not one sort/persist per aggregate; the
+      // frame is PROJECTED first — the scan's sorted rows carry their
+      // full schema through both passes, so never drag columns the
+      // verb doesn't output
+      ScanFns.withCumulatives(
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+          Seq(
+            (col("l_quantity"), ScanFns.SumOp, "cum_qty"),
+            (col("l_extendedprice"), ScanFns.MaxOp, "cum_max_price"),
+            (col("l_extendedprice"), ScanFns.MinOp, "cum_min_price")), ord)
         .select("l_orderkey", "l_linenumber", "cum_qty", "cum_max_price", "cum_min_price")
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
@@ -411,7 +417,7 @@ object QueriesDplyr {
     // WindowFns.roll* (no single-partition window; PlanSpec asserts)
     "d_rolling_u" -> ((s, d) => {
       val ord = Seq(col("o_orderkey").asc)
-      ScanFns.withRolling(t(s, d, "orders"), Seq(
+      ScanFns.withRolling(t(s, d, "orders").select("o_orderkey", "o_totalprice"), Seq(
           (col("o_totalprice"), ScanFns.RollSum, "roll_sum"),
           (col("o_totalprice"), ScanFns.RollMean, "roll_mean"),
           (col("o_totalprice"), ScanFns.RollMin, "roll_min"),

@@ -36,6 +36,12 @@ import org.apache.spark.storage.StorageLevel
   * evicting the working set. The alternative — recomputing the sort
   * for pass 2 — costs a second full shuffle; persisting is strictly
   * cheaper whenever the cluster has the disk.
+  *
+  * PROJECT FIRST: the sorted rows carry the input frame's FULL schema
+  * through the shuffle, the persist, and both Row-level passes — a
+  * 5-column scan over a 100-column frame pays 20× the I/O it needs.
+  * Select the order/input/carried columns before calling any scan
+  * here and join wide payloads back afterwards if required.
   */
 object ScanFns {
 
