@@ -234,6 +234,15 @@ object QueriesOps {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
+    // samples, so the oracle recomputes the stats in pure SQL), parsed
+    // by the real RIFF chunk-walking decodeWav
+    "x_audio" -> ((s, d) => {
+      val media = Multimodal.syntheticWav(t(s, d, "documents"), "doc_id", "text",
+        sampleRate = 8000, nSamples = 64)
+      Multimodal.decodeWav(media).toDF().orderBy(col("media_id"))
+    }),
+
     // ---- sampling / quality / repetition / decontamination --------------
     // deterministic stratified sample: downsample dominant en to 25%,
     // keep the rest at 75% — pure md5-prefix filter, pushes to the scan
@@ -394,6 +403,20 @@ object QueriesOps {
     // repeated + '0'-padded to 144 bytes) and its channel means; the
     // sums are small exact integers so the double divisions are
     // bit-identical across engines
+    "x_audio" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 3), 64, '0'), 1, 64) AS px
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, 65),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1))) AS cs FROM p)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, true AS ok,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(8 AS INT) AS bits, CAST(64 AS BIGINT) AS n_samples,
+        |  64.0 / 8000.0 AS duration_sec,
+        |  CAST(list_sum(cs) AS DOUBLE) / 64.0 AS mean_amp,
+        |  CAST(list_max(cs) AS INT) AS peak_amp
+        |FROM s ORDER BY media_id""".stripMargin,
+
     "x_multimodal" ->
       """WITH p AS (SELECT doc_id,
         |    substring(rpad(repeat(md5(text), 5), 144, '0'), 1, 144) AS px

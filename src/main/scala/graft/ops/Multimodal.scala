@@ -107,6 +107,109 @@ object Multimodal {
       }
   }
 
+  // ---- real decode: WAV (RIFF/PCM) ---------------------------------------
+  // WAV is the audio analogue of PPM: an ASCII-tagged chunk layout and
+  // raw PCM samples, no codec library needed — so the audio decode
+  // slot is a genuine RIFF chunk-walker, not a stub. Compressed
+  // formats (MP3/FLAC) drop into the same mapPartitions slot.
+
+  /** Deterministic synthetic 8-bit mono PCM WAV per row: a literal
+    * RIFF/fmt/data header (all sizes little-endian, precomputed here)
+    * followed by `nSamples` unsigned 8-bit samples taken from the md5
+    * hex of `text` (ASCII chars == sample bytes, so a SQL oracle can
+    * recompute the expected statistics). */
+  def syntheticWav(df: DataFrame, id: String, text: String,
+                   sampleRate: Int, nSamples: Int): DataFrame = {
+    def le32(v: Int): String =
+      f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x${(v >> 16) & 0xFF}%02x${(v >> 24) & 0xFF}%02x"
+    def le16(v: Int): String = f"${v & 0xFF}%02x${(v >> 8) & 0xFF}%02x"
+    def tag(s: String): String = s.getBytes("US-ASCII").map(b => f"$b%02x").mkString
+    val headerHex =
+      tag("RIFF") + le32(36 + nSamples) + tag("WAVE") +
+        tag("fmt ") + le32(16) + le16(1) /*PCM*/ + le16(1) /*mono*/ +
+        le32(sampleRate) + le32(sampleRate) /*byteRate*/ +
+        le16(1) /*blockAlign*/ + le16(8) /*bits*/ +
+        tag("data") + le32(nSamples)
+    val px = substring(rpad(repeat(md5(col(text)), nSamples / 32 + 1), nSamples, "0"),
+      lit(1), nSamples)
+    df.select(col(id).cast("long").as("media_id"),
+      concat(unhex(lit(headerHex)), encode(px, "UTF-8")).as("payload"),
+      struct(lit("audio/wav").as("mime"), lit("synthetic").as("source")).as("meta"))
+  }
+
+  case class WavFeatures(media_id: Long, ok: Boolean, sample_rate: Int,
+                         channels: Int, bits: Int, n_samples: Long,
+                         duration_sec: Double, mean_amp: Double, peak_amp: Int)
+
+  /** Real RIFF/PCM parser: validates RIFF/WAVE magic, walks chunks
+    * (unknown chunks skipped, word-aligned like the spec), reads the
+    * fmt chunk (PCM only, 8-bit unsigned or 16-bit signed LE), and
+    * streams the data chunk once for mean/peak amplitude. Malformed
+    * payloads yield ok=false rows (PERMISSIVE — at 100 TB some
+    * payloads WILL be corrupt). */
+  def decodeWav(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          try {
+            def tagAt(p: Int, s: String): Boolean =
+              p + 4 <= b.length && (0 until 4).forall(i => b(p + i) == s.charAt(i).toByte)
+            def le32(p: Int): Int =
+              (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+                ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+            def le16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+            require(b != null && b.length >= 44 && tagAt(0, "RIFF") && tagAt(8, "WAVE"),
+              "not a RIFF/WAVE payload")
+            var p = 12
+            var fmtSeen = false
+            var rate = 0; var channels = 0; var bits = 0
+            var nSamples = 0L; var sum = 0L; var peak = Int.MinValue; var n = 0L
+            while (p + 8 <= b.length) {
+              val size = le32(p + 4)
+              require(size >= 0 && p + 8 + size <= b.length, "truncated chunk")
+              if (tagAt(p, "fmt ")) {
+                require(size >= 16, "short fmt chunk")
+                require(le16(p + 8) == 1, "only PCM wav supported")
+                channels = le16(p + 10)
+                rate = le32(p + 12)
+                bits = le16(p + 22)
+                require(channels >= 1 && rate > 0 && (bits == 8 || bits == 16), "bad fmt")
+                fmtSeen = true
+              } else if (tagAt(p, "data")) {
+                require(fmtSeen, "data before fmt")
+                val d = p + 8
+                if (bits == 8) {
+                  var i = 0
+                  while (i < size) {
+                    val v = b(d + i) & 0xFF
+                    sum += v; if (v > peak) peak = v; i += 1
+                  }
+                  n += size
+                } else {
+                  require(size % 2 == 0, "odd 16-bit data size")
+                  var i = 0
+                  while (i < size) {
+                    val v = (le16(d + i) << 16) >> 16 // sign-extend
+                    sum += v; if (v > peak) peak = v; i += 2
+                  }
+                  n += size / 2
+                }
+              }
+              p += 8 + size + (size & 1) // chunks are word-aligned
+            }
+            require(fmtSeen && n > 0, "no PCM data")
+            nSamples = n / channels
+            WavFeatures(id, ok = true, rate, channels, bits, nSamples,
+              nSamples.toDouble / rate, sum.toDouble / n, peak)
+          } catch {
+            case _: Exception => WavFeatures(id, ok = false, 0, 0, 0, 0L, 0.0, 0.0, 0)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: take every `stride`-th fixed-size block of the
     * payload (the video-frame-sample topology: explode bounded slices,
     * never materialize the whole payload per row downstream). Spark's

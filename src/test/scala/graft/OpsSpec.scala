@@ -350,6 +350,48 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("n_fingerprints") > 0)
   }
 
+  test("wav decode: chunk walk, 16-bit PCM, unknown-chunk skip, corrupt rows") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wav(bits: Int, rate: Int, samples: Seq[Int], junkChunk: Boolean): Array[Byte] = {
+      val dataSize = samples.length * (bits / 8)
+      val junk = if (junkChunk) 8 + 3 + 1 else 0 // "LIST" + odd size 3 + pad
+      val buf = ByteBuffer.allocate(44 + junk + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(36 + junk + dataSize); buf.put("WAVE".getBytes)
+      buf.put("fmt ".getBytes); buf.putInt(16); buf.putShort(1); buf.putShort(1)
+      buf.putInt(rate); buf.putInt(rate * bits / 8); buf.putShort((bits / 8).toShort)
+      buf.putShort(bits.toShort)
+      if (junkChunk) { buf.put("LIST".getBytes); buf.putInt(3); buf.put(Array[Byte](1, 2, 3, 0)) }
+      buf.put("data".getBytes); buf.putInt(dataSize)
+      samples.foreach(s => if (bits == 8) buf.put(s.toByte) else buf.putShort(s.toShort))
+      buf.array()
+    }
+    val rows = Seq(
+      (1L, wav(8, 8000, Seq(0, 100, 255, 55), junkChunk = false)),
+      (2L, wav(16, 44100, Seq(-32768, 32767, 0, 100), junkChunk = true)), // junk skipped
+      (3L, "definitely not a wav".getBytes),
+      (4L, wav(8, 8000, Seq(1, 2, 3), junkChunk = false).dropRight(1))) // truncated
+    val df = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.decodeWav(df).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.WavFeatures(1L, true, 8000, 1, 8, 4L,
+      4.0 / 8000, (0 + 100 + 255 + 55) / 4.0, 255))
+    assert(out(1) == Multimodal.WavFeatures(2L, true, 44100, 1, 16, 4L,
+      4.0 / 44100, (-32768L + 32767 + 0 + 100) / 4.0, 32767))
+    assert(!out(2).ok && !out(3).ok)
+  }
+
+  test("synthetic wav round-trips through the decoder with md5-derived stats") {
+    val media = Multimodal.syntheticWav(docs, "doc_id", "text", sampleRate = 8000,
+      nSamples = 64)
+    val out = Multimodal.decodeWav(media).collect().sortBy(_.media_id)
+    assert(out.forall(_.ok) && out.forall(_.n_samples == 64L))
+    // samples are md5-hex ASCII (0-9 a-f): amplitudes live in [48, 102]
+    assert(out.forall(f => f.mean_amp >= 48.0 && f.mean_amp <= 102.0))
+    assert(out.forall(f => f.peak_amp >= 48 && f.peak_amp <= 102))
+    assert(out.forall(f => f.duration_sec == 64.0 / 8000))
+    // docs 1 and 2 are identical text -> identical audio features
+    assert(out(0).mean_amp == out(1).mean_amp && out(0).peak_amp == out(1).peak_amp)
+  }
+
   test("range join matches the naive cross-product semantics") {
     val points = sqlDf("p_id" -> Seq(1L, 2L, 3L, 4L), "v" -> Seq(5L, 17L, 30L, 100L))
     val ivs = sqlDf("i_id" -> Seq(10L, 20L), "lo" -> Seq(0L, 15L), "hi" -> Seq(20L, 35L))
