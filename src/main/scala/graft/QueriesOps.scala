@@ -243,6 +243,14 @@ object QueriesOps {
       Multimodal.decodeWav(media).toDF().orderBy(col("media_id"))
     }),
 
+    // video: synthetic 3-frame C420 Y4M clip (md5-derived planes),
+    // parsed by the real YUV4MPEG2 stream walker — luma stats per clip
+    "x_video" -> ((s, d) => {
+      val media = Multimodal.syntheticY4m(t(s, d, "documents"), "doc_id", "text",
+        w = 4, h = 4, frames = 3)
+      Multimodal.decodeY4m(media).toDF().orderBy(col("media_id"))
+    }),
+
     // ---- sampling / quality / repetition / decontamination --------------
     // deterministic stratified sample: downsample dominant en to 25%,
     // keep the rest at 75% — pure md5-prefix filter, pushes to the scan
@@ -415,6 +423,24 @@ object QueriesOps {
         |  64.0 / 8000.0 AS duration_sec,
         |  CAST(list_sum(cs) AS DOUBLE) / 64.0 AS mean_amp,
         |  CAST(list_max(cs) AS INT) AS peak_amp
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "x_video" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 3), 72, '0'), 1, 72) AS px
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(1, 73),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1))) AS cs FROM p),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 16), j -> cs[CAST(j+1 AS INT)])) AS f0,
+        |    list_sum(list_transform(range(0, 16), j -> cs[CAST(j+25 AS INT)])) AS f1,
+        |    list_sum(list_transform(range(0, 16), j -> cs[CAST(j+49 AS INT)])) AS f2
+        |  FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, true AS ok,
+        |  CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  25.0 AS fps, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(f0+f1+f2 AS DOUBLE) / 48.0 AS mean_luma,
+        |  CAST(f0 AS DOUBLE) / 16.0 AS first_frame_luma
         |FROM s ORDER BY media_id""".stripMargin,
 
     "x_multimodal" ->

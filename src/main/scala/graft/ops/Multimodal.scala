@@ -210,6 +210,105 @@ object Multimodal {
       }
   }
 
+  // ---- real decode: Y4M (YUV4MPEG2) --------------------------------------
+  // Y4M is the video analogue of PPM: an ASCII stream header, an ASCII
+  // "FRAME" marker per frame, then raw planar YUV bytes — no codec
+  // library needed, so the video decode slot is a genuine stream
+  // parser. Compressed codecs (H.264/VP9) drop into the same slot.
+
+  /** Deterministic synthetic C420 Y4M clip per row: a constant stream
+    * header, `frames` frames of w×h luma + quarter-size chroma planes,
+    * all sample bytes taken from the md5 hex of `text` (ASCII, so a
+    * SQL oracle can recompute the luma statistics). */
+  def syntheticY4m(df: DataFrame, id: String, text: String,
+                   w: Int, h: Int, frames: Int): DataFrame = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val n = frames * frameBytes
+    val px = substring(rpad(repeat(md5(col(text)), n / 32 + 1), n, "0"), lit(1), n)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+    val body = (0 until frames).map { i =>
+      concat(encode(lit("FRAME\n"), "UTF-8"),
+        encode(substring(px, lit(i * frameBytes + 1), frameBytes), "UTF-8"))
+    }.reduce(concat(_, _))
+    df.select(col(id).cast("long").as("media_id"),
+      concat(encode(lit(header), "UTF-8"), body).as("payload"),
+      struct(lit("video/x-yuv4mpeg").as("mime"), lit("synthetic").as("source")).as("meta"))
+  }
+
+  case class Y4mFeatures(media_id: Long, ok: Boolean, width: Int, height: Int,
+                         fps: Double, n_frames: Long, mean_luma: Double,
+                         first_frame_luma: Double)
+
+  /** Real YUV4MPEG2 stream parser: validates the magic, reads the
+    * W/H/F header tags (unknown tags skipped), then walks FRAME
+    * markers (per-frame parameters tolerated) accumulating luma-plane
+    * statistics without materializing frames. Malformed payloads yield
+    * ok=false rows (PERMISSIVE). */
+  def decodeY4m(media: DataFrame): Dataset[Y4mFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          try {
+            val magic = "YUV4MPEG2"
+            require(b != null && b.length > magic.length + 1 &&
+              (0 until magic.length).forall(i => b(i) == magic.charAt(i).toByte),
+              "not a YUV4MPEG2 payload")
+            var p = magic.length
+            var w = 0; var h = 0; var fpsN = 25; var fpsD = 1
+            // header tags: ' '-separated until newline
+            while (p < b.length && b(p) != '\n'.toByte) {
+              require(b(p) == ' '.toByte, "bad header separator")
+              p += 1
+              require(p < b.length, "truncated header")
+              val tag = b(p); p += 1
+              val start = p
+              while (p < b.length && b(p) != ' '.toByte && b(p) != '\n'.toByte) p += 1
+              val v = new String(b, start, p - start, "US-ASCII")
+              tag match {
+                case 'W' => w = v.toInt
+                case 'H' => h = v.toInt
+                case 'F' =>
+                  val Array(nu, de) = v.split(":"); fpsN = nu.toInt; fpsD = de.toInt
+                case _   => // Ip, A1:1, C420, X...: tolerated
+              }
+            }
+            require(p < b.length && b(p) == '\n'.toByte, "unterminated header")
+            p += 1
+            require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 && fpsD > 0, "bad geometry")
+            val luma = w * h
+            val frameBytes = luma + 2 * (w / 2) * (h / 2)
+            var frames = 0L; var lumaSum = 0L; var firstSum = 0L
+            while (p < b.length) {
+              val fm = "FRAME"
+              require(p + fm.length <= b.length &&
+                (0 until fm.length).forall(i => b(p + i) == fm.charAt(i).toByte),
+                "bad FRAME marker")
+              p += fm.length
+              while (p < b.length && b(p) != '\n'.toByte) p += 1 // frame params
+              require(p < b.length, "unterminated FRAME header")
+              p += 1
+              require(p + frameBytes <= b.length, "truncated frame")
+              var i = 0
+              var s = 0L
+              while (i < luma) { s += b(p + i) & 0xFF; i += 1 }
+              if (frames == 0L) firstSum = s
+              lumaSum += s
+              frames += 1
+              p += frameBytes
+            }
+            require(frames > 0, "no frames")
+            Y4mFeatures(id, ok = true, w, h, fpsN.toDouble / fpsD, frames,
+              lumaSum.toDouble / (frames * luma), firstSum.toDouble / luma)
+          } catch {
+            case _: Exception => Y4mFeatures(id, ok = false, 0, 0, 0.0, 0L, 0.0, 0.0)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: take every `stride`-th fixed-size block of the
     * payload (the video-frame-sample topology: explode bounded slices,
     * never materialize the whole payload per row downstream). Spark's

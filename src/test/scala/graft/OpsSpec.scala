@@ -392,6 +392,35 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).mean_amp == out(1).mean_amp && out(0).peak_amp == out(1).peak_amp)
   }
 
+  test("y4m decode: header tags, per-frame params, luma stats, corrupt rows") {
+    def clip(header: String, frames: Seq[(String, Array[Byte])]): Array[Byte] =
+      (header.getBytes("US-ASCII") +:
+        frames.map { case (fh, body) => fh.getBytes("US-ASCII") ++ body })
+        .reduce(_ ++ _)
+    val f0 = Array.fill(24)(10.toByte)   // 4x4 C420: 16 luma + 8 chroma
+    val f1 = Array.fill(24)(30.toByte)
+    val rows = Seq(
+      // unknown X tag tolerated; second frame carries FRAME params
+      (1L, clip("YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420 Xyscss=420\n",
+        Seq(("FRAME\n", f0), ("FRAME Ixyz\n", f1)))),
+      (2L, "not a video".getBytes),
+      (3L, clip("YUV4MPEG2 W4 H4 F25:1 C420\n", Seq(("FRAME\n", f0.dropRight(1))))))
+    val df = spark.createDataFrame(rows).toDF("media_id", "payload")
+    val out = Multimodal.decodeY4m(df).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.Y4mFeatures(1L, true, 4, 4, 30.0, 2L,
+      (10.0 * 16 + 30.0 * 16) / 32, 10.0))
+    assert(!out(1).ok && !out(2).ok)
+  }
+
+  test("synthetic y4m round-trips through the decoder") {
+    val media = Multimodal.syntheticY4m(docs, "doc_id", "text", w = 4, h = 4, frames = 3)
+    val out = Multimodal.decodeY4m(media).collect().sortBy(_.media_id)
+    assert(out.forall(_.ok) && out.forall(_.n_frames == 3L) && out.forall(_.fps == 25.0))
+    // luma bytes are md5-hex ASCII: means live in [48, 102]
+    assert(out.forall(f => f.mean_luma >= 48.0 && f.mean_luma <= 102.0))
+    assert(out(0).mean_luma == out(1).mean_luma) // identical text -> identical clip
+  }
+
   test("range join matches the naive cross-product semantics") {
     val points = sqlDf("p_id" -> Seq(1L, 2L, 3L, 4L), "v" -> Seq(5L, 17L, 30L, 100L))
     val ivs = sqlDf("i_id" -> Seq(10L, 20L), "lo" -> Seq(0L, 15L), "hi" -> Seq(20L, 35L))
