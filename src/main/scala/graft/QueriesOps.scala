@@ -180,6 +180,17 @@ object QueriesOps {
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
         .orderBy(col("doc_id"))),
 
+    // GPT-style sequence packing: documents laid end-to-end under the
+    // doc_id order, cut into 512-token training sequences — the pack
+    // span is arithmetic over the distributed prefix-scan offset
+    "x_packing" -> ((s, d) => {
+      val toks = TextAnalysis.tokenCounts(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens").as("n_tok"))
+      Packing.sequencePacking(toks, col("n_tok"), Seq(col("doc_id").asc), seqLen = 512)
+        .select("doc_id", "n_tok", "tok_start", "pack_first", "pack_last", "n_packs")
+        .orderBy(col("doc_id"))
+    }),
+
     // engine-portable winnowing (md5 hex hashes) — same selection
     // semantics as x_fingerprint but hash-comparable against DuckDB
     "x_fingerprint_md5" -> ((s, d) =>
@@ -742,6 +753,22 @@ object QueriesOps {
         |    0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
         |    0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS BIGINT) AS tok_start
+        |  FROM t)
+        |SELECT doc_id, n_tok, tok_start,
+        |  CAST(floor(tok_start / 512.0) AS BIGINT) AS pack_first,
+        |  CAST(floor((tok_start + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) AS pack_last,
+        |  CAST(floor((tok_start + greatest(n_tok, 1) - 1) / 512.0)
+        |    - floor(tok_start / 512.0) + 1 AS BIGINT) AS n_packs
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "x_tokens" ->
       """SELECT doc_id,

@@ -392,6 +392,21 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).mean_amp == out(1).mean_amp && out(0).peak_amp == out(1).peak_amp)
   }
 
+  test("sequence packing assigns pack spans by running token offset") {
+    val df = sqlDf("doc_id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "n_tok" -> Seq(100, 412, 600, 0, 1))
+      .repartition(3) // multi-partition: the offsets cross the scan carry
+    val out = Packing.sequencePacking(df, col("n_tok"), Seq(col("doc_id").asc), 512)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),      // tokens 0..99: pack 0
+      (2L, 100L, 0L, 0L, 1L),    // 100..511: exactly fills pack 0
+      (3L, 512L, 1L, 2L, 2L),    // 512..1111: spans packs 1-2
+      (4L, 1112L, 2L, 2L, 1L),   // empty doc sits at its offset
+      (5L, 1112L, 2L, 2L, 1L)))  // 1112: pack 2
+  }
+
   test("y4m decode: header tags, per-frame params, luma stats, corrupt rows") {
     def clip(header: String, frames: Seq[(String, Array[Byte])]): Array[Byte] =
       (header.getBytes("US-ASCII") +:
