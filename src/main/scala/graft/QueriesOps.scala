@@ -180,6 +180,14 @@ object QueriesOps {
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
         .orderBy(col("doc_id"))),
 
+    // token-bounded chunking with 8-token overlap (32-token chunks so
+    // the ~55-token test docs genuinely multi-chunk): pure projection
+    // + bounded explode, no shuffle — chunk grid fully oracle-replayed
+    "x_chunking" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // GPT-style sequence packing: documents laid end-to-end under the
     // doc_id order, cut into 512-token training sequences — the pack
     // span is arithmetic over the distributed prefix-scan offset
@@ -753,6 +761,20 @@ object QueriesOps {
         |    0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
         |    0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+        |g AS (SELECT doc_id, toks, nt,
+        |    greatest(CAST(ceil((nt - 8) / 24.0) AS INT), 1) AS nchunks FROM n),
+        |e AS (SELECT doc_id, nt, toks, unnest(range(0, nchunks)) AS ci FROM g)
+        |SELECT doc_id, CAST(nt AS INT) AS doc_tokens, CAST(ci AS INT) AS chunk_idx,
+        |  array_to_string(toks[CAST(ci*24+1 AS INT):CAST(ci*24+32 AS INT)], ' ') AS chunk_text,
+        |  CAST(len(toks[CAST(ci*24+1 AS INT):CAST(ci*24+32 AS INT)]) AS INT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "x_packing" ->
       """WITH t AS (SELECT doc_id,

@@ -85,6 +85,37 @@ object TextAnalysis {
       .withColumn("approx_tokens", ceil(length(t).cast("double") / lit(4.0)).cast("long"))
   }
 
+  // ---- document chunking ---------------------------------------------------
+  /** Token-bounded chunking with overlap — the standard pretraining /
+    * RAG preprocessing step: each document becomes
+    * max(1, ceil((n - overlap) / (chunkTokens - overlap))) chunks of at
+    * most `chunkTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens. Pure codegen projection + bounded posexplode —
+    * no shuffle, no UDF; the token array is materialized as a column
+    * ONCE per row so the per-chunk lambda only slices an attribute
+    * (the evaluation-shape rule: lambdas must not re-evaluate outer
+    * subtrees per element). */
+  def chunkDocuments(df: DataFrame, id: String, text: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"chunking: need 0 <= overlap < chunkTokens (got overlap=$overlap, chunkTokens=$chunkTokens)")
+    val step = chunkTokens - overlap
+    df.withColumn("__toks", split(trim(col(text)), "\\s+"))
+      .withColumn("__n",
+        when(length(trim(col(text))) === 0, lit(0)).otherwise(size(col("__toks"))))
+      .select(col(id), col("__n").as("doc_tokens"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            ceil((col("__n") - lit(overlap)).cast("double") / step).cast("int") - 1,
+            lit(0))),
+          i => concat_ws(" ", slice(col("__toks"), i * step + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("chunk_tokens",
+        when(length(col("chunk_text")) === 0, lit(0))
+          .otherwise(size(split(col("chunk_text"), " "))))
+  }
+
   // ---- TF-IDF ------------------------------------------------------------
   /** Top-k characteristic terms per document with smoothed TF-IDF
     * scores (idf = ln((N+1)/(df+1)) + 1).

@@ -392,6 +392,23 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).mean_amp == out(1).mean_amp && out(0).peak_amp == out(1).peak_amp)
   }
 
+  test("document chunking: overlap, tail chunk, single-chunk and empty docs") {
+    val df = sqlDf("doc_id" -> Seq(1L, 2L, 3L),
+      "text" -> Seq((1 to 10).map(i => s"w$i").mkString(" "), "short text", "  "))
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+    // 10 tokens, step 3 -> ceil(9/3)=3 chunks: [1..4], [4..7], [7..10]
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4), (1L, 1, "w4 w5 w6 w7", 4), (1L, 2, "w7 w8 w9 w10", 4)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short text", 2)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0))) // empty doc: 1 empty chunk
+    // no shuffle: pure projection + generate
+    val plan = TextAnalysis.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
   test("sequence packing assigns pack spans by running token offset") {
     val df = sqlDf("doc_id" -> Seq(1L, 2L, 3L, 4L, 5L),
       "n_tok" -> Seq(100, 412, 600, 0, 1))
