@@ -367,6 +367,42 @@ class PlanSpec extends SparkTestBase {
     intercept[IllegalArgumentException](df.graft.curGroup)
   }
 
+  test("scan family survives partition-boundary stress (seeded random, 1/3/17 partitions)") {
+    import graft.functions.ScanFns
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260813L)
+    val n = 120
+    val vs = (1 to n).map(_ => if (rnd.nextInt(7) == 0) null
+      else java.lang.Double.valueOf((rnd.nextInt(2000) - 1000) / 8.0)) // exact halves/quarters
+    val ks = (1 to n).map(_ => if (rnd.nextInt(9) == 0) null else s"g${rnd.nextInt(4)}")
+    val base = sqlDf("k" -> (1 to n), "v" -> vs, "s" -> ks)
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.orderBy("k").rowsBetween(-8, 0) // k=9: spans >2 tiny partitions
+    val ww = Window.orderBy("k")
+    val want = base
+      .withColumn("cs", sum(col("v").cast("decimal(28,6)")).over(w).cast("double"))
+      .withColumn("rs", sum(col("v").cast("decimal(28,6)")).over(wr).cast("double"))
+      .withColumn("fill", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("cid", sum(when(row_number().over(ww) === 1 ||
+        !(col("s") <=> lag(col("s"), 1).over(ww)), 1).otherwise(0)).over(w))
+      .orderBy("k").collect().map(r => (3 to 6).map(i => Option(r.get(i)))).toSeq
+    for (parts <- Seq(1, 3, 17)) {
+      val df = base.repartition(parts)
+      val got = {
+        val a = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
+        val b = ScanFns.withRolling(a, Seq((col("v"), ScanFns.RollSum, "rs")), 9,
+          Seq(col("k").asc))
+        val c = ScanFns.withFillLast(b, Seq("v"), Seq(col("k").asc))
+          .withColumnRenamed("v", "fill")
+        ScanFns.withConsecutiveId(c, Seq(col("s")), Seq(col("k").asc), "cid")
+      }.orderBy("k").collect().map { r =>
+        // fill overwrote v in place; map back to the oracle's column order
+        Seq(Option(r.get(3)), Option(r.get(4)), Option(r.get(1)), Option(r.get(5)))
+      }.toSeq
+      assert(got == want, s"scan stress mismatch at $parts partitions")
+    }
+  }
+
   test("exact dedup aggregates with partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
