@@ -330,6 +330,13 @@ class PlanSpec extends SparkTestBase {
     val mean = li.agg(avg("l_quantity")).head().getDouble(0)
     assert(kept.agg(min("l_quantity")).head().getDouble(0) > mean - 1e-6)
     assert(!collectPlan(kept.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
+    // sequential reference: 'tot' (an agg) substituted into 'share2'
+    // still dedups to ONE broadcast grand aggregate and sums to 1
+    val seqq = gf.mutate(
+      "tot" -> dsum(col("l_quantity")),
+      "share2" -> (col("l_quantity") / col("tot"))).df
+    assert(seqq.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    assert(math.abs(seqq.agg(sum("share2")).head().getDouble(0) - 1.0) < 1e-9)
   }
 
   test("cur_data/cur_group accessors share ONE shuffle and ONE partitioned Window") {
