@@ -130,6 +130,7 @@ object ScanFns {
                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(order.nonEmpty, "ungrouped cum* needs a declared total order")
     require(ops.nonEmpty, "withCumulatives: no aggregates given")
+    requireFreshNames(df, ops.map(_._3))
     val n = ops.length
     val inCols = df.columns.map(df.col) ++
       ops.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__sx$i") }
@@ -172,6 +173,16 @@ object ScanFns {
     sorted.sparkSession.createDataFrame(outRows, outSchema)
   }
 
+  /** Output names must be fresh and distinct — a collision would
+    * silently produce a frame with duplicate column names. */
+  private def requireFreshNames(df: DataFrame, names: Seq[String]): Unit = {
+    require(names.distinct.size == names.size,
+      s"scan: duplicate output names: ${names.mkString(", ")}")
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"scan: output name(s) already exist in the frame: ${clash.mkString(", ")}")
+  }
+
   /** Ungrouped dplyr::consecutive_id over a whole-frame total order —
     * the scale-safe twin of WindowFns.consecutiveId with no partition:
     * a new id (from 1) each time the key combination changes along the
@@ -185,6 +196,7 @@ object ScanFns {
                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(order.nonEmpty, "ungrouped consecutive_id needs a declared total order")
     require(keys.nonEmpty, "consecutive_id: no key columns")
+    requireFreshNames(df, Seq(as))
     val n = keys.length
     val inCols = df.columns.map(df.col) ++
       keys.zipWithIndex.map { case (k, i) => k.as(s"__ck$i") }
@@ -261,6 +273,7 @@ object ScanFns {
     require(order.nonEmpty, "ungrouped rolling needs a declared total order")
     require(specs.nonEmpty, "withRolling: no aggregates given")
     require(k >= 1, s"rolling window width must be >= 1 (got $k)")
+    requireFreshNames(df, specs.map(_._3))
     val n = specs.length
     val inCols = df.columns.map(df.col) ++
       specs.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__rx$i") }

@@ -301,6 +301,11 @@ class PlanSpec extends SparkTestBase {
       .repartition(5)
     val gotP = ScanFns.withCumulatives(pdf, Seq((col("p"), ScanFns.ProdOp, "cp")), ord)
       .orderBy("k").collect().map(_.getDouble(2)).toSeq
+    // colliding / duplicate output names fail loudly, not as dup columns
+    intercept[IllegalArgumentException](
+      ScanFns.withCumulatives(pdf, Seq((col("p"), ScanFns.SumOp, "p")), ord))
+    intercept[IllegalArgumentException](ScanFns.withCumulatives(pdf,
+      Seq((col("p"), ScanFns.SumOp, "a"), (col("p"), ScanFns.MaxOp, "a")), ord))
     val w = org.apache.spark.sql.expressions.Window.orderBy("k")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wantP = pdf.withColumn("cp", product(col("p")).over(w))
