@@ -87,7 +87,14 @@ final class GraftFrame private (
     * (size, array_max, exact-decimal aggregate()) or sort_array it;
     * whole-group computation with a declared order belongs in
     * groupModify/flatMapGroups, and positional indices in
-    * [[groupRows]]. */
+    * [[groupRows]].
+    *
+    * SCALE WARNING — inherent to cur_data's semantics, not this
+    * implementation: every row carries its whole group as an array, so
+    * per-group state is O(|group|²). Fine for the accessor's intended
+    * regime (small-to-moderate groups, dplyr-style); for large groups
+    * express the computation as a direct window aggregate (mutate's
+    * auto-rewrite) or groupModify, which stream the group once. */
   def curData(sel: Selector): Column = {
     require(groups.nonEmpty, "cur_data: no active groups")
     val cols = sel.resolve(df.schema).filterNot(groups.contains)
