@@ -112,11 +112,15 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // tidyselect where(fn) with a VALUE predicate: all candidate
-    // aggregates evaluate in one 1-row scan during schema resolution
+    // aggregates evaluate in one 1-row scan during schema resolution.
+    // max(c) < 1 so the resolved set ({l_discount, l_tax} — rate
+    // columns) is the same at EVERY sf; a key-count threshold like
+    // <= 50 flips with the table's key range (l_suppkey max is 10 at
+    // sf0.001 but 1000 at sf0.1) and breaks the fixed-list oracle
     "d_select_where" -> ((s, d) =>
       li(s, d).graft
         .select(TidySelect.cols("l_orderkey", "l_linenumber") |
-          TidySelect.whereAgg(li(s, d), c => max(c) <= lit(50),
+          TidySelect.whereAgg(li(s, d), c => max(c) < lit(1.0),
             dt => dt.isInstanceOf[org.apache.spark.sql.types.NumericType]))
         .arrange(col("l_orderkey"), col("l_linenumber"))
         .sliceHead(100).df
@@ -180,10 +184,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
-    // the whereAgg predicate (numeric ∧ max<=50) resolves to
-    // l_linenumber/l_quantity/l_discount/l_tax on this data
+    // the whereAgg predicate (numeric ∧ max<1) resolves to the rate
+    // columns l_discount/l_tax at every sf (scale-stable by design)
     "d_select_where" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     "d_mutate" ->
