@@ -57,7 +57,7 @@ object Bench {
     * linear-growth claims need sf1 evidence. */
   val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
     "x_dedup_minhash", "x_range_join", "x_par_dedup",
-    "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u")
+    "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
