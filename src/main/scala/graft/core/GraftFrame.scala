@@ -386,7 +386,7 @@ final class GraftFrame private (
   def sliceSample(n: Int, seed: Long, key: Column): GraftFrame = {
     val ord = Seq(
       md5(concat(lit(seed.toString),
-        coalesce(key.cast("string"), lit(" <null-key>")))).asc,
+        coalesce(key.cast("string"), lit("\u0000<null-key>")))).asc,
       key.asc_nulls_last)
     // ungrouped: distributed TakeOrdered, not a single-partition window
     if (groups.isEmpty) withDf(df.orderBy(ord: _*).limit(n))
