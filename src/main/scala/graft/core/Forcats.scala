@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * dependent ops compute the level table with one aggregation (tiny:
   * |levels| rows) and broadcast-join codes back — the scalable
   * topology for 100 TB fact columns with small level cardinality.
+  *
+  * LEVEL-TABLE CONTRACT: the `Window.orderBy` ranks in this file run
+  * over the DISTINCT-LEVEL table only — never over fact rows — so the
+  * single partition they imply holds |levels| rows. That is the factor
+  * contract itself (R factors are small enumerations; the broadcast
+  * join back would overflow long before the window did). Feeding a
+  * high-cardinality column through fct_* violates the contract and
+  * will fail at the broadcast, loudly, not silently mis-scale.
   */
 object Forcats {
 
