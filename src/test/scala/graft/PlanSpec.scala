@@ -238,6 +238,36 @@ class PlanSpec extends SparkTestBase {
     assert(!collectPlan(q.queryExecution.executedPlan).exists(_.isInstanceOf[WindowExec]))
   }
 
+  test("ungrouped cumall/cumany/cummean compose from the scan kernels") {
+    import graft.functions.ScanFns
+    import org.apache.spark.sql.expressions.Window
+    val df = sqlDf("k" -> (1 to 100),
+      "p" -> (1 to 100).map(i => i % 7 != 0),
+      "v" -> (1 to 100).map(i => if (i % 5 == 0) null else java.lang.Double.valueOf(i / 4.0)))
+      .repartition(6)
+    val ord = Seq(col("k").asc)
+    // cumall = running min of the 0/1 indicator == 1; cumany = max == 1;
+    // cummean = exact running sum / running non-null count
+    val got = ScanFns.withCumulatives(df, Seq(
+        (when(coalesce(col("p"), lit(false)), 1.0).otherwise(0.0), ScanFns.MinOp, "ca"),
+        (when(coalesce(col("p"), lit(false)), 1.0).otherwise(0.0), ScanFns.MaxOp, "cy"),
+        (col("v"), ScanFns.SumOp, "cs"),
+        (when(col("v").isNotNull, 1.0), ScanFns.SumOp, "cn")), ord)
+      .withColumn("call", col("ca") === 1.0).withColumn("cany", col("cy") === 1.0)
+      .withColumn("cmean", col("cs") / col("cn"))
+      .orderBy("k").select("call", "cany", "cmean")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), Option(r.get(2)))).toSeq
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("call", min(when(coalesce(col("p"), lit(false)), 1).otherwise(0)).over(w) === 1)
+      .withColumn("cany", max(when(coalesce(col("p"), lit(false)), 1).otherwise(0)).over(w) === 1)
+      .withColumn("cmean", sum(col("v").cast("decimal(28,6)")).over(w).cast("double") /
+        count(col("v")).over(w).cast("double"))
+      .orderBy("k").select("call", "cany", "cmean")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), Option(r.get(2)))).toSeq
+    assert(got == want)
+  }
+
   test("ungrouped rolling/consecutive_id scans match the single-partition window forms") {
     import graft.functions.ScanFns
     import org.apache.spark.sql.expressions.Window
