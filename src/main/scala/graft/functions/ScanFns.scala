@@ -47,7 +47,15 @@ object ScanFns {
 
   /** One running aggregate's kernel: empty accumulator, non-null-value
     * step, partition-accumulator merge (must agree with a sequential
-    * fold — exact or associative arithmetic), output render. */
+    * fold — exact or associative arithmetic), output render.
+    *
+    * The rest of the cum* family composes from these kernels (recipes
+    * spec-proven against the window forms in PlanSpec):
+    *   cumall  = MinOp over when(p, 1.0).otherwise(0.0), then === 1
+    *   cumany  = MaxOp over the same indicator, then === 1
+    *   cummean = SumOp(x) / SumOp(when(x.isNotNull, 1.0)) — exact sum
+    *             over exact non-null count
+    *   cumprod = ProdOp (double association caveat on its scaladoc) */
   final case class ScanOp(zero: Any, step: (Any, Double) => Any,
                           merge: (Any, Any) => Any, emit: Any => Any)
 
