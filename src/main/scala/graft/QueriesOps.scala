@@ -253,6 +253,19 @@ object QueriesOps {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // symmetric int8 quantization of the embedding corpus (the 4x
+    // storage lever): per-vector scale + codes, floor(x+0.5) rounding
+    // so the grid is bit-reproducible by the oracle
+    "x_quantize" -> ((s, d) => {
+      val q = Similarity.quantizeInt8(col("embedding"), col("scale"))
+      t(s, d, "embeddings")
+        .withColumn("scale", Similarity.quantScale(col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", q.cast("array<string>")).as("codes"),
+          aggregate(q, lit(0L), (a, c) => a + c).as("q_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -430,6 +443,20 @@ object QueriesOps {
     // repeated + '0'-padded to 144 bytes) and its channel means; the
     // sums are small exact integers so the double divisions are
     // bit-identical across engines
+    "x_quantize" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, CASE WHEN mx > 0 THEN mx / 127.0 END AS scale FROM s),
+        |q AS (SELECT e.vec_id, sc.scale,
+        |    list_transform(CAST(e.embedding AS DOUBLE[]),
+        |      x -> CASE WHEN sc.scale IS NULL THEN 0
+        |        ELSE CAST(floor(x / sc.scale + 0.5) AS INT) END) AS codes
+        |  FROM embeddings e JOIN sc USING (vec_id))
+        |SELECT vec_id, scale, array_to_string(codes, ',') AS codes,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "x_audio" ->
       """WITH p AS (SELECT doc_id,
         |    substring(rpad(repeat(md5(text), 3), 64, '0'), 1, 64) AS px

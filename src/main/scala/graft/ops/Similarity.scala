@@ -39,6 +39,36 @@ object Similarity {
     k2(graft.plans.L2DistanceExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  // ---- int8 quantization ---------------------------------------------------
+  // Symmetric per-vector int8 quantization — the standard 4× storage /
+  // bandwidth lever for embedding corpora (100 TB of float32 vectors
+  // becomes 25 TB of int8 + one scale per vector; cosine rankings are
+  // pmax-bounded approximations). Pure codegen projections, no shuffle.
+  //
+  // Rounding is floor(x + 0.5) rather than round(): every engine
+  // computes floor identically on the same double, while half-even /
+  // half-up tie conventions differ across engines — this keeps the
+  // quantized grid bit-reproducible for the DuckDB oracle and any
+  // later re-run.
+
+  /** scale = max|v| / 127 (null/zero-safe): quantized = v / scale. */
+  def quantScale(v: Column): Column = {
+    val mx = aggregate(v.cast("array<double>"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    when(mx > 0.0, mx / 127.0)
+  }
+
+  /** Quantize to int8 codes (array<int> in [-127, 127]; an all-zero or
+    * null-scale vector quantizes to zeros). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v.cast("array<double>"),
+      x => when(scale.isNull, lit(0))
+        .otherwise(floor(x / scale + 0.5).cast("int")))
+
+  /** Dequantize codes back to doubles. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, c => c.cast("double") * coalesce(scale, lit(0.0)))
+
   /** Column-composition reference forms (documented semantics). */
   def dotColumns(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

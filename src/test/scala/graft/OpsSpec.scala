@@ -350,6 +350,32 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("n_fingerprints") > 0)
   }
 
+  test("int8 quantization: code bounds, round-trip error, cosine preservation") {
+    val vecs = spark.range(100).select(col("id"),
+      transform(sequence(lit(0), lit(31)),
+        i => sin(i * (col("id") + 1).cast("double")) * (col("id") + 1)).as("v"))
+      .withColumn("scale", Similarity.quantScale(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale")))
+      .withColumn("dq", Similarity.dequantizeInt8(col("q"), col("scale")))
+    // codes live in [-127, 127]
+    val bounds = vecs.select(
+      max(array_max(col("q"))).as("hi"), min(array_min(col("q"))).as("lo")).head()
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+    // elementwise round-trip error is at most scale/2 (the grid pitch)
+    val maxErr = vecs.select(max(aggregate(
+      zip_with(col("v"), col("dq"), (a, b) => abs(a - b) / col("scale")),
+      lit(0.0), (acc, x) => greatest(acc, x)))).head().getDouble(0)
+    assert(maxErr <= 0.5 + 1e-9, s"round-trip error $maxErr grid pitches")
+    // cosine against the original survives quantization
+    val minCos = vecs.select(min(Similarity.cosine(col("v"), col("dq")))).head().getDouble(0)
+    assert(minCos > 0.999, s"cosine degraded to $minCos")
+    // all-zero vectors quantize to zeros with a null scale
+    val z = spark.range(1).select(array((0 until 8).map(_ => lit(0.0)): _*).as("v"))
+      .withColumn("scale", Similarity.quantScale(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("scale"))).head()
+    assert(z.isNullAt(1) && z.getSeq[Int](2).forall(_ == 0))
+  }
+
   test("wav decode: chunk walk, 16-bit PCM, unknown-chunk skip, corrupt rows") {
     import java.nio.{ByteBuffer, ByteOrder}
     def wav(bits: Int, rate: Int, samples: Seq[Int], junkChunk: Boolean): Array[Byte] = {
