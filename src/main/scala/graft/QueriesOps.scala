@@ -340,6 +340,22 @@ object QueriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // nearest-direction as-of: both directional fills over ONE shuffle
+    // on user_id, equal distances take the backward match (pandas
+    // merge_asof nearest semantics)
+    "x_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("purchase_value"))
+      val rest = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      AsofJoin.asof(rest, purchases, by = Seq("user_id"), on = "ts",
+          valueCols = Seq("purchase_value"), direction = "nearest")
+        .select("event_id", "user_id", "event_type", "value", "purchase_value")
+        .orderBy(col("event_id"))
+    }),
+
     // same join bounded by a 1-hour tolerance: matches farther back are
     // nulled (pandas merge_asof tolerance semantics)
     "x_asof_tol" -> ((s, d) => {
@@ -738,6 +754,24 @@ object QueriesOps {
         |           FROM events WHERE event_type <> 'purchase')
         |SELECT l.event_id, l.user_id, l.event_type, l."value", r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "x_asof_nearest" ->
+      """WITH r AS (SELECT user_id, ts, max_by("value", event_id) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     l AS (SELECT event_id, user_id, ts, event_type, "value"
+        |           FROM events WHERE event_type <> 'purchase'),
+        |     b AS (SELECT l.event_id, r.ts AS b_on, r.purchase_value AS b_val
+        |           FROM l ASOF LEFT JOIN r
+        |           ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |     f AS (SELECT l.event_id, r.ts AS f_on, r.purchase_value AS f_val
+        |           FROM l ASOF LEFT JOIN r
+        |           ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id, l.event_type, l."value",
+        |  CASE WHEN f.f_on IS NULL OR (b.b_on IS NOT NULL
+        |      AND l.ts - b.b_on <= f.f_on - l.ts)
+        |    THEN b.b_val ELSE f.f_val END AS purchase_value
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY l.event_id""".stripMargin,
 
     "x_asof_tol" ->

@@ -44,8 +44,13 @@ object AsofJoin {
     * @param on        ordering column name, present on both sides
     *                  (timestamp or numeric)
     * @param valueCols right columns to attach (null where no match)
-    * @param direction "backward" (right.on <= left.on, the default) or
-    *                  "forward" (right.on >= left.on)
+    * @param direction "backward" (right.on <= left.on, the default),
+    *                  "forward" (right.on >= left.on), or "nearest"
+    *                  (whichever side is closer; equal distances take
+    *                  the backward match, like pandas merge_asof).
+    *                  Nearest runs BOTH directional windows over the
+    *                  same `by` partitioning — still ONE shuffle, two
+    *                  per-partition sorts.
     * @param tolerance optional maximum |left.on - right.on| in the
     *                  column's own difference units (for timestamps, an
     *                  interval column e.g. `expr("INTERVAL 1 HOUR")`);
@@ -54,8 +59,8 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, by: Seq[String], on: String,
            valueCols: Seq[String], direction: String = "backward",
            tolerance: Option[Column] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asof: direction must be backward|forward (got $direction)")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asof: direction must be backward|forward|nearest (got $direction)")
     require(by.nonEmpty,
       "asof: empty `by` would sort the entire union in ONE partition; " +
         "use asofGlobal(...), which stays distributed by binning the `on` domain")
@@ -77,24 +82,50 @@ object AsofJoin {
         Seq(col(on).as(matchedOn)) ++
         valueCols.map(col): _*)
 
-    val ord = direction match {
-      case "backward" => Seq(col(on).asc, col(side).asc)
-      case "forward"  => Seq(col(on).desc, col(side).asc)
-    }
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = l.unionByName(r)
-      .withColumn(matchedOn, last(matchedOn, ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(c =>
-        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
-      .filter(col(side) === 1)
+    val u = l.unionByName(r)
+    val filled =
+      if (direction == "nearest") {
+        // both directional fills over the SAME hash partitioning: one
+        // Exchange on `by`, two per-partition sorts. For equal-`on`
+        // rows the side ordering keeps the right row inside each
+        // frame, so both gaps are 0 and backward wins the tie.
+        val wb = Window.partitionBy(by.map(col): _*)
+          .orderBy(col(on).asc, col(side).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(by.map(col): _*)
+          .orderBy(col(on).asc, col(side).desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val bOn = "__asof_b_on"; val fOn = "__asof_f_on"
+        val pickB = col(fOn).isNull || (col(bOn).isNotNull &&
+          (col(on) - col(bOn)) <= (col(fOn) - col(on)))
+        u.withColumn(bOn, last(matchedOn, ignoreNulls = true).over(wb))
+          .withColumn(fOn, first(matchedOn, ignoreNulls = true).over(wf))
+          .withColumns(valueCols.map(c => c ->
+            when(pickB, last(col(c), ignoreNulls = true).over(wb))
+              .otherwise(first(col(c), ignoreNulls = true).over(wf))).toMap)
+          .withColumn(matchedOn, when(pickB, col(bOn)).otherwise(col(fOn)))
+          .filter(col(side) === 1)
+          .drop(bOn, fOn)
+      } else {
+        val ord = direction match {
+          case "backward" => Seq(col(on).asc, col(side).asc)
+          case "forward"  => Seq(col(on).desc, col(side).asc)
+        }
+        val w = Window.partitionBy(by.map(col): _*)
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn(matchedOn, last(matchedOn, ignoreNulls = true).over(w))
+          .withColumns(valueCols.map(c =>
+            c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+          .filter(col(side) === 1)
+      }
 
     val withinTol = tolerance.fold(filled) { tol =>
       val gap = direction match {
         case "backward" => col(on) - col(matchedOn)
         case "forward"  => col(matchedOn) - col(on)
+        case "nearest"  =>
+          greatest(col(on) - col(matchedOn), col(matchedOn) - col(on))
       }
       filled.withColumns(valueCols.map(c =>
         c -> when(gap <= tol, col(c))).toMap)

@@ -556,6 +556,35 @@ class OpsSpec extends SparkTestBase {
       Seq(Some(50.0), Some(50.0), None, Some(90.0)))
   }
 
+  test("asof nearest picks the closer side, backward on ties, one shuffle") {
+    val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
+        direction = "nearest")
+      .orderBy("k", "t").collect()
+    // a@2 -> 5 (only forward); a@5 -> 5 (tie gap 0, backward);
+    // a@10 -> 8 (back gap 2, no forward); b@7 -> 9 (only forward)
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq ==
+      Seq(Some(50.0), Some(50.0), Some(80.0), Some(90.0)))
+    // equidistant: a@6.5-style — right at 5 and 8, left at t=6 is
+    // nearer 5; t=7 is nearer 8 (gap 1 vs 2)
+    val mid = sqlDf("k" -> Seq("a", "a"), "t" -> Seq(6L, 7L), "lv" -> Seq("m1", "m2"))
+    val got = AsofJoin.asof(mid, asofRight, Seq("k"), "t", Seq("rv"),
+        direction = "nearest")
+      .orderBy("t").collect().map(_.getAs[Double]("rv")).toSeq
+    assert(got == Seq(50.0, 80.0))
+    // nearest tolerance bounds the ABSOLUTE gap
+    val tol = AsofJoin.asof(mid, asofRight, Seq("k"), "t", Seq("rv"),
+        direction = "nearest", tolerance = Some(lit(0L)))
+      .orderBy("t").collect().map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq
+    assert(tol == Seq(None, None))
+    // both directional windows share ONE hash exchange on the by-key
+    val plan = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
+        direction = "nearest").queryExecution.executedPlan
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) 1 else 0) +
+        p.children.map(count).sum
+    assert(count(plan) == 1, s"nearest asof shuffled more than once:\n$plan")
+  }
+
   test("asof tolerance nulls matches farther than the bound") {
     val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
         tolerance = Some(lit(2L)))
