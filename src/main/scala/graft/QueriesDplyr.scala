@@ -127,6 +127,15 @@ object QueriesDplyr {
         .select("o_orderkey", "o_totalprice")
         .arrange(col("o_orderkey")).df),
 
+    // slice_sample(replace = TRUE): 500 independent engine-portable
+    // draws over the customer table — rowid-addressed via md5Unif, so
+    // DuckDB replays the exact sample draw by draw
+    "d_slice_sample_rep" -> ((s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_mktsegment").graft
+        .sliceSampleReplace(500, 42L, Seq(col("c_custkey").asc))
+        .df.select("draw_id", "c_custkey", "c_mktsegment")
+        .orderBy(col("draw_id"))),
+
     // cur_data()/cur_group() accessor sugar inside a grouped mutate
     // (reference api/dplyr/context.py): collect_list(struct) columns
     // auto-windowed over the groups — all three accessors share the
@@ -674,6 +683,20 @@ object QueriesDplyr {
         |  SELECT n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rn
         |  FROM nation)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "d_slice_sample_rep" ->
+      """WITH ranked AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (ORDER BY c_custkey) AS sr FROM customer),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM customer),
+        |draws AS (SELECT i AS draw_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 14), j ->
+        |        (strpos('0123456789abcdef',
+        |           substring(md5('42' || CAST(i AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |          * pow(16, 13 - j))) / 4503599627370496.0 * nn) + 1 AS BIGINT) AS sr
+        |  FROM (SELECT unnest(range(1, 501)) AS i), n)
+        |SELECT d.draw_id, r.c_custkey, r.c_mktsegment
+        |FROM draws d JOIN ranked r USING (sr)
+        |ORDER BY d.draw_id""".stripMargin,
 
     "d_mutate_agg_u" ->
       s"""SELECT o_orderkey,

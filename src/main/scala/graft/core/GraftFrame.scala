@@ -393,6 +393,45 @@ final class GraftFrame private (
     else sliceByRank(ord, n, withTies = false)
   }
 
+  /** slice_sample(n, replace = TRUE) — reference slice_.py:205. n
+    * INDEPENDENT uniform draws per group (whole frame when ungrouped):
+    * one source row may appear multiple times, so the output carries a
+    * `draw_id` column (1..n). Deterministic AND engine-portable: draw
+    * i addresses rank floor(md5Unif(seed, group‖i) · N) + 1 under the
+    * declared `order`, so the oracle replays the exact sample.
+    *
+    * Topology: rows rank once (ungrouped: distributed rowid; grouped:
+    * one partitioned window), the draw table is |groups|·n rows built
+    * from the group sizes, and the sample is a hash join of draws to
+    * ranks — no global window, no row replication beyond the n output
+    * rows per group. */
+  def sliceSampleReplace(n: Int, seed: Long, order: Seq[Column]): GraftFrame = {
+    require(n >= 1, s"slice_sample: n must be >= 1 (got $n)")
+    require(order.nonEmpty,
+      "with-replacement draws address rows by position: declare a total order")
+    import graft.functions.BaseFns
+    require(!df.columns.contains("draw_id"), "slice_sample: reserved column draw_id")
+    if (groups.isEmpty) {
+      val ranked = Tibble.rowidToColumn(df, order, "__sr")
+      val total = df.agg(count(lit(1)).cast("double").as("__N"))
+      val draws = spark.range(1, n + 1).toDF("draw_id")
+        .crossJoin(broadcast(total))
+        .select(col("draw_id"),
+          (floor(BaseFns.md5Unif(col("draw_id"), seed) * col("__N")) + 1).as("__sr"))
+      withDf(ranked.join(broadcast(draws), Seq("__sr")).drop("__sr"))
+    } else {
+      val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+      val ranked = df.withColumn("__sr", row_number().over(w).cast("long"))
+      val sizes = df.groupBy(groupCols: _*).agg(count(lit(1)).cast("double").as("__N"))
+      val drawKey = concat_ws("",
+        (groups.map(col) :+ col("draw_id")).map(_.cast("string")): _*)
+      val draws = sizes.crossJoin(spark.range(1, n + 1).toDF("draw_id"))
+        .select(groups.map(col) ++ Seq(col("draw_id"),
+          (floor(BaseFns.md5Unif(drawKey, seed) * col("__N")) + 1).as("__sr")): _*)
+      withDf(ranked.join(draws, groups :+ "__sr").drop("__sr"))
+    }
+  }
+
   /** prop variants (dplyr slice_head(prop=)): keep floor(prop*n) rows
     * per group — n from a count window over the same partitioning, so
     * still one shuffle. GROUPED path only (the window partitions by

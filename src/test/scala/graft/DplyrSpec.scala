@@ -167,6 +167,26 @@ class DplyrSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"unexpected Window in withGroupId:\n$plan")
   }
 
+  test("slice_sample with replacement: n draws per group, deterministic, dupes allowed") {
+    val df = sqlDf("g" -> Seq("a", "a", "a", "b", "b"),
+      "x" -> Seq(1, 2, 3, 4, 5))
+    // ungrouped: exactly n rows, all drawn from the frame, repeatable
+    val u1 = df.graft.sliceSampleReplace(40, 7L, Seq(col("x"))).df
+      .orderBy("draw_id").collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+    val u2 = df.graft.sliceSampleReplace(40, 7L, Seq(col("x"))).df
+      .orderBy("draw_id").collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+    assert(u1 == u2 && u1.length == 40)
+    assert(u1.map(_._2).toSet.subsetOf(Set(1, 2, 3, 4, 5)))
+    // 40 draws from 5 rows MUST repeat some row
+    assert(u1.map(_._2).distinct.length < 40)
+    // grouped: n draws per group, each drawn within its own group
+    val g = df.graft.groupBy("g").sliceSampleReplace(10, 7L, Seq(col("x"))).df
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(g.count(_._1 == "a") == 10 && g.count(_._1 == "b") == 10)
+    assert(g.filter(_._1 == "a").forall(p => Set(1, 2, 3).contains(p._2)))
+    assert(g.filter(_._1 == "b").forall(p => Set(4, 5).contains(p._2)))
+  }
+
   test("group_modify applies f per group, re-keying output") {
     val schema = StructType(Seq(StructField("mx", IntegerType)))
     val out = gdf.graft.groupBy("g").groupModify(schema) { (_, rows) =>
