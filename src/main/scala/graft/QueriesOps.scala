@@ -389,6 +389,22 @@ object QueriesOps {
         .orderBy(col("event_id"))
     }),
 
+    // keyless NEAREST as-of over the global timeline: dual carries
+    // (latest-earlier + earliest-later edges) through the tiny bin
+    // table, dual windows within bins — still one data shuffle
+    "x_asof_global_nearest" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("ts").agg(max_by(col("value"), col("event_id")).as("gp_value"))
+      val rest = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      AsofJoin.asofGlobal(rest, purchases, on = "ts",
+          valueCols = Seq("gp_value"), direction = "nearest")(
+          c => floor(unix_micros(c) / lit(3600L * 1000000L)).cast("long"))
+        .select("event_id", "user_id", "event_type", "value", "gp_value")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- streaming batch-equivalents ------------------------------------
     "s_window_agg" -> ((s, d) =>
       EventStreams.windowedAgg(events(s, d), "1 hour")
@@ -792,6 +808,22 @@ object QueriesOps {
         |           FROM events WHERE event_type <> 'purchase')
         |SELECT l.event_id, l.user_id, l.event_type, l."value", r.gp_value
         |FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "x_asof_global_nearest" ->
+      """WITH r AS (SELECT ts, max_by("value", event_id) AS gp_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |     l AS (SELECT event_id, user_id, ts, event_type, "value"
+        |           FROM events WHERE event_type <> 'purchase'),
+        |     b AS (SELECT l.event_id, r.ts AS b_on, r.gp_value AS b_val
+        |           FROM l ASOF LEFT JOIN r ON l.ts >= r.ts),
+        |     f AS (SELECT l.event_id, r.ts AS f_on, r.gp_value AS f_val
+        |           FROM l ASOF LEFT JOIN r ON l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id, l.event_type, l."value",
+        |  CASE WHEN f.f_on IS NULL OR (b.b_on IS NOT NULL
+        |      AND l.ts - b.b_on <= f.f_on - l.ts)
+        |    THEN b.b_val ELSE f.f_val END AS gp_value
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY l.event_id""".stripMargin,
 
     "x_dedup_exact" ->

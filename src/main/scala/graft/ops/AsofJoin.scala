@@ -158,8 +158,8 @@ object AsofJoin {
                  valueCols: Seq[String], direction: String = "backward",
                  tolerance: Option[Column] = None)
                 (bin: Column => Column): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofGlobal: direction must be backward|forward (got $direction)")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"asofGlobal: direction must be backward|forward|nearest (got $direction)")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__asof_side"), "asofGlobal: reserved column name")
     val backward = direction == "backward"
@@ -176,47 +176,79 @@ object AsofJoin {
       Seq(bin(col(on)).as(bkt), col(on), lit(0).as(side)) ++ nullsL ++
         Seq(col(on).as(matchedOn)) ++ valueCols.map(col): _*)
 
-    // 1. per-bin edge row of the right side
+    // 1. per-bin edge rows of the right side (latest for the backward
+    // carry, earliest for the forward carry — nearest needs both)
     val edgeStruct = struct(col(on).as(matchedOn) +: valueCols.map(col): _*)
-    val edge = if (backward) max_by(edgeStruct, col(on)) else min_by(edgeStruct, col(on))
     val perBin = right.select((on +: valueCols).map(col): _*)
       .withColumn(bkt, bin(col(on)))
-      .groupBy(col(bkt)).agg(edge.as("__edge"))
+      .groupBy(col(bkt)).agg(
+        max_by(edgeStruct, col(on)).as("__late"),
+        min_by(edgeStruct, col(on)).as("__early"))
 
-    // 2. carry-in per bin over the tiny bin table (left bins included,
-    // so left rows in right-empty bins still receive their carry)
+    // 2. carries per bin over the tiny bin table (left bins included,
+    // so left rows in right-empty bins still receive their carry).
+    // The carried row keeps its ORIGINAL `on`: coming from an earlier
+    // (resp. later) bin it sorts before (resp. after) every in-bin
+    // row under the ascending fill ordering by construction.
     val allBins = l.select(col(bkt)).distinct()
       .unionByName(perBin.select(col(bkt))).distinct()
-    val carryW = Window
-      .orderBy(if (backward) col(bkt).asc else col(bkt).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // the carried row keeps its ORIGINAL `on`: it came from an earlier
-    // (backward) / later (forward) bin, so it sorts before every
-    // in-bin row under the fill ordering by construction
-    val carry = allBins.join(perBin, Seq(bkt), "left")
-      .withColumn("__carry", last(col("__edge"), ignoreNulls = true).over(carryW))
-      .filter(col("__carry").isNotNull)
-      .select(
-        Seq(col(bkt), col(s"__carry.$matchedOn").as(on), lit(0).as(side)) ++ nullsL ++
-          Seq(col(s"__carry.$matchedOn").as(matchedOn)) ++
-          valueCols.map(c => col(s"__carry.$c").as(c)): _*)
+    def carryFrom(edgeCol: String, fromEarlier: Boolean): DataFrame = {
+      val cw = Window
+        .orderBy(if (fromEarlier) col(bkt).asc else col(bkt).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      allBins.join(perBin, Seq(bkt), "left")
+        .withColumn("__carry", last(col(edgeCol), ignoreNulls = true).over(cw))
+        .filter(col("__carry").isNotNull)
+        .select(
+          Seq(col(bkt), col(s"__carry.$matchedOn").as(on), lit(0).as(side)) ++ nullsL ++
+            Seq(col(s"__carry.$matchedOn").as(matchedOn)) ++
+            valueCols.map(c => col(s"__carry.$c").as(c)): _*)
+    }
 
     // 3. distributed union-merge fill, partitioned on the bin id
-    val ord =
-      if (backward) Seq(col(on).asc, col(side).asc)
-      else Seq(col(on).desc, col(side).asc)
-    val w = Window.partitionBy(col(bkt)).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(r).unionByName(carry)
-      .withColumn(matchedOn, last(col(matchedOn), ignoreNulls = true).over(w))
-      .withColumns(valueCols.map(c =>
-        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
-      .filter(col(side) === 1)
+    val filled =
+      if (direction == "nearest") {
+        val wb = Window.partitionBy(col(bkt))
+          .orderBy(col(on).asc, col(side).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col(bkt))
+          .orderBy(col(on).asc, col(side).desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val bOn = "__asof_b_on"; val fOn = "__asof_f_on"
+        val pickB = col(fOn).isNull || (col(bOn).isNotNull &&
+          (col(on) - col(bOn)) <= (col(fOn) - col(on)))
+        l.unionByName(r)
+          .unionByName(carryFrom("__late", fromEarlier = true))
+          .unionByName(carryFrom("__early", fromEarlier = false))
+          .withColumn(bOn, last(col(matchedOn), ignoreNulls = true).over(wb))
+          .withColumn(fOn, first(col(matchedOn), ignoreNulls = true).over(wf))
+          .withColumns(valueCols.map(c => c ->
+            when(pickB, last(col(c), ignoreNulls = true).over(wb))
+              .otherwise(first(col(c), ignoreNulls = true).over(wf))).toMap)
+          .withColumn(matchedOn, when(pickB, col(bOn)).otherwise(col(fOn)))
+          .filter(col(side) === 1)
+          .drop(bOn, fOn)
+      } else {
+        val ord =
+          if (backward) Seq(col(on).asc, col(side).asc)
+          else Seq(col(on).desc, col(side).asc)
+        val w = Window.partitionBy(col(bkt)).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carry = carryFrom(if (backward) "__late" else "__early", backward)
+        l.unionByName(r).unionByName(carry)
+          .withColumn(matchedOn, last(col(matchedOn), ignoreNulls = true).over(w))
+          .withColumns(valueCols.map(c =>
+            c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+          .filter(col(side) === 1)
+      }
 
     val withinTol = tolerance.fold(filled) { tol =>
-      val gap =
-        if (backward) col(on) - col(matchedOn)
-        else col(matchedOn) - col(on)
+      val gap = direction match {
+        case "backward" => col(on) - col(matchedOn)
+        case "forward"  => col(matchedOn) - col(on)
+        case "nearest"  =>
+          greatest(col(on) - col(matchedOn), col(matchedOn) - col(on))
+      }
       filled.withColumns(valueCols.map(c =>
         c -> when(gap <= tol, col(c))).toMap)
     }

@@ -585,6 +585,25 @@ class OpsSpec extends SparkTestBase {
     assert(count(plan) == 1, s"nearest asof shuffled more than once:\n$plan")
   }
 
+  test("asofGlobal nearest crosses bin boundaries in both directions") {
+    // bins of width 10; right rows at 8 and 31; left rows placed so the
+    // nearest match lives in a NEIGHBOR bin on each side
+    val left = sqlDf("t" -> Seq(12L, 28L, 20L), "lv" -> Seq("a", "b", "c"))
+    val right = sqlDf("t" -> Seq(8L, 31L), "rv" -> Seq(80.0, 310.0))
+    val out = AsofJoin.asofGlobal(left, right, "t", Seq("rv"),
+        direction = "nearest")(c => floor(c / 10).cast("long"))
+      .orderBy("t").collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // t=12: back 8 (gap 4) vs fwd 31 (gap 19) -> 80 (backward carry)
+    // t=20: back 8 (gap 12) vs fwd 31 (gap 11) -> 310 (forward carry)
+    // t=28: back 8 (gap 20) vs fwd 31 (gap 3) -> 310
+    assert(out == Seq((12L, 80.0), (20L, 310.0), (28L, 310.0)))
+    // nearest tolerance bounds the absolute gap
+    val tol = AsofJoin.asofGlobal(left, right, "t", Seq("rv"),
+        direction = "nearest", tolerance = Some(lit(4L)))(c => floor(c / 10).cast("long"))
+      .orderBy("t").collect().map(r => Option(r.getAs[java.lang.Double]("rv"))).toSeq
+    assert(tol == Seq(Some(80.0), None, Some(310.0)))
+  }
+
   test("asof tolerance nulls matches farther than the bound") {
     val out = AsofJoin.asof(asofLeft, asofRight, Seq("k"), "t", Seq("rv"),
         tolerance = Some(lit(2L)))
