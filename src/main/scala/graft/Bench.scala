@@ -165,8 +165,17 @@ object Bench {
           val runs = Seq(time1(n, sf1Dir), time1(n, sf1Dir)).flatten
           n -> runs.reduceOption((a, b) => math.min(a, b))
         }
+        val headlineTimes = results.toMap
+        // growth = sf1 / sf0.1 on 10x data, for queries timed at both
+        // scales — the scale-readiness signal, emitted directly so no
+        // reader has to divide two JSON maps
+        val growth = rows.collect {
+          case (k, Some(v)) if headlineTimes.get(k).flatten.exists(_ > 0.0) =>
+            "\"" + k + f"""":${v / headlineTimes(k).get}%.1f"""
+        }.mkString(""","sf1_growth_on_10x":{""", ",", "}")
         rows.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
-          .mkString(""","sf1_queries":{""", ",", """},"sf1_synth":"10x-key-shifted-replicas"""")
+          .mkString(""","sf1_queries":{""", ",",
+            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth
       } else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2"$sf1Json}""")
     spark.stop()
