@@ -423,12 +423,27 @@ final class GraftFrame private (
       val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
       val ranked = df.withColumn("__sr", row_number().over(w).cast("long"))
       val sizes = df.groupBy(groupCols: _*).agg(count(lit(1)).cast("double").as("__N"))
-      val drawKey = concat_ws("",
-        (groups.map(col) :+ col("draw_id")).map(_.cast("string")): _*)
+      // draw-key parts joined with the \u0001 separator AND nulls made
+      // explicit: concat_ws silently drops NULL parts, so without the
+      // sentinel (g1=NULL, g2="x") and (g1="x", g2=NULL) would share a
+      // draw sequence, breaking the n-INDEPENDENT-draws-per-group claim
+      val drawKey = concat_ws("\u0001",
+        (groups.map(g => coalesce(col(g).cast("string"), lit("\u0000<null-key>")))
+          :+ col("draw_id").cast("string")): _*)
       val draws = sizes.crossJoin(spark.range(1, n + 1).toDF("draw_id"))
         .select(groups.map(col) ++ Seq(col("draw_id"),
           (floor(BaseFns.md5Unif(drawKey, seed) * col("__N")) + 1).as("__sr")): _*)
-      withDf(ranked.join(draws, groups :+ "__sr").drop("__sr"))
+      // null-safe join back (withGroupId's <=> recipe): a NULL group
+      // key is a legitimate dplyr group and must receive its n draws,
+      // which a using-columns join would silently drop
+      val dt = draws.select(
+        groups.map(g => col(g).as(s"__k_$g")) ++
+          Seq(col("draw_id"), col("__sr")): _*)
+      val cond = groups.map(g => ranked(g) <=> dt(s"__k_$g")).reduce(_ && _) &&
+        ranked("__sr") === dt("__sr")
+      withDf(ranked.join(dt, cond)
+        .drop(ranked("__sr")).drop(dt("__sr"))
+        .drop(groups.map(g => s"__k_$g"): _*))
     }
   }
 

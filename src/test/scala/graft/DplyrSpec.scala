@@ -187,6 +187,29 @@ class DplyrSpec extends SparkTestBase {
     assert(g.filter(_._1 == "b").forall(p => Set(4, 5).contains(p._2)))
   }
 
+  test("slice_sample with replacement: NULL group keys draw, sequences independent") {
+    // a NULL group key is a legitimate dplyr group: it must receive
+    // exactly n draws, which a using-columns join would silently drop
+    val withNull = sqlDf("g" -> Seq("a", "a", null, null, null),
+      "x" -> Seq(1, 2, 3, 4, 5))
+    val g = withNull.graft.groupBy("g").sliceSampleReplace(8, 7L, Seq(col("x"))).df
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1))).toSeq
+    assert(g.count(_._1.isEmpty) == 8, s"NULL group got ${g.count(_._1.isEmpty)} draws")
+    assert(g.count(_._1.contains("a")) == 8)
+    assert(g.filter(_._1.isEmpty).forall(p => Set(3, 4, 5).contains(p._2)))
+    // separator in the draw key: groups "a" (draw 11) and "a1" (draw 1)
+    // must NOT share a hash — with equal group sizes, identical draw
+    // sequences would betray the collision
+    val amb = sqlDf("g" -> Seq("a", "a", "a", "a1", "a1", "a1"),
+      "x" -> Seq(1, 2, 3, 1, 2, 3))
+    val d = amb.graft.groupBy("g").sliceSampleReplace(30, 7L, Seq(col("x"))).df
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(1)))
+    val seqA = d.filter(_._1 == "a").sortBy(_._2).map(_._3).toSeq
+    val seqA1 = d.filter(_._1 == "a1").sortBy(_._2).map(_._3).toSeq
+    assert(seqA.length == 30 && seqA1.length == 30)
+    assert(seqA != seqA1, "draw sequences for groups a and a1 coincide")
+  }
+
   test("group_modify applies f per group, re-keying output") {
     val schema = StructType(Seq(StructField("mx", IntegerType)))
     val out = gdf.graft.groupBy("g").groupModify(schema) { (_, rows) =>
