@@ -136,9 +136,10 @@ object Bench {
       // the 2-pass scan operators persist their sorted rows and leave
       // them cached (the output stays lazy); drop them OUTSIDE the
       // timing so one query's cache pressure can't skew the next
-      // (x_contam swung 0.29->0.95 behind d_cum_u before this)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // (x_contam swung 0.29->0.95 behind d_cum_u before this).
+      // Scan-scoped: a global getPersistentRDDs sweep would also
+      // clobber caches the queries themselves own.
+      graft.functions.ScanFns.unpersistScans()
       r
     }
     // two timed runs per query, report the min — host noise between

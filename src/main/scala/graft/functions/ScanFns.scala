@@ -140,12 +140,13 @@ object ScanFns {
     require(ops.nonEmpty, "withCumulatives: no aggregates given")
     requireFreshNames(df, ops.map(_._3))
     val n = ops.length
+    val tmp = freshTempNames(df, "__sx", n)
     val inCols = df.columns.map(df.col) ++
-      ops.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__sx$i") }
+      ops.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
-    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__sx$i"))
+    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
     val kernels = ops.map(_._2).toArray
-    val rdd = sorted.rdd.persist(storage)
+    val rdd = registerPersist(sorted.rdd, storage)
     val totals: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = Array.tabulate[Any](n)(j => kernels(j).zero)
       it.foreach { r =>
@@ -191,6 +192,44 @@ object ScanFns {
       s"scan: output name(s) already exist in the frame: ${clash.mkString(", ")}")
   }
 
+  /** Internal temp names guaranteed fresh against the input schema: a
+    * user column literally named __sx0/__rx0/__ck0 would otherwise
+    * duplicate the temp, make fieldIndex resolve to the FIRST
+    * occurrence, and silently corrupt the scan (read the wrong column,
+    * dropRight a real one). Underscores are prepended until no input
+    * column shares the prefix. */
+  private def freshTempNames(df: DataFrame, base: String, n: Int): IndexedSeq[String] = {
+    var p = base
+    while (df.columns.exists(_.startsWith(p))) p = "_" + p
+    (0 until n).map(i => s"$p$i")
+  }
+
+  /** RDDs persisted by in-flight scans, so cleanup is scoped to THIS
+    * family instead of a global getPersistentRDDs sweep that would
+    * clobber unrelated user caches. */
+  private val scanPersists =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
+
+  private def registerPersist(rdd: org.apache.spark.rdd.RDD[Row],
+                              storage: StorageLevel): org.apache.spark.rdd.RDD[Row] = {
+    rdd.persist(storage)
+    scanPersists.add(rdd)
+    rdd
+  }
+
+  /** Drop every RDD the scan family has persisted (and nothing else).
+    * The scans are 2-pass, so the sorted rows stay cached for the
+    * lifetime of the returned lazy DataFrame; call this once scan
+    * outputs are materialized (written, collected, counted) to release
+    * the cache without touching user persists. Calling earlier is safe
+    * — the output recomputes its sort — and chained scans (e.g.
+    * fillGlobal downup = two passes) release both persists in one
+    * call. */
+  def unpersistScans(): Unit = {
+    val it = scanPersists.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** Ungrouped dplyr::consecutive_id over a whole-frame total order —
     * the scale-safe twin of WindowFns.consecutiveId with no partition:
     * a new id (from 1) each time the key combination changes along the
@@ -206,12 +245,13 @@ object ScanFns {
     require(keys.nonEmpty, "consecutive_id: no key columns")
     requireFreshNames(df, Seq(as))
     val n = keys.length
+    val tmp = freshTempNames(df, "__ck", n)
     val inCols = df.columns.map(df.col) ++
-      keys.zipWithIndex.map { case (k, i) => k.as(s"__ck$i") }
+      keys.zipWithIndex.map { case (k, i) => k.as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
-    val ki = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__ck$i"))
+    val ki = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
     def keyOf(r: Row): Seq[Any] = ki.map(r.get).toSeq
-    val rdd = sorted.rdd.persist(storage)
+    val rdd = registerPersist(sorted.rdd, storage)
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
       var first: Option[Seq[Any]] = None
       var last: Option[Seq[Any]] = None
@@ -283,12 +323,13 @@ object ScanFns {
     require(k >= 1, s"rolling window width must be >= 1 (got $k)")
     requireFreshNames(df, specs.map(_._3))
     val n = specs.length
+    val tmp = freshTempNames(df, "__rx", n)
     val inCols = df.columns.map(df.col) ++
-      specs.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(s"__rx$i") }
+      specs.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
-    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(s"__rx$i"))
+    val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
     val kinds = specs.map(_._2).toArray
-    val rdd = sorted.rdd.persist(storage)
+    val rdd = registerPersist(sorted.rdd, storage)
     // pass 1: the last k-1 values (nullable) of each partition, per
     // spec — short partitions pass their full contents so the walk
     // below can look further back. Ring-buffered: O(1) per row, not a
@@ -363,7 +404,7 @@ object ScanFns {
     require(cols.nonEmpty, "fill: no columns selected")
     val sorted = df.orderBy(order: _*)
     val idxs = cols.map(sorted.schema.fieldIndex).toArray
-    val rdd = sorted.rdd.persist(storage)
+    val rdd = registerPersist(sorted.rdd, storage)
     val partLast: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = Array.fill[Any](idxs.length)(null)
       it.foreach { r =>

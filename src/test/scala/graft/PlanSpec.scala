@@ -343,6 +343,29 @@ class PlanSpec extends SparkTestBase {
     assert(gotP == wantP)
   }
 
+  test("scan temp names dodge user columns; cleanup is scan-scoped") {
+    import graft.functions.ScanFns
+    // an input column literally named __sx0 must not collide with the
+    // scan's internal cast column (fieldIndex would silently resolve to
+    // the first occurrence and corrupt both the scan and the payload)
+    val df = sqlDf("k" -> (1 to 100), "v" -> (1 to 100).map(_.toDouble),
+      "__sx0" -> (1 to 100).map(i => i * 1000.0))
+      .repartition(5)
+    val got = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
+      .orderBy("k").collect()
+    assert(got.map(_.getDouble(3)).toSeq == (1 to 100).map(i => i * (i + 1) / 2.0))
+    // the user column came through untouched
+    assert(got.map(_.getDouble(2)).toSeq == (1 to 100).map(_ * 1000.0))
+    // unpersistScans drops the scan persist but NOT a user cache
+    val userCached = df.rdd.persist()
+    userCached.count()
+    ScanFns.unpersistScans()
+    assert(userCached.getStorageLevel.useMemory, "user cache was clobbered")
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .forall(r => r.id == userCached.id), "scan persists survived the scoped cleanup")
+    userCached.unpersist(blocking = false)
+  }
+
   test("ungrouped mutate/filter with whole-frame aggregates broadcast one agg row") {
     val gf = li.graft
     val q = gf.mutate(
