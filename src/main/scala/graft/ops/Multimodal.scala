@@ -166,9 +166,14 @@ object Multimodal {
             var fmtSeen = false
             var rate = 0; var channels = 0; var bits = 0
             var nSamples = 0L; var sum = 0L; var peak = Int.MinValue; var n = 0L
-            while (p + 8 <= b.length) {
+            // the walk ends at the declared RIFF body (8 + size word at
+            // offset 4), clamped to the payload: trailing bytes past the
+            // declared body (padding / ID3-style tails) are ignored per
+            // the PERMISSIVE contract, not flagged ok=false
+            val end = math.min(b.length.toLong, 8L + (le32(4) & 0xFFFFFFFFL)).toInt
+            while (p + 8 <= end) {
               val size = le32(p + 4)
-              require(size >= 0 && p + 8 + size <= b.length, "truncated chunk")
+              require(size >= 0 && p + 8 + size <= end, "truncated chunk")
               if (tagAt(p, "fmt ")) {
                 require(size >= 16, "short fmt chunk")
                 require(le16(p + 8) == 1, "only PCM wav supported")

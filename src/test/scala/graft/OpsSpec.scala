@@ -395,7 +395,11 @@ class OpsSpec extends SparkTestBase {
       (1L, wav(8, 8000, Seq(0, 100, 255, 55), junkChunk = false)),
       (2L, wav(16, 44100, Seq(-32768, 32767, 0, 100), junkChunk = true)), // junk skipped
       (3L, "definitely not a wav".getBytes),
-      (4L, wav(8, 8000, Seq(1, 2, 3), junkChunk = false).dropRight(1))) // truncated
+      (4L, wav(8, 8000, Seq(1, 2, 3), junkChunk = false).dropRight(1)), // truncated
+      // trailing bytes AFTER the declared RIFF body (padding/ID3-style
+      // tail): the walk must stop at the declared size, not flag
+      // ok=false on the tail masquerading as a truncated chunk
+      (5L, wav(8, 8000, Seq(7, 9), junkChunk = false) ++ "TAG0junk-tail".getBytes))
     val df = spark.createDataFrame(rows).toDF("media_id", "payload")
     val out = Multimodal.decodeWav(df).collect().sortBy(_.media_id)
     assert(out(0) == Multimodal.WavFeatures(1L, true, 8000, 1, 8, 4L,
@@ -403,6 +407,8 @@ class OpsSpec extends SparkTestBase {
     assert(out(1) == Multimodal.WavFeatures(2L, true, 44100, 1, 16, 4L,
       4.0 / 44100, (-32768L + 32767 + 0 + 100) / 4.0, 32767))
     assert(!out(2).ok && !out(3).ok)
+    assert(out(4) == Multimodal.WavFeatures(5L, true, 8000, 1, 8, 2L,
+      2.0 / 8000, (7 + 9) / 2.0, 9))
   }
 
   test("synthetic wav round-trips through the decoder with md5-derived stats") {
