@@ -124,13 +124,33 @@ object Bench {
     // measure the queries, not JVM startup
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$benchDir/region.parquet").count()
-    def time1(name: String, dir: String): Option[Double] = {
+    // host-speed anchor: a fixed shuffle+agg over synthetic data, timed
+    // at the start and end of the bench window. Query times only
+    // compare across rounds when the host was comparably idle — r9's
+    // driver-run sf1 rows came out 3-8x the quiet-machine numbers with
+    // UNCHANGED plans (BASELINE.md "Round 10"), and the anchor makes
+    // that contamination measurable instead of a forensic exercise.
+    def anchor(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("id % 1000 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchorStart = math.min(anchor(), anchor())
+    def time1(name: String, dir: String): Option[(Double, Long)] = {
       val t0 = System.nanoTime()
       // A failed query is reported in a separate "failed" array and
       // omitted from the timings map, so consumers summing/min-ing the
-      // map can't mistake a sentinel for a timing.
+      // map can't mistake a sentinel for a timing. The row count rides
+      // along so growth factors can be read against OUTPUT size — a
+      // keyless range join over a fixed time span produces
+      // quadratically more pairs on 10x data (measured 99.9x at sf1),
+      // and a time ratio alone would misread that as a plan defect.
       val r =
-        try { qs(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          val rows = qs(name)(spark, dir).count()
+          Some(((System.nanoTime() - t0) / 1e9, rows))
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
       // the 2-pass scan operators persist their sorted rows and leave
@@ -147,13 +167,15 @@ object Bench {
     // kept masking real signal round-over-round
     val results = headline.filter(qs.contains).map { name =>
       val runs = Seq(time1(name, benchDir), time1(name, benchDir)).flatten
-      name -> runs.reduceOption((a, b) => math.min(a, b))
+      name -> runs.reduceOption((a, b) => if (a._1 <= b._1) a else b)
     }
-    val qJson = results.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
+    val qJson = results.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val rowsJson = results.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val failedJson = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     // sf1 rehearsal: only when benching the standard sf0.1 dir (the
     // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
     val sf1Json =
@@ -164,21 +186,27 @@ object Bench {
         // ±40% host-noise band and masked real round-over-round signal
         val rows = sf1Queries.filter(qs.contains).map { n =>
           val runs = Seq(time1(n, sf1Dir), time1(n, sf1Dir)).flatten
-          n -> runs.reduceOption((a, b) => math.min(a, b))
+          n -> runs.reduceOption((a, b) => if (a._1 <= b._1) a else b)
         }
         val headlineTimes = results.toMap
         // growth = sf1 / sf0.1 on 10x data, for queries timed at both
         // scales — the scale-readiness signal, emitted directly so no
-        // reader has to divide two JSON maps
+        // reader has to divide two JSON maps. Read it AGAINST
+        // sf1_rows/rows: output-bound queries (the keyless range join)
+        // legitimately grow super-linearly in time because their
+        // output grows quadratically.
         val growth = rows.collect {
-          case (k, Some(v)) if headlineTimes.get(k).flatten.exists(_ > 0.0) =>
-            "\"" + k + f"""":${v / headlineTimes(k).get}%.1f"""
+          case (k, Some((v, _))) if headlineTimes.get(k).flatten.exists(_._1 > 0.0) =>
+            "\"" + k + f"""":${v / headlineTimes(k).get._1}%.1f"""
         }.mkString(""","sf1_growth_on_10x":{""", ",", "}")
-        rows.collect { case (k, Some(v)) => "\"" + k + f"""":$v%.3f""" }
+        val sf1Rows = rows.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
+          .mkString(""","sf1_rows":{""", ",", "}")
+        rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
           .mkString(""","sf1_queries":{""", ",",
-            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth
+            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows
       } else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2"$sf1Json}""")
+    val anchorEnd = math.min(anchor(), anchor())
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json}""")
     spark.stop()
   }
 }
