@@ -57,7 +57,10 @@ object Bench {
     * linear-growth claims need sf1 evidence. */
   val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
     "x_dedup_minhash", "x_range_join", "x_par_dedup",
-    "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u")
+    "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u",
+    // event-time and vector families: union-merge as-of, per-user
+    // sessionization, and LSH retrieval over the 10x corpora
+    "x_asof", "s_sessionize", "x_ann_lsh")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
@@ -71,13 +74,13 @@ object Bench {
     import org.apache.spark.sql.functions._
     val cache = new java.io.File("target/benchcache/sf1synth")
     val ok = new java.io.File(cache, "_OK")
-    val marker = s"from:$benchDir:v2"
+    val marker = s"from:$benchDir:v3"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
     val K = 100000000L
     val shiftCols = Set("l_orderkey", "o_orderkey", "o_custkey", "c_custkey",
-      "doc_id", "p_partkey")
+      "doc_id", "p_partkey", "event_id", "user_id", "vec_id")
     def replicate(tname: String, parts: Int): Unit = {
       val src = spark.read.parquet(s"$benchDir/$tname.parquet")
       val replicas = (0 until 10).map { i =>
@@ -87,6 +90,13 @@ object Bench {
         if (tname == "documents" && i > 0)
           shifted.withColumn("text",
             regexp_replace(col("text"), "(?m)^", s"r$i "))
+        // replica vectors get a small per-replica offset: identical
+        // copies would pile 10 deep into the SAME LSH buckets (a 90%
+        // duplicate corpus), where distinct content spreads buckets —
+        // the same reasoning as the document replica tags
+        else if (tname == "embeddings" && i > 0)
+          shifted.withColumn("embedding",
+            transform(col("embedding"), x => x + lit(i * 0.05f)))
         else shifted
       }
       replicas.reduce(_.unionByName(_)).repartition(parts)
@@ -97,6 +107,10 @@ object Bench {
     replicate("customer", 8)
     replicate("documents", 16)
     replicate("part", 8)
+    // user_id shifts keep per-user event timelines intact, so the
+    // as-of/sessionize topologies see 10x users, not denser users
+    replicate("events", 16)
+    replicate("embeddings", 4)
     Seq("nation", "region").foreach { tname =>
       spark.read.parquet(s"$benchDir/$tname.parquet")
         .write.mode("overwrite").parquet(s"${cache.getPath}/$tname.parquet")
