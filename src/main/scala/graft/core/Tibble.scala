@@ -67,10 +67,28 @@ object Tibble {
     * via zipWithIndex — never a single-partition global window. */
   def rowidToColumn(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
                     name: String = "rowid"): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftbridge.InternalRowBridge
     val sorted = if (order.nonEmpty) df.orderBy(order: _*) else df
     val schema = StructType(StructField(name, LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
-    sorted.sparkSession.createDataFrame(rdd, schema)
+    val dts = sorted.schema.fields.map(_.dataType)
+    val width = dts.length
+    // InternalRow end to end (the ScanFns.sortedInternal reasoning):
+    // no external-Row round trip per row. copy() BEFORE zipWithIndex —
+    // the sorter reuses row buffers, and the emitted rows' string
+    // fields point into them.
+    val rdd = InternalRowBridge.toInternalRdd(sorted).map(_.copy())
+      .zipWithIndex().map { case (r, i) =>
+        val out = new Array[Any](width + 1)
+        out(0) = i + 1L
+        var c = 0
+        while (c < width) {
+          out(c + 1) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1
+        }
+        new GenericInternalRow(out): InternalRow
+      }
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, rdd, schema)
   }
 
   /** base::diag(n) — the n×n identity as a tibble (rowid, v1..vn).
