@@ -26,14 +26,10 @@ object Bind {
 
   /** Positional index 1..n over the frame's current partition order:
     * per-partition offsets via zipWithIndex (distributed; no
-    * single-partition window). */
-  private def indexed(d: DataFrame, idx: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import org.apache.spark.sql.Row
-    val schema = StructType(StructField(idx, LongType, nullable = false) +: d.schema.fields)
-    val rdd = d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
-    d.sparkSession.createDataFrame(rdd, schema)
-  }
+    * single-partition window) — the unordered form of
+    * Tibble.rowidToColumn, sharing its InternalRow path. */
+  private def indexed(d: DataFrame, idx: String): DataFrame =
+    Tibble.rowidToColumn(d, Nil, idx)
 
   /** Column bind by position. Requires equal row counts; positions are
     * each frame's current order (deterministic only if the caller
