@@ -426,6 +426,113 @@ object ScanFns {
     InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
   }
 
+  /** Whole-frame lead/lag: `as` = the value of `x` from `n` rows BACK
+    * (n > 0, lag) or |n| rows AHEAD (n < 0, lead) under the total
+    * order, null at the frame edges — the scale-safe ungrouped twin of
+    * `lag/lead OVER ()`. ONE range-partitioned sort + the two scan
+    * passes: the cross-partition carry is just |n| boundary values of
+    * the shift column per partition (last |n| for lag, first |n| for
+    * lead), so no rowid self-join and no second shuffle — this
+    * replaced the sort + zipWithIndex + join topology and roughly
+    * halved b_lead_lag_u at sf1. Lead buffers |n| in-flight output
+    * rows per task (O(|n| · row width) memory — the expected regime is
+    * small |n|). */
+  def withShift(df: DataFrame, x: Column, n: Int, order: Seq[Column], as: String,
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(order.nonEmpty, "ungrouped shift needs a declared total order")
+    require(n != 0, "shift: n must be non-zero")
+    requireFreshNames(df, Seq(as))
+    val tmp = freshTempNames(df, "__sh", 1)
+    val sorted = df
+      .select((df.columns.map(df.col) :+ x.as(tmp(0))).toIndexedSeq: _*)
+      .orderBy(order: _*)
+    val w = sorted.schema.length
+    val vi = sorted.schema.fieldIndex(tmp(0))
+    val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
+    val vdt = dts(vi)
+    val m = math.abs(n)
+    val rdd = sortedInternal(sorted, storage)
+    def valAt(r: InternalRow): Any = if (r.isNullAt(vi)) null else r.get(vi, vdt)
+    // pass 1: per-partition boundary values of the shift column (short
+    // partitions report everything they have, so carries can reach
+    // across them)
+    val bounds: Array[Vector[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (n > 0) {
+        val buf = scala.collection.mutable.ArrayDeque.empty[Any]
+        it.foreach { r =>
+          buf.append(valAt(r)); if (buf.length > m) buf.removeHead()
+        }
+        Iterator.single((i, buf.toVector))
+      } else {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+        while (it.hasNext && buf.length < m) buf.append(valAt(it.next()))
+        Iterator.single((i, buf.toVector))
+      }
+    }.collect().sortBy(_._1).map(_._2)
+    // carry(i): for lag the last m values BEFORE partition i; for lead
+    // the first m values AFTER it
+    val carries = new Array[Vector[Any]](bounds.length)
+    if (n > 0) {
+      var run = Vector.empty[Any]
+      for (i <- bounds.indices) {
+        carries(i) = run
+        run = (run ++ bounds(i)).takeRight(m)
+      }
+    } else {
+      var run = Vector.empty[Any]
+      for (i <- bounds.indices.reverse) {
+        carries(i) = run
+        run = (bounds(i) ++ run).take(m)
+      }
+    }
+    val bc = sorted.sparkSession.sparkContext.broadcast(carries)
+    val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
+      def outOf(r: InternalRow): Array[Any] = {
+        val out = new Array[Any](w)
+        var c = 0
+        while (c < w - 1) { out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1 }
+        out
+      }
+      if (n > 0) {
+        val deque = scala.collection.mutable.ArrayDeque.from(bc.value(i))
+        it.map { r =>
+          val out = outOf(r)
+          out(w - 1) = if (deque.length == m) deque.removeHead() else null
+          deque.append(valAt(r))
+          new GenericInternalRow(out): InternalRow
+        }
+      } else {
+        // emit row j once row j+m (or the carry) supplies its lead
+        val pending = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
+        val carry = bc.value(i)
+        val head = it.flatMap { r =>
+          val cur = valAt(r)
+          val ready =
+            if (pending.length == m) {
+              val o = pending.removeHead(); o(w - 1) = cur
+              Iterator.single(new GenericInternalRow(o): InternalRow)
+            } else Iterator.empty
+          pending.append(outOf(r))
+          ready
+        }
+        val drain = new Iterator[InternalRow] {
+          private var k = 0
+          def hasNext: Boolean = pending.nonEmpty
+          def next(): InternalRow = {
+            val o = pending.removeHead()
+            o(w - 1) = if (k < carry.length) carry(k) else null
+            k += 1
+            new GenericInternalRow(o)
+          }
+        }
+        head ++ drain
+      }
+    }
+    val outSchema = StructType(
+      sorted.schema.fields.dropRight(1) :+ StructField(as, vdt, nullable = true))
+    InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
+  }
+
   /** Whole-frame "fill down" — the running LAST NON-NULL value of each
     * column in `cols` under the total order, written IN PLACE (types
     * preserved, schema unchanged). Backs tidyr::fill's ungrouped form

@@ -22,32 +22,26 @@ object SeqFns {
       "ungrouped diff collapses the frame onto one task: use SeqFns.withDiff")
     x - lag(x, 1).over(Window.partitionBy(part: _*).orderBy(order: _*))
   }
-  /** UNGROUPED diff, scale-safe: range-partitioned sort + zipWithIndex
-    * row ids (graft.core.Tibble.rowidToColumn — never a global window),
-    * then a self-equi-join on rowid-1 to fetch the predecessor. Two
-    * distributed shuffles on a dense long key; no single-task stage. */
+  /** UNGROUPED diff, scale-safe: the one-sort boundary-carry shift
+    * (ScanFns.withShift) fetches the predecessor value, then the
+    * difference stays a Column expression (Spark's own numeric
+    * coercion). No rowid self-join, no second shuffle, never a global
+    * window. */
   def withDiff(df: DataFrame, x: Column, order: Seq[Column], as: String): DataFrame =
-    withShifted(df, x, n = 1, order, as)((cur, prev) => cur - prev)
+    ScanFns.withShift(df, x, n = 1, order, as)
+      .withColumn(as, x - col(s"`$as`"))
 
   /** UNGROUPED lag over a whole-frame total order (scale-safe twin of
-    * `WindowFns.lagBy` with no partition): value of `x` n rows back. */
+    * `WindowFns.lagBy` with no partition): value of `x` n rows back —
+    * ONE sort + |n|-value partition carries (ScanFns.withShift). */
   def withLag(df: DataFrame, x: Column, n: Int, order: Seq[Column],
               as: String): DataFrame =
-    withShifted(df, x, n, order, as)((_, prev) => prev)
+    ScanFns.withShift(df, x, n, order, as)
 
   /** UNGROUPED lead: value of `x` n rows ahead (negative shift). */
   def withLead(df: DataFrame, x: Column, n: Int, order: Seq[Column],
                as: String): DataFrame =
-    withShifted(df, x, -n, order, as)((_, next) => next)
-
-  private def withShifted(df: DataFrame, x: Column, n: Int, order: Seq[Column],
-                          as: String)(combine: (Column, Column) => Column): DataFrame = {
-    val rn = graft.core.Tibble.rowidToColumn(df, order, "__drn")
-    val shifted = rn.select((col("__drn") + n).as("__drn"), x.as("__dshift"))
-    rn.join(shifted, Seq("__drn"), "left")
-      .withColumn(as, combine(x, col("__dshift")))
-      .drop("__drn", "__dshift")
-  }
+    ScanFns.withShift(df, x, -n, order, as)
   def revArr(x: Column): Column = reverse(x)
   def sortArr(x: Column): Column = array_sort(x)
   /** base::lengths — element count of a list column. */

@@ -465,6 +465,21 @@ class PlanSpec extends SparkTestBase {
         Seq(Option(r.get(3)), Option(r.get(4)), Option(r.get(1)), Option(r.get(5)))
       }.toSeq
       assert(got == want, s"scan stress mismatch at $parts partitions")
+      // shift carries across the same boundaries: lag/lead at a depth
+      // (11) exceeding the 17-partition slice size, on a STRING column
+      // (catalyst UTF8String values through carry + broadcast)
+      for (sh <- Seq(1, 11)) {
+        val wantLag = base.withColumn("sh", lag(col("s"), sh).over(ww))
+          .orderBy("k").collect().map(r => Option(r.get(3))).toSeq
+        val gotLag = ScanFns.withShift(df, col("s"), sh, Seq(col("k").asc), "sh")
+          .orderBy("k").collect().map(r => Option(r.get(3))).toSeq
+        assert(gotLag == wantLag, s"lag($sh) mismatch at $parts partitions")
+        val wantLead = base.withColumn("sh", lead(col("v"), sh).over(ww))
+          .orderBy("k").collect().map(r => Option(r.get(3))).toSeq
+        val gotLead = ScanFns.withShift(df, col("v"), -sh, Seq(col("k").asc), "sh")
+          .orderBy("k").collect().map(r => Option(r.get(3))).toSeq
+        assert(gotLead == wantLead, s"lead($sh) mismatch at $parts partitions")
+      }
     }
   }
 
