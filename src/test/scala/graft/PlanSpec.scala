@@ -483,6 +483,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("whole-frame shift plans ONE sort, no join, no window") {
+    import graft.functions.ScanFns
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val q = ScanFns.withShift(part, col("p_retailprice"), 3,
+      Seq(col("p_partkey").asc), "prev3")
+    q.count() // scans execute eagerly for the summaries; settle the plan
+    val nodes = collectPlan(q.queryExecution.executedPlan).map(_.nodeName)
+    assert(!nodes.exists(n => n.contains("Join") || n.contains("Window")),
+      s"shift should be a pure scan topology, got: ${nodes.mkString(", ")}")
+  }
+
   test("exact dedup aggregates with partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup.exact(docs, "doc_id", "text")
