@@ -376,11 +376,14 @@ object QueriesBase {
         .select("o_orderkey", "price_diff")
         .orderBy(col("o_orderkey"))),
 
-    // UNGROUPED lead/lag over a whole-frame order, same rowid topology
+    // UNGROUPED lead/lag over a whole-frame order: lag 2 and lead 1
+    // FUSED into one boundary-carry scan — one sort, no rowid join
+    // (chaining withLag then withLead costs a sort per shift)
     "b_lead_lag_u" -> ((s, d) => {
       val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
-      val l1 = SeqFns.withLag(t(s, d, "orders"), col("o_totalprice"), 2, ord, "prev2_price")
-      SeqFns.withLead(l1, col("o_totalprice"), 1, ord, "next_price")
+      ScanFns.withShifts(t(s, d, "orders"),
+          Seq((col("o_totalprice"), 2, "prev2_price"),
+            (col("o_totalprice"), -1, "next_price")), ord)
         .select("o_orderkey", "prev2_price", "next_price")
         .orderBy(col("o_orderkey"))
     }),

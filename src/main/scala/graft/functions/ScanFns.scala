@@ -438,98 +438,130 @@ object ScanFns {
     * rows per task (O(|n| · row width) memory — the expected regime is
     * small |n|). */
   def withShift(df: DataFrame, x: Column, n: Int, order: Seq[Column], as: String,
-                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    withShifts(df, Seq((x, n, as)), order, storage)
+
+  /** N whole-frame shifts FUSED into one scan — mixed lags and leads
+    * over the same total order share the single sort and both passes
+    * (the withCumulatives fusion rule applied to shifts): chaining
+    * withLag∘withLead costs one sort + persist PER shift. Lags resolve
+    * as rows stream; each row also supplies the lead values of the
+    * rows up to L = max lead depth behind it, so the task holds at
+    * most L in-flight output rows (O(L · row width) memory — small-L
+    * regime) plus |n| carry scalars per spec. */
+  def withShifts(df: DataFrame, specs: Seq[(Column, Int, String)], order: Seq[Column],
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(order.nonEmpty, "ungrouped shift needs a declared total order")
-    require(n != 0, "shift: n must be non-zero")
-    requireFreshNames(df, Seq(as))
-    val tmp = freshTempNames(df, "__sh", 1)
-    val sorted = df
-      .select((df.columns.map(df.col) :+ x.as(tmp(0))).toIndexedSeq: _*)
+    require(specs.nonEmpty, "withShifts: no shifts given")
+    require(specs.forall(_._2 != 0), "shift: n must be non-zero")
+    requireFreshNames(df, specs.map(_._3))
+    val nSpec = specs.length
+    val tmp = freshTempNames(df, "__sh", nSpec)
+    val sorted = df.select((df.columns.map(df.col) ++
+        specs.zipWithIndex.map { case ((x, _, _), j) => x.as(tmp(j)) }).toIndexedSeq: _*)
       .orderBy(order: _*)
     val w = sorted.schema.length
-    val vi = sorted.schema.fieldIndex(tmp(0))
+    val base = w - nSpec
+    val vi = Array.tabulate(nSpec)(j => sorted.schema.fieldIndex(tmp(j)))
     val dts: Array[DataType] = sorted.schema.fields.map(_.dataType)
-    val vdt = dts(vi)
-    val m = math.abs(n)
+    val ns = specs.map(_._2).toArray
+    val lagIdx = ns.indices.filter(j => ns(j) > 0).toArray
+    val leadIdx = ns.indices.filter(j => ns(j) < 0).toArray
+    val maxLead = leadIdx.map(j => -ns(j)).maxOption.getOrElse(0)
     val rdd = sortedInternal(sorted, storage)
-    def valAt(r: InternalRow): Any = if (r.isNullAt(vi)) null else r.get(vi, vdt)
-    // pass 1: per-partition boundary values of the shift column (short
-    // partitions report everything they have, so carries can reach
-    // across them)
-    val bounds: Array[Vector[Any]] = rdd.mapPartitionsWithIndex { (i, it) =>
-      if (n > 0) {
-        val buf = scala.collection.mutable.ArrayDeque.empty[Any]
-        it.foreach { r =>
-          buf.append(valAt(r)); if (buf.length > m) buf.removeHead()
+    def valAt(r: InternalRow, j: Int): Any =
+      if (r.isNullAt(vi(j))) null else r.get(vi(j), dts(vi(j)))
+    // pass 1: per spec, each partition's boundary values — tail |n| for
+    // lags, head |n| for leads (short partitions report what they have,
+    // so carries bridge across them)
+    val bounds: Array[Array[Vector[Any]]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val tails = Array.fill(nSpec)(scala.collection.mutable.ArrayDeque.empty[Any])
+      val heads = Array.fill(nSpec)(scala.collection.mutable.ArrayBuffer.empty[Any])
+      it.foreach { r =>
+        var j = 0
+        while (j < nSpec) {
+          if (ns(j) > 0) {
+            tails(j).append(valAt(r, j))
+            if (tails(j).length > ns(j)) tails(j).removeHead()
+          } else if (heads(j).length < -ns(j)) heads(j).append(valAt(r, j))
+          j += 1
         }
-        Iterator.single((i, buf.toVector))
-      } else {
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
-        while (it.hasNext && buf.length < m) buf.append(valAt(it.next()))
-        Iterator.single((i, buf.toVector))
       }
+      Iterator.single((i, Array.tabulate(nSpec)(j =>
+        if (ns(j) > 0) tails(j).toVector else heads(j).toVector)))
     }.collect().sortBy(_._1).map(_._2)
-    // carry(i): for lag the last m values BEFORE partition i; for lead
-    // the first m values AFTER it
-    val carries = new Array[Vector[Any]](bounds.length)
-    if (n > 0) {
-      var run = Vector.empty[Any]
-      for (i <- bounds.indices) {
-        carries(i) = run
-        run = (run ++ bounds(i)).takeRight(m)
-      }
-    } else {
-      var run = Vector.empty[Any]
-      for (i <- bounds.indices.reverse) {
-        carries(i) = run
-        run = (bounds(i) ++ run).take(m)
+    // carry(i)(j): for lag j the last n values BEFORE partition i, for
+    // lead j the first |n| values AFTER it
+    val parts = bounds.length
+    val carries = Array.fill(parts)(new Array[Vector[Any]](nSpec))
+    for (j <- 0 until nSpec) {
+      if (ns(j) > 0) {
+        var run = Vector.empty[Any]
+        for (i <- 0 until parts) {
+          carries(i)(j) = run; run = (run ++ bounds(i)(j)).takeRight(ns(j))
+        }
+      } else {
+        var run = Vector.empty[Any]
+        for (i <- (parts - 1) to 0 by -1) {
+          carries(i)(j) = run; run = (bounds(i)(j) ++ run).take(-ns(j))
+        }
       }
     }
     val bc = sorted.sparkSession.sparkContext.broadcast(carries)
     val outRows = rdd.mapPartitionsWithIndex { (i, it) =>
-      def outOf(r: InternalRow): Array[Any] = {
+      val carry = bc.value(i)
+      val deques = Array.tabulate(nSpec)(j =>
+        if (ns(j) > 0) scala.collection.mutable.ArrayDeque.from(carry(j)) else null)
+      val pending = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
+      val head = it.flatMap { r =>
         val out = new Array[Any](w)
         var c = 0
-        while (c < w - 1) { out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1 }
-        out
-      }
-      if (n > 0) {
-        val deque = scala.collection.mutable.ArrayDeque.from(bc.value(i))
-        it.map { r =>
-          val out = outOf(r)
-          out(w - 1) = if (deque.length == m) deque.removeHead() else null
-          deque.append(valAt(r))
-          new GenericInternalRow(out): InternalRow
+        while (c < base) { out(c) = if (r.isNullAt(c)) null else r.get(c, dts(c)); c += 1 }
+        // lag values are known the moment the row streams past
+        for (j <- lagIdx) {
+          out(base + j) =
+            if (deques(j).length == ns(j)) deques(j).removeHead() else null
+          deques(j).append(valAt(r, j))
         }
-      } else {
-        // emit row j once row j+m (or the carry) supplies its lead
-        val pending = scala.collection.mutable.ArrayDeque.empty[Array[Any]]
-        val carry = bc.value(i)
-        val head = it.flatMap { r =>
-          val cur = valAt(r)
+        // this row supplies the lead slots of the rows |n| behind it
+        for (j <- leadIdx) {
+          val idx = pending.length + ns(j) // ns(j) < 0
+          if (idx >= 0) pending(idx)(base + j) = valAt(r, j)
+        }
+        if (maxLead == 0) Iterator.single(new GenericInternalRow(out): InternalRow)
+        else {
           val ready =
-            if (pending.length == m) {
-              val o = pending.removeHead(); o(w - 1) = cur
+            if (pending.length == maxLead) {
+              val o = pending.removeHead()
               Iterator.single(new GenericInternalRow(o): InternalRow)
             } else Iterator.empty
-          pending.append(outOf(r))
+          pending.append(out)
           ready
         }
-        val drain = new Iterator[InternalRow] {
-          private var k = 0
-          def hasNext: Boolean = pending.nonEmpty
-          def next(): InternalRow = {
-            val o = pending.removeHead()
-            o(w - 1) = if (k < carry.length) carry(k) else null
-            k += 1
-            new GenericInternalRow(o)
-          }
-        }
-        head ++ drain
       }
+      // partition end: the last <= maxLead rows take their remaining
+      // lead values from the carry (global tail rows stay null)
+      val drain = new Iterator[InternalRow] {
+        private var k = 0
+        private var len = -1
+        def hasNext: Boolean = pending.nonEmpty
+        def next(): InternalRow = {
+          if (len < 0) len = pending.length
+          val o = pending.removeHead()
+          for (j <- leadIdx) {
+            val off = k + (-ns(j)) - len
+            if (off >= 0)
+              o(base + j) = if (off < carry(j).length) carry(j)(off) else null
+          }
+          k += 1
+          new GenericInternalRow(o)
+        }
+      }
+      head ++ drain
     }
-    val outSchema = StructType(
-      sorted.schema.fields.dropRight(1) :+ StructField(as, vdt, nullable = true))
+    val outSchema = StructType(sorted.schema.fields.dropRight(nSpec).toSeq ++
+      specs.zipWithIndex.map { case ((_, _, as), j) =>
+        StructField(as, dts(vi(j)), nullable = true) })
     InternalRowBridge.fromInternalRdd(sorted.sparkSession, outRows, outSchema)
   }
 

@@ -480,6 +480,18 @@ class PlanSpec extends SparkTestBase {
           .orderBy("k").collect().map(r => Option(r.get(3))).toSeq
         assert(gotLead == wantLead, s"lead($sh) mismatch at $parts partitions")
       }
+      // fused mixed shifts: lag 2 + lead 1 + lead 11 share ONE scan and
+      // must equal the window forms row for row
+      val wantMix = base
+        .withColumn("a", lag(col("v"), 2).over(ww))
+        .withColumn("b", lead(col("s"), 1).over(ww))
+        .withColumn("c", lead(col("v"), 11).over(ww))
+        .orderBy("k").collect().map(r => (3 to 5).map(i => Option(r.get(i)))).toSeq
+      val gotMix = ScanFns.withShifts(df, Seq(
+          (col("v"), 2, "a"), (col("s"), -1, "b"), (col("v"), -11, "c")),
+          Seq(col("k").asc))
+        .orderBy("k").collect().map(r => (3 to 5).map(i => Option(r.get(i)))).toSeq
+      assert(gotMix == wantMix, s"fused shifts mismatch at $parts partitions")
     }
   }
 
