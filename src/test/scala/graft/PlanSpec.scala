@@ -351,18 +351,25 @@ class PlanSpec extends SparkTestBase {
     val df = sqlDf("k" -> (1 to 100), "v" -> (1 to 100).map(_.toDouble),
       "__sx0" -> (1 to 100).map(i => i * 1000.0))
       .repartition(5)
+    // track THIS test's persists by diffing the global set — suites
+    // share the session and run in parallel, so asserting global
+    // emptiness races against another suite's in-flight scan
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val got = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
       .orderBy("k").collect()
     assert(got.map(_.getDouble(3)).toSeq == (1 to 100).map(i => i * (i + 1) / 2.0))
     // the user column came through untouched
     assert(got.map(_.getDouble(2)).toSeq == (1 to 100).map(_ * 1000.0))
+    val scanIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(scanIds.nonEmpty, "the scan should have left a registered persist")
     // unpersistScans drops the scan persist but NOT a user cache
     val userCached = df.rdd.persist()
     userCached.count()
     ScanFns.unpersistScans()
     assert(userCached.getStorageLevel.useMemory, "user cache was clobbered")
-    assert(spark.sparkContext.getPersistentRDDs.values
-      .forall(r => r.id == userCached.id), "scan persists survived the scoped cleanup")
+    val still = spark.sparkContext.getPersistentRDDs.keySet
+    assert(scanIds.forall(id => !still.contains(id)),
+      s"scan persists survived the scoped cleanup: ${scanIds.intersect(still)}")
     userCached.unpersist(blocking = false)
   }
 
