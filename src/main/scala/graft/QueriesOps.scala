@@ -63,6 +63,23 @@ object QueriesOps {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("keep_id"))),
 
+    // Cross-corpus (incremental-crawl) dedup: incoming = the odd docs
+    // plus a deterministic 10% "re-crawl" of the even corpus (fresh
+    // doc_id, identical text); existing = the even corpus. The
+    // bloom-pruned anti-join must drop exactly the re-crawls — result
+    // is EXACT (bloom prefilter + confirm join), hence hash-checkable.
+    "x_dedup_cross" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val recrawl = existing.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").unionByName(recrawl.select("doc_id", "text"))
+      BloomPrune.antiJoin(incoming, existing.select("doc_id", "text"),
+          md5(col("text")), fpp = 0.01)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
         w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
@@ -830,6 +847,16 @@ object QueriesOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "x_dedup_cross" ->
+      """WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM existing WHERE doc_id % 10 = 0)
+        |SELECT i.doc_id FROM incoming i
+        |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text))
+        |ORDER BY i.doc_id""".stripMargin,
 
     "x_quality" ->
       """WITH f AS (
