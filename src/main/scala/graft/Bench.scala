@@ -13,7 +13,7 @@ object Bench {
     "q1_pricing", "q3_topk", "q5_region_revenue",
     "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk", "d_rowwise2",
     "d_cum_u", "b_rank_u",
-    "x_dedup_exact", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
+    "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_range_join", "x_multimodal",
     "s_sessionize")
@@ -56,7 +56,7 @@ object Bench {
     * fill over 10× lineitem, rolling-carry over 10× orders) whose
     * linear-growth claims need sf1 evidence. */
   val sf1Queries: Seq[String] = Seq("q1_pricing", "q3_topk", "q5_region_revenue",
-    "x_dedup_minhash", "x_range_join", "x_par_dedup",
+    "x_dedup_minhash", "x_dedup_cross", "x_range_join", "x_par_dedup",
     "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u",
     // event-time and vector families: union-merge as-of, per-user
     // sessionization, and LSH retrieval over the 10x corpora
