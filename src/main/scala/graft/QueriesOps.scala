@@ -474,7 +474,16 @@ object QueriesOps {
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"))
-        .orderBy(col("user_id"), col("session_id")))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // Streaming first-wins LSH near-dup — the batch twin carries the
+    // oracle (like s_sessionize); StreamingSpec proves the stateful
+    // stream path emits identical verdicts across microbatches.
+    "s_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
+      graft.streaming.NearDupStream.nearDupBatch(docs).orderBy(col("doc_id"))
+    })
   )
 
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
@@ -847,6 +856,31 @@ object QueriesOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // replays the md5-derived 48-bit minhash banding digit by digit:
+    // every pow() term stays under 2^53, so the hex decode is exact
+    "s_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS wd FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |    ELSE list_transform(range(1, len(wd) - 1), i -> array_to_string(wd[i:i+2], ' ')) END)) AS s
+        |  FROM toks),
+        |hj AS (SELECT doc_id, pj.j,
+        |    CAST(list_sum(list_transform(range(1, 13), i ->
+        |      (strpos('0123456789abcdef', substr(md5(s || ':' || pj.j), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 12 - i))) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j) pj),
+        |sigs AS (SELECT doc_id, j, min(h) AS h FROM hj GROUP BY 1, 2),
+        |buckets AS (SELECT doc_id, CAST(floor(j / 2) AS INT) AS band,
+        |    array_to_string(list(CAST(h AS VARCHAR) ORDER BY j), ',') AS bucket
+        |  FROM sigs GROUP BY 1, 2),
+        |ev AS (SELECT doc_id, band, bucket,
+        |    min(doc_id) OVER (PARTITION BY band, bucket) AS first_doc
+        |  FROM buckets)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_bands,
+        |  sum(CASE WHEN doc_id > first_doc THEN 1 ELSE 0 END) > 0 AS is_dup
+        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_dedup_cross" ->
       """WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

@@ -215,6 +215,33 @@ object Dedup {
   def simhashPortable(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), simhashPortableBits(col(text)).as("simhash_bits"))
 
+  /** Engine-portable MinHash band buckets: the md5 twin of
+    * `minhashSignature`+`bands`, for paths whose OUTPUT must be
+    * hash-comparable across engines (the streaming near-dup's verdict
+    * depends on the band keys themselves, unlike minhashLsh where LSH
+    * only proposes candidates and exact jaccard decides). Hash j of
+    * shingle s is the first 12 hex digits of md5(s":"j) as a 48-bit
+    * long — DuckDB reproduces it with a per-digit decode; 16^11·15
+    * stays inside double-exact range, so the oracle's pow() arithmetic
+    * is lossless. sig_j = min over distinct shingles; bucket b =
+    * comma-joined rows b·R..(b+1)·R-1. The xxhash64 kernel form stays
+    * the batch scale path. */
+  def portableMinhashBands(text: Column, w: Int, numBands: Int,
+                           rowsPerBand: Int): Column = {
+    val numPerm = numBands * rowsPerBand
+    val sh = array_distinct(shingles(tokens(text), w))
+    val perShingle = transform(sh, s =>
+      transform(sequence(lit(0), lit(numPerm - 1)), j =>
+        conv(substring(md5(concat(s, lit(":"), j.cast("string"))), 1, 12), 16, 10)
+          .cast("long")))
+    val sig = aggregate(perShingle, array_repeat(lit(Long.MaxValue), numPerm),
+      (acc, row) => zip_with(acc, row, (a, b) => least(a, b)))
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          v => v.cast("string"))).as("bucket")))
+  }
+
   /** SimHash near-dup pairs: bucket on 16-bit chunks — by pigeonhole a
     * pair within hamming distance 3 shares at least one of the 4
     * chunks, so recall is guaranteed only for maxDist <= 3 (callers

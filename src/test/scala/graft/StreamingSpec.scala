@@ -163,6 +163,80 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("nearDupStream verdicts across microbatches match the batch twin") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.NDDoc
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val batch1 = Seq(
+      NDDoc(1L, ts(0), "the quick brown fox jumps over the lazy dog"),
+      NDDoc(2L, ts(1), "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      NDDoc(3L, ts(2), "completely different content about spark engines"))
+    val batch2 = Seq(
+      NDDoc(4L, ts(3), "the quick brown fox jumped over the lazy dog"), // near dup of 1
+      NDDoc(5L, ts(4), "the quick brown fox jumps over the lazy dog"), // dup ACROSS batches
+      NDDoc(6L, ts(5), "yet another unrelated document entirely here"))
+    val sentinel1 = NDDoc(98L, ts(600), "sentinel one advancing the watermark")
+    val sentinel2 = NDDoc(99L, ts(610), "sentinel two advancing the watermark")
+    val input = MemoryStream[NDDoc]
+    val out = NearDupStream.nearDupStream(input.toDS(),
+      watermark = "10 minutes", windowLen = "1 hour")
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_out").outputMode("append").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+      // two watermark-advancing batches flush the hour-0 window
+      input.addData(sentinel1); query.processAllAvailable()
+      input.addData(sentinel2); query.processAllAvailable()
+      val streamed = s.table("neardup_out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      val all = batch1 ++ batch2 ++ Seq(sentinel1, sentinel2)
+      val batch = NearDupStream.nearDupBatch(all.toDF())
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      // the flushed docs (1-6) must carry identical verdicts
+      (1L to 6L).foreach { d =>
+        assert(streamed.contains(d), s"doc $d not flushed: $streamed")
+        assert(streamed(d) == batch(d),
+          s"doc $d: stream ${streamed(d)} != batch ${batch(d)}")
+      }
+      // semantic anchors: 2 and 5 are full-band dups of 1; 3 and 6 unique
+      assert(streamed(2L)._2 && streamed(5L)._2)
+      assert(!streamed(3L)._2 && !streamed(6L)._2)
+    } finally query.stop()
+  }
+
+  test("nearDupStream horizon evicts bucket state and re-admits old dups") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.NDDoc
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[NDDoc]
+    val out = NearDupStream.nearDupStream(input.toDS(),
+      watermark = "10 minutes", windowLen = "1 hour", horizonMinutes = 30)
+    val query = out.writeStream.format("memory")
+      .queryName("neardup_hz_out").outputMode("append").start()
+    try {
+      input.addData(NDDoc(1L, ts(0), "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      // far past the 30-min horizon: bucket state for doc 1 is evicted,
+      // so the SAME text re-admits as non-dup (bounded-state trade)
+      input.addData(NDDoc(2L, ts(300), "the quick brown fox jumps over the lazy dog"))
+      query.processAllAvailable()
+      input.addData(NDDoc(98L, ts(900), "sentinel one advancing the watermark"))
+      query.processAllAvailable()
+      input.addData(NDDoc(99L, ts(910), "sentinel two advancing the watermark"))
+      query.processAllAvailable()
+      val got = s.table("neardup_hz_out")
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(got.get(1L) == Some(false), s"first copy must be kept: $got")
+      assert(got.get(2L) == Some(false),
+        s"dup past the horizon must be re-admitted (state evicted): $got")
+    } finally query.stop()
+  }
+
   test("dedupStreamWithinWatermark drops dups and bounds state by the horizon") {
     val s = spark
     import s.implicits._
