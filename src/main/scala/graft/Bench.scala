@@ -16,7 +16,7 @@ object Bench {
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_range_join", "x_multimodal",
-    "s_sessionize")
+    "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -60,7 +60,7 @@ object Bench {
     "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u",
     // event-time and vector families: union-merge as-of, per-user
     // sessionization, and LSH retrieval over the 10x corpora
-    "x_asof", "s_sessionize", "x_ann_lsh")
+    "x_asof", "s_sessionize", "s_neardup", "x_ann_lsh")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

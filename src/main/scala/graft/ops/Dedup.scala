@@ -242,6 +242,12 @@ object Dedup {
           v => v.cast("string"))).as("bucket")))
   }
 
+  /** One-pass codegen kernel twin of [[portableMinhashBands]]
+    * (bit-identical; the default for the streaming ingest path). */
+  def portableMinhashBandsFast(text: Column, w: Int, numBands: Int,
+                               rowsPerBand: Int): Column =
+    fromExpr(graft.plans.PortableMinhashBandsExpr(bridge(text), w, numBands, rowsPerBand))
+
   /** SimHash near-dup pairs: bucket on 16-bit chunks — by pigeonhole a
     * pair within hamming distance 3 shares at least one of the 4
     * chunks, so recall is guaranteed only for maxDist <= 3 (callers

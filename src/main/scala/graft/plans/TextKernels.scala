@@ -131,6 +131,65 @@ object TextKernels {
     new GenericArrayData(sig)
   }
 
+  /** Engine-portable md5 minhash band buckets — the one-pass kernel
+    * twin of `Dedup.portableMinhashBands` (bit-identical,
+    * spec-asserted): hash j of shingle s = first 12 hex digits (= 6
+    * bytes) of md5(s":"j) as a 48-bit long; sig_j = min over distinct
+    * w-shingles; bucket b = comma-joined rows b·R..(b+1)·R-1. The
+    * Column form pays numPerm interpreted md5/conv trees per shingle;
+    * this is one tight loop per row, so the STREAMING near-dup's
+    * signature cost stays inside whole-stage codegen at ingest rates.
+    * Output rows are (band:int, bucket:string) structs. */
+  def portableMinhashBands(text: UTF8String, w: Int, numBands: Int,
+                           rowsPerBand: Int): ArrayData = {
+    val numPerm = numBands * rowsPerBand
+    val toks = tokenStrings(text)
+    val nOut = math.max(toks.length - w + 1, 1)
+    val seen = new java.util.HashSet[String](nOut * 2)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nOut) {
+      val sb = new java.lang.StringBuilder(16 * w)
+      var k = 0
+      while (k < w && i + k < toks.length) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        var j = 0
+        while (j < numPerm) {
+          md.reset()
+          val d = md.digest((s + ":" + j).getBytes("UTF-8"))
+          // first 12 hex digits = first 6 digest bytes, big-endian
+          val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+            ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+            ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numBands)
+    var b = 0
+    while (b < numBands) {
+      val sb = new java.lang.StringBuilder(16 * rowsPerBand)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(
+        b, UTF8String.fromString(sb.toString))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over distinct token hashes. */
   def simhash(text: UTF8String): Long = {
     val hs = tokenHashes(text)
@@ -251,6 +310,25 @@ case class MinHashSignatureExpr(child: Expression, w: Int, numPerm: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.TextKernels.minhashSignature($c, $w, $numPerm)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** portable_minhash_bands(text) — md5-derived band buckets (see
+  * TextKernels.portableMinhashBands). */
+case class PortableMinhashBandsExpr(child: Expression, w: Int,
+                                    numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "portable_minhash_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.portableMinhashBands(input.asInstanceOf[UTF8String],
+      w, numBands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.portableMinhashBands($c, $w, $numBands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): PortableMinhashBandsExpr =
     copy(child = newChild)
 }
 

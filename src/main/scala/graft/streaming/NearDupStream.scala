@@ -55,7 +55,7 @@ object NearDupStream {
   private def bandRows(docs: DataFrame, w: Int, numBands: Int,
                        rowsPerBand: Int): DataFrame =
     docs.select(col("doc_id"), col("ts"),
-        explode(Dedup.portableMinhashBands(col("text"), w, numBands, rowsPerBand)).as("bb"))
+        explode(Dedup.portableMinhashBandsFast(col("text"), w, numBands, rowsPerBand)).as("bb"))
       .select(col("doc_id"), col("ts"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 

@@ -107,6 +107,18 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("portable minhash band kernel is bit-identical to the Column reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(sqlDf("text" -> Seq("", "one", "one two",
+        "ÅÄÖ ünïcödé tōkèns İI", "a  b\t\nc!!!")))
+    val diff = docs.select(
+      Dedup.portableMinhashBands(col("text"), 3, 4, 2).as("a"),
+      Dedup.portableMinhashBandsFast(col("text"), 3, 4, 2).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
   test("SRP bucket kernel is bit-identical to the Column reference form") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("v", col("embedding").cast("array<double>"))
