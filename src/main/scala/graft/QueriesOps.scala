@@ -162,6 +162,15 @@ object QueriesOps {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy(col("a"), col("b"))),
 
+    // SemDeDup-style semantic dedup over the deterministic IVF
+    // clusters: within-cluster capped pairing, drop every vector with
+    // a smaller-id >=-threshold cluster-mate; the oracle rebuilds the
+    // identical index and replays the drop set
+    "x_semdedup" -> ((s, d) =>
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nLists = 8, threshold = 0.3)
+        .orderBy(col("vec_id"))),
+
     // deterministic md5-ranked centroid sample -> the oracle rebuilds
     // the identical IVF index and probes the same two lists
     "x_ann_ivf" -> ((s, d) => {
@@ -234,6 +243,14 @@ object QueriesOps {
 
     "x_par_dedup" -> ((s, d) =>
       TextAnalysis.paragraphDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // maximal corpus-duplicated 20-gram spans per doc (the char-grain
+    // suffix-array dedup signal): positional md5 k-grams -> one
+    // multiplicity groupBy -> semi-join coverage -> per-doc interval
+    // union; the oracle replays grams, counts, and islands exactly
+    "x_dup_spans" -> ((s, d) =>
+      TextAnalysis.dupSpanStats(t(s, d, "documents"), "doc_id", "text", k = 20)
         .orderBy(col("doc_id"))),
 
     // ---- range join ------------------------------------------------------
@@ -578,6 +595,65 @@ object QueriesOps {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  substring(b64, CAST(i*128+1 AS INT), 32) AS frame_b64
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replays dupSpanStats end to end: normalized positional 20-grams
+    // (md5-prefix hashes), corpus multiplicity >= 2, per-doc interval
+    // union via the same gaps-and-islands sweep, zero-filled rollup
+    "x_dup_spans" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns FROM documents),
+        |g AS (SELECT doc_id, len(ns) AS n_chars,
+        |    CASE WHEN len(ns) < 20 THEN [substring(md5(ns), 1, 16)]
+        |    ELSE list_transform(range(1, len(ns) - 18),
+        |      i -> substring(md5(substring(ns, CAST(i AS INT), 20)), 1, 16)) END AS hs
+        |  FROM s WHERE len(ns) > 0),
+        |p AS (SELECT doc_id, n_chars, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM g),
+        |c AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos, least(pos + 19, n_chars) AS e
+        |  FROM p WHERE h IN (SELECT h FROM c)),
+        |m AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM cov),
+        |sp AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |  FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS st, max(e) AS en FROM sp GROUP BY doc_id, sid),
+        |stats AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+        |    CAST(sum(en - st + 1) AS INT) AS dup_chars,
+        |    CAST(max(en - st + 1) AS INT) AS longest_dup_span
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(s.ns) AS INT) AS n_chars,
+        |  coalesce(stats.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(stats.dup_chars, 0) AS dup_chars,
+        |  coalesce(stats.longest_dup_span, 0) AS longest_dup_span,
+        |  CASE WHEN len(s.ns) > 0
+        |    THEN CAST(coalesce(stats.dup_chars, 0) AS DOUBLE) / len(s.ns)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM documents d JOIN s USING (doc_id) LEFT JOIN stats USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // rebuilds the deterministic IVF index (same md5-ranked centroids,
+    // same argmin assignment as x_ann_ivf), pairs within capped
+    // clusters, and replays the dominated-by-any-smaller-id drop rule
+    "x_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+        |    v AS centroid
+        |  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |a AS (SELECT e.vec_id, e.v, c.list_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rk
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, list_id FROM a WHERE rk = 1),
+        |sz AS (SELECT list_id FROM asg GROUP BY list_id HAVING count(*) > 1 AND count(*) <= 1000),
+        |pairs AS (SELECT y.vec_id AS b, list_cosine_similarity(x.v, y.v) AS cosine
+        |  FROM asg x JOIN asg y USING (list_id)
+        |  WHERE x.vec_id < y.vec_id AND list_id IN (SELECT list_id FROM sz)),
+        |drops AS (SELECT DISTINCT b FROM pairs WHERE cosine >= 0.3)
+        |SELECT asg.vec_id, asg.list_id, (drops.b IS NOT NULL) AS is_dup
+        |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b
+        |ORDER BY asg.vec_id""".stripMargin,
 
     "x_fingerprint_md5" ->
       """WITH s AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns

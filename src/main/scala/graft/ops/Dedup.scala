@@ -242,6 +242,14 @@ object Dedup {
           v => v.cast("string"))).as("bucket")))
   }
 
+  /** One-pass codegen kernel: md5-prefix hashes of normalized char
+    * n-grams — bit-identical to
+    * `transform(charNgrams(text, n), g => substring(md5(g), 1, 16))`
+    * without the n-1 interpreted zip_with levels (the default for
+    * positional-gram pipelines like TextAnalysis.dupSpans). */
+  def charNgramMd5Fast(text: Column, n: Int): Column =
+    fromExpr(graft.plans.CharNgramMd5Expr(bridge(text), n))
+
   /** One-pass codegen kernel twin of [[portableMinhashBands]]
     * (bit-identical; the default for the streaming ingest path). */
   def portableMinhashBandsFast(text: Column, w: Int, numBands: Int,
@@ -357,5 +365,46 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): coarse-cluster
+    * the embedding corpus, then compare pairs only WITHIN a cluster
+    * and drop every vector that has a smaller-id cluster-mate above
+    * the cosine threshold. Clustering uses the deterministic
+    * md5-ranked IVF centroids ([[Similarity.ivfIndexDeterministic]]),
+    * so the whole decision — centroid pick, assignment, pairing, drop
+    * set — is engine-portable and oracle-replayable.
+    *
+    * Keep rule: a vector is a duplicate when ANY smaller-id vector in
+    * its cluster is >= threshold similar ("dominated-by-any" — one
+    * capped self-join, no iteration). For transitive cluster-
+    * representative semantics instead, feed the >=-threshold pairs to
+    * [[dedupClusters]] and keep each component's min label.
+    *
+    * Scale shape: assignment is a broadcast(nLists)-vs-corpus argmin
+    * (one shuffle on the vector id — see ivfIndexDeterministic's
+    * broadcast-envelope scaladoc); within-cluster pairing reuses the
+    * capped skew-safe self-join ([[bucketPairs]]): clusters larger
+    * than maxCluster are dropped from pairing, never collected —
+    * nLists is the knob that keeps expected cluster size
+    * (N / nLists) under it, exactly the paper's epsilon-ball-per-
+    * cluster regime.
+    *
+    * Output: one row per vector — (id, list_id, is_dup). */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    nLists: Int = 1024, threshold: Double = 0.95,
+                    maxCluster: Int = 1000): DataFrame = {
+    val (assigned, _) = Similarity.ivfIndexDeterministic(df, id, vec, nLists)
+    val withKey = assigned.select(col(id).as("doc_id"),
+      col(vec).cast("array<double>").as("v"), col("list_id").as("bucket"))
+    val drops = bucketPairs(withKey, Seq("bucket"), Seq("v"), maxCluster)
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("b").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col(id).as("doc_id"), col("list_id"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id").as(id), col("list_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 }

@@ -190,6 +190,57 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val HexDigits = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** md5-prefix hashes of normalized character n-grams — the one-pass
+    * kernel twin of
+    * `transform(Dedup.charNgrams(text, n), g => substring(md5(g), 1, 16))`
+    * (bit-identical, spec-asserted). Normalization matches the Column
+    * form exactly: UTF8String lowercase, then Java-regex `\s+` → one
+    * space (no trim); grams are CODE-POINT windows (Java regex
+    * split("") keeps supplementary pairs whole, so the Column form's
+    * per-"char" pieces are code points). The Column form pays n-1
+    * interpreted zip_with levels, each re-evaluating the normalize+
+    * split subtree — at n=20 that is a ~20× re-scan per row; this is
+    * one normalize, one digest per gram, inside whole-stage codegen. */
+  def charNgramMd5(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString.replaceAll("\\s+", " ")
+    val len = s.length
+    // code-point start offsets (code-unit indices)
+    val starts = new Array[Int](len + 1)
+    var cnt = 0
+    var i = 0
+    while (i < len) {
+      starts(cnt) = i
+      cnt += 1
+      i += Character.charCount(s.codePointAt(i))
+    }
+    starts(cnt) = len
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(g: String): UTF8String = {
+      md.reset()
+      val d = md.digest(g.getBytes("UTF-8"))
+      val hex = new Array[Byte](16)
+      var j = 0
+      while (j < 8) {
+        hex(2 * j) = HexDigits((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HexDigits(d(j) & 0xf)
+        j += 1
+      }
+      UTF8String.fromBytes(hex)
+    }
+    if (cnt < n) new GenericArrayData(Array[Any](h16(s)))
+    else {
+      val out = new Array[Any](cnt - n + 1)
+      var j = 0
+      while (j < cnt - n + 1) {
+        out(j) = h16(s.substring(starts(j), starts(j + n)))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** 64-bit SimHash over distinct token hashes. */
   def simhash(text: UTF8String): Long = {
     val hs = tokenHashes(text)
@@ -329,6 +380,21 @@ case class PortableMinhashBandsExpr(child: Expression, w: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.TextKernels.portableMinhashBands($c, $w, $numBands, $rowsPerBand)")
   override protected def withNewChildInternal(newChild: Expression): PortableMinhashBandsExpr =
+    copy(child = newChild)
+}
+
+/** char_ngram_md5(text) — md5-prefix hashes of normalized char
+  * n-grams (see TextKernels.charNgramMd5). */
+case class CharNgramMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngram_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charNgramMd5(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.charNgramMd5($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramMd5Expr =
     copy(child = newChild)
 }
 

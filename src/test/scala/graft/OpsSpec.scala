@@ -107,6 +107,21 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-9)
   }
 
+  test("char-ngram md5 kernel is bit-identical to the Column reference form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(sqlDf("text" -> Seq("", "short", "  double  spaces  ",
+        "ÅÄÖ ünïcödé tōkèns İI", "a  b\t\nc!!!", "exactly twenty chars")))
+    Seq(8, 20).foreach { k =>
+      val diff = docs.select(
+        transform(Dedup.charNgrams(col("text"), k),
+          g => substring(md5(g), 1, 16)).as("a"),
+        Dedup.charNgramMd5Fast(col("text"), k).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0L, s"k=$k kernel mismatch")
+    }
+  }
+
   test("portable minhash band kernel is bit-identical to the Column reference form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
@@ -741,5 +756,61 @@ class OpsSpec extends SparkTestBase {
       "asofGlobal fill window lost its bin partitioning")
     // at most the carry window (over the #bins-sized table) is unpartitioned
     assert(ws.count(_.partitionSpec.isEmpty) <= 1)
+  }
+
+  test("dupSpanStats: shared span found, clean doc zero-filled, short twins whole-doc") {
+    // d1/d2 share " hello wonderful world " (23 normalized chars, d2
+    // via whitespace collapse); d3 shares nothing; d4/d5 are identical
+    // shorter-than-k docs (single whole-doc gram)
+    val d = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "text" -> Seq(
+        "XQ hello wonderful world QY",
+        "Z hello  wonderful world K",
+        "totally unique content 12345 abcdef",
+        "tiny", "tiny"))
+    val out = TextAnalysis.dupSpanStats(d, "doc_id", "text", k = 10)
+      .orderBy("doc_id")
+    assertRows(out.select("doc_id", "n_chars", "n_dup_spans", "dup_chars",
+        "longest_dup_span"),
+      Seq(Seq(1L, 27, 1, 23, 23), Seq(2L, 25, 1, 23, 23),
+        Seq(3L, 35, 0, 0, 0), Seq(4L, 4, 1, 4, 4), Seq(5L, 4, 1, 4, 4)))
+    // span offsets are 1-based into the NORMALIZED text
+    val spans = TextAnalysis.dupSpans(d, "doc_id", "text", k = 10)
+      .filter(col("doc_id") === 1L)
+    assertRows(spans.select("span_start", "span_end"), Seq(Seq(3, 25)))
+  }
+
+  test("dupSpans merges overlapping islands and windows only by doc") {
+    // one doc repeating a phrase: within-doc multiplicity counts, and
+    // the covered intervals of consecutive positions merge to ONE span
+    val d = sqlDf(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq("abcdefghij abcdefghij", "zzzzz different here"))
+    val out = TextAnalysis.dupSpanStats(d, "doc_id", "text", k = 10)
+      .orderBy("doc_id")
+    // both copies of "abcdefghij" are covered; the gap char (space at
+    // 11) is inside [pos, pos+k-1] of straddling duplicated grams? no —
+    // only the two aligned 10-grams "abcdefghij" repeat, at pos 1 and
+    // 12, giving intervals [1,10] and [12,21]: NOT adjacent (11 gap)
+    assertRows(out.select("doc_id", "n_dup_spans", "dup_chars"),
+      Seq(Seq(1L, 2, 20), Seq(2L, 0, 0)))
+    val w = out.queryExecution.executedPlan.collect {
+      case p: org.apache.spark.sql.execution.window.WindowExec => p
+    }
+    assert(w.forall(_.partitionSpec.nonEmpty),
+      "dupSpans island sweep must window by doc, never globally")
+  }
+
+  test("semanticDedup drops the larger-id twin, keeps the orthogonal vector") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      nLists = 2, threshold = 0.9).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_dup")).toSeq == Seq(false, true, false))
+    // identical vectors must land in the same deterministic cluster
+    assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
 }
