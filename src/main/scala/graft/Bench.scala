@@ -15,7 +15,7 @@ object Bench {
     "d_cum_u", "b_rank_u",
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
-    "x_par_dedup", "x_range_join", "x_multimodal",
+    "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -60,7 +60,10 @@ object Bench {
     "d_cum_u", "b_rank_u", "t_fill_global", "d_rolling_u", "b_lead_lag_u",
     // event-time and vector families: union-merge as-of, per-user
     // sessionization, and LSH retrieval over the 10x corpora
-    "x_asof", "s_sessionize", "s_neardup", "x_ann_lsh")
+    "x_asof", "s_sessionize", "s_neardup", "x_ann_lsh",
+    // char-grain span scan: one row per corpus character — the
+    // heaviest text shuffle in the tree, the one to watch at 10x
+    "x_dup_spans")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
