@@ -326,6 +326,16 @@ object QueriesOps {
         .select("doc_id", "lang", "source")
         .orderBy(col("doc_id"))),
 
+    // training-mix rebalancing: target lang weights, binding stratum
+    // kept whole, the rest hash-downsampled — rates computed IN-PLAN
+    // from corpus totals, replayed exactly by the oracle
+    "x_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "documents"), col("doc_id"), col("lang"),
+          col("n_chars"), Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2,
+            "es" -> 0.2, "zh" -> 0.1))
+        .select("doc_id", "lang", "n_chars", "mix_rate")
+        .orderBy(col("doc_id"))),
+
     "x_gopher" -> ((s, d) =>
       TextAnalysis.gopherRules(t(s, d, "documents"), "text")
         .select("doc_id", "n_words", "mean_word_len", "alpha_word_frac",
@@ -595,6 +605,24 @@ object QueriesOps {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  substring(b64, CAST(i*128+1 AS INT), 32) AS frame_b64
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replays mixtureSample: same totals, same N* = min(T/w), same
+    // 16-bit floor(x+0.5) threshold quantization, same md5 buckets
+    "x_mixture" ->
+      """WITH w(stratum, w) AS (VALUES ('de', 0.2), ('en', 0.3), ('es', 0.2),
+        |    ('fr', 0.2), ('zh', 0.1)),
+        |tot AS (SELECT lang AS stratum, CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS t
+        |  FROM documents GROUP BY 1),
+        |tw AS (SELECT stratum, t, w FROM tot JOIN w USING (stratum) WHERE t > 0),
+        |ns AS (SELECT min(t / w) AS nstar FROM tw),
+        |r AS (SELECT stratum, least(w * nstar / t, 1.0) AS mix_rate,
+        |    printf('%04x', CAST(least(floor(least(w * nstar / t, 1.0) * 65536.0 + 0.5),
+        |      65535.0) AS INT)) AS thr
+        |  FROM tw CROSS JOIN ns)
+        |SELECT d.doc_id, d.lang, d.n_chars, r.mix_rate
+        |FROM documents d JOIN r ON d.lang = r.stratum
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     // replays dupSpanStats end to end: normalized positional 20-grams
     // (md5-prefix hashes), corpus multiplicity >= 2, per-doc interval

@@ -48,4 +48,48 @@ object Sampling {
     }
     df.filter(hashBucket(key) < thr)
   }
+
+  /** Training-mix rebalancer: deterministically subsample strata so
+    * the OUTPUT token mass follows the target `weights` (a Pile-style
+    * static domain mix), keeping the maximum achievable volume — the
+    * binding stratum (the one scarcest relative to its weight) is kept
+    * whole and every other stratum is hash-downsampled to match:
+    * N* = min_s(T_s / w_s); rate_s = w_s · N* / T_s (≤ 1, and rates
+    * are invariant under scaling all weights, so `weights` need not
+    * sum to 1 — only ratios matter).
+    *
+    * Everything stays in ONE plan: per-stratum token totals are a tiny
+    * partial-agg; N* a one-row agg; the rate table broadcasts back
+    * onto the corpus and the keep decision is the same md5-bucket
+    * filter as [[hashSample]] (16-bit quantized via floor(x+0.5), so
+    * any engine replays the exact selection). Sampling is per-DOC at
+    * the stratum's rate, so the token mass hits the target in
+    * expectation (docs are exchangeable within a stratum); strata
+    * absent from `weights` are dropped, and a stratum named in
+    * `weights` but absent from the corpus simply cannot contribute
+    * (N* is computed over present strata).
+    *
+    * Output: the sampled rows plus their stratum's `mix_rate`. */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+                    tokens: Column, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixtureSample: weights must be positive ratios")
+    val wcol = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col("__stratum") === s, lit(w)).otherwise(acc)
+    }
+    val totals = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(tokens.cast("long")).cast("double").as("__t"))
+      .withColumn("__w", wcol)
+      .filter(col("__w").isNotNull && col("__t") > 0)
+    val nstar = totals.agg(min(col("__t") / col("__w")).as("__nstar"))
+    val rates = totals.crossJoin(broadcast(nstar))
+      .withColumn("mix_rate",
+        least(col("__w") * col("__nstar") / col("__t"), lit(1.0)))
+      .withColumn("__thr", format_string("%04x",
+        least(floor(col("mix_rate") * 65536.0 + 0.5), lit(65535.0)).cast("int")))
+      .select(col("__stratum"), col("mix_rate"), col("__thr"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(hashBucket(key) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
 }

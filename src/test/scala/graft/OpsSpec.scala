@@ -802,6 +802,32 @@ class OpsSpec extends SparkTestBase {
       "dupSpans island sweep must window by doc, never globally")
   }
 
+  test("mixtureSample keeps the binding stratum whole and rates the rest exactly") {
+    // A: 1000 tokens, B: 300; equal weights -> N* = min(2000, 600) =
+    // 600 -> rate_A = 0.5*600/1000 = 0.3, rate_B = 1.0
+    val d = sqlDf(
+      "id" -> (1L to 13L),
+      "s" -> (Seq.fill(10)("A") ++ Seq.fill(3)("B")),
+      "tok" -> (Seq.fill(10)(100) ++ Seq.fill(3)(100)))
+    val out = Sampling.mixtureSample(d, col("id"), col("s"), col("tok"),
+      Map("A" -> 0.5, "B" -> 0.5))
+    val rates = out.select("s", "mix_rate").distinct().orderBy("s").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rates.getOrElse("B", -1.0) == 1.0)
+    assert(rates.get("A").forall(r => math.abs(r - 0.3) < 1e-12))
+    // every B row survives; A rows are exactly the md5-bucket subset
+    assert(out.filter(col("s") === "B").count() == 3)
+    val expectA = d.filter(col("s") === "A")
+      .filter(Sampling.hashBucket(col("id")) < lit(Sampling.thresholdHex(0.3)))
+      .count()
+    assert(out.filter(col("s") === "A").count() == expectA)
+    // weights are scale-invariant: 10x weights, same selection
+    val out2 = Sampling.mixtureSample(d, col("id"), col("s"), col("tok"),
+      Map("A" -> 5.0, "B" -> 5.0))
+    assert(out2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("semanticDedup drops the larger-id twin, keeps the orthogonal vector") {
     import spark.implicits._
     val vecs = Seq(
