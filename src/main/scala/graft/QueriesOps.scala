@@ -241,6 +241,28 @@ object QueriesOps {
     "x_domains" -> ((s, d) =>
       TextAnalysis.topDomains(piiDocs(s, d), "text", k = 20)),
 
+    // URL canonicalization for crawl-dedup keying: messy synthetic
+    // URLs (case, www, default port, tracking params, trailing slash,
+    // fragment) collapse onto canonical keys; exact dedup counts per
+    // key; the oracle replays construction + normalization in SQL
+    "x_url_canon" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Site"))
+            .otherwise(lit("https://site")),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 2 === 0, lit(".COM:443")).otherwise(lit(".com")),
+          lit("/path"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=x&id="), (col("doc_id") % 11).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("&fbclid=zzz")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      raw.withColumn("curl", TextAnalysis.canonicalUrl(col("url")))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("curl"))
+    }),
+
     "x_par_dedup" -> ((s, d) =>
       TextAnalysis.paragraphDedup(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -605,6 +627,43 @@ object QueriesOps {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  substring(b64, CAST(i*128+1 AS INT), 32) AS frame_b64
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // replays x_url_canon end to end: same synthetic construction,
+    // same regex normalization (RE2 patterns on both engines)
+    "x_url_canon" ->
+      """WITH raw AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' ELSE 'https://site' END)
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '.COM:443' ELSE '.com' END)
+        |    || '/path' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || '?utm_source=x&id=' || CAST(doc_id % 11 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=zzz' ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^www\.', '') AS host0,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query0
+        |  FROM raw),
+        |n AS (SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |      ELSE host0 END AS host,
+        |    regexp_replace(path0, '/+$', '') AS path,
+        |    array_to_string(list_filter(string_split(query0, '&'),
+        |      p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)')
+        |        AND p <> ''), '&') AS q
+        |  FROM c),
+        |k AS (SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN url
+        |      ELSE scheme || '://' || host || path ||
+        |        (CASE WHEN q = '' THEN '' ELSE '?' || q END) END AS curl
+        |  FROM n)
+        |SELECT curl, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
+        |FROM k GROUP BY curl ORDER BY curl""".stripMargin,
 
     // replays mixtureSample: same totals, same N* = min(T/w), same
     // 16-bit floor(x+0.5) threshold quantization, same md5 buckets

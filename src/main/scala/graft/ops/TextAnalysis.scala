@@ -334,6 +334,40 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("domain"))
       .limit(k)
 
+  // ---- URL canonicalization ----------------------------------------------
+  /** Canonical URL for crawl-dedup keying — the normalization step
+    * that runs before any content dedup in a web pipeline, so that
+    * `HTTPS://WWW.Site.COM:443/a/?utm_source=x&id=7#frag` and
+    * `https://site.com/a?id=7` key identically:
+    *   - scheme and host lowercased; leading `www.` stripped
+    *   - default ports stripped (`:80` for http, `:443` for https)
+    *   - fragment dropped
+    *   - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`,
+    *     `mc_cid`, `mc_eid`); remaining params keep their order
+    *   - trailing `/` stripped from the path (`/a/` → `/a`, root `/`
+    *     → empty)
+    * Non-URL input (no `scheme://`) passes through unchanged. Pure
+    * codegen'd regex/array composition, RE2-compatible patterns —
+    * linear scan, no shuffle, and a SQL engine replays it exactly. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit(""))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query0 = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(query0, "&"),
+      p => !(p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)") || p === ""))
+    val query = array_join(kept, "&")
+    when(scheme === "", url).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
   // ---- corpus paragraph dedup (CCNet-style) ------------------------------
   /** Line-level exact dedup across the WHOLE corpus: every non-empty
     * trimmed line keeps only its first occurrence (ordered by doc id,

@@ -802,6 +802,26 @@ class OpsSpec extends SparkTestBase {
       "dupSpans island sweep must window by doc, never globally")
   }
 
+  test("canonicalUrl normalizes case/port/www/tracking/slash/fragment") {
+    val d = sqlDf("url" -> Seq(
+      "HTTPS://WWW.Site.COM:443/a/?utm_source=x&id=7#frag",
+      "https://site.com/a?id=7",
+      "http://Host.ORG:80/",
+      "http://host.org",
+      "https://h.io/p?fbclid=1&b=2&utm_medium=m&a=1",
+      "ftp://Files.NET:443/x/",
+      "not a url at all"))
+    val out = TextAnalysis.canonicalUrl(col("url"))
+    assertRows(d.select(out),
+      Seq(Seq("https://site.com/a?id=7"),
+        Seq("https://site.com/a?id=7"),
+        Seq("http://host.org"),
+        Seq("http://host.org"),
+        Seq("https://h.io/p?b=2&a=1"),
+        Seq("ftp://files.net:443/x"),
+        Seq("not a url at all")))
+  }
+
   test("mixtureSample keeps the binding stratum whole and rates the rest exactly") {
     // A: 1000 tokens, B: 300; equal weights -> N* = min(2000, 600) =
     // 600 -> rate_A = 0.5*600/1000 = 0.3, rate_B = 1.0
