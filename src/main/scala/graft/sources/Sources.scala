@@ -62,6 +62,30 @@ object Sources {
                       header: Boolean = true): DataFrame =
     spark.read.option("header", header).option("inferSchema", "true").csv(path)
 
+  /** Raw text corpus, one row per LINE with the originating file —
+    * the standard ingestion shape for line-delimited crawl dumps.
+    * Splittable: Spark assigns byte ranges of large files to tasks,
+    * so a 100 GB file still fans out. `lineSep` for non-\n delimited
+    * dumps (e.g. \0-separated). */
+  def readTextLines(spark: SparkSession, path: String,
+                    lineSep: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    val r = spark.read
+    lineSep.foreach(s => r.option("lineSep", s))
+    r.text(path).withColumn("file", input_file_name())
+  }
+
+  /** Raw text corpus, one row per FILE (wholetext) — for doc-per-file
+    * layouts. NOT splittable: each file is read by one task and held
+    * in one row, so this is for many-small-files corpora (pair with
+    * a repartition after read); a single huge file belongs in
+    * [[readTextLines]]. */
+  def readTextWhole(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    spark.read.option("wholetext", "true").text(path)
+      .withColumn("file", input_file_name())
+  }
+
   // ---- sinks -------------------------------------------------------------
   def writeParquet(df: DataFrame, path: String,
                    mode: SaveMode = SaveMode.Overwrite,
