@@ -348,6 +348,14 @@ object QueriesOps {
         .select("doc_id", "lang", "source")
         .orderBy(col("doc_id"))),
 
+    // deterministic 80/10/10 split assignment (membership is a pure
+    // function of the key — stable across dataset versions)
+    "x_splits" -> ((s, d) =>
+      Sampling.splitAssign(t(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split")
+        .orderBy(col("doc_id"))),
+
     // training-mix rebalancing: target lang weights, binding stratum
     // kept whole, the rest hash-downsampled — rates computed IN-PLAN
     // from corpus totals, replayed exactly by the oracle
@@ -627,6 +635,14 @@ object QueriesOps {
         |SELECT media_id, CAST(i AS INT) AS frame_idx,
         |  substring(b64, CAST(i*128+1 AS INT), 32) AS frame_b64
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // 0.8 -> 0xcccd, 0.9 -> 0xe666 (the plan-time 16-bit thresholds)
+    "x_splits" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // replays x_url_canon end to end: same synthetic construction,
     // same regex normalization (RE2 patterns on both engines)

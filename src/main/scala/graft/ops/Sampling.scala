@@ -49,6 +49,31 @@ object Sampling {
     df.filter(hashBucket(key) < thr)
   }
 
+  /** Deterministic train/val/test assignment: the md5 bucket of the
+    * row key falls into consecutive 16-bit ranges sized by the split
+    * fractions (in the given order; the last split absorbs the
+    * quantization remainder). A pure when-chain projection — no
+    * shuffle, no state, stable under retries/re-runs, and membership
+    * never changes when the corpus grows (a doc's split is a function
+    * of its key alone — the property that keeps eval sets
+    * uncontaminated across dataset versions). Pair with
+    * `Sources.writePartitioned(..., Seq("split"))` for a
+    * directory-pruned layout. */
+  def splitAssign(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: fractions must be positive and sum to 1 (got $splits)")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val b = hashBucket(key)
+    val chain = splits.init.zip(cums.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val t = lit(thresholdHex(cum))
+        Some(acc.fold(when(b < t, name))(_.when(b < t, name)))
+    }
+    df.withColumn("split", chain.get.otherwise(splits.last._1))
+  }
+
   /** Training-mix rebalancer: deterministically subsample strata so
     * the OUTPUT token mass follows the target `weights` (a Pile-style
     * static domain mix), keeping the maximum achievable volume — the

@@ -822,6 +822,23 @@ class OpsSpec extends SparkTestBase {
         Seq("not a url at all")))
   }
 
+  test("splitAssign partitions every row, stays stable under corpus growth") {
+    val d = sqlDf("id" -> (1L to 200L))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(d, col("id"), splits)
+    assert(out.count() == 200)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // growth stability: the first 100 rows keep their assignment
+    val small = Sampling.splitAssign(sqlDf("id" -> (1L to 100L)), col("id"), splits)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val big = out.filter(col("id") <= 100)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(small == big)
+  }
+
   test("mixtureSample keeps the binding stratum whole and rates the rest exactly") {
     // A: 1000 tokens, B: 300; equal weights -> N* = min(2000, 600) =
     // 600 -> rate_A = 0.5*600/1000 = 0.3, rate_B = 1.0
