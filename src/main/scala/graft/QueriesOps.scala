@@ -322,6 +322,17 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // per-label embedding centroids in ONE partial aggregate (no
+    // posexplode — the shuffle carries fixed-size buffers, not
+    // dims x rows); fixed-point Long sums make the mean bit-identical
+    // under any partitioning and exactly replayable by the oracle
+    "x_centroids" -> ((s, d) =>
+      Similarity.centroidsByKey(t(s, d, "embeddings"), Seq(col("label")),
+          col("embedding"), dims = 64)
+        .select(col("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
+        .orderBy(col("label"), col("dim"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -571,6 +582,18 @@ object QueriesOps {
         |SELECT vec_id, scale, array_to_string(codes, ',') AS codes,
         |  CAST(list_sum(codes) AS BIGINT) AS q_sum
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // replays the fixed-point centroid arithmetic: per-element
+    // floor(x*2^24 + 0.5) BIGINT sums per (label, dim), then the two
+    // exact IEEE divisions — order-independent on both engines
+    "x_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |f AS (SELECT label, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM e CROSS JOIN range(0, 64) r)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n, dim,
+        |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
+        |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "x_audio" ->
       """WITH p AS (SELECT doc_id,

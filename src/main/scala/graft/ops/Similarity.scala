@@ -274,4 +274,32 @@ object Similarity {
       .orderBy(col("cos").desc, col(id))
       .limit(k)
   }
+
+  /** Per-group embedding centroids in ONE partial aggregate — no
+    * posexplode (which would multiply the shuffle by `dims`; see
+    * plans.VectorAggKernels). `vec` must be castable to array<double>
+    * of exactly `dims` elements (wrong widths and NULL elements fail
+    * loudly; NULL vectors are skipped).
+    *
+    * Output: the group keys + `n` (vectors aggregated) + `centroid`
+    * (array<double>, the element-wise mean). The mean is derived from
+    * fixed-point Long sums (floor(x·2^scaleBits + 0.5)), so it is
+    * bit-identical under any partitioning and exactly replayable by
+    * any engine with BIGINT — each element is
+    * (sum_fixed / 2^scaleBits) / n, two exact IEEE divisions. */
+  def centroidsByKey(df: DataFrame, keys: Seq[Column], vec: Column, dims: Int,
+                     scaleBits: Int = 24): DataFrame = {
+    val agg = ColumnBridge.column(
+      graft.plans.VectorFixedSumAgg(
+        ColumnBridge.expr(vec.cast("array<double>")), dims, scaleBits)
+        .toAggregateExpression())
+    val scale = (1L << scaleBits).toDouble
+    df.groupBy(keys: _*)
+      .agg(agg.as("__vs"))
+      .withColumn("n", col("__vs.n"))
+      .withColumn("centroid",
+        transform(col("__vs.sums"),
+          s => s.cast("double") / lit(scale) / col("__vs.n").cast("double")))
+      .drop("__vs")
+  }
 }

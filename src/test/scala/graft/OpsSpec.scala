@@ -876,4 +876,45 @@ class OpsSpec extends SparkTestBase {
     // identical vectors must land in the same deterministic cluster
     assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
+
+  test("centroidsByKey computes exact group means, one partial agg, no explode") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)), ("a", Seq(3.0, 2.0, 1.0)),
+      ("b", Seq(0.5, -0.5, 0.25)))
+      .toDF("g", "v")
+    val out = Similarity.centroidsByKey(vecs, Seq(col("g")), col("v"), dims = 3)
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2L)
+    // values on the 2^-24 grid are exact: (1+3)/2=2, (2+2)/2=2, (3+1)/2=2
+    assert(out(0).getAs[scala.collection.Seq[Double]]("centroid").toSeq ==
+      Seq(2.0, 2.0, 2.0))
+    assert(out(1).getAs[scala.collection.Seq[Double]]("centroid").toSeq ==
+      Seq(0.5, -0.5, 0.25))
+  }
+
+  test("centroidsByKey is bit-identical under any partitioning") {
+    import spark.implicits._
+    val vecs = (1 to 500).map(i =>
+      (s"g${i % 3}", Seq(i * 0.001, math.sin(i), i * -0.01)))
+      .toDF("g", "v")
+    def run(parts: Int) =
+      Similarity.centroidsByKey(vecs.repartition(parts), Seq(col("g")), col("v"),
+          dims = 3)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getAs[Seq[Double]]("centroid")))
+        .toSeq
+    assert(run(1) == run(7))
+    assert(run(7) == run(32))
+  }
+
+  test("centroidsByKey fails loudly on a wrong-width vector") {
+    import spark.implicits._
+    val vecs = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      Similarity.centroidsByKey(vecs, Seq(col("g")), col("v"), dims = 3).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null) // surfaced, not silent
+  }
 }
