@@ -409,6 +409,18 @@ object QueriesOps {
     "x_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramFreq(t(s, d, "documents"), "text", n = 3, k = 50)),
 
+    // BM25 lexical retrieval: 3 queries against the corpus, top-10
+    // each — one corpus tokenization, broadcast query/df/stats sides,
+    // GroupedTopK bounded-heap cut (no full sort of scored docs)
+    "x_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          qs, "q_id", "qtext", k = 10)
+        .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+    }),
+
     // ---- as-of join -----------------------------------------------------
     // for every non-purchase event, the value of the user's most recent
     // purchase at-or-before it (union-merge: one shuffle on user_id)
@@ -982,6 +994,36 @@ object QueriesOps {
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
         |FROM scored WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin,
+
+    // replays the full BM25 chain: same tokenization, same fixed-order
+    // IEEE idf/norm arithmetic (constants spelled as the identical
+    // double ops, e.g. (1.2 + 1.0) not 2.2), decimal(38,18) term sums
+    "x_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+        |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+        |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+        |qt AS (SELECT DISTINCT q_id,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+        |dfreq AS (SELECT term, count(*) AS dfc FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (SELECT qt.q_id, tf.doc_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - dfc + 0.5) / (dfc + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+        |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, bm25,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
+        |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
 
     "x_ngram_freq" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

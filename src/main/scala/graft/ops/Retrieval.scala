@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus — the sparse complement to
+  * the dense ANN stack in [[Similarity]] (hybrid retrieval runs both
+  * and fuses). Okapi BM25 (Robertson et al., TREC-3; the idf form is
+  * the Lucene ln(1 + (N - df + 0.5)/(df + 0.5)) variant, positive for
+  * every term).
+  *
+  * Scale shape (the 100 TB contract): the corpus is tokenized ONCE —
+  * one explode into a (doc, dl, term) partial agg where the doc length
+  * rides the aggregation key (no second doc-grain join against the
+  * corpus). The query side is small by contract and broadcasts
+  * everywhere: term match, document frequency, and corpus stats all
+  * reach the big side as broadcast hash joins, so the only fact-sized
+  * shuffles are the tf aggregation and the final per-query score agg —
+  * both partial-aggregatable. Top-k per query runs on the
+  * [[graft.plans.GroupedTopK]] operator (bounded heaps, pruned
+  * shuffle), never a sort of all scored docs.
+  *
+  * Determinism: idf/tf normalization is a fixed-order IEEE chain both
+  * engines evaluate identically; the per-doc term sum accumulates in
+  * decimal(38,18) (the Exact.dsum rule — double sums are
+  * addition-order-dependent) and rounds to 6 places, so scores and the
+  * (score desc, doc id) top-k cut are engine-exact.
+  *
+  * Reference: datar_polars has no retrieval surface — this is the
+  * beyond-reference LLM-pipeline layer (SURVEY §2.6), same family as
+  * Similarity/TextAnalysis.
+  */
+object Retrieval {
+
+  /** Non-empty normalized word tokens ([[Dedup.tokens]] minus the
+    * empty-string artifact of fully-non-alphanumeric text). */
+  private def toks(text: Column): Column =
+    filter(Dedup.tokens(text), t => length(t) > 0)
+
+  /** BM25 top-k documents per query.
+    *
+    * @param docs    corpus (any size)
+    * @param queries query frame — SMALL BY CONTRACT (it broadcasts;
+    *                thousands of queries are fine, a query CORPUS is a
+    *                different operator)
+    * @return (qid, id, bm25) — k best docs per query, scores rounded
+    *         to 6 places, ties broken by ascending doc id */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+               queries: DataFrame, qid: String, qtext: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1 (got $k)")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25TopK: need k1 > 0 and b in [0,1] (got k1=$k1, b=$b)")
+    val tok = toks(col(text))
+    // distinct query terms (duplicate terms in a query count once)
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(toks(col(qtext)))).as("term"))
+    val qtermSet = qterms.select("term").distinct()
+    // ONE corpus tokenization, PRUNED BEFORE THE SHUFFLE: the broadcast
+    // semi-join on the query-term set runs map-side against the
+    // exploded scan, so the tf aggregation only ever shuffles rows
+    // whose term a query mentions — at corpus scale that is the
+    // difference between shuffling every (doc, term) pair and shuffling
+    // a few terms' postings. Doc length rides the agg key, so no
+    // doc-grain join back against the corpus is needed. (A standing
+    // query workload would materialize the unpruned tf as a bucketed
+    // inverted index instead of re-scanning per call.)
+    val tf = docs
+      .select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+      .join(broadcast(qtermSet), Seq("term"), "leftsemi")
+      .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    // corpus stats: one columnar agg scan (count + total tokens)
+    val stats = docs.agg(
+      count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
+    // document frequency of the pruned postings (term-grain re-agg)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val avgdl = col("tl").cast("double") / col("nd").cast("double")
+    val idf = log(lit(1.0) +
+      (col("nd").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", idf * (col("tf") * (k1 + 1.0)) / norm)
+      .groupBy(col(qid), col(id))
+      .agg(round(sum(col("__contrib").cast("decimal(38,18)")).cast("double"), 6)
+        .as("bm25"))
+    graft.plans.TopK.topKPerGroup(scored, Seq(qid),
+      Seq(col("bm25").desc, col(id).asc), k)
+  }
+}

@@ -877,6 +877,48 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
 
+  test("bm25TopK matches the Okapi formula on a golden corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana cherry banana")).toDF("doc_id", "text")
+    val qs = Seq(("q", "apple banana")).toDF("q_id", "qtext")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "q_id", "qtext", k = 3)
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+    // independent scalar replay: nd=3, tl=9, avgdl=3, df(apple)=df(banana)=2
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def part(tf: Long, dl: Long): Double =
+      idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.toDouble / (9.0 / 3.0)))
+    val expected = Map(
+      1L -> (part(2, 3) + part(1, 3)), // apple tf=2 + banana tf=1
+      2L -> part(1, 2),                // apple only
+      3L -> part(3, 4))                // banana only
+    assert(out.length == 3)
+    out.foreach { r => // scores ship rounded to 6 places
+      assert(math.abs(r.getAs[Double]("bm25") - expected(r.getAs[Long]("doc_id"))) < 1e-6)
+    }
+    // doc 1 hits both terms and must rank first
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("bm25TopK keeps k per query and is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)(s"w${i % 13}").mkString(" ") + " common"))
+      .toDF("doc_id", "text")
+    val qs = Seq(("a", "w3 common"), ("b", "w5")).toDF("q_id", "qtext")
+    def run(parts: Int) =
+      Retrieval.bm25TopK(docs.repartition(parts), "doc_id", "text",
+          qs, "q_id", "qtext", k = 5)
+        .orderBy("q_id", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val one = run(1)
+    assert(one.count(_._1 == "a") == 5 && one.count(_._1 == "b") == 5)
+    assert(one == run(11))
+  }
+
   test("centroidsByKey computes exact group means, one partial agg, no explode") {
     import spark.implicits._
     val vecs = Seq(
