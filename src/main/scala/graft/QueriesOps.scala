@@ -80,6 +80,14 @@ object QueriesOps {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // exact dedup keeping the BEST copy (argmax of a per-copy
+    // preference, here an md5-derived rank standing in for crawl
+    // fetch-quality metadata) — one max_by partial agg
+    "x_dedup_best" -> ((s, d) =>
+      Dedup.exactBest(t(s, d, "documents"), "doc_id", "text",
+          Sampling.hashBucket(col("doc_id")))
+        .orderBy(col("keep_id"))),
+
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
         w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
@@ -349,6 +357,18 @@ object QueriesOps {
         w = 4, h = 4, frames = 3)
       Multimodal.decodeY4m(media).toDF().orderBy(col("media_id"))
     }),
+
+    // quality-curriculum token-budget selection: the best docs (by
+    // composite quality, doc_id tiebreak) until the running ws-token
+    // total hits 8000 — the cut is the distributed prefix scan
+    "x_token_budget" -> ((s, d) =>
+      Sampling.tokenBudget(
+          TextAnalysis.qualityScore(
+            TextAnalysis.tokenCounts(t(s, d, "documents"), "text"), "text")
+            .select(col("doc_id"), col("ws_tokens"), col("quality")),
+          col("ws_tokens"), budget = 8000L,
+          order = Seq(col("quality").desc, col("doc_id")))
+        .orderBy(col("doc_id"))),
 
     // ---- sampling / quality / repetition / decontamination --------------
     // deterministic stratified sample: downsample dominant en to 25%,
@@ -1100,6 +1120,47 @@ object QueriesOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // argmax replayed as a (pref desc, id desc) window rank — the
+    // relational spelling of max_by over the (pref, id) struct order
+    "x_dedup_best" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS pref
+        |  FROM documents),
+        |r AS (SELECT content_hash, doc_id,
+        |    row_number() OVER (PARTITION BY content_hash
+        |      ORDER BY pref DESC, doc_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY content_hash) AS n_copies
+        |  FROM h)
+        |SELECT content_hash, doc_id AS keep_id, CAST(n_copies AS BIGINT) AS n_copies
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin,
+
+    // replays quality (the x_quality formula), ws tokens (the x_tokens
+    // formula), and the inclusive running sum under (quality desc,
+    // doc_id) — the greedy-prefix budget rule
+    "x_token_budget" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS ws_tokens
+        |  FROM documents),
+        |q AS (SELECT doc_id, ws_tokens,
+        |    greatest(0.0, least(1.0,
+        |      0.25 * least(nw / 50.0, 1.0) +
+        |      0.25 * (alpha / greatest(n, 1.0)) +
+        |      0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
+        |  FROM f),
+        |c AS (SELECT doc_id, ws_tokens, quality,
+        |    CAST(sum(ws_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, ws_tokens, quality, cum_tokens
+        |FROM c WHERE cum_tokens <= 8000 ORDER BY doc_id""".stripMargin,
 
     // replays the md5-derived 48-bit minhash banding digit by digit:
     // every pow() term stays under 2^53, so the hex decode is exact

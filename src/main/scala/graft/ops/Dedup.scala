@@ -20,6 +20,19 @@ object Dedup {
     df.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the BEST copy instead of the first: argmax of
+    * `pref` per content group (ties → max id). In a crawl pipeline
+    * `pref` is per-COPY metadata — fetch quality, freshness, source
+    * rank — which is exactly what keep-first `exact` cannot see. Same
+    * scale shape: ONE partial-aggregatable groupBy (`max_by` over the
+    * lexicographic (pref, id) struct order merges map-side). NULL
+    * prefs sort below any non-NULL pref (struct ordering), so a group
+    * of all-NULL prefs still keeps its max-id row. */
+  def exactBest(df: DataFrame, id: String, text: String, pref: Column): DataFrame =
+    df.groupBy(md5(col(text)).as("content_hash"))
+      .agg(max_by(col(id), struct(pref, col(id))).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   /** Normalized word tokens. */
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")), " ")

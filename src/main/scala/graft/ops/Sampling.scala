@@ -74,6 +74,27 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(splits.last._1))
   }
 
+  /** Quality-curriculum token-budget selection: keep the best
+    * documents — "best" = first under the caller's declared `order`
+    * (typically quality desc + a unique tiebreak) — until the running
+    * token total would exceed `budget`. The greedy prefix rule: a doc
+    * is kept iff its cumulative token count (inclusive) is ≤ budget,
+    * so the first over-budget doc and everything after it are dropped,
+    * even if some later smaller doc would still have fit (the
+    * deterministic, engine-replayable contract; bin-packing the tail
+    * is [[graft.ops.Packing]]'s job).
+    *
+    * The running total is the distributed two-phase prefix scan
+    * ([[graft.functions.ScanFns.withCumsum]] — one range-partitioned
+    * sort, NO single-partition window), so the cut works at corpus
+    * scale. Output carries `cum_tokens` for audit. */
+  def tokenBudget(df: DataFrame, tokens: Column, budget: Long,
+                  order: Seq[Column]): DataFrame = {
+    require(budget > 0, s"tokenBudget: budget must be positive (got $budget)")
+    graft.functions.ScanFns.withCumsum(df, tokens, order, "cum_tokens")
+      .filter(col("cum_tokens") <= budget.toDouble)
+  }
+
   /** Training-mix rebalancer: deterministically subsample strata so
     * the OUTPUT token mass follows the target `weights` (a Pile-style
     * static domain mix), keeping the maximum achievable volume — the

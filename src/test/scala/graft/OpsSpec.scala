@@ -877,6 +877,33 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
 
+  test("exactBest keeps the argmax-pref copy, ties to max id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same", 0.2), (2L, "same", 0.9), (3L, "same", 0.9),
+      (4L, "other", 0.1)).toDF("doc_id", "text", "score")
+    val out = Dedup.exactBest(docs, "doc_id", "text", col("score"))
+      .orderBy("keep_id").collect()
+    // "same": max score 0.9 shared by 2 and 3 -> max id 3; "other": only 4
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((3L, 3L), (4L, 1L)))
+  }
+
+  test("tokenBudget keeps the greedy quality prefix, inclusive cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 40L, 0.9), (2L, 50L, 0.8), (3L, 30L, 0.7), (4L, 10L, 0.6))
+      .toDF("doc_id", "tok", "q")
+    // order: 1 (cum 40), 2 (cum 90), 3 (cum 120 > 100 — dropped), and
+    // 4 is dropped too even though 90+10 would fit: greedy PREFIX rule
+    val out = Sampling.tokenBudget(docs, col("tok"), budget = 100L,
+        Seq(col("q").desc, col("doc_id")))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Double]("cum_tokens")).toSeq == Seq(40.0, 90.0))
+    graft.functions.ScanFns.unpersistScans()
+  }
+
   test("bm25TopK matches the Okapi formula on a golden corpus") {
     import spark.implicits._
     val docs = Seq(
