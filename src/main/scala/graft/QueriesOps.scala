@@ -404,6 +404,19 @@ object QueriesOps {
           "stop_hits", "gopher_pass")
         .orderBy(col("doc_id"))),
 
+    // filter-funnel telemetry: exact survivor counts per cumulative
+    // stage (length bounds -> gopher rules -> quality floor) in ONE
+    // aggregate scan of the corpus
+    "x_funnel" -> ((s, d) => {
+      val q = TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("quality"))
+      TextAnalysis.filterFunnel(TextAnalysis.gopherRules(q, "text"), Seq(
+          "len_ok" -> col("n_chars").between(150, 5000),
+          "gopher" -> col("gopher_pass"),
+          "quality" -> (col("quality") >= 0.55)))
+        .orderBy(col("stage_idx"))
+    }),
+
     "x_repetition" -> ((s, d) =>
       TextAnalysis.repetition(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -928,8 +941,61 @@ object QueriesOps {
         |    AND stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // replays the gopher + quality formulas, then the four cumulative
+    // FILTER counts — one per funnel stage
+    "x_funnel" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len($toksSql) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+        |    $toksSql AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars,
+        |    greatest(0.0, least(1.0,
+        |      0.25 * least(nw / 50.0, 1.0) +
+        |      0.25 * (alpha / greatest(n, 1.0)) +
+        |      0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality,
+        |    (len(w) >= 50 AND len(w) <= 100000
+        |      AND CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+        |      AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) >= 0.80
+        |      AND CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |        / greatest(CAST(len(w) AS DOUBLE), 1.0) <= 0.10
+        |      AND CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |        / greatest(CAST(len(lines) AS DOUBLE), 1.0) <= 0.90
+        |      AND CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+        |        / greatest(CAST(len(lines) AS DOUBLE), 1.0) <= 0.30
+        |      AND len(list_intersect(list_distinct(toks),
+        |        ['the','a','of','and','to','in','is','it','that','for'])) >= 2) AS gopher_pass
+        |  FROM f),
+        |s AS (SELECT count(*) AS n0,
+        |    count(*) FILTER (WHERE n_chars BETWEEN 150 AND 5000) AS n1,
+        |    count(*) FILTER (WHERE n_chars BETWEEN 150 AND 5000 AND gopher_pass) AS n2,
+        |    count(*) FILTER (WHERE n_chars BETWEEN 150 AND 5000 AND gopher_pass
+        |      AND quality >= 0.55) AS n3
+        |  FROM g)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'input' AS stage,
+        |    CAST(n0 AS BIGINT) AS survivors,
+        |    CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS kept_frac FROM s
+        |  UNION ALL SELECT CAST(1 AS INT), 'len_ok', CAST(n1 AS BIGINT),
+        |    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM s
+        |  UNION ALL SELECT CAST(2 AS INT), 'gopher', CAST(n2 AS BIGINT),
+        |    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM s
+        |  UNION ALL SELECT CAST(3 AS INT), 'quality', CAST(n3 AS BIGINT),
+        |    CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM s)
+        |ORDER BY stage_idx""".stripMargin,
+
     "x_repetition" ->
-      s"""WITH lines AS (
+s"""WITH lines AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0)) AS line
         |  FROM documents),

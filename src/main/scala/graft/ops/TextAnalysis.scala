@@ -221,6 +221,36 @@ object TextAnalysis {
           col("stop_hits") >= 2)
   }
 
+  // ---- filter-funnel telemetry -------------------------------------------
+  /** One-scan funnel telemetry for a chain of quality filters: how
+    * many docs survive each cumulative stage (stage i = AND of the
+    * first i predicates — the order the pipeline would apply them).
+    * The whole funnel is ONE aggregate scan — N conditional counts in
+    * a single partial agg, then a constant-size unpivot — so at 100 TB
+    * the telemetry costs one pass, not one pass per stage, and the
+    * counts are exact (not sampled). This is the report every
+    * DataComp/DCLM-style filtering pipeline publishes before anyone
+    * trusts its output.
+    *
+    * Output: (stage_idx, stage, survivors, kept_frac); stage_idx 0 is
+    * the unfiltered input. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel: no stages")
+    val cums = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).as("__n0") +:
+      cums.zipWithIndex.map { case (c, i) => count(when(c, 1)).as(s"__n${i + 1}") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = ("input" +: stages.map(_._1)).zipWithIndex.map { case (nm, i) =>
+      struct(lit(nm).as("stage"), col(s"__n$i").as("survivors"))
+    }
+    one.select(col("__n0"), posexplode(array(entries: _*)))
+      .select(col("pos").cast("int").as("stage_idx"),
+        col("col.stage").as("stage"),
+        col("col.survivors").as("survivors"),
+        (col("col.survivors").cast("double") / col("__n0").cast("double"))
+          .as("kept_frac"))
+  }
+
   // ---- repetition detection ----------------------------------------------
   /** Repetition features (the Gopher duplicate-content rules): fraction
     * of lines (and of their characters) that are duplicates of another

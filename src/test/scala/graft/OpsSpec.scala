@@ -877,6 +877,19 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
 
+  test("filterFunnel counts cumulative-stage survivors in one scan") {
+    import spark.implicits._
+    val d = Seq((1, 10, true), (2, 20, true), (3, 30, false), (4, 40, true))
+      .toDF("id", "v", "flag")
+    val out = TextAnalysis.filterFunnel(d, Seq(
+        "v_ok" -> (col("v") >= 20),
+        "flag" -> col("flag"))) // cumulative: v>=20 AND flag
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0, "input", 4L), (1, "v_ok", 3L), (2, "flag", 2L)))
+    assert(out.map(_.getAs[Double]("kept_frac")).toSeq == Seq(1.0, 0.75, 0.5))
+  }
+
   test("exactBest keeps the argmax-pref copy, ties to max id") {
     import spark.implicits._
     val docs = Seq(
