@@ -100,6 +100,17 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // cluster-size histogram: the dedup report a 100 TB pipeline reads
+    // before deciding thresholds (two tiny re-aggs over the clusters)
+    "x_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      Dedup.dedupClusters(pairs.select("a", "b"))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     "x_dedup_simhash" -> ((s, d) =>
       // maxDist=3 is the radius the 4x16-bit chunk bucketing actually
       // guarantees recall for (pigeonhole) — a larger radius here would
@@ -452,6 +463,29 @@ object QueriesOps {
       Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
           qs, "q_id", "qtext", k = 10)
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+    }),
+
+    // reciprocal-rank fusion of a BM25 top-20 list with a recency list
+    // (doc_id desc — the crawl-freshness stand-in): rank-based, so no
+    // score calibration; everything candidate-list sized
+    "x_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      val lex = Retrieval.rankWithin(
+        Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          qs, "q_id", "qtext", k = 20),
+        "q_id", Seq(col("bm25").desc, col("doc_id")))
+      val fresh = Retrieval.rankWithin(
+        t(s, d, "documents").select("doc_id")
+          .orderBy(col("doc_id").desc).limit(20)
+          .crossJoin(qs.select("q_id")),
+        "q_id", Seq(col("doc_id").desc))
+      Retrieval.rrfFuse(
+          Seq(lex.select("q_id", "doc_id", "rank"),
+            fresh.select("q_id", "doc_id", "rank")),
+          "q_id", "doc_id", k = 10)
+        .orderBy(col("q_id"), col("rrf").desc, col("doc_id"))
     }),
 
     // ---- as-of join -----------------------------------------------------
@@ -1111,6 +1145,49 @@ s"""WITH lines AS (
         |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
         |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
 
+    // the bm25 chain at k=20, a recency list, 1/(60+rank) decimal
+    // fusion, top-10 — rank arithmetic identical on both engines
+    "x_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+        |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+        |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+        |qt AS (SELECT DISTINCT q_id,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+        |dfreq AS (SELECT term, count(*) AS dfc FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (SELECT qt.q_id, tf.doc_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - dfc + 0.5) / (dfc + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+        |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT q_id, doc_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored QUALIFY rank <= 20),
+        |freshdocs AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id DESC) AS rank
+        |  FROM documents QUALIFY rank <= 20),
+        |fresh AS (SELECT q.q_id, f.doc_id, f.rank FROM freshdocs f CROSS JOIN q),
+        |u AS (SELECT q_id, doc_id, rank FROM lex
+        |  UNION ALL SELECT q_id, doc_id, rank FROM fresh),
+        |fused AS (SELECT q_id, doc_id,
+        |    round(CAST(sum(CAST(1.0 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS rrf,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, rrf, n_lists,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused)
+        |SELECT q_id, doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+        |FROM r WHERE rn <= 10 ORDER BY q_id, rrf DESC, doc_id""".stripMargin,
+
     "x_ngram_freq" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
         |g AS (SELECT unnest(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
@@ -1393,6 +1470,31 @@ s"""WITH lines AS (
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the same transitive closure, re-aggregated to the size histogram
+    "x_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |m AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM m GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs
+        |GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // shared fragment semantics: bucket(p) bit = sign of <v, s_p> with
     // s_{p,k} = bit (k-1)%4 of hex digit floor((k-1)/4) of the chunked

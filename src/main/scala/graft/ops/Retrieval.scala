@@ -90,4 +90,45 @@ object Retrieval {
     graft.plans.TopK.topKPerGroup(scored, Seq(qid),
       Seq(col("bm25").desc, col(id).asc), k)
   }
+
+  /** 1-based rank within each query under `order` — turns a scored
+    * candidate frame into the (qid, id, rank) shape [[rrfFuse]]
+    * consumes. The window partitions by `qid`, and candidate lists are
+    * top-k-sized BY CONTRACT (this is for fusing retrieval results,
+    * not ranking a corpus — whole-frame ranking is SeqFns.withRank*'s
+    * job). Make `order` total (unique tiebreak) for determinism. */
+  def rankWithin(df: DataFrame, qid: String, order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rank",
+      row_number().over(Window.partitionBy(col(qid)).orderBy(order: _*)).cast("long"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    * candidate lists per query — the standard way to combine lexical
+    * (BM25) and dense (ANN) retrieval without score calibration:
+    * rrf(d) = Σ_lists 1/(c + rank_list(d)). Rank-based, so the lists'
+    * score scales never need to agree.
+    *
+    * Each input frame carries (qid, id, rank) with rank 1-based
+    * ([[rankWithin]]). Shape: union of top-k-sized lists → one
+    * (qid, id) partial agg — 1/(c+rank) is an exact IEEE division and
+    * the sum accumulates in decimal(38,18) (Exact.dsum rule) — then
+    * the GroupedTopK bounded-heap cut. Everything is candidate-list
+    * sized; the corpus is never touched. Output: (qid, id, rrf,
+    * n_lists) — n_lists = how many lists surfaced the doc. */
+  def rrfFuse(rankings: Seq[DataFrame], qid: String, id: String,
+              k: Int = 10, c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse: need at least two rankings to fuse")
+    require(c >= 1, s"rrfFuse: c must be >= 1 (got $c)")
+    val all = rankings.map(_.select(col(qid), col(id), col("rank")))
+      .reduce(_.unionByName(_))
+    val scored = all
+      .withColumn("__rr",
+        lit(1.0) / (lit(c).cast("double") + col("rank").cast("double")))
+      .groupBy(col(qid), col(id))
+      .agg(round(sum(col("__rr").cast("decimal(38,18)")).cast("double"), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    graft.plans.TopK.topKPerGroup(scored, Seq(qid),
+      Seq(col("rrf").desc, col(id).asc), k)
+  }
 }

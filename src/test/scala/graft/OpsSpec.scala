@@ -959,6 +959,25 @@ class OpsSpec extends SparkTestBase {
     assert(one == run(11))
   }
 
+  test("rrfFuse combines rankings by reciprocal rank, counts list hits") {
+    import spark.implicits._
+    // list A: doc 1 first, doc 2 second; list B: doc 2 first, doc 3 second
+    val a = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("q_id", "doc_id", "rank")
+    val b = Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("q_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "q_id", "doc_id", k = 3)
+      .orderBy(col("rrf").desc, col("doc_id")).collect()
+    // doc 2 appears in both lists -> top; 1/(60+2) + 1/(60+1)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_.getAs[Long]("n_lists")).toSeq == Seq(2L, 1L, 1L))
+    assert(math.abs(out.head.getAs[Double]("rrf") - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // rankWithin produces the 1-based shape rrfFuse consumes
+    val ranked = Retrieval.rankWithin(
+      Seq(("q", 7L, 0.5), ("q", 8L, 0.9)).toDF("q_id", "doc_id", "s"),
+      "q_id", Seq(col("s").desc))
+    assert(ranked.orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(8L, 7L))
+  }
+
   test("centroidsByKey computes exact group means, one partial agg, no explode") {
     import spark.implicits._
     val vecs = Seq(
