@@ -16,6 +16,7 @@ object Bench {
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
+    "x_bm25", "x_centroids",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -63,7 +64,10 @@ object Bench {
     "x_asof", "s_sessionize", "s_neardup", "x_ann_lsh",
     // char-grain span scan: one row per corpus character — the
     // heaviest text shuffle in the tree, the one to watch at 10x
-    "x_dup_spans")
+    "x_dup_spans",
+    // retrieval + vector-agg: pruned-postings BM25 over the 10x corpus
+    // and the no-explode centroid aggregate over the 10x embeddings
+    "x_bm25", "x_centroids")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

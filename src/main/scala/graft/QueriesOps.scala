@@ -415,6 +415,13 @@ object QueriesOps {
           "stop_hits", "gopher_pass")
         .orderBy(col("doc_id"))),
 
+    // join-key skew profile of the order fact's customer key: hottest
+    // 10 keys + row shares — one partial agg + TakeOrdered, the
+    // pre-flight read before choosing plain/AQE/salted join
+    "x_key_skew" -> ((s, d) =>
+      Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // filter-funnel telemetry: exact survivor counts per cumulative
     // stage (length bounds -> gopher rules -> quality floor) in ONE
     // aggregate scan of the corpus
@@ -974,6 +981,15 @@ object QueriesOps {
         |    AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
         |    AND stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "x_key_skew" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM c),
+        |h AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+        |SELECT h.key, h.cnt, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+        |FROM h CROSS JOIN t ORDER BY cnt DESC, key""".stripMargin,
 
     // replays the gopher + quality formulas, then the four cumulative
     // FILTER counts — one per funnel stage

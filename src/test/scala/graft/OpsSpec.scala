@@ -877,6 +877,21 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Int]("list_id") == out(1).getAs[Int]("list_id"))
   }
 
+  test("keySkew surfaces the hot key with its share, profiles NULLs") {
+    import spark.implicits._
+    val d = (Seq.fill(6)(Option(1L)) ++ Seq(Some(2L), Some(3L), None, None))
+      .toDF("k")
+    val out = Profiling.keySkew(d, col("k"), k = 2)
+      .orderBy(col("cnt").desc, col("key")).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("key") == 1L && out(0).getAs[Long]("cnt") == 6L)
+    assert(out(0).getAs[Long]("n_keys") == 4L) // 1, 2, 3, NULL
+    assert(out(0).getAs[Long]("n_rows") == 10L)
+    assert(out(0).getAs[Double]("share") == 0.6)
+    // NULL keys count as a (hazardous) key of their own
+    assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
+  }
+
   test("filterFunnel counts cumulative-stage survivors in one scan") {
     import spark.implicits._
     val d = Seq((1, 10, true), (2, 20, true), (3, 30, false), (4, 40, true))
