@@ -422,6 +422,20 @@ object QueriesOps {
       Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
         .orderBy(col("cnt").desc, col("key"))),
 
+    // count-min sketch term-frequency estimates: bounded 4x4096
+    // counter state over the unbounded term stream, probed for the
+    // terms of every 50th doc — est >= exact by construction
+    "x_cms" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.cmsEstimates(
+          docs.select(explode(Dedup.tokens(col("text"))).as("term")),
+          col("term"),
+          docs.filter(col("doc_id") % 50 === 0)
+            .select(explode(Dedup.tokens(col("text"))).as("term")),
+          width = 4096, depth = 4)
+        .orderBy(col("key"))
+    }),
+
     // filter-funnel telemetry: exact survivor counts per cumulative
     // stage (length bounds -> gopher rules -> quality floor) in ONE
     // aggregate scan of the corpus
@@ -981,6 +995,28 @@ object QueriesOps {
         |    AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
         |    AND stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // replays the md5 bucket of every term occurrence digit by digit
+    // (8 hex digits < 2^32, exact in double), the depth x width counter
+    // table, and the min-over-rows probe with 0 for untouched buckets
+    "x_cms" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |term AS (SELECT unnest(w) AS term FROM toks),
+        |rb AS (SELECT pr.r,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef', substr(md5(pr.r || '|' || term), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 8 - i))) AS BIGINT) % 4096 AS bucket
+        |  FROM term CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr),
+        |sketch AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT unnest(w) AS key FROM toks WHERE doc_id % 50 = 0),
+        |crb AS (SELECT key, pr.r,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef', substr(md5(pr.r || '|' || key), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 8 - i))) AS BIGINT) % 4096 AS bucket
+        |  FROM cand CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr)
+        |SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        |FROM crb LEFT JOIN sketch USING (r, bucket)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
 
     "x_key_skew" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),

@@ -37,4 +37,46 @@ object Profiling {
       .crossJoin(broadcast(totals))
       .withColumn("share", col("cnt").cast("double") / col("n_rows").cast("double"))
   }
+
+  /** Count-min-sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005): upper-bound counts for `candidates` keys out of a
+    * depth×width counter table — BOUNDED state for unbounded key
+    * cardinality, the sketch every heavy-hitter pipeline keeps when
+    * the exact per-key agg (keySkew) is itself too wide to hold.
+    * est(k) = min over rows of the k-bucket counters; always ≥ the
+    * true count, exact when the row's bucket has no collisions.
+    *
+    * Spark-first shape: no custom state — each occurrence emits its
+    * `depth` (row, md5-bucket) pairs in ONE projection, a single
+    * partial agg collapses them to the ≤ depth·width-row counter
+    * table (map-side combine does almost all the work; the shuffle
+    * carries counters, not keys), and candidates probe it with a
+    * broadcast join. Counter merges are sums, so the sketch is
+    * partitioning-invariant; buckets are md5-derived, so any engine
+    * replays it exactly.
+    *
+    * Output: (key, est_count); candidates absent from the corpus
+    * report their collision mass (0 when their buckets are clean). */
+  def cmsEstimates(df: DataFrame, key: Column, candidates: DataFrame,
+                   width: Int = 8192, depth: Int = 4): DataFrame = {
+    require(width >= 16 && (width & (width - 1)) == 0,
+      s"cmsEstimates: width must be a power of two >= 16 (got $width)")
+    require(depth >= 1 && depth <= 8,
+      s"cmsEstimates: depth must be in [1,8] (got $depth)")
+    def bucket(r: Int, k: Column): Column =
+      conv(substring(md5(concat_ws("|", lit(r.toString), k.cast("string"))), 1, 8),
+        16, 10).cast("long") % width
+    def rbPairs(k: Column): Column = explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), bucket(r, k).as("bucket"))): _*))
+    val sketch = df.select(rbPairs(key).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val candRb = candidates.select(key.as("key")).distinct()
+      .select(col("key"), rbPairs(col("key")).as("rb"))
+      .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    // left join + coalesce: an untouched bucket means est 0, which an
+    // inner join would silently inflate to the min of the HIT rows
+    candRb.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

@@ -892,6 +892,29 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("cmsEstimates upper-bounds true counts, exact at generous width") {
+    import spark.implicits._
+    val corpus = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq.fill(1)("cold") ++
+      (1 to 200).map(i => s"noise$i")).toDF("term")
+    val cand = Seq("hot", "warm", "cold", "absent").toDF("term")
+    val truth = Map("hot" -> 50L, "warm" -> 7L, "cold" -> 1L, "absent" -> 0L)
+    // generous width: no collisions expected -> exact
+    val wide = Profiling.cmsEstimates(corpus, col("term"), cand,
+      width = 65536, depth = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(wide == truth)
+    // cramped width: still an upper bound for every key
+    val tight = Profiling.cmsEstimates(corpus.repartition(13), col("term"), cand,
+      width = 16, depth = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    truth.foreach { case (k, v) => assert(tight(k) >= v) }
+    // partitioning invariance: sums merge, order can't matter
+    val tight2 = Profiling.cmsEstimates(corpus.repartition(1), col("term"), cand,
+      width = 16, depth = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(tight == tight2)
+  }
+
   test("filterFunnel counts cumulative-stage survivors in one scan") {
     import spark.implicits._
     val d = Seq((1, 10, true), (2, 20, true), (3, 30, false), (4, 40, true))
