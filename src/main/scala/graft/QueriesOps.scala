@@ -509,6 +509,21 @@ object QueriesOps {
         .orderBy(col("q_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // ordered conversion funnel (view -> click -> purchase, first-touch
+    // strict-after semantics): per stage one pushdown scan + one
+    // user-keyed join + partial agg — no windows, no per-user state
+    "x_conversion" -> ((s, d) =>
+      EventAnalytics.conversionFunnel(events(s, d), col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // weekly cohort retention triangle: cohort by first-event week,
+    // distinct-active users per later week — the log collapses to
+    // cohorts x weeks rows
+    "x_cohort" -> ((s, d) =>
+      EventAnalytics.cohortRetention(events(s, d), col("user_id"), col("ts"))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // ---- as-of join -----------------------------------------------------
     // for every non-purchase event, the value of the user's most recent
     // purchase at-or-before it (union-merge: one shuffle on user_id)
@@ -1247,6 +1262,39 @@ s"""WITH lines AS (
         |  FROM toks)
         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    "x_conversion" ->
+      """WITH u0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u0 ON e.user_id = u0.user_id AND e.ts > u0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM u0) AS n0,
+        |  (SELECT count(*) FROM u1) AS n1, (SELECT count(*) FROM u2) AS n2)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+        |    CAST(n0 AS BIGINT) AS users,
+        |    CAST(n0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS frac_of_first FROM n
+        |  UNION ALL SELECT CAST(1 AS INT), 'click', CAST(n1 AS BIGINT),
+        |    CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n
+        |  UNION ALL SELECT CAST(2 AS INT), 'purchase', CAST(n2 AS BIGINT),
+        |    CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM n)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "x_cohort" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+        |  count(DISTINCT user_id) AS users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "x_asof" ->
       """WITH r AS (SELECT user_id, ts, max_by("value", event_id) AS purchase_value

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over event logs — the product-analytics companions
+  * to the Structured Streaming operators in
+  * [[graft.streaming.EventStreams]] (sessionization, windowed aggs).
+  *
+  * Reference: datar_polars has no event-analytics surface; these are
+  * the beyond-reference pipeline layer (SURVEY §2.6/§2.8 family),
+  * expressed as ordinary Catalyst plans.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: how many users performed stage 1, then
+    * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
+    * strictly after that first qualifying stage-2 event, … ("first
+    * touch" semantics — the standard product funnel, immune to
+    * out-of-order repeats).
+    *
+    * Scale shape: stage k is one type-filtered scan (the predicate
+    * pushes to the parquet scan) joined user-keyed against the
+    * previous stage's user-grain frame — per stage: one pushdown scan
+    * + one user-keyed shuffle + one partial agg. The per-stage frames
+    * shrink monotonically (funnels only narrow), so AQE broadcasts the
+    * later joins on its own. No windows, no per-user state.
+    *
+    * Output: (stage_idx, stage, users, frac_of_first), 0-indexed. */
+  def conversionFunnel(df: DataFrame, user: Column, ts: Column,
+                       eventType: Column, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "conversionFunnel: need at least two stages")
+    require(stages.distinct.size == stages.size,
+      s"conversionFunnel: duplicate stage names in $stages")
+    val first = df.filter(eventType === stages.head)
+      .groupBy(user.as("__u")).agg(min(ts).as("__t"))
+    val reached = stages.tail.scanLeft(first) { (prev, st) =>
+      df.filter(eventType === st)
+        .join(prev, user === col("__u") && ts > col("__t"))
+        .groupBy(user.as("__u")).agg(min(ts).as("__t"))
+    }
+    val n0 = first.agg(count(lit(1)).as("__n0"))
+    val rows = reached.zip(stages).zipWithIndex.map { case ((d, st), i) =>
+      d.agg(count(lit(1)).as("users"))
+        .crossJoin(broadcast(n0))
+        .select(lit(i).cast("int").as("stage_idx"), lit(st).as("stage"),
+          col("users"),
+          (col("users").cast("double") / col("__n0").cast("double"))
+            .as("frac_of_first"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users cohorted by the week of their
+    * first event, counted distinct in each later week they were active
+    * — the (cohort_week, week_offset, users) retention triangle.
+    *
+    * Scale shape: cohorts are one user-grain agg; activity is a
+    * (user, week)-distinct projection; one user-keyed shuffle join
+    * lines them up and a two-phase distinct count collapses to the
+    * triangle (weeks × cohorts rows — tiny however big the log is). */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    val cohorts = df.groupBy(user.as("__u"))
+      .agg(date_trunc("week", min(ts)).cast("date").as("cohort_week"))
+    val activity = df.select(user.as("__u"),
+      date_trunc("week", ts).cast("date").as("__w")).distinct()
+    activity.join(cohorts, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("__w"), col("cohort_week")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(countDistinct(col("__u")).as("users"))
+  }
+}

@@ -892,6 +892,41 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("conversionFunnel enforces strict event order, first-touch") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "buy"),   // converts
+      (2L, t(0), "view"), (2L, t(1), "click"),                      // no buy
+      (3L, t(1), "click"), (3L, t(2), "view"), (3L, t(3), "buy"),   // click BEFORE view: buy counts only if a click follows the first view — none does
+      (4L, t(0), "buy"), (4L, t(1), "view")                         // buy before view
+    ).toDF("user_id", "ts", "etype")
+    val out = EventAnalytics.conversionFunnel(ev, col("user_id"), col("ts"),
+        col("etype"), Seq("view", "click", "buy"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getString(1), r.getAs[Long]("users"))).toSeq ==
+      Seq(("view", 4L), ("click", 2L), ("buy", 1L)))
+    assert(out.last.getAs[Double]("frac_of_first") == 0.25)
+  }
+
+  test("cohortRetention builds the cohort-week triangle") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2024-01-01 and 2024-01-08 are Mondays
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(9)),   // cohort w0, active w0 and w1
+      (2L, d(3)),                           // cohort w0, only w0
+      (3L, d(9)), (3L, d(10))               // cohort w1, only w1
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.cohortRetention(ev, col("user_id"), col("ts"))
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getAs[Long]("users"))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)))
+  }
+
   test("cmsEstimates upper-bounds true counts, exact at generous width") {
     import spark.implicits._
     val corpus = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq.fill(1)("cold") ++
