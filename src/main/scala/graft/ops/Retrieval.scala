@@ -39,15 +39,28 @@ object Retrieval {
 
   /** BM25 top-k documents per query.
     *
-    * @param docs    corpus (any size)
-    * @param queries query frame — SMALL BY CONTRACT (it broadcasts;
-    *                thousands of queries are fine, a query CORPUS is a
-    *                different operator)
+    * Corpus passes: the pruned tf subtree is consumed twice (scoring +
+    * document frequency — Catalyst recomputes shared subtrees) and the
+    * corpus stats add a third scan, all scan-bound map work. A
+    * standing 100 TB query workload amortizes all three by
+    * materializing the unpruned (id, dl, term, tf) table as a
+    * term-bucketed inverted index and passing `corpusStats` — then no
+    * per-call corpus scan remains at all.
+    *
+    * @param docs        corpus (any size)
+    * @param queries     query frame — SMALL BY CONTRACT (it
+    *                    broadcasts; thousands of queries are fine, a
+    *                    query CORPUS is a different operator)
+    * @param corpusStats precomputed (docCount, totalTokens) — skips
+    *                    the stats scan; token counts must come from
+    *                    the same tokenizer ([[Dedup.tokens]], empties
+    *                    dropped)
     * @return (qid, id, bm25) — k best docs per query, scores rounded
     *         to 6 places, ties broken by ascending doc id */
   def bm25TopK(docs: DataFrame, id: String, text: String,
                queries: DataFrame, qid: String, qtext: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               corpusStats: Option[(Long, Long)] = None): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1 (got $k)")
     require(k1 > 0 && b >= 0 && b <= 1,
       s"bm25TopK: need k1 > 0 and b in [0,1] (got k1=$k1, b=$b)")
@@ -69,9 +82,14 @@ object Retrieval {
       .select(col(id), size(tok).as("dl"), explode(tok).as("term"))
       .join(broadcast(qtermSet), Seq("term"), "leftsemi")
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-    // corpus stats: one columnar agg scan (count + total tokens)
-    val stats = docs.agg(
-      count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
+    // corpus stats: one columnar agg scan (count + total tokens),
+    // skipped entirely when the caller passes the known constants
+    val stats = corpusStats match {
+      case Some((nd, tl)) =>
+        docs.sparkSession.range(1).select(lit(nd).as("nd"), lit(tl).as("tl"))
+      case None =>
+        docs.agg(count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
+    }
     // document frequency of the pruned postings (term-grain re-agg)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val avgdl = col("tl").cast("double") / col("nd").cast("double")

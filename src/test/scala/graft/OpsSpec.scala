@@ -1030,6 +1030,18 @@ class OpsSpec extends SparkTestBase {
     val one = run(1)
     assert(one.count(_._1 == "a") == 5 && one.count(_._1 == "b") == 5)
     assert(one == run(11))
+    // precomputed corpus stats (the amortized standing-workload path)
+    // must reproduce the in-plan scan exactly
+    val nd = docs.count()
+    val tl = docs.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.filter(
+        graft.ops.Dedup.tokens(col("text")), t => length(t) > 0)).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    val pre = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "q_id", "qtext",
+        k = 5, corpusStats = Some((nd, tl)))
+      .orderBy("q_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pre == one)
   }
 
   test("rrfFuse combines rankings by reciprocal rank, counts list hits") {
