@@ -422,6 +422,13 @@ object QueriesOps {
       Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
         .orderBy(col("cnt").desc, col("key"))),
 
+    // exact distributed quantiles of the price column: one sort +
+    // rowid neighbor selection, never a per-group value buffer
+    "x_quantiles" -> ((s, d) =>
+      Profiling.exactQuantiles(t(s, d, "lineitem"), col("l_extendedprice"),
+          Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99))
+        .orderBy(col("p"))),
+
     // count-min sketch term-frequency estimates: bounded 4x4096
     // counter state over the unbounded term stream, probed for the
     // terms of every 50th doc — est >= exact by construction
@@ -1010,6 +1017,23 @@ object QueriesOps {
         |    AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
         |    AND stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // quantile_cont is the same type-7 interpolation the rowid
+    // selection computes; tolerance absorbs last-ulp libm-free diffs
+    "x_quantiles" ->
+      """SELECT CAST(0.01 AS DOUBLE) AS p,
+        |  quantile_cont(l_extendedprice, 0.01) AS quantile FROM lineitem
+        |UNION ALL SELECT CAST(0.25 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.25) FROM lineitem
+        |UNION ALL SELECT CAST(0.5 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.5) FROM lineitem
+        |UNION ALL SELECT CAST(0.75 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.75) FROM lineitem
+        |UNION ALL SELECT CAST(0.95 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.95) FROM lineitem
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE),
+        |  quantile_cont(l_extendedprice, 0.99) FROM lineitem
+        |ORDER BY p""".stripMargin,
 
     // replays the md5 bucket of every term occurrence digit by digit
     // (8 hex digits < 2^32, exact in double), the depth x width counter

@@ -38,6 +38,57 @@ object Profiling {
       .withColumn("share", col("cnt").cast("double") / col("n_rows").cast("double"))
   }
 
+  /** EXACT distributed quantiles (type-7 linear interpolation, the
+    * R/NumPy/DuckDB `quantile_cont` convention) without collecting
+    * values: Spark's exact `percentile` aggregate buffers every group
+    * value in memory — a non-starter for a 100 TB column — and
+    * `approx_percentile` trades the answer away. Here the column is
+    * sorted ONCE (distributed range partition + the rowid machinery of
+    * Tibble.rowidToColumn), the two neighbor rows of each requested
+    * rank are selected by rowid — a scan-resident filter keeping
+    * ≤ 2·|ps| rows — and the interpolation
+    * lo + (hi − lo)·frac at rank (n−1)·p runs on the tiny remainder.
+    * One sort, one broadcast count, nothing driver-side.
+    *
+    * NULLs are excluded (aggregate convention); an empty input yields
+    * NULL quantiles. Ties are safe: equal values make rowid assignment
+    * among them arbitrary but the value AT any tied rank identical.
+    * Output: (p, quantile). */
+  def exactQuantiles(df: DataFrame, x: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"exactQuantiles: probabilities must be in [0,1] (got $ps)")
+    require(ps.distinct.size == ps.size, s"exactQuantiles: duplicate ps in $ps")
+    val vals = df.select(x.cast("double").as("__v")).filter(col("__v").isNotNull)
+    val ranked = graft.core.Tibble.rowidToColumn(vals, Seq(col("__v")), "__rid")
+    val n = vals.agg(count(lit(1)).as("__n"))
+    val withN = ranked.crossJoin(broadcast(n))
+    def pos(p: Double, nCol: Column): Column =
+      (nCol - lit(1)).cast("double") * lit(p)
+    val keep = ps.map { p =>
+      val q = pos(p, col("__n"))
+      (col("__rid") === floor(q).cast("long") + 1) ||
+        (col("__rid") === ceil(q).cast("long") + 1)
+    }.reduce(_ || _)
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      val q = pos(p, col("__n"))
+      Seq(
+        max(when(col("__rid") === floor(q).cast("long") + 1, col("__v")))
+          .as(s"__lo$i"),
+        max(when(col("__rid") === ceil(q).cast("long") + 1, col("__v")))
+          .as(s"__hi$i"))
+    } :+ max(col("__n")).as("__nn")
+    val one = withN.filter(keep).agg(aggCols.head, aggCols.tail: _*)
+    val entries = ps.zipWithIndex.map { case (p, i) =>
+      val q = pos(p, col("__nn"))
+      val frac = q - floor(q)
+      struct(lit(p).as("p"),
+        (col(s"__lo$i") + (col(s"__hi$i") - col(s"__lo$i")) * frac)
+          .as("quantile"))
+    }
+    one.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.p").as("p"), col("e.quantile").as("quantile"))
+  }
+
   /** Count-min-sketch frequency estimation (Cormode & Muthukrishnan
     * 2005): upper-bound counts for `candidates` keys out of a
     * depth×width counter table — BOUNDED state for unbounded key

@@ -927,6 +927,22 @@ class OpsSpec extends SparkTestBase {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)))
   }
 
+  test("exactQuantiles interpolates type-7 ranks without collecting") {
+    import spark.implicits._
+    // 1..101 shuffled across partitions: p=0.5 -> 51 exactly
+    val d = scala.util.Random.shuffle((1 to 101).toList).toDF("v").repartition(7)
+    val out = Profiling.exactQuantiles(d, col("v"), Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(out == Seq(0.0 -> 1.0, 0.25 -> 26.0, 0.5 -> 51.0, 1.0 -> 101.0))
+    // interpolated rank: n=4, p=0.5 -> pos 1.5 -> (20+30)/2
+    val d2 = Seq(10, 20, 30, 40).toDF("v")
+    val q = Profiling.exactQuantiles(d2, col("v"), Seq(0.5)).head().getDouble(1)
+    assert(q == 25.0)
+    // NULLs excluded
+    val d3 = Seq[Option[Int]](Some(1), None, Some(3)).toDF("v")
+    assert(Profiling.exactQuantiles(d3, col("v"), Seq(0.5)).head().getDouble(1) == 2.0)
+  }
+
   test("cmsEstimates upper-bounds true counts, exact at generous width") {
     import spark.implicits._
     val corpus = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq.fill(1)("cold") ++
