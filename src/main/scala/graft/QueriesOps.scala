@@ -429,6 +429,13 @@ object QueriesOps {
           Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99))
         .orderBy(col("p"))),
 
+    // per-language doc-length quantiles: one partitioned-window
+    // shuffle, neighbor-row filter, |groups| x |ps| output
+    "x_gquantiles" -> ((s, d) =>
+      Profiling.groupedQuantiles(t(s, d, "documents"), Seq("lang"),
+          col("n_chars"), Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("lang"), col("p"))),
+
     // count-min sketch term-frequency estimates: bounded 4x4096
     // counter state over the unbounded term stream, probed for the
     // terms of every 50th doc — est >= exact by construction
@@ -1018,22 +1025,56 @@ object QueriesOps {
         |    AND stop_hits >= 2) AS gopher_pass
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    // quantile_cont is the same type-7 interpolation the rowid
-    // selection computes; tolerance absorbs last-ulp libm-free diffs
-    "x_quantiles" ->
-      """SELECT CAST(0.01 AS DOUBLE) AS p,
-        |  quantile_cont(l_extendedprice, 0.01) AS quantile FROM lineitem
-        |UNION ALL SELECT CAST(0.25 AS DOUBLE),
-        |  quantile_cont(l_extendedprice, 0.25) FROM lineitem
-        |UNION ALL SELECT CAST(0.5 AS DOUBLE),
-        |  quantile_cont(l_extendedprice, 0.5) FROM lineitem
-        |UNION ALL SELECT CAST(0.75 AS DOUBLE),
-        |  quantile_cont(l_extendedprice, 0.75) FROM lineitem
-        |UNION ALL SELECT CAST(0.95 AS DOUBLE),
-        |  quantile_cont(l_extendedprice, 0.95) FROM lineitem
-        |UNION ALL SELECT CAST(0.99 AS DOUBLE),
-        |  quantile_cont(l_extendedprice, 0.99) FROM lineitem
-        |ORDER BY p""".stripMargin,
+    // replays the rowid neighbor selection + interpolation with the
+    // IDENTICAL IEEE op sequence (quantile_cont's internal formula is
+    // a ulp off on some inputs — the driver compares bit-for-bit)
+    "x_quantiles" -> {
+      val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99)
+      val los = ps.zipWithIndex.map { case (p, i) =>
+        s"""    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo$i,
+           |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi$i""".stripMargin
+      }.mkString(",\n")
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  lo$i + (hi$i - lo$i) * (CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE)
+           |    - floor(CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE))) AS quantile FROM q""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rid,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT
+        |$los,
+        |    max(n) AS nn
+        |  FROM v)
+        |$rows
+        |ORDER BY p""".stripMargin
+    },
+
+    // same rowid replay as x_quantiles, partitioned per language
+    // (quantile_cont is a ulp off the lo+(hi-lo)*frac sequence)
+    "x_gquantiles" -> {
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val los = ps.zipWithIndex.map { case (p, i) =>
+        s"""    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo$i,
+           |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi$i""".stripMargin
+      }.mkString(",\n")
+      val rows = ps.zipWithIndex.map { case (p, i) =>
+        s"""SELECT lang, CAST($p AS DOUBLE) AS p,
+           |  lo$i + (hi$i - lo$i) * (CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE)
+           |    - floor(CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE))) AS quantile FROM q""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rid,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT lang,
+        |$los,
+        |    max(n) AS nn
+        |  FROM v GROUP BY lang)
+        |$rows
+        |ORDER BY lang, p""".stripMargin
+    },
 
     // replays the md5 bucket of every term occurrence digit by digit
     // (8 hex digits < 2^32, exact in double), the depth x width counter

@@ -89,6 +89,54 @@ object Profiling {
       .select(col("e.p").as("p"), col("e.quantile").as("quantile"))
   }
 
+  /** Per-group [[exactQuantiles]] — distribution profiling per stratum
+    * (doc-length quantiles per language, value quantiles per domain)
+    * with the same no-value-buffer guarantee. Ranks and group sizes
+    * come from ONE partitioned window shuffle (both windows share the
+    * partitioning), the neighbor rows survive a scan-resident filter
+    * (≤ 2·|ps| rows per group), and the interpolation agg collapses to
+    * |groups| rows. Groups skewed enough to hurt the rank window are
+    * exactly the groups whose quantiles you need — and still only pay
+    * one sort of their own rows, never a value buffer.
+    * Output: (keys…, p, quantile). */
+  def groupedQuantiles(df: DataFrame, keys: Seq[String], x: Column,
+                       ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "groupedQuantiles: no group keys (use exactQuantiles)")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedQuantiles: probabilities must be in [0,1] (got $ps)")
+    require(ps.distinct.size == ps.size, s"groupedQuantiles: duplicate ps in $ps")
+    val base = df.select(keys.map(col) :+ x.cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val wp = Window.partitionBy(keys.map(col): _*)
+    val ranked = base
+      .withColumn("__rid", row_number().over(wp.orderBy(col("__v"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wp))
+    def pos(p: Double): Column = (col("__n") - lit(1)).cast("double") * lit(p)
+    val keep = ps.map { p =>
+      (col("__rid") === floor(pos(p)).cast("long") + 1) ||
+        (col("__rid") === ceil(pos(p)).cast("long") + 1)
+    }.reduce(_ || _)
+    val aggCols = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("__rid") === floor(pos(p)).cast("long") + 1, col("__v")))
+          .as(s"__lo$i"),
+        max(when(col("__rid") === ceil(pos(p)).cast("long") + 1, col("__v")))
+          .as(s"__hi$i"))
+    } :+ max(col("__n")).as("__nn")
+    val grouped = ranked.filter(keep)
+      .groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val entries = ps.zipWithIndex.map { case (p, i) =>
+      val q = (col("__nn") - lit(1)).cast("double") * lit(p)
+      val frac = q - floor(q)
+      struct(lit(p).as("p"),
+        (col(s"__lo$i") + (col(s"__hi$i") - col(s"__lo$i")) * frac)
+          .as("quantile"))
+    }
+    grouped.select(keys.map(col) :+ explode(array(entries: _*)).as("e"): _*)
+      .select(keys.map(col) :+ col("e.p").as("p") :+ col("e.quantile").as("quantile"): _*)
+  }
+
   /** Count-min-sketch frequency estimation (Cormode & Muthukrishnan
     * 2005): upper-bound counts for `candidates` keys out of a
     * depth×width counter table — BOUNDED state for unbounded key

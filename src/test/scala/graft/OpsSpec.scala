@@ -943,6 +943,17 @@ class OpsSpec extends SparkTestBase {
     assert(Profiling.exactQuantiles(d3, col("v"), Seq(0.5)).head().getDouble(1) == 2.0)
   }
 
+  test("groupedQuantiles profiles each stratum independently") {
+    import spark.implicits._
+    val d = ((1 to 101).map(("a", _)) ++ Seq(("b", 10), ("b", 20), ("b", 30), ("b", 40)))
+      .toDF("g", "v").repartition(5)
+    val out = Profiling.groupedQuantiles(d, Seq("g"), col("v"), Seq(0.5, 1.0))
+      .orderBy("g", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 0.5, 51.0), ("a", 1.0, 101.0),
+      ("b", 0.5, 25.0), ("b", 1.0, 40.0)))
+  }
+
   test("cmsEstimates upper-bounds true counts, exact at generous width") {
     import spark.implicits._
     val corpus = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq.fill(1)("cold") ++
