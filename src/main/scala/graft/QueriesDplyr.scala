@@ -84,6 +84,17 @@ object QueriesDplyr {
           "n_cust" -> countDistinct(col("o_custkey")))
         .ungroup.arrange(col("o_orderstatus")).df),
 
+    // rollup grouping sets: per-(status,priority) rows + per-status
+    // subtotals + grand total from ONE Expand+agg shuffle
+    "d_rollup" -> ((s, d) =>
+      t(s, d, "orders").graft
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .summariseRollup(
+          "n" -> count(lit(1)),
+          "total" -> dsum(col("o_totalprice")))
+        .arrange(col("grouping_lvl"), col("o_orderstatus"),
+          col("o_orderpriority")).df),
+
     "d_groupmeta" -> ((s, d) =>
       t(s, d, "customer").graft
         .groupBy("c_mktsegment")
@@ -670,6 +681,13 @@ object QueriesDplyr {
          |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
          |  count(DISTINCT o_custkey) AS n_cust
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "d_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS grouping_lvl
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY grouping_lvl, o_orderstatus, o_orderpriority""".stripMargin,
 
     "d_groupmeta" ->
       """SELECT c_mktsegment, count(*) AS size,

@@ -437,6 +437,17 @@ object QueriesOps {
         .orderBy(col("lang"), col("p"))),
 
     // count-min sketch term-frequency estimates: bounded 4x4096
+    // per-language distinct-term estimate from 256 five-bit HLL
+    // registers: the shuffle carries registers, never terms, and the
+    // md5-derived sketch replays bit-for-bit in any engine
+    "x_hll" -> ((s, d) =>
+      Profiling.hllDistinct(
+          t(s, d, "documents").select(col("lang"),
+            explode(Dedup.tokens(col("text"))).as("term"))
+            .filter(col("term") =!= ""),
+          Seq("lang"), col("term"), p = 8)
+        .orderBy(col("lang"))),
+
     // counter state over the unbounded term stream, probed for the
     // terms of every 50th doc — est >= exact by construction
     "x_cms" -> ((s, d) => {
@@ -1075,6 +1086,30 @@ object QueriesOps {
         |$rows
         |ORDER BY lang, p""".stripMargin
     },
+
+    // replays the HLL sketch exactly: md5 digits -> 32-bit hash,
+    // top-8 bits bucket, bit-length of the 24-bit remainder for rho
+    // (bin() in both engines, no floating log), max-register table,
+    // then the raw-HLL fold — whose power-of-two harmonic sum is
+    // exact in double, so the estimate matches bit-for-bit
+    "x_hll" ->
+      s"""WITH toks AS (SELECT lang, $toksSql AS w FROM documents),
+        |term AS (SELECT lang, unnest(w) AS term FROM toks),
+        |hb AS (SELECT lang,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef', substr(md5(term), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 8 - i))) AS BIGINT) AS h
+        |  FROM term),
+        |br AS (SELECT lang, h >> 24 AS bucket, h % 16777216 AS rest FROM hb),
+        |reg AS (SELECT lang, bucket,
+        |    max(CASE WHEN rest = 0 THEN 25
+        |        ELSE 25 - length(bin(rest)) END) AS r
+        |  FROM br GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |    * 65536.0 / (sum(pow(CAST(2.0 AS DOUBLE), -r)) + CAST(256 - count(*) AS DOUBLE)) AS est_distinct,
+        |  count(*) AS buckets_hit
+        |FROM reg GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replays the md5 bucket of every term occurrence digit by digit
     // (8 hex digits < 2^32, exact in double), the depth x width counter

@@ -280,6 +280,27 @@ final class GraftFrame private (
       else df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
     new GraftFrame(out, groups.dropRight(1), Nil)
   }
+  /** summarise over ROLLUP grouping sets: the per-group rows PLUS
+    * every prefix-subtotal level and the grand total from ONE
+    * shuffle (Catalyst Expand replicates each input row once per
+    * level before the partial agg — map-side combine still collapses
+    * per level, so the shuffle carries |levels|·|groups| partials,
+    * never raw rows; at 100 TB this beats re-aggregating per level
+    * by the full re-scan count). `grouping_lvl` holds the bitmask of
+    * rolled-up keys (first group key = MSB, dplyr-order), so a NULL
+    * group VALUE (lvl 0) is distinguishable from a subtotal row.
+    * The reference has no grouping-sets verb (summarise.py is
+    * per-group only); this is the warehouse-native extension —
+    * lvl-0 rows match `summarise` exactly. */
+  def summariseRollup(aggs: (String, Column)*): GraftFrame = {
+    require(groups.nonEmpty, "summariseRollup: declare grouping keys first")
+    val lvl = groups.map(g => grouping(col(g)).cast("int"))
+      .reduce((a, b) => a * 2 + b)
+    val exprs = aggs.map { case (n, c) => c.as(n) } :+ lvl.as("grouping_lvl")
+    new GraftFrame(
+      df.rollup(groupCols: _*).agg(exprs.head, exprs.tail: _*), Nil, Nil)
+  }
+
   /** reframe: like summarise but aggregates may be array-valued and are
     * exploded back to multiple rows per group. */
   def reframe(aggs: (String, Column)*): GraftFrame = {

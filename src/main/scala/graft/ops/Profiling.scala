@@ -137,6 +137,55 @@ object Profiling {
       .select(keys.map(col) :+ col("e.p").as("p") :+ col("e.quantile").as("quantile"): _*)
   }
 
+  /** HyperLogLog distinct-count estimation (Flajolet et al. 2007):
+    * per-group approximate cardinality from m = 2^p five-bit
+    * registers — the mergeable sketch every 100 TB profile keeps
+    * where `n_distinct` (an exact shuffle of every distinct key)
+    * is itself the job you are trying to avoid.
+    *
+    * Spark-first shape: the register index and the leading-zero rank
+    * are pure per-row projections over the first 8 md5 hex digits
+    * (exact in long; `bin()` gives the bit length, so no floating
+    * log), ONE partial agg collapses occurrences to ≤ m registers
+    * per group (map-side combine — the shuffle carries registers,
+    * never keys), and a second tiny agg folds registers into the
+    * estimate. Register merges are max, so the sketch is
+    * partitioning-invariant; buckets/ranks are md5-derived, so any
+    * engine replays the sketch bit-for-bit. The harmonic sum adds
+    * powers of two ≥ 2^-(33-p) toward a total < 2^p — every partial
+    * sum is exact in double, so even the SUM is order-invariant and
+    * the estimate is REPRODUCIBLE, not just close.
+    *
+    * Raw HLL estimator only (no small-range linear-counting
+    * correction — that needs ln(), whose last-ulp behavior is
+    * engine-specific; below ~2.5·m true cardinality prefer the exact
+    * `n_distinct`). Relative error ≈ 1.04/sqrt(m).
+    * Output: (keys…, est_distinct, buckets_hit). */
+  def hllDistinct(df: DataFrame, keys: Seq[String], x: Column,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"hllDistinct: p must be in [4,14] (got $p)")
+    val m = 1 << p
+    val rb = 32 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val h = conv(substring(md5(x.cast("string")), 1, 8), 16, 10).cast("long")
+    val hashed = df.filter(x.isNotNull)
+      .select(keys.map(col) :+ shiftright(h, rb).as("__bucket")
+        :+ (h % lit(1L << rb)).as("__rest"): _*)
+    val rho = when(col("__rest") === 0, lit(rb + 1))
+      .otherwise(lit(rb + 1) - length(bin(col("__rest"))))
+    val regs = hashed.select(keys.map(col) :+ col("__bucket") :+ rho.as("__rho"): _*)
+      .groupBy(keys.map(col) :+ col("__bucket"): _*)
+      .agg(max(col("__rho")).as("__r"))
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("__r"))).as("__z"),
+        count(lit(1)).as("buckets_hit"))
+      .withColumn("est_distinct",
+        lit(alpha) * lit(m.toDouble * m) /
+          (col("__z") + (lit(m) - col("buckets_hit")).cast("double")))
+      .drop("__z")
+      .select(keys.map(col) :+ col("est_distinct") :+ col("buckets_hit"): _*)
+  }
+
   /** Count-min-sketch frequency estimation (Cormode & Muthukrishnan
     * 2005): upper-bound counts for `candidates` keys out of a
     * depth×width counter table — BOUNDED state for unbounded key

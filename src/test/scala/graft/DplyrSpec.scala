@@ -64,6 +64,18 @@ class DplyrSpec extends SparkTestBase {
     assertRows(f.arrange(col("g")).df, Seq(Seq("a", 2L), Seq("b", 3L)))
   }
 
+  test("summariseRollup emits group rows, subtotals, and grand total with level bits") {
+    import spark.implicits._
+    val d = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 4)).toDF("g1", "g2", "v")
+    val out = d.graft.groupBy("g1", "g2")
+      .summariseRollup("n" -> count(lit(1)), "s" -> sum(col("v")))
+      .arrange(col("grouping_lvl"), col("g1"), col("g2")).df
+    assertRows(out, Seq(
+      Seq("a", "x", 1L, 1L, 0), Seq("a", "y", 1L, 2L, 0), Seq("b", "x", 1L, 4L, 0),
+      Seq("a", null, 2L, 3L, 1), Seq("b", null, 1L, 4L, 1),
+      Seq(null, null, 3L, 7L, 3)))
+  }
+
   test("slice_head / slice_max / sliceAt honor group + order") {
     val g = gdf.graft.groupBy("g").arrange(col("x").desc)
     assertRows(g.sliceHead(1).ungroup.arrange(col("g")).df.select("g", "x"),

@@ -954,6 +954,24 @@ class OpsSpec extends SparkTestBase {
       ("b", 0.5, 25.0), ("b", 1.0, 40.0)))
   }
 
+  test("hllDistinct estimates within the m=256 error band and is partitioning-invariant") {
+    import spark.implicits._
+    val d = (1 to 5000).map(i => ("a", s"val$i")) ++ (1 to 40).map(i => ("b", s"v$i"))
+    val df = d.toDF("g", "x")
+    val out = Profiling.hllDistinct(df.repartition(7), Seq("g"), col("x"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // raw HLL at m=256: sigma ~ 1.04/16 = 6.5%; 4 sigma = 26%
+    assert(math.abs(out("a") - 5000.0) / 5000.0 < 0.26, s"a -> ${out("a")}")
+    // registers are max-merged, so the sketch must not depend on layout
+    val out2 = Profiling.hllDistinct(df.repartition(2), Seq("g"), col("x"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == out2)
+    // duplicate occurrences must not move the estimate
+    val out3 = Profiling.hllDistinct(df.union(df), Seq("g"), col("x"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == out3)
+  }
+
   test("cmsEstimates upper-bounds true counts, exact at generous width") {
     import spark.implicits._
     val corpus = (Seq.fill(50)("hot") ++ Seq.fill(7)("warm") ++ Seq.fill(1)("cold") ++
