@@ -499,6 +499,17 @@ object QueriesOps {
     "x_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramFreq(t(s, d, "documents"), "text", n = 3, k = 50)),
 
+    // top bigram collocations by PMI lift (log-free ratio — engine
+    // exact); counts cut to >= 5 before the c(a)/c(b) joins
+    "x_pmi" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(t(s, d, "documents"), "text",
+        minCount = 5, k = 50)),
+
+    // corpus-wide adjacent-char pair counts (the first BPE merge
+    // statistic): one tokenize scan + partial agg + TakeOrdered
+    "x_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairs(t(s, d, "documents"), "text", k = 40)),
+
     // BM25 lexical retrieval: 3 queries against the corpus, top-10
     // each — one corpus tokenization, broadcast query/df/stats sides,
     // GroupedTopK bounded-heap cut (no full sort of scored docs)
@@ -1354,6 +1365,35 @@ s"""WITH lines AS (
         |  FROM fused)
         |SELECT q_id, doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rn <= 10 ORDER BY q_id, rrf DESC, doc_id""".stripMargin,
+
+    // unigram counts, bigram counts, and the lift division replayed
+    // with the same IEEE op order (n*cnt)/(ca*cb)
+    "x_pmi" ->
+      s"""WITH toks AS (SELECT $toksSql AS w FROM documents),
+        |u AS (SELECT unnest(w) AS t FROM toks),
+        |uc AS (SELECT t, count(*) AS c1 FROM u GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uc),
+        |bi AS (SELECT unnest(list_transform(range(1, len(w)), i ->
+        |    array_to_string(w[i:i+1], ' '))) AS bigram
+        |  FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |j AS (SELECT bigram, cnt, string_split(bigram, ' ')[1] AS t1,
+        |    string_split(bigram, ' ')[2] AS t2 FROM bc)
+        |SELECT bigram, cnt,
+        |  CAST(n.n AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |    / (CAST(ua.c1 AS DOUBLE) * CAST(ub.c1 AS DOUBLE)) AS lift
+        |FROM j JOIN uc ua ON j.t1 = ua.t JOIN uc ub ON j.t2 = ub.t CROSS JOIN n
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
+
+    "x_bpe_pairs" ->
+      s"""WITH toks AS (SELECT $toksSql AS w0 FROM documents),
+        |w AS (SELECT unnest(w0) AS w FROM toks),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i ->
+        |    substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 40""".stripMargin,
 
     "x_ngram_freq" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

@@ -180,6 +180,65 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram")).limit(k)
 
+  /** Bigram collocations ranked by PMI lift
+    * n·c(ab) / (c(a)·c(b)) — the association measure behind phrase
+    * mining and tokenizer-vocabulary seeding (Church & Hanks 1990).
+    * Lift is monotone in PMI (PMI = log lift), and emitting the
+    * log-free ratio keeps the output engine-exact: integer counts
+    * ride into doubles untouched (< 2^53) and the single division is
+    * IEEE-identical everywhere, where ln()'s last ulp is libm-specific.
+    *
+    * Shape: unigram and bigram counts are two partial aggs over the
+    * SAME codegen'd shingle kernel (one corpus scan each, map-side
+    * combine), the total is a 1-row broadcast, candidate bigrams are
+    * cut to cnt ≥ minCount BEFORE the two shuffle joins that attach
+    * c(a)/c(b) (the joins move the rare-bigram tail, never the
+    * corpus), and top-k is TakeOrdered — no full sort.
+    * Output: (bigram, cnt, lift). */
+  def pmiBigrams(df: DataFrame, text: String, minCount: Int = 5,
+                 k: Int = 50): DataFrame = {
+    require(minCount >= 1, s"pmiBigrams: minCount must be >= 1 (got $minCount)")
+    require(k >= 1, s"pmiBigrams: k must be >= 1 (got $k)")
+    // w=1 shingles = the tokenizer itself, so unigram counts come from
+    // the IDENTICAL kernel as bigram parts (no regex-class drift)
+    val uni = df.select(explode(Dedup.shinglesFast(col(text), 1)).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("n"))
+    // short docs fall back to a single partial window without a
+    // space — the contains-space filter keeps true bigrams only
+    val bi = df.select(explode(Dedup.shinglesFast(col(text), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    bi.withColumn("t1", split(col("bigram"), " ").getItem(0))
+      .withColumn("t2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("t").as("t1"), col("c1").as("__ca")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("c1").as("__cb")), Seq("t2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        col("n").cast("double") * col("cnt").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double")))
+      .orderBy(col("lift").desc, col("bigram")).limit(k)
+      .select("bigram", "cnt", "lift")
+  }
+
+  /** Adjacent-symbol pair counts inside words — the statistic the
+    * first BPE merge maximizes (Sennrich et al. 2016): every 2-char
+    * window of every word, counted corpus-wide. One tokenize scan,
+    * one explode of ≤ |word| windows per word, one partial agg, and a
+    * TakeOrdered(k) cut. The per-word window list is a transform over
+    * an index sequence whose lambda touches only its index var and
+    * the bound word attribute — no outer-subtree re-evaluation.
+    * Output: (pair, cnt). */
+  def bpePairs(df: DataFrame, text: String, k: Int = 40): DataFrame =
+    df.select(explode(Dedup.shinglesFast(col(text), 1)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+
   // ---- Gopher-style quality rules ---------------------------------------
   /** Document-level quality-filter features in the style of the Gopher
     * rules (Rae et al. 2021, "Scaling Language Models", table A1):

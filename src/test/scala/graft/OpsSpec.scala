@@ -954,6 +954,30 @@ class OpsSpec extends SparkTestBase {
       ("b", 0.5, 25.0), ("b", 1.0, 40.0)))
   }
 
+  test("pmiBigrams ranks collocations by lift with exact count arithmetic") {
+    import spark.implicits._
+    // "new york" always together (lift = n/(c*c) high); "the cat"/"the dog"
+    // share "the" (lift lower)
+    val docs = (Seq.fill(4)("new york") ++ Seq.fill(4)("the cat") ++
+      Seq.fill(4)("the dog")).toDF("text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // n = 24 tokens; c(new)=c(york)=4, c(ab)=4 -> lift 24*4/(4*4) = 6
+    assert(out.head == ("new york", 4L, 6.0))
+    // c(the)=8, c(cat)=4 -> 24*4/(8*4) = 3
+    assert(out.toSeq.contains(("the cat", 4L, 3.0)))
+    assert(out.length == 3)
+  }
+
+  test("bpePairs counts within-word adjacent char windows") {
+    import spark.implicits._
+    val docs = Seq("aab aab", "ab x").toDF("text")
+    val out = TextAnalysis.bpePairs(docs, "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "aab" twice -> aa,ab each twice; "ab" once -> ab; "x" too short
+    assert(out == Seq(("ab", 3L), ("aa", 2L)))
+  }
+
   test("hllDistinct estimates within the m=256 error band and is partitioning-invariant") {
     import spark.implicits._
     val d = (1 to 5000).map(i => ("a", s"val$i")) ++ (1 to 40).map(i => ("b", s"v$i"))
