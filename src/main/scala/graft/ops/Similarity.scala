@@ -275,6 +275,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** One Lloyd iteration of k-means over an embedding column:
+    * deterministic seeds (the k lowest-id vectors), nearest-centroid
+    * assignment, and the recomputed means — the building block a
+    * corpus-clustering / SemDeDup-style pipeline repeats to a fixed
+    * point, exposed as a single step so each iteration stays an
+    * inspectable, oracle-checkable plan.
+    *
+    * Shape: the seed table is k rows (TakeOrdered, broadcast); the
+    * assignment is a broadcast nested loop + ONE partial agg argmin
+    * (min_by over a (dist, cid) struct — ties to the lowest cid,
+    * same recipe as [[ivfIndexDeterministic]], k·dims·8B broadcast
+    * envelope documented there); the recompute is
+    * [[centroidsByKey]]'s fixed-point Long-sum aggregate, so the new
+    * centroids are bit-identical under any partitioning and exactly
+    * replayable by any engine with BIGINT.
+    * Output: (cid, n, centroid). */
+  def kmeansStep(corpus: DataFrame, id: String, vec: String, k: Int,
+                 dims: Int): DataFrame = {
+    require(k >= 1 && k <= 65536,
+      s"kmeansStep: k=$k outside the broadcastable-centroid envelope")
+    val seeds = corpus
+      .select(col(id).as("__cid"), col(vec).cast("array<double>").as("__cv"))
+      .orderBy(col("__cid")).limit(k)
+    val assigned = corpus.crossJoin(broadcast(seeds))
+      .withColumn("__d", l2(col(vec).cast("array<double>"), col("__cv")))
+      .groupBy(col(id))
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
+        first(col(vec)).as(vec))
+    centroidsByKey(assigned, Seq(col("cid")), col(vec), dims)
+  }
+
   /** Per-group embedding centroids in ONE partial aggregate — no
     * posexplode (which would multiply the shuffle by `dims`; see
     * plans.VectorAggKernels). `vec` must be castable to array<double>
