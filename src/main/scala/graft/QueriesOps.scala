@@ -352,6 +352,16 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("label"), col("dim"))),
 
+    // one Lloyd k-means iteration: deterministic seeds (k lowest ids),
+    // broadcast nearest-centroid argmin (ties to lowest cid), then the
+    // fixed-point centroid recompute — every stage replayable in SQL
+    "x_kmeans" -> ((s, d) =>
+      Similarity.kmeansStep(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, dims = 64)
+        .select(col("cid"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
+        .orderBy(col("cid"), col("dim"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -745,6 +755,24 @@ object QueriesOps {
         |SELECT label, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // replays the Lloyd step end-to-end: same k-lowest-id seeds, same
+    // L2 argmin with the lowest-cid tie-break, same fixed-point
+    // floor(x*2^24 + 0.5) BIGINT centroid sums as x_centroids
+    "x_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a AS (SELECT e.vec_id, e.v, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cid FROM a WHERE rk = 1),
+        |f AS (SELECT cid, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM asg CROSS JOIN range(0, 64) r)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n, dim,
+        |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
+        |FROM f GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
     "x_audio" ->
       """WITH p AS (SELECT doc_id,

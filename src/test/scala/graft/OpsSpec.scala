@@ -1164,6 +1164,33 @@ class OpsSpec extends SparkTestBase {
     assert(run(7) == run(32))
   }
 
+  test("kmeansStep: deterministic seeds, lowest-cid tie-break, exact means") {
+    import spark.implicits._
+    // two tight groups around (0,0) and (10,10); ids 1,2 become the seeds
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 10.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(0.0, 1.0)),
+      (5L, Seq(9.0, 10.0)), (6L, Seq(10.0, 9.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(vecs, "vec_id", "embedding", k = 2, dims = 2)
+      .orderBy("cid").collect()
+    assert(out.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1L, 3L), (2L, 3L)))
+    // means are exact on the 2^-24 grid: (0+1+0)/3, (0+0+1)/3 etc.
+    assert(out(0).getAs[scala.collection.Seq[Double]]("centroid").toSeq ==
+      Seq(16777216.0 / 3 / 16777216, 16777216.0 / 3 / 16777216))
+    assert(out(1).getAs[scala.collection.Seq[Double]]("centroid").toSeq ==
+      Seq(((29 * 16777216L).toDouble / 3) / 16777216,
+          ((29 * 16777216L).toDouble / 3) / 16777216))
+    // equidistant point joins the LOWER cid (min_by struct tie-break)
+    val tie = Seq((1L, Seq(0.0)), (2L, Seq(2.0)), (9L, Seq(1.0)))
+      .toDF("vec_id", "embedding")
+    val t2 = Similarity.kmeansStep(tie, "vec_id", "embedding", k = 2, dims = 1)
+      .orderBy("cid").collect()
+    assert(t2.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("centroidsByKey fails loudly on a wrong-width vector") {
     import spark.implicits._
     val vecs = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0))).toDF("g", "v")
