@@ -35,13 +35,22 @@ object QueriesOps {
     t(s, d, "embeddings").select(col("vec_id"),
       widen(col("embedding").cast("array<double>"), 12).as("embedding768"))
 
-  /** events.parquet carries nanosecond timestamps (written by arrow);
-    * Spark reads TIMESTAMP(NANOS) only as long via the legacy conf, so
-    * convert ns → microsecond timestamp in-plan (integer div — going
-    * through double would lose precision at 2026 epoch-nanos). */
+  /** events.parquet's ts column has shipped in two arrow layouts:
+    * TIMESTAMP(NANOS) (readable only as long via the legacy conf —
+    * convert ns → µs with an integer div; a double round-trip would
+    * lose precision at 2026 epoch-nanos) and, in newer testdata drops,
+    * plain TIMESTAMP(MICROS) (arrives as timestamp_ntz). Dispatch on
+    * the READ schema so both layouts normalize to the same
+    * session-TZ timestamp column. */
   private def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** documents with deterministic synthetic PII prepended (URL, email,
@@ -200,6 +209,33 @@ object QueriesOps {
         queryFrame(s, d), k = 10, nprobe = 2)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("cos").desc, col("vec_id"))
+    }),
+
+    // recall@k of the LSH retrieval against brute-force ground truth
+    // over the same 3-query set — the nPlanes tuning metric; both
+    // retrievals and the (query_id, neighbor_id) hit join are fully
+    // oracle-replayed (multi-query buckets + per-query windows)
+    "x_ann_recall" -> ((s, d) =>
+      Similarity.annRecallAtK(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        t(s, d, "embeddings").filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nPlanes = 8)
+        .orderBy(col("query_id"))),
+
+    // IVF recall@k against the same brute-force ground truth: the
+    // nprobe/nLists tuning read; deterministic index + multi-query
+    // probes + per-query windows, all oracle-replayed
+    "x_ann_recall_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+      val (assigned, centroids) =
+        Similarity.ivfIndexDeterministic(e, "vec_id", "embedding", nLists = 8)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10),
+        Similarity.ivfTopKJoin(assigned, centroids, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10, nprobe = 2))
+        .orderBy(col("query_id"))
     }),
 
     // ---- text analysis --------------------------------------------------
@@ -362,6 +398,16 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("cid"), col("dim"))),
 
+    // two full Lloyd iterations: iteration-1 centroids round-trip the
+    // driver as pure IEEE doubles and re-broadcast for iteration 2, so
+    // the result is bit-identical to the oracle's all-in-SQL unrolling
+    "x_kmeans_lloyd" -> ((s, d) =>
+      Similarity.kmeansLloyd(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, dims = 64, iters = 2)
+        .select(col("cid"), col("n"),
+          posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
+        .orderBy(col("cid"), col("dim"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -418,6 +464,25 @@ object QueriesOps {
         .select("doc_id", "lang", "n_chars", "mix_rate")
         .orderBy(col("doc_id"))),
 
+    // temperature-scaled language mixture (α=0.5 → one IEEE sqrt, so
+    // the weights are bit-exact cross-engine): rates computed in-plan
+    // from corpus token totals, 16-bit-quantized md5 keep decision
+    "x_temp_mix" -> ((s, d) =>
+      Sampling.temperatureMix(t(s, d, "documents"), col("doc_id"), col("lang"),
+          col("n_chars"), alpha = 0.5)
+        .select("doc_id", "lang", "n_chars", "mix_rate")
+        .orderBy(col("doc_id"))),
+
+    // deterministic domain round-robin training order: per-source md5
+    // shuffle rank (bounded windows), global position via the sorted
+    // zipWithIndex rowid on (round, source) — no single-partition
+    // window; the oracle replays both ranks
+    "x_interleave" -> ((s, d) =>
+      Sampling.interleaveByDomain(t(s, d, "documents"), col("source"),
+          col("doc_id"), seed = 42L)
+        .select("pos", "doc_id", "source")
+        .orderBy(col("pos"))),
+
     "x_gopher" -> ((s, d) =>
       TextAnalysis.gopherRules(t(s, d, "documents"), "text")
         .select("doc_id", "n_words", "mean_word_len", "alpha_word_frac",
@@ -438,6 +503,21 @@ object QueriesOps {
       Profiling.exactQuantiles(t(s, d, "lineitem"), col("l_extendedprice"),
           Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99))
         .orderBy(col("p"))),
+
+    // winsorized clipping at exact p01/p99 fences: one rowid sort for
+    // the fences, broadcast back, pure least/greatest projection
+    "x_winsor" -> ((s, d) =>
+      Profiling.winsorize(t(s, d, "lineitem"), col("l_extendedprice"),
+          pLo = 0.01, pHi = 0.99, outCol = "price_w")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "price_w")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // median/MAD robust z outlier flags: two exact-median sorts, all
+    // arithmetic engine-exact (no stddev, no rounding)
+    "x_mad" -> ((s, d) =>
+      Profiling.madOutliers(t(s, d, "lineitem"), col("l_extendedprice"), k = 3.5)
+        .select("l_orderkey", "l_linenumber", "med", "mad", "robust_z", "is_outlier")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // per-language doc-length quantiles: one partitioned-window
     // shuffle, neighbor-row filter, |groups| x |ps| output
@@ -500,6 +580,13 @@ object QueriesOps {
 
     "x_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // OOV ratio vs the corpus's exact top-64 vocabulary: integer
+    // counts + one IEEE division — engine-exact, no rounding
+    "x_vocab_cov" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(t(s, d, "documents"), "doc_id", "text",
+          vocabSize = 64)
         .orderBy(col("doc_id"))),
 
     "x_tfidf" -> ((s, d) =>
@@ -774,6 +861,37 @@ object QueriesOps {
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
 
+    // two Lloyd iterations unrolled: iteration-1 means rebuilt as
+    // DOUBLE[] lists in dim order (list(... ORDER BY dim)), so
+    // list_distance sums elements in the same order as the engine's
+    // l2 kernel — every double on both paths is bit-identical
+    "x_kmeans_lloyd" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c0.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rk
+        |  FROM e CROSS JOIN c0),
+        |g1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+        |f1 AS (SELECT cid, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM g1 CROSS JOIN range(0, 64) r),
+        |m1 AS (SELECT cid, dim,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+        |  FROM f1 GROUP BY cid, dim),
+        |c1 AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |a2 AS (SELECT e.vec_id, e.v, c1.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rk
+        |  FROM e CROSS JOIN c1),
+        |g2 AS (SELECT vec_id, v, cid FROM a2 WHERE rk = 1),
+        |f2 AS (SELECT cid, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM g2 CROSS JOIN range(0, 64) r)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n, dim,
+        |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
+        |FROM f2 GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
     "x_audio" ->
       """WITH p AS (SELECT doc_id,
         |    substring(rpad(repeat(md5(text), 3), 64, '0'), 1, 64) AS px
@@ -900,6 +1018,33 @@ object QueriesOps {
         |FROM documents d JOIN r ON d.lang = r.stratum
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // replays temperatureMix α=0.5: w = sqrt(T) (IEEE-exact), same
+    // N* = min(T/w) max-volume rule and 16-bit threshold as x_mixture
+    "x_temp_mix" ->
+      """WITH tot AS (SELECT lang, CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS t
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        |w AS (SELECT lang, t, sqrt(t) AS w FROM tot),
+        |ns AS (SELECT min(t / w) AS nstar FROM w),
+        |r AS (SELECT lang, least(w * nstar / t, 1.0) AS mix_rate,
+        |    printf('%04x', CAST(least(floor(least(w * nstar / t, 1.0) * 65536.0 + 0.5),
+        |      65535.0) AS INT)) AS thr
+        |  FROM w CROSS JOIN ns)
+        |SELECT d.doc_id, d.lang, d.n_chars, r.mix_rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // replays interleaveByDomain: same md5('42 '||id) per-domain
+    // shuffle rank, same (round, domain, id) global order
+    "x_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42 ' || CAST(doc_id AS VARCHAR)), doc_id) AS rnd
+        |  FROM documents)
+        |SELECT row_number() OVER (ORDER BY rnd, source, doc_id) AS pos,
+        |  doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
 
     // replays dupSpanStats end to end: normalized positional 20-grams
     // (md5-prefix hashes), corpus multiplicity >= 2, per-doc interval
@@ -1100,6 +1245,64 @@ object QueriesOps {
         |$rows
         |ORDER BY p""".stripMargin
     },
+
+    // winsorize: the x_quantiles fence replay at p01/p99, then the
+    // same least/greatest clip projection
+    "x_winsor" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rid,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT
+        |    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.01) AS BIGINT) + 1 THEN v END) AS lo0,
+        |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.01) AS BIGINT) + 1 THEN v END) AS hi0,
+        |    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN v END) AS lo1,
+        |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.99) AS BIGINT) + 1 THEN v END) AS hi1,
+        |    max(n) AS nn
+        |  FROM v),
+        |f AS (SELECT
+        |    lo0 + (hi0 - lo0) * (CAST(nn - 1 AS DOUBLE) * 0.01
+        |      - floor(CAST(nn - 1 AS DOUBLE) * 0.01)) AS flo,
+        |    lo1 + (hi1 - lo1) * (CAST(nn - 1 AS DOUBLE) * 0.99
+        |      - floor(CAST(nn - 1 AS DOUBLE) * 0.99)) AS fhi
+        |  FROM q)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  least(greatest(CAST(l_extendedprice AS DOUBLE), flo), fhi) AS price_w
+        |FROM lineitem CROSS JOIN f
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // madOutliers: two exact-median replays (x, then |x - med|), the
+    // same 1.4826 literal, explicit zero-MAD NULL and false flag
+    "x_mad" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rid,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q1 AS (SELECT
+        |    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS lo,
+        |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN v END) AS hi,
+        |    max(n) AS nn FROM v),
+        |m AS (SELECT lo + (hi - lo) * (CAST(nn - 1 AS DOUBLE) * 0.5
+        |    - floor(CAST(nn - 1 AS DOUBLE) * 0.5)) AS med FROM q1),
+        |d AS (SELECT abs(CAST(l_extendedprice AS DOUBLE) - med) AS dv
+        |  FROM lineitem CROSS JOIN m
+        |  WHERE l_extendedprice IS NOT NULL),
+        |dr AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rid,
+        |    count(*) OVER () AS n FROM d),
+        |q2 AS (SELECT
+        |    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN dv END) AS lo,
+        |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN dv END) AS hi,
+        |    max(n) AS nn FROM dr),
+        |m2 AS (SELECT lo + (hi - lo) * (CAST(nn - 1 AS DOUBLE) * 0.5
+        |    - floor(CAST(nn - 1 AS DOUBLE) * 0.5)) AS mad FROM q2)
+        |SELECT l_orderkey, l_linenumber, med, mad,
+        |  CASE WHEN mad = 0 THEN NULL
+        |    ELSE (CAST(l_extendedprice AS DOUBLE) - med) / (1.4826 * mad) END AS robust_z,
+        |  coalesce(abs(CASE WHEN mad = 0 THEN NULL
+        |    ELSE (CAST(l_extendedprice AS DOUBLE) - med) / (1.4826 * mad) END) > 3.5,
+        |    false) AS is_outlier
+        |FROM lineitem CROSS JOIN m CROSS JOIN m2
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // same rowid replay as x_quantiles, partitioned per language
     // (quantile_cont is a ulp off the lo+(hi-lo)*frac sequence)
@@ -1306,6 +1509,20 @@ s"""WITH lines AS (
         |    / CAST(sum(tf.tf) AS DOUBLE), 6) AS lm_score
         |FROM tf JOIN model USING (term) CROSS JOIN total
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays vocabCoverage: exact top-64 vocab (count desc, token
+    // asc ties), occurrence-level membership, one IEEE division
+    "x_vocab_cov" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |v AS (SELECT tok, 1 AS invc FROM (
+        |    SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+        |  ORDER BY c DESC, tok LIMIT 64)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.invc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab,
+        |  CAST(count(*) - sum(CASE WHEN v.invc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_ratio
+        |FROM tk LEFT JOIN v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
@@ -1898,6 +2115,86 @@ s"""WITH lines AS (
         |cand AS (SELECT p.a, p.b, list_cosine_similarity(ea.v, eb.v) AS cosine
         |  FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b)
         |SELECT a, b, cosine FROM cand WHERE cosine >= 0.3 ORDER BY a, b""".stripMargin,
+
+    // recall@k: brute-force ground truth (rawcos ranking) vs the
+    // multi-query LSH replay (same single-chunk SRP buckets as
+    // x_ann_lsh, per-query hamming-1 probes + per-query window)
+    "x_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 10),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |pr AS (SELECT q.query_id, q.qv,
+        |    unnest([b.bucket] || list_transform(range(0, 8),
+        |      p -> xor(b.bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket
+        |  FROM qs q JOIN b ON q.query_id = b.vec_id),
+        |cand AS (SELECT pr.query_id, e.vec_id,
+        |    list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |got AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rawcos DESC, vec_id) AS rk
+        |    FROM cand) WHERE rk <= 10)
+        |SELECT t.query_id,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS truth_k,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN got g
+        |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // IVF recall: same deterministic md5-ranked index as x_ann_ivf,
+    // multi-query nprobe=2 probes, per-query top-10, recall join
+    "x_ann_recall_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 10),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+        |    v AS centroid
+        |  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |a AS (SELECT e.vec_id, e.v, c.list_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rk
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, list_id FROM a WHERE rk = 1),
+        |pr AS (SELECT list_id, query_id, qv FROM (
+        |    SELECT c.list_id, q.query_id, q.qv,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(c.centroid, q.qv), c.list_id) AS rk
+        |    FROM c CROSS JOIN qs q) WHERE rk <= 2),
+        |got AS (SELECT query_id, vec_id AS neighbor_id FROM (
+        |    SELECT pr.query_id, asg.vec_id,
+        |      row_number() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(asg.v, pr.qv) DESC, asg.vec_id) AS rk
+        |    FROM asg JOIN pr USING (list_id)) WHERE rk <= 10)
+        |SELECT t.query_id,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS truth_k,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN got g
+        |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

@@ -89,6 +89,58 @@ object Profiling {
       .select(col("e.p").as("p"), col("e.quantile").as("quantile"))
   }
 
+  /** Winsorized clipping at exact quantile fences — tame the tails
+    * before means/regressions without dropping rows. Fences are the
+    * EXACT interpolated pLo/pHi quantiles ([[exactQuantiles]]: one
+    * rowid sort, no value buffer), broadcast back; the clip itself is
+    * a pure least/greatest projection over the corpus. NULL values
+    * stay NULL. The fence arithmetic is the same lo+(hi−lo)·frac
+    * sequence the quantile oracle replays, so the clipped column is
+    * engine-exact. Output: input columns + `outCol`. */
+  def winsorize(df: DataFrame, x: Column, pLo: Double, pHi: Double,
+                outCol: String): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val fences = exactQuantiles(df, x, Seq(pLo, pHi))
+      .agg(
+        max(when(col("p") === pLo, col("quantile"))).as("__wlo"),
+        max(when(col("p") === pHi, col("quantile"))).as("__whi"))
+    df.crossJoin(broadcast(fences))
+      // greatest/least IGNORE nulls (they'd clip NULL to the low
+      // fence) — gate explicitly so NULL stays NULL
+      .withColumn(outCol,
+        when(x.isNotNull,
+          least(greatest(x.cast("double"), col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
+  /** Robust z-scores + outlier flags from median/MAD — the
+    * p99-resistant alternative to mean/stddev flagging (one wild value
+    * shifts a mean; it cannot shift a median). med = exact median of
+    * x; MAD = exact median of |x − med|; z = (x − med)/(1.4826·MAD)
+    * with R's mad() consistency constant as a shared exact literal.
+    * Two rowid sorts (one per median) + two one-row broadcasts — no
+    * value buffer at any scale. MAD = 0 (a majority-constant column)
+    * makes z NULL rather than ±inf, and is_outlier is then false —
+    * both spelled explicitly so any engine replays the same rows.
+    * Output: input + med, mad, robust_z, is_outlier. */
+  def madOutliers(df: DataFrame, x: Column, k: Double = 3.5): DataFrame = {
+    require(k > 0.0, s"madOutliers: k must be positive (got $k)")
+    val med = exactQuantiles(df, x, Seq(0.5))
+      .select(col("quantile").as("med"))
+    val withMed = df.crossJoin(broadcast(med))
+    val dev = withMed.select(abs(x.cast("double") - col("med")).as("__dev"))
+    val mad = exactQuantiles(dev, col("__dev"), Seq(0.5))
+      .select(col("quantile").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise((x.cast("double") - col("med"))
+            / (lit(1.4826) * col("mad"))))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > lit(k), lit(false)))
+  }
+
   /** Per-group [[exactQuantiles]] — distribution profiling per stratum
     * (doc-length quantiles per language, value quantiles per domain)
     * with the same no-value-buffer guarantee. Ranks and group sizes

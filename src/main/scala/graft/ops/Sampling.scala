@@ -138,4 +138,76 @@ object Sampling {
       .filter(hashBucket(key) < col("__thr"))
       .drop("__stratum", "__thr")
   }
+
+  /** Temperature-scaled domain mixture (the XLM-R / mT5 language
+    * rebalancer): sampling weights q_s ∝ p_s^α with p_s the corpus
+    * token share — α<1 flattens the distribution toward the tail
+    * without a hand-written weight table. Reuses the max-volume rule
+    * of [[mixtureSample]] with the computed q as the weights:
+    * N* = min_s(T_s/q_s), rate_s = q_s·N* / T_s, md5-bucket filter.
+    *
+    * Cross-engine exactness: IEEE-754 requires sqrt to be correctly
+    * rounded but NOT pow, so α is restricted to halves (0.5 → one
+    * sqrt; 0.25 → sqrt∘sqrt) — the plan emits only sqrt and the
+    * oracle replays bit-identical weights; the final rate is 16-bit
+    * quantized like every sampler here. α=1 is a no-op mix (every
+    * rate = 1 since q ∝ T). Everything stays ONE plan: totals are a
+    * tiny partial agg, rates broadcast back, the keep decision pushes
+    * to the scan. */
+  def temperatureMix(df: DataFrame, key: Column, stratum: Column,
+                     tokens: Column, alpha: Double): DataFrame = {
+    val sqrts = alpha match {
+      case 1.0 => 0
+      case 0.5 => 1
+      case 0.25 => 2
+      case a => throw new IllegalArgumentException(
+        s"temperatureMix: alpha=$a not engine-exact — only 1, 0.5, 0.25 " +
+          "(IEEE sqrt chains) keep the selection replayable; use " +
+          "mixtureSample with explicit weights for other exponents")
+    }
+    val totals = df.groupBy(stratum.as("__stratum"))
+      .agg(sum(tokens.cast("long")).cast("double").as("__t"))
+      .filter(col("__t") > 0)
+    // q ∝ (T/ΣT)^α, but N* = min(T/q) and rate = q·N*/T are invariant
+    // under scaling q, so ΣT (and the q normalizer) cancel: use T^α
+    val q = (1 to sqrts).foldLeft(col("__t")) { (c, _) => sqrt(c) }
+    val weighted = totals.withColumn("__w", q)
+    val nstar = weighted.agg(min(col("__t") / col("__w")).as("__nstar"))
+    val rates = weighted.crossJoin(broadcast(nstar))
+      .withColumn("mix_rate",
+        least(col("__w") * col("__nstar") / col("__t"), lit(1.0)))
+      .withColumn("__thr", format_string("%04x",
+        least(floor(col("mix_rate") * 65536.0 + 0.5), lit(65535.0)).cast("int")))
+      .select(col("__stratum"), col("mix_rate"), col("__thr"))
+    df.join(broadcast(rates), stratum === col("__stratum"))
+      .filter(hashBucket(key) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
+  /** Deterministic domain-interleaved global training order: shuffle
+    * each domain internally by a seeded md5 key, then round-robin
+    * across domains — round r of the output emits the r-th pick of
+    * every domain (sorted by domain name within a round). This is the
+    * "shuffle the corpus without domain clumping" pretraining order: a
+    * pure hash shuffle can still open with a long run of the dominant
+    * domain, while interleaving bounds any window's domain skew by the
+    * corpus-wide ratio ± one round.
+    *
+    * Shape: one window partitioned BY DOMAIN (per-domain pick rank —
+    * bounded partitions, never global), then the global position is
+    * the sorted-zipWithIndex rowid on (round, domain) — one
+    * range-partitioned sort, no single-partition window. The order key
+    * is md5(seed || ' ' || id), so any engine replays the identical
+    * permutation. Output: input columns + `pos` (1-based global
+    * training position). */
+  def interleaveByDomain(df: DataFrame, domain: Column, id: Column,
+                         seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shuffleKey = md5(concat_ws(" ", lit(seed.toString), id.cast("string")))
+    val ranked = df.withColumn("__round",
+      row_number().over(Window.partitionBy(domain).orderBy(shuffleKey, id)))
+    graft.core.Tibble.rowidToColumn(ranked,
+        Seq(col("__round"), domain, id), "pos")
+      .drop("__round")
+  }
 }

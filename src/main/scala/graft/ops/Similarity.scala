@@ -186,6 +186,68 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query LSH top-k: every query row probes its own bucket plus
+    * the hamming-distance-1 neighbors, and candidates resolve per-query
+    * with a `query_id`-partitioned window (bucket-bounded partitions —
+    * never a global sort). The query set is broadcast, so it must stay
+    * dimension-sized (≲ thousands of rows × dims·8B); for corpus-scale
+    * query sets drop the broadcast hint and let the bucket join
+    * shuffle both sides on `__bucket`. */
+  def lshTopKJoin(corpus: DataFrame, cid: String, cvec: String,
+                  queries: DataFrame, qid: String, qvec: String,
+                  k: Int, nPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = corpus.withColumn("__bucket",
+      hyperplaneKey(col(cvec).cast("array<double>"), nPlanes))
+    val qKeyed = queries.select(col(qid).as("query_id"),
+      col(qvec).cast("array<double>").as("__qv"))
+      .withColumn("__qb", hyperplaneKey(col("__qv"), nPlanes))
+    val probes = qKeyed.select(col("query_id"), col("__qv"),
+      explode(concat(array(col("__qb")),
+        transform(sequence(lit(0), lit(nPlanes - 1)),
+          p => col("__qb").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("__bucket"))
+    keyed.join(broadcast(probes), Seq("__bucket"))
+      .withColumn("cos", cosine(col(cvec).cast("array<double>"), col("__qv")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(cid))))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(cid).as("neighbor_id"), col("cos"),
+        col("__rk").as("rank"))
+  }
+
+  /** Recall@k of the LSH retrieval against brute-force ground truth —
+    * the tuning metric an ANN deployment watches when trading nPlanes
+    * (bucket granularity) against scan cost. Both retrievals run over
+    * the same broadcast query set; the join back is on
+    * (query_id, neighbor_id), so the output is one row per query:
+    * (query_id, hits, truth_k, recall). Ground truth is the exact
+    * brute-force top-k ([[bruteForceTopKJoin]]), hits counts how many
+    * of those k the LSH retrieval also returned. */
+  def annRecallAtK(corpus: DataFrame, cid: String, cvec: String,
+                   queries: DataFrame, qid: String, qvec: String,
+                   k: Int, nPlanes: Int = 8): DataFrame =
+    recallAtK(
+      bruteForceTopKJoin(corpus, cid, cvec, queries, qid, qvec, k),
+      lshTopKJoin(corpus, cid, cvec, queries, qid, qvec, k, nPlanes))
+
+  /** Recall of any retrieval against any ground truth: both inputs
+    * carry (query_id, neighbor_id) with UNIQUE pairs (every retrieval
+    * here guarantees that — a vector lives in exactly one bucket/list,
+    * and probe sets are distinct); output is one row per truth query:
+    * (query_id, hits, truth_k, recall). Result-set-sized work only —
+    * the corpus is never touched. */
+  def recallAtK(truth: DataFrame, retrieved: DataFrame): DataFrame =
+    truth
+      .join(retrieved.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("truth_k"))
+      .withColumn("recall",
+        col("hits").cast("double") / col("truth_k").cast("double"))
+
   /** IVF: k-means coarse quantizer; each vector is assigned to its
     * nearest centroid (the "inverted list"); queries probe the nprobe
     * nearest lists only. Returns (assignments, centroids-as-frame).
@@ -275,6 +337,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query IVF top-k: each query ranks the (tiny, broadcast)
+    * centroid table to pick its nprobe lists, then candidates from the
+    * probed lists resolve per-query with a `query_id`-partitioned
+    * window (list-bounded partitions). The probe table is
+    * nprobe × |queries| rows — broadcast, so the query set must stay
+    * dimension-sized; the corpus side is ONE scan of `assigned`. */
+  def ivfTopKJoin(assigned: DataFrame, centroids: DataFrame,
+                  cid: String, cvec: String,
+                  queries: DataFrame, qid: String, qvec: String,
+                  k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qid).as("query_id"),
+      col(qvec).cast("array<double>").as("__qv"))
+    val lists = centroids.crossJoin(broadcast(q))
+      .withColumn("__d", l2(col("centroid"), col("__qv")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d").asc, col("list_id"))))
+      .filter(col("__r") <= nprobe)
+      .select(col("list_id"), col("query_id"), col("__qv"))
+    assigned.join(broadcast(lists), Seq("list_id"))
+      .withColumn("cos", cosine(col(cvec).cast("array<double>"), col("__qv")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(cid))))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col(cid).as("neighbor_id"), col("cos"),
+        col("__rk").as("rank"))
+  }
+
   /** One Lloyd iteration of k-means over an embedding column:
     * deterministic seeds (the k lowest-id vectors), nearest-centroid
     * assignment, and the recomputed means — the building block a
@@ -304,6 +394,49 @@ object Similarity {
       .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
         first(col(vec)).as(vec))
     centroidsByKey(assigned, Seq(col("cid")), col(vec), dims)
+  }
+
+  /** Lloyd's k-means iterated to a fixed iteration count: same
+    * deterministic k-lowest-id seeds, nearest-centroid argmin, and
+    * fixed-point centroid recompute as [[kmeansStep]], repeated
+    * `iters` times. Between iterations the k centroids (k·dims
+    * doubles — driver-tiny at ANY corpus scale; MLlib's KMeans
+    * collects exactly the same thing each round) are materialized to
+    * the driver and re-broadcast, so every iteration is a flat
+    * scan+agg plan instead of an `iters`-deep lineage Catalyst must
+    * re-analyze. The fixed-point means round-trip exactly through the
+    * driver (pure IEEE doubles), so the result is bit-identical to an
+    * all-in-plan unrolling. A centroid that captures zero vectors
+    * drops out for subsequent rounds (standard Lloyd behavior).
+    * Output after the final iteration: (cid, n, centroid). */
+  def kmeansLloyd(corpus: DataFrame, id: String, vec: String, k: Int,
+                  dims: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeansLloyd: iters=$iters must be >= 1")
+    require(k >= 1 && k <= 65536,
+      s"kmeansLloyd: k=$k outside the broadcastable-centroid envelope")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus
+      .select(col(id).cast("long").as("cid"),
+        col(vec).cast("array<double>").as("cv"))
+      .orderBy(col("cid")).limit(k)
+    var result: DataFrame = null
+    for (it <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(
+          cents.select(col("cid").as("__cid"), col("cv").as("__cv"))))
+        .withColumn("__d", l2(col(vec).cast("array<double>"), col("__cv")))
+        .groupBy(col(id))
+        .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
+          first(col(vec)).as(vec))
+      result = centroidsByKey(assigned, Seq(col("cid")), col(vec), dims)
+      if (it < iters) {
+        val rows = result.select(col("cid").cast("long"), col("centroid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        cents = rows.toSeq.toDF("cid", "cv")
+      }
+    }
+    result
   }
 
   /** Per-group embedding centroids in ONE partial aggregate — no

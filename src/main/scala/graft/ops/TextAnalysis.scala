@@ -170,6 +170,39 @@ object TextAnalysis {
           / sum(col("tf")).cast("double")), 6).as("lm_score"))
   }
 
+  /** Vocabulary coverage / OOV ratio against the corpus's own top-V
+    * vocabulary — the "will my tokenizer cover this doc" read used to
+    * flag boilerplate/garbage before training and to size tokenizer
+    * vocabularies. Vocabulary = the V most frequent tokens (EXACT
+    * counts; ties to the lexicographically smaller token), built
+    * in-plan and broadcast back; per-doc coverage counts token
+    * OCCURRENCES inside the vocabulary. Integer counts + one final
+    * IEEE division keep every value engine-exact (no logs, no
+    * order-dependent double sums).
+    *
+    * Shape: token counts = one explode + partial-agg groupBy; top-V =
+    * TakeOrdered (never a full sort); scoring = a second explode with
+    * the broadcast vocab joined on, then one partial-agg per doc.
+    * Zero-token docs have no occurrences and drop out (same contract
+    * as the explode-based scorers above).
+    * Output: (id, n_tokens, in_vocab, oov_ratio). */
+  def vocabCoverage(df: DataFrame, id: String, text: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabCoverage: vocabSize=$vocabSize must be >= 1")
+    val toks = df.select(col(id), explode(Dedup.tokens(col(text))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(1L).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("in_vocab"))
+      .withColumn("oov_ratio",
+        (col("n_tokens") - col("in_vocab")).cast("double")
+          / col("n_tokens").cast("double"))
+  }
+
   // ---- corpus n-gram frequency -------------------------------------------
   /** Corpus-wide top-k word n-grams by occurrence count (ties broken
     * by gram text). Explode → partial-agg groupBy → global

@@ -1191,6 +1191,171 @@ class OpsSpec extends SparkTestBase {
       Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("kmeansLloyd: iteration 2 reassigns against the moved centroids") {
+    import spark.implicits._
+    // seeds = ids 1,2 → centroids 0.0 and 1.0. Iteration 1 sends 0.9
+    // and 5.0 to cid 2 (nearer 1.0), moving c2 to (1+0.9+5)/3 ≈ 2.3;
+    // iteration 2 then reassigns 1.0 and 0.9 to cid 1 (nearer 0.0
+    // than 2.3), leaving c2 = {5.0} alone.
+    val vecs = Seq((1L, Seq(0.0)), (2L, Seq(1.0)), (3L, Seq(0.9)),
+      (4L, Seq(5.0))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(vecs, "vec_id", "embedding",
+        k = 2, dims = 1, iters = 2)
+      .orderBy("cid").collect()
+    assert(out.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1L, 3L), (2L, 1L)))
+    assert(out(1).getAs[scala.collection.Seq[Double]]("centroid").toSeq == Seq(5.0))
+    // iters = 1 is bit-identical to the single kmeansStep
+    val one = Similarity.kmeansLloyd(vecs, "vec_id", "embedding",
+        k = 2, dims = 1, iters = 1)
+      .orderBy("cid").collect().map(_.toSeq).toSeq
+    val step = Similarity.kmeansStep(vecs, "vec_id", "embedding", k = 2, dims = 1)
+      .orderBy("cid").collect().map(_.toSeq).toSeq
+    assert(one == step)
+  }
+
+  test("annRecallAtK: self-hit guarantees nonzero recall; bounds hold") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val out = Similarity.annRecallAtK(vecs, "vec_id", "embedding",
+        vecs.filter(col("vec_id") < 2), "vec_id", "embedding", k = 5, nPlanes = 8)
+      .orderBy("query_id").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val hits = r.getAs[Long]("hits"); val tk = r.getAs[Long]("truth_k")
+      val recall = r.getAs[Double]("recall")
+      assert(tk == 5L)
+      // the query IS a corpus vector: identical bucket → rank-1 self hit
+      assert(hits >= 1L && hits <= tk)
+      assert(recall == hits.toDouble / tk.toDouble)
+    }
+  }
+
+  test("interleaveByDomain: round-robin across unequal domains, pos total order") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "dom")
+    val out = graft.ops.Sampling.interleaveByDomain(docs, col("dom"), col("id"), 7L)
+      .orderBy("pos").collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == (1L to 5L))
+    // rounds 1,2 emit one pick of each domain (a then b); round 3 only a
+    assert(out.map(_.getAs[String]("dom")).toSeq == Seq("a", "b", "a", "b", "a"))
+    // per-domain sequence follows the seeded md5 shuffle, not id order:
+    // within each domain the pos order is the md5('7 '||id) order
+    val aOrder = out.filter(_.getAs[String]("dom") == "a").map(_.getAs[Long]("id")).toSeq
+    val expected = Seq(1L, 2L, 3L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7 $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+    assert(aOrder == expected)
+  }
+
+  test("temperatureMix: alpha=1 keeps everything; alpha=0.5 flattens toward the tail") {
+    import spark.implicits._
+    // en dominates 9:1; ids spread the md5 buckets
+    val docs = (1L to 90L).map(i => (i, "en", 100L)) ++
+      (91L to 100L).map(i => (i, "fr", 100L))
+    val df = docs.toDF("id", "lang", "toks")
+    val a1 = graft.ops.Sampling.temperatureMix(df, col("id"), col("lang"),
+      col("toks"), alpha = 1.0)
+    // alpha=1: q ∝ T → every rate 1 → nothing dropped
+    assert(a1.count() == 100L)
+    assert(a1.select(min(col("mix_rate"))).collect()(0).getDouble(0) == 1.0)
+    val a5 = graft.ops.Sampling.temperatureMix(df, col("id"), col("lang"),
+      col("toks"), alpha = 0.5)
+    val rates = a5.select(col("lang"), col("mix_rate")).distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // fr is the binding stratum (scarcest per sqrt-weight): kept whole;
+    // en downsampled to sqrt(T_en)·N*/T_en = sqrt(9000)·(1000/sqrt(1000))/9000
+    assert(rates("fr") == 1.0)
+    assert(rates("en") < 0.4 && rates("en") > 0.2) // 1/3 exactly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureMix(df, col("id"), col("lang"),
+        col("toks"), alpha = 0.7)
+    }
+    assert(e.getMessage.contains("engine-exact"))
+  }
+
+  test("ivfTopKJoin + recallAtK: self-hit in probed list, bounds hold") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val qs = vecs.filter(col("vec_id") < 2)
+    val (assigned, centroids) =
+      Similarity.ivfIndexDeterministic(vecs, "vec_id", "embedding", nLists = 4)
+    val got = Similarity.ivfTopKJoin(assigned, centroids, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5, nprobe = 2)
+    val byQ = got.groupBy("query_id").count().collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("count")).toMap
+    assert(byQ.size == 2 && byQ.values.forall(_ <= 5L))
+    // the query vector lives in its own nearest list → rank-1 self hit
+    val self = got.filter(col("query_id") === col("neighbor_id"))
+      .select("query_id", "rank").collect()
+    assert(self.length == 2 && self.forall(_.getAs[Int]("rank") == 1))
+    val rec = Similarity.recallAtK(
+      Similarity.bruteForceTopKJoin(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5), got)
+      .collect()
+    assert(rec.length == 2)
+    rec.foreach { r =>
+      assert(r.getAs[Long]("truth_k") == 5L)
+      assert(r.getAs[Long]("hits") >= 1L)
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("hits").toDouble / 5.0)
+    }
+  }
+
+  test("vocabCoverage: exact top-V membership and occurrence-level ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),     // 4 tokens, b rare if V=1
+      (2L, "a b c"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    // corpus counts: a=4, b=2, c=1, zzz=1 → V=2 vocab = {a, b}
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("in_vocab"))).toSeq ==
+      Seq((1L, 4L, 4L), (2L, 3L, 2L), (3L, 1L, 0L)))
+    assert(out.map(_.getAs[Double]("oov_ratio")).toSeq ==
+      Seq(0.0, 1.0 / 3.0, 1.0))
+    // tie at count 1 breaks lexicographically: V=3 adds c, not zzz
+    val v3 = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 3)
+      .orderBy("doc_id").collect()
+    assert(v3.map(_.getAs[Long]("in_vocab")).toSeq == Seq(4L, 3L, 0L))
+  }
+
+  test("winsorize clips at exact interpolated fences; NULL passes through") {
+    import spark.implicits._
+    val df = ((0 to 10).map(i => Some(i.toDouble)) :+ None)
+      .toDF("v")
+    val out = graft.ops.Profiling.winsorize(df, col("v"), 0.1, 0.9, "w")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toMap
+    // 11 non-null values 0..10: p10 fence = 1.0, p90 fence = 9.0
+    assert(out(Some(0.0)) == Some(1.0))
+    assert(out(Some(10.0)) == Some(9.0))
+    assert(out(Some(5.0)) == Some(5.0))
+    assert(out(None).isEmpty)
+  }
+
+  test("madOutliers flags the wild value; zero MAD flags nothing") {
+    import spark.implicits._
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).toDF("v")
+    val out = graft.ops.Profiling.madOutliers(df, col("v"), k = 3.5)
+      .select("v", "med", "mad", "robust_z", "is_outlier").collect()
+    // med = (5+6)/2 = 5.5; devs sorted give MAD = 2.5
+    assert(out.forall(_.getAs[Double]("med") == 5.5))
+    assert(out.forall(_.getAs[Double]("mad") == 2.5))
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.map(_.getAs[Double]("v")).toSeq == Seq(100.0))
+    assert(math.abs(flagged(0).getAs[Double]("robust_z")
+      - 94.5 / (1.4826 * 2.5)) < 1e-12)
+    // majority-constant column: MAD = 0 → z NULL, nothing flagged
+    val const = (Seq.fill(9)(5.0) :+ 100.0).toDF("v")
+    val c = graft.ops.Profiling.madOutliers(const, col("v"), k = 3.5)
+      .select("robust_z", "is_outlier").collect()
+    assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
+  }
+
   test("centroidsByKey fails loudly on a wrong-width vector") {
     import spark.implicits._
     val vecs = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0))).toDF("g", "v")
