@@ -16,7 +16,7 @@ object Bench {
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
-    "x_bm25", "x_centroids",
+    "x_bm25", "x_centroids", "x_kmeans_lloyd", "x_interleave",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -67,7 +67,10 @@ object Bench {
     "x_dup_spans",
     // retrieval + vector-agg: pruned-postings BM25 over the 10x corpus
     // and the no-explode centroid aggregate over the 10x embeddings
-    "x_bm25", "x_centroids")
+    "x_bm25", "x_centroids",
+    // global training-order rowid sort over the 10x documents — the
+    // interleave permutation must scale like the other rowid paths
+    "x_interleave")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

@@ -512,6 +512,14 @@ object QueriesOps {
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "price_w")
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // equal-population quartile binning at exact fences: one rowid
+    // sort, codegen comparison chain, ties fall to the lower bin
+    "x_qbin" -> ((s, d) =>
+      Profiling.quantileBin(t(s, d, "lineitem"), col("l_extendedprice"),
+          nBins = 4, outCol = "price_bin")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "price_bin")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -1270,6 +1278,39 @@ object QueriesOps {
         |  least(greatest(CAST(l_extendedprice AS DOUBLE), flo), fhi) AS price_w
         |FROM lineitem CROSS JOIN f
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // quantileBin: the three quartile fences via the x_quantiles
+    // replay, then the same x > fence comparison chain
+    "x_qbin" -> {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val los = ps.zipWithIndex.map { case (p, i) =>
+        s"""    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo$i,
+           |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi$i""".stripMargin
+      }.mkString(",\n")
+      val fs = ps.zipWithIndex.map { case (p, i) =>
+        s"""    lo$i + (hi$i - lo$i) * (CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE)
+           |      - floor(CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE))) AS f$i""".stripMargin
+      }.mkString(",\n")
+      val chain = ps.indices.map(i =>
+        s"(CASE WHEN CAST(l_extendedprice AS DOUBLE) > f$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rid,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |q AS (SELECT
+        |$los,
+        |    max(n) AS nn
+        |  FROM v),
+        |f AS (SELECT
+        |$fs
+        |  FROM q)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+        |    ELSE $chain END AS INT) AS price_bin
+        |FROM lineitem CROSS JOIN f
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
 
     // madOutliers: two exact-median replays (x, then |x - med|), the
     // same 1.4826 literal, explicit zero-MAD NULL and false flag

@@ -114,6 +114,30 @@ object Profiling {
       .drop("__wlo", "__whi")
   }
 
+  /** Equal-population quantile binning (decile/quartile curriculum
+    * buckets — "train on the top quality quartile first"): the
+    * nBins−1 interior fences are exact interpolated quantiles (ONE
+    * rowid sort), broadcast back; the bin index is a codegen'd
+    * comparison chain bin = Σ 1{x > fence_i} ∈ [0, nBins), so ties at
+    * a fence fall into the LOWER bin (right-closed buckets) in every
+    * engine identically. NULL x → NULL bin. Fixed-break binning is
+    * [[graft.functions.BaseFns]] cut's job; this computes the breaks
+    * from the data itself. Output: input + `outCol` (int). */
+  def quantileBin(df: DataFrame, x: Column, nBins: Int,
+                  outCol: String): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"quantileBin: nBins=$nBins out of the sane fence range [2,1000]")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val fcols = ps.zipWithIndex.map { case (p, i) =>
+      max(when(col("p") === p, col("quantile"))).as(s"__f$i") }
+    val fences = exactQuantiles(df, x, ps).agg(fcols.head, fcols.tail: _*)
+    val bin = ps.indices.map(i =>
+      when(x.cast("double") > col(s"__f$i"), 1).otherwise(0)).reduce(_ + _)
+    df.crossJoin(broadcast(fences))
+      .withColumn(outCol, when(x.isNotNull, bin))
+      .drop(ps.indices.map(i => s"__f$i"): _*)
+  }
+
   /** Robust z-scores + outlier flags from median/MAD — the
     * p99-resistant alternative to mean/stddev flagging (one wild value
     * shifts a mean; it cannot shift a median). med = exact median of

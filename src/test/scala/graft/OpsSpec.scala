@@ -1337,6 +1337,23 @@ class OpsSpec extends SparkTestBase {
     assert(out(None).isEmpty)
   }
 
+  test("quantileBin: equal-population buckets, fence ties fall lower, NULL stays NULL") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => Some(i.toDouble)) :+ None).toDF("v")
+    val out = graft.ops.Profiling.quantileBin(df, col("v"), nBins = 4, outCol = "b")
+      .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    // fences on 1..8: p25 = 2.75, p50 = 4.5, p75 = 6.25
+    assert((1 to 8).map(i => out(Some(i.toDouble)).get).toSeq ==
+      Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    assert(out(None).isEmpty)
+    // a value exactly ON a fence joins the lower bin: median of
+    // {1,2,3} is 2.0, and 2 > 2.0 is false
+    val tie = Seq(1.0, 2.0, 3.0).toDF("v")
+    val t = graft.ops.Profiling.quantileBin(tie, col("v"), nBins = 2, outCol = "b")
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(t == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1))
+  }
+
   test("madOutliers flags the wild value; zero MAD flags nothing") {
     import spark.implicits._
     val df = ((1 to 9).map(_.toDouble) :+ 100.0).toDF("v")
