@@ -127,6 +127,46 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("interleave and multi-query retrieval plan with partitioned windows only") {
+    import graft.ops.{Sampling, Similarity}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qs = vecs.filter(col("vec_id") < 2)
+    val plans = Seq(
+      Sampling.interleaveByDomain(docs, col("source"), col("doc_id"), 42L),
+      Similarity.lshTopKJoin(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, nPlanes = 8),
+      Similarity.annRecallAtK(vecs, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 5, nPlanes = 8))
+    plans.foreach { q =>
+      val ws = collectPlan(q.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"single-partition Window in:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
+  test("fence-broadcast ops (winsorize/qbin/mad) never window and broadcast the fences") {
+    import graft.ops.Profiling
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plans = Seq(
+      Profiling.winsorize(li, col("l_extendedprice"), 0.01, 0.99, "w"),
+      Profiling.quantileBin(li, col("l_extendedprice"), 4, "b"),
+      Profiling.madOutliers(li, col("l_extendedprice"), 3.5))
+    plans.foreach { q =>
+      val nodes = collectPlan(q.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"WindowExec in fence op:\n${q.queryExecution.executedPlan}")
+      // the one-row fence frame must arrive via a broadcast exchange,
+      // not a shuffle against the corpus
+      val hasB = q.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange") ||
+        q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+      assert(hasB, s"no broadcast in fence op:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("ungrouped Column-form rank/diff fail loudly instead of planning a global window") {
     import graft.functions.SeqFns
     intercept[IllegalArgumentException](SeqFns.rankAvg(col("x"), Nil))
