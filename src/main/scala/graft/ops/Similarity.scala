@@ -399,15 +399,18 @@ object Similarity {
   /** Lloyd's k-means iterated to a fixed iteration count: same
     * deterministic k-lowest-id seeds, nearest-centroid argmin, and
     * fixed-point centroid recompute as [[kmeansStep]], repeated
-    * `iters` times. Between iterations the k centroids (k·dims
-    * doubles — driver-tiny at ANY corpus scale; MLlib's KMeans
-    * collects exactly the same thing each round) are materialized to
-    * the driver and re-broadcast, so every iteration is a flat
-    * scan+agg plan instead of an `iters`-deep lineage Catalyst must
-    * re-analyze. The fixed-point means round-trip exactly through the
-    * driver (pure IEEE doubles), so the result is bit-identical to an
-    * all-in-plan unrolling. A centroid that captures zero vectors
-    * drops out for subsequent rounds (standard Lloyd behavior).
+    * `iters` times. The k centroids (k·dims doubles — driver-tiny at
+    * ANY corpus scale; MLlib's KMeans collects exactly the same thing
+    * each round) live on the driver between rounds, so every
+    * iteration is a flat plan instead of an `iters`-deep lineage —
+    * and for k·dims inside the codegen envelope the assignment is a
+    * literal-inlined least()-of-structs PROJECTION: the only shuffle
+    * per iteration is the centroid aggregate's #partitions × k
+    * fixed-size buffers, the corpus itself never moves. The
+    * fixed-point means round-trip exactly through the driver (pure
+    * IEEE doubles), so the result is bit-identical to an all-in-plan
+    * unrolling. A centroid that captures zero vectors drops out for
+    * subsequent rounds (standard Lloyd behavior).
     * Output after the final iteration: (cid, n, centroid). */
   def kmeansLloyd(corpus: DataFrame, id: String, vec: String, k: Int,
                   dims: Int, iters: Int): DataFrame = {
@@ -416,25 +419,43 @@ object Similarity {
       s"kmeansLloyd: k=$k outside the broadcastable-centroid envelope")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Assignment with DRIVER-RESIDENT centroids (the loop materializes
+    // them between rounds anyway). Small k·dims inlines the centroids
+    // as literals and computes the argmin as least() over k (dist,cid)
+    // structs — a pure codegen projection, ZERO shuffle per iteration
+    // (the struct comparison is lexicographic: dist, then cid — the
+    // identical min_by tie-break, so results are bit-identical to the
+    // join form). Past the literal-inlining envelope (codegen method
+    // size), fall back to broadcast-join + map-side-collapsed argmin:
+    // one corpus-size shuffle per iteration.
+    def assign(cents: Array[(Long, Array[Double])]): DataFrame =
+      if (k.toLong * dims <= 65536) {
+        val cand = cents.map { case (cid, cv) =>
+          struct(
+            l2(col(vec).cast("array<double>"), array(cv.map(lit).toSeq: _*)).as("d"),
+            lit(cid).as("cid")) }.toSeq
+        val best = if (cand.size == 1) cand.head else least(cand: _*)
+        corpus.select(best.getField("cid").as("cid"), col(vec))
+      } else {
+        val cdf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("__cid", "__cv")
+        corpus.crossJoin(broadcast(cdf))
+          .withColumn("__d", l2(col(vec).cast("array<double>"), col("__cv")))
+          .groupBy(col(id))
+          .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
+            first(col(vec)).as(vec))
+      }
+    // seeds: k lowest ids (TakeOrdered — driver-tiny at any scale)
     var cents = corpus
       .select(col(id).cast("long").as("cid"),
         col(vec).cast("array<double>").as("cv"))
       .orderBy(col("cid")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     var result: DataFrame = null
     for (it <- 1 to iters) {
-      val assigned = corpus.crossJoin(broadcast(
-          cents.select(col("cid").as("__cid"), col("cv").as("__cv"))))
-        .withColumn("__d", l2(col(vec).cast("array<double>"), col("__cv")))
-        .groupBy(col(id))
-        .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
-          first(col(vec)).as(vec))
-      result = centroidsByKey(assigned, Seq(col("cid")), col(vec), dims)
-      if (it < iters) {
-        val rows = result.select(col("cid").cast("long"), col("centroid"))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        cents = rows.toSeq.toDF("cid", "cv")
-      }
+      result = centroidsByKey(assign(cents), Seq(col("cid")), col(vec), dims)
+      if (it < iters)
+        cents = result.select(col("cid").cast("long"), col("centroid"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     }
     result
   }

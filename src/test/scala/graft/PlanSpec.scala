@@ -167,6 +167,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("kmeansLloyd small-k assignment is a joinless projection (no corpus shuffle)") {
+    import graft.ops.Similarity
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Similarity.kmeansLloyd(vecs, "vec_id", "embedding",
+      k = 8, dims = 64, iters = 2)
+    val s = q.queryExecution.executedPlan.toString
+    assert(!s.contains("Join") && !s.contains("CartesianProduct"),
+      s"kmeansLloyd assignment planned a join:\n$s")
+    assert(!collectPlan(q.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[WindowExec]))
+  }
+
   test("ungrouped Column-form rank/diff fail loudly instead of planning a global window") {
     import graft.functions.SeqFns
     intercept[IllegalArgumentException](SeqFns.rankAvg(col("x"), Nil))
