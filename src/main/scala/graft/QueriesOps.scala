@@ -520,6 +520,14 @@ object QueriesOps {
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "price_bin")
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // per-language quartile bins of doc length: per-stratum fences
+    // from one partitioned window, null-safe fence join, same chain
+    "x_gqbin" -> ((s, d) =>
+      Profiling.groupedQuantileBin(t(s, d, "documents"), Seq("lang"),
+          col("n_chars"), nBins = 4, outCol = "len_bin")
+        .select("doc_id", "lang", "n_chars", "len_bin")
+        .orderBy(col("doc_id"))),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -1310,6 +1318,39 @@ object QueriesOps {
         |    ELSE $chain END AS INT) AS price_bin
         |FROM lineitem CROSS JOIN f
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+
+    // groupedQuantileBin: per-lang quartile fences via the
+    // x_gquantiles rowid replay, then the same comparison chain
+    "x_gqbin" -> {
+      val ps = Seq(0.25, 0.5, 0.75)
+      val los = ps.zipWithIndex.map { case (p, i) =>
+        s"""    max(CASE WHEN rid = CAST(floor(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS lo$i,
+           |    max(CASE WHEN rid = CAST(ceil(CAST(n - 1 AS DOUBLE) * CAST($p AS DOUBLE)) AS BIGINT) + 1 THEN v END) AS hi$i""".stripMargin
+      }.mkString(",\n")
+      val fs = ps.zipWithIndex.map { case (p, i) =>
+        s"""    lo$i + (hi$i - lo$i) * (CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE)
+           |      - floor(CAST(nn - 1 AS DOUBLE) * CAST($p AS DOUBLE))) AS f$i""".stripMargin
+      }.mkString(",\n")
+      val chain = ps.indices.map(i =>
+        s"(CASE WHEN CAST(n_chars AS DOUBLE) > f$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)) AS rid,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT lang,
+        |$los,
+        |    max(n) AS nn
+        |  FROM v GROUP BY lang),
+        |f AS (SELECT lang,
+        |$fs
+        |  FROM q)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CAST(CASE WHEN d.n_chars IS NULL THEN NULL
+        |    ELSE $chain END AS INT) AS len_bin
+        |FROM documents d JOIN f USING (lang)
+        |ORDER BY d.doc_id""".stripMargin
     },
 
     // madOutliers: two exact-median replays (x, then |x - med|), the

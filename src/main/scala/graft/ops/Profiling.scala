@@ -138,6 +138,42 @@ object Profiling {
       .drop(ps.indices.map(i => s"__f$i"): _*)
   }
 
+  /** Per-group [[quantileBin]] — each stratum gets its own
+    * equal-population fences (per-language length deciles, per-domain
+    * quality quartiles), so a curriculum cut is fair across strata
+    * instead of letting one domain's distribution set everyone's
+    * breaks. Fences come from [[groupedQuantiles]] (ONE partitioned
+    * window shuffle, no value buffer), pivot to one row per group,
+    * and join back NULL-SAFELY on the group keys (<=> — a NULL
+    * stratum is a legitimate group); the bin is the same codegen
+    * comparison chain as the ungrouped form. `broadcastFences`
+    * (default true) broadcasts the fence table — right for
+    * stratum-count groups (languages, domains); disable it when
+    * grouping by a high-cardinality key so the join shuffles instead
+    * of broadcasting millions of fence rows. */
+  def groupedQuantileBin(df: DataFrame, keys: Seq[String], x: Column,
+                         nBins: Int, outCol: String,
+                         broadcastFences: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "groupedQuantileBin: no group keys (use quantileBin)")
+    require(nBins >= 2 && nBins <= 1000,
+      s"groupedQuantileBin: nBins=$nBins out of the sane fence range [2,1000]")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val fcols = ps.zipWithIndex.map { case (p, i) =>
+      max(when(col("p") === p, col("quantile"))).as(s"__f$i") }
+    val fences = groupedQuantiles(df, keys, x, ps)
+      .groupBy(keys.map(col): _*).agg(fcols.head, fcols.tail: _*)
+    val fr = keys.zipWithIndex.foldLeft(fences) {
+      case (f, (k, i)) => f.withColumnRenamed(k, s"__gk$i") }
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(k) <=> col(s"__gk$i") }.reduce(_ && _)
+    val bin = ps.indices.map(i =>
+      when(x.cast("double") > col(s"__f$i"), 1).otherwise(0)).reduce(_ + _)
+    df.join(if (broadcastFences) broadcast(fr) else fr, cond)
+      .withColumn(outCol, when(x.isNotNull, bin))
+      .drop(ps.indices.map(i => s"__f$i") ++
+        keys.indices.map(i => s"__gk$i"): _*)
+  }
+
   /** Robust z-scores + outlier flags from median/MAD — the
     * p99-resistant alternative to mean/stddev flagging (one wild value
     * shifts a mean; it cannot shift a median). med = exact median of

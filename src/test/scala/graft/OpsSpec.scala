@@ -1354,6 +1354,25 @@ class OpsSpec extends SparkTestBase {
     assert(t == Map(1.0 -> 0, 2.0 -> 0, 3.0 -> 1))
   }
 
+  test("groupedQuantileBin: per-stratum fences, NULL stratum is a real group") {
+    import spark.implicits._
+    // group a spans 10..80, group b spans 1000..8000, NULL group 1..4:
+    // per-group quartiles must bin each stratum on ITS OWN scale
+    val df = ((1 to 8).map(i => (Some("a"), Some(i * 10.0))) ++
+      (1 to 8).map(i => (Some("b"), Some(i * 1000.0))) ++
+      (1 to 4).map(i => (None: Option[String], Some(i.toDouble))))
+      .toDF("g", "v")
+    val out = graft.ops.Profiling.groupedQuantileBin(df, Seq("g"), col("v"),
+        nBins = 4, outCol = "b")
+      .collect().map(r => (Option(r.get(0)), r.getDouble(1)) -> r.getInt(2)).toMap
+    assert((1 to 8).map(i => out((Some("a"), i * 10.0))).toSeq ==
+      Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    assert((1 to 8).map(i => out((Some("b"), i * 1000.0))).toSeq ==
+      Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    // the NULL stratum joins its own fences via <=>, not drops
+    assert((1 to 4).map(i => out((None, i.toDouble))).toSeq == Seq(0, 1, 2, 3))
+  }
+
   test("madOutliers flags the wild value; zero MAD flags nothing") {
     import spark.implicits._
     val df = ((1 to 9).map(_.toDouble) :+ 100.0).toDF("v")
