@@ -388,6 +388,13 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("label"), col("dim"))),
 
+    // per-label coherence: mean cosine to the fixed-point centroid,
+    // decimal-accumulated so the mean is order-invariant
+    "x_coherence" -> ((s, d) =>
+      Similarity.strataCoherence(t(s, d, "embeddings"), Seq("label"),
+          col("embedding"), dims = 64)
+        .orderBy(col("label"))),
+
     // one Lloyd k-means iteration: deterministic seeds (k lowest ids),
     // broadcast nearest-centroid argmin (ties to lowest cid), then the
     // fixed-point centroid recompute — every stage replayable in SQL
@@ -858,6 +865,24 @@ object QueriesOps {
         |SELECT label, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // coherence: same fixed-point centroid replay as x_centroids,
+    // list built in dim order, decimal-bridged mean of cosines
+    "x_coherence" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |f AS (SELECT label, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM e CROSS JOIN range(0, 64) r),
+        |m AS (SELECT label, dim,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+        |  FROM f GROUP BY label, dim),
+        |c AS (SELECT label, list(cval ORDER BY dim) AS cv FROM m GROUP BY label),
+        |s AS (SELECT e.label,
+        |    list_cosine_similarity(e.v, c.cv) AS cs
+        |  FROM e JOIN c USING (label))
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  ${graft.functions.Exact.davgSql("cs")} AS coherence
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     // replays the Lloyd step end-to-end: same k-lowest-id seeds, same
     // L2 argmin with the lowest-cid tie-break, same fixed-point

@@ -460,6 +460,34 @@ object Similarity {
     result
   }
 
+  /** Per-stratum embedding coherence: mean cosine of each vector to
+    * its stratum centroid — the "how tight is this domain's embedding
+    * cloud" read that ranks strata for SemDeDup attention and flags
+    * incoherent (mixed/garbage) sources. Centroid =
+    * [[centroidsByKey]]'s fixed-point exact mean, broadcast back
+    * null-safely (<=> — a NULL stratum is a group); per-row cosine is
+    * the codegen kernel (bit-exact cross-engine); the mean uses
+    * decimal accumulation (the Exact.dsum rule) so even the sum is
+    * order-invariant. Shape: one fixed-buffer agg shuffle for the
+    * centroids + a broadcast join + one partial-agg scan — the corpus
+    * never shuffles with its vectors.
+    * Output: (keys…, n, coherence). */
+  def strataCoherence(df: DataFrame, keys: Seq[String], vec: Column,
+                      dims: Int): DataFrame = {
+    require(keys.nonEmpty, "strataCoherence: no group keys")
+    val cents = centroidsByKey(df, keys.map(col), vec, dims)
+      .select(keys.map(col) :+ col("centroid"): _*)
+    val fr = keys.zipWithIndex.foldLeft(cents) {
+      case (f, (k, i)) => f.withColumnRenamed(k, s"__ck$i") }
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(k) <=> col(s"__ck$i") }.reduce(_ && _)
+    df.join(broadcast(fr), cond)
+      .withColumn("__cos", cosine(vec.cast("array<double>"), col("centroid")))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.davg(col("__cos")).as("coherence"))
+  }
+
   /** Per-group embedding centroids in ONE partial aggregate — no
     * posexplode (which would multiply the shuffle by `dims`; see
     * plans.VectorAggKernels). `vec` must be castable to array<double>

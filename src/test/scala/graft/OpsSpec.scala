@@ -1392,6 +1392,22 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("strataCoherence: identical cloud = 1, tighter beats looser, NULL stratum kept") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("same"), Seq(1.0, 0.0)), (Some("same"), Seq(1.0, 0.0)),
+      (Some("tight"), Seq(1.0, 0.1)), (Some("tight"), Seq(1.0, -0.1)),
+      (Some("loose"), Seq(1.0, 1.0)), (Some("loose"), Seq(1.0, -1.0)),
+      (None: Option[String], Seq(0.0, 1.0)))
+      .toDF("g", "embedding")
+    val out = Similarity.strataCoherence(df, Seq("g"), col("embedding"), dims = 2)
+      .collect().map(r => Option(r.get(0)).map(_.toString) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("coherence"))).toMap
+    assert(out(Some("same"))._2 == 1.0)
+    assert(out(Some("tight"))._2 > out(Some("loose"))._2)
+    assert(out(None) == (1L, 1.0)) // singleton stratum: cos to itself
+  }
+
   test("centroidsByKey fails loudly on a wrong-width vector") {
     import spark.implicits._
     val vecs = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0))).toDF("g", "v")
