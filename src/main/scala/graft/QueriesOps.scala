@@ -680,6 +680,23 @@ object QueriesOps {
       EventAnalytics.cohortRetention(events(s, d), col("user_id"), col("ts"))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // PageRank over a deterministic synthetic link graph (doc_id
+    // modular edges), 2 iterations: decimal-accumulated inflow sums
+    // and interpolated-exact damping constants — bit-replayable
+    "x_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
+    // most common 3-step opening paths: one user-partitioned window,
+    // in-agg sort_array rebuild, partial-agg count + TakeOrdered
+    "x_paths" -> ((s, d) =>
+      EventAnalytics.topPaths(events(s, d), col("user_id"), col("ts"),
+          col("event_type"), col("event_id"), steps = 3, k = 20)),
+
     // ---- as-of join -----------------------------------------------------
     // for every non-purchase event, the value of the user's most recent
     // purchase at-or-before it (union-merge: one shuffle on user_id)
@@ -1754,6 +1771,45 @@ s"""WITH lines AS (
         |  FROM toks)
         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1
         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // pageRank 2-iteration unroll: same edges, same 18-decimal inflow
+    // accumulation, damping constants interpolated as exact doubles
+    "x_pagerank" -> {
+      def ds(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+      val b = s"CAST('${1.0 - 0.85}' AS DOUBLE)"
+      val dd = "CAST('0.85' AS DOUBLE)"
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.d AS node, ${ds(s"$prev.rank / od.od")} AS infl
+           |  FROM e JOIN od USING (s) JOIN $prev ON $prev.node = e.s GROUP BY e.d),
+           |g$out AS (SELECT coalesce(${ds("rank")}, 0.0) AS dang
+           |  FROM $prev WHERE node NOT IN (SELECT s FROM e)),
+           |$out AS (SELECT n.node,
+           |    $b / nn.N + $dd * (coalesce(i$out.infl, 0.0) + g$out.dang / nn.N) AS rank
+           |  FROM n LEFT JOIN i$out ON n.node = i$out.node
+           |  CROSS JOIN g$out CROSS JOIN nn)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT doc_id % 50 AS s, (doc_id * 7 + 3) % 50 AS d
+        |  FROM documents),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM n),
+        |od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.N AS rank FROM n CROSS JOIN nn),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")}
+        |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
+    },
+
+    // topPaths: same (ts, event_id) deterministic order, DuckDB
+    // string_agg ORDER BY rebuilds the identical path strings
+    "x_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS users
+        |FROM p GROUP BY path ORDER BY users DESC, path LIMIT 20""".stripMargin,
 
     "x_conversion" ->
       """WITH u0 AS (SELECT user_id, min(ts) AS t FROM events

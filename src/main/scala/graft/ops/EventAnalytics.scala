@@ -51,6 +51,36 @@ object EventAnalytics {
     rows.reduce(_.unionByName(_))
   }
 
+  /** Most common opening event paths: each user's first `steps` events
+    * (by time, tie-broken by `tieBreak` for a deterministic total
+    * order) joined into a path string, the k most frequent paths
+    * returned with user counts — the "how do sessions start" read
+    * behind onboarding and bot-pattern triage.
+    *
+    * Scale shape: the per-user cut is ONE user-partitioned window
+    * (bounded partitions — a user's own events), the path build is a
+    * per-user agg over ≤ steps rows, and the final cut is a partial-agg
+    * count + TakeOrdered(k) — the log never sorts globally.
+    * Output: (path, users), count desc / path asc. */
+  def topPaths(df: DataFrame, user: Column, ts: Column, eventType: Column,
+               tieBreak: Column, steps: Int, k: Int): DataFrame = {
+    require(steps >= 1 && steps <= 100, s"topPaths: steps=$steps out of [1,100]")
+    require(k >= 1, s"topPaths: k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(user).orderBy(ts, tieBreak)
+    df.select(user.as("__u"), eventType.as("__e"),
+        row_number().over(w).as("__r"))
+      .filter(col("__r") <= steps)
+      .groupBy(col("__u"))
+      // sort_array on (rank, type) structs rebuilds the order inside
+      // the agg — no second window, partitioning-invariant
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("__r"), col("__e")))),
+          s => s.getField("__e")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path")).limit(k)
+  }
+
   /** Weekly cohort retention: users cohorted by the week of their
     * first event, counted distinct in each later week they were active
     * — the (cohort_week, week_offset, users) retention triangle.

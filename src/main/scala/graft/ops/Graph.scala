@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph scoring for crawl curation (SURVEY §2.6
+  * beyond-reference). A crawl frontier ranks hosts/URLs by link
+  * authority before spending fetch budget; dedup clusters and spam
+  * farms show up as dense subgraphs. This is the batch PageRank read
+  * over an edge table, built deterministic and engine-exact so the
+  * correctness gate can replay every iteration.
+  */
+object Graph {
+
+  /** 18-decimal order-invariant sum (the Exact.dsum rule at rank
+    * scale: ranks are ~1/N, so the 6-decimal money grid is too
+    * coarse; 38,18 keeps 18 fractional digits and stays
+    * order-independent). */
+  private def dsum18(c: Column): Column =
+    sum(c.cast("decimal(38,18)")).cast("string").cast("double")
+
+  /** PageRank (Page et al. 1999) over (src, dst) edges for a FIXED
+    * iteration count, with uniform dangling-mass redistribution.
+    * Engine-exact by construction: per-edge contributions rank/outdeg
+    * are single IEEE divisions, the per-target sum uses 18-decimal
+    * accumulation (order-invariant), and the damping constants are
+    * interpolated as exact doubles — so any engine replays every
+    * iteration bit-for-bit (the 2-iteration oracle proves it).
+    *
+    * Scale shape per iteration: ONE shuffle join of the rank table
+    * onto the (pre-degreed) edges keyed by src + one partial-agg
+    * groupBy dst; dangling mass is a left-anti + 1-row broadcast;
+    * node count is a 1-row broadcast. The rank table is (node,
+    * double) — never wider. Iterations unroll in-plan: fine for the
+    * handful of rounds a curation score needs; for deep iteration on
+    * billion-edge graphs, persist-or-checkpoint the rank frame each
+    * round (the kmeansLloyd driver-round-trip trick does NOT apply —
+    * the rank table is node-sized, not k-sized).
+    * Output: (node, rank), one row per node. */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"pageRank: iters=$iters out of the in-plan unroll range [1,20]")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRank: damping=$damping must be in (0,1)")
+    val e = edges.select(col(src).as("__s"), col(dst).as("__d"))
+    val nodes = e.select(col("__s").as("node"))
+      .unionByName(e.select(col("__d").as("node"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).cast("double").as("__N"))
+    val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).cast("double").as("__od"))
+    val edgesOd = e.join(outdeg, "__s")
+    val base = lit(1.0 - damping)
+    val d = lit(damping)
+    var ranks = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), (lit(1.0) / col("__N")).as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = edgesOd.join(ranks, col("__s") === col("node"))
+        .groupBy(col("__d").as("node"))
+        .agg(dsum18(col("rank") / col("__od")).as("__in"))
+      val dangling = ranks.join(outdeg, col("node") === col("__s"), "left_anti")
+        .agg(coalesce(dsum18(col("rank")), lit(0.0)).as("__dang"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nDf))
+        .select(col("node"),
+          (base / col("__N") +
+            d * (coalesce(col("__in"), lit(0.0)) + col("__dang") / col("__N")))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -1392,6 +1392,38 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("topPaths: deterministic opening paths, ties broken by count then path") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"), (1L, 4L, "view"),
+      (2L, 1L, "view"), (2L, 2L, "click"), (2L, 3L, "buy"),
+      (3L, 1L, "view"), (3L, 2L, "view"),
+      (4L, 5L, "click")) // short histories keep their partial paths
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ops.EventAnalytics.topPaths(ev, col("user_id"),
+        col("ts"), col("event_type"), col("ts"), steps = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == ("view>click>buy", 2L))
+    assert(out.toSet == Set(("view>click>buy", 2L), ("view>view", 1L), ("click", 1L)))
+  }
+
+  test("pageRank: dangling mass redistributes, total mass conserved, sinks rank highest") {
+    import spark.implicits._
+    // 1->2, 1->3, 2->3: node 3 is a dangling sink with two in-links
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(out.size == 3)
+    assert(out(3L) > out(2L) && out(2L) > out(1L))
+    // dangling redistribution keeps the walk a probability distribution
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // iters=1 by hand: r=1/3 each; node1 gets only base + dangling share
+    val one = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    val expected1 = 0.15 / 3 + 0.85 * ((1.0 / 3) / 3)
+    assert(math.abs(one(1L) - expected1) < 1e-12)
+  }
+
   test("strataCoherence: identical cloud = 1, tighter beats looser, NULL stratum kept") {
     import spark.implicits._
     val df = Seq(
