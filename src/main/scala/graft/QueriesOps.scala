@@ -480,6 +480,15 @@ object QueriesOps {
         .select("doc_id", "lang", "n_chars", "mix_rate")
         .orderBy(col("doc_id"))),
 
+    // deterministic contrastive negatives: rowid-addressed md5Unif
+    // draws, self-hits dropped — fully replayable pick sequence
+    "x_negsample" -> ((s, d) =>
+      Sampling.negativeSample(
+          t(s, d, "embeddings").filter(col("vec_id") < 5), col("vec_id"),
+          t(s, d, "embeddings"), "vec_id", k = 4, seed = 42L)
+        .select("anchor_id", "draw_id", "vec_id", "label")
+        .orderBy(col("anchor_id"), col("draw_id"))),
+
     // deterministic domain round-robin training order: per-source md5
     // shuffle rank (bounded windows), global position via the sorted
     // zipWithIndex rowid on (round, source) — no single-partition
@@ -1092,6 +1101,25 @@ object QueriesOps {
         |FROM documents d JOIN r USING (lang)
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // replays negativeSample: same 13-hex-digit md5Unif rowid draws
+    // (the d_slice_sample_rep scaffolding), same self-exclusion
+    "x_negsample" ->
+      """WITH ranked AS (SELECT vec_id, label,
+        |    row_number() OVER (ORDER BY vec_id) AS nr FROM embeddings),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id FROM embeddings WHERE vec_id < 5),
+        |draws AS (SELECT anchor_id, i AS draw_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 14), j ->
+        |        (strpos('0123456789abcdef',
+        |           substring(md5('42' || CAST(anchor_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)),
+        |             CAST(j AS INT), 1)) - 1)
+        |          * pow(16, 13 - j))) / 4503599627370496.0 * nn) + 1 AS BIGINT) AS nr
+        |  FROM a, (SELECT unnest(range(1, 5)) AS i), n)
+        |SELECT d.anchor_id, d.draw_id, r.vec_id, r.label
+        |FROM draws d JOIN ranked r USING (nr)
+        |WHERE r.vec_id <> d.anchor_id
+        |ORDER BY anchor_id, draw_id""".stripMargin,
 
     // replays interleaveByDomain: same md5('42 '||id) per-domain
     // shuffle rank, same (round, domain, id) global order

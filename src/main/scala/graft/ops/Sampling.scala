@@ -184,6 +184,41 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random corpus rows per anchor, addressed by rowid through
+    * the md5Unif uniform — retry-safe and engine-replayable where
+    * rand() would change under retries and repartitioning. A draw
+    * that lands on the anchor itself is DROPPED (the standard
+    * self-exclusion; expected loss ≈ k/N of the draws at corpus
+    * scale), so an anchor can get < k negatives. Hard negatives
+    * compose differently: Similarity.lshTopKJoin + an anti-join on
+    * the known positives.
+    *
+    * Shape: ONE corpus rowid sort (sorted zipWithIndex, no global
+    * window); draws are a bounded explode of the anchor table (k rows
+    * per anchor); the pick is a shuffle join on the rowid index.
+    * Output: (anchor_id, draw_id, corpus columns…). */
+  def negativeSample(anchors: DataFrame, anchorId: Column,
+                     corpus: DataFrame, corpusId: String,
+                     k: Int, seed: Long): DataFrame = {
+    require(k >= 1 && k <= 1000, s"negativeSample: k=$k out of [1,1000]")
+    val ranked = graft.core.Tibble.rowidToColumn(
+      corpus, Seq(col(corpusId)), "__nr")
+    val n = corpus.agg(count(lit(1)).cast("double").as("__nn"))
+    val draws = anchors.select(anchorId.as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("draw_id"), col("__nn"))
+      .select(col("anchor_id"), col("draw_id"),
+        (floor(graft.functions.BaseFns.md5Unif(
+            concat_ws(" ", col("anchor_id").cast("string"),
+              col("draw_id").cast("string")), seed)
+          * col("__nn")) + 1).cast("long").as("__nr"))
+    draws.join(ranked, Seq("__nr"))
+      .filter(!(col(corpusId) <=> col("anchor_id")))
+      .drop("__nr")
+  }
+
   /** Deterministic domain-interleaved global training order: shuffle
     * each domain internally by a seeded md5 key, then round-robin
     * across domains — round r of the output emits the r-th pick of

@@ -1392,6 +1392,23 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("negativeSample: deterministic draws, self-hits dropped, partitioning-invariant") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val anchors = corpus.filter(col("id") <= 3)
+    def run(parts: Int) = graft.ops.Sampling.negativeSample(
+        anchors.repartition(parts), col("id"),
+        corpus.repartition(parts), "id", k = 5, seed = 7L)
+      .select("anchor_id", "draw_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(1)
+    assert(a == run(8)) // md5 draws don't care about partitioning
+    assert(a.forall { case (anchor, _, neg) => neg != anchor }) // self-excluded
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perAnchor.keySet == Set(1L, 2L, 3L))
+    assert(perAnchor.values.forall(n => n >= 4 && n <= 5)) // <=1 self-drop each
+  }
+
   test("topPaths: deterministic opening paths, ties broken by count then path") {
     import spark.implicits._
     val ev = Seq(
