@@ -256,6 +256,18 @@ object QueriesOps {
         .select("doc_id", "ws_tokens", "bpe_ish_tokens", "approx_tokens")
         .orderBy(col("doc_id"))),
 
+    // markup strip over a synthetic HTML wrapping (script/style
+    // blocks, tags, entities) — the same RE2 passes replay in SQL
+    "x_strip" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<html><head><style>p{margin:0}</style></head><body><h1>T"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("</h1><p class=\"x\">"), col("text"),
+          lit("</p><script>var a=1;</script>&amp; more &lt;tail&gt;&nbsp;end</body></html>")))
+          .as("clean"))
+        .orderBy(col("doc_id"))),
+
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
@@ -1101,6 +1113,27 @@ object QueriesOps {
         |FROM documents d JOIN r USING (lang)
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // replays stripMarkup: same wrapping, same RE2 passes with the
+    // 'g' ('gs' for the dotall block pass) flags
+    "x_strip" ->
+      """WITH raw AS (SELECT doc_id,
+        |    '<html><head><style>p{margin:0}</style></head><body><h1>T'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || '</h1><p class="x">' || text
+        |    || '</p><script>var a=1;</script>&amp; more &lt;tail&gt;&nbsp;end</body></html>' AS h
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gs') AS t
+        |  FROM raw),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t
+        |  FROM s2)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     // replays negativeSample: same 13-hex-digit md5Unif rowid draws
     // (the d_slice_sample_rep scaffolding), same self-exclusion

@@ -414,6 +414,25 @@ object TextAnalysis {
         md5(concat_ws(",", col("__fps"))).as("doc_fingerprint"))
   }
 
+  /** HTML/markup boilerplate strip — the standard first pass over
+    * crawled pages before language-ID and quality scoring: drop
+    * script/style blocks wholesale, then all tags, decode the six
+    * common entities, collapse whitespace. RE2-class patterns only
+    * (non-greedy + character classes, no lookaround), so a SQL engine
+    * replays the identical cleanup; pure codegen projection, no
+    * shuffle. &amp; decodes LAST so "&amp;lt;" becomes "&lt;" (the
+    * literal), never "<". */
+  def stripMarkup(text: Column): Column = {
+    val noBlock = regexp_replace(text,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlock, "<[^>]+>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   // ---- scrubbing / redaction ---------------------------------------------
   // RE2-compatible patterns (no backrefs/lookaround) so a SQL engine
   // oracle can replicate them exactly.

@@ -1392,6 +1392,21 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("stripMarkup: blocks, tags, entities, whitespace — and no double-decode") {
+    import spark.implicits._
+    val df = Seq(
+      "<p>Hello <b>world</b></p>",
+      "<style>p{x}</style>keep<script a=b>drop()</script>",
+      "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "  already   clean  ").toDF("t")
+    val out = df.select(TextAnalysis.stripMarkup(col("t"))).as[String].collect()
+    assert(out(0) == "Hello world")
+    assert(out(1) == "keep")
+    // &amp;lt; decodes to the LITERAL "&lt;", not "<" (single pass)
+    assert(out(2) == "a &lt; b <tag> \"q\" 's' end")
+    assert(out(3) == "already clean")
+  }
+
   test("negativeSample: deterministic draws, self-hits dropped, partitioning-invariant") {
     import spark.implicits._
     val corpus = (1L to 20L).map(i => (i, s"doc$i")).toDF("id", "payload")
