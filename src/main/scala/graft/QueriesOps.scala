@@ -492,6 +492,16 @@ object QueriesOps {
         .select("doc_id", "lang", "n_chars", "mix_rate")
         .orderBy(col("doc_id"))),
 
+    // length-grouped dynamic batches: bucket by n_chars edges, seeded
+    // md5 shuffle within bucket, fixed-size cut — one global rowid
+    // sort, never a per-bucket window
+    "x_lgbatch" -> ((s, d) =>
+      Packing.lengthGroupedBatches(t(s, d, "documents"), col("n_chars"),
+          col("doc_id"), batchSize = 8, bucketEdges = Seq(200L, 300L, 400L),
+          seed = 7L)
+        .select("doc_id", "n_chars", "bucket", "batch_id", "batch_pos")
+        .orderBy(col("doc_id"))),
+
     // deterministic contrastive negatives: rowid-addressed md5Unif
     // draws, self-hits dropped — fully replayable pick sequence
     "x_negsample" -> ((s, d) =>
@@ -1134,6 +1144,24 @@ object QueriesOps {
         |  FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // replays lengthGroupedBatches: same buckets, same md5('7 '||id)
+    // within-bucket order (a per-bucket window is FINE in the oracle —
+    // DuckDB on sf0.01 — just not in the engine at 100 TB)
+    "x_lgbatch" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    (CASE WHEN n_chars > 200 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN n_chars > 400 THEN 1 ELSE 0 END) AS bucket,
+        |    md5('7 ' || CAST(doc_id AS VARCHAR)) AS ok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY ok, doc_id) - 1 AS wr
+        |  FROM b)
+        |SELECT doc_id, n_chars, CAST(bucket AS INT) AS bucket,
+        |  CAST(bucket AS VARCHAR) || '_' || CAST(wr // 8 AS VARCHAR) AS batch_id,
+        |  CAST(wr % 8 AS INT) AS batch_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // replays negativeSample: same 13-hex-digit md5Unif rowid draws
     // (the d_slice_sample_rep scaffolding), same self-exclusion

@@ -45,4 +45,53 @@ object Packing {
       .withColumn("n_packs", col("pack_last") - col("pack_first") + 1L)
       .drop("__cum_tok", "__tok")
   }
+
+  /** Length-grouped batch assignment (the dynamic-batching layout that
+    * minimizes padding waste): docs bucket by token count against the
+    * fixed `bucketEdges` (bucket = Σ 1{tokens > edge} — a codegen
+    * chain), shuffle deterministically WITHIN their bucket by a seeded
+    * md5 key, and cut into fixed-size batches in that order. Batches
+    * never mix buckets, so every batch pads to its bucket's ceiling,
+    * not the corpus max.
+    *
+    * Scale shape: ONE global rowid sort on (bucket, md5 key) — never a
+    * per-bucket window (a handful of buckets over 100 TB would be a
+    * handful of giant partitions); within-bucket positions are rowid
+    * minus the bucket's start offset, where offsets come from a
+    * ≤ |edges|+1-row count table (bounded level-table window, the
+    * Forcats contract) broadcast back.
+    * Output: input + bucket (int), batch_id ("bucket_seq"), batch_pos
+    * (0-based position inside the batch). The tail batch of each
+    * bucket may be short (standard drop-last-or-pad choice is the
+    * caller's). */
+  def lengthGroupedBatches(df: DataFrame, tokens: Column, key: Column,
+                           batchSize: Int, bucketEdges: Seq[Long],
+                           seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"lengthGroupedBatches: batchSize must be >= 1")
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.distinct.size == bucketEdges.size,
+      s"lengthGroupedBatches: edges must be sorted distinct (got $bucketEdges)")
+    val bucket = bucketEdges.map(e =>
+      when(tokens > e, 1).otherwise(0)).reduce(_ + _)
+    val keyed = df.withColumn("__lb", bucket)
+      .withColumn("__ok",
+        md5(concat_ws(" ", lit(seed.toString), key.cast("string"))))
+    val ranked = graft.core.Tibble.rowidToColumn(keyed,
+      Seq(col("__lb"), col("__ok"), key), "__rid")
+    val counts = ranked.groupBy(col("__lb")).agg(count(lit(1)).as("__c"))
+    // offsets over the bucket-count table: <= |edges|+1 rows (bounded)
+    val w = Window.orderBy(col("__lb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .drop("__c")
+    ranked.join(broadcast(offsets), Seq("__lb"))
+      .withColumn("__wr", col("__rid") - col("__off") - 1)
+      .withColumn("batch_id", concat_ws("_", col("__lb"),
+        expr(s"__wr div $batchSize")))
+      .withColumn("batch_pos", (col("__wr") % batchSize).cast("int"))
+      .withColumn("bucket", col("__lb"))
+      .drop("__lb", "__ok", "__rid", "__wr")
+  }
 }

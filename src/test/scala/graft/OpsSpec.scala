@@ -1407,6 +1407,36 @@ class OpsSpec extends SparkTestBase {
     assert(out(3) == "already clean")
   }
 
+  test("lengthGroupedBatches: batches never mix buckets, only tails run short") {
+    import spark.implicits._
+    val docs = (1L to 53L).map(i => (i, i * 10)).toDF("id", "toks")
+    val out = graft.ops.Packing.lengthGroupedBatches(docs, col("toks"),
+        col("id"), batchSize = 4, bucketEdges = Seq(170L, 350L), seed = 3L)
+      .select("id", "bucket", "batch_id", "batch_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // bucket membership is the edge chain: <=170 -> 0, <=350 -> 1, else 2
+    assert(out.forall { case (id, b, _, _) =>
+      b == Seq(170L, 350L).count(e => id * 10 > e) })
+    val byBatch = out.groupBy(_._3)
+    // a batch's members share its bucket prefix; positions are 0..n-1
+    byBatch.foreach { case (bid, rows) =>
+      assert(rows.map(_._2).distinct.length == 1)
+      assert(bid.startsWith(s"${rows.head._2}_"))
+      assert(rows.map(_._4).sorted.toSeq == (0 until rows.length))
+      assert(rows.length <= 4)
+    }
+    // per bucket: all batches full except at most one short tail
+    byBatch.toSeq.groupBy(_._2.head._2).foreach { case (_, batches) =>
+      assert(batches.count(_._2.length < 4) <= 1)
+    }
+    // deterministic under repartitioning
+    val again = graft.ops.Packing.lengthGroupedBatches(docs.repartition(7),
+        col("toks"), col("id"), 4, Seq(170L, 350L), 3L)
+      .select("id", "bucket", "batch_id", "batch_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("negativeSample: deterministic draws, self-hits dropped, partitioning-invariant") {
     import spark.implicits._
     val corpus = (1L to 20L).map(i => (i, s"doc$i")).toDF("id", "payload")
