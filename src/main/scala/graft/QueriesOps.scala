@@ -502,6 +502,27 @@ object QueriesOps {
         .select("doc_id", "n_chars", "bucket", "batch_id", "batch_pos")
         .orderBy(col("doc_id"))),
 
+    // quality-weighted deterministic sampling: p = min(1, rate*w/mean),
+    // exact-decimal mean, md5Unif keep decision — pure filter
+    "x_wsample" -> ((s, d) =>
+      Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
+          col("n_chars"), rate = 0.3, seed = 42L)
+        .select("doc_id", "n_chars", "sample_p")
+        .orderBy(col("doc_id"))),
+
+    // corpus snapshot diff (incremental-crawl audit): synthetic v2 =
+    // docs < 450 with every 10th text modified — one id-keyed join
+    "x_corpus_diff" -> ((s, d) => {
+      val old = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+      val nw = t(s, d, "documents").filter(col("doc_id") < 450)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.corpusDiff(old, nw, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
+    }),
+
     // deterministic contrastive negatives: rowid-addressed md5Unif
     // draws, self-hits dropped — fully replayable pick sequence
     "x_negsample" -> ((s, d) =>
@@ -1162,6 +1183,37 @@ object QueriesOps {
         |  CAST(bucket AS VARCHAR) || '_' || CAST(wr // 8 AS VARCHAR) AS batch_id,
         |  CAST(wr % 8 AS INT) AS batch_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // replays weightedSample: decimal-bridged mean weight, same
+    // 13-hex md5Unif uniform, same strict < keep decision
+    "x_wsample" ->
+      s"""WITH m AS (SELECT ${graft.functions.Exact.davgSql("CAST(n_chars AS DOUBLE)")} AS mw
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  least(CAST(0.3 AS DOUBLE) * CAST(n_chars AS DOUBLE) / mw, 1.0) AS sample_p
+        |FROM documents CROSS JOIN m
+        |WHERE list_sum(list_transform(range(1, 14), j ->
+        |    (strpos('0123456789abcdef',
+        |       substring(md5('42' || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |      * pow(16, 13 - j))) / 4503599627370496.0
+        |  < least(CAST(0.3 AS DOUBLE) * CAST(n_chars AS DOUBLE) / mw, 1.0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays corpusDiff: same synthetic v2 drop, same md5 compare
+    "x_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 2 = 0),
+        |nw AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id < 450),
+        |d AS (SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+        |    CASE WHEN o.oh IS NULL THEN 'added'
+        |      WHEN nw.nh IS NULL THEN 'removed'
+        |      WHEN o.oh = nw.nh THEN 'unchanged'
+        |      ELSE 'changed' END AS status
+        |  FROM o FULL JOIN nw ON o.doc_id = nw.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     // replays negativeSample: same 13-hex-digit md5Unif rowid draws
     // (the d_slice_sample_rep scaffolding), same self-exclusion

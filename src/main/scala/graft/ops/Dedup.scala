@@ -28,6 +28,25 @@ object Dedup {
     * lexicographic (pref, id) struct order merges map-side). NULL
     * prefs sort below any non-NULL pref (struct ordering), so a group
     * of all-NULL prefs still keeps its max-id row. */
+  /** Corpus snapshot diff: classify every doc id across two corpus
+    * versions as added / removed / changed / unchanged, comparing
+    * content by md5 — the incremental-crawl audit that decides how
+    * much downstream (dedup, embedding, index) work a new drop
+    * actually creates. ONE id-keyed full outer join of two (id, hash)
+    * projections — the text itself never shuffles.
+    * Output: (id, status). Aggregate for the drop report. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: String,
+                 text: String): DataFrame = {
+    val o = oldDf.select(col(id).as("__id"), md5(col(text)).as("__oh"))
+    val n = newDf.select(col(id).as("__id"), md5(col(text)).as("__nh"))
+    o.join(n, Seq("__id"), "full")
+      .select(col("__id").as(id),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def exactBest(df: DataFrame, id: String, text: String, pref: Column): DataFrame =
     df.groupBy(md5(col(text)).as("content_hash"))
       .agg(max_by(col(id), struct(pref, col(id))).as("keep_id"),

@@ -184,6 +184,28 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** Deterministic weighted (importance) sampling: keep probability
+    * p = min(1, rate · w / mean(w)), decided by the md5Unif uniform —
+    * high-weight (high-quality) docs oversample at a fixed expected
+    * output volume of rate · N docs. The mean weight is the
+    * decimal-accumulated exact mean (a raw double avg is
+    * addition-order-dependent and would make the kept set
+    * partitioning-dependent); the uniform is engine-replayable, so
+    * the selection is a pure deterministic filter like every sampler
+    * here. Weights must be non-negative; NULL weights drop the row.
+    * Output: kept rows + `sample_p` for audit. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     rate: Double, seed: Long): DataFrame = {
+    require(rate > 0.0 && rate <= 1.0,
+      s"weightedSample: rate must be in (0,1] (got $rate)")
+    val mw = df.agg(graft.functions.Exact.davg(weight.cast("double")).as("__mw"))
+    df.crossJoin(broadcast(mw))
+      .withColumn("sample_p",
+        least(lit(rate) * weight.cast("double") / col("__mw"), lit(1.0)))
+      .filter(graft.functions.BaseFns.md5Unif(key, seed) < col("sample_p"))
+      .drop("__mw")
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random corpus rows per anchor, addressed by rowid through
     * the md5Unif uniform — retry-safe and engine-replayable where

@@ -1437,6 +1437,39 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("weightedSample: oversamples heavy rows, caps p at 1, partitioning-invariant") {
+    import spark.implicits._
+    // weights 1 and 9 (mean 5): p(light) = 0.5*1/5 = 0.1, p(heavy) = 0.9
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) 9.0 else 1.0))
+      .toDF("id", "w")
+    val out = graft.ops.Sampling.weightedSample(docs, col("id"), col("w"),
+      rate = 0.5, seed = 11L)
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    val heavy = kept.count(_ % 2 == 0); val light = kept.size - heavy
+    assert(heavy > light * 3) // 9x the keep probability
+    val ps = out.select("w", "sample_p").distinct().collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(ps(1.0) == 0.1 && ps(9.0) == 0.9)
+    // rate high enough that heavy rows cap at p = 1 and ALL survive
+    val all = graft.ops.Sampling.weightedSample(docs, col("id"), col("w"),
+      rate = 1.0, seed = 11L)
+    assert(all.filter(col("w") === 9.0).count() == 200L)
+    val again = graft.ops.Sampling.weightedSample(docs.repartition(13),
+      col("id"), col("w"), rate = 0.5, seed = 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "text")
+    val out = graft.ops.Dedup.corpusDiff(old, nw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("negativeSample: deterministic draws, self-hits dropped, partitioning-invariant") {
     import spark.implicits._
     val corpus = (1L to 20L).map(i => (i, s"doc$i")).toDF("id", "payload")
