@@ -1437,6 +1437,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("new-op edge cases: empty inputs, single domain, k past corpus size") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "dom")
+    assert(graft.ops.Sampling.interleaveByDomain(
+      emptyDocs, col("dom"), col("id"), 1L).count() == 0L)
+    // one domain: interleave degrades to the seeded shuffle order
+    val one = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "dom")
+    val oneOut = graft.ops.Sampling.interleaveByDomain(one, col("dom"), col("id"), 1L)
+    assert(oneOut.select("pos").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // kmeansLloyd with k > corpus: every vector seeds its own cluster
+    val tiny = Seq((1L, Seq(0.0)), (2L, Seq(5.0))).toDF("vec_id", "embedding")
+    val km = Similarity.kmeansLloyd(tiny, "vec_id", "embedding",
+      k = 8, dims = 1, iters = 2).collect()
+    assert(km.length == 2 && km.forall(_.getAs[Long]("n") == 1L))
+    // pageRank on an empty edge table: no nodes, no rows, no crash
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.Graph.pageRank(noEdges, "src", "dst", iters = 2).count() == 0L)
+    // quantileBin on an empty frame: empty out, no fence NPE
+    val noVals = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(graft.ops.Profiling.quantileBin(noVals, col("v"), 4, "b").count() == 0L)
+  }
+
   test("weightedSample: oversamples heavy rows, caps p at 1, partitioning-invariant") {
     import spark.implicits._
     // weights 1 and 9 (mean 5): p(light) = 0.5*1/5 = 0.1, p(heavy) = 0.9
