@@ -502,6 +502,23 @@ object QueriesOps {
         .select("doc_id", "n_chars", "bucket", "batch_id", "batch_pos")
         .orderBy(col("doc_id"))),
 
+    // per-source data card: volume + exact-mean quality + dominant
+    // language in two partial aggs and one tiny join — the one-page
+    // drop report a curation run reads first
+    "x_datacard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vol = TextAnalysis.qualityScore(docs, "text")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("total_chars"),
+          graft.functions.Exact.davg(col("quality")).as("mean_quality"))
+      val langs = docs.groupBy("source", "lang").agg(count(lit(1)).as("__c"))
+        .groupBy("source").agg(
+          max_by(col("lang"), struct(col("__c"), col("lang"))).as("top_lang"),
+          count(lit(1)).as("n_langs"))
+      vol.join(langs, Seq("source")).orderBy(col("source"))
+    }),
+
     // quality-weighted deterministic sampling: p = min(1, rate*w/mean),
     // exact-decimal mean, md5Unif keep decision — pure filter
     "x_wsample" -> ((s, d) =>
@@ -1183,6 +1200,38 @@ object QueriesOps {
         |  CAST(bucket AS VARCHAR) || '_' || CAST(wr // 8 AS VARCHAR) AS batch_id,
         |  CAST(wr % 8 AS INT) AS batch_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // data card: the x_quality formula per doc, decimal-bridged mean,
+    // dominant language via (count, lang) argmax
+    "x_datacard" ->
+      s"""WITH f AS (
+        |  SELECT source, n_chars,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |q AS (SELECT source, n_chars,
+        |    greatest(0.0, least(1.0,
+        |      0.25 * least(nw / 50.0, 1.0) +
+        |      0.25 * (alpha / greatest(n, 1.0)) +
+        |      0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
+        |  FROM f),
+        |vol AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |    sum(n_chars) AS total_chars,
+        |    ${graft.functions.Exact.davgSql("quality")} AS mean_quality
+        |  FROM q GROUP BY source),
+        |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+        |tl AS (SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, lang DESC) AS rk
+        |    FROM lc) WHERE rk = 1),
+        |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY source)
+        |SELECT vol.source, docs, total_chars, mean_quality, top_lang, n_langs
+        |FROM vol JOIN tl USING (source) JOIN nl USING (source)
+        |ORDER BY source""".stripMargin,
 
     // replays weightedSample: decimal-bridged mean weight, same
     // 13-hex md5Unif uniform, same strict < keep decision
