@@ -238,6 +238,19 @@ object QueriesOps {
         .orderBy(col("query_id"))
     }),
 
+    // incremental index maintenance: build the deterministic index on
+    // the EVEN vectors, absorb the odd batch against its centroids —
+    // same argmin rule as the build, fully replayed
+    "x_assign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val (_, centroids) = Similarity.ivfIndexDeterministic(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", nLists = 8)
+      Similarity.assignToCentroids(
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", centroids)
+        .select("vec_id", "list_id")
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "x_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -2548,6 +2561,21 @@ s"""WITH lines AS (
         |FROM truth t LEFT JOIN got g
         |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // assignToCentroids: even-vector index centroids (md5-ranked over
+    // the even slice), odd batch assigned by the same L2 argmin
+    "x_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+        |    v AS centroid
+        |  FROM ev QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |od AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |a AS (SELECT od.vec_id, c.list_id,
+        |    row_number() OVER (PARTITION BY od.vec_id
+        |      ORDER BY list_distance(od.v, c.centroid), c.list_id) AS rk
+        |  FROM od CROSS JOIN c)
+        |SELECT vec_id, list_id FROM a WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

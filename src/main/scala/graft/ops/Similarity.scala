@@ -315,6 +315,22 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Assign vectors to an EXISTING centroid table — incremental index
+    * maintenance: yesterday's IVF index absorbs today's crawl batch
+    * without a rebuild (recall degrades gracefully as the
+    * distribution drifts; rebuild on a drift budget, not per batch).
+    * Broadcast centroids + ONE map-side-collapsed partial-agg argmin,
+    * ties to the lowest list_id — the identical assignment rule the
+    * index build uses, so merged and rebuilt indexes agree on
+    * unchanged centroids. Output: (id, list_id, vec). */
+  def assignToCentroids(corpus: DataFrame, id: String, vec: String,
+                        centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2(col(vec).cast("array<double>"), col("centroid")))
+      .groupBy(col(id))
+      .agg(min_by(col("list_id"), struct(col("__d"), col("list_id"))).as("list_id"),
+        first(col(vec)).as(vec))
+
   /** IVF query: probe the nprobe nearest centroids' lists. */
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, id: String, vec: String,
               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {

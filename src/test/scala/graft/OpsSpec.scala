@@ -1541,6 +1541,21 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(one(1L) - expected1) < 1e-12)
   }
 
+  test("assignToCentroids matches the build-time assignment rule") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val (assigned, centroids) =
+      Similarity.ivfIndexDeterministic(vecs, "vec_id", "embedding", nLists = 4)
+    // re-assigning the SAME corpus against the built centroids must
+    // reproduce the index's own assignment exactly
+    val re = Similarity.assignToCentroids(vecs, "vec_id", "embedding", centroids)
+    val a = assigned.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = re.select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("strataCoherence: identical cloud = 1, tighter beats looser, NULL stratum kept") {
     import spark.implicits._
     val df = Seq(
