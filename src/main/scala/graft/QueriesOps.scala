@@ -251,6 +251,36 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- fuzzy matching -------------------------------------------------
+    // entity resolution over the customer registry: all name pairs
+    // within levenshtein distance 1 (the single-digit-substitution
+    // neighbors), found via SymSpell symmetric-deletion blocking —
+    // the oracle regenerates the variant blocks and replays the exact
+    // distance filter
+    "x_fuzzy_join" -> ((s, d) =>
+      FuzzyJoin.editDistanceSelfJoin(t(s, d, "customer"), "c_custkey", "c_name",
+        maxDist = 1)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))),
+
+    // dictionary-correction form: probes are customer names with one
+    // deterministically-deleted character (position c_custkey % 18),
+    // matched back to the registry within distance 1 — every probe
+    // recovers its source plus any other name one edit away
+    "x_fuzzy_lookup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val p = (pmod(col("c_custkey"), lit(18)) + 1).cast("int")
+      val probes = c.select(
+        (col("c_custkey") + lit(1000000000L)).as("probe_id"),
+        concat(col("c_name").substr(lit(1), p - 1),
+          col("c_name").substr(p + 1, length(col("c_name")))).as("probe_s"))
+      FuzzyJoin.editDistanceJoin(probes, "probe_id", "probe_s",
+          c, "c_custkey", "c_name", maxDist = 1)
+        .select(col("left_id").as("probe_id"), col("right_id").as("c_custkey"),
+          col("dist"))
+        .orderBy(col("probe_id"), col("c_custkey"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "x_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -2576,6 +2606,37 @@ s"""WITH lines AS (
         |      ORDER BY list_distance(od.v, c.centroid), c.list_id) AS rk
         |  FROM od CROSS JOIN c)
         |SELECT vec_id, list_id FROM a WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // SymSpell blocking replay: variant set = the string plus every
+    // single-character deletion; pairs sharing a variant are the
+    // complete distance<=1 candidate set, then the exact filter
+    "x_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |p AS (SELECT DISTINCT l.id AS a, r.id AS b, l.s AS s_a, r.s AS s_b
+        |      FROM v l JOIN v r USING (k) WHERE l.id < r.id)
+        |SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM p WHERE levenshtein(s_a, s_b) <= 1 ORDER BY a, b""".stripMargin,
+
+    "x_fuzzy_lookup" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |pr AS (SELECT id + 1000000000 AS pid,
+        |    substring(s, 1, CAST(id % 18 AS INT)) ||
+        |      substring(s, CAST(id % 18 + 2 AS INT), 100) AS ps FROM c),
+        |pv AS (SELECT pid, ps, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(ps)+1),
+        |      i -> substring(ps, 1, CAST(i-1 AS INT)) || substring(ps, CAST(i+1 AS INT), 100)), ps))) AS k
+        |  FROM pr),
+        |cv AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |p AS (SELECT DISTINCT pid, id, ps, s FROM pv JOIN cv USING (k))
+        |SELECT pid AS probe_id, id AS c_custkey, CAST(levenshtein(ps, s) AS INT) AS dist
+        |FROM p WHERE levenshtein(ps, s) <= 1 ORDER BY probe_id, c_custkey""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

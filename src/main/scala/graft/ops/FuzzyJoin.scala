@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance (fuzzy) joins via symmetric-deletion blocking — the
+  * entity-resolution / spell-correction primitive of a data-cleaning
+  * pipeline (match dirty crawl metadata, OCR output, or user-typed
+  * strings against a canonical registry).
+  *
+  * Blocking is the SymSpell symmetric-delete scheme (public domain,
+  * Garbe 2012): every string expands map-side to the set of strings
+  * reachable by deleting up to `maxDist` characters, and two strings
+  * within Levenshtein distance d share at least one deletion variant
+  * when both sides expand d deletions — a substitution at position i
+  * meets at "both deleted i", an insertion/deletion meets at "longer
+  * side deleted the extra char". So candidate generation is COMPLETE
+  * for unit-cost Levenshtein ≤ maxDist, and the exact distance is only
+  * computed on candidates, once per distinct pair.
+  *
+  * Scale shape (the 100 TB contract):
+  * - variant expansion is a pure map-side explode: L+1 keys per row at
+  *   maxDist=1, O(L²/2) at maxDist=2 — the documented replication
+  *   knob, linear in input size for bounded string length;
+  * - keys shuffle as 64-bit hashes (xxhash64 of the variant), never as
+  *   strings, so the exchange stays narrow regardless of entity width;
+  * - per-key caps drop pathological blocks (a high-frequency short
+  *   string whose variant bucket would go quadratic) BEFORE the join —
+  *   the same skew contract as Dedup.bucketPairs, size counted under
+  *   the join's own hash partitioning so the Exchange is shared;
+  * - candidate pairs dedupe (DISTINCT) before the O(L²) Levenshtein
+  *   DP runs, and the DP early-exits past `maxDist` (Spark's
+  *   threshold form of `levenshtein`).
+  */
+object FuzzyJoin {
+
+  /** All strings reachable from `s` by deleting at most `d` characters
+    * (including `s` itself), distinct. d ∈ {1, 2} — beyond 2 the
+    * variant count is L!/(L-d)!/d! per row and a q-gram or trie scheme
+    * beats blocking by deletes. */
+  def deletionVariants(s: Column, d: Int): Column = {
+    require(d == 1 || d == 2, s"deletionVariants: d=$d not in {1, 2}")
+    def del1(x: Column): Column =
+      transform(
+        // sequence(1, 0) would generate DESCENDING [1, 0] — guard the
+        // empty string to an empty index list instead
+        when(length(x) > 0, sequence(lit(1), length(x)))
+          .otherwise(array().cast("array<int>")),
+        i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x))))
+    val v1 = del1(s)
+    if (d == 1) array_distinct(concat(array(s), v1))
+    else array_distinct(concat(array(s), v1,
+      flatten(transform(v1, v => del1(v)))))
+  }
+
+  /** Self-join: all pairs (a < b) within Levenshtein distance
+    * `maxDist`. Output: (a, b, s_a, s_b, dist).
+    *
+    * The keyed+capped subplan is built ONCE and joined to itself, so
+    * both join sides share a single Exchange (ReuseExchange — the
+    * variant explosion is computed once, not per side). Buckets with
+    * more than `maxBucket` members are dropped (skew guard — recall
+    * loss there is deliberate and should be monitored by counting
+    * dropped keys at threshold-tuning time; a bucket that hot means a
+    * near-constant string column, which wants exact groupBy dedup, not
+    * fuzzy matching). */
+  def editDistanceSelfJoin(df: DataFrame, id: String, s: String,
+                           maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    val keyed = df.select(col(id).as("__id"), col(s).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col("__id"), col("__s"),
+        explode(deletionVariants(col("__s"), maxDist)).as("__v"))
+      .select(col("__id"), col("__s"), xxhash64(col("__v")).as("__k"))
+    val capped = keyed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket).drop("__bn")
+    val l = capped.toDF("a", "s_a", "__k")
+    val r = capped.toDF("b", "s_b", "__k")
+    l.join(r, Seq("__k")).filter(col("a") < col("b"))
+      .select("a", "b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Bipartite lookup: every left row matched to the right rows within
+    * Levenshtein distance `maxDist` — the dictionary-correction /
+    * registry-matching form (left = dirty probes, right = canonical
+    * entities). Output: (left_id, right_id, left_s, right_s, dist).
+    *
+    * Each side expands and caps independently; a key hot on EITHER
+    * side is dropped from that side (the candidate count through a key
+    * is l_count × r_count, so capping each factor bounds the
+    * product). */
+  def editDistanceJoin(left: DataFrame, lid: String, ls: String,
+                       right: DataFrame, rid: String, rs: String,
+                       maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    def expand(df: DataFrame, id: String, s: String,
+               idAs: String, sAs: String): DataFrame =
+      df.select(col(id).as(idAs), col(s).as(sAs))
+        .filter(col(sAs).isNotNull)
+        .select(col(idAs), col(sAs),
+          explode(deletionVariants(col(sAs), maxDist)).as("__v"))
+        .select(col(idAs), col(sAs), xxhash64(col("__v")).as("__k"))
+        .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__k"))))
+        .filter(col("__bn") <= maxBucket).drop("__bn")
+    expand(left, lid, ls, "left_id", "left_s")
+      .join(expand(right, rid, rs, "right_id", "right_s"), Seq("__k"))
+      .select("left_id", "right_id", "left_s", "right_s").distinct()
+      .withColumn("dist", levenshtein(col("left_s"), col("right_s"), maxDist))
+      .filter(col("dist") >= 0)
+  }
+}

@@ -1580,4 +1580,71 @@ class OpsSpec extends SparkTestBase {
     }
     assert(e.getMessage != null || e.getCause != null) // surfaced, not silent
   }
+
+  // ---- fuzzy join ----------------------------------------------------------
+
+  private def fuzzyNames = sqlDf(
+    "id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L),
+    "s" -> Seq("kitten", "sitten", "sittin", "cat", "cut",
+      "at", "a", "", "abcd", "xbcde"))
+
+  test("fuzzy self-join finds exactly the brute-force distance-1 pairs") {
+    val fast = FuzzyJoin.editDistanceSelfJoin(fuzzyNames, "id", "s", maxDist = 1)
+      .select("a", "b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val l = fuzzyNames.toDF("a", "s_a")
+    val r = fuzzyNames.toDF("b", "s_b")
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+      .select("a", "b", "dist").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(fast == brute, s"fast=$fast brute=$brute")
+    // sanity: the substitution chain and the deletion chain both present
+    assert(brute.contains((1L, 2L, 1)) && brute.contains((6L, 7L, 1)) &&
+      brute.contains((7L, 8L, 1)))
+  }
+
+  test("fuzzy self-join at maxDist=2 is complete vs brute force (two-deletion blocking)") {
+    val fast = FuzzyJoin.editDistanceSelfJoin(fuzzyNames, "id", "s", maxDist = 2)
+      .select("a", "b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val l = fuzzyNames.toDF("a", "s_a")
+    val r = fuzzyNames.toDF("b", "s_b")
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 2)
+      .select("a", "b", "dist").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(fast == brute, s"fast=$fast brute=$brute")
+  }
+
+  test("fuzzy bipartite lookup matches each probe to its registry neighbors") {
+    val registry = fuzzyNames
+    val probes = sqlDf("pid" -> Seq(100L, 101L), "ps" -> Seq("kitten", "ca"))
+    val out = FuzzyJoin.editDistanceJoin(probes, "pid", "ps",
+        registry, "id", "s", maxDist = 1)
+      .select("left_id", "right_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // "kitten" → itself (0) and "sitten" (1 sub); "ca" → "cat" (1 ins)
+    // and "a" (1 del); "cut"/"at" are distance 2 and must NOT match
+    assert(out == Set((100L, 1L, 0), (100L, 2L, 1),
+      (101L, 4L, 1), (101L, 7L, 1)), s"got $out")
+  }
+
+  test("fuzzy join drops over-cap variant buckets (documented skew guard)") {
+    val hot = sqlDf("id" -> (1L to 5L), "s" -> Seq.fill(5)("dup"))
+    val capped = FuzzyJoin.editDistanceSelfJoin(hot, "id", "s",
+      maxDist = 1, maxBucket = 3)
+    assert(capped.count() == 0, "over-cap bucket must be dropped, not joined")
+    val uncapped = FuzzyJoin.editDistanceSelfJoin(hot, "id", "s", maxDist = 1)
+    assert(uncapped.count() == 10) // C(5,2) identical-string pairs
+  }
+
+  test("fuzzy self-join shares one exchange across both join sides") {
+    val plan = FuzzyJoin.editDistanceSelfJoin(fuzzyNames, "id", "s", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"variant expansion should be computed once, not per side:\n$plan")
+  }
 }
