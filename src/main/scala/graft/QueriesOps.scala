@@ -419,6 +419,43 @@ object QueriesOps {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // perceptual image hash (dHash) over the REAL P6 decoder: 9x8
+    // single-pixel blocks here, so the oracle replays every gradient
+    // bit from the md5-derived pixel bytes; emitted as 4x16-bit
+    // chunks (the same keys the hamming pair join buckets on)
+    "x_dhash" -> ((s, d) => {
+      val media = Multimodal.syntheticPpm(t(s, d, "documents"), "doc_id", "text",
+        w = 9, h = 8)
+      def chunk(c: Int) = call_function("shiftright", col("dhash"), lit(c * 16))
+        .bitwiseAND(lit(0xFFFFL)).cast("int").as(s"c$c")
+      Multimodal.dHashPpm(media).toDF()
+        .select(col("media_id"), col("ok"), chunk(0), chunk(1), chunk(2), chunk(3))
+        .orderBy(col("media_id"))
+    }),
+
+    // image near-dedup end to end: base corpus + a 10% "re-encode"
+    // batch whose first pixel is overwritten (payload byte surgery on
+    // the raster — at most the (0,0)->(1,0) gradient bit flips), dHash
+    // signatures, then the capped 4x16-bit pigeonhole hamming join;
+    // the oracle rebuilds both pixel sets and replays bucket keys,
+    // pairing, and bit_count distances exactly
+    "x_image_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = Multimodal.syntheticPpm(docs, "doc_id", "text", w = 9, h = 8)
+      val dup = Multimodal.syntheticPpm(
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(1000000000L)),
+          "doc_id", "text", w = 9, h = 8)
+        // header "P6\n9 8\n255\n" = 11 bytes; overwrite raster[0..2]
+        .withColumn("payload", concat(
+          substring(col("payload"), 1, 11), encode(lit("000"), "UTF-8"),
+          substring(col("payload"), 15, 1000)))
+      val sigs = Multimodal.dHashPpm(base.unionByName(dup)).toDF()
+        .filter(col("ok"))
+      Dedup.hammingNearDupSigs(sigs, "media_id", "dhash", maxDist = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // symmetric int8 quantization of the embedding corpus (the 4x
     // storage lever): per-vector scale + codes, floor(x+0.5) rounding
     // so the grid is bit-reproducible by the oracle
@@ -1112,6 +1149,61 @@ object QueriesOps {
         |  CAST(sg AS DOUBLE)/48.0 AS mean_g,
         |  CAST(sb AS DOUBLE)/48.0 AS mean_b
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // dHash replay from the md5-derived pixel bytes: 216 raster chars
+    // (9x8 RGB), gray = 3-char ascii sum, bit k = gray(x,y)<gray(x+1,y)
+    // with x=k%8, y=k//8 on the 9-wide grid, packed into 16-bit chunks
+    "x_dhash" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 7), 216, '0'), 1, 216) AS px FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(0, 72), i ->
+        |    ascii(substring(px, CAST(i*3+1 AS INT), 1)) + ascii(substring(px, CAST(i*3+2 AS INT), 1))
+        |    + ascii(substring(px, CAST(i*3+3 AS INT), 1))) AS gs FROM p),
+        |b AS (SELECT doc_id, list_transform(range(0, 64), k ->
+        |    CASE WHEN gs[CAST((k//8)*9 + (k%8) + 1 AS INT)] < gs[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+        |      THEN 1 ELSE 0 END) AS bits FROM g)
+        |SELECT doc_id AS media_id, true AS ok,
+        |  CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+1 AS INT)] * (1<<CAST(j AS INT)))) AS INT) AS c0,
+        |  CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+17 AS INT)] * (1<<CAST(j AS INT)))) AS INT) AS c1,
+        |  CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+33 AS INT)] * (1<<CAST(j AS INT)))) AS INT) AS c2,
+        |  CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+49 AS INT)] * (1<<CAST(j AS INT)))) AS INT) AS c3
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    // full image-dedup replay: both pixel sets (base + first-pixel-
+    // overwritten re-encodes), the dHash bits, the 4x16-bit bucket
+    // keys, the pigeonhole pairing, and the bit_count distance
+    "x_image_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    substring(rpad(repeat(md5(text), 7), 216, '0'), 1, 216) AS px FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS media_id,
+        |    '000' || substring(substring(rpad(repeat(md5(text), 7), 216, '0'), 1, 216), 4, 213) AS px
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT media_id, list_transform(range(0, 72), i ->
+        |    ascii(substring(px, CAST(i*3+1 AS INT), 1)) + ascii(substring(px, CAST(i*3+2 AS INT), 1))
+        |    + ascii(substring(px, CAST(i*3+3 AS INT), 1))) AS gs FROM imgs),
+        |b AS (SELECT media_id, list_transform(range(0, 64), k ->
+        |    CASE WHEN gs[CAST((k//8)*9 + (k%8) + 1 AS INT)] < gs[CAST((k//8)*9 + (k%8) + 2 AS INT)]
+        |      THEN 1 ELSE 0 END) AS bits FROM g),
+        |c AS (SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+1 AS INT)] * (1<<CAST(j AS INT)))) AS BIGINT) AS c0,
+        |    CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+17 AS INT)] * (1<<CAST(j AS INT)))) AS BIGINT) AS c1,
+        |    CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+33 AS INT)] * (1<<CAST(j AS INT)))) AS BIGINT) AS c2,
+        |    CAST(list_sum(list_transform(range(0,16), j -> bits[CAST(j+49 AS INT)] * (1<<CAST(j AS INT)))) AS BIGINT) AS c3
+        |  FROM b),
+        |ch AS (
+        |  SELECT media_id, 0 AS chunk, c0 AS key FROM c UNION ALL
+        |  SELECT media_id, 1, c1 FROM c UNION ALL
+        |  SELECT media_id, 2, c2 FROM c UNION ALL
+        |  SELECT media_id, 3, c3 FROM c),
+        |pairs AS (SELECT DISTINCT l.media_id AS a, r.media_id AS b
+        |  FROM ch l JOIN ch r USING (chunk, key) WHERE l.media_id < r.media_id),
+        |d AS (SELECT a, b,
+        |    bit_count(xor(ca.c0, cb.c0)) + bit_count(xor(ca.c1, cb.c1)) +
+        |    bit_count(xor(ca.c2, cb.c2)) + bit_count(xor(ca.c3, cb.c3)) AS dist
+        |  FROM pairs JOIN c ca ON ca.media_id = pairs.a JOIN c cb ON cb.media_id = pairs.b)
+        |SELECT a, b, CAST(dist AS INT) AS dist FROM d WHERE dist <= 3 ORDER BY a, b""".stripMargin,
 
     // the frame-sampling topology over base64(payload): every 4th
     // 32-char block; both engines emit RFC-4648 base64 of the same

@@ -295,14 +295,28 @@ object Dedup {
     * come from a capped self-join per (chunk,key) — skew-safe, no
     * per-bucket array materialization. */
   def simhashNearDup(df: DataFrame, id: String, text: String,
-                     maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                     maxDist: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingNearDupSigs(
+      df.select(col(id).as("doc_id"), simhashFast(col(text)).as("sig")),
+      "doc_id", "sig", maxDist, maxBucket)
+
+  /** Hamming near-dup pairs over PRECOMPUTED 64-bit signatures —
+    * perceptual image hashes (dHash/pHash), externally-computed
+    * simhashes, any 64-bit sketch where hamming distance ≈
+    * similarity. Same 4×16-bit pigeonhole bucketing + capped
+    * skew-safe self-join as [[simhashNearDup]]: signatures shuffle
+    * ONCE on (chunk, key), hot buckets are dropped at `maxBucket`,
+    * and the exact distance filters the candidates. */
+  def hammingNearDupSigs(sigs: DataFrame, id: String, sig: String,
+                         maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3,
-      "simhashNearDup: 4x16-bit chunk bucketing guarantees recall only for maxDist <= 3")
-    val sigs = df.select(col(id).as("doc_id"), simhashFast(col(text)).as("sig"))
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)), c =>
-        struct(c.as("chunk"),
-          call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
+      "hammingNearDupSigs: 4x16-bit chunk bucketing guarantees recall only for maxDist <= 3")
+    val chunked = sigs
+      .select(col(id).as("doc_id"), col(sig).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(3)), c =>
+          struct(c.as("chunk"),
+            call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
     bucketPairs(chunked, Seq("chunk", "key"), Seq("sig"), maxBucket)
       .withColumn("dist", hamming64(col("sig_a"), col("sig_b")))

@@ -107,6 +107,94 @@ object Multimodal {
       }
   }
 
+  case class PpmHash(media_id: Long, ok: Boolean, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over P6 payloads — the
+    * image-dedup signature: a 9×8 grid of block-mean grayscale values,
+    * bit k = y·8+x set iff gray(x,y) < gray(x+1,y) (8 horizontal
+    * gradients per row × 8 rows = 64 bits). Near-identical images
+    * (re-encodes, small edits, thumbnails) land within a few bits —
+    * feed the signatures to [[Dedup.hammingNearDupSigs]] for the
+    * capped pigeonhole pair join.
+    *
+    * Block means compare EXACTLY via cross-multiplied integer sums
+    * (sumA·nB < sumB·nA — no float division), so the hash is
+    * bit-reproducible by any engine addressing the same bytes, and
+    * scale-invariant under exact pixel replication (an upscaled copy
+    * hashes identically). gray = r+g+b (unweighted — a monotone
+    * stand-in for luma; the ordering, not the colorimetry, is what
+    * dHash consumes). Images smaller than the 9×8 grid and malformed
+    * payloads yield ok=false (PERMISSIVE, like [[decodePpm]]). */
+  def dHashPpm(media: DataFrame): Dataset[PpmHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          try {
+            var p = 2
+            require(b != null && b.length > 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte,
+              "not a P6 ppm")
+            def skipWs(): Unit = {
+              var more = true
+              while (more && p < b.length) {
+                val c = b(p)
+                if (c == ' '.toByte || c == '\n'.toByte || c == '\t'.toByte || c == '\r'.toByte) p += 1
+                else if (c == '#'.toByte) { while (p < b.length && b(p) != '\n'.toByte) p += 1 }
+                else more = false
+              }
+            }
+            def readInt(): Int = {
+              skipWs()
+              require(p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte, "bad header int")
+              var v = 0
+              while (p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte) {
+                v = v * 10 + (b(p) - '0'); p += 1
+              }
+              v
+            }
+            val w = readInt(); val h = readInt(); val maxv = readInt()
+            require(maxv == 255, "only 8-bit ppm supported")
+            p += 1 // exactly one whitespace byte separates header and raster
+            require(w >= 9 && h >= 8, "image smaller than the 9x8 dhash grid")
+            require(b.length >= p + w * h * 3, "truncated raster")
+            // block gray sums: pixel (x,y) → grid cell (x*9/w, y*8/h)
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val gy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val i = p + (y * w + x) * 3
+                val gray = (b(i) & 0xFF) + (b(i + 1) & 0xFF) + (b(i + 2) & 0xFF)
+                val gx = x * 9 / w
+                sums(gy)(gx) += gray
+                cnts(gy)(gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                // exact mean compare: sumL/nL < sumR/nR ⇔ sumL·nR < sumR·nL
+                if (sums(y)(x) * cnts(y)(x + 1) < sums(y)(x + 1) * cnts(y)(x))
+                  hash |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            PpmHash(id, ok = true, hash)
+          } catch {
+            case _: Exception => PpmHash(id, ok = false, 0L)
+          }
+        }
+      }
+  }
+
   // ---- real decode: WAV (RIFF/PCM) ---------------------------------------
   // WAV is the audio analogue of PPM: an ASCII-tagged chunk layout and
   // raw PCM samples, no codec library needed — so the audio decode

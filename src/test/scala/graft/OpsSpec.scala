@@ -512,6 +512,41 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).mean_luma == out(1).mean_luma) // identical text -> identical clip
   }
 
+  test("dhash: stable, edit-local, upscale-invariant, permissive on corrupt rows") {
+    import spark.implicits._
+    // hand-built 9x8 P6 (single-pixel blocks) with deterministic bytes
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = Array.tabulate(w * h * 3)(i => px(i / 3 % w, i / 3 / w).toByte)
+      hdr ++ raster
+    }
+    def gradient(x: Int, y: Int): Int = (x * 20 + y) & 0xFF
+    val base = ppm(9, 8, gradient)
+    // upscaled 2x copy: every pixel replicated into a 2x2 block —
+    // block means are identical, so the hash must be bit-identical
+    val up = ppm(18, 16, (x, y) => gradient(x / 2, y / 2))
+    // local edit: bump pixel (0,0) far above its right neighbor
+    val edited = base.clone(); edited(11) = 0xFF.toByte
+    edited(12) = 0xFF.toByte; edited(13) = 0xFF.toByte
+    val corrupt = "P6\n9 8\n255\n tiny".getBytes("US-ASCII")
+    val df = Seq((1L, base), (2L, up), (3L, edited), (4L, corrupt))
+      .toDF("media_id", "payload")
+    val out = Multimodal.dHashPpm(df).collect().sortBy(_.media_id)
+    assert(out(0).ok && out(1).ok && out(2).ok && !out(3).ok)
+    assert(out(0).dhash == out(1).dhash, "2x pixel replication must not change the hash")
+    val dist = java.lang.Long.bitCount(out(0).dhash ^ out(2).dhash)
+    assert(dist >= 1 && dist <= 2, s"single-pixel edit moved $dist bits (want 1-2)")
+  }
+
+  test("hammingNearDupSigs pairs within the pigeonhole radius only") {
+    val sigs = sqlDf(
+      "id" -> Seq(1L, 2L, 3L, 4L),
+      "sig" -> Seq(0L, 1L, 7L, -1L)) // 0<->1 dist 1, 0<->7 dist 3, 1<->7 dist 2; -1 is 64 bits away
+    val out = Dedup.hammingNearDupSigs(sigs, "id", "sig", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 3), (2L, 3L, 2)), s"got $out")
+  }
+
   test("range join matches the naive cross-product semantics") {
     val points = sqlDf("p_id" -> Seq(1L, 2L, 3L, 4L), "v" -> Seq(5L, 17L, 30L, 100L))
     val ivs = sqlDf("i_id" -> Seq(10L, 20L), "lo" -> Seq(0L, 15L), "hi" -> Seq(20L, 35L))
