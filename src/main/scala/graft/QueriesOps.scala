@@ -199,6 +199,25 @@ object QueriesOps {
         nLists = 8, threshold = 0.3)
         .orderBy(col("vec_id"))),
 
+    // margin-based bitext mining over the even(src)/odd(tgt) embedding
+    // halves: forward+reverse top-4 retrievals, decimal-exact
+    // neighborhood penalties, max-margin target per source — the
+    // whole chain (retrievals, penalties, margins, argmax, threshold)
+    // replays in the oracle
+    "x_bitext" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val src = e.filter(col("vec_id") % 2 === 0)
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.bruteForceTopKJoin(tgt, "vec_id", "embedding",
+        src, "vec_id", "embedding", k = 4)
+      val rev = Similarity.bruteForceTopKJoin(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4)
+      Bitext.mineBitext(Bitext.marginScores(fwd, rev), minMargin = 1.0)
+        .withColumn("cos", round(col("cos"), 4))
+        .withColumn("margin", round(col("margin"), 4))
+        .orderBy(col("src_id"))
+    }),
+
     // deterministic md5-ranked centroid sample -> the oracle rebuilds
     // the identical IVF index and probes the same two lists
     "x_ann_ivf" -> ((s, d) => {
@@ -2729,6 +2748,40 @@ s"""WITH lines AS (
         |p AS (SELECT DISTINCT pid, id, ps, s FROM pv JOIN cv USING (k))
         |SELECT pid AS probe_id, id AS c_custkey, CAST(levenshtein(ps, s) AS INT) AS dist
         |FROM p WHERE levenshtein(ps, s) <= 1 ORDER BY probe_id, c_custkey""".stripMargin,
+
+    // both retrieval directions, the decimal-exact penalties, the
+    // margin division, and the max_by(margin, tgt_id) argmax replay;
+    // round(…,4) on output only, internals on raw doubles
+    "x_bitext" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |src AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |fwd AS (SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT s.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    list_cosine_similarity(t.v, s.v) AS cos,
+        |    row_number() OVER (PARTITION BY s.vec_id
+        |      ORDER BY list_cosine_similarity(t.v, s.v) DESC, t.vec_id) AS rk
+        |  FROM src s CROSS JOIN tgt t) WHERE rk <= 4),
+        |rev AS (SELECT query_id, neighbor_id, cos FROM (
+        |  SELECT t.vec_id AS query_id, s.vec_id AS neighbor_id,
+        |    list_cosine_similarity(s.v, t.v) AS cos,
+        |    row_number() OVER (PARTITION BY t.vec_id
+        |      ORDER BY list_cosine_similarity(s.v, t.v) DESC, s.vec_id) AS rk
+        |  FROM tgt t CROSS JOIN src s) WHERE rk <= 4),
+        |px AS (SELECT query_id,
+        |    (CAST(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(cos) AS DOUBLE)) AS px FROM fwd GROUP BY query_id),
+        |py AS (SELECT query_id,
+        |    (CAST(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(cos) AS DOUBLE)) AS py FROM rev GROUP BY query_id),
+        |sc AS (SELECT f.query_id AS src_id, f.neighbor_id AS tgt_id, f.cos,
+        |    f.cos / ((px.px + py.py)/2) AS margin
+        |  FROM fwd f JOIN px ON px.query_id = f.query_id
+        |             JOIN py ON py.query_id = f.neighbor_id),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |    ORDER BY margin DESC, tgt_id DESC) AS rk FROM sc)
+        |SELECT src_id, tgt_id, round(cos, 4) AS cos, round(margin, 4) AS margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

@@ -1676,6 +1676,36 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.count() == 10) // C(5,2) identical-string pairs
   }
 
+  test("bitext margin demotes the hub: raw cosine picks it, margin picks the partner") {
+    import spark.implicits._
+    // src s1=(1,0): the hub t_h=(.707,.707) edges out the dedicated
+    // partner t1=(.698,-.716) on RAW cosine — but the hub is also very
+    // close to s2=(.6,.8), so its neighborhood penalty is high and the
+    // margin flips the choice to t1. This is exactly why bitext mining
+    // uses margins instead of cosine thresholds.
+    val src = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(0.6, 0.8)), (4L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, Seq(0.707107, 0.707107)),  // hub
+      (3L, Seq(0.698, -0.716)),       // s1's true partner
+      (5L, Seq(-0.8, 0.6)))
+      .toDF("vec_id", "embedding")
+    val fwd = Similarity.bruteForceTopKJoin(tgt, "vec_id", "embedding",
+      src, "vec_id", "embedding", k = 2)
+    val rev = Similarity.bruteForceTopKJoin(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2)
+    // raw-cosine winner for s1 IS the hub
+    val rawTop = fwd.filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").collect().head.getLong(0)
+    assert(rawTop == 1L, s"fixture broken: raw top for s1 was $rawTop, want the hub")
+    val mined = Bitext.mineBitext(Bitext.marginScores(fwd, rev), minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined(0L) == 3L, s"margin must pick the partner over the hub: $mined")
+    // margins are neighborhood-relative: at most one mined pair per src
+    assert(mined.size <= 3)
+  }
+
   test("fuzzy self-join shares one exchange across both join sides") {
     val plan = FuzzyJoin.editDistanceSelfJoin(fuzzyNames, "id", "s", maxDist = 1)
       .queryExecution.executedPlan.toString
