@@ -141,6 +141,24 @@ object QueriesOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // asymmetric containment over a corpus with 10% boilerplate-
+    // wrapped copies: the wrapped pair's containment_a is exactly 1.0
+    // (every base shingle survives in the wrapper) while jaccard is
+    // diluted by the footer — the quote/template-detection signal
+    "x_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val wrapped = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(col("text"),
+            lit(" terms apply contact support for details legal notice")).as("text"))
+      val corpus = docs.unionByName(wrapped)
+      val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.6)
+      Dedup.containmentPairs(pairs.select("a", "b"), corpus, "doc_id", "text", w = 3)
+        .select("a", "b", "containment_a", "containment_b", "jaccard")
+        .orderBy(col("a"), col("b"))
+    }),
+
     // testdata embeddings are random (max pairwise cosine ≈ 0.48), so
     // the threshold is set where pairs exist; 4 planes keep LSH recall
     // meaningful at that low similarity
@@ -2413,6 +2431,35 @@ s"""WITH lines AS (
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+
+    // brute-force ground truth over the wrapped corpus (same
+    // bimodal-similarity argument as x_dedup_jaccard: the 0.6
+    // threshold sits in the corpus's similarity gap — every pair
+    // above it has j >= 0.71, where 16-band LSH recall is ~99%+, and
+    // the next pair down is j = 0.53 — so candidate sets agree)
+    "x_containment" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id,
+        |    text || ' terms apply contact support for details legal notice' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM d0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE) AS containment_a,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(b.s) AS DOUBLE) AS containment_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.6
         |ORDER BY a, b""".stripMargin,
 
     "x_dedup_jaccard" ->

@@ -337,6 +337,30 @@ object Dedup {
       .drop("g_a", "g_b")
   }
 
+  /** Asymmetric containment scores for candidate pairs — Broder's
+    * (1997) containment companion to jaccard:
+    * c_a = |A∩B|/|A| ("how much of a sits inside b"), c_b = |A∩B|/|B|.
+    * A short document quoted or wrapped WHOLE inside a longer one
+    * scores containment ≈ 1 while jaccard stays low (the union is
+    * diluted by the wrapper), so this — not jaccard — is the signal
+    * for quote / boilerplate-wrap / template detection. Same
+    * result-set-sized shape as [[ngramJaccardPairs]]: distinct
+    * shingle-hash sets joined to the candidate pairs, all three
+    * ratios from one intersect. */
+  def containmentPairs(pairs: DataFrame, docs: DataFrame, id: String,
+                       text: String, w: Int = 3): DataFrame = {
+    val sh = docs.select(col(id).as("__cid"),
+      shingleHashesFast(col(text), w).as("__sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    pairs
+      .join(sh.withColumnRenamed("__cid", "a").withColumnRenamed("__sh", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("__cid", "b").withColumnRenamed("__sh", "sh_b"), Seq("b"))
+      .withColumn("containment_a", inter / size(col("sh_a")).cast("double"))
+      .withColumn("containment_b", inter / size(col("sh_b")).cast("double"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .drop("sh_a", "sh_b")
+  }
+
   def charNgrams(text: Column, n: Int): Column = {
     val s = regexp_replace(lower(text), "\\s+", " ")
     // split("", -1) appends a trailing empty element — cut to length(s)

@@ -1676,6 +1676,23 @@ class OpsSpec extends SparkTestBase {
     assert(uncapped.count() == 10) // C(5,2) identical-string pairs
   }
 
+  test("containment: wrapped doc scores exactly 1.0 while jaccard dilutes") {
+    val corpus = sqlDf(
+      "doc_id" -> Seq(1L, 2L),
+      "text" -> Seq(
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta legal notice terms apply here"))
+    val pairs = sqlDf("a" -> Seq(1L), "b" -> Seq(2L))
+    val r = Dedup.containmentPairs(pairs, corpus, "doc_id", "text", w = 3)
+      .collect().head
+    val (ca, cb, j) = (r.getAs[Double]("containment_a"),
+      r.getAs[Double]("containment_b"), r.getAs[Double]("jaccard"))
+    assert(ca == 1.0, s"whole doc inside wrapper must give containment 1.0, got $ca")
+    assert(cb < 1.0 && j < 1.0)
+    // A ⊆ B ⇒ |A∩B| = |A| and |A∪B| = |B| ⇒ jaccard == containment_b
+    assert(j == cb)
+  }
+
   test("bitext margin demotes the hub: raw cosine picks it, margin picks the partner") {
     import spark.implicits._
     // src s1=(1,0): the hub t_h=(.707,.707) edges out the dedicated
