@@ -17,6 +17,7 @@ object Bench {
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
     "x_bm25", "x_centroids", "x_kmeans_lloyd", "x_interleave",
+    "x_fuzzy_join", "x_image_dedup", "x_bitext",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -70,7 +71,13 @@ object Bench {
     "x_bm25", "x_centroids",
     // global training-order rowid sort over the 10x documents — the
     // interleave permutation must scale like the other rowid paths
-    "x_interleave")
+    "x_interleave",
+    // image signatures + hamming buckets over the 10x media corpus
+    // (x_fuzzy_join is EXCLUDED from sf1: key-shifted customer
+    // replicas keep identical names, which would measure a
+    // pathological 10-deep-duplicate registry, not scale-up — the
+    // same reasoning as the document replica tags)
+    "x_image_dedup")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

@@ -517,6 +517,19 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("label"), col("dim"))),
 
+    // per-label centroid drift between the even(old)/odd(new) snapshot
+    // halves: fixed-point centroids per side, null-safe join, and
+    // fixed-point (floor grid) element sums for the L2 shift and
+    // centroid cosine — the rebuild-the-index-yet monitor,
+    // engine-exact with no rounding
+    "x_drift" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.centroidDrift(
+          e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+          Seq("label"), col("embedding"), dims = 64)
+        .orderBy(col("label"))
+    }),
+
     // per-label coherence: mean cosine to the fixed-point centroid,
     // decimal-accumulated so the mean is order-invariant
     "x_coherence" -> ((s, d) =>
@@ -1068,6 +1081,43 @@ object QueriesOps {
         |SELECT label, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // drift: the x_centroids fixed-point replay per snapshot half,
+    // full-outer label join, then floor(x*2^40+0.5) fixed-point Long
+    // sums for the L2/cosine terms — the same engine-exact grid as
+    // the centroid aggregate (double->DECIMAL casts diverge across
+    // engines at the 11th+ fractional digit; floor does not)
+    "x_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fo AS (SELECT label, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM e CROSS JOIN range(0, 64) r WHERE vec_id % 2 = 0),
+        |mo AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+        |  FROM fo GROUP BY label, dim),
+        |co AS (SELECT label, any_value(n) AS n_old, list(cval ORDER BY dim) AS ca FROM mo GROUP BY label),
+        |fn AS (SELECT label, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM e CROSS JOIN range(0, 64) r WHERE vec_id % 2 = 1),
+        |mn AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+        |  FROM fn GROUP BY label, dim),
+        |cn AS (SELECT label, any_value(n) AS n_new, list(cval ORDER BY dim) AS cb FROM mn GROUP BY label),
+        |j AS (SELECT coalesce(co.label, cn.label) AS label,
+        |    coalesce(co.n_old, 0) AS n_old, coalesce(cn.n_new, 0) AS n_new, ca, cb
+        |  FROM co FULL OUTER JOIN cn ON co.label = cn.label),
+        |ds AS (SELECT label, n_old, n_new,
+        |    CAST(list_sum(list_transform(range(1,65), i ->
+        |      CAST(floor((ca[CAST(i AS INT)] - cb[CAST(i AS INT)]) * (ca[CAST(i AS INT)] - cb[CAST(i AS INT)]) * 1099511627776.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1099511627776.0 AS d2,
+        |    CAST(list_sum(list_transform(range(1,65), i ->
+        |      CAST(floor(ca[CAST(i AS INT)] * cb[CAST(i AS INT)] * 1099511627776.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1099511627776.0 AS dt,
+        |    CAST(list_sum(list_transform(range(1,65), i ->
+        |      CAST(floor(ca[CAST(i AS INT)] * ca[CAST(i AS INT)] * 1099511627776.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1099511627776.0 AS na2,
+        |    CAST(list_sum(list_transform(range(1,65), i ->
+        |      CAST(floor(cb[CAST(i AS INT)] * cb[CAST(i AS INT)] * 1099511627776.0 + 0.5) AS BIGINT))) AS DOUBLE) / 1099511627776.0 AS nb2
+        |  FROM j)
+        |SELECT label, n_old, n_new, sqrt(d2) AS drift_l2, dt / (sqrt(na2) * sqrt(nb2)) AS drift_cos
+        |FROM ds ORDER BY label""".stripMargin,
 
     // coherence: same fixed-point centroid replay as x_centroids,
     // list built in dim order, decimal-bridged mean of cosines

@@ -504,6 +504,63 @@ object Similarity {
         graft.functions.Exact.davg(col("__cos")).as("coherence"))
   }
 
+  /** Order-invariant engine-exact sum of an array<double>'s elements
+    * via the fixed-point recipe [[centroidsByKey]] already proves out:
+    * floor(x·2^40 + 0.5) is identical in every engine on identical
+    * doubles (double→DECIMAL casts are NOT — Spark and DuckDB round
+    * different representations at the 11th+ fractional digit), Long
+    * sums are exact and associative, and the one final division is a
+    * single IEEE op. Grid: 2^-40 ≈ 9e-13 resolution, |element| must
+    * stay ≪ 2^13 so 64-element sums sit far inside 2^53 (drift/
+    * centroid arrays are unit-scale). Runs once per STRATUM, not per
+    * row. */
+  private def dElemSum(arr: Column): Column = {
+    val scale = (1L << 40).toDouble
+    aggregate(arr, lit(0L),
+      (acc, x) => acc + floor(x * lit(scale) + 0.5).cast("long"))
+      .cast("double") / lit(scale)
+  }
+
+  /** Per-stratum centroid drift between two corpus snapshots — the
+    * embedding-space distribution-shift monitor that tells a standing
+    * pipeline WHEN to rebuild its IVF index / recalibrate its quality
+    * classifier (the rebuild-on-a-drift-budget contract in
+    * [[assignToCentroids]]): each snapshot's per-key centroids via the
+    * fixed-point aggregate ([[centroidsByKey]] — bit-identical under
+    * any partitioning), joined null-safely (<=>; a NULL stratum is a
+    * stratum), then the L2 shift and cosine between old and new
+    * centroids. Strata present in only one snapshot surface with
+    * n=0 on the other side and NULL drift — appearing/disappearing
+    * sources ARE drift events, not rows to drop.
+    *
+    * Shape: two fixed-buffer agg shuffles (#partitions × #strata
+    * buffers) + one stratum-sized join — the corpora never shuffle
+    * their vectors. Drift arithmetic uses the same fixed-point Long
+    * grid as the centroid aggregate (floor(x·2^40+0.5) sums), so the
+    * output is engine-exact with NO rounding.
+    * Output: (keys…, n_old, n_new, drift_l2, drift_cos). */
+  def centroidDrift(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                    vec: Column, dims: Int): DataFrame = {
+    require(keys.nonEmpty, "centroidDrift: no stratum keys")
+    val a = centroidsByKey(oldDf, keys.map(col), vec, dims)
+      .select(keys.map(col) ++ Seq(col("n").as("n_old"), col("centroid").as("__ca")): _*)
+    val b = centroidsByKey(newDf, keys.map(col), vec, dims)
+      .select(keys.map(k => col(k).as(s"__k_$k")) ++
+        Seq(col("n").as("n_new"), col("centroid").as("__cb")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    val dot = dElemSum(zip_with(col("__ca"), col("__cb"), (x, y) => x * y))
+    val na = sqrt(dElemSum(transform(col("__ca"), x => x * x)))
+    val nb = sqrt(dElemSum(transform(col("__cb"), x => x * x)))
+    a.join(b, cond, "full_outer")
+      .withColumn("drift_l2",
+        sqrt(dElemSum(zip_with(col("__ca"), col("__cb"), (x, y) => (x - y) * (x - y)))))
+      .withColumn("drift_cos", dot / (na * nb))
+      .select(keys.map(k => coalesce(col(k), col(s"__k_$k")).as(k)) ++ Seq(
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("drift_l2"), col("drift_cos")): _*)
+  }
+
   /** Per-group embedding centroids in ONE partial aggregate — no
     * posexplode (which would multiply the shuffle by `dims`; see
     * plans.VectorAggKernels). `vec` must be castable to array<double>

@@ -1607,6 +1607,30 @@ class OpsSpec extends SparkTestBase {
     assert(out(None) == (1L, 1.0)) // singleton stratum: cos to itself
   }
 
+  test("centroidDrift: zero on identical snapshots, NULL for one-sided strata") {
+    import spark.implicits._
+    val oldDf = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
+      ("b", Seq(1.0, 1.0)), ("c", Seq(1.0, 0.0)))
+      .toDF("g", "v")
+    val newDf = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
+      ("b", Seq(2.0, 2.0)))
+      .toDF("g", "v")
+    val out = Similarity.centroidDrift(oldDf, newDf, Seq("g"), col("v"), dims = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val (nOldA, nNewA, l2A, cosA) = out("a")
+    assert(nOldA == 2 && nNewA == 2 && l2A.contains(0.0))
+    assert(math.abs(cosA.get - 1.0) < 1e-9)
+    // b: centroid (1,1) -> (2,2): l2 = sqrt(2), direction unchanged
+    val (_, _, l2B, cosB) = out("b")
+    assert(math.abs(l2B.get - math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(cosB.get - 1.0) < 1e-9)
+    // c disappeared: surfaces with n_new = 0 and NULL drift
+    val (nOldC, nNewC, l2C, _) = out("c")
+    assert(nOldC == 1 && nNewC == 0 && l2C.isEmpty)
+  }
+
   test("centroidsByKey fails loudly on a wrong-width vector") {
     import spark.implicits._
     val vecs = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0, 2.0, 3.0))).toDF("g", "v")
