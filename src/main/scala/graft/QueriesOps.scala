@@ -517,6 +517,15 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("label"), col("dim"))),
 
+    // top principal direction of the embedding cloud by power
+    // iteration (2 rounds, v0 = e0) — every iterate accumulates on
+    // the floor(t*2^30+0.5) Long grid, so the oracle's SQL unrolling
+    // reproduces the eigenvector bit for bit
+    "x_pca" -> ((s, d) =>
+      Similarity.topPrincipalDirection(t(s, d, "embeddings"), "embedding",
+          dims = 64, iters = 2)
+        .orderBy(col("dim"))),
+
     // per-label centroid drift between the even(old)/odd(new) snapshot
     // halves: fixed-point centroids per side, null-safe join, and
     // fixed-point (floor grid) element sums for the L2 shift and
@@ -1081,6 +1090,39 @@ object QueriesOps {
         |SELECT label, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // 2-round power iteration unrolled in SQL: per-row projections
+    // and per-dim contributions on the same floor(t*2^30+0.5) Long
+    // grid as the Spark side, the driver's normalization replayed as
+    // a left-assoc + chain — bit-exact, no rounding
+    "x_pca" -> {
+      val S = "1073741824.0"
+      def fx(t: String) = s"CAST(floor(($t) * $S + 0.5) AS BIGINT)"
+      def vj(j: Int) = s"v[${j + 1}]"
+      val w1 = (0 until 64).map(j =>
+        s"sum(${fx(s"${vj(j)} * p1")}) AS s$j").mkString(", ")
+      val nsq = (0 until 64).map(j => s"w$j * w$j").mkString(" + ")
+      val w1d = (0 until 64).map(j => s"CAST(s$j AS DOUBLE) / $S AS w$j").mkString(", ")
+      val u1 = (0 until 64).map(j => s"w$j / n1 AS u$j").mkString(", ")
+      val p2terms = (0 until 64).map(j => fx(s"e.${vj(j)} * u.u$j")).mkString(" + ")
+      val w2 = (0 until 64).map(j =>
+        s"sum(${fx(s"${vj(j)} * p2")}) AS t$j").mkString(", ")
+      val w2d = (0 until 64).map(j => s"CAST(t$j AS DOUBLE) / $S AS w$j").mkString(", ")
+      val ls = (0 until 64).map(j => s"w$j / n2").mkString(", ")
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p1t AS (SELECT v, CAST(${fx("v[1]")} AS DOUBLE) / $S AS p1 FROM e),
+         |s1 AS (SELECT $w1 FROM p1t),
+         |d1 AS (SELECT $w1d FROM s1),
+         |nv1 AS (SELECT *, sqrt($nsq) AS n1 FROM d1),
+         |u AS (SELECT $u1 FROM nv1),
+         |p2t AS (SELECT e.v, CAST(($p2terms) AS DOUBLE) / $S AS p2 FROM e CROSS JOIN u),
+         |s2 AS (SELECT $w2 FROM p2t),
+         |d2 AS (SELECT $w2d FROM s2),
+         |nv2 AS (SELECT *, sqrt($nsq) AS n2 FROM d2),
+         |fin AS (SELECT list_value($ls) AS ls, n2 AS lam FROM nv2)
+         |SELECT CAST(r.range AS INT) AS dim, ls[CAST(r.range + 1 AS INT)] AS loading, lam
+         |FROM fin CROSS JOIN range(0, 64) r ORDER BY dim""".stripMargin
+    },
 
     // drift: the x_centroids fixed-point replay per snapshot half,
     // full-outer label join, then floor(x*2^40+0.5) fixed-point Long

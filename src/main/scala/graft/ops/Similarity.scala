@@ -588,4 +588,68 @@ object Similarity {
           s => s.cast("double") / lit(scale) / col("__vs.n").cast("double")))
       .drop("__vs")
   }
+
+  /** Top principal direction of an embedding corpus by power
+    * iteration — the anisotropy / "all-but-the-top" read (Mu &
+    * Viswanath 2018): embedding clouds concentrate along a few
+    * dominant directions, and removing the top component(s) before
+    * cosine retrieval measurably improves it. This computes the
+    * dominant eigenvector of the (uncentered) second-moment matrix
+    * Σ x xᵀ without EVER materializing the dims×dims matrix:
+    * each iteration is w = Σ_rows x·(x·v), i.e. ONE aggregate scan
+    * producing `dims` Long sums, with v living on the driver between
+    * rounds (dims doubles — the kmeansLloyd round-trip pattern).
+    * Center first (subtract [[centroidsByKey]]'s global mean) for
+    * true top-PCA; uncentered, the top direction ≈ the mean
+    * direction — both are standard whitening reads.
+    *
+    * Engine-exact by the floor-grid recipe: the per-row projection
+    * x·v and the per-dimension contributions x_j·(x·v) both
+    * accumulate as floor(t·2^30 + 0.5) Long sums (order-invariant,
+    * identical in any engine on identical doubles), and the driver's
+    * normalization is plain IEEE (sum of squares in dimension order +
+    * one sqrt), so every iterate — and the output — is bit-identical
+    * to the SQL unrolling of the same recipe. Seed v₀ = e₀ (the
+    * first basis vector), standard for power iteration; a corpus
+    * exactly orthogonal to the current iterate fails loudly rather
+    * than dividing by zero.
+    *
+    * Magnitude contract: |x_j| ≤ ~100 keeps x·v ≤ 100·√dims and the
+    * 2^30-grid Long sums far inside 2^63 for corpora to ~10^9 rows —
+    * embedding-scale inputs by construction.
+    *
+    * Output: `dims` rows (dim, loading, lam) — the unit eigenvector
+    * and the eigenvalue estimate ‖w‖ from the final iteration. */
+  def topPrincipalDirection(corpus: DataFrame, vec: String, dims: Int,
+                            iters: Int): DataFrame = {
+    require(iters >= 1, s"topPrincipalDirection: iters=$iters must be >= 1")
+    require(dims >= 1 && dims <= 4096,
+      s"topPrincipalDirection: dims=$dims outside the driver-roundtrip envelope")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scale = (1L << 30).toDouble
+    def fx(c: Column): Column = floor(c * lit(scale) + 0.5).cast("long")
+    var v = Array.tabulate(dims)(j => if (j == 0) 1.0 else 0.0)
+    var lam = 0.0
+    for (_ <- 1 to iters) {
+      val x = col(vec).cast("array<double>")
+      val vLit = array(v.map(lit).toSeq: _*)
+      // per-row projection on the fixed-point grid (order-invariant)
+      val proj = aggregate(zip_with(x, vLit, (a, b) => fx(a * b)), lit(0L), _ + _)
+        .cast("double") / lit(scale)
+      // w_j = Σ_rows x_j · proj, one partial-agg scan of dims Long sums
+      val aggs = (0 until dims).map(j =>
+        sum(fx(element_at(x, j + 1) * proj)).as(s"w$j"))
+      val row = corpus.select(col(vec)).agg(aggs.head, aggs.tail: _*).collect().head
+      val w = Array.tabulate(dims)(j => row.getLong(j).toDouble / scale)
+      // norm in dimension order — the oracle's left-assoc + chain
+      lam = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+      require(lam > 0.0,
+        "topPrincipalDirection: iterate collapsed to zero (corpus orthogonal " +
+          "to the current vector) — reseed or center the corpus")
+      v = w.map(_ / lam)
+    }
+    v.zipWithIndex.map { case (x, j) => (j, x, lam) }
+      .toSeq.toDF("dim", "loading", "lam")
+  }
 }

@@ -1607,6 +1607,34 @@ class OpsSpec extends SparkTestBase {
     assert(out(None) == (1L, 1.0)) // singleton stratum: cos to itself
   }
 
+  test("power iteration converges to the dominant direction") {
+    import spark.implicits._
+    // points along the (3,1) line with small symmetric noise: the
+    // dominant eigenvector of Σ x xᵀ is (3,1)/√10
+    val pts = Seq.tabulate(40) { i =>
+      val t = (i - 20) / 5.0
+      Seq(3.0 * t + (if (i % 2 == 0) 0.1 else -0.1), t)
+    }
+    val out = Similarity.topPrincipalDirection(pts.toDF("embedding"),
+        "embedding", dims = 2, iters = 8)
+      .orderBy("dim").collect()
+    val v = out.map(_.getDouble(1))
+    assert(math.abs(v(0) * v(0) + v(1) * v(1) - 1.0) < 1e-9, "unit norm")
+    val e = Array(3.0, 1.0).map(_ / math.sqrt(10.0))
+    assert(math.abs(v(0) * e(0) + v(1) * e(1)) > 0.999,
+      s"direction off: got ${v.toSeq}")
+    assert(out.head.getDouble(2) > 0.0) // eigenvalue estimate positive
+  }
+
+  test("power iteration fails loudly on a corpus orthogonal to the seed") {
+    import spark.implicits._
+    val df = Seq(Seq(0.0, 1.0), Seq(0.0, -1.0)).toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topPrincipalDirection(df, "embedding", dims = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("collapsed"))
+  }
+
   test("centroidDrift: zero on identical snapshots, NULL for one-sided strata") {
     import spark.implicits._
     val oldDf = Seq(("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
