@@ -526,6 +526,19 @@ object QueriesOps {
           dims = 64, iters = 2)
         .orderBy(col("dim"))),
 
+    // all-but-the-top whitened retrieval: subtract the x_pca top
+    // component (bit-exact literals + floor-grid projection), then
+    // the standard brute-force top-k — the oracle re-derives the
+    // eigenvector, whitens, and replays the retrieval end to end
+    "x_abtt" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val white = Similarity.removeTopComponent(e, "embedding", dims = 64, iters = 2)
+      Similarity.bruteForceTopKJoin(white, "vec_id", "embedding",
+        white.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // per-label centroid drift between the even(old)/odd(new) snapshot
     // halves: fixed-point centroids per side, null-safe join, and
     // fixed-point (floor grid) element sums for the L2 shift and
@@ -1060,6 +1073,37 @@ object QueriesOps {
       |'@mail.org or +49 170 ' || doc_id || ' at 10.0.' || (doc_id % 200) ||
       |'.7' || chr(10) || text""".stripMargin
 
+  /** Shared CTE chain unrolling the 2-round power iteration on the
+    * floor(t·2^30+0.5) Long grid (see Similarity.topPrincipalDirection)
+    * — ends in `fin(ls, lam)`: the unit eigenvector as a 64-list plus
+    * the eigenvalue estimate. Used by the x_pca and x_abtt oracles. */
+  private lazy val pcaUnrollCtes: String = {
+    val S = "1073741824.0"
+    def fx(t: String) = s"CAST(floor(($t) * $S + 0.5) AS BIGINT)"
+    def vj(j: Int) = s"v[${j + 1}]"
+    val w1 = (0 until 64).map(j =>
+      s"sum(${fx(s"${vj(j)} * p1")}) AS s$j").mkString(", ")
+    val nsq = (0 until 64).map(j => s"w$j * w$j").mkString(" + ")
+    val w1d = (0 until 64).map(j => s"CAST(s$j AS DOUBLE) / $S AS w$j").mkString(", ")
+    val u1 = (0 until 64).map(j => s"w$j / n1 AS u$j").mkString(", ")
+    val p2terms = (0 until 64).map(j => fx(s"e.${vj(j)} * u.u$j")).mkString(" + ")
+    val w2 = (0 until 64).map(j =>
+      s"sum(${fx(s"${vj(j)} * p2")}) AS t$j").mkString(", ")
+    val w2d = (0 until 64).map(j => s"CAST(t$j AS DOUBLE) / $S AS w$j").mkString(", ")
+    val ls = (0 until 64).map(j => s"w$j / n2").mkString(", ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p1t AS (SELECT v, CAST(${fx("v[1]")} AS DOUBLE) / $S AS p1 FROM e),
+       |s1 AS (SELECT $w1 FROM p1t),
+       |d1 AS (SELECT $w1d FROM s1),
+       |nv1 AS (SELECT *, sqrt($nsq) AS n1 FROM d1),
+       |u AS (SELECT $u1 FROM nv1),
+       |p2t AS (SELECT e.v, CAST(($p2terms) AS DOUBLE) / $S AS p2 FROM e CROSS JOIN u),
+       |s2 AS (SELECT $w2 FROM p2t),
+       |d2 AS (SELECT $w2d FROM s2),
+       |nv2 AS (SELECT *, sqrt($nsq) AS n2 FROM d2),
+       |fin AS (SELECT list_value($ls) AS ls, n2 AS lam FROM nv2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // recompute the synthetic 8x6 P6 raster (pixels = md5-hex ASCII,
     // repeated + '0'-padded to 144 bytes) and its channel means; the
@@ -1095,33 +1139,33 @@ object QueriesOps {
     // and per-dim contributions on the same floor(t*2^30+0.5) Long
     // grid as the Spark side, the driver's normalization replayed as
     // a left-assoc + chain — bit-exact, no rounding
-    "x_pca" -> {
-      val S = "1073741824.0"
-      def fx(t: String) = s"CAST(floor(($t) * $S + 0.5) AS BIGINT)"
-      def vj(j: Int) = s"v[${j + 1}]"
-      val w1 = (0 until 64).map(j =>
-        s"sum(${fx(s"${vj(j)} * p1")}) AS s$j").mkString(", ")
-      val nsq = (0 until 64).map(j => s"w$j * w$j").mkString(" + ")
-      val w1d = (0 until 64).map(j => s"CAST(s$j AS DOUBLE) / $S AS w$j").mkString(", ")
-      val u1 = (0 until 64).map(j => s"w$j / n1 AS u$j").mkString(", ")
-      val p2terms = (0 until 64).map(j => fx(s"e.${vj(j)} * u.u$j")).mkString(" + ")
-      val w2 = (0 until 64).map(j =>
-        s"sum(${fx(s"${vj(j)} * p2")}) AS t$j").mkString(", ")
-      val w2d = (0 until 64).map(j => s"CAST(t$j AS DOUBLE) / $S AS w$j").mkString(", ")
-      val ls = (0 until 64).map(j => s"w$j / n2").mkString(", ")
-      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |p1t AS (SELECT v, CAST(${fx("v[1]")} AS DOUBLE) / $S AS p1 FROM e),
-         |s1 AS (SELECT $w1 FROM p1t),
-         |d1 AS (SELECT $w1d FROM s1),
-         |nv1 AS (SELECT *, sqrt($nsq) AS n1 FROM d1),
-         |u AS (SELECT $u1 FROM nv1),
-         |p2t AS (SELECT e.v, CAST(($p2terms) AS DOUBLE) / $S AS p2 FROM e CROSS JOIN u),
-         |s2 AS (SELECT $w2 FROM p2t),
-         |d2 AS (SELECT $w2d FROM s2),
-         |nv2 AS (SELECT *, sqrt($nsq) AS n2 FROM d2),
-         |fin AS (SELECT list_value($ls) AS ls, n2 AS lam FROM nv2)
+    "x_pca" ->
+      s"""WITH $pcaUnrollCtes
          |SELECT CAST(r.range AS INT) AS dim, ls[CAST(r.range + 1 AS INT)] AS loading, lam
-         |FROM fin CROSS JOIN range(0, 64) r ORDER BY dim""".stripMargin
+         |FROM fin CROSS JOIN range(0, 64) r ORDER BY dim""".stripMargin,
+
+    // whiten with the re-derived eigenvector (floor-grid projection,
+    // so whitened vectors are bit-exact), then the x_ann_brute
+    // retrieval replay over them
+    "x_abtt" -> {
+      val S = "1073741824.0"
+      val pTerms = (0 until 64).map(j =>
+        s"CAST(floor(v[${j + 1}] * ls[${j + 1}] * $S + 0.5) AS BIGINT)").mkString(" + ")
+      s"""WITH $pcaUnrollCtes,
+         |wh AS (SELECT vec_id,
+         |    list_transform(range(1, 65), j ->
+         |      v[CAST(j AS INT)] - (CAST(($pTerms) AS DOUBLE) / $S) * ls[CAST(j AS INT)]) AS wv
+         |  FROM e CROSS JOIN fin),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_cosine_similarity(c.wv, q.wv) AS rawcos
+         |  FROM wh c CROSS JOIN (SELECT * FROM wh WHERE vec_id < 3) q),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, rawcos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rawcos DESC, neighbor_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
     // drift: the x_centroids fixed-point replay per snapshot half,

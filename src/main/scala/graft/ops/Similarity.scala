@@ -652,4 +652,32 @@ object Similarity {
     v.zipWithIndex.map { case (x, j) => (j, x, lam) }
       .toSeq.toDF("dim", "loading", "lam")
   }
+
+  /** "All-but-the-top" whitening (Mu & Viswanath 2018): subtract each
+    * vector's projection onto the corpus's top principal direction,
+    * x′ = x − (x·v)·v — the one-line post-process that measurably
+    * improves cosine retrieval on anisotropic embedding clouds. v
+    * comes from [[topPrincipalDirection]] (driver-resident, dims
+    * doubles) and inlines as literals, so the rewrite is a pure
+    * projection — no shuffle, no join; the per-row dot runs ONCE into
+    * a temp column (evaluation-shape rule), on the same floor-grid
+    * accumulation as the iteration itself, so whitened vectors are
+    * bit-reproducible cross-engine. Replaces `vec` in place. */
+  def removeTopComponent(corpus: DataFrame, vec: String, dims: Int,
+                         iters: Int): DataFrame = {
+    val pc = topPrincipalDirection(corpus, vec, dims, iters)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val vLit = array(pc.map(lit).toSeq: _*)
+    val scale = (1L << 30).toDouble
+    val x = col(vec).cast("array<double>")
+    val proj = aggregate(
+      zip_with(x, vLit, (a, b) => floor(a * b * lit(scale) + 0.5).cast("long")),
+      lit(0L), _ + _).cast("double") / lit(scale)
+    require(!corpus.columns.contains("__abtt"),
+      "removeTopComponent: reserved column __abtt")
+    corpus
+      .withColumn("__abtt", proj)
+      .withColumn(vec, zip_with(x, vLit, (a, b) => a - col("__abtt") * b))
+      .drop("__abtt")
+  }
 }

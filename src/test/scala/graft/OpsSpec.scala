@@ -1626,6 +1626,29 @@ class OpsSpec extends SparkTestBase {
     assert(out.head.getDouble(2) > 0.0) // eigenvalue estimate positive
   }
 
+  test("all-but-the-top: whitened vectors have ~zero projection on the top direction") {
+    import spark.implicits._
+    val pts = Seq.tabulate(30) { i =>
+      val t = (i - 15) / 3.0
+      Seq(3.0 * t + 0.05 * (i % 3), t, 0.2 * (i % 5 - 2))
+    }
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val v = Similarity.topPrincipalDirection(df, "embedding", dims = 3, iters = 8)
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val white = Similarity.removeTopComponent(df, "embedding", dims = 3, iters = 8)
+    val resid = white.select(col("vec_id"),
+      Similarity.dot(col("embedding").cast("array<double>"),
+        array(v.map(lit).toSeq: _*)).as("p"))
+      .collect().map(r => math.abs(r.getDouble(1)))
+    // residual projection bounded by the 2^-30 grid times vector scale
+    assert(resid.max < 1e-6, s"max residual projection ${resid.max}")
+    // and the whitening actually changed the vectors
+    val changed = white.join(df.withColumnRenamed("embedding", "orig"), "vec_id")
+      .filter(col("embedding") =!= col("orig")).count()
+    assert(changed > 25)
+  }
+
   test("power iteration fails loudly on a corpus orthogonal to the seed") {
     import spark.implicits._
     val df = Seq(Seq(0.0, 1.0), Seq(0.0, -1.0)).toDF("embedding")
