@@ -288,6 +288,22 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // hour-over-hour trending event types (rise vs own baseline, not
+    // raw top-k): windowed counts + shifted self-join, smoothing 1
+    "x_trending" -> ((s, d) =>
+      EventAnalytics.trending(events(s, d), "1 hour")
+        .orderBy(col("wstart"), col("event_type"))),
+
+    // leakage-safe split: keyed by SOURCE, so every doc of a domain
+    // lands in one split — group-level contamination can't leak
+    // train->test as the corpus grows (same md5-range rule as
+    // x_splits, different key grain)
+    "x_splits_grouped" -> ((s, d) =>
+      Sampling.splitAssign(t(s, d, "documents"), col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")
+        .orderBy(col("doc_id"))),
+
     // ---- fuzzy matching -------------------------------------------------
     // entity resolution over the customer registry: all name pairs
     // within levenshtein distance 1 (the single-digit-substitution
@@ -2978,6 +2994,23 @@ s"""WITH lines AS (
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "x_trending" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT wstart + INTERVAL 1 HOUR AS wstart, event_type, n AS n_prev FROM a)
+        |SELECT a.wstart, a.event_type, a.n, coalesce(p.n_prev, 0) AS n_prev,
+        |  (CAST(a.n AS DOUBLE) + 1.0) / (CAST(coalesce(p.n_prev, 0) AS DOUBLE) + 1.0) AS trend
+        |FROM a LEFT JOIN p ON a.wstart = p.wstart AND a.event_type = p.event_type
+        |ORDER BY a.wstart, a.event_type""".stripMargin,
+
+    // same 16-bit md5-range rule as x_splits, keyed by source
+    "x_splits_grouped" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 4) < 'cccd' THEN 'train'
+        |    WHEN substring(md5(source), 1, 4) < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s_window_agg" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,

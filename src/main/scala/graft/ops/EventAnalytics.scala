@@ -100,4 +100,35 @@ object EventAnalytics {
           .as("week_offset"))
       .agg(countDistinct(col("__u")).as("users"))
   }
+
+  /** Trending event types: each window's count against the PREVIOUS
+    * window's — the rises-vs-its-own-baseline read that a raw top-k
+    * ranking misses (a type that is always #1 isn't "trending"; one
+    * that tripled is). trend = (n + s) / (n_prev + s) with additive
+    * smoothing `s` so brand-new types score high-but-finite instead
+    * of dividing by zero. Windows with no predecessor read n_prev=0.
+    *
+    * Built on [[graft.streaming.EventStreams.windowedAgg]] — the same
+    * dual-mode aggregate the streaming path runs; in a live pipeline
+    * the window-over-window comparison runs on the agg's sink table
+    * (post-aggregation stream-stream self-joins aren't expressible
+    * inside one streaming query), which is exactly this operator over
+    * the sink. Shape: one windowed partial agg + a self-join on the
+    * shifted window start — (windows × types)-sized work after the
+    * agg, however big the log. Trend arithmetic is integer counts +
+    * one IEEE division: engine-exact. */
+  def trending(events: DataFrame, windowLen: String = "1 hour",
+               smooth: Double = 1.0): DataFrame = {
+    require(smooth > 0, s"trending: smooth=$smooth must be > 0")
+    val agg = graft.streaming.EventStreams.windowedAgg(events, windowLen)
+      .select(col("wstart"), col("event_type"), col("n"))
+    val prev = agg.select(
+      (col("wstart") + expr(s"INTERVAL $windowLen")).as("wstart"),
+      col("event_type"), col("n").as("n_prev"))
+    agg.join(prev, Seq("wstart", "event_type"), "left")
+      .withColumn("n_prev", coalesce(col("n_prev"), lit(0L)))
+      .withColumn("trend",
+        (col("n").cast("double") + lit(smooth)) /
+          (col("n_prev").cast("double") + lit(smooth)))
+  }
 }

@@ -945,6 +945,29 @@ class OpsSpec extends SparkTestBase {
     assert(out.last.getAs[Double]("frac_of_first") == 0.25)
   }
 
+  test("trending scores rise vs the previous window, smoothing new arrivals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int, m: Int) = new Timestamp(1700000000000L / 3600000L * 3600000L
+      + h * 3600000L + m * 60000L)
+    // hour 0: A x2, B x5; hour 1: A x6, B x5, C x3 (new)
+    val ev = (Seq.fill(2)((t(0, 1), "A")) ++ Seq.fill(5)((t(0, 2), "B")) ++
+      Seq.fill(6)((t(1, 1), "A")) ++ Seq.fill(5)((t(1, 2), "B")) ++
+      Seq.fill(3)((t(1, 3), "C")))
+      .zipWithIndex.map { case ((ts, e), i) => (i.toLong, ts, 1L, e, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.trending(ev, "1 hour").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getAs[Long]("n"), r.getAs[Long]("n_prev"), r.getAs[Double]("trend")))
+    val h1 = out.filter(_._1 == t(1, 0).getTime).map(x => x._2 -> x).toMap
+    assert(h1("A")._5 == 7.0 / 3.0)   // 2 -> 6: rising
+    assert(h1("B")._5 == 1.0)          // flat
+    assert(h1("C")._5 == 4.0)          // new: (3+1)/(0+1), finite
+    assert(h1("C")._4 == 0L)
+    // trending order at hour 1: the new type and the riser beat the flat #1
+    assert(h1("C")._5 > h1("A")._5 && h1("A")._5 > h1("B")._5)
+  }
+
   test("cohortRetention builds the cohort-week triangle") {
     import spark.implicits._
     import java.sql.Timestamp
