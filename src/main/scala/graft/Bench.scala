@@ -17,7 +17,7 @@ object Bench {
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
     "x_bm25", "x_centroids", "x_kmeans_lloyd", "x_interleave",
-    "x_fuzzy_join", "x_image_dedup", "x_bitext",
+    "x_fuzzy_join", "x_image_dedup", "x_bitext", "x_pca", "x_trending",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a

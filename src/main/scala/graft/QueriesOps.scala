@@ -542,6 +542,32 @@ object QueriesOps {
           dims = 64, iters = 2)
         .orderBy(col("dim"))),
 
+    // JL signed random projection 64->16: md5-seeded Rademacher
+    // matrix (disjoint "jl" chain), floor-grid inputs, exact Long
+    // component sums, divisions by 2^30 and sqrt(16)=4 both exact —
+    // projected components are bit-exact, no rounding
+    "x_jl" -> ((s, d) =>
+      Similarity.jlProject(t(s, d, "embeddings").select("vec_id", "embedding"),
+          "embedding", outDims = 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "comp")))
+        .orderBy(col("vec_id"), col("dim"))),
+
+    // the JL distortion read: recall@10 of retrieval in the 16-dim
+    // projected space against full-width ground truth — the
+    // compression-vs-recall tuning curve a 100 TB ANN pre-filter
+    // lives on
+    "x_jl_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val p = Similarity.jlProject(e, "embedding", outDims = 16)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10),
+        Similarity.bruteForceTopKJoin(p, "vec_id", "embedding",
+          p.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10))
+        .orderBy(col("query_id"))
+    }),
+
     // all-but-the-top whitened retrieval: subtract the x_pca top
     // component (bit-exact literals + floor-grid projection), then
     // the standard brute-force top-k — the oracle re-derives the
@@ -1159,6 +1185,51 @@ object QueriesOps {
       s"""WITH $pcaUnrollCtes
          |SELECT CAST(r.range AS INT) AS dim, ls[CAST(r.range + 1 AS INT)] AS loading, lam
          |FROM fin CROSS JOIN range(0, 64) r ORDER BY dim""".stripMargin,
+
+    // JL component replay: same md5 'jl{j}_0' sign chain layout as
+    // the x_ann_lsh oracle, floor-grid inputs, BIGINT sums
+    "x_jl" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fx AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT)) AS f FROM e),
+        |c AS (SELECT fx.vec_id, j.dim,
+        |    CAST(list_sum(list_transform(range(1, 65), k -> f[CAST(k AS INT)] *
+        |      (CAST(floor((strpos('0123456789abcdef', substring(md5('jl' || j.dim || '_0'),
+        |        CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1) / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1)))
+        |      AS DOUBLE) / 1073741824.0 / 4.0 AS comp
+        |  FROM fx CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) j)
+        |SELECT vec_id, CAST(dim AS INT) AS dim, comp FROM c ORDER BY vec_id, dim""".stripMargin,
+
+    // projected-space retrieval vs full-width truth, both replayed;
+    // the hit join and counts are integer-exact
+    "x_jl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |fx AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 1073741824.0 + 0.5) AS BIGINT)) AS f FROM e),
+        |c AS (SELECT fx.vec_id, j.dim,
+        |    CAST(list_sum(list_transform(range(1, 65), k -> f[CAST(k AS INT)] *
+        |      (CAST(floor((strpos('0123456789abcdef', substring(md5('jl' || j.dim || '_0'),
+        |        CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1) / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1)))
+        |      AS DOUBLE) / 1073741824.0 / 4.0 AS comp
+        |  FROM fx CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) j),
+        |pv AS (SELECT vec_id, list(comp ORDER BY dim) AS p FROM c GROUP BY vec_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(t.v, q.v) DESC, t.vec_id) AS rk
+        |  FROM e t CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) q) WHERE rk <= 10),
+        |rt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(t.p, q.p) DESC, t.vec_id) AS rk
+        |  FROM pv t CROSS JOIN (SELECT * FROM pv WHERE vec_id < 3) q) WHERE rk <= 10)
+        |SELECT tr.query_id,
+        |  CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS truth_k,
+        |  CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM tr LEFT JOIN rt ON tr.query_id = rt.query_id AND tr.neighbor_id = rt.neighbor_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
 
     // whiten with the re-derived eigenvector (floor-grid projection,
     // so whitened vectors are bit-exact), then the x_ann_brute

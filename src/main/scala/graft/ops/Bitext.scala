@@ -33,14 +33,27 @@ object Bitext {
   /** Margin scores for every forward candidate pair. `fwd` = source
     * queries retrieving over targets, `rev` = target queries
     * retrieving over sources, both as (query_id, neighbor_id, cos,
-    * …). Output: (src_id, tgt_id, cos, margin). */
+    * …). Output: (src_id, tgt_id, cos, margin).
+    *
+    * The forward penalty is a `query_id`-partitioned WINDOW over the
+    * forward result set (k-row partitions), not a re-aggregate joined
+    * back — a groupBy+join would plant the retrieval subtree in the
+    * plan twice and re-scan the corpus for it (observed in the
+    * `.explain`: two BroadcastNestedLoopJoin passes where one
+    * suffices). The reverse penalty joins by `neighbor_id`, so it
+    * stays a groupBy — its subtree is only evaluated once anyway.
+    * Same decimal-exact mean either way (identical decimal totals per
+    * query), so oracle replays are unaffected. */
   def marginScores(fwd: DataFrame, rev: DataFrame): DataFrame = {
-    val px = fwd.groupBy(col("query_id"))
-      .agg(Exact.davg(col("cos")).as("__px"))
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("query_id"))
+    val px = sum(col("cos").cast("decimal(28,6)")).over(wq)
+      .cast("string").cast("double") /
+      count(col("cos")).over(wq).cast("double")
     val py = rev.groupBy(col("query_id"))
       .agg(Exact.davg(col("cos")).as("__py"))
     fwd.select(col("query_id"), col("neighbor_id"), col("cos"))
-      .join(px, Seq("query_id"))
+      .withColumn("__px", px)
       .join(py.withColumnRenamed("query_id", "neighbor_id"), Seq("neighbor_id"))
       .withColumn("margin", col("cos") / ((col("__px") + col("__py")) / 2))
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),

@@ -653,6 +653,58 @@ object Similarity {
       .toSeq.toDF("dim", "loading", "lam")
   }
 
+  /** Johnson–Lindenstrauss signed random projection: compress an
+    * embedding column from `dims` to `outDims` dimensions with the
+    * dense ±1 matrix (Achlioptas 2003 — Rademacher entries satisfy
+    * the JL lemma), y_j = (Σ_i s_ji·x_i) / √outDims. The 4–16×
+    * cheaper vectors bound pairwise-distance distortion by
+    * O(√(log N / outDims)) — the standard pre-filter lever when
+    * full-width cosines dominate an ANN or dedup pass (rank on
+    * projected vectors, verify survivors at full width).
+    *
+    * Engine-portable and engine-EXACT: signs come from a per-output-
+    * dim md5 digest chain (seed "jl{j}_{chunk}" — deliberately
+    * disjoint from the SRP "plane" chain so composing JL with LSH
+    * bucketing keeps independent matrices; same bit layout as
+    * [[hyperplaneKeyColumns]]), inputs snap to the floor(x·2^30+0.5)
+    * Long grid ONCE into a temp column (evaluation-shape rule — the
+    * outDims component sums all read it), each component is an exact
+    * Long sum of ±fixed-point values, and the two final divisions are
+    * exact powers of two when `outDims` is a perfect square of one
+    * (16 → /4) — so projected vectors are bit-identical in any
+    * engine with md5. Pure projection: no shuffle, no join.
+    * Replaces `vec` in place. */
+  def jlProject(df: DataFrame, vec: String, outDims: Int,
+                maxDims: Int = 512): DataFrame = {
+    require(outDims >= 1 && outDims <= 1024,
+      s"jlProject: outDims=$outDims outside the literal-chain envelope")
+    val nChunks = math.max(1, (maxDims + 127) / 128)
+    val cap = nChunks * 128
+    val scale = (1L << 30).toDouble
+    require(!df.columns.contains("__jlfx"), "jlProject: reserved column __jlfx")
+    val x = col(vec).cast("array<double>")
+    val guard = when(size(col("__jlfx")) > cap, raise_error(concat(
+      lit("jl: vector has "), size(col("__jlfx")).cast("string"),
+      lit(s" dims but the sign chain was planned with maxDims=$maxDims"))))
+    val comps = (0 until outDims).map { j =>
+      val h = concat((0 until nChunks).map(b => md5(lit(s"jl${j}_$b"))): _*)
+      aggregate(
+        zip_with(col("__jlfx"), sequence(lit(0), size(col("__jlfx")) - 1), (v, k) => {
+          val digit = conv(call_function("substring", h,
+            (k / 4 + 1).cast("int"), lit(1)), 16, 10).cast("int")
+          val bit = call_function("shiftright", digit, pmod(k, lit(4)).cast("int")) % 2
+          v * (bit * 2 - 1).cast("long")
+        }),
+        lit(0L), _ + _)
+    }
+    val root = math.sqrt(outDims.toDouble)
+    val projected = transform(array(comps: _*),
+      c => c.cast("double") / lit(scale) / lit(root))
+    df.withColumn("__jlfx", transform(x, e => floor(e * lit(scale) + 0.5).cast("long")))
+      .withColumn(vec, guard.otherwise(projected))
+      .drop("__jlfx")
+  }
+
   /** "All-but-the-top" whitening (Mu & Viswanath 2018): subtract each
     * vector's projection onto the corpus's top principal direction,
     * x′ = x − (x·v)·v — the one-line post-process that measurably

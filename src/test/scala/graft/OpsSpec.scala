@@ -1649,6 +1649,32 @@ class OpsSpec extends SparkTestBase {
     assert(out.head.getDouble(2) > 0.0) // eigenvalue estimate positive
   }
 
+  test("JL projection: deterministic, norm-preserving on average, loud on overwidth") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(50) { i =>
+      (i.toLong, Seq.tabulate(64)(j => ((i * 7 + j * 13) % 17 - 8) / 8.0))
+    }.toDF("vec_id", "v")
+    val p1 = Similarity.jlProject(vecs, "v", outDims = 16)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val p2 = Similarity.jlProject(vecs, "v", outDims = 16)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(p1.zip(p2).forall { case (a, b) => a == b }, "projection must be deterministic")
+    assert(p1.forall(_.length == 16))
+    // E[‖y‖²] = ‖x‖² for Rademacher JL — the sample mean ratio should
+    // sit near 1 even at 16 output dims
+    val orig = vecs.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val ratios = p1.zip(orig).map { case (y, x) =>
+      y.map(v => v * v).sum / x.map(v => v * v).sum }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean out of JL range")
+    // a vector wider than the planned sign chain fails loudly
+    val wide = Seq((1L, Seq.fill(700)(1.0))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      Similarity.jlProject(wide, "v", outDims = 4, maxDims = 512).collect()
+    }
+    assert(e.getMessage != null || e.getCause != null)
+  }
+
   test("all-but-the-top: whitened vectors have ~zero projection on the top direction") {
     import spark.implicits._
     val pts = Seq.tabulate(30) { i =>
