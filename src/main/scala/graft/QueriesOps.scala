@@ -288,6 +288,19 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // corpus-overlap estimation from two KMV sketches (the
+    // x_dedup_cross fixture corpora): one bounded-state agg per side,
+    // NO join between the corpora; jaccard + distinct estimates from
+    // sketch-sized array arithmetic — the sketch is VALUES, so the
+    // oracle replays it as DISTINCT md5 ORDER BY LIMIT k
+    "x_kmv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0).select("text")
+      val incoming = docs.filter(col("doc_id") % 2 === 1).select("text")
+        .unionByName(docs.filter(col("doc_id") % 10 === 0).select("text"))
+      Profiling.kmvOverlap(existing, col("text"), incoming, col("text"), k = 64)
+    }),
+
     // hour-over-hour trending event types (rise vs own baseline, not
     // raw top-k): windowed counts + shifted self-join, smoothing 1
     "x_trending" -> ((s, d) =>
@@ -3065,6 +3078,32 @@ s"""WITH lines AS (
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the sketches replay as DISTINCT md5 ORDER BY LIMIT k; union-k,
+    // intersection, and the (k-1)/frac(kth) estimator are list math
+    "x_kmv" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT DISTINCT md5(text) AS h FROM (
+        |  SELECT text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)),
+        |sa AS (SELECT list(h ORDER BY h) AS s FROM (SELECT h FROM ex ORDER BY h LIMIT 64)),
+        |sb AS (SELECT list(h ORDER BY h) AS s FROM (SELECT h FROM inc ORDER BY h LIMIT 64)),
+        |j AS (SELECT sa.s AS a, sb.s AS b,
+        |    list_sort(list_distinct(sa.s || sb.s))[1:64] AS u FROM sa, sb),
+        |m AS (SELECT len(u) AS k_used,
+        |    len(list_intersect(u, list_intersect(a, b))) AS n_both,
+        |    a, b, u FROM j)
+        |SELECT CAST(k_used AS INT) AS k_used, CAST(n_both AS INT) AS n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+        |  CASE WHEN len(a) < 64 THEN CAST(len(a) AS DOUBLE)
+        |    ELSE 63.0 / (list_sum(list_transform(range(1, 13), j ->
+        |      (strpos('0123456789abcdef', substring(a[64], CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 12 - j))) / 281474976710656.0) END AS est_distinct_a,
+        |  CASE WHEN len(b) < 64 THEN CAST(len(b) AS DOUBLE)
+        |    ELSE 63.0 / (list_sum(list_transform(range(1, 13), j ->
+        |      (strpos('0123456789abcdef', substring(b[64], CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 12 - j))) / 281474976710656.0) END AS est_distinct_b
+        |FROM m""".stripMargin,
 
     "x_trending" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n

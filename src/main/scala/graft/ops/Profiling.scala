@@ -339,4 +339,56 @@ object Profiling {
     candRb.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  // ---- KMV distinct / overlap sketch ---------------------------------------
+
+  /** KMV distinct sketch of a key column (plans.KmvKernels): ONE
+    * bounded-state partial aggregate producing the k smallest distinct
+    * md5 hashes — a uniform sample of the distinct-key space. Output:
+    * one row, `sketch` array<string> (sorted, ≤ k entries). Feed two
+    * sketches to [[kmvOverlap]]; a standing pipeline stores one
+    * per corpus snapshot and estimates any pairwise overlap later
+    * WITHOUT re-reading either corpus. */
+  def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.plans.KmvSketchAgg(ColumnBridge.expr(md5(key.cast("string"))), k)
+        .toAggregateExpression())
+    df.agg(agg.as("sketch"))
+  }
+
+  /** Corpus-overlap estimation from two KMV sketches (Beyer et al.
+    * 2007): merge, keep the k smallest of the union, and count how
+    * many of those appear in BOTH input sketches —
+    * jaccard_est = that count / k. Distinct counts estimate as
+    * (k−1)/frac(kth hash) per side (exact when a side has fewer than
+    * k distinct keys — then its sketch IS its distinct key set).
+    * Everything below runs on two one-row frames (sketch-sized array
+    * arithmetic); the corpora were only touched by the two sketch
+    * scans — there is NO join between them at any scale.
+    * Output: (k_used, n_both, jaccard_est, est_distinct_a,
+    * est_distinct_b). */
+  def kmvOverlap(a: DataFrame, akey: Column, b: DataFrame, bkey: Column,
+                 k: Int): DataFrame = {
+    val sa = kmvSketch(a, akey, k).select(col("sketch").as("sa"))
+    val sb = kmvSketch(b, bkey, k).select(col("sketch").as("sb"))
+    // distinct estimate: hashes are uniform in [0,1) (first 12 hex
+    // digits as a fraction — exact in double), so the kth minimum
+    // sits at ≈ k/(n+1): n̂ = (k−1)/frac(kth). Below k distinct keys
+    // the sketch is the complete key set and the count is exact.
+    def estDistinct(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit(k - 1).cast("double") /
+          (conv(substring(element_at(s, k), 1, 12), 16, 10).cast("double") /
+            lit(math.pow(16.0, 12))))
+    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val both = array_intersect(u, array_intersect(col("sa"), col("sb")))
+    sa.crossJoin(sb)
+      .select(
+        size(u).as("k_used"),
+        size(both).as("n_both"),
+        (size(both).cast("double") / size(u).cast("double")).as("jaccard_est"),
+        estDistinct(col("sa")).as("est_distinct_a"),
+        estDistinct(col("sb")).as("est_distinct_b"))
+  }
 }

@@ -945,6 +945,35 @@ class OpsSpec extends SparkTestBase {
     assert(out.last.getAs[Double]("frac_of_first") == 0.25)
   }
 
+  test("KMV sketch: k-min distinct values, partitioning-invariant") {
+    import spark.implicits._
+    val keys = (1 to 200).map(i => s"key${i % 50}") // 50 distinct, many dups
+    val df1 = keys.toDF("k").repartition(1)
+    val df7 = keys.toDF("k").repartition(7)
+    val s1 = Profiling.kmvSketch(df1, col("k"), k = 16)
+      .collect().head.getSeq[String](0)
+    val s7 = Profiling.kmvSketch(df7, col("k"), k = 16)
+      .collect().head.getSeq[String](0)
+    assert(s1 == s7, "sketch must be identical under any partitioning")
+    val expected = keys.distinct.map(k =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sorted.take(16)
+    assert(s1 == expected, "sketch must be the k smallest distinct md5s")
+  }
+
+  test("KMV overlap is exact when both corpora fit inside the sketch") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"doc$i").toDF("k")
+    val b = (11 to 30).map(i => s"doc$i").toDF("k")
+    val r = Profiling.kmvOverlap(a, col("k"), b, col("k"), k = 64).collect().head
+    assert(r.getAs[Int]("k_used") == 30)    // 30 distinct keys in the union
+    assert(r.getAs[Int]("n_both") == 10)    // docs 11..20 shared
+    assert(r.getAs[Double]("jaccard_est") == 10.0 / 30.0)
+    assert(r.getAs[Double]("est_distinct_a") == 20.0) // below k: exact
+    assert(r.getAs[Double]("est_distinct_b") == 20.0)
+  }
+
   test("trending scores rise vs the previous window, smoothing new arrivals") {
     import spark.implicits._
     import java.sql.Timestamp
