@@ -573,4 +573,59 @@ class PlanSpec extends SparkTestBase {
     // partial-then-final pattern: two HashAggregate levels around the exchange
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no partial agg:\n$plan")
   }
+
+  test("REGISTRY SWEEP: no query plans an unpartitioned Window outside documented tiny-frame exceptions") {
+    // The strongest form of the no-global-window contract: EVERY
+    // registry query's physical plan is checked. A Window with an
+    // empty partitionSpec funnels the whole frame through one task —
+    // the classic silent scale killer this repo has been purging
+    // since r2. Exceptions below are windows over frames that are
+    // TINY by construction (distinct level tables, centroid tables,
+    // golden fixtures) — each carries its justification.
+    val allowed: Map[String, String] = Map(
+      // forcats: windows rank the DISTINCT LEVEL table (factor
+      // contract: levels ≪ rows; documented in Forcats scaladoc)
+      "f_fct_count" -> "level table", "f_fct_infreq" -> "level table",
+      "f_fct_lump" -> "level table", "f_fct_lowfreq" -> "level table",
+      "f_fct_reorder" -> "level table", "f_fct_reorder2" -> "level table",
+      "f_fct_shift" -> "level table", "f_fct_shuffle" -> "level table",
+      "f_fct_cross" -> "level table", "f_fct_expand" -> "level table",
+      "f_fct_relevel" -> "level table", "f_fct_other" -> "level table",
+      "f_fct_na" -> "level table", "f_fct_recode" -> "level table",
+      "f_fct_relabel" -> "level table", "f_fct_anon" -> "level table",
+      // deterministic IVF: row_number ranks the nLists-row CENTROID
+      // table (broadcast-sized by the nLists<=65536 guard)
+      "x_ann_ivf" -> "centroid table", "x_ann_recall_ivf" -> "centroid table",
+      "x_assign" -> "centroid table", "x_semdedup" -> "centroid table",
+      // golden fixtures / driver-tiny frames by construction
+      "b_bessel" -> "50-row golden table", "b_bessel_port" -> "VALUES probe",
+      "t_tibble" -> "literal tibble", "t_add_row" -> "literal tibble",
+      "t_enframe" -> "literal frame", "t_diag" -> "literal frame",
+      "b_outer" -> "5x5 literal outer", "b_seq" -> "literal seq",
+      "t_full_seq" -> "tiny seq domain", "t_expand" -> "distinct-level expand",
+      "x_langid" -> "langid profile table",
+      // keyless as-of: the boundary-carry window runs over the BIN
+      // table (one row per time bin — AsofJoin.asofGlobal scaladoc
+      // "carries per bin over the tiny bin table"); the row-grain fill
+      // is partitioned on the bin id
+      "x_asof_global" -> "bin-grain carry table",
+      "x_asof_global_nearest" -> "bin-grain carry table",
+      // batch offsets accumulate over the bucket-COUNT table
+      // (<= |edges|+1 rows — Packing.lengthGroupedBatches scaladoc);
+      // the row-grain rank is the rowid sort, not a window
+      "x_lgbatch" -> "bucket-count offset table")
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = qs.flatMap { case (name, fn) =>
+      try {
+        val ws = collectPlan(fn(spark, dir).queryExecution.executedPlan)
+          .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        if (ws.nonEmpty && !allowed.contains(name)) Some(name) else None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name(PLAN FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(100)})")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window (or plan failure) in: ${offenders.mkString(", ")}")
+  }
 }
