@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftFrame.DataFrameOps
+import graft.ops._
+
+/** Seeded randomized property tests — adversarial inputs the golden
+  * specs don't reach, with FIXED seeds so every run is reproducible
+  * (no flaky-seed lottery; a failure is always replayable). Each
+  * property drives the distributed implementation against a
+  * brute-force or mathematical reference on several generated
+  * instances. */
+class RandomPropertySpec extends SparkTestBase {
+
+  test("fuzzy self-join == brute force on random low-alphabet strings (d=1 and d=2)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23, 47); d <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      // alphabet {a,b}, lengths 0..6: dense near-neighbor space — far
+      // more edit-distance collisions than real names would produce
+      val strs = Seq.tabulate(30)(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(7))("ab" (rnd.nextInt(2))).mkString))
+      val df = strs.toDF("id", "s")
+      val fast = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", maxDist = d)
+        .select("a", "b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val l = df.toDF("a", "s_a")
+      val r = df.toDF("b", "s_b")
+      val brute = l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+        .filter(col("dist") <= d)
+        .select("a", "b", "dist").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      assert(fast == brute,
+        s"seed=$seed d=$d: missing=${brute -- fast} extra=${fast -- brute}")
+    }
+  }
+
+  test("hamming pair join finds EVERY pair within radius 3 on clustered random sigs") {
+    import spark.implicits._
+    for (seed <- Seq(5, 19)) {
+      val rnd = new scala.util.Random(seed)
+      // 8 random base signatures, each with 4 mutations of <= 3 bit
+      // flips: dense within-cluster pairs at dist 0..6 plus random
+      // cross-cluster distances
+      val sigs = (0 until 8).flatMap { c =>
+        val base = rnd.nextLong()
+        (0 until 4).map { m =>
+          var s = base
+          (0 until rnd.nextInt(4)).foreach(_ => s ^= 1L << rnd.nextInt(64))
+          ((c * 4 + m).toLong, s)
+        }
+      }
+      val df = sigs.toDF("id", "sig")
+      val fast = Dedup.hammingNearDupSigs(df, "id", "sig", maxDist = 3)
+        .select("a", "b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        (i, si) <- sigs; (j, sj) <- sigs if i < j
+        dst = java.lang.Long.bitCount(si ^ sj) if dst <= 3
+      } yield (i, j, dst)).toSet
+      assert(fast == brute,
+        s"seed=$seed: missing=${brute -- fast} extra=${fast -- brute}")
+    }
+  }
+
+  test("seeded sample and rowid are invariant under partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(1000)))
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val sample = df.graft.sliceSample(20, 42L, col("id")).df
+        .select("id").collect().map(_.getLong(0)).toSet
+      val base = rows.toDF("id", "v").graft.sliceSample(20, 42L, col("id")).df
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(sample == base, s"parts=$parts: sample changed under partitioning")
+      val rid = graft.core.Tibble.rowidToColumn(df, Seq(col("id")), "rid")
+        .select("id", "rid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0 until 200).forall(i => rid(i.toLong) == i + 1),
+        s"parts=$parts: rowid not the sort rank")
+    }
+  }
+
+  test("KMV sketch == sorted distinct take-k on random multisets") {
+    import spark.implicits._
+    for (seed <- Seq(7, 29); k <- Seq(1, 8, 100)) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq.fill(300)(s"k${rnd.nextInt(60)}")
+      val sketch = Profiling.kmvSketch(keys.toDF("k").repartition(5), col("k"), k)
+        .collect().head.getSeq[String](0)
+      val expected = keys.distinct.map(x =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+        .sorted.take(k)
+      assert(sketch == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("dHash is invariant under exact pixel replication on random images") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(w * h * 3)(i => px(i / 3 % w, i / 3 / w).toByte)
+    val imgs = (0 until 6).flatMap { n =>
+      val base = Array.fill(8, 9)(rnd.nextInt(256))
+      def pix(x: Int, y: Int) = base(y)(x)
+      Seq((n * 2L, ppm(9, 8, pix)),
+        (n * 2L + 1, ppm(27, 16, (x, y) => pix(x / 3, y / 2))))
+    }
+    val out = Multimodal.dHashPpm(imgs.toDF("media_id", "payload"))
+      .collect().map(r => r.media_id -> r).toMap
+    (0 until 6).foreach { n =>
+      assert(out(n * 2L).ok && out(n * 2L + 1).ok)
+      assert(out(n * 2L).dhash == out(n * 2L + 1).dhash,
+        s"img $n: 3x2 replication changed the hash")
+    }
+  }
+}
