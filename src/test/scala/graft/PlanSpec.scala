@@ -628,4 +628,32 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"unpartitioned Window (or plan failure) in: ${offenders.mkString(", ")}")
   }
+
+  test("REGISTRY SWEEP: no query plans a CartesianProduct outside cross-by-semantics exceptions") {
+    // CartesianProductExec means BOTH sides were too big to broadcast
+    // — at 100 TB that is |A|·|B| work with no pruning, the other
+    // classic silent scale killer. Broadcast nested-loop joins are
+    // fine (one side is dimension-sized by construction); a true
+    // cartesian is only acceptable where the cross product IS the
+    // requested semantics over frames tiny by construction.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val allowed: Map[String, String] = Map(
+      "d_join_cross" -> "cross join IS the verb",
+      "t_expand" -> "crossing() semantics over distinct level tables",
+      "f_fct_cross" -> "factor cross product over level tables",
+      "b_outer" -> "outer() product over literal vectors")
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val offenders = qs.flatMap { case (name, fn) =>
+      try {
+        val cp = collectPlan(fn(spark, dir).queryExecution.executedPlan)
+          .collect { case c: CartesianProductExec => c }
+        if (cp.nonEmpty && !allowed.contains(name)) Some(name) else None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name(PLAN FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(100)})")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct (or plan failure) in: ${offenders.mkString(", ")}")
+  }
 }
