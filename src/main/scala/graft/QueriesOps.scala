@@ -288,6 +288,20 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // DSIR-style hashed-bigram importance weights: raw = all docs,
+    // target = the src0 domain — the domain-matched data-selection
+    // score, fully replayed (portable md5 bins, integer-count
+    // probabilities, decimal-exact per-doc log-ratio sums)
+    "x_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.dsirWeights(docs.select("doc_id", "text", "source"),
+          col("doc_id"), col("text"),
+          docs.filter(col("source") === "src0"), col("text"),
+          n = 2, bins = 1024)
+        .select("doc_id", "source", "weight")
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-overlap estimation from two KMV sketches (the
     // x_dedup_cross fixture corpora): one bounded-state agg per side,
     // NO join between the corpora; jaccard + distinct estimates from
@@ -3078,6 +3092,35 @@ s"""WITH lines AS (
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // bigram bins via the 12-hex md5 decode, add-1 smoothed bin
+    // probabilities from integer counts, ln of exact ratios, and the
+    // decimal-bridged per-doc sum — replays dsirWeights end to end
+    "x_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, unnest(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gr
+        |  FROM tok),
+        |b AS (SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(range(1, 13), j ->
+        |      (strpos('0123456789abcdef', substring(md5(gr), CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 12 - j))) AS BIGINT) % 1024 AS bin
+        |  FROM g),
+        |rc AS (SELECT bin, count(*) AS cr FROM b GROUP BY bin),
+        |tc AS (SELECT bin, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY bin),
+        |tot AS (SELECT (SELECT sum(cr) FROM rc) AS tr, (SELECT sum(ct) FROM tc) AS tt),
+        |ratio AS (SELECT rc.bin,
+        |    ln(((CAST(coalesce(tc.ct, 0) AS DOUBLE) + 1.0) / (CAST(tot.tt AS DOUBLE) + 1024.0))
+        |      / ((CAST(rc.cr AS DOUBLE) + 1.0) / (CAST(tot.tr AS DOUBLE) + 1024.0))) AS lr
+        |  FROM rc LEFT JOIN tc ON rc.bin = tc.bin CROSS JOIN tot),
+        |w AS (SELECT b.doc_id, ${graft.functions.Exact.dsumSql("ratio.lr")} AS weight
+        |  FROM b JOIN ratio ON b.bin = ratio.bin GROUP BY b.doc_id)
+        |SELECT d.doc_id, d.source, coalesce(w.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the sketches replay as DISTINCT md5 ORDER BY LIMIT k; union-k,
     // intersection, and the (k-1)/frac(kth) estimator are list math

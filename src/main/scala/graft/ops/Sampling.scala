@@ -267,4 +267,66 @@ object Sampling {
         Seq(col("__round"), domain, id), "pos")
       .drop("__round")
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much its hashed n-gram
+    * distribution resembles a TARGET domain relative to the raw
+    * corpus — weight_d = Σ_grams log(p̂_target(bin)/p̂_raw(bin)) with
+    * add-`smooth` smoothed bin probabilities over `bins` hashed
+    * buckets. High-weight docs are the ones to keep when building a
+    * domain-matched subset; feed the weights to [[tokenBudget]]
+    * (rank by weight desc) or [[weightedSample]] for the selection.
+    *
+    * Bins are engine-portable (12-hex md5 prefix mod `bins`), bin
+    * probabilities are exact integer-count arithmetic, and the
+    * per-doc sum is decimal-exact (order-invariant), so the whole
+    * score replays in SQL; the log itself relies on both engines'
+    * correctly-rounded ln (the same contract the trig/special family
+    * ships under, oracle-proven there).
+    *
+    * Shape: two bins-bounded partial aggs (the n-gram vocabulary
+    * never materializes — counts collapse to ≤ `bins` rows map-side),
+    * a broadcast bin-ratio table, then ONE explode+join+sum pass over
+    * the raw corpus. No document ever compares to another document.
+    * Output: raw's columns + `weight` (docs with no grams weigh 0). */
+  def dsirWeights(raw: DataFrame, id: Column, text: Column,
+                  target: DataFrame, targetText: Column,
+                  n: Int = 2, bins: Int = 1024,
+                  smooth: Double = 1.0): DataFrame = {
+    require(n >= 1, s"dsirWeights: n=$n must be >= 1")
+    require(bins >= 2 && bins <= (1 << 20),
+      s"dsirWeights: bins=$bins outside the broadcast-ratio-table envelope")
+    require(smooth > 0, s"dsirWeights: smooth=$smooth must be > 0 (unseen bins)")
+    import graft.ops.Dedup
+    import graft.functions.Exact
+    def binOf(g: Column): Column =
+      pmod(conv(substring(md5(g), 1, 12), 16, 10).cast("long"), lit(bins))
+    val rawG = raw.select(id.as("__did"),
+        explode(Dedup.shingles(Dedup.tokens(text), n)).as("__g"))
+      .withColumn("__b", binOf(col("__g"))).drop("__g")
+    val tgtCnt = target
+      .select(explode(Dedup.shingles(Dedup.tokens(targetText), n)).as("__g"))
+      .select(binOf(col("__g")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawCnt = rawG.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val totals = rawCnt.agg(sum(col("__cr")).as("__tr"))
+      .crossJoin(tgtCnt.agg(sum(col("__ct")).as("__tt")))
+    // log ratio per OCCUPIED raw bin (every scored gram lands in one);
+    // ratio-table rows <= bins, broadcast back
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"), log(
+        ((coalesce(col("__ct"), lit(0L)).cast("double") + lit(smooth)) /
+          (col("__tt").cast("double") + lit(smooth * bins))) /
+          ((col("__cr").cast("double") + lit(smooth)) /
+            (col("__tr").cast("double") + lit(smooth * bins)))).as("__lr"))
+    val weights = rawG.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col("__did"))
+      .agg(Exact.dsum(col("__lr")).as("weight"))
+    raw.join(weights, id <=> col("__did"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      .drop("__did")
+  }
 }

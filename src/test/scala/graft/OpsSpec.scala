@@ -945,6 +945,25 @@ class OpsSpec extends SparkTestBase {
     assert(out.last.getAs[Double]("frac_of_first") == 0.25)
   }
 
+  test("DSIR weights rank target-domain docs above off-domain docs") {
+    import spark.implicits._
+    // two disjoint-vocabulary domains; the target sample comes from A
+    val a = Seq.tabulate(6)(i => (i.toLong, s"alpha beta gamma delta epsilon zeta e$i", "A"))
+    val b = Seq.tabulate(6)(i => (100L + i, s"one two three four five six n$i", "B"))
+    val raw = (a ++ b).toDF("doc_id", "text", "dom")
+    val target = a.take(3).toDF("doc_id", "text", "dom").select("text")
+    val w = Sampling.dsirWeights(raw, col("doc_id"), col("text"),
+        target, col("text"), n = 2, bins = 256)
+      .select("doc_id", "dom", "weight").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val meanA = w.filter(_._2 == "A").map(_._3).sum / 6
+    val meanB = w.filter(_._2 == "B").map(_._3).sum / 6
+    assert(meanA > meanB + 1.0,
+      s"target-domain mean $meanA must clearly beat off-domain $meanB")
+    // weights are finite everywhere (smoothing covers unseen bins)
+    assert(w.forall(x => !x._3.isNaN && !x._3.isInfinite))
+  }
+
   test("KMV sketch: k-min distinct values, partitioning-invariant") {
     import spark.implicits._
     val keys = (1 to 200).map(i => s"key${i % 50}") // 50 distinct, many dups
