@@ -288,6 +288,20 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // rank-biased overlap (p=1/2, exact dyadic weights) between the
+    // LSH retrieval's ranking and brute-force truth — the top-heavy
+    // ranking-agreement read recall@k can't give
+    "x_rbo" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+      Similarity.rbo(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10),
+        Similarity.lshTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10, nPlanes = 8),
+        k = 10).orderBy(col("query_id"))
+    }),
+
     // DSIR-style hashed-bigram importance weights: raw = all docs,
     // target = the src0 domain — the domain-matched data-selection
     // score, fully replayed (portable md5 bins, integer-count
@@ -3092,6 +3106,56 @@ s"""WITH lines AS (
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(rawcos, 4) AS cos, CAST(rk AS INT) AS rank
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // both rankings replayed (the x_ann_recall recipes, ranks kept),
+    // then each matched pair contributes its closed-form dyadic tail
+    // — the CASE literals are the same doubles the Spark side inlines
+    "x_rbo" -> {
+      val k = 10
+      val tail = (1 to k).map(d0 => (d0 to k).map(d => math.pow(0.5, d - 1) / d).sum)
+      val norm = (1 to k).map(d => math.pow(0.5, d - 1)).sum
+      val cases = (1 to k).map(d => s"WHEN $d THEN CAST(${tail(d - 1)} AS DOUBLE)").mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |truth AS (SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 10),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |pr AS (SELECT q.query_id, q.qv,
+        |    unnest([b.bucket] || list_transform(range(0, 8),
+        |      p -> xor(b.bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket
+        |  FROM qs q JOIN b ON q.query_id = b.vec_id),
+        |cand AS (SELECT pr.query_id, e.vec_id,
+        |    list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |got AS (SELECT query_id, vec_id AS neighbor_id, rk FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rawcos DESC, vec_id) AS rk
+        |    FROM cand) WHERE rk <= 10),
+        |j AS (SELECT t.query_id,
+        |    CASE greatest(t.rk, g.rk) $cases END AS contrib
+        |  FROM truth t JOIN got g
+        |    ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id),
+        |agg AS (SELECT query_id,
+        |    ${graft.functions.Exact.dsumSql("contrib")} / CAST($norm AS DOUBLE) AS rbo
+        |  FROM j GROUP BY query_id)
+        |SELECT q.query_id, coalesce(agg.rbo, 0.0) AS rbo
+        |FROM (SELECT DISTINCT query_id FROM truth) q
+        |LEFT JOIN agg ON q.query_id = agg.query_id ORDER BY q.query_id""".stripMargin
+    },
 
     // bigram bins via the 12-hex md5 decode, add-1 smoothed bin
     // probabilities from integer counts, ln of exact ratios, and the

@@ -230,6 +230,53 @@ object Similarity {
       bruteForceTopKJoin(corpus, cid, cvec, queries, qid, qvec, k),
       lshTopKJoin(corpus, cid, cvec, queries, qid, qvec, k, nPlanes))
 
+  /** Rank-biased overlap (Webber et al. 2010) between two retrievals'
+    * rankings, per query — the top-weighted ranking-agreement read
+    * that recall@k misses (recall treats rank 1 and rank k the same;
+    * RBO discounts depth d by p^(d-1), so swapping the top hit hurts
+    * far more than swapping the tail). Both inputs carry
+    * (query_id, neighbor_id, rank) with ranks 1..k (every retrieval
+    * here emits exactly that).
+    *
+    * p is fixed at 1/2: the depth weights 2^-(d-1) are exact powers
+    * of two, so every per-pair contribution is a plan-time literal
+    * double BOTH engines share verbatim (pow(0.9, d) at runtime would
+    * reintroduce the libm lottery), and the per-query accumulation is
+    * decimal-exact (order-invariant; the 6-decimal grid bounds the
+    * score within 1e-5 of the real-valued RBO — spec-pinned). p=1/2
+    * is the "top-heavy" end of the RBO family — right for comparing
+    * retrieval stacks where the first screen decides.
+    *
+    * Work is result-set-sized: one (query, neighbor) equi-join of the
+    * two rankings + a per-query agg over ≤ k joined rows; agreement at
+    * depth d = |top_d(A) ∩ top_d(B)| counts pairs with
+    * max(rank_a, rank_b) ≤ d, so each matched pair contributes the
+    * closed-form tail Σ_{d ≥ max(ra,rb)} 2^-(d-1)/d — accumulated
+    * decimal-exact. Output: (query_id, rbo) with rbo ∈ [0, 1],
+    * normalized by the same truncated series at perfect agreement. */
+  def rbo(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"rbo: k=$k outside the exact-dyadic envelope")
+    import graft.functions.Exact
+    // per-depth weights 2^-(d-1)/d are exact doubles; the per-pair
+    // contribution is the tail sum from the pair's join depth — a
+    // k-term lookup table inlined as literals
+    val tail: Array[Double] =
+      (1 to k).map(d0 => (d0 to k).map(d => math.pow(0.5, d - 1) / d).sum).toArray
+    val norm = (1 to k).map(d => math.pow(0.5, d - 1)).sum // agreement(d)=d at identity
+    val contrib = element_at(array(tail.map(lit): _*),
+      greatest(col("__ra"), col("__rb")).cast("int"))
+    val agreed = a.select(col("query_id"), col("neighbor_id"), col("rank").as("__ra"))
+      .join(b.select(col("query_id"), col("neighbor_id"), col("rank").as("__rb")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg((Exact.dsum(contrib) / lit(norm)).as("rbo"))
+    // a query whose rankings share NOTHING must read rbo = 0, not
+    // silently vanish from the metric table
+    a.select(col("query_id")).distinct()
+      .join(agreed, Seq("query_id"), "left")
+      .withColumn("rbo", coalesce(col("rbo"), lit(0.0)))
+  }
+
   /** Recall of any retrieval against any ground truth: both inputs
     * carry (query_id, neighbor_id) with UNIQUE pairs (every retrieval
     * here guarantees that — a vector lives in exactly one bucket/list,

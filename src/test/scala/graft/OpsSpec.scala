@@ -945,6 +945,27 @@ class OpsSpec extends SparkTestBase {
     assert(out.last.getAs[Double]("frac_of_first") == 0.25)
   }
 
+  test("RBO: identity = 1, top swap hurts more than tail swap, disjoint = 0") {
+    def ranking(pairs: (Long, Seq[Long])*) = sqlDf(
+      "query_id" -> pairs.flatMap { case (q, ns) => Seq.fill(ns.length)(q) },
+      "neighbor_id" -> pairs.flatMap(_._2),
+      "rank" -> pairs.flatMap { case (_, ns) => (1 to ns.length).map(_.toLong) })
+    val ident = ranking(1L -> (1L to 10L))
+    def rboOf(b: org.apache.spark.sql.DataFrame): Double =
+      Similarity.rbo(ident, b, k = 10).collect().head.getDouble(1)
+    // dsum accumulates on a 6-decimal grid: identity = 1 within 1e-5
+    assert(math.abs(rboOf(ident) - 1.0) < 1e-5, "identical rankings must score ~1")
+    // swap ranks 1<->2 vs swap ranks 9<->10: the top swap must cost more
+    val topSwap = ranking(1L -> (Seq(2L, 1L) ++ (3L to 10L)))
+    val tailSwap = ranking(1L -> ((1L to 8L) ++ Seq(10L, 9L)))
+    assert(rboOf(topSwap) < rboOf(tailSwap),
+      s"top swap ${rboOf(topSwap)} must score below tail swap ${rboOf(tailSwap)}")
+    assert(rboOf(tailSwap) < 1.0 && rboOf(topSwap) > 0.0)
+    // completely disjoint rankings surface as 0, not a missing row
+    val disjoint = ranking(1L -> (101L to 110L))
+    assert(rboOf(disjoint) == 0.0)
+  }
+
   test("DSIR weights rank target-domain docs above off-domain docs") {
     import spark.implicits._
     // two disjoint-vocabulary domains; the target sample comes from A
