@@ -808,6 +808,22 @@ object QueriesOps {
       Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
         .orderBy(col("cnt").desc, col("key"))),
 
+    // k-anonymity risk profile of the customer table under the
+    // (mktsegment, nationkey) quasi-identifiers: one partial-agg
+    // groupBy over the data, class-size histogram + headline k
+    "x_kanon" -> ((s, d) =>
+      Profiling.kAnonymity(t(s, d, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), k = 10)
+        .orderBy(col("class_size"))),
+
+    // pairwise JS divergence between per-language token
+    // distributions (top-64 vocab + OOV bucket, add-one smoothing):
+    // one tokenize scan, everything after is (langs x 65)-sized
+    "x_js_div" -> ((s, d) =>
+      TextAnalysis.domainJsDivergence(t(s, d, "documents"), col("lang"),
+          col("text"), vocabSize = 64)
+        .orderBy(col("domain_a"), col("domain_b"))),
+
     // exact distributed quantiles of the price column: one sort +
     // rowid neighbor selection, never a per-group value buffer
     "x_quantiles" -> ((s, d) =>
@@ -2124,6 +2140,54 @@ object QueriesOps {
         |SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
         |FROM crb LEFT JOIN sketch USING (r, bucket)
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // k-anonymity replay: equivalence-class sizes under the two
+    // quasi-identifiers, size histogram, headline min/at-risk totals
+    "x_kanon" ->
+      """WITH cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2),
+        |h AS (SELECT sz AS class_size, count(*) AS n_classes,
+        |    sz * count(*) AS n_rows, sz < 10 AS at_risk
+        |  FROM cls GROUP BY sz),
+        |t AS (SELECT min(class_size) AS k_anonymity,
+        |    sum(CASE WHEN at_risk THEN n_rows ELSE 0 END) AS rows_at_risk,
+        |    sum(n_rows) AS n
+        |  FROM h)
+        |SELECT CAST(class_size AS BIGINT) AS class_size,
+        |  CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST(n_rows AS BIGINT) AS n_rows, at_risk,
+        |  CAST(k_anonymity AS BIGINT) AS k_anonymity,
+        |  CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+        |  CAST(rows_at_risk AS DOUBLE) / CAST(n AS DOUBLE) AS risk_share
+        |FROM h CROSS JOIN t ORDER BY class_size""".stripMargin,
+
+    // JS-divergence replay: top-64 vocab (count desc, token asc),
+    // OOV pooling, add-one smoothing over the observed support,
+    // per-bucket ln terms decimal-accumulated, round 6
+    "x_js_div" ->
+      s"""WITH tk AS (SELECT CAST(lang AS VARCHAR) AS domain, unnest($toksSql) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, 1 AS invc FROM (
+        |    SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+        |  ORDER BY c DESC, tok LIMIT 64),
+        |b AS (SELECT domain,
+        |    CASE WHEN v.invc IS NOT NULL THEN tk.tok ELSE '__OOV__' END AS term
+        |  FROM tk LEFT JOIN v ON tk.tok = v.tok),
+        |cnt AS (SELECT domain, term, count(*) AS c FROM b GROUP BY 1, 2),
+        |tot AS (SELECT domain, sum(c) AS n FROM cnt GROUP BY 1),
+        |sup AS (SELECT DISTINCT term FROM cnt),
+        |sv AS (SELECT count(*) AS v FROM sup),
+        |dist AS (SELECT tot.domain, sup.term, sv.v,
+        |    CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE) / CAST(tot.n + sv.v AS DOUBLE) AS p
+        |  FROM tot CROSS JOIN sup CROSS JOIN sv
+        |  LEFT JOIN cnt ON cnt.domain = tot.domain AND cnt.term = sup.term)
+        |SELECT a.domain AS domain_a, b2.domain AS domain_b,
+        |  CAST(max(a.v) AS BIGINT) AS n_terms,
+        |  round(CAST(sum(CAST(
+        |      a.p * ln(2.0 * a.p / (a.p + b2.p)) + b2.p * ln(2.0 * b2.p / (a.p + b2.p))
+        |    AS DECIMAL(38,18))) AS DOUBLE) / 2.0, 6) AS js_div
+        |FROM dist a JOIN dist b2 ON a.term = b2.term AND a.domain < b2.domain
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x_key_skew" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),

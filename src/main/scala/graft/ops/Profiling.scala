@@ -391,4 +391,44 @@ object Profiling {
         estDistinct(col("sa")).as("est_distinct_a"),
         estDistinct(col("sb")).as("est_distinct_b"))
   }
+
+  /** k-anonymity re-identification risk profile over a set of
+    * quasi-identifier columns (Sweeney 2002): a released table is
+    * k-anonymous when every combination of quasi-identifier values
+    * (the "equivalence class") covers at least k rows — classes
+    * smaller than k are the rows an adversary can re-identify by
+    * joining on those attributes. Run this BEFORE releasing a corpus
+    * slice whose metadata (source, language, length band, date, …)
+    * could be linked back to individuals.
+    *
+    * Output is the class-SIZE histogram plus the headline numbers on
+    * every row: one row per distinct class size with (class_size,
+    * n_classes, n_rows, at_risk = class_size < k), and
+    * (k_anonymity = the smallest class size — the k the table
+    * actually achieves, rows_at_risk, risk_share) repeated as
+    * broadcast totals. NULL quasi-identifier values group as values
+    * (a NULL birth-date is still a linkable attribute).
+    *
+    * Shape: ONE partial-agg groupBy on the quasi-identifiers (the
+    * only pass over the data), then a class-size re-agg of the
+    * class-grain table and a 1-row totals broadcast — at 100 TB the
+    * corpus is touched once and everything downstream is class-sized
+    * or smaller. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymity: need at least one quasi-identifier")
+    require(k >= 1, s"kAnonymity: k must be >= 1 (got $k)")
+    val classes = df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("__sz"))
+    val hist = classes.groupBy(col("__sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn("at_risk", col("class_size") < lit(k))
+    val totals = hist.agg(
+      min(col("class_size")).as("k_anonymity"),
+      sum(when(col("at_risk"), col("n_rows")).otherwise(lit(0L))).as("rows_at_risk"),
+      sum(col("n_rows")).as("__n"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("risk_share",
+        col("rows_at_risk").cast("double") / col("__n").cast("double"))
+      .drop("__n")
+  }
 }

@@ -657,4 +657,73 @@ object TextAnalysis {
           coalesce(col("dup_chars"), lit(0)).cast("double") / col("n_chars"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  // ---- domain token-distribution divergence ------------------------------
+  /** Pairwise Jensen–Shannon divergence between per-domain token
+    * distributions — the "how different are these sources, really"
+    * read behind mixture design (near-identical domains waste mixture
+    * slots; an outlier domain needs its own weight) and drift review
+    * (this corpus snapshot vs the last). JS (Lin 1991) is the
+    * symmetric, always-finite KL variant:
+    * JS(P,Q) = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)), bounded by
+    * ln 2.
+    *
+    * Distributions are restricted to the corpus-wide exact top-V
+    * vocabulary with everything else pooled into one OOV bucket
+    * (unbounded vocabularies would make the pairwise stage corpus-
+    * sized; the V-bucket restriction is the standard practical JS and
+    * keeps everything after the first scan domain×V-sized). Add-one
+    * smoothing over the observed support keeps every bucket positive,
+    * so no zero-handling cases exist for engines to disagree on.
+    *
+    * Engine-exact by the repo's recipes: bucket counts are integers,
+    * probabilities single IEEE divisions of identical integers, the
+    * per-bucket terms use ln under the trig-family cross-engine
+    * contract, the sum is decimal(38,18)-accumulated
+    * (order-invariant), and the result rounds to 6 decimals.
+    *
+    * Shape: ONE tokenize scan (explode + partial-agg groupBy) is the
+    * only pass over the corpus; the vocabulary cut is TakeOrdered(V);
+    * everything downstream — per-domain counts re-agg, the
+    * domains×support grid, the pairwise join — is (domains × V)-sized
+    * however big the corpus. Domains are assumed dimension-like
+    * (sources, languages: ≤ ~10⁴); the pair table is domains², which
+    * is the semantics, not a plan accident.
+    * Output: (domain_a, domain_b, n_terms, js_div) for domain_a <
+    * domain_b. */
+  def domainJsDivergence(df: DataFrame, domain: Column, text: Column,
+                         vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1,
+      s"domainJsDivergence: vocabSize=$vocabSize must be >= 1")
+    val Oov = "__OOV__" // tokens are lowercased — uppercase cannot collide
+    val toks = df.select(domain.cast("string").as("domain"),
+      explode(Dedup.tokens(text)).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in"))
+    val bucketed = toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .select(col("domain"),
+        when(col("__in").isNotNull, col("__tok")).otherwise(lit(Oov)).as("term"))
+    val counts = bucketed.groupBy("domain", "term").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("domain").agg(sum(col("__c")).as("__n"))
+    val support = counts.select("term").distinct()
+    val supportSize = support.agg(count(lit(1)).as("__v"))
+    val dist = totals.crossJoin(support)
+      .join(counts, Seq("domain", "term"), "left")
+      .crossJoin(broadcast(supportSize))
+      .select(col("domain"), col("term"), col("__v"),
+        ((coalesce(col("__c"), lit(0L)) + lit(1)).cast("double")
+          / (col("__n") + col("__v")).cast("double")).as("__p"))
+    val a = dist.select(col("domain").as("domain_a"), col("term"),
+      col("__v"), col("__p").as("__pa"))
+    val b = dist.select(col("domain").as("domain_b"), col("term").as("__tb"),
+      col("__p").as("__pb"))
+    val term = (col("__pa") * log(lit(2.0) * col("__pa") / (col("__pa") + col("__pb")))
+      + col("__pb") * log(lit(2.0) * col("__pb") / (col("__pa") + col("__pb"))))
+    a.join(b, col("term") === col("__tb") && col("domain_a") < col("domain_b"))
+      .groupBy("domain_a", "domain_b")
+      .agg(max(col("__v")).as("n_terms"),
+        round((sum(term.cast("decimal(38,18)")).cast("double") / lit(2.0)), 6)
+          .as("js_div"))
+  }
 }
