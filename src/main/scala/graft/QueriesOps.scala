@@ -925,6 +925,13 @@ object QueriesOps {
       TextAnalysis.unigramLmScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // interpolated bigram LM fluency score (Jelinek–Mercer λ=1/2
+    // bigram + add-one unigram backoff): integer counts, IEEE
+    // divisions, ln under the trig contract, decimal sums, round 6
+    "x_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // OOV ratio vs the corpus's exact top-64 vocabulary: integer
     // counts + one IEEE division — engine-exact, no rounding
     "x_vocab_cov" -> ((s, d) =>
@@ -2310,6 +2317,33 @@ s"""WITH lines AS (
         |  FROM t)
         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bigram LM replay: adjacent pairs over the same filtered token
+    // lists, corpus bigram/unigram models, the λ=1/2 mixture with
+    // add-one unigram backoff, decimal-accumulated -ln sums, round 6
+    "x_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |bp AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(w1 := w[CAST(i AS INT)], w2 := w[CAST(i AS INT) + 1]))) AS p
+        |  FROM toks),
+        |tf2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+        |  FROM bp GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, sum(tf) AS c2 FROM tf2 GROUP BY 1, 2),
+        |uni AS (SELECT t AS tok, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS n, count(*) AS v FROM uni),
+        |sc AS (SELECT tf2.doc_id, tf2.tf,
+        |    0.5 * (CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)) +
+        |    0.5 * (CAST(u2.c1 + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)) AS p
+        |  FROM tf2
+        |  JOIN big ON tf2.w1 = big.w1 AND tf2.w2 = big.w2
+        |  JOIN uni u1 ON tf2.w1 = u1.tok
+        |  JOIN uni u2 ON tf2.w2 = u2.tok
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(tf * -ln(p) AS DECIMAL(38,18))) AS DOUBLE)
+        |    / CAST(sum(tf) AS DOUBLE), 6) AS lm2_score
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_unigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),

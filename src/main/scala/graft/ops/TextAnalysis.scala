@@ -170,6 +170,62 @@ object TextAnalysis {
           / sum(col("tf")).cast("double")), 6).as("lm_score"))
   }
 
+  /** Interpolated bigram language-model score — the CCNet-grade
+    * fluency read one order above [[unigramLmScore]] (Wenzek et al.
+    * 2020 filter perplexity-ranks with a KenLM n-gram model; the
+    * corpus-as-its-own-model bigram with unigram interpolation is the
+    * engine-exact distributed analogue). Per doc: the mean over
+    * bigram OCCURRENCES of −ln p(w₂|w₁) with the Jelinek–Mercer
+    * mixture p = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+1)/(N+V) — the
+    * maximum-likelihood bigram backed off to the add-one unigram, so
+    * p > 0 always and rote boilerplate (predictable continuations)
+    * scores LOW while token salad scores high. λ = ½ keeps the weight
+    * arithmetic exact. Docs with < 2 tokens have no bigram
+    * occurrences and drop out (the explode-scorer contract).
+    *
+    * Engine-exact: counts are integers, both mixture terms are
+    * single IEEE divisions of identical integers, λ-scaling is a
+    * power of two, ln falls under the trig-family cross-engine
+    * contract, per-doc sums are decimal(38,18)-accumulated, and the
+    * score rounds to 6 decimals. Tokens are pre-filtered of empties
+    * (`array_remove`) so both engines pair the identical adjacent
+    * sequences.
+    *
+    * Shape: the corpus is scanned twice (token scan for the unigram
+    * model, pair scan for the doc×bigram counts); the model tables
+    * are vocabulary/bigram-bounded partial aggs; scoring is three
+    * key-partitioned joins of the doc-bigram table against them plus
+    * a broadcast 1-row totals table — no window, no driver data.
+    * Output: (id, n_bigrams, lm2_score). */
+  def bigramLmScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val clean = array_remove(Dedup.tokens(col(text)), "")
+    val toks = df.select(col(id), clean.as("__w"))
+    val m = greatest(size(col("__w")) - 1, lit(0))
+    val pairs = toks
+      .select(col(id), explode(zip_with(
+        slice(col("__w"), lit(1), m), slice(col("__w"), lit(2), m),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col(id), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val tf2 = pairs.groupBy(col(id), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bigrams = tf2.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
+    val uni = df.select(explode(clean).as("__t")).filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
+    val p = lit(0.5) * (col("c2").cast("double") / col("c1w1").cast("double")) +
+      lit(0.5) * ((col("c1w2") + lit(1)).cast("double")
+        / (col("n") + col("v")).cast("double"))
+    tf2.join(bigrams, Seq("w1", "w2"))
+      .join(uni.select(col("__t").as("w1"), col("c1").as("c1w1")), Seq("w1"))
+      .join(uni.select(col("__t").as("w2"), col("c1").as("c1w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(id))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        round(sum((col("tf") * -log(p)).cast("decimal(38,18)")).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("lm2_score"))
+  }
+
   /** Vocabulary coverage / OOV ratio against the corpus's own top-V
     * vocabulary — the "will my tokenizer cover this doc" read used to
     * flag boilerplate/garbage before training and to size tokenizer
