@@ -662,6 +662,14 @@ object QueriesOps {
           posexplode(col("centroid")).as(Seq("dim", "centroid_val")))
         .orderBy(col("cid"), col("dim"))),
 
+    // farthest-first k-center traversal (Gonzalez): 4 spread-out
+    // seeds + the covering radius — each pick a TakeOrdered(1) on
+    // per-row-exact l2 distances, centers round-trip the driver raw
+    "x_kcenter" -> ((s, d) =>
+      Similarity.farthestFirst(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 4)
+        .orderBy(col("cid"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -1422,6 +1430,32 @@ object QueriesOps {
         |SELECT cid, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f2 GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    // farthest-first replay: seed = lowest vec_id, each round the
+    // (d DESC, vec_id ASC) TakeOrdered pick over the incremental
+    // least() of l2 distances — min of doubles is associative, so the
+    // incremental form matches the engine's batch least() exactly
+    "x_kcenter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.v, list_distance(e.v, c1.v) AS d
+        |  FROM e CROSS JOIN c1),
+        |p2 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d1.vec_id, d1.v, least(d1.d, list_distance(d1.v, p2.v)) AS d
+        |  FROM d1 CROSS JOIN p2),
+        |p3 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d2.vec_id, d2.v, least(d2.d, list_distance(d2.v, p3.v)) AS d
+        |  FROM d2 CROSS JOIN p3),
+        |p4 AS (SELECT vec_id, v, d FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+        |d4 AS (SELECT d3.vec_id, least(d3.d, list_distance(d3.v, p4.v)) AS d
+        |  FROM d3 CROSS JOIN p4),
+        |r AS (SELECT max(d) AS radius FROM d4)
+        |SELECT cid, vec_id, dist, radius FROM (
+        |  SELECT CAST(0 AS INT) AS cid, vec_id, 0.0 AS dist FROM c1
+        |  UNION ALL SELECT 1, vec_id, d FROM p2
+        |  UNION ALL SELECT 2, vec_id, d FROM p3
+        |  UNION ALL SELECT 3, vec_id, d FROM p4) CROSS JOIN r
+        |ORDER BY cid""".stripMargin,
 
     "x_audio" ->
       """WITH p AS (SELECT doc_id,

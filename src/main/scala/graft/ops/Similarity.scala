@@ -523,6 +523,65 @@ object Similarity {
     result
   }
 
+  /** Farthest-first traversal (Gonzalez 1985) — deterministic
+    * k-center seeding with a coverage guarantee: start from the
+    * lowest-id vector, then repeatedly pick the point FARTHEST from
+    * every center chosen so far. The picked set is a 2-approximation
+    * of the optimal k-center radius, which makes it (a) the seeding
+    * that spreads [[kmeansLloyd]]/[[ivfIndexDeterministic]] centroids
+    * across the cloud instead of clumping them in the densest region
+    * (k-lowest-id seeds can), and (b) a diversity read in its own
+    * right: `radius` is the distance at which EVERY corpus vector has
+    * a center — the covering-ball certificate for an IVF index or a
+    * diversity-subset selection.
+    *
+    * Deterministic and engine-exact with NO grids: every distance is
+    * the codegen l2 kernel on identical doubles (per-row IEEE, no
+    * accumulation across rows), the running min is `least` over the
+    * centers (min of doubles is associative — incremental and batch
+    * forms agree exactly), and each pick is TakeOrdered(1) on
+    * (d DESC, id ASC) — ties to the lowest id. Centers round-trip the
+    * driver as raw vector doubles (no arithmetic), so the SQL
+    * unrolling reproduces every pick bit for bit.
+    *
+    * Cost model: k rounds × one corpus scan each (Gonzalez is
+    * inherently sequential in k) with k·dims literals in the final
+    * scans — the k ≤ 256 envelope keeps the plan inside codegen
+    * limits; seeding budgets beyond that belong to sampled variants.
+    * Duplicate vectors are fine (they pick at d=0 only after the
+    * cloud is exhausted); k larger than the distinct-vector count
+    * degenerates to repeats, as in the textbook algorithm.
+    * Output: (cid 0…k−1, vec_id, dist — the pick's distance to its
+    * nearest EARLIER center (0 for the seed), radius — max over the
+    * corpus of the distance to its nearest of the k centers). */
+  def farthestFirst(corpus: DataFrame, id: String, vec: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"farthestFirst: k=$k outside the literal-chain envelope (1..256)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(id).cast("long").as("__id"),
+      col(vec).cast("array<double>").as("__v"))
+    val seed = v.orderBy(col("__id")).limit(1).collect().head
+    var cents = List((seed.getLong(0), seed.getSeq[Double](1).toArray, 0.0))
+    def minD: Column = {
+      val ds = cents.map { case (_, cv, _) =>
+        l2(col("__v"), array(cv.map(lit).toSeq: _*)) }
+      if (ds.size == 1) ds.head else least(ds: _*)
+    }
+    for (_ <- 1 until k) {
+      val pick = v.select(col("__id"), col("__v"), minD.as("__d"))
+        .orderBy(col("__d").desc, col("__id")).limit(1).collect().head
+      cents = (pick.getLong(0), pick.getSeq[Double](1).toArray,
+        pick.getDouble(2)) :: cents
+    }
+    val radius = v.select(minD.as("__d")).agg(max(col("__d"))).collect()
+      .head.getDouble(0)
+    cents.reverse.zipWithIndex
+      .map { case ((cid, _, d), i) => (i, cid, d, radius) }
+      .toDF("cid", "vec_id", "dist", "radius")
+  }
+
   /** Per-stratum embedding coherence: mean cosine of each vector to
     * its stratum centroid — the "how tight is this domain's embedding
     * cloud" read that ranks strata for SemDeDup attention and flags
