@@ -31,6 +31,16 @@ object QueriesOps {
     flatten(transform(sequence(lit(0), lit(reps - 1)),
       r => transform(vec, x => x / (r + lit(1)).cast("double"))))
 
+  /** Training frame for the x_lr_* classifier queries: the 4 cheap
+    * engine-exact quality features plus the teacher label — a
+    * Gopher-style minimum-word-count rule (space count >= 53, i.e.
+    * >= 54 words) the linear model distills. */
+  private def lrDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      ops.Classifier.docQualityFeatures(col("text")).as("fx"),
+      ((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        >= lit(53)).cast("double").as("y"))
+
   private def embeddings768(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"),
       widen(col("embedding").cast("array<double>"), 12).as("embedding768"))
@@ -670,6 +680,31 @@ object QueriesOps {
           k = 4)
         .orderBy(col("cid"))),
 
+    // logistic-regression quality classifier, fastText-style: 24
+    // full-batch GD iterations (one fixed-point gradient agg scan
+    // each, weights on the driver), 513-literal table sigmoid — the
+    // GPT-3/CCNet/DCLM quality-filter shape, fully oracle-replayed.
+    // The training label distills a Gopher-style min-word-count rule
+    // (>= 54 words) into the cheap linear model — the teacher-rule →
+    // fast-student distillation real pipelines run; the learned
+    // model recovers the rule at ~98% agreement (see x_lr_score)
+    "x_lr_quality" -> ((s, d) =>
+      Classifier.logisticWeights(lrDocs(s, d), "fx", "y",
+          dims = 4, iters = 24, lr = 4.0)
+        .orderBy(col("dim"))),
+
+    // score + threshold the corpus with the trained model: a pure
+    // projection with the weights inlined as literals — the actual
+    // 100 TB filter pass
+    "x_lr_score" -> ((s, d) => {
+      val docs = lrDocs(s, d)
+      val (w, b) = Classifier.logisticTrainGD(docs, "fx", "y",
+        dims = 4, iters = 24, lr = 4.0)
+      Classifier.logisticScore(docs, "fx", w, b)
+        .select(col("doc_id"), col("prob"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -1218,6 +1253,64 @@ object QueriesOps {
        |fin AS (SELECT list_value($ls) AS ls, n2 AS lam FROM nv2)""".stripMargin
   }
 
+  /** Shared CTE chain unrolling `iters` full-batch logistic-GD
+    * iterations (see Classifier.logisticTrainGD) plus one final
+    * margin/sigmoid pass over the trained weights — ends in CTEs
+    * `w{iters}` (columns c0..c3, cb) and `s{iters+1}` (doc_id, sg).
+    * The 513-entry sigmoid table inlines as the same literal doubles
+    * the Spark plan carries (decimal literals parse correctly rounded
+    * in both engines), margins and gradients accumulate on the
+    * floor(t·2^30+0.5) BIGINT grid, and the weight update replays the
+    * driver's left-assoc chain. Used by x_lr_quality / x_lr_score. */
+  private def lrUnrollCtes(iters: Int, lr: Double): String = {
+    val S = "1073741824.0"
+    def fxs(t: String) = s"CAST(floor(($t) * $S + 0.5) AS BIGINT)"
+    def sig(z: String) =
+      s"sigt[CAST(least(greatest(floor((($z) + 8.0) * 32.0), 0), 512) AS INT) + 1]"
+    // string → DOUBLE cast per entry: a bare decimal literal parses as
+    // DECIMAL in DuckDB and the DECIMAL→DOUBLE conversion double-rounds
+    // (1 ulp off for ~10% of table entries — the Exact.scala trap);
+    // strtod on the shortest-repr string is correctly rounded
+    val tbl = graft.ops.Classifier.sigTable
+      .map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")
+    // MATERIALIZED stops DuckDB's default CTE inlining: w_i references
+    // w_{i-1} twice (via z_i and directly), so inlining would expand
+    // the chain exponentially in `iters`
+    val header =
+      s"""f AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN len(text) - len(replace(text, ' ', '')) >= 53
+         |      THEN 1.0 ELSE 0.0 END AS y,
+         |    CAST(len(text) AS DOUBLE) / 1024.0 AS x0,
+         |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / 128.0 AS x1,
+         |    CAST(len(text) - len(regexp_replace(text, '[a-m]', '', 'g')) AS DOUBLE) / 256.0 AS x2,
+         |    CAST(len(text) - len(replace(text, ' the ', '')) AS DOUBLE) / 40.0 AS x3
+         |  FROM documents),
+         |sgt AS MATERIALIZED (SELECT [$tbl] AS sigt),
+         |w0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3, 0.0 AS cb)""".stripMargin
+    val rounds = (1 to iters + 1).map { i =>
+      val zDot = (0 until 4).map(j => fxs(s"w.c$j * x$j")).mkString(" + ")
+      val zi =
+        s"""z$i AS (SELECT f.doc_id, f.y, f.x0, f.x1, f.x2, f.x3,
+           |  CAST(($zDot + CAST(floor(w.cb * $S + 0.5) AS BIGINT)) AS DOUBLE) / $S AS z
+           |  FROM f CROSS JOIN w${i - 1} w),
+           |s$i AS (SELECT z$i.*, ${sig("z")} AS sg FROM z$i CROSS JOIN sgt)""".stripMargin
+      if (i > iters) zi
+      else {
+        val gs = (0 until 4).map(j => s"sum(${fxs(s"(sg - y) * x$j")}) AS g$j")
+          .mkString(", ")
+        val ws = (0 until 4).map(j =>
+          s"w.c$j - $lr * ((CAST(g$j AS DOUBLE) / $S) / CAST(n AS DOUBLE)) AS c$j")
+          .mkString(", ")
+        s"""$zi,
+           |g$i AS (SELECT $gs, sum(${fxs("sg - y")}) AS gb, count(*) AS n FROM s$i),
+           |w$i AS MATERIALIZED (SELECT $ws,
+           |  w.cb - $lr * ((CAST(gb AS DOUBLE) / $S) / CAST(n AS DOUBLE)) AS cb
+           |  FROM g$i CROSS JOIN w${i - 1} w)""".stripMargin
+      }
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
     // recompute the synthetic 8x6 P6 raster (pixels = md5-hex ASCII,
     // repeated + '0'-padded to 144 bytes) and its channel means; the
@@ -1430,6 +1523,25 @@ object QueriesOps {
         |SELECT cid, CAST(count(*) AS BIGINT) AS n, dim,
         |  (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS centroid_val
         |FROM f2 GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    // 3 GD iterations unrolled: per-row margins/gradients on the
+    // 2^30 BIGINT grid, literal sigmoid table, driver update chain
+    "x_lr_quality" ->
+      s"""WITH ${lrUnrollCtes(24, 4.0)}
+         |SELECT dim, weight FROM (
+         |  SELECT -1 AS dim, cb AS weight FROM w24
+         |  UNION ALL SELECT 0, c0 FROM w24
+         |  UNION ALL SELECT 1, c1 FROM w24
+         |  UNION ALL SELECT 2, c2 FROM w24
+         |  UNION ALL SELECT 3, c3 FROM w24)
+         |ORDER BY dim""".stripMargin,
+
+    // the scoring pass over the trained weights: margin + table
+    // sigmoid per doc, keep = prob >= 1/2
+    "x_lr_score" ->
+      s"""WITH ${lrUnrollCtes(24, 4.0)}
+         |SELECT doc_id, sg AS prob, sg >= 0.5 AS keep
+         |FROM s25 ORDER BY doc_id""".stripMargin,
 
     // farthest-first replay: seed = lowest vec_id, each round the
     // (d DESC, vec_id ASC) TakeOrdered pick over the incremental

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear (logistic-regression) document classifiers — the
+  * quality-filter workhorse of LLM data pipelines: GPT-3 filtered
+  * CommonCrawl with a linear classifier over quality features,
+  * LLaMA/CCNet score pages with fastText linear models, and DCLM's
+  * strongest single lever is exactly this shape. The model is tiny
+  * (dims+1 doubles) while the corpus is 100 TB, so the right
+  * distributed topology is the [[Similarity.kmeansLloyd]] /
+  * topPrincipalDirection round-trip pattern: weights live on the
+  * driver between iterations, each iteration is ONE aggregate scan
+  * producing dims+1 fixed-point gradient sums, and scoring is a pure
+  * codegen projection with the weights inlined as literals — zero
+  * shuffle anywhere (the gradient agg moves #partitions × (dims+1)
+  * Longs).
+  *
+  * Engine-exactness. Gradient descent needs a sigmoid, and libm
+  * `exp` is NOT bit-identical across engines (measured: ~0.3% of
+  * inputs differ in the last ulp between the JVM and DuckDB — enough
+  * to diverge a hash-compared training run). fastText solves the
+  * adjacent precision/speed problem with a 512-entry sigmoid lookup
+  * table; the same device makes training engine-EXACT here: the
+  * table is computed once on the driver and inlined as 513 double
+  * literals (both engines parse decimal literals correctly rounded,
+  * so the values are bit-identical), the index
+  * floor((z+8)·32) clamped to [0,512] is plain IEEE arithmetic, and
+  * every other step follows the repo's fixed-point recipes — margins
+  * and gradients accumulate as floor(t·2^30+0.5) Long sums
+  * (order-invariant), the learning rate is restricted to powers of
+  * two (exact scaling), and the driver's weight update is a fixed
+  * left-assoc chain the SQL unrolling replays operation for
+  * operation. Model semantics: plain full-batch gradient descent on
+  * the logistic loss, ∇ = Σ x·(σ(w·x) − y)/n — with the table
+  * standing in for σ exactly as in fastText's trainer.
+  *
+  * Magnitude contract: |x_j| ≲ 100 and |w_j| ≲ 100 keep the 2^30
+  * grid sums far inside Long for corpora to ~10^9 rows; normalize
+  * features to O(1) (the [[docQualityFeatures]] helper does).
+  */
+object Classifier {
+
+  /** fastText-style sigmoid table: SigTableSize+1 knots over
+    * [−MaxZ, +MaxZ]; σ(z) below/above the range clamps to the end
+    * knots (fastText clamps to 0/1 — the end knots at z=±8 are within
+    * 3.4e-4 of that, and staying ON the table keeps every scored
+    * probability one of 513 shared literals). */
+  val SigTableSize = 512
+  val MaxZ = 8.0
+  lazy val sigTable: Array[Double] = Array.tabulate(SigTableSize + 1) { i =>
+    1.0 / (1.0 + math.exp(-(i.toDouble * 2.0 * MaxZ / SigTableSize - MaxZ)))
+  }
+
+  private val Scale = (1L << 30).toDouble
+  private def fx(c: Column): Column = floor(c * lit(Scale) + lit(0.5)).cast("long")
+
+  /** Table sigmoid of a margin column — pure arithmetic + one
+    * element_at over the literal table; bit-identical anywhere. */
+  def sigLookup(z: Column): Column = {
+    val idx = least(greatest(
+      floor((z + lit(MaxZ)) * lit(SigTableSize.toDouble / (2.0 * MaxZ))).cast("int"),
+      lit(0)), lit(SigTableSize))
+    element_at(array(sigTable.map(lit).toSeq: _*), idx + lit(1))
+  }
+
+  /** Margin z = bias + w·x on the 2^30 fixed-point grid: per-element
+    * floor(x_j·w_j·2^30+0.5) Longs summed exactly, bias snapped the
+    * same way, one division back to double. */
+  private def margin(features: Column, w: Array[Double], bias: Double): Column = {
+    val wLit = array(w.map(lit).toSeq: _*)
+    val dot = aggregate(zip_with(features, wLit, (a, b) => fx(a * b)), lit(0L), _ + _)
+    (dot + lit(math.floor(bias * Scale + 0.5).toLong)).cast("double") / lit(Scale)
+  }
+
+  /** Full-batch gradient-descent training of a binary logistic
+    * model. `features` is an array<double> column of width `dims`;
+    * `label` a 0/1 column. `lr` must be a power of two (exact
+    * scaling — the [[Sampling.temperatureMix]] restriction). Weights
+    * and bias start at 0 and round-trip the driver between the
+    * `iters` aggregate scans. Returns (weights, bias). */
+  def logisticTrainGD(df: DataFrame, features: String, label: String,
+                      dims: Int, iters: Int, lr: Double): (Array[Double], Double) = {
+    require(dims >= 1 && dims <= 4096,
+      s"logisticTrainGD: dims=$dims outside the driver-roundtrip envelope")
+    require(iters >= 1, s"logisticTrainGD: iters=$iters must be >= 1")
+    val e = math.log(lr) / math.log(2.0)
+    require(lr > 0 && e == math.rint(e),
+      s"logisticTrainGD: lr=$lr must be a power of two (exact scaling)")
+    var w = Array.fill(dims)(0.0)
+    var b = 0.0
+    val x = col(features).cast("array<double>")
+    val y = col(label).cast("double")
+    for (_ <- 1 to iters) {
+      val resid = sigLookup(margin(x, w, b)) - y
+      val aggs = (0 until dims).map(j =>
+        sum(fx(resid * element_at(x, j + 1))).as(s"g$j")) :+
+        sum(fx(resid)).as("gb") :+ count(lit(1)).as("n")
+      val row = df.select(x.as(features), y.as(label))
+        .agg(aggs.head, aggs.tail: _*).collect().head
+      val n = row.getLong(dims + 1).toDouble
+      // fixed left-assoc update chain, replayed verbatim by the oracle
+      w = Array.tabulate(dims)(j => w(j) - lr * ((row.getLong(j).toDouble / Scale) / n))
+      b = b - lr * ((row.getLong(dims).toDouble / Scale) / n)
+    }
+    (w, b)
+  }
+
+  /** Trained weights as a (dim, weight) frame — dim −1 is the bias. */
+  def logisticWeights(df: DataFrame, features: String, label: String,
+                      dims: Int, iters: Int, lr: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (w, b) = logisticTrainGD(df, features, label, dims, iters, lr)
+    ((-1, b) +: w.toIndexedSeq.zipWithIndex.map { case (x, j) => (j, x) })
+      .toDF("dim", "weight")
+  }
+
+  /** Score a frame with a trained model: adds `prob` (the table
+    * sigmoid of the margin — one of 513 shared literal doubles) and
+    * `keep` (prob ≥ ½). Pure projection, weights inlined as
+    * literals — no shuffle, no join, scales to any corpus. */
+  def logisticScore(df: DataFrame, features: String,
+                    w: Array[Double], bias: Double): DataFrame = {
+    val prob = sigLookup(margin(col(features).cast("array<double>"), w, bias))
+    df.withColumn("prob", prob)
+      .withColumn("keep", col("prob") >= lit(0.5))
+  }
+
+  /** Engine-replayable quality features over a text column, O(1)
+    * scale, all identical-by-construction cross-engine (character
+    * counts + one IEEE division each): document length, whitespace
+    * density, a–m letter mass (alphabet balance), and
+    * " the "-occurrence count (the classic one-stopword fluency
+    * signal — deleted-length difference over the 5-char literal).
+    * Returns an array<double> of width 4. */
+  def docQualityFeatures(text: Column): Column = array(
+    length(text).cast("double") / lit(1024.0),
+    (length(text) - length(regexp_replace(text, " ", ""))).cast("double") / lit(128.0),
+    (length(text) - length(regexp_replace(text, "[a-m]", ""))).cast("double") / lit(256.0),
+    (length(text) - length(regexp_replace(text, " the ", ""))).cast("double") / lit(40.0))
+}

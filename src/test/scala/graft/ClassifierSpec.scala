@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Specs for the round's new ops: the logistic quality classifier,
+  * farthest-first k-center traversal, domain JS divergence,
+  * k-anonymity profiling, and the bigram LM scorer. */
+class ClassifierSpec extends SparkTestBase {
+
+  // ---- sigmoid table -----------------------------------------------------
+
+  test("sigTable: 513 monotone knots, exact 1/2 at the center") {
+    val t = Classifier.sigTable
+    assert(t.length == 513)
+    assert(t(256) == 0.5) // σ(0) = 1/(1+exp(-0)) exactly
+    assert(t.zip(t.tail).forall { case (a, b) => a < b }, "table not monotone")
+    assert(t.head < 4e-4 && t.last > 1.0 - 4e-4)
+  }
+
+  test("sigLookup clamps out-of-range margins to the end knots") {
+    val df = sqlDf("z" -> Seq(-100.0, 0.0, 100.0))
+    val out = df.select(Classifier.sigLookup(col("z")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == Classifier.sigTable.head)
+    assert(out(1) == 0.5)
+    assert(out(2) == Classifier.sigTable.last)
+  }
+
+  // ---- logistic GD -------------------------------------------------------
+
+  test("logisticTrainGD distills a separable threshold rule") {
+    val xs = (1 to 40).map(_ / 40.0)
+    val df = sqlDf("x" -> xs, "y" -> xs.map(x => if (x >= 0.55) 1.0 else 0.0))
+      .select(array(col("x")).as("fx"), col("y"))
+    val (w, b) = Classifier.logisticTrainGD(df, "fx", "y",
+      dims = 1, iters = 40, lr = 2.0)
+    assert(w(0) > 0.0, s"weight should be positive toward the rule, got ${w(0)}")
+    val scored = Classifier.logisticScore(df, "fx", w, b)
+    val agree = scored.filter(col("keep") === (col("y") === 1.0)).count()
+    assert(agree >= 36, s"rule agreement $agree/40 below 90%")
+  }
+
+  test("logisticTrainGD refuses a non-power-of-two learning rate") {
+    val df = sqlDf("y" -> Seq(0.0, 1.0)).select(array(col("y")).as("fx"), col("y"))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.logisticTrainGD(df, "fx", "y", dims = 1, iters = 1, lr = 0.3)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
+  test("logisticScore is a pure projection — no shuffle, no join") {
+    val df = sqlDf("y" -> Seq(0.0, 1.0)).select(array(col("y")).as("fx"), col("y"))
+    val plan = Classifier.logisticScore(df, "fx", Array(1.0), 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"scoring pass should be shuffle-free:\n$plan")
+  }
+
+  // ---- farthest-first ----------------------------------------------------
+
+  test("farthestFirst picks the spread and reports the covering radius") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(10.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.farthestFirst(df, "vec_id", "v", k = 2)
+      .orderBy("cid").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(2) == 0.0)
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(2) == 10.0,
+      s"second pick should be the farthest point: ${out.toSeq}")
+    // remaining point 1 is distance 1 from center 0
+    assert(out(0).getDouble(3) == 1.0 && out(1).getDouble(3) == 1.0)
+  }
+
+  test("farthestFirst refuses k outside the literal-chain envelope") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(0.0))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.farthestFirst(df, "vec_id", "v", k = 257)
+    }
+    assert(e.getMessage.contains("envelope"))
+  }
+
+  // ---- k-anonymity -------------------------------------------------------
+
+  test("kAnonymity reports class-size histogram and headline risk") {
+    val df = sqlDf(
+      "seg" -> Seq("a", "a", "a", "b"),
+      "geo" -> Seq(1, 1, 1, 2))
+    val out = Profiling.kAnonymity(df, Seq("seg", "geo"), k = 2)
+      .orderBy("class_size").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 1L
+      && out(0).getBoolean(3), s"singleton class row wrong: ${out.toSeq}")
+    assert(out(1).getLong(0) == 3L && !out(1).getBoolean(3))
+    assert(out(0).getLong(4) == 1L, "k_anonymity should be the min class size")
+    assert(out(0).getLong(5) == 1L && out(0).getDouble(6) == 0.25)
+  }
+
+  // ---- JS divergence -----------------------------------------------------
+
+  test("domainJsDivergence: identical domains at 0, disjoint domains apart") {
+    val df = sqlDf(
+      "dom" -> Seq("p", "q", "r", "r"),
+      "text" -> Seq(
+        "alpha beta gamma alpha",
+        "alpha beta gamma alpha",  // identical distribution to p
+        "delta epsilon zeta", "delta epsilon zeta"))
+    val out = TextAnalysis.domainJsDivergence(df, col("dom"), col("text"),
+        vocabSize = 16)
+      .orderBy("domain_a", "domain_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("p", "q")) == 0.0, s"identical domains must diverge by 0: $out")
+    // add-one smoothing over the tiny toy support flattens the value;
+    // disjoint domains still separate clearly from the exact 0
+    assert(out(("p", "r")) > 0.1, s"disjoint domains should be far apart: $out")
+    assert(out(("p", "r")) == out(("q", "r")), "identical domains must agree")
+    assert(out(("p", "r")) <= math.log(2.0) + 1e-9, "JS is bounded by ln 2")
+  }
+
+  // ---- bigram LM ---------------------------------------------------------
+
+  test("bigramLmScore: predictable continuations score below rare ones") {
+    val df = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L),
+      "text" -> Seq("a b", "a b", "a b", "x y"))
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(1) == 1L), "each doc has exactly one bigram")
+    val common = out(0).getDouble(2)
+    val rare = out(3).getDouble(2)
+    assert(rare > common,
+      s"rare bigram should score higher (-ln p): rare=$rare common=$common")
+  }
+
+  test("bigramLmScore drops docs with fewer than two tokens") {
+    val df = sqlDf("doc_id" -> Seq(1L, 2L), "text" -> Seq("single", "two tokens"))
+    val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+    assert(out.count() == 1 && out.collect().head.getLong(0) == 2L)
+  }
+}
