@@ -968,6 +968,19 @@ object QueriesOps {
       TextAnalysis.unigramLmScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // per-doc token entropy (lexical diversity): one explode + a
+    // doc-partitioned window + one agg sharing the same Exchange
+    "x_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // C4-style blocklist pass: occurrences of broadcast bad-list
+    // terms per doc + the drop flag; zero-token docs keep n_hits=0
+    "x_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklist(t(s, d, "documents"), "doc_id", "text",
+          Seq("slow", "spam", "lorem"))
+        .orderBy(col("doc_id"))),
+
     // interpolated bigram LM fluency score (Jelinek–Mercer λ=1/2
     // bigram + add-one unigram backoff): integer counts, IEEE
     // divisions, ln under the trig contract, decimal sums, round 6
@@ -2463,6 +2476,36 @@ s"""WITH lines AS (
         |  FROM t)
         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // entropy replay: per-doc tf table, p·(-ln p) terms decimal-
+    // accumulated, the normalized form re-rounding the rounded H
+    // exactly like the engine (round(round(H,6)/ln(nd), 6))
+    "x_entropy" ->
+      s"""WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) GROUP BY 1, 2),
+        |n AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1),
+        |h AS (SELECT tf.doc_id,
+        |    round(CAST(sum(CAST(
+        |      (CAST(tf AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |        * -ln(CAST(tf AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy,
+        |    CAST(max(n.n) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM tf JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, entropy,
+        |  CASE WHEN n_distinct > 1
+        |    THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6) END AS entropy_norm
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // blocklist replay: token occurrences in the 3-term list per doc
+    "x_blocklist" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+        |h AS (SELECT doc_id, count(*) AS n_hits FROM tk
+        |  WHERE t IN ('slow', 'spam', 'lorem') GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // bigram LM replay: adjacent pairs over the same filtered token
     // lists, corpus bigram/unigram models, the λ=1/2 mixture with

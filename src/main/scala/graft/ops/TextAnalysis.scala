@@ -226,6 +226,65 @@ object TextAnalysis {
           / sum(col("tf")).cast("double"), 6).as("lm2_score"))
   }
 
+  /** Per-document token (Shannon) entropy in nats — the lexical-
+    * diversity quality signal (MassiveText-family rules pair it with
+    * repetition fractions): H = −Σ (tf/n)·ln(tf/n) over the doc's
+    * token distribution. Boilerplate and keyword-stuffed pages sit
+    * low; fluent prose sits near ln(vocabulary-per-doc). Also emits
+    * the normalized form H/ln(n_distinct) ∈ [0,1] (NULL for
+    * single-distinct-token docs, where it is undefined).
+    *
+    * Engine-exact: tf/n are IEEE divisions of exact integers, ln
+    * under the trig-family contract, the per-doc sum
+    * decimal(38,18)-accumulated, both outputs rounded to 6. Shape:
+    * one explode + two partial aggs keyed by doc — a single shuffle
+    * at any corpus size, no model table, no join.
+    * Output: (id, n_tokens, n_distinct, entropy, entropy_norm). */
+  def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(id), explode(Dedup.tokens(col(text))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(id), col("__t")).agg(count(lit(1)).as("__tf"))
+    // doc-partitioned window over the doc's DISTINCT tokens — bounded
+    // by per-doc vocabulary, and on the same key as the final agg so
+    // both share one Exchange
+    val withN = tf.withColumn("__n",
+      sum(col("__tf")).over(Window.partitionBy(col(id))))
+    val p = col("__tf").cast("double") / col("__n").cast("double")
+    withN.groupBy(col(id))
+      .agg(
+        max(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum((p * -log(p)).cast("decimal(38,18)")).cast("double"), 6)
+          .as("entropy"))
+      .withColumn("entropy_norm",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 6)))
+  }
+
+  /** Blocklist filter (the C4 "bad words" pass, Raffel et al. 2020 —
+    * C4 drops any page containing a term from a public blocklist):
+    * per doc, the number of token occurrences hitting the list and
+    * the drop flag. The list is dimension-sized by contract and
+    * broadcast; occurrence counting is a left semi-style broadcast
+    * join over the exploded tokens + one partial agg — one corpus
+    * scan, no shuffle of the text itself. Zero-token docs keep
+    * n_hits=0 via the left join back to the input keys.
+    * Output: (id, n_hits, blocked). */
+  def blocklist(df: DataFrame, id: String, text: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist: empty term list")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tl = terms.toDF("__term")
+    val hits = df.select(col(id), explode(Dedup.tokens(col(text))).as("__term"))
+      .join(broadcast(tl), Seq("__term"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_hits"))
+    df.select(col(id)).join(hits, Seq(id), "left")
+      .select(col(id), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
   /** Vocabulary coverage / OOV ratio against the corpus's own top-V
     * vocabulary — the "will my tokenizer cover this doc" read used to
     * flag boilerplate/garbage before training and to size tokenizer
