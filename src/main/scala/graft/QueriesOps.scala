@@ -1222,7 +1222,29 @@ object QueriesOps {
       val docs = t(s, d, "documents").select(col("doc_id"),
         timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"), col("text"))
       graft.streaming.NearDupStream.nearDupBatch(docs).orderBy(col("doc_id"))
-    })
+    }),
+
+    // Zipf's-law OLS fit over the top-200 term frequencies: one
+    // tokenize scan + one term-count shuffle + TakeOrdered; decimal-
+    // exact OLS sums in a single 1-row agg
+    "x_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(t(s, d, "documents"), "text", topN = 200)),
+
+    // per-doc cross-document novelty: fraction of the doc's distinct
+    // 3-token shingles appearing in NO other document — shingle
+    // doc-frequency by partial agg, join back, per-doc agg; no pairs
+    "x_novelty" -> ((s, d) =>
+      TextAnalysis.crossDocNovelty(t(s, d, "documents"), "doc_id", "text",
+          w = 3)
+        .orderBy(col("doc_id"))),
+
+    // cluster-balanced diversity subsample: 1-iter Lloyd centroids →
+    // broadcast-argmin assignment → seeded-md5 top-3 per cluster via
+    // the GroupedTopK operator (bounded heaps, no corpus window)
+    "x_diverse" -> ((s, d) =>
+      Sampling.diversitySample(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, dims = 64, iters = 1, perCluster = 3, seed = 11L)
+        .orderBy(col("cid"), col("pick")))
   )
 
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
@@ -3566,6 +3588,81 @@ s"""WITH lines AS (
         |  FROM g)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS session_start
-        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // Zipf replay: same top-200 cut (freq DESC, term), ln per row,
+    // DECIMAL(38,18) OLS sums string-bridged to double, identical
+    // closed-form arithmetic, round 6
+    "x_zipf" ->
+      s"""WITH tf AS (SELECT term, count(*) AS freq FROM
+        |    (SELECT unnest($toksSql) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        |top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 200),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |  FROM top),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM rk),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(19,12)) * CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS syy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    // novelty replay: the x_containment shingle recipe (3-token
+    // windows, whole-doc fallback under 3 tokens, list_distinct),
+    // doc-frequency over one row per (doc, shingle), join back
+    "x_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS g
+        |  FROM toks),
+        |dfq AS (SELECT g, count(*) AS dfc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(1.0 - CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM sh JOIN dfq USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // diversity-sample replay: the x_kmeans_lloyd 1-iteration chain
+    // (lowest-id seeds → argmin → fixed-point centroids) → assignment
+    // to the final centroids → seeded-md5 top-3 per cluster
+    "x_diverse" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT e.vec_id, e.v, c0.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rk
+        |  FROM e CROSS JOIN c0),
+        |g1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+        |f1 AS (SELECT cid, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM g1 CROSS JOIN range(0, 64) r),
+        |m1 AS (SELECT cid, dim,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+        |  FROM f1 GROUP BY cid, dim),
+        |c1 AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |a2 AS (SELECT e.vec_id, c1.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rk
+        |  FROM e CROSS JOIN c1),
+        |g2 AS (SELECT vec_id, cid FROM a2 WHERE rk = 1),
+        |drawn AS (SELECT cid, vec_id,
+        |    md5('11' || CAST(vec_id AS VARCHAR)) AS h FROM g2),
+        |picked AS (SELECT cid, vec_id,
+        |    row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS pick
+        |  FROM drawn)
+        |SELECT CAST(cid AS BIGINT) AS cid, vec_id, CAST(pick AS INT) AS pick
+        |FROM picked WHERE pick <= 3 ORDER BY cid, pick""".stripMargin
   )
 }

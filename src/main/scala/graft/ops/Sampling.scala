@@ -329,4 +329,42 @@ object Sampling {
       .withColumn("weight", coalesce(col("weight"), lit(0.0)))
       .drop("__did")
   }
+
+  /** Cluster-balanced diversity subsample: k-means the embedding
+    * cloud ([[Similarity.kmeansLloyd]] — deterministic seeds,
+    * fixed-point centroids), assign every vector to its nearest final
+    * centroid, then keep `perCluster` rows per cluster chosen by a
+    * seeded md5 draw. Uniform hash-sampling keeps the corpus's
+    * cluster imbalance (a 90%-boilerplate crawl yields a
+    * 90%-boilerplate sample); capping per cluster instead yields a
+    * spread-out subset — the standard seed set for human eval or a
+    * distilled fine-tuning mix.
+    *
+    * Topology: the Lloyd loop's per-iteration cost is a projection +
+    * one fixed-size centroid aggregate (corpus never shuffles); the
+    * final assignment is one broadcast-argmin partial agg; the
+    * per-cluster cut is [[graft.plans.TopK.topKPerGroup]] — bounded
+    * heaps, map-side pruned, NO window sort of the corpus. Every stage
+    * is deterministic and engine-replayable (distances are per-row
+    * IEEE scalars, draws are md5).
+    * Output: (cid, id, pick ∈ 1..perCluster ordered by the draw). */
+  def diversitySample(corpus: DataFrame, id: String, vec: String,
+                      k: Int, dims: Int, iters: Int,
+                      perCluster: Int, seed: Long): DataFrame = {
+    require(perCluster >= 1,
+      s"diversitySample: perCluster=$perCluster must be >= 1")
+    val cents = Similarity.kmeansLloyd(corpus, id, vec, k, dims, iters)
+      .select(col("cid").as("list_id"), col("centroid"))
+    val assigned = Similarity.assignToCentroids(corpus, id, vec, cents)
+      .select(col("list_id").as("cid"), col(id))
+    val drawn = assigned.withColumn("__h",
+      md5(concat(lit(seed.toString), col(id).cast("string"))))
+    val kept = graft.plans.TopK.topKPerGroup(drawn, Seq("cid"),
+      Seq(col("__h").asc, col(id).asc), perCluster)
+    // pick = rank of the draw within the kept ≤ perCluster rows — a
+    // window over bounded (≤ perCluster) partitions, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("__h").asc, col(id).asc)
+    kept.withColumn("pick", row_number().over(w)).drop("__h")
+  }
 }

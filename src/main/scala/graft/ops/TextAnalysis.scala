@@ -841,4 +841,95 @@ object TextAnalysis {
         round((sum(term.cast("decimal(38,18)")).cast("double") / lit(2.0)), 6)
           .as("js_div"))
   }
+
+  // ---- Zipf's-law fit ------------------------------------------------------
+  /** Least-squares fit of ln(freq) ~ ln(rank) over the corpus's top-N
+    * terms — the Zipf slope is a one-number health read on a text
+    * corpus: clean natural language sits near −1; templated/boiler-
+    * plate corpora flatten (slope → 0 over the head) and OCR noise /
+    * ID-heavy corpora steepen. Cheap enough to run per snapshot and
+    * diff (pair with [[corpusDiff]] style monitoring).
+    *
+    * Topology: one tokenize+explode scan → partial-agg term counts
+    * (ONE shuffle) → TakeOrdered top-N (driver-tiny for N ≤ 10⁴ at
+    * any corpus scale) → rank via the sorted-rowid recipe (no
+    * unpartitioned window) → closed-form OLS from decimal-exact sums
+    * in a single 1-row aggregate.
+    *
+    * Engine-exact: ln() runs per row on identical doubles (IEEE
+    * scalar); the five OLS sums accumulate as DECIMAL(38,18) (order-
+    * independent), bridge to double through a string cast (the
+    * [[graft.functions.Exact]] recipe), and the closed-form slope/
+    * intercept/R² arithmetic is then identical double ops on
+    * identical inputs. Results round to 6 digits.
+    * Output: ONE row (n_terms, slope, intercept, r2). */
+  def zipfFit(df: DataFrame, text: String, topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"zipfFit: topN=$topN must be >= 2 (OLS needs 2 points)")
+    val tf = df.select(explode(Dedup.tokens(col(text))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(topN)
+    val ranked = graft.core.Tibble.rowidToColumn(
+      top, Seq(col("freq").desc, col("term")), "rank")
+    // (18,12): |ln| < 1e6 with 12 exact fractional digits; the product
+    // is decimal(37,24) — inside Spark's 38 cap, so NO precision-loss
+    // rescale. The oracle mirrors with DECIMAL(19,12) (DuckDB needs
+    // width >= 19 to run the multiply in int128 — the Exact.dprodSum
+    // width asymmetry).
+    val dec = (c: Column) => c.cast("decimal(18,12)")
+    val s = ranked
+      .select(log(col("rank").cast("double")).as("__x"),
+        log(col("freq").cast("double")).as("__y"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(dec(col("__x"))).cast("string").cast("double").as("__sx"),
+        sum(dec(col("__y"))).cast("string").cast("double").as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).cast("string").cast("double").as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).cast("string").cast("double").as("__sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).cast("string").cast("double").as("__syy"))
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val sxy = col("__sxy"); val sxx = col("__sxx"); val syy = col("__syy")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    s.select(col("__n").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / n, 6).as("intercept"),
+      round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
+  }
+
+  // ---- cross-document novelty ---------------------------------------------
+  /** Per-document novelty against the REST of the corpus: the
+    * fraction of a document's distinct w-token shingles that appear
+    * in no other document (1 − shared/total). The corpus-level dual
+    * of [[repetition]] (which is within-doc): low novelty across a
+    * source flags mirrored/templated content that per-pair dedup
+    * (minhash) only catches above its jaccard threshold — this is the
+    * soft tail BELOW the dedup threshold, the "diversity" read a
+    * data-mixing decision needs.
+    *
+    * Topology: one tokenize+shingle+explode pass → shingle doc-
+    * frequency by partial agg (ONE shuffle on the shingle key; a doc
+    * contributes each shingle once via array_distinct, so df counts
+    * docs) → join pairs⋈freq on the shingle key (AQE handles hot
+    * boilerplate shingles) → per-doc partial agg. No doc-to-doc
+    * pairs anywhere; both shingle-keyed stages reduce map-side. The
+    * shingle projection is evaluated for each side of the join (two
+    * scans) — at 100 TB persist the pair table or accept the second
+    * scan; both beat materializing doc lists per shingle (a hot
+    * shingle's doc list is unbounded).
+    * Output: (id, n_shingles, n_shared, novelty ∈ [0,1]). */
+  def crossDocNovelty(df: DataFrame, id: String, text: String,
+                      w: Int = 3): DataFrame = {
+    require(w >= 1, s"crossDocNovelty: w=$w must be >= 1")
+    val pairs = df.select(col(id),
+      explode(array_distinct(Dedup.shingles(Dedup.tokens(col(text)), w)))
+        .as("__sh"))
+    val dfreq = pairs.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    pairs.join(dfreq, Seq("__sh"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared").cast("double")
+          / col("n_shingles").cast("double"), 6))
+  }
 }

@@ -86,6 +86,25 @@ object Sources {
       .withColumn("file", input_file_name())
   }
 
+  /** Raw-binary source for multimodal corpora: one row per FILE —
+    * (path, modificationTime, length, content BINARY) — which is how
+    * image/audio/video blobs enter the opaque-binary + typed-metadata
+    * data model ([[graft.ops.Multimodal]] decodes the `content`
+    * column). `pathGlobFilter` prunes by extension at FILE-LISTING
+    * time (unmatched files are never opened) and `recursiveFileLookup`
+    * walks nested layouts. Scale notes: binaryFile caps at
+    * `spark.sql.sources.binaryFile.maxLength` (2 GB hard limit — a
+    * row must fit in task memory); a 100 TB image corpus should land
+    * in this source once, then persist as parquet (content +
+    * extracted metadata) so later passes read columnar with pruning
+    * instead of re-listing small files. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+
   // ---- sinks -------------------------------------------------------------
   def writeParquet(df: DataFrame, path: String,
                    mode: SaveMode = SaveMode.Overwrite,

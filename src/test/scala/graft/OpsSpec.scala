@@ -1922,4 +1922,63 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("ReusedExchange"),
       s"variant expansion should be computed once, not per side:\n$plan")
   }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // freq(term_r) = floor(1000 / r): close to slope −1 on the log-log
+    // fit; build the corpus by uncounting the frequency table
+    val terms = (1 to 20).map(r => (f"t$r%02d", 1000 / r))
+    val corpus = sqlDf(
+      "text" -> terms.flatMap { case (t, f) => Seq.fill(f)(t) })
+    val out = TextAnalysis.zipfFit(corpus, "text", topN = 20).collect().head
+    assert(out.getLong(0) == 20L)
+    val slope = out.getDouble(1)
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope not ~ -1")
+    val r2 = out.getDouble(3)
+    assert(r2 > 0.99, s"power law should fit nearly perfectly, r2=$r2")
+  }
+
+  test("zipfFit matches a hand-computed OLS on a tiny frame") {
+    // 2 distinct terms: freq 4 and 2 -> points (ln1, ln4), (ln2, ln2)
+    val corpus = sqlDf("text" -> Seq("a a a a b b"))
+    val out = TextAnalysis.zipfFit(corpus, "text", topN = 10).collect().head
+    val slope = (math.log(2) - math.log(4)) / (math.log(2) - math.log(1))
+    assert(out.getLong(0) == 2L)
+    assert(math.abs(out.getDouble(1) - slope) < 1e-6)
+    assert(math.abs(out.getDouble(3) - 1.0) < 1e-6) // 2 points: perfect fit
+  }
+
+  test("crossDocNovelty: duplicated docs share all shingles, unique doc none") {
+    val out = TextAnalysis.crossDocNovelty(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+    // docs 1 and 2 are identical -> every shingle shared -> novelty 0
+    assert(out(0).getAs[Double]("novelty") == 0.0)
+    assert(out(1).getAs[Double]("novelty") == 0.0)
+    // doc 3 differs by one token: shares some shingles, not all
+    val n3 = out(2).getAs[Double]("novelty")
+    assert(n3 > 0.0 && n3 < 1.0, s"near-dup novelty $n3 should be partial")
+    // doc 4 shares no 3-shingle with anything -> fully novel
+    assert(out(3).getAs[Double]("novelty") == 1.0)
+  }
+
+  test("diversitySample caps every cluster and is deterministic") {
+    // 4 well-separated clusters keyed by vec_id % 4
+    val vecs = sqlDf("vec_id" -> (0L until 40L))
+      .withColumn("embedding", transform(sequence(lit(0), lit(3)), d =>
+        (col("vec_id") % 4).cast("double") * 10.0
+          + d.cast("double") * 0.1 + col("vec_id").cast("double") * 0.001))
+    def run() = Sampling.diversitySample(vecs, "vec_id", "embedding",
+      k = 4, dims = 4, iters = 2, perCluster = 3, seed = 7L)
+      .orderBy("cid", "pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = run()
+    assert(a == run(), "seeded sample must be reproducible")
+    val perCluster = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perCluster.values.forall(_ <= 3), s"cluster cap violated: $perCluster")
+    // picks are 1..n within each cluster
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+    }
+    // 40 vectors / 4 clear clusters: every cluster fills its cap
+    assert(a.size == 12, s"expected 4 full clusters of 3, got ${a.size}")
+  }
 }
