@@ -1244,7 +1244,13 @@ object QueriesOps {
     "x_diverse" -> ((s, d) =>
       Sampling.diversitySample(t(s, d, "embeddings"), "vec_id", "embedding",
           k = 8, dims = 64, iters = 1, perCluster = 3, seed = 11L)
-        .orderBy(col("cid"), col("pick")))
+        .orderBy(col("cid"), col("pick"))),
+
+    // greedy longest-match subword vocabulary application — the
+    // WordPieceCountExpr codegen kernel, one scan, no shuffle
+    "x_subword" -> ((s, d) =>
+      TextAnalysis.subwordTokenize(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
@@ -3663,6 +3669,42 @@ s"""WITH lines AS (
         |    row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS pick
         |  FROM drawn)
         |SELECT CAST(cid AS BIGINT) AS cid, vec_id, CAST(pick AS INT) AS pick
-        |FROM picked WHERE pick <= 3 ORDER BY cid, pick""".stripMargin
+        |FROM picked WHERE pick <= 3 ORDER BY cid, pick""".stripMargin,
+
+    // subword replay: greedy longest-match as a recursive CTE over
+    // DISTINCT words (the dictionary-encoded dual of the kernel's
+    // per-row loop — same segmentation, corpus-scale words segmented
+    // once), vocab list generated from the SAME Scala Seq the kernel
+    // compiles, so the two sides cannot drift
+    "x_subword" -> {
+      val vocabSql = TextAnalysis.demoSubwords.map(v => s"'$v'").mkString(", ")
+      s"""WITH RECURSIVE words AS (
+        |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+        |dw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+        |vocab AS (SELECT unnest([$vocabSql]) AS v),
+        |seg(w, pos, ns, nu) AS (
+        |  SELECT w, 1, 0, 0 FROM dw
+        |  UNION ALL
+        |  SELECT w,
+        |    pos + coalesce((SELECT max(len(v)) FROM vocab
+        |      WHERE v = substr(w, pos, len(v))), 1),
+        |    ns + 1,
+        |    nu + CASE WHEN EXISTS (SELECT 1 FROM vocab
+        |      WHERE v = substr(w, pos, len(v))) THEN 0 ELSE 1 END
+        |  FROM seg WHERE pos <= len(w)),
+        |done AS (SELECT w, ns, nu FROM seg WHERE pos > len(w)),
+        |perdoc AS (SELECT doc_id, count(*) AS n_words,
+        |    sum(ns) AS n_subwords, sum(nu) AS n_unk
+        |  FROM words JOIN done USING (w) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords,
+        |  CAST(coalesce(n_unk, 0) AS BIGINT) AS n_unk,
+        |  CASE WHEN coalesce(n_words, 0) > 0 THEN
+        |    round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |  END AS fertility
+        |FROM documents d LEFT JOIN perdoc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    }
   )
 }

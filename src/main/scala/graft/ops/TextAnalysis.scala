@@ -896,6 +896,59 @@ object TextAnalysis {
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
   }
 
+  // ---- subword tokenization -----------------------------------------------
+  /** Demo subword vocabulary for [[subwordTokenize]]: frequent English
+    * subwords + a single-letter fallback that deliberately EXCLUDES
+    * j/q/x/z and digits, so rare characters really exercise the
+    * `<unk>` path (a production vocab would come from a trained
+    * tokenizer file — the kernel is vocabulary-agnostic). Order
+    * doesn't matter (matching is by longest length). */
+  val demoSubwords: Seq[String] = Seq(
+    "ation", "tion", "ment", "ing", "ent", "ion", "ous", "ate", "ies",
+    "the", "and", "ere", "her", "ter", "est", "ers", "con", "com",
+    "pro", "per", "res", "ble",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+    "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch",
+    "ll", "be", "ma", "si", "om", "ur",
+    "a", "e", "i", "o", "u", "n", "r", "s", "t", "l", "d", "c", "m",
+    "h", "g", "p", "b", "f", "w", "y", "v", "k")
+
+  /** Apply a subword (WordPiece/BPE-style) vocabulary by greedy
+    * longest match — the real tokenizer-application step of a
+    * pretraining pipeline, not the whitespace/regex approximations in
+    * [[tokenCounts]]. Runs as ONE native codegen kernel call per row
+    * ([[graft.plans.WordPieceCountExpr]]): the vocabulary compiles
+    * once on the driver (hash set + max length) and rides to
+    * executors as a codegen reference object — no join, no shuffle,
+    * no per-row vocab scan. Token-budget math (n_subwords), tokenizer
+    * fit (fertility = subwords/word — vocab-coverage quality per
+    * doc), and byte-fallback pressure (n_unk) drop out of one scan.
+    *
+    * At 100 TB the alternative topology — tokenize DISTINCT words
+    * once and broadcast-join back (Zipf makes distinct ≪ total) —
+    * trades this scan's CPU for a shuffle; the kernel keeps the scan
+    * shape so tokenization composes with any downstream filter
+    * without a barrier.
+    * Output: (id, n_words, n_subwords, n_unk, fertility). */
+  def subwordTokenize(df: DataFrame, id: String, text: String,
+                      vocab: Seq[String] = demoSubwords): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty),
+      "subwordTokenize: vocabulary entries must be non-empty")
+    val wp = ColumnBridge.column(
+      graft.plans.WordPieceCountExpr(ColumnBridge.expr(col(text)), vocab))
+    df.select(col(id), wp.as("__wp"))
+      .select(col(id),
+        col("__wp.n_words").cast("long").as("n_words"),
+        col("__wp.n_subwords").cast("long").as("n_subwords"),
+        col("__wp.n_unk").cast("long").as("n_unk"),
+        when(col("__wp.n_words") > 0,
+          round(col("__wp.n_subwords").cast("double")
+            / col("__wp.n_words").cast("double"), 6)).as("fertility"))
+  }
+
   // ---- cross-document novelty ---------------------------------------------
   /** Per-document novelty against the REST of the corpus: the
     * fraction of a document's distinct w-token shingles that appear

@@ -263,6 +263,38 @@ object TextKernels {
     while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Greedy longest-match subword counts (see [[WordPieceCountExpr]]):
+    * for each normalized word, repeatedly emit the longest vocab entry
+    * matching at the cursor, else one `<unk>` char. Returns
+    * (n_words, n_subwords, n_unk) as an InternalRow. */
+  def wordPieceCounts(text: UTF8String, vocab: WordPieceVocab): InternalRow = {
+    val words = tokenStrings(text)
+    var nw = 0; var ns = 0; var nu = 0
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        nw += 1
+        var i = 0
+        val n = w.length
+        while (i < n) {
+          var l = math.min(vocab.maxLen, n - i)
+          var found = 0
+          while (l >= 1 && found == 0) {
+            if (vocab.set.contains(w.substring(i, i + l))) found = l
+            l -= 1
+          }
+          ns += 1
+          if (found > 0) i += found
+          else { nu += 1; i += 1 }
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nw, ns, nu))
+  }
 }
 
 object TextKernelsBridge {
@@ -321,6 +353,7 @@ object TextKernelsBridge {
     }
     UTF8String.fromString(best)
   }
+
 }
 
 /** shingle_hashes(text) — the distinct rolling w-shingle hash set. */
@@ -419,5 +452,47 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Compiled greedy-longest-match subword vocabulary: membership set +
+  * max token length (the longest-match probe never tries lengths the
+  * vocab can't contain). Top-level class so generated Java can name
+  * it directly in `ctx.addReferenceObj`. */
+final class WordPieceVocab(val words: Array[String]) extends Serializable {
+  val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.length * 2)
+    words.foreach(s.add)
+    s
+  }
+  val maxLen: Int =
+    if (words.isEmpty) 1 else math.max(1, words.map(_.length).max)
+}
+
+/** wordpiece_counts(text) — greedy longest-match subword segmentation
+  * over the [[TextKernels.tokenStrings]] word stream: at each word
+  * position take the LONGEST vocab entry matching there; no match
+  * emits a 1-char `<unk>` and advances one character. One pass, one
+  * tight loop, codegen'd — the counting form of applying a trained
+  * WordPiece/BPE vocabulary at corpus scale (the full token-id form
+  * is the same loop emitting ids). Output struct:
+  * (n_words, n_subwords, n_unk). */
+case class WordPieceCountExpr(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_subwords", IntegerType, nullable = false),
+    StructField("n_unk", IntegerType, nullable = false)))
+  override def prettyName: String = "wordpiece_counts"
+  @transient private lazy val compiled = new WordPieceVocab(vocab.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordPieceCounts(input.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpVocab", compiled,
+      "graft.plans.WordPieceVocab")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.wordPieceCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordPieceCountExpr =
     copy(child = newChild)
 }

@@ -1960,6 +1960,31 @@ class OpsSpec extends SparkTestBase {
     assert(out(3).getAs[Double]("novelty") == 1.0)
   }
 
+  test("subwordTokenize: greedy longest-match segmentation, unk fallback") {
+    // vocab: the, or, y single letters a..k etc; NOT j/q/x/z
+    // "the"    -> [the]                  1 subword
+    // "theory" -> [the][or][y]           3 subwords
+    // "qq"     -> [<unk>][<unk>]         2 subwords, 2 unk
+    val df = sqlDf("doc_id" -> Seq(1L, 2L), "text" -> Seq("the theory qq", ""))
+    val out = TextAnalysis.subwordTokenize(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L, "n_words")
+    assert(out(0).getLong(2) == 6L, s"n_subwords: ${out(0)}")
+    assert(out(0).getLong(3) == 2L, "n_unk")
+    assert(out(0).getDouble(4) == 2.0, "fertility 6/3")
+    // empty doc: zero everything, NULL fertility
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
+    assert(out(1).isNullAt(4))
+  }
+
+  test("subwordTokenize: longest match wins over eager short matches") {
+    // "ation" is in the vocab whole: "nation" = [n][ation], not [na]...
+    val df = sqlDf("doc_id" -> Seq(1L), "text" -> Seq("nation"))
+    val out = TextAnalysis.subwordTokenize(df, "doc_id", "text").collect()(0)
+    assert(out.getLong(2) == 2L, s"nation should split n+ation: $out")
+    assert(out.getLong(3) == 0L)
+  }
+
   test("diversitySample caps every cluster and is deterministic") {
     // 4 well-separated clusters keyed by vec_id % 4
     val vecs = sqlDf("vec_id" -> (0L until 40L))
