@@ -1250,8 +1250,46 @@ object QueriesOps {
     // WordPieceCountExpr codegen kernel, one scan, no shuffle
     "x_subword" -> ((s, d) =>
       TextAnalysis.subwordTokenize(t(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // product-quantization ADC retrieval: 4 subspace codebooks
+    // (per-subspace Lloyd), literal-argmin encode, in-plan query LUT,
+    // m broadcast joins + TakeOrdered — corpus scanned once, 0 shuffles
+    "x_pq" -> ((s, d) =>
+      Similarity.pqTopKAdc(t(s, d, "embeddings"), "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 8, iters = 1,
+          queryDf = queryFrame(s, d), k = 10)
+        .select(col("vec_id"), col("adc"), col("rank"))
+        .orderBy(col("rank")))
   )
+
+  /** One PQ subspace's oracle chain: seeds → argmin → fixed-point
+    * centroids (the x_kmeans_lloyd grid) → encode → query LUT. */
+  private def pqSubspaceCtes(s: Int, dsub: Int, ksub: Int): String = {
+    val lo = s * dsub + 1; val hi = (s + 1) * dsub
+    s"""es$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e),
+       |c0$s AS (SELECT vec_id AS cid, vs AS cv FROM es$s ORDER BY vec_id LIMIT $ksub),
+       |a1$s AS (SELECT t.vec_id, t.vs, c.cid,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY list_distance(t.vs, c.cv), c.cid) AS rk
+       |  FROM es$s t CROSS JOIN c0$s c),
+       |g1$s AS (SELECT vec_id, vs, cid FROM a1$s WHERE rk = 1),
+       |f1$s AS (SELECT cid, CAST(r.range AS INT) AS dim,
+       |    CAST(floor(vs[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+       |  FROM g1$s CROSS JOIN range(0, $dsub) r),
+       |m1$s AS (SELECT cid, dim,
+       |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cval
+       |  FROM f1$s GROUP BY cid, dim),
+       |c1$s AS (SELECT cid, list(cval ORDER BY dim) AS cv FROM m1$s GROUP BY cid),
+       |en$s AS (SELECT t.vec_id, c.cid AS code,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY list_distance(t.vs, c.cv), c.cid) AS rk
+       |  FROM es$s t CROSS JOIN c1$s c),
+       |ec$s AS (SELECT vec_id, code FROM en$s WHERE rk = 1),
+       |lut$s AS (SELECT c.cid AS code,
+       |    list_distance(q.qs$s, c.cv) * list_distance(q.qs$s, c.cv) AS sd
+       |  FROM c1$s c CROSS JOIN q)""".stripMargin
+  }
 
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
   private val toksSql =
@@ -3705,6 +3743,33 @@ s"""WITH lines AS (
         |  END AS fertility
         |FROM documents d LEFT JOIN perdoc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // PQ-ADC replay: 4 independent subspace kmeans chains (the
+    // x_kmeans_lloyd recipe on vector slices), greedy encode, query
+    // LUT, left-assoc 4-term ADC sum — all per-row-IEEE-exact
+    "x_pq" -> {
+      val dsub = 16; val m = 4
+      val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8))
+        .mkString(",\n")
+      val qCols = (0 until m)
+        .map(s => s"v[${s * dsub + 1}:${(s + 1) * dsub}] AS qs$s").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT $qCols FROM e WHERE vec_id = 0),
+        |$chains,
+        |adc AS (SELECT e0.vec_id,
+        |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
+        |  FROM ec0 e0
+        |  JOIN ec1 e1 ON e0.vec_id = e1.vec_id
+        |  JOIN ec2 e2 ON e0.vec_id = e2.vec_id
+        |  JOIN ec3 e3 ON e0.vec_id = e3.vec_id
+        |  JOIN lut0 l0 ON e0.code = l0.code
+        |  JOIN lut1 l1 ON e1.code = l1.code
+        |  JOIN lut2 l2 ON e2.code = l2.code
+        |  JOIN lut3 l3 ON e3.code = l3.code)
+        |SELECT vec_id, adc,
+        |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin
     }
   )
 }

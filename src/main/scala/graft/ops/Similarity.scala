@@ -838,4 +838,78 @@ object Similarity {
       .withColumn(vec, zip_with(x, vLit, (a, b) => a - col("__abtt") * b))
       .drop("__abtt")
   }
+
+  // ---- product quantization (PQ) -----------------------------------------
+  /** Train PQ codebooks: split each vector into `m` contiguous
+    * subvectors of dims/m and run [[kmeansLloyd]] independently per
+    * subspace (same deterministic lowest-id seeds, literal-argmin
+    * assignment, fixed-point centroids). PQ is THE storage answer for
+    * 100 TB ANN: m log2(ksub)-bit codes per vector instead of dims
+    * doubles (64-dim float64 → 4 bytes at m=4/ksub=256 — a 128×
+    * compression), with search over codes + a per-query lookup table
+    * instead of raw vectors. Codebooks are m·ksub·(dims/m) doubles —
+    * driver-tiny at any corpus scale.
+    * Output: (subspace, cid, n, centroid). */
+  def pqTrain(corpus: DataFrame, id: String, vec: String,
+              dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"pqTrain: m=$m must divide dims=$dims")
+    val dsub = dims / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(id),
+        slice(col(vec).cast("array<double>"), s * dsub + 1, dsub).as("__sv"))
+      kmeansLloyd(sub, id, "__sv", ksub, dsub, iters)
+        .select(lit(s).as("subspace"), col("cid"), col("n"), col("centroid"))
+    }.reduce(_.union(_))
+  }
+
+  /** PQ search by Asymmetric Distance Computation: encode the corpus
+    * (per subspace, argmin over the codebook — a literal-inlined
+    * least() PROJECTION, the kmeansLloyd assignment trick, zero
+    * shuffle), build the query's (subspace, code) → squared-subdistance
+    * lookup table IN-PLAN (m·ksub rows — broadcast), then score every
+    * row as the sum of its m looked-up entries via m broadcast hash
+    * joins and cut top-k with TakeOrdered. The corpus is scanned
+    * once; nothing shuffles; the plan survives any corpus scale with
+    * the codebook/LUT broadcast envelope (m·ksub rows) fixed.
+    *
+    * Engine-exact: sub-distances are the codegen l2 kernel (per-row
+    * IEEE, replayed by DuckDB's list_distance — the proven parity),
+    * the ADC sum adds the m squared terms in subspace order, and
+    * ties rank by id.
+    * Output: (id, adc, rank 1..k). */
+  def pqTopKAdc(corpus: DataFrame, id: String, vec: String,
+                dims: Int, m: Int, ksub: Int, iters: Int,
+                queryDf: DataFrame, k: Int): DataFrame = {
+    val dsub = dims / m
+    val books = pqTrain(corpus, id, vec, dims, m, ksub, iters)
+    val cb = books.select("subspace", "cid", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    var enc = corpus.select(col(id), col(vec).cast("array<double>").as("__v"))
+    for (s <- 0 until m) {
+      val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
+        struct(
+          l2(slice(col("__v"), s * dsub + 1, dsub),
+            array(cv.map(lit).toSeq: _*)).as("d"),
+          lit(cid).as("cid")) }
+      val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+      enc = enc.withColumn(s"__code_$s", best.getField("cid"))
+    }
+    val lut = books.crossJoin(broadcast(queryDf))
+      .withColumn("__d",
+        l2(slice(col("qv"), col("subspace") * lit(dsub) + 1, lit(dsub)),
+          col("centroid")))
+      .select(col("subspace"), col("cid"), (col("__d") * col("__d")).as("__sd"))
+    var scored = enc
+    for (s <- 0 until m) {
+      val ls = lut.filter(col("subspace") === s)
+        .select(col("cid").as(s"__c$s"), col("__sd").as(s"__sd$s"))
+      scored = scored.join(broadcast(ls), col(s"__code_$s") === col(s"__c$s"))
+    }
+    val adc = (0 until m).map(s => col(s"__sd$s")).reduce(_ + _)
+    val ranked = scored.select(col(id), adc.as("adc"))
+      .orderBy(col("adc").asc, col(id)).limit(k)
+    graft.core.Tibble.rowidToColumn(ranked,
+      Seq(col("adc").asc, col(id)), "rank")
+  }
 }

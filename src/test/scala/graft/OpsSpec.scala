@@ -1985,6 +1985,27 @@ class OpsSpec extends SparkTestBase {
     assert(out.getLong(3) == 0L)
   }
 
+  test("pqTopKAdc: separated clusters retrieve own-cluster rows first") {
+    // two well-separated groups in 8 dims; query = vec 0 (group A)
+    val vecs = sqlDf("vec_id" -> (0L until 20L))
+      .withColumn("embedding", transform(sequence(lit(0), lit(7)), d =>
+        (col("vec_id") % 2).cast("double") * 100.0
+          + d.cast("double") * 0.1 + col("vec_id").cast("double") * 0.01))
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    def run() = Similarity.pqTopKAdc(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, ksub = 2, iters = 1, queryDf = q, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc"))).toSeq
+    val a = run()
+    assert(a == run(), "PQ retrieval must be deterministic")
+    assert(a.size == 10)
+    // adc non-decreasing with rank
+    assert(a.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    // all 10 hits are even vec_ids (query's cluster)
+    assert(a.forall(_._1 % 2 == 0), s"cross-cluster rows leaked into top-k: $a")
+  }
+
   test("diversitySample caps every cluster and is deterministic") {
     // 4 well-separated clusters keyed by vec_id % 4
     val vecs = sqlDf("vec_id" -> (0L until 40L))
