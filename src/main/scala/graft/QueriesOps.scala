@@ -119,6 +119,19 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // keep-best-per-near-dup-cluster: transitive clusters + longest-
+    // copy preference (exact integer), ties to lowest id; singletons
+    // (unclustered docs) keep themselves
+    "x_cluster_rep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      val clusters = Dedup.dedupClusters(pairs.select("a", "b"))
+      Dedup.clusterRepresentatives(docs, "doc_id", clusters,
+          size(array_remove(Dedup.tokens(col("text")), "")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cluster-size histogram: the dedup report a 100 TB pipeline reads
     // before deciding thresholds (two tiny re-aggs over the clusters)
     "x_cluster_sizes" -> ((s, d) => {
@@ -3126,6 +3139,42 @@ s"""WITH lines AS (
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the transitive closure again + longest-copy argmax per cluster
+    // (row_number replaying max_by's (pref, −id) struct order)
+    "x_cluster_rep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |m AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |scored AS (SELECT t.doc_id,
+        |    coalesce(m.cluster_id, t.doc_id) AS cluster_id,
+        |    CAST(len(tk) AS BIGINT) AS pref
+        |  FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY pref DESC, doc_id) AS r FROM scored),
+        |reps AS (SELECT cluster_id, doc_id AS rep_id FROM rk WHERE r = 1),
+        |nm AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM scored GROUP BY 1)
+        |SELECT s.doc_id, s.cluster_id, s.pref, r.rep_id, nm.n_members,
+        |  s.doc_id = r.rep_id AS keep
+        |FROM scored s JOIN reps r USING (cluster_id) JOIN nm USING (cluster_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     // the same transitive closure, re-aggregated to the size histogram
     "x_cluster_sizes" ->

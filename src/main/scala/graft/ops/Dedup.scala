@@ -426,6 +426,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Pick ONE representative per near-dup cluster by an explicit
+    * preference (quality score, length, freshness — any deterministic
+    * column), ties to the LOWEST id: the keep/drop decision that
+    * follows [[dedupClusters]] in a real dedup pass. [[exactBest]] is
+    * the exact-dup special case; this generalizes it to transitive
+    * NEAR-dup clusters. Docs in no cluster become their own singleton
+    * (kept). Topology: one left join onto the cluster map, one
+    * cluster-keyed max_by partial agg (the (pref, −id) struct order),
+    * one join back — all on the cluster key, AQE-handled; no windows.
+    * Output: (id, cluster_id, pref, rep_id, n_members, keep). */
+  def clusterRepresentatives(docs: DataFrame, id: String,
+                             clusters: DataFrame, pref: Column): DataFrame = {
+    val scored = docs.join(clusters, Seq(id), "left")
+      .select(col(id), coalesce(col("cluster_id"), col(id)).as("cluster_id"),
+        pref.as("pref"))
+    val reps = scored.groupBy("cluster_id").agg(
+      max_by(col(id), struct(col("pref"), (-col(id)).as("nid"))).as("rep_id"),
+      count(lit(1)).as("n_members"))
+    scored.join(reps, Seq("cluster_id"))
+      .select(col(id), col("cluster_id"), col("pref"), col("rep_id"),
+        col("n_members"), (col(id) === col("rep_id")).as("keep"))
+  }
+
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
                        nPlanes: Int = 12, threshold: Double = 0.97,
                        maxBucket: Int = 1000): DataFrame = {

@@ -146,6 +146,43 @@ object EventStreams {
   // ---- streaming dedup ---------------------------------------------------
   /** Exactly-once-per-key across the whole stream (state grows with
     * distinct keys — fine for bounded key spaces). */
+  /** One routed batch (the [[routeByQuality]] body, factored out so
+    * idempotency is testable): split on the score ONCE (the batch is
+    * persisted so both sinks share a single computation) and write
+    * each side under a `batch_id=<id>` directory with overwrite —
+    * a replayed microbatch (post-failure re-delivery) rewrites its own
+    * directory byte-for-byte instead of duplicating rows, which is
+    * the standard exactly-once-effect recipe for file sinks behind
+    * foreachBatch. Readers see `batch_id` as a partition column. */
+  def routeBatch(batch: DataFrame, batchId: Long, score: Column,
+                 threshold: Double, acceptDir: String,
+                 rejectDir: String): Unit = {
+    val scored = batch.withColumn("__q", score).persist()
+    try {
+      scored.filter(col("__q") >= threshold).drop("__q")
+        .write.mode("overwrite").parquet(s"$acceptDir/batch_id=$batchId")
+      scored.filter(col("__q") < threshold).drop("__q")
+        .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
+    } finally { scored.unpersist(); () }
+  }
+
+  /** Streaming quality router: ONE pass over the stream fans out to
+    * accept/reject parquet sinks by a quality score — the ingest-time
+    * filter of a training-data pipeline (score with
+    * [[graft.ops.TextAnalysis.qualityScore]] /
+    * [[graft.ops.Classifier.logisticScore]], keep the accepts hot,
+    * land the rejects for audit). foreachBatch because multi-sink
+    * routing needs one batch written twice — a second readStream
+    * would double the source work. Start with
+    * `.option("checkpointLocation", …).start()`. */
+  def routeByQuality(stream: DataFrame, score: Column, threshold: Double,
+                     acceptDir: String, rejectDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        routeBatch(batch, batchId, score, threshold, acceptDir, rejectDir)
+    }
+
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 

@@ -1985,6 +1985,26 @@ class OpsSpec extends SparkTestBase {
     assert(out.getLong(3) == 0L)
   }
 
+  test("clusterRepresentatives: best-pref wins, ties to lowest id, singletons kept") {
+    val d5 = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "text" -> Seq("a", "bb", "bb", "c", "c"))
+    // clusters: {1,2,3} (rep: 2 — pref 9 ties between 2 and 3, lowest
+    // id wins over 3; beats 1's pref 5), {5} from the map, 4 singleton
+    val clusters = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 5L),
+      "cluster_id" -> Seq(1L, 1L, 1L, 5L))
+    val pref = when(col("doc_id") === 1, 5L)
+      .when(col("doc_id") === 2, 9L).when(col("doc_id") === 3, 9L)
+      .otherwise(1L)
+    val out = Dedup.clusterRepresentatives(d5, "doc_id", clusters, pref)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true), (5L, 5L, 5L, true)))
+  }
+
   test("pqTopKAdc: separated clusters retrieve own-cluster rows first") {
     // two well-separated groups in 8 dims; query = vec 0 (group A)
     val vecs = sqlDf("vec_id" -> (0L until 20L))

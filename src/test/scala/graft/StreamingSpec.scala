@@ -253,4 +253,41 @@ class StreamingSpec extends SparkTestBase {
       assert(s.table("dedup_wm_out").count() == 1)
     } finally query.stop()
   }
+
+  test("quality router fans one stream into accept/reject sinks, replays idempotently") {
+    import graft.streaming.NearDupStream.NDDoc
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toFile
+    val accept = new java.io.File(dir, "accept").getPath
+    val reject = new java.io.File(dir, "reject").getPath
+    val ck = new java.io.File(dir, "ck").getPath
+    val score = length(col("text")).cast("double")
+    val input = MemoryStream[NDDoc]
+    val query = EventStreams.routeByQuality(input.toDF(), score,
+        threshold = 20.0, accept, reject)
+      .option("checkpointLocation", ck).start()
+    try {
+      input.addData(
+        NDDoc(1L, ts(0), "long enough to pass the quality bar"),
+        NDDoc(2L, ts(1), "too short"))
+      query.processAllAvailable()
+      input.addData(NDDoc(3L, ts(2), "another sufficiently long document body"))
+      query.processAllAvailable()
+      val acc = s.read.parquet(accept)
+      val rej = s.read.parquet(reject)
+      assert(acc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      assert(rej.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // batch_id rides as a partition column for downstream readers
+      assert(acc.columns.contains("batch_id"))
+      // replaying a delivered batch (post-failure re-delivery) rewrites
+      // its directory instead of duplicating rows
+      EventStreams.routeBatch(
+        Seq(NDDoc(1L, ts(0), "long enough to pass the quality bar"),
+          NDDoc(2L, ts(1), "too short")).toDF(),
+        batchId = 0L, score, 20.0, accept, reject)
+      assert(s.read.parquet(accept).count() == 2)
+      assert(s.read.parquet(reject).count() == 1)
+    } finally query.stop()
+  }
 }
