@@ -16,8 +16,11 @@ object Bench {
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
     "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
     "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
-    "x_bm25", "x_centroids", "x_kmeans_lloyd", "x_interleave",
+    "x_bm25", "x_bm25_indexed", "x_centroids", "x_kmeans_lloyd", "x_interleave",
     "x_fuzzy_join", "x_image_dedup", "x_bitext", "x_pca", "x_trending",
+    // the round-14 corpus-shuffle families + PQ retrieval, so their
+    // growth factors stop being invisible
+    "x_subword", "x_zipf", "x_novelty", "x_js_div", "x_bigram_lm", "x_pq",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -77,7 +80,12 @@ object Bench {
     // replicas keep identical names, which would measure a
     // pathological 10-deep-duplicate registry, not scale-up — the
     // same reasoning as the document replica tags)
-    "x_image_dedup")
+    "x_image_dedup",
+    // indexed BM25 (per-call = postings scans; the one-time build is
+    // outside min-of-N) and the corpus-shuffle text/vector families
+    // whose sf1 growth was unmeasured through r10
+    "x_bm25_indexed", "x_subword", "x_zipf", "x_novelty", "x_js_div",
+    "x_bigram_lm", "x_pq")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
@@ -191,14 +199,30 @@ object Bench {
       // Scan-scoped: a global getPersistentRDDs sweep would also
       // clobber caches the queries themselves own.
       graft.functions.ScanFns.unpersistScans()
+      // drop any remaining cached relations + broadcast/GC residue:
+      // r10's judge measured x_bitext 17x slower WITHIN the 37-query
+      // bench than standalone with an unchanged plan — late-bench JVM
+      // state was contaminating the heavy tails
+      spark.catalog.clearCache()
       r
     }
-    // two timed runs per query, report the min — host noise between
-    // identical runs has a documented ±40% band and single-shot totals
-    // kept masking real signal round-over-round
+    // min-of-2 per query, and a third run when the min is >1s — the
+    // heavy tails are exactly where within-JVM contamination lands and
+    // where one more sample is cheap relative to the signal it buys
+    // (±40% documented host-noise band; r10 judge saw 17x within-bench
+    // inflation on a heavy query that min-of-2 failed to converge)
+    def timeN(name: String, dir: String): Option[(Double, Long)] = {
+      val two = Seq(time1(name, dir), time1(name, dir)).flatten
+      val best = two.reduceOption((a, b) => if (a._1 <= b._1) a else b)
+      best match {
+        case Some((t, _)) if t > 1.0 =>
+          (time1(name, dir).toSeq :+ best.get)
+            .reduceOption((a, b) => if (a._1 <= b._1) a else b)
+        case other => other
+      }
+    }
     val results = headline.filter(qs.contains).map { name =>
-      val runs = Seq(time1(name, benchDir), time1(name, benchDir)).flatten
-      name -> runs.reduceOption((a, b) => if (a._1 <= b._1) a else b)
+      name -> timeN(name, benchDir)
     }
     val qJson = results.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -213,11 +237,11 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
         val sf1Dir = synthSf1(spark, benchDir)
-        // min-of-2 like the headline: single-shot sf1 rows rode the
-        // ±40% host-noise band and masked real round-over-round signal
+        // min-of-2 (+1 for >1s tails) like the headline: single-shot
+        // sf1 rows rode the ±40% host-noise band and masked real
+        // round-over-round signal
         val rows = sf1Queries.filter(qs.contains).map { n =>
-          val runs = Seq(time1(n, sf1Dir), time1(n, sf1Dir)).flatten
-          n -> runs.reduceOption((a, b) => if (a._1 <= b._1) a else b)
+          n -> timeN(n, sf1Dir)
         }
         val headlineTimes = results.toMap
         // growth = sf1 / sf0.1 on 10x data, for queries timed at both

@@ -1038,6 +1038,18 @@ object QueriesOps {
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // BM25 over the MATERIALIZED inverted index (the standing-workload
+    // path): per-call cost is postings scans only — no tokenization,
+    // no corpus scan, stats from the sidecar. Same scores as x_bm25.
+    "x_bm25_indexed" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      val (idx, stats) = bm25Index(s, d)
+      Retrieval.bm25TopKIndexed(idx, stats, "doc_id", qs, "q_id", "qtext", k = 10)
+        .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+    }),
+
     // reciprocal-rank fusion of a BM25 top-20 list with a recency list
     // (doc_id desc — the crawl-freshness stand-in): rank-based, so no
     // score calibration; everything candidate-list sized
@@ -1304,9 +1316,73 @@ object QueriesOps {
        |  FROM c1$s c CROSS JOIN q)""".stripMargin
   }
 
+  /** Build-or-reuse the materialized BM25 artifacts for `dir`: the
+    * [[Retrieval.invertedIndex]] postings parquet plus the
+    * (docCount, totalTokens) sidecar — the standing-workload shape
+    * [[Retrieval.bm25TopK]]'s scaladoc promises. Keyed by the source
+    * file fingerprint so regenerated testdata invalidates the cache;
+    * the one-time build cost is exactly what a standing workload
+    * amortizes, so it stays OUT of the per-call plan. */
+  private def bm25Index(s: SparkSession, d: String): (DataFrame, (Long, Long)) = {
+    def fp(f: java.io.File): String =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp(new java.io.File(s"$d/documents.parquet")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val cache = new java.io.File(s"target/idxcache/$key")
+    val ok = new java.io.File(cache, "_OK")
+    if (!ok.exists()) {
+      val docs = t(s, d, "documents")
+      // cluster the postings by term so warehouse-style row-group
+      // min/max statistics line up with term-sliced reads
+      Retrieval.invertedIndex(docs, "doc_id", "text")
+        .repartition(8, col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"${cache.getPath}/postings.parquet")
+      val (nd, tl) = Retrieval.corpusStatsOf(docs, "text")
+      java.nio.file.Files.write(ok.toPath, s"$nd:$tl".getBytes("UTF-8"))
+    }
+    val Array(nd, tl) =
+      new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8")
+        .split(":").map(_.toLong)
+    (s.read.parquet(s"${cache.getPath}/postings.parquet"), (nd, tl))
+  }
+
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
   private val toksSql =
     """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"""
+
+  /** The full BM25 chain in DuckDB — same tokenization, fixed-order
+    * IEEE idf/norm arithmetic (constants spelled as the identical
+    * double ops, e.g. (1.2 + 1.0) not 2.2), decimal(38,18) term sums.
+    * Shared by x_bm25 and x_bm25_indexed (the indexed path scores
+    * bit-identically by construction). */
+  private lazy val bm25OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+      |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+      |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+      |qt AS (SELECT DISTINCT q_id,
+      |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+      |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+      |dfreq AS (SELECT term, count(*) AS dfc FROM tf
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |scored AS (SELECT qt.q_id, tf.doc_id,
+      |    round(CAST(sum(CAST(
+      |      ln(1.0 + (CAST(nd AS DOUBLE) - dfc + 0.5) / (dfc + 0.5))
+      |        * (tf.tf * (1.2 + 1.0))
+      |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+      |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
+      |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+      |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, doc_id, bm25,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
+      |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
 
   /** The piiDocs text enrichment, in DuckDB. */
   private val piiTextSql =
@@ -1917,7 +1993,7 @@ object QueriesOps {
         |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
         |  FROM f),
         |vol AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
-        |    sum(n_chars) AS total_chars,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |    ${graft.functions.Exact.davgSql("quality")} AS mean_quality
         |  FROM q GROUP BY source),
         |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
@@ -2657,32 +2733,12 @@ s"""WITH lines AS (
     // replays the full BM25 chain: same tokenization, same fixed-order
     // IEEE idf/norm arithmetic (constants spelled as the identical
     // double ops, e.g. (1.2 + 1.0) not 2.2), decimal(38,18) term sums
-    "x_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-        |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
-        |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
-        |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
-        |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
-        |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
-        |qt AS (SELECT DISTINCT q_id,
-        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
-        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
-        |dfreq AS (SELECT term, count(*) AS dfc FROM tf
-        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
-        |scored AS (SELECT qt.q_id, tf.doc_id,
-        |    round(CAST(sum(CAST(
-        |      ln(1.0 + (CAST(nd AS DOUBLE) - dfc + 0.5) / (dfc + 0.5))
-        |        * (tf.tf * (1.2 + 1.0))
-        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
-        |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
-        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
-        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
-        |  GROUP BY 1, 2),
-        |r AS (SELECT q_id, doc_id, bm25,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
-        |  FROM scored)
-        |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
-        |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
+    "x_bm25" -> bm25OracleSql,
+
+    // the indexed path scores bit-identically to x_bm25 (same
+    // tokenizer contract, same scoring tail over the materialized
+    // postings), so it replays the same oracle
+    "x_bm25_indexed" -> bm25OracleSql,
 
     // the bm25 chain at k=20, a recency list, 1/(60+rank) decimal
     // fusion, top-10 — rank arithmetic identical on both engines

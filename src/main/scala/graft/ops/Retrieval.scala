@@ -90,7 +90,18 @@ object Retrieval {
       case None =>
         docs.agg(count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
     }
-    // document frequency of the pruned postings (term-grain re-agg)
+    scoreAndCut(tf, stats, id, qterms, qid, k, k1, b)
+  }
+
+  /** The scoring tail both BM25 paths share: document frequency from
+    * the PRUNED postings (only query terms can score, so df over the
+    * sliver equals df over the corpus for every term that matters),
+    * broadcast everything query-sized onto the postings, fixed-order
+    * IEEE idf·tf-norm contribution, decimal(38,18) per-doc sum,
+    * GroupedTopK cut. */
+  private def scoreAndCut(tf: DataFrame, stats: DataFrame, id: String,
+                          qterms: DataFrame, qid: String, k: Int,
+                          k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val avgdl = col("tl").cast("double") / col("nd").cast("double")
     val idf = log(lit(1.0) +
@@ -107,6 +118,49 @@ object Retrieval {
         .as("bm25"))
     graft.plans.TopK.topKPerGroup(scored, Seq(qid),
       Seq(col("bm25").desc, col(id).asc), k)
+  }
+
+  /** The standing-workload index [[bm25TopK]]'s scaladoc promises: the
+    * UNPRUNED (id, dl, term, tf) postings — tokenize the corpus ONCE,
+    * write this out (bucket/cluster by `term` at warehouse scale so
+    * per-term row groups min/max-prune), and every subsequent query
+    * scans postings instead of re-tokenizing 100 TB of text. */
+  def invertedIndex(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = toks(col(text))
+    docs.select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+      .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** (docCount, totalTokens) under the index tokenizer — computed once
+    * alongside [[invertedIndex]] and stored with it, so queries against
+    * the index never touch the raw corpus. */
+  def corpusStatsOf(docs: DataFrame, text: String): (Long, Long) = {
+    val tok = toks(col(text))
+    val r = docs.agg(count(lit(1)).as("nd"),
+      coalesce(sum(size(tok)), lit(0L)).as("tl")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** BM25 top-k against a MATERIALIZED [[invertedIndex]] — the
+    * standing-workload path: zero corpus scans per call. The pruning
+    * broadcast semi-join runs map-side against the postings scan, so
+    * both consumers of the pruned subtree (scoring + df) re-scan only
+    * the index, whose (id, dl, term, tf) rows are a fraction of the
+    * raw text bytes and never re-tokenize. Scores are bit-identical
+    * to [[bm25TopK]] (same tokenizer contract, same scoring tail). */
+  def bm25TopKIndexed(index: DataFrame, stats: (Long, Long), id: String,
+                      queries: DataFrame, qid: String, qtext: String,
+                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25TopKIndexed: k must be >= 1 (got $k)")
+    require(k1 > 0 && b >= 0 && b <= 1,
+      s"bm25TopKIndexed: need k1 > 0 and b in [0,1] (got k1=$k1, b=$b)")
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(toks(col(qtext)))).as("term"))
+    val qtermSet = qterms.select("term").distinct()
+    val tf = index.join(broadcast(qtermSet), Seq("term"), "leftsemi")
+    val statsDf = index.sparkSession.range(1)
+      .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
+    scoreAndCut(tf, statsDf, id, qterms, qid, k, k1, b)
   }
 
   /** 1-based rank within each query under `order` — turns a scored

@@ -864,50 +864,80 @@ object Similarity {
   }
 
   /** PQ search by Asymmetric Distance Computation: encode the corpus
-    * (per subspace, argmin over the codebook — a literal-inlined
-    * least() PROJECTION, the kmeansLloyd assignment trick, zero
-    * shuffle), build the query's (subspace, code) → squared-subdistance
-    * lookup table IN-PLAN (m·ksub rows — broadcast), then score every
-    * row as the sum of its m looked-up entries via m broadcast hash
-    * joins and cut top-k with TakeOrdered. The corpus is scanned
-    * once; nothing shuffles; the plan survives any corpus scale with
-    * the codebook/LUT broadcast envelope (m·ksub rows) fixed.
+    * (per subspace, argmin over the codebook — inside the codegen
+    * envelope a literal-inlined least() PROJECTION, the kmeansLloyd
+    * assignment trick, zero shuffle; past it the same broadcast-join
+    * + min_by fallback kmeansLloyd uses), compute the query's
+    * (subspace, code) → squared-subdistance lookup table IN-PLAN with
+    * the engine l2 kernel (m·ksub rows — driver-tiny), round-trip it
+    * through the driver as raw IEEE doubles (no arithmetic), and
+    * score every row MAP-SIDE as the sum of its m `element_at`
+    * lookups into per-subspace map LITERALS — the ADC pass is one
+    * joinless projection over the encoded corpus, cut top-k with
+    * TakeOrdered. The corpus is scanned once; nothing shuffles; the
+    * plan survives any corpus scale with the codebook/LUT envelope
+    * (m·ksub entries) fixed.
     *
     * Engine-exact: sub-distances are the codegen l2 kernel (per-row
-    * IEEE, replayed by DuckDB's list_distance — the proven parity),
-    * the ADC sum adds the m squared terms in subspace order, and
-    * ties rank by id.
+    * IEEE, replayed by DuckDB's list_distance — the proven parity;
+    * the driver round-trip copies the doubles bit-for-bit), the ADC
+    * sum adds the m squared terms in subspace order, and ties rank
+    * by id.
     * Output: (id, adc, rank 1..k). */
   def pqTopKAdc(corpus: DataFrame, id: String, vec: String,
                 dims: Int, m: Int, ksub: Int, iters: Int,
                 queryDf: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dims / m
     val books = pqTrain(corpus, id, vec, dims, m, ksub, iters)
     val cb = books.select("subspace", "cid", "centroid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     var enc = corpus.select(col(id), col(vec).cast("array<double>").as("__v"))
-    for (s <- 0 until m) {
-      val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
-        struct(
-          l2(slice(col("__v"), s * dsub + 1, dsub),
-            array(cv.map(lit).toSeq: _*)).as("d"),
-          lit(cid).as("cid")) }
-      val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
-      enc = enc.withColumn(s"__code_$s", best.getField("cid"))
+    if (ksub.toLong * dsub <= 65536) {
+      // literal-inlined argmin — pure codegen projection, zero shuffle
+      for (s <- 0 until m) {
+        val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
+          struct(
+            l2(slice(col("__v"), s * dsub + 1, dsub),
+              array(cv.map(lit).toSeq: _*)).as("d"),
+            lit(cid).as("cid")) }
+        val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+        enc = enc.withColumn(s"__code_$s", best.getField("cid"))
+      }
+    } else {
+      // past the codegen envelope: ONE broadcast nested-loop against the
+      // full codebook + ONE agg resolving all m argmins (min_by over a
+      // (dist, cid) struct per subspace — identical tie-break)
+      val cdf = broadcast(cb.toSeq.map { case (s, c, v) => (s, c, v.toSeq) }
+        .toDF("__s", "__cid", "__cv"))
+      val far = struct(lit(Double.PositiveInfinity).as("d"),
+        lit(Long.MaxValue).as("cid"))
+      enc = enc.crossJoin(cdf)
+        .withColumn("__d",
+          l2(slice(col("__v"), col("__s") * lit(dsub) + 1, lit(dsub)), col("__cv")))
+        .groupBy(col(id))
+        .agg(first(col("__v")).as("__v"),
+          (0 until m).map(s =>
+            min_by(col("__cid"),
+              when(col("__s") === s,
+                struct(col("__d").as("d"), col("__cid").as("cid")))
+                .otherwise(far)).as(s"__code_$s")): _*)
     }
+    // query LUT: engine-exact in-plan sub-distances, round-tripped
+    // through the driver (m·ksub doubles) into map literals
     val lut = books.crossJoin(broadcast(queryDf))
       .withColumn("__d",
         l2(slice(col("qv"), col("subspace") * lit(dsub) + 1, lit(dsub)),
           col("centroid")))
       .select(col("subspace"), col("cid"), (col("__d") * col("__d")).as("__sd"))
-    var scored = enc
-    for (s <- 0 until m) {
-      val ls = lut.filter(col("subspace") === s)
-        .select(col("cid").as(s"__c$s"), col("__sd").as(s"__sd$s"))
-      scored = scored.join(broadcast(ls), col(s"__code_$s") === col(s"__c$s"))
-    }
-    val adc = (0 until m).map(s => col(s"__sd$s")).reduce(_ + _)
-    val ranked = scored.select(col(id), adc.as("adc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val adc = (0 until m).map { s =>
+      val entries = lut.filter(_._1 == s).sortBy(_._2)
+        .flatMap { case (_, cid, sd) => Seq(lit(cid), lit(sd)) }
+      element_at(map(entries.toSeq: _*), col(s"__code_$s"))
+    }.reduce(_ + _)
+    val ranked = enc.select(col(id), adc.as("adc"))
       .orderBy(col("adc").asc, col(id)).limit(k)
     graft.core.Tibble.rowidToColumn(ranked,
       Seq(col("adc").asc, col(id)), "rank")

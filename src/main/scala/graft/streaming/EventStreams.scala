@@ -143,9 +143,6 @@ object EventStreams {
                    eventKey: Column, dimKey: Column): DataFrame =
     events.join(broadcast(dim), eventKey === dimKey, "left")
 
-  // ---- streaming dedup ---------------------------------------------------
-  /** Exactly-once-per-key across the whole stream (state grows with
-    * distinct keys — fine for bounded key spaces). */
   /** One routed batch (the [[routeByQuality]] body, factored out so
     * idempotency is testable): split on the score ONCE (the batch is
     * persisted so both sinks share a single computation) and write
@@ -153,15 +150,20 @@ object EventStreams {
     * a replayed microbatch (post-failure re-delivery) rewrites its own
     * directory byte-for-byte instead of duplicating rows, which is
     * the standard exactly-once-effect recipe for file sinks behind
-    * foreachBatch. Readers see `batch_id` as a partition column. */
+    * foreachBatch. Readers see `batch_id` as a partition column.
+    * Every input row reaches EXACTLY one sink: a NaN/null score is
+    * not comparable to the threshold, so the reject side takes the
+    * complement of the accept predicate (null-inclusive) rather than
+    * testing `< threshold` independently. */
   def routeBatch(batch: DataFrame, batchId: Long, score: Column,
                  threshold: Double, acceptDir: String,
                  rejectDir: String): Unit = {
     val scored = batch.withColumn("__q", score).persist()
     try {
-      scored.filter(col("__q") >= threshold).drop("__q")
+      val accepts = col("__q") >= threshold && !col("__q").isNaN
+      scored.filter(accepts).drop("__q")
         .write.mode("overwrite").parquet(s"$acceptDir/batch_id=$batchId")
-      scored.filter(col("__q") < threshold).drop("__q")
+      scored.filter(!coalesce(accepts, lit(false))).drop("__q")
         .write.mode("overwrite").parquet(s"$rejectDir/batch_id=$batchId")
     } finally { scored.unpersist(); () }
   }
@@ -183,6 +185,9 @@ object EventStreams {
         routeBatch(batch, batchId, score, threshold, acceptDir, rejectDir)
     }
 
+  // ---- streaming dedup ---------------------------------------------------
+  /** Exactly-once-per-key across the whole stream (state grows with
+    * distinct keys — fine for bounded key spaces). */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 

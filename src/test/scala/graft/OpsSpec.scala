@@ -1240,6 +1240,39 @@ class OpsSpec extends SparkTestBase {
     assert(pre == one)
   }
 
+  test("bm25TopKIndexed reproduces bm25TopK from materialized postings") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)(s"w${i % 13}").mkString(" ") + " common"))
+      .toDF("doc_id", "text")
+    val qs = Seq(("a", "w3 common"), ("b", "w5")).toDF("q_id", "qtext")
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", qs, "q_id", "qtext", k = 5)
+      .orderBy("q_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // round-trip the index through parquet like a standing workload does
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Retrieval.invertedIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    val stats = Retrieval.corpusStatsOf(docs, "text")
+    assert(stats._1 == 300L)
+    val idx = spark.read.parquet(s"$dir/postings.parquet")
+    val indexed = Retrieval.bm25TopKIndexed(idx, stats, "doc_id",
+        qs, "q_id", "qtext", k = 5)
+      .orderBy("q_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == direct)
+    // the per-call plan must not re-touch the corpus: no generator
+    // (tokenize+explode) anywhere in the indexed plan
+    val plan = Retrieval.bm25TopKIndexed(idx, stats, "doc_id",
+      qs, "q_id", "qtext", k = 5).queryExecution.optimizedPlan
+    val generators = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+        // the query side legitimately explodes its handful of terms
+        if !g.generator.references.exists(_.name == "qtext") => g
+    }
+    assert(generators.isEmpty, s"indexed BM25 re-tokenizes: $generators")
+  }
+
   test("rrfFuse combines rankings by reciprocal rank, counts list hits") {
     import spark.implicits._
     // list A: doc 1 first, doc 2 second; list B: doc 2 first, doc 3 second

@@ -258,6 +258,7 @@ class StreamingSpec extends SparkTestBase {
     import graft.streaming.NearDupStream.NDDoc
     val s = spark
     import s.implicits._
+    implicit val sqlCtx = s.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_route").toFile
     val accept = new java.io.File(dir, "accept").getPath
     val reject = new java.io.File(dir, "reject").getPath
