@@ -233,6 +233,13 @@ object QueriesBase {
           "cmed_qty" -> BaseFns.medianExact(col("l_quantity")),
           "cmed_price" -> BaseFns.medianExact(col("l_extendedprice"))).df),
 
+    // col_medians BY NAME (api/base/verbs.py): n exact type-7 medians
+    // from ONE one-row aggregate scan
+    "b_colmeds" -> ((s, d) => {
+      val meds = BaseFns.colMedians(col("p_size"), col("p_retailprice"))
+      t(s, d, "part").agg(meds(0).as("med_size"), meds(1).as("med_price"))
+    }),
+
     "b_allany" -> ((s, d) =>
       t(s, d, "orders").graft
         .groupBy("o_orderstatus")
@@ -607,6 +614,11 @@ object QueriesBase {
          |  quantile_cont(l_quantity, 0.5) AS cmed_qty,
          |  quantile_cont(l_extendedprice, 0.5) AS cmed_price
          |FROM lineitem""".stripMargin,
+
+    "b_colmeds" ->
+      """SELECT quantile_cont(p_size, 0.5) AS med_size,
+        |  quantile_cont(p_retailprice, 0.5) AS med_price
+        |FROM part""".stripMargin,
 
     "b_complex" ->
       """WITH z AS (SELECT c_custkey,

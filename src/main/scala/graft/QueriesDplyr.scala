@@ -562,6 +562,20 @@ object QueriesDplyr {
           Seq("mean" -> (c => davg(c)), "max" -> (c => max(c))))
         .ungroup.arrange(col("l_returnflag")).df),
 
+    // across + cur_column(): the lambda reads the current column NAME,
+    // so each transform is name-keyed (here: scale by a per-name
+    // factor) — pure projection, no closure over external state
+    "d_across_cur" -> ((s, d) => {
+      val scale = Map("l_quantity" -> 2.0, "l_tax" -> 100.0)
+      t(s, d, "lineitem").graft
+        .acrossCur(TidySelect.cols("l_quantity", "l_tax"),
+          Seq("scaled" -> ((name, c) => c * lit(scale(name)))))
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity_scaled", "l_tax_scaled")
+        .arrange(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_scaled")).df
+    }),
+
     "d_if_any" -> ((s, d) => {
       val g = t(s, d, "customer").graft
       g.filterRows(g.ifAny(TidySelect.cols("c_acctbal"), _ < 0) ||
@@ -1034,6 +1048,13 @@ object QueriesDplyr {
          |  ${davgSql("l_discount")} AS l_discount_mean,
          |  max(l_discount) AS l_discount_max
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_across_cur" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity * 2.0 AS l_quantity_scaled,
+        |  l_tax * 100.0 AS l_tax_scaled
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity_scaled""".stripMargin,
 
     "d_if_any" ->
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer

@@ -65,6 +65,21 @@ object QueriesForcats {
         "c_mktsegment", first = Seq("MACHINERY", "HOUSEHOLD"))
         .orderBy(col("ord"))),
 
+    // constructor surface (api/base/factor.py): as_factor's
+    // first-appearance level order joined against an EXPLICIT
+    // set_levels table; is_factor gates the join at plan-build time
+    "f_fct_asfactor" -> ((s, d) => {
+      val apprn = Forcats.asFactor(t(s, d, "customer"), "c_mktsegment",
+        order = col("c_custkey"))
+      val explicit = Forcats.setLevels(s, "c_mktsegment",
+        Seq("MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE", "AUTOMOBILE"))
+      require(Forcats.isFactor(apprn, "c_mktsegment") &&
+        Forcats.isFactor(explicit, "c_mktsegment"))
+      apprn.withColumnRenamed("ord", "appear_ord")
+        .join(explicit.withColumnRenamed("ord", "set_ord"), Seq("c_mktsegment"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "f_fct_shift" -> ((s, d) =>
       Forcats.fctShift(
         Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"), n = 2)
@@ -167,6 +182,18 @@ object QueriesForcats {
 
     "f_fct_other" ->
       "SELECT 'anon' AS s_name, count(*) AS n FROM supplier GROUP BY 1 ORDER BY 1",
+
+    "f_fct_asfactor" ->
+      """WITH apprn AS (SELECT c_mktsegment,
+        |    CAST(row_number() OVER (ORDER BY first_key, c_mktsegment) AS INT) AS appear_ord
+        |  FROM (SELECT c_mktsegment, min(c_custkey) AS first_key
+        |        FROM customer GROUP BY 1)),
+        |explicit(c_mktsegment, set_ord) AS (VALUES
+        |  ('MACHINERY', 1), ('HOUSEHOLD', 2), ('BUILDING', 3),
+        |  ('FURNITURE', 4), ('AUTOMOBILE', 5))
+        |SELECT c_mktsegment, appear_ord, CAST(set_ord AS INT) AS set_ord
+        |FROM apprn JOIN explicit USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "f_fct_relevel" ->
       """WITH base AS (SELECT c_mktsegment,

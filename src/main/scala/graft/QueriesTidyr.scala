@@ -191,7 +191,26 @@ object QueriesTidyr {
       Tibble.rowidToColumn(
         t(s, d, "nation"), Seq(col("n_nationkey").asc))
         .select("rowid", "n_nationkey", "n_name")
-        .orderBy(col("rowid")))
+        .orderBy(col("rowid"))),
+
+    // rownames round-trip (reference tibble.py): demote n_name to
+    // rownames, verify presence, promote back to a leading column,
+    // then the no-rownames default path assigns positional "1".."n"
+    // names over a declared order — all projection-only plans except
+    // the positional branch's distributed rowid sort
+    "t_rownames" -> ((s, d) => {
+      val demoted = Tibble.columnToRownames(
+        t(s, d, "nation").select("n_nationkey", "n_name"), "n_name")
+      require(Tibble.hasRownames(demoted) &&
+        !Tibble.hasRownames(Tibble.removeRownames(demoted)))
+      val promoted = Tibble.rownamesToColumn(demoted, "rn")
+      val positional = Tibble.rownamesToColumn(
+        t(s, d, "nation").select("n_nationkey"),
+        "pos_name", Seq(col("n_nationkey").asc))
+      promoted.join(positional, Seq("n_nationkey"))
+        .select("n_nationkey", "rn", "pos_name")
+        .orderBy(col("n_nationkey"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,6 +365,11 @@ object QueriesTidyr {
     "t_rowid" ->
       """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS rowid,
         |  n_nationkey, n_name
-        |FROM nation ORDER BY rowid""".stripMargin
+        |FROM nation ORDER BY rowid""".stripMargin,
+
+    "t_rownames" ->
+      """SELECT n_nationkey, n_name AS rn,
+        |  CAST(row_number() OVER (ORDER BY n_nationkey) AS VARCHAR) AS pos_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -312,4 +312,29 @@ object Forcats {
       .groupBy(col(f)).agg(min(struct(col("__t"), col("ord"))).as("__k"))
       .withColumn("ord", row_number().over(Window.orderBy(col("__k"), col(f))))
       .select(col(f), col("ord"))
+
+  // ---- constructor surface (reference api/base/factor.py) ---------------
+  /** as_factor on a character column: forcats' rule is levels in order
+    * of first appearance, which needs an explicit row order on an
+    * unordered Spark frame — alias of [[levelsInorder]]. */
+  def asFactor(df: DataFrame, f: String, order: Column): DataFrame =
+    levelsInorder(df, f, order)
+  /** base factor() / as_ordered: levels in sort order. An ordered
+    * factor IS its level table here — `ord` is the comparison rank, so
+    * min/max/comparisons on factors run on the joined `ord` ints. */
+  def asOrdered(df: DataFrame, f: String): DataFrame = levelsInseq(df, f)
+  /** set_levels / levels<-: an EXPLICIT level table from the given
+    * sequence (position = ord), replacing any derived one. */
+  def setLevels(spark: org.apache.spark.sql.SparkSession, f: String,
+                lvls: Seq[String]): DataFrame = {
+    require(lvls.nonEmpty && lvls.distinct.size == lvls.size,
+      s"setLevels: levels must be non-empty and distinct (got $lvls)")
+    Tibble.of(spark, f -> lvls, "ord" -> lvls.indices.map(_ + 1))
+  }
+  /** is_factor / is_ordered: in the factor-as-level-table encoding a
+    * frame IS a factor when it has exactly (level col f, ord:int) —
+    * a schema predicate, zero scans. */
+  def isFactor(levels: DataFrame, f: String): Boolean =
+    levels.columns.toSeq.sorted == Seq(f, "ord").sorted &&
+      levels.schema("ord").dataType == org.apache.spark.sql.types.IntegerType
 }

@@ -212,6 +212,18 @@ final class GraftFrame private (
     val cols = for (c <- targets; (fn, f) <- fns) yield nameGlue(c, fn) -> f(df.col(c))
     mutate(cols: _*)
   }
+  /** across with dplyr's cur_column() accessor: the per-column lambda
+    * receives the CURRENT column's NAME alongside its Column
+    * (reference api/dplyr/across.py) — name-dependent transforms
+    * (per-column lookup tables, name-keyed scaling) without a closure
+    * over external state. */
+  def acrossCur(sel: Selector, fns: Seq[(String, (String, Column) => Column)],
+                nameGlue: (String, String) => String = (c, f) => s"${c}_$f"): GraftFrame = {
+    val targets = sel.resolve(df.schema)
+    val cols = for (c <- targets; (fn, f) <- fns)
+      yield nameGlue(c, fn) -> f(c, df.col(c))
+    mutate(cols: _*)
+  }
   /** summarise flavor of across: aggregates per selected column. */
   def acrossSummarise(sel: Selector, fns: Seq[(String, Column => Column)],
                       nameGlue: (String, String) => String = (c, f) => s"${c}_$f"): GraftFrame = {

@@ -91,6 +91,46 @@ object Tibble {
     InternalRowBridge.fromInternalRdd(sorted.sparkSession, rdd, schema)
   }
 
+  // ---- rownames family (reference datar_polars/tibble.py) ---------------
+  // R rownames map to a reserved string column: Spark frames carry no
+  // implicit index, so the encoding makes the names an ordinary
+  // distributed column — every verb below is a projection-only plan.
+  val RownamesCol = "__rownames"
+  def hasRownames(df: DataFrame): Boolean = df.columns.contains(RownamesCol)
+  def removeRownames(df: DataFrame): DataFrame = df.drop(RownamesCol)
+  /** set_rownames: install explicit rownames from any expression. */
+  def setRownames(df: DataFrame, values: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(RownamesCol, values.cast("string"))
+  /** column_to_rownames: demote an existing column to the rownames. */
+  def columnToRownames(df: DataFrame, name: String): DataFrame =
+    df.withColumnRenamed(name, RownamesCol)
+  /** rownames_to_column: promote rownames to a named column. A frame
+    * WITHOUT rownames gets R's default "1".."n" — positional, so it
+    * needs the same declared total order [[rowidToColumn]] does. */
+  def rownamesToColumn(df: DataFrame, name: String = "rowname",
+                       order: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame =
+    if (hasRownames(df)) {
+      // keep the reference's leading-column position
+      val renamed = df.withColumnRenamed(RownamesCol, name)
+      renamed.select((col(name) +: renamed.columns.filterNot(_ == name)
+        .map(col).toSeq): _*)
+    } else {
+      require(order.nonEmpty,
+        "rownames_to_column on a frame without rownames assigns " +
+          "positional \"1\"..\"n\" names and needs a declared order")
+      rowidToColumn(df, order, name)
+        .withColumn(name, col(name).cast("string"))
+    }
+  /** set_colnames (magrittr/datar verb): positional rename. */
+  def setColnames(df: DataFrame, names: Seq[String]): DataFrame = {
+    require(names.length == df.columns.length,
+      s"setColnames: ${names.length} names for ${df.columns.length} columns")
+    df.toDF(names: _*)
+  }
+  /** tibble_row: a one-row tibble (every value scalar). */
+  def tibbleRow(spark: SparkSession, values: (String, Any)*): DataFrame =
+    of(spark, values.map { case (n, v) => n -> Seq(v) }: _*)
+
   /** base::diag(n) — the n×n identity as a tibble (rowid, v1..vn).
     * Matrix verbs are small-frame by contract (like transpose); rows
     * still distribute via range. Ref: api/base/verbs.py (_diag_obj). */

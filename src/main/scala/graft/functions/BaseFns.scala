@@ -178,6 +178,12 @@ object BaseFns {
       .getItem((cs.length - 1) / 2) // lower median for even n (documented)
   /** any_na across columns per row. */
   def anyNaRow(cs: Column*): Column = cs.map(_.isNull).reduce(_ || _)
+  /** col_medians (reference api/base/verbs.py): exact type-7 median
+    * per column, all columns in ONE one-row aggregate scan. Spark's
+    * exact `percentile` buffers values per group — fine for the
+    * single global group here; per-GROUP medians at 100 TB go through
+    * Profiling.exactQuantiles' rowid topology instead. */
+  def colMedians(cs: Column*): Seq[Column] = cs.map(medianExact)
   def ceiling(x: Column): Column = ceil(x)
   def floorOf(x: Column): Column = floor(x)
   def roundOf(x: Column, digits: Int = 0): Column = round(x, digits)

@@ -176,6 +176,36 @@ object TypeFns {
   def isInfinite(x: Column): Column =
     x === Double.PositiveInfinity || x === Double.NegativeInfinity
   def completeCases(cs: Column*): Column = cs.map(_.isNotNull).reduce(_ && _)
+  /** as_numeric (reference api/base/asis.py): alias of as_double. */
+  def asNumeric(x: Column): Column = asDouble(x)
+  /** is_true / is_false (reference api/base/asis.py): strict identity
+    * with TRUE/FALSE — null is NOT true and NOT false, so the
+    * null-safe compare, never a bare ===. */
+  def isTrue(x: Column): Column = x <=> lit(true)
+  def isFalse(x: Column): Column = x <=> lit(false)
+
+  // ---- dtype predicates (reference api/base/asis.py, types.py) ----------
+  // Dtypes are SCHEMA metadata, not data: each predicate reads the
+  // frame's resolved schema on the driver — zero scans, zero jobs.
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.types._
+  private def dt(df: DataFrame, name: String): DataType = df.schema(name).dataType
+  def isCharacter(df: DataFrame, name: String): Boolean = dt(df, name) == StringType
+  def isDouble(df: DataFrame, name: String): Boolean =
+    dt(df, name) == DoubleType || dt(df, name) == FloatType
+  def isInteger(df: DataFrame, name: String): Boolean = dt(df, name) match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  def isLogical(df: DataFrame, name: String): Boolean = dt(df, name) == BooleanType
+  def isNumeric(df: DataFrame, name: String): Boolean =
+    dt(df, name).isInstanceOf[NumericType]
+  /** is_atomic: an R atomic vector maps to any non-nested Spark type
+    * (no array/map/struct). */
+  def isAtomic(df: DataFrame, name: String): Boolean = dt(df, name) match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
   /** cut: bin a numeric column by break points (right-closed like R).
     * labels.length must be breaks.length - 1. */
   def cut(x: Column, breaks: Seq[Double], labels: Seq[String]): Column = {

@@ -332,4 +332,13 @@ class DplyrSpec extends SparkTestBase {
     assert(e.getMessage.contains("rowwise"))
     assert(!g.groupBy("a").isRowwise && !g.ungroup.isRowwise)
   }
+
+  test("acrossCur passes the current column name to the lambda (cur_column)") {
+    val df = sqlDf("aa" -> Seq(1.0), "b" -> Seq(10.0))
+    val out = df.graft.acrossCur(TidySelect.cols("aa", "b"),
+      // name-keyed transform: scale by the NAME's length
+      Seq("nlen" -> ((name, c) => c * lit(name.length)))).df
+    val r = out.select("aa_nlen", "b_nlen").head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 10.0)
+  }
 }

@@ -66,4 +66,23 @@ class ForcatsSpec extends SparkTestBase {
     assertRows(Forcats.fctExplicitNa(df, "f").orderBy("f"),
       Seq(Seq("(Missing)"), Seq("a")))
   }
+
+  test("as_factor / as_ordered / set_levels / is_factor ctor surface") {
+    import org.apache.spark.sql.functions.col
+    val df = sqlDf("f" -> Seq("b", "c", "b", "a"), "pos" -> Seq(1, 2, 3, 4))
+    // first-appearance order along pos: b(1), c(2), a(4)
+    assertRows(Forcats.asFactor(df, "f", col("pos")).orderBy("ord"),
+      Seq(Seq("b", 1), Seq("c", 2), Seq("a", 3)))
+    // as_ordered: sorted levels
+    assertRows(Forcats.asOrdered(df, "f").orderBy("ord"),
+      Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3)))
+    val explicit = Forcats.setLevels(spark, "f", Seq("c", "a", "b"))
+    assertRows(explicit.orderBy("ord"),
+      Seq(Seq("c", 1), Seq("a", 2), Seq("b", 3)))
+    assert(Forcats.isFactor(explicit, "f"))
+    assert(!Forcats.isFactor(df, "f")) // extra non-ord column
+    intercept[IllegalArgumentException] {
+      Forcats.setLevels(spark, "f", Seq("a", "a")) // dup levels
+    }
+  }
 }

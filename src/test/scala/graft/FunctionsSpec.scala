@@ -157,6 +157,34 @@ class FunctionsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq("A"), Seq("B"), Seq("z")))
   }
 
+  test("dtype predicates read the schema; is_true/is_false are null-safe") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TypeFns
+    val df = sqlDf("s" -> Seq("a"), "d" -> Seq(1.5), "i" -> Seq(1),
+      "b" -> Seq(true)).withColumn("arr", array(col("i")))
+    assert(TypeFns.isCharacter(df, "s") && !TypeFns.isCharacter(df, "d"))
+    assert(TypeFns.isDouble(df, "d") && !TypeFns.isDouble(df, "i"))
+    assert(TypeFns.isInteger(df, "i") && !TypeFns.isInteger(df, "d"))
+    assert(TypeFns.isLogical(df, "b") && !TypeFns.isLogical(df, "s"))
+    assert(TypeFns.isNumeric(df, "d") && TypeFns.isNumeric(df, "i") &&
+      !TypeFns.isNumeric(df, "s"))
+    assert(TypeFns.isAtomic(df, "s") && !TypeFns.isAtomic(df, "arr"))
+    val r = sqlDf("x" -> Seq[Any](true, false, null))
+      .select(TypeFns.isTrue(col("x")), TypeFns.isFalse(col("x")),
+        TypeFns.asNumeric(col("x").cast("int"))).collect()
+    assert(r.map(_.getBoolean(0)).toSeq == Seq(true, false, false))
+    assert(r.map(_.getBoolean(1)).toSeq == Seq(false, true, false))
+    assert(r(0).getDouble(2) == 1.0)
+  }
+
+  test("colMedians: exact type-7 medians in one aggregate") {
+    import org.apache.spark.sql.functions._
+    val df = sqlDf("a" -> Seq(1.0, 2.0, 3.0, 10.0), "b" -> Seq(5.0, 1.0, 9.0, 7.0))
+    val meds = graft.functions.BaseFns.colMedians(col("a"), col("b"))
+    val r = df.agg(meds(0).as("ma"), meds(1).as("mb")).head()
+    assert(r.getDouble(0) == 2.5 && r.getDouble(1) == 6.0)
+  }
+
   test("complex struct encoding: Mod/Arg/Conj and field arithmetic") {
     import ComplexFns._
     val df = sqlDf("re" -> Seq(3.0), "im" -> Seq(4.0))

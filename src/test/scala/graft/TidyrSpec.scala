@@ -93,4 +93,35 @@ class TidyrSpec extends SparkTestBase {
     assertRows(Tidyr.fullSeq(df, col("x"), 1, "x").orderBy("x").limit(3),
       Seq(Seq(2L), Seq(3L), Seq(4L)))
   }
+
+  test("rownames family round-trips through the reserved column") {
+    val df = sqlDf("k" -> Seq(2, 1), "name" -> Seq("b", "a"))
+    assert(!Tibble.hasRownames(df))
+    val rn = Tibble.columnToRownames(df, "name")
+    assert(Tibble.hasRownames(rn) && !rn.columns.contains("name"))
+    assert(!Tibble.hasRownames(Tibble.removeRownames(rn)))
+    val set = Tibble.setRownames(df, col("k") * 10)
+    assert(Tibble.hasRownames(set))
+    // promotion keeps the name as the LEADING column
+    val back = Tibble.rownamesToColumn(rn, "nm")
+    assert(back.columns.head == "nm")
+    assertRows(back.orderBy("k"), Seq(Seq("a", 1), Seq("b", 2)))
+    // no rownames -> positional "1".."n" under the declared order
+    val pos = Tibble.rownamesToColumn(df, "rid", Seq(col("k").asc))
+    assertRows(pos.select("rid", "k").orderBy("k"),
+      Seq(Seq("1", 1), Seq("2", 2)))
+    intercept[IllegalArgumentException] {
+      Tibble.rownamesToColumn(df, "rid") // declared order required
+    }
+  }
+
+  test("set_colnames renames positionally; tibble_row builds one row") {
+    val df = sqlDf("a" -> Seq(1), "b" -> Seq(2))
+    assert(Tibble.setColnames(df, Seq("x", "y")).columns.toSeq == Seq("x", "y"))
+    intercept[IllegalArgumentException] {
+      Tibble.setColnames(df, Seq("only_one"))
+    }
+    assertRows(Tibble.tibbleRow(spark, "id" -> 7, "nm" -> "z"),
+      Seq(Seq(7, "z")))
+  }
 }
