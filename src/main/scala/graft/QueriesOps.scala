@@ -864,6 +864,37 @@ object QueriesOps {
       Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
         .orderBy(col("cnt").desc, col("key"))),
 
+    // per-source percentile-rank calibration of a quality proxy: one
+    // stratum-partitioned window Exchange (rank + count share it),
+    // then a pure projection — the mixing prep before any global cut
+    "x_qcal" -> ((s, d) =>
+      Profiling.calibrateByStratum(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          col("source"), col("n_chars"), "q_cal")
+        .orderBy(col("doc_id"))),
+
+    // chance-corrected agreement between two quality filters (length
+    // rule vs stopword-presence rule): ONE aggregate scan, exact
+    // integer counts, fixed-order IEEE divisions
+    "x_kappa" -> ((s, d) =>
+      Profiling.cohenKappa(t(s, d, "documents"),
+        col("n_chars") >= 500L, col("text").contains(" the "))),
+
+    // skew-salted equi-join (the keySkew report's remedy): hot
+    // orderkeys spread across 8 reducers via a per-row salt, dim side
+    // replicated 8x — result provably equals the plain join (the
+    // oracle IS the plain join), shuffle key becomes (key, salt)
+    "x_salted_join" -> ((s, d) =>
+      graft.core.ScaleJoins.saltedJoin(
+          t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice")),
+          t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+          Seq("o_orderkey"), "inner", salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("o_orderstatus"))),
+
     // k-anonymity risk profile of the customer table under the
     // (mktsegment, nationkey) quasi-identifiers: one partial-agg
     // groupBy over the data, class-size histogram + headline k
@@ -2518,6 +2549,53 @@ object QueriesOps {
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
         |FROM h CROSS JOIN t ORDER BY cnt DESC, key""".stripMargin,
+
+    // rank/count window pair + the one calibration division — rank and
+    // n are integers, so the division is a single engine-exact IEEE op
+    "x_qcal" ->
+      """SELECT doc_id, source, n_chars,
+        |  CASE WHEN cnt = 1 THEN 0.5
+        |       ELSE CAST(rnk - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) END AS q_cal
+        |FROM (SELECT doc_id, source, n_chars,
+        |        rank() OVER (PARTITION BY source ORDER BY n_chars) AS rnk,
+        |        count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the 2x2 confusion counts, then po/pe/kappa in the EXACT
+    // expression order the Spark plan evaluates (pa*pb + (1-pa)*(1-pb))
+    "x_kappa" ->
+      """WITH c AS (SELECT
+        |    sum(CASE WHEN n_chars >= 500 AND contains(text, ' the ') THEN 1 ELSE 0 END) AS n11,
+        |    sum(CASE WHEN NOT (n_chars >= 500) AND NOT contains(text, ' the ') THEN 1 ELSE 0 END) AS n00,
+        |    sum(CASE WHEN n_chars >= 500 AND NOT contains(text, ' the ') THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN NOT (n_chars >= 500) AND contains(text, ' the ') THEN 1 ELSE 0 END) AS n01
+        |  FROM documents),
+        |k AS (SELECT CAST(n11 + n00 + n10 + n01 AS BIGINT) AS n,
+        |    CAST(n11 AS DOUBLE) AS d11, CAST(n00 AS DOUBLE) AS d00,
+        |    CAST(n11 + n10 AS DOUBLE) AS na, CAST(n11 + n01 AS DOUBLE) AS nb
+        |  FROM c)
+        |SELECT n, d11 / CAST(n AS DOUBLE) AS p_both,
+        |  d00 / CAST(n AS DOUBLE) AS p_neither,
+        |  (d11 + d00) / CAST(n AS DOUBLE) AS po,
+        |  (na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
+        |    + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)) AS pe,
+        |  CASE WHEN (na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
+        |    + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)) = 1.0 THEN 1.0
+        |    ELSE (((d11 + d00) / CAST(n AS DOUBLE))
+        |      - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
+        |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE))))
+        |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
+        |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
+        |FROM k""".stripMargin,
+
+    // the salted join's result IS the plain join — the oracle proves
+    // the salt changed only the shuffle topology, never the answer
+    "x_salted_join" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  ${graft.functions.Exact.dsumSql("l_extendedprice")} AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // replays the gopher + quality formulas, then the four cumulative
     // FILTER counts — one per funnel stage

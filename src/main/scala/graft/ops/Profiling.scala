@@ -431,4 +431,65 @@ object Profiling {
         col("rows_at_risk").cast("double") / col("__n").cast("double"))
       .drop("__n")
   }
+
+  /** Per-stratum percentile-rank score calibration: heterogeneous
+    * sources score on incompatible scales (one crawl's 0.6 is another's
+    * 0.9), so a single global quality threshold over-selects whole
+    * sources; calibrating each score to its WITHIN-STRATUM percentile
+    * rank — (minRank − 1) / (n − 1), ties share a rank, a singleton
+    * stratum pins to 0.5 — makes one threshold mean the same thing in
+    * every source. That is the standard mixing prep before a global
+    * token-budget cut ([[Sampling]]'s tokenBudget / mixtureSample).
+    *
+    * Shape: ONE stratum-partitioned window Exchange evaluates both the
+    * rank and the stratum count (same partition spec — one shuffle);
+    * the calibration itself is a projection. Strata are many and
+    * individually bounded by contract (source-sized, not corpus-sized).
+    * Exactness: rank and n are integers and the single division is one
+    * IEEE op — bit-identical in any engine, partitioning-invariant.
+    * Output: input columns + `out`. */
+  def calibrateByStratum(df: DataFrame, stratum: Column, score: Column,
+                         out: String = "score_cal"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+    val r = rank().over(w.orderBy(score.asc))
+    val n = count(lit(1)).over(w)
+    df.withColumn(out,
+      when(n === 1L, lit(0.5))
+        .otherwise((r - lit(1)).cast("double") / (n - lit(1)).cast("double")))
+  }
+
+  /** Cohen's kappa between two boolean filters — chance-corrected
+    * agreement. Running two quality filters over a corpus, raw
+    * agreement is inflated by base rates (two filters that each pass
+    * 95% agree ≥90% by chance alone); kappa = (po − pe) / (1 − pe)
+    * corrects for it, which is the right telemetry when deciding
+    * whether a cheap filter can replace an expensive one.
+    *
+    * ONE aggregate scan (4 conditional counts); every division is a
+    * fixed-order IEEE chain over exact integer counts — engine-exact.
+    * NULL verdicts are excluded from n (a filter that abstained is not
+    * an agreement or a disagreement).
+    * Output (1 row): n, p_both, p_neither, po, pe, kappa. */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val counted = df
+      .agg(
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"))
+      .withColumn("n", col("n11") + col("n00") + col("n10") + col("n01"))
+    val nD = col("n").cast("double")
+    val pa = (col("n11") + col("n10")).cast("double") / nD // P(a)
+    val pb = (col("n11") + col("n01")).cast("double") / nD // P(b)
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    counted.select(
+      col("n"),
+      (col("n11").cast("double") / nD).as("p_both"),
+      (col("n00").cast("double") / nD).as("p_neither"),
+      po.as("po"), pe.as("pe"),
+      when(pe === 1.0, lit(1.0)) // degenerate: constant filters that agree
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -927,6 +927,36 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("calibrateByStratum: within-stratum percentile ranks, singleton pins 0.5") {
+    val d = sqlDf("g" -> Seq("a", "a", "a", "a", "b"),
+      "x" -> Seq(10.0, 20.0, 20.0, 40.0, 7.0))
+    val out = Profiling.calibrateByStratum(d, col("g"), col("x"), "cal")
+      .orderBy("g", "x").collect().map(_.getAs[Double]("cal")).toSeq
+    // stratum a: minRanks 1,2,2,4 over n=4 -> 0, 1/3, 1/3, 1; b: singleton
+    assert(out == Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0, 0.5))
+    // calibration is partitioning-invariant (one window Exchange)
+    val rep = Profiling.calibrateByStratum(d.repartition(7), col("g"), col("x"), "cal")
+      .orderBy("g", "x").collect().map(_.getAs[Double]("cal")).toSeq
+    assert(rep == out)
+  }
+
+  test("cohenKappa: chance-corrected agreement, nulls excluded") {
+    // n11=2, n00=1, n10=1, n01=0 -> po=0.75, pe=0.5, kappa=0.5; the
+    // null-verdict row must fall out of n entirely
+    val d = sqlDf(
+      "a" -> Seq[Any](true, true, true, false, null),
+      "b" -> Seq[Any](true, true, false, false, true))
+    val r = Profiling.cohenKappa(d, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("p_both") == 0.5 && r.getAs[Double]("p_neither") == 0.25)
+    assert(r.getAs[Double]("po") == 0.75 && r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.5)
+    // degenerate: identical constant filters agree with kappa 1
+    val const = sqlDf("x" -> Seq(1, 2))
+    val k1 = Profiling.cohenKappa(const, lit(true), lit(true)).head()
+    assert(k1.getAs[Double]("kappa") == 1.0)
+  }
+
   test("conversionFunnel enforces strict event order, first-touch") {
     import spark.implicits._
     import java.sql.Timestamp
