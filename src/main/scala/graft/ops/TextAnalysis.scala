@@ -959,28 +959,36 @@ object TextAnalysis {
     * soft tail BELOW the dedup threshold, the "diversity" read a
     * data-mixing decision needs.
     *
-    * Topology: one tokenize+shingle+explode pass → shingle doc-
-    * frequency by partial agg (ONE shuffle on the shingle key; a doc
-    * contributes each shingle once via array_distinct, so df counts
-    * docs) → join pairs⋈freq on the shingle key (AQE handles hot
-    * boilerplate shingles) → per-doc partial agg. No doc-to-doc
-    * pairs anywhere; both shingle-keyed stages reduce map-side. The
-    * shingle projection is evaluated for each side of the join (two
-    * scans) — at 100 TB persist the pair table or accept the second
-    * scan; both beat materializing doc lists per shingle (a hot
-    * shingle's doc list is unbounded).
+    * Topology — the key identity: a shingle with df==1 KNOWS its only
+    * document (min(id) inside the same partial agg), so
+    * n_shared(doc) = n_shingles(doc) − |{shingles whose only doc is
+    * this doc}| and the pair table never has to meet the df table.
+    * One tokenize+shingle+explode pass → ONE full-scale shuffle:
+    * groupBy(shingle) agg(count, min(id)) whose map-side combine
+    * absorbs hot boilerplate shingles (a 10⁹-doc shingle arrives at
+    * its reducer as ≤#partitions partial rows, never as raw pairs —
+    * the r14 join form shuffled the raw pairs three times and had the
+    * hot shingle land whole on one task) → the df==1 sliver re-aggs
+    * to doc grain (shingle-grain input, doc-grain output, both tiny
+    * vs the corpus) → doc-grain join against n_shingles, which is a
+    * pure PROJECTION (size of the distinct-shingle array — no explode,
+    * no shuffle). The tokenize runs twice (once per branch) — map CPU,
+    * cheaper at any scale than a second pair-table shuffle.
     * Output: (id, n_shingles, n_shared, novelty ∈ [0,1]). */
   def crossDocNovelty(df: DataFrame, id: String, text: String,
                       w: Int = 3): DataFrame = {
     require(w >= 1, s"crossDocNovelty: w=$w must be >= 1")
-    val pairs = df.select(col(id),
-      explode(array_distinct(Dedup.shingles(Dedup.tokens(col(text)), w)))
-        .as("__sh"))
-    val dfreq = pairs.groupBy("__sh").agg(count(lit(1)).as("__df"))
-    pairs.join(dfreq, Seq("__sh"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+    val shs = array_distinct(Dedup.shingles(Dedup.tokens(col(text)), w))
+    val totals = df.select(col(id), size(shs).cast("long").as("n_shingles"))
+    val uniq = df.select(col(id), explode(shs).as("__sh"))
+      .groupBy("__sh")
+      .agg(count(lit(1)).as("__df"), min(col(id)).as("__only"))
+      .filter(col("__df") === 1L)
+      .groupBy(col("__only").as(id))
+      .agg(count(lit(1)).as("__n_unique"))
+    totals.join(uniq, Seq(id), "left")
+      .select(col(id), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("__n_unique"), lit(0L))).as("n_shared"))
       .withColumn("novelty",
         round(lit(1.0) - col("n_shared").cast("double")
           / col("n_shingles").cast("double"), 6))
