@@ -24,6 +24,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --conf k=v pairs land as session confs (e.g.
+    // --conf spark.graft.scanStorage=MEMORY_AND_DISK_SER)
+    args.sliding(2).collect { case Array("--conf", kv) => kv }
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      }
     spark.range(1000).selectExpr("sum(id)").collect() // codegen warmup
     names.foreach { n =>
       if (explain) {

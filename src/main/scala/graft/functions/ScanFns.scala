@@ -222,7 +222,18 @@ object ScanFns {
 
   private def registerPersist[T](rdd: org.apache.spark.rdd.RDD[T],
                                  storage: StorageLevel): org.apache.spark.rdd.RDD[T] = {
-    rdd.persist(storage)
+    // session-wide override for the scan family's two-pass persist
+    // (spark.graft.scanStorage = MEMORY_AND_DISK_SER / DISK_ONLY /
+    // ...): deployments sizing executor storage for 10x+ frames can
+    // repoint every scan without threading the parameter through each
+    // verb. Applies only where the caller left the library default.
+    val effective =
+      if (storage == StorageLevel.MEMORY_AND_DISK)
+        org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.scanStorage")
+          .map(StorageLevel.fromString).getOrElse(storage)
+      else storage
+    rdd.persist(effective)
     scanPersists.add(rdd)
     rdd
   }

@@ -255,6 +255,21 @@ class PlanSpec extends SparkTestBase {
         Seq("v"), Seq(col("k").asc), s)
         .orderBy("k").collect().map(r => Option(r.get(1))).toSeq
     assert(runFill(StorageLevel.DISK_ONLY) == runFill(StorageLevel.MEMORY_AND_DISK))
+    // the session-wide override repoints the library default (measured
+    // at sf1: MEMORY_AND_DISK_SER is a wash for the UnsafeRow cache —
+    // the knob exists for deployments that need DISK_ONLY wide frames)
+    spark.conf.set("spark.graft.scanStorage", "DISK_ONLY")
+    try {
+      val out = ScanFns.withCumsum(df, col("v"), Seq(col("k").asc), "cs")
+      assert(out.orderBy("k").collect().map(_.getDouble(2)).toSeq ==
+        run(StorageLevel.MEMORY_AND_DISK))
+      out.count() // keep the scan's persist alive to inspect its level
+      assert(spark.sparkContext.getPersistentRDDs.values
+        .exists(_.getStorageLevel == StorageLevel.DISK_ONLY))
+    } finally {
+      spark.conf.unset("spark.graft.scanStorage")
+      ScanFns.unpersistScans()
+    }
   }
 
   test("ungrouped tied sliceMin/Max match the rank-window semantics (incl. ties)") {
