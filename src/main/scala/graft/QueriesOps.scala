@@ -718,6 +718,21 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // exact Mann-Whitney ROC AUC of a length score vs the stopword
+    // teacher label: avg ranks via the distributed rowid sort (no
+    // global window), ONE aggregate for the U statistic
+    "x_auc" -> ((s, d) =>
+      Classifier.rocAuc(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "))),
+
+    // calibration reliability bins of a clamped length-probability vs
+    // the same teacher: bin id is a projection, ONE partial-agg scan
+    "x_calib" -> ((s, d) =>
+      Classifier.calibrationBins(t(s, d, "documents"),
+          least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+          col("text").contains(" the "), k = 10)
+        .orderBy(col("bin"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -1741,6 +1756,39 @@ object QueriesOps {
       s"""WITH ${lrUnrollCtes(24, 4.0)}
          |SELECT doc_id, sg AS prob, sg >= 0.5 AS keep
          |FROM s25 ORDER BY doc_id""".stripMargin,
+
+    // Mann-Whitney AUC replay: avg rank = min-rank + (ties-1)/2 (the
+    // withRankAvg identity), decimal rank sum, fixed-order divisions
+    "x_auc" ->
+      s"""WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y FROM documents),
+        |r AS (SELECT y, CAST(rank() OVER (ORDER BY s) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY s) AS DOUBLE) - 1.0) / 2.0 AS ar
+        |  FROM d),
+        |a AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    ${graft.functions.Exact.dsumSql("CASE WHEN y THEN ar END")} AS srp
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE (srp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |FROM a""".stripMargin,
+
+    // reliability-bin replay: identical floor/clamp bin id, decimal
+    // mean, exact-count rate divisions
+    "x_calib" ->
+      s"""WITH d AS (SELECT
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT) AS bin,
+        |    p, y FROM d)
+        |SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS p_lo,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  ${graft.functions.Exact.dsumSql("p")} / CAST(count(*) AS DOUBLE) AS mean_p,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // farthest-first replay: seed = lowest vec_id, each round the
     // (d DESC, vec_id ASC) TakeOrdered pick over the incremental

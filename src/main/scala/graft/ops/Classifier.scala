@@ -140,4 +140,66 @@ object Classifier {
     (length(text) - length(regexp_replace(text, " ", ""))).cast("double") / lit(128.0),
     (length(text) - length(regexp_replace(text, "[a-m]", ""))).cast("double") / lit(256.0),
     (length(text) - length(regexp_replace(text, " the ", ""))).cast("double") / lit(40.0))
+
+  /** Exact ROC AUC of a score against a boolean label, Mann–Whitney
+    * form: AUC = (Σ_pos avgRank − nPos(nPos+1)/2) / (nPos·nNeg) with
+    * average ranks for ties (the standard probabilistic reading:
+    * P(score_pos > score_neg) + ½P(tie)). The one-number read on
+    * whether a quality score actually separates good from bad docs —
+    * threshold-free, so it compares scorers BEFORE anyone picks a
+    * cutoff.
+    *
+    * Scale shape: ranks come from the distributed rowid sort
+    * ([[graft.functions.SeqFns.withRankAvg]] — range-partitioned sort
+    * + per-partition offsets, tie adjustment over the per-VALUE
+    * window; never a global single-partition window), then ONE
+    * aggregate builds the U statistic. The rank sum accumulates in
+    * exact decimal (ranks are k or k+0.5 — representable at scale 6)
+    * so the statistic is partitioning-invariant and engine-exact;
+    * the final two divisions are fixed-order IEEE. NULL scores or
+    * labels are excluded. Degenerate corpora (one class absent)
+    * return NULL auc rather than 0/0.
+    * Output (1 row): n_pos, n_neg, auc. */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val d = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.as("__y"))
+    val ranked = graft.functions.SeqFns.withRankAvg(d, col("__s"), "__r")
+    val agg = ranked.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"),
+      graft.functions.Exact.dsum(when(col("__y"), col("__r"))
+        .otherwise(lit(null))).as("__srp"))
+    val nP = col("n_pos").cast("double")
+    val nN = col("n_neg").cast("double")
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+        .otherwise((col("__srp") - nP * (nP + 1.0) / 2.0) / (nP * nN))
+        .as("auc"))
+  }
+
+  /** Calibration reliability bins: equal-width bins over a [0,1]
+    * probability, each reporting its size, mean predicted probability,
+    * and empirical positive rate — the table behind a reliability
+    * diagram and the ECE sum, i.e. whether "0.9" from the scorer
+    * means 90%. ONE partial-agg scan; the bin id is a projection
+    * (floor(p·k) clamped into [0, k−1]); means are exact-decimal sums
+    * over exact counts with one IEEE division each. Scores outside
+    * [0,1] are clamped into the edge bins by the same floor/clamp.
+    * Output: (bin, p_lo, n, mean_p, pos_rate), bin-ordered. */
+  def calibrationBins(df: DataFrame, prob: Column, label: Column,
+                      k: Int = 10): DataFrame = {
+    require(k >= 2, s"calibrationBins: k must be >= 2 (got $k)")
+    val bin = least(greatest(floor(prob * lit(k)), lit(0.0)), lit(k - 1.0))
+      .cast("int")
+    df.filter(prob.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), prob.as("__p"), label.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (graft.functions.Exact.dsum(col("__p"))
+          / count(lit(1)).cast("double")).as("mean_p"),
+        (sum(when(col("__y"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("pos_rate"))
+      .withColumn("p_lo", col("bin").cast("double") / lit(k).cast("double"))
+      .select(col("bin"), col("p_lo"), col("n"), col("mean_p"), col("pos_rate"))
+  }
 }

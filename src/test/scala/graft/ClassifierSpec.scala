@@ -138,4 +138,35 @@ class ClassifierSpec extends SparkTestBase {
     val out = TextAnalysis.bigramLmScore(df, "doc_id", "text")
     assert(out.count() == 1 && out.collect().head.getLong(0) == 2L)
   }
+
+  test("rocAuc: Mann-Whitney with tie credit, null label excluded, degenerate null") {
+    import org.apache.spark.sql.functions.col
+    // pos scores {3, 2}, neg {1, 2}: pairwise wins 3, tie 1 -> 3.5/4
+    val df = sqlDf(
+      "s" -> Seq(3.0, 2.0, 1.0, 2.0, 9.0),
+      "y" -> Seq[Any](true, true, false, false, null))
+    val r = Classifier.rocAuc(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("auc") == 0.875)
+    // partitioning-invariant (the rank scan is distributed)
+    val rep = Classifier.rocAuc(df.repartition(5), col("s"), col("y")).head()
+    assert(rep.getAs[Double]("auc") == 0.875)
+    // one-class corpus: NULL, not 0/0
+    val deg = Classifier.rocAuc(sqlDf("s" -> Seq(1.0), "y" -> Seq(true)),
+      col("s"), col("y")).head()
+    assert(deg.isNullAt(deg.fieldIndex("auc")))
+  }
+
+  test("calibrationBins: floor/clamp binning, exact means and rates") {
+    import org.apache.spark.sql.functions.col
+    val df = sqlDf("p" -> Seq(0.05, 0.55, 0.95, 1.0),
+      "y" -> Seq(false, true, true, true))
+    val out = Classifier.calibrationBins(df, col("p"), col("y"), k = 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 5, 9)) // 1.0 clamps into bin 9
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(1L, 1L, 2L))
+    assert(out.map(_.getAs[Double]("p_lo")).toSeq == Seq(0.0, 0.5, 0.9))
+    assert(out(2).getAs[Double]("mean_p") == 0.975)
+    assert(out.map(_.getAs[Double]("pos_rate")).toSeq == Seq(0.0, 1.0, 1.0))
+  }
 }
