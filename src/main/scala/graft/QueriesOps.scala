@@ -428,6 +428,19 @@ object QueriesOps {
           .as("clean"))
         .orderBy(col("doc_id"))),
 
+    // crawl-text normalization over an in-plan dirtied corpus (curly
+    // quotes, dashes, ellipsis, BEL, nbsp/ideographic space, tab runs,
+    // 4x newlines): pure regex/translate projection, oracle replays
+    // char for char
+    "x_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(concat(
+          lit("\u2018q\u2019 \u201Cw\u201D \u2013 \u2014 \u2026" +
+            "\u0007\u00A0\u3000  x\t\ty \n\n\n\n z   tail "),
+          col("text"))).as("norm"))
+        .withColumn("n_norm", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))),
+
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
@@ -2034,6 +2047,30 @@ object QueriesOps {
         |  FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // char-for-char normalization replay: the dirty prefix built from
+    // chr() codes, then the identical fold/space/strip/squash chain
+    "x_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |    chr(8216)||'q'||chr(8217)||' '||chr(8220)||'w'||chr(8221)||' '
+        |    ||chr(8211)||' '||chr(8212)||' '||chr(8230)
+        |    ||chr(7)||chr(160)||chr(12288)||'  x'||chr(9)||chr(9)||'y '
+        |    ||repeat(chr(10), 4)||' z   tail '||text AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, replace(translate(t,
+        |    chr(8216)||chr(8217)||chr(8218)||chr(8220)||chr(8221)||chr(8222)||chr(8211)||chr(8212),
+        |    chr(39)||chr(39)||chr(39)||'"'||'"'||'"'||'--'),
+        |    chr(8230), '...') AS t FROM raw),
+        |sp AS (SELECT doc_id, regexp_replace(t,
+        |    '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS t FROM f),
+        |ctl AS (SELECT doc_id, regexp_replace(t,
+        |    '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g') AS t FROM sp),
+        |sq AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM ctl),
+        |pa AS (SELECT doc_id,
+        |    trim(regexp_replace(t, '\n{3,}', chr(10)||chr(10), 'g')) AS norm
+        |  FROM sq)
+        |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_norm
+        |FROM pa ORDER BY doc_id""".stripMargin,
 
     // replays lengthGroupedBatches: same buckets, same md5('7 '||id)
     // within-bucket order (a per-bucket window is FINE in the oracle —

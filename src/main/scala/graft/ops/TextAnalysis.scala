@@ -552,6 +552,31 @@ object TextAnalysis {
   // RE2-compatible patterns (no backrefs/lookaround) so a SQL engine
   // oracle can replicate them exactly.
   private val urlRe = "https?://[^\\s]+"
+  /** Crawl-text normalization — the standard pre-tokenization cleanup
+    * (C4-style): ASCII-fold the typographic unicode a crawl drags in
+    * (curly quotes, en/em dashes, ellipsis), map unicode spaces (nbsp,
+    * figure/narrow spaces, ideographic space) to plain space, strip
+    * C0/DEL control characters (newline and tab survive), squash
+    * space/tab runs, collapse 3+ newlines to a paragraph break, trim.
+    * Pure codegen regex/translate projection — linear scan, no
+    * shuffle; the 100 TB shape is a mapper. Order is part of the
+    * contract: fold → spaces → strip → squash → collapse → trim
+    * (folding first keeps a curly quote from surviving inside a
+    * squashed run). Patterns use \x{...} escapes, which Java regex and
+    * RE2 read identically — the oracle replays char for char. */
+  def normalizeText(text: Column): Column = {
+    val folded = translate(text,
+      "‘’‚“”„–—", "'''\"\"\"--")
+    val dots = regexp_replace(folded, "…", "...")
+    val spaces = regexp_replace(dots,
+      "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+    val noCtl = regexp_replace(spaces,
+      "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]", "")
+    val squashed = regexp_replace(noCtl, "[ \t]+", " ")
+    val paras = regexp_replace(squashed, "\n{3,}", "\n\n")
+    trim(paras)
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"

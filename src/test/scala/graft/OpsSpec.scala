@@ -1582,6 +1582,20 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("normalizeText: fold, unicode spaces, control strip, squash, paragraphs") {
+    val df = sqlDf("t" -> Seq(
+      "‘a’ “b” – — …",
+      "xy z　w",
+      "a  \t b\n\n\n\n\nc",
+      "  keep\nnewline\tand tab  "))
+    val out = df.select(TextAnalysis.normalizeText(col("t"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(out(0) == "'a' \"b\" - - ...")
+    assert(out(1) == "xy z w")              // BEL gone, nbsp/ideo -> space
+    assert(out(2) == "a b\n\nc")            // squash + paragraph collapse
+    assert(out(3) == "keep\nnewline and tab") // \n survives, \t squashes
+  }
+
   test("stripMarkup: blocks, tags, entities, whitespace — and no double-decode") {
     import spark.implicits._
     val df = Seq(
