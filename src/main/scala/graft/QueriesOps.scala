@@ -441,6 +441,15 @@ object QueriesOps {
         .withColumn("n_norm", length(col("norm")).cast("long"))
         .orderBy(col("doc_id"))),
 
+    // content-defined chunking sub-duplication: boundaries from the
+    // content (md5 hex-prefix rate rule), chunking is one projection,
+    // the chunk-grain dedup reuses the df==1/min(id) identity — one
+    // full-scale shuffle, map-side combine absorbs hot boilerplate
+    "x_cdc" -> ((s, d) =>
+      Dedup.cdcDuplication(t(s, d, "documents"), "doc_id", "text",
+          w = 16, boundaryHex = "03")
+        .orderBy(col("doc_id"))),
+
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
@@ -2047,6 +2056,32 @@ object QueriesOps {
         |  FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // CDC replay: identical hex-prefix boundary rule, per-doc
+    // starts/ends zip, chunk md5s, then the count-1/min(doc) identity
+    "x_cdc" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |    list_concat([CAST(1 AS BIGINT)], CASE WHEN n - 16 + 1 >= 2 THEN
+        |      list_filter(range(2, n - 16 + 2),
+        |        i -> substring(md5(substring(text, CAST(i AS INT), 16)), 1, 2) <= '03')
+        |      ELSE CAST([] AS BIGINT[]) END) AS starts
+        |  FROM d),
+        |c AS (SELECT doc_id, text, n, starts,
+        |    list_concat(starts[2:], [CAST(n + 1 AS BIGINT)]) AS ends FROM b),
+        |j AS (SELECT doc_id, text, unnest(starts) AS s, unnest(ends) AS e FROM c),
+        |ch AS (SELECT doc_id, e - s AS len,
+        |    md5(substring(text, CAST(s AS INT), CAST(e - s AS INT))) AS h FROM j),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks, sum(len) AS chars
+        |  FROM ch GROUP BY 1),
+        |u AS (SELECT h, count(*) AS cnt, min(doc_id) AS doc_id, min(len) AS len
+        |  FROM ch GROUP BY 1),
+        |uq AS (SELECT doc_id, count(*) AS n_uniq, sum(len) AS uniq_chars
+        |  FROM u WHERE cnt = 1 GROUP BY 1)
+        |SELECT t.doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_chunks - coalesce(n_uniq, 0) AS BIGINT) AS dup_chunks,
+        |  CAST(chars - coalesce(uniq_chars, 0) AS BIGINT) AS dup_chars
+        |FROM tot t LEFT JOIN uq USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // char-for-char normalization replay: the dirty prefix built from
     // chr() codes, then the identical fold/space/strip/squash chain

@@ -500,4 +500,82 @@ object Dedup {
       .select(col("doc_id").as(id), col("list_id"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
+
+  // ---- content-defined chunking -----------------------------------------
+  /** Sub-document duplication via content-defined chunking (the
+    * rsync/LBFS idea): chunk boundaries come from the CONTENT (a
+    * boundary wherever the w-char window's md5 prefix falls under the
+    * rate threshold), so an insertion early in a document shifts only
+    * the one chunk it lands in — fixed-size blocks would shift every
+    * block after it. This catches partial duplication (shared
+    * boilerplate, quoted passages, re-posted sections) that doc-level
+    * dedup can't see and that dupSpans reports at n-gram grain rather
+    * than reusable-chunk grain.
+    *
+    * Boundary rule (engine-portable, hex-prefix idiom like
+    * [[graft.ops.Sampling.hashBucket]]): interior position i (from 2)
+    * starts a new chunk iff substring(md5(text[i, i+w)), 1, 2) <=
+    * `boundaryHex` — "03" keeps 4/256 of positions, mean chunk ~64
+    * chars. No min/max clamps: the pure mask rule needs no sequential
+    * state, so chunking is a single PROJECTION (array HOFs build the
+    * boundary list, starts/ends zip per doc — never an explode before
+    * the per-chunk rows are actually needed). Cost is one md5 per
+    * interior position — the price of content-defined boundaries; cap
+    * document length upstream.
+    * Output: one row per chunk (id, start 1-based, chunk_len, chunk
+    * md5). Empty/short docs yield one whole-doc chunk. */
+  def cdcChunks(df: DataFrame, id: String, text: String, w: Int = 16,
+                boundaryHex: String = "03"): DataFrame = {
+    require(w >= 2, s"cdcChunks: window w=$w must be >= 2")
+    require(boundaryHex.length == 2 && boundaryHex.forall(c =>
+      c.isDigit || ('a' <= c && c <= 'f')),
+      s"cdcChunks: boundaryHex must be 2 lowercase hex chars (got $boundaryHex)")
+    val t = col(text)
+    val n = length(t)
+    // interior boundary candidates 2..n-w+1 (empty when the doc is
+    // shorter than w+1 — sequence() would count DOWN, so guard)
+    val interior = when(n - lit(w) + 1 >= 2,
+      filter(sequence(lit(2), n - lit(w) + 1),
+        i => substring(md5(t.substr(i, lit(w))), 1, 2) <= lit(boundaryHex)))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), interior)
+    val ends = concat(
+      slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(n + 1))
+    val chunks = zip_with(starts, ends,
+      (s, e) => struct(s.as("start"), (e - s).as("chunk_len")))
+    df.select(col(id), t.as("__t"), explode(chunks).as("__c"))
+      .select(col(id), col("__c.start").as("start"),
+        col("__c.chunk_len").cast("long").as("chunk_len"),
+        md5(col("__t").substr(col("__c.start"), col("__c.chunk_len").cast("int")))
+          .as("chunk_md5"))
+  }
+
+  /** Per-document sub-duplication report over [[cdcChunks]]: how many
+    * of a doc's chunks (and chars) also occur elsewhere in the corpus
+    * — the crossDocNovelty identity at chunk grain: a chunk hash with
+    * total count 1 KNOWS its only row (min(id) in the same partial
+    * agg), so the full-scale shuffle happens ONCE with map-side
+    * combine absorbing hot boilerplate chunks, and no chunk-grain
+    * join-back exists anywhere. Duplication counts occurrences (a
+    * chunk repeated within one doc is duplication too).
+    * Output: (id, n_chunks, dup_chunks, dup_chars). */
+  def cdcDuplication(df: DataFrame, id: String, text: String, w: Int = 16,
+                     boundaryHex: String = "03"): DataFrame = {
+    val chunks = cdcChunks(df, id, text, w, boundaryHex)
+    val totals = chunks.groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("__chars"))
+    val uniq = chunks
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("__cnt"), min(col(id)).as("__only"),
+        min(col("chunk_len")).as("__len"))
+      .filter(col("__cnt") === 1L)
+      .groupBy(col("__only").as(id))
+      .agg(count(lit(1)).as("__n_uniq"), sum(col("__len")).as("__uniq_chars"))
+    totals.join(uniq, Seq(id), "left")
+      .select(col(id), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__n_uniq"), lit(0L))).as("dup_chunks"),
+        (col("__chars") - coalesce(col("__uniq_chars"), lit(0L))).as("dup_chars"))
+  }
 }

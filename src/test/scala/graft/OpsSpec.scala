@@ -1582,6 +1582,48 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("cdcChunks: exact cover, content-defined shift robustness, empty doc") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w$i t${i % 17} q${i % 5}").mkString(" ")
+    val df = Seq((1L, base), (2L, "ins " + base), (3L, "")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, "doc_id", "text").collect()
+    // chunks tile each doc exactly: contiguous starts, lens sum to n
+    for ((id, txt) <- Seq((1L, base), (2L, "ins " + base), (3L, ""))) {
+      val cs = ch.filter(_.getLong(0) == id).sortBy(_.getInt(1))
+      assert(cs.head.getInt(1) == 1)
+      assert(cs.map(_.getLong(2)).sum == txt.length.toLong)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b.getInt(1) == a.getInt(1) + a.getLong(2))
+        case _ =>
+      }
+    }
+    // the CDC property: a prefix insertion shifts only the chunks up
+    // to the first boundary — the suffix chunk hashes all survive
+    // (fixed-size blocks would share none)
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    assert(h1.size >= 5, s"fixture too short to chunk (${h1.size} chunks)")
+    assert((h1 intersect h2).size >= h1.size - 2)
+    // empty doc: one zero-length chunk
+    val empty = ch.filter(_.getLong(0) == 3L)
+    assert(empty.length == 1 && empty.head.getLong(2) == 0L)
+  }
+
+  test("cdcDuplication: identical docs fully dup, unique doc clean") {
+    import spark.implicits._
+    val a = (1 to 120).map(i => s"alpha$i beta${i % 13}").mkString(" ")
+    val b = (1 to 120).map(i => s"zeta$i omega${i % 7}").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val out = Dedup.cdcDuplication(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1 and 2 are byte-identical: every chunk occurs twice
+    assert(out(0).getLong(2) == out(0).getLong(1)) // dup_chunks == n_chunks
+    assert(out(0).getLong(3) == a.length.toLong)   // dup_chars == |text|
+    assert(out(1).getLong(2) == out(1).getLong(1))
+    // doc 3 shares nothing
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L)
+  }
+
   test("normalizeText: fold, unicode spaces, control strip, squash, paragraphs") {
     val df = sqlDf("t" -> Seq(
       "‘a’ “b” – — …",
