@@ -241,6 +241,60 @@ object TextKernels {
     }
   }
 
+  /** Content-defined chunk rows (start 1-based in code points,
+    * chunk_len in code points, full chunk md5 hex) — the one-pass
+    * kernel form of Dedup.cdcChunks' HOF chain. Works directly over
+    * the UTF-8 byte array with code-point byte offsets (parity with
+    * Spark's code-point substr), ONE reusable MessageDigest, and the
+    * boundary test compares the digest's first byte numerically —
+    * `(d(0) & 0xff) <= threshold` is exactly `substring(hex, 1, 2) <=
+    * "%02x".format(threshold)` with zero hex-string allocation per
+    * window. */
+  def cdcChunks(text: UTF8String, w: Int, threshold: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    // byte offset of each code point (boff(k) = start of cp k, 0-based)
+    val boff = new Array[Int](text.numChars() + 1)
+    var cp = 0
+    var off = 0
+    while (off < nBytes) {
+      boff(cp) = off
+      cp += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    boff(cp) = nBytes
+    val n = cp // code points
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](16)
+    bounds += 1
+    var p = 2 // candidate start positions, 1-based code points
+    while (p <= n - w + 1) {
+      md.reset()
+      md.update(bytes, boff(p - 1), boff(p - 1 + w) - boff(p - 1))
+      if ((md.digest()(0) & 0xff) <= threshold) bounds += p
+      p += 1
+    }
+    val out = new Array[Any](bounds.length)
+    var j = 0
+    while (j < bounds.length) {
+      val st = bounds(j)
+      val en = if (j + 1 < bounds.length) bounds(j + 1) else n + 1
+      md.reset()
+      md.update(bytes, boff(st - 1), boff(en - 1) - boff(st - 1))
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        hex(2 * k) = HexDigits((d(k) >> 4) & 0xf)
+        hex(2 * k + 1) = HexDigits(d(k) & 0xf)
+        k += 1
+      }
+      out(j) = InternalRow(st, (en - st).toLong, UTF8String.fromBytes(hex))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over distinct token hashes. */
   def simhash(text: UTF8String): Long = {
     val hs = tokenHashes(text)
@@ -428,6 +482,25 @@ case class CharNgramMd5Expr(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.TextKernels.charNgramMd5($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): CharNgramMd5Expr =
+    copy(child = newChild)
+}
+
+/** cdc_chunks(text) — content-defined chunk rows (see
+  * TextKernels.cdcChunks). */
+case class CdcChunksExpr(child: Expression, w: Int, threshold: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("chunk_len", LongType, nullable = false),
+    StructField("chunk_md5", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunks(input.asInstanceOf[UTF8String], w, threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.TextKernels.cdcChunks($c, $w, $threshold)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
     copy(child = newChild)
 }
 

@@ -1609,6 +1609,20 @@ class OpsSpec extends SparkTestBase {
     assert(empty.length == 1 && empty.head.getLong(2) == 0L)
   }
 
+  test("cdcChunks kernel matches the HOF specification, incl. multibyte text") {
+    import spark.implicits._
+    val base = (1 to 150).map(i => s"w$i x${i % 11}").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, "café ‘quoted’ あいう " + base), // multibyte cps
+      (3L, ""), (4L, "tiny")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "start").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows(Dedup.cdcChunks(df, "doc_id", "text")) ==
+      rows(Dedup.cdcChunksHof(df, "doc_id", "text")))
+  }
+
   test("cdcDuplication: identical docs fully dup, unique doc clean") {
     import spark.implicits._
     val a = (1 to 120).map(i => s"alpha$i beta${i % 13}").mkString(" ")
