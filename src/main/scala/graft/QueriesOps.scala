@@ -1120,6 +1120,13 @@ object QueriesOps {
     "x_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairs(t(s, d, "documents"), "text", k = 40)),
 
+    // BPE merge-rule TRAINING (3 rounds): one corpus pass to the
+    // word-frequency table, then each round = pair-count agg +
+    // TakeOrdered(1) with only the winning pair on the driver
+    "x_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 3)
+        .orderBy(col("rank"))),
+
     // BM25 lexical retrieval: 3 queries against the corpus, top-10
     // each — one corpus tokenization, broadcast query/df/stats sides,
     // GroupedTopK bounded-heap cut (no full sort of scored docs)
@@ -2961,6 +2968,38 @@ s"""WITH lines AS (
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
         |FROM scored WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin,
+
+    // 3-round BPE train replay: same |a||b| symbol strings, same
+    // integer pair counts, same (c DESC, l, r) argmax, same
+    // non-regex left-to-right replace per round
+    "x_bpe_train" -> {
+      def round(i: Int) =
+        s"""a$i AS (SELECT s[2:length(s)-1] AS core, wc, s FROM s$i),
+           |p$i AS (SELECT pr[1] AS l, pr[2] AS r, sum(wc) AS c
+           |  FROM (SELECT unnest(list_transform(range(1, len(arr)),
+           |          k -> [arr[CAST(k AS INT)], arr[CAST(k AS INT) + 1]])) AS pr, wc
+           |        FROM (SELECT string_split(core, '||') AS arr, wc FROM a$i)
+           |        WHERE len(arr) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, c FROM p$i WHERE c >= 1
+           |  ORDER BY c DESC, l, r LIMIT 1),
+           |s${i + 1} AS MATERIALIZED (SELECT
+           |    replace(t.s, '|'||m.l||'||'||m.r||'|', '|'||m.l||m.r||'|') AS s, wc
+           |  FROM s$i t CROSS JOIN m$i m)""".stripMargin
+      s"""WITH w AS (SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |s1 AS MATERIALIZED (SELECT '|' || array_to_string(
+        |    list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]),
+        |    '||') || '|' AS s, wc FROM w),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT 1 AS rank, l AS l_sym, r AS r_sym, CAST(c AS BIGINT) AS pair_count FROM m1
+        |UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
+        |UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM m3
+        |ORDER BY rank""".stripMargin
+    },
 
     // replays the full BM25 chain: same tokenization, same fixed-order
     // IEEE idf/norm arithmetic (constants spelled as the identical

@@ -387,6 +387,74 @@ object TextAnalysis {
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(k)
 
+  /** Train `merges` BPE merge rules on the corpus (Sennrich et al.
+    * 2016) — the missing half of the tokenizer story next to
+    * [[subwordTokenize]] (apply) and [[bpePairs]] (one round of pair
+    * stats): this LEARNS the merge table.
+    *
+    * Scale shape: ONE corpus tokenize pass collapses to the
+    * word-frequency table (vocab-sized — the corpus is never touched
+    * again); each merge round is one pair-count partial agg + a
+    * TakeOrdered(1) argmax over that table, with only the single
+    * winning pair round-tripping the driver per round (the kmeansLloyd
+    * iterate recipe). Words are carried as symbol strings
+    * `|a||b||c|`; applying a merge is a non-overlapping left-to-right
+    * `replace` of `|l||r|` with `|lr|` — exactly BPE's greedy
+    * convention, and bit-identical in any engine with plain string
+    * replace. Ties break (count desc, left asc, right asc);
+    * integer-exact throughout. Stops early if no pair reaches
+    * `minCount`. Output: (rank 1.., l_sym, r_sym, pair_count). */
+  def bpeTrain(df: DataFrame, text: String, merges: Int,
+               minCount: Long = 1L): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"bpeTrain: merges must be in [1, 64] (got $merges)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // ONE corpus pass; the word table is vocab-sized and persists for
+    // the merge rounds (each round re-reads it, never the corpus)
+    val words = df
+      .select(explode(Dedup.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit("|"),
+        array_join(split(col("w"), ""), "||"), lit("|")).as("s"), col("wc"))
+      .persist()
+    try {
+      var cur = words
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= merges && !exhausted) {
+        val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+        val top = cur.withColumn("__arr", arr)
+          .select(explode(when(size(col("__arr")) >= 2,
+            expr("""transform(sequence(1, size(__arr) - 1),
+                    i -> struct(element_at(__arr, i) AS l,
+                                element_at(__arr, i + 1) AS r))"""))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("__p"),
+            col("wc"))
+          .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+          .agg(sum(col("wc")).as("c"))
+          .filter(col("c") >= minCount)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, rr, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((r, l, rr, c))
+          // non-regex left-to-right replace: BPE's greedy application
+          cur = cur.select(
+            org.apache.spark.sql.functions.replace(col("s"),
+              lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"), col("wc"))
+          r += 1
+        }
+      }
+      learned.toSeq.toDF("rank", "l_sym", "r_sym", "pair_count")
+    } finally { words.unpersist(); () }
+  }
+
   // ---- Gopher-style quality rules ---------------------------------------
   /** Document-level quality-filter features in the style of the Gopher
     * rules (Rae et al. 2021, "Scaling Language Models", table A1):

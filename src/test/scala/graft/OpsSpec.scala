@@ -1582,6 +1582,23 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("bpeTrain: hand-computed merges, greedy-left apply, early exhaustion") {
+    import spark.implicits._
+    // words: aa(wc 3) -> |a||a|, ab(2) -> |a||b|, aaa(1) -> |a||a||a|
+    val docs = Seq("aa ab aa", "ab aa", "aaa").toDF("text")
+    val out = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: (a,a) = 3 (from aa) + 2 (two pairs inside aaa) = 5
+    // greedy-left: |a||a||a| -> |aa||a| (NOT |a||aa|)
+    // r2: (a,b) = 2 beats (aa,a) = 1; r3: (aa,a) = 1
+    assert(out == Seq((1, "a", "a", 5L), (2, "a", "b", 2L), (3, "aa", "a", 1L)))
+    // exhaustion: fewer possible merges than requested stops early
+    val small = Seq("xy").toDF("text")
+    val ex = TextAnalysis.bpeTrain(small, "text", merges = 5).collect()
+    assert(ex.length == 1) // only (x,y) exists
+  }
+
   test("cdcChunks: exact cover, content-defined shift robustness, empty doc") {
     import spark.implicits._
     val base = (1 to 200).map(i => s"w$i t${i % 17} q${i % 5}").mkString(" ")
