@@ -285,6 +285,21 @@ object QueriesOps {
     // IVF recall@k against the same brute-force ground truth: the
     // nprobe/nLists tuning read; deterministic index + multi-query
     // probes + per-query windows, all oracle-replayed
+    // ANN-mined hard negatives: brute top-20 per anchor (the baseline
+    // retrieval; IVF/LSH is the 100 TB swap-in), labels = documents
+    // lang via the aligned doc_id, keep the 5 nearest label-mismatched
+    "x_hardneg" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val retrieved = Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+      Similarity.hardNegatives(retrieved, "neighbor_id",
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", "lang", k = 5)
+        .withColumnRenamed("neighbor_id", "vec_id")
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy(col("query_id"), col("neg_rank"))
+    }),
+
     "x_ann_recall_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val qs = e.filter(col("vec_id") < 3)
@@ -3822,6 +3837,31 @@ s"""WITH lines AS (
         |    ORDER BY margin DESC, tgt_id DESC) AS rk FROM sc)
         |SELECT src_id, tgt_id, round(cos, 4) AS cos, round(margin, 4) AS margin
         |FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
+
+    // brute top-20 replay -> lang lookups -> mismatch filter -> per-
+    // anchor re-rank (ranking always on RAW cos; rounding only in the
+    // projection, the proven x_ann_brute convention)
+    "x_hardneg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |cand AS (SELECT query_id, vec_id, rawcos FROM (
+        |    SELECT q.query_id, c.vec_id,
+        |      list_cosine_similarity(c.v, q.qv) AS rawcos,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 20),
+        |m AS (SELECT cand.query_id, cand.vec_id, cand.rawcos,
+        |    ql.lang AS q_label, cl.lang AS c_label
+        |  FROM cand
+        |  JOIN documents ql ON cand.query_id = ql.doc_id
+        |  JOIN documents cl ON cand.vec_id = cl.doc_id
+        |  WHERE cl.lang IS DISTINCT FROM ql.lang),
+        |r AS (SELECT query_id, vec_id, rawcos, q_label, c_label,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rawcos DESC, vec_id) AS BIGINT) AS neg_rank
+        |  FROM m)
+        |SELECT query_id, vec_id, round(rawcos, 4) AS cos, q_label, c_label, neg_rank
+        |FROM r WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

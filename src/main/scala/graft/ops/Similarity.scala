@@ -295,6 +295,42 @@ object Similarity {
       .withColumn("recall",
         col("hits").cast("double") / col("truth_k").cast("double"))
 
+  /** ANN-mined hard negatives: from a retrieval's candidate frame
+    * (query_id, cid, cos — ANY of the retrievals here produces it:
+    * brute at test scale, IVF/LSH as the 100 TB path), keep the
+    * candidates semantically NEAREST each anchor whose LABEL
+    * disagrees — the contrastive-training examples that actually move
+    * a classifier, where random negatives are trivially separable.
+    *
+    * Shape: the candidate frame is result-set-sized (|queries|·k), so
+    * it BROADCASTS against the corpus-sized label table twice (anchor
+    * + candidate lookup — two label scans, each a broadcast hash join
+    * with the candidate side as build; the label table itself never
+    * shuffles). The mismatch filter and the per-anchor re-rank window
+    * run on the candidate set only.
+    * Output: (query_id, cid, cos, q_label, c_label, neg_rank <= k). */
+  def hardNegatives(retrieved: DataFrame, cid: String,
+                    labels: DataFrame, lid: String, label: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hardNegatives: k must be >= 1 (got $k)")
+    val cand = retrieved.select(col("query_id"), col(cid), col("cos"))
+    val withC = labels
+      .select(col(lid).as(cid), col(label).as("c_label"))
+      .join(broadcast(cand), Seq(cid))
+    val withQ = labels
+      .select(col(lid).as("query_id"), col(label).as("q_label"))
+      .join(broadcast(withC), Seq("query_id"))
+    withQ
+      .filter(!(col("c_label") <=> col("q_label")))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col(cid))).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col(cid), col("cos"),
+        col("q_label"), col("c_label"), col("neg_rank"))
+  }
+
   /** IVF: k-means coarse quantizer; each vector is assigned to its
     * nearest centroid (the "inverted list"); queries probe the nprobe
     * nearest lists only. Returns (assignments, centroids-as-frame).

@@ -1582,6 +1582,28 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("hardNegatives keeps nearest label-mismatched candidates only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),   // anchor, label A
+      (1L, Seq(0.99, 0.14)), // A — nearest but same label: excluded
+      (2L, Seq(0.9, 0.44)),  // B — hard negative #1
+      (3L, Seq(0.5, 0.87)),  // B — hard negative #2
+      (4L, Seq(0.0, 1.0)))   // B — outside k=2 after re-rank
+      .toDF("vec_id", "embedding")
+    val labels = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "lang")
+    val retrieved = Similarity.bruteForceTopKJoin(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding", k = 5)
+    val out = Similarity.hardNegatives(retrieved, "neighbor_id",
+        labels, "doc_id", "lang", k = 2)
+      .orderBy("neg_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Long]("neg_rank")).toSeq == Seq(1L, 2L))
+    assert(out.forall(r => r.getAs[String]("q_label") == "A" &&
+      r.getAs[String]("c_label") == "B"))
+  }
+
   test("bpeTrain: hand-computed merges, greedy-left apply, early exhaustion") {
     import spark.implicits._
     // words: aa(wc 3) -> |a||a|, ab(2) -> |a||b|, aaa(1) -> |a||a||a|
