@@ -932,6 +932,27 @@ object QueriesOps {
       Profiling.cohenKappa(t(s, d, "documents"),
         col("n_chars") >= 500L, col("text").contains(" the "))),
 
+    // Hive-partitioned sink round-trip (SURVEY §2.9 row 93): documents
+    // written partitioned by lang ONCE per session, read back with a
+    // lang filter — the scan touches only the matching directories
+    // (PartitionFilters; SourcesSpec asserts the pruning), and the
+    // oracle proves layout never changes the answer
+    "x_part_prune" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val path = s"target/partcache/docs_$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.sources.Sources.writePartitioned(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          path, Seq("lang"))
+      }
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // bucketed-table join (the standing-workload co-location recipe,
     // SURVEY §2.9 row 94): both sides written bucketed+sorted on the
     // join key ONCE per session (warehouse cost a standing workload
@@ -943,6 +964,18 @@ object QueriesOps {
       val tag = java.lang.Integer.toHexString(d.hashCode)
       val (la, ob) = (s"graft_bl_$tag", s"graft_bo_$tag")
       if (!s.catalog.tableExists(la) || !s.catalog.tableExists(ob)) {
+        // a fresh JVM starts with an empty in-memory catalog but the
+        // warehouse DIRECTORY survives on disk — saveAsTable refuses
+        // to clobber an unregistered location, so clear stale dirs
+        Seq(la, ob).foreach { t0 =>
+          val loc = java.nio.file.Paths.get(s"spark-warehouse/$t0")
+          if (!s.catalog.tableExists(t0) && java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(loc).iterator().asScala.toSeq
+              .sortBy(p => -p.getNameCount)
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
         graft.core.ScaleJoins.bucketize(
           t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
           Seq("l_orderkey"), 8, la)
@@ -2756,6 +2789,13 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    // the partitioned layout's result IS the plain filtered agg
+    "x_part_prune" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the bucketed join's result IS the plain join — bucketing only
     // relocates the shuffle to write time
