@@ -174,18 +174,41 @@ object Dedup {
   def minhashLsh(df: DataFrame, id: String, text: String,
                  w: Int = 3, numPerm: Int = 64, numBands: Int = 16,
                  threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val (sigs, sh) = minhashIndexFrames(df, id, text, w, numPerm, numBands)
+    minhashLshFromIndex(sigs, sh, threshold, maxBucket)
+  }
+
+  /** The standing-workload dedup index [[minhashLsh]] is built from —
+    * materialize BOTH frames once (band table (doc_id, band, bucket);
+    * shingle-hash sets (doc_id, sh)) and every subsequent dedup pass
+    * is [[minhashLshFromIndex]] over the index alone: zero text
+    * scans, zero re-hashing — the same amortization the BM25
+    * inverted index gives retrieval. */
+  def minhashIndexFrames(df: DataFrame, id: String, text: String,
+                         w: Int = 3, numPerm: Int = 64,
+                         numBands: Int = 16): (DataFrame, DataFrame) = {
     val rowsPerBand = numPerm / numBands
     val sigs = df.select(col(id).as("doc_id"), col(text).as("__text"))
       .withColumn("__sig", minhashSignatureFast(col("__text"), w, numPerm))
       .withColumn("__band", explode(bands(col("__sig"), numBands, rowsPerBand)))
       .select(col("doc_id"), col("__band.band").as("band"),
         col("__band.bucket").as("bucket"))
-    val pairs = bucketPairs(sigs, Seq("band", "bucket"), Nil, maxBucket)
-    // verification join: true jaccard over the distinct shingle-HASH
-    // sets (hash-set jaccard == string-set jaccard modulo negligible
-    // 64-bit collisions; the hash arrays are far cheaper to shuffle)
-    val sh = df.select(col(id).as("__vid"),
-      shingleHashesFast(col(text), w).as("__sh"))
+    val sh = df.select(col(id).as("doc_id"),
+      shingleHashesFast(col(text), w).as("sh"))
+    (sigs, sh)
+  }
+
+  /** LSH candidate generation + exact-jaccard verification from a
+    * materialized [[minhashIndexFrames]] index. The verification join
+    * runs on the shingle-HASH sets (hash-set jaccard == string-set
+    * jaccard modulo negligible 64-bit collisions; the hash arrays are
+    * far cheaper to shuffle than text). */
+  def minhashLshFromIndex(sigs: DataFrame, shingles: DataFrame,
+                          threshold: Double, maxBucket: Int = 1000): DataFrame = {
+    val pairs = bucketPairs(
+      sigs.select(col("doc_id"), col("band"), col("bucket")),
+      Seq("band", "bucket"), Nil, maxBucket)
+    val sh = shingles.select(col("doc_id").as("__vid"), col("sh").as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__vid", "a").withColumnRenamed("__sh", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("__vid", "b").withColumnRenamed("__sh", "sh_b"), Seq("b"))
