@@ -121,6 +121,23 @@ object QueriesOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // day-2 incremental dedup: a suffix-wrapped batch (every 7th doc,
+    // ids +1e9) admitted against the standing index — only the batch
+    // pays signature cost; index-internal pairs are filtered, not
+    // re-verified
+    "x_dedup_incr" -> ((s, d) => {
+      val (idxSigs, idxSh) = minhashIndex(s, d)
+      val batch = t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(col("text"), lit(" terms apply contact support")).as("text"))
+      val (newSigs, newSh) = Dedup.minhashIndexFrames(
+        batch, "doc_id", "text", w = 3, numPerm = 64, numBands = 16)
+      Dedup.minhashLshIncremental(idxSigs, idxSh, newSigs, newSh,
+          threshold = 0.2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "x_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
         w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
@@ -3491,6 +3508,33 @@ s"""WITH lines AS (
     // identical jaccard verdicts (same signatures, read from parquet
     // instead of recomputed) — same quadratic ground-truth oracle
     "x_dedup_minhash_idx" -> minhashOracleSql,
+
+    // incremental ground truth: quadratic jaccard over corpus ∪ batch
+    // restricted to pairs touching the batch (ids >= 1e9). The 0.2
+    // threshold sits in a measured gap (corpus pairs are <= 0.067 or
+    // >= 0.9; the shared 4-word suffix shifts non-dup batch pairs by
+    // far less than the gap), so LSH recall is exact here
+    "x_dedup_incr" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id,
+        |    text || ' terms apply contact support' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM d0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id >= 1000000000 OR b.doc_id >= 1000000000)
+        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2
+        |ORDER BY a, b""".stripMargin,
 
     // brute-force ground truth over the wrapped corpus (same
     // bimodal-similarity argument as x_dedup_jaccard: the 0.6

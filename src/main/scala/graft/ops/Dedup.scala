@@ -217,6 +217,38 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Incremental near-dedup of a NEW batch against a standing
+    * [[minhashIndexFrames]] index — the day-2 shape of a crawl
+    * pipeline: the corpus's signatures were paid for once; admitting
+    * a batch costs only the batch's own signatures plus one banded
+    * join. Candidate pairs must TOUCH the batch (index↔index pairs
+    * were adjudicated when the index was built, so they are filtered
+    * out before verification, not re-verified); batch-internal pairs
+    * are included (a batch can self-duplicate). Bucket-size caps run
+    * over the UNION, so a boilerplate bucket stays bounded no matter
+    * which side floods it. Ids must be disjoint across sides (caller
+    * contract). Output: (a, b, jaccard) — pairs with at least one
+    * batch doc. */
+  def minhashLshIncremental(idxSigs: DataFrame, idxShingles: DataFrame,
+                            newSigs: DataFrame, newShingles: DataFrame,
+                            threshold: Double,
+                            maxBucket: Int = 1000): DataFrame = {
+    val all = idxSigs.select(col("doc_id"), col("band"), col("bucket"))
+      .withColumn("nw", lit(false))
+      .unionByName(newSigs.select(col("doc_id"), col("band"), col("bucket"))
+        .withColumn("nw", lit(true)))
+    val pairs = bucketPairs(all, Seq("band", "bucket"), Seq("nw"), maxBucket)
+      .filter(col("nw_a") || col("nw_b")).select("a", "b")
+    val sh = idxShingles.unionByName(newShingles)
+      .select(col("doc_id").as("__vid"), col("sh").as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__vid", "a").withColumnRenamed("__sh", "sh_a"), Seq("a"))
+      .join(sh.withColumnRenamed("__vid", "b").withColumnRenamed("__sh", "sh_b"), Seq("b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Exact Jaccard over two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

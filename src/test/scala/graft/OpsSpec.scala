@@ -1582,6 +1582,26 @@ class OpsSpec extends SparkTestBase {
     assert(c.forall(r => r.isNullAt(0) && !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("minhashLshIncremental: only pairs touching the batch, no re-adjudication") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"alpha$i beta${i % 13} gamma${i % 7}").mkString(" ")
+    // corpus: 1 and 2 are near-dups of each other (adjudicated at
+    // index-build time); batch: 10 is a near-dup of 1, 11 is unique
+    val corpus = Seq((1L, base), (2L, base + " tiny tail change")).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " new suffix"),
+      (11L, (1 to 80).map(i => s"zeta$i").mkString(" "))).toDF("doc_id", "text")
+    val (is_, ish) = Dedup.minhashIndexFrames(corpus, "doc_id", "text")
+    val (ns, nsh) = Dedup.minhashIndexFrames(batch, "doc_id", "text")
+    val out = Dedup.minhashLshIncremental(is_, ish, ns, nsh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair touches the batch; the (1,2) index-internal pair is
+    // NOT re-emitted; the unique batch doc pairs with nothing
+    assert(out.forall { case (a, b) => a >= 10L || b >= 10L })
+    assert(out.contains((1L, 10L)) && out.contains((2L, 10L)))
+    assert(!out.contains((1L, 2L)))
+    assert(!out.exists { case (a, b) => a == 11L || b == 11L })
+  }
+
   test("hardNegatives keeps nearest label-mismatched candidates only") {
     import spark.implicits._
     val vecs = Seq(
