@@ -117,4 +117,48 @@ class RandomPropertySpec extends SparkTestBase {
         s"img $n: 3x2 replication changed the hash")
     }
   }
+
+  test("cdcChunks tiles EVERY random string exactly (random lengths incl. < w)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val alphabet = "ab \ncafé€"
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(400))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+    for ((id, txt) <- docs) {
+      val cs = chunks(id).sortBy(_.getInt(1))
+      val n = txt.codePointCount(0, txt.length).toLong
+      assert(cs.head.getInt(1) == 1, s"doc $id: first chunk not at 1")
+      assert(cs.map(_.getLong(2)).sum == n, s"doc $id: lens don't sum to $n")
+      cs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getInt(1) == a.getInt(1) + a.getLong(2), s"doc $id: gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("normalizeText is idempotent on random dirty strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(202)
+    val junk = "a b\tc\nde f　‘’“”–—…  \n\n\n\nzž¿"
+    val docs = Seq.tabulate(80) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(120))(
+        junk(rnd.nextInt(junk.length))).mkString)
+    }
+    val df = docs.toDF("id", "t")
+    val once = df.select(col("id"),
+      TextAnalysis.normalizeText(col("t")).as("n1"))
+    val twice = once.select(col("id"),
+      col("n1"), TextAnalysis.normalizeText(col("n1")).as("n2"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id ${r.getLong(0)}: not idempotent:\n1:${r.getString(1)}\n2:${r.getString(2)}")
+    }
+  }
 }
