@@ -942,6 +942,13 @@ object QueriesOps {
       Profiling.keySkew(t(s, d, "orders"), col("o_custkey"), k = 10)
         .orderBy(col("cnt").desc, col("key"))),
 
+    // one-pass Poisson bootstrap: 16 resampled mean-doc-length
+    // estimates + normal CI from ONE scan (B agg columns, not B
+    // passes) — the error bar on a corpus statistic at scale
+    "x_boot" -> ((s, d) =>
+      Profiling.poissonBootstrap(t(s, d, "documents"),
+        col("doc_id"), col("n_chars").cast("double"), b = 16, seed = 7L)),
+
     // per-source percentile-rank calibration of a quality proxy: one
     // stratum-partitioned window Exchange (rank + count share it),
     // then a pure projection — the mixing prep before any global cut
@@ -2823,6 +2830,46 @@ object QueriesOps {
         |  CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
         |FROM h CROSS JOIN t ORDER BY cnt DESC, key""".stripMargin,
+
+    // bootstrap replay: same md5 uniforms, same Poisson(1) when-chain
+    // thresholds (shortest-round-trip doubles), same decimal weighted
+    // sums, same left-fold replica mean/sd/CI arithmetic
+    "x_boot" -> {
+      val B = 16
+      def u(seed: Long): String =
+        s"""list_sum(list_transform(range(1, 14), i ->
+           |      (strpos('0123456789abcdef', substring(md5('$seed' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+           |        * pow(16, 13 - i))) / 4503599627370496.0""".stripMargin
+      val chain = {
+        val cdfs = graft.functions.BaseFns.poisCdf(1.0)
+        (uE: String) => cdfs.map { case (c, k) =>
+          s"WHEN $uE < ${java.lang.Double.toString(c)} THEN $k"
+        }.mkString("CASE ", " ", s" ELSE ${cdfs.last._2 + 1} END")
+      }
+      val ws = (0 until B).map(j => s"${chain(s"u$j")} AS w$j").mkString(",\n|    ")
+      val us = (0 until B).map(j => s"${u(7L + j)} AS u$j").mkString(",\n|    ")
+      val sums = (0 until B).map(j =>
+        s"${graft.functions.Exact.dprodSumSql(s"CAST(w$j AS DOUBLE)", "x")} AS s$j, " +
+          s"CAST(sum(w$j) AS BIGINT) AS n$j").mkString(",\n|    ")
+      val ests = (0 until B).map(j => s"(s$j / CAST(n$j AS DOUBLE))")
+      val bmean = s"(${ests.mkString(" + ")}) / 16.0"
+      val sdT = ests.map(e => s"(($e - m) * ($e - m))").mkString(" + ")
+      s"""WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+        |    $us
+        |  FROM documents),
+        |w AS (SELECT x,
+        |    $ws
+        |  FROM k),
+        |a AS (SELECT ${graft.functions.Exact.dsumSql("x")} AS sx,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    $sums
+        |  FROM w),
+        |m0 AS (SELECT *, $bmean AS m FROM a),
+        |f AS (SELECT *, sqrt(($sdT) / 15.0) AS sd FROM m0)
+        |SELECT sx / CAST(n AS DOUBLE) AS est, n, m AS boot_mean,
+        |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
+        |FROM f""".stripMargin
+    },
 
     // rank/count window pair + the one calibration division — rank and
     // n are integers, so the division is a single engine-exact IEEE op

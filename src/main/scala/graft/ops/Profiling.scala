@@ -432,6 +432,46 @@ object Profiling {
       .drop("__n")
   }
 
+  /** One-pass Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): B resampled estimates of
+    * a mean statistic from ONE scan. Classic bootstrap resamples the
+    * data B times — B corpus passes; here each row carries, per
+    * replica j, an independent Poisson(1) weight drawn from the
+    * engine-portable md5 inverse-CDF (the proven b_random parity),
+    * and replica j's estimate is Σ wⱼ·x / Σ wⱼ — B extra agg COLUMNS
+    * on one scan, which at 100 TB is the only honest way to put an
+    * error bar on a corpus statistic.
+    *
+    * Exactness: weights are small integers from the md5 when-chain;
+    * weighted sums are decimal-exact products; replica estimates,
+    * their left-fold mean, the sample sd, and the ±1.96·sd normal CI
+    * are fixed-order IEEE — the oracle replays every double.
+    * Contract: B ≪ rows (an empty replica divides 0/0 → NaN; with
+    * Poisson(1) weights P(empty) = e^(−rows)).
+    * Output 1 row: est, n, boot_mean, boot_sd, ci_lo, ci_hi. */
+  def poissonBootstrap(df: DataFrame, key: Column, x: Column,
+                       b: Int = 16, seed: Long = 7L): DataFrame = {
+    require(b >= 2 && b <= 64, s"poissonBootstrap: b must be in [2, 64] (got $b)")
+    import graft.functions.{BaseFns, Exact}
+    val aggs = (0 until b).flatMap { j =>
+      val w = BaseFns.rpoisCol(BaseFns.md5Unif(key, seed + j), lambda = 1.0)
+      Seq(Exact.dprodSum(w.cast("double"), x).as(s"__s$j"),
+        sum(w.cast("long")).as(s"__n$j"))
+    }
+    val all = Seq(Exact.dsum(x).as("__sx"), count(x).as("n")) ++ aggs
+    val base = df.agg(all.head, all.tail: _*)
+    val ests = (0 until b).map(j => col(s"__s$j") / col(s"__n$j").cast("double"))
+    val bmean = ests.reduce(_ + _) / lit(b.toDouble)
+    val sd = sqrt(ests.map(e => (e - bmean) * (e - bmean)).reduce(_ + _)
+      / lit((b - 1).toDouble))
+    base.select(
+      (col("__sx") / col("n").cast("double")).as("est"),
+      col("n"),
+      bmean.as("boot_mean"), sd.as("boot_sd"),
+      (bmean - lit(1.96) * sd).as("ci_lo"),
+      (bmean + lit(1.96) * sd).as("ci_hi"))
+  }
+
   /** Per-stratum percentile-rank score calibration: heterogeneous
     * sources score on incompatible scales (one crawl's 0.6 is another's
     * 0.9), so a single global quality threshold over-selects whole

@@ -927,6 +927,26 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("poissonBootstrap: constant column collapses the CI; partitioning-invariant") {
+    import spark.implicits._
+    val const = (1L to 400L).map((_, 5.0)).toDF("id", "x")
+    val c = Profiling.poissonBootstrap(const, col("id"), col("x"), b = 8).head()
+    // every replica estimate of a constant is the constant
+    assert(c.getAs[Double]("est") == 5.0 && c.getAs[Double]("boot_mean") == 5.0)
+    assert(c.getAs[Double]("boot_sd") == 0.0)
+    assert(c.getAs[Double]("ci_lo") == 5.0 && c.getAs[Double]("ci_hi") == 5.0)
+    // varying data: CI brackets the estimate, and the decimal sums
+    // make the whole row partitioning-invariant
+    val varied = (1L to 400L).map(i => (i, (i % 37).toDouble)).toDF("id", "x")
+    val v1 = Profiling.poissonBootstrap(varied, col("id"), col("x"), b = 8).head()
+    val v2 = Profiling.poissonBootstrap(varied.repartition(13),
+      col("id"), col("x"), b = 8).head()
+    assert(v1 == v2)
+    assert(v1.getAs[Double]("ci_lo") <= v1.getAs[Double]("est") &&
+      v1.getAs[Double]("est") <= v1.getAs[Double]("ci_hi"))
+    assert(v1.getAs[Double]("boot_sd") > 0.0)
+  }
+
   test("calibrateByStratum: within-stratum percentile ranks, singleton pins 0.5") {
     val d = sqlDf("g" -> Seq("a", "a", "a", "a", "b"),
       "x" -> Seq(10.0, 20.0, 20.0, 40.0, 7.0))
