@@ -949,6 +949,21 @@ object QueriesOps {
       Profiling.poissonBootstrap(t(s, d, "documents"),
         col("doc_id"), col("n_chars").cast("double"), b = 16, seed = 7L)),
 
+    // grouped bootstrap: per-language CI rows from the same single
+    // scan (replica weights ride the stratum-keyed partial agg)
+    "x_bootby" -> ((s, d) =>
+      Profiling.poissonBootstrapBy(t(s, d, "documents"), Seq(col("lang")),
+          col("doc_id"), col("n_chars").cast("double"), b = 8, seed = 11L)
+        .orderBy(col("lang"))),
+
+    // water-filling budget allocation: quotas = min(total, λ) with the
+    // common water level λ exhausting the budget — window algebra over
+    // the 20-row stratum-totals table, corpus touched by ONE agg
+    "x_waterfill" -> ((s, d) =>
+      Sampling.waterFillQuotas(t(s, d, "documents"),
+          col("source"), col("n_chars"), budget = 100000.0)
+        .orderBy(col("stratum"))),
+
     // per-source percentile-rank calibration of a quality proxy: one
     // stratum-partitioned window Exchange (rank + count share it),
     // then a pure projection — the mixing prep before any global cut
@@ -2870,6 +2885,64 @@ object QueriesOps {
         |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
         |FROM f""".stripMargin
     },
+
+    // grouped bootstrap replay: identical construction, GROUP BY lang
+    "x_bootby" -> {
+      val B = 8
+      def u(seed: Long): String =
+        s"""list_sum(list_transform(range(1, 14), i ->
+           |      (strpos('0123456789abcdef', substring(md5('$seed' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+           |        * pow(16, 13 - i))) / 4503599627370496.0""".stripMargin
+      val chain = {
+        val cdfs = graft.functions.BaseFns.poisCdf(1.0)
+        (uE: String) => cdfs.map { case (c, k) =>
+          s"WHEN $uE < ${java.lang.Double.toString(c)} THEN $k"
+        }.mkString("CASE ", " ", s" ELSE ${cdfs.last._2 + 1} END")
+      }
+      val ws = (0 until B).map(j => s"${chain(s"u$j")} AS w$j").mkString(",\n|    ")
+      val us = (0 until B).map(j => s"${u(11L + j)} AS u$j").mkString(",\n|    ")
+      val sums = (0 until B).map(j =>
+        s"${graft.functions.Exact.dprodSumSql(s"CAST(w$j AS DOUBLE)", "x")} AS s$j, " +
+          s"CAST(sum(w$j) AS BIGINT) AS n$j").mkString(",\n|    ")
+      val ests = (0 until B).map(j => s"(s$j / CAST(n$j AS DOUBLE))")
+      val bmean = s"(${ests.mkString(" + ")}) / 8.0"
+      val sdT = ests.map(e => s"(($e - m) * ($e - m))").mkString(" + ")
+      s"""WITH k AS (SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x,
+        |    $us
+        |  FROM documents),
+        |w AS (SELECT lang, x,
+        |    $ws
+        |  FROM k),
+        |a AS (SELECT lang, ${graft.functions.Exact.dsumSql("x")} AS sx,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    $sums
+        |  FROM w GROUP BY lang),
+        |m0 AS (SELECT *, $bmean AS m FROM a),
+        |f AS (SELECT *, sqrt(($sdT) / 7.0) AS sd FROM m0)
+        |SELECT lang, sx / CAST(n AS DOUBLE) AS est, n, m AS boot_mean,
+        |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
+        |FROM f ORDER BY lang""".stripMargin
+    },
+
+    // the water-level identity replayed with the same window algebra
+    // over the stratum-grain totals
+    "x_waterfill" ->
+      """WITH t AS (SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS total
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT stratum, total,
+        |    row_number() OVER (ORDER BY total, stratum) AS rn,
+        |    sum(total) OVER (ORDER BY total, stratum ROWS UNBOUNDED PRECEDING) AS cum,
+        |    count(*) OVER () AS k
+        |  FROM t),
+        |l AS (SELECT *,
+        |    (100000.0 - CAST(cum - total AS DOUBLE)) / CAST(k - rn + 1 AS DOUBLE) AS lam
+        |  FROM r),
+        |lv AS (SELECT *,
+        |    max(CASE WHEN CAST(total AS DOUBLE) >= lam THEN lam END) OVER () AS level
+        |  FROM l)
+        |SELECT stratum, total,
+        |  least(CAST(total AS DOUBLE), coalesce(level, CAST('infinity' AS DOUBLE))) AS quota
+        |FROM lv ORDER BY stratum""".stripMargin,
 
     // rank/count window pair + the one calibration division — rank and
     // n are integers, so the division is a single engine-exact IEEE op

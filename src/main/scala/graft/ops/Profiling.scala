@@ -450,7 +450,16 @@ object Profiling {
     * Poisson(1) weights P(empty) = e^(−rows)).
     * Output 1 row: est, n, boot_mean, boot_sd, ci_lo, ci_hi. */
   def poissonBootstrap(df: DataFrame, key: Column, x: Column,
-                       b: Int = 16, seed: Long = 7L): DataFrame = {
+                       b: Int = 16, seed: Long = 7L): DataFrame =
+    poissonBootstrapBy(df, Nil, key, x, b, seed)
+
+  /** Grouped form of [[poissonBootstrap]]: one CI row per stratum from
+    * the same single scan (the replica weight columns ride the
+    * stratum-keyed partial agg — still no extra pass, still
+    * partitioning-invariant). */
+  def poissonBootstrapBy(df: DataFrame, strata: Seq[Column],
+                         key: Column, x: Column,
+                         b: Int = 16, seed: Long = 7L): DataFrame = {
     require(b >= 2 && b <= 64, s"poissonBootstrap: b must be in [2, 64] (got $b)")
     import graft.functions.{BaseFns, Exact}
     val aggs = (0 until b).flatMap { j =>
@@ -459,17 +468,20 @@ object Profiling {
         sum(w.cast("long")).as(s"__n$j"))
     }
     val all = Seq(Exact.dsum(x).as("__sx"), count(x).as("n")) ++ aggs
-    val base = df.agg(all.head, all.tail: _*)
+    val base =
+      if (strata.isEmpty) df.agg(all.head, all.tail: _*)
+      else df.groupBy(strata: _*).agg(all.head, all.tail: _*)
     val ests = (0 until b).map(j => col(s"__s$j") / col(s"__n$j").cast("double"))
     val bmean = ests.reduce(_ + _) / lit(b.toDouble)
     val sd = sqrt(ests.map(e => (e - bmean) * (e - bmean)).reduce(_ + _)
       / lit((b - 1).toDouble))
-    base.select(
+    val out = Seq(
       (col("__sx") / col("n").cast("double")).as("est"),
       col("n"),
       bmean.as("boot_mean"), sd.as("boot_sd"),
       (bmean - lit(1.96) * sd).as("ci_lo"),
       (bmean + lit(1.96) * sd).as("ci_hi"))
+    base.select(strata ++ out: _*)
   }
 
   /** Per-stratum percentile-rank score calibration: heterogeneous

@@ -367,4 +367,42 @@ object Sampling {
       .partitionBy(col("cid")).orderBy(col("__h").asc, col(id).asc)
     kept.withColumn("pick", row_number().over(w)).drop("__h")
   }
+
+  /** Water-filling token-budget allocation across strata: every
+    * stratum keeps its full token count up to a common cap λ, chosen
+    * so the quotas exactly exhaust the budget — the max-min-fair
+    * answer to "how do I split a training budget across sources
+    * without letting the biggest crawl eat it". quota_i =
+    * min(total_i, λ), with λ = max over i (totals ascending) of
+    * (budget − Σ_{j<i} total_j) / (K − i + 1) where total_i reaches
+    * the candidate cap — the standard water-level identity, computed
+    * entirely with window algebra over the STRATUM-GRAIN totals table
+    * (K rows — tiny by contract, the forcats level-table argument; the
+    * corpus itself is touched by ONE partial agg). When the corpus
+    * fits the budget, λ = ∞ and every stratum keeps its total. λ and
+    * quotas are double divisions over exact long totals — engine-
+    * exact, fixed order. Output: (stratum, total, quota), quota
+    * summing to min(budget, Σ totals). */
+  def waterFillQuotas(df: DataFrame, stratum: Column, tokens: Column,
+                      budget: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"waterFillQuotas: budget must be > 0 (got $budget)")
+    val totals = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens.cast("long")).as("total"))
+    val ord = Window.orderBy(col("total").asc, col("stratum").asc)
+    val k = Window.partitionBy()
+    val ranked = totals
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__cum", sum(col("total")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__k", count(lit(1)).over(k))
+    val lam = (lit(budget) - (col("__cum") - col("total")).cast("double")) /
+      (col("__k") - col("__rn") + 1).cast("double")
+    val level = ranked
+      .withColumn("__lam", when(col("total").cast("double") >= lam, lam))
+      .withColumn("__level",
+        coalesce(max(col("__lam")).over(k), lit(Double.PositiveInfinity)))
+    level.select(col("stratum"), col("total"),
+      least(col("total").cast("double"), col("__level")).as("quota"))
+  }
 }

@@ -927,6 +927,23 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("waterFillQuotas: hand-computed water level, exhaustion, under-budget") {
+    import spark.implicits._
+    // totals a=2, b=9, c=9; budget 10 -> lambda=4, quotas [2, 4, 4]
+    val rows = Seq(("a", 1L, 2L), ("b", 1L, 9L), ("c", 1L, 9L))
+      .flatMap { case (s0, _, t0) => (1L to t0).map(_ => (s0, 1L)) }
+    val df = rows.toDF("src", "tok")
+    val out = Sampling.waterFillQuotas(df, col("src"), col("tok"), budget = 10.0)
+      .orderBy("stratum").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 2.0), ("b", 9L, 4.0), ("c", 9L, 4.0)))
+    assert(out.map(_.getDouble(2)).sum == 10.0) // quotas exhaust the budget
+    // under-budget: every stratum keeps its total
+    val loose = Sampling.waterFillQuotas(df, col("src"), col("tok"), budget = 100.0)
+      .orderBy("stratum").collect()
+    assert(loose.map(_.getDouble(2)).toSeq == Seq(2.0, 9.0, 9.0))
+  }
+
   test("poissonBootstrap: constant column collapses the CI; partitioning-invariant") {
     import spark.implicits._
     val const = (1L to 400L).map((_, 5.0)).toDF("id", "x")

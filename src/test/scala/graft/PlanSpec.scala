@@ -629,7 +629,10 @@ class PlanSpec extends SparkTestBase {
       // batch offsets accumulate over the bucket-COUNT table
       // (<= |edges|+1 rows — Packing.lengthGroupedBatches scaladoc);
       // the row-grain rank is the rowid sort, not a window
-      "x_lgbatch" -> "bucket-count offset table")
+      "x_lgbatch" -> "bucket-count offset table",
+      // water level from window algebra over the stratum-grain totals
+      // (K rows — the forcats level-table argument)
+      "x_waterfill" -> "stratum-grain totals table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val offenders = qs.flatMap { case (name, fn) =>
       try {
