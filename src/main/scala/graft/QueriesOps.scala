@@ -964,6 +964,19 @@ object QueriesOps {
           col("source"), col("n_chars"), budget = 100000.0)
         .orderBy(col("stratum"))),
 
+    // allocation materialized: per-source greedy prefix cut (longest
+    // docs first) under the water-fill quotas — broadcast quota table,
+    // stratum-partitioned running total
+    "x_quota_select" -> ((s, d) => {
+      val quotas = Sampling.waterFillQuotas(t(s, d, "documents"),
+        col("source"), col("n_chars"), budget = 100000.0)
+      Sampling.selectToQuotas(
+          t(s, d, "documents"), col("source"), col("n_chars"),
+          Seq(col("n_chars").desc, col("doc_id").asc), quotas)
+        .select("doc_id", "source", "n_chars", "cum_tokens", "quota")
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source percentile-rank calibration of a quality proxy: one
     // stratum-partitioned window Exchange (rank + count share it),
     // then a pure projection — the mixing prep before any global cut
@@ -2923,6 +2936,35 @@ object QueriesOps {
         |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
         |FROM f ORDER BY lang""".stripMargin
     },
+
+    // water-fill quotas (same algebra as x_waterfill) + the per-source
+    // greedy prefix cut
+    "x_quota_select" ->
+      """WITH t AS (SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS total
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT stratum, total,
+        |    row_number() OVER (ORDER BY total, stratum) AS rn,
+        |    sum(total) OVER (ORDER BY total, stratum ROWS UNBOUNDED PRECEDING) AS cum,
+        |    count(*) OVER () AS k
+        |  FROM t),
+        |l AS (SELECT *,
+        |    (100000.0 - CAST(cum - total AS DOUBLE)) / CAST(k - rn + 1 AS DOUBLE) AS lam
+        |  FROM r),
+        |lv AS (SELECT *,
+        |    max(CASE WHEN CAST(total AS DOUBLE) >= lam THEN lam END) OVER () AS level
+        |  FROM l),
+        |q AS (SELECT stratum, total,
+        |    least(CAST(total AS DOUBLE), coalesce(level, CAST('infinity' AS DOUBLE))) AS quota
+        |  FROM lv),
+        |sel AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    sum(d.n_chars) OVER (PARTITION BY d.source
+        |      ORDER BY d.n_chars DESC, d.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        |    q.quota
+        |  FROM documents d JOIN q ON d.source = q.stratum)
+        |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens, quota
+        |FROM sel WHERE CAST(cum_tokens AS DOUBLE) <= quota
+        |ORDER BY doc_id""".stripMargin,
 
     // the water-level identity replayed with the same window algebra
     // over the stratum-grain totals

@@ -368,6 +368,29 @@ object Sampling {
     kept.withColumn("pick", row_number().over(w)).drop("__h")
   }
 
+  /** Materialize a [[waterFillQuotas]] allocation: keep, per stratum,
+    * the best documents (by `order` — quality desc, id tiebreak) whose
+    * running token total fits the stratum's quota — the greedy-prefix
+    * rule tokenBudget applies globally, here per stratum under the
+    * allocator's caps. The quota table is K rows and broadcasts; the
+    * running total is a stratum-PARTITIONED window (every partition is
+    * one source — bounded, never the global window). A document is
+    * kept iff its whole token count fits (cum <= quota), the
+    * tokenBudget prefix convention. Output: kept rows + (cum_tokens,
+    * quota) for audit. */
+  def selectToQuotas(df: DataFrame, stratum: Column, tokens: Column,
+                     order: Seq[Column], quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(quotas.select(col("stratum"), col("quota"))),
+        stratum === col("stratum"))
+      .withColumn("cum_tokens",
+        sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens").cast("double") <= col("quota"))
+      .drop("stratum")
+  }
+
   /** Water-filling token-budget allocation across strata: every
     * stratum keeps its full token count up to a common cap λ, chosen
     * so the quotas exactly exhaust the budget — the max-min-fair

@@ -944,6 +944,21 @@ class OpsSpec extends SparkTestBase {
     assert(loose.map(_.getDouble(2)).toSeq == Seq(2.0, 9.0, 9.0))
   }
 
+  test("selectToQuotas: per-stratum greedy prefix under the allocator's caps") {
+    import spark.implicits._
+    // stratum a: docs 3+3+3 tokens under quota 7 -> keep first two
+    // (order: tokens desc, id) = ids 1, 2; stratum b: quota covers all
+    val df = Seq((1L, "a", 3L), (2L, "a", 3L), (3L, "a", 3L),
+      (4L, "b", 2L), (5L, "b", 1L)).toDF("doc_id", "src", "tok")
+    val quotas = Seq(("a", 7.0), ("b", 10.0)).toDF("stratum", "quota")
+    val out = Sampling.selectToQuotas(df, col("src"), col("tok"),
+        Seq(col("tok").desc, col("doc_id").asc), quotas)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L))
+    // cum audit: whole-document convention (doc 3 at cum 9 > 7 drops)
+    assert(out.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(3L, 6L, 2L, 3L))
+  }
+
   test("poissonBootstrap: constant column collapses the CI; partitioning-invariant") {
     import spark.implicits._
     val const = (1L to 400L).map((_, 5.0)).toDF("id", "x")
