@@ -653,6 +653,15 @@ object QueriesOps {
     // posexplode — the shuffle carries fixed-size buffers, not
     // dims x rows); fixed-point Long sums make the mean bit-identical
     // under any partitioning and exactly replayable by the oracle
+    // per-label embedding outliers: distance to the own stratum's
+    // fixed-point centroid, top-5% most distant flagged by integer
+    // rank rule — the drop list before NN training
+    "x_emb_outlier" -> ((s, d) =>
+      Similarity.embeddingOutliers(t(s, d, "embeddings"),
+          Seq("label"), "vec_id", col("embedding"), dims = 64,
+          outlierFrac = 0.05)
+        .orderBy(col("label"), col("vec_id"))),
+
     "x_centroids" -> ((s, d) =>
       Similarity.centroidsByKey(t(s, d, "embeddings"), Seq(col("label")),
           col("embedding"), dims = 64)
@@ -1758,6 +1767,27 @@ object QueriesOps {
     // replays the fixed-point centroid arithmetic: per-element
     // floor(x*2^24 + 0.5) BIGINT sums per (label, dim), then the two
     // exact IEEE divisions — order-independent on both engines
+    // centroid replay (the x_centroids fixed-point recipe) rebuilt
+    // into per-label arrays, l2 via list_distance (the proven
+    // parity), integer rank rule for the flag
+    "x_emb_outlier" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |f AS (SELECT label, CAST(r.range AS INT) AS dim,
+        |    CAST(floor(v[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
+        |  FROM e CROSS JOIN range(0, 64) r),
+        |cd AS (SELECT label, dim,
+        |    (CAST(sum(fx) AS DOUBLE) / 16777216.0) / CAST(count(*) AS DOUBLE) AS cv
+        |  FROM f GROUP BY label, dim),
+        |c AS (SELECT label, list(cv ORDER BY dim) AS centroid FROM cd GROUP BY label),
+        |d AS (SELECT e.label, e.vec_id, list_distance(e.v, c.centroid) AS dist
+        |  FROM e JOIN c USING (label)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |      ORDER BY dist DESC, vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS n
+        |  FROM d)
+        |SELECT label, vec_id, dist, rn <= floor(0.05 * n) AS is_outlier
+        |FROM r ORDER BY label, vec_id""".stripMargin,
+
     "x_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |f AS (SELECT label, CAST(r.range AS INT) AS dim,

@@ -646,6 +646,40 @@ object Similarity {
         graft.functions.Exact.davg(col("__cos")).as("coherence"))
   }
 
+  /** Per-stratum embedding outliers — the curation read that drops
+    * mis-embedded / off-distribution vectors before they poison
+    * nearest-neighbor training data: distance to the OWN stratum's
+    * fixed-point centroid ([[centroidsByKey]] — bit-identical under
+    * any partitioning), then the `outlierFrac` most distant rows per
+    * stratum flagged by an integer rank rule (row_number ≤
+    * floor(outlierFrac·n) under the total order (dist desc, id)) — no
+    * quantile interpolation, so the flag is engine-exact. ONE centroid
+    * partial agg + broadcast join + one stratum-partitioned window.
+    * Output: input keys + (id, dist, is_outlier). */
+  def embeddingOutliers(df: DataFrame, keys: Seq[String], id: String,
+                        vec: Column, dims: Int,
+                        outlierFrac: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(outlierFrac > 0 && outlierFrac < 1,
+      s"embeddingOutliers: outlierFrac must be in (0,1) (got $outlierFrac)")
+    val cents = centroidsByKey(df, keys.map(col), vec, dims)
+      .select(keys.map(col) :+ col("centroid"): _*)
+    val fr = keys.zipWithIndex.foldLeft(cents) {
+      case (f, (k, i)) => f.withColumnRenamed(k, s"__ck$i") }
+    val cond = keys.zipWithIndex.map { case (k, i) =>
+      col(k) <=> col(s"__ck$i") }.reduce(_ && _)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val joined = df.join(broadcast(fr), cond)
+      .withColumn("dist", l2(vec.cast("array<double>"), col("centroid")))
+    joined
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("dist").desc, col(id).asc)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("is_outlier",
+        col("__rn") <= floor(lit(outlierFrac) * col("__n")))
+      .select(keys.map(col) ++ Seq(col(id), col("dist"), col("is_outlier")): _*)
+  }
+
   /** Order-invariant engine-exact sum of an array<double>'s elements
     * via the fixed-point recipe [[centroidsByKey]] already proves out:
     * floor(x·2^40 + 0.5) is identical in every engine on identical

@@ -944,6 +944,24 @@ class OpsSpec extends SparkTestBase {
     assert(loose.map(_.getDouble(2)).toSeq == Seq(2.0, 9.0, 9.0))
   }
 
+  test("embeddingOutliers flags the farthest frac per stratum, integer rank rule") {
+    import spark.implicits._
+    // stratum g: 20 vectors near (1,0), one far at (-1,0) -> with
+    // frac 0.05 exactly floor(0.05*21)=1 flagged, and it's the far one
+    val vecs = ((1 to 20).map(i => (i.toLong, "g", Seq(1.0, i / 1000.0))) :+
+      (99L, "g", Seq(-1.0, 0.0))).toDF("vec_id", "label", "embedding")
+    val out = Similarity.embeddingOutliers(vecs, Seq("label"), "vec_id",
+        col("embedding"), dims = 2, outlierFrac = 0.05)
+      .collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.length == 1 && flagged.head.getAs[Long]("vec_id") == 99L)
+    // partitioning-invariant (fixed-point centroid)
+    val rep = Similarity.embeddingOutliers(vecs.repartition(7), Seq("label"),
+        "vec_id", col("embedding"), dims = 2, outlierFrac = 0.05)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toSet
+    assert(rep == out.map(r => (r.getLong(1), r.getBoolean(3))).toSet)
+  }
+
   test("selectToQuotas: per-stratum greedy prefix under the allocator's caps") {
     import spark.implicits._
     // stratum a: docs 3+3+3 tokens under quota 7 -> keep first two

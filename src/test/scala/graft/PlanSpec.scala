@@ -632,7 +632,10 @@ class PlanSpec extends SparkTestBase {
       "x_lgbatch" -> "bucket-count offset table",
       // water level from window algebra over the stratum-grain totals
       // (K rows — the forcats level-table argument)
-      "x_waterfill" -> "stratum-grain totals table")
+      "x_waterfill" -> "stratum-grain totals table",
+      // embeds the waterfill quota subplan; the selection window
+      // itself is stratum-partitioned
+      "x_quota_select" -> "stratum-grain totals table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val offenders = qs.flatMap { case (name, fn) =>
       try {
