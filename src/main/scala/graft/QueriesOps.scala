@@ -1410,6 +1410,13 @@ object QueriesOps {
       EventStreams.windowedAgg(events(s, d), "1 hour")
         .orderBy(col("wstart"), col("event_type"))),
 
+    // per-user hourly rate limit (batch twin of the stateful stream
+    // form): admission by event-time rank — retry-safe throttling
+    "s_ratelimit" -> ((s, d) =>
+      EventStreams.rateLimitBatch(events(s, d), n = 5, windowMinutes = 60)
+        .select("event_id", "user_id", "window_start", "admitted")
+        .orderBy(col("event_id"))),
+
     // sliding windows (2h length / 1h slide): every event contributes
     // to exactly two hour-aligned windows; the oracle replays the
     // window assignment by unnesting both starts per event
@@ -4325,6 +4332,13 @@ s"""WITH lines AS (
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // event-time rank within (user, hour window), first 5 admitted
+    "s_ratelimit" ->
+      """SELECT event_id, user_id, date_trunc('hour', ts) AS window_start,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id) <= 5 AS admitted
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // 2h/1h sliding windows: an event at t is in the windows starting
     // at trunc_hour(t) and trunc_hour(t)-1h (hour-aligned, len 2h)

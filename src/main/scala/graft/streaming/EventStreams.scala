@@ -106,6 +106,68 @@ object EventStreams {
       }
   }
 
+  // ---- per-user rate limiter ---------------------------------------------
+  /** Dual-mode per-user rate limiter: admit at most `n` events per
+    * user per tumbling event-time window — retry-safe throttling for
+    * event ingestion (a replayed feed admits the identical set,
+    * because admission is by EVENT-TIME rank (ts, event_id) within
+    * the (user, window) group, never arrival order). Batch form: one
+    * (user, window)-partitioned rank window — user-window groups are
+    * bounded, nothing global. Output: input + (window_start,
+    * admitted). */
+  def rateLimitBatch(events: DataFrame, n: Int,
+                     windowMinutes: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"rateLimitBatch: n must be >= 1 (got $n)")
+    val w = Window.partitionBy(col("user_id"), col("window_start"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("window_start",
+        window(col("ts"), s"$windowMinutes minutes").getField("start"))
+      .withColumn("admitted", row_number().over(w) <= n)
+  }
+
+  case class RLEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class RLVerdict(event_id: Long, user_id: Long,
+                       window_start: java.sql.Timestamp, admitted: Boolean)
+
+  /** Streaming form: per-(user, window) admission counter in
+    * flatMapGroupsWithState, events ranked by event time WITHIN each
+    * microbatch and counted cumulatively across batches; state for a
+    * window is dropped once the watermark passes its end
+    * (EventTimeTimeout). Equals [[rateLimitBatch]] whenever a
+    * window's events arrive within the watermark horizon — the
+    * cross-microbatch equivalence the spec replays; a straggler past
+    * an exhausted quota is rejected in both modes, the standard
+    * streaming caveat being only WHICH n win under extreme
+    * reordering. */
+  def rateLimitStream(events: Dataset[RLEvent], n: Int,
+                      windowMinutes: Int = 60): Dataset[RLVerdict] = {
+    import events.sparkSession.implicits._
+    val winMs = windowMinutes * 60000L
+    val src =
+      if (events.isStreaming)
+        events.withWatermark("ts", s"$windowMinutes minutes")
+      else events
+    src.groupByKey(e => (e.user_id, e.ts.getTime / winMs * winMs))
+      .flatMapGroupsWithState[Long, RLVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((userId, winStart), it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var used = state.getOption.getOrElse(0L)
+            val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+              used += 1
+              RLVerdict(e.event_id, userId,
+                new java.sql.Timestamp(winStart), used <= n)
+            }
+            state.update(used)
+            state.setTimeoutTimestamp(winStart + winMs)
+            out.iterator
+          }
+      }
+  }
+
   // ---- stream-stream interval join ---------------------------------------
   /** Stream-stream (or batch-batch: same plan logic) interval join:
     * each left event paired with the same user's right events inside

@@ -46,6 +46,40 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("rateLimitStream admits first-n per (user, window) and matches the batch twin") {
+    import graft.streaming.EventStreams.{RLEvent, RLVerdict}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[RLEvent]
+    val verdicts = EventStreams.rateLimitStream(input.toDS(), n = 2,
+      windowMinutes = 60)
+    val query = verdicts.writeStream.format("memory")
+      .queryName("rl_out").outputMode("append").start()
+    try {
+      // user 1: three events in one hour window across TWO microbatches
+      // (cumulative count must carry); user 2 independent
+      input.addData(RLEvent(1L, ts(1), 1L), RLEvent(2L, ts(2), 1L),
+        RLEvent(10L, ts(3), 2L))
+      query.processAllAvailable()
+      input.addData(RLEvent(3L, ts(4), 1L), // over quota
+        RLEvent(4L, ts(65), 1L))            // next window: quota resets
+      query.processAllAvailable()
+      val out = s.table("rl_out").as[RLVerdict].collect()
+        .map(v => v.event_id -> v.admitted).toMap
+      assert(out == Map(1L -> true, 2L -> true, 10L -> true,
+        3L -> false, 4L -> true))
+      // batch twin adjudicates identically on the replayed feed
+      val batch = EventStreams.rateLimitBatch(
+        Seq((1L, ts(1), 1L), (2L, ts(2), 1L), (10L, ts(3), 2L),
+          (3L, ts(4), 1L), (4L, ts(65), 1L))
+          .toDF("event_id", "ts", "user_id"), n = 2, windowMinutes = 60)
+        .collect().map(r =>
+          r.getAs[Long]("event_id") -> r.getAs[Boolean]("admitted")).toMap
+      assert(batch == out)
+    } finally query.stop()
+  }
+
   test("windowedAgg batch matches a hand-computed hourly rollup") {
     val events = sqlDf(
       "event_type" -> Seq("a", "a", "b"),
