@@ -59,6 +59,17 @@ object QueriesForcats {
         .groupBy("s_name").agg(count(lit(1)).as("n"))
         .orderBy(col("s_name"))),
 
+    // numeric-aware level order (fct_inseq): numeric strings sort as
+    // numbers, non-numeric levels append lexicographically last
+    "f_fct_inseq" -> ((s, d) =>
+      Forcats.fctInseq(
+        t(s, d, "nation").select(
+          when(col("n_nationkey") < 20, col("n_nationkey").cast("string"))
+            .otherwise(concat(lit("x"), col("n_nationkey").cast("string")))
+            .as("key_str")),
+        "key_str")
+        .orderBy(col("ord"))),
+
     "f_fct_relevel" -> ((s, d) =>
       Forcats.fctRelevel(
         Forcats.levelsInseq(t(s, d, "customer"), "c_mktsegment"),
@@ -194,6 +205,16 @@ object QueriesForcats {
         |SELECT c_mktsegment, appear_ord, CAST(set_ord AS INT) AS set_ord
         |FROM apprn JOIN explicit USING (c_mktsegment)
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "f_fct_inseq" ->
+      """WITH k AS (SELECT DISTINCT CASE WHEN n_nationkey < 20
+        |    THEN CAST(n_nationkey AS VARCHAR)
+        |    ELSE 'x' || CAST(n_nationkey AS VARCHAR) END AS key_str
+        |  FROM nation)
+        |SELECT key_str, CAST(row_number() OVER (ORDER BY
+        |    CASE WHEN TRY_CAST(key_str AS DOUBLE) IS NULL THEN 1 ELSE 0 END,
+        |    TRY_CAST(key_str AS DOUBLE), key_str) AS INT) AS ord
+        |FROM k ORDER BY ord""".stripMargin,
 
     "f_fct_relevel" ->
       """WITH base AS (SELECT c_mktsegment,

@@ -313,6 +313,33 @@ object Forcats {
       .withColumn("ord", row_number().over(Window.orderBy(col("__k"), col(f))))
       .select(col(f), col("ord"))
 
+  /** fct_inseq: numeric-aware level order — levels that parse as
+    * numbers sort numerically, the rest append lexicographically
+    * (forcats puts non-numeric levels last). */
+  def fctInseq(df: DataFrame, f: String): DataFrame = {
+    // try_cast, not cast: ANSI sessions throw on non-numeric levels
+    val num = expr(s"try_cast(`$f` AS DOUBLE)")
+    df.select(col(f)).distinct()
+      .withColumn("ord", row_number().over(
+        Window.orderBy(num.isNull.cast("int"), num, col(f))))
+  }
+
+  /** lvls_reorder: explicit permutation of a level table — `idx(k)` is
+    * the CURRENT ord of the level that becomes ord k+1 (forcats'
+    * positional contract). */
+  def lvlsReorder(levels: DataFrame, f: String, idx: Seq[Int]): DataFrame = {
+    require(idx.sorted == (1 to idx.length),
+      s"lvlsReorder: idx must be a permutation of 1..${idx.length} (got $idx)")
+    val newOrd = idx.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (oldOrd, k)) => when(col("ord") === oldOrd, k + 1).otherwise(acc)
+    }
+    levels.withColumn("ord", newOrd)
+  }
+
+  /** lvls_expand — alias of [[fctExpand]] (same contract). */
+  def lvlsExpand(levels: DataFrame, f: String, extra: Seq[String]): DataFrame =
+    fctExpand(levels, f, extra)
+
   // ---- constructor surface (reference api/base/factor.py) ---------------
   /** as_factor on a character column: forcats' rule is levels in order
     * of first appearance, which needs an explicit row order on an

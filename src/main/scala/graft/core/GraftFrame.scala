@@ -68,6 +68,12 @@ final class GraftFrame private (
         count(lit(1)).as("size"))
   }
 
+  /** group_by_drop_default (reference api/dplyr/group_by.py): Spark
+    * groups are data-derived, so unused factor levels never produce
+    * rows — the drop default is TRUE and not configurable here; keep
+    * empty levels explicitly via Tidyr.complete over a level table. */
+  def groupByDropDefault: Boolean = true
+
   /** cur_group(): the current group's key values as one struct column
     * (reference api/dplyr/context.py:cur_group returns a 1-row frame;
     * a struct is the Spark-native shape — getField unpacks it). */

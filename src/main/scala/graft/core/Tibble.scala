@@ -130,6 +130,9 @@ object Tibble {
   /** tibble_row: a one-row tibble (every value scalar). */
   def tibbleRow(spark: SparkSession, values: (String, Any)*): DataFrame =
     of(spark, values.map { case (n, v) => n -> Seq(v) }: _*)
+  /** as_tibble: a Spark DataFrame IS the tibble — identity, named for
+    * surface parity with reference tibble.py. */
+  def asTibble(df: DataFrame): DataFrame = df
 
   /** base::diag(n) — the n×n identity as a tibble (rowid, v1..vn).
     * Matrix verbs are small-frame by contract (like transpose); rows

@@ -159,6 +159,11 @@ object BaseFns {
     * inverse-CDF construction over [[binomCdf]]. */
   def rbinomCol(u: Column, n: Int, prob: Double): Column =
     cdfChain(u, binomCdf(n, prob), n)
+  /** dplyr first/last with an explicit order (datar first2/last2):
+    * min_by/max_by aggregates — order-independent of row layout. */
+  def first2(x: Column, order: Column): Column = min_by(x, order)
+  def last2(x: Column, order: Column): Column = max_by(x, order)
+
   /** Inverse hyperbolics (base::asinh/acosh/atanh — Spark builtins). */
   def asinhOf(x: Column): Column = asinh(x)
   def acoshOf(x: Column): Column = acosh(x)

@@ -333,6 +333,16 @@ class DplyrSpec extends SparkTestBase {
     assert(!g.groupBy("a").isRowwise && !g.ungroup.isRowwise)
   }
 
+  test("surface-parity one-liners: first2/last2, as_tibble, group_by_drop_default") {
+    val df = sqlDf("k" -> Seq(1, 2, 3), "v" -> Seq(30.0, 10.0, 20.0))
+    val r = df.agg(
+      graft.functions.BaseFns.first2(col("v"), col("k")).as("f"),
+      graft.functions.BaseFns.last2(col("v"), col("k")).as("l")).head()
+    assert(r.getDouble(0) == 30.0 && r.getDouble(1) == 20.0)
+    assert(Tibble.asTibble(df) eq df)
+    assert(df.graft.groupBy("k").groupByDropDefault)
+  }
+
   test("acrossCur passes the current column name to the lambda (cur_column)") {
     val df = sqlDf("aa" -> Seq(1.0), "b" -> Seq(10.0))
     val out = df.graft.acrossCur(TidySelect.cols("aa", "b"),

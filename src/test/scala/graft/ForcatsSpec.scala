@@ -67,6 +67,23 @@ class ForcatsSpec extends SparkTestBase {
       Seq(Seq("(Missing)"), Seq("a")))
   }
 
+  test("fct_inseq numeric-aware order; lvls_reorder permutation; lvls_expand alias") {
+    import org.apache.spark.sql.functions.col
+    val df = sqlDf("f" -> Seq("10", "2", "b", "a", "2"))
+    // numeric strings numerically first, then non-numeric lexicographic
+    assertRows(Forcats.fctInseq(df, "f").orderBy("ord"),
+      Seq(Seq("2", 1), Seq("10", 2), Seq("a", 3), Seq("b", 4)))
+    val levels = Forcats.setLevels(spark, "f", Seq("a", "b", "c"))
+    // idx(k) = current ord of the level that becomes ord k+1
+    assertRows(Forcats.lvlsReorder(levels, "f", Seq(3, 1, 2)).orderBy("ord"),
+      Seq(Seq("c", 1), Seq("a", 2), Seq("b", 3)))
+    intercept[IllegalArgumentException] {
+      Forcats.lvlsReorder(levels, "f", Seq(1, 1, 2)) // not a permutation
+    }
+    assertRows(Forcats.lvlsExpand(levels, "f", Seq("z")).orderBy("ord"),
+      Seq(Seq("a", 1), Seq("b", 2), Seq("c", 3), Seq("z", 4)))
+  }
+
   test("as_factor / as_ordered / set_levels / is_factor ctor surface") {
     import org.apache.spark.sql.functions.col
     val df = sqlDf("f" -> Seq("b", "c", "b", "a"), "pos" -> Seq(1, 2, 3, 4))
