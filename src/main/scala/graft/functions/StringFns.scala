@@ -53,4 +53,28 @@ object StringFns {
     translate(x, from, to)
   def strtoi(x: Column, base: Int = 10): Column =
     if (base == 10) x.cast("long") else conv(x, base, 10).cast("long")
+
+  /** base::make.names — syntactically-valid column names (reference
+    * api/base/verbs.py make_names): non-alphanumeric runs → ".", a
+    * leading digit/dot-digit gets an "X" prefix, empties become "X".
+    * Driver-side by nature (names are schema metadata). */
+  def makeNames(names: Seq[String]): Seq[String] = names.map { n =>
+    val cleaned = n.replaceAll("[^A-Za-z0-9._]", ".")
+    if (cleaned.isEmpty || cleaned.head.isDigit ||
+      (cleaned.head == '.' && cleaned.length > 1 && cleaned(1).isDigit))
+      "X" + cleaned
+    else cleaned
+  }
+
+  /** base::make.unique — append .1, .2, ... to later duplicates
+    * (first occurrence keeps its name, R's convention). */
+  def makeUnique(names: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    names.map { n =>
+      seen.get(n) match {
+        case None => seen(n) = 0; n
+        case Some(k) => seen(n) = k + 1; s"$n.${k + 1}"
+      }
+    }
+  }
 }

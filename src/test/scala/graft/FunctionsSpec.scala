@@ -157,6 +157,14 @@ class FunctionsSpec extends SparkTestBase {
     assertRows(out, Seq(Seq("A"), Seq("B"), Seq("z")))
   }
 
+  test("make_names / make_unique follow the R conventions") {
+    import graft.functions.StringFns
+    assert(StringFns.makeNames(Seq("a b", "1x", ".2y", "ok.name", "")) ==
+      Seq("a.b", "X1x", "X.2y", "ok.name", "X"))
+    assert(StringFns.makeUnique(Seq("a", "b", "a", "a", "b")) ==
+      Seq("a", "b", "a.1", "a.2", "b.1"))
+  }
+
   test("dtype predicates read the schema; is_true/is_false are null-safe") {
     import org.apache.spark.sql.functions._
     import graft.functions.TypeFns
