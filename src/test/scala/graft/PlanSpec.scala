@@ -608,7 +608,7 @@ class PlanSpec extends SparkTestBase {
       "f_fct_relevel" -> "level table", "f_fct_other" -> "level table",
       "f_fct_na" -> "level table", "f_fct_recode" -> "level table",
       "f_fct_relabel" -> "level table", "f_fct_anon" -> "level table",
-      "f_fct_asfactor" -> "level table",
+      "f_fct_asfactor" -> "level table", "f_fct_inseq" -> "level table",
       // deterministic IVF: row_number ranks the nLists-row CENTROID
       // table (broadcast-sized by the nLists<=65536 guard)
       "x_ann_ivf" -> "centroid table", "x_ann_recall_ivf" -> "centroid table",
