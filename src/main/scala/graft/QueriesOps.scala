@@ -1084,6 +1084,16 @@ object QueriesOps {
           Seq("c_mktsegment", "c_nationkey"), k = 10)
         .orderBy(col("class_size"))),
 
+    // l-diversity of account-balance sign within the same quasi-id
+    // classes — k-anonymity's necessary complement (a uniform class
+    // leaks its sensitive value no matter how large)
+    "x_ldiv" -> ((s, d) =>
+      Profiling.lDiversity(
+          t(s, d, "customer").withColumn("bal_sign",
+            when(col("c_acctbal") < 0, "neg").otherwise("nonneg")),
+          Seq("c_mktsegment", "c_nationkey"), "bal_sign", l = 2)
+        .orderBy(col("diversity"))),
+
     // pairwise JS divergence between per-language token
     // distributions (top-64 vocab + OOV bucket, add-one smoothing):
     // one tokenize scan, everything after is (langs x 65)-sized
@@ -2858,6 +2868,29 @@ object QueriesOps {
         |  CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
         |  CAST(rows_at_risk AS DOUBLE) / CAST(n AS DOUBLE) AS risk_share
         |FROM h CROSS JOIN t ORDER BY class_size""".stripMargin,
+
+    "x_ldiv" ->
+      """WITH v AS (SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign
+        |  FROM customer),
+        |sv AS (SELECT c_mktsegment, c_nationkey, bal_sign, count(*) AS rws
+        |  FROM v GROUP BY 1, 2, 3),
+        |cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS lv, sum(rws) AS sz
+        |  FROM sv GROUP BY 1, 2),
+        |h AS (SELECT lv AS diversity, count(*) AS n_classes,
+        |    sum(sz) AS n_rows, lv < 2 AS at_risk
+        |  FROM cls GROUP BY lv),
+        |t AS (SELECT min(diversity) AS l_diversity,
+        |    sum(CASE WHEN at_risk THEN n_rows ELSE 0 END) AS rows_at_risk,
+        |    sum(n_rows) AS n
+        |  FROM h)
+        |SELECT CAST(diversity AS BIGINT) AS diversity,
+        |  CAST(n_classes AS BIGINT) AS n_classes,
+        |  CAST(n_rows AS BIGINT) AS n_rows, at_risk,
+        |  CAST(l_diversity AS BIGINT) AS l_diversity,
+        |  CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
+        |  CAST(rows_at_risk AS DOUBLE) / CAST(n AS DOUBLE) AS risk_share
+        |FROM h CROSS JOIN t ORDER BY diversity""".stripMargin,
 
     // JS-divergence replay: top-64 vocab (count desc, token asc),
     // OOV pooling, add-one smoothing over the observed support,

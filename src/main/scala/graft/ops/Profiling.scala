@@ -432,6 +432,37 @@ object Profiling {
       .drop("__n")
   }
 
+  /** l-diversity profile (Machanavajjhala et al. 2007) — k-anonymity's
+    * necessary complement: a class of 50 identical quasi-id rows is
+    * 50-anonymous yet leaks the sensitive attribute completely if all
+    * 50 share one value. Per quasi-id equivalence class, the number of
+    * DISTINCT sensitive values; output is the class-diversity
+    * histogram plus the headline min (the corpus's l) and the share of
+    * rows in classes below `l`. Shape mirrors [[kAnonymity]]: one
+    * (quasi-ids, sensitive) partial agg → class-grain re-agg →
+    * histogram — everything after the first agg is class-sized. */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+                 l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "lDiversity: need at least one quasi-identifier")
+    require(l >= 1, s"lDiversity: l must be >= 1 (got $l)")
+    val classes = df
+      .groupBy((quasiIds :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__rows"))
+      .groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__l"), sum(col("__rows")).as("__sz"))
+    val hist = classes.groupBy(col("__l").as("diversity"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__sz")).as("n_rows"))
+      .withColumn("at_risk", col("diversity") < lit(l))
+    val totals = hist.agg(
+      min(col("diversity")).as("l_diversity"),
+      sum(when(col("at_risk"), col("n_rows")).otherwise(lit(0L))).as("rows_at_risk"),
+      sum(col("n_rows")).as("__n"))
+    hist.crossJoin(broadcast(totals))
+      .withColumn("risk_share",
+        col("rows_at_risk").cast("double") / col("__n").cast("double"))
+      .drop("__n")
+  }
+
   /** One-pass Poisson bootstrap (Chamandy et al. 2012, "Estimating
     * uncertainty for massive data streams"): B resampled estimates of
     * a mean statistic from ONE scan. Classic bootstrap resamples the

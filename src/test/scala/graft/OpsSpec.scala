@@ -927,6 +927,22 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("lDiversity: uniform classes flagged regardless of size") {
+    import spark.implicits._
+    // class (a): 4 rows, all sensitive 's1' -> diversity 1 (at risk
+    // for l=2 despite being the LARGEST class); class (b): 2 rows,
+    // 2 distinct values -> diversity 2
+    val df = Seq(("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s1"),
+      ("b", "s1"), ("b", "s2")).toDF("q", "sens")
+    val out = Profiling.lDiversity(df, Seq("q"), "sens", l = 2)
+      .orderBy("diversity").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq == Seq((1L, 1L, 4L, true), (2L, 1L, 2L, false)))
+    assert(out.head.getAs[Long]("l_diversity") == 1L)
+    assert(out.head.getAs[Long]("rows_at_risk") == 4L)
+    assert(out.head.getAs[Double]("risk_share") == 4.0 / 6.0)
+  }
+
   test("waterFillQuotas: hand-computed water level, exhaustion, under-budget") {
     import spark.implicits._
     // totals a=2, b=9, c=9; budget 10 -> lambda=4, quotas [2, 4, 4]

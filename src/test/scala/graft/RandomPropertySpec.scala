@@ -142,6 +142,29 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("waterFillQuotas invariants hold on random allocations") {
+    import spark.implicits._
+    for (seed <- Seq(5, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val strata = Seq.tabulate(1 + rnd.nextInt(12))(i =>
+        (s"s$i", 1L + rnd.nextInt(500).toLong))
+      val rows = strata.flatMap { case (s0, t0) => (1L to t0).map(_ => (s0, 1L)) }
+      val total = strata.map(_._2).sum
+      val budget = 1.0 + rnd.nextInt(2 * total.toInt)
+      val out = Sampling.waterFillQuotas(rows.toDF("src", "tok"),
+          col("src"), col("tok"), budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // quota never exceeds the stratum total; sum exhausts the
+      // smaller of budget and corpus; capped strata share one level
+      assert(out.forall { case (_, t, q) => q <= t + 1e-9 })
+      assert(math.abs(out.map(_._3).sum - math.min(budget, total.toDouble)) < 1e-6,
+        s"seed=$seed: sum=${out.map(_._3).sum} budget=$budget total=$total")
+      val capped = out.filter { case (_, t, q) => q < t - 1e-9 }.map(_._3)
+      assert(capped.distinct.length <= 1,
+        s"seed=$seed: capped strata at different levels: ${capped.toSeq}")
+    }
+  }
+
   test("normalizeText is idempotent on random dirty strings") {
     import spark.implicits._
     val rnd = new scala.util.Random(202)
