@@ -653,6 +653,20 @@ object QueriesOps {
     // posexplode — the shuffle carries fixed-size buffers, not
     // dims x rows); fixed-point Long sums make the mean bit-identical
     // under any partitioning and exactly replayable by the oracle
+    // semantic decontamination: corpus vectors within 0.999 cosine of
+    // a benchmark vector (vec_id < 5 as the held-out set) — catches
+    // the paraphrase leak the 13-gram test misses; broadcast bench,
+    // one corpus scan, per-row argmax (no shuffle, no window)
+    "x_contam_sem" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Contamination.decontaminateSemantic(
+          e.filter(col("vec_id") >= 5), "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          threshold = 0.999)
+        .withColumn("best_cos", round(col("best_cos"), 4))
+        .orderBy(col("vec_id"))
+    }),
+
     // per-label embedding outliers: distance to the own stratum's
     // fixed-point centroid, top-5% most distant flagged by integer
     // rank rule — the drop list before NN training
@@ -1784,6 +1798,21 @@ object QueriesOps {
     // replays the fixed-point centroid arithmetic: per-element
     // floor(x*2^24 + 0.5) BIGINT sums per (label, dim), then the two
     // exact IEEE divisions — order-independent on both engines
+    // quadratic cosine replay, argmax by (cos desc, bench id asc),
+    // flag on the RAW cosine (rounding only in the projection)
+    "x_contam_sem" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bn AS (SELECT vec_id AS bid, v FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |s AS (SELECT c.vec_id, bn.bid,
+        |    list_cosine_similarity(c.v, bn.v) AS cos
+        |  FROM c CROSS JOIN bn),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, bid ASC) AS rn FROM s)
+        |SELECT vec_id, bid AS best_bench_id, round(cos, 4) AS best_cos,
+        |  cos >= 0.999 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     // centroid replay (the x_centroids fixed-point recipe) rebuilt
     // into per-label arrays, l2 via list_distance (the proven
     // parity), integer rank rule for the flag

@@ -927,6 +927,24 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("decontaminateSemantic flags near-paraphrases, argmax tie to lowest bench id") {
+    import spark.implicits._
+    val bench = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("bid", "bv")
+    val corpus = Seq(
+      (10L, Seq(0.999, 0.04)),  // ~bench 1: contaminated
+      (11L, Seq(0.5, 0.5)),     // equidistant: clean, tie -> bench 1
+      (12L, Seq(-1.0, 0.0)))    // far from both: clean
+      .toDF("vec_id", "embedding")
+    val out = Contamination.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench, "bid", "bv", threshold = 0.99)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ==
+      Seq(true, false, false))
+    assert(out(0).getAs[Long]("best_bench_id") == 1L)
+    assert(out(1).getAs[Long]("best_bench_id") == 1L) // tie -> lowest id
+  }
+
   test("lDiversity: uniform classes flagged regardless of size") {
     import spark.implicits._
     // class (a): 4 rows, all sensitive 's1' -> diversity 1 (at risk
