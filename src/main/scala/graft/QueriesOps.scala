@@ -987,6 +987,15 @@ object QueriesOps {
           col("source"), col("n_chars"), budget = 100000.0)
         .orderBy(col("stratum"))),
 
+    // deterministic training shards + audit manifest: fixed-row cut
+    // along the doc_id order, per-shard counts/span and an order-
+    // sensitive content digest a re-run compares shard-for-shard
+    "x_shards" -> ((s, d) =>
+      Packing.shardManifest(t(s, d, "documents"),
+          col("doc_id"), col("n_chars"), Seq(col("doc_id").asc),
+          shardRows = 64L)
+        .orderBy(col("shard_id"))),
+
     // allocation materialized: per-source greedy prefix cut (longest
     // docs first) under the water-fill quotas — broadcast quota table,
     // stratum-partitioned running total
@@ -3035,6 +3044,19 @@ object QueriesOps {
         |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
         |FROM f ORDER BY lang""".stripMargin
     },
+
+    // fixed-row shard cut + ORDER-SENSITIVE digest (string_agg in rid
+    // order == the engine's sort_array concat)
+    "x_shards" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) AS rid
+        |  FROM documents)
+        |SELECT CAST((rid - 1) // 64 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |  md5(string_agg(doc_id || ':' || n_chars, ',' ORDER BY rid)) AS digest
+        |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // water-fill quotas (same algebra as x_waterfill) + the per-source
     // greedy prefix cut

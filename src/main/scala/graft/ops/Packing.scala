@@ -94,4 +94,39 @@ object Packing {
       .withColumn("bucket", col("__lb"))
       .drop("__lb", "__ok", "__rid", "__wr")
   }
+
+  /** Deterministic training-shard assignment + audit manifest — the
+    * last mile of the pipeline: the final mix is laid along a declared
+    * total order, cut into fixed-row shards (shard_id = (rowid−1) /
+    * shardRows), and each shard gets a manifest row with its row
+    * count, token total, id span, and an ORDER-SENSITIVE md5 content
+    * digest — the byte a resumed/re-run pipeline compares to prove it
+    * rebuilt the identical shard. Writing the rows themselves is
+    * `Sources.writePartitioned(assignment, path, Seq("shard_id"))`.
+    *
+    * Shape: the rowid comes from the distributed sort; manifests are
+    * shard-grain (bounded groups — shardRows each): the digest md5s
+    * the "id:token" stream in shard order via a per-shard sort_array
+    * over (pos, id, tokens) structs — shard-sized arrays by
+    * construction. Output: (shard_id, n_rows, n_tokens, first_id,
+    * last_id, digest). */
+  def shardManifest(df: DataFrame, id: Column, tokens: Column,
+                    order: Seq[Column], shardRows: Long): DataFrame = {
+    require(shardRows >= 1, s"shardManifest: shardRows must be >= 1")
+    val ranked = graft.core.Tibble.rowidToColumn(df, order, "__rid")
+      .select(col("__rid"), id.as("__id"), tokens.cast("long").as("__tok"))
+    ranked
+      .withColumn("shard_id", ((col("__rid") - 1L) / shardRows).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__id")).as("first_id"),
+        max(col("__id")).as("last_id"),
+        md5(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("__rid").as("p"),
+              col("__id").as("i"), col("__tok").as("t")))),
+            e => concat_ws(":", e.getField("i"), e.getField("t")))))
+          .as("digest"))
+  }
 }

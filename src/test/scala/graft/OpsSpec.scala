@@ -927,6 +927,29 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("shardManifest: fixed-row cut, digest is order-sensitive + partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, i * 10L)).toDF("id", "tok")
+    val m = Packing.shardManifest(df, col("id"), col("tok"),
+        Seq(col("id").asc), shardRows = 4L)
+      .orderBy("shard_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4L, 100L), (1L, 4L, 260L), (2L, 2L, 190L)))
+    assert(m.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 4L), (5L, 8L), (9L, 10L)))
+    // repartitioning must reproduce the identical digests (the audit
+    // property a resumed pipeline depends on)
+    val m2 = Packing.shardManifest(df.repartition(7), col("id"), col("tok"),
+        Seq(col("id").asc), shardRows = 4L)
+      .orderBy("shard_id").collect()
+    assert(m.map(_.getString(5)).toSeq == m2.map(_.getString(5)).toSeq)
+    // a different order changes the digest (order-sensitivity)
+    val m3 = Packing.shardManifest(df, col("id"), col("tok"),
+        Seq(col("id").desc), shardRows = 4L)
+      .orderBy("shard_id").collect()
+    assert(m.map(_.getString(5)).toSeq != m3.map(_.getString(5)).toSeq)
+  }
+
   test("decontaminateSemantic flags near-paraphrases, argmax tie to lowest bench id") {
     import spark.implicits._
     val bench = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
