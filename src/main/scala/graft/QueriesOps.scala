@@ -987,6 +987,13 @@ object QueriesOps {
           col("source"), col("n_chars"), budget = 100000.0)
         .orderBy(col("stratum"))),
 
+    // dup-span REMEDIATION: rebuild docs with the corpus-duplicated
+    // spans cut out (the RefinedWeb step) — keep the doc, not drop it
+    "x_strip_spans" -> ((s, d) =>
+      TextAnalysis.stripDupSpans(t(s, d, "documents"), "doc_id", "text",
+          k = 20, minCount = 2)
+        .orderBy(col("doc_id"))),
+
     // deterministic training shards + audit manifest: fixed-row cut
     // along the doc_id order, per-shard counts/span and an order-
     // sensitive content digest a re-run compares shard-for-shard
@@ -3044,6 +3051,50 @@ object QueriesOps {
         |  sd AS boot_sd, m - 1.96 * sd AS ci_lo, m + 1.96 * sd AS ci_hi
         |FROM f ORDER BY lang""".stripMargin
     },
+
+    // the x_dup_spans chain re-used up to `spans`, then the gap/tail
+    // rebuild: keep the segment before each span + the tail after the
+    // last, string_agg in position order == the engine's HOF fold
+    "x_strip_spans" ->
+      """WITH s AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS ns FROM documents),
+        |g AS (SELECT doc_id, len(ns) AS n_chars,
+        |    CASE WHEN len(ns) < 20 THEN [substring(md5(ns), 1, 16)]
+        |    ELSE list_transform(range(1, len(ns) - 18),
+        |      i -> substring(md5(substring(ns, CAST(i AS INT), 20)), 1, 16)) END AS hs
+        |  FROM s WHERE len(ns) > 0),
+        |p AS (SELECT doc_id, n_chars, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM g),
+        |c AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+        |cov AS (SELECT doc_id, pos, least(pos + 19, n_chars) AS e
+        |  FROM p WHERE h IN (SELECT h FROM c)),
+        |m AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM cov),
+        |sp AS (SELECT doc_id, pos, e,
+        |    sum(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |  FROM m),
+        |spans AS (SELECT doc_id, min(pos) AS st, max(e) AS en FROM sp GROUP BY doc_id, sid),
+        |o AS (SELECT doc_id, st, en,
+        |    lag(en, 1, 0) OVER (PARTITION BY doc_id ORDER BY st) AS ple FROM spans),
+        |gaps AS (
+        |  SELECT o.doc_id,
+        |    substring(s.ns, CAST(o.ple + 1 AS INT), CAST(o.st - o.ple - 1 AS INT)) AS seg,
+        |    o.st AS ord
+        |  FROM o JOIN s USING (doc_id)
+        |  UNION ALL
+        |  SELECT t.doc_id,
+        |    substring(s.ns, CAST(t.men + 1 AS INT), CAST(len(s.ns) - t.men AS INT)) AS seg,
+        |    2147483647 AS ord
+        |  FROM (SELECT doc_id, max(en) AS men FROM spans GROUP BY doc_id) t
+        |  JOIN s USING (doc_id)),
+        |cl AS (SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean_text
+        |  FROM gaps GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.ns) AS BIGINT) AS n_chars,
+        |  coalesce(cl.clean_text, s.ns) AS clean_text,
+        |  CAST(len(coalesce(cl.clean_text, s.ns)) AS BIGINT) AS clean_chars,
+        |  CAST(len(s.ns) - len(coalesce(cl.clean_text, s.ns)) AS BIGINT) AS removed_chars
+        |FROM s LEFT JOIN cl USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     // fixed-row shard cut + ORDER-SENSITIVE digest (string_agg in rid
     // order == the engine's sort_array concat)

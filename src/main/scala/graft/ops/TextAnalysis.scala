@@ -866,6 +866,45 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Remediate [[dupSpans]] — the RefinedWeb/CCNet "remove duplicated
+    * spans" step: rebuild each document's normalized text with the
+    * corpus-duplicated spans CUT OUT, instead of dropping the whole
+    * document for a boilerplate header. Spans are disjoint and ≥ k
+    * chars, so a doc carries ≤ n/k of them — the per-doc span list is
+    * a bounded collect_list and the rebuild is one aggregate-HOF fold
+    * over the sorted spans (keep the gap before each span, then the
+    * tail) — a projection after the dupSpans topology. Docs with no
+    * duplicated span pass through unchanged.
+    * Output: (id, n_chars, clean_text, clean_chars, removed_chars). */
+  def stripDupSpans(df: DataFrame, id: String, text: String, k: Int = 20,
+                    minCount: Int = 2, stride: Int = 1): DataFrame = {
+    val norm = regexp_replace(lower(col(text)), "\\s+", " ")
+    val spans = dupSpans(df, id, text, k, minCount, stride)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__spans"))
+    df.select(col(id).as("doc_id"), norm.as("__ns"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("__res", aggregate(col("__spans"),
+        struct(lit(0).as("last"), lit("").as("acc")),
+        (st, sp) => struct(
+          sp.getField("e").as("last"),
+          concat(st.getField("acc"),
+            col("__ns").substr(st.getField("last") + 1,
+              sp.getField("s") - st.getField("last") - 1)).as("acc"))))
+      .withColumn("clean_text", concat(col("__res").getField("acc"),
+        col("__ns").substr(col("__res").getField("last") + 1,
+          length(col("__ns")) - col("__res").getField("last"))))
+      .select(col("doc_id").as(id),
+        length(col("__ns")).cast("long").as("n_chars"),
+        col("clean_text"),
+        length(col("clean_text")).cast("long").as("clean_chars"),
+        (length(col("__ns")) - length(col("clean_text"))).cast("long")
+          .as("removed_chars"))
+  }
+
   // ---- domain token-distribution divergence ------------------------------
   /** Pairwise Jensen–Shannon divergence between per-domain token
     * distributions — the "how different are these sources, really"

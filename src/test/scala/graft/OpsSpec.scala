@@ -927,6 +927,32 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).isNullAt(out(1).fieldIndex("key")) && out(1).getAs[Long]("cnt") == 2L)
   }
 
+  test("stripDupSpans cuts exactly the duplicated spans, clean docs pass through") {
+    import spark.implicits._
+    val boiler = "x" * 30 // shared 30-char block -> duplicated spans
+    val df = Seq(
+      (1L, s"alpha unique head $boiler beta tail one"),
+      (2L, s"gamma other prefix $boiler delta tail two"),
+      (3L, "completely unique document with no shared block at all"))
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.dupSpans(df, "doc_id", "text", k = 20)
+      .collect().groupBy(_.getLong(0))
+    val out = TextAnalysis.stripDupSpans(df, "doc_id", "text", k = 20)
+      .orderBy("doc_id").collect()
+    // removed_chars per doc == total span chars dupSpans reported
+    for (r <- out; id = r.getLong(0)) {
+      val expect = spans.get(id).map(_.map(_.getAs[Int]("span_len")).sum).getOrElse(0)
+      assert(r.getAs[Long]("removed_chars") == expect.toLong, s"doc $id")
+      assert(r.getAs[Long]("clean_chars") ==
+        r.getAs[Long]("n_chars") - r.getAs[Long]("removed_chars"))
+    }
+    // doc 3 untouched; docs 1/2 keep their unique head and tail text
+    assert(out(2).getAs[Long]("removed_chars") == 0L)
+    assert(out(0).getAs[String]("clean_text").startsWith("alpha unique head"))
+    assert(out(0).getAs[String]("clean_text").endsWith("tail one"))
+    assert(!out(0).getAs[String]("clean_text").contains("xxxxx"))
+  }
+
   test("shardManifest: fixed-row cut, digest is order-sensitive + partition-invariant") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, i * 10L)).toDF("id", "tok")
