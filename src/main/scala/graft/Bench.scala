@@ -21,7 +21,7 @@ object Bench {
     // the round-14 corpus-shuffle families + PQ retrieval, so their
     // growth factors stop being invisible
     "x_subword", "x_zipf", "x_novelty", "x_js_div", "x_bigram_lm", "x_pq",
-    "x_cdc", "x_dedup_incr", "x_bpe_train",
+    "x_cdc", "x_dedup_incr", "x_bpe_train", "x_strip_spans",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -86,7 +86,8 @@ object Bench {
     // outside min-of-N) and the corpus-shuffle text/vector families
     // whose sf1 growth was unmeasured through r10
     "x_bm25_indexed", "x_subword", "x_zipf", "x_novelty", "x_js_div",
-    "x_bigram_lm", "x_pq", "x_cdc", "x_dedup_incr", "x_bpe_train")
+    "x_bigram_lm", "x_pq", "x_cdc", "x_dedup_incr", "x_bpe_train",
+    "x_strip_spans")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
