@@ -1551,7 +1551,18 @@ object QueriesOps {
           dims = 64, m = 4, ksub = 8, iters = 1,
           queryDf = queryFrame(s, d), k = 10)
         .select(col("vec_id"), col("adc"), col("rank"))
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // Z-order (Morton) clustering key over (o_custkey, o_orderkey):
+    // integer-exact bucketize (ONE min/max agg scan) + codegen bit
+    // interleave — the multi-dimensional data-skipping layout key;
+    // zorderWrite lays files along this value (ZOrderSpec proves the
+    // footer-pruning win)
+    "x_zorder" -> ((s, d) =>
+      graft.functions.ZOrder.withZValue(t(s, d, "orders"),
+          Seq("o_custkey", "o_orderkey"), bits = 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("zval"))
+        .orderBy(col("zval"), col("o_orderkey")))
   )
 
   /** One PQ subspace's oracle chain: seeds → argmin → fixed-point
@@ -4658,6 +4669,21 @@ s"""WITH lines AS (
         |SELECT vec_id, adc,
         |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
         |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    },
+
+    // z-value replay: same integer-only bucketize (// truncation on
+    // non-negative operands == Spark's div) and the same unrolled
+    // shift/mask interleave emitted by ZOrder.interleaveSql
+    "x_zorder" -> {
+      val z = graft.functions.ZOrder.interleaveSql(2, 8)
+      s"""WITH mm AS (SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+        |    min(o_orderkey) AS mn1, max(o_orderkey) AS mx1 FROM orders),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |    ((o_custkey - mn0) * 255) // greatest(mx0 - mn0, 1) AS b0,
+        |    ((o_orderkey - mn1) * 255) // greatest(mx1 - mn1, 1) AS b1
+        |  FROM orders, mm)
+        |SELECT o_orderkey, o_custkey, CAST($z AS BIGINT) AS zval
+        |FROM b ORDER BY zval, o_orderkey""".stripMargin
     }
   )
 }
