@@ -636,6 +636,26 @@ object QueriesOps {
         .orderBy(col("a"), col("b"))
     }),
 
+    // aspect-ratio bucketed batching over the REAL P6 decoder: three
+    // synthetic dim groups, cross-multiplied exact fraction buckets
+    // (never a float ratio), one-sort shuffle-and-cut — the image twin
+    // of x_lgbatch
+    "x_ar_batch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def grp(m: Long, w: Int, h: Int) = Multimodal.syntheticPpm(
+        docs.filter(col("doc_id") % 3 === m), "doc_id", "text", w, h)
+      val media = grp(0L, 8, 6).unionByName(grp(1L, 6, 6))
+        .unionByName(grp(2L, 6, 8))
+      val dims = Multimodal.decodePpm(media).toDF().filter(col("ok"))
+        .select(col("media_id"), col("width"), col("height"))
+      Packing.aspectRatioBatches(dims, col("width"), col("height"),
+          col("media_id"), batchSize = 16,
+          ratioEdges = Seq((9L, 10L), (11L, 10L)), seed = 7L)
+        .select("media_id", "width", "height", "bucket", "batch_id",
+          "batch_pos")
+        .orderBy(col("media_id"))
+    }),
+
     // symmetric int8 quantization of the embedding corpus (the 4x
     // storage lever): per-vector scale + codes, floor(x+0.5) rounding
     // so the grid is bit-reproducible by the oracle
@@ -950,6 +970,15 @@ object QueriesOps {
           col("doc_id"), seed = 42L)
         .select("pos", "doc_id", "source")
         .orderBy(col("pos"))),
+
+    // deterministic multi-epoch shuffle orders: epoch e sorts by
+    // md5(seed, e, id) — one exploded rowid sort, per-epoch pos =
+    // global rowid - epoch*N; each epoch a reproducible permutation
+    "x_epoch_order" -> ((s, d) =>
+      Sampling.epochOrder(t(s, d, "documents"), col("doc_id"),
+          epochs = 3, seed = 5L)
+        .select("doc_id", "epoch", "pos")
+        .orderBy(col("epoch"), col("pos"))),
 
     "x_gopher" -> ((s, d) =>
       TextAnalysis.gopherRules(t(s, d, "documents"), "text")
@@ -2509,6 +2538,44 @@ object QueriesOps {
         |SELECT row_number() OVER (ORDER BY rnd, source, doc_id) AS pos,
         |  doc_id, source
         |FROM r ORDER BY pos""".stripMargin,
+
+    // replays aspectRatioBatches: dims from the doc_id%3 group map,
+    // cross-multiplied bucket compares, the same md5('7 id') shuffle
+    // rank, offsets over the 3-row bucket-count table
+    "x_ar_batch" ->
+      """WITH dims AS (SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 6 ELSE 6 END AS width,
+        |    CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 6 ELSE 8 END AS height
+        |  FROM documents),
+        |b AS (SELECT *,
+        |    (CASE WHEN width * 10 > 9 * height THEN 1 ELSE 0 END +
+        |     CASE WHEN width * 10 > 11 * height THEN 1 ELSE 0 END) AS bucket,
+        |    md5('7 ' || CAST(media_id AS VARCHAR)) AS ok
+        |  FROM dims),
+        |r AS (SELECT *, row_number() OVER (ORDER BY bucket, ok, media_id) AS rid
+        |  FROM b),
+        |o AS (SELECT bucket AS bk, count(*) AS c FROM b GROUP BY 1),
+        |f AS (SELECT bk, coalesce(sum(c) OVER (ORDER BY bk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM o)
+        |SELECT media_id, width, height, bucket,
+        |  CAST(bucket AS VARCHAR) || '_' ||
+        |    CAST((rid - off - 1) // 16 AS VARCHAR) AS batch_id,
+        |  CAST((rid - off - 1) % 16 AS INT) AS batch_pos
+        |FROM r JOIN f ON r.bucket = f.bk
+        |ORDER BY media_id""".stripMargin,
+
+    // replays epochOrder: the same md5('5 e id') epoch keys; the
+    // per-epoch window here is the ORACLE's shape only (the engine
+    // side is the exploded global rowid sort)
+    "x_epoch_order" ->
+      """WITH e AS (SELECT doc_id, CAST(r.range AS INT) AS epoch
+        |  FROM documents CROSS JOIN range(0, 3) r)
+        |SELECT doc_id, epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY md5('5 ' || CAST(epoch AS VARCHAR) || ' ' ||
+        |      CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM e ORDER BY epoch, pos""".stripMargin,
 
     // replays dupSpanStats end to end: normalized positional 20-grams
     // (md5-prefix hashes), corpus multiplicity >= 2, per-doc interval

@@ -67,20 +67,30 @@ object Packing {
   def lengthGroupedBatches(df: DataFrame, tokens: Column, key: Column,
                            batchSize: Int, bucketEdges: Seq[Long],
                            seed: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(batchSize >= 1, s"lengthGroupedBatches: batchSize must be >= 1")
     require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
       bucketEdges.distinct.size == bucketEdges.size,
       s"lengthGroupedBatches: edges must be sorted distinct (got $bucketEdges)")
     val bucket = bucketEdges.map(e =>
       when(tokens > e, 1).otherwise(0)).reduce(_ + _)
+    cutBatchesByBucket(df, bucket, key, batchSize, seed)
+  }
+
+  /** The shared bucket → seeded shuffle → fixed-size cut tail of
+    * [[lengthGroupedBatches]] / [[aspectRatioBatches]]: ONE global
+    * rowid sort on (bucket, md5 key); within-bucket positions are
+    * rowid minus the bucket's start offset from a bounded bucket-count
+    * table (the Forcats level-table window contract) broadcast back. */
+  private def cutBatchesByBucket(df: DataFrame, bucket: Column, key: Column,
+                                 batchSize: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keyed = df.withColumn("__lb", bucket)
       .withColumn("__ok",
         md5(concat_ws(" ", lit(seed.toString), key.cast("string"))))
     val ranked = graft.core.Tibble.rowidToColumn(keyed,
       Seq(col("__lb"), col("__ok"), key), "__rid")
     val counts = ranked.groupBy(col("__lb")).agg(count(lit(1)).as("__c"))
-    // offsets over the bucket-count table: <= |edges|+1 rows (bounded)
+    // offsets over the bucket-count table: bounded rows by construction
     val w = Window.orderBy(col("__lb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
@@ -93,6 +103,32 @@ object Packing {
       .withColumn("batch_pos", (col("__wr") % batchSize).cast("int"))
       .withColumn("bucket", col("__lb"))
       .drop("__lb", "__ok", "__rid", "__wr")
+  }
+
+  /** Aspect-ratio bucketed batching — the image-training twin of
+    * [[lengthGroupedBatches]] (SDXL-style AR bucketing): images
+    * bucket by width/height against ratio edges declared as EXACT
+    * fractions p/q (bucket = Σ 1{w·q > p·h} — cross-multiplied
+    * integer compares, no float ratio ever computed, so the bucket
+    * decision is engine-replayable bit-for-bit), then the same
+    * one-sort deterministic shuffle-and-cut. Batches never mix
+    * buckets, so every batch resizes/crops to its bucket's target
+    * shape instead of the corpus extreme.
+    * Output: input + bucket, batch_id ("bucket_seq"), batch_pos. */
+  def aspectRatioBatches(df: DataFrame, width: Column, height: Column,
+                         key: Column, batchSize: Int,
+                         ratioEdges: Seq[(Long, Long)],
+                         seed: Long): DataFrame = {
+    require(batchSize >= 1, s"aspectRatioBatches: batchSize must be >= 1")
+    require(ratioEdges.nonEmpty && ratioEdges.forall(e => e._1 > 0 && e._2 > 0),
+      s"aspectRatioBatches: edges must be positive fractions (got $ratioEdges)")
+    require(ratioEdges.zip(ratioEdges.tail).forall {
+        case ((p1, q1), (p2, q2)) => p1 * q2 < p2 * q1 },
+      s"aspectRatioBatches: edges must strictly increase as fractions " +
+        s"(got $ratioEdges)")
+    val bucket = ratioEdges.map { case (p, q) =>
+      when(width * lit(q) > height * lit(p), 1).otherwise(0) }.reduce(_ + _)
+    cutBatchesByBucket(df, bucket, key, batchSize, seed)
   }
 
   /** Deterministic training-shard assignment + audit manifest — the

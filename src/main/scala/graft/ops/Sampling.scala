@@ -268,6 +268,35 @@ object Sampling {
       .drop("__round")
   }
 
+  /** Deterministic multi-epoch training order: epoch e's permutation
+    * sorts by md5(seed, e, id) — each epoch is an independent,
+    * reproducible shuffle of the full corpus, and a resumed/re-run
+    * job rebuilds the identical order (the property `sample(shuffle)`
+    * loses under stage retries). Emits one row per (doc, epoch) with
+    * `pos`, the doc's 1-based position inside its epoch.
+    *
+    * Shape: the corpus is exploded epochs× (the manifest-grain frame a
+    * training loader reads — typically id+path columns, not payloads)
+    * and globally ordered ONCE by (epoch, key) via the distributed
+    * range-partitioned rowid sort; the per-epoch position is the
+    * global rowid minus epoch·N (one count scan for N — a single Long
+    * through the driver). No per-epoch window ever forms: an epoch's
+    * rows would be a corpus-sized partition. */
+  def epochOrder(df: DataFrame, id: Column, epochs: Int,
+                 seed: Long): DataFrame = {
+    require(epochs >= 1 && epochs <= 128,
+      s"epochOrder: epochs=$epochs outside 1..128 (the explode factor)")
+    val n = df.count()
+    val exploded = df.withColumn("epoch",
+      explode(sequence(lit(0), lit(epochs - 1))))
+    val key = md5(concat_ws(" ", lit(seed.toString),
+      col("epoch").cast("string"), id.cast("string")))
+    graft.core.Tibble.rowidToColumn(exploded.withColumn("__ek", key),
+        Seq(col("epoch"), col("__ek"), id), "__gp")
+      .withColumn("pos", col("__gp") - col("epoch").cast("long") * n)
+      .drop("__ek", "__gp")
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every raw document by how much its hashed n-gram

@@ -1909,6 +1909,62 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("aspectRatioBatches: exact-fraction buckets, batches never mix, edge ties go low") {
+    import spark.implicits._
+    // dims spanning portrait (3/4), square (1), landscape (4/3); plus a
+    // row EXACTLY on the 9/10 edge (w*q == p*h -> strict > puts it LOW)
+    val imgs = ((1L to 30L).map(i => (i, 6, 8)) ++
+      (31L to 60L).map(i => (i, 6, 6)) ++
+      (61L to 90L).map(i => (i, 8, 6)) ++
+      Seq((91L, 9, 10))).toDF("id", "w", "h")
+    val out = graft.ops.Packing.aspectRatioBatches(imgs, col("w"), col("h"),
+        col("id"), batchSize = 8, ratioEdges = Seq((9L, 10L), (11L, 10L)),
+        seed = 7L)
+      .select("id", "bucket", "batch_id", "batch_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val bucketOf = out.map(r => r._1 -> r._2).toMap
+    assert((1L to 30L).forall(bucketOf(_) == 0))
+    assert((31L to 60L).forall(bucketOf(_) == 1))
+    assert((61L to 90L).forall(bucketOf(_) == 2))
+    assert(bucketOf(91L) == 0, "9:10 image sits ON the 9/10 edge: low bucket")
+    out.groupBy(_._3).foreach { case (bid, rows) =>
+      assert(rows.map(_._2).distinct.length == 1, s"batch $bid mixes buckets")
+      assert(rows.map(_._4).sorted.toSeq == (0 until rows.length))
+      assert(rows.length <= 8)
+    }
+    // deterministic under repartitioning
+    val again = graft.ops.Packing.aspectRatioBatches(imgs.repartition(5),
+        col("w"), col("h"), col("id"), 8, Seq((9L, 10L), (11L, 10L)), 7L)
+      .select("id", "bucket", "batch_id", "batch_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("epochOrder: every epoch is a full permutation, epochs differ, retries replay") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    val out = graft.ops.Sampling.epochOrder(docs, col("doc_id"),
+        epochs = 3, seed = 5L)
+      .select("doc_id", "epoch", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 120)
+    val byEpoch = out.groupBy(_._2)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_._1).sorted.toSeq == (1L to 40L), s"epoch $e not a permutation")
+      assert(rows.map(_._3).sorted.toSeq == (1L to 40L), s"epoch $e positions not 1..N")
+    }
+    // different epochs produce different orders (independent md5 keys)
+    def orderOf(e: Int) = byEpoch(e).sortBy(_._3).map(_._1).toSeq
+    assert(orderOf(0) != orderOf(1) && orderOf(1) != orderOf(2))
+    // and a re-run (retry) reproduces the identical assignment
+    val again = graft.ops.Sampling.epochOrder(docs.repartition(7), col("doc_id"),
+        epochs = 3, seed = 5L)
+      .select("doc_id", "epoch", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("new-op edge cases: empty inputs, single domain, k past corpus size") {
     import spark.implicits._
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "dom")
