@@ -1535,6 +1535,13 @@ object QueriesOps {
           min(col("ts")).as("session_start"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // NATIVE session_window sessionization (engine-owned state) —
+    // batch mode here; StreamingSpec drives the same call as a
+    // watermarked stream
+    "s_session_window" -> ((s, d) =>
+      EventStreams.sessionizeWindowed(events(s, d), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Streaming first-wins LSH near-dup — the batch twin carries the
     // oracle (like s_sessionize); StreamingSpec proves the stateful
     // stream path emits identical verdicts across microbatches.
@@ -4599,6 +4606,28 @@ s"""WITH lines AS (
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS session_start
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window replay: the same gap-islands grouping;
+    // session_end = last event + gap (Spark's session_window contract)
+    "s_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, "value",
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  s AS (
+        |  SELECT user_id, ts, "value",
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // Zipf replay: same top-200 cut (freq DESC, term), ln per row,
     // DECIMAL(38,18) OLS sums string-bridged to double, identical

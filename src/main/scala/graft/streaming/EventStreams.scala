@@ -51,6 +51,30 @@ object EventStreams {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in-first twin of [[sessionizeStream]]: no hand-rolled
+    * state machine, the engine owns merging/expiry, and the same call
+    * works in batch (the oracle path) and streaming (pass a watermark;
+    * append-mode emission once the watermark passes a session's end).
+    * Prefer this when per-session OUTPUT is aggregate-shaped; the
+    * flatMapGroupsWithState version remains for custom state/emission
+    * (mid-session rollover output, non-aggregate payloads). Boundary:
+    * touching windows MERGE — an event exactly `gap` after the last
+    * one continues the session (spec-pinned; the oracle's strict
+    * `> gap` new-session test replays it).
+    * Output: user_id, session_start (first event), session_end (last
+    * event + gap), n_events, total_value. */
+  def sessionizeWindowed(events: DataFrame, gapMinutes: Int = 30,
+                         watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("total_value"))
+  }
+
   case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                           event_type: String, value: Double)
   case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,

@@ -46,6 +46,62 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionizeWindowed (native session_window) streams append-mode sessions " +
+      "that match its batch run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = Seq(
+      SessionEvent(1L, ts(0), 1L, "view", 1.0),
+      SessionEvent(2L, ts(10), 1L, "click", 2.0),   // same session (gap 10 < 30)
+      SessionEvent(3L, ts(50), 1L, "view", 5.0),    // gap 40 -> new session
+      SessionEvent(4L, ts(5), 2L, "view", 3.0))
+    val input = MemoryStream[SessionEvent]
+    val out = EventStreams.sessionizeWindowed(input.toDF(), gapMinutes = 30,
+      watermark = Some("10 minutes"))
+    val query = out.writeStream.format("memory")
+      .queryName("swin_out").outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every session's end to flush all
+      input.addData(SessionEvent(99L, ts(1000), 9L, "view", 0.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(100L, ts(1001), 9L, "view", 0.0))
+      query.processAllAvailable()
+      val streamed = s.table("swin_out")
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.sessionizeWindowed(evs.toDF(), gapMinutes = 30)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      assert(batch.subsetOf(streamed),
+        s"streamed sessions must cover the batch run:\nbatch=$batch\nstream=$streamed")
+      assert(streamed.exists(r => r.head == 1L && r(2) == 2L && r(3) == 3.0),
+        s"user 1's first session (2 events, 3.0) missing: $streamed")
+    } finally query.stop()
+  }
+
+  test("session_window boundary: an event exactly gap minutes later still MERGES") {
+    val s = spark
+    import s.implicits._
+    // Spark merges sessions whose windows touch (closed boundary): an
+    // event at last_ts + gap joins the session; one micro-second past
+    // it opens a new one. The s_session_window oracle replays this
+    // with its strict `> gap` new-session test.
+    val evs = Seq(
+      SessionEvent(1L, ts(0), 1L, "view", 1.0),
+      SessionEvent(2L, ts(30), 1L, "view", 1.0)) // exactly the 30-min gap
+    val n = EventStreams.sessionizeWindowed(evs.toDF(), gapMinutes = 30).count()
+    assert(n == 1L, s"touching session windows merge: expected 1 session, got $n")
+    val past = Seq(
+      SessionEvent(1L, ts(0), 1L, "view", 1.0),
+      SessionEvent(2L, new java.sql.Timestamp(base + 30L * 60L * 1000L + 1L),
+        1L, "view", 1.0)) // 1 ms past the gap
+    val n2 = EventStreams.sessionizeWindowed(past.toDF(), gapMinutes = 30).count()
+    assert(n2 == 2L, s"past-gap event must open a new session: got $n2")
+  }
+
   test("rateLimitStream admits first-n per (user, window) and matches the batch twin") {
     import graft.streaming.EventStreams.{RLEvent, RLVerdict}
     val s = spark
