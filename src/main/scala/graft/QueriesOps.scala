@@ -145,6 +145,14 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ensemble dedup policy: exact md5 groups first (reps = min id),
+    // LSH+jaccard clusters over the REPS only, one per-doc verdict
+    // (keep / drop_exact / drop_near) with kept_by = ultimate keeper
+    "x_dedup_ensemble" -> ((s, d) =>
+      Dedup.ensembleDedup(t(s, d, "documents"), "doc_id", "text",
+          w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+        .orderBy(col("doc_id"))),
+
     // keep-best-per-near-dup-cluster: transitive clusters + longest-
     // copy preference (exact integer), ties to lowest id; singletons
     // (unclustered docs) keep themselves
@@ -4031,6 +4039,45 @@ s"""WITH lines AS (
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // ensemble replay: exact md5 groups, the quadratic-truth pair set
+    // over reps only, the same recursive-CTE closure, verdict CASE
+    "x_dedup_ensemble" ->
+      """WITH RECURSIVE g AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |gr AS (SELECT h, min(doc_id) AS rep FROM g GROUP BY h),
+        |wr AS (SELECT g.doc_id, gr.rep FROM g JOIN gr USING (h)),
+        |reps AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN gr ON d.doc_id = gr.rep),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM reps),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |rv AS (SELECT r.doc_id AS rep2,
+        |    coalesce(cl.cluster_id, r.doc_id) AS keep
+        |  FROM reps r LEFT JOIN cl ON r.doc_id = cl.doc_id)
+        |SELECT wr.doc_id,
+        |  CASE WHEN wr.doc_id <> wr.rep THEN 'drop_exact'
+        |       WHEN wr.rep <> rv.keep THEN 'drop_near'
+        |       ELSE 'keep' END AS verdict,
+        |  rv.keep AS kept_by
+        |FROM wr JOIN rv ON wr.rep = rv.rep2
+        |ORDER BY wr.doc_id""".stripMargin,
 
     // the transitive closure again + longest-copy argmax per cluster
     // (row_number replaying max_by's (pref, −id) struct order)

@@ -652,4 +652,49 @@ object Dedup {
         (col("n_chunks") - coalesce(col("__n_uniq"), lit(0L))).as("dup_chunks"),
         (col("__chars") - coalesce(col("__uniq_chars"), lit(0L))).as("dup_chars"))
   }
+
+  /** Ensemble dedup POLICY — the decision layer a curation run
+    * actually ships: compose the exact pass and the near-dup cluster
+    * pass into ONE per-doc verdict with precedence.
+    *
+    *  1. exact groups by md5(text); group rep = min id; every other
+    *     copy → `drop_exact` (cheapest signal wins first — near-dup
+    *     machinery never sees byte-identical copies);
+    *  2. [[minhashLsh]] over the REPS ONLY (the corpus minus exact
+    *     copies — strictly smaller LSH input), verified-jaccard pairs
+    *     → [[dedupClusters]] transitive components; a rep that is not
+    *     its cluster's min → `drop_near`;
+    *  3. survivors → `keep`.
+    *
+    * `kept_by` is the ULTIMATE keeper for every row (an exact copy of
+    * a near-dropped rep points at the rep's cluster keeper, not the
+    * rep), so `filter(verdict = 'keep')` and `groupBy(kept_by)` both
+    * do what a pipeline means.
+    *
+    * Scale: one md5 groupBy + the banded LSH the standing pass
+    * already runs + two id-keyed joins; no stage sees more than the
+    * standing dedup does. Output: (id, verdict, kept_by). */
+  def ensembleDedup(df: DataFrame, id: String, text: String,
+                    w: Int = 3, numPerm: Int = 64, numBands: Int = 16,
+                    threshold: Double = 0.5): DataFrame = {
+    val hashed = df.select(col(id).as("__did"), md5(col(text)).as("__h"),
+      col(text).as("__t"))
+    val groups = hashed.groupBy("__h").agg(min(col("__did")).as("__rep"))
+    val withRep = hashed.join(groups, Seq("__h"))
+    val reps = withRep.filter(col("__did") === col("__rep"))
+      .select(col("__did").as(id), col("__t").as(text))
+    val pairs = minhashLsh(reps, id, text, w, numPerm, numBands, threshold)
+      .select("a", "b")
+    val clusters = dedupClusters(pairs)
+      .select(col("doc_id").as("__rep2"), col("cluster_id").as("__cl"))
+    val repVerdicts = reps.select(col(id).as("__rep2"))
+      .join(clusters, Seq("__rep2"), "left")
+      .select(col("__rep2"), coalesce(col("__cl"), col("__rep2")).as("__keep"))
+    withRep.join(repVerdicts, col("__rep") === col("__rep2"))
+      .select(col("__did").as(id),
+        when(col("__did") =!= col("__rep"), "drop_exact")
+          .when(col("__rep") =!= col("__keep"), "drop_near")
+          .otherwise("keep").as("verdict"),
+        col("__keep").as("kept_by"))
+  }
 }

@@ -1909,6 +1909,35 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("ensembleDedup: exact copies drop first, near-dup reps cluster, kept_by chases to the keeper") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "the quick brown fox jumps over the lazy cat"),   // exact dup of 3
+      (5L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    // dog/cat differ in ONE trailing 3-shingle: jaccard 6/8 = 0.75 —
+    // above the 0.5 threshold and banded reliably (md5 minhash is
+    // deterministic, so this detection is a fixed outcome)
+    val out = Dedup.ensembleDedup(corpus, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "keep", 1L),
+      (2L, "drop_exact", 1L),       // exact copy of keeper 1
+      (3L, "drop_near", 1L),        // rep of {3,4}, near-dup of 1
+      (4L, "drop_exact", 1L),       // exact copy of 3, but ULTIMATE keeper is 1
+      (5L, "keep", 5L)),
+      s"unexpected verdicts: ${out.toSeq}")
+    // the policy partitions the corpus: exactly one keeper per cluster,
+    // every row's kept_by is a keep row
+    val keeps = out.filter(_._2 == "keep").map(_._1).toSet
+    assert(out.forall(r => keeps.contains(r._3)))
+  }
+
   test("aspectRatioBatches: exact-fraction buckets, batches never mix, edge ties go low") {
     import spark.implicits._
     // dims spanning portrait (3/4), square (1), landscape (4/3); plus a
