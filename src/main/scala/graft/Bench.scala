@@ -22,6 +22,9 @@ object Bench {
     // growth factors stop being invisible
     "x_subword", "x_zipf", "x_novelty", "x_js_div", "x_bigram_lm", "x_pq",
     "x_cdc", "x_dedup_incr", "x_bpe_train", "x_strip_spans",
+    // round-15 additions: layout key projection, dedup policy layer,
+    // native session_window (vs the stateful s_sessionize twin)
+    "x_zorder", "x_dedup_ensemble", "s_session_window",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -87,7 +90,10 @@ object Bench {
     // whose sf1 growth was unmeasured through r10
     "x_bm25_indexed", "x_subword", "x_zipf", "x_novelty", "x_js_div",
     "x_bigram_lm", "x_pq", "x_cdc", "x_dedup_incr", "x_bpe_train",
-    "x_strip_spans")
+    "x_strip_spans",
+    // round-15: the ensemble policy's exact+LSH+CC chain and the
+    // native session_window agg over the 10x corpora
+    "x_dedup_ensemble", "s_session_window")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
