@@ -630,6 +630,8 @@ class PlanSpec extends SparkTestBase {
       // (<= |edges|+1 rows — Packing.lengthGroupedBatches scaladoc);
       // the row-grain rank is the rowid sort, not a window
       "x_lgbatch" -> "bucket-count offset table",
+      // same shared cutBatchesByBucket tail: |ratio edges|+1 rows
+      "x_ar_batch" -> "bucket-count offset table",
       // water level from window algebra over the stratum-grain totals
       // (K rows — the forcats level-table argument)
       "x_waterfill" -> "stratum-grain totals table",
