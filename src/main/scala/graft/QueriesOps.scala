@@ -746,6 +746,20 @@ object QueriesOps {
         .orderBy(col("query_id"))
     }),
 
+    // Matryoshka truncation recall: first-16-dims retrieval vs the
+    // full 64-dim truth — the zero-compute storage lever next to JL
+    // (projection) and PQ (codebooks)
+    "x_mrl_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val tr = Similarity.truncateDims(e, "embedding", dims = 16)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10),
+        Similarity.bruteForceTopKJoin(tr, "vec_id", "embedding",
+          tr.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10))
+        .orderBy(col("query_id"))
+    }),
+
     // all-but-the-top whitened retrieval: subtract the x_pca top
     // component (bit-exact literals + floor-grid projection), then
     // the standard brute-force top-k — the oracle re-derives the
@@ -1950,6 +1964,29 @@ object QueriesOps {
         |      AS DOUBLE) / 1073741824.0 / 4.0 AS comp
         |  FROM fx CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) j),
         |pv AS (SELECT vec_id, list(comp ORDER BY dim) AS p FROM c GROUP BY vec_id),
+        |tr AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(t.v, q.v) DESC, t.vec_id) AS rk
+        |  FROM e t CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) q) WHERE rk <= 10),
+        |rt AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(t.p, q.p) DESC, t.vec_id) AS rk
+        |  FROM pv t CROSS JOIN (SELECT * FROM pv WHERE vec_id < 3) q) WHERE rk <= 10)
+        |SELECT tr.query_id,
+        |  CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS truth_k,
+        |  CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM tr LEFT JOIN rt ON tr.query_id = rt.query_id AND tr.neighbor_id = rt.neighbor_id
+        |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
+
+    // MRL replay: p = v[1:16] slice, the same dual brute-force
+    // retrieval + recall join as x_jl_recall
+    "x_mrl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pv AS (SELECT vec_id, v[1:16] AS p FROM e),
         |tr AS (SELECT query_id, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id

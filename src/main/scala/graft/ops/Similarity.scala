@@ -850,6 +850,20 @@ object Similarity {
     * (16 → /4) — so projected vectors are bit-identical in any
     * engine with md5. Pure projection: no shuffle, no join.
     * Replaces `vec` in place. */
+  /** Matryoshka-style dimension truncation (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): an MRL-trained embedding's
+    * first d′ dims are themselves a usable embedding, so slicing the
+    * stored vector is the zero-compute storage/latency lever — 4×
+    * fewer bytes at d′ = dims/4, no codebooks, no projection matrix.
+    * Cosine ranking is scale-invariant, so no renormalization is
+    * needed. Pure projection (replaces `vec` in place); read the
+    * quality cost with [[recallAtK]] against full-width truth
+    * (x_mrl_recall), exactly like the JL and PQ levers. */
+  def truncateDims(df: DataFrame, vec: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"truncateDims: dims=$dims must be >= 1")
+    df.withColumn(vec, slice(col(vec).cast("array<double>"), 1, dims))
+  }
+
   def jlProject(df: DataFrame, vec: String, outDims: Int,
                 maxDims: Int = 512): DataFrame = {
     require(outDims >= 1 && outDims <= 1024,

@@ -141,4 +141,29 @@ object Sources {
   def writeOrc(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
+
+  /** Size-targeted parquet write — the small-files/giant-files remedy:
+    * pick the output file count from Catalyst's OWN size statistics
+    * (`optimizedPlan.stats.sizeInBytes` — no extra scan, no sample
+    * job). For a parquet-backed frame the stat IS the on-disk byte
+    * total (file lengths from the listing), so the default
+    * `compressionRatio = 1` re-lands it at the same density; a frame
+    * that explodes or heavily filters its source should pass the
+    * observed output/input ratio instead. At 100 TB this is the
+    * difference between 128 MB files a reader schedules well and a
+    * million 100 KB files that drown the driver in listing + task
+    * overhead. Returns the file count chosen. */
+  def writeSized(df: DataFrame, path: String, targetFileBytes: Long,
+                 compressionRatio: Double = 1.0,
+                 mode: SaveMode = SaveMode.Overwrite): Int = {
+    require(targetFileBytes >= 1, "writeSized: targetFileBytes must be >= 1")
+    require(compressionRatio > 0, "writeSized: compressionRatio must be > 0")
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = (BigDecimal(planBytes) / compressionRatio)
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toBigInt
+    val n = (onDisk / targetFileBytes).toLong + 1L
+    val files = math.max(1L, math.min(n, 1000000L)).toInt
+    df.repartition(files).write.mode(mode).parquet(path)
+    files
+  }
 }
