@@ -1175,6 +1175,28 @@ object QueriesOps {
           Seq("c_mktsegment", "c_nationkey"), "bal_sign", l = 2)
         .orderBy(col("diversity"))),
 
+    // t-closeness (the third privacy leg): per-class EMD between the
+    // class's ordered-band distribution and the global one; complete
+    // class x value grid, bounded per-class cum windows, floor-grid
+    // |diff| totals
+    "x_tclose" -> ((s, d) =>
+      Profiling.tCloseness(
+          t(s, d, "customer").withColumn("bal_band",
+            when(col("c_acctbal") < 0, "0_neg")
+              .when(col("c_acctbal") < 3000, "1_low")
+              .when(col("c_acctbal") < 7000, "2_mid")
+              .otherwise("3_high")),
+          Seq("c_mktsegment", "c_nationkey"), "bal_band", t = 0.12)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))),
+
+    // Neyman-optimal stratified allocation: n_h ∝ N_h·S_h from exact
+    // grid moments; the labeling/eval budget split that minimizes
+    // estimator variance
+    "x_neyman" -> ((s, d) =>
+      Sampling.neymanAllocation(t(s, d, "documents"), col("source"),
+          col("n_chars"), budget = 200L)
+        .orderBy(col("stratum"))),
+
     // pairwise JS divergence between per-language token
     // distributions (top-64 vocab + OOV bucket, add-one smoothing):
     // one tokenize scan, everything after is (langs x 65)-sized
@@ -3043,6 +3065,67 @@ object QueriesOps {
         |  CAST(rows_at_risk AS BIGINT) AS rows_at_risk,
         |  CAST(rows_at_risk AS DOUBLE) / CAST(n AS DOUBLE) AS risk_share
         |FROM h CROSS JOIN t ORDER BY class_size""".stripMargin,
+
+    // t-closeness replay: same band CASE, complete grid via CROSS
+    // JOIN with the global cum table, same windows and floor-grid
+    "x_tclose" ->
+      """WITH v AS (SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN c_acctbal < 0 THEN '0_neg'
+        |         WHEN c_acctbal < 3000 THEN '1_low'
+        |         WHEN c_acctbal < 7000 THEN '2_mid'
+        |         ELSE '3_high' END AS band
+        |  FROM customer),
+        |c AS (SELECT c_mktsegment, c_nationkey, band, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2, 3),
+        |g AS (SELECT band, sum(cnt) AS gc FROM c GROUP BY 1),
+        |gn AS (SELECT sum(gc) AS n FROM g),
+        |gq AS (SELECT band, CAST(sum(gc) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS q
+        |  FROM g CROSS JOIN gn),
+        |cls AS (SELECT c_mktsegment, c_nationkey,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows FROM c GROUP BY 1, 2),
+        |grid AS (SELECT cls.c_mktsegment, cls.c_nationkey, cls.n_rows,
+        |    gq.band, gq.q, coalesce(c.cnt, 0) AS cnt
+        |  FROM cls CROSS JOIN gq
+        |  LEFT JOIN c ON c.c_mktsegment = cls.c_mktsegment
+        |    AND c.c_nationkey = cls.c_nationkey AND c.band = gq.band),
+        |p AS (SELECT *, CAST(sum(cnt) OVER (
+        |    PARTITION BY c_mktsegment, c_nationkey ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(n_rows AS DOUBLE) AS pp
+        |  FROM grid),
+        |d AS (SELECT c_mktsegment, c_nationkey, n_rows,
+        |    CAST(floor(abs(pp - q) * 1099511627776.0 + 0.5) AS HUGEINT) AS dd
+        |  FROM p)
+        |SELECT c_mktsegment, c_nationkey, n_rows,
+        |  CAST(sum(dd) AS DOUBLE) / 1099511627776.0
+        |    / CAST(count(*) - 1 AS DOUBLE) AS emd,
+        |  (CAST(sum(dd) AS DOUBLE) / 1099511627776.0
+        |    / CAST(count(*) - 1 AS DOUBLE)) <= 0.12 AS pass
+        |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // Neyman replay: the same 2^24 grid moments (HUGEINT-exact), one
+    // sqrt, the same fixed division chains and floor(+0.5) rounding
+    "x_neyman" ->
+      """WITH f AS (SELECT source AS stratum,
+        |    CAST(floor(CAST(n_chars AS DOUBLE) * 16777216.0 + 0.5) AS HUGEINT) AS fx
+        |  FROM documents),
+        |m AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    sum(fx) AS s1, sum(fx * fx) AS s2 FROM f GROUP BY 1),
+        |w AS (SELECT stratum, n_rows,
+        |    sqrt(CAST(CAST(n_rows AS HUGEINT) * s2 - s1 * s1 AS DOUBLE))
+        |      / (CAST(n_rows AS DOUBLE) * 16777216.0) AS sd
+        |  FROM m),
+        |fw AS (SELECT *, CAST(floor(CAST(n_rows AS DOUBLE) * sd * 16777216.0 + 0.5)
+        |    AS HUGEINT) AS fwv FROM w),
+        |tot AS (SELECT sum(fwv) AS tt, sum(n_rows) AS tn FROM fw)
+        |SELECT stratum, n_rows, sd,
+        |  CAST(least(CAST(n_rows AS DOUBLE), CASE WHEN tt > 0
+        |    THEN floor(200.0 * CAST(fwv AS DOUBLE) / CAST(tt AS DOUBLE) + 0.5)
+        |    ELSE floor(200.0 * CAST(n_rows AS DOUBLE) / CAST(tn AS DOUBLE) + 0.5)
+        |    END) AS BIGINT) AS alloc
+        |FROM fw CROSS JOIN tot ORDER BY stratum""".stripMargin,
 
     "x_ldiv" ->
       """WITH v AS (SELECT c_mktsegment, c_nationkey,

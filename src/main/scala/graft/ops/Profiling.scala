@@ -463,6 +463,61 @@ object Profiling {
       .drop("__n")
   }
 
+  /** t-closeness profile (Li et al. 2007) — the third leg of the
+    * privacy trio: l-diversity counts distinct sensitive values but a
+    * class can still SKEW toward one (50 rows, 49 "disease", 1
+    * "healthy" is 2-diverse and still leaking). Per quasi-id class,
+    * the Earth Mover's Distance between the class's distribution over
+    * an ORDERED sensitive attribute and the corpus-global one:
+    * EMD = Σᵢ |cumP(i) − cumQ(i)| / (m−1) over the m ordered values.
+    *
+    * Shape: one (quasi, sensitive) partial agg; the complete class ×
+    * value grid comes from a crossJoin with the broadcast m-row value
+    * domain (missing values zero-fill — their cum carries); per-class
+    * cum windows are m-row partitions by construction; the |diff|
+    * total crosses the floor(x·2^40+0.5) grid so the m-term sum is
+    * partitioning-invariant. Divisions and the cum sums are
+    * fixed-order IEEE over exact counts — the whole profile replays
+    * in SQL. Output: (quasi..., n_rows, emd, pass = emd <= t). */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+                 t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiIds.nonEmpty, "tCloseness: need at least one quasi-identifier")
+    require(t > 0 && t <= 1, s"tCloseness: t must be in (0,1] (got $t)")
+    val qs = quasiIds.map(col)
+    val counts = df.groupBy((quasiIds :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // ordered global value domain + global cum distribution (m rows)
+    val global = counts.groupBy(col(sensitive)).agg(sum(col("__c")).as("__gc"))
+    val gw = Window.orderBy(col(sensitive))
+    val globalCum = global
+      .withColumn("__gcum", sum(col("__gc")).over(
+        gw.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(global.agg(sum(col("__gc")).as("__gn"))))
+      .select(col(sensitive),
+        (col("__gcum").cast("double") / col("__gn").cast("double")).as("__q"))
+    // complete class x value grid (classes × m), zero-filled
+    val classes = counts.groupBy(qs: _*).agg(sum(col("__c")).as("n_rows"))
+    val grid = classes.crossJoin(broadcast(globalCum))
+      .join(counts, quasiIds :+ sensitive, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val cw = Window.partitionBy(qs: _*).orderBy(col(sensitive))
+    grid
+      .withColumn("__p", sum(col("__c")).over(
+          cw.rowsBetween(Window.unboundedPreceding, 0)).cast("double") /
+        col("n_rows").cast("double"))
+      .withColumn("__d",
+        floor(abs(col("__p") - col("__q")) * 1099511627776.0 + 0.5).cast("long"))
+      .groupBy((qs :+ col("n_rows")): _*)
+      // the grid is complete, so count(*) per class IS m; the i = m
+      // term is exactly 0 (both cums are exactly 1.0), so summing all
+      // m terms equals the i < m EMD definition
+      .agg((sum(col("__d").cast("decimal(38,0)")).cast("double") /
+          1099511627776.0 /
+          (count(lit(1)) - lit(1)).cast("double")).as("emd"))
+      .withColumn("pass", col("emd") <= t)
+  }
+
   /** One-pass Poisson bootstrap (Chamandy et al. 2012, "Estimating
     * uncertainty for massive data streams"): B resampled estimates of
     * a mean statistic from ONE scan. Classic bootstrap resamples the

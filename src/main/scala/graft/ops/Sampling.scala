@@ -268,6 +268,52 @@ object Sampling {
       .drop("__round")
   }
 
+  /** Neyman-optimal stratified sample allocation (classical survey
+    * sampling: n_h ∝ N_h·S_h — strata that are bigger OR more variable
+    * on the metric get more of the budget; minimizes the estimator's
+    * variance for a fixed total n, which is what an eval-set or
+    * labeling budget wants). One partial-aggregatable scan computes
+    * each stratum's exact moments on the floor(x·2^24+0.5) Long grid
+    * (decimal sums — partitioning-invariant), the per-stratum sd and
+    * weight are fixed-order IEEE arithmetic, and the weight total
+    * crosses back from a ≤K-row broadcast — every value replays
+    * bit-for-bit in an external engine. Allocations are capped at the
+    * stratum's population (floor(x+0.5) rounding, so the grand total
+    * can differ from `budget` by rounding; the caller tops up from
+    * the largest remainder if exactness matters). All-degenerate
+    * corpora (every stratum sd 0) fall back to proportional-to-size.
+    * Output: (stratum, n_rows, sd, alloc). */
+  def neymanAllocation(df: DataFrame, stratum: Column, metric: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 1, s"neymanAllocation: budget must be >= 1 (got $budget)")
+    val S = 16777216.0 // 2^24 grid
+    val fx = floor(metric.cast("double") * S + 0.5).cast("decimal(38,0)")
+    val m = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(fx).as("__s1"), sum(fx * fx).as("__s2"))
+    // population sd on the grid: sqrt(N·Σf² − (Σf)²) / (N·2^24);
+    // the radicand is exact decimal, one sqrt, fixed division chain
+    val num = (col("n_rows").cast("decimal(38,0)") * col("__s2") -
+      col("__s1") * col("__s1"))
+    val withSd = m.withColumn("sd",
+        sqrt(num.cast("double")) / (col("n_rows").cast("double") * S))
+      .withColumn("__fw",
+        floor(col("n_rows").cast("double") * col("sd") * S + 0.5)
+          .cast("decimal(38,0)"))
+    val tot = withSd.agg(sum(col("__fw")).as("__tot"),
+      sum(col("n_rows")).as("__totn"))
+    withSd.crossJoin(broadcast(tot))
+      .withColumn("alloc", least(col("n_rows"),
+        when(col("__tot") > 0,
+          floor(lit(budget.toDouble) * col("__fw").cast("double") /
+            col("__tot").cast("double") + 0.5))
+        .otherwise( // all-sd-zero corpus: proportional to size
+          floor(lit(budget.toDouble) * col("n_rows").cast("double") /
+            col("__totn").cast("double") + 0.5))
+        .cast("long")))
+      .select(col("stratum"), col("n_rows"), col("sd"), col("alloc"))
+  }
+
   /** Deterministic multi-epoch training order: epoch e's permutation
     * sorts by md5(seed, e, id) — each epoch is an independent,
     * reproducible shuffle of the full corpus, and a resumed/re-run

@@ -1909,6 +1909,48 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("neymanAllocation favors variable strata, caps at population, degrades to proportional") {
+    import spark.implicits._
+    // A: 100 rows constant metric (sd 0); B: 100 rows spread 0..990
+    val df = ((1 to 100).map(i => ("a", 50.0)) ++
+      (1 to 100).map(i => ("b", (i - 1) * 10.0))).toDF("src", "m")
+    val out = graft.ops.Sampling.neymanAllocation(df, col("src"), col("m"), 50L)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 2)
+    val (a, b) = (out(0), out(1))
+    assert(a._3 == 0.0 && b._3 > 0.0)
+    // all weight flows to the variable stratum
+    assert(a._4 == 0L && b._4 == 50L, s"allocation should follow sd: $a $b")
+    // cap at population: a 2-row stratum cannot absorb a huge budget
+    val tiny = ((1 to 2).map(i => ("a", i * 100.0)) ++
+      (1 to 50).map(i => ("b", i * 1.0))).toDF("src", "m")
+    val capped = graft.ops.Sampling.neymanAllocation(tiny, col("src"), col("m"), 40L)
+      .orderBy("stratum").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(capped(0)._2 <= 2L, s"alloc must cap at stratum size: ${capped.toSeq}")
+    // degenerate: every stratum constant -> proportional to size
+    val const = ((1 to 30).map(_ => ("a", 1.0)) ++
+      (1 to 10).map(_ => ("b", 2.0))).toDF("src", "m")
+    val prop = graft.ops.Sampling.neymanAllocation(const, col("src"), col("m"), 20L)
+      .orderBy("stratum").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(prop.toSeq == Seq(("a", 15L), ("b", 5L)), s"proportional fallback: ${prop.toSeq}")
+  }
+
+  test("tCloseness: a skewed class scores higher EMD than a globally-proportional one") {
+    import spark.implicits._
+    // global bands 50/50; class "skew" is 10/0, class "prop" is 10/10
+    val df = ((1 to 10).map(_ => ("skew", "0_x")) ++
+      (1 to 10).map(_ => ("prop", "0_x")) ++ (1 to 10).map(_ => ("prop", "1_y")) ++
+      (1 to 10).map(_ => ("other", "1_y"))).toDF("grp", "band")
+    val out = graft.ops.Profiling.tCloseness(df, Seq("grp"), "band", t = 0.3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // m=2 -> EMD = |p1 - q1| with q1 = 0.5: skew |1-0.5| = 0.5, prop 0
+    assert(out("prop")._1 == 0.0 && out("prop")._2)
+    assert(out("skew")._1 == 0.5 && !out("skew")._2,
+      s"one-sided class must fail t=0.3: $out")
+    assert(out("other")._1 == 0.5)
+  }
+
   test("ensembleDedup: exact copies drop first, near-dup reps cluster, kept_by chases to the keeper") {
     import spark.implicits._
     val corpus = Seq(

@@ -632,6 +632,10 @@ class PlanSpec extends SparkTestBase {
       "x_lgbatch" -> "bucket-count offset table",
       // same shared cutBatchesByBucket tail: |ratio edges|+1 rows
       "x_ar_batch" -> "bucket-count offset table",
+      // global cum distribution over the m-row ordered value DOMAIN
+      // (bands ≪ rows — Profiling.tCloseness scaladoc); the per-class
+      // cum windows are quasi-id-partitioned
+      "x_tclose" -> "m-row value-domain table",
       // water level from window algebra over the stratum-grain totals
       // (K rows — the forcats level-table argument)
       "x_waterfill" -> "stratum-grain totals table",
