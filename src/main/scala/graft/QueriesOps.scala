@@ -1431,6 +1431,17 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs/authorities over the same synthetic link graph —
+    // directories vs content; 2 L1-normalized iterations, 18-decimal
+    // inflow sums, every value engine-replayed
+    "x_hits" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.hits(edges, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
     // most common 3-step opening paths: one user-partitioned window,
     // in-agg sort_array rebuild, partial-agg count + TakeOrdered
     "x_paths" -> ((s, d) =>
@@ -3792,6 +3803,34 @@ s"""WITH lines AS (
         |${iter("r0", "r1")},
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
+    },
+
+    // HITS replay: 2 unrolled iterations, the same 18-decimal sums,
+    // L1 totals, and the auth-from-hubs-then-hub-from-NEW-auths order
+    "x_hits" -> {
+      def ds(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+      def iter(hPrev: String, i: Int) =
+        s"""ar$i AS (SELECT e.d AS node, ${ds(s"$hPrev.hub")} AS a
+           |  FROM e JOIN $hPrev ON $hPrev.node = e.s GROUP BY e.d),
+           |at$i AS (SELECT ${ds("a")} AS t FROM ar$i),
+           |a$i AS (SELECT n.node, coalesce(ar$i.a, 0.0) / at$i.t AS auth
+           |  FROM n LEFT JOIN ar$i USING (node) CROSS JOIN at$i),
+           |hr$i AS (SELECT e.s AS node, ${ds(s"a$i.auth")} AS h
+           |  FROM e JOIN a$i ON a$i.node = e.d GROUP BY e.s),
+           |ht$i AS (SELECT ${ds("h")} AS t FROM hr$i),
+           |h$i AS (SELECT n.node, coalesce(hr$i.h, 0.0) / ht$i.t AS hub
+           |  FROM n LEFT JOIN hr$i USING (node) CROSS JOIN ht$i)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT doc_id % 50 AS s, (doc_id * 7 + 3) % 50 AS d
+        |  FROM documents),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+        |h0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM n),
+        |${iter("h0", 1)},
+        |${iter("h1", 2)}
+        |SELECT n.node, h2.hub, a2.auth
+        |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY n.node""".stripMargin
     },
 
     // topPaths: same (ts, event_id) deterministic order, DuckDB

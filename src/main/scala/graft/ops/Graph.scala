@@ -69,4 +69,48 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — PageRank's
+    * complement for crawl curation: PageRank finds globally endorsed
+    * pages, HITS separates DIRECTORIES (hubs — link out to good
+    * content; crawl frontiers expand from them) from CONTENT
+    * (authorities — linked by good hubs). Fixed iteration count, the
+    * standard update order (auth from current hubs, then hub from the
+    * NEW auths), L1-normalized each round.
+    *
+    * Engine-exact by the pageRank recipe: per-target sums are
+    * 18-decimal order-invariant accumulations, normalization is one
+    * IEEE division per node by a 1-row broadcast total — the
+    * 2-iteration oracle replays every value. Per iteration: two
+    * shuffle joins + two partial aggs; score tables stay (node,
+    * double). Output: (node, hub, auth). */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"hits: iters=$iters out of the in-plan unroll range [1,20]")
+    val e = edges.select(col(src).as("__s"), col(dst).as("__d"))
+    val nodes = e.select(col("__s").as("node"))
+      .unionByName(e.select(col("__d").as("node"))).distinct()
+    var scores = nodes.select(col("node"),
+      lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val auth = e.join(scores.select(col("node"), col("hub")),
+          col("__s") === col("node"))
+        .groupBy(col("__d").as("node")).agg(dsum18(col("hub")).as("__a"))
+      val aTot = auth.agg(dsum18(col("__a")).as("__at"))
+      val authN = nodes.join(auth, Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (coalesce(col("__a"), lit(0.0)) / col("__at")).as("auth"))
+      val hub = e.join(authN.select(col("node"), col("auth")),
+          col("__d") === col("node"))
+        .groupBy(col("__s").as("node")).agg(dsum18(col("auth")).as("__h"))
+      val hTot = hub.agg(dsum18(col("__h")).as("__ht"))
+      val hubN = nodes.join(hub, Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (coalesce(col("__h"), lit(0.0)) / col("__ht")).as("hub"))
+      scores = hubN.join(authN, Seq("node"))
+    }
+    scores.select("node", "hub", "auth")
+  }
 }

@@ -1909,6 +1909,22 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("hits separates hubs from authorities on a directed star") {
+    import spark.implicits._
+    // 1 and 2 both link to {10, 11, 12}; nothing links back: 1,2 are
+    // pure hubs, 10-12 pure authorities
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L)).toDF("src", "dst")
+    val out = graft.ops.Graph.hits(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 > 0.0 && out(1L)._2 == 0.0, s"1 is a pure hub: $out")
+    assert(out(10L)._1 == 0.0 && out(10L)._2 > 0.0, s"10 is a pure authority: $out")
+    // symmetric roles score identically; L1 normalization holds
+    assert(out(1L) == out(2L) && out(10L) == out(11L))
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("neymanAllocation favors variable strata, caps at population, degrades to proportional") {
     import spark.implicits._
     // A: 100 rows constant metric (sd 0); B: 100 rows spread 0..990
