@@ -1382,6 +1382,19 @@ object QueriesOps {
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // RM3 pseudo-relevance feedback on the indexed path: top-5
+    // feedback docs, 3 strongest new terms (total-tf weight, term-asc
+    // ties), expanded-query BM25 — two pruned postings passes
+    "x_bm25_prf" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      val (idx, stats) = bm25Index(s, d)
+      Retrieval.bm25PrfTopK(idx, stats, "doc_id", qs, "q_id", "qtext",
+          k = 10, fbDocs = 5, fbTerms = 3)
+        .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+    }),
+
     // reciprocal-rank fusion of a BM25 top-20 list with a recency list
     // (doc_id desc — the crawl-freshness stand-in): rank-based, so no
     // score calibration; everything candidate-list sized
@@ -1779,6 +1792,54 @@ object QueriesOps {
       |  FROM scored)
       |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
       |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
+
+  /** RM3-PRF oracle: the bm25OracleSql chain twice — pass 1 cut at
+    * fbDocs, total-tf feedback-term harvest minus original terms,
+    * expanded-set pass 2 at k. */
+  private lazy val bm25PrfOracleSql: String = {
+    def scored(qt: String, dfreq: String, out: String) =
+      s"""$out AS (SELECT $qt.q_id, tf.doc_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - $dfreq.dfc + 0.5) / ($dfreq.dfc + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+        |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+        |  FROM tf JOIN $qt USING (term) JOIN $dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+      |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+      |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+      |qt AS (SELECT DISTINCT q_id,
+      |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+      |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+      |dfreq1 AS (SELECT term, count(*) AS dfc FROM tf
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |${scored("qt", "dfreq1", "scored1")},
+      |r1 AS (SELECT q_id, doc_id FROM (SELECT q_id, doc_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
+      |  FROM scored1) WHERE rn <= 5),
+      |fbt AS (SELECT r1.q_id, tf.term, sum(tf.tf) AS w
+      |  FROM r1 JOIN tf ON tf.doc_id = r1.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM qt
+      |    WHERE qt.q_id = r1.q_id AND qt.term = tf.term)
+      |  GROUP BY 1, 2),
+      |fbr AS (SELECT q_id, term FROM (SELECT q_id, term,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY w DESC, term) AS rn
+      |  FROM fbt) WHERE rn <= 3),
+      |qt2 AS (SELECT q_id, term FROM qt UNION SELECT q_id, term FROM fbr),
+      |dfreq2 AS (SELECT term, count(*) AS dfc FROM tf
+      |  WHERE term IN (SELECT term FROM qt2) GROUP BY 1),
+      |${scored("qt2", "dfreq2", "scored2")},
+      |r2 AS (SELECT q_id, doc_id, bm25,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rn
+      |  FROM scored2)
+      |SELECT q_id, doc_id, bm25 FROM r2 WHERE rn <= 10
+      |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
+  }
 
   /** Quadratic ground-truth near-dup oracle (true jaccard over every
     * pair) — LSH-plumbing-independent, so the per-call and indexed
@@ -3696,6 +3757,7 @@ s"""WITH lines AS (
     // tokenizer contract, same scoring tail over the materialized
     // postings), so it replays the same oracle
     "x_bm25_indexed" -> bm25OracleSql,
+    "x_bm25_prf" -> bm25PrfOracleSql,
 
     // the bm25 chain at k=20, a recency list, 1/(60+rank) decimal
     // fusion, top-10 — rank arithmetic identical on both engines

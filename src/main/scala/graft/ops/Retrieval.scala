@@ -163,6 +163,45 @@ object Retrieval {
     scoreAndCut(tf, statsDf, id, qterms, qid, k, k1, b)
   }
 
+  /** RM3-style pseudo-relevance-feedback expansion (Lavrenko & Croft
+    * 2001 relevance models, the Anserini/Indri default recipe) over
+    * the materialized inverted index: retrieve `fbDocs` per query,
+    * harvest the `fbTerms` strongest NEW terms from those docs
+    * (weight = total tf across the feedback docs — integer-exact;
+    * ties break on term asc), union them into the query, and score
+    * the expanded query with the same BM25 tail. Recovers vocabulary
+    * the user didn't type (query "spark agg" can surface docs that
+    * only say "aggregate") at the cost of one extra postings pass.
+    *
+    * Scale shape: both passes are pruned-postings scans of the index
+    * (never the raw corpus); the feedback-doc join broadcasts the
+    * queries×fbDocs result list; feedback term ranking is
+    * GroupedTopK's bounded heap. Everything after the index scans is
+    * result-set-sized. Output: (qid, id, bm25) of the expanded pass. */
+  def bm25PrfTopK(index: DataFrame, stats: (Long, Long), id: String,
+                  queries: DataFrame, qid: String, qtext: String,
+                  k: Int = 10, fbDocs: Int = 5, fbTerms: Int = 3,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1, s"bm25PrfTopK: fbDocs must be >= 1 (got $fbDocs)")
+    require(fbTerms >= 1, s"bm25PrfTopK: fbTerms must be >= 1 (got $fbTerms)")
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(toks(col(qtext)))).as("term"))
+    val first = bm25TopKIndexed(index, stats, id, queries, qid, qtext,
+      fbDocs, k1, b)
+    val fb = index.join(broadcast(first.select(col(qid), col(id))), Seq(id))
+      .groupBy(col(qid), col("term")).agg(sum(col("tf")).as("__w"))
+      .join(qterms, Seq(qid, "term"), "left_anti")
+    val topFb = graft.plans.TopK.topKPerGroup(fb, Seq(qid),
+        Seq(col("__w").desc, col("term").asc), fbTerms)
+      .select(col(qid), col("term"))
+    val expanded = qterms.unionByName(topFb).distinct()
+    val qtermSet = expanded.select("term").distinct()
+    val tf = index.join(broadcast(qtermSet), Seq("term"), "leftsemi")
+    val statsDf = index.sparkSession.range(1)
+      .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
+    scoreAndCut(tf, statsDf, id, expanded, qid, k, k1, b)
+  }
+
   /** 1-based rank within each query under `order` — turns a scored
     * candidate frame into the (qid, id, rank) shape [[rrfFuse]]
     * consumes. The window partitions by `qid`, and candidate lists are

@@ -1909,6 +1909,29 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("bm25PrfTopK surfaces vocabulary the original query never typed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark agg pipelines run fast"),               // matches 'agg'
+      (2L, "agg aggregate aggregate aggregate details"),  // the bridge doc
+      (3L, "aggregate functions in distributed engines"), // NO 'agg' at all
+      (4L, "completely unrelated walrus content here"))
+      .toDF("doc_id", "text")
+    val qs = Seq(("q1", "agg")).toDF("q_id", "qtext")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val stats = Retrieval.corpusStatsOf(docs, "text")
+    val plain = Retrieval.bm25TopKIndexed(idx, stats, "doc_id",
+        qs, "q_id", "qtext", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prf = Retrieval.bm25PrfTopK(idx, stats, "doc_id",
+        qs, "q_id", "qtext", k = 10, fbDocs = 2, fbTerms = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(3L), s"plain BM25 cannot see doc 3: $plain")
+    assert(prf.contains(3L),
+      s"PRF must expand 'agg' -> 'aggregate' and surface doc 3: $prf")
+    assert(!prf.contains(4L), "unrelated doc stays out")
+  }
+
   test("hits separates hubs from authorities on a directed star") {
     import spark.implicits._
     // 1 and 2 both link to {10, 11, 12}; nothing links back: 1,2 are
