@@ -460,6 +460,26 @@ object QueriesOps {
           "digit_ratio", "alpha_ratio", "stop_ratio", "quality")
         .orderBy(col("doc_id"))),
 
+    // Flesch Reading Ease next to the Gopher rules: regexp/HOF
+    // projections only, fixed-order IEEE formula, NULL on no-word docs
+    "x_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"), "text")
+        .select("doc_id", "n_words", "n_sentences", "n_syllables", "fre")
+        .orderBy(col("doc_id"))),
+
+    // the quality router's frame-shaped verdict twin (the streaming
+    // file-sink path is spec-only): accept iff score >= threshold and
+    // comparable; every 97th doc's score nulled to pin NaN/null routing
+    "s_route" -> ((s, d) => {
+      val scored = TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+        .withColumn("q", when(col("doc_id") % 97 === 0,
+          lit(null).cast("double")).otherwise(col("quality")))
+      graft.streaming.EventStreams.routeVerdict(scored, col("q"),
+          threshold = 0.5)
+        .select("doc_id", "q", "verdict")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents"), "text")
         .select("doc_id", "ws_tokens", "bpe_ish_tokens", "approx_tokens")
@@ -4144,6 +4164,48 @@ s"""WITH lines AS (
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Flesch replay: same tokenizer, sentence runs, vowel-group
+    // syllables (>=1 per word), identical IEEE formula order
+    "x_readability" ->
+      s"""WITH w AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(coalesce(list_sum(list_transform(tk, x ->
+        |      greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+        |      AS BIGINT) AS n_syllables
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |  END AS fre
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // router-verdict replay: the x_datacard quality chain per doc,
+    // nulls for every 97th id, null-inclusive reject CASE
+    "s_route" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    greatest(0.0, least(1.0,
+        |      0.25 * least(nw / 50.0, 1.0) +
+        |      0.25 * (alpha / greatest(n, 1.0)) +
+        |      0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL ELSE quality END AS q,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'reject'
+        |       WHEN quality >= 0.5 THEN 'accept' ELSE 'reject' END AS verdict
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // Quadratic ground truth is feasible oracle-side at 500 docs; the
     // synthetic near-dups all sit at jaccard >= 0.9 where 16-band LSH

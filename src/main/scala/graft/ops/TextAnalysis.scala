@@ -72,6 +72,40 @@ object TextAnalysis {
           lit(0.25) * (lit(1.0) - least(col("punct_ratio") * lit(10.0), lit(1.0))) +
           lit(0.25) * (lit(1.0) - least(col("digit_ratio") * lit(10.0), lit(1.0))))))
 
+  /** Flesch Reading Ease (Flesch 1948) — the classic readability
+    * signal a curation run reads next to the Gopher rules: FRE =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    * Sentences = runs of [.!?]; syllables = vowel-group runs per word
+    * (≥1 each) — the standard corpus-scale heuristic (exact
+    * hyphenation needs a dictionary; the RANKING is what filters
+    * use). Every count is a codegen regexp/HOF projection, the word
+    * array materializes ONCE per row (evaluation-shape rule), and the
+    * formula is fixed-order IEEE — the oracle replays it bit-for-bit.
+    * Docs with no words score NULL (no prose, no grade).
+    * Output: input + n_words, n_sentences, n_syllables, fre. */
+  def readability(df: DataFrame, text: String): DataFrame = {
+    val words = split(trim(regexp_replace(lower(col(text)),
+      "[^a-z0-9]+", " ")), " ")
+    val out = df
+      .withColumn("__w", filter(words, w => w =!= ""))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L), size(regexp_extract_all(col(text),
+          lit("[.!?]+"), lit(0))).cast("long")))
+      .withColumn("n_syllables",
+        aggregate(col("__w"), lit(0L), (acc, w) => acc +
+          greatest(lit(1),
+            size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast("long")))
+    out.withColumn("fre",
+        when(col("n_words") > 0,
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+      .drop("__w")
+  }
+
   // ---- token counting ----------------------------------------------------
   /** Whitespace tokens + a BPE-ish regex segmentation (letter runs,
     * digit runs, single punctuation marks) + a chars/4 heuristic. */

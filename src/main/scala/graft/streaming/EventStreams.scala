@@ -254,6 +254,19 @@ object EventStreams {
     } finally { scored.unpersist(); () }
   }
 
+  /** Frame-shaped twin of [[routeBatch]]'s split decision — the same
+    * predicate as a pure projection, so the router's semantics are
+    * oracle-checkable (the file-sink effects themselves are not a
+    * single-frame shape): accept iff score >= threshold and the score
+    * is comparable; NaN/null scores land in reject. Exactly one
+    * verdict per row by construction. */
+  def routeVerdict(df: DataFrame, score: Column,
+                   threshold: Double): DataFrame = {
+    val accepts = score >= threshold && !score.isNaN
+    df.withColumn("verdict",
+      when(coalesce(accepts, lit(false)), "accept").otherwise("reject"))
+  }
+
   /** Streaming quality router: ONE pass over the stream fans out to
     * accept/reject parquet sinks by a quality score — the ingest-time
     * filter of a training-data pipeline (score with

@@ -1909,6 +1909,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("readability ranks simple prose above polysyllabic prose; routeVerdict routes NaN/null to reject") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran. We all left."),
+      (2L, "Internationalization methodologies necessitate organizational interoperability."),
+      (3L, "...")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.readability(df, "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out(1L).get > out(2L).get,
+      s"monosyllables must score easier: $out")
+    assert(out(3L).isEmpty, "no-word doc scores NULL")
+    val routed = graft.streaming.EventStreams.routeVerdict(
+        Seq((1L, 0.9), (2L, 0.2), (3L, Double.NaN))
+          .toDF("id", "s").union(Seq((4L, Option.empty[Double]))
+            .toDF("id", "s")),
+        col("s"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(routed == Map(1L -> "accept", 2L -> "reject",
+      3L -> "reject", 4L -> "reject"), s"router partition broken: $routed")
+  }
+
   test("bm25PrfTopK surfaces vocabulary the original query never typed") {
     import spark.implicits._
     val docs = Seq(
