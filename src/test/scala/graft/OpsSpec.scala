@@ -1916,8 +1916,9 @@ class OpsSpec extends SparkTestBase {
       (2L, "Internationalization methodologies necessitate organizational interoperability."),
       (3L, "...")).toDF("doc_id", "text")
     val out = graft.ops.TextAnalysis.readability(df, "text")
+      .select("doc_id", "fre")
       .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(out(1L).get > out(2L).get,
       s"monosyllables must score easier: $out")
     assert(out(3L).isEmpty, "no-word doc scores NULL")
