@@ -621,6 +621,16 @@ object QueriesOps {
       Multimodal.decodePpm(media).toDF().orderBy(col("media_id"))
     }),
 
+    // nearest-neighbor resize through the real byte transform: 8x6 →
+    // 4x3 (every-other-pixel sampling), then the real decoder; the
+    // oracle replays the resampled channel means by string indexing
+    "x_resize" -> ((s, d) => {
+      val media = Multimodal.syntheticPpm(t(s, d, "documents"), "doc_id", "text",
+        w = 8, h = 6)
+      Multimodal.decodePpm(Multimodal.resizePpm(media, dstW = 4, dstH = 3))
+        .toDF().orderBy(col("media_id"))
+    }),
+
     "x_frames" -> ((s, d) => {
       val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
       Multimodal.sampleFrames(media, frameBytes = 32, stride = 4)
@@ -2374,6 +2384,30 @@ object QueriesOps {
         |  CAST(sr AS DOUBLE)/48.0 AS mean_r,
         |  CAST(sg AS DOUBLE)/48.0 AS mean_g,
         |  CAST(sb AS DOUBLE)/48.0 AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // resize replay: destination pixel (x,y) reads source (2x, 2y) on
+    // the 8-wide grid — chars ((2y)*8 + 2x)*3 + c of the raster string
+    "x_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 5), 144, '0'), 1, 144) AS px
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(1, 145),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1))) AS cs FROM p),
+        |s AS (SELECT doc_id,
+        |    list_sum(list_transform(range(0, 12),
+        |      j -> cs[CAST(((j//4)*2*8 + (j%4)*2)*3 + 1 AS INT)])) AS sr,
+        |    list_sum(list_transform(range(0, 12),
+        |      j -> cs[CAST(((j//4)*2*8 + (j%4)*2)*3 + 2 AS INT)])) AS sg,
+        |    list_sum(list_transform(range(0, 12),
+        |      j -> cs[CAST(((j//4)*2*8 + (j%4)*2)*3 + 3 AS INT)])) AS sb
+        |  FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, true AS ok,
+        |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST(sr+sg+sb AS DOUBLE)/36.0 AS mean_px,
+        |  CAST(sr AS DOUBLE)/12.0 AS mean_r,
+        |  CAST(sg AS DOUBLE)/12.0 AS mean_g,
+        |  CAST(sb AS DOUBLE)/12.0 AS mean_b
         |FROM s ORDER BY media_id""".stripMargin,
 
     // dHash replay from the md5-derived pixel bytes: 216 raster chars

@@ -107,6 +107,76 @@ object Multimodal {
       }
   }
 
+  /** Nearest-neighbor resize of P6 payloads — the canonical image
+    * preprocessing step (fixed-shape training inputs, thumbnails for
+    * perceptual hashing) in the same mapPartitions byte-transform slot
+    * as the decoders: header parsed exactly like [[decodePpm]], each
+    * destination pixel (x,y) copies source pixel
+    * (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋) — integer-exact addressing, so an
+    * external engine replays the resampled statistics by string
+    * indexing into the synthetic raster. Output rows carry the
+    * re-headered payload (same media schema; meta marks the transform);
+    * malformed payloads are DROPPED (permissive — the decode step
+    * would reject them anyway, and a resize cannot invent bytes). */
+  def resizePpm(media: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW >= 1 && dstH >= 1,
+      s"resizePpm: target dims must be >= 1 (got ${dstW}x$dstH)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          try {
+            var p = 2
+            require(b != null && b.length > 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte,
+              "not a P6 ppm")
+            def skipWs(): Unit = {
+              var more = true
+              while (more && p < b.length) {
+                val c = b(p)
+                if (c == ' '.toByte || c == '\n'.toByte || c == '\t'.toByte || c == '\r'.toByte) p += 1
+                else if (c == '#'.toByte) { while (p < b.length && b(p) != '\n'.toByte) p += 1 }
+                else more = false
+              }
+            }
+            def readInt(): Int = {
+              skipWs()
+              require(p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte, "bad header int")
+              var v = 0
+              while (p < b.length && b(p) >= '0'.toByte && b(p) <= '9'.toByte) {
+                v = v * 10 + (b(p) - '0'); p += 1
+              }
+              v
+            }
+            val w = readInt(); val h = readInt(); val maxv = readInt()
+            require(maxv == 255, "only 8-bit ppm supported")
+            p += 1
+            require(w > 0 && h > 0 && b.length >= p + w * h * 3, "truncated raster")
+            val header = s"P6\n$dstW $dstH\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + dstW * dstH * 3)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var q = header.length
+            var y = 0
+            while (y < dstH) {
+              val sy = (y.toLong * h / dstH).toInt
+              var x = 0
+              while (x < dstW) {
+                val sx = (x.toLong * w / dstW).toInt
+                val sp = p + (sy * w + sx) * 3
+                out(q) = b(sp); out(q + 1) = b(sp + 1); out(q + 2) = b(sp + 2)
+                q += 3; x += 1
+              }
+              y += 1
+            }
+            Iterator.single((id, out))
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image/x-portable-pixmap").as("mime"),
+        lit("resized").as("source")))
+  }
+
   case class PpmHash(media_id: Long, ok: Boolean, dhash: Long)
 
   /** Perceptual difference-hash (dHash) over P6 payloads — the

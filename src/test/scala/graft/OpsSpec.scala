@@ -1909,6 +1909,35 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("resizePpm: identity resize is byte-identical, upscale of a constant stays constant, corrupt rows drop") {
+    import graft.ops.Multimodal
+    val media = Multimodal.syntheticPpm(
+      sqlDf("doc_id" -> Seq(1L, 2L), "text" -> Seq("alpha", "beta")),
+      "doc_id", "text", w = 8, h = 6)
+    // identity: same dims -> identical payload bytes
+    val same = Multimodal.resizePpm(media, 8, 6)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val orig = media.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(same == orig, "identity resize must be byte-identical")
+    // 1x1 upscaled to 3x3: every output pixel is the single source one
+    val one = Multimodal.syntheticPpm(
+      sqlDf("doc_id" -> Seq(9L), "text" -> Seq("gamma")), "doc_id", "text", 1, 1)
+    val up = Multimodal.decodePpm(Multimodal.resizePpm(one, 3, 3))
+      .toDF().collect().head
+    val base = Multimodal.decodePpm(one).toDF().collect().head
+    assert(up.getBoolean(1) && up.getInt(2) == 3 && up.getInt(3) == 3)
+    assert(up.getDouble(5) == base.getDouble(5) &&
+      up.getDouble(6) == base.getDouble(6) && up.getDouble(7) == base.getDouble(7),
+      "constant upscale must preserve channel means exactly")
+    // corrupt payload: dropped, not crashed
+    import org.apache.spark.sql.functions.{col => f, lit => l, encode}
+    val corrupt = media.withColumn("payload",
+      encode(l("not a ppm at all"), "UTF-8"))
+    assert(Multimodal.resizePpm(corrupt, 4, 3).count() == 0L)
+  }
+
   test("readability ranks simple prose above polysyllabic prose; routeVerdict routes NaN/null to reject") {
     import spark.implicits._
     val df = Seq(
