@@ -900,6 +900,15 @@ object QueriesOps {
       Multimodal.decodeWav(media).toDF().orderBy(col("media_id"))
     }),
 
+    // windowed RMS energy over the real PCM walk: 64 samples → 4
+    // windows of 16; exact integer energies, one sqrt per window
+    "x_audio_rms" -> ((s, d) => {
+      val media = Multimodal.syntheticWav(t(s, d, "documents"), "doc_id", "text",
+        sampleRate = 8000, nSamples = 64)
+      Multimodal.wavRmsWindows(media, windowSamples = 16).toDF()
+        .orderBy(col("media_id"), col("win_idx"))
+    }),
+
     // video: synthetic 3-frame C420 Y4M clip (md5-derived planes),
     // parsed by the real YUV4MPEG2 stream walker — luma stats per clip
     "x_video" -> ((s, d) => {
@@ -2348,6 +2357,24 @@ object QueriesOps {
         |  CAST(list_sum(cs) AS DOUBLE) / 64.0 AS mean_amp,
         |  CAST(list_max(cs) AS INT) AS peak_amp
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // RMS replay: a = ascii(char) - 128 per sample, 4 windows of 16,
+    // integer energy sums, one sqrt of the exact ratio
+    "x_audio_rms" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 3), 64, '0'), 1, 64) AS px
+        |  FROM documents),
+        |s AS (SELECT doc_id, list_transform(range(1, 65),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1)) - 128) AS cs FROM p),
+        |w AS (SELECT doc_id, CAST(r.range AS INT) AS win_idx,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> cs[CAST(r.range * 16 + j AS INT)]
+        |         * cs[CAST(r.range * 16 + j AS INT)])) AS BIGINT) AS energy
+        |  FROM s CROSS JOIN range(0, 4) r)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, win_idx,
+        |  CAST(16 AS BIGINT) AS n, energy,
+        |  sqrt(CAST(energy AS DOUBLE) / 16.0) AS rms
+        |FROM w ORDER BY media_id, win_idx""".stripMargin,
 
     "x_video" ->
       """WITH p AS (SELECT doc_id,

@@ -299,6 +299,71 @@ object Multimodal {
                          channels: Int, bits: Int, n_samples: Long,
                          duration_sec: Double, mean_amp: Double, peak_amp: Int)
 
+  case class WavWindow(media_id: Long, win_idx: Int, n: Long,
+                       energy: Long, rms: Double)
+
+  /** Windowed RMS energy over PCM samples — the audio-curation
+    * feature (silence trimming, speech/noise gating, loudness
+    * bucketing) one step past [[decodeWav]]'s whole-clip stats: the
+    * same RIFF chunk walk, then fixed `windowSamples` windows each
+    * emitting (n, Σa², rms) where a = sample−128 for 8-bit unsigned /
+    * the signed value for 16-bit. The energy is an exact integer, the
+    * rms a single sqrt of an exact ratio — an external engine replays
+    * both from the synthetic byte stream. Tail windows run short;
+    * malformed payloads are dropped (permissive, like the other
+    * byte-transform ops). */
+  def wavRmsWindows(media: DataFrame, windowSamples: Int): Dataset[WavWindow] = {
+    require(windowSamples >= 1,
+      s"wavRmsWindows: windowSamples must be >= 1 (got $windowSamples)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          try {
+            def tagAt(p: Int, s: String): Boolean =
+              p + 4 <= b.length && (0 until 4).forall(i => b(p + i) == s.charAt(i).toByte)
+            def le32(p: Int): Int =
+              (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+                ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+            def le16(p: Int): Int = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+            require(b != null && b.length >= 44 && tagAt(0, "RIFF") && tagAt(8, "WAVE"),
+              "not a RIFF/WAVE payload")
+            var p = 12
+            var fmtSeen = false
+            var bits = 0
+            val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val end = math.min(b.length.toLong, 8L + (le32(4) & 0xFFFFFFFFL)).toInt
+            while (p + 8 <= end) {
+              val size = le32(p + 4)
+              require(size >= 0 && p + 8 + size <= end, "truncated chunk")
+              if (tagAt(p, "fmt ")) {
+                require(size >= 16 && le16(p + 8) == 1, "only PCM wav supported")
+                bits = le16(p + 22)
+                require(bits == 8 || bits == 16, "bad fmt")
+                fmtSeen = true
+              } else if (tagAt(p, "data")) {
+                require(fmtSeen, "data before fmt")
+                val d = p + 8
+                if (bits == 8) { var i = 0; while (i < size) {
+                  samples += ((b(d + i) & 0xFF) - 128); i += 1 } }
+                else { require(size % 2 == 0, "odd 16-bit data size")
+                  var i = 0; while (i < size) {
+                    samples += ((le16(d + i) << 16) >> 16); i += 2 } }
+              }
+              p += 8 + size + (size & 1)
+            }
+            require(fmtSeen && samples.nonEmpty, "no PCM data")
+            samples.grouped(windowSamples).zipWithIndex.map { case (w, idx) =>
+              val energy = w.foldLeft(0L)((acc, a) => acc + a.toLong * a)
+              WavWindow(id, idx, w.length.toLong, energy,
+                math.sqrt(energy.toDouble / w.length))
+            }
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+  }
+
   /** Real RIFF/PCM parser: validates RIFF/WAVE magic, walks chunks
     * (unknown chunks skipped, word-aligned like the spec), reads the
     * fmt chunk (PCM only, 8-bit unsigned or 16-bit signed LE), and
