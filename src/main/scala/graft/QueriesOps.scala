@@ -917,6 +917,16 @@ object QueriesOps {
       Multimodal.decodeY4m(media).toDF().orderBy(col("media_id"))
     }),
 
+    // scene cuts over the real Y4M walk: per consecutive frame pair
+    // the exact luma SAD + per-pixel mean + cut flag — shot
+    // segmentation for frame sampling
+    "x_scene_cuts" -> ((s, d) => {
+      val media = Multimodal.syntheticY4m(t(s, d, "documents"), "doc_id", "text",
+        w = 4, h = 4, frames = 3)
+      Multimodal.y4mSceneCuts(media, threshold = 30.0).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // quality-curriculum token-budget selection: the best docs (by
     // composite quality, doc_id tiebreak) until the running ws-token
     // total hits 8000 — the cut is the distributed prefix scan
@@ -2375,6 +2385,24 @@ object QueriesOps {
         |  CAST(16 AS BIGINT) AS n, energy,
         |  sqrt(CAST(energy AS DOUBLE) / 16.0) AS rms
         |FROM w ORDER BY media_id, win_idx""".stripMargin,
+
+    // scene-cut replay: luma chars f*24+1..f*24+16 per frame, exact
+    // |diff| sums per consecutive pair, one division, strict > cut
+    "x_scene_cuts" ->
+      """WITH p AS (SELECT doc_id,
+        |    substring(rpad(repeat(md5(text), 3), 72, '0'), 1, 72) AS px
+        |  FROM documents),
+        |c AS (SELECT doc_id, list_transform(range(1, 73),
+        |    i -> ascii(substring(px, CAST(i AS INT), 1))) AS cs FROM p),
+        |w AS (SELECT doc_id, CAST(r.range + 1 AS INT) AS frame_idx,
+        |    CAST(list_sum(list_transform(range(1, 17), j ->
+        |      abs(cs[CAST((r.range + 1) * 24 + j AS INT)]
+        |        - cs[CAST(r.range * 24 + j AS INT)]))) AS BIGINT) AS sad
+        |  FROM c CROSS JOIN range(0, 2) r)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, frame_idx, sad,
+        |  CAST(sad AS DOUBLE) / 16.0 AS mad,
+        |  (CAST(sad AS DOUBLE) / 16.0) > 30.0 AS cut
+        |FROM w ORDER BY media_id, frame_idx""".stripMargin,
 
     "x_video" ->
       """WITH p AS (SELECT doc_id,

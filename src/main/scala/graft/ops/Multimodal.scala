@@ -537,6 +537,84 @@ object Multimodal {
       }
   }
 
+  case class SceneCut(media_id: Long, frame_idx: Int, sad: Long,
+                      mad: Double, cut: Boolean)
+
+  /** Scene-change detection over the real Y4M stream walk — video
+    * curation's shot segmentation (sample one frame per shot instead
+    * of per second; drop static slideshows): for every consecutive
+    * frame pair, the Sum of Absolute Differences over the LUMA plane
+    * (exact integer), its per-pixel mean (one IEEE division), and a
+    * cut flag at `threshold`. The same header/FRAME walk as
+    * [[decodeY4m]], holding exactly two luma planes at a time —
+    * payload-bounded state, frames never materialize downstream.
+    * frame_idx i compares frame i to i−1 (1-based over pairs).
+    * Malformed payloads drop (permissive). */
+  def y4mSceneCuts(media: DataFrame, threshold: Double): Dataset[SceneCut] = {
+    require(threshold >= 0, s"y4mSceneCuts: threshold must be >= 0")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, b) =>
+          try {
+            val magic = "YUV4MPEG2"
+            require(b != null && b.length > magic.length + 1 &&
+              (0 until magic.length).forall(i => b(i) == magic.charAt(i).toByte),
+              "not a YUV4MPEG2 payload")
+            var p = magic.length
+            var w = 0; var h = 0
+            while (p < b.length && b(p) != '\n'.toByte) {
+              require(b(p) == ' '.toByte, "bad header separator")
+              p += 1
+              require(p < b.length, "truncated header")
+              val tag = b(p); p += 1
+              val start = p
+              while (p < b.length && b(p) != ' '.toByte && b(p) != '\n'.toByte) p += 1
+              val v = new String(b, start, p - start, "US-ASCII")
+              tag match {
+                case 'W' => w = v.toInt
+                case 'H' => h = v.toInt
+                case _   =>
+              }
+            }
+            require(p < b.length && b(p) == '\n'.toByte, "unterminated header")
+            p += 1
+            require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, "bad geometry")
+            val luma = w * h
+            val frameBytes = luma + 2 * (w / 2) * (h / 2)
+            var prev: Array[Int] = null
+            val out = scala.collection.mutable.ArrayBuffer.empty[SceneCut]
+            var idx = 0
+            while (p < b.length) {
+              val fm = "FRAME"
+              require(p + fm.length <= b.length &&
+                (0 until fm.length).forall(i => b(p + i) == fm.charAt(i).toByte),
+                "bad FRAME marker")
+              p += fm.length
+              while (p < b.length && b(p) != '\n'.toByte) p += 1
+              require(p < b.length, "unterminated FRAME header")
+              p += 1
+              require(p + frameBytes <= b.length, "truncated frame")
+              val cur = new Array[Int](luma)
+              var i = 0
+              while (i < luma) { cur(i) = b(p + i) & 0xFF; i += 1 }
+              if (prev != null) {
+                var sad = 0L; i = 0
+                while (i < luma) { sad += math.abs(cur(i) - prev(i)); i += 1 }
+                val mad = sad.toDouble / luma
+                out += SceneCut(id, idx, sad, mad, mad > threshold)
+              }
+              prev = cur; idx += 1
+              p += frameBytes
+            }
+            require(idx > 0, "no frames")
+            out.iterator
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }
+  }
+
   /** Frame sampling: take every `stride`-th fixed-size block of the
     * payload (the video-frame-sample topology: explode bounded slices,
     * never materialize the whole payload per row downstream). Spark's

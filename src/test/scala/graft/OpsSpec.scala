@@ -1909,6 +1909,31 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("y4mSceneCuts flags the changed pair and stays quiet on identical frames") {
+    import graft.ops.Multimodal
+    import org.apache.spark.sql.functions.{col => f}
+    // build a 3-frame clip where frames 0 and 1 are identical and
+    // frame 2 differs: cut only at frame_idx 2
+    val base = Multimodal.syntheticY4m(
+      sqlDf("doc_id" -> Seq(1L), "text" -> Seq("alpha")), "doc_id", "text",
+      w = 4, h = 4, frames = 1)
+    val Array(hdrAndF) = base.select("payload").collect().map(_.getAs[Array[Byte]](0))
+    val hdr = hdrAndF.takeWhile(_ != '\n'.toByte) :+ '\n'.toByte
+    val frame = hdrAndF.drop(hdr.length) // FRAME\n + 24 bytes
+    val changed = frame.clone()
+    // overwrite the luma plane with a far-off constant
+    for (i <- 0 until 16) changed(6 + i) = 'z'.toByte
+    val payload = hdr ++ frame ++ frame ++ changed
+    val media = base.select(f("media_id"), f("meta")).limit(1)
+      .withColumn("payload", org.apache.spark.sql.functions.lit(payload))
+    val out = Multimodal.y4mSceneCuts(media, threshold = 10.0).toDF()
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    assert(out.length == 2)
+    assert(out(0)._2 == 0L && !out(0)._3, s"identical pair must not cut: ${out.toSeq}")
+    assert(out(1)._2 > 0L && out(1)._3, s"changed pair must cut: ${out.toSeq}")
+  }
+
   test("resizePpm: identity resize is byte-identical, upscale of a constant stays constant, corrupt rows drop") {
     import graft.ops.Multimodal
     val media = Multimodal.syntheticPpm(
