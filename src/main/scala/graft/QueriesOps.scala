@@ -776,6 +776,21 @@ object QueriesOps {
         .orderBy(col("query_id"))
     }),
 
+    // MMR diversified re-ranking of a brute-force top-20: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over bounded candidate lists
+    "x_mmr" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cands = Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+        // 4 digits: raw cosine sums differ by ~dim·ulp across engines
+        // (the x_ann_brute precedent); the greedy consumes rounded rel
+        .withColumn("cos", round(col("cos"), 4))
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      Similarity.mmrRerank(cands, "query_id", "neighbor_id", "cos",
+          "embedding", k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Matryoshka truncation recall: first-16-dims retrieval vs the
     // full 64-dim truth — the zero-compute storage lever next to JL
     // (projection) and PQ (codebooks)
@@ -2124,6 +2139,48 @@ object QueriesOps {
         |    / CAST(count(*) AS DOUBLE) AS recall
         |FROM tr LEFT JOIN rt ON tr.query_id = rt.query_id AND tr.neighbor_id = rt.neighbor_id
         |GROUP BY tr.query_id ORDER BY tr.query_id""".stripMargin,
+
+    // MMR replay: 5 unrolled greedy steps — each ranks the remaining
+    // candidates by 0.7·rel − (1.0−0.7)·max-cos-to-selected (the
+    // exact double 1.0-0.7 both engines compute), ties to lowest id
+    "x_mmr" -> {
+      def step(i: Int): String =
+        if (i == 1)
+          """s1 AS (SELECT q_id, id, v, mmr FROM (
+            |  SELECT q_id, id, v, 0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 AS mmr,
+            |    row_number() OVER (PARTITION BY q_id
+            |      ORDER BY 0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 DESC, id) AS rn
+            |  FROM cand) WHERE rn = 1),
+            |sel1 AS (SELECT q_id, id, v FROM s1)""".stripMargin
+        else
+          s"""s$i AS (SELECT q_id, id, v, mmr FROM (
+            |  SELECT q_id, id, v, mmr,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, id) AS rn
+            |  FROM (SELECT c.q_id, c.id, c.v,
+            |      0.7 * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+            |        SELECT max(round(list_cosine_similarity(c.v, s.v), 4))
+            |        FROM sel${i - 1} s WHERE s.q_id = c.q_id) AS mmr
+            |    FROM cand c
+            |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+            |      WHERE s2.q_id = c.q_id AND s2.id = c.id))) WHERE rn = 1),
+            |sel$i AS (SELECT * FROM sel${i - 1}
+            |  UNION ALL SELECT q_id, id, v FROM s$i)""".stripMargin
+      val steps = (1 to 5).map(step).mkString(",\n")
+      val finals = (1 to 5).map(i =>
+        s"SELECT q_id, id, mmr, CAST($i AS BIGINT) AS rank FROM s$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT q.vec_id AS q_id, t.vec_id AS id,
+        |    round(list_cosine_similarity(t.v, q.v), 4) AS rel, t.v AS v,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(t.v, q.v) DESC, t.vec_id) AS rk
+        |  FROM e t CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) q),
+        |cand AS (SELECT q_id, id, rel, v FROM tr WHERE rk <= 20),
+        |$steps
+        |SELECT q_id AS query_id, id AS neighbor_id, mmr, rank FROM (
+        |  $finals)
+        |ORDER BY query_id, rank""".stripMargin
+    },
 
     // MRL replay: p = v[1:16] slice, the same dual brute-force
     // retrieval + recall join as x_jl_recall

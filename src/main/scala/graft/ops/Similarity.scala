@@ -850,6 +850,78 @@ object Similarity {
     * (16 → /4) — so projected vectors are bit-identical in any
     * engine with md5. Pure projection: no shuffle, no join.
     * Replaces `vec` in place. */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — diversified retrieval: greedily pick the candidate
+    * maximizing λ·rel − (1−λ)·max_cos-to-already-selected, so the
+    * final k covers the query's facets instead of k near-copies of
+    * the top hit (the RAG-context / dedup-aware-retrieval staple).
+    *
+    * Input is a CANDIDATE frame (qid, id, rel, vec) — top-N-sized per
+    * query BY CONTRACT (this re-ranks retrieval output, it does not
+    * scan a corpus), so the per-query greedy runs in flatMapGroups
+    * over bounded lists — the same justification as the streaming
+    * state ops, with O(N·k) cosines per query. Cross-engine exactness:
+    * raw cosine sums differ by ~dim·ulp across engines (the
+    * x_ann_brute finding), so the pairwise similarity is ROUNDED to 4
+    * digits (HALF_UP — Spark's round; spec-pinned equal) before the
+    * formula, and callers should pass `rel` pre-rounded the same way;
+    * the score arithmetic on the rounded doubles then replays
+    * bit-for-bit. The penalty for an empty selected set is 0.0; ties
+    * break to the lowest id. Output: (qid, id, mmr, rank 1..k). */
+  def mmrRerank(cands: DataFrame, qid: String, id: String, rel: String,
+                vec: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1 (got $k)")
+    require(lambda >= 0 && lambda <= 1,
+      s"mmrRerank: lambda must be in [0,1] (got $lambda)")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val lam = lambda
+    val oneMinus = 1.0 - lambda
+    cands.select(col(qid).cast("long"), col(id).cast("long"),
+        col(rel).cast("double"), col(vec).cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cs = it.toArray.sortBy(_._2)
+        val vecs = cs.map(_._4.toArray)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          // 4-digit HALF_UP — Spark round()'s semantics (valueOf =
+          // shortest-decimal, the same basis Round uses)
+          java.math.BigDecimal.valueOf(dp / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+        val kk = math.min(k, cs.length)
+        while (selected.length < kk) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            if (!selected.contains(j)) {
+              var mx = 0.0
+              var s = 0
+              while (s < selected.length) {
+                val c2 = cos(vecs(j), vecs(selected(s)))
+                if (s == 0 || c2 > mx) mx = c2
+                s += 1
+              }
+              val score = lam * cs(j)._3 - oneMinus * mx
+              if (score > bestScore) { best = j; bestScore = score }
+            }
+            j += 1
+          }
+          selected += best
+          out += ((q, cs(best)._2, bestScore, selected.length.toLong))
+        }
+        out.iterator
+      }.toDF(qid, id, "mmr", "rank")
+  }
+
   /** Matryoshka-style dimension truncation (Kusupati et al. 2022,
     * "Matryoshka Representation Learning"): an MRL-trained embedding's
     * first d′ dims are themselves a usable embedding, so slicing the

@@ -1909,6 +1909,30 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("mmrRerank demotes near-copies of already-selected hits") {
+    import spark.implicits._
+    // candidates for one query: 10 and 11 are near-identical vectors
+    // with the top rel scores; 20 points elsewhere with lower rel.
+    // Pure relevance order: 10, 11, 20. MMR must pick 20 second.
+    val cands = Seq(
+      (1L, 10L, 0.99, Seq(1.0, 0.0, 0.0)),
+      (1L, 11L, 0.98, Seq(0.999, 0.001, 0.0)),
+      (1L, 20L, 0.50, Seq(0.0, 1.0, 0.0)))
+      .toDF("q", "id", "rel", "v")
+    val order = Similarity.mmrRerank(cands, "q", "id", "rel", "v",
+        k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(order == Seq(10L, 20L, 11L),
+      s"diversity must demote the near-copy: $order")
+    // the internal HALF_UP rounding matches Spark's round() on a sweep
+    val xs = Seq(0.12344999, 0.12345001, -0.5, 0.99995, 1.0 / 3.0)
+    val viaSpark = xs.toDF("x")
+      .select(round(col("x"), 4)).collect().map(_.getDouble(0)).toSeq
+    val viaScala = xs.map(x => java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    assert(viaSpark == viaScala, s"round parity: $viaSpark vs $viaScala")
+  }
+
   test("y4mSceneCuts flags the changed pair and stays quiet on identical frames") {
     import graft.ops.Multimodal
     import org.apache.spark.sql.functions.{col => f}
