@@ -1519,6 +1519,12 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // windowed event anomalies: hourly per-type counts, per-type
+    // exact median/MAD over windows, robust z flags at 3.5
+    "x_anomaly" -> ((s, d) =>
+      EventAnalytics.anomalousWindows(events(s, d), "1 hour", k = 3.5)
+        .orderBy(col("event_type"), col("wstart"))),
+
     // most common 3-step opening paths: one user-partitioned window,
     // in-agg sort_array rebuild, partial-agg count + TakeOrdered
     "x_paths" -> ((s, d) =>
@@ -4032,6 +4038,27 @@ s"""WITH lines AS (
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
+
+    // anomaly replay: date_trunc hour windows, quantile_cont medians
+    // (type-7 — the proven x_quantiles convention), same z chain
+    "x_anomaly" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |d AS (SELECT c.event_type, abs(CAST(c.n AS DOUBLE) - m.med) AS dev
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT c.event_type, c.wstart, c.n, m.med, md.mad,
+        |  CASE WHEN md.mad = 0.0 THEN NULL
+        |    ELSE (CAST(c.n AS DOUBLE) - m.med) / (1.4826 * md.mad) END AS robust_z,
+        |  coalesce(abs(CASE WHEN md.mad = 0.0 THEN NULL
+        |    ELSE (CAST(c.n AS DOUBLE) - m.med) / (1.4826 * md.mad) END) > 3.5,
+        |    false) AS is_anomaly
+        |FROM c JOIN m USING (event_type) JOIN md USING (event_type)
+        |ORDER BY event_type, wstart""".stripMargin,
 
     // HITS replay: 2 unrolled iterations, the same 18-decimal sums,
     // L1 totals, and the auth-from-hubs-then-hub-from-NEW-auths order

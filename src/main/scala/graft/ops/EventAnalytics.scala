@@ -131,4 +131,42 @@ object EventAnalytics {
         (col("n").cast("double") + lit(smooth)) /
           (col("n_prev").cast("double") + lit(smooth)))
   }
+
+  /** Windowed anomaly detection — the alerting read over an event
+    * firehose: tumbling per-type window counts, then each type's
+    * median/MAD over its OWN windows (exact type-7 medians from
+    * [[graft.ops.Profiling.groupedQuantiles]] — anomaly thresholds
+    * from means/sds would be dragged by the very spikes they hunt),
+    * and the standard robust z flag at `k` (1.4826·MAD ≈ σ under
+    * normality). A type whose windows never vary (MAD 0) yields NULL
+    * z — flagging everything there is noise, not signal.
+    *
+    * Scale: the corpus collapses to the (windows × types) count
+    * profile in ONE partial agg; everything after is profile-sized
+    * (per-type window partitions, two broadcast joins back).
+    * Output: (event_type, wstart, n, med, mad, robust_z, is_anomaly). */
+  def anomalousWindows(events: DataFrame, windowLen: String = "1 hour",
+                       k: Double = 3.5): DataFrame = {
+    require(k > 0.0, s"anomalousWindows: k must be positive (got $k)")
+    val counts = events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+    val med = Profiling.groupedQuantiles(counts, Seq("event_type"),
+        col("n"), Seq(0.5))
+      .select(col("event_type"), col("quantile").as("med"))
+    val withMed = counts.join(broadcast(med), Seq("event_type"))
+    val dev = withMed.select(col("event_type"),
+      abs(col("n").cast("double") - col("med")).as("__dev"))
+    val mad = Profiling.groupedQuantiles(dev, Seq("event_type"),
+        col("__dev"), Seq(0.5))
+      .select(col("event_type"), col("quantile").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .withColumn("robust_z",
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise((col("n").cast("double") - col("med"))
+            / (lit(1.4826) * col("mad"))))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > lit(k), lit(false)))
+  }
 }

@@ -1909,6 +1909,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("anomalousWindows flags the spike hour, not the steady ones; MAD-0 types yield NULL z") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(h: Int, i: Int) = new java.sql.Timestamp(base + h * 3600000L + i * 1000L)
+    // 'view': 5 hours of ~10 events, one hour of 100 (the spike);
+    // 'ping': identical count every hour (MAD 0)
+    val evs = (for { h <- 0 until 6; i <- 0 until (if (h == 3) 100 else 10 + h % 2) }
+      yield (ts(h, i), "view")) ++
+      (for { h <- 0 until 6; i <- 0 until 7 } yield (ts(h, i), "ping"))
+    val df = evs.toDF("ts", "event_type")
+    val out = graft.ops.EventAnalytics.anomalousWindows(df, "1 hour", k = 3.5)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    val viewRows = out.filter(_._1 == "view")
+    assert(viewRows.count(_._4) == 1 &&
+      viewRows.find(_._4).get._2 == 100L,
+      s"exactly the spike hour flags: ${viewRows.toSeq}")
+    val pingRows = out.filter(_._1 == "ping")
+    assert(pingRows.forall(r => r._3.isEmpty && !r._4),
+      s"constant type must yield NULL z, no flags: ${pingRows.toSeq}")
+  }
+
   test("mmrRerank demotes near-copies of already-selected hits") {
     import spark.implicits._
     // candidates for one query: 10 and 11 are near-identical vectors
