@@ -1519,6 +1519,15 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // exact two-sample KS drift statistic: even- vs odd-order price
+    // distributions; distinct-value counts + the distributed prefix
+    // scan CDFs + a 1-row TakeOrdered sup
+    "x_ks" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profiling.ksTest(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
+
     // windowed event anomalies: hourly per-type counts, per-type
     // exact median/MAD over windows, robust z flags at 3.5
     "x_anomaly" -> ((s, d) =>
@@ -4038,6 +4047,30 @@ s"""WITH lines AS (
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
+
+    // KS replay: per-value counts, ordered window cumsums (sequential
+    // — identical to the scan order), same division chain, sup by
+    // (d DESC, v) LIMIT 1
+    "x_ks" ->
+      """WITH u AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |c AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY v),
+        |f AS (SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f2
+        |  FROM c),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        |d AS (SELECT v, abs(f1 / n1 - f2 / n2) AS dd, n1, n2
+        |  FROM f CROSS JOIN t)
+        |SELECT dd AS ks, v AS at_value,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM d ORDER BY dd DESC, v LIMIT 1""".stripMargin,
 
     // anomaly replay: date_trunc hour windows, quantile_cont medians
     // (type-7 — the proven x_quantiles convention), same z chain

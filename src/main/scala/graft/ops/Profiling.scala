@@ -463,6 +463,42 @@ object Profiling {
       .drop("__n")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-drift read between two corpus versions (did the
+    * doc-length / quality / price distribution move?): sup over all
+    * values of |F_a(v) − F_b(v)|, computed exactly on the full data —
+    * no binning, no sampling. The union collapses to per-distinct-
+    * value counts in ONE partial agg; both empirical CDFs come from
+    * the distributed prefix scan ([[graft.functions.ScanFns
+    * .withCumulatives]] — one range-partitioned sort, two streamed
+    * passes, never a global window); the sup is a 1-row TakeOrdered.
+    * CDF steps are integer counts in doubles (exact), the per-value
+    * divisions fixed-order IEEE — fully engine-replayable. Ties at
+    * the sup break to the smallest value. Output: one row
+    * (ks, at_value, n1, n2). */
+  def ksTest(a: DataFrame, b: DataFrame, value: String): DataFrame = {
+    def side(df: DataFrame, s1: Double, s2: Double) =
+      df.select(col(value).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s1", lit(s1)).withColumn("__s2", lit(s2))
+    val u = side(a, 1.0, 0.0).unionByName(side(b, 0.0, 1.0))
+    val counts = u.groupBy(col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+    val cum = graft.functions.ScanFns.withCumulatives(counts,
+      Seq((col("__c1"), graft.functions.ScanFns.SumOp, "__f1"),
+          (col("__c2"), graft.functions.ScanFns.SumOp, "__f2")),
+      Seq(col("__v").asc))
+    val tot = counts.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__v"),
+        abs(col("__f1") / col("__n1") - col("__f2") / col("__n2")).as("__d"),
+        col("__n1"), col("__n2"))
+      .orderBy(col("__d").desc, col("__v").asc)
+      .limit(1)
+      .select(col("__d").as("ks"), col("__v").as("at_value"),
+        col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"))
+  }
+
   /** t-closeness profile (Li et al. 2007) — the third leg of the
     * privacy trio: l-diversity counts distinct sensitive values but a
     * class can still SKEW toward one (50 rows, 49 "disease", 1

@@ -1909,6 +1909,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("ksTest: identical samples score 0, disjoint samples score 1, shift lands between") {
+    import spark.implicits._
+    val xs = (1 to 100).map(_.toDouble)
+    val same = graft.ops.Profiling.ksTest(
+      xs.toDF("v"), xs.toDF("v"), "v").head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(2) == 100L)
+    val disjoint = graft.ops.Profiling.ksTest(
+      xs.toDF("v"), xs.map(_ + 1000.0).toDF("v"), "v").head()
+    assert(disjoint.getDouble(0) == 1.0,
+      s"disjoint supports must give ks=1: $disjoint")
+    assert(disjoint.getDouble(1) == 100.0,
+      s"sup sits at sample A's max: $disjoint")
+    val shifted = graft.ops.Profiling.ksTest(
+      xs.toDF("v"), xs.map(_ + 50.0).toDF("v"), "v").head()
+    assert(shifted.getDouble(0) == 0.5, s"half-overlap shift gives 0.5: $shifted")
+    // partition-invariant (the prefix scan owns the order)
+    val again = graft.ops.Profiling.ksTest(
+      xs.toDF("v").repartition(7), xs.map(_ + 50.0).toDF("v").repartition(3),
+      "v").head()
+    assert(again.getDouble(0) == 0.5 && again.getDouble(1) == shifted.getDouble(1))
+  }
+
   test("anomalousWindows flags the spike hour, not the steady ones; MAD-0 types yield NULL z") {
     import spark.implicits._
     val base = 1700000000000L
