@@ -1528,6 +1528,21 @@ object QueriesOps {
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
 
+    // PSI drift over reference deciles: doc-length stability between
+    // the even- and odd-id halves (Laplace-smoothed, floor-grid sum)
+    "x_psi" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.psi(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "n_chars", nBins = 10)
+    }),
+
+    // chi-square homogeneity of the language mix between the halves
+    "x_chi2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.chiSquareTest(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
     // windowed event anomalies: hourly per-type counts, per-type
     // exact median/MAD over windows, robust z flags at 3.5
     "x_anomaly" -> ((s, d) =>
@@ -4047,6 +4062,65 @@ s"""WITH lines AS (
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
+
+    // PSI replay: reference quantile_cont deciles, same comparison
+    // chain, Laplace smoothing, floor-grid term sum
+    "x_psi" -> {
+      val fences = (0 until 9).map(i =>
+        s"quantile_cont(v, 0.${i + 1}) AS f$i").mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"CASE WHEN v > f$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |f AS (SELECT $fences FROM r),
+        |rc AS (SELECT ($binExpr) AS bin, count(*) AS cr
+        |  FROM r CROSS JOIN f GROUP BY 1),
+        |cc AS (SELECT ($binExpr) AS bin, count(*) AS ccur
+        |  FROM c CROSS JOIN f GROUP BY 1),
+        |t AS (SELECT (SELECT sum(cr) FROM rc) AS nr,
+        |  (SELECT sum(ccur) FROM cc) AS nc),
+        |g AS (SELECT CAST(r2.range AS INT) AS bin FROM range(0, 10) r2),
+        |pq AS (SELECT
+        |    (CAST(coalesce(rc.cr, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(nr AS DOUBLE) + 5.0) AS p,
+        |    (CAST(coalesce(cc.ccur, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(nc AS DOUBLE) + 5.0) AS q,
+        |    nr, nc
+        |  FROM g LEFT JOIN rc ON g.bin = rc.bin
+        |  LEFT JOIN cc ON g.bin = cc.bin CROSS JOIN t)
+        |SELECT CAST(sum(CAST(floor((p - q) * ln(p / q) * 1073741824.0 + 0.5)
+        |    AS HUGEINT)) AS DOUBLE) / 1073741824.0 AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM pq""".stripMargin
+    },
+
+    // chi-square replay: full-joined category counts, pooled-share
+    // expectations, floor-grid term sum, dof = k-1
+    "x_chi2" ->
+      """WITH a AS (SELECT lang AS k, count(*) AS o1 FROM documents
+        |  WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+        |b AS (SELECT lang AS k, count(*) AS o2 FROM documents
+        |  WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(a.k, b.k) AS k, coalesce(o1, 0) AS o1,
+        |    coalesce(o2, 0) AS o2
+        |  FROM a FULL JOIN b ON a.k = b.k),
+        |t AS (SELECT sum(o1) AS n1, sum(o2) AS n2 FROM j),
+        |d AS (SELECT
+        |    CAST(o1 AS DOUBLE) AS o1d, CAST(o2 AS DOUBLE) AS o2d,
+        |    CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS e1,
+        |    CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+        |      / CAST(n1 + n2 AS DOUBLE) AS e2,
+        |    n1, n2
+        |  FROM j CROSS JOIN t)
+        |SELECT CAST(sum(CAST(floor(((o1d - e1) * (o1d - e1) / e1
+        |      + (o2d - e2) * (o2d - e2) / e2) * 16777216.0 + 0.5)
+        |    AS HUGEINT)) AS DOUBLE) / 16777216.0 AS chi2,
+        |  CAST(count(*) - 1 AS BIGINT) AS dof,
+        |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |FROM d""".stripMargin,
 
     // KS replay: per-value counts, ordered window cumsums (sequential
     // — identical to the scan order), same division chain, sup by

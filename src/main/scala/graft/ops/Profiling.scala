@@ -499,6 +499,87 @@ object Profiling {
         col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"))
   }
 
+  /** Population Stability Index (the scorecard-monitoring standard)
+    * between a REFERENCE corpus and a CURRENT one, over equal-
+    * population bins of the reference: PSI = Σ_bins (p−q)·ln(p/q).
+    * Fences are the reference's exact type-7 quantiles (one fence
+    * scan), binning is the codegen comparison chain both frames
+    * share, counts collapse map-side, and empty bins are
+    * Laplace-smoothed ((c+0.5)/(n+0.5·nBins)) instead of clamped so
+    * the index is defined on any pair. The nBins-term total crosses
+    * the floor(x·2^30+0.5) grid (order-invariant, engine-replayed).
+    * Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    * Output: one row (psi, n_ref, n_cur). */
+  def psi(ref: DataFrame, cur: DataFrame, value: String,
+          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"psi: nBins=$nBins out of the sane fence range [2,1000]")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val fcols = ps.zipWithIndex.map { case (p, i) =>
+      max(when(col("p") === p, col("quantile"))).as(s"__f$i") }
+    val fences = exactQuantiles(ref, col(value), ps).agg(fcols.head, fcols.tail: _*)
+    def binCounts(df: DataFrame): DataFrame = {
+      val bin = ps.indices.map(i =>
+        when(col(value).cast("double") > col(s"__f$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      df.filter(col(value).isNotNull).crossJoin(broadcast(fences))
+        .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("c"))
+    }
+    val spark = ref.sparkSession
+    val bins = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val rc = binCounts(ref).withColumnRenamed("c", "__cr")
+    val cc = binCounts(cur).withColumnRenamed("c", "__cc")
+    val tot = rc.agg(sum(col("__cr")).as("__nr"))
+      .crossJoin(cc.agg(sum(col("__cc")).as("__nc")))
+    val grid = bins.join(rc, Seq("bin"), "left").join(cc, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        ((coalesce(col("__cr"), lit(0L)).cast("double") + 0.5) /
+          (col("__nr").cast("double") + 0.5 * nBins)).as("__p"),
+        ((coalesce(col("__cc"), lit(0L)).cast("double") + 0.5) /
+          (col("__nc").cast("double") + 0.5 * nBins)).as("__q"),
+        col("__nr"), col("__nc"))
+    grid
+      .withColumn("__t", floor((col("__p") - col("__q")) *
+        log(col("__p") / col("__q")) * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+      .agg((sum(col("__t")).cast("double") / 1073741824.0).as("psi"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
+
+  /** Two-sample chi-square homogeneity statistic over a CATEGORICAL
+    * column (the KS complement: language mix, source mix, event-type
+    * mix between corpus versions): Σ_cats (o−e)²/e for both samples
+    * with pooled-share expectations. Category tables are bounded BY
+    * CONTRACT (it's a categorical column); the k-term total crosses
+    * the floor(x·2^24+0.5) grid for order-invariance. dof = k−1.
+    * Output: one row (chi2, dof, n1, n2). */
+  def chiSquareTest(a: DataFrame, b: DataFrame, cat: String): DataFrame = {
+    val ca = a.filter(col(cat).isNotNull)
+      .groupBy(col(cat).as("__k")).agg(count(lit(1)).as("__o1"))
+    val cb = b.filter(col(cat).isNotNull)
+      .groupBy(col(cat).as("__k")).agg(count(lit(1)).as("__o2"))
+    val j = ca.join(cb, Seq("__k"), "full")
+      .select(col("__k"), coalesce(col("__o1"), lit(0L)).as("__o1"),
+        coalesce(col("__o2"), lit(0L)).as("__o2"))
+    val tot = j.agg(sum(col("__o1")).as("__n1"), sum(col("__o2")).as("__n2"))
+    val d = j.crossJoin(broadcast(tot))
+      .withColumn("__e1", col("__n1").cast("double") *
+        (col("__o1") + col("__o2")).cast("double") /
+        (col("__n1") + col("__n2")).cast("double"))
+      .withColumn("__e2", col("__n2").cast("double") *
+        (col("__o1") + col("__o2")).cast("double") /
+        (col("__n1") + col("__n2")).cast("double"))
+      .withColumn("__t", floor((
+        (col("__o1").cast("double") - col("__e1")) *
+          (col("__o1").cast("double") - col("__e1")) / col("__e1") +
+        (col("__o2").cast("double") - col("__e2")) *
+          (col("__o2").cast("double") - col("__e2")) / col("__e2")) *
+        16777216.0 + 0.5).cast("decimal(38,0)"))
+    d.agg((sum(col("__t")).cast("double") / 16777216.0).as("chi2"),
+      (count(lit(1)) - 1L).as("dof"),
+      max(col("__n1")).as("n1"), max(col("__n2")).as("n2"))
+  }
+
   /** t-closeness profile (Li et al. 2007) — the third leg of the
     * privacy trio: l-diversity counts distinct sensitive values but a
     * class can still SKEW toward one (50 rows, 49 "disease", 1

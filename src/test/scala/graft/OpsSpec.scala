@@ -1909,6 +1909,23 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("psi and chiSquare: near-zero on identical halves, large on shifted/skewed ones") {
+    import spark.implicits._
+    val xs = (1 to 1000).map(_.toDouble)
+    val psiSame = graft.ops.Profiling.psi(xs.toDF("v"), xs.toDF("v"), "v").head()
+    assert(math.abs(psiSame.getDouble(0)) < 1e-6, s"identical -> ~0: $psiSame")
+    val psiShift = graft.ops.Profiling.psi(
+      xs.toDF("v"), xs.map(_ + 500.0).toDF("v"), "v").head()
+    assert(psiShift.getDouble(0) > 0.25, s"half-shift must read 'shifted': $psiShift")
+    val a = (Seq.fill(90)("en") ++ Seq.fill(10)("fr")).toDF("k")
+    val chiSame = graft.ops.Profiling.chiSquareTest(a, a, "k").head()
+    assert(chiSame.getDouble(0) == 0.0 && chiSame.getLong(1) == 1L)
+    val b = (Seq.fill(10)("en") ++ Seq.fill(90)("fr")).toDF("k")
+    val chiSkew = graft.ops.Profiling.chiSquareTest(a, b, "k").head()
+    assert(chiSkew.getDouble(0) > 100.0,
+      s"a 90/10 flip must be wildly significant: $chiSkew")
+  }
+
   test("ksTest: identical samples score 0, disjoint samples score 1, shift lands between") {
     import spark.implicits._
     val xs = (1 to 100).map(_.toDouble)
