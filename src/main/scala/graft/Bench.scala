@@ -23,8 +23,10 @@ object Bench {
     "x_subword", "x_zipf", "x_novelty", "x_js_div", "x_bigram_lm", "x_pq",
     "x_cdc", "x_dedup_incr", "x_bpe_train", "x_strip_spans",
     // round-15 additions: layout key projection, dedup policy layer,
-    // native session_window (vs the stateful s_sessionize twin)
+    // native session_window (vs the stateful s_sessionize twin),
+    // PRF retrieval, KS drift sort, event anomaly profile, MMR rerank
     "x_zorder", "x_dedup_ensemble", "s_session_window",
+    "x_bm25_prf", "x_ks", "x_anomaly", "x_mmr",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -91,9 +93,11 @@ object Bench {
     "x_bm25_indexed", "x_subword", "x_zipf", "x_novelty", "x_js_div",
     "x_bigram_lm", "x_pq", "x_cdc", "x_dedup_incr", "x_bpe_train",
     "x_strip_spans",
-    // round-15: the ensemble policy's exact+LSH+CC chain and the
-    // native session_window agg over the 10x corpora
-    "x_dedup_ensemble", "s_session_window")
+    // round-15: the ensemble policy's exact+LSH+CC chain, the native
+    // session_window agg, the two-pass PRF retrieval, the KS
+    // distinct-value sort, and the anomaly window profile at 10x
+    "x_dedup_ensemble", "s_session_window", "x_bm25_prf", "x_ks",
+    "x_anomaly")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
