@@ -1422,6 +1422,19 @@ object QueriesOps {
       TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 3)
         .orderBy(col("rank"))),
 
+    // train -> apply round trip: the 3 learned merges re-applied to
+    // the corpus as one codegen projection; per-doc subword digest
+    "x_bpe_apply" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", merges = 3)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(docs, "text", merges)
+        .select(col("doc_id"), col("n_bpe"),
+          md5(concat_ws("|", col("bpe_tokens"))).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 lexical retrieval: 3 queries against the corpus, top-10
     // each — one corpus tokenization, broadcast query/df/stats sides,
     // GroupedTopK bounded-heap cut (no full sort of scored docs)
@@ -3942,6 +3955,49 @@ s"""WITH lines AS (
         |UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
         |UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM m3
         |ORDER BY rank""".stripMargin
+    },
+
+    // apply replay: the train chain re-derives the 3 merges, then the
+    // same boundary encoding + rank-ordered replace chain per word
+    "x_bpe_apply" -> {
+      def round(i: Int) =
+        s"""a$i AS (SELECT s[2:length(s)-1] AS core, wc, s FROM s$i),
+           |p$i AS (SELECT pr[1] AS l, pr[2] AS r, sum(wc) AS c
+           |  FROM (SELECT unnest(list_transform(range(1, len(arr)),
+           |          k -> [arr[CAST(k AS INT)], arr[CAST(k AS INT) + 1]])) AS pr, wc
+           |        FROM (SELECT string_split(core, '||') AS arr, wc FROM a$i)
+           |        WHERE len(arr) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, c FROM p$i WHERE c >= 1
+           |  ORDER BY c DESC, l, r LIMIT 1),
+           |s${i + 1} AS MATERIALIZED (SELECT
+           |    replace(t.s, '|'||m.l||'||'||m.r||'|', '|'||m.l||m.r||'|') AS s, wc
+           |  FROM s$i t CROSS JOIN m$i m)""".stripMargin
+      s"""WITH w AS (SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |s1 AS MATERIALIZED (SELECT '|' || array_to_string(
+        |    list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]),
+        |    '||') || '|' AS s, wc FROM w),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |doc AS (SELECT doc_id, list_filter($toksSql, x -> x <> '') AS ws
+        |  FROM documents),
+        |enc AS (SELECT doc_id, list_transform(ws, ww -> '|' ||
+        |    array_to_string(list_transform(range(1, length(ww) + 1),
+        |      i -> ww[CAST(i AS INT)]), '||') || '|') AS es FROM doc),
+        |ap AS (SELECT doc_id, list_transform(es, e ->
+        |    replace(replace(replace(e,
+        |      '|'||m1.l||'||'||m1.r||'|', '|'||m1.l||m1.r||'|'),
+        |      '|'||m2.l||'||'||m2.r||'|', '|'||m2.l||m2.r||'|'),
+        |      '|'||m3.l||'||'||m3.r||'|', '|'||m3.l||m3.r||'|')) AS asx
+        |  FROM enc CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3),
+        |sub AS (SELECT doc_id, flatten(list_transform(asx,
+        |    a2 -> string_split(a2[2:length(a2)-1], '||'))) AS subs FROM ap)
+        |SELECT doc_id, CAST(len(subs) AS BIGINT) AS n_bpe,
+        |  md5(array_to_string(subs, '|')) AS digest
+        |FROM sub ORDER BY doc_id""".stripMargin
     },
 
     // replays the full BM25 chain: same tokenization, same fixed-order

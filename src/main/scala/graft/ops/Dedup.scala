@@ -653,6 +653,32 @@ object Dedup {
         (col("__chars") - coalesce(col("__uniq_chars"), lit(0L))).as("dup_chars"))
   }
 
+  /** LSH S-curve detection probability: a pair with true jaccard `j`
+    * is caught by at least one of `b` bands of `r` rows with
+    * P = 1 − (1 − j^r)^b. The planning read behind every
+    * (numPerm, numBands) choice in this file. */
+  def lshDetectProb(j: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), b)
+
+  /** Band planner: among the divisor splits b·r = numPerm, pick the
+    * (bands, rowsPerBand) whose S-curve midpoint (1/b)^(1/r) sits
+    * closest to `threshold` — the standard Leskovec/Rajaraman/Ullman
+    * recipe. Low thresholds want many narrow bands (catch weak pairs,
+    * eat false positives — the jaccard verify pass cleans them); high
+    * thresholds want few wide bands. Driver-pure arithmetic; feed the
+    * result straight to [[minhashLsh]]. Returns (bands, rowsPerBand,
+    * detection probability at the threshold). */
+  def lshPlan(numPerm: Int, threshold: Double): (Int, Int, Double) = {
+    require(numPerm >= 2, s"lshPlan: numPerm=$numPerm must be >= 2")
+    require(threshold > 0 && threshold < 1,
+      s"lshPlan: threshold=$threshold must be in (0,1)")
+    val splits = (1 to numPerm).filter(numPerm % _ == 0)
+      .map(b => (b, numPerm / b))
+    val (b, r) = splits.minBy { case (bb, rr) =>
+      math.abs(math.pow(1.0 / bb, 1.0 / rr) - threshold) }
+    (b, r, lshDetectProb(threshold, b, r))
+  }
+
   /** Ensemble dedup POLICY — the decision layer a curation run
     * actually ships: compose the exact pass and the near-dup cluster
     * pass into ONE per-doc verdict with precedence.

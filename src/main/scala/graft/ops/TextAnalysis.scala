@@ -489,6 +489,32 @@ object TextAnalysis {
     } finally { words.unpersist(); () }
   }
 
+  /** Apply learned BPE merge rules — the inference half of
+    * [[bpeTrain]]: every word takes the SAME boundary encoding and
+    * the same greedy left-to-right replace, one rule per rank in
+    * order (exactly how the trainer itself rewrote its word table, so
+    * train→apply round-trips losslessly), all as ONE codegen
+    * projection per document — the merges ride in as literals
+    * (driver-small by the train contract; no join, no shuffle).
+    * Output: input + `bpe_tokens` (subword array, word-major order) +
+    * `n_bpe`. */
+  def bpeApply(df: DataFrame, text: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 256,
+      s"bpeApply: merge list must be driver-small (got ${merges.size})")
+    def applyOne(w: Column): Column = {
+      val enc = concat(lit("|"), array_join(split(w, ""), "||"), lit("|"))
+      val merged = merges.foldLeft(enc)((acc, m) =>
+        org.apache.spark.sql.functions.replace(acc,
+          lit(s"|${m._1}||${m._2}|"), lit(s"|${m._1}${m._2}|")))
+      split(merged.substr(lit(2), length(merged) - 2), "\\|\\|")
+    }
+    val subs = flatten(transform(
+      filter(Dedup.tokens(col(text)), w => length(w) > 0), applyOne(_)))
+    df.withColumn("bpe_tokens", subs)
+      .withColumn("n_bpe", size(col("bpe_tokens")).cast("long"))
+  }
+
   // ---- Gopher-style quality rules ---------------------------------------
   /** Document-level quality-filter features in the style of the Gopher
     * rules (Rae et al. 2021, "Scaling Language Models", table A1):

@@ -2152,6 +2152,45 @@ class OpsSpec extends SparkTestBase {
     assert(out("other")._1 == 0.5)
   }
 
+  test("bpeApply round-trips the trainer's merges and shrinks token counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest low low"),
+      (2L, "low slow glow")).toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeTrain(docs, "text", merges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 2)
+    // 'lo'+'w' dominate: first merge is (l,o) or (lo,w) chain
+    val out = graft.ops.TextAnalysis.bpeApply(docs, "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](2), r.getLong(3)))
+    // chars per word upper-bounds subwords; merges strictly shrink
+    val rawChars = Seq("lowlowerlowestlowlow".length, "lowslowglow".length)
+    assert(out(0)._3 < rawChars(0) && out(1)._3 < rawChars(1),
+      s"merges must shrink the stream: ${out.toSeq}")
+    // every subword reassembles its word exactly
+    val re1 = out(0)._2.mkString("")
+    assert(re1 == "lowlowerlowestlowlow", s"lossless round trip: $re1")
+  }
+
+  test("lshPlan: lower thresholds buy more bands; midpoints bracket the ask; probabilities hold") {
+    import graft.ops.Dedup
+    val (bLo, rLo, pLo) = Dedup.lshPlan(64, 0.2)
+    val (bHi, rHi, pHi) = Dedup.lshPlan(64, 0.8)
+    assert(bLo * rLo == 64 && bHi * rHi == 64)
+    assert(bLo > bHi, s"low threshold needs more bands: $bLo vs $bHi")
+    assert(pLo > 0.5 && pHi > 0.5,
+      s"at the curve midpoint detection beats a coin: $pLo, $pHi")
+    // the chosen midpoint is the divisor-split closest to the ask
+    def mid(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    val all = (1 to 64).filter(64 % _ == 0).map(b => (b, 64 / b))
+    assert(all.forall { case (b, r) =>
+      math.abs(mid(bLo, rLo) - 0.2) <= math.abs(mid(b, r) - 0.2) })
+    // the curve itself: detection is monotone in j and in b
+    assert(Dedup.lshDetectProb(0.9, 16, 4) > Dedup.lshDetectProb(0.3, 16, 4))
+    assert(Dedup.lshDetectProb(0.5, 32, 2) > Dedup.lshDetectProb(0.5, 8, 8))
+  }
+
   test("ensembleDedup: exact copies drop first, near-dup reps cluster, kept_by chases to the keeper") {
     import spark.implicits._
     val corpus = Seq(
