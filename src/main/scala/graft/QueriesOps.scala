@@ -1532,6 +1532,24 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // data-quality contracts: the scan-fused check table + uniqueness
+    // + referential integrity, unioned into one audit report
+    "x_checks" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val scanChecks = Checks.runChecks(li, Seq(
+        Checks.notNull("l_orderkey", "l_partkey"),
+        Checks.inRange("l_discount", 0.0, 0.1),
+        Checks.inRange("l_quantity", 1.0, 50.0),
+        Checks.satisfies("charges_order",
+          col("l_extendedprice") >= col("l_discount")),
+        Checks.isIn("l_returnflag", Seq("A", "N", "R"))))
+      scanChecks
+        .unionByName(Checks.uniqueness(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(Checks.referential(li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"))
+        .orderBy(col("check"))
+    }),
+
     // exact two-sample KS drift statistic: even- vs odd-order price
     // distributions; distinct-value counts + the distributed prefix
     // scan CDFs + a 1-row TakeOrdered sup
@@ -4177,6 +4195,46 @@ s"""WITH lines AS (
         |  CAST(count(*) - 1 AS BIGINT) AS dof,
         |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         |FROM d""".stripMargin,
+
+    // contracts replay: plain exact counts per check, same names
+    "x_checks" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM lineitem),
+        |rows AS (
+        |  SELECT 'not_null(l_orderkey,l_partkey)' AS check,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount,0.0,0.1)',
+        |    CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 50.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'charges_order',
+        |    CAST(sum(CASE WHEN coalesce(l_extendedprice >= l_discount, false)
+        |      THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'is_in(l_returnflag)',
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+        |      SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'referential(l_orderkey->o_orderkey)',
+        |    CAST(count(*) AS BIGINT) FROM lineitem l
+        |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT rows.check, violations, nr AS n_rows,
+        |  violations = 0 AS pass
+        |FROM rows CROSS JOIN n ORDER BY rows.check""".stripMargin,
 
     // KS replay: per-value counts, ordered window cumsums (sequential
     // — identical to the scan order), same division chain, sup by

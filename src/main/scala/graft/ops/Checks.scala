@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality contracts (the Deequ / dbt-tests layer): declarative
+  * checks a pipeline runs BEFORE shipping a table — null guards,
+  * key uniqueness, referential integrity, value ranges — each
+  * reported as (check, violations, n_rows, pass) so a gate can fail
+  * the run and an audit can read why.
+  *
+  * Scale shape: every single-frame check is ONE partial-aggregatable
+  * agg over the table (all checks of a frame FUSE into a single scan
+  * in [[runChecks]] — a 100 TB table is read once no matter how many
+  * contracts it carries); uniqueness adds one keyed groupBy;
+  * referential integrity is one anti-join probing the parent (the
+  * [[BloomPrune]] recipe applies verbatim when the parent is huge).
+  * Everything is exact counts — trivially engine-replayable.
+  */
+object Checks {
+
+  /** One declared contract: a violation-count expression evaluated in
+    * the shared scan. `violations` must be an AGGREGATE expression
+    * counting offending rows. */
+  final case class Check(name: String, violations: Column)
+
+  /** Rows where any of `cols` is NULL. */
+  def notNull(cols: String*): Check =
+    Check(s"not_null(${cols.mkString(",")})",
+      sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)))
+
+  /** Rows outside [lo, hi] (NULLs are the not_null check's job). */
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"in_range($c,$lo,$hi)",
+      sum(when(col(c).isNotNull &&
+        (col(c) < lo || col(c) > hi), 1L).otherwise(0L)))
+
+  /** Rows whose `c` fails the predicate (NULL predicate = violation —
+    * a contract must decide every row). */
+  def satisfies(name: String, pred: Column): Check =
+    Check(name, sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)))
+
+  /** Rows matching none of the allowed values. */
+  def isIn(c: String, allowed: Seq[String]): Check =
+    Check(s"is_in($c)",
+      sum(when(col(c).isNull || !col(c).isin(allowed: _*), 1L).otherwise(0L)))
+
+  /** Run every declared check in ONE aggregation scan of `df`.
+    * Output: (check, violations, n_rows, pass) — one row per check. */
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks: no checks declared")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"runChecks: duplicate check names in ${checks.map(_.name)}")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      coalesce(c.violations, lit(0L)).as(s"__v$i") } :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), col(s"__v$i").as("violations"),
+        col("__n").as("n_rows"), (col(s"__v$i") === 0L).as("pass")) }
+    row.select(explode(array(entries: _*)).as("e"))
+      .select("e.check", "e.violations", "e.n_rows", "e.pass")
+  }
+
+  /** Key uniqueness: number of EXTRA rows beyond one per key (0 =
+    * unique). One keyed partial-agg groupBy; NULL keys participate
+    * (a null-keyed duplicate is still a duplicate). */
+  def uniqueness(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "uniqueness: no key columns")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") - 1L), lit(0L)).as("violations"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_rows"))
+      .select(lit(s"unique(${keys.mkString(",")})").as("check"),
+        col("violations"), col("n_rows"), (col("violations") === 0L).as("pass"))
+  }
+
+  /** Referential integrity: child rows whose key has no parent (the
+    * FK orphan count). NULL child keys are skipped (SQL FK
+    * semantics); one anti-join — pre-prune with [[BloomPrune]] when
+    * the parent side is corpus-sized. */
+  def referential(child: DataFrame, key: String,
+                  parent: DataFrame, pkey: String): DataFrame = {
+    val orphans = child.filter(col(key).isNotNull)
+      .join(parent.select(col(pkey).as("__pk")).distinct(),
+        col(key) === col("__pk"), "left_anti")
+    val tot = child.agg(count(lit(1)).as("n_rows"))
+    orphans.agg(count(lit(1)).as("violations")).crossJoin(tot)
+      .select(lit(s"referential($key->$pkey)").as("check"),
+        col("violations"), col("n_rows"), (col("violations") === 0L).as("pass"))
+  }
+}

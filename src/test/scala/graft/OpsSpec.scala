@@ -2152,6 +2152,35 @@ class OpsSpec extends SparkTestBase {
     assert(out("other")._1 == 0.5)
   }
 
+  test("checks: violations counted exactly, contracts fuse into one scan") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val dirty = Seq(
+      (1L, Some(0.05), "A"), (2L, None, "N"),       // null value
+      (3L, Some(0.5), "R"), (3L, Some(0.02), "X"))  // dup key, bad range+enum
+      .toDF("id", "v", "flag")
+    val out = Checks.runChecks(dirty, Seq(
+        Checks.notNull("v"),
+        Checks.inRange("v", 0.0, 0.1),
+        Checks.isIn("flag", Seq("A", "N", "R"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out("not_null(v)") == ((1L, false)))
+    assert(out("in_range(v,0.0,0.1)") == ((1L, false)))
+    assert(out("is_in(flag)") == ((1L, false)))
+    // all scan checks share ONE aggregate over the input
+    val plan = Checks.runChecks(dirty, Seq(Checks.notNull("v"),
+        Checks.inRange("v", 0.0, 0.1), Checks.isIn("flag", Seq("A"))))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("Aggregate").length - 1 == 1,
+      s"contracts must fuse into one scan:\n$plan")
+    val uniq = Checks.uniqueness(dirty, Seq("id")).head()
+    assert(uniq.getLong(1) == 1L && !uniq.getBoolean(3))
+    val refc = Checks.referential(dirty, "id",
+      Seq(1L, 2L).toDF("pk"), "pk").head()
+    assert(refc.getLong(1) == 2L && !refc.getBoolean(3),
+      s"two orphan rows (id=3 twice): $refc")
+  }
+
   test("bpeApply round-trips the trainer's merges and shrinks token counts") {
     import spark.implicits._
     val docs = Seq((1L, "low lower lowest low low"),
