@@ -1459,6 +1459,22 @@ object QueriesOps {
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // RAG context assembly end to end: the x_chunking chunks, BM25
+    // chunk retrieval, greedy rank-order budget cut, order-sensitive
+    // context digest per query
+    "x_rag" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      val chunks = TextAnalysis.chunkDocuments(t(s, d, "documents"),
+          "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"), col("chunk_tokens"))
+      Retrieval.ragContext(chunks, "chunk_id", "chunk_text", "chunk_tokens",
+          qs, "q_id", "qtext", k = 10, tokenBudget = 120)
+        .orderBy(col("q_id"))
+    }),
+
     // RM3 pseudo-relevance feedback on the indexed path: top-5
     // feedback docs, 3 strongest new terms (total-tf weight, term-asc
     // ties), expanded-query BM25 — two pruned postings passes
@@ -4195,6 +4211,58 @@ s"""WITH lines AS (
         |  CAST(count(*) - 1 AS BIGINT) AS dof,
         |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
         |FROM d""".stripMargin,
+
+    // RAG replay: the x_chunking chain (ids doc_id*1000+ci), the BM25
+    // chain over chunk text, rank cut, running-token prefix cut,
+    // digest over (cum, text)-sorted contexts
+    "x_rag" -> {
+      val chunkToks = toksSql.replace("lower(text)", "lower(chunk_text)")
+      s"""WITH t0 AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []
+        |      ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, len(toks) AS nt FROM t0),
+        |g0 AS (SELECT doc_id, toks, nt,
+        |    greatest(CAST(ceil((nt - 8) / 24.0) AS INT), 1) AS nchunks FROM n0),
+        |ch AS (SELECT doc_id * 1000 + ci AS chunk_id,
+        |    array_to_string(toks[CAST(ci*24+1 AS INT):CAST(ci*24+32 AS INT)], ' ') AS chunk_text,
+        |    CAST(len(toks[CAST(ci*24+1 AS INT):CAST(ci*24+32 AS INT)]) AS BIGINT) AS chunk_tokens
+        |  FROM (SELECT doc_id, nt, toks, unnest(range(0, nchunks)) AS ci FROM g0)),
+        |toks AS (SELECT chunk_id, $chunkToks AS w FROM ch),
+        |tf AS (SELECT chunk_id, len(w) AS dl, t AS term, count(*) AS tf
+        |  FROM (SELECT chunk_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+        |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+        |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+        |qt AS (SELECT DISTINCT q_id,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+        |dfreq AS (SELECT term, count(*) AS dfc FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (SELECT qt.q_id, tf.chunk_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1.0 + (CAST(nd AS DOUBLE) - dfc + 0.5) / (dfc + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE)
+        |            / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))
+        |      AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+        |  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT q_id, chunk_id, bm25 FROM (SELECT q_id, chunk_id, bm25,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, chunk_id) AS rn
+        |  FROM scored) WHERE rn <= 10),
+        |cm AS (SELECT r.q_id, r.chunk_id, ch.chunk_text, ch.chunk_tokens,
+        |    sum(ch.chunk_tokens) OVER (PARTITION BY r.q_id
+        |      ORDER BY r.bm25 DESC, r.chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r JOIN ch USING (chunk_id)),
+        |kept AS (SELECT * FROM cm WHERE cum <= 120)
+        |SELECT q_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list(chunk_text ORDER BY cum, chunk_text),
+        |    chr(10) || chr(10))) AS context_digest
+        |FROM kept GROUP BY q_id ORDER BY q_id""".stripMargin
+    },
 
     // contracts replay: plain exact counts per check, same names
     "x_checks" ->

@@ -202,6 +202,44 @@ object Retrieval {
     scoreAndCut(tf, statsDf, id, expanded, qid, k, k1, b)
   }
 
+  /** RAG context assembly — the end-to-end composition a
+    * retrieval-augmented pipeline ships: BM25 over CHUNKS (feed it
+    * [[TextAnalysis.chunkDocuments]] output), then each query's
+    * context is the best chunks in rank order until the token budget
+    * would overflow (greedy prefix — the same deterministic rule as
+    * [[Sampling.tokenBudget]]). Emits an order-sensitive context
+    * digest (the byte a re-run compares) instead of megabytes of
+    * assembled text.
+    *
+    * Scale: one chunk-corpus BM25 pass; everything after is
+    * (queries × k)-sized — the per-query windows run over bounded
+    * candidate lists by contract (the rankWithin reasoning).
+    * Output: (qid, n_chunks, n_tokens, context_digest). */
+  def ragContext(chunks: DataFrame, cid: String, ctext: String, ctok: String,
+                 queries: DataFrame, qid: String, qtext: String,
+                 k: Int, tokenBudget: Long,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ragContext: k must be >= 1 (got $k)")
+    require(tokenBudget >= 1, s"ragContext: tokenBudget must be >= 1")
+    val hits = bm25TopK(chunks, cid, ctext, queries, qid, qtext, k, k1, b)
+    val joined = hits.join(
+      chunks.select(col(cid), col(ctext).as("__ct"),
+        col(ctok).cast("long").as("__tk")), Seq(cid))
+    val w = Window.partitionBy(col(qid)).orderBy(col("bm25").desc, col(cid))
+    val kept = joined
+      .withColumn("__cum", sum(col("__tk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") <= tokenBudget)
+    kept.groupBy(col(qid))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__tk")).as("n_tokens"),
+        md5(concat_ws("\n\n", transform(
+          sort_array(collect_list(struct(col("__cum").as("c"),
+            col("__ct").as("t")))),
+          e => e.getField("t")))).as("context_digest"))
+  }
+
   /** 1-based rank within each query under `order` — turns a scored
     * candidate frame into the (qid, id, rank) shape [[rrfFuse]]
     * consumes. The window partitions by `qid`, and candidate lists are
