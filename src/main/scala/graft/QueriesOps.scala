@@ -1537,6 +1537,39 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // Delta-style MERGE: upserts (updates + inserts) and deletes
+    // applied to the documents snapshot in one anti-join + union
+    "x_apply_changes" -> ((s, d) => {
+      val base = t(s, d, "documents")
+      val upd = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("op", lit("upsert"))
+      val ins = base.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("op", lit("upsert"))
+      val del = base.filter(col("doc_id") % 13 === 0 && col("doc_id") % 10 =!= 0)
+        .withColumn("op", lit("delete"))
+      Snapshot.applyChanges(base, upd.unionByName(ins).unionByName(del),
+          "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("content"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // personalized PageRank from the %5 seed set: teleports (and
+    // dangling mass) land on seeds only — topic-relative authority
+    "x_ppr" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      val seeds = edges.select(col("src").as("seed"))
+        .filter(col("seed") % 5 === 0).distinct()
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "seed", iters = 2)
+        // 12 digits: the 18-decimal iteration grid rounds its 19th
+        // digit differently across engines on PPR's 1/seedCount masses
+        .select(col("node"), round(col("rank"), 12).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // HITS hubs/authorities over the same synthetic link graph —
     // directories vs content; 2 L1-normalized iterations, 18-decimal
     // inflow sums, every value engine-replayed
@@ -4348,6 +4381,56 @@ s"""WITH lines AS (
         |    false) AS is_anomaly
         |FROM c JOIN m USING (event_type) JOIN md USING (event_type)
         |ORDER BY event_type, wstart""".stripMargin,
+
+    // MERGE replay: keys out, upsert payloads in
+    "x_apply_changes" ->
+      """WITH ck AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION SELECT doc_id + 1000000000 FROM documents WHERE doc_id % 17 = 0
+        |  UNION SELECT doc_id FROM documents
+        |    WHERE doc_id % 13 = 0 AND doc_id % 10 <> 0),
+        |nw AS (
+        |  SELECT doc_id, text FROM documents
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM ck)
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS content FROM nw ORDER BY doc_id""".stripMargin,
+
+    // PPR replay: the pagerank unroll with seed-conditional teleport
+    // and seed-conditional dangling redistribution
+    "x_ppr" -> {
+      def ds(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+      val b = s"CAST('${1.0 - 0.85}' AS DOUBLE)"
+      val dd = "CAST('0.85' AS DOUBLE)"
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.d AS node, ${ds(s"$prev.rank / od.od")} AS infl
+           |  FROM e JOIN od USING (s) JOIN $prev ON $prev.node = e.s GROUP BY e.d),
+           |g$out AS (SELECT coalesce(${ds("rank")}, 0.0) AS dang
+           |  FROM $prev WHERE node NOT IN (SELECT s FROM e)),
+           |$out AS (SELECT n.node, n.isSeed,
+           |    (CASE WHEN n.isSeed THEN $b / ns.S ELSE 0.0 END) +
+           |      $dd * (coalesce(i$out.infl, 0.0) +
+           |        CASE WHEN n.isSeed THEN g$out.dang / ns.S ELSE 0.0 END) AS rank
+           |  FROM n LEFT JOIN i$out ON n.node = i$out.node
+           |  CROSS JOIN g$out CROSS JOIN ns)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT doc_id % 50 AS s, (doc_id * 7 + 3) % 50 AS d
+        |  FROM documents),
+        |n AS (SELECT DISTINCT node, node % 5 = 0 AND node IN (SELECT s FROM e)
+        |    AS isSeed
+        |  FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+        |ns AS (SELECT CAST(sum(CASE WHEN isSeed THEN 1 ELSE 0 END) AS DOUBLE)
+        |  AS S FROM n),
+        |od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+        |r0 AS (SELECT node, isSeed,
+        |    CASE WHEN isSeed THEN CAST(1 AS DOUBLE) / ns.S ELSE 0.0 END AS rank
+        |  FROM n CROSS JOIN ns),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")}
+        |SELECT node, round(rank, 12) AS rank FROM r2 ORDER BY node""".stripMargin
+    },
 
     // HITS replay: 2 unrolled iterations, the same 18-decimal sums,
     // L1 totals, and the auth-from-hubs-then-hub-from-NEW-auths order

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for a keyed corpus table — the apply side of
+  * the incremental-crawl loop whose audit side is
+  * [[Dedup.corpusDiff]]: a day-2 drop arrives as a change batch
+  * (upserts + deletes) and the standing snapshot must advance
+  * exactly once. This is Delta/Iceberg MERGE semantics re-expressed
+  * as plain relational ops — no table format required, works on any
+  * parquet layout.
+  */
+object Snapshot {
+
+  /** Apply a change batch to a base snapshot keyed by `id`: rows of
+    * `changes` with op = "upsert" replace-or-insert their key, rows
+    * with op = "delete" remove it. Whole-row upserts (the change
+    * batch carries the full payload — the CDC-feed contract); a key
+    * appearing multiple times in one batch is the CALLER's bug and is
+    * rejected loudly rather than resolved arbitrarily.
+    *
+    * ONE key-distinct + ONE anti-join + union: the base never
+    * shuffles more than its key column, and the op composes with
+    * [[BloomPrune]] when the change batch is small against a 100 TB
+    * base (bloom-prune the anti-join's probe side). Output: the new
+    * snapshot, base schema. */
+  def applyChanges(base: DataFrame, changes: DataFrame, id: String,
+                   op: String = "op"): DataFrame = {
+    val dupKeys = changes.groupBy(col(id)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1L).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"applyChanges: change batch carries duplicate keys (e.g. " +
+        s"${if (dupKeys.nonEmpty) dupKeys.head.get(0) else ""}) — resolve " +
+        "the batch (last-writer-wins upstream) before applying")
+    val upserts = changes.filter(col(op) === "upsert").drop(op)
+    val changedKeys = changes.select(col(id)).distinct()
+    base.join(changedKeys, Seq(id), "left_anti").unionByName(upserts)
+  }
+}

@@ -2152,6 +2152,34 @@ class OpsSpec extends SparkTestBase {
     assert(out("other")._1 == 0.5)
   }
 
+  test("applyChanges: updates replace, inserts land, deletes vanish, dup batches refuse") {
+    import spark.implicits._
+    import graft.ops.Snapshot
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq((2L, "B", "upsert"), (4L, "d", "upsert"),
+      (3L, "", "delete")).toDF("id", "v", "op")
+    val out = Snapshot.applyChanges(base, changes, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (4L, "d")), s"merge broke: $out")
+    val dup = Seq((2L, "B", "upsert"), (2L, "C", "upsert")).toDF("id", "v", "op")
+    val err = intercept[IllegalArgumentException] {
+      Snapshot.applyChanges(base, dup, "id") }
+    assert(err.getMessage.contains("duplicate keys"))
+  }
+
+  test("personalizedPageRank concentrates mass near the seeds") {
+    import spark.implicits._
+    // chain 1 -> 2 -> 3 -> 4 with a disconnected pair 10 -> 11; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("s", "d")
+    val out = graft.ops.Graph.personalizedPageRank(edges, "s", "d",
+        Seq(1L).toDF("seed"), "seed", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L),
+      s"mass must decay with distance from the seed: $out")
+    assert(out(10L) == 0.0 && out(11L) == 0.0,
+      s"unreachable-from-seed component must stay cold: $out")
+  }
+
   test("checks: violations counted exactly, contracts fuse into one scan") {
     import spark.implicits._
     import graft.ops.Checks
