@@ -1025,6 +1025,14 @@ object QueriesOps {
         .select("doc_id", "n_chars", "sample_p")
         .orderBy(col("doc_id"))),
 
+    // Horvitz-Thompson read-back of the weighted sample: unbiased
+    // corpus total + Poisson variance + CI from the SAMPLE alone
+    "x_ht" -> ((s, d) => {
+      val sample = Sampling.weightedSample(t(s, d, "documents"),
+        col("doc_id"), col("n_chars"), rate = 0.3, seed = 42L)
+      Sampling.htEstimate(sample, col("n_chars"), col("sample_p"))
+    }),
+
     // corpus snapshot diff (incremental-crawl audit): synthetic v2 =
     // docs < 450 with every 10th text modified — one id-keyed join
     "x_corpus_diff" -> ((s, d) => {
@@ -2914,6 +2922,32 @@ object QueriesOps {
         |      * pow(16, 13 - j))) / 4503599627370496.0
         |  < least(CAST(0.3 AS DOUBLE) * CAST(n_chars AS DOUBLE) / mw, 1.0)
         |ORDER BY doc_id""".stripMargin,
+
+    // HT replay: the x_wsample selection, then the same grid sums
+    "x_ht" ->
+      s"""WITH m AS (SELECT ${graft.functions.Exact.davgSql("CAST(n_chars AS DOUBLE)")} AS mw
+        |  FROM documents),
+        |s AS (SELECT n_chars,
+        |    least(CAST(0.3 AS DOUBLE) * CAST(n_chars AS DOUBLE) / mw, 1.0) AS p
+        |  FROM documents CROSS JOIN m
+        |  WHERE list_sum(list_transform(range(1, 14), j ->
+        |      (strpos('0123456789abcdef',
+        |         substring(md5('42' || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 13 - j))) / 4503599627370496.0
+        |    < least(CAST(0.3 AS DOUBLE) * CAST(n_chars AS DOUBLE) / mw, 1.0)),
+        |g AS (SELECT
+        |    CAST(sum(CAST(floor(CAST(n_chars AS DOUBLE) / p * 16777216.0 + 0.5)
+        |      AS HUGEINT)) AS DOUBLE) / 16777216.0 AS estimate,
+        |    CAST(sum(CAST(floor(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+        |        * (1.0 - p) / (p * p) * 16777216.0 + 0.5)
+        |      AS HUGEINT)) AS DOUBLE) / 16777216.0 AS variance,
+        |    CAST(count(*) AS BIGINT) AS n_sampled
+        |  FROM s)
+        |SELECT estimate, variance,
+        |  estimate - 1.96 * sqrt(variance) AS ci_lo,
+        |  estimate + 1.96 * sqrt(variance) AS ci_hi,
+        |  n_sampled
+        |FROM g""".stripMargin,
 
     // replays corpusDiff: same synthetic v2 drop, same md5 compare
     "x_corpus_diff" ->

@@ -206,6 +206,34 @@ object Sampling {
       .drop("__mw")
   }
 
+  /** Horvitz–Thompson estimation over a [[weightedSample]] output —
+    * the read-back half of the sampling story: each kept row carries
+    * its inclusion probability `sample_p`, so the corpus total of any
+    * metric is estimated unbiasedly as Σ v/p, with the Poisson-
+    * sampling variance estimate Σ v²(1−p)/p² and the ±1.96·√var
+    * normal CI. One partial-aggregatable scan of the SAMPLE (the
+    * point: the corpus is never re-read); sums cross the
+    * floor(x·2^24+0.5) Long grid so the estimate is partitioning-
+    * invariant and engine-replayable. Rows with p ≤ 0 or NULL are
+    * contract violations and excluded.
+    * Output: one row (estimate, variance, ci_lo, ci_hi, n_sampled). */
+  def htEstimate(sample: DataFrame, value: Column,
+                 pCol: Column): DataFrame = {
+    val S = 16777216.0
+    val ok = sample.filter(pCol.isNotNull && pCol > 0.0 && value.isNotNull)
+    val t = floor(value.cast("double") / pCol * S + 0.5).cast("decimal(38,0)")
+    val v = floor(value.cast("double") * value.cast("double") *
+      (lit(1.0) - pCol) / (pCol * pCol) * S + 0.5).cast("decimal(38,0)")
+    val agg = ok.agg(
+      (sum(t).cast("double") / S).as("estimate"),
+      (sum(v).cast("double") / S).as("variance"),
+      count(lit(1)).as("n_sampled"))
+    agg.select(col("estimate"), col("variance"),
+      (col("estimate") - lit(1.96) * sqrt(col("variance"))).as("ci_lo"),
+      (col("estimate") + lit(1.96) * sqrt(col("variance"))).as("ci_hi"),
+      col("n_sampled"))
+  }
+
   /** Deterministic negative sampling for contrastive training: k
     * pseudo-random corpus rows per anchor, addressed by rowid through
     * the md5Unif uniform — retry-safe and engine-replayable where

@@ -142,6 +142,52 @@ object Sources {
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
 
+  /** Per-file column min/max + row counts from parquet FOOTERS ONLY —
+    * zero data bytes read. This is the data-skipping audit: what a
+    * pruning reader will see per file, which is exactly how you
+    * VERIFY a [[graft.functions.ZOrder.zorderWrite]] layout pays off
+    * (tight boxes) or diagnose one that doesn't (every file spanning
+    * the domain). Driver-side footer walk over the listing — the same
+    * cost any table-format manifest pays; file-count-sized output.
+    * Numeric columns only (footer stats are typed; non-numeric ask
+    * for a different audit). Output: (file, n_rows, column, min,
+    * max) — one row per (file, column). */
+  def fileStats(spark: SparkSession, path: String,
+                cols: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    require(cols.nonEmpty, "fileStats: no columns requested")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def asDouble(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"fileStats: non-numeric footer statistic $other — numeric columns only")
+    }
+    val rows = files.flatMap { p =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        cols.map { c =>
+          val stats = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c).map(_.getStatistics))
+          require(stats.nonEmpty, s"fileStats: column $c not in ${p.getName}")
+          (p.getName, nRows, c,
+            stats.map(s => asDouble(s.genericGetMin)).min,
+            stats.map(s => asDouble(s.genericGetMax)).max)
+        }
+      } finally rdr.close()
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("file", "n_rows", "column", "min", "max")
+  }
+
   /** Size-targeted parquet write — the small-files/giant-files remedy:
     * pick the output file count from Catalyst's OWN size statistics
     * (`optimizedPlan.stats.sizeInBytes` — no extra scan, no sample
