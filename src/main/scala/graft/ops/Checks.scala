@@ -62,6 +62,24 @@ object Checks {
       .select("e.check", "e.violations", "e.n_rows", "e.pass")
   }
 
+  /** Attach the contracts to a frame as OBSERVED metrics (Spark's
+    * `Dataset.observe`): the counts ride the job that materializes
+    * the frame — a write pipeline gets its quality report for FREE,
+    * no second scan, no extra action. Read the metrics from the
+    * returned [[org.apache.spark.sql.Observation]] after the action
+    * completes (`obs.get` blocks until then); keys are the check
+    * names plus `n_rows`. The checks themselves are the same
+    * aggregate expressions [[runChecks]] fuses — this is the
+    * streaming-job/write-job deployment of the identical contracts. */
+  def observeChecks(df: DataFrame, checks: Seq[Check]):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    require(checks.nonEmpty, "observeChecks: no checks declared")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map(c => coalesce(c.violations, lit(0L)).as(c.name)) :+
+      count(lit(1)).as("n_rows")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Key uniqueness: number of EXTRA rows beyond one per key (0 =
     * unique). One keyed partial-agg groupBy; NULL keys participate
     * (a null-keyed duplicate is still a duplicate). */

@@ -2152,6 +2152,21 @@ class OpsSpec extends SparkTestBase {
     assert(out("other")._1 == 0.5)
   }
 
+  test("observeChecks rides the materializing job: metrics arrive with no second scan") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val df = Seq((1L, Some(0.05)), (2L, None), (3L, Some(0.9)))
+      .toDF("id", "v")
+    val (observed, obs) = Checks.observeChecks(df,
+      Seq(Checks.notNull("v"), Checks.inRange("v", 0.0, 0.1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toFile
+    observed.write.mode("overwrite").parquet(new java.io.File(dir, "out").getPath)
+    val m = obs.get
+    assert(m("n_rows") == 3L, s"metrics: $m")
+    assert(m("not_null(v)") == 1L && m("in_range(v,0.0,0.1)") == 1L,
+      s"violations must ride the write job: $m")
+  }
+
   test("applyChanges: updates replace, inserts land, deletes vanish, dup batches refuse") {
     import spark.implicits._
     import graft.ops.Snapshot
