@@ -166,6 +166,20 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // preference pairs from near-dup clusters: best vs worst copy by
+    // quality within each cluster — content-controlled (chosen,
+    // rejected) contrasts for reward-model/DPO data
+    "x_pref_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      val clusters = Dedup.dedupClusters(pairs.select("a", "b"))
+      val q = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      Sampling.preferencePairs(q, "doc_id", clusters, col("quality"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // cluster-size histogram: the dedup report a 100 TB pipeline reads
     // before deciding thresholds (two tiny re-aggs over the clusters)
     "x_cluster_sizes" -> ((s, d) => {
@@ -4940,6 +4954,59 @@ s"""WITH lines AS (
         |  rv.keep AS kept_by
         |FROM wr JOIN rv ON wr.rep = rv.rep2
         |ORDER BY wr.doc_id""".stripMargin,
+
+    // preference-pair replay: the cluster closure + the s_route
+    // quality chain + per-cluster (quality DESC, id) / (quality ASC,
+    // id DESC) picks
+    "x_pref_pairs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |f AS (SELECT doc_id,
+        |    CAST(len(text) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS DOUBLE) AS nw,
+        |    CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |    greatest(0.0, least(1.0,
+        |      0.25 * least(nw / 50.0, 1.0) +
+        |      0.25 * (alpha / greatest(n, 1.0)) +
+        |      0.25 * (1.0 - least((punct / greatest(n, 1.0)) * 10.0, 1.0)) +
+        |      0.25 * (1.0 - least((digits / greatest(n, 1.0)) * 10.0, 1.0)))) AS quality
+        |  FROM f),
+        |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+        |  FROM cl JOIN q USING (doc_id)),
+        |ch AS (SELECT cluster_id, doc_id AS chosen_id, quality AS chosen_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality DESC, doc_id) AS rn FROM m) WHERE rn = 1),
+        |rj AS (SELECT cluster_id, doc_id AS rejected_id, quality AS rejected_score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY quality ASC, doc_id DESC) AS rn FROM m) WHERE rn = 1),
+        |sz AS (SELECT cluster_id, count(*) AS nsz FROM m GROUP BY 1)
+        |SELECT ch.cluster_id, chosen_id, rejected_id,
+        |  chosen_score, rejected_score
+        |FROM ch JOIN rj USING (cluster_id) JOIN sz USING (cluster_id)
+        |WHERE nsz >= 2
+        |ORDER BY ch.cluster_id""".stripMargin,
 
     // the transitive closure again + longest-copy argmax per cluster
     // (row_number replaying max_by's (pref, −id) struct order)

@@ -206,6 +206,37 @@ object Sampling {
       .drop("__mw")
   }
 
+  /** Preference-pair mining from near-dup clusters — the
+    * reward-model/DPO data shaping step: documents in one near-dup
+    * cluster say (roughly) the same thing, so the cluster's BEST copy
+    * vs its WORST copy under a quality score is a natural (chosen,
+    * rejected) pair with content held constant — exactly the
+    * contrast a preference model should learn. Per cluster: chosen =
+    * argmax (score, then LOWEST id on ties), rejected = argmin
+    * (score, then HIGHEST id) — a 2-member cluster with equal scores
+    * still yields a deterministic, distinct pair; singleton clusters
+    * yield nothing (no contrast).
+    *
+    * Shape: clusters come from [[graft.ops.Dedup.dedupClusters]];
+    * this adds ONE cluster-keyed partial agg (max_by/min_by over
+    * (score, ±id) structs — merges map-side) + one id-keyed join of
+    * the two picks back to payloads. Output: (cluster_id, chosen_id,
+    * rejected_id, chosen_score, rejected_score). */
+  def preferencePairs(docs: DataFrame, id: String, clusters: DataFrame,
+                      score: Column): DataFrame = {
+    val scored = docs.select(col(id).as("__pid"), score.as("__sc"))
+      .join(clusters.select(col("doc_id").as("__pid"), col("cluster_id")),
+        Seq("__pid"))
+    scored.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"),
+        max_by(col("__pid"), struct(col("__sc"), -col("__pid"))).as("chosen_id"),
+        min_by(col("__pid"), struct(col("__sc"), -col("__pid"))).as("rejected_id"),
+        max(struct(col("__sc"), -col("__pid"))).getField("__sc").as("chosen_score"),
+        min(struct(col("__sc"), -col("__pid"))).getField("__sc").as("rejected_score"))
+      .filter(col("__n") >= 2)
+      .drop("__n")
+  }
+
   /** Horvitz–Thompson estimation over a [[weightedSample]] output —
     * the read-back half of the sampling story: each kept row carries
     * its inclusion probability `sample_p`, so the corpus total of any

@@ -2152,6 +2152,25 @@ class OpsSpec extends SparkTestBase {
     assert(out("other")._1 == 0.5)
   }
 
+  test("preferencePairs: best vs worst per cluster, deterministic ties, singletons drop") {
+    import spark.implicits._
+    val scored = Seq((1L, 0.9), (2L, 0.3), (3L, 0.6),   // cluster 1
+      (5L, 0.5), (6L, 0.5),                              // tie cluster
+      (9L, 0.7))                                         // singleton
+      .toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (9L, 9L)).toDF("doc_id", "cluster_id")
+    val out = graft.ops.Sampling.preferencePairs(scored, "doc_id", clusters,
+        col("q"))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 0.9, 0.3),      // best 1 vs worst 2
+      (5L, 5L, 6L, 0.5, 0.5)),     // tie: lowest id chosen, highest rejected
+      s"pairs broke: ${out.toSeq}")
+  }
+
   test("observeChecks rides the materializing job: metrics arrive with no second scan") {
     import spark.implicits._
     import graft.ops.Checks
