@@ -474,6 +474,22 @@ object QueriesOps {
           "digit_ratio", "alpha_ratio", "stop_ratio", "quality")
         .orderBy(col("doc_id"))),
 
+    // chat/SFT rendering: document lines become alternating
+    // user/assistant turns; per-conversation role-tagged assembly,
+    // first-6-turns truncation, digested for compactness
+    "x_chat_render" -> ((s, d) => {
+      val turns = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .select(col("doc_id"), col("pos").as("turn_idx"),
+          when(col("pos") % 2 === 0, "user").otherwise("assistant").as("role"),
+          col("col").as("content"))
+      TextAnalysis.renderChat(turns, "doc_id", "turn_idx", "role", "content",
+          maxTurns = 6)
+        .select(col("doc_id"), col("n_turns"), col("kept_turns"),
+          md5(col("rendered")).as("digest"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Flesch Reading Ease next to the Gopher rules: regexp/HOF
     // projections only, fixed-order IEEE formula, NULL on no-word docs
     "x_readability" -> ((s, d) =>
@@ -4757,6 +4773,24 @@ s"""WITH lines AS (
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chat-render replay: same line split, alternating roles, sorted
+    // first-6 slice, identical template string
+    "x_chat_render" ->
+      """WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |r AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_turns,
+        |    ls[1:least(len(ls), 6)] AS kept FROM t),
+        |x AS (SELECT doc_id, n_turns,
+        |    CAST(len(kept) AS BIGINT) AS kept_turns,
+        |    array_to_string(list_transform(range(1, len(kept) + 1),
+        |      i -> '<|' || (CASE WHEN (i - 1) % 2 = 0 THEN 'user'
+        |        ELSE 'assistant' END) || '|>' || kept[CAST(i AS INT)]),
+        |      chr(10)) AS rendered
+        |  FROM r)
+        |SELECT doc_id, n_turns, kept_turns, md5(rendered) AS digest,
+        |  CAST(length(rendered) AS BIGINT) AS n_chars
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // Flesch replay: same tokenizer, sentence runs, vowel-group
     // syllables (>=1 per word), identical IEEE formula order

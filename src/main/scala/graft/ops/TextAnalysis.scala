@@ -515,6 +515,31 @@ object TextAnalysis {
       .withColumn("n_bpe", size(col("bpe_tokens")).cast("long"))
   }
 
+  /** Chat/SFT template rendering — the supervised-data shaping step:
+    * a turn table (conv_id, turn_idx, role, content) renders into ONE
+    * training string per conversation — role-tagged turns in index
+    * order, truncated to the first `maxTurns` (the context-length
+    * guard). Assembly is an in-agg sort_array over turn structs —
+    * conversation-sized arrays by construction (the shardManifest
+    * digest pattern), ONE partial-aggregatable groupBy, no window.
+    * The template is the simple `<|role|>content` + newline form;
+    * real tokenizer special-token layouts are a string-literal swap.
+    * Output: (conv_id, n_turns, kept_turns, rendered, n_chars). */
+  def renderChat(turns: DataFrame, convId: String, turnIdx: String,
+                 role: String, content: String, maxTurns: Int): DataFrame = {
+    require(maxTurns >= 1, s"renderChat: maxTurns must be >= 1 (got $maxTurns)")
+    val kept = slice(sort_array(collect_list(struct(
+      col(turnIdx).as("i"), col(role).as("r"), col(content).as("c")))),
+      1, maxTurns)
+    turns.groupBy(col(convId))
+      .agg(count(lit(1)).as("n_turns"), kept.as("__k"))
+      .withColumn("kept_turns", size(col("__k")).cast("long"))
+      .withColumn("rendered", concat_ws("\n", transform(col("__k"),
+        e => concat(lit("<|"), e.getField("r"), lit("|>"), e.getField("c")))))
+      .withColumn("n_chars", length(col("rendered")).cast("long"))
+      .drop("__k")
+  }
+
   // ---- Gopher-style quality rules ---------------------------------------
   /** Document-level quality-filter features in the style of the Gopher
     * rules (Rae et al. 2021, "Scaling Language Models", table A1):
