@@ -26,7 +26,7 @@ object Bench {
     // native session_window (vs the stateful s_sessionize twin),
     // PRF retrieval, KS drift sort, event anomaly profile, MMR rerank
     "x_zorder", "x_dedup_ensemble", "s_session_window",
-    "x_bm25_prf", "x_ks", "x_anomaly", "x_mmr",
+    "x_bm25_prf", "x_ks", "x_anomaly", "x_mmr", "x_rag",
     "s_sessionize", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
@@ -97,7 +97,7 @@ object Bench {
     // session_window agg, the two-pass PRF retrieval, the KS
     // distinct-value sort, and the anomaly window profile at 10x
     "x_dedup_ensemble", "s_session_window", "x_bm25_prf", "x_ks",
-    "x_anomaly")
+    "x_anomaly", "x_rag")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
