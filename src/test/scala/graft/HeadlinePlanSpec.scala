@@ -44,4 +44,26 @@ class HeadlinePlanSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"filter not pushed to scan:\n$plan")
   }
+  test("x_ks plans no global window and no cartesian product") {
+    val plan = SparkEntry.queries("x_ks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in KS:\n$plan")
+    // the CDFs must come from the prefix scan, not a WindowExec over
+    // the whole distinct-value frame
+    assert(!plan.contains("Window"), s"window slipped into KS:\n$plan")
+  }
+
+  test("x_dedup_ensemble plans no cartesian product and keeps LSH banded") {
+    val plan = SparkEntry.queries("x_dedup_ensemble")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+      s"bucket pairing regressed to array materialization:\n$plan")
+  }
+
+  test("x_zorder stays a projection after the stats agg (no join, no window)") {
+    val plan = SparkEntry.queries("x_zorder")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"z-value must not join or window:\n$plan")
+  }
 }

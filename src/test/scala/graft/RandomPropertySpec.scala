@@ -184,4 +184,70 @@ class RandomPropertySpec extends SparkTestBase {
         s"id ${r.getLong(0)}: not idempotent:\n1:${r.getString(1)}\n2:${r.getString(2)}")
     }
   }
+  test("ksTest == brute-force sup|F1-F2| on random samples (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val a = Seq.fill(200)(rnd.nextInt(40).toDouble)
+      val b = Seq.fill(150)(rnd.nextInt(40).toDouble + rnd.nextInt(10))
+      val got = graft.ops.Profiling.ksTest(a.toDF("v"), b.toDF("v"), "v").head()
+      // brute force over the pooled support
+      val support = (a ++ b).distinct.sorted
+      def cdf(xs: Seq[Double], v: Double) = xs.count(_ <= v).toDouble / xs.size
+      val brute = support.map(v => math.abs(cdf(a, v) - cdf(b, v))).max
+      assert(math.abs(got.getDouble(0) - brute) < 1e-12,
+        s"seed=$seed: ks=${got.getDouble(0)} brute=$brute")
+    }
+  }
+
+  test("epochOrder: every epoch a permutation under random seeds; same seed replays") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 99L)) {
+      val docs = (1L to 64L).toDF("doc_id")
+      val runs = (1 to 2).map { _ =>
+        graft.ops.Sampling.epochOrder(docs.repartition(5), col("doc_id"),
+            epochs = 2, seed = seed)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      }
+      assert(runs(0) == runs(1), s"seed=$seed must replay identically")
+      (0 to 1).foreach { e =>
+        val pos = runs(0).filter(_._2 == e).map(_._3)
+        assert(pos == (1L to 64L).toSet, s"epoch $e not a permutation")
+      }
+    }
+  }
+
+  test("ZOrder.interleave is monotone along each axis with the other fixed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val fixed = rnd.nextInt(256).toLong
+    val xs = (0L until 256L)
+    val zx = xs.toDF("x")
+      .select(graft.functions.ZOrder.interleave(
+        Seq(col("x"), lit(fixed)), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zx == zx.sorted, "z must grow with x when y is fixed")
+    val zy = xs.toDF("y")
+      .select(graft.functions.ZOrder.interleave(
+        Seq(lit(fixed), col("y")), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zy == zy.sorted, "z must grow with y when x is fixed")
+  }
+
+  test("aspectRatioBatches bucket == brute-force fraction compare on random dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dims = Seq.tabulate(120)(i =>
+      (i.toLong, 1 + rnd.nextInt(64), 1 + rnd.nextInt(64)))
+    val edges = Seq((1L, 2L), (1L, 1L), (3L, 2L))
+    val got = graft.ops.Packing.aspectRatioBatches(dims.toDF("id", "w", "h"),
+        col("w"), col("h"), col("id"), batchSize = 8, edges, seed = 3L)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    dims.foreach { case (id, w, h) =>
+      val want = edges.count { case (p, q) => w.toLong * q > p * h }
+      assert(got(id) == want, s"id=$id ${w}x$h: got ${got(id)} want $want")
+    }
+  }
+
 }
