@@ -1815,6 +1815,22 @@ object QueriesOps {
           min(col("ts")).as("session_start"))
         .orderBy(col("user_id"), col("session_id"))),
 
+    // streaming corpus-admission batch twin: bloom-probe + sliver
+    // anti-join against the standing corpus keys — only genuinely new
+    // content admitted
+    "s_admit" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+      val batch = corpus.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" fresh content"))).otherwise(col("text"))
+          .as("text"))
+      graft.streaming.CorpusDedupStream.admitNewBatch(batch, corpus,
+          md5(col("text")), md5(col("text")), expectedItems = 5000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // NATIVE session_window sessionization (engine-owned state) —
     // batch mode here; StreamingSpec drives the same call as a
     // watermarked stream
@@ -5616,6 +5632,18 @@ s"""WITH lines AS (
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  count(*) AS n_events, min(ts) AS session_start
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    // admission replay: plain md5 anti-join (bloom is a pruning
+    // layer, never a semantics layer)
+    "s_admit" ->
+      """WITH c AS (SELECT md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id + 1000000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' fresh content'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id FROM b
+        |WHERE md5(text) NOT IN (SELECT h FROM c)
+        |ORDER BY doc_id""".stripMargin,
 
     // session_window replay: the same gap-islands grouping;
     // session_end = last event + gap (Spark's session_window contract)

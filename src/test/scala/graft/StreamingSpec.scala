@@ -344,6 +344,43 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("corpus-admission stream admits only new content and replays idempotently") {
+    import graft.streaming.CorpusDedupStream
+    import graft.streaming.NearDupStream.NDDoc
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq((1L, "alpha content"), (2L, "beta content"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit").toFile
+    val accept = new java.io.File(dir, "accept").getPath
+    val ck = new java.io.File(dir, "ck").getPath
+    val input = MemoryStream[NDDoc]
+    val writer = CorpusDedupStream.admitNew(
+      input.toDF().select(col("doc_id"), col("text")), corpus,
+      md5(col("text")), md5(col("text")), expectedItems = 100L, accept)
+    val query = writer.option("checkpointLocation", ck).start()
+    try {
+      input.addData(NDDoc(10L, ts(0), "alpha content"),   // dup of corpus 1
+        NDDoc(11L, ts(1), "gamma content"))               // new
+      query.processAllAvailable()
+      input.addData(NDDoc(12L, ts(2), "beta content"),    // dup of corpus 2
+        NDDoc(13L, ts(3), "delta content"))               // new
+      query.processAllAvailable()
+      val admitted = s.read.parquet(accept)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(11L, 13L),
+        s"only genuinely-new content admits: $admitted")
+      // batch twin agrees
+      val twin = CorpusDedupStream.admitNewBatch(
+        Seq((10L, "alpha content"), (11L, "gamma content"),
+          (12L, "beta content"), (13L, "delta content")).toDF("doc_id", "text"),
+        corpus, md5(col("text")), md5(col("text")), 100L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(twin == admitted, s"stream and batch twin must agree: $twin")
+    } finally query.stop()
+  }
+
   test("quality router fans one stream into accept/reject sinks, replays idempotently") {
     import graft.streaming.NearDupStream.NDDoc
     val s = spark
