@@ -64,7 +64,30 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
     ("l2_distance",
       new ExpressionInfo(classOf[L2DistanceExpr].getName, "l2_distance"),
-      (es: Seq[Expression]) => L2DistanceExpr(es(0), es(1))))
+      (es: Seq[Expression]) => L2DistanceExpr(es(0), es(1))),
+    // zorder_key(v0, v1, ..., bits): Morton-interleave pre-bucketed
+    // non-negative ints — the SQL spelling of ZOrder.interleave (the
+    // builder composes the same shift/mask tree from catalyst
+    // built-ins, so it stays codegen'd end to end)
+    ("zorder_key",
+      new ExpressionInfo(classOf[GraftExtensions].getName, "zorder_key"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{
+          BitwiseAnd, BitwiseOr, Cast, ShiftLeft, ShiftRight}
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        require(es.size >= 2, "zorder_key(v0[, v1, ...], bits)")
+        val bits = intArg(es.last, "bits")
+        val cols = es.init
+        val n = cols.size
+        require(bits >= 1 && n * bits <= 63,
+          s"zorder_key: n*bits must be in 1..63 (got $n*$bits)")
+        val terms = for { (c, i) <- cols.zipWithIndex; j <- 0 until bits }
+          yield ShiftLeft(
+            BitwiseAnd(ShiftRight(Cast(c, LongType), Literal(j, IntegerType)),
+              Literal(1L)),
+            Literal(j * n + (n - 1 - i), IntegerType))
+        terms.reduce[Expression](BitwiseOr(_, _))
+      }))
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

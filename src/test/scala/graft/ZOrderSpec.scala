@@ -48,6 +48,17 @@ class ZOrderSpec extends SparkTestBase {
     assert(const == Set(0L))
   }
 
+  test("zorder_key SQL function equals the Column-form interleave") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT zorder_key(x, y, 8) AS z FROM VALUES (3L, 5L), (200L, 17L) t(x, y)")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = sqlDf("x" -> Seq(3L, 200L), "y" -> Seq(5L, 17L))
+      .select(ZOrder.interleave(Seq(col("x"), col("y")), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol, s"SQL and Column forms diverge: $viaSql vs $viaCol")
+  }
+
   test("withZValue is a projection after one min/max agg (no join, no window)") {
     val df = sqlDf("x" -> (0L until 64L), "y" -> (0L until 64L).map(v => 63L - v))
     val out = ZOrder.withZValue(df, Seq("x", "y"), bits = 6)
