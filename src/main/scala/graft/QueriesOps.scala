@@ -1206,6 +1206,26 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // z-ordered layout is answer-preserving: a 2-d box query over the
+    // zorderWrite'd copy (one-time per-session layout cost) returns
+    // the plain filtered aggregate — the curve only relocates rows
+    // into prunable files, never changes them
+    "x_zorder_prune" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val path = s"target/zordercache/orders_$tag"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        graft.functions.ZOrder.zorderWrite(
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          path, Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 16)
+      }
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_orderkey").between(1000, 4000))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"))
+    }),
+
     // bucketed-table join (the standing-workload co-location recipe,
     // SURVEY §2.9 row 94): both sides written bucketed+sorted on the
     // join key ONCE per session (warehouse cost a standing workload
@@ -3844,6 +3864,15 @@ object QueriesOps {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the z-ordered box query's result IS the plain filter — the
+    // layout only relocates rows into prunable files
+    "x_zorder_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
 
     // the bucketed join's result IS the plain join — bucketing only
     // relocates the shuffle to write time
