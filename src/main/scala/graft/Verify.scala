@@ -30,6 +30,9 @@ object Verify {
       // drop scan-operator persists between queries (see Bench.time1)
       // — scoped to the scan family so user caches survive
       graft.functions.ScanFns.unpersistScans()
+      // and any operator-owned relation caches (ensembleDedup's
+      // exact-group frame): per-query hygiene, mirroring Bench.time1
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
