@@ -1666,6 +1666,15 @@ object QueriesOps {
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
 
+    // per-language KS drift report: which strata moved between the
+    // halves, stratum-partitioned CDF windows, per-stratum sup
+    "x_gks" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.groupedKs(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
+        .orderBy(col("stratum"))
+    }),
+
     // PSI drift over reference deciles: doc-length stability between
     // the even- and odd-id halves (Laplace-smoothed, floor-grid sum)
     "x_psi" -> ((s, d) => {
@@ -4294,6 +4303,33 @@ s"""WITH lines AS (
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
+
+    // grouped-KS replay: per-(lang, value) counts, lang-partitioned
+    // window cumsums, per-lang sup with smallest-value ties
+    "x_gks" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |c AS (SELECT g, v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1),
+        |f AS (SELECT c.g, c.v,
+        |    sum(c1) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM c),
+        |d AS (SELECT f.g, f.v,
+        |    abs(f1 / greatest(n1, 1.0) - f2 / greatest(n2, 1.0)) AS dd, n1, n2
+        |  FROM f JOIN t ON f.g = t.g),
+        |r AS (SELECT g, v, dd, n1, n2,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd DESC, v) AS rn
+        |  FROM d)
+        |SELECT g AS stratum, dd AS ks, v AS at_value,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+        |FROM r WHERE rn = 1 ORDER BY stratum""".stripMargin,
 
     // PSI replay: reference quantile_cont deciles, same comparison
     // chain, Laplace smoothing, floor-grid term sum

@@ -499,6 +499,44 @@ object Profiling {
         col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"))
   }
 
+  /** Per-stratum [[ksTest]] — the drift REPORT (one KS row per
+    * source/language/domain: which strata moved between corpus
+    * versions, not just whether the blend did). Same exactness as the
+    * global form; the CDF windows partition BY STRATUM (the
+    * groupedQuantiles trade: a stratum pays one sort of its own
+    * rows — strata skewed enough to hurt are the ones you are
+    * diagnosing). Strata present on only one side are reported with
+    * ks = 1 semantics by construction (every mass point disjoint).
+    * Output: (stratum, ks, at_value, n1, n2). */
+  def groupedKs(a: DataFrame, b: DataFrame, stratum: String,
+                value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, s1: Double, s2: Double) =
+      df.select(col(stratum).as("__g"), col(value).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s1", lit(s1)).withColumn("__s2", lit(s2))
+    val u = side(a, 1.0, 0.0).unionByName(side(b, 0.0, 1.0))
+    val counts = u.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    counts
+      .withColumn("__f1", sum(col("__c1")).over(w))
+      .withColumn("__f2", sum(col("__c2")).over(w))
+      .join(totals, Seq("__g"))
+      .select(col("__g"), col("__v"),
+        abs(col("__f1") / greatest(col("__n1"), lit(1.0)) -
+          col("__f2") / greatest(col("__n2"), lit(1.0))).as("__d"),
+        col("__n1"), col("__n2"))
+      .groupBy(col("__g").as("stratum"))
+      .agg(max(struct(col("__d"), -col("__v"))).getField("__d").as("ks"),
+        max_by(col("__v"), struct(col("__d"), -col("__v"))).as("at_value"),
+        max(col("__n1")).cast("long").as("n1"),
+        max(col("__n2")).cast("long").as("n2"))
+  }
+
   /** Population Stability Index (the scorecard-monitoring standard)
     * between a REFERENCE corpus and a CURRENT one, over equal-
     * population bins of the reference: PSI = Σ_bins (p−q)·ln(p/q).

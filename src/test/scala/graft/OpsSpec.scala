@@ -1909,6 +1909,19 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSet == again.toSet)
   }
 
+  test("groupedKs isolates the drifted stratum; one-sided strata read ks=1") {
+    import spark.implicits._
+    val xs = (1 to 100).map(_.toDouble)
+    val aS = xs.map(("stable", _)) ++ xs.map(("moved", _)) ++ xs.map(("only_a", _))
+    val bS = xs.map(("stable", _)) ++ xs.map(v => ("moved", v + 50.0))
+    val out = graft.ops.Profiling.groupedKs(
+        aS.toDF("g", "v"), bS.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("stable") == 0.0, s"unchanged stratum must read 0: $out")
+    assert(out("moved") == 0.5, s"half-shift must read 0.5: $out")
+    assert(out("only_a") == 1.0, s"one-sided stratum must read 1: $out")
+  }
+
   test("psi and chiSquare: near-zero on identical halves, large on shifted/skewed ones") {
     import spark.implicits._
     val xs = (1 to 1000).map(_.toDouble)
