@@ -250,4 +250,37 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("groupedKs per stratum == global ksTest run stratum-by-stratum (random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val strata = Seq("s1", "s2", "s3")
+    val aRows = strata.flatMap(g => Seq.fill(80)((g, rnd.nextInt(30).toDouble)))
+    val bRows = strata.flatMap(g =>
+      Seq.fill(60)((g, rnd.nextInt(30).toDouble + (if (g == "s2") 10 else 0))))
+    val grouped = graft.ops.Profiling.groupedKs(
+        aRows.toDF("g", "v"), bRows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    strata.foreach { g =>
+      val solo = graft.ops.Profiling.ksTest(
+        aRows.filter(_._1 == g).map(_._2).toDF("v"),
+        bRows.filter(_._1 == g).map(_._2).toDF("v"), "v").head()
+      assert(grouped(g)._1 == solo.getDouble(0) &&
+        grouped(g)._2 == solo.getDouble(1),
+        s"stratum $g: grouped ${grouped(g)} vs solo $solo")
+    }
+  }
+
+  test("htEstimate on a certain sample (p=1 everywhere) reproduces the exact total") {
+    import spark.implicits._
+    // constant weights => p = min(1, 1.0 * w/mean) = 1 for every row
+    val docs = (1L to 500L).map(i => (i, 40L)).toDF("doc_id", "n")
+    val sample = graft.ops.Sampling.weightedSample(docs, col("doc_id"),
+      col("n"), rate = 1.0, seed = 9L)
+    assert(sample.count() == 500L, "p=1 keeps every row")
+    val est = graft.ops.Sampling.htEstimate(sample, col("n"),
+      col("sample_p")).head()
+    assert(est.getDouble(0) == 500.0 * 40.0, s"certain total exact: $est")
+    assert(est.getDouble(1) == 0.0, s"zero variance at p=1: $est")
+  }
+
 }
