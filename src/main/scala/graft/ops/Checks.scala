@@ -80,6 +80,28 @@ object Checks {
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
+  /** Schema drift between two frames (the contract a snapshot
+    * pipeline checks BEFORE [[Snapshot.applyChanges]] — a changed
+    * column type corrupts silently where a changed value at least
+    * hashes differently): columns added, removed, or type-changed
+    * from `before` to `after`. Plan-time metadata only — zero jobs,
+    * zero scans. Output: (column, status ∈ added|removed|type_changed,
+    * before_type, after_type), empty when schemas agree. */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows =
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, a(c))) ++
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), null: String)) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if b(c) != a(c) => (c, "type_changed", b(c), a(c)) }
+    rows.toDF("column", "status", "before_type", "after_type")
+  }
+
   /** Key uniqueness: number of EXTRA rows beyond one per key (0 =
     * unique). One keyed partial-agg groupBy; NULL keys participate
     * (a null-keyed duplicate is still a duplicate). */

@@ -2184,6 +2184,19 @@ class OpsSpec extends SparkTestBase {
       s"pairs broke: ${out.toSeq}")
   }
 
+  test("schemaDiff reports added/removed/type-changed columns and stays silent on identity") {
+    import spark.implicits._
+    import graft.ops.Checks
+    val before = Seq((1L, "a", 1.0)).toDF("id", "keep", "becomes_int")
+    val after = Seq((1L, "a", 2, "x")).toDF("id", "keep", "becomes_int", "fresh")
+      .drop("nope")
+    val diff = Checks.schemaDiff(before, after.drop("keep"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff == Set(("fresh", "added"), ("keep", "removed"),
+      ("becomes_int", "type_changed")), s"diff broke: $diff")
+    assert(Checks.schemaDiff(before, before).count() == 0L)
+  }
+
   test("observeChecks rides the materializing job: metrics arrive with no second scan") {
     import spark.implicits._
     import graft.ops.Checks
