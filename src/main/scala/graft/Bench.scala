@@ -273,7 +273,14 @@ object Bench {
             """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows
       } else ""
     val anchorEnd = math.min(anchor(), anchor())
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json}"""
+    // the stdout line alone has been lost to artifact tail-truncation
+    // two rounds running (BENCH_r10/r11 shipped "parsed": null with the
+    // headline numbers cut out of the log tail) — land the full JSON on
+    // disk too, where no log buffer can eat it
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      json.getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -10,6 +10,23 @@ object QueriesOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Content tag for the per-session on-disk LAYOUT caches
+    * (x_part_prune / x_zorder_prune / x_bucket_join / x_filebloom):
+    * md5 of the source table's file names + sizes + mtimes. The old
+    * `dir.hashCode` keyed only the PATH STRING, so a regenerated
+    * testdata drop at the same path (or a hashCode collision) served a
+    * stale layout and the verify gate would compare against the wrong
+    * snapshot. */
+  private def srcTag(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val parts =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    val sig = parts.map(p => s"${p.getName}:${p.length()}:${p.lastModified()}")
+      .mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** First embedding vector (vec_id=0) as the standing query FRAME —
@@ -1191,7 +1208,7 @@ object QueriesOps {
     // (PartitionFilters; SourcesSpec asserts the pruning), and the
     // oracle proves layout never changes the answer
     "x_part_prune" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = srcTag(d, "documents")
       val path = s"target/partcache/docs_$tag"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         graft.sources.Sources.writePartitioned(
@@ -1211,7 +1228,7 @@ object QueriesOps {
     // the plain filtered aggregate — the curve only relocates rows
     // into prunable files, never changes them
     "x_zorder_prune" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = srcTag(d, "orders")
       val path = s"target/zordercache/orders_$tag"
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         graft.functions.ZOrder.zorderWrite(
@@ -1226,6 +1243,28 @@ object QueriesOps {
             .as("total"))
     }),
 
+    // per-file bloom sidecar lookup (SURVEY §2.9 row 97): orders
+    // key-spread over 16 files ONCE per session (content-tagged cache,
+    // so footer min/max prunes nothing), sidecar built in one grouped
+    // pass, then a BATCH point lookup probes the bitsets IN EXECUTORS
+    // (BloomBytesContainExpr; paths-only driver payload) and scans only
+    // the bloom-positive files — the oracle is the plain filtered scan,
+    // proving the index layer is answer-preserving
+    "x_filebloom" -> ((s, d) => {
+      val path = s"target/fbloomcache/orders_${srcTag(d, "orders")}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartition(16, col("o_orderkey"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val sidecar = graft.ops.FileBloomIndex.build(
+        s, path, col("o_orderkey"), expectedPerFile = 2000L)
+      graft.ops.FileBloomIndex.lookupMany(s, path, sidecar,
+          col("o_orderkey"), Seq(1L, 7L, 32L, 133L, 999999999L))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     // bucketed-table join (the standing-workload co-location recipe,
     // SURVEY §2.9 row 94): both sides written bucketed+sorted on the
     // join key ONCE per session (warehouse cost a standing workload
@@ -1234,7 +1273,8 @@ object QueriesOps {
     // has ZERO Exchange (SourcesSpec asserts it) and the oracle proves
     // bucketing never changes the answer
     "x_bucket_join" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      // tag covers BOTH source tables — either regenerating invalidates
+      val tag = srcTag(d, "lineitem") + srcTag(d, "orders")
       val (la, ob) = (s"graft_bl_$tag", s"graft_bo_$tag")
       if (!s.catalog.tableExists(la) || !s.catalog.tableExists(ob)) {
         // a fresh JVM starts with an empty in-memory catalog but the
@@ -3882,6 +3922,13 @@ object QueriesOps {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 300
         |  AND o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
+
+    // the bloom-pruned batch lookup's result IS the plain IN filter —
+    // the sidecar only skips files, never changes survivors
+    "x_filebloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 133, 999999999)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the bucketed join's result IS the plain join — bucketing only
     // relocates the shuffle to write time

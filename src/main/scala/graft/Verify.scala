@@ -28,11 +28,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop scan-operator persists between queries (see Bench.time1)
-      // — scoped to the scan family so user caches survive
+      // — scoped to the scan family so session-level caches survive.
+      // No blanket clearCache here: every operator that persists
+      // cleans up after itself (bpeTrain's finally), so the only
+      // per-query residue is the scan family's, and a global wipe
+      // would evict caches the queries themselves own.
       graft.functions.ScanFns.unpersistScans()
-      // and any operator-owned relation caches (ensembleDedup's
-      // exact-group frame): per-query hygiene, mirroring Bench.time1
-      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,6 +77,11 @@ object ZOrder {
           max(col(c).cast("long")).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val bucketed = cols.zipWithIndex.map { case (c, i) =>
+      // min/max aggregates are NULL on empty input or an all-NULL
+      // column; getLong would throw a bare NPE — fail with the cause
+      require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
+        s"withZValue: column '$c' has no non-NULL values " +
+          "(empty input or all-NULL column) — nothing to bucketize")
       bucketize(col(c), r.getLong(2 * i), r.getLong(2 * i + 1), bits) }
     df.withColumn(out, interleave(bucketed, bits))
   }

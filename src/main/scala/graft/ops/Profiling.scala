@@ -666,10 +666,15 @@ object Profiling {
       .groupBy((qs :+ col("n_rows")): _*)
       // the grid is complete, so count(*) per class IS m; the i = m
       // term is exactly 0 (both cums are exactly 1.0), so summing all
-      // m terms equals the i < m EMD definition
-      .agg((sum(col("__d").cast("decimal(38,0)")).cast("double") /
-          1099511627776.0 /
-          (count(lit(1)) - lit(1)).cast("double")).as("emd"))
+      // m terms equals the i < m EMD definition. m = 1 (a single
+      // distinct sensitive value) is the degenerate distance-to-itself
+      // case: emd is 0 by definition, not the 0/0 NaN the division
+      // would produce
+      .agg(sum(col("__d").cast("decimal(38,0)")).cast("double").as("__s"),
+           count(lit(1)).as("__m"))
+      .withColumn("emd", when(col("__m") === 1, lit(0.0)).otherwise(
+        col("__s") / 1099511627776.0 / (col("__m") - lit(1)).cast("double")))
+      .drop("__s", "__m")
       .withColumn("pass", col("emd") <= t)
   }
 

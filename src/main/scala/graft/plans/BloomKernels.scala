@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -100,6 +100,29 @@ object BloomKernels {
   def probeBroadcast(b: Broadcast[Array[Long]], key: Long, numHashes: Int): Boolean =
     mightContain(b.value, key, numHashes)
 
+  /** Probe a SERIALIZED bitset (the [[wordsToBytes]] big-endian layout)
+    * without materializing the word array — the per-row form for
+    * sidecar tables where every row carries its own bloom
+    * (ops/FileBloomIndex.scala). A 1.2 MB bitset is probed with k
+    * byte reads, zero allocation. */
+  def mightContainBytes(bytes: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    val mask = (bytes.length.toLong << 3) - 1
+    val h1 = XXH64.hashLong(key, Seed1)
+    val h2 = XXH64.hashLong(key, Seed2) | 1L
+    var i = 0
+    var h = h1
+    while (i < numHashes) {
+      val bit = h & mask
+      // big-endian word serialization: bit b of word w (b=0 is the
+      // word's LSB) lives in byte w*8 + (7 - b/8), at in-byte bit b%8
+      val byteIdx = ((bit >>> 6) << 3) + (7L - ((bit & 63) >>> 3))
+      if (((bytes(byteIdx.toInt) >>> (bit & 7).toInt) & 1) == 0) return false
+      h += h2
+      i += 1
+    }
+    true
+  }
+
   def wordsToBytes(words: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(words.length * 8)
     bb.asLongBuffer().put(words)
@@ -165,6 +188,36 @@ case class BloomBuildAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BloomBuildAgg =
     copy(child = newChild)
+}
+
+/** bloom_bytes_contain(bloom, keyHash, numHashes) — per-ROW bitset
+  * probe: each input row carries its own serialized bloom (BinaryType,
+  * the BloomBuildAgg output layout). This is the executor-side filter
+  * a per-file bloom SIDECAR needs: `sidecar.filter(probe)` tests every
+  * file's bitset where it lives and only the surviving file PATHS ever
+  * reach the driver — at 100k files × 1.2 MB bitsets the alternative
+  * (collect-then-filter) is a ~120 GB driver transfer per lookup.
+  * Splices into whole-stage codegen; NULL in any input → NULL. */
+case class BloomBytesContainExpr(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bytes_contain"
+
+  override protected def nullSafeEval(bloom: Any, keyHash: Any, numHashes: Any): Any =
+    BloomKernels.mightContainBytes(bloom.asInstanceOf[Array[Byte]],
+      keyHash.asInstanceOf[Long], numHashes.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k, n) =>
+      s"graft.plans.BloomKernels.mightContainBytes($b, $k, $n)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BloomBytesContainExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** bloom_might_contain(keyHash) against a torrent-broadcast bitset.
