@@ -84,6 +84,26 @@ object QueriesDplyr {
           "n_cust" -> countDistinct(col("o_custkey")))
         .ungroup.arrange(col("o_orderstatus")).df),
 
+    // group_by(.drop=FALSE): the EMPTY_SEG level is declared in the
+    // factor's level table but absent from the data — its group row
+    // survives with n=0/total=0 and a NULL mean (R's NA), via one
+    // fact-shuffle aggregate + a broadcast level-table left join
+    // (reference group_by.py:51 stores the flag; the polars backend
+    // never materializes the empty groups — graft exceeds it here)
+    "d_group_drop" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val levels = Forcats.lvlsExpand(
+        Forcats.levelsInseq(cust, "c_mktsegment"),
+        "c_mktsegment", Seq("EMPTY_SEG"))
+      cust.graft.groupBy("c_mktsegment")
+        .summariseKeepEmpty(levels,
+          Map("n" -> lit(0L), "total" -> lit(0.0)),
+          "n" -> count(lit(1)),
+          "total" -> dsum(col("c_acctbal")),
+          "avg_bal" -> davg(col("c_acctbal")))
+        .arrange(col("c_mktsegment")).df
+    }),
+
     // rollup grouping sets: per-(status,priority) rows + per-status
     // subtotals + grand total from ONE Expand+agg shuffle
     "d_rollup" -> ((s, d) =>
@@ -274,6 +294,17 @@ object QueriesDplyr {
         .sliceSample(3, 42L, col("s_suppkey"))
         .ungroup
         .select("s_nationkey", "s_suppkey")
+        .arrange(col("s_nationkey"), col("s_suppkey")).df),
+
+    // slice_sample(weight_by=): acctbal-weighted draw of 3 suppliers
+    // per nation — negative/zero balances are never drawn; the
+    // quantized ES key + id tiebreak lets the oracle replay the draw
+    "d_slice_sample_w" -> ((s, d) =>
+      t(s, d, "supplier").graft
+        .groupBy("s_nationkey")
+        .sliceSampleWeighted(3, 42L, col("s_suppkey"), col("s_acctbal"))
+        .ungroup
+        .select("s_nationkey", "s_suppkey", "s_acctbal")
         .arrange(col("s_nationkey"), col("s_suppkey")).df),
 
     "d_join_inner" -> ((s, d) =>
@@ -696,6 +727,22 @@ object QueriesDplyr {
          |  count(DISTINCT o_custkey) AS n_cust
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    // the declared-but-unused level survives with n=0/total=0 and a
+    // NULL mean; observed levels match d_summarise-style aggregates
+    "d_group_drop" ->
+      s"""WITH lv AS (
+         |  SELECT DISTINCT c_mktsegment FROM customer
+         |  UNION ALL SELECT 'EMPTY_SEG'),
+         |a AS (
+         |  SELECT c_mktsegment, count(*) AS n,
+         |    ${dsumSql("c_acctbal")} AS total,
+         |    ${davgSql("c_acctbal")} AS avg_bal
+         |  FROM customer GROUP BY c_mktsegment)
+         |SELECT lv.c_mktsegment, coalesce(a.n, 0) AS n,
+         |  coalesce(a.total, 0.0) AS total, a.avg_bal
+         |FROM lv LEFT JOIN a USING (c_mktsegment)
+         |ORDER BY c_mktsegment""".stripMargin,
+
     "d_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          |  ${dsumSql("o_totalprice")} AS total,
@@ -816,6 +863,26 @@ object QueriesDplyr {
       """SELECT s_nationkey, s_suppkey FROM supplier
         |QUALIFY row_number() OVER (PARTITION BY s_nationkey
         |  ORDER BY md5('42' || CAST(s_suppkey AS VARCHAR)), s_suppkey) <= 3
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+
+    // replays the quantized Efraimidis–Spirakis key: u from the md5
+    // hex-digit sum (the proven md5Unif replay), -ln(u)/w floored onto
+    // the 2^-40 grid, id tiebreak
+    "d_slice_sample_w" ->
+      """WITH s AS (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    list_sum(list_transform(range(1, 14), j ->
+        |      (strpos('0123456789abcdef',
+        |         substring(md5('42' || CAST(s_suppkey AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 13 - j))) / 4503599627370496.0 AS u
+        |  FROM supplier
+        |  WHERE CAST(s_acctbal AS DOUBLE) > 0.0)
+        |SELECT s_nationkey, s_suppkey, s_acctbal FROM s
+        |QUALIFY row_number() OVER (PARTITION BY s_nationkey
+        |  ORDER BY CASE WHEN u = 0.0 THEN 9223372036854775807
+        |    ELSE CAST(floor(least(-ln(u) / CAST(s_acctbal AS DOUBLE)
+        |      * 1099511627776.0, 4.6e18)) AS BIGINT) END,
+        |    s_suppkey) <= 3
         |ORDER BY s_nationkey, s_suppkey""".stripMargin,
 
     "d_topk" ->

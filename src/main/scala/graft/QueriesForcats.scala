@@ -26,6 +26,17 @@ object QueriesForcats {
         .groupBy("p_brand").agg(count(lit(1)).as("n"))
         .orderBy(col("p_brand"))),
 
+    // weighted lumping (reference forcats.py:855 fct_lump(w=)): levels
+    // ranked by their p_retailprice MASS, not row count — the keep-set
+    // can differ from f_fct_lump's; decimal mass sums make the rank
+    // and the output engine-exact
+    "f_fct_lump_w" -> ((s, d) =>
+      Forcats.fctLumpN(t(s, d, "part"), "p_brand", n = 4,
+          w = Some(col("p_retailprice")))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"),
+          dsum(col("p_retailprice")).as("mass"))
+        .orderBy(col("p_brand"))),
+
     "f_fct_recode" -> ((s, d) =>
       Forcats.fctCollapse(
         Forcats.fctRecode(t(s, d, "orders"), "o_orderstatus",
@@ -167,6 +178,17 @@ object QueriesForcats {
         |  QUALIFY row_number() OVER (ORDER BY count(*) DESC, p_brand) <= 5)
         |SELECT CASE WHEN p_brand IN (SELECT p_brand FROM keep)
         |  THEN p_brand ELSE 'Other' END AS p_brand, count(*) AS n
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    // weighted keep-set: top 4 brands by decimal retailprice mass
+    "f_fct_lump_w" ->
+      s"""WITH keep AS (
+        |  SELECT p_brand FROM part GROUP BY p_brand
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY sum(CAST(p_retailprice AS DECIMAL(28,6))) DESC, p_brand) <= 4)
+        |SELECT CASE WHEN p_brand IN (SELECT p_brand FROM keep)
+        |  THEN p_brand ELSE 'Other' END AS p_brand, count(*) AS n,
+        |  ${dsumSql("p_retailprice")} AS mass
         |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "f_fct_recode" ->

@@ -41,6 +41,20 @@ object QueriesTidyr {
         prefix = "st_", fill = Some(lit(0L)))
         .orderBy(col("o_custkey"))),
 
+    // names_glue + names_sort (reference tidyr.py:374-380): shaped
+    // output names "st_{o_orderstatus}_total" from a deliberately
+    // UNSORTED value list, names_sort=true restores F/O/P column order
+    "t_pivot_glue" -> ((s, d) =>
+      Tidyr.pivotWiderShaped(
+        t(s, d, "orders").select("o_orderpriority", "o_orderstatus",
+          "o_totalprice"),
+        idCols = Seq("o_orderpriority"), namesFrom = Seq("o_orderstatus"),
+        valuesFrom = col("o_totalprice"),
+        agg = c => graft.functions.Exact.dsum(c),
+        nameValues = Seq(Seq("P"), Seq("O"), Seq("F")),
+        namesGlue = "st_{o_orderstatus}_total", namesSort = true)
+        .orderBy(col("o_orderpriority"))),
+
     "t_pivot_multi" -> ((s, d) =>
       Tidyr.pivotWiderMulti(t(s, d, "orders"), Seq("o_custkey"),
         Seq("o_orderstatus", "o_orderpriority"), "_",
@@ -62,6 +76,23 @@ object QueriesTidyr {
         t(s, d, "part").select("p_partkey", "p_type"),
         "p_type", Seq("t1", "t2", "t3"), sep = " ")
         .orderBy(col("p_partkey"))),
+
+    // separate with the extra/fill strategies (reference
+    // api/tidyr.py:450 _separate_col): merge mode caps the split so
+    // the LAST piece absorbs the remainder; left-fill pads a shortfall
+    // on the LEFT — both change answers vs the greedy default, so they
+    // carry their own oracle replay over a 40-char document prefix
+    // (variable word counts: shortfall, exact-fit, and truncation rows
+    // all occur)
+    "t_separate_extra" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head40"))
+      val merged = Tidyr.separate(base, "head40", Seq("m1", "m2", "m3"),
+        sep = " ", remove = false, extra = "merge")
+      Tidyr.separate(merged, "head40", Seq("l1", "l2", "l3", "l4", "l5"),
+        sep = " ", remove = true, extra = "warn", fill = "left")
+        .orderBy(col("doc_id"))
+    }),
 
     "t_extract" -> ((s, d) =>
       Tidyr.extract(
@@ -231,6 +262,17 @@ object QueriesTidyr {
         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
+    "t_pivot_glue" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS st_F_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS st_O_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS st_P_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "t_pivot_wider" ->
       """SELECT o_custkey,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
@@ -263,6 +305,31 @@ object QueriesTidyr {
         |  nullif(split_part(p_type, ' ', 2), '') AS t2,
         |  nullif(split_part(p_type, ' ', 3), '') AS t3
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // merge: piece 3 is the ' '-rejoined remainder (separators are
+    // literal single spaces, so the rejoin reconstructs the original
+    // substring exactly); left-fill: piece i reads word i - shortfall,
+    // guarded to NULL out of range (DuckDB negative indices read from
+    // the END, so the guard is required, not cosmetic)
+    "t_separate_extra" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(substr(text, 1, 40), ' ') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  w[1] AS m1,
+        |  CASE WHEN len(w) >= 2 THEN w[2] END AS m2,
+        |  CASE WHEN len(w) >= 3 THEN array_to_string(w[3:], ' ') END AS m3,
+        |  CASE WHEN 1 - (5 - least(len(w), 5)) BETWEEN 1 AND len(w)
+        |    THEN w[1 - (5 - least(len(w), 5))] END AS l1,
+        |  CASE WHEN 2 - (5 - least(len(w), 5)) BETWEEN 1 AND len(w)
+        |    THEN w[2 - (5 - least(len(w), 5))] END AS l2,
+        |  CASE WHEN 3 - (5 - least(len(w), 5)) BETWEEN 1 AND len(w)
+        |    THEN w[3 - (5 - least(len(w), 5))] END AS l3,
+        |  CASE WHEN 4 - (5 - least(len(w), 5)) BETWEEN 1 AND len(w)
+        |    THEN w[4 - (5 - least(len(w), 5))] END AS l4,
+        |  CASE WHEN 5 - (5 - least(len(w), 5)) BETWEEN 1 AND len(w)
+        |    THEN w[5 - (5 - least(len(w), 5))] END AS l5
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "t_extract" ->
       """SELECT o_orderkey, regexp_extract(o_orderpriority, '(\d)-(.+)', 1) AS prio_num,

@@ -70,11 +70,20 @@ object Forcats {
       when(c === lvl, i).otherwise(acc)
     }
 
-  /** fct_lump_n: keep the n most frequent levels, lump the rest.
-    * Two-phase: tiny level-count agg, then broadcast map-back. */
+  /** Level mass for the lump family: row count, or — with `w`
+    * (reference forcats.py:855,877,917 weighted lumping) — the level's
+    * WEIGHT SUM. Decimal-summed (order-invariant, engine-exact), so
+    * weighted keep-sets rank and threshold identically everywhere. */
+  private def lvlMass(w: Option[Column]): Column =
+    w.fold(count(lit(1)).cast("decimal(28,6)"))(c =>
+      sum(c.cast("decimal(28,6)"))).as("__n")
+
+  /** fct_lump_n: keep the n heaviest levels (by count, or by weight
+    * sum with `w`), lump the rest. Two-phase: tiny level-mass agg,
+    * then broadcast map-back. */
   def fctLumpN(df: DataFrame, f: String, n: Int,
-               other: String = "Other"): DataFrame = {
-    val keep = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+               other: String = "Other", w: Option[Column] = None): DataFrame = {
+    val keep = df.groupBy(col(f)).agg(lvlMass(w))
       .withColumn("__rk", row_number().over(Window.orderBy(col("__n").desc, col(f))))
       .filter(col("__rk") <= n).select(col(f).as("__keep"))
     df.join(broadcast(keep), df(f) === col("__keep"), "left")
@@ -82,22 +91,27 @@ object Forcats {
       .drop("__keep")
   }
 
-  /** fct_lump_min: lump levels with fewer than `min` occurrences. */
-  def fctLumpMin(df: DataFrame, f: String, minN: Long,
-                 other: String = "Other"): DataFrame = {
-    val keep = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minN).select(col(f).as("__keep"))
+  /** fct_lump_min: lump levels with mass (count, or weight sum with
+    * `w`) below `minN`. */
+  def fctLumpMin(df: DataFrame, f: String, minN: Double,
+                 other: String = "Other", w: Option[Column] = None): DataFrame = {
+    val keep = df.groupBy(col(f)).agg(lvlMass(w))
+      .filter(col("__n") >= lit(minN)).select(col(f).as("__keep"))
     df.join(broadcast(keep), df(f) === col("__keep"), "left")
       .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))
       .drop("__keep")
   }
 
-  /** fct_lump_prop: lump levels below a frequency proportion. */
+  /** fct_lump_prop: lump levels below a mass proportion (count share,
+    * or weight share with `w`). The per-level and total masses are
+    * exact decimals; the share is ONE double division of two exact
+    * values — identical IEEE in every engine. */
   def fctLumpProp(df: DataFrame, f: String, prop: Double,
-                  other: String = "Other"): DataFrame = {
-    val counts = df.groupBy(col(f)).agg(count(lit(1)).as("__n"))
+                  other: String = "Other", w: Option[Column] = None): DataFrame = {
+    val counts = df.groupBy(col(f)).agg(lvlMass(w))
     val keep = counts
-      .withColumn("__p", col("__n").cast("double") / sum(col("__n")).over(Window.partitionBy()))
+      .withColumn("__p", col("__n").cast("double") /
+        sum(col("__n")).over(Window.partitionBy()).cast("double"))
       .filter(col("__p") >= prop).select(col(f).as("__keep"))
     df.join(broadcast(keep), df(f) === col("__keep"), "left")
       .withColumn(f, when(col("__keep").isNull, lit(other)).otherwise(col(f)))

@@ -319,6 +319,39 @@ final class GraftFrame private (
       df.rollup(groupCols: _*).agg(exprs.head, exprs.tail: _*), Nil, Nil)
   }
 
+  /** group_by(.drop=FALSE) + summarise over a FACTOR grouping column:
+    * levels declared in the level table but absent from the data still
+    * produce a group row (reference api/dplyr/group_by.py:29,51 stores
+    * the `_drop` flag; dplyr's .drop=FALSE contract — the polars
+    * backend itself never materializes the empty groups, so graft
+    * EXCEEDS the reference here). The fact-row aggregate runs exactly
+    * like [[summarise]] (one shuffle, map-side combine); the
+    * |levels|-sized table then broadcast-LEFT-joins the result, so
+    * empty-level rows cost |levels| work, never a second corpus pass.
+    * `fills` patches aggregates that have a defined value over an
+    * empty group (R: n() and sum() are 0); everything else stays NULL
+    * (R's NA — e.g. mean of an empty group).
+    *
+    * One grouping column by design: .drop applies per-factor, and the
+    * level table IS that factor's metadata (Forcats convention: a
+    * column named like the factor, e.g. from levelsInseq/fctExpand). */
+  def summariseKeepEmpty(levels: DataFrame, fills: Map[String, Column],
+                         aggs: (String, Column)*): GraftFrame = {
+    require(groups.length == 1,
+      "summariseKeepEmpty: .drop=FALSE grouping is per-factor — exactly one group column")
+    val g = groups.head
+    require(levels.columns.contains(g),
+      s"summariseKeepEmpty: level table must carry the factor column '$g' " +
+        s"(got ${levels.columns.mkString(", ")})")
+    val exprs = aggs.map { case (n, c) => c.as(n) }
+    val agged = df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
+    val joined = broadcast(levels.select(col(g)).distinct())
+      .join(agged, Seq(g), "left")
+    val filled = fills.foldLeft(joined) { case (d, (n, f)) =>
+      d.withColumn(n, coalesce(col(n), f)) }
+    new GraftFrame(filled, Nil, Nil)
+  }
+
   /** reframe: like summarise but aggregates may be array-valued and are
     * exploded back to multiple rows per group. */
   def reframe(aggs: (String, Column)*): GraftFrame = {
@@ -430,6 +463,35 @@ final class GraftFrame private (
     // ungrouped: distributed TakeOrdered, not a single-partition window
     if (groups.isEmpty) withDf(df.orderBy(ord: _*).limit(n))
     else sliceByRank(ord, n, withTies = false)
+  }
+
+  /** slice_sample(n, weight_by=) — reference slice_.py:204 DECLARES
+    * weight_by and the polars backend silently drops it (`df.sample`
+    * takes no weights), so graft exceeds the reference here. Weighted
+    * draw WITHOUT replacement via Efraimidis–Spirakis A-Res: row key
+    * -ln(u)/w with u = md5Unif(seed‖id); the n smallest keys per group
+    * (whole frame when ungrouped) are the sample. ln is transcendental
+    * — a 1-ulp libm disagreement across engines could flip an
+    * ordering — so the key is QUANTIZED to the 2^-40 grid (exact
+    * integer floor; a flip now needs the true value within 1e-9 of a
+    * grid line) with the id as total-order tiebreak: deterministic
+    * AND oracle-replayable. Zero/negative/NULL weights are never
+    * drawn (R's sample() contract). Same topology as [[sliceSample]]:
+    * distributed TakeOrdered ungrouped, one partitioned window
+    * grouped — no global window either way. */
+  def sliceSampleWeighted(n: Int, seed: Long, key: Column,
+                          weight: Column): GraftFrame = {
+    require(n >= 1, s"slice_sample: n must be >= 1 (got $n)")
+    val u = graft.functions.BaseFns.md5Unif(key, seed)
+    val w = weight.cast("double")
+    val es = when(u === 0.0, lit(Long.MaxValue)) // -ln(0) = inf: draw last
+      .otherwise(floor(least(-log(u) / w * lit(1099511627776.0),
+        lit(4.6e18))).cast("long"))
+    val ord = Seq(es.asc, key.asc_nulls_last)
+    val pos = df.filter(coalesce(w, lit(0.0)) > 0.0)
+    if (groups.isEmpty) withDf(pos.orderBy(ord: _*).limit(n))
+    else new GraftFrame(pos, groups, sortKeys, isRowwise)
+      .sliceByRank(ord, n, withTies = false)
   }
 
   /** slice_sample(n, replace = TRUE) — reference slice_.py:205. n

@@ -57,6 +57,48 @@ object Tidyr {
       df.withColumn("__names", concat_ws(namesSep, namesFrom.map(col): _*)),
       idCols, "__names", valuesFrom, agg, nameValues, prefix, fill)
 
+  /** pivot_wider names_glue / names_sort / names_repair (reference
+    * api/tidyr.py:374-380): driver-side output-name shaping over the
+    * explicit value list. `namesGlue` is a template with one
+    * `{column}` placeholder per namesFrom column (tidyr's glue spec,
+    * e.g. "st_{o_orderstatus}_total"); `namesSort` orders the output
+    * value columns by shaped name; namesRepair="check_unique" fails
+    * loudly when the glue collapses two value tuples onto one name
+    * (tidyr's default repair). `nameValues` holds one value TUPLE per
+    * output column, aligned with namesFrom. Same single-shuffle pivot
+    * as [[pivotWider]] — shaping is pure metadata. */
+  def pivotWiderShaped(df: DataFrame, idCols: Seq[String], namesFrom: Seq[String],
+                       valuesFrom: Column, agg: Column => Column,
+                       nameValues: Seq[Seq[String]], namesGlue: String,
+                       namesSort: Boolean = false,
+                       namesRepair: String = "check_unique",
+                       fill: Option[Column] = None): DataFrame = {
+    require(namesFrom.nonEmpty, "pivot_wider: namesFrom must be non-empty")
+    require(nameValues.forall(_.length == namesFrom.length),
+      "pivot_wider: each nameValues tuple must match namesFrom arity")
+    require(Set("check_unique", "minimal")(namesRepair),
+      s"pivot_wider: names_repair must be check_unique/minimal, got '$namesRepair'")
+    val shaped = nameValues.map { vs =>
+      namesFrom.zip(vs).foldLeft(namesGlue) { case (acc, (c, v)) =>
+        acc.replace(s"{$c}", v) } }
+    if (namesRepair == "check_unique") {
+      val dups = shaped.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+      require(dups.isEmpty,
+        s"pivot_wider: names_glue produced duplicate column names " +
+          s"(names_repair=check_unique): ${dups.mkString(", ")}")
+    }
+    val sep = ""
+    val joined = nameValues.map(_.mkString(sep))
+    val base = pivotWider(
+      df.withColumn("__names", concat_ws(sep, namesFrom.map(col): _*)),
+      idCols, "__names", valuesFrom, agg, joined, "", fill)
+    val renamed = joined.zip(shaped).foldLeft(base) { case (d, (j, sh)) =>
+      d.withColumnRenamed(j, sh) }
+    if (namesSort)
+      renamed.select(idCols.map(col) ++ shaped.sorted.map(col): _*)
+    else renamed
+  }
+
   /** pivot_longer with names_sep: stack, then split the name column
     * into several columns (tidyr names_sep / names_pattern via regex). */
   def pivotLongerNames(df: DataFrame, sel: Selector, namesTo: Seq[String],
@@ -78,12 +120,34 @@ object Tidyr {
     pivotWider(df, idCols, namesFrom, valuesFrom, agg, names, prefix, fill)
   }
 
-  /** separate: split a string column into fixed parts by regex. */
+  /** separate: split a string column into fixed parts by regex, with
+    * tidyr's extra/fill strategies (reference api/tidyr.py:450
+    * `_separate_col`; semantics pinned by
+    * tests/tidyr/test_tidyr_verbs.py test_separate_merge):
+    *
+    *  - extra="merge": cap the split at n pieces so the LAST piece
+    *    absorbs the remainder — Spark's `split(c, sep, n)` IS Python's
+    *    `re.split(sep, v, maxsplit=n-1)`;
+    *  - extra="drop"/"warn": full split, excess pieces truncated;
+    *  - fill="left": a shortfall pads NULLs on the LEFT (piece i reads
+    *    parts[i - shortfall]; get() is NULL on both out-of-bounds
+    *    directions, which is exactly the pad);
+    *  - fill="right"/"warn": NULLs pad the right (default).
+    *
+    * Pure projection — no shuffle in any mode. */
   def separate(df: DataFrame, c: String, into: Seq[String], sep: String,
-               remove: Boolean = true): DataFrame = {
-    val parts = split(col(c), sep)
-    val out = into.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
-      d.withColumn(n, get(parts, lit(i))) // get() → NULL past the end (ANSI-safe)
+               remove: Boolean = true, extra: String = "warn",
+               fill: String = "right"): DataFrame = {
+    require(Set("warn", "drop", "merge")(extra),
+      s"separate: extra must be one of warn/drop/merge, got '$extra'")
+    require(Set("warn", "right", "left")(fill),
+      s"separate: fill must be one of warn/right/left, got '$fill'")
+    val n = into.length
+    val parts = if (extra == "merge") split(col(c), sep, n) else split(col(c), sep)
+    val shortfall = lit(n) - least(size(parts), lit(n))
+    val out = into.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
+      val idx = if (fill == "left") lit(i) - shortfall else lit(i)
+      d.withColumn(name, get(parts, idx)) // NULL past either end (ANSI-safe)
     }
     if (remove) out.drop(c) else out
   }

@@ -601,7 +601,8 @@ class PlanSpec extends SparkTestBase {
       // forcats: windows rank the DISTINCT LEVEL table (factor
       // contract: levels ≪ rows; documented in Forcats scaladoc)
       "f_fct_count" -> "level table", "f_fct_infreq" -> "level table",
-      "f_fct_lump" -> "level table", "f_fct_lowfreq" -> "level table",
+      "f_fct_lump" -> "level table", "f_fct_lump_w" -> "level table",
+      "f_fct_lowfreq" -> "level table",
       "f_fct_reorder" -> "level table", "f_fct_reorder2" -> "level table",
       "f_fct_shift" -> "level table", "f_fct_shuffle" -> "level table",
       "f_fct_cross" -> "level table", "f_fct_expand" -> "level table",

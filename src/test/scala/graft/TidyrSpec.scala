@@ -40,6 +40,18 @@ class TidyrSpec extends SparkTestBase {
     assertRows(uni.select("s"), Seq(Seq("a-b")))
   }
 
+  test("separate extra=merge/drop and fill=left/right (reference test_separate_merge vectors)") {
+    // the reference pins ["x", "x y", "x y z", NA] for both strategies
+    // (tests/tidyr/test_tidyr_verbs.py:338-346)
+    val df = sqlDf("id" -> Seq(1, 2, 3, 4), "x" -> Seq("x", "x y", "x y z", null))
+    val drop = Tidyr.separate(df, "x", Seq("a", "b"), " ",
+      extra = "drop", fill = "right").orderBy("id").select("a", "b")
+    assertRows(drop, Seq(Seq("x", null), Seq("x", "y"), Seq("x", "y"), Seq(null, null)))
+    val merge = Tidyr.separate(df, "x", Seq("a", "b"), " ",
+      extra = "merge", fill = "left").orderBy("id").select("a", "b")
+    assertRows(merge, Seq(Seq(null, "x"), Seq("x", "y"), Seq("x", "y z"), Seq(null, null)))
+  }
+
   test("fill down/up/downup within partitions") {
     val df = sqlDf("g" -> Seq("a", "a", "a"), "ord" -> Seq(1, 2, 3),
       "v" -> Seq(null, 5, null))
