@@ -156,6 +156,50 @@ object Bench {
     cache.getPath
   }
 
+  /** The sf10 (100×) rehearsal set: the r11 verdict's worst growers —
+    * the second scale decade behind the 100 TB design claims. Only
+    * these run at 100×, and the synth below builds only the tables
+    * they read. */
+  val sf10Queries: Seq[String] = Seq(
+    "x_dedup_minhash", "x_ks", "x_dedup_ensemble", "x_bm25", "x_rag")
+
+  /** Synthesize a ~100× (sf≈10) copy of JUST the tables the sf10
+    * rehearsal reads: documents (doc_id, text — the only columns the
+    * dedup/retrieval growers touch) and lineitem (l_orderkey,
+    * l_extendedprice — all x_ks reads), as 100 key-shifted replicas
+    * via one crossJoin with a replica range (no 100-branch union
+    * plan). Every document line gets a per-replica prefix, the same
+    * reasoning as [[synthSf1]]: identical copies would make the 100×
+    * corpus a 99%-duplicate pathology instead of scale-up. One-time
+    * build, cached, excluded from timings. */
+  private def synthSf10(spark: SparkSession, benchDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val cache = new java.io.File("target/benchcache/sf10synth")
+    val ok = new java.io.File(cache, "_OK")
+    val marker = s"from:$benchDir:v1"
+    if (ok.exists() &&
+        new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
+      return cache.getPath
+    val K = 100000000L
+    val reps = spark.range(100).toDF("__r")
+    spark.read.parquet(s"$benchDir/documents.parquet")
+      .select("doc_id", "text").crossJoin(reps)
+      .select((col("doc_id") + col("__r") * K).as("doc_id"),
+        when(col("__r") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("(?m)^"),
+            concat(lit("r"), col("__r"), lit(" ")))).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"${cache.getPath}/documents.parquet")
+    spark.read.parquet(s"$benchDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice").crossJoin(reps)
+      .select((col("l_orderkey") + col("__r") * K).as("l_orderkey"),
+        col("l_extendedprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"${cache.getPath}/lineitem.parquet")
+    java.nio.file.Files.write(ok.toPath, marker.getBytes("UTF-8"))
+    cache.getPath
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -272,8 +316,31 @@ object Bench {
           .mkString(""","sf1_queries":{""", ",",
             """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows
       } else ""
+    // sf10 rehearsal: 100× data for the worst growers — the second
+    // scale decade behind the 100 TB claims (r11 verdict item 8).
+    // Growth here is read against sf0.1, so ~linear-per-decade shows
+    // as ~100 (time ratio over 100× data).
+    val sf10Json =
+      if (new java.io.File(sfDir).getName == "sf0.1" &&
+          sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1") {
+        val sf10Dir = synthSf10(spark, benchDir)
+        val rows = sf10Queries.filter(qs.contains).map { n =>
+          n -> timeN(n, sf10Dir)
+        }
+        val headlineTimes = results.toMap
+        val growth = rows.collect {
+          case (k, Some((v, _))) if headlineTimes.get(k).flatten.exists(_._1 > 0.0) =>
+            "\"" + k + f"""":${v / headlineTimes(k).get._1}%.1f"""
+        }.mkString(""","sf10_growth_on_100x":{""", ",", "}")
+        val sf10Rows = rows.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
+          .mkString(""","sf10_rows":{""", ",", "}")
+        rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
+          .mkString(""","sf10_queries":{""", ",",
+            """},"sf10_synth":"100x-key-shifted-replicas-docs-lineitem"""") +
+          growth + sf10Rows
+      } else ""
     val anchorEnd = math.min(anchor(), anchor())
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json$sf10Json}"""
     // the stdout line alone has been lost to artifact tail-truncation
     // two rounds running (BENCH_r10/r11 shipped "parsed": null with the
     // headline numbers cut out of the log tail) — land the full JSON on

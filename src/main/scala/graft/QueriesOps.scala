@@ -324,6 +324,24 @@ object QueriesOps {
         .orderBy(col("src_id"))
     }),
 
+    // corpus-scale bitext: the SAME margin/mine math but candidates
+    // from the LSH multi-probe bucket join instead of brute force —
+    // the documented 100 TB swap-in (Bitext scaladoc), proven
+    // end-to-end with the retrieval replayed bucket-for-bucket
+    "x_bitext_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val src = e.filter(col("vec_id") % 2 === 0)
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+      val fwd = Similarity.lshTopKJoin(tgt, "vec_id", "embedding",
+        src, "vec_id", "embedding", k = 4, nPlanes = 8)
+      val rev = Similarity.lshTopKJoin(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 4, nPlanes = 8)
+      Bitext.mineBitext(Bitext.marginScores(fwd, rev), minMargin = 1.0)
+        .withColumn("cos", round(col("cos"), 4))
+        .withColumn("margin", round(col("margin"), 4))
+        .orderBy(col("src_id"))
+    }),
+
     // deterministic md5-ranked centroid sample -> the oracle rebuilds
     // the identical IVF index and probes the same two lists
     "x_ann_ivf" -> ((s, d) => {
@@ -5511,6 +5529,58 @@ s"""WITH lines AS (
         |    row_number() OVER (PARTITION BY t.vec_id
         |      ORDER BY list_cosine_similarity(s.v, t.v) DESC, s.vec_id) AS rk
         |  FROM tgt t CROSS JOIN src s) WHERE rk <= 4),
+        |px AS (SELECT query_id,
+        |    (CAST(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(cos) AS DOUBLE)) AS px FROM fwd GROUP BY query_id),
+        |py AS (SELECT query_id,
+        |    (CAST(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+        |      / CAST(count(cos) AS DOUBLE)) AS py FROM rev GROUP BY query_id),
+        |sc AS (SELECT f.query_id AS src_id, f.neighbor_id AS tgt_id, f.cos,
+        |    f.cos / ((px.px + py.py)/2) AS margin
+        |  FROM fwd f JOIN px ON px.query_id = f.query_id
+        |             JOIN py ON py.query_id = f.neighbor_id),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |    ORDER BY margin DESC, tgt_id DESC) AS rk FROM sc)
+        |SELECT src_id, tgt_id, round(cos, 4) AS cos, round(margin, 4) AS margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0 ORDER BY src_id""".stripMargin,
+
+    // the x_bitext margin replay with the x_ann_lsh bucket replay
+    // underneath: per-vector SRP buckets, 9-probe candidate join per
+    // side, top-4, then the identical decimal-mean margins
+    "x_bitext_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN b USING (vec_id)),
+        |src AS (SELECT * FROM eb WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT * FROM eb WHERE vec_id % 2 = 1),
+        |sprobe AS (SELECT vec_id AS query_id, v AS qv,
+        |    unnest([bucket] || list_transform(range(0, 8),
+        |      p -> xor(bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM src),
+        |tprobe AS (SELECT vec_id AS query_id, v AS qv,
+        |    unnest([bucket] || list_transform(range(0, 8),
+        |      p -> xor(bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM tgt),
+        |fwd AS (SELECT query_id, neighbor_id, cos FROM (
+        |    SELECT pr.query_id, t.vec_id AS neighbor_id,
+        |      list_cosine_similarity(t.v, pr.qv) AS cos,
+        |      row_number() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(t.v, pr.qv) DESC, t.vec_id) AS rk
+        |    FROM tgt t JOIN sprobe pr USING (bucket)) WHERE rk <= 4),
+        |rev AS (SELECT query_id, neighbor_id, cos FROM (
+        |    SELECT pr.query_id, s.vec_id AS neighbor_id,
+        |      list_cosine_similarity(s.v, pr.qv) AS cos,
+        |      row_number() OVER (PARTITION BY pr.query_id
+        |        ORDER BY list_cosine_similarity(s.v, pr.qv) DESC, s.vec_id) AS rk
+        |    FROM src s JOIN tprobe pr USING (bucket)) WHERE rk <= 4),
         |px AS (SELECT query_id,
         |    (CAST(CAST(sum(CAST(cos AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |      / CAST(count(cos) AS DOUBLE)) AS px FROM fwd GROUP BY query_id),

@@ -704,15 +704,41 @@ object Dedup {
     * persisting it was MEASURED SLOWER at 10× scale (7.5s vs 4.6s:
     * caching a text-wide join costs more than re-running page-cached
     * columnar scans), so the recompute stands; a deployment whose
-    * source scans are genuinely cold can persist the input upstream.
-    * Output: (id, verdict, kept_by). */
+    * source scans are genuinely cold materializes
+    * [[exactGroupAssignments]] once and runs
+    * [[ensembleDedupPrepared]] over the copy (verdict-identical,
+    * spec-proven). Output: (id, verdict, kept_by). */
   def ensembleDedup(df: DataFrame, id: String, text: String,
                     w: Int = 3, numPerm: Int = 64, numBands: Int = 16,
-                    threshold: Double = 0.5): DataFrame = {
+                    threshold: Double = 0.5): DataFrame =
+    ensembleDedupPrepared(exactGroupAssignments(df, id, text), id, text,
+      w, numPerm, numBands, threshold)
+
+  /** The materializable first stage of [[ensembleDedup]]: every row's
+    * exact-duplicate representative as (id, rep, text). The COLD-SOURCE
+    * knob: when source scans are genuinely cold (no page cache — the
+    * case where the measured persist-vs-recompute A/B flips), land
+    * THIS frame on parquet once and feed the copy to
+    * [[ensembleDedupPrepared]] — the ensemble's four consumers then
+    * re-read a compact columnar artifact instead of re-scanning the
+    * raw source four times. */
+  def exactGroupAssignments(df: DataFrame, id: String, text: String): DataFrame = {
     val hashed = df.select(col(id).as("__did"), md5(col(text)).as("__h"),
       col(text).as("__t"))
     val groups = hashed.groupBy("__h").agg(min(col("__did")).as("__rep"))
-    val withRep = hashed.join(groups, Seq("__h"))
+    hashed.join(groups, Seq("__h"))
+      .select(col("__did").as(id), col("__rep").as("rep"), col("__t").as(text))
+  }
+
+  /** [[ensembleDedup]] over a prepared [[exactGroupAssignments]] frame
+    * (id, rep, text) — verdict-identical to the recompute path
+    * (OpsSpec proves it) with ZERO raw-source re-scans: the hot-path
+    * form when the prepared frame is a materialized parquet copy. */
+  def ensembleDedupPrepared(prepared: DataFrame, id: String, text: String,
+                            w: Int = 3, numPerm: Int = 64, numBands: Int = 16,
+                            threshold: Double = 0.5): DataFrame = {
+    val withRep = prepared.select(col(id).as("__did"), col("rep").as("__rep"),
+      col(text).as("__t"))
     val reps = withRep.filter(col("__did") === col("__rep"))
       .select(col("__did").as(id), col("__t").as(text))
     val pairs = minhashLsh(reps, id, text, w, numPerm, numBands, threshold)

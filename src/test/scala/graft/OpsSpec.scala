@@ -2337,6 +2337,32 @@ class OpsSpec extends SparkTestBase {
     assert(out.forall(r => keeps.contains(r._3)))
   }
 
+  test("ensembleDedupPrepared over a materialized exact-group frame is verdict-identical") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "the quick brown fox jumps over the lazy cat"),
+      (5L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    // the cold-source path: land the exact-group stage on parquet,
+    // then run the ensemble over the COPY — raw source never re-read
+    val dir = java.nio.file.Files.createTempDirectory("graft_ens").toFile
+    Dedup.exactGroupAssignments(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir.getPath)
+    val prepared = spark.read.parquet(dir.getPath)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val recompute = rows(Dedup.ensembleDedup(corpus, "doc_id", "text",
+      w = 3, numPerm = 64, numBands = 16, threshold = 0.5))
+    val fromPrepared = rows(Dedup.ensembleDedupPrepared(prepared, "doc_id", "text",
+      w = 3, numPerm = 64, numBands = 16, threshold = 0.5))
+    assert(fromPrepared == recompute,
+      s"prepared path diverged:\n$fromPrepared\nvs\n$recompute")
+  }
+
   test("aspectRatioBatches: exact-fraction buckets, batches never mix, edge ties go low") {
     import spark.implicits._
     // dims spanning portrait (3/4), square (1), landscape (4/3); plus a
