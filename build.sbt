@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the sf10 (100x) bench rehearsal OOMed the hash
+  // aggregates at 8g with 32 concurrent tasks (AGGREGATE_OUT_OF_MEMORY
+  // killed the SparkContext mid-bench); the machine has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -27,7 +27,10 @@ object Bench {
     // PRF retrieval, KS drift sort, event anomaly profile, MMR rerank
     "x_zorder", "x_dedup_ensemble", "s_session_window",
     "x_bm25_prf", "x_ks", "x_anomaly", "x_mmr", "x_rag",
-    "s_sessionize", "s_neardup")
+    "s_sessionize", "s_neardup",
+    // round-12: executor-probed file-bloom lookup (build + batch
+    // lookup per call) and the corpus-shape LSH bitext composition
+    "x_filebloom", "x_bitext_lsh")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -176,7 +179,10 @@ object Bench {
     import org.apache.spark.sql.functions._
     val cache = new java.io.File("target/benchcache/sf10synth")
     val ok = new java.io.File(cache, "_OK")
-    val marker = s"from:$benchDir:v1"
+    // v2: 128 doc partitions (was 64) — halves each task's partial
+    // hash-agg map on the tokenize scans, the same lever as
+    // maxPartitionBytes on a real cluster
+    val marker = s"from:$benchDir:v2"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
@@ -188,7 +194,7 @@ object Bench {
         when(col("__r") === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(?m)^"),
             concat(lit("r"), col("__r"), lit(" ")))).as("text"))
-      .repartition(64)
+      .repartition(128)
       .write.mode("overwrite").parquet(s"${cache.getPath}/documents.parquet")
     spark.read.parquet(s"$benchDir/lineitem.parquet")
       .select("l_orderkey", "l_extendedprice").crossJoin(reps)
@@ -203,16 +209,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries ns timestamps: read them as long during
-      // the cache rewrite exactly as the queries themselves do
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        // events.parquet carries ns timestamps: read them as long during
+        // the cache rewrite exactly as the queries themselves do
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
+    // One executor OOM (e.g. an under-provisioned heap on the 100x
+    // sweep) stops the local-mode SparkContext; without this guard
+    // every subsequent query "fails" against the dead context and the
+    // round's artifact loses the whole tail. Rebuild and carry on —
+    // the failed query is still reported in "failed".
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      System.err.println("[bench] SparkContext died; rebuilding session")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
     val qs = SparkEntry.queries
     val benchDir = multiRowGroupCopy(spark, sfDir)
     // absorb session/codegen/parquet-footer warmup so per-query times
@@ -247,7 +268,9 @@ object Bench {
           Some(((System.nanoTime() - t0) / 1e9, rows))
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None }
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          ensureAlive()
+          None }
       // the 2-pass scan operators persist their sorted rows and leave
       // them cached (the output stays lazy); drop them OUTSIDE the
       // timing so one query's cache pressure can't skew the next

@@ -332,10 +332,15 @@ object QueriesOps {
       val e = t(s, d, "embeddings")
       val src = e.filter(col("vec_id") % 2 === 0)
       val tgt = e.filter(col("vec_id") % 2 === 1)
+      // broadcastProbes=false: BOTH sides are corpus-sized in the
+      // mining shape, so the bucket join shuffles instead of
+      // broadcasting the query corpus (result-identical)
       val fwd = Similarity.lshTopKJoin(tgt, "vec_id", "embedding",
-        src, "vec_id", "embedding", k = 4, nPlanes = 8)
+        src, "vec_id", "embedding", k = 4, nPlanes = 8,
+        broadcastProbes = false)
       val rev = Similarity.lshTopKJoin(src, "vec_id", "embedding",
-        tgt, "vec_id", "embedding", k = 4, nPlanes = 8)
+        tgt, "vec_id", "embedding", k = 4, nPlanes = 8,
+        broadcastProbes = false)
       Bitext.mineBitext(Bitext.marginScores(fwd, rev), minMargin = 1.0)
         .withColumn("cos", round(col("cos"), 4))
         .withColumn("margin", round(col("margin"), 4))

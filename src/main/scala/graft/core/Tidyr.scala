@@ -132,12 +132,17 @@ object Tidyr {
     *  - fill="left": a shortfall pads NULLs on the LEFT (piece i reads
     *    parts[i - shortfall]; get() is NULL on both out-of-bounds
     *    directions, which is exactly the pad);
-    *  - fill="right"/"warn": NULLs pad the right (default).
+    *  - fill="right"/"warn": NULLs pad the right (default);
+    *  - convert: piece name → Spark type, cast after the split
+    *    (reference `convert={"b": float}`; a malformed piece fails
+    *    loudly under ANSI, matching polars' strict cast — NULL pieces
+    *    stay NULL).
     *
     * Pure projection — no shuffle in any mode. */
   def separate(df: DataFrame, c: String, into: Seq[String], sep: String,
                remove: Boolean = true, extra: String = "warn",
-               fill: String = "right"): DataFrame = {
+               fill: String = "right",
+               convert: Map[String, String] = Map.empty): DataFrame = {
     require(Set("warn", "drop", "merge")(extra),
       s"separate: extra must be one of warn/drop/merge, got '$extra'")
     require(Set("warn", "right", "left")(fill),
@@ -147,7 +152,8 @@ object Tidyr {
     val shortfall = lit(n) - least(size(parts), lit(n))
     val out = into.zipWithIndex.foldLeft(df) { case (d, (name, i)) =>
       val idx = if (fill == "left") lit(i) - shortfall else lit(i)
-      d.withColumn(name, get(parts, idx)) // NULL past either end (ANSI-safe)
+      val piece = get(parts, idx) // NULL past either end (ANSI-safe)
+      d.withColumn(name, convert.get(name).fold(piece)(piece.cast))
     }
     if (remove) out.drop(c) else out
   }

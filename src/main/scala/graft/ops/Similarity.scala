@@ -189,13 +189,16 @@ object Similarity {
   /** Multi-query LSH top-k: every query row probes its own bucket plus
     * the hamming-distance-1 neighbors, and candidates resolve per-query
     * with a `query_id`-partitioned window (bucket-bounded partitions —
-    * never a global sort). The query set is broadcast, so it must stay
-    * dimension-sized (≲ thousands of rows × dims·8B); for corpus-scale
-    * query sets drop the broadcast hint and let the bucket join
-    * shuffle both sides on `__bucket`. */
+    * never a global sort). With `broadcastProbes` (default) the query
+    * set is broadcast, so it must stay dimension-sized (≲ thousands of
+    * rows × dims·8B); pass `broadcastProbes = false` for CORPUS-SCALE
+    * query sets — both sides then shuffle on `__bucket` (a plain
+    * co-partitioned equi-join: the corpus×corpus bitext shape), with
+    * identical results. */
   def lshTopKJoin(corpus: DataFrame, cid: String, cvec: String,
                   queries: DataFrame, qid: String, qvec: String,
-                  k: Int, nPlanes: Int = 8): DataFrame = {
+                  k: Int, nPlanes: Int = 8,
+                  broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = corpus.withColumn("__bucket",
       hyperplaneKey(col(cvec).cast("array<double>"), nPlanes))
@@ -206,7 +209,11 @@ object Similarity {
       explode(concat(array(col("__qb")),
         transform(sequence(lit(0), lit(nPlanes - 1)),
           p => col("__qb").bitwiseXOR(call_function("shiftleft", lit(1L), p))))).as("__bucket"))
-    keyed.join(broadcast(probes), Seq("__bucket"))
+    // non-broadcast path: no hint — Catalyst picks sort-merge (or AQE
+    // re-plans) on the co-partitioned __bucket key; forcing a hash
+    // join would trade SMJ's spill-safety away under bucket skew
+    keyed.join(
+      if (broadcastProbes) broadcast(probes) else probes, Seq("__bucket"))
       .withColumn("cos", cosine(col(cvec).cast("array<double>"), col("__qv")))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(cid))))

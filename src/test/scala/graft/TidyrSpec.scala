@@ -52,6 +52,13 @@ class TidyrSpec extends SparkTestBase {
     assertRows(merge, Seq(Seq(null, "x"), Seq("x", "y"), Seq("x", "y z"), Seq(null, null)))
   }
 
+  test("separate convert= casts pieces (reference test_separate_convert vectors)") {
+    val df = sqlDf("id" -> Seq(1, 2, 3, 4), "x" -> Seq("x:1", "x:2", "z", null))
+    val out = Tidyr.separate(df, "x", Seq("a", "b"), ":",
+      convert = Map("b" -> "double")).orderBy("id").select("a", "b")
+    assertRows(out, Seq(Seq("x", 1.0), Seq("x", 2.0), Seq("z", null), Seq(null, null)))
+  }
+
   test("fill down/up/downup within partitions") {
     val df = sqlDf("g" -> Seq("a", "a", "a"), "ord" -> Seq(1, 2, 3),
       "v" -> Seq(null, 5, null))
