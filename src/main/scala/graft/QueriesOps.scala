@@ -1266,6 +1266,39 @@ object QueriesOps {
             .as("total"))
     }),
 
+    // INCREMENTAL z-order maintenance is answer-preserving: base =
+    // three quarters of orders z-written (grid bounds persisted in
+    // _zorder_meta.json), delta = the last quarter zorderAppend'ed on
+    // the SAME stored grid (delta-sized write, base untouched); the
+    // box query over the combined directory returns the plain filtered
+    // aggregate over ALL orders — layout maintenance never changes
+    // answers, and ZOrderSpec separately proves the appended files
+    // still prune
+    "x_zorder_incr" -> ((s, d) => {
+      val tag = srcTag(d, "orders")
+      val path = s"target/zordercache/orders_incr_$tag"
+      if (!new java.io.File(s"$path/_zorder_meta.json").exists()) {
+        val o = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        // bounds come from the FULL key domain (the production shape:
+        // grid sized to the table's key space, deltas cluster within)
+        val bs = graft.functions.ZOrder.bounds(
+          o, Seq("o_custkey", "o_orderkey"))
+        graft.functions.ZOrder.zorderWrite(
+          o.filter(col("o_orderkey") % 4 =!= 0),
+          path, Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 12,
+          gridBounds = Some(bs))
+        graft.functions.ZOrder.zorderAppend(
+          o.filter(col("o_orderkey") % 4 === 0), path, numFiles = 4)
+      }
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_orderkey").between(1000, 4000))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"))
+    }),
+
     // per-file bloom sidecar lookup (SURVEY §2.9 row 97): orders
     // key-spread over 16 files ONCE per session (content-tagged cache,
     // so footer min/max prunes nothing), sidecar built in one grouped
@@ -1699,6 +1732,18 @@ object QueriesOps {
         (col("doc_id") % 50).as("src"),
         ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
       Graph.hits(edges, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
+    // synchronous label propagation over the same link graph —
+    // community detection (mirror networks / spam farms as dense
+    // subgraphs); integer counts + smallest-label tie-break, so the
+    // 3-iteration unroll replays exactly
+    "x_lpa" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.labelPropagation(edges, "src", "dst", iters = 3)
         .orderBy(col("node"))
     }),
 
@@ -3946,6 +3991,15 @@ object QueriesOps {
         |WHERE o_custkey BETWEEN 100 AND 300
         |  AND o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
 
+    // incremental maintenance is answer-preserving: base+delta on the
+    // shared grid still return the plain filtered aggregate
+    "x_zorder_incr" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
+
     // the bloom-pruned batch lookup's result IS the plain IN filter —
     // the sidecar only skips files, never changes survivors
     "x_filebloom" ->
@@ -4673,6 +4727,31 @@ s"""WITH lines AS (
         |SELECT n.node, h2.hub, a2.auth
         |FROM n JOIN h2 USING (node) JOIN a2 USING (node)
         |ORDER BY n.node""".stripMargin
+    },
+
+    // LPA replay: symmetrized self-loop-free edges, per-iteration
+    // neighbor-label counts, argmax by (count desc, label asc), three
+    // unrolled rounds — all-integer, so the replay is exact
+    "x_lpa" -> {
+      def iter(prev: String, out: String) =
+        s"""v$out AS (SELECT sym.a, $prev.label, count(*) AS c
+           |  FROM sym JOIN $prev ON sym.b = $prev.node GROUP BY 1, 2),
+           |w$out AS (SELECT a AS node, label,
+           |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+           |  FROM v$out),
+           |$out AS (SELECT $prev.node,
+           |    coalesce(w.label, $prev.label) AS label
+           |  FROM $prev LEFT JOIN (SELECT node, label FROM w$out WHERE rn = 1) w
+           |    USING (node))""".stripMargin
+      s"""WITH dir AS (SELECT DISTINCT doc_id % 50 AS a, (doc_id * 7 + 3) % 50 AS b
+        |  FROM documents),
+        |sym AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir) WHERE a <> b),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |${iter("l0", "l1")},
+        |${iter("l1", "l2")},
+        |${iter("l2", "l3")}
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
     },
 
     // topPaths: same (ts, event_id) deterministic order, DuckDB

@@ -66,25 +66,47 @@ object ZOrder {
       (c.cast("long") - lit(min)) * lit(k), lit(span)).cast("long")
   }
 
-  /** Append the z-value of `cols` (integer-valued columns) as `out`.
-    * One agg scan finds each column's min/max (2n Longs through the
-    * driver); the z-value itself is a pure projection. */
-  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
-                 out: String = "zval"): DataFrame = {
-    require(cols.nonEmpty, "withZValue: need at least one column")
+  /** Per-column [min, max] of the z-columns: ONE partial-aggregated
+    * scan, 2n Longs through the driver (driver-tiny by contract). */
+  def bounds(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    require(cols.nonEmpty, "bounds: need at least one column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")).as(s"__mn_$c"),
           max(col(c).cast("long")).as(s"__mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val bucketed = cols.zipWithIndex.map { case (c, i) =>
+    cols.zipWithIndex.map { case (c, i) =>
       // min/max aggregates are NULL on empty input or an all-NULL
       // column; getLong would throw a bare NPE — fail with the cause
       require(!r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1),
-        s"withZValue: column '$c' has no non-NULL values " +
+        s"bounds: column '$c' has no non-NULL values " +
           "(empty input or all-NULL column) — nothing to bucketize")
-      bucketize(col(c), r.getLong(2 * i), r.getLong(2 * i + 1), bits) }
+      (r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+  }
+
+  /** Append the z-value of `cols` against KNOWN per-column bounds as
+    * `out` — a pure projection. Values outside a bound (a delta that
+    * drifted past the base grid) CLAMP to the edge bucket: clustering
+    * quality degrades at the edges, but correctness never does —
+    * readers prune on the filter columns' own footer min/max, which
+    * are genuine per-file stats regardless of where the z-curve put
+    * the row. */
+  def withZValueBounded(df: DataFrame, cols: Seq[String],
+                        bs: Seq[(Long, Long)], bits: Int,
+                        out: String = "zval"): DataFrame = {
+    require(cols.size == bs.size, "withZValueBounded: cols/bounds size mismatch")
+    val bucketed = cols.zip(bs).map { case (c, (mn, mx)) =>
+      bucketize(greatest(least(col(c).cast("long"), lit(mx)), lit(mn)), mn, mx, bits)
+    }
     df.withColumn(out, interleave(bucketed, bits))
   }
+
+  /** Append the z-value of `cols` (integer-valued columns) as `out`.
+    * One agg scan finds each column's min/max; the z-value itself is
+    * a pure projection. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+                 out: String = "zval"): DataFrame =
+    withZValueBounded(df, cols, bounds(df, cols), bits, out)
 
   /** Write `df` as `numFiles` parquet files clustered along the
     * z-curve of `cols`: range-partition on the z-value (one shuffle —
@@ -93,13 +115,73 @@ object ZOrder {
     * its footer min/max are tight on every z-dimension. Readers scan
     * with ordinary filters; parquet footer pruning does the rest. */
   def zorderWrite(df: DataFrame, path: String, cols: Seq[String], bits: Int,
-                  numFiles: Int): Unit = {
+                  numFiles: Int,
+                  gridBounds: Option[Seq[(Long, Long)]] = None): Unit = {
     require(numFiles >= 1, s"zorderWrite: numFiles must be >= 1")
-    withZValue(df, cols, bits, "__zv")
+    // explicit gridBounds: size the grid to the full key DOMAIN (not
+    // just this batch's observed range) so later zorderAppend deltas
+    // cluster interior, not clamped to edges
+    val bs = gridBounds.getOrElse(bounds(df, cols))
+    require(bs.size == cols.size, "zorderWrite: gridBounds/cols size mismatch")
+    withZValueBounded(df, cols, bs, bits, "__zv")
       .repartitionByRange(numFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv")
       .write.mode("overwrite").parquet(path)
+    writeMeta(path, cols, bits, bs)
+  }
+
+  /** The grid metadata a z-ordered table carries so later appends
+    * cluster on the SAME curve: cols, bits, per-column bounds. Lives
+    * as `_zorder_meta.json` next to the data (underscore-prefixed —
+    * parquet readers ignore it, like _SUCCESS). */
+  private def writeMeta(path: String, cols: Seq[String], bits: Int,
+                        bs: Seq[(Long, Long)]): Unit = {
+    val json = cols.zip(bs).map { case (c, (mn, mx)) =>
+      s"""{"col":"$c","min":$mn,"max":$mx}"""
+    }.mkString(s"""{"bits":$bits,"cols":[""", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_zorder_meta.json"),
+      json.getBytes("UTF-8"))
+  }
+
+  private def readMeta(path: String): (Int, Seq[(String, Long, Long)]) = {
+    val p = java.nio.file.Paths.get(path, "_zorder_meta.json")
+    require(java.nio.file.Files.exists(p),
+      s"zorderAppend: $path has no _zorder_meta.json — not a zorderWrite " +
+        "table (or written before grid metadata existed); rewrite with " +
+        "zorderWrite once to establish the grid")
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val bits = """"bits":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    val cols = """\{"col":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
+      .findAllMatchIn(s)
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+    (bits, cols)
+  }
+
+  /** Incremental z-order maintenance — the append half of a
+    * lakehouse `OPTIMIZE ZORDER BY` without rewriting the base: the
+    * delta is clustered on the BASE table's stored grid (same cols,
+    * bits, bounds from `_zorder_meta.json`) and lands as new sorted
+    * files next to the existing ones. Readers scan the directory as
+    * before; every file — old or new — still covers one contiguous
+    * z-range of the shared curve, so footer pruning keeps working
+    * across the whole table. At 100 TB this is the difference
+    * between clustering a day's 100 GB delta and re-sorting the
+    * 100 TB base: the write cost is delta-sized (one range shuffle of
+    * the delta), and a periodic full zorderWrite compaction restores
+    * edge-bucket quality if the key domain drifts past the original
+    * bounds (out-of-range values clamp — see [[withZValueBounded]]). */
+  def zorderAppend(df: DataFrame, path: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"zorderAppend: numFiles must be >= 1")
+    val (bits, meta) = readMeta(path)
+    val cols = meta.map(_._1)
+    val bs = meta.map(m => (m._2, m._3))
+    withZValueBounded(df, cols, bs, bits, "__zv")
+      .repartitionByRange(numFiles, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+      .write.mode("append").parquet(path)
   }
 
   /** DuckDB replay of [[bucketize]] + [[interleave]] for oracle SQL:

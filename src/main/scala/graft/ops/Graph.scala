@@ -163,4 +163,52 @@ object Graph {
     }
     scores.select("node", "hub", "auth")
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the link graph: dedup clusters, mirror networks,
+    * and spam farms surface as dense communities that PageRank's
+    * global score can't separate. Every node starts as its own label;
+    * each round every node adopts the most frequent label among its
+    * (undirected) neighbors, ties broken by the SMALLEST label —
+    * the deterministic synchronous variant, so a fixed iteration
+    * count replays exactly on any engine (integer counts + integer
+    * tie-break; no floats anywhere). Isolated nodes keep their label.
+    *
+    * Scale shape per iteration: ONE shuffle join of the (node, label)
+    * table onto the symmetrized edges keyed by neighbor + one partial
+    * agg to (node, label, cnt) + one agg to the per-node argmax via
+    * `max(struct(cnt, -label))` — a groupBy, never a global window.
+    * The label table is (node, long) — never wider. Same in-plan
+    * unroll contract as [[pageRank]]; checkpoint per round for deep
+    * iteration on billion-edge graphs.
+    * Output: (node, label), one row per node. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"labelPropagation: iters=$iters out of the in-plan unroll range [1,20]")
+    val dir = edges.select(col(src).cast("long").as("__a"),
+      col(dst).cast("long").as("__b"))
+    // symmetrize (and drop self-loops: a node's own label shouldn't
+    // vote) — distinct so a repeated edge isn't a double vote
+    val sym = dir.unionByName(dir.select(col("__b").as("__a"),
+        col("__a").as("__b")))
+      .filter(col("__a") =!= col("__b")).distinct()
+    val nodes = sym.select(col("__a").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = sym.join(labels, col("__b") === col("node"))
+        .groupBy(col("__a"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc): max of (cnt, -label)
+      val winner = votes.groupBy(col("__a").as("node"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__w"))
+        .select(col("node"), (-col("__w.__nl")).as("label"))
+      // left join keeps isolated nodes (none here post-symmetrize,
+      // but callers may union extra nodes in) on their old label
+      labels = labels.select(col("node"), col("label").as("__old"))
+        .join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("__old")).as("label"))
+    }
+    labels
+  }
 }

@@ -2123,6 +2123,40 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("labelPropagation finds two cliques joined by one bridge edge") {
+    import spark.implicits._
+    // clique {1,2,3} + clique {10,11,12}, single bridge 3-10: the
+    // plurality vote keeps each clique on its own smallest label
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val edges = clique.toDF("src", "dst")
+    val out = graft.ops.Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      s"left clique must share one label: $out")
+    assert(out(10L) == out(11L) && out(11L) == out(12L),
+      s"right clique must share one label: $out")
+    assert(out(1L) != out(10L), s"communities must separate: $out")
+    // smallest-label tie-break keeps labels from the cliques' own ids
+    assert(out(1L) == 1L, s"left community converges to its min id: $out")
+  }
+
+  test("labelPropagation: repeated and self-loop edges don't skew votes; deterministic") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    // duplicate one edge 5x and add self-loops: results must match the
+    // clean graph (distinct + self-loop drop)
+    val noisy = (base ++ Seq.fill(5)((1L, 2L)) ++ Seq((1L, 1L), (3L, 3L)))
+      .toDF("src", "dst")
+    val clean = base.toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Graph.labelPropagation(df, "src", "dst", iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(noisy) == run(clean))
+    assert(run(clean) == run(clean), "replay-deterministic")
+  }
+
   test("neymanAllocation favors variable strata, caps at population, degrades to proportional") {
     import spark.implicits._
     // A: 100 rows constant metric (sd 0); B: 100 rows spread 0..990

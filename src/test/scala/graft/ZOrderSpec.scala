@@ -110,4 +110,71 @@ class ZOrderSpec extends SparkTestBase {
     assert(back.count() == n)
     assert(back.columns.sorted.toSeq == Seq("x", "y"))
   }
+
+  test("zorderAppend clusters deltas on the stored grid; combined table stays prunable and lossless") {
+    val rnd = new scala.util.Random(29)
+    val n = 4096
+    val df = sqlDf(
+      "x" -> Seq.fill(n)(rnd.nextInt(1024).toLong),
+      "y" -> Seq.fill(n)(rnd.nextInt(1024).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zinc").toFile
+    val path = new java.io.File(dir, "zord").getPath
+    // base = 3/4 of the rows, written with domain-wide explicit bounds;
+    // delta = the remaining quarter appended on the stored grid
+    val base = df.filter(col("x") % 4 =!= 0)
+    val delta = df.filter(col("x") % 4 === 0)
+    ZOrder.zorderWrite(base, path, Seq("x", "y"), bits = 10, numFiles = 12,
+      gridBounds = Some(Seq((0L, 1023L), (0L, 1023L))))
+    val filesBefore = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    ZOrder.zorderAppend(delta, path, numFiles = 8)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == filesBefore + 8,
+      s"append adds exactly numFiles new files: ${files.length} vs $filesBefore+8")
+    // losslessness: base + delta round-trips exactly
+    val back = spark.read.parquet(path)
+    assert(back.count() == n)
+    assert(back.agg(sum("x"), sum("y")).head() ==
+      df.agg(sum("x"), sum("y")).head())
+    // pruning still works ACROSS old and new files: a selective y-box
+    // touches at most half of all files (appended ones included)
+    def touched(dim: String, lo: Long, hi: Long): Int = files.count { f =>
+      val r = spark.read.parquet(f).agg(min(dim), max(dim)).head()
+      !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi)
+    }
+    // (delta files are coarser — 1024 rows over 8 files — so the bound
+    // is 60%, not the base layout's 50%)
+    assert(touched("y", 100L, 160L) * 5 <= files.length * 3,
+      s"combined layout must still prune on y: ${touched("y", 100L, 160L)}/${files.length}")
+    assert(touched("x", 100L, 160L) * 5 <= files.length * 3,
+      s"combined layout must still prune on x: ${touched("x", 100L, 160L)}/${files.length}")
+  }
+
+  test("zorderAppend clamps out-of-grid keys to edge buckets without losing rows") {
+    val df = sqlDf("x" -> (0L until 256L), "y" -> (0L until 256L).map(v => 255L - v))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zclamp").toFile
+    val path = new java.io.File(dir, "zord").getPath
+    ZOrder.zorderWrite(df, path, Seq("x", "y"), bits = 8, numFiles = 4)
+    // delta whose keys drifted past the base grid's bounds
+    val drift = sqlDf("x" -> Seq(5000L, 6000L), "y" -> Seq(-50L, 9000L))
+    ZOrder.zorderAppend(drift, path, numFiles = 1)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 258)
+    // the drifted rows are present verbatim (clamping affects only
+    // placement on the curve, never stored values)
+    assert(back.filter(col("x") === 5000L && col("y") === -50L).count() == 1)
+    assert(back.filter(col("x") === 6000L && col("y") === 9000L).count() == 1)
+  }
+
+  test("zorderAppend refuses a directory without grid metadata") {
+    val df = sqlDf("x" -> Seq(1L, 2L), "y" -> Seq(3L, 4L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_znometa").toFile
+    val path = new java.io.File(dir, "plain").getPath
+    df.write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zorderAppend(df, path, numFiles = 1)
+    }
+    assert(e.getMessage.contains("_zorder_meta.json"))
+  }
 }
