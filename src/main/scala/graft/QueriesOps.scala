@@ -1266,6 +1266,27 @@ object QueriesOps {
             .as("total"))
     }),
 
+    // Hilbert-curve layout is answer-preserving exactly like Z-order:
+    // the box query over the hilbert-laid copy returns the plain
+    // filtered aggregate (the curve only moves rows BETWEEN files);
+    // LayoutSpec separately proves bijection/adjacency and that the
+    // layout prunes both dimensions
+    "x_hilbert" -> ((s, d) => {
+      val tag = srcTag(d, "orders")
+      val path = s"target/zordercache/orders_hil_$tag"
+      if (!new java.io.File(s"$path/_hilbert_meta.json").exists()) {
+        graft.functions.Hilbert.hilbertWrite(
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+          path, Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 16)
+      }
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 300) &&
+          col("o_orderkey").between(1000, 4000))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+            .as("total"))
+    }),
+
     // INCREMENTAL z-order maintenance is answer-preserving: base =
     // three quarters of orders z-written (grid bounds persisted in
     // _zorder_meta.json), delta = the last quarter zorderAppend'ed on
@@ -3985,6 +4006,15 @@ object QueriesOps {
     // the z-ordered box query's result IS the plain filter — the
     // layout only relocates rows into prunable files
     "x_zorder_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 4000""".stripMargin,
+
+    // hilbert layout is answer-preserving: the box query over the
+    // hilbert-laid copy IS the plain filtered aggregate
+    "x_hilbert" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
         |FROM orders

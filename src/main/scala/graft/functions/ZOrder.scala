@@ -131,33 +131,14 @@ object ZOrder {
     writeMeta(path, cols, bits, bs)
   }
 
-  /** The grid metadata a z-ordered table carries so later appends
-    * cluster on the SAME curve: cols, bits, per-column bounds. Lives
-    * as `_zorder_meta.json` next to the data (underscore-prefixed —
-    * parquet readers ignore it, like _SUCCESS). */
+  /** Grid metadata (`_zorder_meta.json` — see [[CurveMeta]]) so later
+    * appends cluster on the SAME curve. */
   private def writeMeta(path: String, cols: Seq[String], bits: Int,
-                        bs: Seq[(Long, Long)]): Unit = {
-    val json = cols.zip(bs).map { case (c, (mn, mx)) =>
-      s"""{"col":"$c","min":$mn,"max":$mx}"""
-    }.mkString(s"""{"bits":$bits,"cols":[""", ",", "]}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_zorder_meta.json"),
-      json.getBytes("UTF-8"))
-  }
+                        bs: Seq[(Long, Long)]): Unit =
+    CurveMeta.write(path, "_zorder_meta.json", "z", cols, bits, bs)
 
-  private def readMeta(path: String): (Int, Seq[(String, Long, Long)]) = {
-    val p = java.nio.file.Paths.get(path, "_zorder_meta.json")
-    require(java.nio.file.Files.exists(p),
-      s"zorderAppend: $path has no _zorder_meta.json — not a zorderWrite " +
-        "table (or written before grid metadata existed); rewrite with " +
-        "zorderWrite once to establish the grid")
-    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val bits = """"bits":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
-    val cols = """\{"col":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
-      .findAllMatchIn(s)
-      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
-    (bits, cols)
-  }
+  private def readMeta(path: String): (Int, Seq[(String, Long, Long)]) =
+    CurveMeta.read(path, "_zorder_meta.json", "zorderAppend")
 
   /** Incremental z-order maintenance — the append half of a
     * lakehouse `OPTIMIZE ZORDER BY` without rewriting the base: the
