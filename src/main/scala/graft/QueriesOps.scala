@@ -471,6 +471,22 @@ object QueriesOps {
         .select("doc_id", "source", "split")
         .orderBy(col("doc_id"))),
 
+    // leakage-safe DEDUP split: the split key is the near-dup CLUSTER
+    // id (own id when unclustered), so a train doc's 0.9-jaccard copy
+    // can never land in val/test — the contamination mode a per-doc
+    // key silently allows; oracle replays the jaccard closure + the
+    // same md5 range split on the cluster key
+    "x_split_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      val clusters = Dedup.dedupClusters(pairs.select("a", "b"))
+      Sampling.splitByCluster(docs, "doc_id", clusters,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "cluster_key", "split")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fuzzy matching -------------------------------------------------
     // entity resolution over the customer registry: all name pairs
     // within levenshtein distance 1 (the single-digit-substitution
@@ -2010,6 +2026,15 @@ object QueriesOps {
     // exact OLS sums in a single 1-row agg
     "x_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(t(s, d, "documents"), "text", topN = 200)),
+
+    // Heaps'-law vocabulary growth: V(N) at 10 token-count checkpoints
+    // in deterministic (doc_id, position) stream order + the shared
+    // log-log OLS fit (beta, ln_k) — Zipf checks the head of the term
+    // distribution, this checks the tail-growth rate
+    "x_heaps" -> ((s, d) =>
+      TextAnalysis.heapsLaw(t(s, d, "documents"), "doc_id", "text",
+          checkpoints = 10)
+        .orderBy(col("ckpt"))),
 
     // per-doc cross-document novelty: fraction of the doc's distinct
     // 3-token shingles appearing in NO other document — shingle
@@ -5210,6 +5235,37 @@ s"""WITH lines AS (
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // leakage-safe dedup split: the x_dedup_clusters closure feeding
+    // the x_splits md5-range rule, keyed by the cluster id
+    "x_split_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  coalesce(cl.cluster_id, d.doc_id) AS cluster_key,
+        |  CASE WHEN substring(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |    WHEN substring(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN cl USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // ensemble replay: exact md5 groups, the quadratic-truth pair set
     // over reps only, the same recursive-CTE closure, verdict CASE
     "x_dedup_ensemble" ->
@@ -5988,6 +6044,36 @@ s"""WITH lines AS (
         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
         |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         |FROM s""".stripMargin,
+
+    // Heaps replay: same (doc_id, position) global token order (the
+    // row_number global window is DuckDB-side only — Spark uses the
+    // distributed prefix scan), per-term first occurrence, vocab
+    // counts at ceil(T*k/10), zipf's decimal OLS moment convention
+    "x_heaps" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |ex AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)+1),
+        |    j -> {'j': j, 'term': tk[j]})) AS u FROM toks),
+        |ex2 AS (SELECT u.term AS term,
+        |    row_number() OVER (ORDER BY doc_id, u.j) AS gpos FROM ex),
+        |firsts AS (SELECT term, min(gpos) AS fp FROM ex2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM ex2),
+        |ck AS (SELECT CAST(k AS BIGINT) AS ckpt, (t * k + 9) // 10 AS n_tokens
+        |  FROM tot, range(1, 11) r(k)),
+        |v AS (SELECT ck.ckpt, ck.n_tokens,
+        |    (SELECT count(*) FROM firsts WHERE fp <= ck.n_tokens) AS vocab
+        |  FROM ck),
+        |xy AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+        |    ln(CAST(vocab AS DOUBLE)) AS y FROM v),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxx
+        |  FROM xy)
+        |SELECT v.ckpt, v.n_tokens, v.vocab,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS ln_k
+        |FROM v, s ORDER BY v.ckpt""".stripMargin,
 
     // novelty replay: the x_containment shingle recipe (3-token
     // windows, whole-doc fallback under 3 tokens, list_distinct),

@@ -74,6 +74,28 @@ object Sampling {
     df.withColumn("split", chain.get.otherwise(splits.last._1))
   }
 
+  /** Leakage-safe split by NEAR-DUP CLUSTER: near-duplicates of a
+    * training document must not land in val/test — with a per-doc key
+    * they do (a doc and its 0.9-jaccard copy hash independently), and
+    * the eval set silently overlaps train. Here the split key is the
+    * doc's cluster id from [[graft.ops.Dedup.dedupClusters]] (its own
+    * id when unclustered), so an entire near-dup cluster moves as one
+    * unit — the same md5-range mechanics as [[splitAssign]], with all
+    * of its determinism/growth-stability properties lifted to the
+    * cluster grain. One broadcast-or-shuffle left join onto the
+    * cluster map (pair-count-sized — tiny next to the corpus), then a
+    * pure projection. Output: the docs frame + (cluster_key, split). */
+  def splitByCluster(docs: DataFrame, id: String, clusters: DataFrame,
+                     splits: Seq[(String, Double)]): DataFrame = {
+    val cmap = clusters.select(col("doc_id").as("__cid"),
+      col("cluster_id").as("__ck"))
+    val keyed = docs.join(cmap, col(id) === col("__cid"), "left")
+      .withColumn("cluster_key",
+        coalesce(col("__ck"), col(id).cast("long")))
+      .drop("__cid", "__ck")
+    splitAssign(keyed, col("cluster_key"), splits)
+  }
+
   /** Quality-curriculum token-budget selection: keep the best
     * documents — "best" = first under the caller's declared `order`
     * (typically quality desc + a unique tiebreak) — until the running

@@ -1113,6 +1113,77 @@ object TextAnalysis {
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β — how fast the
+    * corpus keeps yielding NEW terms as tokens stream past. The
+    * operational read for a pretraining corpus: β far below the
+    * ~0.4–0.6 natural-text band means the tail is exhausted
+    * (duplicated/templated text keeps re-serving old terms); a β near
+    * 1 means token soup (OCR noise, random ids). The Zipf slope
+    * ([[zipfFit]]) checks the head of the term distribution; this
+    * checks the tail-growth rate — together they fingerprint corpus
+    * health in two numbers.
+    *
+    * Token order is deterministic: docs by id ascending, tokens by
+    * position within the doc — so the curve replays bit-for-bit on
+    * any engine. Scale shape: one tokenize scan; the global token
+    * positions come from [[graft.functions.ScanFns.withCumsum]]'s
+    * distributed prefix scan over per-doc counts (one range-
+    * partitioned sort, NO global window on the token stream — the
+    * oracle's row_number() replay is DuckDB-side only); per-term
+    * first-occurrence is one partial agg; the `checkpoints` vocab
+    * counts are conditional sums in ONE pass over the vocab-sized
+    * firsts table (checkpoint k sits at ceil(T·k/checkpoints) tokens);
+    * the OLS moments reuse [[zipfFit]]'s order-invariant
+    * decimal(18,12) convention. Output: one row per checkpoint
+    * (ckpt, n_tokens, vocab) with the shared fit (beta, ln_k, r2)
+    * attached. */
+  def heapsLaw(df: DataFrame, id: String, text: String,
+               checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2 && checkpoints <= 64,
+      s"heapsLaw: checkpoints=$checkpoints must be in 2..64")
+    val toks = df.select(col(id).as("__id"),
+      array_remove(Dedup.tokens(col(text)), "").as("__tk"))
+    val cum = graft.functions.ScanFns.withCumsum(
+      toks.withColumn("__n", size(col("__tk")).cast("double")),
+      col("__n"), Seq(col("__id")), "__cum")
+    // 1-based global token position: tokens of prior docs + pos + 1
+    val ex = cum.select(col("__cum"), col("__n"), posexplode(col("__tk")))
+      .select(((col("__cum") - col("__n")).cast("long") + col("pos") + 1L)
+        .as("__gpos"), col("col").as("__term"))
+    val firsts = ex.groupBy(col("__term")).agg(min(col("__gpos")).as("__fp"))
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("__t"))))
+    val ckptAt = (k: Int) => call_function("div",
+      col("__t") * k + (checkpoints - 1), lit(checkpoints.toLong))
+    val aggs = (1 to checkpoints).map(k =>
+      sum(when(col("__fp") <= ckptAt(k), 1L).otherwise(0L)).as(s"__v$k")) :+
+      max(col("__t")).as("__t")
+    val wide = firsts.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to checkpoints)
+      .map(k => s"CAST($k AS BIGINT), __v$k").mkString(", ")
+    val pts = wide.selectExpr(
+      s"stack($checkpoints, $stackArgs) AS (ckpt, vocab)", "__t")
+    val curve = pts.select(col("ckpt"),
+      call_function("div", col("__t") * col("ckpt") + (checkpoints - 1),
+        lit(checkpoints.toLong)).as("n_tokens"),
+      col("vocab"))
+    // OLS on (ln N, ln V) over the checkpoint table — zipfFit's
+    // order-invariant decimal moment convention
+    val dec = (c: Column) => c.cast("decimal(18,12)")
+    val s = curve
+      .select(log(col("n_tokens").cast("double")).as("__x"),
+        log(col("vocab").cast("double")).as("__y"))
+      .agg(count(lit(1)).cast("double").as("__fn"),
+        sum(dec(col("__x"))).cast("string").cast("double").as("__sx"),
+        sum(dec(col("__y"))).cast("string").cast("double").as("__sy"),
+        sum(dec(col("__x")) * dec(col("__y"))).cast("string").cast("double").as("__sxy"),
+        sum(dec(col("__x")) * dec(col("__x"))).cast("string").cast("double").as("__sxx"))
+    val n = col("__fn"); val sx = col("__sx"); val sy = col("__sy")
+    val slope = (n * col("__sxy") - sx * sy) / (n * col("__sxx") - sx * sx)
+    val fit = s.select(round(slope, 6).as("beta"),
+      round((sy - slope * sx) / n, 6).as("ln_k"))
+    curve.crossJoin(broadcast(fit))
+  }
+
   // ---- subword tokenization -----------------------------------------------
   /** Demo subword vocabulary for [[subwordTokenize]]: frequent English
     * subwords + a single-letter fallback that deliberately EXCLUDES

@@ -2123,6 +2123,32 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("splitByCluster keeps near-dup clusters in ONE split; unclustered docs fall back to splitAssign") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} and {10,11}; everything else unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = graft.ops.Sampling.splitByCluster(docs, "doc_id", clusters, fr)
+      .select("doc_id", "cluster_key", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size == 200)
+    // whole cluster moves as one unit
+    assert(out(1L) == out(2L) && out(2L) == out(3L), s"cluster 1: $out")
+    assert(out(10L) == out(11L), s"cluster 10: ${out(10L)} vs ${out(11L)}")
+    // unclustered docs match plain per-doc assignment exactly
+    val plain = graft.ops.Sampling.splitAssign(docs, col("doc_id"), fr)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val unclustered = (1L to 200L).toSet -- Set(1L, 2L, 3L, 10L, 11L)
+    unclustered.foreach { id =>
+      assert(out(id)._1 == id && out(id)._2 == plain(id), s"doc $id")
+    }
+    // and all three splits are populated at n=200
+    assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
   test("labelPropagation finds two cliques joined by one bridge edge") {
     import spark.implicits._
     // clique {1,2,3} + clique {10,11,12}, single bridge 3-10: the
@@ -2834,6 +2860,34 @@ class OpsSpec extends SparkTestBase {
     assert(out.getLong(0) == 2L)
     assert(math.abs(out.getDouble(1) - slope) < 1e-6)
     assert(math.abs(out.getDouble(3) - 1.0) < 1e-6) // 2 points: perfect fit
+  }
+
+  test("heapsLaw: exhaustive-vocab stream saturates (beta ~ 0); all-new-terms stream grows at beta = 1") {
+    import spark.implicits._
+    // corpus A: one big vocab burst up front, then pure repetition —
+    // vocab saturates after the first checkpoint, so beta is tiny
+    val burst = (1 to 100).map(i => s"w$i").mkString(" ")
+    val rep = Seq.fill(50)("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10").mkString(" ")
+    val a = Seq((1L, burst), (2L, rep)).toDF("doc_id", "text")
+    val outA = TextAnalysis.heapsLaw(a, "doc_id", "text", checkpoints = 10)
+      .orderBy("ckpt").collect()
+    assert(outA.length == 10)
+    assert(outA.last.getAs[Long]("vocab") == 100L)
+    // monotone non-decreasing vocab; last checkpoint covers all tokens
+    val vs = outA.map(_.getAs[Long]("vocab"))
+    assert(vs.zip(vs.tail).forall { case (x, y) => x <= y })
+    assert(outA.last.getAs[Long]("n_tokens") == 100L + 500L)
+    assert(outA.head.getAs[Double]("beta") < 0.2,
+      s"saturated stream: beta=${outA.head.getAs[Double]("beta")}")
+    // corpus B: every token new — V(N) = N, so beta = 1, ln_k = 0
+    val b = Seq((1L, (1 to 400).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val outB = TextAnalysis.heapsLaw(b, "doc_id", "text", checkpoints = 10)
+      .orderBy("ckpt").collect()
+    outB.foreach(r =>
+      assert(r.getAs[Long]("vocab") == r.getAs[Long]("n_tokens")))
+    assert(math.abs(outB.head.getAs[Double]("beta") - 1.0) < 1e-9)
+    assert(math.abs(outB.head.getAs[Double]("ln_k")) < 1e-9)
   }
 
   test("crossDocNovelty: duplicated docs share all shingles, unique doc none") {
