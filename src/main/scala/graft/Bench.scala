@@ -30,7 +30,11 @@ object Bench {
     "s_sessionize", "s_neardup",
     // round-12: executor-probed file-bloom lookup (build + batch
     // lookup per call) and the corpus-shape LSH bitext composition
-    "x_filebloom", "x_bitext_lsh")
+    "x_filebloom", "x_bitext_lsh",
+    // round-12 late additions: Hilbert layout box scan, incremental
+    // z-append box scan, label-propagation communities, cluster-keyed
+    // leakage-safe split, Heaps vocabulary-growth fit
+    "x_hilbert", "x_zorder_incr", "x_lpa", "x_split_dedup", "x_heaps")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -100,7 +104,11 @@ object Bench {
     // session_window agg, the two-pass PRF retrieval, the KS
     // distinct-value sort, and the anomaly window profile at 10x
     "x_dedup_ensemble", "s_session_window", "x_bm25_prf", "x_ks",
-    "x_anomaly", "x_rag")
+    "x_anomaly", "x_rag",
+    // round-12: LPA's per-iteration edge joins, the cluster-split's
+    // minhash+CC chain, and the token-explode prefix scan behind the
+    // Heaps fit — each a corpus-shuffle topology needing 10x evidence
+    "x_lpa", "x_split_dedup", "x_heaps")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
