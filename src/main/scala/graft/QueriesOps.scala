@@ -517,6 +517,18 @@ object QueriesOps {
         .orderBy(col("probe_id"), col("c_custkey"))
     }),
 
+    // end-to-end entity resolution: fuzzy pairs -> transitive closure
+    // into entities -> canonical record per entity by (length, lowest
+    // id) preference; the oracle replays blocking, exact distances,
+    // the recursive closure, and the canonical argmax
+    "x_entity_res" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      FuzzyJoin.resolveEntities(c, "id", "s", maxDist = 1,
+          pref = length(col("s")))
+        .orderBy(col("id"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "x_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -5679,6 +5691,38 @@ s"""WITH lines AS (
         |p AS (SELECT DISTINCT pid, id, ps, s FROM pv JOIN cv USING (k))
         |SELECT pid AS probe_id, id AS c_custkey, CAST(levenshtein(ps, s) AS INT) AS dist
         |FROM p WHERE levenshtein(ps, s) <= 1 ORDER BY probe_id, c_custkey""".stripMargin,
+
+    // entity resolution replay: the x_fuzzy_join pair recipe, the
+    // x_dedup_clusters recursive closure, canonical per entity by
+    // (length DESC, id ASC), sizes over ALL rows (singletons = 1)
+    "x_entity_res" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |p AS (SELECT DISTINCT l.id AS a, r.id AS b
+        |      FROM v l JOIN v r USING (k)
+        |      WHERE l.id < r.id AND levenshtein(l.s, r.s) <= 1),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |cl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |scored AS (SELECT c.id, c.s, coalesce(cl.cluster_id, c.id) AS entity_id,
+        |    length(c.s) AS pref
+        |  FROM c LEFT JOIN cl USING (id)),
+        |reps AS (SELECT entity_id, id AS canonical_id, s AS canonical_s FROM (
+        |    SELECT entity_id, id, s,
+        |      row_number() OVER (PARTITION BY entity_id ORDER BY pref DESC, id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |cnt AS (SELECT entity_id, count(*) AS n_members FROM scored GROUP BY 1)
+        |SELECT scored.id, scored.entity_id, reps.canonical_id, reps.canonical_s,
+        |  cnt.n_members, (scored.id = reps.canonical_id) AS is_canonical
+        |FROM scored JOIN reps USING (entity_id) JOIN cnt USING (entity_id)
+        |ORDER BY scored.id""".stripMargin,
 
     // both retrieval directions, the decimal-exact penalties, the
     // margin division, and the max_by(margin, tgt_id) argmax replay;

@@ -111,4 +111,39 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col("left_s"), col("right_s"), maxDist))
       .filter(col("dist") >= 0)
   }
+
+  /** End-to-end ENTITY RESOLUTION over a dirty registry: fuzzy-match
+    * ([[editDistanceSelfJoin]] — SymSpell blocking, exact Levenshtein
+    * on candidates only), transitively close the match graph into
+    * entities ([[graft.ops.Dedup.dedupClusters]]), then pick each
+    * entity's canonical record by an explicit preference column, ties
+    * to the lowest id ([[graft.ops.Dedup.clusterRepresentatives]]).
+    * The full record-linkage pass a crawl-metadata or author/domain
+    * registry cleanup runs: every input row gets its entity id, its
+    * entity's canonical row (id + string), the entity size, and the
+    * is-canonical flag.
+    *
+    * Scale shape: the pair stage is the capped banded self-join (one
+    * shared Exchange, skew buckets dropped); the closure iterates
+    * min-label joins over the PAIR-count-sized edge list, not the
+    * registry; the canonical pick is one entity-keyed max_by partial
+    * agg; the final joins are registry-keyed equi-joins. Nothing is
+    * all-pairs; nothing collects.
+    * Output: (id, entity_id, canonical_id, canonical_s, n_members,
+    * is_canonical). */
+  def resolveEntities(df: DataFrame, id: String, s: String, maxDist: Int,
+                      pref: Column, maxBucket: Int = 1000): DataFrame = {
+    val pairs = editDistanceSelfJoin(df, id, s, maxDist, maxBucket)
+    val clusters = Dedup.dedupClusters(pairs.select(col("a"), col("b")))
+      .withColumnRenamed("doc_id", id)
+    val repped = Dedup.clusterRepresentatives(df, id, clusters, pref)
+      .withColumnRenamed("cluster_id", "entity_id")
+      .withColumnRenamed("rep_id", "canonical_id")
+    repped
+      .join(df.select(col(id).as("canonical_id"), col(s).as("canonical_s")),
+        Seq("canonical_id"))
+      .select(col(id), col("entity_id"), col("canonical_id"),
+        col("canonical_s"), col("n_members"),
+        (col(id) === col("canonical_id")).as("is_canonical"))
+  }
 }

@@ -2123,6 +2123,32 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("resolveEntities links variants transitively and picks the longest-string canonical") {
+    import spark.implicits._
+    // entity A: "acme corp" + two 1-deletion variants (transitive:
+    // "acme cor" is dist 2 from "acme corp." but dist 1 from the base)
+    // entity B: "zebra" alone; ids chosen so the canonical is NOT the
+    // smallest id (preference = length must beat id order)
+    val reg = Seq(
+      (5L, "acme corp."), (6L, "acme corp"), (7L, "acme cor"),
+      (9L, "zebra")).toDF("id", "s")
+    val out = graft.ops.FuzzyJoin.resolveEntities(reg, "id", "s",
+        maxDist = 1, pref = length(col("s")))
+      .orderBy("id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getBoolean(5))).toMap
+    // one entity for 5,6,7 (entity id = min member), canonical = the
+    // LONGEST string "acme corp." (id 5)
+    assert(Set(5L, 6L, 7L).map(byId(_)._1) == Set(5L))
+    Set(5L, 6L, 7L).foreach { i =>
+      assert(byId(i)._2 == 5L && byId(i)._3 == "acme corp." && byId(i)._4 == 3L, s"$i: ${byId(i)}")
+    }
+    assert(byId(5L)._5 && !byId(6L)._5 && !byId(7L)._5)
+    // singleton keeps itself
+    assert(byId(9L) == ((9L, 9L, "zebra", 1L, true)))
+  }
+
   test("splitByCluster keeps near-dup clusters in ONE split; unclustered docs fall back to splitAssign") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
