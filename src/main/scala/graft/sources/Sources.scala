@@ -212,4 +212,59 @@ object Sources {
     df.repartition(files).write.mode(mode).parquet(path)
     files
   }
+
+  /** Small-file COMPACTION — the lakehouse `OPTIMIZE` bin-pack for a
+    * directory that accumulated undersized files (streaming sinks,
+    * frequent small appends, over-partitioned writes): files smaller
+    * than `targetFileBytes` are greedily binned in name order until a
+    * bin reaches the target, each multi-file bin is rewritten as ONE
+    * file, and the originals are deleted; files already at or above
+    * the target are NOT touched (no gratuitous rewrite of healthy
+    * data). Returns (filesBefore, filesAfter).
+    *
+    * Scale shape: the listing walk is driver-side manifest cost; each
+    * bin rewrite is a bin-sized read+write job (coalesce(1) — one
+    * task per bin, bins are independent jobs), so compaction I/O is
+    * proportional to the SMALL-file bytes only — at 100 TB with a
+    * healthy base and a 1% daily small-file tail, the rewrite touches
+    * ~1 TB, never the base. Name-order binning keeps adjacent files
+    * (range-partitioned writes emit part numbers in key order)
+    * together, so a curve-clustered table's per-file boxes stay
+    * near-tight after compaction; the full re-cluster remedy is a
+    * fresh zorderWrite/hilbertWrite.
+    *
+    * Not transactional: a concurrent reader between a bin's write and
+    * its deletes can double-count — run under the table's write lock
+    * like any file-level maintenance (the caveat every non-table-
+    * format compactor carries). */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetFileBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes >= 1, "compactSmallFiles: targetFileBytes must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val all = fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val small = all.filter(_.getLen < targetFileBytes)
+    // greedy name-order binning: close a bin once it reaches target
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[Path]]
+    var cur = Vector.empty[Path]; var curBytes = 0L
+    small.foreach { st =>
+      cur :+= st.getPath; curBytes += st.getLen
+      if (curBytes >= targetFileBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
+    }
+    if (cur.nonEmpty) bins += cur
+    val toRewrite = bins.filter(_.size >= 2) // singleton bins gain nothing
+    toRewrite.foreach { bin =>
+      spark.read.parquet(bin.map(_.toString): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(path)
+      bin.foreach(p => fs.delete(p, false))
+    }
+    val after = fs.listStatus(root)
+      .count(_.getPath.getName.endsWith(".parquet"))
+    (all.length, after)
+  }
 }
