@@ -33,8 +33,11 @@ object Bench {
     "x_filebloom", "x_bitext_lsh",
     // round-12 late additions: Hilbert layout box scan, incremental
     // z-append box scan, label-propagation communities, cluster-keyed
-    // leakage-safe split, Heaps vocabulary-growth fit
-    "x_hilbert", "x_zorder_incr", "x_lpa", "x_split_dedup", "x_heaps")
+    // leakage-safe split, Heaps vocabulary-growth fit, entity
+    // resolution (headline only: the sf1 synth's key-shifted replicas
+    // keep identical names — the x_fuzzy_join exclusion reasoning)
+    "x_hilbert", "x_zorder_incr", "x_lpa", "x_split_dedup", "x_heaps",
+    "x_entity_res")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
