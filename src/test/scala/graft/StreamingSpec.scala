@@ -418,4 +418,49 @@ class StreamingSpec extends SparkTestBase {
       assert(s.read.parquet(reject).count() == 1)
     } finally query.stop()
   }
+
+  test("clustered sink: first batch establishes the grid, later batches append clustered files") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_csink").toFile
+    val path = new java.io.File(dir, "tbl").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val input = MemoryStream[(Long, Long)]
+    val query = graft.streaming.ClusteredSink.clusteredSink(
+        input.toDS().toDF("x", "y"), path, Seq("x", "y"), bits = 8,
+        filesPerBatch = 4, gridBounds = Seq((0L, 255L), (0L, 255L)))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      def files(): Int = new java.io.File(path).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      input.addData((0L until 256L).map(i => (i, 255L - i)): _*)
+      query.processAllAvailable()
+      assert(new java.io.File(s"$path/_zorder_meta.json").exists(),
+        "first batch must establish the grid")
+      val afterFirst = files()
+      assert(afterFirst == 4, s"first batch writes filesPerBatch files: $afterFirst")
+      input.addData((0L until 256L).map(i => (255L - i, i)): _*)
+      query.processAllAvailable()
+      assert(files() == afterFirst + 4,
+        s"second batch appends filesPerBatch new files: ${files()}")
+      // lossless across both batches; both dimensions still scan
+      val back = s.read.parquet(path)
+      assert(back.count() == 512)
+      assert(back.agg(org.apache.spark.sql.functions.sum("x")).head().getLong(0)
+        == 2L * (0L until 256L).sum)
+      // every file's footer box is bounded (clustered, not arbitrary):
+      // a y-box touches at most 6 of the 8 files
+      val fs = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val touched = fs.count { f =>
+        val r = s.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min("y"),
+            org.apache.spark.sql.functions.max("y")).head()
+        !(r.getLong(1) < 40L || r.getLong(0) > 80L)
+      }
+      assert(touched * 4 <= fs.length * 3,
+        s"clustered layout must bound per-file y ranges: $touched/${fs.length}")
+    } finally query.stop()
+  }
 }
