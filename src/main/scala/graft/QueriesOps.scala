@@ -455,6 +455,17 @@ object QueriesOps {
       Profiling.kmvOverlap(existing, col("text"), incoming, col("text"), k = 64)
     }),
 
+    // Misra-Gries heavy hitters in the deterministic exact regime:
+    // k=512 >= the 500-key cardinality cap of (event_type x user
+    // cohort), so no decrement ever fires, the summary IS the count
+    // table, and err_bound is exactly 0 — HeavyHitterSpec pins the
+    // adversarial-k guarantee the oracle can't express
+    "x_heavy" -> ((s, d) =>
+      Profiling.heavyHitters(events(s, d),
+          concat(col("event_type"), lit("#"),
+            pmod(col("user_id"), lit(100L)).cast("string")), k = 512)
+        .orderBy(col("est").desc, col("item"))),
+
     // hour-over-hour trending event types (rise vs own baseline, not
     // raw top-k): windowed counts + shifted self-join, smoothing 1
     "x_trending" -> ((s, d) =>
@@ -5952,6 +5963,13 @@ s"""WITH lines AS (
         |      (strpos('0123456789abcdef', substring(b[64], CAST(j AS INT), 1)) - 1)
         |        * pow(16, 12 - j))) / 281474976710656.0) END AS est_distinct_b
         |FROM m""".stripMargin,
+
+    // exact-regime Misra-Gries: k above the key cardinality means the
+    // summary is the plain count table and err_bound is 0
+    "x_heavy" ->
+      """SELECT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS item,
+        |  count(*) AS est, CAST(0 AS BIGINT) AS err_bound
+        |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin,
 
     "x_trending" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n

@@ -349,6 +349,33 @@ object Profiling {
     * sketches to [[kmvOverlap]]; a standing pipeline stores one
     * per corpus snapshot and estimates any pairwise overlap later
     * WITHOUT re-reading either corpus. */
+  /** Misra–Gries heavy hitters ([[graft.plans.MisraGriesAgg]]):
+    * frequent keys from ONE pass with ≤ k counters of state per
+    * partial buffer — the deterministic-memory alternative to exact
+    * GROUP BY when the key space is unbounded (user agents, query
+    * strings, raw URLs at 100 TB). Every key with true frequency
+    * > N/(k+1) is guaranteed present; estimates under-count by at
+    * most `err_bound` = (N − Σ est)/(k+1), which the output carries
+    * per row — 0 in the exact regime (k ≥ distinct keys), where the
+    * summary IS the count table (the oracle-pinned case).
+    * Output: (item, est, err_bound), est desc. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.plans.MisraGriesAgg(ColumnBridge.expr(key.cast("string")), k)
+        .toAggregateExpression())
+    // N = non-NULL keys (the mass the sketch actually saw)
+    df.agg(agg.as("sketch"), count(key.cast("string")).as("__n"))
+      .select(col("sketch"), col("__n"),
+        aggregate(col("sketch"), lit(0L),
+          (acc, x) => acc + x.getField("est")).as("__sum"))
+      .select(explode(col("sketch")).as("hh"),
+        call_function("div", col("__n") - col("__sum"),
+          lit(k + 1L)).as("err_bound"))
+      .select(col("hh.item").as("item"), col("hh.est").as("est"),
+        col("err_bound"))
+  }
+
   def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val agg = ColumnBridge.column(
