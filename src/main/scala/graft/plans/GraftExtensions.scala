@@ -87,6 +87,21 @@ object GraftExtensions {
               Literal(1L)),
             Literal(j * n + (n - 1 - i), IntegerType))
         terms.reduce[Expression](BitwiseOr(_, _))
+      }),
+    // hilbert_key(v0, v1, ..., bits): Hilbert index of pre-bucketed
+    // non-negative ints — the SQL spelling of Hilbert.hilbertValue
+    // (array-wrap then the codegen kernel expression)
+    ("hilbert_key",
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName, "hilbert_key"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray}
+        import org.apache.spark.sql.types.LongType
+        require(es.size >= 2, "hilbert_key(v0[, v1, ...], bits)")
+        val bits = intArg(es.last, "bits")
+        val cols = es.init
+        require(bits >= 1 && cols.size * bits <= 63,
+          s"hilbert_key: n*bits must be in 1..63 (got ${cols.size}*$bits)")
+        HilbertIndexExpr(CreateArray(cols.map(Cast(_, LongType))), bits)
       }))
 
   /** Runtime registration into an existing session's function registry. */

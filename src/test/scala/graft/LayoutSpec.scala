@@ -67,6 +67,17 @@ class LayoutSpec extends SparkTestBase {
       s"hilbert value must be a pure projection:\n$plan")
   }
 
+  test("hilbert_key SQL function equals the Column-form hilbertValue") {
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hilbert_key(x, y, 8) AS h FROM VALUES (3L, 5L), (200L, 17L) t(x, y)")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = sqlDf("x" -> Seq(3L, 200L), "y" -> Seq(5L, 17L))
+      .select(Hilbert.hilbertValue(Seq(col("x"), col("y")), 8).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol, s"SQL and Column forms diverge: $viaSql vs $viaCol")
+  }
+
   test("hilbert-laid files prune 2-d box queries at least as hard as the spec's z bound") {
     val rnd = new scala.util.Random(13)
     val n = 4096
