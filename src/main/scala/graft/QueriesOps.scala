@@ -466,6 +466,25 @@ object QueriesOps {
             pmod(col("user_id"), lit(100L)).cast("string")), k = 512)
         .orderBy(col("est").desc, col("item"))),
 
+    // STREAMING heavy hitters, batch-twin: the event log processed as
+    // three micro-batches folded into the standing Misra-Gries
+    // summary (fresh state dir per run); exact regime, so the
+    // standing summary after the last batch IS the full count table —
+    // same oracle as x_heavy
+    "s_heavy" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_mgstream").toString
+      val key = concat(col("event_type"), lit("#"),
+        pmod(col("user_id"), lit(100L)).cast("string"))
+      val ev = events(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.HeavyHitterStream.mergeBatch(
+          ev.filter(pmod(col("event_id"), lit(3L)) === b), key, 512, dir)
+      }
+      graft.streaming.HeavyHitterStream.standingSummary(s, dir, 512)
+        .orderBy(col("est").desc, col("item"))
+    }),
+
     // hour-over-hour trending event types (rise vs own baseline, not
     // raw top-k): windowed counts + shifted self-join, smoothing 1
     "x_trending" -> ((s, d) =>
@@ -5967,6 +5986,13 @@ s"""WITH lines AS (
     // exact-regime Misra-Gries: k above the key cardinality means the
     // summary is the plain count table and err_bound is 0
     "x_heavy" ->
+      """SELECT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS item,
+        |  count(*) AS est, CAST(0 AS BIGINT) AS err_bound
+        |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin,
+
+    // the standing summary after the last micro-batch is the same
+    // exact count table (merge = plain sums below the k cap)
+    "s_heavy" ->
       """SELECT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS item,
         |  count(*) AS est, CAST(0 AS BIGINT) AS err_bound
         |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin,

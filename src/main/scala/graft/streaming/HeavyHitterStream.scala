@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming heavy hitters: a STANDING Misra–Gries summary maintained
+  * across micro-batches — "what are the frequent keys over the whole
+  * stream so far" with ≤ k counters of durable state, no per-key
+  * stream state, and no reprocessing of history. Each micro-batch is
+  * summarized by the mergeable MG aggregate
+  * ([[graft.plans.MisraGriesAgg]] — one pass, map-side combine), then
+  * folded into the standing summary by the Agarwal et al. 2012 merge
+  * (pairwise sum, subtract the (k+1)-th largest, keep positives) —
+  * which runs DRIVER-SIDE on two ≤ k-entry lists, bounded by the
+  * sketch contract (the same contract that lets centroids and
+  * codebooks round-trip the driver). The classical guarantee holds
+  * over the full stream: every key with true frequency > N/(k+1) is
+  * in the standing summary, estimates under-count by ≤ err_bound.
+  *
+  * State on disk is one atomic file (temp + rename) of ≤ k entries +
+  * the running N — readable any time via [[standingSummary]] without
+  * touching the stream. A replayed micro-batch double-counts its
+  * batch (the foreachBatch at-least-once caveat); idempotent replay
+  * needs the batch-id recorded next to the summary — out of scope
+  * here, like every non-table-format foreachBatch sink. */
+object HeavyHitterStream {
+
+  private def summaryFile(dir: String) =
+    java.nio.file.Paths.get(dir, "_mg_summary.bin")
+
+  /** (items sorted by (est desc, item), running N); empty if absent. */
+  def readStanding(dir: String): (Seq[(String, Long)], Long) = {
+    val p = summaryFile(dir)
+    if (!java.nio.file.Files.exists(p)) return (Seq.empty, 0L)
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(p)))
+    val n = in.readLong()
+    val m = in.readInt()
+    ((0 until m).map(_ => (in.readUTF(), in.readLong())), n)
+  }
+
+  private def writeStanding(dir: String, items: Seq[(String, Long)],
+                            n: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(n)
+    out.writeInt(items.size)
+    items.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    val tmp = java.nio.file.Paths.get(dir, "_mg_summary.tmp")
+    java.nio.file.Files.write(tmp, bos.toByteArray)
+    java.nio.file.Files.move(tmp, summaryFile(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Agarwal et al. merge of two ≤ k-entry summaries (driver-side by
+    * the sketch-size contract). */
+  def mergeSummaries(a: Seq[(String, Long)], b: Seq[(String, Long)],
+                     k: Int): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    (a ++ b).foreach { case (s, c) => m.update(s, m.getOrElse(s, 0L) + c) }
+    val all = m.toSeq
+    val kept =
+      if (all.size <= k) all
+      else {
+        val d = all.map(_._2).sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
+        all.collect { case (s, c) if c > d => (s, c - d) }
+      }
+    kept.sortBy(e => (-e._2, e._1))
+  }
+
+  /** One batch's ≤ k-entry MG summary + its non-NULL key count. */
+  def summarize(batch: DataFrame, key: Column, k: Int): (Seq[(String, Long)], Long) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.plans.MisraGriesAgg(ColumnBridge.expr(key.cast("string")), k)
+        .toAggregateExpression())
+    val r = batch.agg(agg.as("sketch"), count(key.cast("string")).as("n")).head()
+    val items = r.getSeq[Row](0).map(x => (x.getString(0), x.getLong(1)))
+    (items, r.getLong(1))
+  }
+
+  /** The per-batch half, callable directly for batch-twin testing. */
+  def mergeBatch(batch: DataFrame, key: Column, k: Int, dir: String): Unit = {
+    val (bItems, bN) = summarize(batch, key, k)
+    val (sItems, sN) = readStanding(dir)
+    writeStanding(dir, mergeSummaries(sItems, bItems, k), sN + bN)
+  }
+
+  /** The stream form: start with
+    * `.option("checkpointLocation", …).start()`. */
+  def heavyHitterSink(stream: DataFrame, key: Column, k: Int, dir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      mergeBatch(batch, key, k, dir)
+    }
+
+  /** The standing summary as a frame: (item, est, err_bound) — the
+    * same shape as [[graft.ops.Profiling.heavyHitters]]. */
+  def standingSummary(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val (items, n) = readStanding(dir)
+    val err = (n - items.map(_._2).sum) / (k + 1L)
+    items.map { case (s, c) => (s, c, err) }
+      .toDF("item", "est", "err_bound")
+  }
+}

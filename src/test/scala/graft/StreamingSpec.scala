@@ -419,6 +419,45 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("heavy-hitter sink folds micro-batches into one standing MG summary") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mgsink").toFile
+    val state = new java.io.File(dir, "mg").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val input = MemoryStream[String]
+    val query = graft.streaming.HeavyHitterStream.heavyHitterSink(
+        input.toDS().toDF("s"), org.apache.spark.sql.functions.col("s"),
+        k = 8, dir = state)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(Seq.fill(30)("hot") ++ Seq("a", "b", "c"): _*)
+      query.processAllAvailable()
+      input.addData(Seq.fill(20)("hot") ++ Seq.fill(10)("warm") ++ Seq("d"): _*)
+      query.processAllAvailable()
+      val out = graft.streaming.HeavyHitterStream
+        .standingSummary(s, state, k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // exact regime across both batches: 7 distinct keys < k=8
+      assert(out.map(e => e._1 -> e._2).toMap ==
+        Map("hot" -> 50L, "warm" -> 10L, "a" -> 1L, "b" -> 1L,
+          "c" -> 1L, "d" -> 1L))
+      assert(out.forall(_._3 == 0L))
+      // est desc, item asc ordering from the standing read
+      assert(out.head._1 == "hot")
+    } finally query.stop()
+
+    // adversarial k on the driver-side merge: guarantees survive
+    val a = Seq(("hot", 40L), ("x1", 3L), ("x2", 3L))
+    val b = Seq(("hot", 30L), ("warm", 25L), ("y1", 4L))
+    val merged = graft.streaming.HeavyHitterStream.mergeSummaries(a, b, k = 2)
+    assert(merged.size <= 2)
+    val m = merged.toMap
+    assert(m.contains("hot") && m.contains("warm"), s"heavies must survive: $m")
+    assert(m("hot") <= 70L && m("warm") <= 25L, s"never over-count: $m")
+  }
+
   test("clustered sink: first batch establishes the grid, later batches append clustered files") {
     val s = spark
     import s.implicits._
