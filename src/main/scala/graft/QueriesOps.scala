@@ -1883,6 +1883,13 @@ object QueriesOps {
       EventAnalytics.anomalousWindows(events(s, d), "1 hour", k = 3.5)
         .orderBy(col("event_type"), col("wstart"))),
 
+    // one-sided CUSUM change points: gap-filled per-type hourly
+    // series, S_t = max(0, S_{t-1} + n - 4) via the prefix-min
+    // identity, flag at h=8 — all-integer, bit-exact replay
+    "x_cusum" -> ((s, d) =>
+      EventAnalytics.cusumChangePoints(events(s, d), "1 hour", k = 4L, h = 8L)
+        .orderBy(col("event_type"), col("wstart"))),
+
     // most common 3-step opening paths: one user-partitioned window,
     // in-agg sort_array rebuild, partial-agg count + TakeOrdered
     "x_paths" -> ((s, d) =>
@@ -4747,6 +4754,28 @@ s"""WITH lines AS (
         |    false) AS is_anomaly
         |FROM c JOIN m USING (event_type) JOIN md USING (event_type)
         |ORDER BY event_type, wstart""".stripMargin,
+
+    // CUSUM replay: the same gap-filled spine, running sum of (n-4),
+    // prefix-min identity for the max(0, .) recursion, integer flag
+    "x_cusum" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+        |sp AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+        |s AS (SELECT event_type, wstart, n,
+        |    sum(n - 4) OVER (PARTITION BY event_type ORDER BY wstart) AS cum
+        |  FROM f),
+        |m AS (SELECT event_type, wstart, n, cum,
+        |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
+        |  FROM s)
+        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |  (cum - mnc) > 8 AS changed
+        |FROM m ORDER BY event_type, wstart""".stripMargin,
 
     // MERGE replay: keys out, upsert payloads in
     "x_apply_changes" ->

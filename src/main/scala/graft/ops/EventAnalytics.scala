@@ -169,4 +169,48 @@ object EventAnalytics {
       .withColumn("is_anomaly",
         coalesce(abs(col("robust_z")) > lit(k), lit(false)))
   }
+
+  /** One-sided CUSUM change-point detection (Page 1954) over per-type
+    * windowed counts — the SEQUENTIAL complement to
+    * [[anomalousWindows]]: a robust-z flag needs one loud window,
+    * CUSUM accumulates small sustained shifts (a crawler source
+    * quietly doubling its rate) and fires when the cumulative
+    * evidence crosses `h`. S_t = max(0, S_{t-1} + (n_t − k)) with
+    * drift allowance `k`; computed NON-recursively via the identity
+    * S_t = cum_t − min(0, min_{j≤t} cum_j) where cum is the running
+    * sum of (n − k) — two per-type-partitioned window passes, never a
+    * global window, and ALL-INTEGER (counts and literals), so the
+    * trace replays bit-for-bit on any engine.
+    *
+    * Windows with no events count 0 (the series is gap-filled from a
+    * generated per-type spine between the corpus's first and last
+    * window — a silent source going quiet drains S back to zero, as
+    * the statistic requires). Scale: the corpus collapses to the
+    * (windows × types) profile in ONE partial agg; the spine and
+    * scans are profile-sized.
+    * Output: (event_type, wstart, n, cusum, changed). */
+  def cusumChangePoints(events: DataFrame, windowLen: String = "1 hour",
+                        k: Long = 4L, h: Long = 8L): DataFrame = {
+    require(k >= 0 && h > 0, s"cusumChangePoints: need k >= 0, h > 0 (got $k, $h)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+    val bounds = counts.agg(min("wstart").as("__mn"), max("wstart").as("__mx"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL $windowLen"))).as("wstart"))
+    val filled = spine.join(counts, Seq("event_type", "wstart"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val byType = Window.partitionBy("event_type").orderBy("wstart")
+    val withCum = filled.withColumn("__cum", sum(col("n") - lit(k)).over(byType))
+    withCum
+      .withColumn("cusum",
+        col("__cum") - least(lit(0L), min(col("__cum")).over(byType)))
+      .withColumn("changed", col("cusum") > lit(h))
+      .drop("__cum")
+  }
 }

@@ -2123,6 +2123,55 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("cusumChangePoints matches the sequential recursion and flags a sustained shift, not one spike") {
+    import spark.implicits._
+    val h0 = 1700000000000L
+    def at(hour: Int, nEvents: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (1 to nEvents).map(i => ((hour * 100 + i).toLong,
+        new java.sql.Timestamp(h0 + hour * 3600000L + i * 1000L), 1L, "e", 1.0))
+    // hours 0-5 at baseline 3/h; ONE spike hour 6 (9 events); back to
+    // baseline 7-9; then a sustained shift: hours 10-14 at 7/h
+    val counts = Seq(3, 3, 3, 3, 3, 3, 9, 3, 3, 3, 7, 7, 7, 7, 7)
+    val rows = counts.zipWithIndex.flatMap { case (n, hr) => at(hr, n) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics
+      .cusumChangePoints(ev, "1 hour", k = 4L, h = 8L)
+      .orderBy("wstart").collect()
+    assert(out.length == 15)
+    // sequential reference: S_t = max(0, S_{t-1} + n - 4)
+    var s = 0L
+    val ref = counts.map { n => s = math.max(0L, s + n - 4L); s }
+    out.zip(ref).foreach { case (r, expect) =>
+      assert(r.getAs[Long]("cusum") == expect,
+        s"at ${r.getAs[java.sql.Timestamp]("wstart")}: ${r.getAs[Long]("cusum")} vs $expect")
+    }
+    val flags = out.map(_.getAs[Boolean]("changed"))
+    assert(!flags.take(10).exists(identity),
+      "one spike decays (5, then drains) — no flag before the shift")
+    assert(flags.drop(12).forall(identity),
+      "the sustained +3/h shift must cross h=8 by hour 12")
+  }
+
+  test("cusumChangePoints gap-fills silent windows so the statistic drains") {
+    import spark.implicits._
+    val h0 = 1700000000000L
+    // burst at hour 0 (7 events), SILENCE hours 1-3, burst hour 4 —
+    // without gap fill the two bursts would chain into a false flag
+    val rows = ((1 to 7).map(i => (i.toLong,
+        new java.sql.Timestamp(h0 + i * 1000L), 1L, "e", 1.0)) ++
+      (1 to 7).map(i => ((400 + i).toLong,
+        new java.sql.Timestamp(h0 + 4 * 3600000L + i * 1000L), 1L, "e", 1.0)))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics
+      .cusumChangePoints(ev, "1 hour", k = 4L, h = 8L)
+      .orderBy("wstart").collect()
+    assert(out.length == 5, s"spine must include the silent hours: ${out.length}")
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(7L, 0L, 0L, 0L, 7L))
+    // S: 3, 0, 0, 0, 3 — silence drains; no flag anywhere
+    assert(out.map(_.getAs[Long]("cusum")).toSeq == Seq(3L, 0L, 0L, 0L, 3L))
+    assert(!out.exists(_.getAs[Boolean]("changed")))
+  }
+
   test("resolveEntities links variants transitively and picks the longest-string canonical") {
     import spark.implicits._
     // entity A: "acme corp" + two 1-deletion variants (transitive:
