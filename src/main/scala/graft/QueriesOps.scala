@@ -479,7 +479,7 @@ object QueriesOps {
       val ev = events(s, d)
       (0L to 2L).foreach { b =>
         graft.streaming.HeavyHitterStream.mergeBatch(
-          ev.filter(pmod(col("event_id"), lit(3L)) === b), key, 512, dir)
+          ev.filter(pmod(col("event_id"), lit(3L)) === b), key, 512, dir, b)
       }
       graft.streaming.HeavyHitterStream.standingSummary(s, dir, 512)
         .orderBy(col("est").desc, col("item"))

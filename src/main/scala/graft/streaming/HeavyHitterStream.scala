@@ -18,33 +18,37 @@ import org.apache.spark.sql.functions._
   * in the standing summary, estimates under-count by ≤ err_bound.
   *
   * State on disk is one atomic file (temp + rename) of ≤ k entries +
-  * the running N — readable any time via [[standingSummary]] without
-  * touching the stream. A replayed micro-batch double-counts its
-  * batch (the foreachBatch at-least-once caveat); idempotent replay
-  * needs the batch-id recorded next to the summary — out of scope
-  * here, like every non-table-format foreachBatch sink. */
+  * the running N + the last merged batch id — readable any time via
+  * [[standingSummary]] without touching the stream. The batch id
+  * makes replay IDEMPOTENT: foreachBatch re-delivers a batch after a
+  * crash between the state write and the checkpoint commit, and a
+  * batch id ≤ the recorded one is skipped instead of double-counted
+  * (monotone batch ids are the foreachBatch contract). */
 object HeavyHitterStream {
 
   private def summaryFile(dir: String) =
     java.nio.file.Paths.get(dir, "_mg_summary.bin")
 
-  /** (items sorted by (est desc, item), running N); empty if absent. */
-  def readStanding(dir: String): (Seq[(String, Long)], Long) = {
+  /** ((items sorted by (est desc, item), running N), last merged
+    * batch id); empty/-1 if absent. */
+  def readStanding(dir: String): (Seq[(String, Long)], Long, Long) = {
     val p = summaryFile(dir)
-    if (!java.nio.file.Files.exists(p)) return (Seq.empty, 0L)
+    if (!java.nio.file.Files.exists(p)) return (Seq.empty, 0L, -1L)
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(p)))
     val n = in.readLong()
+    val lastBatch = in.readLong()
     val m = in.readInt()
-    ((0 until m).map(_ => (in.readUTF(), in.readLong())), n)
+    ((0 until m).map(_ => (in.readUTF(), in.readLong())), n, lastBatch)
   }
 
   private def writeStanding(dir: String, items: Seq[(String, Long)],
-                            n: Long): Unit = {
+                            n: Long, lastBatch: Long): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeLong(n)
+    out.writeLong(lastBatch)
     out.writeInt(items.size)
     items.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
     out.flush()
@@ -82,26 +86,30 @@ object HeavyHitterStream {
     (items, r.getLong(1))
   }
 
-  /** The per-batch half, callable directly for batch-twin testing. */
-  def mergeBatch(batch: DataFrame, key: Column, k: Int, dir: String): Unit = {
+  /** The per-batch half, callable directly for batch-twin testing.
+    * A batch id at or below the recorded last merge is a replay and
+    * is SKIPPED (idempotence); pass monotonically increasing ids. */
+  def mergeBatch(batch: DataFrame, key: Column, k: Int, dir: String,
+                 batchId: Long): Unit = {
+    val (sItems, sN, lastBatch) = readStanding(dir)
+    if (batchId <= lastBatch) return
     val (bItems, bN) = summarize(batch, key, k)
-    val (sItems, sN) = readStanding(dir)
-    writeStanding(dir, mergeSummaries(sItems, bItems, k), sN + bN)
+    writeStanding(dir, mergeSummaries(sItems, bItems, k), sN + bN, batchId)
   }
 
   /** The stream form: start with
     * `.option("checkpointLocation", …).start()`. */
   def heavyHitterSink(stream: DataFrame, key: Column, k: Int, dir: String):
       org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      mergeBatch(batch, key, k, dir)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      mergeBatch(batch, key, k, dir, batchId)
     }
 
   /** The standing summary as a frame: (item, est, err_bound) — the
     * same shape as [[graft.ops.Profiling.heavyHitters]]. */
   def standingSummary(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
-    val (items, n) = readStanding(dir)
+    val (items, n, _) = readStanding(dir)
     val err = (n - items.map(_._2).sum) / (k + 1L)
     items.map { case (s, c) => (s, c, err) }
       .toDF("item", "est", "err_bound")

@@ -446,6 +446,15 @@ class StreamingSpec extends SparkTestBase {
       assert(out.forall(_._3 == 0L))
       // est desc, item asc ordering from the standing read
       assert(out.head._1 == "hot")
+      // replaying an already-merged batch id is a no-op (idempotence)
+      graft.streaming.HeavyHitterStream.mergeBatch(
+        Seq.fill(100)("hot").toDF("s"),
+        org.apache.spark.sql.functions.col("s"), k = 8, dir = state,
+        batchId = 1L)
+      val replayed = graft.streaming.HeavyHitterStream
+        .standingSummary(s, state, k = 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(replayed("hot") == 50L, s"replay must not double-count: $replayed")
     } finally query.stop()
 
     // adversarial k on the driver-side merge: guarantees survive
