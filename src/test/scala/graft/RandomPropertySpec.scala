@@ -283,4 +283,72 @@ class RandomPropertySpec extends SparkTestBase {
     assert(est.getDouble(1) == 0.0, s"zero variance at p=1: $est")
   }
 
+  test("Misra-Gries guarantees hold on random zipf-ish streams across random k and partitionings") {
+    import spark.implicits._
+    for (seed <- Seq(7, 31, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 3 + rnd.nextInt(20)
+      val parts = 1 + rnd.nextInt(16)
+      // zipf-ish: key j drawn with weight ~ 1/(j+1)
+      val keys = (1 to 5000).map { _ =>
+        val u = rnd.nextDouble()
+        s"k${math.min((1.0 / (u + 0.02)).toInt, 49)}"
+      }
+      val df = keys.toDF("s").repartition(parts)
+      val out = Profiling.heavyHitters(df, col("s"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = keys.size.toLong
+      assert(out.length <= k, s"seed=$seed k=$k: state ${out.length} > k")
+      val errBound = if (out.nonEmpty) out.head._3 else 0L
+      assert(errBound <= n / (k + 1), s"seed=$seed: errBound $errBound")
+      out.foreach { case (item, est, _) =>
+        assert(est <= truth(item), s"seed=$seed $item over-counts")
+        assert(truth(item) - est <= errBound,
+          s"seed=$seed $item under-counts past bound")
+      }
+      val mustHave = truth.filter(_._2 > n / (k + 1)).keySet
+      assert(mustHave.subsetOf(out.map(_._1).toSet),
+        s"seed=$seed k=$k missing: ${mustHave -- out.map(_._1).toSet}")
+    }
+  }
+
+  test("CUSUM prefix-min identity == sequential recursion on random series") {
+    import spark.implicits._
+    val h0 = 1700000000000L
+    for (seed <- Seq(13, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val counts = Seq.fill(40)(rnd.nextInt(12))
+      val rows = counts.zipWithIndex.flatMap { case (n, hr) =>
+        (1 to n).map(i => ((hr * 100 + i).toLong,
+          new java.sql.Timestamp(h0 + hr * 3600000L + i * 1000L),
+          1L, "e", 1.0))
+      }
+      // random gaps: drop two whole hours' events (spine must re-fill)
+      val g1 = rnd.nextInt(40); val g2 = rnd.nextInt(40)
+      val kept = rows.filterNot { r =>
+        val hr = ((r._2.getTime - h0) / 3600000L).toInt
+        hr == g1 || hr == g2
+      }
+      val ev = kept.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = graft.ops.EventAnalytics
+        .cusumChangePoints(ev, "1 hour", k = 4L, h = 8L)
+        .orderBy("wstart").collect()
+      val effective = counts.zipWithIndex.map { case (n, hr) =>
+        if (hr == g1 || hr == g2) 0 else n }
+      // the spine spans first..last NON-EMPTY hour
+      val first = effective.indexWhere(_ > 0)
+      val last = effective.lastIndexWhere(_ > 0)
+      val window = effective.slice(first, last + 1)
+      assert(out.length == window.size, s"seed=$seed: ${out.length} vs ${window.size}")
+      var s = 0L
+      window.zip(out).foreach { case (n, r) =>
+        s = math.max(0L, s + n - 4L)
+        assert(r.getAs[Long]("cusum") == s,
+          s"seed=$seed at ${r.getAs[java.sql.Timestamp]("wstart")}")
+        assert(r.getAs[Boolean]("changed") == (s > 8L))
+      }
+    }
+  }
+
 }
