@@ -1692,6 +1692,25 @@ object QueriesOps {
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // day-2 INCREMENTAL index: base index over 3/4 of the corpus,
+    // the last quarter folded in via updateIndex (delta-only
+    // tokenize) — retrieval over the updated index is BIT-IDENTICAL
+    // to the full-corpus indexed path, so the oracle is the same
+    // full-corpus replay as x_bm25_indexed
+    "x_bm25_incr" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      val docs = t(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+      val idx0 = Retrieval.invertedIndex(base, "doc_id", "text")
+      val st0 = Retrieval.corpusStatsOf(base, "text")
+      val (idx, st) = Retrieval.updateIndex(idx0, st0, delta, "doc_id", "text")
+      Retrieval.bm25TopKIndexed(idx, st, "doc_id", qs, "q_id", "qtext", k = 10)
+        .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+    }),
+
     // RAG context assembly end to end: the x_chunking chunks, BM25
     // chunk retrieval, greedy rank-order budget cut, order-sensitive
     // context digest per query
@@ -4422,6 +4441,9 @@ s"""WITH lines AS (
     // tokenizer contract, same scoring tail over the materialized
     // postings), so it replays the same oracle
     "x_bm25_indexed" -> bm25OracleSql,
+    // incremental maintenance is answer-preserving: base+delta index
+    // == the full-corpus index, so the replay is identical
+    "x_bm25_incr" -> bm25OracleSql,
     "x_bm25_prf" -> bm25PrfOracleSql,
 
     // the bm25 chain at k=20, a recency list, 1/(60+rank) decimal

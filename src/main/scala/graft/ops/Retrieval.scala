@@ -141,6 +141,40 @@ object Retrieval {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Day-2 INCREMENTAL index maintenance — fold a delta of documents
+    * into a standing ([[invertedIndex]], [[corpusStatsOf]]) pair
+    * without re-tokenizing the corpus: only the delta tokenizes (new
+    * postings union in; the index's per-(doc, term) grain means union
+    * IS the rebuild for fresh ids), `removedIds` drops an updated or
+    * deleted doc's old postings by an id-keyed anti-join, and the
+    * (docCount, totalTokens) stats adjust from the delta and the
+    * removed docs' stored `dl` — never from the corpus. The result is
+    * BIT-IDENTICAL to rebuilding from scratch (the x_bm25_incr oracle
+    * contract), so a crawl pipeline can keep its retrieval index
+    * fresh at delta cost: at 100 TB, a day's 100 GB of new documents
+    * tokenizes in minutes while the standing postings stay put.
+    * To replace a changed doc, list it in `removedIds` AND in
+    * `newDocs`. Returns the updated (index, stats). */
+  def updateIndex(index: DataFrame, stats: (Long, Long),
+                  newDocs: DataFrame, id: String, text: String,
+                  removedIds: Option[DataFrame] = None): (DataFrame, (Long, Long)) = {
+    val (baseIdx, nd0, tl0) = removedIds match {
+      case Some(rm) =>
+        val rmIds = rm.select(col(id)).distinct()
+        // one (id, dl) row per removed doc, straight from the index
+        val r = index.join(rmIds, Seq(id), "leftsemi")
+          .select(col(id), col("dl")).distinct()
+          .agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("tl"))
+          .head()
+        (index.join(rmIds, Seq(id), "left_anti"),
+          stats._1 - r.getLong(0), stats._2 - r.getLong(1))
+      case None => (index, stats._1, stats._2)
+    }
+    val (ndD, tlD) = corpusStatsOf(newDocs, text)
+    (baseIdx.unionByName(invertedIndex(newDocs, id, text)),
+      (nd0 + ndD, tl0 + tlD))
+  }
+
   /** BM25 top-k against a MATERIALIZED [[invertedIndex]] — the
     * standing-workload path: zero corpus scans per call. The pruning
     * broadcast semi-join runs map-side against the postings scan, so

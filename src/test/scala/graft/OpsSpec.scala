@@ -2123,6 +2123,37 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
+    import spark.implicits._
+    val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
+      (3L, "old stale text"), (4L, "vector scan stream")).toDF("doc_id", "text")
+    // day 2: doc 3 replaced, doc 5 added, doc 4 deleted
+    val v2 = Seq((1L, "spark window agg"), (2L, "customer join order"),
+      (3L, "fresh replacement text"), (5L, "brand new doc")).toDF("doc_id", "text")
+    val idx1 = Retrieval.invertedIndex(v1, "doc_id", "text")
+    val st1 = Retrieval.corpusStatsOf(v1, "text")
+    val (idx2, st2) = Retrieval.updateIndex(idx1, st1,
+      newDocs = Seq((3L, "fresh replacement text"), (5L, "brand new doc"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text",
+      removedIds = Some(Seq(3L, 4L).toDF("doc_id")))
+    val rebuilt = Retrieval.invertedIndex(v2, "doc_id", "text")
+    assert(st2 == Retrieval.corpusStatsOf(v2, "text"),
+      s"stats must match the rebuild: $st2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("dl").cast("long"), col("term"), col("tf"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(idx2.select("doc_id", "dl", "term", "tf")) ==
+      rows(rebuilt.select("doc_id", "dl", "term", "tf")))
+    // and retrieval over the updated index == retrieval over v2
+    val qs = Seq(("q1", "fresh vector text")).toDF("q_id", "qtext")
+    val a = Retrieval.bm25TopKIndexed(idx2, st2, "doc_id", qs, "q_id", "qtext", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Retrieval.bm25TopKIndexed(rebuilt, st2, "doc_id", qs, "q_id", "qtext", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, s"retrieval must be bit-identical: $a vs $b")
+  }
+
   test("cusumChangePoints matches the sequential recursion and flags a sustained shift, not one spike") {
     import spark.implicits._
     val h0 = 1700000000000L
