@@ -83,7 +83,8 @@ object Hilbert {
       .sortWithinPartitions("__hv")
       .drop("__hv")
       .write.mode("overwrite").parquet(path)
-    CurveMeta.write(path, "_hilbert_meta.json", "hilbert", cols, bits, bs)
+    CurveMeta.write(df.sparkSession.sessionState.newHadoopConf(),
+      path, "_hilbert_meta.json", "hilbert", cols, bits, bs)
   }
 
   /** Incremental Hilbert maintenance: cluster a delta on the base
@@ -91,7 +92,9 @@ object Hilbert {
     * delta-sized-write contract as `ZOrder.zorderAppend`. */
   def hilbertAppend(df: DataFrame, path: String, numFiles: Int): Unit = {
     require(numFiles >= 1, s"hilbertAppend: numFiles must be >= 1")
-    val (bits, meta) = CurveMeta.read(path, "_hilbert_meta.json", "hilbertAppend")
+    val (bits, meta) = CurveMeta.read(
+      df.sparkSession.sessionState.newHadoopConf(),
+      path, "_hilbert_meta.json", "hilbertAppend")
     withHValueBounded(df, meta.map(_._1), meta.map(m => (m._2, m._3)), bits, "__hv")
       .repartitionByRange(numFiles, col("__hv"))
       .sortWithinPartitions("__hv")

@@ -128,17 +128,9 @@ object ZOrder {
       .sortWithinPartitions("__zv")
       .drop("__zv")
       .write.mode("overwrite").parquet(path)
-    writeMeta(path, cols, bits, bs)
+    CurveMeta.write(df.sparkSession.sessionState.newHadoopConf(),
+      path, "_zorder_meta.json", "z", cols, bits, bs)
   }
-
-  /** Grid metadata (`_zorder_meta.json` — see [[CurveMeta]]) so later
-    * appends cluster on the SAME curve. */
-  private def writeMeta(path: String, cols: Seq[String], bits: Int,
-                        bs: Seq[(Long, Long)]): Unit =
-    CurveMeta.write(path, "_zorder_meta.json", "z", cols, bits, bs)
-
-  private def readMeta(path: String): (Int, Seq[(String, Long, Long)]) =
-    CurveMeta.read(path, "_zorder_meta.json", "zorderAppend")
 
   /** Incremental z-order maintenance — the append half of a
     * lakehouse `OPTIMIZE ZORDER BY` without rewriting the base: the
@@ -155,7 +147,9 @@ object ZOrder {
     * bounds (out-of-range values clamp — see [[withZValueBounded]]). */
   def zorderAppend(df: DataFrame, path: String, numFiles: Int): Unit = {
     require(numFiles >= 1, s"zorderAppend: numFiles must be >= 1")
-    val (bits, meta) = readMeta(path)
+    val (bits, meta) = CurveMeta.read(
+      df.sparkSession.sessionState.newHadoopConf(),
+      path, "_zorder_meta.json", "zorderAppend")
     val cols = meta.map(_._1)
     val bs = meta.map(m => (m._2, m._3))
     withZValueBounded(df, cols, bs, bits, "__zv")

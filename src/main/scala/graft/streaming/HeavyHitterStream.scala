@@ -26,25 +26,33 @@ import org.apache.spark.sql.functions._
   * (monotone batch ids are the foreachBatch contract). */
 object HeavyHitterStream {
 
-  private def summaryFile(dir: String) =
-    java.nio.file.Paths.get(dir, "_mg_summary.bin")
+  /** State I/O through the Hadoop FileSystem API, so the standing
+    * summary can live next to the data on HDFS/S3/local alike. */
+  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                  name: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    (p.getFileSystem(conf), p)
+  }
 
   /** ((items sorted by (est desc, item), running N), last merged
     * batch id); empty/-1 if absent. */
-  def readStanding(dir: String): (Seq[(String, Long)], Long, Long) = {
-    val p = summaryFile(dir)
-    if (!java.nio.file.Files.exists(p)) return (Seq.empty, 0L, -1L)
-    val in = new java.io.DataInputStream(
-      new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(p)))
+  def readStanding(conf: org.apache.hadoop.conf.Configuration,
+                   dir: String): (Seq[(String, Long)], Long, Long) = {
+    val (fs, p) = fsp(conf, dir, "_mg_summary.bin")
+    if (!fs.exists(p)) return (Seq.empty, 0L, -1L)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val fin = fs.open(p)
+    try fin.readFully(0, bytes) finally fin.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readLong()
     val lastBatch = in.readLong()
     val m = in.readInt()
     ((0 until m).map(_ => (in.readUTF(), in.readLong())), n, lastBatch)
   }
 
-  private def writeStanding(dir: String, items: Seq[(String, Long)],
+  private def writeStanding(conf: org.apache.hadoop.conf.Configuration,
+                            dir: String, items: Seq[(String, Long)],
                             n: Long, lastBatch: Long): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeLong(n)
@@ -52,11 +60,15 @@ object HeavyHitterStream {
     out.writeInt(items.size)
     items.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
     out.flush()
-    val tmp = java.nio.file.Paths.get(dir, "_mg_summary.tmp")
-    java.nio.file.Files.write(tmp, bos.toByteArray)
-    java.nio.file.Files.move(tmp, summaryFile(dir),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // write-then-rename: atomic on HDFS/local (object stores document
+    // their own rename semantics — the standard sidecar caveat)
+    val (fs, tmp) = fsp(conf, dir, "_mg_summary.tmp")
+    val (_, dst) = fsp(conf, dir, "_mg_summary.bin")
+    val o = fs.create(tmp, true)
+    try o.write(bos.toByteArray) finally o.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"heavyHitterStream: rename $tmp -> $dst failed")
   }
 
   /** Agarwal et al. merge of two ≤ k-entry summaries (driver-side by
@@ -91,10 +103,11 @@ object HeavyHitterStream {
     * is SKIPPED (idempotence); pass monotonically increasing ids. */
   def mergeBatch(batch: DataFrame, key: Column, k: Int, dir: String,
                  batchId: Long): Unit = {
-    val (sItems, sN, lastBatch) = readStanding(dir)
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val (sItems, sN, lastBatch) = readStanding(conf, dir)
     if (batchId <= lastBatch) return
     val (bItems, bN) = summarize(batch, key, k)
-    writeStanding(dir, mergeSummaries(sItems, bItems, k), sN + bN, batchId)
+    writeStanding(conf, dir, mergeSummaries(sItems, bItems, k), sN + bN, batchId)
   }
 
   /** The stream form: start with
@@ -109,7 +122,7 @@ object HeavyHitterStream {
     * same shape as [[graft.ops.Profiling.heavyHitters]]. */
   def standingSummary(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import spark.implicits._
-    val (items, n, _) = readStanding(dir)
+    val (items, n, _) = readStanding(spark.sessionState.newHadoopConf(), dir)
     val err = (n - items.map(_._2).sum) / (k + 1L)
     items.map { case (s, c) => (s, c, err) }
       .toDF("item", "est", "err_bound")
