@@ -2136,6 +2136,25 @@ object QueriesOps {
         .select(col("vec_id"), col("adc"), col("rank"))
         .orderBy(col("rank"))),
 
+    // PQ recall@10 vs the exact L2 ground truth — how much retrieval
+    // quality the m=4/ksub=8 compression spends (the tuning read
+    // before choosing codebook sizes at corpus scale)
+    "x_pq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = queryFrame(s, d)
+      val pq = Similarity.pqTopKAdc(e, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 8, iters = 1, queryDf = q, k = 10)
+        .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+      val truth = e
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(q))
+        .withColumn("__d", Similarity.l2(col("__v"), col("qv")))
+        .orderBy(col("__d").asc, col("neighbor_id")).limit(10)
+        .select(lit(0L).as("query_id"), col("neighbor_id"))
+      Similarity.recallAtK(truth, pq)
+    }),
+
     // Z-order (Morton) clustering key over (o_custkey, o_orderkey):
     // integer-exact bucketize (ONE min/max agg scan) + codegen bit
     // interleave — the multi-dimensional data-skipping layout key;
@@ -6324,6 +6343,39 @@ s"""WITH lines AS (
         |SELECT vec_id, adc,
         |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
         |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    },
+
+    // PQ retrieval-quality metric: the same codebook/encode/LUT replay
+    // as x_pq for the retrieved set, exact L2 top-10 as ground truth,
+    // hits counted by join — the compression-vs-recall tuning read
+    "x_pq_recall" -> {
+      val dsub = 16; val m = 4
+      val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8))
+        .mkString(",\n")
+      val qCols = (0 until m)
+        .map(s => s"v[${s * dsub + 1}:${(s + 1) * dsub}] AS qs$s").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv, $qCols FROM e WHERE vec_id = 0),
+        |$chains,
+        |adc AS (SELECT e0.vec_id,
+        |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
+        |  FROM ec0 e0
+        |  JOIN ec1 e1 ON e0.vec_id = e1.vec_id
+        |  JOIN ec2 e2 ON e0.vec_id = e2.vec_id
+        |  JOIN ec3 e3 ON e0.vec_id = e3.vec_id
+        |  JOIN lut0 l0 ON e0.code = l0.code
+        |  JOIN lut1 l1 ON e1.code = l1.code
+        |  JOIN lut2 l2 ON e2.code = l2.code
+        |  JOIN lut3 l3 ON e3.code = l3.code),
+        |ret AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 10),
+        |truth AS (SELECT e.vec_id FROM e CROSS JOIN q
+        |  ORDER BY list_distance(e.v, q.qv), e.vec_id LIMIT 10),
+        |h AS (SELECT count(*) AS hits FROM truth JOIN ret USING (vec_id))
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |  CAST(h.hits AS BIGINT) AS hits,
+        |  CAST(10 AS BIGINT) AS truth_k,
+        |  CAST(h.hits AS DOUBLE) / 10.0 AS recall
+        |FROM h""".stripMargin
     },
 
     // z-value replay: same integer-only bucketize (// truncation on
