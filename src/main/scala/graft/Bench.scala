@@ -37,7 +37,7 @@ object Bench {
     // resolution (headline only: the sf1 synth's key-shifted replicas
     // keep identical names — the x_fuzzy_join exclusion reasoning)
     "x_hilbert", "x_zorder_incr", "x_lpa", "x_split_dedup", "x_heaps",
-    "x_entity_res", "x_heavy", "x_cusum")
+    "x_entity_res", "x_heavy", "x_cusum", "x_ann_ivfpq")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

@@ -2136,6 +2136,19 @@ object QueriesOps {
         .select(col("vec_id"), col("adc"), col("rank"))
         .orderBy(col("rank"))),
 
+    // IVF-PQ (IVFADC) — the FAISS billion-scale composition: coarse
+    // cells prune the corpus, PQ codes over RESIDUALS score the
+    // probed slice; every stage (md5-ranked coarse centroids,
+    // assignment argmin, residuals, per-subspace Lloyd codebooks,
+    // literal-argmin encode, per-cell query-residual LUT, ADC cut)
+    // replays bit-exact in the oracle
+    "x_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          dims = 64, nLists = 8, nProbe = 1, m = 4, ksub = 8, iters = 1,
+          queryDf = queryFrame(s, d), k = 10)
+        .select(col("vec_id"), col("adc"), col("rank"))
+        .orderBy(col("rank"))),
+
     // PQ recall@10 vs the exact L2 ground truth — how much retrieval
     // quality the m=4/ksub=8 compression spends (the tuning read
     // before choosing codebook sizes at corpus scale)
@@ -6343,6 +6356,56 @@ s"""WITH lines AS (
         |SELECT vec_id, adc,
         |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
         |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin
+    },
+
+    // IVFADC replay: x_ann_ivf's coarse chain (md5-ranked centroids +
+    // assignment argmin), residual corpus as the `e` CTE so the x_pq
+    // subspace chains train/encode over residual space unchanged,
+    // query residual of the probed cell as the `q` CTE, ADC over the
+    // probed cell's rows only
+    "x_ann_ivfpq" -> {
+      val dsub = 16; val m = 4
+      val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8))
+        .mkString(",\n")
+      val qCols = (0 until m)
+        .map(s => s"qrv[${s * dsub + 1}:${(s + 1) * dsub}] AS qs$s").mkString(", ")
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+        |    v AS centroid
+        |  FROM raw QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+        |a0 AS (SELECT raw.vec_id, raw.v, c.list_id,
+        |    row_number() OVER (PARTITION BY raw.vec_id
+        |      ORDER BY list_distance(raw.v, c.centroid), c.list_id) AS rk
+        |  FROM raw CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, list_id FROM a0 WHERE rk = 1),
+        |q0 AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
+        |probe AS (SELECT c.list_id, c.centroid FROM c CROSS JOIN q0
+        |  ORDER BY list_distance(c.centroid, q0.qv), c.list_id LIMIT 1),
+        |e AS (SELECT asg.vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> asg.v[CAST(i AS INT)] - c.centroid[CAST(i AS INT)]) AS v
+        |  FROM asg JOIN c USING (list_id)),
+        |qr AS (SELECT list_transform(range(1, 65),
+        |      i -> q0.qv[CAST(i AS INT)] - p.centroid[CAST(i AS INT)]) AS qrv
+        |  FROM q0, probe p),
+        |q AS (SELECT $qCols FROM qr),
+        |$chains,
+        |adc AS (SELECT e0.vec_id,
+        |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
+        |  FROM ec0 e0
+        |  JOIN ec1 e1 ON e0.vec_id = e1.vec_id
+        |  JOIN ec2 e2 ON e0.vec_id = e2.vec_id
+        |  JOIN ec3 e3 ON e0.vec_id = e3.vec_id
+        |  JOIN lut0 l0 ON e0.code = l0.code
+        |  JOIN lut1 l1 ON e1.code = l1.code
+        |  JOIN lut2 l2 ON e2.code = l2.code
+        |  JOIN lut3 l3 ON e3.code = l3.code),
+        |sel AS (SELECT adc.vec_id, adc.adc FROM adc
+        |  JOIN asg ON adc.vec_id = asg.vec_id
+        |  JOIN probe ON asg.list_id = probe.list_id)
+        |SELECT vec_id, adc,
+        |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |FROM sel ORDER BY adc, vec_id LIMIT 10""".stripMargin
     },
 
     // PQ retrieval-quality metric: the same codebook/encode/LUT replay

@@ -37,6 +37,9 @@ object Similarity {
     k2(graft.plans.CosineSimExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
   def l2(a: Column, b: Column): Column =
     k2(graft.plans.L2DistanceExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
+  /** Element-wise a − b (the IVF-PQ residual kernel — codegen). */
+  def vecDiff(a: Column, b: Column): Column =
+    k2(graft.plans.VecDiffExpr.apply)(a.cast("array<double>"), b.cast("array<double>"))
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   // ---- int8 quantization ---------------------------------------------------
@@ -1101,6 +1104,97 @@ object Similarity {
       element_at(map(entries.toSeq: _*), col(s"__code_$s"))
     }.reduce(_ + _)
     val ranked = enc.select(col(id), adc.as("adc"))
+      .orderBy(col("adc").asc, col(id)).limit(k)
+    graft.core.Tibble.rowidToColumn(ranked,
+      Seq(col("adc").asc, col(id)), "rank")
+  }
+
+  /** IVF-PQ retrieval (IVFADC — Jégou et al. 2011, the FAISS
+    * billion-scale default): the coarse quantizer prunes the corpus
+    * to `nProbe` cells and PQ codes over RESIDUALS (v − coarse
+    * centroid) give the in-cell approximate distances — residuals
+    * are far more compressible than raw vectors, so the same m/ksub
+    * budget buys materially better recall than flat PQ, and the scan
+    * touches only the probed slice of the corpus. The composition of
+    * [[ivfIndexDeterministic]] (md5-ranked deterministic coarse
+    * centroids) with [[pqTrain]]'s per-subspace Lloyd codebooks over
+    * the residual frame.
+    *
+    * Scale shape: residual encode is a pure codegen projection
+    * ([[vecDiff]] kernel + the literal-argmin trick — zero shuffles
+    * past the coarse assignment's one partial agg); the probe list
+    * and per-cell query-residual LUTs are driver-tiny (nProbe ×
+    * m·ksub doubles, raw IEEE round-trip); the ADC pass is a joinless
+    * projection over the probed cells' rows — at warehouse scale,
+    * write the encoded table partitioned by `list_id` and the probe
+    * filter becomes directory pruning. Everything is engine-exact
+    * (index-order IEEE residuals, the proven l2 kernel parity, m adds
+    * in subspace order, ties by id) — the oracle replays coarse
+    * assignment, residuals, codebooks, encode, LUT, and cut.
+    * Output: (id, adc, rank 1..k). */
+  def ivfPqTopK(corpus: DataFrame, id: String, vec: String, dims: Int,
+                nLists: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
+                queryDf: DataFrame, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"ivfPqTopK: m=$m must divide dims=$dims")
+    val dsub = dims / m
+    require(ksub.toLong * dsub <= 65536,
+      s"ivfPqTopK: ksub*dsub=${ksub.toLong * dsub} past the literal-inline " +
+        "envelope — use pqTopKAdc's broadcast fallback shape")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfPqTopK: nProbe=$nProbe must be in 1..$nLists")
+    // coarse quantizer + one-partial-agg assignment
+    val (assigned, centroids) = ivfIndexDeterministic(corpus, id, vec, nLists)
+    // residual frame: v − centroid[list], codegen projection
+    val resid = assigned.join(broadcast(centroids), Seq("list_id"))
+      .select(col(id), col("list_id"),
+        vecDiff(col(vec), col("centroid")).as("__rv"))
+    // global PQ codebooks over residual space (standard IVFADC)
+    val books = pqTrain(resid, id, "__rv", dims, m, ksub, iters)
+    val cb = books.select("subspace", "cid", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    var enc = resid
+    for (s <- 0 until m) {
+      val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
+        struct(
+          l2(slice(col("__rv"), s * dsub + 1, dsub),
+            array(cv.map(lit).toSeq: _*)).as("d"),
+          lit(cid).as("cid")) }
+      val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+      enc = enc.withColumn(s"__code_$s", best.getField("cid"))
+    }
+    // probe: nProbe nearest coarse cells to q (driver-tiny)
+    val probed = centroids.crossJoin(broadcast(queryDf))
+      .withColumn("__d", l2(col("centroid"), col("qv")))
+      .orderBy(col("__d").asc, col("list_id")).limit(nProbe)
+      .select("list_id", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // per-cell LUT: sub-distances of the cell's QUERY RESIDUAL against
+    // the codebooks — engine-exact in-plan l2, raw-double round-trip
+    val luts = probed.map { case (listId, cv) =>
+      val qrv = zip_with(col("qv"), array(cv.map(lit).toSeq: _*),
+        (a, b) => a - b)
+      val lut = books.crossJoin(broadcast(queryDf.select(qrv.as("qrv"))))
+        .withColumn("__d",
+          l2(slice(col("qrv"), col("subspace") * lit(dsub) + 1, lit(dsub)),
+            col("centroid")))
+        .select(col("subspace"), col("cid"), (col("__d") * col("__d")).as("__sd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      (listId, lut)
+    }
+    val adc = (0 until m).map { s =>
+      val cases = luts.map { case (listId, lut) =>
+        val entries = lut.filter(_._1 == s).sortBy(_._2)
+          .flatMap { case (_, cid, sd) => Seq(lit(cid), lit(sd)) }
+        (listId, element_at(map(entries.toSeq: _*), col(s"__code_$s")))
+      }
+      cases.tail.foldLeft(
+        when(col("list_id") === cases.head._1, cases.head._2)) {
+        case (acc, (lid, e)) => acc.when(col("list_id") === lid, e)
+      }
+    }.reduce(_ + _)
+    val ranked = enc
+      .filter(col("list_id").isin(probed.map(_._1.asInstanceOf[Any]).toSeq: _*))
+      .select(col(id), adc.as("adc"))
       .orderBy(col("adc").asc, col(id)).limit(k)
     graft.core.Tibble.rowidToColumn(ranked,
       Seq(col("adc").asc, col(id)), "rank")

@@ -49,6 +49,15 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** Element-wise a − b (the residual kernel); length = min(|a|, |b|). */
+  def diff(a: ArrayData, b: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-plane Rademacher sign rows, ±1.0 doubles, derived from the
     * md5 digest chain "plane{p}_{0..nChunks-1}" — the SAME matrix
     * Similarity.planeDigest spells out in Column space and the DuckDB
@@ -166,5 +175,22 @@ case class L2DistanceExpr(left: Expression, right: Expression) extends VectorBin
   override protected val kernel = "l2"
   override protected def eval2(a: ArrayData, b: ArrayData): Double = VectorKernels.l2(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistanceExpr =
+    copy(left = l, right = r)
+}
+
+/** vec_diff(a, b) — element-wise a − b as array<double>: the RESIDUAL
+  * kernel (IVF-PQ encodes v − coarse-centroid over the full corpus,
+  * so like the distances it must stay inside whole-stage codegen, not
+  * fall out to an interpreted zip_with). Index-order IEEE subtraction
+  * — DuckDB's list_transform replays it element for element. */
+case class VecDiffExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_diff"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.diff(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.diff($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDiffExpr =
     copy(left = l, right = r)
 }

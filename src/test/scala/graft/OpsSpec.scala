@@ -2123,6 +2123,53 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("ivfPqTopK probes only the query's cells, finds the query itself, and is deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 60 vectors in 16 dims, clustered around 4 anchors so the coarse
+    // quantizer has real structure
+    val vecs = (0L until 60L).map { i =>
+      val a = (i % 4).toInt
+      (i, Array.tabulate(16)(j =>
+        (if (j % 4 == a) 5.0 else 0.0) + rnd.nextInt(100) / 100.0).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val out = Similarity.ivfPqTopK(e, "vec_id", "embedding", dims = 16,
+        nLists = 6, nProbe = 2, m = 4, ksub = 4, iters = 1,
+        queryDf = q, k = 8)
+      .select("vec_id", "adc", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.length == 8)
+    // the query vector's own residual is among the best matches
+    assert(out.take(3).exists(_._1 == 0L),
+      s"query's own vector must rank near the top: ${out.toSeq}")
+    // ranks are 1..k by ascending adc
+    assert(out.map(_._3).toSeq == (1L to 8L))
+    assert(out.sortBy(r => (r._2, r._1)).toSeq == out.toSeq)
+    // probed-cell containment: every result sits in one of the two
+    // cells nearest the query
+    val (assigned, centroids) = Similarity.ivfIndexDeterministic(
+      e, "vec_id", "embedding", nLists = 6)
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("__d", Similarity.l2(col("centroid"), col("qv")))
+      .orderBy(col("__d").asc, col("list_id")).limit(2)
+      .collect().map(_.getInt(0)).toSet
+    val cellOf = assigned.select("vec_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, _, _) =>
+      assert(probed.contains(cellOf(id)), s"$id outside probed cells")
+    }
+    // replay-deterministic
+    val again = Similarity.ivfPqTopK(e, "vec_id", "embedding", dims = 16,
+        nLists = 6, nProbe = 2, m = 4, ksub = 4, iters = 1,
+        queryDf = q, k = 8)
+      .select("vec_id", "adc", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
