@@ -1909,6 +1909,31 @@ object QueriesOps {
       EventAnalytics.cusumChangePoints(events(s, d), "1 hour", k = 4L, h = 8L)
         .orderBy(col("event_type"), col("wstart"))),
 
+    // STREAMING CUSUM, batch twin: the event log processed as three
+    // hour-aligned time batches folded through the standing per-type
+    // state; the emitted trace is row-identical to the batch operator,
+    // so this reuses x_cusum's oracle verbatim
+    "s_cusum" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cusumstream").toString
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      def hourFloor(ms: Long) = (ms / 3600000L) * 3600000L
+      val cut1 = new java.sql.Timestamp(hourFloor(t0 + (t1 - t0) / 3))
+      val cut2 = new java.sql.Timestamp(hourFloor(t0 + 2 * (t1 - t0) / 3))
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cut1)),
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+        ev.filter(col("ts") >= lit(cut2)))
+      batches.zipWithIndex
+        .map { case (b, i) =>
+          graft.streaming.CusumStream.foldBatch(b, dir, i.toLong,
+            "1 hour", k = 4L, h = 8L) }
+        .reduce(_.unionByName(_))
+        .orderBy(col("event_type"), col("wstart"))
+    }),
+
     // most common 3-step opening paths: one user-partitioned window,
     // in-agg sort_array rebuild, partial-agg count + TakeOrdered
     "x_paths" -> ((s, d) =>
@@ -4812,6 +4837,28 @@ s"""WITH lines AS (
     // CUSUM replay: the same gap-filled spine, running sum of (n-4),
     // prefix-min identity for the max(0, .) recursion, integer flag
     "x_cusum" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+        |sp AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+        |s AS (SELECT event_type, wstart, n,
+        |    sum(n - 4) OVER (PARTITION BY event_type ORDER BY wstart) AS cum
+        |  FROM f),
+        |m AS (SELECT event_type, wstart, n, cum,
+        |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
+        |  FROM s)
+        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |  (cum - mnc) > 8 AS changed
+        |FROM m ORDER BY event_type, wstart""".stripMargin,
+
+    // the streaming fold's emitted trace is row-identical to the
+    // batch operator — x_cusum's replay verbatim
+    "s_cusum" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
         |    count(*) AS n
         |  FROM events GROUP BY 1, 2),

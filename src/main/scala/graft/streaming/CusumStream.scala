@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming CUSUM change-point monitor — the per-micro-batch form of
+  * [[graft.ops.EventAnalytics.cusumChangePoints]] whose emitted trace
+  * is IDENTICAL, row for row, to running the batch operator over
+  * everything seen so far: per event type, S advances one window at a
+  * time (S ← max(0, S + n − k)), silent windows between batches drain
+  * in closed form (g empty windows ⇒ S ← max(0, S − k·g), emitted
+  * individually so the trace stays complete), and a type first seen
+  * mid-stream is back-filled with zero-count windows from the spine
+  * start — exactly the gap-filled spine the batch operator generates.
+  * That identity is the contract: s_cusum's batch twin folds three
+  * time-ordered batches and replays the SAME DuckDB oracle as
+  * x_cusum.
+  *
+  * Scale shape: each batch collapses to its (type, window, count)
+  * profile in ONE partial agg; the fold runs driver-side over that
+  * profile plus the ≤ #types standing entries (the sketch-size
+  * contract — same as the MG summary and k-means centroids). State is
+  * one atomic file of (spineStart, per-type (S, lastWindow)) through
+  * the Hadoop FS API; batch-id tracking makes replay idempotent.
+  * Batches must arrive in event-time order at the window grain (the
+  * windowed-agg-with-watermark guarantee when composed behind a
+  * finalized-window stream); late windows behind a type's cursor
+  * fail loudly rather than corrupt S. */
+object CusumStream {
+
+  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                  name: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** (spineStartMs, lastBatchId, per-type (S, lastWindowMs)); empty if
+    * absent. */
+  def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
+      (Long, Long, Map[String, (Long, Long)]) = {
+    val (fs, p) = fsp(conf, dir, "_cusum_state.bin")
+    if (!fs.exists(p)) return (-1L, -1L, Map.empty)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in0 = fs.open(p)
+    try in0.readFully(0, bytes) finally in0.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val spine = in.readLong(); val lastBatch = in.readLong()
+    val m = in.readInt()
+    (spine, lastBatch,
+      (0 until m).map(_ => (in.readUTF(), (in.readLong(), in.readLong()))).toMap)
+  }
+
+  private def writeState(conf: org.apache.hadoop.conf.Configuration,
+                         dir: String, spine: Long, lastBatch: Long,
+                         types: Map[String, (Long, Long)]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(spine); out.writeLong(lastBatch)
+    out.writeInt(types.size)
+    types.toSeq.sortBy(_._1).foreach { case (t, (s, w)) =>
+      out.writeUTF(t); out.writeLong(s); out.writeLong(w)
+    }
+    out.flush()
+    val (fs, tmp) = fsp(conf, dir, "_cusum_state.tmp")
+    val (_, dst) = fsp(conf, dir, "_cusum_state.bin")
+    val o = fs.create(tmp, true)
+    try o.write(bos.toByteArray) finally o.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"cusumStream: rename $tmp -> $dst failed")
+  }
+
+  /** Fold one micro-batch; returns the emitted trace rows
+    * (event_type, wstart, n, cusum, changed) — append them to the
+    * monitor's sink. Empty batches emit nothing and advance nothing. */
+  def foldBatch(batch: DataFrame, dir: String, batchId: Long,
+                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L):
+      DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val (spine0, lastBatch, state0) = readState(conf, dir)
+    if (batchId <= lastBatch)
+      return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
+        .toDF("event_type", "wstart", "n", "cusum", "changed")
+    // the batch's window-count profile (ONE partial agg; driver-tiny)
+    val counts = batch
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    if (counts.isEmpty) {
+      writeState(conf, dir, spine0, batchId, state0)
+      return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
+        .toDF("event_type", "wstart", "n", "cusum", "changed")
+    }
+    val wMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
+      require(iv.months == 0, s"cusumStream: calendar-month windows not supported")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val spine = if (spine0 >= 0) spine0 else counts.map(_._2).min
+    val batchMax = counts.map(_._2).max
+    val byType = counts.groupBy(_._1)
+    val allTypes = state0.keySet ++ byType.keySet
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
+    val state1 = allTypes.toSeq.sorted.map { t =>
+      var (s, lastW) = state0.getOrElse(t, (0L, spine - wMs))
+      val windows = byType.getOrElse(t, Array.empty[(String, Long, Long)])
+        .map(c => c._2 -> c._3).toMap
+      windows.keys.foreach { w =>
+        require(w > lastW,
+          s"cusumStream: window ${new java.sql.Timestamp(w)} for '$t' at or " +
+            s"behind the cursor ${new java.sql.Timestamp(lastW)} — feed " +
+            "finalized windows in event-time order (watermarked upstream)")
+      }
+      // every spine window up to the batch max: counted or silent
+      var w = lastW + wMs
+      while (w <= batchMax) {
+        val n = windows.getOrElse(w, 0L)
+        s = math.max(0L, s + n - k)
+        emitted += ((t, new java.sql.Timestamp(w), n, s, s > h))
+        w += wMs
+      }
+      t -> (s, batchMax)
+    }.toMap
+    writeState(conf, dir, spine, batchId, state1)
+    emitted.toSeq.toDF("event_type", "wstart", "n", "cusum", "changed")
+  }
+
+  /** The stream form: fold each micro-batch and append the emitted
+    * trace under `traceDir/batch_id=<id>` (overwrite per batch — the
+    * idempotent-replay recipe the quality router uses). Start with
+    * `.option("checkpointLocation", …).start()`. */
+  def cusumSink(stream: DataFrame, stateDir: String, traceDir: String,
+                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      foldBatch(batch, stateDir, batchId, windowLen, k, h)
+        .write.mode("overwrite").parquet(s"$traceDir/batch_id=$batchId")
+    }
+}

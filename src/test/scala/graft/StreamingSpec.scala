@@ -419,6 +419,52 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("cusum sink emits the batch operator's exact trace across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusink").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val h0 = 1700000000000L // hour-aligned epoch? floor to be safe
+    val base = (h0 / 3600000L) * 3600000L
+    def ev(hour: Int, n: Int, tpe: String = "e") =
+      (1 to n).map(i => ((hour * 1000 + i).toLong,
+        new java.sql.Timestamp(base + hour * 3600000L + i * 1000L), 1L, tpe, 1.0))
+    // batch 0: hours 0-2 at 6/h; batch 1: SILENT hours 3-4, then
+    // hours 5-6 at 7/h plus a NEW type appearing at hour 6
+    val b0 = (ev(0, 6) ++ ev(1, 6) ++ ev(2, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b1 = (ev(5, 7) ++ ev(6, 7) ++ ev(6, 5, "late_type"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = graft.streaming.CusumStream.foldBatch(b0, state, 0L, "1 hour",
+      k = 4L, h = 8L)
+    val t1 = graft.streaming.CusumStream.foldBatch(b1, state, 1L, "1 hour",
+      k = 4L, h = 8L)
+    val trace = t0.unionByName(t1)
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    // batch operator over the union is the ground truth
+    val expect = graft.ops.EventAnalytics
+      .cusumChangePoints(b0.unionByName(b1), "1 hour", k = 4L, h = 8L)
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(trace.toSeq == expect.toSeq,
+      s"stream trace must equal the batch operator:\n${trace.toSeq}\nvs\n${expect.toSeq}")
+    // the new type back-filled zero windows from the spine start
+    assert(trace.count(_._1 == "late_type") == 7)
+    // replaying a folded batch id emits nothing (idempotence)
+    val replay = graft.streaming.CusumStream.foldBatch(b1, state, 1L, "1 hour",
+      k = 4L, h = 8L)
+    assert(replay.count() == 0)
+    // a window behind the cursor fails loudly instead of corrupting S
+    val late = ev(1, 3).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CusumStream.foldBatch(late, state, 2L, "1 hour", 4L, 8L)
+    }
+    assert(e.getMessage.contains("behind the cursor"))
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
