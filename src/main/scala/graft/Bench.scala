@@ -110,8 +110,11 @@ object Bench {
     "x_anomaly", "x_rag",
     // round-12: LPA's per-iteration edge joins, the cluster-split's
     // minhash+CC chain, and the token-explode prefix scan behind the
-    // Heaps fit — each a corpus-shuffle topology needing 10x evidence
-    "x_lpa", "x_split_dedup", "x_heaps")
+    // Heaps fit — each a corpus-shuffle topology needing 10x evidence;
+    // plus the IVFADC build+probe, the MG one-agg scan, and the CUSUM
+    // window profile over the 10x logs
+    "x_lpa", "x_split_dedup", "x_heaps",
+    "x_ann_ivfpq", "x_heavy", "x_cusum")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
