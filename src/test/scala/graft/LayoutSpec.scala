@@ -17,8 +17,8 @@ class LayoutSpec extends SparkTestBase {
     rec(n).map(_.toArray)
   }
 
-  test("hilbertIndex is a bijection onto [0, 2^(n*bits)) in 2-D and 3-D") {
-    for ((n, bits) <- Seq((2, 6), (3, 3))) {
+  test("hilbertIndex is a bijection onto [0, 2^(n*bits)) in 2-D, 3-D, and 4-D") {
+    for ((n, bits) <- Seq((2, 6), (3, 3), (4, 3))) {
       val cells = allCells(n, bits)
       val idx = cells.map(c => LayoutKernels.hilbertIndex(c, bits))
       assert(idx.toSet.size == cells.size, s"n=$n bits=$bits: collisions")
@@ -28,7 +28,7 @@ class LayoutSpec extends SparkTestBase {
   }
 
   test("consecutive Hilbert indices are ALWAYS adjacent cells (the property Z lacks)") {
-    for ((n, bits) <- Seq((2, 6), (3, 3))) {
+    for ((n, bits) <- Seq((2, 6), (3, 3), (4, 3))) {
       val cells = allCells(n, bits)
       val byIdx = cells.map(c => LayoutKernels.hilbertIndex(c, bits) -> c)
         .sortBy(_._1).map(_._2)
