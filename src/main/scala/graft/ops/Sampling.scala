@@ -87,6 +87,14 @@ object Sampling {
     * pure projection. Output: the docs frame + (cluster_key, split). */
   def splitByCluster(docs: DataFrame, id: String, clusters: DataFrame,
                      splits: Seq[(String, Double)]): DataFrame = {
+    // the unclustered fallback casts the id into the cluster-id space
+    // (long, like dedupClusters' labels); a string id would cast to
+    // NULL and silently dump every unclustered doc into the last
+    // split — fail loudly instead
+    require(docs.schema(id).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"splitByCluster: id column '$id' must be numeric (cluster ids are " +
+        "long); hash a string id into a long key first")
     val cmap = clusters.select(col("doc_id").as("__cid"),
       col("cluster_id").as("__ck"))
     val keyed = docs.join(cmap, col(id) === col("__cid"), "left")
