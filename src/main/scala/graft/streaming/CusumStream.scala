@@ -83,12 +83,19 @@ object CusumStream {
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
         .toDF("event_type", "wstart", "n", "cusum", "changed")
     // the batch's window-count profile (ONE partial agg; driver-tiny)
-    val counts = batch
+    val profile = batch
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("wstart"), col("n"))
-      .collect()
+    // the driver fold is bounded by the (types x windows) profile —
+    // the alerting-grade contract (anomalousWindows' shape). A
+    // million-type firehose wants sharding by type hash, not a bigger
+    // driver: fail loudly rather than absorb an unbounded collect.
+    val counts = profile.limit(4000001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    require(counts.length <= 4000000,
+      "cusumStream: batch window profile exceeds 4M (types x windows) " +
+        "rows — shard the monitor by type hash")
     if (counts.isEmpty) {
       writeState(conf, dir, spine0, batchId, state0)
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
