@@ -2174,6 +2174,26 @@ object QueriesOps {
         .select(col("vec_id"), col("adc"), col("rank"))
         .orderBy(col("rank"))),
 
+    // IVF-PQ recall@10 vs the same exact truth: what nProbe=1 coarse
+    // pruning PLUS residual compression jointly spend — read against
+    // x_pq_recall (flat PQ, no pruning) to split the two losses
+    "x_ivfpq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = queryFrame(s, d)
+      val ret = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          dims = 64, nLists = 8, nProbe = 1, m = 4, ksub = 8, iters = 1,
+          queryDf = q, k = 10)
+        .select(lit(0L).as("query_id"), col("vec_id").as("neighbor_id"))
+      val truth = e
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(q))
+        .withColumn("__d", Similarity.l2(col("__v"), col("qv")))
+        .orderBy(col("__d").asc, col("neighbor_id")).limit(10)
+        .select(lit(0L).as("query_id"), col("neighbor_id"))
+      Similarity.recallAtK(truth, ret)
+    }),
+
     // PQ recall@10 vs the exact L2 ground truth — how much retrieval
     // quality the m=4/ksub=8 compression spends (the tuning read
     // before choosing codebook sizes at corpus scale)
@@ -2207,6 +2227,51 @@ object QueriesOps {
 
   /** One PQ subspace's oracle chain: seeds → argmin → fixed-point
     * centroids (the x_kmeans_lloyd grid) → encode → query LUT. */
+  /** The shared IVFADC CTE body (x_ann_ivfpq / x_ivfpq_recall):
+    * coarse chain, residual corpus as `e`, probed-cell query residual
+    * as `q`, the x_pq subspace chains, ADC, probed-cell `sel`. */
+  private lazy val ivfPqCtes: String = {
+    val dsub = 16; val m = 4
+    val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8))
+      .mkString(",\n")
+    val qCols = (0 until m)
+      .map(s => s"qrv[${s * dsub + 1}:${(s + 1) * dsub}] AS qs$s").mkString(", ")
+    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+      |    v AS centroid
+      |  FROM raw QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |a0 AS (SELECT raw.vec_id, raw.v, c.list_id,
+      |    row_number() OVER (PARTITION BY raw.vec_id
+      |      ORDER BY list_distance(raw.v, c.centroid), c.list_id) AS rk
+      |  FROM raw CROSS JOIN c),
+      |asg AS (SELECT vec_id, v, list_id FROM a0 WHERE rk = 1),
+      |q0 AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
+      |probe AS (SELECT c.list_id, c.centroid FROM c CROSS JOIN q0
+      |  ORDER BY list_distance(c.centroid, q0.qv), c.list_id LIMIT 1),
+      |e AS (SELECT asg.vec_id,
+      |    list_transform(range(1, 65),
+      |      i -> asg.v[CAST(i AS INT)] - c.centroid[CAST(i AS INT)]) AS v
+      |  FROM asg JOIN c USING (list_id)),
+      |qr AS (SELECT list_transform(range(1, 65),
+      |      i -> q0.qv[CAST(i AS INT)] - p.centroid[CAST(i AS INT)]) AS qrv
+      |  FROM q0, probe p),
+      |q AS (SELECT $qCols FROM qr),
+      |$chains,
+      |adc AS (SELECT e0.vec_id,
+      |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
+      |  FROM ec0 e0
+      |  JOIN ec1 e1 ON e0.vec_id = e1.vec_id
+      |  JOIN ec2 e2 ON e0.vec_id = e2.vec_id
+      |  JOIN ec3 e3 ON e0.vec_id = e3.vec_id
+      |  JOIN lut0 l0 ON e0.code = l0.code
+      |  JOIN lut1 l1 ON e1.code = l1.code
+      |  JOIN lut2 l2 ON e2.code = l2.code
+      |  JOIN lut3 l3 ON e3.code = l3.code),
+      |sel AS (SELECT adc.vec_id, adc.adc FROM adc
+      |  JOIN asg ON adc.vec_id = asg.vec_id
+      |  JOIN probe ON asg.list_id = probe.list_id)""".stripMargin
+  }
+
   private def pqSubspaceCtes(s: Int, dsub: Int, ksub: Int): String = {
     val lo = s * dsub + 1; val hi = (s + 1) * dsub
     s"""es$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e),
@@ -6410,50 +6475,25 @@ s"""WITH lines AS (
     // subspace chains train/encode over residual space unchanged,
     // query residual of the probed cell as the `q` CTE, ADC over the
     // probed cell's rows only
-    "x_ann_ivfpq" -> {
-      val dsub = 16; val m = 4
-      val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8))
-        .mkString(",\n")
-      val qCols = (0 until m)
-        .map(s => s"qrv[${s * dsub + 1}:${(s + 1) * dsub}] AS qs$s").mkString(", ")
-      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
-        |    v AS centroid
-        |  FROM raw QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
-        |a0 AS (SELECT raw.vec_id, raw.v, c.list_id,
-        |    row_number() OVER (PARTITION BY raw.vec_id
-        |      ORDER BY list_distance(raw.v, c.centroid), c.list_id) AS rk
-        |  FROM raw CROSS JOIN c),
-        |asg AS (SELECT vec_id, v, list_id FROM a0 WHERE rk = 1),
-        |q0 AS (SELECT v AS qv FROM raw WHERE vec_id = 0),
-        |probe AS (SELECT c.list_id, c.centroid FROM c CROSS JOIN q0
-        |  ORDER BY list_distance(c.centroid, q0.qv), c.list_id LIMIT 1),
-        |e AS (SELECT asg.vec_id,
-        |    list_transform(range(1, 65),
-        |      i -> asg.v[CAST(i AS INT)] - c.centroid[CAST(i AS INT)]) AS v
-        |  FROM asg JOIN c USING (list_id)),
-        |qr AS (SELECT list_transform(range(1, 65),
-        |      i -> q0.qv[CAST(i AS INT)] - p.centroid[CAST(i AS INT)]) AS qrv
-        |  FROM q0, probe p),
-        |q AS (SELECT $qCols FROM qr),
-        |$chains,
-        |adc AS (SELECT e0.vec_id,
-        |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
-        |  FROM ec0 e0
-        |  JOIN ec1 e1 ON e0.vec_id = e1.vec_id
-        |  JOIN ec2 e2 ON e0.vec_id = e2.vec_id
-        |  JOIN ec3 e3 ON e0.vec_id = e3.vec_id
-        |  JOIN lut0 l0 ON e0.code = l0.code
-        |  JOIN lut1 l1 ON e1.code = l1.code
-        |  JOIN lut2 l2 ON e2.code = l2.code
-        |  JOIN lut3 l3 ON e3.code = l3.code),
-        |sel AS (SELECT adc.vec_id, adc.adc FROM adc
-        |  JOIN asg ON adc.vec_id = asg.vec_id
-        |  JOIN probe ON asg.list_id = probe.list_id)
+    "x_ann_ivfpq" ->
+      s"""WITH $ivfPqCtes
         |SELECT vec_id, adc,
         |  CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
-        |FROM sel ORDER BY adc, vec_id LIMIT 10""".stripMargin
-    },
+        |FROM sel ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+
+    // IVFADC recall vs the exact truth: the same chain's top-10 joined
+    // against the brute L2 top-10
+    "x_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+        |ret AS (SELECT vec_id FROM sel ORDER BY adc, vec_id LIMIT 10),
+        |truth AS (SELECT raw.vec_id FROM raw CROSS JOIN q0
+        |  ORDER BY list_distance(raw.v, q0.qv), raw.vec_id LIMIT 10),
+        |h AS (SELECT count(*) AS hits FROM truth JOIN ret USING (vec_id))
+        |SELECT CAST(0 AS BIGINT) AS query_id,
+        |  CAST(h.hits AS BIGINT) AS hits,
+        |  CAST(10 AS BIGINT) AS truth_k,
+        |  CAST(h.hits AS DOUBLE) / 10.0 AS recall
+        |FROM h""".stripMargin,
 
     // PQ retrieval-quality metric: the same codebook/encode/LUT replay
     // as x_pq for the retrieved set, exact L2 top-10 as ground truth,
