@@ -1909,6 +1909,14 @@ object QueriesOps {
       EventAnalytics.cusumChangePoints(events(s, d), "1 hour", k = 4L, h = 8L)
         .orderBy(col("event_type"), col("wstart"))),
 
+    // downward CUSUM: the quiet-source alarm — sustained windows
+    // BELOW the k=2 allowance accumulate (y = 2 - n) and flag at h=6;
+    // an upper test never sees a silent stall
+    "x_cusum_down" -> ((s, d) =>
+      EventAnalytics.cusumChangePoints(events(s, d), "1 hour",
+          k = 2L, h = 6L, direction = "down")
+        .orderBy(col("event_type"), col("wstart"))),
+
     // STREAMING CUSUM, batch twin: the event log processed as three
     // hour-aligned time batches folded through the standing per-type
     // state; the emitted trace is row-identical to the batch operator,
@@ -4919,6 +4927,27 @@ s"""WITH lines AS (
         |  FROM s)
         |SELECT event_type, wstart, n, cum - mnc AS cusum,
         |  (cum - mnc) > 8 AS changed
+        |FROM m ORDER BY event_type, wstart""".stripMargin,
+
+    // the down test replays with y = k - n (k=2, h=6)
+    "x_cusum_down" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+        |sp AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+        |s AS (SELECT event_type, wstart, n,
+        |    sum(2 - n) OVER (PARTITION BY event_type ORDER BY wstart) AS cum
+        |  FROM f),
+        |m AS (SELECT event_type, wstart, n, cum,
+        |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
+        |  FROM s)
+        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |  (cum - mnc) > 6 AS changed
         |FROM m ORDER BY event_type, wstart""".stripMargin,
 
     // the streaming fold's emitted trace is row-identical to the

@@ -188,10 +188,19 @@ object EventAnalytics {
     * the statistic requires). Scale: the corpus collapses to the
     * (windows × types) profile in ONE partial agg; the spine and
     * scans are profile-sized.
+    * `direction = "up"` (the default) accumulates rate RISES above
+    * the allowance; `"down"` accumulates DROPS below it (y = k − n) —
+    * the quiet-source alarm: a crawler that silently stalls never
+    * trips an upper test, but its sustained below-allowance windows
+    * drive the down statistic over h. Same identity, same integer
+    * exactness.
     * Output: (event_type, wstart, n, cusum, changed). */
   def cusumChangePoints(events: DataFrame, windowLen: String = "1 hour",
-                        k: Long = 4L, h: Long = 8L): DataFrame = {
+                        k: Long = 4L, h: Long = 8L,
+                        direction: String = "up"): DataFrame = {
     require(k >= 0 && h > 0, s"cusumChangePoints: need k >= 0, h > 0 (got $k, $h)")
+    require(direction == "up" || direction == "down",
+      s"cusumChangePoints: direction must be 'up' or 'down' (got $direction)")
     import org.apache.spark.sql.expressions.Window
     val counts = events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
@@ -206,7 +215,8 @@ object EventAnalytics {
     val filled = spine.join(counts, Seq("event_type", "wstart"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
     val byType = Window.partitionBy("event_type").orderBy("wstart")
-    val withCum = filled.withColumn("__cum", sum(col("n") - lit(k)).over(byType))
+    val y = if (direction == "up") col("n") - lit(k) else lit(k) - col("n")
+    val withCum = filled.withColumn("__cum", sum(y).over(byType))
     withCum
       .withColumn("cusum",
         col("__cum") - least(lit(0L), min(col("__cum")).over(byType)))

@@ -2230,6 +2230,31 @@ class OpsSpec extends SparkTestBase {
       "the sustained +3/h shift must cross h=8 by hour 12")
   }
 
+  test("cusumChangePoints direction=down flags a sustained stall the up test never sees") {
+    import spark.implicits._
+    val h0 = 1700000000000L
+    // healthy 5/h for 6 hours, then a stall: 1/h for 8 hours
+    val counts = Seq(5, 5, 5, 5, 5, 5, 1, 1, 1, 1, 1, 1, 1, 1)
+    val rows = counts.zipWithIndex.flatMap { case (n, hr) =>
+      (1 to n).map(i => ((hr * 100 + i).toLong,
+        new java.sql.Timestamp(h0 + hr * 3600000L + i * 1000L), 1L, "e", 1.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val down = graft.ops.EventAnalytics
+      .cusumChangePoints(ev, "1 hour", k = 2L, h = 6L, direction = "down")
+      .orderBy("wstart").collect()
+    var s = 0L
+    val ref = counts.map { n => s = math.max(0L, s + 2L - n); s }
+    assert(down.map(_.getAs[Long]("cusum")).toSeq == ref)
+    assert(down.map(_.getAs[Boolean]("changed")).count(identity) > 0,
+      "the stall must flag")
+    // the UP test (same data) never flags — the stall is invisible to it
+    val up = graft.ops.EventAnalytics
+      .cusumChangePoints(ev, "1 hour", k = 4L, h = 8L)
+      .orderBy("wstart").collect()
+    assert(!up.exists(_.getAs[Boolean]("changed")))
+  }
+
   test("cusumChangePoints gap-fills silent windows so the statistic drains") {
     import spark.implicits._
     val h0 = 1700000000000L
