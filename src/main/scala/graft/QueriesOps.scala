@@ -1559,6 +1559,26 @@ object QueriesOps {
           Seq("lang"), col("term"), p = 8)
         .orderBy(col("lang"))),
 
+    // STREAMING distinct-count monitor, batch twin: three micro-
+    // batches' register tables folded into the standing sketch by
+    // elementwise max (idempotent, order-free), then the SAME estimate
+    // math — bit-identical to the one-shot batch sketch, so x_hll's
+    // oracle replays verbatim
+    "s_hll" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_hllstream").toString
+      val terms = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          explode(Dedup.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      (0L to 2L).foreach { b =>
+        graft.streaming.HllStream.foldBatch(
+          terms.filter(pmod(col("doc_id"), lit(3L)) === b),
+          col("lang"), col("term"), p = 8, dir)
+      }
+      graft.streaming.HllStream.standingEstimate(s, dir, keyName = "lang")
+        .orderBy(col("lang"))
+    }),
+
     // counter state over the unbounded term stream, probed for the
     // terms of every 50th doc — est >= exact by construction
     "x_cms" -> ((s, d) => {
@@ -3815,6 +3835,27 @@ object QueriesOps {
     // then the raw-HLL fold — whose power-of-two harmonic sum is
     // exact in double, so the estimate matches bit-for-bit
     "x_hll" ->
+      s"""WITH toks AS (SELECT lang, $toksSql AS w FROM documents),
+        |term AS (SELECT lang, unnest(w) AS term FROM toks),
+        |hb AS (SELECT lang,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef', substr(md5(term), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 8 - i))) AS BIGINT) AS h
+        |  FROM term),
+        |br AS (SELECT lang, h >> 24 AS bucket, h % 16777216 AS rest FROM hb),
+        |reg AS (SELECT lang, bucket,
+        |    max(CASE WHEN rest = 0 THEN 25
+        |        ELSE 25 - length(bin(rest)) END) AS r
+        |  FROM br GROUP BY 1, 2)
+        |SELECT lang,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+        |    * 65536.0 / (sum(pow(CAST(2.0 AS DOUBLE), -r)) + CAST(256 - count(*) AS DOUBLE)) AS est_distinct,
+        |  count(*) AS buckets_hit
+        |FROM reg GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the standing sketch's estimate is bit-identical to the one-shot
+    // batch sketch (register merge by max) — x_hll's replay verbatim
+    "s_hll" ->
       s"""WITH toks AS (SELECT lang, $toksSql AS w FROM documents),
         |term AS (SELECT lang, unnest(w) AS term FROM toks),
         |hb AS (SELECT lang,

@@ -274,20 +274,36 @@ object Profiling {
     * `n_distinct`). Relative error ≈ 1.04/sqrt(m).
     * Output: (keys…, est_distinct, buckets_hit). */
   def hllDistinct(df: DataFrame, keys: Seq[String], x: Column,
-                  p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 14, s"hllDistinct: p must be in [4,14] (got $p)")
-    val m = 1 << p
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keys, x, p), keys, p)
+
+  /** The HLL register table (keys..., __bucket, __r): ≤ keys×2^p rows
+    * from ONE partial agg; registers MERGE by elementwise max (max is
+    * associative, commutative, and IDEMPOTENT — unions, re-folds, and
+    * replays all land on the same registers by algebra), which is the
+    * standing-sketch contract [[graft.streaming.HllStream]] builds on. */
+  def hllRegisters(df: DataFrame, keys: Seq[String], x: Column,
+                   p: Int): DataFrame = {
+    require(p >= 4 && p <= 14, s"hllRegisters: p must be in [4,14] (got $p)")
     val rb = 32 - p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val h = conv(substring(md5(x.cast("string")), 1, 8), 16, 10).cast("long")
     val hashed = df.filter(x.isNotNull)
       .select(keys.map(col) :+ shiftright(h, rb).as("__bucket")
         :+ (h % lit(1L << rb)).as("__rest"): _*)
     val rho = when(col("__rest") === 0, lit(rb + 1))
       .otherwise(lit(rb + 1) - length(bin(col("__rest"))))
-    val regs = hashed.select(keys.map(col) :+ col("__bucket") :+ rho.as("__rho"): _*)
+    hashed.select(keys.map(col) :+ col("__bucket") :+ rho.as("__rho"): _*)
       .groupBy(keys.map(col) :+ col("__bucket"): _*)
       .agg(max(col("__rho")).as("__r"))
+  }
+
+  /** The estimate tail over a register table — shared by the one-shot
+    * [[hllDistinct]] and the standing-sketch read, so both produce
+    * bit-identical numbers from identical registers (the 2^-r terms
+    * are exact dyadic doubles, so the sum is order-invariant). */
+  def hllEstimate(regs: DataFrame, keys: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
     regs.groupBy(keys.map(col): _*)
       .agg(sum(pow(lit(2.0), -col("__r"))).as("__z"),
         count(lit(1)).as("buckets_hit"))

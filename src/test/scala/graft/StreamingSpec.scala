@@ -419,6 +419,39 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("hll sink: standing estimate equals the batch sketch; replay and order are free") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllsink").toFile
+    val d1 = new java.io.File(dir, "a").getPath
+    val d2 = new java.io.File(dir, "b").getPath
+    val b0 = (1 to 300).map(i => ("en", s"w${i % 120}")).toDF("lang", "term")
+    val b1 = (1 to 300).map(i => ("en", s"w${i % 200}"))
+      .++(Seq(("de", "zehn"), ("de", "elf"))).toDF("lang", "term")
+    // fold in one order into d1, the REVERSE order plus a replay into d2
+    graft.streaming.HllStream.foldBatch(b0, c("lang"), c("term"), 8, d1)
+    graft.streaming.HllStream.foldBatch(b1, c("lang"), c("term"), 8, d1)
+    graft.streaming.HllStream.foldBatch(b1, c("lang"), c("term"), 8, d2)
+    graft.streaming.HllStream.foldBatch(b0, c("lang"), c("term"), 8, d2)
+    graft.streaming.HllStream.foldBatch(b0, c("lang"), c("term"), 8, d2) // replay
+    def read(p: String) = graft.streaming.HllStream
+      .standingEstimate(s, p, "lang").orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(read(d1) == read(d2), "order + replay must not change the sketch")
+    // bit-identical to the one-shot batch sketch over the union
+    val batch = graft.ops.Profiling.hllDistinct(
+        b0.unionByName(b1), Seq("lang"), c("term"), p = 8)
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(read(d1) == batch, s"standing != batch: ${read(d1)} vs $batch")
+    // sanity: ~200 distinct en terms, generous band (no small-range
+    // linear-counting correction in this estimator — raw HLL runs
+    // high below ~2.5m)
+    val en = batch.find(_._1 == "en").get
+    assert(en._2 > 120 && en._2 < 400, s"estimate off: $en")
+  }
+
   test("cusum sink emits the batch operator's exact trace across micro-batches") {
     val s = spark
     import s.implicits._
