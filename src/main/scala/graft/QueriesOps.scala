@@ -466,6 +466,14 @@ object QueriesOps {
             pmod(col("user_id"), lit(100L)).cast("string")), k = 512)
         .orderBy(col("est").desc, col("item"))),
 
+    // per-stratum Misra-Gries in the exact regime: one summary per
+    // event type, user-cohort key bounded at 300 < k=512 per stratum
+    // at ANY sf, so every stratum's summary is its exact count table
+    "x_heavy_by" -> ((s, d) =>
+      Profiling.heavyHittersBy(events(s, d), Seq("event_type"),
+          pmod(col("user_id"), lit(300L)).cast("string"), k = 512)
+        .orderBy(col("event_type"), col("est").desc, col("item"))),
+
     // STREAMING heavy hitters, batch-twin: the event log processed as
     // three micro-batches folded into the standing Misra-Gries
     // summary (fresh state dir per run); exact regime, so the
@@ -6254,6 +6262,14 @@ s"""WITH lines AS (
       """SELECT event_type || '#' || CAST(user_id % 100 AS VARCHAR) AS item,
         |  count(*) AS est, CAST(0 AS BIGINT) AS err_bound
         |FROM events GROUP BY 1 ORDER BY est DESC, item""".stripMargin,
+
+    // grouped exact regime: per-stratum count tables, per-stratum
+    // err_bound 0
+    "x_heavy_by" ->
+      """SELECT event_type, CAST(user_id % 300 AS VARCHAR) AS item,
+        |  count(*) AS est, CAST(0 AS BIGINT) AS err_bound
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, est DESC, item""".stripMargin,
 
     // the standing summary after the last micro-batch is the same
     // exact count table (merge = plain sums below the k cap)

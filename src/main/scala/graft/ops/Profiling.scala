@@ -392,6 +392,32 @@ object Profiling {
         col("err_bound"))
   }
 
+  /** Per-stratum heavy hitters — the grouped form of [[heavyHitters]]
+    * (per-domain heavy URLs, per-language heavy terms): one MG
+    * summary per group key from the SAME single pass (the typed
+    * aggregate rides an ordinary groupBy, so partial buffers combine
+    * map-side per group and the shuffle carries one ≤ k-entry summary
+    * per stratum). err_bound is per stratum: (N_g − Σ est_g)/(k+1).
+    * Output: (strata..., item, est, err_bound). */
+  def heavyHittersBy(df: DataFrame, strata: Seq[String], key: Column,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(strata.nonEmpty, "heavyHittersBy: need at least one stratum column")
+    val agg = ColumnBridge.column(
+      graft.plans.MisraGriesAgg(ColumnBridge.expr(key.cast("string")), k)
+        .toAggregateExpression())
+    df.groupBy(strata.map(col): _*)
+      .agg(agg.as("sketch"), count(key.cast("string")).as("__n"))
+      .select(strata.map(col) :+ col("sketch") :+ col("__n") :+
+        aggregate(col("sketch"), lit(0L),
+          (acc, x) => acc + x.getField("est")).as("__sum"): _*)
+      .select(strata.map(col) :+ explode(col("sketch")).as("hh") :+
+        call_function("div", col("__n") - col("__sum"),
+          lit(k + 1L)).as("err_bound"): _*)
+      .select(strata.map(col) :+ col("hh.item").as("item") :+
+        col("hh.est").as("est") :+ col("err_bound"): _*)
+  }
+
   def kmvSketch(df: DataFrame, key: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val agg = ColumnBridge.column(

@@ -51,6 +51,24 @@ class HeavyHitterSpec extends SparkTestBase {
       "test construction: hot and warm must be above threshold")
   }
 
+  test("heavyHittersBy keeps one independent summary per stratum") {
+    import spark.implicits._
+    // stratum A: 50 distinct keys under k (exact); stratum B: skewed
+    // past k — A must stay exact even though B decrements
+    val rows = (1 to 500).map(i => ("A", s"a${i % 50}")) ++
+      Seq.fill(400)(("B", "hotB")) ++ (1 to 400).map(i => ("B", s"b${i % 200}"))
+    val df = rows.toDF("g", "s").repartition(9)
+    val out = Profiling.heavyHittersBy(df, Seq("g"), col("s"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val a = out.filter(_._1 == "A")
+    assert(a.length == 50 && a.forall(_._4 == 0L), "stratum A is exact")
+    assert(a.forall(_._3 == 10L))
+    val b = out.filter(_._1 == "B")
+    assert(b.length <= 64, "stratum B bounded by k")
+    assert(b.exists(e => e._2 == "hotB" && e._3 <= 400L && e._3 >= 400L - b.head._4),
+      s"B's heavy key survives with a bounded under-count: ${b.toSeq.take(3)}")
+  }
+
   test("null keys are skipped; empty input yields an empty summary") {
     import spark.implicits._
     val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
