@@ -455,6 +455,28 @@ object QueriesOps {
       Profiling.kmvOverlap(existing, col("text"), incoming, col("text"), k = 64)
     }),
 
+    // STREAMING overlap monitor, batch twin: the incoming side folded
+    // into the standing KMV sketch over three micro-batches (k-min
+    // union — idempotent, order-free), then the exact batch overlap
+    // math against the corpus sketch — x_kmv's oracle verbatim
+    "s_kmv" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_kmvstream").toString
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0).select("text")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")))
+      (0L to 2L).foreach { b =>
+        graft.streaming.KmvStream.foldBatch(
+          incoming.filter(pmod(col("doc_id"), lit(3L)) === b).select("text"),
+          col("text"), k = 64, dir)
+      }
+      graft.streaming.KmvStream.overlapWithCorpus(s, dir,
+        existing, col("text"), k = 64)
+    }),
+
     // Misra-Gries heavy hitters in the deterministic exact regime:
     // k=512 >= the 500-key cardinality cap of (event_type x user
     // cohort), so no decrement ever fires, the summary IS the count
@@ -6233,6 +6255,32 @@ s"""WITH lines AS (
     // the sketches replay as DISTINCT md5 ORDER BY LIMIT k; union-k,
     // intersection, and the (k-1)/frac(kth) estimator are list math
     "x_kmv" ->
+      """WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT DISTINCT md5(text) AS h FROM (
+        |  SELECT text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)),
+        |sa AS (SELECT list(h ORDER BY h) AS s FROM (SELECT h FROM ex ORDER BY h LIMIT 64)),
+        |sb AS (SELECT list(h ORDER BY h) AS s FROM (SELECT h FROM inc ORDER BY h LIMIT 64)),
+        |j AS (SELECT sa.s AS a, sb.s AS b,
+        |    list_sort(list_distinct(sa.s || sb.s))[1:64] AS u FROM sa, sb),
+        |m AS (SELECT len(u) AS k_used,
+        |    len(list_intersect(u, list_intersect(a, b))) AS n_both,
+        |    a, b, u FROM j)
+        |SELECT CAST(k_used AS INT) AS k_used, CAST(n_both AS INT) AS n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+        |  CASE WHEN len(a) < 64 THEN CAST(len(a) AS DOUBLE)
+        |    ELSE 63.0 / (list_sum(list_transform(range(1, 13), j ->
+        |      (strpos('0123456789abcdef', substring(a[64], CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 12 - j))) / 281474976710656.0) END AS est_distinct_a,
+        |  CASE WHEN len(b) < 64 THEN CAST(len(b) AS DOUBLE)
+        |    ELSE 63.0 / (list_sum(list_transform(range(1, 13), j ->
+        |      (strpos('0123456789abcdef', substring(b[64], CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 12 - j))) / 281474976710656.0) END AS est_distinct_b
+        |FROM m""".stripMargin,
+
+    // the standing stream sketch equals the two-scan batch sketch
+    // (k-min union) - x_kmv's replay verbatim
+    "s_kmv" ->
       """WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
         |inc AS (SELECT DISTINCT md5(text) AS h FROM (
         |  SELECT text FROM documents WHERE doc_id % 2 = 1

@@ -438,9 +438,16 @@ object Profiling {
     * Output: (k_used, n_both, jaccard_est, est_distinct_a,
     * est_distinct_b). */
   def kmvOverlap(a: DataFrame, akey: Column, b: DataFrame, bkey: Column,
-                 k: Int): DataFrame = {
-    val sa = kmvSketch(a, akey, k).select(col("sketch").as("sa"))
-    val sb = kmvSketch(b, bkey, k).select(col("sketch").as("sb"))
+                 k: Int): DataFrame =
+    kmvOverlapOfSketches(
+      kmvSketch(a, akey, k).select(col("sketch").as("sa")),
+      kmvSketch(b, bkey, k).select(col("sketch").as("sb")), k)
+
+  /** The overlap math over two 1-row sketch frames (columns `sa` /
+    * `sb`) — shared with the standing-sketch read
+    * ([[graft.streaming.KmvStream]]), so stream-vs-corpus overlap is
+    * bit-identical to the two-scan batch form. */
+  def kmvOverlapOfSketches(sa: DataFrame, sb: DataFrame, k: Int): DataFrame = {
     // distinct estimate: hashes are uniform in [0,1) (first 12 hex
     // digits as a fraction — exact in double), so the kth minimum
     // sits at ≈ k/(n+1): n̂ = (k−1)/frac(kth). Below k distinct keys

@@ -419,6 +419,36 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("kmv sink: standing overlap equals the two-scan batch math; replay and order are free") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvsink").toFile
+    val d1 = new java.io.File(dir, "a").getPath
+    val d2 = new java.io.File(dir, "b").getPath
+    val corpus = (1 to 400).map(i => s"doc$i").toDF("t")
+    // stream shares 200 docs with the corpus, brings 200 new ones
+    val b0 = (1 to 200).map(i => s"doc$i").toDF("t")
+    val b1 = (1 to 200).map(i => s"new$i").toDF("t")
+    graft.streaming.KmvStream.foldBatch(b0, c("t"), 64, d1)
+    graft.streaming.KmvStream.foldBatch(b1, c("t"), 64, d1)
+    // reverse order + replay into d2
+    graft.streaming.KmvStream.foldBatch(b1, c("t"), 64, d2)
+    graft.streaming.KmvStream.foldBatch(b0, c("t"), 64, d2)
+    graft.streaming.KmvStream.foldBatch(b1, c("t"), 64, d2)
+    def read(p: String) = graft.streaming.KmvStream
+      .overlapWithCorpus(s, p, corpus, c("t"), 64).collect().head
+    assert(read(d1).toSeq == read(d2).toSeq,
+      "order + replay must not change the sketch")
+    // identical to the two-scan batch form over the stream union
+    val batch = graft.ops.Profiling.kmvOverlap(
+      corpus, c("t"), b0.unionByName(b1), c("t"), 64).collect().head
+    assert(read(d1).toSeq == batch.toSeq)
+    // ~50% true jaccard (200 shared / 600 union) within sketch noise
+    val jac = batch.getAs[Double]("jaccard_est")
+    assert(jac > 0.15 && jac < 0.55, s"jaccard estimate off: $jac")
+  }
+
   test("hll sink: standing estimate equals the batch sketch; replay and order are free") {
     val s = spark
     import s.implicits._
