@@ -11,33 +11,34 @@ object Bench {
     * for the prefix-scan family are visible every round). */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topk", "q5_region_revenue",
-    "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk", "d_rowwise2",
+    "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk",
     "d_cum_u", "b_rank_u",
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",
-    "x_langid", "x_tokens", "x_asof", "x_asof_global", "x_contam", "x_gopher",
-    "x_par_dedup", "x_dup_spans", "x_semdedup", "x_range_join", "x_multimodal",
-    "x_bm25", "x_bm25_indexed", "x_centroids", "x_kmeans_lloyd", "x_interleave",
+    "x_langid", "x_tokens", "x_semdedup", "x_range_join",
+    "x_bm25", "x_bm25_indexed", "x_kmeans_lloyd",
     "x_fuzzy_join", "x_image_dedup", "x_bitext", "x_pca", "x_trending",
-    // the round-14 corpus-shuffle families + PQ retrieval, so their
-    // growth factors stop being invisible
-    "x_subword", "x_zipf", "x_novelty", "x_js_div", "x_bigram_lm", "x_pq",
-    "x_cdc", "x_dedup_incr", "x_bpe_train", "x_strip_spans",
-    // round-15 additions: layout key projection, dedup policy layer,
-    // native session_window (vs the stateful s_sessionize twin),
-    // PRF retrieval, KS drift sort, event anomaly profile, MMR rerank
-    "x_zorder", "x_dedup_ensemble", "s_session_window",
+    "x_js_div", "x_bigram_lm", "x_pq",
+    "x_dedup_incr", "x_bpe_train",
+    "x_dedup_ensemble", "s_session_window",
     "x_bm25_prf", "x_ks", "x_anomaly", "x_mmr", "x_rag",
-    "s_sessionize", "s_neardup",
-    // round-12: executor-probed file-bloom lookup (build + batch
-    // lookup per call) and the corpus-shape LSH bitext composition
+    "s_sessionize",
     "x_filebloom", "x_bitext_lsh",
-    // round-12 late additions: Hilbert layout box scan, incremental
-    // z-append box scan, label-propagation communities, cluster-keyed
-    // leakage-safe split, Heaps vocabulary-growth fit, entity
-    // resolution (headline only: the sf1 synth's key-shifted replicas
-    // keep identical names — the x_fuzzy_join exclusion reasoning)
-    "x_hilbert", "x_zorder_incr", "x_lpa", "x_split_dedup", "x_heaps",
-    "x_entity_res", "x_heavy", "x_cusum", "x_ann_ivfpq")
+    "x_split_dedup", "x_heaps",
+    "x_entity_res", "x_cusum", "x_ann_ivfpq")
+
+  /** Stable sub-0.3s rows moved out of the per-round headline (r12
+    * verdict item 10 — 67 rows at ~42s was drowning the signal):
+    * still benched under SPARK_GRAFT_FULL=1 (the quarterly full
+    * sweep), and the ones in [[sf1Queries]] still get their sf0.1
+    * denominator timed inside the sf1 branch so growth factors keep
+    * appearing every round. The historical 12-query r2 subset stays
+    * in [[headline]] untouched for baseline continuity. */
+  val stableSweep: Seq[String] = Seq(
+    "d_rowwise2", "x_asof", "x_asof_global", "x_contam", "x_gopher",
+    "x_par_dedup", "x_dup_spans", "x_multimodal", "x_centroids",
+    "x_interleave", "x_subword", "x_zipf", "x_novelty", "x_cdc",
+    "x_strip_spans", "x_zorder", "x_zorder_incr", "x_hilbert",
+    "x_lpa", "x_heavy", "s_neardup")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -92,11 +93,11 @@ object Bench {
     // interleave permutation must scale like the other rowid paths
     "x_interleave",
     // image signatures + hamming buckets over the 10x media corpus
-    // (x_fuzzy_join is EXCLUDED from sf1: key-shifted customer
-    // replicas keep identical names, which would measure a
-    // pathological 10-deep-duplicate registry, not scale-up — the
-    // same reasoning as the document replica tags)
     "x_image_dedup",
+    // fuzzy/ER over the 10x registry — real scale-up now that the
+    // synth perturbs replica names (doubled-digit prefixes, distance
+    // 2 apart: zero cross-replica pairs at maxDist=1)
+    "x_fuzzy_join", "x_entity_res",
     // indexed BM25 (per-call = postings scans; the one-time build is
     // outside min-of-N) and the corpus-shuffle text/vector families
     // whose sf1 growth was unmeasured through r10
@@ -128,7 +129,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     val cache = new java.io.File("target/benchcache/sf1synth")
     val ok = new java.io.File(cache, "_OK")
-    val marker = s"from:$benchDir:v3"
+    val marker = s"from:$benchDir:v4"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
@@ -144,6 +145,16 @@ object Bench {
         if (tname == "documents" && i > 0)
           shifted.withColumn("text",
             regexp_replace(col("text"), "(?m)^", s"r$i "))
+        // replica customers get a doubled-digit name prefix: any two
+        // distinct prefixes are levenshtein distance 2 apart, so the
+        // 10x registry keeps the base's intra-replica near-dup
+        // structure with ZERO cross-replica pairs at maxDist=1 —
+        // verbatim name replicas would measure a pathological
+        // 10-deep-duplicate registry, not scale-up (r12 verdict
+        // item 6; the reason x_fuzzy_join/x_entity_res were excluded
+        // from sf1 through r12)
+        else if (tname == "customer" && i > 0)
+          shifted.withColumn("c_name", concat(lit(s"q$i$i-"), col("c_name")))
         // replica vectors get a small per-replica offset: identical
         // copies would pile 10 deep into the SAME LSH buckets (a 90%
         // duplicate corpus), where distinct content spreads buckets —
@@ -178,7 +189,8 @@ object Bench {
     * these run at 100×, and the synth below builds only the tables
     * they read. */
   val sf10Queries: Seq[String] = Seq(
-    "x_dedup_minhash", "x_ks", "x_dedup_ensemble", "x_bm25", "x_rag")
+    "x_dedup_minhash", "x_ks", "x_dedup_ensemble", "x_bm25", "x_rag",
+    "x_entity_res")
 
   /** Synthesize a ~100× (sf≈10) copy of JUST the tables the sf10
     * rehearsal reads: documents (doc_id, text — the only columns the
@@ -196,7 +208,7 @@ object Bench {
     // v2: 128 doc partitions (was 64) — halves each task's partial
     // hash-agg map on the tokenize scans, the same lever as
     // maxPartitionBytes on a real cluster
-    val marker = s"from:$benchDir:v2"
+    val marker = s"from:$benchDir:v3"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
@@ -216,6 +228,19 @@ object Bench {
         col("l_extendedprice"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"${cache.getPath}/lineitem.parquet")
+    // 100x registry for x_entity_res: the synthSf1 doubled-digit name
+    // perturbation (two digits of the replica number, doubled -> any
+    // two distinct prefixes are >= 2 edits apart, zero cross-replica
+    // pairs at maxDist=1)
+    spark.read.parquet(s"$benchDir/customer.parquet")
+      .select("c_custkey", "c_name").crossJoin(reps)
+      .select((col("c_custkey") + col("__r") * K).as("c_custkey"),
+        when(col("__r") === 0, col("c_name")).otherwise(concat(
+          lit("q"), format_string("%02d", col("__r")),
+          format_string("%02d", col("__r")), lit("-"),
+          col("c_name"))).as("c_name"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"${cache.getPath}/customer.parquet")
     java.nio.file.Files.write(ok.toPath, marker.getBytes("UTF-8"))
     cache.getPath
   }
@@ -314,7 +339,13 @@ object Bench {
         case other => other
       }
     }
-    val results = headline.filter(qs.contains).map { name =>
+    // SPARK_GRAFT_FULL=1: the quarterly full sweep — re-adds the
+    // stable sub-0.3s rows the per-round headline no longer carries
+    val effHeadline =
+      if (sys.env.getOrElse("SPARK_GRAFT_FULL", "0") == "1")
+        headline ++ stableSweep
+      else headline
+    val results = effHeadline.filter(qs.contains).map { name =>
       name -> timeN(name, benchDir)
     }
     val qJson = results.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
@@ -324,6 +355,16 @@ object Bench {
     val failedJson = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2.map(_._1)).sum
+    // The compact core (queries + start anchor + failures) prints
+    // FIRST, before the sf1/sf10 sweeps, and again as the very last
+    // line — BENCH_r10..r12 all shipped "parsed": null because the
+    // single ~8 KB JSON line printed last and the driver's stdout
+    // tail cut its head. This line stays under ~1.5 KB, and a
+    // parseable copy now exists at BOTH ends of the capture window
+    // whichever end the driver keeps.
+    def compactCore(anchors: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors}"""
+    println(compactCore(f"""{"start":$anchorStart%.3f}"""))
     // sf1 rehearsal: only when benching the standard sf0.1 dir (the
     // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
     val sf1Json =
@@ -336,7 +377,15 @@ object Bench {
         val rows = sf1Queries.filter(qs.contains).map { n =>
           n -> timeN(n, sf1Dir)
         }
-        val headlineTimes = results.toMap
+        // sf0.1 denominators for sf1 members the trimmed headline no
+        // longer times (the stableSweep rows) — cheap (all sub-0.3s),
+        // and without them the growth map would silently lose those
+        // families
+        val denoms = sf1Queries.filter(qs.contains)
+          .filterNot(effHeadline.contains).map { n =>
+            n -> timeN(n, benchDir)
+          }
+        val headlineTimes = (results ++ denoms).toMap
         // growth = sf1 / sf0.1 on 10x data, for queries timed at both
         // scales — the scale-readiness signal, emitted directly so no
         // reader has to divide two JSON maps. Read it AGAINST
@@ -385,6 +434,11 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes("UTF-8"))
     println(json)
+    // final line = the compact core again, now with both anchors — a
+    // last-N-bytes capture keeps THIS line whole even when the full
+    // dump above gets its head cut
+    println(compactCore(
+      f"""{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}"""))
     spark.stop()
   }
 }

@@ -2252,6 +2252,45 @@ object QueriesOps {
       Similarity.recallAtK(truth, ret)
     }),
 
+    // multi-query IVFADC — the query-batched serving shape: index,
+    // residual encode, and codebooks built ONCE; per-query probe
+    // lists over the broadcast centroid table; per-(query,cell) LUT
+    // FRAME broadcast-joined to the encoded corpus; GroupedTopK cut
+    "x_ann_ivfpq_multi" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqTopKJoin(e, "vec_id", "embedding",
+          dims = 64, nLists = 8, nProbe = 2, m = 4, ksub = 8, iters = 1,
+          queries = e.filter(col("vec_id") < 3), qid = "vec_id",
+          qvec = "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // multi-query IVFADC recall@10 vs per-query exact L2 truth — the
+    // eval-harness read over the batched retrieval
+    "x_ivfpq_recall_multi" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val ret = Similarity.ivfPqTopKJoin(e, "vec_id", "embedding",
+          dims = 64, nLists = 8, nProbe = 2, m = 4, ksub = 8, iters = 1,
+          queries = e.filter(col("vec_id") < 3), qid = "vec_id",
+          qvec = "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val truth = e
+        .select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(qs))
+        .withColumn("__d", Similarity.l2(col("__v"), col("qv")))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("__d").asc, col("neighbor_id"))))
+        .filter(col("__rk") <= 10)
+        .select("query_id", "neighbor_id")
+      Similarity.recallAtK(truth, ret).orderBy(col("query_id"))
+    }),
+
     // PQ recall@10 vs the exact L2 ground truth — how much retrieval
     // quality the m=4/ksub=8 compression spends (the tuning read
     // before choosing codebook sizes at corpus scale)
@@ -2330,7 +2369,66 @@ object QueriesOps {
       |  JOIN probe ON asg.list_id = probe.list_id)""".stripMargin
   }
 
-  private def pqSubspaceCtes(s: Int, dsub: Int, ksub: Int): String = {
+  /** Multi-query IVFADC replay: the [[ivfPqCtes]] chain with a
+    * per-query probe table (rk <= nProbe per query_id), per-(query,
+    * cell) residual LUTs, and join keys carrying (query_id, list_id)
+    * — the DuckDB twin of Similarity.ivfPqTopKJoin. */
+  private lazy val ivfPqMultiCtes: String = {
+    val dsub = 16; val m = 4
+    val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8, withLut = false))
+      .mkString(",\n")
+    val lutms = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s"""lutm$s AS (SELECT qr.query_id, qr.list_id, c.cid AS code,
+         |    list_distance(qr.qrv[$lo:$hi], c.cv)
+         |      * list_distance(qr.qrv[$lo:$hi], c.cv) AS sd
+         |  FROM c1$s c CROSS JOIN qr)""".stripMargin
+    }.mkString(",\n")
+    s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
+      |    v AS centroid
+      |  FROM raw QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |a0 AS (SELECT raw.vec_id, raw.v, c.list_id,
+      |    row_number() OVER (PARTITION BY raw.vec_id
+      |      ORDER BY list_distance(raw.v, c.centroid), c.list_id) AS rk
+      |  FROM raw CROSS JOIN c),
+      |asg AS (SELECT vec_id, v, list_id FROM a0 WHERE rk = 1),
+      |qs AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE vec_id < 3),
+      |pr0 AS (SELECT q.query_id, c.list_id, c.centroid, q.qv,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY list_distance(c.centroid, q.qv), c.list_id) AS rk
+      |  FROM c CROSS JOIN qs q),
+      |probe AS (SELECT query_id, list_id, centroid, qv FROM pr0 WHERE rk <= 2),
+      |e AS (SELECT asg.vec_id,
+      |    list_transform(range(1, 65),
+      |      i -> asg.v[CAST(i AS INT)] - c.centroid[CAST(i AS INT)]) AS v
+      |  FROM asg JOIN c USING (list_id)),
+      |$chains,
+      |qr AS (SELECT query_id, list_id,
+      |    list_transform(range(1, 65),
+      |      i -> qv[CAST(i AS INT)] - centroid[CAST(i AS INT)]) AS qrv
+      |  FROM probe),
+      |$lutms,
+      |adcm AS (SELECT p.query_id, asg.vec_id,
+      |    l0.sd + l1.sd + l2.sd + l3.sd AS adc
+      |  FROM asg
+      |  JOIN probe p ON asg.list_id = p.list_id
+      |  JOIN ec0 e0 ON asg.vec_id = e0.vec_id
+      |  JOIN ec1 e1 ON asg.vec_id = e1.vec_id
+      |  JOIN ec2 e2 ON asg.vec_id = e2.vec_id
+      |  JOIN ec3 e3 ON asg.vec_id = e3.vec_id
+      |  JOIN lutm0 l0 ON l0.query_id = p.query_id
+      |    AND l0.list_id = p.list_id AND l0.code = e0.code
+      |  JOIN lutm1 l1 ON l1.query_id = p.query_id
+      |    AND l1.list_id = p.list_id AND l1.code = e1.code
+      |  JOIN lutm2 l2 ON l2.query_id = p.query_id
+      |    AND l2.list_id = p.list_id AND l2.code = e2.code
+      |  JOIN lutm3 l3 ON l3.query_id = p.query_id
+      |    AND l3.list_id = p.list_id AND l3.code = e3.code)""".stripMargin
+  }
+
+  private def pqSubspaceCtes(s: Int, dsub: Int, ksub: Int,
+                             withLut: Boolean = true): String = {
     val lo = s * dsub + 1; val hi = (s + 1) * dsub
     s"""es$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e),
        |c0$s AS (SELECT vec_id AS cid, vs AS cv FROM es$s ORDER BY vec_id LIMIT $ksub),
@@ -2350,10 +2448,11 @@ object QueriesOps {
        |    row_number() OVER (PARTITION BY t.vec_id
        |      ORDER BY list_distance(t.vs, c.cv), c.cid) AS rk
        |  FROM es$s t CROSS JOIN c1$s c),
-       |ec$s AS (SELECT vec_id, code FROM en$s WHERE rk = 1),
+       |ec$s AS (SELECT vec_id, code FROM en$s WHERE rk = 1)""".stripMargin +
+      (if (withLut) s""",
        |lut$s AS (SELECT c.cid AS code,
        |    list_distance(q.qs$s, c.cv) * list_distance(q.qs$s, c.cv) AS sd
-       |  FROM c1$s c CROSS JOIN q)""".stripMargin
+       |  FROM c1$s c CROSS JOIN q)""".stripMargin else "")
   }
 
   /** Build-or-reuse the materialized BM25 artifacts for `dir`: the
@@ -4996,7 +5095,7 @@ s"""WITH lines AS (
         |m AS (SELECT event_type, wstart, n, cum,
         |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
         |  FROM s)
-        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |SELECT event_type, wstart, n, CAST(cum - mnc AS BIGINT) AS cusum,
         |  (cum - mnc) > 8 AS changed
         |FROM m ORDER BY event_type, wstart""".stripMargin,
 
@@ -5017,7 +5116,7 @@ s"""WITH lines AS (
         |m AS (SELECT event_type, wstart, n, cum,
         |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
         |  FROM s)
-        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |SELECT event_type, wstart, n, CAST(cum - mnc AS BIGINT) AS cusum,
         |  (cum - mnc) > 6 AS changed
         |FROM m ORDER BY event_type, wstart""".stripMargin,
 
@@ -5039,7 +5138,7 @@ s"""WITH lines AS (
         |m AS (SELECT event_type, wstart, n, cum,
         |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
         |  FROM s)
-        |SELECT event_type, wstart, n, cum - mnc AS cusum,
+        |SELECT event_type, wstart, n, CAST(cum - mnc AS BIGINT) AS cusum,
         |  (cum - mnc) > 8 AS changed
         |FROM m ORDER BY event_type, wstart""".stripMargin,
 
@@ -6485,11 +6584,14 @@ s"""WITH lines AS (
         |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sx,
         |    CAST(CAST(sum(CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sy,
         |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxy,
-        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxx
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(19,12)) * CAST(x AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(19,12)) * CAST(y AS DECIMAL(19,12))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM xy)
         |SELECT v.ckpt, v.n_tokens, v.vocab,
         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
-        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS ln_k
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS ln_k,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         |FROM v, s ORDER BY v.ckpt""".stripMargin,
 
     // novelty replay: the x_containment shingle recipe (3-token
@@ -6628,6 +6730,37 @@ s"""WITH lines AS (
         |  CAST(10 AS BIGINT) AS truth_k,
         |  CAST(h.hits AS DOUBLE) / 10.0 AS recall
         |FROM h""".stripMargin,
+
+    // multi-query IVFADC replay: per-query probes + per-(query,cell)
+    // LUTs + per-query cut over the shared codebook chain
+    "x_ann_ivfpq_multi" ->
+      s"""WITH $ivfPqMultiCtes
+        |SELECT query_id, vec_id AS neighbor_id, adc,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |FROM adcm
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc, vec_id) <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "x_ivfpq_recall_multi" ->
+      s"""WITH $ivfPqMultiCtes,
+        |ret AS (SELECT query_id, vec_id AS neighbor_id FROM adcm
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, vec_id) <= 10),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, raw.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(raw.v, q.qv), raw.vec_id) AS rk
+        |    FROM raw CROSS JOIN qs q) WHERE rk <= 10)
+        |SELECT t.query_id,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(count(*) AS BIGINT) AS truth_k,
+        |  CAST(sum(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN ret g
+        |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
 
     // PQ retrieval-quality metric: the same codebook/encode/LUT replay
     // as x_pq for the retrieved set, exact L2 top-10 as ground truth,

@@ -55,6 +55,24 @@ object QueriesTidyr {
         namesGlue = "st_{o_orderstatus}_total", namesSort = true)
         .orderBy(col("o_orderpriority"))),
 
+    // unused_fn (reference api/tidyr.py:380): o_custkey and
+    // o_orderdate are neither id, names, nor values — summarized per
+    // id group (max date, distinct buyers) and kept beside the
+    // pivot, out of ONE groupBy
+    "t_pivot_unused" -> ((s, d) =>
+      Tidyr.pivotWiderUnused(
+        t(s, d, "orders").select("o_orderpriority", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_custkey"),
+        idCols = Seq("o_orderpriority"), namesFrom = "o_orderstatus",
+        valuesFrom = col("o_totalprice"),
+        agg = c => graft.functions.Exact.dsum(c),
+        nameValues = Seq("F", "O", "P"),
+        unused = Seq(
+          "o_orderdate" -> (c => max(c)),
+          "o_custkey" -> (c => countDistinct(c))),
+        prefix = "st_")
+        .orderBy(col("o_orderpriority"))),
+
     "t_pivot_multi" -> ((s, d) =>
       Tidyr.pivotWiderMulti(t(s, d, "orders"), Seq("o_custkey"),
         Seq("o_orderstatus", "o_orderpriority"), "_",
@@ -286,6 +304,19 @@ object QueriesTidyr {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_O,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_P
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "t_pivot_unused" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS st_F,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS st_O,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS st_P,
+        |  max(o_orderdate) AS o_orderdate,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "t_pivot_multi" ->
       """SELECT o_custkey,

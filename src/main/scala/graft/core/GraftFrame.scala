@@ -326,8 +326,10 @@ final class GraftFrame private (
     * backend itself never materializes the empty groups, so graft
     * EXCEEDS the reference here). The fact-row aggregate runs exactly
     * like [[summarise]] (one shuffle, map-side combine); the
-    * |levels|-sized table then broadcast-LEFT-joins the result, so
-    * empty-level rows cost |levels| work, never a second corpus pass.
+    * |levels|-sized table then FULL-outer-joins the result, so
+    * empty-level rows cost |levels| work, never a second corpus
+    * pass — and observed-but-undeclared group values survive too
+    * (dplyr's .drop=FALSE never drops an observed group).
     * `fills` patches aggregates that have a defined value over an
     * empty group (R: n() and sum() are 0); everything else stays NULL
     * (R's NA — e.g. mean of an empty group).
@@ -345,8 +347,15 @@ final class GraftFrame private (
         s"(got ${levels.columns.mkString(", ")})")
     val exprs = aggs.map { case (n, c) => c.as(n) }
     val agged = df.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
-    val joined = broadcast(levels.select(col(g)).distinct())
-      .join(agged, Seq(g), "left")
+    // FULL outer, not levels-left: dplyr's .drop=FALSE never loses an
+    // OBSERVED group — a data value outside the declared levels keeps
+    // its row (R shows it as the NA level; here it keeps its value).
+    // Scale: agged is already hash-partitioned on g by the groupBy
+    // (Catalyst reuses that Exchange), the levels side is |levels|
+    // rows — the outer join costs one tiny-side shuffle, never a
+    // second corpus pass. (Broadcast can't drive a full-outer join.)
+    val joined = levels.select(col(g)).distinct()
+      .join(agged, Seq(g), "full_outer")
     val filled = fills.foldLeft(joined) { case (d, (n, f)) =>
       d.withColumn(n, coalesce(col(n), f)) }
     new GraftFrame(filled, Nil, Nil)

@@ -89,6 +89,13 @@ object Tidyr {
     }
     val sep = ""
     val joined = nameValues.map(_.mkString(sep))
+    // the check_unique repair above validates the GLUED display
+    // names; the joined pivot KEYS must also be collision-free
+    // (possible only if a name value embeds the U+0001 separator) —
+    // a collision would silently merge two tuples' aggregates.
+    require(joined.distinct.size == joined.size,
+      "pivot_wider: namesFrom value tuples collide as pivot keys " +
+        "(a name value embeds the reserved U+0001 separator)")
     val base = pivotWider(
       df.withColumn("__names", concat_ws(sep, namesFrom.map(col): _*)),
       idCols, "__names", valuesFrom, agg, joined, "", fill)
@@ -97,6 +104,33 @@ object Tidyr {
     if (namesSort)
       renamed.select(idCols.map(col) ++ shaped.sorted.map(col): _*)
     else renamed
+  }
+
+  /** pivot_wider(unused_fn=) (reference api/tidyr.py:380 — declared
+    * there, dropped by the reference's own body at tidyr.py:427-440;
+    * implemented here to match the declared surface): columns that
+    * are neither id, names, nor values are normally discarded by the
+    * pivot — `unused` summarizes each of them per id-group with its
+    * own aggregate and keeps the summary beside the pivoted columns.
+    * Implementation is conditional aggregation (one agg per pivot
+    * value via when(namesFrom = v, valuesFrom)) so the pivot columns
+    * AND the unused summaries come out of a SINGLE groupBy — one
+    * shuffle total, vs the two-agg-plus-join shape a naive
+    * pivot-then-join would cost. */
+  def pivotWiderUnused(df: DataFrame, idCols: Seq[String], namesFrom: String,
+                       valuesFrom: Column, agg: Column => Column,
+                       nameValues: Seq[String],
+                       unused: Seq[(String, Column => Column)],
+                       prefix: String = "",
+                       fill: Option[Column] = None): DataFrame = {
+    require(nameValues.nonEmpty, "pivot_wider: nameValues must be non-empty")
+    val pivotAggs = nameValues.map(v =>
+      agg(when(col(namesFrom) === lit(v), valuesFrom)).as(prefix + v))
+    val unusedAggs = unused.map { case (c, f) => f(col(c)).as(c) }
+    val aggs = pivotAggs ++ unusedAggs
+    val out = df.groupBy(idCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    fill.fold(out)(f => nameValues.foldLeft(out)((d, v) =>
+      d.withColumn(prefix + v, coalesce(col(prefix + v), f))))
   }
 
   /** pivot_longer with names_sep: stack, then split the name column

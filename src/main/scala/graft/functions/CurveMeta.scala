@@ -11,7 +11,17 @@ import org.apache.hadoop.fs.Path
   * layouts. I/O goes through the Hadoop FileSystem API, so the table
   * can live on HDFS/S3/local alike — the same reach as the parquet
   * files beside it. */
-private[functions] object CurveMeta {
+private[graft] object CurveMeta {
+
+  /** Whether a curve-written table's grid metadata exists at `path` —
+    * through the Hadoop FileSystem API, so the answer is right for
+    * HDFS/S3/file: URIs alike (a java.io.File check would be
+    * always-false off the local filesystem and silently turn appends
+    * into overwrites). */
+  def exists(conf: Configuration, path: String, fileName: String): Boolean = {
+    val p = new Path(path, fileName)
+    p.getFileSystem(conf).exists(p)
+  }
 
   def write(conf: Configuration, path: String, fileName: String,
             curve: String, cols: Seq[String], bits: Int,

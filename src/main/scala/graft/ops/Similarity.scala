@@ -1199,4 +1199,101 @@ object Similarity {
     graft.core.Tibble.rowidToColumn(ranked,
       Seq(col("adc").asc, col(id)), "rank")
   }
+
+  /** Multi-query IVF-PQ retrieval — the query-batched serving shape
+    * of [[ivfPqTopK]] (which is single-query by construction: ONE
+    * probe list, per-cell LUT literals). A real eval harness scores
+    * thousands of queries; running the single-query plan in a driver
+    * loop costs a corpus encode per query. Here the coarse index,
+    * residual encode, and PQ codebooks are built ONCE, each query
+    * ranks the (tiny, broadcast) centroid table for its own nProbe
+    * cells ([[ivfTopKJoin]]'s probe shape), and the per-(query, cell)
+    * LUTs live in a FRAME — computed in-plan from the query residuals
+    * against the broadcast codebooks, folded to one map column per
+    * subspace, and broadcast-joined to the encoded corpus on
+    * `list_id` — instead of literal inlining, so the plan size stays
+    * constant in |queries|. The ADC score is then m `element_at`
+    * probes per candidate row (map-side projection), and the
+    * per-query cut is the [[graft.plans.GroupedTopK]] operator
+    * (partial per-partition heaps, ONE k-bounded shuffle — no global
+    * sort). Envelope: the LUT frame is |queries|·nProbe rows × m
+    * maps of ksub doubles — broadcastable for dimension-sized query
+    * sets (the ivfTopKJoin contract); the corpus is scanned once.
+    *
+    * Engine-exact like the single-query form: md5-ranked coarse
+    * centroids, index-order IEEE residuals, the proven l2 kernel
+    * parity, m adds in subspace order, ties by id.
+    * Output: (query_id, neighbor_id, adc, rank 1..k). */
+  def ivfPqTopKJoin(corpus: DataFrame, id: String, vec: String, dims: Int,
+                    nLists: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
+                    queries: DataFrame, qid: String, qvec: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && dims % m == 0,
+      s"ivfPqTopKJoin: m=$m must divide dims=$dims")
+    val dsub = dims / m
+    require(ksub.toLong * dsub <= 65536,
+      s"ivfPqTopKJoin: ksub*dsub=${ksub.toLong * dsub} past the " +
+        "literal-inline envelope — use pqTopKAdc's broadcast fallback shape")
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"ivfPqTopKJoin: nProbe=$nProbe must be in 1..$nLists")
+    // coarse index + residual encode + codebooks: ONCE for all queries
+    val (assigned, centroids) = ivfIndexDeterministic(corpus, id, vec, nLists)
+    val resid = assigned.join(broadcast(centroids), Seq("list_id"))
+      .select(col(id), col("list_id"),
+        vecDiff(col(vec), col("centroid")).as("__rv"))
+    val books = pqTrain(resid, id, "__rv", dims, m, ksub, iters)
+    val cb = books.select("subspace", "cid", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    var enc = resid
+    for (s <- 0 until m) {
+      val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
+        struct(
+          l2(slice(col("__rv"), s * dsub + 1, dsub),
+            array(cv.map(lit).toSeq: _*)).as("d"),
+          lit(cid).as("cid")) }
+      val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
+      enc = enc.withColumn(s"__code_$s", best.getField("cid"))
+    }
+    // per-query probe lists over the broadcast centroid table
+    val q = queries.select(col(qid).as("query_id"),
+      col(qvec).cast("array<double>").as("__qv"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .withColumn("__d", l2(col("centroid"), col("__qv")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__d").asc, col("list_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("list_id"), col("centroid"), col("__qv"))
+    // per-(query, cell) LUT frame: the cell's query residual scored
+    // against every codebook entry in-plan, folded to one
+    // code→squared-subdistance map per subspace
+    val lutRows = probes
+      .withColumn("__qrv",
+        zip_with(col("__qv"), col("centroid"), (a, b) => a - b))
+      .drop("centroid", "__qv")
+      .crossJoin(broadcast(books))
+      .withColumn("__d",
+        l2(slice(col("__qrv"), col("subspace") * lit(dsub) + 1, lit(dsub)),
+          col("centroid")))
+      .select(col("query_id"), col("list_id"), col("subspace"), col("cid"),
+        (col("__d") * col("__d")).as("__sd"))
+    val lutAggs = (0 until m).map(s =>
+      map_from_entries(collect_list(
+        when(col("subspace") === s, struct(col("cid"), col("__sd")))))
+        .as(s"__lut_$s"))
+    val luts = lutRows.groupBy(col("query_id"), col("list_id"))
+      .agg(lutAggs.head, lutAggs.tail: _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__lut_$s"), col(s"__code_$s")))
+      .reduce(_ + _)
+    val cand = enc.join(broadcast(luts), Seq("list_id"))
+      .select(col("query_id"), col(id).as("neighbor_id"), adc.as("adc"))
+    val cut = graft.plans.TopK.topKPerGroup(cand, Seq("query_id"),
+      Seq(col("adc").asc, col("neighbor_id")), k)
+    cut.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("neighbor_id"))).cast("long"))
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
 }

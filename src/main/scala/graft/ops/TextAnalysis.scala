@@ -1176,11 +1176,15 @@ object TextAnalysis {
         sum(dec(col("__x"))).cast("string").cast("double").as("__sx"),
         sum(dec(col("__y"))).cast("string").cast("double").as("__sy"),
         sum(dec(col("__x")) * dec(col("__y"))).cast("string").cast("double").as("__sxy"),
-        sum(dec(col("__x")) * dec(col("__x"))).cast("string").cast("double").as("__sxx"))
+        sum(dec(col("__x")) * dec(col("__x"))).cast("string").cast("double").as("__sxx"),
+        sum(dec(col("__y")) * dec(col("__y"))).cast("string").cast("double").as("__syy"))
     val n = col("__fn"); val sx = col("__sx"); val sy = col("__sy")
-    val slope = (n * col("__sxy") - sx * sy) / (n * col("__sxx") - sx * sx)
+    val sxy = col("__sxy"); val sxx = col("__sxx"); val syy = col("__syy")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     val fit = s.select(round(slope, 6).as("beta"),
-      round((sy - slope * sx) / n, 6).as("ln_k"))
+      round((sy - slope * sx) / n, 6).as("ln_k"),
+      round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
     curve.crossJoin(broadcast(fit))
   }
 

@@ -114,7 +114,7 @@ case class MisraGriesAgg(
     val it = buffer.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      SketchIO.writeStr(out, e.getKey); out.writeLong(e.getValue)
     }
     out.flush()
     bos.toByteArray
@@ -125,7 +125,7 @@ case class MisraGriesAgg(
     val n = in.readInt()
     val buffer = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { buffer.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) { buffer.put(SketchIO.readStr(in), in.readLong()); i += 1 }
     buffer
   }
 

@@ -47,7 +47,7 @@ object CusumStream {
     val spine = in.readLong(); val lastBatch = in.readLong()
     val m = in.readInt()
     (spine, lastBatch,
-      (0 until m).map(_ => (in.readUTF(), (in.readLong(), in.readLong()))).toMap)
+      (0 until m).map(_ => (graft.plans.SketchIO.readStr(in), (in.readLong(), in.readLong()))).toMap)
   }
 
   private def writeState(conf: org.apache.hadoop.conf.Configuration,
@@ -58,7 +58,7 @@ object CusumStream {
     out.writeLong(spine); out.writeLong(lastBatch)
     out.writeInt(types.size)
     types.toSeq.sortBy(_._1).foreach { case (t, (s, w)) =>
-      out.writeUTF(t); out.writeLong(s); out.writeLong(w)
+      graft.plans.SketchIO.writeStr(out, t); out.writeLong(s); out.writeLong(w)
     }
     out.flush()
     val (fs, tmp) = fsp(conf, dir, "_cusum_state.tmp")
@@ -73,8 +73,8 @@ object CusumStream {
     * (event_type, wstart, n, cusum, changed) — append them to the
     * monitor's sink. Empty batches emit nothing and advance nothing. */
   def foldBatch(batch: DataFrame, dir: String, batchId: Long,
-                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L):
-      DataFrame = {
+                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L,
+                spineOverride: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
@@ -89,15 +89,22 @@ object CusumStream {
       .select(col("event_type"), col("w.start").as("wstart"), col("n"))
     // the driver fold is bounded by the (types x windows) profile —
     // the alerting-grade contract (anomalousWindows' shape). A
-    // million-type firehose wants sharding by type hash, not a bigger
-    // driver: fail loudly rather than absorb an unbounded collect.
+    // million-type firehose wants [[foldBatchSharded]] (hash shards,
+    // independent state files), not a bigger driver: fail loudly
+    // rather than absorb an unbounded collect.
     val counts = profile.limit(4000001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
     require(counts.length <= 4000000,
       "cusumStream: batch window profile exceeds 4M (types x windows) " +
-        "rows — shard the monitor by type hash")
+        "rows — shard the monitor by type hash (foldBatchSharded)")
     if (counts.isEmpty) {
-      writeState(conf, dir, spine0, batchId, state0)
+      // a sharded monitor locks the GLOBAL spine even into shards
+      // whose first batches carry no types — otherwise a shard first
+      // populated at batch 5 would back-fill from batch 5's min
+      // window instead of the stream's
+      writeState(conf, dir,
+        if (spine0 >= 0) spine0 else spineOverride.getOrElse(spine0),
+        batchId, state0)
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
         .toDF("event_type", "wstart", "n", "cusum", "changed")
     }
@@ -107,7 +114,9 @@ object CusumStream {
       require(iv.months == 0, s"cusumStream: calendar-month windows not supported")
       iv.days * 86400000L + iv.microseconds / 1000L
     }
-    val spine = if (spine0 >= 0) spine0 else counts.map(_._2).min
+    val spine =
+      if (spine0 >= 0) spine0
+      else spineOverride.getOrElse(counts.map(_._2).min)
     val batchMax = counts.map(_._2).max
     val byType = counts.groupBy(_._1)
     val allTypes = state0.keySet ++ byType.keySet
@@ -137,6 +146,42 @@ object CusumStream {
     emitted.toSeq.toDF("event_type", "wstart", "n", "cusum", "changed")
   }
 
+  /** Sharded fold — the million-type-firehose recipe the 4M cap's
+    * error message names: the type space is split into `nShards`
+    * deterministic hash shards, each folded against its OWN state
+    * file under `dir/shard=<i>`, so every per-shard driver collect is
+    * ~1/nShards of the profile and the standing state never
+    * concentrates in one file. CUSUM state is strictly per-type, so
+    * the union of the shard traces IS the unsharded trace row for row
+    * (CusumShardSpec proves it) — the one cross-type coupling, the
+    * shared spine start, is computed once per batch (one tiny agg)
+    * and pushed into every shard, including type-empty ones, so
+    * late-arriving types back-fill from the stream spine exactly as
+    * the unsharded fold would. The batch is persisted across the
+    * nShards filtered profile scans and unpersisted after. */
+  def foldBatchSharded(batch: DataFrame, dir: String, batchId: Long,
+                       nShards: Int, windowLen: String = "1 hour",
+                       k: Long = 4L, h: Long = 8L): DataFrame = {
+    require(nShards >= 1, s"cusumStream: nShards=$nShards must be >= 1")
+    if (nShards == 1) return foldBatch(batch, dir, batchId, windowLen, k, h)
+    batch.persist()
+    try {
+      val mn = batch
+        .select(window(col("ts"), windowLen).getField("start").as("__ws"))
+        .agg(min(col("__ws"))).collect()(0)
+      val spine =
+        if (mn.isNullAt(0)) None else Some(mn.getTimestamp(0).getTime)
+      (0 until nShards).map { i =>
+        foldBatch(
+          batch.filter(
+            pmod(xxhash64(col("event_type")), lit(nShards)) === lit(i)),
+          s"$dir/shard=$i", batchId, windowLen, k, h, spine)
+      }.reduce(_.unionByName(_))
+    } finally {
+      batch.unpersist(); ()
+    }
+  }
+
   /** The stream form: fold each micro-batch and append the emitted
     * trace under `traceDir/batch_id=<id>` (overwrite per batch — the
     * idempotent-replay recipe the quality router uses). Start with
@@ -146,6 +191,16 @@ object CusumStream {
       org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       foldBatch(batch, stateDir, batchId, windowLen, k, h)
+        .write.mode("overwrite").parquet(s"$traceDir/batch_id=$batchId")
+    }
+
+  /** Sharded stream form — [[foldBatchSharded]] behind foreachBatch. */
+  def cusumSinkSharded(stream: DataFrame, stateDir: String, traceDir: String,
+                       nShards: Int, windowLen: String = "1 hour",
+                       k: Long = 4L, h: Long = 8L):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      foldBatchSharded(batch, stateDir, batchId, nShards, windowLen, k, h)
         .write.mode("overwrite").parquet(s"$traceDir/batch_id=$batchId")
     }
 }

@@ -47,7 +47,7 @@ object HeavyHitterStream {
     val n = in.readLong()
     val lastBatch = in.readLong()
     val m = in.readInt()
-    ((0 until m).map(_ => (in.readUTF(), in.readLong())), n, lastBatch)
+    ((0 until m).map(_ => (graft.plans.SketchIO.readStr(in), in.readLong())), n, lastBatch)
   }
 
   private def writeStanding(conf: org.apache.hadoop.conf.Configuration,
@@ -58,7 +58,7 @@ object HeavyHitterStream {
     out.writeLong(n)
     out.writeLong(lastBatch)
     out.writeInt(items.size)
-    items.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    items.foreach { case (s, c) => graft.plans.SketchIO.writeStr(out, s); out.writeLong(c) }
     out.flush()
     // write-then-rename: atomic on HDFS/local (object stores document
     // their own rename semantics — the standard sidecar caveat)

@@ -39,7 +39,7 @@ object HllStream {
     val prec = in.readInt()
     val n = in.readInt()
     (prec, (0 until n).map { _ =>
-      ((in.readUTF(), in.readLong()), in.readInt())
+      ((graft.plans.SketchIO.readStr(in), in.readLong()), in.readInt())
     }.toMap)
   }
 
@@ -51,7 +51,7 @@ object HllStream {
     out.writeInt(p)
     out.writeInt(regs.size)
     regs.toSeq.sortBy(_._1).foreach { case ((k, b), r) =>
-      out.writeUTF(k); out.writeLong(b); out.writeInt(r)
+      graft.plans.SketchIO.writeStr(out, k); out.writeLong(b); out.writeInt(r)
     }
     out.flush()
     val (fs, tmp) = fsp(conf, dir, "_hll_state.tmp")

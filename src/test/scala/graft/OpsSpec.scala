@@ -2170,6 +2170,37 @@ class OpsSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("ivfPqTopKJoin: the batched retrieval equals the single-query plan per query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 60L).map { i =>
+      val a = (i % 4).toInt
+      (i, Array.tabulate(16)(j =>
+        (if (j % 4 == a) 5.0 else 0.0) + rnd.nextInt(100) / 100.0).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val multi = Similarity.ivfPqTopKJoin(e, "vec_id", "embedding", dims = 16,
+        nLists = 6, nProbe = 2, m = 4, ksub = 4, iters = 1,
+        queries = e.filter(col("vec_id") < 3), qid = "vec_id",
+        qvec = "embedding", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(multi.length == 24, s"3 queries x k=8: ${multi.length}")
+    (0L until 3L).foreach { qi =>
+      val single = Similarity.ivfPqTopK(e, "vec_id", "embedding", dims = 16,
+          nLists = 6, nProbe = 2, m = 4, ksub = 4, iters = 1,
+          queryDf = e.filter(col("vec_id") === qi)
+            .select(col("embedding").cast("array<double>").as("qv")),
+          k = 8)
+        .select("vec_id", "adc", "rank")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      val got = multi.filter(_._1 == qi).sortBy(_._4)
+        .map(r => (r._2, r._3, r._4)).toSeq
+      assert(got == single,
+        s"query $qi: batched != single-query\n$got\nvs\n$single")
+    }
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),

@@ -614,6 +614,11 @@ class PlanSpec extends SparkTestBase {
       // table (broadcast-sized by the nLists<=65536 guard)
       "x_ann_ivf" -> "centroid table", "x_ann_recall_ivf" -> "centroid table",
       "x_assign" -> "centroid table", "x_semdedup" -> "centroid table",
+      // multi-query IVFADC: row_number ranks the nLists-row centroid
+      // table (the md5 coarse-centroid pick); the probe and top-k
+      // windows are query_id-partitioned
+      "x_ann_ivfpq_multi" -> "centroid table",
+      "x_ivfpq_recall_multi" -> "centroid table",
       // golden fixtures / driver-tiny frames by construction
       "b_bessel" -> "50-row golden table", "b_bessel_port" -> "VALUES probe",
       "t_tibble" -> "literal tibble", "t_add_row" -> "literal tibble",

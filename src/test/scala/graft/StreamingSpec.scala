@@ -528,6 +528,61 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("behind the cursor"))
   }
 
+  test("sharded cusum fold: union of hash shards equals the unsharded trace") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cushard").toFile
+    val stateU = new java.io.File(dir, "unsharded").getPath
+    val stateS = new java.io.File(dir, "sharded").getPath
+    val base = (1700000000000L / 3600000L) * 3600000L
+    def ev(hour: Int, n: Int, tpe: String) =
+      (1 to n).map(i => ((hour * 1000 + i).toLong,
+        new java.sql.Timestamp(base + hour * 3600000L + i * 1000L), 1L, tpe, 1.0))
+    // batch 0 carries two types; batch 1 adds FIVE types first seen
+    // mid-stream — with 3 hash shards some of them land in shards
+    // that were type-empty at batch 0, which is exactly the spine
+    // coupling the shared-spine push exists for
+    val b0 = (ev(0, 6, "a") ++ ev(1, 6, "a") ++ ev(2, 6, "a") ++ ev(0, 9, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b1 = (ev(5, 7, "a") ++ ev(4, 2, "b") ++
+        Seq("c", "d", "e", "f", "g").flatMap(t => ev(5, 11, t)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // fixture guard: the mid-stream types must not all share shards
+    // with a/b, or the test would never exercise the locked spine
+    val shardOf = b1.select(col("event_type"),
+        pmod(xxhash64(col("event_type")), lit(3)).as("sh"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch0Shards = Set(shardOf.getOrElse("a", -1L), shardOf.getOrElse("b", -1L))
+    assert(Seq("c", "d", "e", "f", "g").exists(t => !batch0Shards(shardOf(t))),
+      s"fixture lost its empty-shard case: $shardOf")
+    val u = graft.streaming.CusumStream.foldBatch(b0, stateU, 0L, "1 hour", 4L, 8L)
+      .unionByName(
+        graft.streaming.CusumStream.foldBatch(b1, stateU, 1L, "1 hour", 4L, 8L))
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    val sh = graft.streaming.CusumStream
+      .foldBatchSharded(b0, stateS, 0L, nShards = 3, "1 hour", 4L, 8L)
+      .unionByName(graft.streaming.CusumStream
+        .foldBatchSharded(b1, stateS, 1L, nShards = 3, "1 hour", 4L, 8L))
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(sh == u, s"sharded union must equal unsharded trace:\n$sh\nvs\n$u")
+    // the mid-stream types back-filled from the GLOBAL spine (hour 0),
+    // not their shard's own first-seen window: 6 windows each (0..5)
+    Seq("c", "d", "e", "f", "g").foreach { t =>
+      assert(sh.count(_._1 == t) == 6, s"$t backfill: ${sh.filter(_._1 == t)}")
+    }
+    // per-shard state files exist — independent, not one hot file
+    assert((0 until 3).count(i =>
+      new java.io.File(s"$stateS/shard=$i/_cusum_state.bin").exists()) == 3)
+    // replay idempotence holds shard-wise too
+    assert(graft.streaming.CusumStream
+      .foldBatchSharded(b1, stateS, 1L, nShards = 3, "1 hour", 4L, 8L)
+      .count() == 0)
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
@@ -618,6 +673,47 @@ class StreamingSpec extends SparkTestBase {
       }
       assert(touched * 4 <= fs.length * 3,
         s"clustered layout must bound per-file y ranges: $touched/${fs.length}")
+    } finally query.stop()
+  }
+
+  test("hilbert clustered sink: appended batches stay box-prunable across old+new files") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hsink").toFile
+    val path = new java.io.File(dir, "tbl").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val input = MemoryStream[(Long, Long)]
+    val query = graft.streaming.ClusteredSink.clusteredSinkHilbert(
+        input.toDS().toDF("x", "y"), path, Seq("x", "y"), bits = 8,
+        filesPerBatch = 4, gridBounds = Seq((0L, 255L), (0L, 255L)))
+      .option("checkpointLocation", ckpt).start()
+    try {
+      def files(): Array[String] = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      input.addData((0L until 256L).map(i => (i, 255L - i)): _*)
+      query.processAllAvailable()
+      assert(new java.io.File(s"$path/_hilbert_meta.json").exists(),
+        "first batch must establish the hilbert grid")
+      assert(files().length == 4)
+      input.addData((0L until 256L).map(i => (255L - i, i)): _*)
+      query.processAllAvailable()
+      assert(files().length == 8,
+        s"second batch appends filesPerBatch new files: ${files().length}")
+      // second batch APPENDED (the always-false java.io.File existence
+      // check regression would overwrite batch 1 here)
+      val back = s.read.parquet(path)
+      assert(back.count() == 512, "append must preserve earlier batches")
+      // box-prunable across old AND new files: both batches clustered
+      // on the SAME stored curve, so a y-box still skips most files
+      val touched = files().count { f =>
+        val r = s.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min("y"),
+            org.apache.spark.sql.functions.max("y")).head()
+        !(r.getLong(1) < 40L || r.getLong(0) > 80L)
+      }
+      assert(touched * 4 <= files().length * 3,
+        s"hilbert layout must bound per-file y ranges: $touched/${files().length}")
     } finally query.stop()
   }
 }
