@@ -24,7 +24,10 @@ object Bench {
     "s_sessionize",
     "x_filebloom", "x_bitext_lsh",
     "x_split_dedup", "x_heaps",
-    "x_entity_res", "x_cusum", "x_ann_ivfpq")
+    "x_entity_res", "x_cusum", "x_ann_ivfpq",
+    // round-13: the serve-from-materialized-index path (one-time
+    // build cached under target/idxcache, excluded after run 1)
+    "x_ann_ivfpq_idx")
 
   /** Stable sub-0.3s rows moved out of the per-round headline (r12
     * verdict item 10 — 67 rows at ~42s was drowning the signal):
@@ -115,7 +118,7 @@ object Bench {
     // plus the IVFADC build+probe, the MG one-agg scan, and the CUSUM
     // window profile over the 10x logs
     "x_lpa", "x_split_dedup", "x_heaps",
-    "x_ann_ivfpq", "x_heavy", "x_cusum")
+    "x_ann_ivfpq", "x_heavy", "x_cusum", "x_ann_ivfpq_idx")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

@@ -2291,6 +2291,28 @@ object QueriesOps {
       Similarity.recallAtK(truth, ret).orderBy(col("query_id"))
     }),
 
+    // serving from the MATERIALIZED index: codes partitioned by
+    // list_id (probe filter = directory pruning), sidecar
+    // centroids/codebooks — bit-identical to the in-plan chain
+    "x_ann_ivfpq_idx" -> ((s, d) => {
+      val path = ivfPqIndexCached(s, d, incr = false)
+      Similarity.ivfPqTopKJoinFromIndex(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // day-2 incremental: index built on the EVEN vectors, odd batch
+    // appended against the stored centroids/codebooks — the oracle
+    // replays the whole chain with training restricted to evens
+    "x_ann_ivfpq_incr" -> ((s, d) => {
+      val path = ivfPqIndexCached(s, d, incr = true)
+      Similarity.ivfPqTopKJoinFromIndex(s, path,
+          t(s, d, "embeddings").filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PQ recall@10 vs the exact L2 ground truth — how much retrieval
     // quality the m=4/ksub=8 compression spends (the tuning read
     // before choosing codebook sizes at corpus scale)
@@ -2373,9 +2395,46 @@ object QueriesOps {
     * per-query probe table (rk <= nProbe per query_id), per-(query,
     * cell) residual LUTs, and join keys carrying (query_id, list_id)
     * — the DuckDB twin of Similarity.ivfPqTopKJoin. */
-  private lazy val ivfPqMultiCtes: String = {
+  /** Build-or-reuse the materialized IVF-PQ index for `dir` under
+    * target/idxcache (the bm25Index pattern): keyed by the embeddings
+    * file fingerprint + params so regenerated testdata invalidates
+    * the cache; the one-time build cost is what a standing ANN
+    * workload amortizes, so it stays OUT of the per-call plan. The
+    * `incr` variant builds on the EVEN vectors and day-2-appends the
+    * odd batch against the stored centroids/codebooks. */
+  private def ivfPqIndexCached(s: SparkSession, d: String,
+                               incr: Boolean): String = {
+    def fp(f: java.io.File): String =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).map(fp).mkString(",")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val tag = if (incr) "incr" else "full"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((fp(new java.io.File(s"$d/embeddings.parquet")) +
+        s":ivfpq:$tag:64:8:4:8:1").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val cache = new java.io.File(s"target/idxcache/ivfpq_$key")
+    val ok = new java.io.File(cache, "_OK")
+    if (!ok.exists()) {
+      val e = t(s, d, "embeddings")
+      if (incr) {
+        Similarity.ivfPqIndexWrite(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dims = 64, nLists = 8, m = 4, ksub = 8,
+          iters = 1, path = cache.getPath)
+        Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 2 === 1),
+          "embedding", cache.getPath)
+      } else {
+        Similarity.ivfPqIndexWrite(e, "vec_id", "embedding", dims = 64,
+          nLists = 8, m = 4, ksub = 8, iters = 1, path = cache.getPath)
+      }
+      java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+    }
+    cache.getPath
+  }
+
+  private def ivfPqMultiCtes(trainPred: String = "TRUE"): String = {
     val dsub = 16; val m = 4
-    val chains = (0 until m).map(s => pqSubspaceCtes(s, dsub, 8, withLut = false))
+    val chains = (0 until m).map(s =>
+        pqSubspaceCtes(s, dsub, 8, withLut = false, trainPred = trainPred))
       .mkString(",\n")
     val lutms = (0 until m).map { s =>
       val lo = s * dsub + 1; val hi = (s + 1) * dsub
@@ -2387,7 +2446,8 @@ object QueriesOps {
     s"""raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS list_id,
       |    v AS centroid
-      |  FROM raw QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      |  FROM raw WHERE $trainPred
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
       |a0 AS (SELECT raw.vec_id, raw.v, c.list_id,
       |    row_number() OVER (PARTITION BY raw.vec_id
       |      ORDER BY list_distance(raw.v, c.centroid), c.list_id) AS rk
@@ -2428,14 +2488,16 @@ object QueriesOps {
   }
 
   private def pqSubspaceCtes(s: Int, dsub: Int, ksub: Int,
-                             withLut: Boolean = true): String = {
+                             withLut: Boolean = true,
+                             trainPred: String = "TRUE"): String = {
     val lo = s * dsub + 1; val hi = (s + 1) * dsub
     s"""es$s AS (SELECT vec_id, v[$lo:$hi] AS vs FROM e),
-       |c0$s AS (SELECT vec_id AS cid, vs AS cv FROM es$s ORDER BY vec_id LIMIT $ksub),
+       |c0$s AS (SELECT vec_id AS cid, vs AS cv FROM es$s
+       |  WHERE $trainPred ORDER BY vec_id LIMIT $ksub),
        |a1$s AS (SELECT t.vec_id, t.vs, c.cid,
        |    row_number() OVER (PARTITION BY t.vec_id
        |      ORDER BY list_distance(t.vs, c.cv), c.cid) AS rk
-       |  FROM es$s t CROSS JOIN c0$s c),
+       |  FROM (SELECT * FROM es$s WHERE $trainPred) t CROSS JOIN c0$s c),
        |g1$s AS (SELECT vec_id, vs, cid FROM a1$s WHERE rk = 1),
        |f1$s AS (SELECT cid, CAST(r.range AS INT) AS dim,
        |    CAST(floor(vs[CAST(r.range + 1 AS INT)] * 16777216.0 + 0.5) AS BIGINT) AS fx
@@ -6734,7 +6796,7 @@ s"""WITH lines AS (
     // multi-query IVFADC replay: per-query probes + per-(query,cell)
     // LUTs + per-query cut over the shared codebook chain
     "x_ann_ivfpq_multi" ->
-      s"""WITH $ivfPqMultiCtes
+      s"""WITH ${ivfPqMultiCtes()}
         |SELECT query_id, vec_id AS neighbor_id, adc,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc, vec_id) AS BIGINT) AS rank
@@ -6744,7 +6806,7 @@ s"""WITH lines AS (
         |ORDER BY query_id, rank""".stripMargin,
 
     "x_ivfpq_recall_multi" ->
-      s"""WITH $ivfPqMultiCtes,
+      s"""WITH ${ivfPqMultiCtes()},
         |ret AS (SELECT query_id, vec_id AS neighbor_id FROM adcm
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |    ORDER BY adc, vec_id) <= 10),
@@ -6761,6 +6823,31 @@ s"""WITH lines AS (
         |FROM truth t LEFT JOIN ret g
         |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+
+    // materialized-index serve is bit-identical to the in-plan chain
+    // (doubles round-trip parquet exactly) — same replay
+    "x_ann_ivfpq_idx" ->
+      s"""WITH ${ivfPqMultiCtes()}
+        |SELECT query_id, vec_id AS neighbor_id, adc,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |FROM adcm
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc, vec_id) <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // incremental replay: coarse centroids + codebooks trained on the
+    // EVEN vectors only; the whole corpus (evens at build, odds at
+    // append) encoded against them — the same argmin rules
+    "x_ann_ivfpq_incr" ->
+      s"""WITH ${ivfPqMultiCtes("vec_id % 2 = 0")}
+        |SELECT query_id, vec_id AS neighbor_id, adc,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, vec_id) AS BIGINT) AS rank
+        |FROM adcm
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY adc, vec_id) <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // PQ retrieval-quality metric: the same codebook/encode/LUT replay
     // as x_pq for the retrieved set, exact L2 top-10 as ground truth,

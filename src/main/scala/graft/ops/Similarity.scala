@@ -1228,7 +1228,6 @@ object Similarity {
                     nLists: Int, nProbe: Int, m: Int, ksub: Int, iters: Int,
                     queries: DataFrame, qid: String, qvec: String,
                     k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(m >= 1 && dims % m == 0,
       s"ivfPqTopKJoin: m=$m must divide dims=$dims")
     val dsub = dims / m
@@ -1237,7 +1236,21 @@ object Similarity {
         "literal-inline envelope — use pqTopKAdc's broadcast fallback shape")
     require(nProbe >= 1 && nProbe <= nLists,
       s"ivfPqTopKJoin: nProbe=$nProbe must be in 1..$nLists")
-    // coarse index + residual encode + codebooks: ONCE for all queries
+    val (enc, centroids, books) =
+      ivfPqEncodeFrames(corpus, id, vec, dims, nLists, m, ksub, iters)
+    ivfPqServeJoin(enc, id, centroids, books, m, dsub,
+      queries, qid, qvec, k, nProbe)
+  }
+
+  /** Coarse index + residual PQ encode, shared by the in-plan serve
+    * ([[ivfPqTopKJoin]]) and the materialized index
+    * ([[ivfPqIndexWrite]]): returns (encoded corpus (id, list_id,
+    * __code_0..m-1), coarse centroids, codebooks). */
+  private def ivfPqEncodeFrames(corpus: DataFrame, id: String, vec: String,
+                                dims: Int, nLists: Int, m: Int, ksub: Int,
+                                iters: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val dsub = dims / m
     val (assigned, centroids) = ivfIndexDeterministic(corpus, id, vec, nLists)
     val resid = assigned.join(broadcast(centroids), Seq("list_id"))
       .select(col(id), col("list_id"),
@@ -1245,6 +1258,16 @@ object Similarity {
     val books = pqTrain(resid, id, "__rv", dims, m, ksub, iters)
     val cb = books.select("subspace", "cid", "centroid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    (pqEncodeResiduals(resid, cb, m, dsub), centroids, books)
+  }
+
+  /** Literal-argmin PQ encode of a residual frame against a
+    * driver-resident codebook — the kmeansLloyd assignment trick: a
+    * pure codegen projection, zero shuffle. Drops the residual column
+    * (the codes ARE the compression). */
+  private def pqEncodeResiduals(resid: DataFrame,
+                                cb: Array[(Int, Long, Array[Double])],
+                                m: Int, dsub: Int): DataFrame = {
     var enc = resid
     for (s <- 0 until m) {
       val cands = cb.filter(_._1 == s).sortBy(_._2).map { case (_, cid, cv) =>
@@ -1255,7 +1278,23 @@ object Similarity {
       val best = if (cands.length == 1) cands.head else least(cands.toSeq: _*)
       enc = enc.withColumn(s"__code_$s", best.getField("cid"))
     }
-    // per-query probe lists over the broadcast centroid table
+    enc.drop("__rv")
+  }
+
+  /** The query-batched IVFADC serve stage over an ALREADY-ENCODED
+    * corpus: per-query probe lists, per-(query, cell) LUT frame,
+    * map-side ADC, GroupedTopK cut. The probed cell ids (driver-tiny:
+    * ≤ nProbe·|queries| ints) become an explicit `list_id IN (...)`
+    * filter on the encoded corpus — rows outside probed cells never
+    * leave the scan, and when the corpus is the [[ivfPqIndexWrite]]
+    * artifact (partitioned by list_id) the filter is DIRECTORY
+    * pruning: non-probed cells are never read at all. */
+  private def ivfPqServeJoin(enc: DataFrame, idCol: String,
+                             centroids: DataFrame, books: DataFrame,
+                             m: Int, dsub: Int,
+                             queries: DataFrame, qid: String, qvec: String,
+                             k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(qid).as("query_id"),
       col(qvec).cast("array<double>").as("__qv"))
     val probes = centroids.crossJoin(broadcast(q))
@@ -1265,9 +1304,6 @@ object Similarity {
           .orderBy(col("__d").asc, col("list_id"))))
       .filter(col("__r") <= nProbe)
       .select(col("query_id"), col("list_id"), col("centroid"), col("__qv"))
-    // per-(query, cell) LUT frame: the cell's query residual scored
-    // against every codebook entry in-plan, folded to one
-    // code→squared-subdistance map per subspace
     val lutRows = probes
       .withColumn("__qrv",
         zip_with(col("__qv"), col("centroid"), (a, b) => a - b))
@@ -1284,16 +1320,94 @@ object Similarity {
         .as(s"__lut_$s"))
     val luts = lutRows.groupBy(col("query_id"), col("list_id"))
       .agg(lutAggs.head, lutAggs.tail: _*)
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.get(0))
     val adc = (0 until m)
       .map(s => element_at(col(s"__lut_$s"), col(s"__code_$s")))
       .reduce(_ + _)
-    val cand = enc.join(broadcast(luts), Seq("list_id"))
-      .select(col("query_id"), col(id).as("neighbor_id"), adc.as("adc"))
+    val cand = enc.filter(col("list_id").isin(probedIds.toSeq: _*))
+      .join(broadcast(luts), Seq("list_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), adc.as("adc"))
     val cut = graft.plans.TopK.topKPerGroup(cand, Seq("query_id"),
       Seq(col("adc").asc, col("neighbor_id")), k)
     cut.withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc").asc, col("neighbor_id"))).cast("long"))
       .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** Materialize an IVF-PQ index as a warehouse artifact — the 100 TB
+    * serving shape the [[ivfPqTopK]] scaladoc names: the encoded
+    * corpus (id, m codes — the ~100× compression) written as parquet
+    * PARTITIONED BY list_id, so a probe's `list_id IN (...)` filter
+    * is directory pruning and a query batch reads ONLY its probed
+    * cells' files; coarse centroids and PQ codebooks land as
+    * driver-tiny sidecar tables (doubles round-trip parquet exactly,
+    * so serving is bit-identical to the in-plan chain). The same
+    * one-time-build / per-call-amortize contract as the materialized
+    * BM25 inverted index and the MinHash signature index. */
+  def ivfPqIndexWrite(corpus: DataFrame, id: String, vec: String, dims: Int,
+                      nLists: Int, m: Int, ksub: Int, iters: Int,
+                      path: String): Unit = {
+    require(m >= 1 && dims % m == 0, s"ivfPqIndexWrite: m=$m must divide dims=$dims")
+    require(ksub.toLong * (dims / m) <= 65536,
+      "ivfPqIndexWrite: ksub*dsub past the literal-inline envelope")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (enc, centroids, books) =
+      ivfPqEncodeFrames(corpus, id, vec, dims, nLists, m, ksub, iters)
+    enc.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/codes")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((dims, m, ksub, id)).toDF("dims", "m", "ksub", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Day-2 INCREMENTAL index maintenance: encode a delta against the
+    * STORED coarse centroids and codebooks (the same argmin rules the
+    * build used — [[assignToCentroids]]'s documented contract) and
+    * append its codes under the same list_id partitioning. Write cost
+    * is delta-sized (coarse assign = one partial agg; PQ encode = a
+    * codegen projection); recall degrades gracefully as the
+    * distribution drifts — rebuild on a drift budget
+    * ([[centroidDrift]]), not per batch. */
+  def ivfPqIndexAppend(delta: DataFrame, vec: String, path: String): Unit = {
+    val spark = delta.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("dims", "m", "ksub", "id_col").collect()(0)
+    val (dims, m, ksub, idCol) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getString(3))
+    val dsub = dims / m
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val cb = books.select("subspace", "cid", "centroid").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val assigned = assignToCentroids(delta, idCol, vec, centroids)
+    val resid = assigned.join(broadcast(centroids), Seq("list_id"))
+      .select(col(idCol), col("list_id"),
+        vecDiff(col(vec), col("centroid")).as("__rv"))
+    pqEncodeResiduals(resid, cb, m, dsub)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+  }
+
+  /** Serve a query batch from the materialized index: read the
+    * driver-tiny sidecars, probe per query, and scan ONLY the probed
+    * list_id partitions of the codes table (directory pruning — the
+    * spec asserts the partition filter reaches the scan). Results are
+    * bit-identical to [[ivfPqTopKJoin]] over the same corpus and
+    * parameters. */
+  def ivfPqTopKJoinFromIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, qid: String,
+                             qvec: String, k: Int, nProbe: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("dims", "m", "ksub", "id_col").collect()(0)
+    val (dims, m, idCol) = (meta.getInt(0), meta.getInt(1), meta.getString(3))
+    val dsub = dims / m
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val enc = spark.read.parquet(s"$path/codes")
+    ivfPqServeJoin(enc, idCol, centroids, books, m, dsub,
+      queries, qid, qvec, k, nProbe)
   }
 }

@@ -2201,6 +2201,66 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("materialized IVF-PQ index: round-trip equality, directory pruning, day-2 append") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0L until 60L).map { i =>
+      val a = (i % 4).toInt
+      (i, Array.tabulate(16)(j =>
+        (if (j % 4 == a) 5.0 else 0.0) + rnd.nextInt(100) / 100.0).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toFile
+    val full = new java.io.File(dir, "full").getPath
+    Similarity.ivfPqIndexWrite(e, "vec_id", "embedding", dims = 16,
+      nLists = 6, m = 4, ksub = 4, iters = 1, path = full)
+    // serve-from-artifact is bit-identical to the in-plan chain
+    val fromIdx = Similarity.ivfPqTopKJoinFromIndex(spark, full,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 8, nProbe = 1)
+    val inPlan = Similarity.ivfPqTopKJoin(e, "vec_id", "embedding", dims = 16,
+      nLists = 6, nProbe = 1, m = 4, ksub = 4, iters = 1,
+      queries = e.filter(col("vec_id") < 3), qid = "vec_id",
+      qvec = "embedding", k = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(rows(fromIdx) == rows(inPlan),
+      "serve-from-artifact must equal the in-plan chain bit for bit")
+    // the probe filter reaches the scan as a PARTITION filter —
+    // non-probed list_id directories are never read
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"probe filter must prune list_id directories:\n${plan.take(2000)}")
+    // day-2: index trained on evens, odds appended against the STORED
+    // centroids/codebooks == one-shot encode of everything with the
+    // same even-trained artifacts
+    val incr = new java.io.File(dir, "incr").getPath
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfPqIndexWrite(evens, "vec_id", "embedding", dims = 16,
+      nLists = 6, m = 4, ksub = 4, iters = 1, path = incr)
+    Similarity.ivfPqIndexAppend(odds, "embedding", incr)
+    // the appended table carries every vector exactly once
+    val codes = spark.read.parquet(s"$incr/codes")
+    assert(codes.count() == 60 &&
+      codes.select("vec_id").distinct().count() == 60)
+    // re-appending the delta against the same artifacts encodes it
+    // identically (deterministic argmin against stored centroids +
+    // books) — compare the code tuples of one odd vector
+    val before = codes.filter(col("vec_id") === 1L).collect()(0).toSeq
+    Similarity.ivfPqIndexAppend(odds.filter(col("vec_id") === 1L),
+      "embedding", incr)
+    val after = spark.read.parquet(s"$incr/codes")
+      .filter(col("vec_id") === 1L).collect().map(_.toSeq)
+    assert(after.length == 2 && after.forall(_ == before),
+      s"append must be deterministic: $before vs ${after.toSeq}")
+    // appended vectors are retrievable: query 1 (odd) finds itself
+    val servedIncr = Similarity.ivfPqTopKJoinFromIndex(spark, incr,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 8, nProbe = 2)
+    assert(rows(servedIncr).exists(r => r._1 == 1L && r._2 == 1L),
+      "an appended (odd) vector must be retrievable from the index")
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
