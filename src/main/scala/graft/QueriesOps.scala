@@ -1563,6 +1563,42 @@ object QueriesOps {
         .select("doc_id", "lang", "n_chars", "len_bin")
         .orderBy(col("doc_id"))),
 
+    // fixed-grid histogram: ONE partial-agg groupBy over <= bins+2
+    // keys — the fixed-memory quantile substrate the streaming
+    // monitor folds; bin arithmetic is three exactly-rounded IEEE ops
+    "x_hist" -> ((s, d) =>
+      Profiling.gridHistogram(t(s, d, "lineitem"), col("l_extendedprice"),
+          lo = 0.0, hi = 110000.0, bins = 44)
+        .orderBy(col("bin"))),
+
+    // grid-quantile read: rank targets land in bins by cumulative
+    // count, linear interpolation inside the bin — error <= one bin
+    // width by construction (the bins-vs-memory monitor trade)
+    "x_hist_q" -> ((s, d) =>
+      Profiling.histQuantiles(
+          Profiling.gridHistogram(t(s, d, "lineitem"),
+            col("l_extendedprice"), lo = 0.0, hi = 110000.0, bins = 44),
+          lo = 0.0, hi = 110000.0, bins = 44,
+          ps = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("p"))),
+
+    // STREAMING quantile monitor, batch twin: three micro-batches'
+    // grid profiles folded into the standing counts (vector add,
+    // batch-id-guarded) — the standing histogram is bit-identical to
+    // the one-shot batch grid, so the batch oracle replays verbatim
+    "s_hist" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_histstream").toString
+      val ev = t(s, d, "events")
+      (0L to 2L).foreach { b =>
+        graft.streaming.HistStream.foldBatch(
+          ev.filter(pmod(col("event_id"), lit(3L)) === b),
+          col("value"), lo = 0.0, hi = 500.0, bins = 50, dir, batchId = b)
+      }
+      graft.streaming.HistStream.standingHistogram(s, dir)
+        .orderBy(col("bin"))
+    }),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -3964,6 +4000,63 @@ object QueriesOps {
 
     // madOutliers: two exact-median replays (x, then |x - med|), the
     // same 1.4826 literal, explicit zero-MAD NULL and false flag
+    // grid replay: same floor((v-lo)/(hi-lo)*bins) bin index, same
+    // clamp, same literal edge arithmetic
+    "x_hist" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 110000.0 THEN 44
+        |    ELSE least(CAST(floor((v - 0.0) / (110000.0 - 0.0) * 44.0) AS BIGINT), 43)
+        |  END AS bin FROM v)
+        |SELECT bin,
+        |  CASE WHEN bin >= 0 AND bin < 44
+        |    THEN 0.0 + CAST(bin AS DOUBLE) * ((110000.0 - 0.0) / 44.0) END AS lo_edge,
+        |  CASE WHEN bin >= 0 AND bin < 44
+        |    THEN 0.0 + CAST(bin + 1 AS DOUBLE) * ((110000.0 - 0.0) / 44.0) END AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "x_hist_q" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 110000.0 THEN 44
+        |    ELSE least(CAST(floor((v - 0.0) / (110000.0 - 0.0) * 44.0) AS BIGINT), 43)
+        |  END AS bin FROM v),
+        |h AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT sum(n) AS total FROM h),
+        |p AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p),
+        |r AS (SELECT p.p,
+        |    CAST(floor(p.p * CAST(t.total - 1 AS DOUBLE)) AS BIGINT) + 1 AS rank
+        |  FROM p, t)
+        |SELECT r.p,
+        |  CASE WHEN c.bin < 0 THEN 0.0 WHEN c.bin >= 44 THEN 110000.0
+        |    ELSE (0.0 + CAST(c.bin AS DOUBLE) * ((110000.0 - 0.0) / 44.0))
+        |      + ((110000.0 - 0.0) / 44.0)
+        |        * (CAST(r.rank - (c.cum - c.n) AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |  END AS est,
+        |  CAST(r.rank AS BIGINT) AS rank, c.bin
+        |FROM r JOIN c ON r.rank > (c.cum - c.n) AND r.rank <= c.cum
+        |ORDER BY r.p""".stripMargin,
+
+    // the standing histogram is the batch grid over all three folds
+    "s_hist" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 500.0 THEN 50
+        |    ELSE least(CAST(floor((v - 0.0) / (500.0 - 0.0) * 50.0) AS BIGINT), 49)
+        |  END AS bin FROM v)
+        |SELECT bin,
+        |  CASE WHEN bin >= 0 AND bin < 50
+        |    THEN 0.0 + CAST(bin AS DOUBLE) * ((500.0 - 0.0) / 50.0) END AS lo_edge,
+        |  CASE WHEN bin >= 0 AND bin < 50
+        |    THEN 0.0 + CAST(bin + 1 AS DOUBLE) * ((500.0 - 0.0) / 50.0) END AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
         |    row_number() OVER (ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rid,

@@ -866,4 +866,87 @@ object Profiling {
       when(pe === 1.0, lit(1.0)) // degenerate: constant filters that agree
         .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
+
+  // ---- fixed-grid histogram (the streaming-quantile substrate) ----------
+
+  /** Fixed-grid histogram over `x`: bin i covers
+    * [lo + i·w, lo + (i+1)·w) with w = (hi − lo)/bins; bin −1 is
+    * underflow (x < lo), bin `bins` overflow (x ≥ hi). The bin index
+    * is floor((x − lo)/(hi − lo)·bins) — three exactly-rounded IEEE
+    * ops any engine reproduces bit-for-bit (no half-even round, no
+    * libm), clamped to bins−1 for the x just under `hi` whose product
+    * rounds up. ONE partial-agg groupBy over ≤ bins+2 keys: the
+    * shuffle carries bin counts, never values — the fixed-memory
+    * profile substrate a quantile monitor folds per micro-batch
+    * ([[graft.streaming.HistStream]]), where the mergeable-summary
+    * sketches (KMV/HLL/MG) don't answer rank queries. Grid bounds are
+    * caller-declared like the clustered-sink grids: a monitor sizes
+    * the grid to the metric's DOMAIN once, not per batch.
+    * Output: (bin, lo_edge, hi_edge, n) — sparse (observed bins
+    * only), edges NULL on the unbounded under/overflow bins. */
+  def gridHistogram(df: DataFrame, x: Column, lo: Double, hi: Double,
+                    bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 65536,
+      s"gridHistogram: bins=$bins outside 1..65536")
+    require(lo < hi, s"gridHistogram: lo=$lo must be < hi=$hi")
+    val v = x.cast("double")
+    val raw = floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble))
+    val bin = when(v < lit(lo), lit(-1L))
+      .when(v >= lit(hi), lit(bins.toLong))
+      .otherwise(least(raw.cast("long"), lit(bins.toLong - 1L)))
+    val w = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    df.select(bin.as("bin")).filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + col("bin").cast("double") * w))
+      .withColumn("hi_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + (col("bin") + 1).cast("double") * w))
+      .select("bin", "lo_edge", "hi_edge", "n")
+  }
+
+  /** Quantile estimates from a [[gridHistogram]] frame: for each p,
+    * rank r = floor(p·(N−1)) + 1 (1-based) lands in the first bin
+    * whose cumulative count reaches r, and the estimate interpolates
+    * linearly inside that bin: lo_edge + w·(r − cum_before)/n_bin —
+    * per-row IEEE, engine-replayable. Under/overflow ranks clamp to
+    * lo/hi (the declared-domain contract: out-of-grid mass has no
+    * width to interpolate). The cumulative window runs over the
+    * ≤ bins+2 histogram rows — bounded by contract, never the data.
+    * Grid error is ≤ one bin width; tighten by raising `bins`
+    * (memory is bins·8B) — that trade IS the monitor design.
+    * Output: (p, est, rank, bin). */
+  def histQuantiles(hist: DataFrame, lo: Double, hi: Double, bins: Int,
+                    ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"histQuantiles: probabilities must be in [0,1] (got $ps)")
+    require(ps.distinct.size == ps.size, s"histQuantiles: duplicate ps in $ps")
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__before", col("__cum") - col("n"))
+    val total = hist.agg(sum(col("n")).as("__total"))
+    val pFrame = ps.map(p => s"SELECT CAST($p AS DOUBLE) AS p")
+      .mkString(" UNION ALL ")
+    val pdf = hist.sparkSession.sql(pFrame)
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        (floor(col("p") * (col("__total") - 1).cast("double")) + 1).cast("long"))
+    val width = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    // |ps|-row side explicitly broadcast: the rank-containment join is
+    // non-equi, and without the hint a stats-blind planner could fall
+    // back to CartesianProduct
+    broadcast(pdf).join(cum,
+        pdf("rank") > col("__before") && pdf("rank") <= col("__cum"))
+      .withColumn("est",
+        when(col("bin") < 0, lit(lo))
+          .when(col("bin") >= bins, lit(hi))
+          .otherwise(col("lo_edge") + width *
+            ((col("rank") - col("__before")).cast("double")
+              / col("n").cast("double"))))
+      .select(col("p"), col("est"), col("rank"), col("bin"))
+  }
 }

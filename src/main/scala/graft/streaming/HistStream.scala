@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming QUANTILE monitor — a standing fixed-grid histogram
+  * ([[graft.ops.Profiling.gridHistogram]]) folded per micro-batch,
+  * answering the rank queries (p50/p95/p99 of latency, doc length,
+  * quality score) that the other standing monitors can't: KMV/HLL
+  * count distincts, Misra–Gries ranks frequencies, CUSUM flags level
+  * shifts — none of them orders VALUES. The grid is the whole trick:
+  * per batch ONE partial-agg groupBy collapses any batch size to
+  * ≤ bins+2 (bin, count) rows, the driver fold is a vector add, and
+  * the standing state is bins·8B forever — a mergeable, fixed-memory
+  * summary like the sketches, but exact-by-construction over the
+  * declared grid (estimate error ≤ one bin width, the caller's
+  * bins-vs-memory trade). Grid bounds are caller-declared, like the
+  * clustered-sink grids: size the grid to the metric's DOMAIN once,
+  * not per batch — out-of-range mass lands in the unbounded
+  * under/overflow bins and quantile reads clamp there.
+  *
+  * Counts are NOT idempotent under replay (unlike KMV/HLL's
+  * max-merge), so the state carries the last folded batch id and a
+  * replayed foreachBatch id is a no-op — the MG/CUSUM recipe.
+  * Standing reads ([[standingHistogram]], [[standingQuantiles]]) are
+  * bit-identical to the batch operator over everything folded so far:
+  * the histogram IS a sum, and sums of longs are order-free. */
+object HistStream {
+
+  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                  name: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** (lo, hi, bins, lastBatchId, bin→count); bins = -1 if absent. */
+  def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
+      (Double, Double, Int, Long, Map[Long, Long]) = {
+    val (fs, p) = fsp(conf, dir, "_hist_state.bin")
+    if (!fs.exists(p)) return (0.0, 0.0, -1, -1L, Map.empty)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in0 = fs.open(p)
+    try in0.readFully(0, bytes) finally in0.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val lo = in.readDouble(); val hi = in.readDouble()
+    val bins = in.readInt(); val lastBatch = in.readLong()
+    val m = in.readInt()
+    (lo, hi, bins, lastBatch,
+      (0 until m).map(_ => (in.readLong(), in.readLong())).toMap)
+  }
+
+  private def writeState(conf: org.apache.hadoop.conf.Configuration,
+                         dir: String, lo: Double, hi: Double, bins: Int,
+                         lastBatch: Long, counts: Map[Long, Long]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeDouble(lo); out.writeDouble(hi)
+    out.writeInt(bins); out.writeLong(lastBatch)
+    out.writeInt(counts.size)
+    counts.toSeq.sortBy(_._1).foreach { case (b, n) =>
+      out.writeLong(b); out.writeLong(n)
+    }
+    out.flush()
+    val (fs, tmp) = fsp(conf, dir, "_hist_state.tmp")
+    val (_, dst) = fsp(conf, dir, "_hist_state.bin")
+    val o = fs.create(tmp, true)
+    try o.write(bos.toByteArray) finally o.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"histStream: rename $tmp -> $dst failed")
+  }
+
+  /** Fold one micro-batch's grid profile into the standing counts.
+    * The batch collapses to ≤ bins+2 rows in one partial agg before
+    * the driver sees anything; the fold is a vector add. Replaying an
+    * already-folded batch id is a no-op. */
+  def foldBatch(batch: DataFrame, x: Column, lo: Double, hi: Double,
+                bins: Int, dir: String, batchId: Long): Unit = {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val (lo0, hi0, bins0, lastBatch, state0) = readState(conf, dir)
+    require(bins0 == -1 || (lo0 == lo && hi0 == hi && bins0 == bins),
+      s"histStream: standing grid at $dir is ($lo0,$hi0,$bins0), " +
+        s"fold called with ($lo,$hi,$bins) — grids must match")
+    if (batchId <= lastBatch) return
+    val prof = graft.ops.Profiling.gridHistogram(batch, x, lo, hi, bins)
+      .select("bin", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val merged = prof.foldLeft(state0) { case (acc, (b, n)) =>
+      acc.updatedWith(b)(old => Some(old.getOrElse(0L) + n))
+    }
+    writeState(conf, dir, lo, hi, bins, batchId, merged)
+  }
+
+  /** The stream form: start with
+    * `.option("checkpointLocation", …).start()`. */
+  def histSink(stream: DataFrame, x: Column, lo: Double, hi: Double,
+               bins: Int, dir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      foldBatch(batch, x, lo, hi, bins, dir, batchId)
+    }
+
+  /** The standing histogram — bit-identical to
+    * [[graft.ops.Profiling.gridHistogram]] over everything folded so
+    * far: (bin, lo_edge, hi_edge, n). */
+  def standingHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi, bins, _, counts) =
+      readState(spark.sessionState.newHadoopConf(), dir)
+    require(bins > 0, s"histStream: no standing state at $dir")
+    val w = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    counts.toSeq.sortBy(_._1).toDF("bin", "n")
+      .withColumn("lo_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + col("bin").cast("double") * w))
+      .withColumn("hi_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + (col("bin") + 1).cast("double") * w))
+      .select("bin", "lo_edge", "hi_edge", "n")
+  }
+
+  /** Standing quantile estimates — [[graft.ops.Profiling.histQuantiles]]
+    * over the standing counts: (p, est, rank, bin). */
+  def standingQuantiles(spark: SparkSession, dir: String,
+                        ps: Seq[Double]): DataFrame = {
+    val (lo, hi, bins, _, _) =
+      readState(spark.sessionState.newHadoopConf(), dir)
+    require(bins > 0, s"histStream: no standing state at $dir")
+    graft.ops.Profiling.histQuantiles(
+      standingHistogram(spark, dir), lo, hi, bins, ps)
+  }
+}

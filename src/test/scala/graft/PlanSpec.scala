@@ -645,6 +645,9 @@ class PlanSpec extends SparkTestBase {
       // water level from window algebra over the stratum-grain totals
       // (K rows — the forcats level-table argument)
       "x_waterfill" -> "stratum-grain totals table",
+      // cumulative counts over the <= bins+2 histogram rows
+      // (Profiling.histQuantiles scaladoc: bounded by contract)
+      "x_hist_q" -> "bins-bounded histogram table",
       // embeds the waterfill quota subplan; the selection window
       // itself is stratum-partitioned
       "x_quota_select" -> "stratum-grain totals table")

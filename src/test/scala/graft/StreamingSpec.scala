@@ -583,6 +583,59 @@ class StreamingSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("hist sink: standing histogram and quantiles equal the batch grid over all folds") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_histsink").toString
+    val b0 = (1 to 400).map(i => i.toDouble / 4.0).toDF("v")      // 0.25..100
+    val b1 = (1 to 200).map(i => 100.0 + i.toDouble).toDF("v")    // 101..300
+    val b2 = Seq(-5.0, 0.0, 499.99, 500.0, 1234.5).toDF("v")      // edges
+    graft.streaming.HistStream.foldBatch(b0, col("v"), 0.0, 500.0, 50, dir, 0L)
+    graft.streaming.HistStream.foldBatch(b1, col("v"), 0.0, 500.0, 50, dir, 1L)
+    graft.streaming.HistStream.foldBatch(b2, col("v"), 0.0, 500.0, 50, dir, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bin").collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toSeq
+    val standing = rows(graft.streaming.HistStream.standingHistogram(s, dir))
+    val batch = rows(graft.ops.Profiling.gridHistogram(
+      b0.unionByName(b1).unionByName(b2), col("v"), 0.0, 500.0, 50))
+    assert(standing == batch, s"standing != batch grid:\n$standing\nvs\n$batch")
+    // under/overflow mass landed where declared
+    val m = standing.map(r => r._1 -> r._4).toMap
+    assert(m(-1L) == 1L && m(50L) == 2L, s"clamp bins: $m")
+    // replaying a folded batch id is a no-op (counts are not
+    // idempotent by algebra — the batch-id guard does it)
+    graft.streaming.HistStream.foldBatch(b1, col("v"), 0.0, 500.0, 50, dir, 1L)
+    assert(rows(graft.streaming.HistStream.standingHistogram(s, dir)) == batch,
+      "replay must not double-count")
+    // standing quantiles == the batch histQuantiles over the union
+    val qs = graft.streaming.HistStream
+      .standingQuantiles(s, dir, Seq(0.1, 0.5, 0.9))
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val qb = graft.ops.Profiling.histQuantiles(
+        graft.ops.Profiling.gridHistogram(
+          b0.unionByName(b1).unionByName(b2), col("v"), 0.0, 500.0, 50),
+        0.0, 500.0, 50, Seq(0.1, 0.5, 0.9))
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(qs == qb, s"standing quantiles != batch: $qs vs $qb")
+    // grid-read accuracy: estimates within one bin width (10.0) of the
+    // exact quantiles of the 605-value stream
+    val exact = graft.ops.Profiling.exactQuantiles(
+        b0.unionByName(b1).unionByName(b2)
+          .select(greatest(least(col("v"), lit(500.0)), lit(0.0)).as("v")),
+        col("v"), Seq(0.1, 0.5, 0.9))
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    qs.zip(exact).foreach { case ((p1, est), (p2, ex)) =>
+      assert(p1 == p2 && math.abs(est - ex) <= 10.0 + 1e-9,
+        s"grid estimate at p=$p1: $est vs exact $ex")
+    }
+    // a mismatched grid fails loudly instead of corrupting counts
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.HistStream.foldBatch(b0, col("v"), 0.0, 400.0, 50, dir, 3L)
+    }
+    assert(e.getMessage.contains("grids must match"))
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
