@@ -1599,6 +1599,21 @@ object QueriesOps {
         .orderBy(col("bin"))
     }),
 
+    // per-stratum grid histogram + grid-quantile read: the per-
+    // language monitor shape — keys x bins cells, partitioned windows
+    "x_hist_by" -> ((s, d) =>
+      Profiling.gridHistogramBy(t(s, d, "documents"), Seq("lang"),
+          col("n_chars"), lo = 0.0, hi = 600.0, bins = 30)
+        .orderBy(col("lang"), col("bin"))),
+
+    "x_histq_by" -> ((s, d) =>
+      Profiling.histQuantilesBy(
+          Profiling.gridHistogramBy(t(s, d, "documents"), Seq("lang"),
+            col("n_chars"), lo = 0.0, hi = 600.0, bins = 30),
+          Seq("lang"), lo = 0.0, hi = 600.0, bins = 30,
+          ps = Seq(0.25, 0.5, 0.95))
+        .orderBy(col("lang"), col("p"))),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -4056,6 +4071,47 @@ object QueriesOps {
         |    THEN 0.0 + CAST(bin + 1 AS DOUBLE) * ((500.0 - 0.0) / 50.0) END AS hi_edge,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "x_hist_by" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT lang, CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 600.0 THEN 30
+        |    ELSE least(CAST(floor((v - 0.0) / (600.0 - 0.0) * 30.0) AS BIGINT), 29)
+        |  END AS bin FROM v)
+        |SELECT lang, bin,
+        |  CASE WHEN bin >= 0 AND bin < 30
+        |    THEN 0.0 + CAST(bin AS DOUBLE) * ((600.0 - 0.0) / 30.0) END AS lo_edge,
+        |  CASE WHEN bin >= 0 AND bin < 30
+        |    THEN 0.0 + CAST(bin + 1 AS DOUBLE) * ((600.0 - 0.0) / 30.0) END AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "x_histq_by" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT lang, CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 600.0 THEN 30
+        |    ELSE least(CAST(floor((v - 0.0) / (600.0 - 0.0) * 30.0) AS BIGINT), 29)
+        |  END AS bin FROM v),
+        |h AS (SELECT lang, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bin, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY lang) AS total FROM h),
+        |e AS (SELECT lang, bin, n, cum, cum - n AS bef, total,
+        |    unnest([0.25, 0.5, 0.95]) AS p FROM c),
+        |r AS (SELECT *,
+        |    CAST(floor(p * CAST(total - 1 AS DOUBLE)) AS BIGINT) + 1 AS rank
+        |  FROM e)
+        |SELECT lang, p,
+        |  CASE WHEN bin < 0 THEN 0.0 WHEN bin >= 30 THEN 600.0
+        |    ELSE (0.0 + CAST(bin AS DOUBLE) * ((600.0 - 0.0) / 30.0))
+        |      + ((600.0 - 0.0) / 30.0)
+        |        * (CAST(rank - bef AS DOUBLE) / CAST(n AS DOUBLE))
+        |  END AS est,
+        |  CAST(rank AS BIGINT) AS rank, bin
+        |FROM r WHERE rank > bef AND rank <= cum
+        |ORDER BY lang, p""".stripMargin,
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -949,4 +949,65 @@ object Profiling {
               / col("n").cast("double"))))
       .select(col("p"), col("est"), col("rank"), col("bin"))
   }
+
+  /** Per-stratum [[gridHistogram]]: one groupBy over keys × ≤ bins+2
+    * cells — the shuffle still carries counts, never values; the
+    * output is |keys|·bins-bounded. The per-language / per-source
+    * shape a corpus monitor actually watches.
+    * Output: (keys..., bin, lo_edge, hi_edge, n). */
+  def gridHistogramBy(df: DataFrame, keys: Seq[String], x: Column,
+                      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 65536,
+      s"gridHistogramBy: bins=$bins outside 1..65536")
+    require(lo < hi, s"gridHistogramBy: lo=$lo must be < hi=$hi")
+    val v = x.cast("double")
+    val raw = floor((v - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins.toDouble))
+    val bin = when(v < lit(lo), lit(-1L))
+      .when(v >= lit(hi), lit(bins.toLong))
+      .otherwise(least(raw.cast("long"), lit(bins.toLong - 1L)))
+    val w = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    df.select(keys.map(col) :+ bin.as("bin"): _*).filter(col("bin").isNotNull)
+      .groupBy((keys :+ "bin").map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + col("bin").cast("double") * w))
+      .withColumn("hi_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + (col("bin") + 1).cast("double") * w))
+      .select((keys ++ Seq("bin", "lo_edge", "hi_edge", "n")).map(col): _*)
+  }
+
+  /** Per-stratum [[histQuantiles]] over a [[gridHistogramBy]] frame:
+    * the cumulative and total windows are PARTITIONED on the keys
+    * (keys×bins-bounded partitions), each p's rank lands in its
+    * stratum's bin, and the interpolation is the same per-row IEEE.
+    * Output: (keys..., p, est, rank, bin). */
+  def histQuantilesBy(hist: DataFrame, keys: Seq[String],
+                      lo: Double, hi: Double, bins: Int,
+                      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"histQuantilesBy: probabilities must be in [0,1] (got $ps)")
+    require(ps.distinct.size == ps.size, s"histQuantilesBy: duplicate ps in $ps")
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cumW = byKey.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(cumW))
+      .withColumn("__before", col("__cum") - col("n"))
+      .withColumn("__total", sum(col("n")).over(byKey))
+    val psArr = array(ps.map(p => lit(p)): _*)
+    val w = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    cum.withColumn("p", explode(psArr))
+      .withColumn("rank",
+        (floor(col("p") * (col("__total") - 1).cast("double")) + 1).cast("long"))
+      .filter(col("rank") > col("__before") && col("rank") <= col("__cum"))
+      .withColumn("est",
+        when(col("bin") < 0, lit(lo))
+          .when(col("bin") >= bins, lit(hi))
+          .otherwise(col("lo_edge") + w *
+            ((col("rank") - col("__before")).cast("double")
+              / col("n").cast("double"))))
+      .select((keys ++ Seq("p", "est", "rank", "bin")).map(col): _*)
+  }
 }

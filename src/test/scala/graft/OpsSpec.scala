@@ -2261,6 +2261,40 @@ class OpsSpec extends SparkTestBase {
       "an appended (odd) vector must be retrievable from the index")
   }
 
+  test("gridHistogramBy slices exactly like per-key gridHistogram; quantile reads stay in-bin") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i => (if (i % 3 == 0) "a" else "b",
+      (i % 100).toDouble)).toDF("k", "v")
+    val by = graft.ops.Profiling.gridHistogramBy(df, Seq("k"), col("v"),
+        0.0, 100.0, 10)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(4))).toMap
+    Seq("a", "b").foreach { key =>
+      val single = graft.ops.Profiling.gridHistogram(
+          df.filter(col("k") === key), col("v"), 0.0, 100.0, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      single.foreach { case (b, n) =>
+        assert(by((key, b)) == n, s"$key bin $b: ${by.get((key, b))} vs $n")
+      }
+    }
+    // per-key quantile read: each estimate sits inside its bin's edges
+    // and within one bin width of the exact per-key quantile
+    val q = graft.ops.Profiling.histQuantilesBy(
+        graft.ops.Profiling.gridHistogramBy(df, Seq("k"), col("v"),
+          0.0, 100.0, 10),
+        Seq("k"), 0.0, 100.0, 10, Seq(0.5, 0.9))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(q.size == 4, s"2 keys x 2 ps: $q")
+    Seq("a", "b").foreach { key =>
+      val exact = graft.ops.Profiling.exactQuantiles(
+          df.filter(col("k") === key), col("v"), Seq(0.5, 0.9))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+      Seq(0.5, 0.9).foreach { pp =>
+        assert(math.abs(q((key, pp)) - exact(pp)) <= 10.0 + 1e-9,
+          s"$key p=$pp: grid ${q((key, pp))} vs exact ${exact(pp)}")
+      }
+    }
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
