@@ -1614,6 +1614,24 @@ object QueriesOps {
           ps = Seq(0.25, 0.5, 0.95))
         .orderBy(col("lang"), col("p"))),
 
+    // STREAMING per-key quantile monitor, batch twin: three folded
+    // event batches' (type, bin) profiles == the one-shot per-type
+    // batch grid (vector adds commute), so the batch oracle replays
+    "s_hist_by" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_histbystream").toString
+      val ev = t(s, d, "events")
+      (0L to 2L).foreach { b =>
+        graft.streaming.HistStream.foldBatchBy(
+          ev.filter(pmod(col("event_id"), lit(3L)) === b),
+          col("event_type"), col("value"),
+          lo = 0.0, hi = 500.0, bins = 50, dir, batchId = b)
+      }
+      graft.streaming.HistStream.standingHistogramBy(s, dir,
+          keyName = "event_type")
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -4112,6 +4130,22 @@ object QueriesOps {
         |  CAST(rank AS BIGINT) AS rank, bin
         |FROM r WHERE rank > bef AND rank <= cum
         |ORDER BY lang, p""".stripMargin,
+
+    "s_hist_by" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type, CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 500.0 THEN 50
+        |    ELSE least(CAST(floor((v - 0.0) / (500.0 - 0.0) * 50.0) AS BIGINT), 49)
+        |  END AS bin FROM v)
+        |SELECT event_type, bin,
+        |  CASE WHEN bin >= 0 AND bin < 50
+        |    THEN 0.0 + CAST(bin AS DOUBLE) * ((500.0 - 0.0) / 50.0) END AS lo_edge,
+        |  CASE WHEN bin >= 0 AND bin < 50
+        |    THEN 0.0 + CAST(bin + 1 AS DOUBLE) * ((500.0 - 0.0) / 50.0) END AS hi_edge,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -128,4 +128,119 @@ object HistStream {
     graft.ops.Profiling.histQuantiles(
       standingHistogram(spark, dir), lo, hi, bins, ps)
   }
+
+  // ---- keyed variant: one standing grid per stratum ----------------------
+
+  /** (lo, hi, bins, lastBatchId, (key, bin)→count); bins = -1 if
+    * absent. */
+  def readStateBy(conf: org.apache.hadoop.conf.Configuration, dir: String):
+      (Double, Double, Int, Long, Map[(String, Long), Long]) = {
+    val (fs, p) = fsp(conf, dir, "_histby_state.bin")
+    if (!fs.exists(p)) return (0.0, 0.0, -1, -1L, Map.empty)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in0 = fs.open(p)
+    try in0.readFully(0, bytes) finally in0.close()
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val lo = in.readDouble(); val hi = in.readDouble()
+    val bins = in.readInt(); val lastBatch = in.readLong()
+    val m = in.readInt()
+    (lo, hi, bins, lastBatch,
+      (0 until m).map { _ =>
+        ((graft.plans.SketchIO.readStr(in), in.readLong()), in.readLong())
+      }.toMap)
+  }
+
+  private def writeStateBy(conf: org.apache.hadoop.conf.Configuration,
+                           dir: String, lo: Double, hi: Double, bins: Int,
+                           lastBatch: Long,
+                           counts: Map[(String, Long), Long]): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeDouble(lo); out.writeDouble(hi)
+    out.writeInt(bins); out.writeLong(lastBatch)
+    out.writeInt(counts.size)
+    counts.toSeq.sortBy(_._1).foreach { case ((k, b), n) =>
+      graft.plans.SketchIO.writeStr(out, k); out.writeLong(b); out.writeLong(n)
+    }
+    out.flush()
+    val (fs, tmp) = fsp(conf, dir, "_histby_state.tmp")
+    val (_, dst) = fsp(conf, dir, "_histby_state.bin")
+    val o = fs.create(tmp, true)
+    try o.write(bos.toByteArray) finally o.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"histStream: rename $tmp -> $dst failed")
+  }
+
+  /** Keyed fold: one standing grid per stratum (per event type, per
+    * language). The per-batch driver profile is keys×(bins+2)-bounded
+    * with a loud 4M cap — past a million-stratum firehose, shard the
+    * monitor by key hash into independent state dirs, the
+    * [[CusumStream.foldBatchSharded]] recipe (histogram adds commute,
+    * so shard unions are trivially exact and need no shared-spine
+    * coupling). */
+  def foldBatchBy(batch: DataFrame, key: Column, x: Column,
+                  lo: Double, hi: Double, bins: Int, dir: String,
+                  batchId: Long): Unit = {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val (lo0, hi0, bins0, lastBatch, state0) = readStateBy(conf, dir)
+    require(bins0 == -1 || (lo0 == lo && hi0 == hi && bins0 == bins),
+      s"histStream: standing grid at $dir is ($lo0,$hi0,$bins0), " +
+        s"fold called with ($lo,$hi,$bins) — grids must match")
+    if (batchId <= lastBatch) return
+    val prof = graft.ops.Profiling.gridHistogramBy(
+        batch.select(key.cast("string").as("__k"), x.as("__x")),
+        Seq("__k"), org.apache.spark.sql.functions.col("__x"), lo, hi, bins)
+      .select("__k", "bin", "n").limit(4000001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    require(prof.length <= 4000000,
+      "histStream: batch (key x bin) profile exceeds 4M rows — shard " +
+        "the monitor by key hash into independent state dirs")
+    val merged = prof.foldLeft(state0) { case (acc, (kb, n)) =>
+      acc.updatedWith(kb)(old => Some(old.getOrElse(0L) + n))
+    }
+    writeStateBy(conf, dir, lo, hi, bins, batchId, merged)
+  }
+
+  /** Keyed stream form. */
+  def histSinkBy(stream: DataFrame, key: Column, x: Column,
+                 lo: Double, hi: Double, bins: Int, dir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      foldBatchBy(batch, key, x, lo, hi, bins, dir, batchId)
+    }
+
+  /** The standing per-key histogram — bit-identical to
+    * [[graft.ops.Profiling.gridHistogramBy]] over everything folded:
+    * (key, bin, lo_edge, hi_edge, n). */
+  def standingHistogramBy(spark: SparkSession, dir: String,
+                          keyName: String = "key"): DataFrame = {
+    import spark.implicits._
+    val (lo, hi, bins, _, counts) =
+      readStateBy(spark.sessionState.newHadoopConf(), dir)
+    require(bins > 0, s"histStream: no standing state at $dir")
+    val w = (lit(hi) - lit(lo)) / lit(bins.toDouble)
+    counts.toSeq.sortBy(_._1).map { case ((k, b), n) => (k, b, n) }
+      .toDF(keyName, "bin", "n")
+      .withColumn("lo_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + col("bin").cast("double") * w))
+      .withColumn("hi_edge",
+        when(col("bin") >= 0 && col("bin") < bins,
+          lit(lo) + (col("bin") + 1).cast("double") * w))
+      .select(keyName, "bin", "lo_edge", "hi_edge", "n")
+  }
+
+  /** Standing per-key quantiles —
+    * [[graft.ops.Profiling.histQuantilesBy]] over the standing
+    * counts: (key, p, est, rank, bin). */
+  def standingQuantilesBy(spark: SparkSession, dir: String,
+                          ps: Seq[Double],
+                          keyName: String = "key"): DataFrame = {
+    val (lo, hi, bins, _, _) =
+      readStateBy(spark.sessionState.newHadoopConf(), dir)
+    require(bins > 0, s"histStream: no standing state at $dir")
+    graft.ops.Profiling.histQuantilesBy(
+      standingHistogramBy(spark, dir, keyName), Seq(keyName),
+      lo, hi, bins, ps)
+  }
 }

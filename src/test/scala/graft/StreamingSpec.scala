@@ -636,6 +636,41 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("grids must match"))
   }
 
+  test("keyed hist sink: per-stratum standing grids equal the batch gridBy; replay guarded") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_histbysink").toString
+    val b0 = (1 to 100).map(i => ("lat", i.toDouble)).toDF("k", "v")
+    val b1 = ((1 to 50).map(i => ("lat", 200.0 + i)) ++
+      (1 to 40).map(i => ("err", i * 2.0))).toDF("k", "v")
+    graft.streaming.HistStream.foldBatchBy(b0, col("k"), col("v"),
+      0.0, 400.0, 40, dir, 0L)
+    graft.streaming.HistStream.foldBatchBy(b1, col("k"), col("v"),
+      0.0, 400.0, 40, dir, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("key", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    val standing = rows(graft.streaming.HistStream
+      .standingHistogramBy(s, dir))
+    val batch = graft.ops.Profiling.gridHistogramBy(
+        b0.unionByName(b1).withColumnRenamed("k", "key"), Seq("key"),
+        col("v"), 0.0, 400.0, 40)
+      .orderBy("key", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(standing == batch, s"standing != batch gridBy:\n$standing\nvs\n$batch")
+    // replay is a no-op
+    graft.streaming.HistStream.foldBatchBy(b1, col("k"), col("v"),
+      0.0, 400.0, 40, dir, 1L)
+    assert(rows(graft.streaming.HistStream.standingHistogramBy(s, dir)) == batch)
+    // per-key standing quantiles: a key seen in one batch only ("err")
+    // reads its own grid, not the mixed stream's
+    val q = graft.streaming.HistStream
+      .standingQuantilesBy(s, dir, Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q("err") > 0.0 && q("err") <= 90.0, s"err p50 in its own grid: $q")
+    assert(q("lat") > 40.0 && q("lat") <= 260.0, s"lat p50 spans both batches: $q")
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
