@@ -1632,6 +1632,19 @@ object QueriesOps {
         .orderBy(col("event_type"), col("bin"))
     }),
 
+    // grid-to-grid PSI: the standing-monitor drift read — both
+    // inputs are bins-bounded count vectors (no raw re-scan); psi's
+    // 0.5-smoothing + fixed-point sum conventions over bins+2 cells
+    "x_hist_psi" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profiling.histPsi(
+        Profiling.gridHistogram(li.filter(col("l_orderkey") % 2 === 0),
+          col("l_extendedprice"), lo = 0.0, hi = 110000.0, bins = 44),
+        Profiling.gridHistogram(li.filter(col("l_orderkey") % 2 === 1),
+          col("l_extendedprice"), lo = 0.0, hi = 110000.0, bins = 44),
+        bins = 44)
+    }),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -4146,6 +4159,32 @@ object QueriesOps {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY event_type, bin
         |ORDER BY event_type, bin""".stripMargin,
+
+    // grid PSI replay: both halves binned on the shared grid, dense
+    // bins+2 spine, 0.5-smoothing, fixed-point ln terms
+    "x_hist_psi" ->
+      """WITH v AS (SELECT l_orderkey, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT l_orderkey, CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 110000.0 THEN 44
+        |    ELSE least(CAST(floor((v - 0.0) / (110000.0 - 0.0) * 44.0) AS BIGINT), 43)
+        |  END AS bin FROM v),
+        |rc AS (SELECT bin, count(*) AS cr FROM b WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |cc AS (SELECT bin, count(*) AS cv FROM b WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cr) FROM rc) AS nr, (SELECT sum(cv) FROM cc) AS nc),
+        |sp AS (SELECT CAST(r.range AS BIGINT) AS bin FROM range(-1, 45) r),
+        |g AS (SELECT
+        |    (CAST(coalesce(rc.cr, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(tot.nr AS DOUBLE) + 0.5 * 46) AS p,
+        |    (CAST(coalesce(cc.cv, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(tot.nc AS DOUBLE) + 0.5 * 46) AS q,
+        |    tot.nr, tot.nc
+        |  FROM sp LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin), tot)
+        |SELECT CAST(sum(CAST(floor((p - q) * ln(p / q) * 1073741824.0 + 0.5)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM g""".stripMargin,
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -1010,4 +1010,39 @@ object Profiling {
               / col("n").cast("double"))))
       .select((keys ++ Seq("p", "est", "rank", "bin")).map(col): _*)
   }
+
+  /** PSI between two [[gridHistogram]] frames on the SAME declared
+    * grid — the drift read a standing monitor computes WITHOUT
+    * touching raw data again: both inputs are already bins-bounded
+    * count vectors (e.g. two [[graft.streaming.HistStream]] standing
+    * states, or last week's persisted profile vs today's), so the
+    * whole comparison is grid-sized. Shares [[psi]]'s conventions
+    * exactly: Laplace 0.5-smoothing over the full cell count (bins+2,
+    * counting the under/overflow cells), and the per-cell terms cross
+    * the floor(x·2^30+0.5) fixed-point grid so the sum is
+    * order-invariant and engine-replayable.
+    * Output: one row (psi, n_ref, n_cur). */
+  def histPsi(ref: DataFrame, cur: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 65536, s"histPsi: bins=$bins outside 1..65536")
+    val cells = bins + 2
+    val spine = ref.sparkSession.range(cells)
+      .select((col("id") - 1).cast("long").as("bin"))
+    val rc = ref.select(col("bin"), col("n").as("__cr"))
+    val cc = cur.select(col("bin"), col("n").as("__cc"))
+    val tot = rc.agg(sum(col("__cr")).as("__nr"))
+      .crossJoin(cc.agg(sum(col("__cc")).as("__nc")))
+    val grid = spine.join(rc, Seq("bin"), "left").join(cc, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        ((coalesce(col("__cr"), lit(0L)).cast("double") + 0.5) /
+          (col("__nr").cast("double") + 0.5 * cells)).as("__p"),
+        ((coalesce(col("__cc"), lit(0L)).cast("double") + 0.5) /
+          (col("__nc").cast("double") + 0.5 * cells)).as("__q"),
+        col("__nr"), col("__nc"))
+    grid
+      .withColumn("__t", floor((col("__p") - col("__q")) *
+        log(col("__p") / col("__q")) * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+      .agg((sum(col("__t")).cast("double") / 1073741824.0).as("psi"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
 }

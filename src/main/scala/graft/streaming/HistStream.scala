@@ -129,6 +129,22 @@ object HistStream {
       standingHistogram(spark, dir), lo, hi, bins, ps)
   }
 
+  /** Drift between two standing monitors (or a frozen reference
+    * state dir and the live one): [[graft.ops.Profiling.histPsi]]
+    * over the two standing grids — grid-sized work, no raw-data
+    * re-scan. Grids must match (same lo/hi/bins), checked loudly. */
+  def standingPsi(spark: SparkSession, refDir: String,
+                  curDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (lo1, hi1, b1, _, _) = readState(conf, refDir)
+    val (lo2, hi2, b2, _, _) = readState(conf, curDir)
+    require(b1 > 0 && b2 > 0, "histStream: missing standing state")
+    require(lo1 == lo2 && hi1 == hi2 && b1 == b2,
+      s"histStream: grids differ — ref ($lo1,$hi1,$b1) vs cur ($lo2,$hi2,$b2)")
+    graft.ops.Profiling.histPsi(
+      standingHistogram(spark, refDir), standingHistogram(spark, curDir), b1)
+  }
+
   // ---- keyed variant: one standing grid per stratum ----------------------
 
   /** (lo, hi, bins, lastBatchId, (key, bin)→count); bins = -1 if

@@ -671,6 +671,41 @@ class StreamingSpec extends SparkTestBase {
     assert(q("lat") > 40.0 && q("lat") <= 260.0, s"lat p50 spans both batches: $q")
   }
 
+  test("standingPsi: drift between two standing grids equals the batch histPsi; self-psi is 0") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_histpsi").toString
+    val refDir = s"$base/ref"; val curDir = s"$base/cur"
+    val ref = (1 to 500).map(i => (i % 100).toDouble).toDF("v")
+    val cur = (1 to 500).map(i => ((i % 100) + 30).toDouble).toDF("v") // shifted
+    graft.streaming.HistStream.foldBatch(ref, col("v"), 0.0, 200.0, 20, refDir, 0L)
+    graft.streaming.HistStream.foldBatch(cur, col("v"), 0.0, 200.0, 20, curDir, 0L)
+    val standing = graft.streaming.HistStream.standingPsi(s, refDir, curDir)
+      .collect()(0)
+    val batch = graft.ops.Profiling.histPsi(
+        graft.ops.Profiling.gridHistogram(ref, col("v"), 0.0, 200.0, 20),
+        graft.ops.Profiling.gridHistogram(cur, col("v"), 0.0, 200.0, 20),
+        bins = 20)
+      .collect()(0)
+    assert(standing.getDouble(0) == batch.getDouble(0),
+      s"standing psi ${standing.getDouble(0)} != batch ${batch.getDouble(0)}")
+    // the shift is a real drift; identical dists read ~0
+    assert(batch.getDouble(0) > 0.1, s"shifted dist must drift: $batch")
+    val self = graft.ops.Profiling.histPsi(
+        graft.ops.Profiling.gridHistogram(ref, col("v"), 0.0, 200.0, 20),
+        graft.ops.Profiling.gridHistogram(ref, col("v"), 0.0, 200.0, 20),
+        bins = 20)
+      .collect()(0).getDouble(0)
+    assert(self == 0.0, s"self-psi must be exactly 0: $self")
+    // mismatched grids fail loudly
+    val other = s"$base/other"
+    graft.streaming.HistStream.foldBatch(ref, col("v"), 0.0, 100.0, 20, other, 0L)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.HistStream.standingPsi(s, refDir, other)
+    }
+    assert(e.getMessage.contains("grids differ"))
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
