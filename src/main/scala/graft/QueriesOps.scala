@@ -1645,6 +1645,19 @@ object QueriesOps {
         bins = 44)
     }),
 
+    // per-language grid PSI: even vs odd doc halves on the shared
+    // length grid — the slice-level drift read, one row per lang
+    "x_hist_psi_by" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.histPsiBy(
+          Profiling.gridHistogramBy(docs.filter(col("doc_id") % 2 === 0),
+            Seq("lang"), col("n_chars"), lo = 0.0, hi = 600.0, bins = 30),
+          Profiling.gridHistogramBy(docs.filter(col("doc_id") % 2 === 1),
+            Seq("lang"), col("n_chars"), lo = 0.0, hi = 600.0, bins = 30),
+          key = "lang", bins = 30)
+        .orderBy(col("lang"))
+    }),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -4185,6 +4198,38 @@ object QueriesOps {
         |  CAST(max(nr) AS BIGINT) AS n_ref,
         |  CAST(max(nc) AS BIGINT) AS n_cur
         |FROM g""".stripMargin,
+
+    "x_hist_psi_by" ->
+      """WITH v AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT doc_id, lang, CASE WHEN v < 0.0 THEN -1
+        |    WHEN v >= 600.0 THEN 30
+        |    ELSE least(CAST(floor((v - 0.0) / (600.0 - 0.0) * 30.0) AS BIGINT), 29)
+        |  END AS bin FROM v),
+        |rc AS (SELECT lang, bin, count(*) AS cr FROM b
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |cc AS (SELECT lang, bin, count(*) AS cv FROM b
+        |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |ks AS (SELECT DISTINCT lang FROM (
+        |  SELECT lang FROM rc UNION ALL SELECT lang FROM cc)),
+        |rt AS (SELECT lang, sum(cr) AS nr FROM rc GROUP BY 1),
+        |ct AS (SELECT lang, sum(cv) AS nc FROM cc GROUP BY 1),
+        |sp AS (SELECT ks.lang, CAST(r.range AS BIGINT) AS bin
+        |  FROM ks CROSS JOIN range(-1, 31) r),
+        |g AS (SELECT sp.lang,
+        |    (CAST(coalesce(rc.cr, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(rt.nr, 0) AS DOUBLE) + 0.5 * 32) AS p,
+        |    (CAST(coalesce(cc.cv, 0) AS DOUBLE) + 0.5)
+        |      / (CAST(coalesce(ct.nc, 0) AS DOUBLE) + 0.5 * 32) AS q,
+        |    coalesce(rt.nr, 0) AS nr, coalesce(ct.nc, 0) AS nc
+        |  FROM sp LEFT JOIN rc USING (lang, bin) LEFT JOIN cc USING (lang, bin)
+        |    LEFT JOIN rt USING (lang) LEFT JOIN ct USING (lang))
+        |SELECT lang,
+        |  CAST(sum(CAST(floor((p - q) * ln(p / q) * 1073741824.0 + 0.5)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS psi,
+        |  CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nc) AS BIGINT) AS n_cur
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

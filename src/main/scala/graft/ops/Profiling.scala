@@ -1045,4 +1045,41 @@ object Profiling {
       .agg((sum(col("__t")).cast("double") / 1073741824.0).as("psi"),
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
+
+  /** Per-stratum [[histPsi]] over two [[gridHistogramBy]] frames on
+    * the same grid: one PSI row per key (per language, per source) —
+    * the slice-level drift read a corpus monitor pages on. The dense
+    * spine is (keys observed in either frame) × (bins+2 cells), built
+    * from the two bounded inputs; everything stays grid-sized. Same
+    * smoothing and fixed-point conventions as [[psi]]/[[histPsi]].
+    * Output: (key, psi, n_ref, n_cur) — n_ref/n_cur 0 for a key seen
+    * on one side only (maximal one-sided drift, flagged not lost). */
+  def histPsiBy(ref: DataFrame, cur: DataFrame, key: String,
+                bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 65536, s"histPsiBy: bins=$bins outside 1..65536")
+    val cells = bins + 2
+    val keys = ref.select(col(key)).union(cur.select(col(key))).distinct()
+    val spine = keys.crossJoin(
+      ref.sparkSession.range(cells).select((col("id") - 1).cast("long").as("bin")))
+    val rc = ref.select(col(key), col("bin"), col("n").as("__cr"))
+    val cc = cur.select(col(key), col("bin"), col("n").as("__cc"))
+    val rt = ref.groupBy(col(key)).agg(sum(col("n")).as("__nr"))
+    val ct = cur.groupBy(col(key)).agg(sum(col("n")).as("__nc"))
+    val grid = spine
+      .join(rc, Seq(key, "bin"), "left").join(cc, Seq(key, "bin"), "left")
+      .join(rt, Seq(key), "left").join(ct, Seq(key), "left")
+      .select(col(key),
+        ((coalesce(col("__cr"), lit(0L)).cast("double") + 0.5) /
+          (coalesce(col("__nr"), lit(0L)).cast("double") + 0.5 * cells)).as("__p"),
+        ((coalesce(col("__cc"), lit(0L)).cast("double") + 0.5) /
+          (coalesce(col("__nc"), lit(0L)).cast("double") + 0.5 * cells)).as("__q"),
+        coalesce(col("__nr"), lit(0L)).as("__nr"),
+        coalesce(col("__nc"), lit(0L)).as("__nc"))
+    grid
+      .withColumn("__t", floor((col("__p") - col("__q")) *
+        log(col("__p") / col("__q")) * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+      .groupBy(col(key))
+      .agg((sum(col("__t")).cast("double") / 1073741824.0).as("psi"),
+        max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
+  }
 }
