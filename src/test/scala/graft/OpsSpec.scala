@@ -2295,6 +2295,41 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("gridHistogram properties: counts conserve, bins contain their values, edges clamp") {
+    import spark.implicits._
+    val lo = -3.7; val hi = 11.3; val bins = 7
+    val w = (hi - lo) / bins
+    // a sweep crossing every bin, both exact edges, the value one ulp
+    // under hi (the floor-rounds-up clamp case), and out-of-range mass
+    val vals = (0 to 600).map(i => lo - 2.0 + i * 0.03) ++
+      Seq(lo, hi, Math.nextDown(hi), lo - 1e-9, hi + 1e9)
+    val df = vals.toDF("v")
+    val hist = graft.ops.Profiling.gridHistogram(df, col("v"), lo, hi, bins)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3)))
+    // conservation: every non-null value lands in exactly one bin
+    assert(hist.map(_._4).sum == vals.size.toLong)
+    // finite bins contain exactly the values inside their edges
+    hist.filter(r => r._1 >= 0 && r._1 < bins).foreach {
+      case (b, Some(le), Some(he), n) =>
+        assert(le == lo + b * w && he == lo + (b + 1) * w,
+          s"bin $b edges: $le/$he")
+        val expect = vals.count(v => v >= le && v < he)
+        assert(n == expect, s"bin $b: $n vs $expect values in [$le,$he)")
+      case other => fail(s"finite bin with null edges: $other")
+    }
+    // exact edge semantics: lo -> bin 0, hi -> overflow, under/over
+    val m = hist.map(r => r._1 -> r._4).toMap
+    assert(m(-1L) == vals.count(_ < lo), s"underflow: $m")
+    assert(m(bins.toLong) == vals.count(_ >= hi), s"overflow: $m")
+    // the one-ulp-under-hi value stayed in bin bins-1 (clamp), never
+    // leaked into overflow by floating floor round-up
+    val topBin = hist.find(_._1 == (bins - 1).toLong).get
+    assert(topBin._4 >= 1, s"clamp case missing from the top bin: $topBin")
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
