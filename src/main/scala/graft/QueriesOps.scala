@@ -2087,6 +2087,19 @@ object QueriesOps {
         .orderBy(col("event_type"), col("wstart"))
     }),
 
+    // JSON sidecar-metadata extraction: typed fields out of the
+    // props blob via codegen get_json_object (no UDF), then ordinary
+    // aggregates over the extracted column
+    "x_props" -> ((s, d) =>
+      EventAnalytics.propExtract(t(s, d, "events"), col("props"),
+          Seq("k" -> ("$.k", "bigint")))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // most common 3-step opening paths: one user-partitioned window,
     // in-agg sort_array rebuild, partial-agg count + TakeOrdered
     "x_paths" -> ((s, d) =>
@@ -4230,6 +4243,14 @@ object QueriesOps {
         |  CAST(max(nr) AS BIGINT) AS n_ref,
         |  CAST(max(nc) AS BIGINT) AS n_cur
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_props" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

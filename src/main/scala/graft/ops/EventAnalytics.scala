@@ -223,4 +223,26 @@ object EventAnalytics {
       .withColumn("changed", col("cusum") > lit(h))
       .drop("__cum")
   }
+
+  /** Semi-structured metadata extraction: pull typed fields out of a
+    * JSON properties column (the crawl/event sidecar every real
+    * pipeline carries — request params, page metadata, client tags).
+    * `fields` maps output column name → (JSONPath, Spark cast type);
+    * extraction is `get_json_object` — a codegen'd projection, no
+    * UDF, no shuffle — and a malformed or missing path yields NULL
+    * (never a job failure: bad metadata is a data-quality signal to
+    * count, not a crash). Downstream groupBys then treat the
+    * extracted columns like any other — the point of pulling them
+    * OUT of the blob is that filters and aggregates on them
+    * predicate-push and codegen where raw-JSON probing per row
+    * wouldn't. */
+  def propExtract(df: DataFrame, props: Column,
+                  fields: Seq[(String, (String, String))]): DataFrame = {
+    require(fields.nonEmpty, "propExtract: declare at least one field")
+    fields.foldLeft(df) { case (d, (out, (path, tpe))) =>
+      // try_cast, not cast: under ANSI a non-numeric field value
+      // would fail the JOB — bad metadata must degrade to NULL
+      d.withColumn(out, get_json_object(props, path).try_cast(tpe))
+    }
+  }
 }

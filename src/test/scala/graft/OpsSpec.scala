@@ -2330,6 +2330,30 @@ class OpsSpec extends SparkTestBase {
     assert(topBin._4 >= 1, s"clamp case missing from the top bin: $topBin")
   }
 
+  test("propExtract types fields out of JSON and NULLs malformed metadata") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 42, "tag": "a", "score": 0.5}"""),
+      (2L, """{"k": "not-a-number", "tag": 7}"""),
+      (3L, """not json at all"""),
+      (4L, null.asInstanceOf[String])).toDF("id", "props")
+    val out = graft.ops.EventAnalytics.propExtract(df, col("props"), Seq(
+        "k" -> ("$.k", "bigint"),
+        "tag" -> ("$.tag", "string"),
+        "score" -> ("$.score", "double")))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getAs[String]("tag")),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(out(0) == ((1L, Some(42L), Some("a"), Some(0.5))))
+    // non-numeric k casts to NULL, numeric tag stringifies
+    assert(out(1) == ((2L, None, Some("7"), None)))
+    // malformed and NULL blobs yield NULL fields, never a failure
+    assert(out(2) == ((3L, None, None, None)))
+    assert(out(3) == ((4L, None, None, None)))
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
