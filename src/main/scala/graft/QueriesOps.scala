@@ -2087,6 +2087,30 @@ object QueriesOps {
         .orderBy(col("event_type"), col("wstart"))
     }),
 
+    // the DOWN twin: same three time-ordered folds with the batch
+    // operator's y = k - n (k=2, h=6) — x_cusum_down's oracle verbatim
+    "s_cusum_down" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cusumdstream").toString
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      def hourFloor(ms: Long) = (ms / 3600000L) * 3600000L
+      val cut1 = new java.sql.Timestamp(hourFloor(t0 + (t1 - t0) / 3))
+      val cut2 = new java.sql.Timestamp(hourFloor(t0 + 2 * (t1 - t0) / 3))
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cut1)),
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+        ev.filter(col("ts") >= lit(cut2)))
+      batches.zipWithIndex
+        .map { case (b, i) =>
+          graft.streaming.CusumStream.foldBatch(b, dir, i.toLong,
+            "1 hour", k = 2L, h = 6L,
+            direction = "down") }
+        .reduce(_.unionByName(_))
+        .orderBy(col("event_type"), col("wstart"))
+    }),
+
     // JSON sidecar-metadata extraction: typed fields out of the
     // props blob via codegen get_json_object (no UDF), then ordinary
     // aggregates over the extracted column
@@ -5451,6 +5475,27 @@ s"""WITH lines AS (
 
     // the down test replays with y = k - n (k=2, h=6)
     "x_cusum_down" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+        |sp AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+        |s AS (SELECT event_type, wstart, n,
+        |    sum(2 - n) OVER (PARTITION BY event_type ORDER BY wstart) AS cum
+        |  FROM f),
+        |m AS (SELECT event_type, wstart, n, cum,
+        |    least(0, min(cum) OVER (PARTITION BY event_type ORDER BY wstart)) AS mnc
+        |  FROM s)
+        |SELECT event_type, wstart, n, CAST(cum - mnc AS BIGINT) AS cusum,
+        |  (cum - mnc) > 6 AS changed
+        |FROM m ORDER BY event_type, wstart""".stripMargin,
+
+    // streaming down twin: row-identical trace, same replay
+    "s_cusum_down" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
         |    count(*) AS n
         |  FROM events GROUP BY 1, 2),

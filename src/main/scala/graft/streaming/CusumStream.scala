@@ -74,7 +74,10 @@ object CusumStream {
     * monitor's sink. Empty batches emit nothing and advance nothing. */
   def foldBatch(batch: DataFrame, dir: String, batchId: Long,
                 windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L,
-                spineOverride: Option[Long] = None): DataFrame = {
+                spineOverride: Option[Long] = None,
+                direction: String = "up"): DataFrame = {
+    require(direction == "up" || direction == "down",
+      s"cusumStream: direction must be 'up' or 'down' (got $direction)")
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
@@ -136,7 +139,9 @@ object CusumStream {
       var w = lastW + wMs
       while (w <= batchMax) {
         val n = windows.getOrElse(w, 0L)
-        s = math.max(0L, s + n - k)
+        // up: accumulate rises above k; down: stalls below k — the
+        // batch operator's y = ±(n − k), same recursion
+        s = math.max(0L, if (direction == "up") s + n - k else s + k - n)
         emitted += ((t, new java.sql.Timestamp(w), n, s, s > h))
         w += wMs
       }
@@ -187,10 +192,12 @@ object CusumStream {
     * idempotent-replay recipe the quality router uses). Start with
     * `.option("checkpointLocation", …).start()`. */
   def cusumSink(stream: DataFrame, stateDir: String, traceDir: String,
-                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L):
+                windowLen: String = "1 hour", k: Long = 4L, h: Long = 8L,
+                direction: String = "up"):
       org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      foldBatch(batch, stateDir, batchId, windowLen, k, h)
+      foldBatch(batch, stateDir, batchId, windowLen, k, h,
+          direction = direction)
         .write.mode("overwrite").parquet(s"$traceDir/batch_id=$batchId")
     }
 
