@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.EventAnalytics.cusumChangePoints]] whose emitted trace
   * is IDENTICAL, row for row, to running the batch operator over
   * everything seen so far: per event type, S advances one window at a
-  * time (S ← max(0, S + n − k)), silent windows between batches drain
-  * in closed form (g empty windows ⇒ S ← max(0, S − k·g), emitted
-  * individually so the trace stays complete), and a type first seen
+  * time (S ← max(0, S + n − k)), silent windows between batches are
+  * emitted individually so the trace stays complete (under "up" they
+  * drain S by k each; under direction="down" they GROW it — silence
+  * is the stall signal that alarm exists for), and a type first seen
   * mid-stream is back-filled with zero-count windows from the spine
   * start — exactly the gap-filled spine the batch operator generates.
   * That identity is the contract: s_cusum's batch twin folds three
@@ -166,9 +167,12 @@ object CusumStream {
     * nShards filtered profile scans and unpersisted after. */
   def foldBatchSharded(batch: DataFrame, dir: String, batchId: Long,
                        nShards: Int, windowLen: String = "1 hour",
-                       k: Long = 4L, h: Long = 8L): DataFrame = {
+                       k: Long = 4L, h: Long = 8L,
+                       direction: String = "up"): DataFrame = {
     require(nShards >= 1, s"cusumStream: nShards=$nShards must be >= 1")
-    if (nShards == 1) return foldBatch(batch, dir, batchId, windowLen, k, h)
+    if (nShards == 1)
+      return foldBatch(batch, dir, batchId, windowLen, k, h,
+        direction = direction)
     batch.persist()
     try {
       val mn = batch
@@ -180,7 +184,7 @@ object CusumStream {
         foldBatch(
           batch.filter(
             pmod(xxhash64(col("event_type")), lit(nShards)) === lit(i)),
-          s"$dir/shard=$i", batchId, windowLen, k, h, spine)
+          s"$dir/shard=$i", batchId, windowLen, k, h, spine, direction)
       }.reduce(_.unionByName(_))
     } finally {
       batch.unpersist(); ()
@@ -204,10 +208,12 @@ object CusumStream {
   /** Sharded stream form — [[foldBatchSharded]] behind foreachBatch. */
   def cusumSinkSharded(stream: DataFrame, stateDir: String, traceDir: String,
                        nShards: Int, windowLen: String = "1 hour",
-                       k: Long = 4L, h: Long = 8L):
+                       k: Long = 4L, h: Long = 8L,
+                       direction: String = "up"):
       org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      foldBatchSharded(batch, stateDir, batchId, nShards, windowLen, k, h)
+      foldBatchSharded(batch, stateDir, batchId, nShards, windowLen, k, h,
+        direction)
         .write.mode("overwrite").parquet(s"$traceDir/batch_id=$batchId")
     }
 }
