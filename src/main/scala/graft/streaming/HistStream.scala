@@ -246,6 +246,22 @@ object HistStream {
       .select(keyName, "bin", "lo_edge", "hi_edge", "n")
   }
 
+  /** Per-stratum drift between two keyed standing monitors:
+    * [[graft.ops.Profiling.histPsiBy]] over the two standing keyed
+    * grids — one PSI row per key, grid-sized work. Grids must match. */
+  def standingPsiBy(spark: SparkSession, refDir: String, curDir: String,
+                    keyName: String = "key"): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (lo1, hi1, b1, _, _) = readStateBy(conf, refDir)
+    val (lo2, hi2, b2, _, _) = readStateBy(conf, curDir)
+    require(b1 > 0 && b2 > 0, "histStream: missing standing state")
+    require(lo1 == lo2 && hi1 == hi2 && b1 == b2,
+      s"histStream: grids differ — ref ($lo1,$hi1,$b1) vs cur ($lo2,$hi2,$b2)")
+    graft.ops.Profiling.histPsiBy(
+      standingHistogramBy(spark, refDir, keyName),
+      standingHistogramBy(spark, curDir, keyName), keyName, b1)
+  }
+
   /** Standing per-key quantiles —
     * [[graft.ops.Profiling.histQuantilesBy]] over the standing
     * counts: (key, p, est, rank, bin). */

@@ -706,6 +706,34 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("grids differ"))
   }
 
+  test("standingPsiBy: per-key drift between keyed standing grids equals batch histPsiBy") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_histpsiby").toString
+    val refDir = s"$base/ref"; val curDir = s"$base/cur"
+    val ref = ((1 to 200).map(i => ("en", (i % 100).toDouble)) ++
+      (1 to 100).map(i => ("de", (i % 50).toDouble))).toDF("k", "v")
+    // en drifts (shifted), de stays identical
+    val cur = ((1 to 200).map(i => ("en", (i % 100) + 40.0)) ++
+      (1 to 100).map(i => ("de", (i % 50).toDouble))).toDF("k", "v")
+    graft.streaming.HistStream.foldBatchBy(ref, col("k"), col("v"),
+      0.0, 200.0, 20, refDir, 0L)
+    graft.streaming.HistStream.foldBatchBy(cur, col("k"), col("v"),
+      0.0, 200.0, 20, curDir, 0L)
+    val standing = graft.streaming.HistStream.standingPsiBy(s, refDir, curDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.ops.Profiling.histPsiBy(
+        graft.ops.Profiling.gridHistogramBy(
+          ref.withColumnRenamed("k", "key"), Seq("key"), col("v"), 0.0, 200.0, 20),
+        graft.ops.Profiling.gridHistogramBy(
+          cur.withColumnRenamed("k", "key"), Seq("key"), col("v"), 0.0, 200.0, 20),
+        "key", 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(standing == batch, s"standing $standing != batch $batch")
+    assert(standing("de") == 0.0, s"identical stratum must read exactly 0: $standing")
+    assert(standing("en") > 0.1, s"shifted stratum must drift: $standing")
+  }
+
   test("heavy-hitter sink folds micro-batches into one standing MG summary") {
     val s = spark
     import s.implicits._
