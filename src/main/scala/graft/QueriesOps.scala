@@ -559,6 +559,16 @@ object QueriesOps {
         .select(col("a"), col("b"), col("dist"))
         .orderBy(col("a"), col("b"))),
 
+    // sorted-neighborhood blocking (merge/purge windowing): the
+    // shared-prefix complement to SymSpell deletion blocking — one
+    // distributed rowid sort, (w-1)-way offset explode, one rowid
+    // equi-join; the oracle replays ordering, window, and distances
+    "x_fuzzy_sn" -> ((s, d) =>
+      FuzzyJoin.sortedNeighborhoodPairs(t(s, d, "customer"),
+          "c_custkey", "c_name", window = 4, maxDist = 2)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy(col("a"), col("b"))),
+
     // dictionary-correction form: probes are customer names with one
     // deterministically-deleted character (position c_custkey % 18),
     // matched back to the registry within distance 1 — every probe
@@ -6493,6 +6503,22 @@ s"""WITH lines AS (
         |      FROM v l JOIN v r USING (k) WHERE l.id < r.id)
         |SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
         |FROM p WHERE levenshtein(s_a, s_b) <= 1 ORDER BY a, b""".stripMargin,
+
+    "x_fuzzy_sn" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS s,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rid
+        |  FROM customer WHERE c_name IS NOT NULL),
+        |p0 AS (SELECT l.id AS ida, l.s AS sa, r2.id AS idb, r2.s AS sb
+        |  FROM r l JOIN r r2
+        |    ON r2.rid > l.rid AND r2.rid <= l.rid + 3),
+        |p AS (SELECT DISTINCT
+        |    CASE WHEN ida < idb THEN ida ELSE idb END AS a,
+        |    CASE WHEN ida < idb THEN idb ELSE ida END AS b,
+        |    CASE WHEN ida < idb THEN sa ELSE sb END AS s_a,
+        |    CASE WHEN ida < idb THEN sb ELSE sa END AS s_b
+        |  FROM p0)
+        |SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM p WHERE levenshtein(s_a, s_b) <= 2 ORDER BY a, b""".stripMargin,
 
     "x_fuzzy_lookup" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),

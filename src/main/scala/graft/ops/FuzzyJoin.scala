@@ -84,6 +84,56 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
   }
 
+  /** Sorted-neighborhood blocking self-join (Hernández & Stolfo's
+    * merge/purge windowing): sort the registry by the string key
+    * (then id for tie determinism), give each row a distributed
+    * rowid, pair every row with its `window − 1` successors, and keep
+    * the pairs within Levenshtein `maxDist`. The classic complement
+    * to SymSpell deletion blocking ([[editDistanceSelfJoin]]): the
+    * deletion scheme is exact for its radius but bounded to d ≤ 2;
+    * the sorted window catches shared-prefix variants at ANY edit
+    * distance the filter allows, at the cost of missing pairs whose
+    * edits change the sort prefix (run BOTH and union pairs for the
+    * production merge/purge recall — each is one cheap pass).
+    *
+    * Scale shape: ONE range-partitioned sort
+    * ([[graft.core.Tibble.rowidToColumn]]'s distributed rowid — no
+    * single-partition window), a (window−1)-way offset explode, and
+    * ONE rowid equi-join — work is corpus × window, never all-pairs,
+    * with no skew hazard (rowids are unique by construction, so no
+    * bucket can run hot). Output: (a, b, s_a, s_b, dist), a < b. */
+  def sortedNeighborhoodPairs(df: DataFrame, id: String, s: String,
+                              window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2 && window <= 1024,
+      s"sortedNeighborhoodPairs: window=$window outside 2..1024")
+    require(maxDist >= 1, s"sortedNeighborhoodPairs: maxDist=$maxDist must be >= 1")
+    val ranked = graft.core.Tibble.rowidToColumn(
+      df.select(col(id).as("__id"), col(s).as("__s"))
+        .filter(col("__s").isNotNull),
+      Seq(col("__s"), col("__id")), "__rid")
+    val left = ranked
+      .select(col("__id").as("__ida"), col("__s").as("__sa"), col("__rid"),
+        explode(sequence(lit(1), lit(window - 1))).as("__j"))
+      .select(col("__ida"), col("__sa"),
+        (col("__rid") + col("__j")).as("__rid"))
+    left.join(
+        ranked.select(col("__id").as("__idb"), col("__s").as("__sb"),
+          col("__rid")),
+        Seq("__rid"))
+      .select(
+        when(col("__ida") < col("__idb"), col("__ida"))
+          .otherwise(col("__idb")).as("a"),
+        when(col("__ida") < col("__idb"), col("__idb"))
+          .otherwise(col("__ida")).as("b"),
+        when(col("__ida") < col("__idb"), col("__sa"))
+          .otherwise(col("__sb")).as("s_a"),
+        when(col("__ida") < col("__idb"), col("__sb"))
+          .otherwise(col("__sa")).as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+  }
+
   /** Bipartite lookup: every left row matched to the right rows within
     * Levenshtein distance `maxDist` — the dictionary-correction /
     * registry-matching form (left = dirty probes, right = canonical

@@ -2354,6 +2354,40 @@ class OpsSpec extends SparkTestBase {
     assert(out(3) == ((4L, None, None, None)))
   }
 
+  test("sortedNeighborhoodPairs equals brute force restricted to the sort window") {
+    import spark.implicits._
+    val names = Seq((1L, "smith john"), (2L, "smith jon"), (3L, "smith johnn"),
+      (4L, "smyth john"), (5L, "adams mary"), (6L, "adams marie"),
+      (7L, "zzz outlier"), (8L, "adams mary"))
+    val df = names.toDF("id", "s")
+    val got = graft.ops.FuzzyJoin
+      .sortedNeighborhoodPairs(df, "id", "s", window = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // brute-force reference: rank by (s, id), pair within the window,
+    // filter by true edit distance
+    val ranked = names.sortBy(n => (n._2, n._1)).zipWithIndex
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      ((ia, sa), ra) <- ranked; ((ib, sb), rb) <- ranked
+      if rb > ra && rb <= ra + 2
+      dist = lev(sa, sb) if dist <= 2
+    } yield (math.min(ia, ib), math.max(ia, ib), dist)).toSet
+    assert(got == expect, s"window pairs:\n$got\nvs brute\n$expect")
+    // well-formed: a < b, dist within bound; the exact duplicate pair
+    // (5, 8) "adams mary" surfaces at distance 0
+    assert(got.forall(p => p._1 < p._2 && p._3 <= 2))
+    assert(got.contains((5L, 8L, 0)), s"exact dup must pair: $got")
+    // the isolated sort neighborhood contributes nothing
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
