@@ -569,6 +569,14 @@ object QueriesOps {
         .select(col("a"), col("b"), col("dist"))
         .orderBy(col("a"), col("b"))),
 
+    // multi-pass merge/purge: deletion blocking ∪ sort-window pairs —
+    // the production recall recipe (each pass misses what the other
+    // catches); oracle replays both passes and the distinct union
+    "x_fuzzy_mp" -> ((s, d) =>
+      FuzzyJoin.mergePurgePairs(t(s, d, "customer"), "c_custkey", "c_name",
+          window = 4, maxDist = 1)
+        .orderBy(col("a"), col("b"))),
+
     // dictionary-correction form: probes are customer names with one
     // deterministically-deleted character (position c_custkey % 18),
     // matched back to the registry within distance 1 — every probe
@@ -6503,6 +6511,32 @@ s"""WITH lines AS (
         |      FROM v l JOIN v r USING (k) WHERE l.id < r.id)
         |SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
         |FROM p WHERE levenshtein(s_a, s_b) <= 1 ORDER BY a, b""".stripMargin,
+
+    "x_fuzzy_mp" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |pd AS (SELECT DISTINCT l.id AS a, r.id AS b, l.s AS s_a, r.s AS s_b
+        |      FROM v l JOIN v r USING (k) WHERE l.id < r.id),
+        |rr AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rid
+        |  FROM c WHERE s IS NOT NULL),
+        |p0 AS (SELECT l.id AS ida, l.s AS sa, r2.id AS idb, r2.s AS sb
+        |  FROM rr l JOIN rr r2 ON r2.rid > l.rid AND r2.rid <= l.rid + 3),
+        |ps AS (SELECT DISTINCT
+        |    CASE WHEN ida < idb THEN ida ELSE idb END AS a,
+        |    CASE WHEN ida < idb THEN idb ELSE ida END AS b,
+        |    CASE WHEN ida < idb THEN sa ELSE sb END AS s_a,
+        |    CASE WHEN ida < idb THEN sb ELSE sa END AS s_b
+        |  FROM p0),
+        |u AS (
+        |  SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |  FROM pd WHERE levenshtein(s_a, s_b) <= 1
+        |  UNION
+        |  SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |  FROM ps WHERE levenshtein(s_a, s_b) <= 1)
+        |SELECT a, b, dist FROM u ORDER BY a, b""".stripMargin,
 
     "x_fuzzy_sn" ->
       """WITH r AS (SELECT c_custkey AS id, c_name AS s,

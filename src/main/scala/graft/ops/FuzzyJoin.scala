@@ -134,6 +134,25 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
   }
 
+  /** Production merge/purge pair generation: the UNION of the two
+    * blocking passes — [[editDistanceSelfJoin]] (deletion blocking:
+    * exact within its d ≤ 2 radius, order-insensitive) and
+    * [[sortedNeighborhoodPairs]] (sort-window: shared-prefix variants
+    * at any filterable distance, plus anything a hot-bucket cap
+    * dropped from the deletion pass). Each pass is one cheap
+    * linear-ish scan; their union is the standard multi-pass
+    * merge/purge recall recipe. Output: (a, b, dist), a < b,
+    * distinct. */
+  def mergePurgePairs(df: DataFrame, id: String, s: String,
+                      window: Int, maxDist: Int,
+                      maxBucket: Int = 1000): DataFrame =
+    editDistanceSelfJoin(df, id, s, maxDist, maxBucket)
+      .select(col("a"), col("b"), col("dist"))
+      .unionByName(
+        sortedNeighborhoodPairs(df, id, s, window, maxDist)
+          .select(col("a"), col("b"), col("dist")))
+      .distinct()
+
   /** Bipartite lookup: every left row matched to the right rows within
     * Levenshtein distance `maxDist` — the dictionary-correction /
     * registry-matching form (left = dirty probes, right = canonical
