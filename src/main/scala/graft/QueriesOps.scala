@@ -607,6 +607,18 @@ object QueriesOps {
         .orderBy(col("id"))
     }),
 
+    // merge/purge ER end-to-end: the pluggable-blocking form fed the
+    // union-of-passes pair frame; closure + canonical election as in
+    // x_entity_res, fully replayed including the second blocking pass
+    "x_entity_res_mp" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      FuzzyJoin.resolveEntitiesFromPairs(c, "id", "s",
+          FuzzyJoin.mergePurgePairs(c, "id", "s", window = 4, maxDist = 1),
+          pref = length(col("s")))
+        .orderBy(col("id"))
+    }),
+
     // ---- text analysis --------------------------------------------------
     "x_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -6602,6 +6614,46 @@ s"""WITH lines AS (
         |  cnt.n_members, (scored.id = reps.canonical_id) AS is_canonical
         |FROM scored JOIN reps USING (entity_id) JOIN cnt USING (entity_id)
         |ORDER BY scored.id""".stripMargin,
+
+    // merge/purge pair frame swapped into the same closure replay
+    "x_entity_res_mp" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |rr AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rid
+        |  FROM c WHERE s IS NOT NULL),
+        |p AS (SELECT DISTINCT a, b FROM (
+        |      SELECT l.id AS a, r.id AS b
+        |      FROM v l JOIN v r USING (k)
+        |      WHERE l.id < r.id AND levenshtein(l.s, r.s) <= 1
+        |      UNION
+        |      SELECT CASE WHEN l.id < r2.id THEN l.id ELSE r2.id END AS a,
+        |             CASE WHEN l.id < r2.id THEN r2.id ELSE l.id END AS b
+        |      FROM rr l JOIN rr r2
+        |        ON r2.rid > l.rid AND r2.rid <= l.rid + 3
+        |      WHERE levenshtein(l.s, r2.s) <= 1)),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b),
+        |cl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |scored AS (SELECT c.id, c.s, coalesce(cl.cluster_id, c.id) AS entity_id,
+        |    length(c.s) AS pref
+        |  FROM c LEFT JOIN cl USING (id)),
+        |reps AS (SELECT entity_id, id AS canonical_id, s AS canonical_s FROM (
+        |    SELECT entity_id, id, s,
+        |      row_number() OVER (PARTITION BY entity_id ORDER BY pref DESC, id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |cnt AS (SELECT entity_id, count(*) AS n_members FROM scored GROUP BY 1)
+        |SELECT scored.id, scored.entity_id, reps.canonical_id, reps.canonical_s,
+        |  cnt.n_members, (scored.id = reps.canonical_id) AS is_canonical
+        |FROM scored JOIN reps USING (entity_id) JOIN cnt USING (entity_id)
+        |ORDER BY scored.id""".stripMargin,
+
 
     // both retrieval directions, the decimal-exact penalties, the
     // margin division, and the max_by(margin, tgt_id) argmax replay;

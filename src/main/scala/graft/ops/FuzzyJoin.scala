@@ -201,8 +201,19 @@ object FuzzyJoin {
     * Output: (id, entity_id, canonical_id, canonical_s, n_members,
     * is_canonical). */
   def resolveEntities(df: DataFrame, id: String, s: String, maxDist: Int,
-                      pref: Column, maxBucket: Int = 1000): DataFrame = {
-    val pairs = editDistanceSelfJoin(df, id, s, maxDist, maxBucket)
+                      pref: Column, maxBucket: Int = 1000): DataFrame =
+    resolveEntitiesFromPairs(df, id, s,
+      editDistanceSelfJoin(df, id, s, maxDist, maxBucket), pref)
+
+  /** The closure+canonicalization half with CALLER-SUPPLIED pairs —
+    * the pluggable-blocking form: feed [[mergePurgePairs]] for the
+    * multi-pass merge/purge recall, [[sortedNeighborhoodPairs]]
+    * alone, or any candidate frame carrying (a, b) id columns (e.g.
+    * MinHash pairs when the match key is long text, or a union with
+    * manually-curated links). Same transitive closure and
+    * (pref, lowest-id) canonical election as [[resolveEntities]]. */
+  def resolveEntitiesFromPairs(df: DataFrame, id: String, s: String,
+                               pairs: DataFrame, pref: Column): DataFrame = {
     val clusters = Dedup.dedupClusters(pairs.select(col("a"), col("b")))
       .withColumnRenamed("doc_id", id)
     val repped = Dedup.clusterRepresentatives(df, id, clusters, pref)
