@@ -1688,6 +1688,14 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // Benford first-digit audit over order totals (as exact cents):
+    // the synthetic-data/unit-bug tripwire — 9-key partial agg,
+    // full-precision expected-share literals, fixed-point MAD
+    "x_benford" -> ((s, d) =>
+      Profiling.benford(t(s, d, "orders"),
+          floor(col("o_totalprice") * lit(100.0)))
+        .orderBy(col("digit"))),
+
     // median/MAD robust z outlier flags: two exact-median sorts, all
     // arithmetic engine-exact (no stddev, no rounding)
     "x_mad" -> ((s, d) =>
@@ -4305,6 +4313,38 @@ object QueriesOps {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_benford" -> {
+      // expected-share literals from the SAME JVM libm as the plan's,
+      // spelled as exact power-of-two fractions: m / 2^k with both
+      // operands < 2^63 is an EXACT division in any engine, where a
+      // plain decimal literal routes through DuckDB's DECIMAL type
+      // and can land 1 ulp off
+      def dblFrac(x: Double): String = {
+        var v = x; var k = 0
+        while (v != math.floor(v) && k < 1100) { v *= 2.0; k += 1 }
+        s"(CAST(${v.toLong} AS DOUBLE) / " +
+          s"CAST(${java.math.BigInteger.valueOf(2).pow(k)} AS DOUBLE))"
+      }
+      val spine = (1 to 9).map(d =>
+        s"SELECT $d AS digit, ${dblFrac(math.log10(1.0 + 1.0 / d))} AS exp_p")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v
+        |  FROM orders),
+        |c AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM v WHERE v > 0 GROUP BY 1),
+        |t AS (SELECT sum(n) AS t FROM c),
+        |sp AS ($spine),
+        |g AS (SELECT sp.digit, coalesce(c.n, 0) AS n,
+        |    CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) AS obs_p,
+        |    sp.exp_p
+        |  FROM sp LEFT JOIN c USING (digit), t),
+        |m AS (SELECT (CAST(sum(CAST(floor(abs(obs_p - exp_p) * 1073741824.0 + 0.5)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0) / 9.0 AS mad FROM g)
+        |SELECT g.digit, CAST(g.n AS BIGINT) AS n, g.obs_p, g.exp_p, m.mad
+        |FROM g, m ORDER BY g.digit""".stripMargin
+    },
 
     "x_mad" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -1082,4 +1082,54 @@ object Profiling {
       .agg((sum(col("__t")).cast("double") / 1073741824.0).as("psi"),
         max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"))
   }
+
+  /** Benford's-law first-digit audit — the classic synthetic-data /
+    * fraud / unit-bug tripwire for naturally-scaled positive
+    * quantities (prices, populations, token counts): organic
+    * multi-scale data puts ~30.1% of first digits at 1, falling to
+    * ~4.6% at 9; uniform or fabricated data reads flat. Input must be
+    * an INTEGRAL column (cast money to cents with floor first —
+    * integer→string is byte-identical across engines, where
+    * double→string and log10-based digit extraction are not);
+    * non-positive values are excluded. ONE partial-agg groupBy over
+    * ≤ 9 keys; the expected shares are plan-time literals
+    * (log10(1 + 1/d), printed at full precision so any engine parses
+    * the identical doubles) and the MAD (mean |obs − exp| over all 9
+    * digits, absent digits counted at 0) crosses the fixed-point
+    * grid, [[psi]]'s order-invariance recipe.
+    * Output: (digit 1..9, n, obs_p, exp_p, mad) — mad repeated on
+    * every row for one-frame reading; MAD > ~0.015 is Nigrini's
+    * "nonconformity" line. */
+  def benford(df: DataFrame, x: Column): DataFrame = {
+    val digits = (1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d)))
+    val v = x.cast("long")
+    val counts = df.filter(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spineRows = digits.map { case (d, e) =>
+      s"SELECT $d AS digit, CAST(${fullPrec(e)} AS DOUBLE) AS exp_p" }
+    val spine = df.sparkSession.sql(spineRows.mkString(" UNION ALL "))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val grid = spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("__t").cast("double")).as("obs_p"),
+        col("exp_p"))
+    val madRow = grid
+      .withColumn("__g", floor(abs(col("obs_p") - col("exp_p"))
+        * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+      .agg(((sum(col("__g")).cast("double") / 1073741824.0) / 9.0).as("mad"))
+    grid.crossJoin(broadcast(madRow))
+  }
+
+  /** Full-precision double literal (round-trip exact): the shortest
+    * repr Java prints re-parses to the identical double in ANY
+    * engine's literal parser. */
+  private def fullPrec(d: Double): String = {
+    val s = d.toString
+    require(s.toDouble == d, s"fullPrec: $s does not round-trip")
+    s
+  }
 }

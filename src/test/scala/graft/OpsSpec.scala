@@ -2388,6 +2388,33 @@ class OpsSpec extends SparkTestBase {
     assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
   }
 
+  test("benford: conservation, expected shares, and the flat-data alarm") {
+    import spark.implicits._
+    // log-uniform-ish data (1..9999 powers spread) conforms; uniform
+    // 5-digit data does not
+    val conforming = (1 to 2000).map(i =>
+      math.floor(math.pow(10.0, (i % 1000) / 250.0)).toLong).toDF("v")
+    val out = graft.ops.Profiling.benford(conforming, col("v"))
+      .orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 9 && out.map(_._1).toSeq == (1 to 9))
+    assert(out.map(_._2).sum == 2000L, "every positive value counted once")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-12, "observed shares sum to 1")
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12, "benford shares sum to 1")
+    assert(out.map(_._5).distinct.length == 1, "one MAD broadcast to all rows")
+    assert(out.head._5 < 0.015, s"log-spread data conforms: ${out.head._5}")
+    // uniform 10000..99999: every first digit equally likely -> flat
+    val flat = (10000 to 29999).map(_.toLong).toDF("v")
+    val mad = graft.ops.Profiling.benford(flat, col("v"))
+      .collect()(0).getDouble(4)
+    assert(mad > 0.05, s"uniform data must alarm: $mad")
+    // zero/negative rows are excluded, not crashed on
+    val mixed = Seq(-5L, 0L, 123L, 456L).toDF("v")
+    assert(graft.ops.Profiling.benford(mixed, col("v"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 2L)
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
