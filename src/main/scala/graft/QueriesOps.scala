@@ -1688,6 +1688,13 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // per-priority Benford audit: the slice-level tripwire — one
+    // digit distribution + MAD per stratum
+    "x_benford_by" -> ((s, d) =>
+      Profiling.benfordBy(t(s, d, "orders"), "o_orderpriority",
+          floor(col("o_totalprice") * lit(100.0)))
+        .orderBy(col("o_orderpriority"), col("digit"))),
+
     // Benford first-digit audit over order totals (as exact cents):
     // the synthetic-data/unit-bug tripwire — 9-key partial agg,
     // full-precision expected-share literals, fixed-point MAD
@@ -4313,6 +4320,38 @@ object QueriesOps {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x_benford_by" -> {
+      def dblFrac(x: Double): String = {
+        var v = x; var k = 0
+        while (v != math.floor(v) && k < 1100) { v *= 2.0; k += 1 }
+        s"(CAST(${v.toLong} AS DOUBLE) / " +
+          s"CAST(${java.math.BigInteger.valueOf(2).pow(k)} AS DOUBLE))"
+      }
+      val spine = (1 to 9).map(d =>
+        s"SELECT $d AS digit, ${dblFrac(math.log10(1.0 + 1.0 / d))} AS exp_p")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT o_orderpriority AS k,
+        |    CAST(floor(o_totalprice * 100.0) AS BIGINT) AS v FROM orders),
+        |c AS (SELECT k, CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM v WHERE v > 0 GROUP BY 1, 2),
+        |t AS (SELECT k, sum(n) AS t FROM c GROUP BY 1),
+        |dsp AS ($spine),
+        |sp AS (SELECT DISTINCT c.k, dsp.digit, dsp.exp_p FROM c, dsp),
+        |g AS (SELECT sp.k, sp.digit, coalesce(c.n, 0) AS n,
+        |    CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.t AS DOUBLE) AS obs_p,
+        |    sp.exp_p
+        |  FROM sp LEFT JOIN c USING (k, digit) JOIN t USING (k)),
+        |m AS (SELECT k,
+        |    (CAST(sum(CAST(floor(abs(obs_p - exp_p) * 1073741824.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0) / 9.0 AS mad
+        |  FROM g GROUP BY k)
+        |SELECT g.k AS o_orderpriority, g.digit, CAST(g.n AS BIGINT) AS n,
+        |  g.obs_p, g.exp_p, m.mad
+        |FROM g JOIN m USING (k)
+        |ORDER BY o_orderpriority, digit""".stripMargin
+    },
 
     "x_benford" -> {
       // expected-share literals from the SAME JVM libm as the plan's,

@@ -1132,4 +1132,37 @@ object Profiling {
     require(s.toDouble == d, s"fullPrec: $s does not round-trip")
     s
   }
+
+  /** Per-stratum [[benford]]: one audit row set per key (per source,
+    * per supplier, per ingestion batch) — the slice where fabricated
+    * or unit-bugged data actually hides when the corpus-level digits
+    * still conform. Same integral-input contract, 9·|keys|-bounded
+    * aggregation, plan-time expected-share literals, and fixed-point
+    * per-key MAD. Output: (key, digit, n, obs_p, exp_p, mad). */
+  def benfordBy(df: DataFrame, key: String, x: Column): DataFrame = {
+    val digits = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+    val v = x.cast("long")
+    val counts = df.filter(v > 0)
+      .select(col(key),
+        substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(key, "digit").agg(count(lit(1)).as("n"))
+    val digitRows = digits.map { case (d, e) =>
+      s"SELECT $d AS digit, CAST(${fullPrec(e)} AS DOUBLE) AS exp_p" }
+    val dspine = df.sparkSession.sql(digitRows.mkString(" UNION ALL "))
+    val spine = counts.select(col(key)).distinct().crossJoin(broadcast(dspine))
+    val totals = counts.groupBy(key).agg(sum(col("n")).as("__t"))
+    val grid = spine.join(counts, Seq(key, "digit"), "left")
+      .join(totals, Seq(key))
+      .select(col(key), col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("__t").cast("double")).as("obs_p"),
+        col("exp_p"))
+    val mads = grid
+      .withColumn("__g", floor(abs(col("obs_p") - col("exp_p"))
+        * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+      .groupBy(key)
+      .agg(((sum(col("__g")).cast("double") / 1073741824.0) / 9.0).as("mad"))
+    grid.join(broadcast(mads), Seq(key))
+      .select(key, "digit", "n", "obs_p", "exp_p", "mad")
+  }
 }
