@@ -414,6 +414,21 @@ object QueriesOps {
         .orderBy(col("vec_id"))
     }),
 
+    // NDCG@10 of the LSH retrieval vs brute truth — the standard
+    // graded ranking metric beside recall@k (position-blind) and RBO;
+    // discount weights are 2^-30-grid plan literals so the DCG sum is
+    // integer addition, order-invariant in any engine
+    "x_ndcg" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+      Similarity.ndcgAtK(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10),
+        Similarity.lshTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10, nPlanes = 8),
+        k = 10).orderBy(col("query_id"))
+    }),
+
     // rank-biased overlap (p=1/2, exact dyadic weights) between the
     // LSH retrieval's ranking and brute-force truth — the top-heavy
     // ranking-agreement read recall@k can't give
@@ -6497,6 +6512,64 @@ s"""WITH lines AS (
     // recall@k: brute-force ground truth (rawcos ranking) vs the
     // multi-query LSH replay (same single-chunk SRP buckets as
     // x_ann_lsh, per-query hamming-1 probes + per-query window)
+    "x_ndcg" -> {
+      val wq = (1 to 10).map(r => math.floor(
+        1.0 / (math.log(r + 1.0) / math.log(2.0)) * 1073741824.0 + 0.5).toLong)
+      val wSpine = wq.zipWithIndex.map { case (x, i) =>
+        s"SELECT ${i + 1} AS rk, CAST($x AS BIGINT) AS wq" }
+        .mkString(" UNION ALL ")
+      val pfx = wq.scanLeft(0L)(_ + _).tail
+      val pSpine = pfx.zipWithIndex.map { case (x, i) =>
+        s"SELECT ${i + 1} AS t, CAST($x AS BIGINT) AS pq" }
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 10),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |pr AS (SELECT q.query_id, q.qv,
+        |    unnest([b.bucket] || list_transform(range(0, 8),
+        |      p -> xor(b.bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket
+        |  FROM qs q JOIN b ON q.query_id = b.vec_id),
+        |cand AS (SELECT pr.query_id, e.vec_id,
+        |    list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |gotr AS (SELECT query_id, vec_id AS neighbor_id, rk FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rawcos DESC, vec_id) AS rk
+        |    FROM cand) WHERE rk <= 10),
+        |w AS ($wSpine),
+        |px AS ($pSpine),
+        |ts AS (SELECT query_id, count(*) AS t FROM truth GROUP BY 1),
+        |dcg AS (SELECT g.query_id,
+        |    CAST(sum(CASE WHEN tr.neighbor_id IS NOT NULL THEN w.wq
+        |      ELSE 0 END) AS DOUBLE) / 1073741824.0 AS dcg
+        |  FROM gotr g JOIN w ON g.rk = w.rk
+        |  LEFT JOIN truth tr ON g.query_id = tr.query_id
+        |    AND g.neighbor_id = tr.neighbor_id
+        |  GROUP BY g.query_id)
+        |SELECT ts.query_id, coalesce(dcg.dcg, 0.0) AS dcg,
+        |  CAST(px.pq AS DOUBLE) / 1073741824.0 AS idcg,
+        |  coalesce(dcg.dcg, 0.0) / (CAST(px.pq AS DOUBLE) / 1073741824.0) AS ndcg
+        |FROM ts LEFT JOIN dcg USING (query_id)
+        |JOIN px ON px.t = least(ts.t, 10)
+        |ORDER BY ts.query_id""".stripMargin
+    },
+
     "x_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

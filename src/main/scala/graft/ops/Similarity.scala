@@ -240,6 +240,50 @@ object Similarity {
       bruteForceTopKJoin(corpus, cid, cvec, queries, qid, qvec, k),
       lshTopKJoin(corpus, cid, cvec, queries, qid, qvec, k, nPlanes))
 
+  /** NDCG@k of a retrieval against a ground-truth set — the standard
+    * graded ranking metric next to [[recallAtK]] (position-blind) and
+    * [[rbo]] (rank agreement between two rankings): binary relevance
+    * from the truth set, DCG = sum over hits of 1/log2(rank+1), ideal
+    * DCG = the same weights over min(k, |truth|) top positions. The
+    * discount weights are PLAN-TIME JVM literals (k of them) looked
+    * up by rank — no runtime log in the hot path and no libm parity
+    * lottery: the oracle replays them as exact power-of-two
+    * fractions. Inputs carry (query_id, neighbor_id[, rank]) — ranks
+    * 1..k on the retrieved side, the convention every retrieval here
+    * emits. Work is result-set-sized.
+    * Output: (query_id, dcg, idcg, ndcg). */
+  def ndcgAtK(truth: DataFrame, retrieved: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k=$k outside 1..1000")
+    // weights quantized to the 2^-30 grid as plan-time LONGS: the DCG
+    // sum becomes integer addition (order-invariant in any engine),
+    // dcg = sum/2^30 and the ideal prefix sums are exact doubles
+    // (multiples of 2^-30 well under 2^53) — a float weight sum would
+    // ride the partial-agg ordering lottery
+    val wq = (1 to k).map(r => (r.toLong,
+      math.floor(1.0 / (math.log(r + 1.0) / math.log(2.0))
+        * 1073741824.0 + 0.5).toLong))
+    val wMap = map(wq.flatMap { case (r, x) => Seq(lit(r), lit(x)) }: _*)
+    val hits = retrieved
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(truth.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(when(col("__hit").isNotNull,
+          element_at(wMap, col("rank"))).otherwise(lit(0L))).cast("double")
+        / 1073741824.0).as("dcg"))
+    val prefix = wq.scanLeft(0L) { case (acc, (_, x)) => acc + x }.tail
+    val pMap = map(prefix.zipWithIndex.flatMap { case (x, i) =>
+      Seq(lit((i + 1).toLong), lit(x.toDouble / 1073741824.0)) }: _*)
+    val truthSizes = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__t"))
+    truthSizes.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        element_at(pMap, least(col("__t"), lit(k.toLong))).as("idcg"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two retrievals'
     * rankings, per query — the top-weighted ranking-agreement read
     * that recall@k misses (recall treats rank 1 and rank k the same;

@@ -2415,6 +2415,32 @@ class OpsSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 2L)
   }
 
+  test("ndcgAtK: perfect retrieval reads exactly 1, misses discount by position") {
+    import spark.implicits._
+    val truth = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 10L), (1L, 11L), (1L, 12L)).toDF("query_id", "neighbor_id")
+    // query 0 retrieves the truth in order; query 1 gets the top hit
+    // wrong but hits at ranks 2,3
+    val ret = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 99L, 1L), (1L, 10L, 2L), (1L, 11L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.ndcgAtK(truth, ret, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // grid consistency: dcg and idcg share the quantized weights, so
+    // a perfect ranking is EXACTLY 1.0, not 1±ulp
+    assert(out(0)._4 == 1.0, s"perfect ranking must be exactly 1: ${out(0)}")
+    // rank-1 miss costs more than any tail miss: ndcg strictly below
+    // the share a position-blind metric would give (2/3 of mass kept)
+    assert(out(1)._4 > 0.0 && out(1)._4 < out(0)._4, s"${out(1)}")
+    assert(out(1)._2 < out(1)._3, "dcg below ideal on a miss")
+    // a query with no retrieved rows still reports (0, idcg, 0)
+    val none = Similarity.ndcgAtK(truth,
+        ret.filter(col("query_id") === 0L), k = 3)
+      .filter(col("query_id") === 1L).collect()(0)
+    assert(none.getDouble(1) == 0.0 && none.getDouble(3) == 0.0)
+  }
+
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {
     import spark.implicits._
     val v1 = Seq((1L, "spark window agg"), (2L, "customer join order"),
