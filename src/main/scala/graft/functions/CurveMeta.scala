@@ -28,7 +28,8 @@ private[graft] object CurveMeta {
             bs: Seq[(Long, Long)]): Unit = {
     val json = cols.zip(bs).map { case (c, (mn, mx)) =>
       s"""{"col":"$c","min":$mn,"max":$mx}"""
-    }.mkString(s"""{"curve":"$curve","bits":$bits,"cols":[""", ",", "]}")
+    }.mkString(s"""{"format":1,"curve":"$curve","bits":$bits,"cols":[""",
+      ",", "]}")
     val p = new Path(path, fileName)
     val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
@@ -50,6 +51,15 @@ private[graft] object CurveMeta {
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
     val s = new String(bytes, "UTF-8")
+    // format version: absent = 1 (pre-versioning metas carry the same
+    // fields); a HIGHER version means a newer writer whose fields this
+    // reader may misparse — fail loudly instead of clustering deltas
+    // on a misread grid
+    val ver = """"format":(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt).getOrElse(1)
+    require(ver == 1,
+      s"$caller: $fileName at $path has format version $ver, this " +
+        "reader speaks version 1 — upgrade graft or rewrite the table")
     val bits = """"bits":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
     val cols = """\{"col":"([^"]+)","min":(-?\d+),"max":(-?\d+)\}""".r
       .findAllMatchIn(s)

@@ -1029,8 +1029,13 @@ object Profiling {
       .select((col("id") - 1).cast("long").as("bin"))
     val rc = ref.select(col("bin"), col("n").as("__cr"))
     val cc = cur.select(col("bin"), col("n").as("__cc"))
-    val tot = rc.agg(sum(col("__cr")).as("__nr"))
-      .crossJoin(cc.agg(sum(col("__cc")).as("__nc")))
+    // totals coalesce to 0 on an EMPTY side (sum over no rows is NULL,
+    // which would silently NULL every __p/__q and the psi itself) —
+    // matching histPsiBy's convention: an empty side reads as the
+    // defined all-smoothing PSI, maximal one-sided drift, flagged not
+    // lost
+    val tot = rc.agg(coalesce(sum(col("__cr")), lit(0L)).as("__nr"))
+      .crossJoin(cc.agg(coalesce(sum(col("__cc")), lit(0L)).as("__nc")))
     val grid = spine.join(rc, Seq("bin"), "left").join(cc, Seq("bin"), "left")
       .crossJoin(broadcast(tot))
       .select(

@@ -263,11 +263,16 @@ object Similarity {
       math.floor(1.0 / (math.log(r + 1.0) / math.log(2.0))
         * 1073741824.0 + 0.5).toLong))
     val wMap = map(wq.flatMap { case (r, x) => Seq(lit(r), lit(x)) }: _*)
+    // the truth set is DISTINCT (query, neighbor) pairs — a duplicated
+    // truth row would otherwise multiply its hit's weight through the
+    // join (ndcg > 1.0) while idcg counted the duplicate-inclusive size
+    val truthPairs = truth.select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val hits = retrieved
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .join(truth.select(col("query_id"), col("neighbor_id"))
-        .withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .join(truthPairs.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg((sum(when(col("__hit").isNotNull,
           element_at(wMap, col("rank"))).otherwise(lit(0L))).cast("double")
@@ -275,7 +280,7 @@ object Similarity {
     val prefix = wq.scanLeft(0L) { case (acc, (_, x)) => acc + x }.tail
     val pMap = map(prefix.zipWithIndex.flatMap { case (x, i) =>
       Seq(lit((i + 1).toLong), lit(x.toDouble / 1073741824.0)) }: _*)
-    val truthSizes = truth.groupBy(col("query_id"))
+    val truthSizes = truthPairs.groupBy(col("query_id"))
       .agg(count(lit(1)).as("__t"))
     truthSizes.join(hits, Seq("query_id"), "left")
       .select(col("query_id"),

@@ -35,28 +35,36 @@ object CusumStream {
     (p.getFileSystem(conf), p)
   }
 
-  /** (spineStartMs, lastBatchId, per-type (S, lastWindowMs)); empty if
-    * absent. */
+  /** (spineStartMs, lastBatchId, direction, per-type (S, lastWindowMs));
+    * (-1, -1, "", empty) if absent. Direction is PERSISTED: restarting
+    * a monitor with the direction flipped would silently splice the up
+    * and down recursions into one S series — the fold rejects it
+    * loudly instead (the grids-must-match pattern). */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
-      (Long, Long, Map[String, (Long, Long)]) = {
+      (Long, Long, String, Map[String, (Long, Long)]) = {
     val (fs, p) = fsp(conf, dir, "_cusum_state.bin")
-    if (!fs.exists(p)) return (-1L, -1L, Map.empty)
+    if (!fs.exists(p)) return (-1L, -1L, "", Map.empty)
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in0 = fs.open(p)
     try in0.readFully(0, bytes) finally in0.close()
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    graft.plans.SketchIO.readHeader(in, "cusum", 1, "cusumStream")
     val spine = in.readLong(); val lastBatch = in.readLong()
+    val dirn = graft.plans.SketchIO.readStr(in)
     val m = in.readInt()
-    (spine, lastBatch,
+    (spine, lastBatch, dirn,
       (0 until m).map(_ => (graft.plans.SketchIO.readStr(in), (in.readLong(), in.readLong()))).toMap)
   }
 
   private def writeState(conf: org.apache.hadoop.conf.Configuration,
                          dir: String, spine: Long, lastBatch: Long,
+                         direction: String,
                          types: Map[String, (Long, Long)]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    graft.plans.SketchIO.writeHeader(out, "cusum", 1)
     out.writeLong(spine); out.writeLong(lastBatch)
+    graft.plans.SketchIO.writeStr(out, direction)
     out.writeInt(types.size)
     types.toSeq.sortBy(_._1).foreach { case (t, (s, w)) =>
       graft.plans.SketchIO.writeStr(out, t); out.writeLong(s); out.writeLong(w)
@@ -82,7 +90,12 @@ object CusumStream {
     val spark = batch.sparkSession
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
-    val (spine0, lastBatch, state0) = readState(conf, dir)
+    val (spine0, lastBatch, dirn0, state0) = readState(conf, dir)
+    require(dirn0.isEmpty || dirn0 == direction,
+      s"cusumStream: standing state at $dir was folded with " +
+        s"direction='$dirn0', fold called with direction='$direction' — " +
+        "flipping direction mid-stream would splice the up and down " +
+        "recursions into one S series; use a fresh state dir per direction")
     if (batchId <= lastBatch)
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
         .toDF("event_type", "wstart", "n", "cusum", "changed")
@@ -108,7 +121,7 @@ object CusumStream {
       // window instead of the stream's
       writeState(conf, dir,
         if (spine0 >= 0) spine0 else spineOverride.getOrElse(spine0),
-        batchId, state0)
+        batchId, direction, state0)
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
         .toDF("event_type", "wstart", "n", "cusum", "changed")
     }
@@ -148,7 +161,7 @@ object CusumStream {
       }
       t -> (s, batchMax)
     }.toMap
-    writeState(conf, dir, spine, batchId, state1)
+    writeState(conf, dir, spine, batchId, direction, state1)
     emitted.toSeq.toDF("event_type", "wstart", "n", "cusum", "changed")
   }
 
@@ -173,6 +186,32 @@ object CusumStream {
     if (nShards == 1)
       return foldBatch(batch, dir, batchId, windowLen, k, h,
         direction = direction)
+    // nShards is PERSISTED at the parent dir: changing it re-hashes
+    // types into different shard state dirs, so every type would be
+    // re-backfilled from the spine and double-traced — reject loudly
+    // (re-sharding a standing monitor means rebuilding its state)
+    val conf0 = batch.sparkSession.sessionState.newHadoopConf()
+    val (fs, marker) = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_cusum_shards.txt")
+      (p.getFileSystem(conf0), p)
+    }
+    if (fs.exists(marker)) {
+      val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      val in = fs.open(marker)
+      try in.readFully(0, bytes) finally in.close()
+      val recorded = new String(bytes, "UTF-8").trim.toInt
+      require(recorded == nShards,
+        s"cusumStream: standing sharded monitor at $dir was built with " +
+          s"nShards=$recorded, fold called with nShards=$nShards — " +
+          "re-sharding re-hashes types into different state dirs and " +
+          "double-traces them; rebuild the state to change shard count")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_cusum_shards.tmp")
+      val o = fs.create(tmp, true)
+      try o.write(nShards.toString.getBytes("UTF-8")) finally o.close()
+      require(fs.rename(tmp, marker),
+        s"cusumStream: rename $tmp -> $marker failed")
+    }
     batch.persist()
     try {
       val mn = batch

@@ -44,6 +44,7 @@ object HeavyHitterStream {
     val fin = fs.open(p)
     try fin.readFully(0, bytes) finally fin.close()
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    graft.plans.SketchIO.readHeader(in, "mg", 1, "heavyHitterStream")
     val n = in.readLong()
     val lastBatch = in.readLong()
     val m = in.readInt()
@@ -55,6 +56,7 @@ object HeavyHitterStream {
                             n: Long, lastBatch: Long): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    graft.plans.SketchIO.writeHeader(out, "mg", 1)
     out.writeLong(n)
     out.writeLong(lastBatch)
     out.writeInt(items.size)

@@ -42,6 +42,7 @@ object HistStream {
     val in0 = fs.open(p)
     try in0.readFully(0, bytes) finally in0.close()
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    graft.plans.SketchIO.readHeader(in, "hist", 1, "histStream")
     val lo = in.readDouble(); val hi = in.readDouble()
     val bins = in.readInt(); val lastBatch = in.readLong()
     val m = in.readInt()
@@ -54,6 +55,7 @@ object HistStream {
                          lastBatch: Long, counts: Map[Long, Long]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    graft.plans.SketchIO.writeHeader(out, "hist", 1)
     out.writeDouble(lo); out.writeDouble(hi)
     out.writeInt(bins); out.writeLong(lastBatch)
     out.writeInt(counts.size)
@@ -157,6 +159,7 @@ object HistStream {
     val in0 = fs.open(p)
     try in0.readFully(0, bytes) finally in0.close()
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    graft.plans.SketchIO.readHeader(in, "histby", 1, "histStream")
     val lo = in.readDouble(); val hi = in.readDouble()
     val bins = in.readInt(); val lastBatch = in.readLong()
     val m = in.readInt()
@@ -172,6 +175,7 @@ object HistStream {
                            counts: Map[(String, Long), Long]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    graft.plans.SketchIO.writeHeader(out, "histby", 1)
     out.writeDouble(lo); out.writeDouble(hi)
     out.writeInt(bins); out.writeLong(lastBatch)
     out.writeInt(counts.size)
@@ -203,8 +207,15 @@ object HistStream {
       s"histStream: standing grid at $dir is ($lo0,$hi0,$bins0), " +
         s"fold called with ($lo,$hi,$bins) — grids must match")
     if (batchId <= lastBatch) return
+    // NULL stratum keys are dropped like the unkeyed fold drops NULL
+    // values (gridHistogram's bin-null filter) — a null event_type row
+    // would otherwise ride through gridHistogramBy's groupBy as a null
+    // key and NPE the state write's string sort; callers who want a
+    // null stratum tracked should coalesce to an explicit sentinel
+    // ("__null__") upstream, where the choice is visible
     val prof = graft.ops.Profiling.gridHistogramBy(
-        batch.select(key.cast("string").as("__k"), x.as("__x")),
+        batch.filter(key.isNotNull)
+          .select(key.cast("string").as("__k"), x.as("__x")),
         Seq("__k"), org.apache.spark.sql.functions.col("__x"), lo, hi, bins)
       .select("__k", "bin", "n").limit(4000001).collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))

@@ -36,6 +36,7 @@ object HllStream {
     val fin = fs.open(p)
     try fin.readFully(0, bytes) finally fin.close()
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    graft.plans.SketchIO.readHeader(in, "hll", 1, "hllStream")
     val prec = in.readInt()
     val n = in.readInt()
     (prec, (0 until n).map { _ =>
@@ -48,6 +49,7 @@ object HllStream {
                          regs: Map[(String, Long), Int]): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    graft.plans.SketchIO.writeHeader(out, "hll", 1)
     out.writeInt(p)
     out.writeInt(regs.size)
     regs.toSeq.sortBy(_._1).foreach { case ((k, b), r) =>

@@ -39,7 +39,13 @@ object KmvStream {
     val fin = fs.open(p)
     try fin.readFully(0, bytes) finally fin.close()
     val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
-    (lines.head.toInt, lines.tail.toSeq)
+    // text-format envelope — the binary monitors' magic/family/version
+    // header, as a first line (same loud-fail contract)
+    require(lines.head == "graft-kmv 1",
+      s"kmvStream: state file at $dir opens with '${lines.head.take(40)}' " +
+        "— written by an older graft version or not a kmv state file; " +
+        "delete the state dir to rebuild (expected header 'graft-kmv 1')")
+    (lines(1).toInt, lines.drop(2).toSeq)
   }
 
   private def writeState(conf: org.apache.hadoop.conf.Configuration,
@@ -47,7 +53,7 @@ object KmvStream {
     val (fs, tmp) = fsp(conf, dir, "_kmv_state.tmp")
     val (_, dst) = fsp(conf, dir, "_kmv_state.txt")
     val o = fs.create(tmp, true)
-    try o.write((k.toString +: mins).mkString("\n").getBytes("UTF-8"))
+    try o.write(("graft-kmv 1" +: k.toString +: mins).mkString("\n").getBytes("UTF-8"))
     finally o.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"kmvStream: rename $tmp -> $dst failed")

@@ -2439,6 +2439,17 @@ class OpsSpec extends SparkTestBase {
         ret.filter(col("query_id") === 0L), k = 3)
       .filter(col("query_id") === 1L).collect()(0)
     assert(none.getDouble(1) == 0.0 && none.getDouble(3) == 0.0)
+    // duplicated truth rows neither multiply a hit's weight through
+    // the join nor inflate the ideal's size: same answers as distinct
+    // truth, ndcg can never exceed 1 (r13 advice)
+    val dupTruth = truth.unionByName(truth).unionByName(
+      truth.filter(col("neighbor_id") === 10L))
+    val dup = Similarity.ndcgAtK(dupTruth, ret, k = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(dup.toSeq == out.toSeq,
+      s"dup truth must not change ndcg:\n${dup.toSeq}\nvs\n${out.toSeq}")
+    assert(dup.forall(_._4 <= 1.0), s"ndcg > 1 on dup truth: ${dup.toSeq}")
   }
 
   test("updateIndex: add, remove, and replace all equal a from-scratch rebuild") {

@@ -867,4 +867,141 @@ class StreamingSpec extends SparkTestBase {
         s"hilbert layout must bound per-file y ranges: $touched/${files().length}")
     } finally query.stop()
   }
+
+  test("state envelope: pre-envelope bytes and cross-family state fail loudly") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_envelope").toString
+    val conf = s.sessionState.newHadoopConf()
+    // a pre-envelope (or foreign) file: plausible-looking doubles/ints
+    // that the old reader would have consumed as garbage lengths
+    val foreign = new java.io.File(base, "foreign")
+    foreign.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(foreign, "_hist_state.bin").toPath,
+      Array.fill[Byte](64)(7))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.HistStream.readState(conf, foreign.getPath)
+    }
+    assert(e1.getMessage.contains("older graft version") ||
+      e1.getMessage.contains("no graft envelope"), e1.getMessage)
+    // a DIFFERENT family's enveloped state under this family's file
+    // name: rejected by family tag, not misparsed
+    val cusumDir = s"$base/cusum"
+    graft.streaming.CusumStream.foldBatch(
+      Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("event_type", "ts"),
+      cusumDir, 0L, windowLen = "1 hour", k = 1L, h = 2L)
+    val crossDir = new java.io.File(base, "cross")
+    crossDir.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(cusumDir, "_cusum_state.bin").toPath,
+      new java.io.File(crossDir, "_hist_state.bin").toPath)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.HistStream.readState(conf, crossDir.getPath)
+    }
+    assert(e2.getMessage.contains("family 'cusum'"), e2.getMessage)
+    // version round-trip: what the writer emits, the reader speaks
+    graft.streaming.HistStream.foldBatch(Seq(1.0, 2.0).toDF("v"), col("v"),
+      0.0, 10.0, 5, s"$base/ok", 0L)
+    val (_, _, bins, _, _) =
+      graft.streaming.HistStream.readState(conf, s"$base/ok")
+    assert(bins == 5)
+    // KMV's text envelope: a header-less file is rejected, a real one
+    // round-trips
+    val kmvDir = s"$base/kmv"
+    graft.streaming.KmvStream.foldBatch(
+      Seq("x", "y", "z").toDF("s"), col("s"), k = 2, kmvDir)
+    assert(graft.streaming.KmvStream.readState(conf, kmvDir)._1 == 2)
+    val badKmv = new java.io.File(base, "badkmv")
+    badKmv.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(badKmv, "_kmv_state.txt").toPath,
+      "2\nabc\ndef".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.KmvStream.readState(conf, badKmv.getPath)
+    }
+    assert(e3.getMessage.contains("older graft version"), e3.getMessage)
+  }
+
+  test("cusum monitor: direction flip and shard-count change fail loudly") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cusumguard").toString
+    def batch(h: Int) = (1 to 6).map(i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")))
+      .toDF("event_type", "ts")
+    val dir1 = s"$base/updown"
+    graft.streaming.CusumStream.foldBatch(batch(0), dir1, 0L,
+      windowLen = "1 hour", k = 4L, h = 8L, direction = "up")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.CusumStream.foldBatch(batch(1), dir1, 1L,
+        windowLen = "1 hour", k = 4L, h = 8L, direction = "down")
+    }
+    assert(e1.getMessage.contains("direction"), e1.getMessage)
+    // same direction keeps folding fine
+    graft.streaming.CusumStream.foldBatch(batch(1), dir1, 1L,
+      windowLen = "1 hour", k = 4L, h = 8L, direction = "up")
+    // sharded: nShards persisted at the parent dir, change rejected
+    val dir2 = s"$base/sharded"
+    graft.streaming.CusumStream.foldBatchSharded(batch(0), dir2, 0L,
+      nShards = 2, windowLen = "1 hour", k = 4L, h = 8L)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CusumStream.foldBatchSharded(batch(1), dir2, 1L,
+        nShards = 3, windowLen = "1 hour", k = 4L, h = 8L)
+    }
+    assert(e2.getMessage.contains("nShards"), e2.getMessage)
+    graft.streaming.CusumStream.foldBatchSharded(batch(1), dir2, 1L,
+      nShards = 2, windowLen = "1 hour", k = 4L, h = 8L)
+  }
+
+  test("keyed hist fold: NULL stratum keys dropped like null values; non-null strata exact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_histnull").toString
+    val withNulls = (Seq(("lat", 10.0), (null, 20.0), ("lat", 30.0),
+      (null, 40.0), ("err", 50.0))).toDF("k", "v")
+    // must not NPE (r13 advice: null key rode through gridHistogramBy's
+    // groupBy into the state write's string sort)
+    graft.streaming.HistStream.foldBatchBy(withNulls, col("k"), col("v"),
+      0.0, 100.0, 10, dir, 0L)
+    val standing = graft.streaming.HistStream.standingHistogramBy(s, dir)
+      .orderBy("key", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    val batchNoNull = graft.ops.Profiling.gridHistogramBy(
+        withNulls.filter(col("k").isNotNull).withColumnRenamed("k", "key"),
+        Seq("key"), col("v"), 0.0, 100.0, 10)
+      .orderBy("key", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(standing == batchNoNull,
+      s"null-key rows must be dropped, others exact:\n$standing\nvs\n$batchNoNull")
+    assert(standing.map(_._1).toSet == Set("lat", "err"))
+  }
+
+  test("histPsi: an empty side reads the defined all-smoothing drift, never NULL") {
+    val s = spark
+    import s.implicits._
+    val ref = graft.ops.Profiling.gridHistogram(
+      (1 to 100).map(_.toDouble).toDF("v"), col("v"), 0.0, 100.0, 10)
+    val empty = graft.ops.Profiling.gridHistogram(
+      Seq.empty[Double].toDF("v"), col("v"), 0.0, 100.0, 10)
+    val r = graft.ops.Profiling.histPsi(ref, empty, 10).collect()(0)
+    // > 0.25 is the scorecard "significant drift" line; smoothing
+    // bounds how far a finite-count one-sided read can go
+    assert(!r.isNullAt(0) && r.getDouble(0) > 0.25,
+      s"empty cur must read strong one-sided drift: $r")
+    assert(r.getLong(1) == 100L && r.getLong(2) == 0L, r.toString)
+    // and matches histPsiBy's convention for a one-sided key
+    val psiBy = graft.ops.Profiling.histPsiBy(
+        graft.ops.Profiling.gridHistogramBy(
+          (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "v"),
+          Seq("key"), col("v"), 0.0, 100.0, 10),
+        graft.ops.Profiling.gridHistogramBy(
+          Seq.empty[(String, Double)].toDF("key", "v"),
+          Seq("key"), col("v"), 0.0, 100.0, 10),
+        "key", 10)
+      .collect()(0)
+    assert(math.abs(psiBy.getDouble(1) - r.getDouble(0)) < 1e-12,
+      s"histPsi ${r.getDouble(0)} != histPsiBy ${psiBy.getDouble(1)}")
+  }
 }
