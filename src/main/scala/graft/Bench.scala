@@ -10,7 +10,7 @@ object Bench {
     * the ungrouped scan/rowid topologies (so sf0.1→sf1 growth factors
     * for the prefix-scan family are visible every round). */
   val headline: Seq[String] = Seq(
-    "q1_pricing", "q3_topk", "q5_region_revenue",
+    "q1_pricing", "q3_topk", "q4_window", "q5_region_revenue",
     "d_ranks", "d_mutate_grouped", "d_join_inner", "d_topk",
     "d_cum_u", "b_rank_u",
     "x_dedup_exact", "x_dedup_cross", "x_dedup_minhash", "x_ann_brute", "x_ann_lsh",

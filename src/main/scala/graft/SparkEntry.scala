@@ -94,11 +94,36 @@ object SparkEntry {
       .arrange(col("n_name")).df
   }
 
+  /** TPC-H-shaped RUNNING WINDOW headliner (§2.8's fourth analytical
+    * query): per-order cumulative revenue and running max quantity in
+    * linenumber order over the lineitem fact. The window partitions by
+    * l_orderkey — millions of small partitions at scale, one shuffle,
+    * never a global window; the cumsum accumulates in exact decimal so
+    * the distributed association is bit-identical to DuckDB's
+    * sequential running sum (the d_cum recipe). */
+  private def q4Window(s: SparkSession, d: String): DataFrame = {
+    val part = Seq(col("l_orderkey"))
+    // l_linenumber repeats within an order in the synthetic data; a
+    // ROWS-frame running aggregate needs a TOTAL order, so the tie
+    // chain runs to a key unique at every sf (declared-total-order
+    // escape hatch, SURVEY §1)
+    val ordr = Seq(col("l_linenumber").asc, col("l_partkey").asc,
+      col("l_suppkey").asc, col("l_extendedprice").asc)
+    li(s, d).graft
+      .mutate(
+        "run_rev" -> CumFns.cumsum(
+          revenueExpr.cast("decimal(28,6)"), ordr, part).cast("double"),
+        "run_max_qty" -> CumFns.cummax(col("l_quantity"), ordr, part))
+      .select("l_orderkey", "l_linenumber", "run_rev", "run_max_qty")
+      .arrange(col("l_orderkey"), col("l_linenumber")).df
+  }
+
   // ---- registry ----------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = QueriesDplyr.queries ++ QueriesTidyr.queries ++ QueriesBase.queries ++ QueriesForcats.queries ++ QueriesOps.queries ++ Map(
     // headline
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => q3TopK(s, d)),
+    "q4_window" -> ((s, d) => q4Window(s, d)),
     "q5_region_revenue" -> ((s, d) => q5Region(s, d)),
 
     // dplyr core
@@ -170,6 +195,16 @@ object SparkEntry {
          |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
          |GROUP BY o_orderkey
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q4_window" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(sum(CAST($revenueSql AS DECIMAL(28,6))) OVER wr AS DOUBLE) AS run_rev,
+         |  max(l_quantity) OVER wr AS run_max_qty
+         |FROM lineitem
+         |WINDOW wr AS (PARTITION BY l_orderkey
+         |  ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q5_region_revenue" ->
       s"""SELECT n_name,

