@@ -37,4 +37,47 @@ object Snapshot {
     val changedKeys = changes.select(col(id)).distinct()
     base.join(changedKeys, Seq(id), "left_anti").unionByName(upserts)
   }
+
+  /** ATOMIC on-disk snapshot advance: [[applyChanges]] against the
+    * manifested table at `basePath`, with the new snapshot staged
+    * invisibly (underscore dir → unique part names moved into the
+    * table, unreferenced) and published by ONE manifest rename
+    * ([[graft.sources.Sources.writeManifest]]). A concurrent
+    * [[graft.sources.Sources.readManifested]] reader sees the day-1
+    * snapshot or the day-2 snapshot in full, never a torn mix — the
+    * MERGE-commit guarantee a table format gives, on plain parquet.
+    * Old files stay for late readers;
+    * [[graft.sources.Sources.vacuumUnreferenced]] reclaims them after
+    * the caller's retention window. Returns the new snapshot's file
+    * names. */
+  def applyChangesAtomic(spark: org.apache.spark.sql.SparkSession,
+                         basePath: String, changes: DataFrame, id: String,
+                         op: String = "op",
+                         outFiles: Int = 0): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    graft.sources.Sources.publishManifest(spark, basePath)
+    val base = graft.sources.Sources.readManifested(spark, basePath)
+    val next0 = applyChanges(base, changes, id, op)
+    val next = if (outFiles > 0) next0.repartition(outFiles) else next0
+    val root = new Path(basePath)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(basePath,
+      s"_snapshot_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    require(parts.nonEmpty, s"applyChangesAtomic: staging $staging is empty")
+    val newNames = parts.map { p =>
+      val dst = new Path(root, p.getName) // per-job UUID names: unique
+      require(fs.rename(p, dst),
+        s"applyChangesAtomic: rename $p -> $dst failed")
+      dst.getName
+    }
+    graft.sources.Sources.writeManifest(conf, basePath, newNames) // publish
+    fs.delete(staging, true)
+    newNames
+  }
 }

@@ -234,9 +234,10 @@ object Sources {
     * fresh zorderWrite/hilbertWrite.
     *
     * Not transactional: a concurrent reader between a bin's write and
-    * its deletes can double-count — run under the table's write lock
-    * like any file-level maintenance (the caveat every non-table-
-    * format compactor carries). */
+    * its deletes can double-count — run under the table's write lock,
+    * or use [[compactSmallFilesAtomic]], whose manifest swap gives
+    * concurrent [[readManifested]] readers the old-or-new-complete-set
+    * guarantee with no lock. */
   def compactSmallFiles(spark: SparkSession, path: String,
                         targetFileBytes: Long): (Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -266,5 +267,162 @@ object Sources {
     val after = fs.listStatus(root)
       .count(_.getPath.getName.endsWith(".parquet"))
     (all.length, after)
+  }
+
+  // ---- manifest-pinned tables (atomic maintenance) -----------------------
+
+  /** A `_MANIFEST` file names the table's CURRENT parquet files — the
+    * one-file version pointer every table format builds on (Delta's
+    * log head, Iceberg's snapshot): maintenance stages new files
+    * invisibly (readers pin the file SET from the manifest, so
+    * unreferenced arrivals don't exist for them), then publishes by
+    * ONE atomic rename of the manifest. A manifested reader therefore
+    * sees the old complete set or the new complete set, never a torn
+    * mix — the guarantee plain write-then-delete compaction
+    * ([[compactSmallFiles]]) cannot give. Old files are NOT deleted at
+    * swap time: a reader still holding the previous manifest must be
+    * able to finish (the retention contract); [[vacuumUnreferenced]]
+    * is the explicit reclaim, to be run after the longest plausible
+    * reader has drained. */
+  def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+                    path: String, names: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path, "_MANIFEST.tmp")
+    val dst = new Path(path, "_MANIFEST")
+    val fs = tmp.getFileSystem(conf)
+    val o = fs.create(tmp, true)
+    try o.write(("graft-manifest 1" +: names.sorted).mkString("\n")
+      .getBytes("UTF-8"))
+    finally o.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"writeManifest: rename $tmp -> $dst failed")
+  }
+
+  /** The manifest's file names, or None for an unmanifested table. */
+  def readManifest(conf: org.apache.hadoop.conf.Configuration,
+                   path: String): Option[Seq[String]] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, "_MANIFEST")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head == "graft-manifest 1",
+      s"readManifest: $p opens with '${lines.headOption.getOrElse("").take(40)}' " +
+        "— not a graft manifest (or a newer format); expected 'graft-manifest 1'")
+    Some(lines.tail.toSeq)
+  }
+
+  /** Adopt an existing plain-parquet directory into the manifest
+    * convention: pin the current listing. Idempotent (an existing
+    * manifest is left alone). Returns the pinned names. */
+  def publishManifest(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    readManifest(conf, path).getOrElse {
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val names = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+      writeManifest(conf, path, names)
+      names
+    }
+  }
+
+  /** Read a manifested table: exactly the manifest's files, pinned at
+    * the moment the manifest was read — concurrent maintenance
+    * (compaction, snapshot apply) is invisible until its atomic
+    * publish, and never torn. Falls back to the plain directory read
+    * when no manifest exists (an unmanifested table has no
+    * maintenance guarantee to honor). */
+  def readManifested(spark: SparkSession, path: String): DataFrame =
+    readManifest(spark.sessionState.newHadoopConf(), path) match {
+      case Some(names) =>
+        require(names.nonEmpty, s"readManifested: $path manifest is empty")
+        spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      case None => spark.read.parquet(path)
+    }
+
+  /** Delete parquet files the manifest no longer references — the
+    * explicit reclaim half of the manifest protocol (Delta VACUUM).
+    * Run it only after every reader that might hold a PREVIOUS
+    * manifest has drained; the swap itself never deletes, so the
+    * retention window is entirely the caller's policy. Returns the
+    * deleted names. */
+  def vacuumUnreferenced(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val referenced = readManifest(conf, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"vacuumUnreferenced: $path has no _MANIFEST — nothing pins the " +
+          "live set, so deleting by listing would be guesswork")).toSet
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val dead = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !referenced.contains(p.getName))
+      .sortBy(_.getName).toSeq
+    dead.foreach(p => fs.delete(p, false))
+    dead.map(_.getName)
+  }
+
+  /** ATOMIC small-file compaction — [[compactSmallFiles]] with the
+    * manifest swap instead of write-then-delete: bins are rewritten
+    * into an underscore staging dir (invisible to both manifested and
+    * listing readers), moved into the table under their unique
+    * part-file names (still unreferenced, still invisible to
+    * manifested readers), and published by ONE manifest rename. A
+    * concurrent [[readManifested]] sees the pre-compaction set or the
+    * post-compaction set, never a gap and never a double-count
+    * (SourcesSpec drives a reader loop against a live compaction).
+    * Originals stay on disk for late readers; reclaim with
+    * [[vacuumUnreferenced]] after the retention window. Returns
+    * (filesBefore, filesAfter) at the manifest grain. */
+  def compactSmallFilesAtomic(spark: SparkSession, path: String,
+                              targetFileBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes >= 1,
+      "compactSmallFilesAtomic: targetFileBytes must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val stats = names.map(n => fs.getFileStatus(new Path(path, n)))
+      .sortBy(_.getPath.getName)
+    val small = stats.filter(_.getLen < targetFileBytes)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Vector[Path]]
+    var cur = Vector.empty[Path]; var curBytes = 0L
+    small.foreach { st =>
+      cur :+= st.getPath; curBytes += st.getLen
+      if (curBytes >= targetFileBytes) { bins += cur; cur = Vector.empty; curBytes = 0L }
+    }
+    if (cur.nonEmpty) bins += cur
+    val toRewrite = bins.filter(_.size >= 2).toSeq
+    if (toRewrite.isEmpty) return (names.length, names.length)
+    val staging = new Path(path,
+      s"_compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val newNames = toRewrite.zipWithIndex.map { case (bin, i) =>
+      val binDir = new Path(staging, s"bin_$i")
+      spark.read.parquet(bin.map(_.toString): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
+      val part = fs.listStatus(binDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"compactSmallFilesAtomic: expected 1 part file in $binDir, " +
+          s"got ${part.length}")
+      // part-file names carry a per-job UUID — unique in the root
+      val dst = new Path(root, part(0).getName)
+      require(fs.rename(part(0), dst),
+        s"compactSmallFilesAtomic: rename ${part(0)} -> $dst failed")
+      dst.getName
+    }
+    val replaced = toRewrite.flatten.map(_.getName).toSet
+    val after = names.filterNot(replaced.contains) ++ newNames
+    writeManifest(conf, path, after) // the atomic publish
+    fs.delete(staging, true)
+    (names.length, after.length)
   }
 }
