@@ -93,6 +93,14 @@ object QueriesOps {
         lit(" at 10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
         lit(".7\n"), col("text")))
 
+  /** Genuinely double-encoded fixture, built at COMPILE time: UTF-8
+    * bytes of accented text mis-decoded as cp1252 — the classic crawl
+    * damage ("cafÃ© â€” naÃ¯ve"). cp1252 (not latin-1) so every char
+    * is printable and the oracle SQL carries the identical literal. */
+  private val mojiFixture: String = new String(
+    "café — naïve déjà vu".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.Charset.forName("windows-1252"))
+
   val queries: Map[String, Q] = Map(
     // ---- dedup ----------------------------------------------------------
     "x_dedup_exact" -> ((s, d) =>
@@ -758,6 +766,23 @@ object QueriesOps {
       TextAnalysis.scrub(piiDocs(s, d), "text")
         .select("doc_id", "n_urls", "n_emails", "n_ips", "n_phones", "clean_text")
         .orderBy(col("doc_id"))),
+
+    // encoding/mojibake audit: a deterministic share of docs gets a
+    // GENUINELY double-encoded suffix (UTF-8 bytes mis-decoded as
+    // cp1252 at compile time — printable, so the oracle replays the
+    // identical literal) or replacement chars; the audit's RE2 rules
+    // count artifacts and flag suspects. The oracle replays the
+    // construction, the counts, the rates, and the flag in SQL.
+    "x_mojibake" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" " + mojiFixture))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" bad �� bytes"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.mojibakeAudit(raw, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
 
     "x_domains" -> ((s, d) =>
       TextAnalysis.topDomains(piiDocs(s, d), "text", k = 20)),
@@ -3960,6 +3985,25 @@ object QueriesOps {
         |    '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
         |    '\\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "x_mojibake" ->
+      s"""WITH p AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' $mojiFixture' ELSE '' END
+        |         || CASE WHEN doc_id % 5 = 0 THEN ' bad �� bytes' ELSE '' END AS t
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(t, '${TextAnalysis.replacementCharRe}')) AS BIGINT) AS repl_n,
+        |    CAST(len(regexp_extract_all(t, '${TextAnalysis.mojibakeRe}')) AS BIGINT) AS moji_n,
+        |    CAST(len(regexp_extract_all(t, '${TextAnalysis.c1ControlRe}')) AS BIGINT) AS c1_n
+        |  FROM p)
+        |SELECT doc_id, n_chars, repl_n, moji_n, c1_n,
+        |  CAST(repl_n AS DOUBLE) / greatest(n_chars, 1) AS repl_rate,
+        |  CAST(moji_n AS DOUBLE) / greatest(n_chars, 1) AS moji_rate,
+        |  CAST(c1_n AS DOUBLE) / greatest(n_chars, 1) AS c1_rate,
+        |  (CAST(repl_n AS DOUBLE) / greatest(n_chars, 1) > 0.001
+        |    OR CAST(moji_n AS DOUBLE) / greatest(n_chars, 1) > 0.002
+        |    OR CAST(c1_n AS DOUBLE) / greatest(n_chars, 1) > 0.001) AS suspect
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "x_domains" ->
       s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents),

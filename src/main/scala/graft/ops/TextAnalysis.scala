@@ -730,6 +730,61 @@ object TextAnalysis {
     trim(paras)
   }
 
+  // ---- encoding / mojibake audit ------------------------------------------
+  /** U+FFFD — what a decoder emits where bytes were unmappable. */
+  val replacementCharRe: String = "\\x{FFFD}"
+  /** C1 controls U+0080–U+009F — the tell of cp1252/latin-1 bytes
+    * mis-decoded as latin-1 (real text never contains them). */
+  val c1ControlRe: String = "[\\x{80}-\\x{9F}]"
+  /** Double-encoded UTF-8 artifact bigrams: a UTF-8 lead byte
+    * mis-decoded as latin-1/cp1252 (Â U+00C2, Ã U+00C3, â U+00E2)
+    * followed by a mis-decoded continuation byte — U+0080–U+00BF
+    * under latin-1, or cp1252's remap of the 0x80–0x9F range (€ ‚ ƒ
+    * „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ). Catches the
+    * classic "CafÃ©" / "â€™" corpus damage; a lone accented lead
+    * letter in real words ("âge") is NOT flagged (the next char is an
+    * ordinary letter outside the class). */
+  val mojibakeRe: String =
+    "[\\x{C2}\\x{C3}\\x{E2}]" +
+      "[\\x{80}-\\x{BF}\\x{20AC}\\x{201A}\\x{0192}\\x{201E}\\x{2026}" +
+      "\\x{2020}\\x{2021}\\x{02C6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}" +
+      "\\x{017D}\\x{2018}\\x{2019}\\x{201C}\\x{201D}\\x{2022}\\x{2013}" +
+      "\\x{2014}\\x{02DC}\\x{2122}\\x{0161}\\x{203A}\\x{0153}\\x{017E}" +
+      "\\x{0178}]"
+
+  /** Encoding / mojibake audit — the pre-quality pass real crawls
+    * need and clean-text quality rules assume away: double-encoded
+    * UTF-8 ("CafÃ©", "â€™"), replacement characters (U+FFFD), and C1
+    * control codes are each counted by an RE2-compatible rule (the
+    * \x{...} escapes Java regex and RE2 read identically — the oracle
+    * replays char for char), turned into per-doc rates, and folded
+    * into one `suspect` flag at caller-tunable thresholds. Pure
+    * codegen regex projection — linear scan, no shuffle; the 100 TB
+    * shape is a mapper that gates the rest of the filter funnel.
+    * Rates divide exact longs as doubles (per-row IEEE — bit-exact
+    * cross-engine). Output: (id, n_chars, repl_n, moji_n, c1_n,
+    * repl_rate, moji_rate, c1_rate, suspect). */
+  def mojibakeAudit(df: DataFrame, id: String, text: String,
+                    replThreshold: Double = 0.001,
+                    mojiThreshold: Double = 0.002,
+                    c1Threshold: Double = 0.001): DataFrame = {
+    val t = coalesce(col(text), lit(""))
+    df.select(col(id), length(t).cast("long").as("n_chars"),
+        regexp_count(t, lit(replacementCharRe)).cast("long").as("repl_n"),
+        regexp_count(t, lit(mojibakeRe)).cast("long").as("moji_n"),
+        regexp_count(t, lit(c1ControlRe)).cast("long").as("c1_n"))
+      .withColumn("repl_rate", col("repl_n").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("moji_rate", col("moji_n").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("c1_rate", col("c1_n").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+      .withColumn("suspect",
+        col("repl_rate") > lit(replThreshold) ||
+          col("moji_rate") > lit(mojiThreshold) ||
+          col("c1_rate") > lit(c1Threshold))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"

@@ -1864,6 +1864,43 @@ class OpsSpec extends SparkTestBase {
     assert(out(3) == "keep\nnewline and tab") // \n survives, \t squashes
   }
 
+  test("mojibakeAudit flags genuinely double-encoded text, passes clean unicode") {
+    import spark.implicits._
+    import java.nio.charset.{Charset, StandardCharsets}
+    val clean = "The quick brown fox — café, naïve résumé, âge d'or."
+    // REAL double-encoding, both decoder flavors a crawl sees:
+    // latin-1 (C1 controls appear) and cp1252 (the remap set appears)
+    val latin1Bad = new String(clean.getBytes(StandardCharsets.UTF_8),
+      StandardCharsets.ISO_8859_1)
+    val cp1252Bad = new String(clean.getBytes(StandardCharsets.UTF_8),
+      Charset.forName("windows-1252"))
+    val replBad = "decoder gave up � here and � there"
+    val df = Seq((1L, clean), (2L, latin1Bad), (3L, cp1252Bad),
+      (4L, replBad)).toDF("doc_id", "text")
+    val out = TextAnalysis.mojibakeAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(8)))
+    // clean unicode — accented letters, a real em dash, a standalone
+    // "âge" — must NOT trip any rule
+    assert(out(0) == ((1L, 0L, 0L, 0L, false)), s"clean flagged: ${out(0)}")
+    // latin-1 damage: artifact bigrams for é/ï/é(résumé)/â + the em
+    // dash's continuation bytes land in C1
+    assert(out(1)._3 >= 4 && out(1)._4 >= 2 && out(1)._5,
+      s"latin-1 double-encode must flag: ${out(1)}")
+    // cp1252 damage: same bigram count via the remap set, no C1
+    assert(out(2)._3 >= 4 && out(2)._4 == 0 && out(2)._5,
+      s"cp1252 double-encode must flag: ${out(2)}")
+    // replacement chars counted exactly
+    assert(out(3)._2 == 2 && out(3)._5, s"U+FFFD must flag: ${out(3)}")
+    // null/empty text: zero counts, no division blowup, not suspect
+    val edge = TextAnalysis.mojibakeAudit(
+        Seq((9L, null: String), (10L, "")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(edge.forall(r => !r.getBoolean(8) && !r.isNullAt(5)))
+  }
+
   test("stripMarkup: blocks, tags, entities, whitespace — and no double-decode") {
     import spark.implicits._
     val df = Seq(
