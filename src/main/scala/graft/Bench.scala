@@ -197,7 +197,14 @@ object Bench {
     // the standing-workload answer to x_bm25's per-call scan growth:
     // postings probes over the one-time materialized index (built on
     // first run, fingerprint-cached in target/idxcache)
-    "x_bm25_indexed")
+    "x_bm25_indexed",
+    // round-14: the serving artifacts at the 100x decade (r13 verdict
+    // item 1) — IVF-PQ probes over the materialized index (nLists
+    // auto-scales ~sqrt(N), so probe cost stays ~flat per decade),
+    // the day-2 incremental twin, and the two-pass PRF retrieval over
+    // the materialized postings; index builds amortize via idxcache
+    // (min-of-2 drops the cold build, as for bm25_indexed)
+    "x_ann_ivfpq_idx", "x_ann_ivfpq_incr", "x_bm25_prf")
 
   /** Synthesize a ~100× (sf≈10) copy of JUST the tables the sf10
     * rehearsal reads: documents (doc_id, text — the only columns the
@@ -214,8 +221,9 @@ object Bench {
     val ok = new java.io.File(cache, "_OK")
     // v2: 128 doc partitions (was 64) — halves each task's partial
     // hash-agg map on the tokenize scans, the same lever as
-    // maxPartitionBytes on a real cluster
-    val marker = s"from:$benchDir:v3"
+    // maxPartitionBytes on a real cluster. v4: + embeddings for the
+    // IVF-PQ serving-artifact rehearsal
+    val marker = s"from:$benchDir:v4"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
@@ -248,6 +256,21 @@ object Bench {
           col("c_name"))).as("c_name"))
       .repartition(16)
       .write.mode("overwrite").parquet(s"${cache.getPath}/customer.parquet")
+    // 100x embeddings for the IVF-PQ index rehearsal: per-(replica,
+    // dimension) hash jitter in [-0.05, 0.05) — identical copies
+    // would pile 100 deep into the SAME coarse lists (one giant cell
+    // = no directory pruning to measure), where isotropic jitter
+    // spreads them like fresh content; deterministic, no RNG
+    spark.read.parquet(s"$benchDir/embeddings.parquet")
+      .select("vec_id", "embedding").crossJoin(reps)
+      .select((col("vec_id") + col("__r") * K).as("vec_id"),
+        when(col("__r") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + ((pmod(col("__r") * 2654435761L + i.cast("long") * 40503L,
+              lit(1000L)) - 500L).cast("double") * 1e-4).cast("float"))
+              .cast("float"))).as("embedding"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"${cache.getPath}/embeddings.parquet")
     java.nio.file.Files.write(ok.toPath, marker.getBytes("UTF-8"))
     cache.getPath
   }
@@ -352,8 +375,19 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_FULL", "0") == "1")
         headline ++ stableSweep
       else headline
+    // ER connected-components telemetry per scale (r13 verdict item
+    // 5): min-label iterations + undirected pair count from
+    // x_entity_res's closure — the read that decides whether the
+    // large-star/small-star CC swap is ever needed (it is iff
+    // iterations grow with corpus diameter)
+    val erCc = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    def grabErCc(scale: String): Unit =
+      graft.ops.Dedup.lastCcStats.foreach(st => erCc(scale) = st)
     val results = effHeadline.filter(qs.contains).map { name =>
-      name -> timeN(name, benchDir)
+      val r = name -> timeN(name, benchDir)
+      if (name == "x_entity_res")
+        grabErCc(new java.io.File(sfDir).getName)
+      r
     }
     val qJson = results.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -369,8 +403,13 @@ object Bench {
     // tail cut its head. This line stays under ~1.5 KB, and a
     // parseable copy now exists at BOTH ends of the capture window
     // whichever end the driver keeps.
+    def erCcJson: String =
+      if (erCc.isEmpty) ""
+      else erCc.map { case (scale, (it, edges)) =>
+        s""""$scale":{"iterations":$it,"pairs":${edges / 2}}"""
+      }.mkString(""","er_cc":{""", ",", "}")
     def compactCore(anchors: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors$erCcJson}"""
     println(compactCore(f"""{"start":$anchorStart%.3f}"""))
     // sf1 rehearsal: only when benching the standard sf0.1 dir (the
     // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
@@ -382,7 +421,9 @@ object Bench {
         // sf1 rows rode the ±40% host-noise band and masked real
         // round-over-round signal
         val rows = sf1Queries.filter(qs.contains).map { n =>
-          n -> timeN(n, sf1Dir)
+          val r = n -> timeN(n, sf1Dir)
+          if (n == "x_entity_res") grabErCc("sf1")
+          r
         }
         // sf0.1 denominators for sf1 members the trimmed headline no
         // longer times (the stableSweep rows) — cheap (all sub-0.3s),
@@ -409,6 +450,11 @@ object Bench {
           .mkString(""","sf1_queries":{""", ",",
             """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows
       } else ""
+    // the sweep as its OWN compact line, printed as soon as it exists
+    // — BENCH_r13's raw tail truncated the combined blob's head, so
+    // the sf1/sf10 maps were only recoverable from target/bench.json
+    // (r13 verdict item 7); a standalone line survives any tail cut
+    if (sf1Json.nonEmpty) println("{" + sf1Json.drop(1) + "}")
     // sf10 rehearsal: 100× data for the worst growers — the second
     // scale decade behind the 100 TB claims (r11 verdict item 8).
     // Growth here is read against sf0.1, so ~linear-per-decade shows
@@ -418,7 +464,9 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1") {
         val sf10Dir = synthSf10(spark, benchDir)
         val rows = sf10Queries.filter(qs.contains).map { n =>
-          n -> timeN(n, sf10Dir)
+          val r = n -> timeN(n, sf10Dir)
+          if (n == "x_entity_res") grabErCc("sf10")
+          r
         }
         val headlineTimes = results.toMap
         val growth = rows.collect {
@@ -429,11 +477,12 @@ object Bench {
           .mkString(""","sf10_rows":{""", ",", "}")
         rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
           .mkString(""","sf10_queries":{""", ",",
-            """},"sf10_synth":"100x-key-shifted-replicas-docs-lineitem"""") +
+            """},"sf10_synth":"100x-key-shifted-replicas-docs-lineitem-embeddings"""") +
           growth + sf10Rows
       } else ""
+    if (sf10Json.nonEmpty) println("{" + sf10Json.drop(1) + "}")
     val anchorEnd = math.min(anchor(), anchor())
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$sf1Json$sf10Json}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$erCcJson$sf1Json$sf10Json}"""
     // the stdout line alone has been lost to artifact tail-truncation
     // two rounds running (BENCH_r10/r11 shipped "parsed": null with the
     // headline numbers cut out of the log tail) — land the full JSON on

@@ -2627,21 +2627,31 @@ object QueriesOps {
     val tag = if (incr) "incr" else "full"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((fp(new java.io.File(s"$d/embeddings.parquet")) +
-        s":ivfpq:$tag:64:8:4:8:1").getBytes("UTF-8"))
+        s":ivfpq:$tag:64:autolists:4:8:1").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val cache = new java.io.File(s"target/idxcache/ivfpq_$key")
     val ok = new java.io.File(cache, "_OK")
     if (!ok.exists()) {
       val e = t(s, d, "embeddings")
+      // nLists scales ~sqrt(N) past the test corpora (the FAISS rule:
+      // probe cost N·nProbe/nLists only stays flat per decade when the
+      // list count grows with the corpus). <= 20k rows keeps the
+      // oracle-replayed 8 (sf0.001..sf1 unchanged — the fingerprint
+      // key pins each corpus to its own index, so this never flips an
+      // existing cache); the sf10 sweep's 200k-vector corpus gets
+      // sqrt(200k) ≈ 448 lists and directory-pruned probes read ~1%
+      // of codes instead of 25%.
+      val n = e.count()
+      val nLists = if (n <= 20000L) 8 else math.sqrt(n.toDouble).toInt
       if (incr) {
         Similarity.ivfPqIndexWrite(e.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dims = 64, nLists = 8, m = 4, ksub = 8,
+          "vec_id", "embedding", dims = 64, nLists = nLists, m = 4, ksub = 8,
           iters = 1, path = cache.getPath)
         Similarity.ivfPqIndexAppend(e.filter(col("vec_id") % 2 === 1),
           "embedding", cache.getPath)
       } else {
         Similarity.ivfPqIndexWrite(e, "vec_id", "embedding", dims = 64,
-          nLists = 8, m = 4, ksub = 8, iters = 1, path = cache.getPath)
+          nLists = nLists, m = 4, ksub = 8, iters = 1, path = cache.getPath)
       }
       java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
     }

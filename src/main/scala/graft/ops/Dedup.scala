@@ -453,6 +453,16 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id in the component); docs
     * in no pair keep themselves as singleton clusters via the caller's
     * left join. */
+  /** Telemetry from the LAST [[dedupClusters]] run on this JVM:
+    * (min-label iterations to convergence, directed edge count).
+    * Bench-only observability — the verdict's ER decade read asks
+    * whether CC rounds grow with corpus diameter (they should not on
+    * registry-shaped data: near-dup clusters are shallow). If this
+    * ever climbs with scale, the documented switch is the
+    * alternating large-star/small-star CC (Kiveris et al. 2014),
+    * which bounds rounds logarithmically. */
+  @volatile var lastCcStats: Option[(Int, Long)] = None
+
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     def cp(df: DataFrame): DataFrame =
@@ -461,6 +471,7 @@ object Dedup {
     val edges = cp(pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct())
+    val edgeCount = edges.count() // scan of the materialized checkpoint
     var labels = cp(edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id")))
     var changed = 1L
@@ -478,6 +489,7 @@ object Dedup {
       labels = updated.drop("__chg")
       i += 1
     }
+    lastCcStats = Some((i, edgeCount))
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
