@@ -170,6 +170,17 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // the alternating large-star/small-star CC (Kiveris 2014) over the
+    // SAME pair graph — label-identical to min-label propagation by
+    // contract, so it replays x_dedup_clusters' oracle verbatim; the
+    // O(log)-rounds diameter story is DedupSpec's 200-chain case
+    "x_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+      Dedup.dedupClustersStar(pairs.select("a", "b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ensemble dedup policy: exact md5 groups first (reps = min id),
     // LSH+jaccard clusters over the REPS only, one per-doc verdict
     // (keep / drop_exact / drop_near) with kept_by = ultimate keeper
@@ -6223,6 +6234,29 @@ s"""WITH lines AS (
     // components of the same ground-truth pair graph, via transitive
     // closure in a recursive CTE (25 pairs at this scale)
     "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // star CC is label-identical by contract — same closure oracle
+    "x_dedup_clusters_star" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk

@@ -493,6 +493,88 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the documented swap-in for [[dedupClusters]] when
+    * component DIAMETER is the enemy: min-label propagation needs
+    * O(diameter) rounds (a chain of pairwise near-dups propagates one
+    * hop per shuffle), where the star operations contract every
+    * component to a star in O(log²·) rounds worst case, ~log
+    * practically — the difference between 5 and 200 shuffles on a
+    * pathological chain. Near-dup registries are usually shallow
+    * cliques (the telemetry read behind [[lastCcStats]]), so the
+    * simpler propagation stays the default; this is the remedy the
+    * bench telemetry would call for.
+    *
+    * Per round (both ops are one groupBy + one join at PAIR grain,
+    * checkpointed like the propagation loop):
+    * - large-star: every node v links each LARGER neighbor u > v to
+    *   m(v) = min(Γ(v) ∪ v) — long tails hook high nodes straight
+    *   onto minima;
+    * - small-star: every node v links each smaller-or-self node to
+    *   m(v) — stars consolidate onto their roots.
+    * Fixpoint (edge set unchanged, checked with two pair-sized
+    * excepts) is a union of stars rooted at component minima; labels
+    * read straight off the edges. Output: (doc_id, cluster_id = min
+    * id in component) — identical to [[dedupClusters]] by contract
+    * (DedupSpec proves equality, and that a 200-node chain converges
+    * in ≤ 15 rounds where propagation would need 200). */
+  def dedupClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def cp(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val nodes = cp(pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct())
+    // canonical undirected edges (a < b), no self loops
+    var edges = cp(pairs.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct())
+    val edgeCount = edges.count()
+    var i = 0
+    var done = edgeCount == 0L
+    while (!done && i < maxIter) {
+      // symmetric view + per-node minimum m(v) = min(Γ(v) ∪ {v})
+      def sym(e: DataFrame) = e.union(
+        e.select(col("b").as("a"), col("a").as("b")))
+      def mins(s: DataFrame) = s.groupBy(col("a").as("v"))
+        .agg(min(col("b")).as("__mn"))
+        .select(col("v"), least(col("v"), col("__mn")).as("m"))
+      // large-star: (u, m(v)) for u ∈ Γ(v), u > v.  m ≤ v < u, so the
+      // canonical form is (m, u) and no self loop can appear.
+      val s1 = sym(edges)
+      val ls = cp(s1.join(mins(s1), s1("a") === col("v"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("a"), col("b"))
+        .distinct())
+      // small-star: (u, m(v)) for u ∈ Γ(v), u < v, plus (v, m(v)).
+      // u could BE m (drop the self loop); v > m unless v is a root.
+      val s2 = sym(ls)
+      val mv2 = mins(s2)
+      val ss = cp(s2.join(mv2, s2("a") === col("v"))
+        .filter(col("b") < col("a"))
+        .select(col("m").as("a"), col("b"))
+        .unionByName(mv2.select(col("m").as("a"), col("v").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+      // fixpoint: the round changed nothing (two pair-sized excepts
+      // over materialized checkpoints)
+      done = ss.except(edges).limit(1).count() == 0L &&
+        edges.except(ss).limit(1).count() == 0L
+      edges = ss
+      i += 1
+    }
+    lastCcStats = Some((i, edgeCount))
+    // a union of stars: every edge is (root = component min, member)
+    nodes
+      .join(edges.select(col("b").as("id"), col("a").as("cluster")),
+        Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("cluster"), col("id"))).as("cluster"))
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   /** Pick ONE representative per near-dup cluster by an explicit
     * preference (quality score, length, freshness — any deterministic
     * column), ties to the LOWEST id: the keep/drop decision that

@@ -52,6 +52,38 @@ class OpsSpec extends SparkTestBase {
     assert(out == (0L to 12L).map(i => (i, 0L)))
   }
 
+  test("dedupClustersStar equals min-label propagation; converges in O(log) rounds on a chain") {
+    import spark.implicits._
+    // transitive chain + isolated pair — the dedupClusters fixture
+    val small = sqlDf("a" -> Seq(1L, 2L, 5L), "b" -> Seq(2L, 3L, 6L))
+    assertRows(Dedup.dedupClustersStar(small).orderBy("doc_id"),
+      Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(5L, 5L), Seq(6L, 5L)))
+    // a deterministic pseudo-random graph: star output == propagation
+    // output node for node
+    val rnd = (0L until 300L).map(i =>
+      ((i * 7919L) % 97L, (i * 104729L) % 97L)).filter(p => p._1 != p._2)
+      .toDF("a", "b")
+    val prop = Dedup.dedupClusters(rnd, maxIter = 100).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val star = Dedup.dedupClustersStar(rnd).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(star == prop, s"star != propagation:\n$star\nvs\n$prop")
+    // the diameter case the swap exists for: a 200-node path needs 200
+    // propagation rounds (dedupClusters' default maxIter=20 would stop
+    // EARLY with wrong labels); the star contraction lands in <= 15
+    val path = sqlDf("a" -> (0L until 200L), "b" -> (1L to 200L))
+    val out = Dedup.dedupClustersStar(path).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == (0L to 200L).map(i => (i, 0L)))
+    val (rounds, edges) = Dedup.lastCcStats.get
+    assert(rounds <= 15, s"star CC took $rounds rounds on a 200-chain")
+    assert(edges == 200L)
+    // self-pairs and empty input are harmless
+    assertRows(Dedup.dedupClustersStar(
+        sqlDf("a" -> Seq(7L, 8L), "b" -> Seq(7L, 9L))).orderBy("doc_id"),
+      Seq(Seq(7L, 7L), Seq(8L, 8L), Seq(9L, 8L)))
+  }
+
   test("dedupClusters uses a reliable checkpoint when a checkpoint dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
