@@ -97,8 +97,9 @@ object QueriesOps {
     * bytes of accented text mis-decoded as cp1252 — the classic crawl
     * damage ("cafÃ© â€” naÃ¯ve"). cp1252 (not latin-1) so every char
     * is printable and the oracle SQL carries the identical literal. */
+  private val cleanFixture: String = "café — naïve déjà vu"
   private val mojiFixture: String = new String(
-    "café — naïve déjà vu".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    cleanFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8),
     java.nio.charset.Charset.forName("windows-1252"))
 
   val queries: Map[String, Q] = Map(
@@ -792,6 +793,24 @@ object QueriesOps {
           when(col("doc_id") % 5 === 0, lit(" bad �� bytes"))
             .otherwise(lit(""))).as("text"))
       TextAnalysis.mojibakeAudit(raw, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the remediation twin END TO END: the %3 rows' double-encoded
+    // suffix must come back as the CLEAN original; rows that also
+    // carry U+FFFD (%15) abort whole-string (unrecoverable chars) and
+    // pass through unchanged — the oracle states the expected TEXT
+    // directly for every branch, so the recovery itself is
+    // hash-compared, not just replayed
+    "x_fix_mojibake" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" " + mojiFixture))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" bad �� bytes"))
+            .otherwise(lit(""))).as("text"))
+      raw.select(col("doc_id"),
+          TextAnalysis.fixMojibake(col("text")).as("fixed_text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4025,6 +4044,16 @@ object QueriesOps {
         |    OR CAST(moji_n AS DOUBLE) / greatest(n_chars, 1) > 0.002
         |    OR CAST(c1_n AS DOUBLE) / greatest(n_chars, 1) > 0.001) AS suspect
         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "x_fix_mojibake" ->
+      s"""SELECT doc_id,
+        |  text || CASE
+        |      WHEN doc_id % 3 = 0 AND doc_id % 5 = 0 THEN ' $mojiFixture'
+        |      WHEN doc_id % 3 = 0 THEN ' $cleanFixture'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' bad �� bytes' ELSE '' END
+        |    AS fixed_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_domains" ->
       s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents),

@@ -785,6 +785,22 @@ object TextAnalysis {
           col("c1_rate") > lit(c1Threshold))
   }
 
+  /** REMEDIATION twin of [[mojibakeAudit]] — repair double-encoded
+    * UTF-8 ("cafÃ©" → "café", "â€™" → "’") via the native codegen
+    * kernel ([[graft.plans.TextKernelsBridge.fixMojibake]]): sloppy
+    * cp1252/latin-1 re-encode + strict UTF-8 re-decode, kept only when
+    * the whole string round-trips, up to 3 passes for double-double
+    * encodings. Genuine accents, CJK, emoji, and U+FFFD all abort to
+    * the original (UTF-8 strictness is the false-positive guard); a
+    * string MIXING clean non-latin content with mojibake passes
+    * through unchanged — segment-wise repair is the documented
+    * escalation. Linear scan, whole-stage codegen; the audit gates,
+    * this repairs, the funnel re-audits. */
+  def fixMojibake(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.FixMojibakeExpr(ColumnBridge.expr(text)))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val phoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"

@@ -49,6 +49,9 @@ object GraftExtensions {
     ("lang_id",
       new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
       (es: Seq[Expression]) => LangIdExpr(es.head)),
+    ("fix_mojibake",
+      new ExpressionInfo(classOf[FixMojibakeExpr].getName, "fix_mojibake"),
+      (es: Seq[Expression]) => FixMojibakeExpr(es.head)),
     ("shingle_strings",
       new ExpressionInfo(classOf[ShingleStringsExpr].getName, "shingle_strings"),
       (es: Seq[Expression]) => es match {

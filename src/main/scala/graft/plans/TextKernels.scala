@@ -408,6 +408,67 @@ object TextKernelsBridge {
     UTF8String.fromString(best)
   }
 
+  /** cp1252's 27 remapped points (0x80–0x9F) back to their bytes —
+    * the inverse table a "sloppy cp1252" encode needs (chars ≤ 0xFF
+    * encode as their latin-1 identity byte, covering the 5 holes
+    * cp1252 leaves and plain latin-1 mis-decodes alike). */
+  private val cp1252Inverse: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer]()
+    Seq(0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+      0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+      0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+      0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+      0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+      0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+      0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+      .foreach { case (c, b) => m.put(c, b) }
+    m
+  }
+
+  /** Repair double-encoded UTF-8 (the ftfy recipe's core move): map
+    * each char back to the byte a latin-1/cp1252 MIS-decode would have
+    * produced it from (identity for ≤ 0xFF, the cp1252 inverse for the
+    * 27 remaps), strictly re-decode those bytes as UTF-8, and keep the
+    * result only when the whole string round-trips — UTF-8's internal
+    * structure makes an accidental valid decode of REAL latin text
+    * essentially impossible ("café"'s é-byte alone is malformed UTF-8,
+    * so genuine accents abort and the original survives). Up to 3
+    * passes unwind double-double encodings. Strings carrying chars
+    * outside latin-1 ∪ cp1252 (CJK, emoji, U+FFFD) abort to the
+    * original — segment-wise repair of MIXED clean+broken strings is
+    * the documented escalation, not this kernel. Null-safe via the
+    * expression wrapper. */
+  def fixMojibake(text: UTF8String): UTF8String = {
+    var s = text.toString
+    var pass = 0
+    var changed = true
+    while (changed && pass < 3) {
+      changed = false
+      val bytes = new Array[Byte](s.length)
+      var ok = true
+      var i = 0
+      while (i < s.length && ok) {
+        val c = s.charAt(i).toInt
+        if (c <= 0xFF) bytes(i) = c.toByte
+        else {
+          val b = cp1252Inverse.get(c)
+          if (b != null) bytes(i) = b.intValue.toByte else ok = false
+        }
+        i += 1
+      }
+      if (ok) {
+        try {
+          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+          if (out != s) { s = out; changed = true }
+        } catch { case _: java.nio.charset.CharacterCodingException => () }
+      }
+      pass += 1
+    }
+    UTF8String.fromString(s)
+  }
 }
 
 /** shingle_hashes(text) — the distinct rolling w-shingle hash set. */
@@ -513,6 +574,20 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernelsBridge.langId($c)")
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+/** fix_mojibake(text) as a native expression: repair double-encoded
+  * UTF-8 ([[TextKernelsBridge.fixMojibake]]); strings that don't
+  * round-trip pass through unchanged. */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelsBridge.fixMojibake(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernelsBridge.fixMojibake($c)")
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
     copy(child = newChild)
 }
 

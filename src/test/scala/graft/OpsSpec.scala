@@ -1933,6 +1933,57 @@ class OpsSpec extends SparkTestBase {
     assert(edge.forall(r => !r.getBoolean(8) && !r.isNullAt(5)))
   }
 
+  test("fixMojibake recovers latin-1/cp1252 double-encodings, aborts on unrecoverable strings") {
+    import spark.implicits._
+    import java.nio.charset.{Charset, StandardCharsets}
+    // chars chosen so no UTF-8 byte hits cp1252's five holes
+    // (0x81/8D/8F/90/9D): ” (U+201D → ...9D) would be DESTROYED to
+    // U+FFFD at mis-decode time — unrecoverable in principle, which
+    // the abort path below covers separately
+    val clean = "café — naïve déjà vu, ‘quotes’ and ’apostrophe’"
+    val cp = new String(clean.getBytes(StandardCharsets.UTF_8),
+      Charset.forName("windows-1252"))
+    val l1 = new String(clean.getBytes(StandardCharsets.UTF_8),
+      StandardCharsets.ISO_8859_1)
+    // mis-decoded TWICE (double-double encoding) — needs two passes.
+    // Built from accents only: — mis-decodes through ” (U+201D),
+    // whose SECOND encode hits the 0x9D hole and is destroyed — the
+    // second decode must avoid holes for the chain to be reversible
+    val simple = "café naïve déjà vu"
+    val dbl = new String(
+      new String(simple.getBytes(StandardCharsets.UTF_8),
+        Charset.forName("windows-1252")).getBytes(StandardCharsets.UTF_8),
+      Charset.forName("windows-1252"))
+    val cjk = "混合 mojibake cafÃ© 保持不变"
+    val repl = "bad � cafÃ© stays"
+    val df = Seq((1L, clean), (2L, cp), (3L, l1), (4L, dbl), (5L, cjk),
+      (6L, repl), (7L, null: String), (8L, "plain ascii text"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        TextAnalysis.fixMojibake(col("t")).as("f"))
+      .orderBy("id").collect().map(r => Option(r.getString(1)))
+    assert(out(0).get == clean, "genuine accents must survive untouched")
+    assert(out(1).get == clean, "cp1252 double-encode must recover")
+    assert(out(2).get == clean, "latin-1 double-encode must recover")
+    assert(out(3).get == simple, "double-double encode must unwind twice")
+    assert(out(4).get == cjk, "mixed CJK aborts whole-string (documented)")
+    assert(out(5).get == repl, "U+FFFD is unrecoverable — abort")
+    assert(out(6).isEmpty, "null-safe")
+    assert(out(7).get == "plain ascii text")
+    // idempotent: fixing a fixed string changes nothing
+    val twice = df.filter(col("id") === 2L).select(
+      TextAnalysis.fixMojibake(TextAnalysis.fixMojibake(col("t"))))
+      .collect()(0).getString(0)
+    assert(twice == clean)
+    // and the audit's rates drop to zero after the repair
+    val audited = TextAnalysis.mojibakeAudit(
+        df.filter(col("id") === 2L).select(col("id").as("doc_id"),
+          TextAnalysis.fixMojibake(col("t")).as("text")),
+        "doc_id", "text").collect()(0)
+    assert(audited.getLong(3) == 0L && !audited.getBoolean(8),
+      s"repaired text must re-audit clean: $audited")
+  }
+
   test("stripMarkup: blocks, tags, entities, whitespace — and no double-decode") {
     import spark.implicits._
     val df = Seq(
