@@ -468,7 +468,14 @@ object Bench {
           if (n == "x_entity_res") grabErCc("sf10")
           r
         }
-        val headlineTimes = results.toMap
+        // sf0.1 denominators for sf10 members the headline doesn't
+        // time (x_ann_ivfpq_incr) — without them the growth map
+        // silently drops the family (the sf1 denoms recipe)
+        val denoms10 = sf10Queries.filter(qs.contains)
+          .filterNot(effHeadline.contains).map { n =>
+            n -> timeN(n, benchDir)
+          }
+        val headlineTimes = (results ++ denoms10).toMap
         val growth = rows.collect {
           case (k, Some((v, _))) if headlineTimes.get(k).flatten.exists(_._1 > 0.0) =>
             "\"" + k + f"""":${v / headlineTimes(k).get._1}%.1f"""

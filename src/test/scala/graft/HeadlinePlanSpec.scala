@@ -44,6 +44,36 @@ class HeadlinePlanSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"filter not pushed to scan:\n$plan")
   }
+  test("q4_window plans ONE partitioned window — no global window, no extra shuffle") {
+    val df = SparkEntry.queries("q4_window")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    // both running aggregates share one Window over PARTITION BY
+    // l_orderkey — a missing partition spec would single-partition
+    // the fact table (the WindowExec warning the verify guide flags)
+    val windows = planStr.split("\n").filter(_.contains("Window "))
+    assert(windows.nonEmpty, s"window lost:\n$planStr")
+    assert(windows.forall(_.contains("l_orderkey")),
+      s"unpartitioned window over the fact table:\n$planStr")
+    // one hash-partitioned exchange feeds the window; the final
+    // arrange is the only sort beyond the window's own
+    val exchanges = planStr.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 window shuffle, got $exchanges:\n$planStr")
+  }
+
+  test("x_fix_mojibake stays a whole-stage-codegen projection (no shuffle, no window)") {
+    val plan = SparkEntry.queries("x_fix_mojibake")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repair pass must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    // the *(N) stage prefix IS whole-stage codegen in the compact
+    // plan string — the repair projection must carry it
+    val proj = plan.split("\n").find(_.contains("fix_mojibake")).get
+    assert(proj.trim.stripPrefix("+- ").startsWith("*("),
+      s"fix_mojibake fell out of codegen:\n$plan")
+  }
+
   test("x_ks plans no global window and no cartesian product") {
     val plan = SparkEntry.queries("x_ks")(spark, dir)
       .queryExecution.executedPlan.toString
