@@ -287,15 +287,101 @@ object Sources {
   def writeManifest(conf: org.apache.hadoop.conf.Configuration,
                     path: String, names: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    val body = ("graft-manifest 1" +: names.sorted).mkString("\n")
+      .getBytes("UTF-8")
+    val fs = new Path(path).getFileSystem(conf)
+    // archive FIRST (every head state exists in the log, so any
+    // published version is a rollback/time-travel target; a crash
+    // between archive and swap leaves a harmless orphan version),
+    // then swap the head by one atomic rename
+    val v = manifestLogVersions(conf, path).lastOption.getOrElse(0L) + 1L
+    val logDir = new Path(path, "_manifest_log")
+    val ltmp = new Path(logDir, f"v$v%06d.tmp")
+    val ldst = new Path(logDir, f"v$v%06d")
+    val lo = fs.create(ltmp, true)
+    try lo.write(body) finally lo.close()
+    require(fs.rename(ltmp, ldst), s"writeManifest: rename $ltmp -> $ldst failed")
     val tmp = new Path(path, "_MANIFEST.tmp")
     val dst = new Path(path, "_MANIFEST")
-    val fs = tmp.getFileSystem(conf)
     val o = fs.create(tmp, true)
-    try o.write(("graft-manifest 1" +: names.sorted).mkString("\n")
-      .getBytes("UTF-8"))
-    finally o.close()
+    try o.write(body) finally o.close()
     if (fs.exists(dst)) fs.delete(dst, false)
     require(fs.rename(tmp, dst), s"writeManifest: rename $tmp -> $dst failed")
+  }
+
+  /** Archived manifest versions at `path`, ascending. */
+  def manifestLogVersions(conf: org.apache.hadoop.conf.Configuration,
+                          path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val logDir = new Path(path, "_manifest_log")
+    val fs = logDir.getFileSystem(conf)
+    if (!fs.exists(logDir)) return Seq.empty
+    fs.listStatus(logDir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{6}") => n.drop(1).toLong }
+      .sorted.toSeq
+  }
+
+  /** The file names an archived manifest version pins. */
+  def readManifestVersion(conf: org.apache.hadoop.conf.Configuration,
+                          path: String, version: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(path, "_manifest_log"), f"v$version%06d")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"readManifestVersion: $path has no archived version $version " +
+        s"(have: ${manifestLogVersions(conf, path).mkString(",")})")
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head == "graft-manifest 1",
+      s"readManifestVersion: $p is not a graft manifest")
+    lines.tail.toSeq
+  }
+
+  /** TIME TRAVEL: read the table as archived manifest `version` pinned
+    * it. Works as long as [[vacuumUnreferenced]]'s retention has not
+    * reclaimed that version's files — reading past the retention
+    * window fails on the missing file, loudly, exactly like every
+    * expired-snapshot read in a table format. */
+  def readManifestedAt(spark: SparkSession, path: String,
+                       version: Long): DataFrame = {
+    val names = readManifestVersion(
+      spark.sessionState.newHadoopConf(), path, version)
+    require(names.nonEmpty, s"readManifestedAt: version $version is empty")
+    spark.read.parquet(names.map(n => s"$path/$n"): _*)
+  }
+
+  /** Snapshot history as a frame: (version, n_files, is_head) —
+    * the audit read behind time travel and rollback. */
+  def manifestHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val head = readManifest(conf, path).map(_.sorted)
+    manifestLogVersions(conf, path).map { v =>
+      val names = readManifestVersion(conf, path, v)
+      (v, names.length.toLong, head.contains(names.sorted))
+    }.toDF("version", "n_files", "is_head")
+  }
+
+  /** ROLLBACK: re-publish an archived version as the head — recorded
+    * as a NEW version (the Iceberg rollback-as-new-snapshot
+    * semantics: history only ever appends, so the rolled-back-FROM
+    * state stays time-travelable until vacuumed). Old files must
+    * still be present — roll back before vacuuming past the target.
+    * Returns the new head version. */
+  def rollbackManifest(spark: SparkSession, path: String,
+                       version: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val names = readManifestVersion(conf, path, version)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(conf)
+    val missing = names.filterNot(n => fs.exists(new Path(path, n)))
+    require(missing.isEmpty,
+      s"rollbackManifest: version $version references vacuumed files " +
+        s"(${missing.take(3).mkString(", ")}…) — past the retention window")
+    writeManifest(conf, path, names)
+    manifestLogVersions(conf, path).last
   }
 
   /** The manifest's file names, or None for an unmanifested table. */
@@ -345,19 +431,27 @@ object Sources {
       case None => spark.read.parquet(path)
     }
 
-  /** Delete parquet files the manifest no longer references — the
+  /** Delete parquet files no retained manifest references — the
     * explicit reclaim half of the manifest protocol (Delta VACUUM).
-    * Run it only after every reader that might hold a PREVIOUS
-    * manifest has drained; the swap itself never deletes, so the
-    * retention window is entirely the caller's policy. Returns the
-    * deleted names. */
-  def vacuumUnreferenced(spark: SparkSession, path: String): Seq[String] = {
+    * `retainVersions` protects the newest N ARCHIVED versions (plus
+    * always the head), keeping them time-travelable; 1 = head-only
+    * retention. Run it only after every reader that might hold an
+    * expiring manifest has drained; the swap itself never deletes, so
+    * the retention window is entirely the caller's policy. Returns
+    * the deleted names. */
+  def vacuumUnreferenced(spark: SparkSession, path: String,
+                         retainVersions: Int = 1): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1,
+      s"vacuumUnreferenced: retainVersions=$retainVersions must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
-    val referenced = readManifest(conf, path).getOrElse(
+    val head = readManifest(conf, path).getOrElse(
       throw new IllegalArgumentException(
         s"vacuumUnreferenced: $path has no _MANIFEST — nothing pins the " +
-          "live set, so deleting by listing would be guesswork")).toSet
+          "live set, so deleting by listing would be guesswork"))
+    val retained = manifestLogVersions(conf, path).takeRight(retainVersions)
+      .flatMap(v => readManifestVersion(conf, path, v))
+    val referenced = (head ++ retained).toSet
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val dead = fs.listStatus(root).map(_.getPath)
