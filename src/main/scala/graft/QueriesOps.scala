@@ -1434,6 +1434,28 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // file-pruned DELETE WHERE on a manifested copy (one-time per
+    // dataset: write 8 files + manifest, purge doc_id % 7 = 3, marker
+    // makes reruns read-only) — the answer IS the plain NOT-filter,
+    // so layout, rewrite scope, and manifest swap are all
+    // answer-preserving by the oracle
+    "x_delete_where" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/deletecache/docs_$tag"
+      val ok = new java.io.File(s"$path/_DELETED")
+      if (!ok.exists()) {
+        t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(8).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        graft.sources.Sources.deleteWhereAtomic(s, path,
+          col("doc_id") % 7 === 3)
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.sources.Sources.readManifested(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // z-ordered layout is answer-preserving: a 2-d box query over the
     // zorderWrite'd copy (one-time per-session layout cost) returns
     // the plain filtered aggregate — the curve only relocates rows
@@ -4980,6 +5002,12 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    // DELETE is answer-preserving: the surviving table IS the
+    // NOT-filtered base (predicate-NULL rows kept — SQL semantics)
+    "x_delete_where" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (doc_id % 7 = 3) ORDER BY doc_id""".stripMargin,
 
     // the partitioned layout's result IS the plain filtered agg
     "x_part_prune" ->

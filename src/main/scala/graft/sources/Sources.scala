@@ -462,6 +462,63 @@ object Sources {
     dead.map(_.getName)
   }
 
+  /** Targeted DELETE WHERE on a manifested table — the
+    * right-to-be-forgotten / bad-batch-purge op at 100 TB: ONE pruned
+    * scan (predicate pushed to the parquet footers, so row-group
+    * stats skip clean files wholesale) finds the files that actually
+    * HOLD matching rows; only those are rewritten without their
+    * matches (a purge of one user's rows touches kilobytes of a
+    * petabyte table when the layout clusters the key — the
+    * z-order/bloom story feeding straight into this); the publish is
+    * the usual single manifest rename, so concurrent manifested
+    * readers see pre-delete or post-delete in full. DELETE semantics
+    * are SQL's: rows where the predicate is TRUE go, rows where it is
+    * FALSE **or NULL** stay. Old files stay for time travel until
+    * [[vacuumUnreferenced]]. Returns (rewritten file names, deleted
+    * row count). */
+  def deleteWhereAtomic(spark: SparkSession, path: String,
+                        predicate: org.apache.spark.sql.Column):
+      (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce,
+      count, input_file_name, lit, not}
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val hits = readManifested(spark, path).filter(predicate)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n")).collect()
+    if (hits.isEmpty) return (Seq.empty, 0L)
+    val affected = hits.map(r =>
+      (new Path(r.getString(0)).getName, r.getLong(1))).toMap
+    val deleted = affected.values.sum
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(path,
+      s"_delete_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val keepPred = not(fnCoalesce(predicate, lit(false)))
+    val newNames = affected.keys.toSeq.sorted.flatMap { n =>
+      val kept = spark.read.parquet(s"$path/$n").filter(keepPred)
+      if (kept.isEmpty) Seq.empty[String] // fully-purged file vanishes
+      else {
+        val binDir = new Path(staging, n)
+        kept.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
+        val part = fs.listStatus(binDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"deleteWhereAtomic: expected 1 part file in $binDir")
+        val dst = new Path(root, part(0).getName)
+        require(fs.rename(part(0), dst),
+          s"deleteWhereAtomic: rename ${part(0)} -> $dst failed")
+        Seq(dst.getName)
+      }
+    }
+    val after = names.filterNot(affected.contains) ++ newNames
+    writeManifest(conf, path, after) // the atomic publish
+    fs.delete(staging, true)
+    (newNames, deleted)
+  }
+
   /** ATOMIC small-file compaction — [[compactSmallFiles]] with the
     * manifest swap instead of write-then-delete: bins are rewritten
     * into an underscore staging dir (invisible to both manifested and
