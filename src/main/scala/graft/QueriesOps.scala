@@ -1456,6 +1456,27 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // file-pruned UPDATE WHERE … SET on a manifested copy — the
+    // answer IS the CASE-WHEN projection of the base, so rewrite
+    // scope and manifest swap are answer-preserving by the oracle
+    "x_update_where" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/updatecache/docs_$tag"
+      val ok = new java.io.File(s"$path/_UPDATED")
+      if (!ok.exists()) {
+        t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          .repartition(8).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        graft.sources.Sources.updateWhereAtomic(s, path,
+          col("doc_id") % 5 === 1,
+          Map("n_chars" -> (col("n_chars") * 2)))
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.sources.Sources.readManifested(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // z-ordered layout is answer-preserving: a 2-d box query over the
     // zorderWrite'd copy (one-time per-session layout cost) returns
     // the plain filtered aggregate — the curve only relocates rows
@@ -5008,6 +5029,12 @@ object QueriesOps {
     "x_delete_where" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (doc_id % 7 = 3) ORDER BY doc_id""".stripMargin,
+
+    // UPDATE is answer-preserving: the table IS the CASE projection
+    "x_update_where" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 1 THEN n_chars * 2 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the partitioned layout's result IS the plain filtered agg
     "x_part_prune" ->

@@ -519,6 +519,70 @@ object Sources {
     (newNames, deleted)
   }
 
+  /** Targeted UPDATE WHERE … SET on a manifested table —
+    * [[deleteWhereAtomic]]'s sibling with identical scale shape: one
+    * pushed-down scan finds the files holding matching rows, only
+    * those are rewritten (each row either updated by `assignments`
+    * when the predicate is TRUE, or kept verbatim — FALSE/NULL rows
+    * pass through, SQL semantics), published by the single manifest
+    * rename. Assignments may reference existing columns (`"price" →
+    * col("price") * 1.1`); the schema never changes (each assigned
+    * column is cast back to its existing type — a type-changing
+    * rewrite is a different, full-table operation). Returns
+    * (rewritten file names, updated row count). */
+  def updateWhereAtomic(spark: SparkSession, path: String,
+                        predicate: org.apache.spark.sql.Column,
+                        assignments: Map[String, org.apache.spark.sql.Column]):
+      (Seq[String], Long) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce,
+      count, input_file_name, lit, when => fnWhen, col => fnCol}
+    require(assignments.nonEmpty, "updateWhereAtomic: no assignments")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val base = readManifested(spark, path)
+    assignments.keys.foreach { c =>
+      require(base.columns.contains(c),
+        s"updateWhereAtomic: assigned column '$c' not in table schema " +
+          s"(${base.columns.mkString(", ")})")
+    }
+    val hits = base.filter(predicate)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n")).collect()
+    if (hits.isEmpty) return (Seq.empty, 0L)
+    val affected = hits.map(r =>
+      (new Path(r.getString(0)).getName, r.getLong(1))).toMap
+    val updated = affected.values.sum
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(path,
+      s"_update_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    val hit = fnCoalesce(predicate, lit(false))
+    val newNames = affected.keys.toSeq.sorted.map { n =>
+      val src = spark.read.parquet(s"$path/$n")
+      val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
+      val rewritten = assignments.foldLeft(src) { case (df, (c, expr)) =>
+        df.withColumn(c,
+          fnWhen(hit, expr.cast(types(c))).otherwise(fnCol(c)))
+      }.select(src.columns.map(fnCol): _*) // column order preserved
+      val binDir = new Path(staging, n)
+      rewritten.coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
+      val part = fs.listStatus(binDir)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"updateWhereAtomic: expected 1 part file in $binDir")
+      val dst = new Path(root, part(0).getName)
+      require(fs.rename(part(0), dst),
+        s"updateWhereAtomic: rename ${part(0)} -> $dst failed")
+      dst.getName
+    }
+    val after = names.filterNot(affected.contains) ++ newNames
+    writeManifest(conf, path, after) // the atomic publish
+    fs.delete(staging, true)
+    (newNames, updated)
+  }
+
   /** ATOMIC small-file compaction — [[compactSmallFiles]] with the
     * manifest swap instead of write-then-delete: bins are rewritten
     * into an underscore staging dir (invisible to both manifested and
