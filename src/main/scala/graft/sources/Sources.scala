@@ -285,10 +285,26 @@ object Sources {
     * is the explicit reclaim, to be run after the longest plausible
     * reader has drained. */
   def writeManifest(conf: org.apache.hadoop.conf.Configuration,
-                    path: String, names: Seq[String]): Unit = {
+                    path: String, names: Seq[String]): Unit =
+    writeManifest(conf, path, names, Map.empty)
+
+  /** Manifest publish with metadata riding INSIDE the same atomic
+    * rename ('#key value' lines between the header and the names) —
+    * the slot [[graft.streaming.ManifestSink]] stores its last
+    * folded batch id in: state that must advance exactly with the
+    * file set cannot live in a second file (a crash between two
+    * writes would desync them). */
+  def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+                    path: String, names: Seq[String],
+                    meta: Map[String, String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val body = ("graft-manifest 1" +: names.sorted).mkString("\n")
-      .getBytes("UTF-8")
+    meta.foreach { case (k, v) =>
+      require(!k.contains('\n') && !v.contains('\n') && !k.contains(' '),
+        s"writeManifest: meta key/value must be single-line, key spaceless: $k")
+    }
+    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k $v" }
+    val body = (("graft-manifest 1" +: metaLines) ++ names.sorted)
+      .mkString("\n").getBytes("UTF-8")
     val fs = new Path(path).getFileSystem(conf)
     // archive FIRST (every head state exists in the log, so any
     // published version is a rollback/time-travel target; a crash
@@ -336,7 +352,7 @@ object Sources {
     val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
     require(lines.nonEmpty && lines.head == "graft-manifest 1",
       s"readManifestVersion: $p is not a graft manifest")
-    lines.tail.toSeq
+    lines.tail.filterNot(_.startsWith("#")).toSeq
   }
 
   /** TIME TRAVEL: read the table as archived manifest `version` pinned
@@ -398,7 +414,26 @@ object Sources {
     require(lines.nonEmpty && lines.head == "graft-manifest 1",
       s"readManifest: $p opens with '${lines.headOption.getOrElse("").take(40)}' " +
         "— not a graft manifest (or a newer format); expected 'graft-manifest 1'")
-    Some(lines.tail.toSeq)
+    Some(lines.tail.filterNot(_.startsWith("#")).toSeq)
+  }
+
+  /** The head manifest's '#key value' metadata (empty if none / no
+    * manifest). */
+  def readManifestMeta(conf: org.apache.hadoop.conf.Configuration,
+                       path: String): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, "_MANIFEST")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n")
+      .filter(_.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        (l.substring(1, sp), l.substring(sp + 1))
+      }.toMap
   }
 
   /** Adopt an existing plain-parquet directory into the manifest

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+
+/** EXACTLY-ONCE streaming file sink on the manifest protocol — the
+  * remedy every foreachBatch file sink's scaladoc here points at
+  * ("dedup-on-read or a table format"): foreachBatch re-delivers a
+  * batch after a crash between the write and the checkpoint commit,
+  * and a plain append then lands the same rows twice. This sink makes
+  * the append TRANSACTIONAL instead: batch files stage invisibly
+  * (underscore dir → unique part names moved in, unreferenced), and
+  * ONE manifest rename publishes the new file set TOGETHER with the
+  * batch id it corresponds to (the id rides inside the manifest's
+  * '#batch' metadata line — state that must advance exactly with the
+  * file set cannot live in a second file, a crash between two writes
+  * would desync them). A replayed batch id reads the standing id and
+  * no-ops; a crash BEFORE the rename leaves only unreferenced staging
+  * files the next vacuum sweeps; a crash AFTER the rename is exactly
+  * the replay the id guard absorbs. Readers go through
+  * [[graft.sources.Sources.readManifested]] and see whole batches or
+  * nothing — never a torn append.
+  *
+  * Scale shape: per batch one write job (filesPerBatch output files),
+  * a driver-side manifest append, one rename. The manifest grows one
+  * line per file — compact with
+  * [[graft.sources.Sources.compactSmallFilesAtomic]] on the same
+  * table (both publish through the same one-rename protocol, so they
+  * compose; run them from one maintenance loop, not concurrently with
+  * each other — last-writer-wins between two MAINTENANCE jobs is the
+  * standard single-writer table contract). */
+object ManifestSink {
+
+  /** The last batch id published into the manifest at `path`, -1 if
+    * none. */
+  def lastBatchId(conf: org.apache.hadoop.conf.Configuration,
+                  path: String): Long =
+    graft.sources.Sources.readManifestMeta(conf, path)
+      .get("batch").map(_.toLong).getOrElse(-1L)
+
+  /** The per-batch half, callable directly for batch-twin testing.
+    * Replayed ids (≤ the manifest's standing '#batch') are no-ops. */
+  def appendBatch(batch: DataFrame, path: String, batchId: Long,
+                  filesPerBatch: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(filesPerBatch >= 1,
+      s"manifestSink: filesPerBatch=$filesPerBatch must be >= 1")
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    if (batchId <= lastBatchId(conf, path)) return
+    val names = graft.sources.Sources.readManifest(conf, path)
+      .getOrElse(Seq.empty)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val staging = new Path(path,
+      s"_sink_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    batch.repartition(filesPerBatch)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    val newNames = parts.map { p =>
+      val dst = new Path(root, p.getName) // per-job UUID names: unique
+      require(fs.rename(p, dst), s"manifestSink: rename $p -> $dst failed")
+      dst.getName
+    }
+    // the atomic publish: file set + batch id advance TOGETHER
+    graft.sources.Sources.writeManifest(conf, path, names ++ newNames,
+      Map("batch" -> batchId.toString))
+    fs.delete(staging, true)
+  }
+
+  /** The stream form: start with
+    * `.option("checkpointLocation", …).start()`. */
+  def sink(stream: DataFrame, path: String, filesPerBatch: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendBatch(batch, path, batchId, filesPerBatch)
+    }
+
+  /** Read the sink's table (manifest-pinned — whole batches or
+    * nothing). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Sources.readManifested(spark, path)
+}

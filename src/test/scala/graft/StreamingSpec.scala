@@ -868,6 +868,66 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("manifest sink: exactly-once appends — replays no-op, readers never see torn batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_manifestsink").toFile
+    val path = new java.io.File(base, "tbl").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    val input = MemoryStream[Long]
+    val query = graft.streaming.ManifestSink.sink(
+        input.toDS().toDF("id"), path, filesPerBatch = 2)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(1L to 100L: _*)
+      query.processAllAvailable()
+      input.addData(101L to 150L: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val conf = s.sessionState.newHadoopConf()
+    assert(graft.streaming.ManifestSink.read(s, path).count() == 150)
+    val publishedId = graft.streaming.ManifestSink.lastBatchId(conf, path)
+    assert(publishedId >= 1L)
+    // the crash-replay: foreachBatch re-delivers an already-published
+    // batch id — the manifest's standing '#batch' absorbs it
+    graft.streaming.ManifestSink.appendBatch(
+      (101L to 150L).toDF("id"), path, publishedId)
+    assert(graft.streaming.ManifestSink.read(s, path).count() == 150,
+      "replayed batch must not double-append")
+    // a genuinely new batch appends atomically under a racing reader:
+    // every read is a whole-batch count, never a partial file set
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get())
+          observed.add(graft.streaming.ManifestSink.read(s, path).count())
+      } catch { case t: Throwable => failed.set(t) }
+    })
+    reader.start()
+    try {
+      graft.streaming.ManifestSink.appendBatch(
+        (151L to 250L).toDF("id"), path, publishedId + 1, filesPerBatch = 4)
+    } finally { stop.set(true); reader.join(30000) }
+    assert(failed.get() == null, s"racing read failed: ${failed.get()}")
+    import scala.jdk.CollectionConverters._
+    val torn = observed.asScala.toSeq.filterNot(c => c == 150L || c == 250L)
+    assert(torn.isEmpty, s"torn append visible: ${torn.take(3)}")
+    val all = graft.streaming.ManifestSink.read(s, path)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(all == (1L to 250L), "exactly the stream's rows, exactly once")
+    assert(graft.streaming.ManifestSink.lastBatchId(conf, path) == publishedId + 1)
+    // meta lines don't leak into the file list or time travel
+    val names = graft.sources.Sources.readManifest(conf, path).get
+    assert(names.forall(_.endsWith(".parquet")), names.toString)
+    val vs = graft.sources.Sources.manifestLogVersions(conf, path)
+    assert(graft.sources.Sources
+      .readManifestedAt(s, path, vs.head).count() == 100,
+      "first published batch stays time-travelable")
+  }
+
   test("state envelope: pre-envelope bytes and cross-family state fail loudly") {
     val s = spark
     import s.implicits._
