@@ -2700,7 +2700,7 @@ object QueriesOps {
     val tag = if (incr) "incr" else "full"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((fp(new java.io.File(s"$d/embeddings.parquet")) +
-        s":ivfpq:$tag:64:autolists:4:8:1").getBytes("UTF-8"))
+        s":ivfpq:$tag:64:autolists2:4:8:1").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val cache = new java.io.File(s"target/idxcache/ivfpq_$key")
     val ok = new java.io.File(cache, "_OK")

@@ -1405,7 +1405,16 @@ object Similarity {
     import spark.implicits._
     val (enc, centroids, books) =
       ivfPqEncodeFrames(corpus, id, vec, dims, nLists, m, ksub, iters)
-    enc.write.mode("overwrite").partitionBy("list_id")
+    // ONE file per list: partitionBy from an arbitrarily-partitioned
+    // frame writes a file per (shuffle partition × list) — ~14k files
+    // at 448 lists, and the LISTING of that tail, not the probed
+    // bytes, dominates serving. Clustering on list_id first caps the
+    // layout at nLists files; codes are ~(8+m) bytes/vector, so even
+    // a billion-vector list stays one healthy file per 100M vectors
+    // (shard further by repartition(n, col("list_id")) if a single
+    // list outgrows a file)
+    enc.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/codes")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -1436,7 +1445,11 @@ object Similarity {
     val resid = assigned.join(broadcast(centroids), Seq("list_id"))
       .select(col(idCol), col("list_id"),
         vecDiff(col(vec), col("centroid")).as("__rv"))
+    // one delta file per touched list (the build's layout cap) — the
+    // day-2 small-file tail then grows one file per (append × list),
+    // absorbed by a periodic compaction like any streaming sink
     pqEncodeResiduals(resid, cb, m, dsub)
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
   }
 
