@@ -1434,6 +1434,27 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // unbiased pass@k (Chen et al. 2021) over a synthetic eval table:
+    // per task n samples (3 for doc_id%4=0 — under-sampled, NULL at
+    // k=5/10; else 10), c = doc_id % (n+1) passing. The oracle spells
+    // the same left-associated exact-factor product
+    "x_pass_at_k" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, lit(3L)).otherwise(lit(10L)).as("n"))
+        .withColumn("c", pmod(col("doc_id"), col("n") + 1))
+      Classifier.passAtK(base, col("n"), col("c"), Seq(1, 5, 10))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the headline read: mean pass@k across tasks on the fixed-point
+    // grid (order-invariant), under-sampled tasks excluded per k
+    "x_pass_at_k_mean" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, lit(3L)).otherwise(lit(10L)).as("n"))
+        .withColumn("c", pmod(col("doc_id"), col("n") + 1))
+      Classifier.passAtKSummary(base, col("n"), col("c"), Seq(1, 5, 10))
+    }),
+
     // file-pruned DELETE WHERE on a manifested copy (one-time per
     // dataset: write 8 files + manifest, purge doc_id % 7 = 3, marker
     // makes reruns read-only) — the answer IS the plain NOT-filter,
@@ -5023,6 +5044,39 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    "x_pass_at_k" -> {
+      def prod(k: Int) = (0 until k)
+        .map(i => s"(CAST(GREATEST(n - c - $i, 0) AS DOUBLE) / (n - $i))")
+        .mkString(" * ")
+      def p(k: Int) =
+        s"CASE WHEN n < $k THEN NULL ELSE 1.0 - ${prod(k)} END AS pass_at_$k"
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 10 END AS n FROM documents),
+         |t AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |    CAST(doc_id % (n + 1) AS BIGINT) AS c FROM base)
+         |SELECT doc_id, n, c, ${p(1)}, ${p(5)}, ${p(10)}
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "x_pass_at_k_mean" -> {
+      def prod(k: Int) = (0 until k)
+        .map(i => s"(CAST(GREATEST(n - c - $i, 0) AS DOUBLE) / (n - $i))")
+        .mkString(" * ")
+      def p(k: Int) =
+        s"CASE WHEN n < $k THEN NULL ELSE 1.0 - ${prod(k)} END AS p$k"
+      def m(k: Int) =
+        s"""CAST(SUM(CAST(FLOOR(p$k * 1073741824.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+           |    / 1073741824.0 / CAST(count(p$k) AS DOUBLE) AS mean_pass_at_$k""".stripMargin
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 10 END AS n FROM documents),
+         |t AS (SELECT doc_id, CAST(n AS BIGINT) AS n,
+         |    CAST(doc_id % (n + 1) AS BIGINT) AS c FROM base),
+         |s AS (SELECT ${p(1)}, ${p(5)}, ${p(10)} FROM t)
+         |SELECT CAST(count(*) AS BIGINT) AS n_tasks,
+         |  ${m(1)}, ${m(5)}, ${m(10)}
+         |FROM s""".stripMargin
+    },
 
     // DELETE is answer-preserving: the surviving table IS the
     // NOT-filtered base (predicate-NULL rows kept — SQL semantics)

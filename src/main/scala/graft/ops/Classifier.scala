@@ -202,4 +202,52 @@ object Classifier {
       .withColumn("p_lo", col("bin").cast("double") / lit(k).cast("double"))
       .select(col("bin"), col("p_lo"), col("n"), col("mean_p"), col("pos_rate"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, the Codex/HumanEval
+    * estimator) — THE reported metric of a code/eval pipeline: a task
+    * with `n` samples of which `c` passed estimates
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i),
+    * the probability at least one of k draws (without replacement)
+    * passes. Computed in the PRODUCT form with k plan-time factors —
+    * exact-integer numerators/denominators divided per factor and
+    * multiplied left-to-right, so any engine replays the identical
+    * IEEE doubles (no lgamma, no libm lottery); a factor hitting 0
+    * (c > n−k) collapses the product — pass@k = 1 exactly. Rows with
+    * n < k are undefined (NULL), SQL-style rather than a throw: at
+    * corpus scale one under-sampled task shouldn't kill the job.
+    * Output: input columns + one `pass_at_<k>` per requested k. */
+  def passAtK(df: DataFrame, n: Column, c: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 1000),
+      s"passAtK: ks must be within 1..1000 (got $ks)")
+    val nn = n.cast("long"); val cc = c.cast("long")
+    ks.foldLeft(df) { (acc, k) =>
+      val prod = (0 until k).foldLeft(lit(1.0)) { (p, i) =>
+        p * (greatest(nn - cc - lit(i.toLong), lit(0L)).cast("double")
+          / (nn - lit(i.toLong)).cast("double"))
+      }
+      acc.withColumn(s"pass_at_$k",
+        when(nn < k, lit(null).cast("double"))
+          .otherwise(lit(1.0) - prod))
+    }
+  }
+
+  /** The headline read over [[passAtK]] rows: mean pass@k across
+    * tasks, per k — summed on the 2^-30 fixed-point grid so the
+    * distributed mean is order-invariant and engine-replayable
+    * (the psi/NDCG recipe). Tasks with NULL pass@k (n < k) are
+    * excluded from that k's mean, SQL AVG semantics.
+    * Output: one row: (n_tasks, mean_pass_at_<k>...). */
+  def passAtKSummary(df: DataFrame, n: Column, c: Column,
+                     ks: Seq[Int]): DataFrame = {
+    val scored = passAtK(df, n, c, ks)
+    val aggs = ks.map { k =>
+      val v = col(s"pass_at_$k")
+      (sum(when(v.isNotNull,
+          floor(v * 1073741824.0 + 0.5).cast("decimal(38,0)")))
+        .cast("double") / 1073741824.0
+        / sum(when(v.isNotNull, 1L).otherwise(0L)).cast("double"))
+        .as(s"mean_pass_at_$k")
+    }
+    scored.agg(count(lit(1)).as("n_tasks"), aggs: _*)
+  }
 }

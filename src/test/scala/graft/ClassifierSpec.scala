@@ -169,4 +169,41 @@ class ClassifierSpec extends SparkTestBase {
     assert(out(2).getAs[Double]("mean_p") == 0.975)
     assert(out.map(_.getAs[Double]("pos_rate")).toSeq == Seq(0.0, 1.0, 1.0))
   }
+
+  test("passAtK matches the combinatorial definition; undefined and degenerate rows handled") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    val df = Seq(
+      (1L, 10L, 5L),   // pass@1 = 1 - C(5,1)/C(10,1) = 0.5
+      (2L, 10L, 0L),   // no passes: pass@k = 0 for every k <= n
+      (3L, 10L, 10L),  // all pass: pass@k = 1 exactly
+      (4L, 10L, 2L),   // pass@5 = 1 - C(8,5)/C(10,5)
+      (5L, 3L, 1L))    // n < 5: pass@5/@10 undefined (NULL)
+      .toDF("task", "n", "c")
+    val out = Classifier.passAtK(df, col("n"), col("c"), Seq(1, 5, 10))
+      .orderBy("task").collect()
+    def nCk(n: Long, k: Long): Double =
+      (0L until k).map(i => (n - i).toDouble / (k - i)).product
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 0.0 &&
+      out(1).getDouble(5) == 0.0)
+    assert(out(2).getDouble(3) == 1.0 && out(2).getDouble(4) == 1.0 &&
+      out(2).getDouble(5) == 1.0, "all-pass must be exactly 1")
+    val expect45 = 1.0 - nCk(8, 5) / nCk(10, 5)
+    assert(math.abs(out(3).getDouble(4) - expect45) < 1e-12,
+      s"${out(3).getDouble(4)} vs $expect45")
+    // c > n - k collapses a factor to 0: pass@10 with c=2 is exactly 1
+    assert(out(3).getDouble(5) == 1.0)
+    assert(!out(4).isNullAt(3) && out(4).isNullAt(4) && out(4).isNullAt(5),
+      "n < k must be NULL, not garbage")
+    // summary: NULL rows excluded per k; means exact on the grid
+    val sum5 = Classifier.passAtKSummary(df, col("n"), col("c"), Seq(1))
+      .collect()(0)
+    assert(sum5.getLong(0) == 5L)
+    val grid = (x: Double) => math.floor(x * 1073741824.0 + 0.5) / 1073741824.0
+    val expMean1 = (grid(0.5) + 0.0 + 1.0 + grid(1.0 - nCk(8, 1) / nCk(10, 1))
+      + grid(1.0 - nCk(2, 1) / nCk(3, 1))) / 5.0
+    assert(math.abs(sum5.getDouble(1) - expMean1) < 1e-9,
+      s"${sum5.getDouble(1)} vs $expMean1")
+  }
 }
