@@ -1434,6 +1434,18 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // Bradley–Terry arena ratings from pairwise matches (Hunter 2004
+    // MM, fixed 3 iterations): 8 synthetic items, winner doc_id%8 vs
+    // loser (3·doc_id+1)%8 — the oracle replays every iteration as an
+    // unrolled CTE on the 18-decimal grid (the pagerank recipe)
+    "x_bradley_terry" -> ((s, d) => {
+      val m = t(s, d, "documents").select(
+        (col("doc_id") % 8).cast("string").as("w"),
+        ((col("doc_id") * 3 + 1) % 8).cast("string").as("l"))
+      Classifier.bradleyTerry(m, "w", "l", iters = 3)
+        .orderBy(col("item"))
+    }),
+
     // unbiased pass@k (Chen et al. 2021) over a synthetic eval table:
     // per task n samples (3 for doc_id%4=0 — under-sampled, NULL at
     // k=5/10; else 10), c = doc_id % (n+1) passing. The oracle spells
@@ -5044,6 +5056,40 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    "x_bradley_terry" -> {
+      def ds(x: String) =
+        s"(CAST(sum(CAST(FLOOR(($x) * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)"
+      def iter(prev: String, i: Int) =
+        s"""d$i AS (SELECT p.a AS item, ${ds("p.n / (ra.rating + rb.rating)")} AS den
+           |  FROM p JOIN $prev ra ON p.a = ra.item
+           |         JOIN $prev rb ON p.b = rb.item GROUP BY p.a),
+           |u$i AS (SELECT b0.item, b0.W,
+           |    CASE WHEN d$i.den > 0 THEN b0.W / d$i.den ELSE 0.0 END AS rating
+           |  FROM b0 JOIN d$i USING (item)),
+           |t$i AS (SELECT ${ds("rating")} AS t, CAST(count(*) AS DOUBLE) AS c
+           |  FROM u$i),
+           |r$i AS (SELECT item, W, rating * t$i.c / t$i.t AS rating
+           |  FROM u$i CROSS JOIN t$i)""".stripMargin
+      s"""WITH m AS (SELECT CAST(doc_id % 8 AS VARCHAR) AS w,
+         |    CAST((doc_id * 3 + 1) % 8 AS VARCHAR) AS l
+         |  FROM documents WHERE doc_id % 8 <> (doc_id * 3 + 1) % 8),
+         |wn AS (SELECT w AS item, CAST(count(*) AS DOUBLE) AS W FROM m GROUP BY 1),
+         |p AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n FROM
+         |  (SELECT w AS a, l AS b FROM m UNION ALL SELECT l, w FROM m)
+         |  GROUP BY 1, 2),
+         |it AS (SELECT DISTINCT a AS item FROM p),
+         |b0 AS (SELECT it.item, coalesce(wn.W, 0.0) AS W
+         |  FROM it LEFT JOIN wn USING (item)),
+         |r0 AS (SELECT item, W, CAST(1 AS DOUBLE) AS rating FROM b0),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)},
+         |nt AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS n_matches
+         |  FROM p GROUP BY 1)
+         |SELECT r3.item, CAST(r3.W AS BIGINT) AS wins, nt.n_matches, r3.rating
+         |FROM r3 JOIN nt USING (item) ORDER BY item""".stripMargin
+    },
 
     "x_pass_at_k" -> {
       def prod(k: Int) = (0 until k)

@@ -250,4 +250,85 @@ object Classifier {
     }
     scored.agg(count(lit(1)).as("n_tasks"), aggs: _*)
   }
+
+  /** Order-invariant engine-exact sum on the 2^-40 fixed-point grid
+    * (the psi/NDCG recipe one level finer): each term floors onto the
+    * grid — floor of an IEEE double is EXACT in every engine, unlike
+    * a double→DECIMAL cast, where Spark rounds the shortest string
+    * repr and DuckDB the exact binary value (a 1-ulp lottery that
+    * compounds across MM iterations) — and the integer sum is
+    * association-free. Terms up to ~2^13 keep the scaled sum far
+    * inside decimal(38,0). */
+  private def gridSum40(c: Column): Column =
+    (sum(floor(c * 1099511627776.0 + 0.5).cast("decimal(38,0)"))
+      .cast("double") / 1099511627776.0)
+
+  /** Bradley–Terry strength ratings from pairwise preference matches
+    * (the arena-eval read: which model/doc/config wins head-to-heads)
+    * by Hunter's 2004 MM algorithm at a FIXED iteration count:
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j), renormalized to mean 1 each
+    * round. Engine-exact by the PageRank recipe — per-pair divisions
+    * are single IEEE ops, the per-item and normalization sums run on
+    * the 2^-40 fixed-point grid, so the oracle replays every iteration as an
+    * unrolled CTE. A zero-win item's rating is exactly 0 from round 1
+    * on (the MLE boundary — its true rating is −∞; regularize
+    * upstream with pseudo-matches if that item must stay rankable).
+    *
+    * Scale shape: state is items-sized; each iteration is one join of
+    * the DISTINCT-pair total table against the ratings on both
+    * endpoints + one item-keyed partial agg — pair-table-sized work,
+    * never matches-sized after the first groupBy, never all-pairs.
+    * Output: (item, wins, n_matches, rating), rating mean-1
+    * normalized. */
+  def bradleyTerry(matches: DataFrame, winner: String, loser: String,
+                   iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"bradleyTerry: iters=$iters out of the unroll range [1,20]")
+    val m = matches.select(col(winner).cast("string").as("__w"),
+      col(loser).cast("string").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val wins = m.groupBy(col("__w").as("item"))
+      .agg(count(lit(1)).cast("double").as("__W"))
+    // n_ab = matches between a and b, materialized symmetrically (one
+    // row per DIRECTED pair) so each iteration joins ratings by key
+    val pairs = m.select(col("__w").as("a"), col("__l").as("b"))
+      .unionByName(m.select(col("__l").as("a"), col("__w").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).cast("double").as("__n"))
+    // lineage discipline (the dedupClusters pattern): each round adds
+    // two joins + a crossJoin on top of the last — uncheckpointed,
+    // Catalyst re-analyzes an exponentially growing tree and 15
+    // rounds never finish planning. Pair table and per-round ratings
+    // are materialized; state is items-sized, pairs pair-sized.
+    val sc = matches.sparkSession.sparkContext
+    def cp(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val pairsM = cp(pairs)
+    val items = pairsM.select(col("a").as("item")).distinct()
+    val base = cp(items.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("__W"), lit(0.0)).as("__W")))
+    var r = base.withColumn("rating", lit(1.0))
+    for (_ <- 1 to iters) {
+      val denom = pairsM
+        .join(r.select(col("item").as("a"), col("rating").as("__ra")), "a")
+        .join(r.select(col("item").as("b"), col("rating").as("__rb")), "b")
+        .groupBy(col("a").as("item"))
+        .agg(gridSum40(col("__n") / (col("__ra") + col("__rb"))).as("__den"))
+      val unnorm = r.drop("rating").join(denom, Seq("item"))
+        .select(col("item"), col("__W"),
+          when(col("__den") > 0.0, col("__W") / col("__den"))
+            .otherwise(lit(0.0)).as("rating"))
+      val tot = unnorm.agg(gridSum40(col("rating")).as("__t"),
+        count(lit(1)).cast("double").as("__c"))
+      r = cp(unnorm.crossJoin(broadcast(tot))
+        .select(col("item"), col("__W"),
+          (col("rating") * col("__c") / col("__t")).as("rating")))
+    }
+    val nTot = pairsM.groupBy(col("a").as("item"))
+      .agg(sum(col("__n")).cast("long").as("n_matches"))
+    r.join(nTot, Seq("item"))
+      .select(col("item"), col("__W").cast("long").as("wins"),
+        col("n_matches"), col("rating"))
+  }
 }

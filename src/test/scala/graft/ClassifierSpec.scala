@@ -206,4 +206,35 @@ class ClassifierSpec extends SparkTestBase {
     assert(math.abs(sum5.getDouble(1) - expMean1) < 1e-9,
       s"${sum5.getDouble(1)} vs $expMean1")
   }
+
+  test("bradleyTerry orders by strength, normalizes to mean 1, handles the MLE boundary") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    // A beats B 8:2, B beats C 8:2, A beats C 9:1 — strict order
+    val m = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(8)(("B", "C")) ++ Seq.fill(2)(("C", "B")) ++
+      Seq.fill(9)(("A", "C")) ++ Seq.fill(1)(("C", "A")))
+      .toDF("w", "l")
+    val out = Classifier.bradleyTerry(m, "w", "l", iters = 15)
+      .orderBy("item").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq("A", "B", "C"))
+    assert(out(0)._4 > out(1)._4 && out(1)._4 > out(2)._4,
+      s"strength order broken: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == Seq(17L, 10L, 3L)) // wins
+    assert(out.map(_._3).toSeq == Seq(20L, 20L, 20L)) // matches played
+    // mean-1 normalization (on the fixed-point grid)
+    assert(math.abs(out.map(_._4).sum / 3.0 - 1.0) < 1e-9)
+    // MM fixed point: the BT identity holds — expected wins under the
+    // fitted ratings match observed wins for every item
+    def p(a: Double, b: Double) = a / (a + b)
+    val Seq(ra, rb, rc) = out.map(_._4).toSeq
+    val expWinsA = 10 * p(ra, rb) + 10 * p(ra, rc)
+    assert(math.abs(expWinsA - 17.0) < 0.05, s"BT identity: $expWinsA vs 17")
+    // zero-win item pins to exactly 0 (the MLE boundary), others sane
+    val withLoser = m.unionByName(Seq.fill(5)(("C", "Z")).toDF("w", "l"))
+    val z = Classifier.bradleyTerry(withLoser, "w", "l", iters = 10)
+      .filter(col("item") === "Z").collect()(0)
+    assert(z.getDouble(3) == 0.0 && z.getLong(1) == 0L)
+  }
 }
