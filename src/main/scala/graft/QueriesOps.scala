@@ -1434,6 +1434,19 @@ object QueriesOps {
         .orderBy(col("lang"))
     }),
 
+    // Fleiss' kappa over a synthetic labeling job: 50 items, each
+    // rated by docs/50 raters (uniform mod 50 at every sf → constant
+    // panel), 4 categories from deterministic integer mixing — the
+    // oracle replays the per-item P_i and marginal P_e chains on the
+    // fixed-point grid
+    "x_fleiss" -> ((s, d) => {
+      val r = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("item"),
+        ((expr("doc_id div 50") * 3 + col("doc_id") % 50) % 4)
+          .cast("string").as("cat"))
+      Profiling.fleissKappa(r, col("item"), col("cat"))
+    }),
+
     // Bradley–Terry arena ratings from pairwise matches (Hunter 2004
     // MM, fixed 3 iterations): 8 synthetic items, winner doc_id%8 vs
     // loser (3·doc_id+1)%8 — the oracle replays every iteration as an
@@ -5056,6 +5069,32 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    "x_fleiss" ->
+      """WITH r AS (SELECT doc_id % 50 AS item,
+        |    CAST(((doc_id // 50) * 3 + doc_id % 50) % 4 AS VARCHAR) AS cat
+        |  FROM documents),
+        |cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |per AS (SELECT item, sum(n) AS ni, sum(n * n) AS sq
+        |  FROM cells GROUP BY 1),
+        |nr AS (SELECT max(ni) AS n FROM per),
+        |po AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(FLOOR((CAST(per.sq - nr.n AS DOUBLE)
+        |        / CAST(nr.n * (nr.n - 1) AS DOUBLE)) * 1073741824.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0
+        |      / CAST(count(*) AS DOUBLE) AS po
+        |  FROM per CROSS JOIN nr),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cells),
+        |pe AS (SELECT CAST(sum(CAST(FLOOR((CAST(cj AS DOUBLE) / t.t)
+        |      * (CAST(cj AS DOUBLE) / t.t) * 1073741824.0 + 0.5)
+        |    AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS pe
+        |  FROM (SELECT cat, sum(n) AS cj FROM cells GROUP BY 1) c
+        |  CROSS JOIN t)
+        |SELECT po.n_items, nr.n AS n_raters, po.po, pe.pe,
+        |  CASE WHEN pe.pe = 1.0 THEN 1.0
+        |    ELSE (po.po - pe.pe) / (1.0 - pe.pe) END AS kappa
+        |FROM po CROSS JOIN pe CROSS JOIN nr""".stripMargin,
 
     "x_bradley_terry" -> {
       def ds(x: String) =

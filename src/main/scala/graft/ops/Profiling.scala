@@ -867,6 +867,59 @@ object Profiling {
         .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s many-rater
+    * generalization, the agreement read on a LABELING JOB (n raters
+    * per item, k categories: did the annotators actually agree beyond
+    * chance, or is the gold set noise?). Input is one row per RATING
+    * (item, category); the standard statistic requires every item to
+    * carry the SAME number of ratings, checked loudly (an uneven
+    * panel wants Krippendorff, not a silent mis-weight).
+    *
+    * Topology: one (item, category) partial-agg count, one item-keyed
+    * agg for P_i = (Σ_j n_ij² − n)/(n(n−1)) (exact integers, one IEEE
+    * division per item), category marginals for P̄_e = Σ_j p_j² —
+    * means accumulate on the 2^-30 fixed-point grid so the
+    * distributed sums are order-invariant and engine-replayable.
+    * Output (1 row): n_items, n_raters, po, pe, kappa. */
+  def fleissKappa(df: DataFrame, item: Column, category: Column): DataFrame = {
+    val cells = df.filter(item.isNotNull && category.isNotNull)
+      .groupBy(item.as("__i"), category.cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * col("__n")).as("__sq"))
+    val ns = perItem.agg(countDistinct(col("__ni")).as("__k"),
+      max(col("__ni")).as("__n")).collect()(0)
+    require(ns.getLong(0) == 1L,
+      "fleissKappa: items carry UNEVEN rating counts — the Fleiss " +
+        "statistic requires a constant panel size per item (filter to " +
+        "complete items, or use a chance-corrected measure built for " +
+        "missingness)")
+    val n = ns.getLong(1)
+    require(n >= 2, s"fleissKappa: $n rating(s) per item — need >= 2")
+    // P̄ = mean_i (sq_i − n)/(n(n−1)), gridded
+    val pbarDf = perItem.agg(
+      count(lit(1)).as("n_items"),
+      (sum(floor(((col("__sq") - lit(n)).cast("double")
+          / lit((n * (n - 1)).toDouble)) * 1073741824.0 + 0.5)
+          .cast("decimal(38,0)")).cast("double") / 1073741824.0
+        / count(lit(1)).cast("double")).as("po"))
+    // P̄_e = Σ_j (ratings_j / total)², gridded over categories
+    val tot = cells.agg(sum(col("__n")).as("__t")).collect()(0).getLong(0)
+    val peDf = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__cj"))
+      .agg((sum(floor(
+          (col("__cj").cast("double") / lit(tot.toDouble))
+            * (col("__cj").cast("double") / lit(tot.toDouble))
+            * 1073741824.0 + 0.5).cast("decimal(38,0)"))
+        .cast("double") / 1073741824.0).as("pe"))
+    pbarDf.crossJoin(peDf)
+      .select(col("n_items"), lit(n).as("n_raters"), col("po"), col("pe"),
+        when(col("pe") === 1.0, lit(1.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
   // ---- fixed-grid histogram (the streaming-quantile substrate) ----------
 
   /** Fixed-grid histogram over `x`: bin i covers

@@ -1896,6 +1896,31 @@ class OpsSpec extends SparkTestBase {
     assert(out(3) == "keep\nnewline and tab") // \n survives, \t squashes
   }
 
+  test("fleissKappa: hand-computed agreement, perfect panel, uneven panel rejected") {
+    import spark.implicits._
+    // 2 items x 2 raters: item 1 = (A, A), item 2 = (A, B)
+    // P_1 = 1, P_2 = 0 -> po = 0.5; marginals A 3/4, B 1/4 ->
+    // pe = 9/16 + 1/16 = 0.625; kappa = (0.5 - 0.625)/0.375 = -1/3
+    val r = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")).toDF("i", "c")
+    val out = graft.ops.Profiling.fleissKappa(r, col("i"), col("c"))
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L)
+    assert(out.getDouble(2) == 0.5 && out.getDouble(3) == 0.625)
+    assert(math.abs(out.getDouble(4) - (-1.0 / 3.0)) < 1e-8, out.toString)
+    // perfect agreement reads exactly 1
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("i", "c")
+    assert(graft.ops.Profiling.fleissKappa(perfect, col("i"), col("c"))
+      .collect()(0).getDouble(4) == 1.0)
+    // uneven panel fails loudly, never silently mis-weights
+    val uneven = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+      .toDF("i", "c")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiling.fleissKappa(uneven, col("i"), col("c")).collect()
+    }
+    assert(e.getMessage.contains("UNEVEN"), e.getMessage)
+  }
+
   test("mojibakeAudit flags genuinely double-encoded text, passes clean unicode") {
     import spark.implicits._
     import java.nio.charset.{Charset, StandardCharsets}
