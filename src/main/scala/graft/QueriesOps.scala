@@ -1447,6 +1447,17 @@ object QueriesOps {
       Profiling.fleissKappa(r, col("item"), col("cat"))
     }),
 
+    // Krippendorff's alpha over a NATURALLY UNEVEN panel (500 docs
+    // mod 37 → items rated 13 or 14 times — exactly the shape Fleiss
+    // rejects); the oracle replays cells → pairable filter → gridded
+    // D_o → integer-exact D_e
+    "x_kripp_alpha" -> ((s, d) => {
+      val r = t(s, d, "documents").select(
+        (col("doc_id") % 37).as("item"),
+        ((col("doc_id") * 5 + 1) % 3).cast("string").as("cat"))
+      Profiling.krippendorffAlpha(r, col("item"), col("cat"))
+    }),
+
     // Bradley–Terry arena ratings from pairwise matches (Hunter 2004
     // MM, fixed 3 iterations): 8 synthetic items, winner doc_id%8 vs
     // loser (3·doc_id+1)%8 — the oracle replays every iteration as an
@@ -5069,6 +5080,33 @@ object QueriesOps {
         |      / (1.0 - ((na / CAST(n AS DOUBLE)) * (nb / CAST(n AS DOUBLE))
         |        + (1.0 - na / CAST(n AS DOUBLE)) * (1.0 - nb / CAST(n AS DOUBLE)))) END AS kappa
         |FROM k""".stripMargin,
+
+    "x_kripp_alpha" ->
+      """WITH r AS (SELECT doc_id % 37 AS item,
+        |    CAST((doc_id * 5 + 1) % 3 AS VARCHAR) AS cat FROM documents),
+        |cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |wi AS (SELECT item, cat, n, sum(n) OVER (PARTITION BY item) AS ni
+        |  FROM cells),
+        |f AS (SELECT item, cat, n, CAST(ni AS BIGINT) AS ni
+        |  FROM wi WHERE ni >= 2),
+        |t0 AS (SELECT item, max(ni) AS ni FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_items FROM t0),
+        |d0 AS (SELECT CAST(sum(CAST(FLOOR(CAST(f.n * (f.ni - f.n) AS DOUBLE)
+        |        / CAST(f.ni - 1 AS DOUBLE) * 1073741824.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0
+        |      / CAST(tot.n AS DOUBLE) AS do_
+        |  FROM f CROSS JOIN tot GROUP BY tot.n),
+        |de AS (SELECT CAST(sum(CAST(nc * (tot.n - nc) AS DECIMAL(38,0)))
+        |      AS DOUBLE)
+        |      / (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)) AS de
+        |FROM (SELECT cat, sum(n) AS nc FROM f GROUP BY 1) c CROSS JOIN tot
+        |  GROUP BY tot.n)
+        |SELECT tot.n_items, tot.n AS n_ratings, d0.do_, de.de,
+        |  CASE WHEN de.de = 0 THEN NULL
+        |    ELSE 1.0 - d0.do_ / de.de END AS alpha
+        |FROM d0 CROSS JOIN de CROSS JOIN tot""".stripMargin,
 
     "x_fleiss" ->
       """WITH r AS (SELECT doc_id % 50 AS item,

@@ -920,6 +920,58 @@ object Profiling {
           .as("kappa"))
   }
 
+  /** Krippendorff's alpha, nominal level (Krippendorff 2004) — the
+    * agreement measure [[fleissKappa]]'s constant-panel rejection
+    * points at: it weights by what was actually rated, so UNEVEN
+    * panels (missing ratings, annotators who skipped items) are
+    * handled by construction instead of mis-weighted. Items with a
+    * single rating carry no pairable information and drop out (the
+    * standard convention).
+    *
+    *   D_o = (1/n) Σ_i Σ_c n_ic(n_i − n_ic)/(n_i − 1)
+    *   D_e = (1/(n(n−1))) Σ_c n_c(n − n_c)
+    *   α   = 1 − D_o/D_e
+    *
+    * Exact integer products throughout; the one per-item division
+    * (by n_i − 1) lands on the 2^-30 fixed-point grid before the
+    * distributed sum, D_e is integer-exact, and the final ops are a
+    * fixed IEEE chain — engine-replayable. Output (1 row):
+    * (n_items, n_ratings, do_, de, alpha); alpha NULL when D_e = 0
+    * (every rating one category — agreement is undefined, not 1). */
+  def krippendorffAlpha(df: DataFrame, item: Column,
+                        category: Column): DataFrame = {
+    val cells = df.filter(item.isNotNull && category.isNotNull)
+      .groupBy(item.as("__i"), category.cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val withNi = cells
+      .withColumn("__ni", sum(col("__n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__i"))))
+      .filter(col("__ni") >= 2) // single-rating items are unpairable
+    val n = withNi.groupBy(col("__i")).agg(first(col("__ni")).as("__ni"))
+      .agg(coalesce(sum(col("__ni")), lit(0L)).as("n"),
+        count(lit(1)).as("n_items")).collect()(0)
+    val (nTot, nItems) = (n.getLong(0), n.getLong(1))
+    require(nTot >= 2, s"krippendorffAlpha: $nTot pairable rating(s) — " +
+      "need at least one item with two ratings")
+    // D_o numerator: per-cell n_ic(n_i − n_ic)/(n_i − 1), gridded
+    val doDf = withNi.agg(
+      (sum(floor((col("__n") * (col("__ni") - col("__n"))).cast("double")
+          / (col("__ni") - 1).cast("double") * 1073741824.0 + 0.5)
+        .cast("decimal(38,0)")).cast("double") / 1073741824.0
+        / lit(nTot.toDouble)).as("do_"))
+    // D_e: integer-exact category marginals
+    val deDf = withNi.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__nc"))
+      .agg((sum((col("__nc") * (lit(nTot) - col("__nc")))
+          .cast("decimal(38,0)")).cast("double")
+        / lit((nTot.toDouble) * (nTot - 1).toDouble)).as("de"))
+    doDf.crossJoin(deDf)
+      .select(lit(nItems).as("n_items"), lit(nTot).as("n_ratings"),
+        col("do_"), col("de"),
+        when(col("de") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("do_") / col("de")).as("alpha"))
+  }
+
   // ---- fixed-grid histogram (the streaming-quantile substrate) ----------
 
   /** Fixed-grid histogram over `x`: bin i covers

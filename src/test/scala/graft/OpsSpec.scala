@@ -1921,6 +1921,31 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("UNEVEN"), e.getMessage)
   }
 
+  test("krippendorffAlpha handles uneven panels; hand-computed value; degenerate NULL") {
+    import spark.implicits._
+    // item 1 rated 3x (A,A,B), item 2 rated 2x (A,B), item 3 once
+    // (unpairable, drops): n=5, D_o = (2+2)/5 = 0.8,
+    // D_e = (3·2+2·3)/(5·4) = 0.6, alpha = 1 − 0.8/0.6 = −1/3
+    val r = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A")).toDF("i", "c")
+    val out = graft.ops.Profiling.krippendorffAlpha(r, col("i"), col("c"))
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 5L,
+      s"single-rating items must drop: $out")
+    assert(math.abs(out.getDouble(2) - 0.8) < 1e-9)
+    assert(out.getDouble(3) == 0.6)
+    assert(math.abs(out.getDouble(4) - (-1.0 / 3.0)) < 1e-8, out.toString)
+    // perfect agreement on an uneven panel reads exactly 1
+    val perfect = Seq((1L, "A"), (1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("i", "c")
+    assert(graft.ops.Profiling.krippendorffAlpha(perfect, col("i"), col("c"))
+      .collect()(0).getDouble(4) == 1.0)
+    // one-category data: D_e = 0 — agreement undefined, NULL not 1
+    val mono = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")).toDF("i", "c")
+    assert(graft.ops.Profiling.krippendorffAlpha(mono, col("i"), col("c"))
+      .collect()(0).isNullAt(4))
+  }
+
   test("mojibakeAudit flags genuinely double-encoded text, passes clean unicode") {
     import spark.implicits._
     import java.nio.charset.{Charset, StandardCharsets}
