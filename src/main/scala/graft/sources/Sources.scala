@@ -291,18 +291,23 @@ object Sources {
   /** Manifest publish with metadata riding INSIDE the same atomic
     * rename ('#key value' lines between the header and the names) —
     * the slot [[graft.streaming.ManifestSink]] stores its last
-    * folded batch id in: state that must advance exactly with the
-    * file set cannot live in a second file (a crash between two
-    * writes would desync them). */
+    * folded batch id in and [[addColumnAtomic]] its defaults: state
+    * that must advance exactly with the file set cannot live in a
+    * second file (a crash between two writes would desync them).
+    * Metadata is STICKY: every publish carries the previous head's
+    * meta forward, with the caller's entries winning on key clash —
+    * a compaction between sink batches must not reset the batch id,
+    * and no file-set change removes a declared column default. */
   def writeManifest(conf: org.apache.hadoop.conf.Configuration,
                     path: String, names: Seq[String],
                     meta: Map[String, String]): Unit = {
     import org.apache.hadoop.fs.Path
-    meta.foreach { case (k, v) =>
+    val merged = readManifestMeta(conf, path) ++ meta
+    merged.foreach { case (k, v) =>
       require(!k.contains('\n') && !v.contains('\n') && !k.contains(' '),
         s"writeManifest: meta key/value must be single-line, key spaceless: $k")
     }
-    val metaLines = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k $v" }
+    val metaLines = merged.toSeq.sortBy(_._1).map { case (k, v) => s"#$k $v" }
     val body = (("graft-manifest 1" +: metaLines) ++ names.sorted)
       .mkString("\n").getBytes("UTF-8")
     val fs = new Path(path).getFileSystem(conf)
@@ -455,15 +460,97 @@ object Sources {
   /** Read a manifested table: exactly the manifest's files, pinned at
     * the moment the manifest was read — concurrent maintenance
     * (compaction, snapshot apply) is invisible until its atomic
-    * publish, and never torn. Falls back to the plain directory read
-    * when no manifest exists (an unmanifested table has no
-    * maintenance guarantee to honor). */
-  def readManifested(spark: SparkSession, path: String): DataFrame =
-    readManifest(spark.sessionState.newHadoopConf(), path) match {
+    * publish, and never torn. Columns added by [[addColumnAtomic]]
+    * materialize here: files whose FOOTER lacks the column predate
+    * the alter and read its stored default; files carrying it keep
+    * their explicit values, nulls included (the Delta ADD COLUMN
+    * semantics — footer presence is the ground truth, so no
+    * file-grain bookkeeping can drift). Falls back to the plain
+    * directory read when no manifest exists (an unmanifested table
+    * has no maintenance guarantee to honor). */
+  def readManifested(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    readManifest(conf, path) match {
       case Some(names) =>
         require(names.nonEmpty, s"readManifested: $path manifest is empty")
-        spark.read.parquet(names.map(n => s"$path/$n"): _*)
+        readFilesApplyingDefaults(spark, path, names)
       case None => spark.read.parquet(path)
+    }
+  }
+
+  /** Read specific table files honoring the stored ADD COLUMN
+    * defaults — the shared substrate of [[readManifested]] AND every
+    * rewrite path (compaction / DELETE / UPDATE bins): a rewrite that
+    * read files plainly would land old rows' defaulted columns as
+    * NULL in new footers and silently lose the default. Footer-schema
+    * probe per file (zero data bytes); files missing a defaulted
+    * column get the literal, files carrying it keep explicit values. */
+  private def readFilesApplyingDefaults(spark: SparkSession, path: String,
+                                        names: Seq[String]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val defaults = columnDefaults(conf, path)
+    if (defaults.isEmpty)
+      spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    else {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      def fileCols(n: String): Set[String] = {
+        val rdr = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(path, n), conf))
+        try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally rdr.close()
+      }
+      val groups = names.groupBy(n =>
+        defaults.keys.filter(c => !fileCols(n).contains(c)).toSeq.sorted)
+      groups.map { case (missing, files) =>
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(files.map(n => s"$path/$n"): _*)
+        missing.foldLeft(df) { (d, c) =>
+          val (tpe, v) = defaults(c)
+          d.withColumn(c, org.apache.spark.sql.functions.lit(v).cast(tpe))
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** Metadata-only ALTER TABLE ADD COLUMN ... DEFAULT on a manifested
+    * table — the O(1) schema evolution a 100 TB table needs (a data
+    * rewrite of the base to add one column is exactly what table
+    * formats exist to avoid): the column name, type, and default ride
+    * the manifest's metadata through ONE atomic republish of the
+    * CURRENT file set; no file is touched. [[readManifested]] serves
+    * pre-alter files with the default and post-alter files verbatim
+    * (footer presence distinguishes them — explicit nulls written
+    * after the alter stay null). Supported default types: bigint,
+    * double, string, boolean. Time travel to a pre-alter version
+    * reads the pre-alter schema, as it should. */
+  def addColumnAtomic(spark: SparkSession, path: String, name: String,
+                      dataType: String, default: Any): Unit = {
+    require(Set("bigint", "double", "string", "boolean").contains(dataType),
+      s"addColumnAtomic: unsupported default type $dataType")
+    require(!name.exists(c => c == ' ' || c == '\n' || c == ':'),
+      s"addColumnAtomic: column name '$name' must be space/colon-free")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val base = spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    require(!base.columns.contains(name) &&
+        !columnDefaults(conf, path).contains(name),
+      s"addColumnAtomic: column '$name' already exists at $path")
+    val meta = readManifestMeta(conf, path) +
+      (s"coldefault:$name" -> s"$dataType:${String.valueOf(default)}")
+    writeManifest(conf, path, names, meta)
+  }
+
+  /** The stored ADD COLUMN defaults: name → (type, value). */
+  def columnDefaults(conf: org.apache.hadoop.conf.Configuration,
+                     path: String): Map[String, (String, String)] =
+    readManifestMeta(conf, path).collect {
+      case (k, v) if k.startsWith("coldefault:") =>
+        val sp = v.indexOf(':')
+        (k.stripPrefix("coldefault:"), (v.substring(0, sp), v.substring(sp + 1)))
     }
 
   /** Delete parquet files no retained manifest references — the
@@ -532,7 +619,7 @@ object Sources {
       s"_delete_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     val keepPred = not(fnCoalesce(predicate, lit(false)))
     val newNames = affected.keys.toSeq.sorted.flatMap { n =>
-      val kept = spark.read.parquet(s"$path/$n").filter(keepPred)
+      val kept = readFilesApplyingDefaults(spark, path, Seq(n)).filter(keepPred)
       if (kept.isEmpty) Seq.empty[String] // fully-purged file vanishes
       else {
         val binDir = new Path(staging, n)
@@ -594,7 +681,7 @@ object Sources {
       s"_update_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     val hit = fnCoalesce(predicate, lit(false))
     val newNames = affected.keys.toSeq.sorted.map { n =>
-      val src = spark.read.parquet(s"$path/$n")
+      val src = readFilesApplyingDefaults(spark, path, Seq(n))
       val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
       val rewritten = assignments.foldLeft(src) { case (df, (c, expr)) =>
         df.withColumn(c,
@@ -655,7 +742,7 @@ object Sources {
       s"_compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     val newNames = toRewrite.zipWithIndex.map { case (bin, i) =>
       val binDir = new Path(staging, s"bin_$i")
-      spark.read.parquet(bin.map(_.toString): _*)
+      readFilesApplyingDefaults(spark, path, bin.map(_.getName))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
       val part = fs.listStatus(binDir)
