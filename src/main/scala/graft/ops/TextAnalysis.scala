@@ -788,10 +788,14 @@ object TextAnalysis {
   /** REMEDIATION twin of [[mojibakeAudit]] — repair double-encoded
     * UTF-8 ("cafÃ©" → "café", "â€™" → "’") via the native codegen
     * kernel ([[graft.plans.TextKernelsBridge.fixMojibake]]): sloppy
-    * cp1252/latin-1 re-encode + strict UTF-8 re-decode, kept only when
-    * the whole string round-trips, up to 3 passes for double-double
-    * encodings. Genuine accents, CJK, emoji, and U+FFFD all abort to
-    * the original (UTF-8 strictness is the false-positive guard); a
+    * cp1252/latin-1 re-encode + strict UTF-8 re-decode, up to 3
+    * passes for double-double encodings, DOUBLE-gated against false
+    * positives — a string with zero artifact-signature bigrams is
+    * never touched, and a pass is accepted only when the re-decode is
+    * valid UTF-8 AND strictly reduces the artifact count (the ftfy
+    * badness heuristic: real text like "ï—…" has a byte image that IS
+    * valid UTF-8, so strictness alone would over-correct it). Genuine
+    * accents, CJK, emoji, and U+FFFD all abort to the original; a
     * string MIXING clean non-latin content with mojibake passes
     * through unchanged — segment-wise repair is the documented
     * escalation. Linear scan, whole-stage codegen; the audit gates,

@@ -438,32 +438,61 @@ object TextKernelsBridge {
     * original — segment-wise repair of MIXED clean+broken strings is
     * the documented escalation, not this kernel. Null-safe via the
     * expression wrapper. */
+  /** Mojibake-signature bigrams in `s` — the same rule as
+    * TextAnalysis.mojibakeRe: a mis-decoded UTF-8 lead (Â/Ã/â)
+    * followed by a mis-decoded continuation (latin-1 range or the
+    * cp1252 remap set). The repair GATE: strings with zero signatures
+    * are never touched, and a decode pass is accepted only when it
+    * strictly REDUCES the count — without this, real text whose
+    * latin-1 byte image happens to be valid UTF-8 ("ï—…" is
+    * EF 97 85, a legal 3-byte sequence) would be "repaired" into
+    * garbage (the ftfy badness heuristic). */
+  private def artifactCount(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length - 1) {
+      val c = s.charAt(i).toInt
+      if (c == 0xC2 || c == 0xC3 || c == 0xE2) {
+        val d = s.charAt(i + 1).toInt
+        if ((d >= 0x80 && d <= 0xBF) ||
+            cp1252Inverse.containsKey(Integer.valueOf(d))) n += 1
+      }
+      i += 1
+    }
+    n
+  }
+
   def fixMojibake(text: UTF8String): UTF8String = {
     var s = text.toString
     var pass = 0
     var changed = true
     while (changed && pass < 3) {
       changed = false
-      val bytes = new Array[Byte](s.length)
-      var ok = true
-      var i = 0
-      while (i < s.length && ok) {
-        val c = s.charAt(i).toInt
-        if (c <= 0xFF) bytes(i) = c.toByte
-        else {
-          val b = cp1252Inverse.get(c)
-          if (b != null) bytes(i) = b.intValue.toByte else ok = false
+      val before = artifactCount(s)
+      if (before > 0) {
+        val bytes = new Array[Byte](s.length)
+        var ok = true
+        var i = 0
+        while (i < s.length && ok) {
+          val c = s.charAt(i).toInt
+          if (c <= 0xFF) bytes(i) = c.toByte
+          else {
+            val b = cp1252Inverse.get(c)
+            if (b != null) bytes(i) = b.intValue.toByte else ok = false
+          }
+          i += 1
         }
-        i += 1
-      }
-      if (ok) {
-        try {
-          val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-            .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-          val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-          if (out != s) { s = out; changed = true }
-        } catch { case _: java.nio.charset.CharacterCodingException => () }
+        if (ok) {
+          try {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (out != s && artifactCount(out) < before) {
+              s = out; changed = true
+            }
+          } catch { case _: java.nio.charset.CharacterCodingException => () }
+        }
       }
       pass += 1
     }

@@ -351,4 +351,46 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("fixMojibake round-trips random latin text through both mis-decodes; idempotent; ASCII fixed point") {
+    import spark.implicits._
+    import java.nio.charset.{Charset, StandardCharsets}
+    // alphabet: ASCII + latin-1 accents + cp1252-remap punctuation,
+    // avoiding chars whose UTF-8 bytes hit cp1252's five holes (the
+    // unrecoverable-in-principle class the golden spec covers) — é’s
+    // bytes are C3 A9, —'s E2 80 94, ‘’“ are E2 80 98/99/9C: all safe;
+    // ” (E2 80 9D) is NOT and stays out of the generator
+    val alphabet = ("abc XYZ09.,!?" + "éàüïôçñ" + "—–‘’“…€").toCharArray
+    for (seed <- Seq(5, 17, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val strs = Seq.tabulate(40) { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(30))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      def enc(s: String, cs: Charset) =
+        new String(s.getBytes(StandardCharsets.UTF_8), cs)
+      val rows = strs.flatMap { case (i, s) =>
+        Seq((i * 4, s, enc(s, Charset.forName("windows-1252"))),
+          (i * 4 + 1, s, enc(s, StandardCharsets.ISO_8859_1)),
+          // clean text must be a fixed point
+          (i * 4 + 2, s, s),
+          // pure-ASCII projection is trivially a fixed point
+          (i * 4 + 3, s.filter(_ < 128), s.filter(_ < 128)))
+      }
+      val out = rows.toDF("id", "want", "broken")
+        .select(col("id"), col("want"),
+          TextAnalysis.fixMojibake(col("broken")).as("fixed"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(2) == r.getString(1),
+          s"seed=$seed id=${r.getLong(0)}: '${r.getString(2)}' != '${r.getString(1)}'")
+      }
+      // idempotence over the whole batch
+      val twice = rows.toDF("id", "want", "broken")
+        .select(TextAnalysis.fixMojibake(
+          TextAnalysis.fixMojibake(col("broken"))).as("f2"), col("want"))
+        .collect()
+      twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+    }
+  }
+
 }
