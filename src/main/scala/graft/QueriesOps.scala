@@ -556,6 +556,37 @@ object QueriesOps {
       EventAnalytics.trending(events(s, d), "1 hour")
         .orderBy(col("wstart"), col("event_type"))),
 
+    // Mann-Kendall trend test per event type over the hourly count
+    // series (bounded by the monitor contract): exact-integer S and
+    // tie-corrected variance, single-op z
+    "x_trend_mk" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      Profiling.mannKendall(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
+    // Theil-Sen robust trend line over the same hourly series:
+    // median-of-pair-slopes + median residual intercept, explicit
+    // order-statistic convention
+    "x_theil_sen" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      Profiling.theilSen(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
+    // Gini concentration of characters across languages — the
+    // corpus-composition audit number off the Lorenz curve
+    "x_gini" -> ((s, d) =>
+      Profiling.gini(t(s, d, "documents"), col("lang"), col("n_chars"))),
+
     // leakage-safe split: keyed by SOURCE, so every doc of a domain
     // lands in one split — group-level contamination can't leak
     // train->test as the corpus grows (same md5-range rule as
@@ -1164,6 +1195,45 @@ object QueriesOps {
           col("text").contains(" the "), k = 10)
         .orderBy(col("bin"))),
 
+    // average precision (PR-AUC, step-function reading) of the length
+    // score vs the same teacher: (score DESC, doc_id) total order via
+    // ONE fused prefix scan, positives-only grid mean
+    "x_auprc" -> ((s, d) =>
+      Classifier.averagePrecision(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "),
+        col("doc_id"))),
+
+    // expected calibration error over the x_calib bins: weighted
+    // |pos_rate - mean_p| on the fixed-point grid, plus the max gap
+    "x_ece" -> ((s, d) =>
+      Classifier.expectedCalibrationError(t(s, d, "documents"),
+        least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+        col("text").contains(" the "), k = 10)),
+
+    // thresholded confusion matrix + accuracy/precision/recall/F1/MCC
+    // of the "keep if n_chars >= 300" rule vs the stopword teacher:
+    // ONE partial-agg scan, decimal MCC numerator, fixed sqrt chain
+    "x_confusion" -> ((s, d) =>
+      Classifier.confusionStats(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "),
+        threshold = 300.0)),
+
+    // Brier score of the clamped length-probability vs the same
+    // teacher: per-row (p-y)^2 IEEE-exact, 2^-40 grid mean
+    "x_brier" -> ((s, d) =>
+      Classifier.brierScore(t(s, d, "documents"),
+        least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+        col("text").contains(" the "))),
+
+    // Spearman rank correlation between the char-length score and the
+    // space-count (word-count proxy) score: two distributed rowid
+    // sorts for average ranks, five decimal moment sums, ONE agg
+    "x_spearman" -> ((s, d) =>
+      Profiling.spearman(t(s, d, "documents"),
+        col("n_chars").cast("double"),
+        (length(col("text"))
+          - length(translate(col("text"), " ", ""))).cast("double"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -1530,6 +1600,63 @@ object QueriesOps {
         java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
       }
       graft.sources.Sources.readManifested(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // file-pruned MERGE INTO on a manifested copy — the answer IS the
+    // update-CASE / delete-filter / insert-union of the base, so
+    // rewrite scope, append shape, and the single manifest publish
+    // are all answer-preserving by the oracle. Delta: doc_id%13=2
+    // deleted, doc_id%11=5 (minus deletes) updated n_chars+1000,
+    // doc_id%17=0 re-inserted at doc_id+1000000 with n_chars+7
+    "x_merge_into" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/mergecache/docs_$tag"
+      val ok = new java.io.File(s"$path/_MERGED")
+      if (!ok.exists()) {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.repartition(8).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        val updates = docs
+          .filter(col("doc_id") % 11 === 5 && col("doc_id") % 13 =!= 2)
+          .withColumn("n_chars", col("n_chars") + 1000)
+          .withColumn("op", lit("upsert"))
+        val deletes = docs.filter(col("doc_id") % 13 === 2)
+          .withColumn("op", lit("delete"))
+        val inserts = docs.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("n_chars", col("n_chars") + 7)
+          .withColumn("op", lit("upsert"))
+        graft.sources.Sources.mergeAtomic(s, path,
+          updates.unionByName(deletes).unionByName(inserts), "doc_id")
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.sources.Sources.readManifested(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // file-grain CDC: day-1 writes doc_id%3!=0, day-2 appends the
+    // doc_id%3=0 batch transactionally; the incremental read between
+    // v1 and head returns EXACTLY the appended rows — the oracle is
+    // the batch filter itself
+    "x_incr_read" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/incrcache/docs_$tag"
+      val ok = new java.io.File(s"$path/_APPENDED")
+      if (!ok.exists()) {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .repartition(4).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        graft.sources.Sources.insertIntoAtomic(s, path,
+          docs.filter(col("doc_id") % 3 === 0), numFiles = 2)
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      val conf = s.sessionState.newHadoopConf()
+      val v1 = graft.sources.Sources.manifestLogVersions(conf, path).head
+      graft.sources.Sources.readManifestedAdded(s, path, v1)
         .select("doc_id", "lang", "n_chars")
         .orderBy(col("doc_id"))
     }),
@@ -3498,6 +3625,125 @@ object QueriesOps {
         |    / CAST(count(*) AS DOUBLE) AS pos_rate
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // AP replay: the (score DESC, doc_id) total order as a cumulative
+    // window (unique keys, so RANGE == ROWS), exact-integer precision
+    // divisions, positives-only 2^-40 grid mean
+    "x_auprc" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y, doc_id FROM documents),
+        |r AS (SELECT y,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY s DESC, doc_id) AS DOUBLE) AS cp,
+        |    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS DOUBLE) AS rn
+        |  FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CASE WHEN sum(CASE WHEN y THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(SUM(CASE WHEN y THEN
+        |        CAST(FLOOR(cp / rn * 1099511627776.0 + 0.5) AS DECIMAL(38,0))
+        |      END) AS DOUBLE) / 1099511627776.0
+        |      / CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS ap
+        |FROM r""".stripMargin,
+
+    // ECE replay: the x_calib bin table re-aggregated — weighted
+    // |pos_rate - mean_p| on the 2^-40 grid, plus the max gap
+    "x_ece" ->
+      s"""WITH d AS (SELECT
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT) AS bin,
+        |    p, y FROM d),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    ${graft.functions.Exact.dsumSql("p")} / CAST(count(*) AS DOUBLE) AS mean_p,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS pos_rate
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) * abs(pos_rate - mean_p)
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1099511627776.0 / CAST(sum(n) AS DOUBLE) AS ece,
+        |  max(abs(pos_rate - mean_p)) AS max_ce
+        |FROM g""".stripMargin,
+
+    // confusion replay: exact counts, HUGEINT MCC numerator, the same
+    // fixed four-sqrt denominator chain
+    "x_confusion" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) >= 300.0 AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM d)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+        |    ELSE CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+        |  END AS accuracy,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision_,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |  END AS f1,
+        |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+        |      THEN NULL
+        |    ELSE CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+        |        - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+        |      / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+        |        * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))
+        |  END AS mcc
+        |FROM c""".stripMargin,
+
+    // Brier replay: per-row IEEE square, the 2^-40 grid mean
+    "x_brier" ->
+      """WITH d AS (SELECT least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    CASE WHEN contains(text, ' the ') THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(SUM(CAST(FLOOR((p - y) * (p - y) * 1099511627776.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS DOUBLE)
+        |      / 1099511627776.0 / CAST(count(*) AS DOUBLE) END AS brier
+        |FROM d""".stripMargin,
+
+    // Spearman replay: avg rank = min-rank + (ties-1)/2 per column,
+    // HUGEINT moment sums over 2*rank, the fixed closing shape
+    "x_spearman" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(length(text) - length(translate(text, ' ', '')) AS DOUBLE) AS y
+        |  FROM documents),
+        |r AS (SELECT
+        |    CAST(CAST(rank() OVER (ORDER BY x) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) - 1.0) / 2.0
+        |      AS DOUBLE) * 2.0 AS rx2,
+        |    CAST(CAST(rank() OVER (ORDER BY y) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1.0) / 2.0
+        |      AS DOUBLE) * 2.0 AS ry2
+        |  FROM d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+        |    sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
+        |    sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy,
+        |    sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy
+        |  FROM r)
+        |SELECT n,
+        |  CASE WHEN n = 0
+        |      OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+        |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS rho
+        |FROM m""".stripMargin,
+
     // farthest-first replay: seed = lowest vec_id, each round the
     // (d DESC, vec_id ASC) TakeOrdered pick over the incremental
     // least() of l2 distances — min of doubles is associative, so the
@@ -5212,6 +5458,23 @@ object QueriesOps {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 5 = 1 THEN n_chars * 2 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MERGE is answer-preserving: the table IS the delete-filtered
+    // update-CASE of the base plus the shifted insert batch
+    "x_merge_into" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE NOT (doc_id % 13 = 2)
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars + 7 AS n_chars
+        |  FROM documents WHERE doc_id % 17 = 0
+        |) ORDER BY doc_id""".stripMargin,
+
+    // the CDC window's added files hold EXACTLY the appended batch
+    "x_incr_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     // the partitioned layout's result IS the plain filtered agg
     "x_part_prune" ->
@@ -7441,6 +7704,84 @@ s"""WITH lines AS (
         |  (CAST(a.n AS DOUBLE) + 1.0) / (CAST(coalesce(p.n_prev, 0) AS DOUBLE) + 1.0) AS trend
         |FROM a LEFT JOIN p ON a.wstart = p.wstart AND a.event_type = p.event_type
         |ORDER BY a.wstart, a.event_type""".stripMargin,
+
+    // Mann-Kendall replay: pairwise sign sum + tie-corrected variance,
+    // all exact integers until the final sqrt/divide
+    "x_trend_mk" ->
+      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.key AS key, sign(b.y - a.y) AS sg
+        |  FROM h a JOIN h b ON a.key = b.key AND a.t < b.t),
+        |s AS (SELECT key, CAST(sum(CAST(sg AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM p GROUP BY key),
+        |tv AS (SELECT key, y, CAST(count(*) AS BIGINT) AS tc
+        |  FROM h GROUP BY key, y),
+        |tt AS (SELECT key, CAST(sum(tc) AS BIGINT) AS n,
+        |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tterm
+        |  FROM tv GROUP BY key)
+        |SELECT tt.key, tt.n, COALESCE(s.s_stat, 0) AS s_stat,
+        |  CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tterm AS DOUBLE) / 18.0
+        |    AS var_s,
+        |  CASE WHEN CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tterm AS DOUBLE) / 18.0 <= 0.0
+        |      THEN NULL
+        |    WHEN COALESCE(s.s_stat, 0) > 0 THEN CAST(COALESCE(s.s_stat, 0) - 1 AS DOUBLE)
+        |      / sqrt(CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tterm AS DOUBLE) / 18.0)
+        |    WHEN COALESCE(s.s_stat, 0) < 0 THEN CAST(COALESCE(s.s_stat, 0) + 1 AS DOUBLE)
+        |      / sqrt(CAST(tt.n * (tt.n - 1) * (2 * tt.n + 5) - tt.tterm AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM tt LEFT JOIN s USING (key) ORDER BY key""".stripMargin,
+
+    // Theil-Sen replay: median of pair slopes + median residual
+    // intercept under the explicit order-statistic convention (odd m
+    // = the middle row, even m = single-op mean of the two middles)
+    "x_theil_sen" ->
+      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.key AS key,
+        |    (b.y - a.y) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM h a JOIN h b ON a.key = b.key AND a.t < b.t),
+        |rs AS (SELECT key, slope,
+        |    row_number() OVER (PARTITION BY key ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS m FROM p),
+        |sl AS (SELECT key, sum(slope) / CAST(count(*) AS DOUBLE) AS slope,
+        |    CAST(max(m) AS BIGINT) AS n_pairs
+        |  FROM rs WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1
+        |  GROUP BY key),
+        |r2 AS (SELECT h.key AS key, h.y - sl.slope * CAST(h.t AS DOUBLE) AS resid
+        |  FROM h JOIN sl ON h.key = sl.key),
+        |ri AS (SELECT key, resid,
+        |    row_number() OVER (PARTITION BY key ORDER BY resid) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS m FROM r2),
+        |ic AS (SELECT key, sum(resid) / CAST(count(*) AS DOUBLE) AS intercept
+        |  FROM ri WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1
+        |  GROUP BY key),
+        |n AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY key)
+        |SELECT n.key, n.n, COALESCE(sl.n_pairs, 0) AS n_pairs,
+        |  sl.slope, ic.intercept
+        |FROM n LEFT JOIN sl USING (key) LEFT JOIN ic USING (key)
+        |ORDER BY key""".stripMargin,
+
+    // Gini replay: order-statistic identity over strata ranked
+    // (weight, name) — exact integer sums, fixed-shape final division
+    "x_gini" ->
+      """WITH s AS (SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    CAST(sum(n_chars) AS BIGINT) AS x
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, stratum) AS HUGEINT) AS i
+        |  FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(x) AS BIGINT) AS total, sum(i * x) AS s1 FROM r)
+        |SELECT n_strata, total,
+        |  CASE WHEN n_strata = 0 OR total <= 0 THEN NULL
+        |    ELSE (2.0 * CAST(s1 AS DOUBLE)
+        |        - (CAST(n_strata AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+        |      / (CAST(n_strata AS DOUBLE) * CAST(total AS DOUBLE)) END AS gini
+        |FROM a""".stripMargin,
 
     // same 16-bit md5-range rule as x_splits, keyed by source
     "x_splits_grouped" ->

@@ -331,4 +331,123 @@ object Classifier {
       .select(col("item"), col("__W").cast("long").as("wins"),
         col("n_matches"), col("rating"))
   }
+
+  /** Average precision (the area under the precision-recall curve in
+    * its standard step-function reading) — ROC-AUC's complement for
+    * the imbalanced regimes a quality filter lives in (1% positives:
+    * ROC-AUC saturates near 1 while AP still discriminates).
+    * AP = (1/P) Σ_{positives} precision@rank, ranks by (score DESC,
+    * tieBreak ASC) — the tiebreak column (a doc id) makes the
+    * permutation total, so the metric is deterministic under ties and
+    * any engine replays it. Scale shape: ONE fused range-partitioned
+    * prefix scan ([[graft.functions.ScanFns.withCumulatives]] — the
+    * d_cum_u topology, no single-partition window) carries running
+    * positives and running rank; per-row precision is one IEEE
+    * division of exact integers; the positives-only mean runs on the
+    * 2^-40 fixed-point grid, order-invariant. NULL AP when no
+    * positives. Output: one row (n, n_pos, ap). */
+  def averagePrecision(df: DataFrame, score: Column, label: Column,
+                       tieBreak: Column): DataFrame = {
+    val d = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.cast("boolean").as("__y"),
+        tieBreak.as("__tb"))
+    val scanned = graft.functions.ScanFns.withCumulatives(d, Seq(
+      (when(col("__y"), 1.0).otherwise(0.0),
+        graft.functions.ScanFns.SumOp, "__cp"),
+      (lit(1.0), graft.functions.ScanFns.SumOp, "__rn")),
+      Seq(col("__s").desc, col("__tb")))
+    scanned.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      gridSum40(when(col("__y"), col("__cp") / col("__rn"))
+        .otherwise(lit(null))).as("__sp"))
+      .select(col("n"), col("n_pos"),
+        when(col("n_pos") === 0L, lit(null).cast("double"))
+          .otherwise(col("__sp") / col("n_pos").cast("double")).as("ap"))
+  }
+
+  /** Expected calibration error over [[calibrationBins]]:
+    * ECE = Σ_b (n_b/N)·|pos_rate_b − mean_p_b|, plus the max per-bin
+    * gap (MCE). The one-number read behind the reliability diagram —
+    * the gate a "keep if p ≥ 0.9" curation rule needs before trusting
+    * its threshold. Bin terms are exact-count divisions and one
+    * absolute difference each; the k-bin weighted sum runs on the
+    * 2^-40 grid (bins are few, but partial-agg order must still not
+    * leak into the hash gate). Output: one row (n, ece, max_ce). */
+  def expectedCalibrationError(df: DataFrame, prob: Column, label: Column,
+                               k: Int = 10): DataFrame = {
+    val bins = calibrationBins(df, prob, label, k)
+    val gap = abs(col("pos_rate") - col("mean_p"))
+    bins.agg(sum(col("n")).as("n"),
+      gridSum40(col("n").cast("double") * gap).as("__sg"),
+      max(gap).as("max_ce"))
+      .select(col("n"),
+        (col("__sg") / col("n").cast("double")).as("ece"), col("max_ce"))
+  }
+
+  /** Thresholded confusion matrix + the derived one-number reads —
+    * the basic eval of a deployed filter rule ("keep if score ≥ t"):
+    * tp/fp/fn/tn from ONE partial-agg scan, then accuracy, precision,
+    * recall, F1, and Matthews correlation. Engine-exactness: counts
+    * are exact longs; MCC's numerator tp·tn − fp·fn multiplies in
+    * decimal(38,0) (exact to ~10^18-row corpora) before ONE cast to
+    * double, and its denominator is the fixed chain
+    * √(tp+fp)·√(tp+fn)·√(tn+fp)·√(tn+fn) — four correctly-rounded
+    * IEEE sqrts and three multiplies every engine replays bit-for-bit
+    * (the single √ of the 10^48-magnitude product would overflow any
+    * exact type). Degenerate margins (empty predicted-positive class,
+    * one-class corpus) yield NULL for the affected ratios, SQL-style.
+    * Output (1 row): tp, fp, fn, tn, accuracy, precision_, recall_,
+    * f1, mcc (precision_/recall_ underscored — bare `precision` is a
+    * reserved word in ANSI SQL and DuckDB). */
+  def confusionStats(df: DataFrame, score: Column, label: Column,
+                     threshold: Double): DataFrame = {
+    val d = df.filter(score.isNotNull && label.isNotNull)
+      .select((score >= lit(threshold)).as("__p"),
+        label.cast("boolean").as("__y"))
+    val cnt = d.agg(
+      sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+    val (tp, fp, fn0, tn) = (col("tp"), col("fp"), col("fn"), col("tn"))
+    def dbl(c: Column): Column = c.cast("double")
+    val n = tp + fp + fn0 + tn
+    val dec = "decimal(38,0)"
+    val mccNum = (tp.cast(dec) * tn.cast(dec) - fp.cast(dec) * fn0.cast(dec))
+      .cast("double")
+    val mccDen = sqrt(dbl(tp + fp)) * sqrt(dbl(tp + fn0)) *
+      sqrt(dbl(tn + fp)) * sqrt(dbl(tn + fn0))
+    cnt.select(tp, fp, fn0, tn,
+      when(n === 0L, lit(null).cast("double"))
+        .otherwise(dbl(tp + tn) / dbl(n)).as("accuracy"),
+      when(tp + fp === 0L, lit(null).cast("double"))
+        .otherwise(dbl(tp) / dbl(tp + fp)).as("precision_"),
+      when(tp + fn0 === 0L, lit(null).cast("double"))
+        .otherwise(dbl(tp) / dbl(tp + fn0)).as("recall_"),
+      when(tp * 2L + fp + fn0 === 0L, lit(null).cast("double"))
+        .otherwise(dbl(tp * 2L) / dbl(tp * 2L + fp + fn0)).as("f1"),
+      when(tp + fp === 0L || tp + fn0 === 0L || tn + fp === 0L ||
+          tn + fn0 === 0L, lit(null).cast("double"))
+        .otherwise(mccNum / mccDen).as("mcc"))
+  }
+
+  /** Brier score — the proper scoring rule over a probabilistic
+    * quality score: mean (p − y)², y ∈ {0,1}. Strictly proper, so it
+    * rewards calibration AND sharpness together where
+    * [[expectedCalibrationError]] reads calibration alone; the pair is
+    * the standard scorer-health dashboard. Per-row (p − y)² is two
+    * IEEE ops (exact in any engine); the mean runs on the 2^-40
+    * fixed-point grid so partial-agg order never leaks into the hash
+    * gate. Output (1 row): n, brier. */
+  def brierScore(df: DataFrame, prob: Column, label: Column): DataFrame = {
+    val d = df.filter(prob.isNotNull && label.isNotNull)
+      .select(prob.as("__p"),
+        when(label.cast("boolean"), 1.0).otherwise(0.0).as("__y"))
+    val sq = (col("__p") - col("__y")) * (col("__p") - col("__y"))
+    d.agg(count(lit(1)).as("n"), gridSum40(sq).as("__s"))
+      .select(col("n"),
+        when(col("n") === 0L, lit(null).cast("double"))
+          .otherwise(col("__s") / col("n").cast("double")).as("brier"))
+  }
 }

@@ -1275,4 +1275,183 @@ object Profiling {
     grid.join(broadcast(mads), Seq(key))
       .select(key, "digit", "n", "obs_p", "exp_p", "mad")
   }
+
+  /** Gini concentration of an integer weight across strata — the
+    * corpus-composition audit number (how concentrated are tokens/docs
+    * across domains or languages; 0 = perfectly even, →1 = one
+    * stratum holds everything), i.e. the area read off the Lorenz
+    * curve. ONE partial agg to stratum totals, then the classic
+    * order-statistic identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx)
+    * over strata ranked ascending (ties broken by stratum name — the
+    * permutation is total, so every engine replays it). The ranking
+    * window runs over the STRATA TABLE, bounded by contract (the
+    * forcats-levels rule: domains/languages, not rows). Sums are
+    * exact integers in decimal; the final expression is a fixed
+    * shape of exact-to-double casts and single IEEE ops (exact while
+    * n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals beyond
+    * that degrade in the last ulps, stated loudly here). Output: one
+    * row (n_strata, total, gini). */
+  def gini(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val strata = df.groupBy(key.cast("string").as("stratum"))
+      .agg(sum(weight.cast("long")).as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x"), col("stratum"))
+    val ranked = strata
+      .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+    ranked.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__x")).cast("long").as("total"),
+      sum(col("__i") * col("__x")).as("__s1"))
+      .select(col("n_strata"), col("total"),
+        when(col("n_strata") === 0L || col("total") <= 0L,
+          lit(null).cast("double"))
+          .otherwise(
+            (lit(2.0) * col("__s1").cast("double")
+              - (col("n_strata").cast("double") + lit(1.0))
+                * col("total").cast("double"))
+              / (col("n_strata").cast("double")
+                * col("total").cast("double"))).as("gini"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) per series key
+    * — the distribution-free "is this monitor series actually
+    * drifting" read that a raw top-k or a linear fit can't give:
+    * S = Σ_{i<j} sign(y_j − y_i) over the time order, with the
+    * tie-corrected variance var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    * / 18 and the continuity-corrected normal score
+    * z = (S∓1)/√var(S). |z| > 1.96 rejects "no trend" at 5%.
+    *
+    * CONTRACT: per-key series are BOUNDED (time-bucketed monitor
+    * output — hours/days per type, not raw events) with DISTINCT
+    * `t` per key; the pairwise self-join is O(m²) per key by
+    * construction, the right cost for m in the hundreds and the wrong
+    * tool beyond ~10k points per series. Everything is exact-integer
+    * arithmetic until the final single-op sqrt/divide, so any engine
+    * replays it. Output per key: (key, n, s_stat, var_s, z). */
+  def mannKendall(df: DataFrame, key: Column, t: Column,
+                  y: Column): DataFrame = {
+    val d = df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("double").as("__t"),
+        y.cast("double").as("__y"))
+    val b = d.select(col("key").as("__k2"), col("__t").as("__t2"),
+      col("__y").as("__y2"))
+    val s = d.join(b, col("key") === col("__k2") && col("__t") < col("__t2"))
+      .groupBy("key")
+      .agg(sum(signum(col("__y2") - col("__y")).cast("long")).as("s_stat"))
+    val ties = d.groupBy(col("key"), col("__y"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("__tc")).as("__n"),
+        sum(col("__tc") * (col("__tc") - 1L) * (col("__tc") * 2L + 5L))
+          .as("__tt"))
+    val nn = col("__n")
+    val varS = (nn * (nn - 1L) * (nn * 2L + 5L) - col("__tt"))
+      .cast("double") / lit(18.0)
+    ties.join(s, Seq("key"), "left")
+      .select(col("key"), nn.as("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), varS.as("var_s"),
+        when(varS <= 0.0, lit(null).cast("double"))
+          .otherwise(
+            when(coalesce(col("s_stat"), lit(0L)) > 0L,
+              (coalesce(col("s_stat"), lit(0L)) - 1L).cast("double")
+                / sqrt(varS))
+              .when(coalesce(col("s_stat"), lit(0L)) < 0L,
+                (coalesce(col("s_stat"), lit(0L)) + 1L).cast("double")
+                  / sqrt(varS))
+              .otherwise(lit(0.0))).as("z"))
+  }
+
+  /** Theil–Sen robust trend line per series key (Theil 1950, Sen
+    * 1968) — [[mannKendall]]'s estimator half: slope = median over
+    * all pairs of (y_j − y_i)/(t_j − t_i), intercept = median over
+    * points of (y − slope·t). Breakdown point 29% — a monitor series
+    * with outlier spikes still reports the underlying drift rate a
+    * least-squares fit would chase. Same BOUNDED-series O(m²)
+    * contract as [[mannKendall]]; the median convention is explicit
+    * (ascending order statistics, even count = single-op mean of the
+    * two middle values) so any engine replays it; pair slopes are one
+    * IEEE division of exact differences each. The order-statistic
+    * windows partition BY KEY — never a single-partition whole-frame
+    * sort. Output per key: (key, n, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, key: Column, t: Column,
+               y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("double").as("__t"),
+        y.cast("double").as("__y"))
+    val b = d.select(col("key").as("__k2"), col("__t").as("__t2"),
+      col("__y").as("__y2"))
+    val pairs = d
+      .join(b, col("key") === col("__k2") && col("__t") < col("__t2"))
+      .select(col("key"),
+        ((col("__y2") - col("__y")) / (col("__t2") - col("__t")))
+          .as("__slope"))
+    def medianBy(in: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("key").orderBy(col(v))
+      val ranked = in.withColumn("__rn", row_number().over(w))
+        .withColumn("__m", count(lit(1)).over(Window.partitionBy("key")))
+      // integer order-statistic positions (Spark `/` on longs is TRUE
+      // division — floor keeps lo/hi integral): odd m → one middle
+      // row, even m → the two middles
+      val lo = floor((col("__m") + 1L).cast("double") / 2.0)
+      val hi = floor(col("__m").cast("double") / 2.0) + 1.0
+      ranked
+        .filter(col("__rn") === lo || col("__rn") === hi)
+        .groupBy("key")
+        .agg((sum(col(v)) / count(lit(1)).cast("double")).as(out),
+          max(col("__m")).as(s"__n_$out"))
+    }
+    val slope = medianBy(pairs, "__slope", "slope")
+    val resid = d.join(slope.select(col("key"), col("slope")), Seq("key"))
+      .select(col("key"),
+        (col("__y") - col("slope") * col("__t")).as("__r"))
+    val intercept = medianBy(resid, "__r", "intercept")
+    d.groupBy("key").agg(count(lit(1)).as("n"))
+      .join(slope, Seq("key"), "left")
+      .join(intercept.select(col("key"), col("intercept")), Seq("key"), "left")
+      .select(col("key"), col("n"),
+        coalesce(col("__n_slope"), lit(0L)).as("n_pairs"),
+        col("slope"), col("intercept"))
+  }
+
+  /** Spearman rank correlation between two columns — the
+    * scorer-agreement read (do two quality scores rank the corpus the
+    * same way?) that Pearson can't give when either score is
+    * nonlinear or heavy-tailed: ρ = Pearson over average ranks
+    * (fractional ties, the standard convention). Scale shape: two
+    * range-partitioned rowid sorts ([[graft.functions.SeqFns
+    * .withRankAvg]] — never a single-partition window), then ONE
+    * aggregate. Engine-exactness: average ranks are k or k+0.5, so
+    * 2·rank is an exact integer; the five moment sums (ΣX, ΣY, ΣX²,
+    * ΣY², ΣXY over X = 2rₓ, Y = 2r_y) accumulate in decimal(38,0) —
+    * exact to corpora of ~10^12 rows (ΣX² ≤ 4n³) — and the closing
+    * ρ = (nΣXY − ΣXΣY)/(√(nΣX² − (ΣX)²)·√(nΣY² − (ΣY)²)) is a fixed
+    * shape of decimal→double casts and single IEEE ops both engines
+    * replay bit-for-bit. Constant columns (zero rank variance) yield
+    * NULL. Output (1 row): n, rho. */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    val rx = graft.functions.SeqFns.withRankAvg(d, col("__x"), "__rx")
+    val rxy = graft.functions.SeqFns.withRankAvg(rx, col("__y"), "__ry")
+    val dec = "decimal(38,0)"
+    val xx = (col("__rx") * 2.0).cast(dec)
+    val yy = (col("__ry") * 2.0).cast(dec)
+    val agg = rxy.agg(count(lit(1)).as("n"),
+      sum(xx).as("__sx"), sum(yy).as("__sy"),
+      sum(xx * xx).as("__sxx"), sum(yy * yy).as("__syy"),
+      sum(xx * yy).as("__sxy"))
+    def dbl(c: Column): Column = c.cast("double")
+    val nd = dbl(col("n"))
+    val varX = nd * dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx"))
+    val varY = nd * dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy"))
+    agg.select(col("n"),
+      when(col("n") === 0L || varX <= 0.0 || varY <= 0.0,
+        lit(null).cast("double"))
+        .otherwise(
+          (nd * dbl(col("__sxy")) - dbl(col("__sx")) * dbl(col("__sy")))
+            / (sqrt(varX) * sqrt(varY))).as("rho"))
+  }
 }

@@ -762,4 +762,201 @@ object Sources {
     fs.delete(staging, true)
     (names.length, after.length)
   }
+
+  /** Transactional batch INSERT INTO on a manifested table — the
+    * batch twin of [[graft.streaming.ManifestSink.appendBatch]]
+    * without the batch-id replay guard (a batch caller owns its own
+    * idempotence): rows stage invisibly, move in under their unique
+    * part names (still unreferenced), and ONE manifest rename appends
+    * them to the pinned set. A concurrent [[readManifested]] sees the
+    * table without the batch or with it in full. Returns the appended
+    * file names. */
+  def insertIntoAtomic(spark: SparkSession, path: String, rows: DataFrame,
+                       numFiles: Int = 1): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles >= 1, s"insertIntoAtomic: numFiles=$numFiles must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(path,
+      s"_insert_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    rows.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    val newNames = parts.map { p =>
+      val dst = new Path(root, p.getName) // per-job UUID names: unique
+      require(fs.rename(p, dst), s"insertIntoAtomic: rename $p -> $dst failed")
+      dst.getName
+    }
+    writeManifest(conf, path, names ++ newNames) // the atomic publish
+    fs.delete(staging, true)
+    newNames
+  }
+
+  /** What a keyed MERGE did, at the file grain. */
+  final case class MergeResult(rewritten: Seq[String], appended: Seq[String],
+                               updated: Long, deleted: Long, inserted: Long)
+
+  /** Keyed MERGE INTO on a manifested table — Delta's MERGE semantics
+    * ([[graft.ops.Snapshot.applyChanges]]: op = "upsert" replaces or
+    * inserts its key, op = "delete" removes it) executed at the FILE
+    * grain instead of [[graft.ops.Snapshot.applyChangesAtomic]]'s
+    * full-table rewrite. The 100 TB shape: ONE key-pruned scan (the
+    * delta's keys broadcast into a semi-join whose predicate reaches
+    * the parquet footers, so row-group stats skip untouched files
+    * wholesale) finds the files that actually HOLD matched keys; only
+    * those are rewritten (matched upserts replaced by their whole-row
+    * payload, matched deletes dropped, everything else verbatim);
+    * unmatched upserts append as fresh files; ONE manifest rename
+    * publishes rewrites + appends + survivors together. A delta
+    * touching one user's rows rewrites kilobytes of a petabyte table
+    * when the layout clusters the key (the z-order/bloom story feeding
+    * straight into this). Old files stay for time travel until
+    * [[vacuumUnreferenced]].
+    *
+    * Contracts: the delta is delta-sized (it is broadcast and its
+    * per-op file histogram collects to the driver); keys are unique in
+    * the batch (rejected loudly otherwise — resolve last-writer-wins
+    * upstream); the payload carries the full base schema (whole-row
+    * upserts, the CDC-feed contract). Rewrite cost is one job per
+    * affected file — cluster the key so a delta lands in few files. */
+  def mergeAtomic(spark: SparkSession, path: String, changes: DataFrame,
+                  id: String, op: String = "op",
+                  insertFiles: Int = 1): MergeResult = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce,
+      col => fnCol, count, input_file_name, lit, struct, when => fnWhen}
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val base = readManifested(spark, path)
+    val payloadCols = base.columns.toSeq
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(payloadCols.contains(id),
+      s"mergeAtomic: key '$id' not in table schema (${payloadCols.mkString(", ")})")
+    val missingCols = payloadCols.filterNot(changes.columns.contains)
+    require(missingCols.isEmpty,
+      s"mergeAtomic: delta lacks payload columns ${missingCols.mkString(", ")} " +
+        "— upserts are whole-row (the CDC-feed contract)")
+    val badOp = changes.filter(!fnCol(op).isin("upsert", "delete")).limit(1).collect()
+    require(badOp.isEmpty,
+      s"mergeAtomic: op column carries a value other than upsert/delete")
+    val dupKeys = changes.groupBy(fnCol(id)).agg(count(lit(1)).as("__c"))
+      .filter(fnCol("__c") > 1L).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"mergeAtomic: delta carries duplicate keys (e.g. " +
+        s"${if (dupKeys.nonEmpty) dupKeys.head.get(0) else ""}) — resolve " +
+        "the batch (last-writer-wins upstream) before merging")
+    // the key-pruned scan: which files hold matched keys, per op —
+    // broadcast keeps the base side shuffle-free and lets the join
+    // keys prune row groups at the footer
+    val delta = changes.select(
+      fnCol(id).cast(types(id)).as("__k"), fnCol(op).as("__op"),
+      struct(payloadCols.map(c => fnCol(c).cast(types(c)).as(c)): _*).as("__row"))
+    val hits = base.select(fnCol(id), input_file_name().as("__f"))
+      .join(broadcast(delta.select(fnCol("__k"), fnCol("__op"))),
+        fnCol(id) === fnCol("__k"))
+      .groupBy("__f", "__op").agg(count(lit(1)).as("__n")).collect()
+    val affected = hits.map(r => new Path(r.getString(0)).getName).distinct.toSeq.sorted
+    val updated = hits.filter(_.getString(1) == "upsert").map(_.getLong(2)).sum
+    val deleted = hits.filter(_.getString(1) == "delete").map(_.getLong(2)).sum
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(path,
+      s"_merge_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    // rewrite only the files holding matched keys
+    val rewrittenNames = affected.flatMap { n =>
+      val src = readFilesApplyingDefaults(spark, path, Seq(n))
+      val kept = src.join(broadcast(delta), src(id) === fnCol("__k"), "left")
+        .filter(fnCol("__op").isNull || fnCol("__op") === "upsert")
+        .select(payloadCols.map(c =>
+          fnWhen(fnCol("__op") === "upsert", fnCol(s"__row.$c"))
+            .otherwise(src(c)).as(c)): _*)
+      if (kept.isEmpty) Seq.empty[String] // fully-deleted file vanishes
+      else {
+        val binDir = new Path(staging, n)
+        kept.coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
+        val part = fs.listStatus(binDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"mergeAtomic: expected 1 part file in $binDir")
+        val dst = new Path(root, part(0).getName)
+        require(fs.rename(part(0), dst),
+          s"mergeAtomic: rename ${part(0)} -> $dst failed")
+        Seq(dst.getName)
+      }
+    }
+    // unmatched upserts are inserts: anti-join against the base's key
+    // column only (column-pruned scan; compose with BloomPrune when
+    // the delta is large against a huge base)
+    val inserts = changes.filter(fnCol(op) === "upsert")
+      .join(base.select(fnCol(id)), Seq(id), "left_anti")
+      .select(payloadCols.map(c => fnCol(c).cast(types(c)).as(c)): _*)
+    val inserted = inserts.count()
+    val appendedNames =
+      if (inserted == 0L) Seq.empty[String]
+      else {
+        val insDir = new Path(staging, "__inserts")
+        inserts.repartition(insertFiles)
+          .write.mode(SaveMode.Overwrite).parquet(insDir.toString)
+        fs.listStatus(insDir)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .sortBy(_.getName).toSeq.map { p =>
+            val dst = new Path(root, p.getName)
+            require(fs.rename(p, dst), s"mergeAtomic: rename $p -> $dst failed")
+            dst.getName
+          }
+      }
+    val after = names.filterNot(affected.contains) ++ rewrittenNames ++ appendedNames
+    if (affected.nonEmpty || appendedNames.nonEmpty)
+      writeManifest(conf, path, after) // the atomic publish
+    fs.delete(staging, true)
+    MergeResult(rewrittenNames, appendedNames, updated, deleted, inserted)
+  }
+
+  /** File-grain CHANGES between two manifest versions: (added,
+    * removed) file names, `toVersion` relative to `fromVersion`. The
+    * CDC read every incremental downstream needs: for an APPEND-ONLY
+    * table ([[insertIntoAtomic]], [[graft.streaming.ManifestSink]])
+    * `removed` is empty and the added files hold exactly the new rows;
+    * a non-empty `removed` means maintenance rewrote files in the
+    * window (compaction / DELETE / UPDATE / MERGE) and a row-accurate
+    * diff needs [[graft.ops.Dedup.corpusDiff]] over the two snapshots
+    * instead. */
+  def manifestDiff(conf: org.apache.hadoop.conf.Configuration,
+                   path: String, fromVersion: Long,
+                   toVersion: Long): (Seq[String], Seq[String]) = {
+    val from = readManifestVersion(conf, path, fromVersion).toSet
+    val to = readManifestVersion(conf, path, toVersion).toSet
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** Incremental read: ONLY the rows appended between `fromVersion`
+    * and `toVersion` (head when omitted) — the downstream
+    * resume-where-you-left-off scan that costs the DELTA, not the
+    * table. Requires the window to be append-only (no files removed);
+    * a rewrite in the window fails loudly with the row-accurate
+    * alternative named, because rewritten survivors would otherwise
+    * double-count as "new". */
+  def readManifestedAdded(spark: SparkSession, path: String,
+                          fromVersion: Long,
+                          toVersion: Long = -1L): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val toV =
+      if (toVersion >= 0L) toVersion
+      else manifestLogVersions(conf, path).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"readManifestedAdded: $path has no manifest log"))
+    val (added, removed) = manifestDiff(conf, path, fromVersion, toV)
+    require(removed.isEmpty,
+      s"readManifestedAdded: window v$fromVersion..v$toV is not append-only " +
+        s"(${removed.length} files rewritten, e.g. ${removed.take(2).mkString(", ")}) " +
+        "— diff the snapshots with Dedup.corpusDiff instead")
+    require(added.nonEmpty,
+      s"readManifestedAdded: window v$fromVersion..v$toV added no files")
+    readFilesApplyingDefaults(spark, path, added)
+  }
 }

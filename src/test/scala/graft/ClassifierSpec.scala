@@ -237,4 +237,91 @@ class ClassifierSpec extends SparkTestBase {
       .filter(col("item") === "Z").collect()(0)
     assert(z.getDouble(3) == 0.0 && z.getLong(1) == 0L)
   }
+
+  test("averagePrecision: tie-broken total order, golden value, degenerate null") {
+    import org.apache.spark.sql.functions.col
+    // order by (s DESC, id): [+, -, +(tie), -(tie), +]
+    // precisions at positives: 1/1, 2/3, 3/5 -> AP = 34/45
+    val df = sqlDf(
+      "id" -> Seq(1L, 2L, 3L, 4L, 5L),
+      "s" -> Seq(5.0, 4.0, 3.0, 3.0, 1.0),
+      "y" -> Seq(true, false, true, false, true))
+    val r = Classifier.averagePrecision(df, col("s"), col("y"), col("id")).head()
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_pos") == 3L)
+    assert(math.abs(r.getAs[Double]("ap") - 34.0 / 45.0) < 1e-9, r.toString)
+    // the prefix scan is distributed: partitioning must not matter
+    val rep = Classifier.averagePrecision(df.repartition(4),
+      col("s"), col("y"), col("id")).head()
+    assert(rep.getAs[Double]("ap") == r.getAs[Double]("ap"))
+    // a perfect ranker scores exactly 1 on the grid
+    val perfect = sqlDf("id" -> Seq(1L, 2L, 3L),
+      "s" -> Seq(3.0, 2.0, 1.0), "y" -> Seq(true, true, false))
+    assert(Classifier.averagePrecision(perfect, col("s"), col("y"),
+      col("id")).head().getAs[Double]("ap") == 1.0)
+    // no positives: NULL, not 0/0
+    val deg = Classifier.averagePrecision(
+      sqlDf("id" -> Seq(1L), "s" -> Seq(1.0), "y" -> Seq(false)),
+      col("s"), col("y"), col("id")).head()
+    assert(deg.isNullAt(deg.fieldIndex("ap")))
+  }
+
+  test("expectedCalibrationError: weighted bin gaps and the max gap") {
+    import org.apache.spark.sql.functions.col
+    // k=2: bin0 = {0.2 F, 0.4 T} mean_p 0.3 rate 0.5 gap 0.2
+    //      bin1 = {0.6 F, 0.8 T} mean_p 0.7 rate 0.5 gap 0.2
+    val df = sqlDf("p" -> Seq(0.2, 0.4, 0.6, 0.8),
+      "y" -> Seq(false, true, false, true))
+    val r = Classifier.expectedCalibrationError(df, col("p"), col("y"), k = 2)
+      .head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(math.abs(r.getAs[Double]("ece") - 0.2) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("max_ce") - 0.2) < 1e-9)
+    // a perfectly calibrated constant-rate corpus: ECE 0 within grid
+    val cal = sqlDf("p" -> Seq(0.25, 0.25, 0.25, 0.25),
+      "y" -> Seq(true, false, false, false))
+    val rc = Classifier.expectedCalibrationError(cal, col("p"), col("y"), k = 2)
+      .head()
+    assert(math.abs(rc.getAs[Double]("ece")) < 1e-9, rc.toString)
+  }
+
+  test("confusionStats: counts, derived ratios, MCC, degenerate nulls") {
+    import org.apache.spark.sql.functions.col
+    // threshold 0.5: pred = s >= 0.5
+    // (0.9,T) tp, (0.8,F) fp, (0.6,T) tp, (0.4,T) fn, (0.2,F) tn, (0.1,F) tn
+    val df = sqlDf("s" -> Seq(0.9, 0.8, 0.6, 0.4, 0.2, 0.1),
+      "y" -> Seq(true, false, true, true, false, false))
+    val r = Classifier.confusionStats(df, col("s"), col("y"), 0.5).head()
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 2L)
+    assert(math.abs(r.getAs[Double]("accuracy") - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("precision_") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall_") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1") - 4.0 / 6.0) < 1e-12)
+    // MCC hand value: (2*2-1*1)/sqrt(3*3*3*3) = 3/9
+    assert(math.abs(r.getAs[Double]("mcc") - 1.0 / 3.0) < 1e-12, r.toString)
+    // all predicted negative: precision and MCC NULL, recall 0
+    val neg = Classifier.confusionStats(df, col("s"), col("y"), 10.0).head()
+    assert(neg.isNullAt(neg.fieldIndex("precision_")))
+    assert(neg.isNullAt(neg.fieldIndex("mcc")))
+    assert(neg.getAs[Double]("recall_") == 0.0)
+    // one-class corpus: MCC NULL (tn+fn row factors zero)
+    val one = sqlDf("s" -> Seq(0.9, 0.1), "y" -> Seq(true, true))
+    val r1 = Classifier.confusionStats(one, col("s"), col("y"), 0.5).head()
+    assert(r1.isNullAt(r1.fieldIndex("mcc")))
+  }
+
+  test("brierScore: golden value, perfect scorer at 0, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // (0.8,T)->0.04 (0.3,F)->0.09 (0.5,T)->0.25 -> mean 38/300
+    val df = sqlDf("p" -> Seq(0.8, 0.3, 0.5), "y" -> Seq(true, false, true))
+    val r = Classifier.brierScore(df, col("p"), col("y")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("brier") - 38.0 / 300.0) < 1e-9)
+    val rep = Classifier.brierScore(df.repartition(3), col("p"), col("y")).head()
+    assert(rep.getAs[Double]("brier") == r.getAs[Double]("brier"))
+    // a perfect hard scorer: 0 exactly
+    val perfect = sqlDf("p" -> Seq(1.0, 0.0), "y" -> Seq(true, false))
+    assert(Classifier.brierScore(perfect, col("p"), col("y"))
+      .head().getAs[Double]("brier") == 0.0)
+  }
 }
