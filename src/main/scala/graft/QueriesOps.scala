@@ -1637,6 +1637,27 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // metadata-only schema evolution is answer-preserving: drop
+    // `source`, rename n_chars -> len — ZERO files rewritten (the
+    // spec proves that by file identity); the evolved table IS the
+    // projected base, which the oracle replays directly
+    "x_alter_schema" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/altercache/docs_$tag"
+      val ok = new java.io.File(s"$path/_ALTERED")
+      if (!ok.exists()) {
+        t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+          .repartition(4).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        graft.sources.Sources.dropColumnAtomic(s, path, "source")
+        graft.sources.Sources.renameColumnAtomic(s, path, "n_chars", "len")
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.sources.Sources.readManifested(s, path)
+        .select("doc_id", "lang", "len")
+        .orderBy(col("doc_id"))
+    }),
+
     // file-grain CDC: day-1 writes doc_id%3!=0, day-2 appends the
     // doc_id%3=0 batch transactionally; the incremental read between
     // v1 and head returns EXACTLY the appended rows — the oracle is
@@ -5475,6 +5496,12 @@ object QueriesOps {
     "x_incr_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // DROP + RENAME are answer-preserving: the evolved table IS the
+    // projected base under the new names
+    "x_alter_schema" ->
+      """SELECT doc_id, lang, n_chars AS len FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // the partitioned layout's result IS the plain filtered agg
     "x_part_prune" ->

@@ -367,10 +367,35 @@ object Sources {
     * expired-snapshot read in a table format. */
   def readManifestedAt(spark: SparkSession, path: String,
                        version: Long): DataFrame = {
-    val names = readManifestVersion(
-      spark.sessionState.newHadoopConf(), path, version)
+    val conf = spark.sessionState.newHadoopConf()
+    val names = readManifestVersion(conf, path, version)
     require(names.nonEmpty, s"readManifestedAt: version $version is empty")
-    spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    // the ARCHIVED version's schema metadata, not the head's: time
+    // travel to a pre-alter version reads the pre-alter schema, and
+    // to a post-alter version serves that alter's defaults/drops/
+    // renames exactly as a reader of that era did
+    readFilesWithMeta(spark, path, names,
+      schemaMetaOf(readManifestVersionMeta(conf, path, version)))
+  }
+
+  /** The '#key value' metadata of an archived manifest version. */
+  def readManifestVersionMeta(conf: org.apache.hadoop.conf.Configuration,
+                              path: String,
+                              version: Long): Map[String, String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(path, "_manifest_log"), f"v$version%06d")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"readManifestVersionMeta: $path has no archived version $version")
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n")
+      .filter(_.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        (l.substring(1, sp), l.substring(sp + 1))
+      }.toMap
   }
 
   /** Snapshot history as a frame: (version, n_files, is_head) —
@@ -478,43 +503,93 @@ object Sources {
     }
   }
 
-  /** Read specific table files honoring the stored ADD COLUMN
-    * defaults — the shared substrate of [[readManifested]] AND every
-    * rewrite path (compaction / DELETE / UPDATE bins): a rewrite that
-    * read files plainly would land old rows' defaulted columns as
-    * NULL in new footers and silently lose the default. Footer-schema
-    * probe per file (zero data bytes); files missing a defaulted
-    * column get the literal, files carrying it keep explicit values. */
-  private def readFilesApplyingDefaults(spark: SparkSession, path: String,
-                                        names: Seq[String]): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val defaults = columnDefaults(conf, path)
-    if (defaults.isEmpty)
+  /** The schema-evolution view a manifest's metadata declares over
+    * its physical files: ADD COLUMN defaults (logical name → (type,
+    * literal)), DROP COLUMN tombstones (physical names hidden from
+    * readers), RENAME mappings (physical name in old footers →
+    * current logical name). */
+  private final case class SchemaMeta(defaults: Map[String, (String, String)],
+                                      drops: Set[String],
+                                      renames: Map[String, String]) {
+    def isEmpty: Boolean = defaults.isEmpty && drops.isEmpty && renames.isEmpty
+  }
+
+  private def schemaMetaOf(meta: Map[String, String]): SchemaMeta = SchemaMeta(
+    defaults = meta.collect {
+      case (k, v) if k.startsWith("coldefault:") && v != "!" =>
+        val sp = v.indexOf(':')
+        (k.stripPrefix("coldefault:"), (v.substring(0, sp), v.substring(sp + 1)))
+    },
+    drops = meta.collect {
+      case (k, v) if k.startsWith("coldrop:") && v == "1" =>
+        k.stripPrefix("coldrop:")
+    }.toSet,
+    renames = meta.collect {
+      case (k, v) if k.startsWith("colrename:") && v != "!" =>
+        (k.stripPrefix("colrename:"), v)
+    })
+
+  /** Footer-schema probe: the physical column names of one table file
+    * (zero data bytes — the parquet footer only). */
+  private def footerCols(conf: org.apache.hadoop.conf.Configuration,
+                         path: String, n: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path, n), conf))
+    try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally rdr.close()
+  }
+
+  /** Read specific table files through a declared [[SchemaMeta]] —
+    * the shared substrate of [[readManifested]], time travel, AND
+    * every rewrite path (compaction / DELETE / UPDATE / MERGE bins):
+    * a rewrite that read files plainly would land old rows' defaulted
+    * columns as NULL, resurrect dropped ones, and fork renamed ones.
+    * Per file (footer probe, zero data bytes): drop the tombstoned
+    * physical columns it carries, rename old physical names to their
+    * current logical names, then add the declared defaults for
+    * logical columns the file still lacks. Files are grouped by their
+    * transform signature so the whole read stays a handful of scans
+    * however many files the manifest pins. */
+  private def readFilesWithMeta(spark: SparkSession, path: String,
+                                names: Seq[String],
+                                sm: SchemaMeta): DataFrame = {
+    if (sm.isEmpty)
       spark.read.parquet(names.map(n => s"$path/$n"): _*)
     else {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import scala.jdk.CollectionConverters._
-      def fileCols(n: String): Set[String] = {
-        val rdr = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(path, n), conf))
-        try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
-          .map(_.getName).toSet
-        finally rdr.close()
+      val conf = spark.sessionState.newHadoopConf()
+      val groups = names.groupBy { n =>
+        val cols = footerCols(conf, path, n)
+        val drops = sm.drops.intersect(cols).toSeq.sorted
+        val renames = sm.renames.filter(kv => cols.contains(kv._1))
+          .toSeq.sorted
+        val visible = (cols -- sm.drops).map(c => sm.renames.getOrElse(c, c))
+        val missing = sm.defaults.keys.filterNot(visible.contains).toSeq.sorted
+        (drops, renames, missing)
       }
-      val groups = names.groupBy(n =>
-        defaults.keys.filter(c => !fileCols(n).contains(c)).toSeq.sorted)
-      groups.map { case (missing, files) =>
+      groups.map { case ((drops, renames, missing), files) =>
         val df = spark.read.option("mergeSchema", "true")
           .parquet(files.map(n => s"$path/$n"): _*)
-        missing.foldLeft(df) { (d, c) =>
-          val (tpe, v) = defaults(c)
+        val dropped = drops.foldLeft(df)(_.drop(_))
+        val renamed = renames.foldLeft(dropped) { case (d, (o, n)) =>
+          d.withColumnRenamed(o, n)
+        }
+        missing.foldLeft(renamed) { (d, c) =>
+          val (tpe, v) = sm.defaults(c)
           d.withColumn(c, org.apache.spark.sql.functions.lit(v).cast(tpe))
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
+
+  private def readFilesApplyingDefaults(spark: SparkSession, path: String,
+                                        names: Seq[String]): DataFrame =
+    readFilesWithMeta(spark, path, names,
+      schemaMetaOf(readManifestMeta(spark.sessionState.newHadoopConf(), path)))
 
   /** Metadata-only ALTER TABLE ADD COLUMN ... DEFAULT on a manifested
     * table — the O(1) schema evolution a 100 TB table needs (a data
@@ -535,23 +610,117 @@ object Sources {
       s"addColumnAtomic: column name '$name' must be space/colon-free")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
-    val base = spark.read.parquet(names.map(n => s"$path/$n"): _*)
-    require(!base.columns.contains(name) &&
+    val visible = readFilesWithMeta(spark, path, names,
+      schemaMetaOf(readManifestMeta(conf, path))).columns
+    require(!visible.contains(name) &&
         !columnDefaults(conf, path).contains(name),
       s"addColumnAtomic: column '$name' already exists at $path")
+    // footer presence is the reader's ground truth for "has an
+    // explicit value", so a name a live file still PHYSICALLY carries
+    // (a dropped column whose files were never rewritten) would serve
+    // the dropped era's values instead of the default — refuse loudly;
+    // compaction materializes the drop and frees the name
+    val phys = names.find(n => footerCols(conf, path, n).contains(name))
+    require(phys.isEmpty,
+      s"addColumnAtomic: '$name' is still physically present in " +
+        s"${phys.get} (a dropped column's footprint) — compact/rewrite " +
+        "the table to materialize the drop before reusing the name")
     val meta = readManifestMeta(conf, path) +
       (s"coldefault:$name" -> s"$dataType:${String.valueOf(default)}")
     writeManifest(conf, path, names, meta)
   }
 
-  /** The stored ADD COLUMN defaults: name → (type, value). */
+  /** Metadata-only ALTER TABLE DROP COLUMN on a manifested table —
+    * the O(1) twin of [[addColumnAtomic]] (rewriting 100 TB to shed
+    * one column is the other thing table formats exist to avoid):
+    * every physical name serving the logical column (the name itself
+    * plus any pre-rename footprints) is tombstoned in the manifest
+    * metadata through ONE atomic republish; zero files touched.
+    * Readers hide the column from that publish on; rewrites
+    * (compaction / DELETE / UPDATE / MERGE bins) read through the
+    * tombstone, so rewritten files shed the bytes physically. A
+    * stored default for the column is tombstoned with it. Time travel
+    * to a pre-drop version still reads the column ([[
+    * readManifestedAt]] applies that version's metadata). Re-adding
+    * the name later requires the old footprints to be compacted away
+    * first — [[addColumnAtomic]] enforces that loudly. */
+  def dropColumnAtomic(spark: SparkSession, path: String,
+                       name: String): Unit = {
+    require(!name.exists(c => c == ' ' || c == '\n' || c == ':'),
+      s"dropColumnAtomic: column name '$name' must be space/colon-free")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val sm = schemaMetaOf(readManifestMeta(conf, path))
+    val visible = readFilesWithMeta(spark, path, names, sm).columns
+    require(visible.contains(name),
+      s"dropColumnAtomic: no column '$name' at $path " +
+        s"(have: ${visible.mkString(", ")})")
+    require(visible.length >= 2,
+      s"dropColumnAtomic: refusing to drop the last column of $path")
+    val physNames = sm.renames.collect {
+      case (p, logical) if logical == name => p
+    }.toSeq :+ name
+    val meta = readManifestMeta(conf, path) ++
+      physNames.map(p => s"coldrop:$p" -> "1") +
+      (s"coldefault:$name" -> "!")
+    writeManifest(conf, path, names, meta)
+  }
+
+  /** Metadata-only ALTER TABLE RENAME COLUMN on a manifested table:
+    * the mapping from the old physical name to the new logical name
+    * rides the manifest metadata through ONE atomic republish — zero
+    * files touched, existing footers keep the old physical name and
+    * readers serve it under the new one; files written AFTER the
+    * rename (appends, merge rewrites, compaction) carry the new name
+    * physically. Chained renames stay consistent: every stored
+    * mapping that pointed at the old logical name is re-pointed at
+    * the new one, so a→b then b→c reads a-era, b-era, and c-era
+    * files alike. A stored ADD COLUMN default moves to the new name.
+    * Time travel to a pre-rename version reads the old name. */
+  def renameColumnAtomic(spark: SparkSession, path: String,
+                         oldName: String, newName: String): Unit = {
+    require(!newName.exists(c => c == ' ' || c == '\n' || c == ':'),
+      s"renameColumnAtomic: column name '$newName' must be space/colon-free")
+    require(oldName != newName, "renameColumnAtomic: old == new")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val sm = schemaMetaOf(readManifestMeta(conf, path))
+    val visible = readFilesWithMeta(spark, path, names, sm).columns
+    require(visible.contains(oldName),
+      s"renameColumnAtomic: no column '$oldName' at $path " +
+        s"(have: ${visible.mkString(", ")})")
+    require(!visible.contains(newName),
+      s"renameColumnAtomic: column '$newName' already exists at $path")
+    // a live footer still physically carrying newName (a dropped
+    // column's footprint) would collide the moment its tombstone is
+    // compacted away under a different logical story — refuse, as
+    // addColumnAtomic does
+    val phys = names.find(n =>
+      footerCols(conf, path, n).contains(newName) && sm.drops.contains(newName))
+    require(phys.isEmpty,
+      s"renameColumnAtomic: '$newName' is still physically present in " +
+        s"${phys.getOrElse("")} (a dropped column's footprint) — compact " +
+        "the table before reusing the name")
+    val repointed = sm.renames.collect {
+      case (p, logical) if logical == oldName => s"colrename:$p" -> newName
+    }
+    val defaultMove: Map[String, String] = sm.defaults.get(oldName) match {
+      case Some((t, v)) => Map(s"coldefault:$newName" -> s"$t:$v",
+        s"coldefault:$oldName" -> "!")
+      case None => Map.empty
+    }
+    val meta = readManifestMeta(conf, path) ++ repointed ++ defaultMove +
+      (s"colrename:$oldName" -> newName)
+    writeManifest(conf, path, names, meta)
+  }
+
+  /** The stored ADD COLUMN defaults: name → (type, value). Tombstoned
+    * entries (value "!", left by DROP/RENAME of a defaulted column —
+    * sticky metadata can never be deleted, only overwritten) are
+    * skipped. */
   def columnDefaults(conf: org.apache.hadoop.conf.Configuration,
                      path: String): Map[String, (String, String)] =
-    readManifestMeta(conf, path).collect {
-      case (k, v) if k.startsWith("coldefault:") =>
-        val sp = v.indexOf(':')
-        (k.stripPrefix("coldefault:"), (v.substring(0, sp), v.substring(sp + 1)))
-    }
+    schemaMetaOf(readManifestMeta(conf, path)).defaults
 
   /** Delete parquet files no retained manifest references — the
     * explicit reclaim half of the manifest protocol (Delta VACUUM).
