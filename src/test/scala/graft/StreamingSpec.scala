@@ -1064,4 +1064,56 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(psiBy.getDouble(1) - r.getDouble(0)) < 1e-12,
       s"histPsi ${r.getDouble(0)} != histPsiBy ${psiBy.getDouble(1)}")
   }
+
+  test("trend reads over the windowed monitor sink: mannKendall + theilSen flag the drifting type") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val agg = EventStreams.windowedAgg(input.toDF(), "1 hour",
+      watermark = Some("10 minutes"))
+    val query = agg.writeStream.format("memory")
+      .queryName("trend_out").outputMode("append").start()
+    try {
+      // 8 hourly windows: "grow" drifts up 1,2,…,8/hour (a source
+      // quietly ramping); "flat" alternates 3,4 (healthy noise)
+      var id = 0L
+      for (h <- 0 until 8) {
+        val growN = h + 1
+        val flatN = if (h % 2 == 0) 3 else 4
+        input.addData(
+          (0 until growN).map { k =>
+            id += 1; SessionEvent(id, ts(h * 60 + k), 1L, "grow", 1.0)
+          } ++ (0 until flatN).map { k =>
+            id += 1; SessionEvent(id, ts(h * 60 + 30 + k), 2L, "flat", 1.0)
+          }: _*)
+        query.processAllAvailable()
+      }
+      // sentinel far past hour 7 + watermark: all 8 windows finalize
+      id += 1
+      input.addData(SessionEvent(id, ts(600), 3L, "late", 1.0))
+      query.processAllAvailable()
+      val sink = s.table("trend_out")
+      assert(sink.filter(col("event_type") === "grow").count() == 8)
+      // the monitor's sink table IS mannKendall/theilSen's input —
+      // the composition a standing drift alert runs every morning
+      val hourly = sink.select(col("event_type"),
+        (unix_timestamp(col("wstart")) / 3600L).cast("long").as("h"),
+        col("n"))
+      val mk = graft.ops.Profiling.mannKendall(hourly,
+          col("event_type"), col("h"), col("n"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      // grow: monotone n=8 -> S=28, var=65.33, z=3.34 — fires at 5%
+      assert(mk("grow").getAs[Double]("z") > 1.96, mk("grow").toString)
+      // flat: alternating ties -> S=4, var=48, z=0.43 — must NOT fire
+      assert(math.abs(mk("flat").getAs[Double]("z")) < 1.96,
+        mk("flat").toString)
+      val sen = graft.ops.Profiling.theilSen(hourly,
+          col("event_type"), col("h"), col("n"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      // the drift RATE reads exactly +1 doc/hour off the linear ramp
+      assert(sen("grow").getAs[Double]("slope") == 1.0,
+        sen("grow").toString)
+    } finally query.stop()
+  }
 }
