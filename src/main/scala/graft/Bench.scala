@@ -41,7 +41,11 @@ object Bench {
     "x_par_dedup", "x_dup_spans", "x_multimodal", "x_centroids",
     "x_interleave", "x_subword", "x_zipf", "x_novelty", "x_cdc",
     "x_strip_spans", "x_zorder", "x_zorder_incr", "x_hilbert",
-    "x_lpa", "x_heavy", "s_neardup")
+    "x_lpa", "x_heavy", "s_neardup",
+    // round-15 additions: the trend/eval metric reads (sub-second
+    // aggregates) and the answer-preserving lakehouse serving reads
+    "x_trend_mk", "x_spearman", "x_auprc", "x_gini",
+    "x_merge_into", "x_alter_schema")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

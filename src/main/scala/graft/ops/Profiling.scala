@@ -1283,22 +1283,22 @@ object Profiling {
     * curve. ONE partial agg to stratum totals, then the classic
     * order-statistic identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx)
     * over strata ranked ascending (ties broken by stratum name — the
-    * permutation is total, so every engine replays it). The ranking
-    * window runs over the STRATA TABLE, bounded by contract (the
-    * forcats-levels rule: domains/languages, not rows). Sums are
-    * exact integers in decimal; the final expression is a fixed
-    * shape of exact-to-double casts and single IEEE ops (exact while
-    * n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals beyond
-    * that degrade in the last ulps, stated loudly here). Output: one
-    * row (n_strata, total, gini). */
+    * permutation is total, so every engine replays it). Ranks come
+    * from the distributed rowid sort ([[graft.core.Tibble
+    * .rowidToColumn]] — range-partitioned, never a single-partition
+    * window), so the strata table may be as unbounded as URL hosts.
+    * Sums are exact integers in decimal; the final expression is a
+    * fixed shape of exact-to-double casts and single IEEE ops (exact
+    * while n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals
+    * beyond that degrade in the last ulps, stated loudly here).
+    * Output: one row (n_strata, total, gini). */
   def gini(df: DataFrame, key: Column, weight: Column): DataFrame = {
     val strata = df.groupBy(key.cast("string").as("stratum"))
       .agg(sum(weight.cast("long")).as("__x"))
       .filter(col("__x").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__x"), col("stratum"))
-    val ranked = strata
-      .withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+    val ranked = graft.core.Tibble.rowidToColumn(strata,
+        Seq(col("__x").asc, col("stratum").asc), "__i0")
+      .withColumn("__i", col("__i0").cast("decimal(38,0)"))
     ranked.agg(
       count(lit(1)).as("n_strata"),
       sum(col("__x")).cast("long").as("total"),

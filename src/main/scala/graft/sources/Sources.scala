@@ -994,7 +994,8 @@ object Sources {
     * affected file — cluster the key so a delta lands in few files. */
   def mergeAtomic(spark: SparkSession, path: String, changes: DataFrame,
                   id: String, op: String = "op",
-                  insertFiles: Int = 1): MergeResult = {
+                  insertFiles: Int = 1,
+                  publishMeta: Map[String, String] = Map.empty): MergeResult = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce,
       col => fnCol, count, input_file_name, lit, struct, when => fnWhen}
@@ -1081,7 +1082,7 @@ object Sources {
       }
     val after = names.filterNot(affected.contains) ++ rewrittenNames ++ appendedNames
     if (affected.nonEmpty || appendedNames.nonEmpty)
-      writeManifest(conf, path, after) // the atomic publish
+      writeManifest(conf, path, after, publishMeta) // the atomic publish
     fs.delete(staging, true)
     MergeResult(rewrittenNames, appendedNames, updated, deleted, inserted)
   }

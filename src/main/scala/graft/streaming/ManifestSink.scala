@@ -82,4 +82,52 @@ object ManifestSink {
     * nothing). */
   def read(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sources.readManifested(spark, path)
+
+  /** The per-batch half of the streaming UPSERT sink — a CDC stream
+    * applied to a manifested table by file-pruned MERGE
+    * ([[graft.sources.Sources.mergeAtomic]]): each micro-batch carries
+    * (payload columns, `op` ∈ upsert/delete) and rewrites only the
+    * files holding matched keys, with the batch id riding INSIDE the
+    * merge's single manifest rename so the file set and the id advance
+    * together (the appendBatch discipline). Replayed ids no-op on the
+    * guard. A batch that matches nothing and inserts nothing publishes
+    * no version and leaves the id unadvanced — safe, because replaying
+    * the identical no-op delta no-ops again deterministically (the
+    * checkpointed offsets fix the batch's contents), and any LATER
+    * batch's id guard then absorbs older replays. The FIRST batch
+    * bootstraps the table: its upserts land as the initial file set
+    * (its deletes have nothing to delete). Keys must be unique per
+    * batch (mergeAtomic's contract — aggregate the CDC feed to
+    * last-writer-wins upstream, e.g. a max_by on a change sequence). */
+  def upsertBatch(batch: DataFrame, path: String, batchId: Long,
+                  id: String, op: String = "op",
+                  insertFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    if (batchId <= lastBatchId(conf, path)) return
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val hasTable = fs.exists(new Path(path, "_MANIFEST"))
+    if (!hasTable) {
+      // bootstrap: the first batch's upserts ARE the table (a
+      // delete-only first batch has nothing to create — skip, and let
+      // a later batch bootstrap)
+      val ups = batch.filter(col(op) === "upsert").drop(op)
+      if (!ups.isEmpty) appendBatch(ups, path, batchId, insertFiles)
+    } else {
+      graft.sources.Sources.mergeAtomic(spark, path, batch, id, op,
+        insertFiles, publishMeta = Map("batch" -> batchId.toString))
+    }
+  }
+
+  /** The stream form of the UPSERT sink: start with
+    * `.option("checkpointLocation", …).start()`. */
+  def upsertSink(stream: DataFrame, path: String, id: String,
+                 op: String = "op", insertFiles: Int = 1):
+      org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertBatch(batch, path, batchId, id, op, insertFiles)
+    }
 }

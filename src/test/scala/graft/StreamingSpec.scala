@@ -928,6 +928,51 @@ class StreamingSpec extends SparkTestBase {
       "first published batch stays time-travelable")
   }
 
+  test("upsert sink: a CDC stream merges exactly-once at the file grain") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsertsink").toFile
+    val path = new java.io.File(base, "tbl").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    val input = MemoryStream[(Long, Long, String)]
+    val query = graft.streaming.ManifestSink.upsertSink(
+        input.toDS().toDF("id", "price", "op"), path, id = "id")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // batch 0 bootstraps the table from its upserts
+      input.addData((1L to 50L).map(i => (i, i * 10L, "upsert")): _*)
+      query.processAllAvailable()
+      // batch 1: update 5, delete 10, insert 51
+      input.addData((5L, 555L, "upsert"), (10L, 0L, "delete"),
+        (51L, 510L, "upsert"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val conf = s.sessionState.newHadoopConf()
+    val got = graft.streaming.ManifestSink.read(s, path)
+    assert(got.count() == 50)
+    assert(got.filter(col("id") === 5L).head().getLong(1) == 555L)
+    assert(got.filter(col("id") === 10L).isEmpty)
+    assert(got.filter(col("id") === 51L).head().getLong(1) == 510L)
+    // the batch id advanced ATOMICALLY with the merge's publish
+    val publishedId = graft.streaming.ManifestSink.lastBatchId(conf, path)
+    assert(publishedId == 1L)
+    // crash-replay of the merge batch: the id guard absorbs it before
+    // any file work (no new version, same state)
+    val vHead = graft.sources.Sources.manifestLogVersions(conf, path).last
+    graft.streaming.ManifestSink.upsertBatch(
+      Seq((5L, 555L, "upsert"), (10L, 0L, "delete"), (51L, 510L, "upsert"))
+        .toDF("id", "price", "op"), path, publishedId, id = "id")
+    assert(graft.sources.Sources.manifestLogVersions(conf, path).last == vHead,
+      "replayed batch must not publish")
+    assert(graft.streaming.ManifestSink.read(s, path).count() == 50)
+    // pre-merge state stays time-travelable
+    val v1 = graft.sources.Sources.manifestLogVersions(conf, path).head
+    val at1 = graft.sources.Sources.readManifestedAt(s, path, v1)
+    assert(at1.count() == 50 &&
+      at1.filter(col("id") === 5L).head().getLong(1) == 50L)
+  }
+
   test("state envelope: pre-envelope bytes and cross-family state fail loudly") {
     val s = spark
     import s.implicits._
