@@ -122,7 +122,11 @@ object Bench {
     // plus the IVFADC build+probe, the MG one-agg scan, and the CUSUM
     // window profile over the 10x logs
     "x_lpa", "x_split_dedup", "x_heaps",
-    "x_ann_ivfpq", "x_heavy", "x_cusum", "x_ann_ivfpq_idx")
+    "x_ann_ivfpq", "x_heavy", "x_cusum", "x_ann_ivfpq_idx",
+    // round-15: the two global rank sorts behind Spearman and the
+    // fused precision prefix scan behind AP — both rowid topologies
+    // whose linear-growth claims need 10x evidence like d_cum_u's
+    "x_spearman", "x_auprc")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

@@ -1234,6 +1234,23 @@ object QueriesOps {
         (length(col("text"))
           - length(translate(col("text"), " ", ""))).cast("double"))),
 
+    // per-language ROC AUC — the fairness read: ranks within each
+    // stratum from ONE range-partitioned rowid sort (no per-key
+    // window partition), one keyed U-statistic aggregate
+    "x_auc_by" -> ((s, d) =>
+      Classifier.rocAucBy(t(s, d, "documents"), col("lang"),
+          col("n_chars").cast("double"), col("text").contains(" the "))
+        .orderBy(col("key"))),
+
+    // per-language Spearman — does scorer agreement hold on every
+    // slice or only the majority one?
+    "x_spearman_by" -> ((s, d) =>
+      Profiling.spearmanBy(t(s, d, "documents"), col("lang"),
+          col("n_chars").cast("double"),
+          (length(col("text"))
+            - length(translate(col("text"), " ", ""))).cast("double"))
+        .orderBy(col("key"))),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -3764,6 +3781,64 @@ object QueriesOps {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS rho
         |FROM m""".stripMargin,
+
+    // per-key AUC replay: within-key avg rank = keyed min-rank +
+    // (keyed ties - 1)/2, decimal rank sum, the same fixed closing
+    "x_auc_by" ->
+      s"""WITH d AS (SELECT CAST(lang AS VARCHAR) AS key,
+        |    CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y FROM documents),
+        |r AS (SELECT key, y,
+        |    CAST(rank() OVER (PARTITION BY key ORDER BY s) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY key, s) AS DOUBLE) - 1.0)
+        |        / 2.0 AS ar
+        |  FROM d),
+        |a AS (SELECT key,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    ${graft.functions.Exact.dsumSql("CASE WHEN y THEN ar END")} AS srp
+        |  FROM r GROUP BY key)
+        |SELECT key, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE (srp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |FROM a ORDER BY key""".stripMargin,
+
+    // per-key Spearman replay: keyed avg ranks, HUGEINT moments per
+    // key, the identical closing shape
+    "x_spearman_by" ->
+      """WITH d AS (SELECT CAST(lang AS VARCHAR) AS key,
+        |    CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(length(text) - length(translate(text, ' ', '')) AS DOUBLE) AS y
+        |  FROM documents),
+        |r AS (SELECT key,
+        |    (CAST(rank() OVER (PARTITION BY key ORDER BY x) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY key, x) AS DOUBLE) - 1.0)
+        |        / 2.0) * 2.0 AS rx2,
+        |    (CAST(rank() OVER (PARTITION BY key ORDER BY y) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY key, y) AS DOUBLE) - 1.0)
+        |        / 2.0) * 2.0 AS ry2
+        |  FROM d),
+        |m AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(rx2 AS HUGEINT)) AS sx, sum(CAST(ry2 AS HUGEINT)) AS sy,
+        |    sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
+        |    sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy,
+        |    sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy
+        |  FROM r GROUP BY key)
+        |SELECT key, n,
+        |  CASE WHEN n = 0
+        |      OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0.0
+        |      OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0.0 THEN NULL
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS rho
+        |FROM m ORDER BY key""".stripMargin,
 
     // farthest-first replay: seed = lowest vec_id, each round the
     // (d DESC, vec_id ASC) TakeOrdered pick over the incremental

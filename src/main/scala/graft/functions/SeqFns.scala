@@ -111,6 +111,31 @@ object SeqFns {
         min(col("__grn")).over(ties) + (count(lit(1)).over(ties) - 1) / 2.0)
       .drop("__grn")
   }
+
+  /** Average rank of `x` WITHIN each `key` group — the grouped twin of
+    * [[withRankAvg]], built WITHOUT a partition-by-key window: a
+    * per-key WindowExec funnels every row of a stratum through one
+    * task, and a corpus where one language holds 60% of the rows
+    * would serialize there. Instead the whole frame takes ONE
+    * range-partitioned rowid sort under the (key, x) total order (big
+    * strata split across partitions), per-key base offsets come from
+    * a key-grain aggregate joined back (strata-sized, broadcast-able),
+    * and tie averages from the (key, value) window — many small
+    * groups, never one per stratum. Output ranks are k or k+0.5
+    * within each key, exactly [[withRankAvg]]'s convention. */
+  def withRankAvgBy(df: DataFrame, key: Column, x: Column,
+                    as: String): DataFrame = {
+    val withK = df.withColumn("__rk", key)
+    val ranked = graft.core.Tibble.rowidToColumn(withK,
+      Seq(col("__rk").asc, x.asc), "__grn")
+    val k0 = ranked.groupBy("__rk").agg(min(col("__grn")).as("__k0"))
+    val ties = Window.partitionBy(col("__rk"), x)
+    ranked.join(k0, Seq("__rk"))
+      .withColumn(as,
+        (min(col("__grn")).over(ties) - col("__k0") + 1L)
+          + (count(lit(1)).over(ties) - 1L) / 2.0)
+      .drop("__grn", "__k0", "__rk")
+  }
 }
 
 object SetFns {

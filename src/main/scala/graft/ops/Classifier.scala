@@ -177,6 +177,37 @@ object Classifier {
         .as("auc"))
   }
 
+  /** Per-stratum ROC AUC — [[rocAuc]] keyed by language/source/domain:
+    * the fairness read of a quality filter (a corpus-level AUC of 0.9
+    * can hide a stratum where the scorer is a coin flip, and that
+    * stratum's documents are the ones a threshold then filters
+    * blind). Ranks within each key come from [[graft.functions.SeqFns
+    * .withRankAvgBy]] — ONE range-partitioned rowid sort for the
+    * whole frame, never a per-key window partition (a 60%-of-corpus
+    * stratum must not serialize through one task) — then ONE keyed
+    * aggregate builds each stratum's U statistic with the decimal
+    * rank sum. One-class strata read NULL. Output per key:
+    * (key, n_pos, n_neg, auc). */
+  def rocAucBy(df: DataFrame, key: Column, score: Column,
+               label: Column): DataFrame = {
+    val d = df.filter(score.isNotNull && label.isNotNull && key.isNotNull)
+      .select(key.cast("string").as("key"), score.as("__s"),
+        label.cast("boolean").as("__y"))
+    val ranked = graft.functions.SeqFns.withRankAvgBy(d, col("key"),
+      col("__s"), "__r")
+    val agg = ranked.groupBy("key").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("n_neg"),
+      graft.functions.Exact.dsum(when(col("__y"), col("__r"))
+        .otherwise(lit(null))).as("__srp"))
+    val nP = col("n_pos").cast("double")
+    val nN = col("n_neg").cast("double")
+    agg.select(col("key"), col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+        .otherwise((col("__srp") - nP * (nP + 1.0) / 2.0) / (nP * nN))
+        .as("auc"))
+  }
+
   /** Calibration reliability bins: equal-width bins over a [0,1]
     * probability, each reporting its size, mean predicted probability,
     * and empirical positive rate — the table behind a reliability

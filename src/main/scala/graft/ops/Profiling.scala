@@ -1443,15 +1443,47 @@ object Profiling {
       sum(xx).as("__sx"), sum(yy).as("__sy"),
       sum(xx * xx).as("__sxx"), sum(yy * yy).as("__syy"),
       sum(xx * yy).as("__sxy"))
+    spearmanClose(agg, Seq.empty)
+  }
+
+  /** Per-stratum Spearman — [[spearman]] keyed by language/source:
+    * does scorer agreement hold on EVERY slice, or only on the
+    * majority one the corpus number is dominated by? Ranks within
+    * each key come from [[graft.functions.SeqFns.withRankAvgBy]]
+    * (one range-partitioned rowid sort per rank column — never a
+    * per-key window partition), then ONE keyed aggregate per the
+    * [[spearman]] recipe. Output per key: (key, n, rho). */
+  def spearmanBy(df: DataFrame, key: Column, x: Column,
+                 y: Column): DataFrame = {
+    val d = df.filter(x.isNotNull && y.isNotNull && key.isNotNull)
+      .select(key.cast("string").as("key"), x.as("__x"), y.as("__y"))
+    val rx = graft.functions.SeqFns.withRankAvgBy(d, col("key"),
+      col("__x"), "__rx")
+    val rxy = graft.functions.SeqFns.withRankAvgBy(rx, col("key"),
+      col("__y"), "__ry")
+    val dec = "decimal(38,0)"
+    val xx = (col("__rx") * 2.0).cast(dec)
+    val yy = (col("__ry") * 2.0).cast(dec)
+    val agg = rxy.groupBy("key").agg(count(lit(1)).as("n"),
+      sum(xx).as("__sx"), sum(yy).as("__sy"),
+      sum(xx * xx).as("__sxx"), sum(yy * yy).as("__syy"),
+      sum(xx * yy).as("__sxy"))
+    spearmanClose(agg, Seq(col("key")))
+  }
+
+  /** The shared closing shape of [[spearman]]/[[spearmanBy]]: the
+    * fixed decimal→double casts and single IEEE ops both engines
+    * replay bit-for-bit. */
+  private def spearmanClose(agg: DataFrame, keyCols: Seq[Column]): DataFrame = {
     def dbl(c: Column): Column = c.cast("double")
     val nd = dbl(col("n"))
     val varX = nd * dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx"))
     val varY = nd * dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy"))
-    agg.select(col("n"),
+    agg.select(keyCols ++ Seq(col("n"),
       when(col("n") === 0L || varX <= 0.0 || varY <= 0.0,
         lit(null).cast("double"))
         .otherwise(
           (nd * dbl(col("__sxy")) - dbl(col("__sx")) * dbl(col("__sy")))
-            / (sqrt(varX) * sqrt(varY))).as("rho"))
+            / (sqrt(varX) * sqrt(varY))).as("rho")): _*)
   }
 }

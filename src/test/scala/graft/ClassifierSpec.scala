@@ -310,6 +310,31 @@ class ClassifierSpec extends SparkTestBase {
     assert(r1.isNullAt(r1.fieldIndex("mcc")))
   }
 
+  test("rocAucBy: per-key AUC matches the unkeyed value on each slice") {
+    import org.apache.spark.sql.functions.col
+    // key a: a decent scorer with a tie; key b: a perfect reversal
+    // (auc 0); key c: one-class (NULL)
+    val df = sqlDf(
+      "k" -> Seq("a", "a", "a", "a", "a", "b", "b", "c", "c"),
+      "s" -> Seq(0.9, 0.7, 0.7, 0.3, 0.1, 0.2, 0.8, 0.5, 0.6),
+      "y" -> Seq(true, true, false, false, false, true, false, true, true))
+    val by = Classifier.rocAucBy(df, col("k"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("a", "b")) {
+      val solo = Classifier.rocAuc(df.filter(col("k") === k),
+        col("s"), col("y")).head()
+      assert(by(k).getAs[Long]("n_pos") == solo.getAs[Long]("n_pos"))
+      assert(by(k).getAs[Double]("auc") == solo.getAs[Double]("auc"),
+        s"key $k: ${by(k)} vs $solo")
+    }
+    assert(by("b").getAs[Double]("auc") == 0.0)
+    assert(by("c").isNullAt(by("c").fieldIndex("auc")))
+    // partitioning must not change the ranks
+    val rep = Classifier.rocAucBy(df.repartition(4), col("k"), col("s"),
+      col("y")).collect().map(r => r.getString(0) -> r.getAs[Double]("auc")).toMap
+    assert(rep("a") == by("a").getAs[Double]("auc"))
+  }
+
   test("brierScore: golden value, perfect scorer at 0, partition-invariant") {
     import org.apache.spark.sql.functions.col
     // (0.8,T)->0.04 (0.3,F)->0.09 (0.5,T)->0.25 -> mean 38/300

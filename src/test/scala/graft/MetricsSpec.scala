@@ -120,4 +120,30 @@ class MetricsSpec extends SparkTestBase {
     val rep = Profiling.spearman(ties.repartition(4), col("x"), col("y")).head()
     assert(rep.getAs[Double]("rho") == rt.getAs[Double]("rho"))
   }
+
+  test("spearmanBy: per-key rho matches the unkeyed value on each slice") {
+    // key a: monotone agreement; key b: exact reversal; key c: one row
+    val df = sqlDf(
+      "k" -> Seq("a", "a", "a", "a", "b", "b", "b", "c"),
+      "x" -> Seq(1.0, 2.0, 2.0, 4.0, 1.0, 2.0, 3.0, 9.0),
+      "y" -> Seq(10.0, 20.0, 30.0, 40.0, 3.0, 2.0, 1.0, 5.0))
+    val by = Profiling.spearmanBy(df, col("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // each slice must equal the whole-frame op run on that slice alone
+    for (k <- Seq("a", "b")) {
+      val solo = Profiling.spearman(df.filter(col("k") === k),
+        col("x"), col("y")).head()
+      val kr = by(k)
+      assert(kr.getAs[Long]("n") == solo.getAs[Long]("n"))
+      assert(kr.getAs[Double]("rho") == solo.getAs[Double]("rho"),
+        s"key $k: ${kr.getAs[Double]("rho")} vs ${solo.getAs[Double]("rho")}")
+    }
+    assert(math.abs(by("b").getAs[Double]("rho") + 1.0) < 1e-12)
+    // single-row stratum: zero rank variance, NULL
+    assert(by("c").isNullAt(by("c").fieldIndex("rho")))
+    // partitioning-invariant
+    val rep = Profiling.spearmanBy(df.repartition(5), col("k"), col("x"),
+      col("y")).collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
+    assert(rep("a") == by("a").getAs[Double]("rho"))
+  }
 }
