@@ -1251,6 +1251,26 @@ object QueriesOps {
             - length(translate(col("text"), " ", ""))).cast("double"))
         .orderBy(col("key"))),
 
+    // Good-Turing unseen mass + Chao1 richness: one term-frequency
+    // partial agg + one 4-sum scan — "how much NEW vocabulary does
+    // the next crawl still hold", model-free
+    "x_good_turing" -> ((s, d) =>
+      TextAnalysis.goodTuring(t(s, d, "documents"), "text")),
+
+    // split-leakage audit: near-dup pairs that STRADDLE a per-doc
+    // md5 split — the contamination count splitByCluster exists to
+    // zero out; pairs from the same LSH recipe as x_dedup_jaccard
+    "x_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.15)
+      val assign = Sampling.splitAssign(docs.select("doc_id"),
+        col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Sampling.splitLeakage(pairs.select("a", "b"), assign, "doc_id")
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // audio: synthetic 8-bit PCM WAV (RIFF header + md5-derived
     // samples, so the oracle recomputes the stats in pure SQL), parsed
     // by the real RIFF chunk-walking decodeWav
@@ -3839,6 +3859,55 @@ object QueriesOps {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS rho
         |FROM m ORDER BY key""".stripMargin,
+
+    // Good-Turing replay: the same tokenization, exact
+    // frequency-of-frequency counts, fixed closing shapes
+    "x_good_turing" ->
+      s"""WITH f AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY t),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
+        |  FROM f)
+        |SELECT n_terms, n_tokens, n1, n2,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS p_unseen,
+        |  CASE WHEN n_terms = 0 THEN NULL
+        |    ELSE CAST(n_terms AS DOUBLE)
+        |      + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+        |        / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)) END AS chao1
+        |FROM m""".stripMargin,
+
+    // leakage replay: the exact-jaccard candidate set (the
+    // x_dedup_jaccard recipe) + the md5-range split rule + normalized
+    // straddle counts
+    "x_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |cand AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.15),
+        |asg AS (SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT least(sa.split, sb.split) AS split_a,
+        |  greatest(sa.split, sb.split) AS split_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaking
+        |FROM cand JOIN asg sa ON sa.doc_id = cand.a
+        |  JOIN asg sb ON sb.doc_id = cand.b
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
 
     // farthest-first replay: seed = lowest vec_id, each round the
     // (d DESC, vec_id ASC) TakeOrdered pick over the incremental

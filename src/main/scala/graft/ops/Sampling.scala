@@ -592,4 +592,27 @@ object Sampling {
     level.select(col("stratum"), col("total"),
       least(col("total").cast("double"), col("__level")).as("quota"))
   }
+
+  /** Split-leakage AUDIT — the count behind the [[splitByCluster]]
+    * guard: given a near-dup PAIR table (from any Dedup family) and a
+    * split assignment, how many pairs STRADDLE split boundaries (a
+    * train doc whose 0.9-jaccard copy sits in test is exactly the
+    * contamination an eval then can't see)? Two assignment joins (the
+    * assignment frame is docs-grain — hash joins on the pair table's
+    * own partitioning), split names normalized (least, greatest) so
+    * (train,test) and (test,train) count as one cell, ONE pair-sized
+    * keyed aggregate. Output per (split_a, split_b): n_pairs +
+    * `leaking` (false only on the diagonal). A healthy cluster-keyed
+    * split reads zero leaking rows; a per-doc-keyed split reads the
+    * contamination it silently admits. */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame,
+                   id: String): DataFrame = {
+    val sa = assign.select(col(id).as("a"), col("split").as("__sa"))
+    val sb = assign.select(col(id).as("b"), col("split").as("__sb"))
+    pairs.select("a", "b").join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaking", col("split_a") =!= col("split_b"))
+  }
 }

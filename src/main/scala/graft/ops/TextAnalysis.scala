@@ -1360,4 +1360,39 @@ object TextAnalysis {
         round(lit(1.0) - col("n_shared").cast("double")
           / col("n_shingles").cast("double"), 6))
   }
+
+  /** Good–Turing unseen mass + Chao1 richness — the corpus-planning
+    * read behind "how much NEW vocabulary does the next crawl still
+    * hold": P₀ = n₁/N (Good 1953 — the probability the next token is
+    * an unseen type, read straight off the singleton count) and the
+    * bias-corrected Chao1 lower bound on true vocabulary size
+    * V̂ = V + n₁(n₁−1)/(2(n₂+1)) (Chao 1984) — [[heapsLaw]]'s
+    * model-free complement (no fit, just the frequency-of-frequency
+    * identities). ONE term-frequency partial agg then ONE 4-sum scan
+    * of the (bounded) term table; all counts exact longs, the two
+    * closing estimates fixed shapes of long→double casts and single
+    * IEEE ops. Output (1 row): n_terms, n_tokens, n1, n2, p_unseen,
+    * chao1. */
+  def goodTuring(df: DataFrame, text: String): DataFrame = {
+    val freq = df.select(explode(graft.ops.Dedup.tokens(col(text))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    freq.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("__c")).as("__nt"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("n_terms"),
+        coalesce(col("__nt"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+      .select(col("n_terms"), col("n_tokens"), col("n1"), col("n2"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n1").cast("double") / col("n_tokens").cast("double"))
+          .as("p_unseen"),
+        when(col("n_terms") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_terms").cast("double")
+            + col("n1").cast("double") * (col("n1").cast("double") - 1.0)
+              / ((col("n2").cast("double") + 1.0) * 2.0)).as("chao1"))
+  }
 }

@@ -146,4 +146,46 @@ class MetricsSpec extends SparkTestBase {
       col("y")).collect().map(r => r.getString(0) -> r.getAs[Double]("rho")).toMap
     assert(rep("a") == by("a").getAs[Double]("rho"))
   }
+
+  test("goodTuring: frequency-of-frequency identities, hand values") {
+    import graft.ops.TextAnalysis
+    // corpus: "a a a b b c" + "d c" -> freqs a:3 b:2 c:2 d:1
+    // N=8 V=4 n1=1 n2=2 -> p_unseen=1/8, chao1 = 4 + 1*0/(2*3) = 4
+    val df = sqlDf("text" -> Seq("a a a b b c", "d c"))
+    val r = TextAnalysis.goodTuring(df, "text").head()
+    assert(r.getAs[Long]("n_terms") == 4L && r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("n1") == 1L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("p_unseen") == 0.125)
+    assert(r.getAs[Double]("chao1") == 4.0)
+    // singleton-heavy corpus: big unseen mass, chao1 well above V
+    val open = sqlDf("text" -> Seq("w1 w2 w3 w4 w5 w6 w7 w8 w1"))
+    val ro = TextAnalysis.goodTuring(open, "text").head()
+    // N=9 V=8 n1=7 n2=1 -> p=7/9, chao1 = 8 + 42/4 = 18.5
+    assert(ro.getAs[Double]("p_unseen") == 7.0 / 9.0)
+    assert(ro.getAs[Double]("chao1") == 18.5)
+  }
+
+  test("splitLeakage: straddling pairs counted, cluster-keyed split reads zero") {
+    import graft.ops.Sampling
+    val pairs = sqlDf("a" -> Seq(1L, 3L, 5L), "b" -> Seq(2L, 4L, 6L))
+    // per-doc split puts 1/2 across the fence, 3/4 together, 5/6 across
+    val assign = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "split" -> Seq("train", "test", "train", "train", "val", "train"))
+    val got = Sampling.splitLeakage(pairs, assign, "doc_id")
+      .orderBy("split_a", "split_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("test", "train", 1L, true),
+      ("train", "train", 1L, false),
+      ("train", "val", 1L, true)), got.toString)
+    // a cluster-keyed assignment (both endpoints share the split) is
+    // exactly the zero-leak read splitByCluster guarantees
+    val clustered = sqlDf(
+      "doc_id" -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "split" -> Seq("train", "train", "val", "val", "test", "test"))
+    val clean = Sampling.splitLeakage(pairs, clustered, "doc_id")
+    assert(clean.filter(col("leaking")).isEmpty)
+  }
 }
