@@ -1257,6 +1257,16 @@ object QueriesOps {
     "x_good_turing" -> ((s, d) =>
       TextAnalysis.goodTuring(t(s, d, "documents"), "text")),
 
+    // quadratic-weighted kappa between two 0-3 ordinal graders
+    // (length band vs word-count band): one corpus partial agg to the
+    // k^2 cell table, exact-integer O and E, one double division
+    "x_wkappa" -> ((s, d) =>
+      Profiling.weightedKappa(t(s, d, "documents"),
+        least(floor(col("n_chars").cast("double") / 150.0), lit(3.0)),
+        least(floor((length(col("text"))
+          - length(translate(col("text"), " ", ""))).cast("double")
+          / 25.0), lit(3.0)))),
+
     // split-leakage audit: near-dup pairs that STRADDLE a per-doc
     // md5 split — the contamination count splitByCluster exists to
     // zero out; pairs from the same LSH recipe as x_dedup_jaccard
@@ -3876,8 +3886,32 @@ object QueriesOps {
         |  CASE WHEN n_terms = 0 THEN NULL
         |    ELSE CAST(n_terms AS DOUBLE)
         |      + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
-        |        / (2.0 * (CAST(n2 AS DOUBLE) + 1.0)) END AS chao1
+        |        / ((CAST(n2 AS DOUBLE) + 1.0) * 2.0) END AS chao1
         |FROM m""".stripMargin,
+
+    // weighted-kappa replay: identical band projections, HUGEINT O/E,
+    // the single closing division
+    "x_wkappa" ->
+      """WITH d AS (SELECT
+        |    CAST(least(floor(CAST(n_chars AS DOUBLE) / 150.0), 3.0) AS BIGINT) AS a,
+        |    CAST(least(floor(CAST(length(text)
+        |      - length(translate(text, ' ', '')) AS DOUBLE) / 25.0), 3.0) AS BIGINT) AS b
+        |  FROM documents),
+        |o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1, 2),
+        |obs AS (SELECT sum(CAST((a - b) * (a - b) AS HUGEINT)
+        |      * CAST(o AS HUGEINT)) AS wo,
+        |    CAST(sum(o) AS BIGINT) AS n FROM o),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM o GROUP BY a),
+        |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM o GROUP BY b),
+        |e AS (SELECT sum(CAST((a - b) * (a - b) AS HUGEINT)
+        |    * CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)) AS we
+        |  FROM ra CROSS JOIN cb)
+        |SELECT n, CAST(wo AS DOUBLE) AS o_w,
+        |  CAST(we AS DOUBLE) / CAST(n AS DOUBLE) AS e_w,
+        |  CASE WHEN we = 0 OR n = 0 THEN NULL
+        |    ELSE 1.0 - CAST(wo * CAST(n AS HUGEINT) AS DOUBLE)
+        |      / CAST(we AS DOUBLE) END AS kappa_w
+        |FROM obs CROSS JOIN e""".stripMargin,
 
     // leakage replay: the exact-jaccard candidate set (the
     // x_dedup_jaccard recipe) + the md5-range split rule + normalized

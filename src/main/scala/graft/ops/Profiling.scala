@@ -1471,6 +1471,45 @@ object Profiling {
     spearmanClose(agg, Seq(col("key")))
   }
 
+  /** Quadratic-weighted Cohen's kappa over INTEGER ordinal labels —
+    * the agreement read for graded judgments (quality 0–4, harm
+    * severity bands) where [[cohenKappa]]'s all-or-nothing cell
+    * treats "4 vs 3" as disagreeing exactly as much as "4 vs 0":
+    * κ_w = 1 − Σ(i−j)²·o_ij · n / Σ(i−j)²·r_i·c_j (Cohen 1968, the
+    * reported statistic of ordinal labeling jobs). Topology: ONE
+    * corpus-scan partial agg to the k²-bounded cell table, marginals
+    * and the expected-weight cross product over k-bounded frames —
+    * everything after the first agg is driver-trivial. Quadratic
+    * weights and counts are exact integers; O·n and E multiply in
+    * decimal(38,0) (exact to ~10^12 rows × k ≤ 100) and meet in ONE
+    * double division. Constant-label margins (E = 0) read NULL.
+    * Output (1 row): n, o_w, e_w, kappa_w. */
+  def weightedKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.cast("long").as("__a"), b.cast("long").as("__b"))
+    val o = d.groupBy("__a", "__b").agg(count(lit(1)).as("__o"))
+    def w(i: Column, j: Column): Column = ((i - j) * (i - j)).cast(dec)
+    val obs = o.agg(
+      sum(w(col("__a"), col("__b")) * col("__o").cast(dec)).as("__O"),
+      sum(col("__o")).cast("long").as("n"))
+    val ra = o.groupBy("__a").agg(sum(col("__o")).as("__ra"))
+    val cb = o.groupBy("__b").agg(sum(col("__o")).as("__cb"))
+    val exp = ra.crossJoin(cb).agg(
+      sum(w(col("__a"), col("__b")) * col("__ra").cast(dec)
+        * col("__cb").cast(dec)).as("__E"))
+    obs.crossJoin(exp).select(col("n"),
+      col("__O").cast("double").as("o_w"),
+      // E is per-PAIR expectation times n (the n·Σw·r·c/n² identity
+      // folded): report it n-normalized so o_w and e_w compare
+      (col("__E").cast("double") / col("n").cast("double")).as("e_w"),
+      when(col("__E").isNull || col("__E") === 0.0 || col("n") === 0L,
+        lit(null).cast("double"))
+        .otherwise(lit(1.0)
+          - (col("__O") * col("n").cast(dec)).cast("double")
+            / col("__E").cast("double")).as("kappa_w"))
+  }
+
   /** The shared closing shape of [[spearman]]/[[spearmanBy]]: the
     * fixed decimal→double casts and single IEEE ops both engines
     * replay bit-for-bit. */

@@ -165,6 +165,31 @@ class MetricsSpec extends SparkTestBase {
     assert(ro.getAs[Double]("chao1") == 18.5)
   }
 
+  test("weightedKappa: hand value, perfect agreement, constant-margin null") {
+    // a=(0,1,2), b=(0,2,2): O = 1, E = 15, kappa = 1 - 3/15 = 0.8
+    val df = sqlDf("a" -> Seq(0L, 1L, 2L), "b" -> Seq(0L, 2L, 2L))
+    val r = Profiling.weightedKappa(df, col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("o_w") == 1.0 && r.getAs[Double]("e_w") == 5.0)
+    assert(r.getAs[Double]("kappa_w") == 0.8, r.toString)
+    // perfect ordinal agreement: exactly 1
+    val same = sqlDf("a" -> Seq(0L, 1L, 2L, 3L), "b" -> Seq(0L, 1L, 2L, 3L))
+    assert(Profiling.weightedKappa(same, col("a"), col("b"))
+      .head().getAs[Double]("kappa_w") == 1.0)
+    // near-misses beat far-misses (the point of the weights): 4-vs-3
+    // disagreements score higher than 4-vs-0 on the same cells
+    val near = sqlDf("a" -> Seq(0L, 1L, 2L, 3L), "b" -> Seq(1L, 2L, 3L, 3L))
+    val far = sqlDf("a" -> Seq(0L, 1L, 2L, 3L), "b" -> Seq(3L, 0L, 0L, 3L))
+    assert(Profiling.weightedKappa(near, col("a"), col("b"))
+        .head().getAs[Double]("kappa_w")
+      > Profiling.weightedKappa(far, col("a"), col("b"))
+        .head().getAs[Double]("kappa_w"))
+    // both raters constant: E = 0, NULL not 0/0
+    val const = sqlDf("a" -> Seq(1L, 1L), "b" -> Seq(1L, 1L))
+    val rc = Profiling.weightedKappa(const, col("a"), col("b")).head()
+    assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
+  }
+
   test("splitLeakage: straddling pairs counted, cluster-keyed split reads zero") {
     import graft.ops.Sampling
     val pairs = sqlDf("a" -> Seq(1L, 3L, 5L), "b" -> Seq(2L, 4L, 6L))
