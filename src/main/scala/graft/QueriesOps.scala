@@ -1234,6 +1234,21 @@ object QueriesOps {
         (length(col("text"))
           - length(translate(col("text"), " ", ""))).cast("double"))),
 
+    // AUC with the Hanley-McNeil SE + 95% normal CI: the "is scorer A
+    // actually better than B" read, a fixed IEEE shape off the exact
+    // AUC
+    "x_auc_ci" -> ((s, d) =>
+      Classifier.rocAucCi(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "))),
+
+    // cumulative gains/lift deciles of the length score: one rowid
+    // sort + one 10-bounded keyed agg — "the top decile captures X%
+    // of the good docs"
+    "x_gains" -> ((s, d) =>
+      Classifier.gainsTable(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "),
+        col("doc_id"), k = 10)),
+
     // per-language ROC AUC — the fairness read: ranks within each
     // stratum from ONE range-partitioned rowid sort (no per-key
     // window partition), one keyed U-statistic aggregate
@@ -3811,6 +3826,63 @@ object QueriesOps {
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS rho
         |FROM m""".stripMargin,
+
+    // Hanley-McNeil replay: the x_auc chain + the fixed Q1/Q2/SE/CI
+    // shape off the exact AUC
+    "x_auc_ci" ->
+      s"""WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y FROM documents),
+        |r AS (SELECT y, CAST(rank() OVER (ORDER BY s) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY s) AS DOUBLE) - 1.0) / 2.0 AS ar
+        |  FROM d),
+        |a AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+        |    ${graft.functions.Exact.dsumSql("CASE WHEN y THEN ar END")} AS srp
+        |  FROM r),
+        |u AS (SELECT n_pos, n_neg,
+        |    CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |      ELSE (srp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
+        |  FROM a),
+        |q AS (SELECT n_pos, n_neg, auc,
+        |    sqrt((auc * (1.0 - auc)
+        |      + (CAST(n_pos AS DOUBLE) - 1.0)
+        |        * (auc / (2.0 - auc) - auc * auc)
+        |      + (CAST(n_neg AS DOUBLE) - 1.0)
+        |        * (auc * auc * 2.0 / (auc + 1.0) - auc * auc))
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) AS se
+        |  FROM u)
+        |SELECT n_pos, n_neg, auc, se,
+        |  auc - se * 1.959963984540054 AS lo,
+        |  auc + se * 1.959963984540054 AS hi
+        |FROM q""".stripMargin,
+
+    // gains replay: the same (s DESC, doc_id) total order, the same
+    // exact floor binning, cumulative window over the 10-row bins
+    "x_gains" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y, doc_id FROM documents),
+        |r AS (SELECT y,
+        |    row_number() OVER (ORDER BY s DESC, doc_id) AS rn,
+        |    count(*) OVER () AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) OVER () AS np
+        |  FROM d),
+        |b AS (SELECT CAST(floor(CAST(rn - 1 AS DOUBLE) * 10
+        |      / CAST(n AS DOUBLE)) + 1.0 AS BIGINT) AS bin,
+        |    y, n, np FROM r),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(max(n) AS BIGINT) AS tot, CAST(max(np) AS BIGINT) AS totp
+        |  FROM b GROUP BY bin)
+        |SELECT bin, n, n_pos,
+        |  CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos,
+        |  CASE WHEN totp = 0 THEN NULL
+        |    ELSE CAST(sum(n_pos) OVER (ORDER BY bin) AS DOUBLE)
+        |      / CAST(totp AS DOUBLE) END AS capture,
+        |  CASE WHEN totp = 0 OR n = 0 THEN NULL
+        |    ELSE (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(totp AS DOUBLE) / CAST(tot AS DOUBLE)) END AS lift
+        |FROM g ORDER BY bin""".stripMargin,
 
     // per-key AUC replay: within-key avg rank = keyed min-rank +
     // (keyed ties - 1)/2, decimal rank sum, the same fixed closing

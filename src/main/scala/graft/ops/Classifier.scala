@@ -177,6 +177,78 @@ object Classifier {
         .as("auc"))
   }
 
+  /** [[rocAuc]] with the Hanley–McNeil (1982) standard error and a
+    * normal confidence interval — the "is this scorer actually better
+    * than that one" read: two AUCs 0.91 vs 0.89 mean nothing until
+    * the intervals say whether 0.02 clears the noise. SE² = (A(1−A)
+    * + (nP−1)(Q₁−A²) + (nN−1)(Q₂−A²)) / (nP·nN) with Q₁ = A/(2−A),
+    * Q₂ = 2A²/(1+A) — a fixed shape of single IEEE ops off the
+    * already-exact AUC, so the whole row replays engine-identically;
+    * z defaults to the two-sided 95% literal. Same topology as
+    * [[rocAuc]] (one rowid sort + one aggregate). Output (1 row):
+    * n_pos, n_neg, auc, se, lo, hi. */
+  def rocAucCi(df: DataFrame, score: Column, label: Column,
+               z: Double = 1.959963984540054): DataFrame = {
+    val base = rocAuc(df, score, label)
+    val a = col("auc")
+    val nP = col("n_pos").cast("double")
+    val nN = col("n_neg").cast("double")
+    val q1 = a / (lit(2.0) - a)
+    val q2 = a * a * 2.0 / (a + 1.0)
+    val se = sqrt((a * (lit(1.0) - a) + (nP - 1.0) * (q1 - a * a)
+      + (nN - 1.0) * (q2 - a * a)) / (nP * nN))
+    base.select(col("n_pos"), col("n_neg"), a,
+      se.as("se"), (a - se * z).as("lo"), (a + se * z).as("hi"))
+  }
+
+  /** Cumulative gains / lift table — the ranking-efficiency read of a
+    * deployed scorer ("keeping the top decile captures 43% of the
+    * good documents; random keeps 10%"): rows ranked by (score DESC,
+    * tieBreak ASC — a total order, so bin membership is deterministic
+    * under ties), split into k equal-population bins (bin 1 = top),
+    * each reporting size, positives, cumulative capture of all
+    * positives, and lift vs the base rate. Scale shape: ONE
+    * range-partitioned rowid sort + one k-bounded keyed agg; the
+    * cumulative window runs over the k-row bin table. Counts exact;
+    * divisions exact-integer fixed shapes. Output per bin:
+    * (bin, n, n_pos, cum_pos, capture, lift). */
+  def gainsTable(df: DataFrame, score: Column, label: Column,
+                 tieBreak: Column, k: Int = 10): DataFrame = {
+    require(k >= 2, s"gainsTable: k must be >= 2 (got $k)")
+    val d = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.as("__s"), label.cast("boolean").as("__y"),
+        tieBreak.as("__tb"))
+    val ranked = graft.core.Tibble.rowidToColumn(d,
+      Seq(col("__s").desc, col("__tb").asc), "__r")
+    val tot = ranked.agg(count(lit(1)).as("__n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+    // (r-1)*k and n stay far under 2^53, so the floor is exact in
+    // both engines
+    val bins = ranked.crossJoin(tot)
+      .select((floor((col("__r") - 1L).cast("double") * k
+        / col("__n").cast("double")) + 1.0).cast("long").as("bin"),
+        col("__y"), col("__n"), col("__np"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__np")).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the window runs over the k-row bin table — bounded by contract
+    bins.withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_pos"),
+        when(col("__np") === 0L, lit(null).cast("double"))
+          .otherwise(col("cum_pos").cast("double")
+            / col("__np").cast("double")).as("capture"),
+        when(col("__np") === 0L || col("n") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("n_pos").cast("double") / col("n").cast("double"))
+            / (col("__np").cast("double") / col("__n").cast("double")))
+          .as("lift"))
+      .orderBy("bin")
+  }
+
   /** Per-stratum ROC AUC — [[rocAuc]] keyed by language/source/domain:
     * the fairness read of a quality filter (a corpus-level AUC of 0.9
     * can hide a stratum where the scorer is a coin flip, and that

@@ -335,6 +335,49 @@ class ClassifierSpec extends SparkTestBase {
     assert(rep("a") == by("a").getAs[Double]("auc"))
   }
 
+  test("rocAucCi: Hanley-McNeil SE matches the closed form; perfect scorer collapses") {
+    import org.apache.spark.sql.functions.col
+    val df = sqlDf("s" -> Seq(0.9, 0.8, 0.6, 0.4, 0.2, 0.1),
+      "y" -> Seq(true, false, true, true, false, false))
+    val r = Classifier.rocAucCi(df, col("s"), col("y")).head()
+    val a = Classifier.rocAuc(df, col("s"), col("y")).head().getAs[Double]("auc")
+    assert(r.getAs[Double]("auc") == a)
+    val (nP, nN) = (3.0, 3.0)
+    val q1 = a / (2.0 - a); val q2 = a * a * 2.0 / (a + 1.0)
+    val se = math.sqrt((a * (1.0 - a) + (nP - 1.0) * (q1 - a * a)
+      + (nN - 1.0) * (q2 - a * a)) / (nP * nN))
+    assert(math.abs(r.getAs[Double]("se") - se) < 1e-15, r.toString)
+    assert(r.getAs[Double]("lo") < a && r.getAs[Double]("hi") > a)
+    // a perfect scorer: auc 1, zero-width interval
+    val perfect = sqlDf("s" -> Seq(3.0, 2.0, 1.0),
+      "y" -> Seq(true, true, false))
+    val rp = Classifier.rocAucCi(perfect, col("s"), col("y")).head()
+    assert(rp.getAs[Double]("auc") == 1.0 && rp.getAs[Double]("se") == 0.0)
+    assert(rp.getAs[Double]("lo") == 1.0 && rp.getAs[Double]("hi") == 1.0)
+  }
+
+  test("gainsTable: hand deciles, capture reaches 1, lift vs base rate") {
+    import org.apache.spark.sql.functions.col
+    // scores 6..1, y = T,T,F,F,T,F; k=2: top half holds 2 of 3
+    // positives -> capture 2/3, lift (2/3)/(1/2) = 4/3
+    val df = sqlDf("id" -> (1L to 6L),
+      "s" -> Seq(6.0, 5.0, 4.0, 3.0, 2.0, 1.0),
+      "y" -> Seq(true, true, false, false, true, false))
+    val rows = Classifier.gainsTable(df, col("s"), col("y"), col("id"), k = 2)
+      .collect()
+    assert(rows.length == 2)
+    val b1 = rows(0); val b2 = rows(1)
+    assert(b1.getAs[Long]("bin") == 1L && b1.getAs[Long]("n") == 3L
+      && b1.getAs[Long]("n_pos") == 2L && b1.getAs[Long]("cum_pos") == 2L)
+    assert(b1.getAs[Double]("capture") == 2.0 / 3.0)
+    assert(b1.getAs[Double]("lift") == (2.0 / 3.0) / (3.0 / 6.0))
+    assert(b2.getAs[Long]("cum_pos") == 3L && b2.getAs[Double]("capture") == 1.0)
+    // deterministic under partitioning (the tieBreak totalizes ties)
+    val rep = Classifier.gainsTable(df.repartition(4), col("s"), col("y"),
+      col("id"), k = 2).collect()
+    assert(rep.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("brierScore: golden value, perfect scorer at 0, partition-invariant") {
     import org.apache.spark.sql.functions.col
     // (0.8,T)->0.04 (0.3,F)->0.09 (0.5,T)->0.25 -> mean 38/300

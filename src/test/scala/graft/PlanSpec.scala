@@ -636,6 +636,10 @@ class PlanSpec extends SparkTestBase {
       // (<= |edges|+1 rows — Packing.lengthGroupedBatches scaladoc);
       // the row-grain rank is the rowid sort, not a window
       "x_lgbatch" -> "bucket-count offset table",
+      // cumulative capture over the k-row BIN table (k=10 by
+      // construction — Classifier.gainsTable scaladoc); the row-grain
+      // rank is the rowid sort
+      "x_gains" -> "k-row gains-bin table",
       // same shared cutBatchesByBucket tail: |ratio edges|+1 rows
       "x_ar_batch" -> "bucket-count offset table",
       // global cum distribution over the m-row ordered value DOMAIN
