@@ -1241,6 +1241,16 @@ object QueriesOps {
       Classifier.rocAucCi(t(s, d, "documents"),
         col("n_chars").cast("double"), col("text").contains(" the "))),
 
+    // DeLong PAIRED test between the char-length and word-count
+    // scorers over the same corpus: four rank sorts, ten decimal
+    // moment sums, one covariance-aware z
+    "x_delong" -> ((s, d) =>
+      Classifier.delongTest(t(s, d, "documents"),
+        col("n_chars").cast("double"),
+        (length(col("text"))
+          - length(translate(col("text"), " ", ""))).cast("double"),
+        col("text").contains(" the "))),
+
     // cumulative gains/lift deciles of the length score: one rowid
     // sort + one 10-bounded keyed agg — "the top decile captures X%
     // of the good docs"
@@ -3856,6 +3866,88 @@ object QueriesOps {
         |  auc - se * 1.959963984540054 AS lo,
         |  auc + se * 1.959963984540054 AS hi
         |FROM q""".stripMargin,
+
+    // DeLong replay: the same four midrank constructions, HUGEINT
+    // moment sums over the 2-scaled integer components, the identical
+    // fixed covariance/z shape
+    "x_delong" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS a,
+        |    CAST(length(text) - length(translate(text, ' ', '')) AS DOUBLE) AS b,
+        |    contains(text, ' the ') AS y FROM documents),
+        |r AS (SELECT y,
+        |    CAST(rank() OVER (ORDER BY a) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY a) AS DOUBLE) - 1.0) / 2.0 AS ra,
+        |    CAST(rank() OVER (ORDER BY b) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY b) AS DOUBLE) - 1.0) / 2.0 AS rb,
+        |    CAST(rank() OVER (PARTITION BY y ORDER BY a) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY y, a) AS DOUBLE) - 1.0) / 2.0 AS rca,
+        |    CAST(rank() OVER (PARTITION BY y ORDER BY b) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY y, b) AS DOUBLE) - 1.0) / 2.0 AS rcb
+        |  FROM d),
+        |x AS (SELECT y, CAST((ra - rca) * 2.0 AS HUGEINT) AS xa,
+        |    CAST((rb - rcb) * 2.0 AS HUGEINT) AS xb FROM r),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    sum(CASE WHEN y THEN xa END) AS sap,
+        |    sum(CASE WHEN y THEN xb END) AS sbp,
+        |    sum(CASE WHEN y THEN xa * xa END) AS saap,
+        |    sum(CASE WHEN y THEN xb * xb END) AS sbbp,
+        |    sum(CASE WHEN y THEN xa * xb END) AS sabp,
+        |    sum(CASE WHEN NOT y THEN xa END) AS san,
+        |    sum(CASE WHEN NOT y THEN xb END) AS sbn,
+        |    sum(CASE WHEN NOT y THEN xa * xa END) AS saan,
+        |    sum(CASE WHEN NOT y THEN xb * xb END) AS sbbn,
+        |    sum(CASE WHEN NOT y THEN xa * xb END) AS sabn
+        |  FROM x),
+        |c AS (SELECT n_pos, n_neg,
+        |    CAST(n_pos AS DOUBLE) AS np, CAST(n_neg AS DOUBLE) AS nn,
+        |    CAST(sap AS DOUBLE) / 2.0
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auca,
+        |    CAST(sbp AS DOUBLE) / 2.0
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS aucb,
+        |    ((CAST(saap AS DOUBLE) / 4.0
+        |        - (CAST(sap AS DOUBLE) / 2.0) * (CAST(sap AS DOUBLE) / 2.0)
+        |          / CAST(n_pos AS DOUBLE))
+        |      / (CAST(n_pos AS DOUBLE) - 1.0)
+        |      / (CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |      + (CAST(sbbp AS DOUBLE) / 4.0
+        |        - (CAST(sbp AS DOUBLE) / 2.0) * (CAST(sbp AS DOUBLE) / 2.0)
+        |          / CAST(n_pos AS DOUBLE))
+        |      / (CAST(n_pos AS DOUBLE) - 1.0)
+        |      / (CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE))
+        |      - (CAST(sabp AS DOUBLE) / 4.0
+        |        - (CAST(sap AS DOUBLE) / 2.0) * (CAST(sbp AS DOUBLE) / 2.0)
+        |          / CAST(n_pos AS DOUBLE))
+        |      / (CAST(n_pos AS DOUBLE) - 1.0)
+        |      / (CAST(n_neg AS DOUBLE) * CAST(n_neg AS DOUBLE)) * 2.0)
+        |      / CAST(n_pos AS DOUBLE)
+        |    + ((CAST(saan AS DOUBLE) / 4.0
+        |        - (CAST(san AS DOUBLE) / 2.0) * (CAST(san AS DOUBLE) / 2.0)
+        |          / CAST(n_neg AS DOUBLE))
+        |      / (CAST(n_neg AS DOUBLE) - 1.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE))
+        |      + (CAST(sbbn AS DOUBLE) / 4.0
+        |        - (CAST(sbn AS DOUBLE) / 2.0) * (CAST(sbn AS DOUBLE) / 2.0)
+        |          / CAST(n_neg AS DOUBLE))
+        |      / (CAST(n_neg AS DOUBLE) - 1.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE))
+        |      - (CAST(sabn AS DOUBLE) / 4.0
+        |        - (CAST(san AS DOUBLE) / 2.0) * (CAST(sbn AS DOUBLE) / 2.0)
+        |          / CAST(n_neg AS DOUBLE))
+        |      / (CAST(n_neg AS DOUBLE) - 1.0)
+        |      / (CAST(n_pos AS DOUBLE) * CAST(n_pos AS DOUBLE)) * 2.0)
+        |      / CAST(n_neg AS DOUBLE) AS vard
+        |  FROM m)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos < 2 OR n_neg < 2 THEN NULL ELSE auca END AS auc_a,
+        |  CASE WHEN n_pos < 2 OR n_neg < 2 THEN NULL ELSE aucb END AS auc_b,
+        |  CASE WHEN n_pos < 2 OR n_neg < 2 THEN NULL
+        |    ELSE auca - aucb END AS delta,
+        |  CASE WHEN n_pos < 2 OR n_neg < 2 THEN NULL ELSE vard END AS var_delta,
+        |  CASE WHEN n_pos < 2 OR n_neg < 2 OR vard <= 0.0 THEN NULL
+        |    ELSE (auca - aucb) / sqrt(vard) END AS z
+        |FROM c""".stripMargin,
 
     // gains replay: the same (s DESC, doc_id) total order, the same
     // exact floor binning, cumulative window over the 10-row bins

@@ -201,6 +201,85 @@ object Classifier {
       se.as("se"), (a - se * z).as("lo"), (a + se * z).as("hi"))
   }
 
+  /** DeLong's paired test for TWO scorers' AUCs over the SAME corpus
+    * (DeLong, DeLong & Clarke-Pearson 1988, in the Sun & Xu 2014
+    * midrank formulation) — the rigorous "is scorer A actually better
+    * than B" answer [[rocAucCi]]'s independent intervals can't give:
+    * the two AUCs share every document, so the test needs their
+    * COVARIANCE. Structural components come from the midrank
+    * identity: for a positive i, V10ᵢ = (Rᵢ − Rpᵢ)/n_neg (overall
+    * midrank minus within-positive midrank), and symmetrically V01
+    * for negatives; var(Â₁−Â₂) = (s10_AA + s10_BB − 2·s10_AB)/n_pos
+    * + (s01_AA + s01_BB − 2·s01_AB)/n_neg with s = sample
+    * (co)variances of the V vectors; z = (Â₁−Â₂)/√var.
+    *
+    * Scale shape: FOUR range-partitioned rowid sorts (overall and
+    * within-class midranks for each scorer — [[graft.functions
+    * .SeqFns.withRankAvg]]/[[graft.functions.SeqFns.withRankAvgBy]],
+    * never a single-partition window) then ONE aggregate. Midrank
+    * differences double to exact integers, so the ten moment sums
+    * accumulate in decimal(38,0); the closing (co)variances and z are
+    * one fixed shape of decimal→double casts and single IEEE ops both
+    * engines replay. Degenerate inputs (a missing class, n_pos/n_neg
+    * < 2, zero variance) read NULL z. Output (1 row): n_pos, n_neg,
+    * auc_a, auc_b, delta, var_delta, z. */
+  def delongTest(df: DataFrame, scoreA: Column, scoreB: Column,
+                 label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.filter(scoreA.isNotNull && scoreB.isNotNull && label.isNotNull)
+      .select(scoreA.as("__a"), scoreB.as("__b"),
+        label.cast("boolean").as("__y"))
+    val r1 = graft.functions.SeqFns.withRankAvg(d, col("__a"), "__ra")
+    val r2 = graft.functions.SeqFns.withRankAvg(r1, col("__b"), "__rb")
+    val r3 = graft.functions.SeqFns.withRankAvgBy(r2, col("__y"),
+      col("__a"), "__rca")
+    val r4 = graft.functions.SeqFns.withRankAvgBy(r3, col("__y"),
+      col("__b"), "__rcb")
+    // 2·(overall midrank − within-class midrank): exact integers
+    val xa = ((col("__ra") - col("__rca")) * 2.0).cast(dec)
+    val xb = ((col("__rb") - col("__rcb")) * 2.0).cast(dec)
+    def sums(cls: Column, tag: String) = Seq(
+      sum(when(cls, xa)).as(s"__sa$tag"),
+      sum(when(cls, xb)).as(s"__sb$tag"),
+      sum(when(cls, xa * xa)).as(s"__saa$tag"),
+      sum(when(cls, xb * xb)).as(s"__sbb$tag"),
+      sum(when(cls, xa * xb)).as(s"__sab$tag"))
+    val agg = r4.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      (sums(col("__y"), "p") ++ sums(!col("__y"), "n") :+
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg")): _*)
+    def dbl(c: Column): Column = c.cast("double")
+    val nP = dbl(col("n_pos")); val nN = dbl(col("n_neg"))
+    // AUC from the positive-side sum: Σ(R−Rp) over positives = U
+    val aucA = dbl(col("__sap")) / 2.0 / (nP * nN)
+    val aucB = dbl(col("__sbp")) / 2.0 / (nP * nN)
+    // sample (co)variance of the V10/V01 vectors from the 2-scaled
+    // sums: s = (Σxy/4 − (Σx/2)(Σy/2)/m) / (m−1) / denom²
+    def s10(sxy: Column, sx: Column, sy: Column): Column =
+      (dbl(sxy) / 4.0 - (dbl(sx) / 2.0) * (dbl(sy) / 2.0) / nP) /
+        (nP - 1.0) / (nN * nN)
+    def s01(sxy: Column, sx: Column, sy: Column): Column =
+      (dbl(sxy) / 4.0 - (dbl(sx) / 2.0) * (dbl(sy) / 2.0) / nN) /
+        (nN - 1.0) / (nP * nP)
+    val varD =
+      (s10(col("__saap"), col("__sap"), col("__sap"))
+        + s10(col("__sbbp"), col("__sbp"), col("__sbp"))
+        - s10(col("__sabp"), col("__sap"), col("__sbp")) * 2.0) / nP +
+      (s01(col("__saan"), col("__san"), col("__san"))
+        + s01(col("__sbbn"), col("__sbn"), col("__sbn"))
+        - s01(col("__sabn"), col("__san"), col("__sbn")) * 2.0) / nN
+    val degenerate = col("n_pos") < 2L || col("n_neg") < 2L
+    agg.select(col("n_pos"), col("n_neg"),
+      when(degenerate, lit(null).cast("double")).otherwise(aucA).as("auc_a"),
+      when(degenerate, lit(null).cast("double")).otherwise(aucB).as("auc_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(aucA - aucB).as("delta"),
+      when(degenerate, lit(null).cast("double")).otherwise(varD)
+        .as("var_delta"),
+      when(degenerate || varD <= 0.0, lit(null).cast("double"))
+        .otherwise((aucA - aucB) / sqrt(varD)).as("z"))
+  }
+
   /** Cumulative gains / lift table — the ranking-efficiency read of a
     * deployed scorer ("keeping the top decile captures 43% of the
     * good documents; random keeps 10%"): rows ranked by (score DESC,

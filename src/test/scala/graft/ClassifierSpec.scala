@@ -356,6 +356,53 @@ class ClassifierSpec extends SparkTestBase {
     assert(rp.getAs[Double]("lo") == 1.0 && rp.getAs[Double]("hi") == 1.0)
   }
 
+  test("delongTest matches the naive O(n^2) structural-component reference") {
+    import org.apache.spark.sql.functions.col
+    // two correlated-but-different scorers, ties included
+    val sa = Seq(0.9, 0.8, 0.8, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1, 0.05)
+    val sb = Seq(0.7, 0.9, 0.6, 0.65, 0.2, 0.5, 0.35, 0.3, 0.15, 0.4)
+    val y = Seq(true, true, false, true, true, false, false, true, false, false)
+    val df = sqlDf("a" -> sa, "b" -> sb, "y" -> y)
+    val r = Classifier.delongTest(df, col("a"), col("b"), col("y")).head()
+    // naive reference: V10_i = mean over negatives of win(i,j),
+    // V01_j = mean over positives; sample covariances; paired var
+    def ref(s: Seq[Double]): (Double, Seq[Double], Seq[Double]) = {
+      val pos = s.zip(y).filter(_._2).map(_._1)
+      val neg = s.zip(y).filterNot(_._2).map(_._1)
+      def win(p: Double, n: Double) =
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      val v10 = pos.map(p => neg.map(n => win(p, n)).sum / neg.size)
+      val v01 = neg.map(n => pos.map(p => win(p, n)).sum / pos.size)
+      (v10.sum / pos.size, v10, v01)
+    }
+    def cov(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      xs.zip(ys).map { case (x, yv) => (x - mx) * (yv - my) }.sum / (xs.size - 1)
+    }
+    val (aA, v10a, v01a) = ref(sa); val (aB, v10b, v01b) = ref(sb)
+    val nP = y.count(identity).toDouble; val nN = y.size - nP
+    val vd = (cov(v10a, v10a) + cov(v10b, v10b) - 2 * cov(v10a, v10b)) / nP +
+      (cov(v01a, v01a) + cov(v01b, v01b) - 2 * cov(v01a, v01b)) / nN
+    assert(math.abs(r.getAs[Double]("auc_a") - aA) < 1e-12, r.toString)
+    assert(math.abs(r.getAs[Double]("auc_b") - aB) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_delta") - vd) < 1e-12,
+      s"${r.getAs[Double]("var_delta")} vs $vd")
+    assert(math.abs(r.getAs[Double]("z") - (aA - aB) / math.sqrt(vd)) < 1e-9)
+    // identical scorers: delta 0, zero variance -> z NULL not 0/0
+    val same = Classifier.delongTest(df, col("a"), col("a"), col("y")).head()
+    assert(same.getAs[Double]("delta") == 0.0)
+    assert(same.isNullAt(same.fieldIndex("z")))
+    // degenerate one-class corpus: everything NULL
+    val one = sqlDf("a" -> Seq(1.0, 2.0), "b" -> Seq(2.0, 1.0),
+      "y" -> Seq(true, true))
+    val ro = Classifier.delongTest(one, col("a"), col("b"), col("y")).head()
+    assert(ro.isNullAt(ro.fieldIndex("auc_a")))
+    // partitioning-invariant (four distributed rank sorts)
+    val rep = Classifier.delongTest(df.repartition(5), col("a"), col("b"),
+      col("y")).head()
+    assert(rep.getAs[Double]("z") == r.getAs[Double]("z"))
+  }
+
   test("gainsTable: hand deciles, capture reaches 1, lift vs base rate") {
     import org.apache.spark.sql.functions.col
     // scores 6..1, y = T,T,F,F,T,F; k=2: top half holds 2 of 3
