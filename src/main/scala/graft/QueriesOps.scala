@@ -1600,6 +1600,16 @@ object QueriesOps {
       Profiling.krippendorffAlpha(r, col("item"), col("cat"))
     }),
 
+    // ordinal alpha over synthetic 0-4 grades: the cumulative-mass
+    // distance weights near-misses lighter than far-misses on the
+    // same uneven panel
+    "x_kripp_ord" -> ((s, d) => {
+      val r = t(s, d, "documents").select(
+        (col("doc_id") % 37).as("item"),
+        ((col("doc_id") * 5 + 1) % 5).as("grade"))
+      Profiling.krippendorffAlphaOrdinal(r, col("item"), col("grade"))
+    }),
+
     // Bradley–Terry arena ratings from pairwise matches (Hunter 2004
     // MM, fixed 3 iterations): 8 synthetic items, winner doc_id%8 vs
     // loser (3·doc_id+1)%8 — the oracle replays every iteration as an
@@ -5716,6 +5726,51 @@ object QueriesOps {
         |  CASE WHEN de.de = 0 THEN NULL
         |    ELSE 1.0 - d0.do_ / de.de END AS alpha
         |FROM d0 CROSS JOIN de CROSS JOIN tot""".stripMargin,
+
+    // ordinal-alpha replay: the same cells, the cumulative-mass 2S
+    // integers, HUGEINT numerators, the identical 2^-30 grid and
+    // closing chain
+    "x_kripp_ord" ->
+      """WITH r AS (SELECT doc_id % 37 AS item,
+        |    CAST((doc_id * 5 + 1) % 5 AS BIGINT) AS g FROM documents),
+        |cells AS (SELECT item, g, CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2),
+        |wi AS (SELECT item, g, n,
+        |    CAST(sum(n) OVER (PARTITION BY item) AS BIGINT) AS ni FROM cells),
+        |f AS (SELECT * FROM wi WHERE ni >= 2),
+        |t0 AS (SELECT item, max(ni) AS ni FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_items FROM t0),
+        |marg AS (SELECT g, CAST(sum(n) AS BIGINT) AS nc,
+        |    CAST(sum(sum(n)) OVER (ORDER BY g) AS BIGINT) AS cum
+        |  FROM f GROUP BY g),
+        |p AS (SELECT a.g AS gc, b.g AS gk,
+        |    a.nc AS nc_c, b.nc AS nc_k,
+        |    (b.cum - a.cum) * 2 + (a.nc - b.nc) AS twos
+        |  FROM marg a JOIN marg b ON a.g < b.g),
+        |de0 AS (SELECT sum(CAST(nc_c AS HUGEINT) * CAST(nc_k AS HUGEINT)
+        |    * CAST(twos AS HUGEINT) * CAST(twos AS HUGEINT)) AS sde FROM p),
+        |ip AS (SELECT fa.ni AS ni, fa.n AS na, fb.n AS nb, p.twos AS twos
+        |  FROM f fa JOIN f fb ON fa.item = fb.item AND fa.g < fb.g
+        |  JOIN p ON p.gc = fa.g AND p.gk = fb.g),
+        |d0 AS (SELECT CAST(sum(CAST(FLOOR(
+        |      CAST(CAST(na * nb AS HUGEINT) * CAST(twos AS HUGEINT)
+        |        * CAST(twos AS HUGEINT) AS DOUBLE)
+        |      / (CAST(ni - 1 AS DOUBLE) * 4.0)
+        |      * 1073741824.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1073741824.0 AS sdo FROM ip)
+        |SELECT tot.n_items, tot.n AS n_ratings,
+        |  coalesce(d0.sdo, 0.0) * 2.0 / CAST(tot.n AS DOUBLE) AS do_,
+        |  coalesce(CAST(de0.sde AS DOUBLE), 0.0) * 2.0 / 4.0
+        |    / (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)) AS de,
+        |  CASE WHEN coalesce(CAST(de0.sde AS DOUBLE), 0.0) * 2.0 / 4.0
+        |      / (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)) = 0.0
+        |    THEN NULL
+        |    ELSE 1.0 - (coalesce(d0.sdo, 0.0) * 2.0 / CAST(tot.n AS DOUBLE))
+        |      / (coalesce(CAST(de0.sde AS DOUBLE), 0.0) * 2.0 / 4.0
+        |        / (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)))
+        |  END AS alpha
+        |FROM d0 CROSS JOIN de0 CROSS JOIN tot""".stripMargin,
 
     "x_fleiss" ->
       """WITH r AS (SELECT doc_id % 50 AS item,

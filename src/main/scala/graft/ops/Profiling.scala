@@ -972,6 +972,82 @@ object Profiling {
           .otherwise(lit(1.0) - col("do_") / col("de")).as("alpha"))
   }
 
+  /** Krippendorff's alpha at the ORDINAL level — [[krippendorffAlpha]]
+    * for graded labels (quality 0–4, severity bands) on UNEVEN
+    * panels: the nominal distance reads "4 vs 3" as disagreeing
+    * exactly like "4 vs 0", the ordinal metric δ²_ck =
+    * (Σ_{g=c..k} n_g − (n_c + n_k)/2)² (Krippendorff 2004) weights a
+    * miss by how much of the rating MASS it skips — and unlike
+    * [[weightedKappa]] it handles missing ratings and any panel shape
+    * by construction. Same D_o/D_e/α frame as the nominal form.
+    *
+    * Scale shape: cells from ONE corpus partial agg; the cumulative
+    * marginal runs over the CATEGORY table (grades ≤ ~1000 by the
+    * ordinal contract — a bounded frame like the forcats level
+    * tables); per-item pairs are ≤ k² per item against the broadcast
+    * k²-row δ table. Exactness: 2S = 2(cum_k − cum_c) + (n_c − n_k)
+    * is an exact integer, every numerator multiplies in decimal(38,0)
+    * (the `require` caps pairable ratings at 10^8 so nothing can
+    * overflow — labeling jobs are human-scale), the one per-item
+    * division lands on the 2^-30 grid before the distributed sum,
+    * and the closing chain is fixed IEEE. Items with one rating drop
+    * (unpairable); α is NULL when D_e = 0. Output (1 row):
+    * (n_items, n_ratings, do_, de, alpha). */
+  def krippendorffAlphaOrdinal(df: DataFrame, item: Column,
+                               grade: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val cells = df.filter(item.isNotNull && grade.isNotNull)
+      .groupBy(item.as("__i"), grade.cast("long").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val withNi = cells
+      .withColumn("__ni", sum(col("__n")).over(Window.partitionBy(col("__i"))))
+      .filter(col("__ni") >= 2)
+    val hdr = withNi.groupBy(col("__i")).agg(first(col("__ni")).as("__ni"))
+      .agg(coalesce(sum(col("__ni")), lit(0L)).as("n"),
+        count(lit(1)).as("n_items")).collect()(0)
+    val (nTot, nItems) = (hdr.getLong(0), hdr.getLong(1))
+    require(nTot >= 2, s"krippendorffAlphaOrdinal: $nTot pairable " +
+      "rating(s) — need at least one item with two ratings")
+    require(nTot <= 100000000L, "krippendorffAlphaOrdinal: the exact " +
+      s"decimal(38,0) products cap pairable ratings at 1e8 (got $nTot)")
+    // category marginals + cumulative mass over the bounded grade table
+    val marg = withNi.groupBy(col("__g")).agg(sum(col("__n")).as("__nc"))
+      .withColumn("__cum", sum(col("__nc")).over(Window.orderBy(col("__g"))))
+    val a = marg.select(col("__g").as("__gc"), col("__nc").as("__nc_c"),
+      col("__cum").as("__cum_c"))
+    val b = marg.select(col("__g").as("__gk"), col("__nc").as("__nc_k"),
+      col("__cum").as("__cum_k"))
+    // 2·δ_ck for c<k is the exact integer 2(cum_k−cum_c) + (n_c−n_k)
+    val pairs = a.crossJoin(b).filter(col("__gc") < col("__gk"))
+      .withColumn("__twoS", (col("__cum_k") - col("__cum_c")) * 2L
+        + (col("__nc_c") - col("__nc_k")))
+    val deRow = pairs.agg(sum(col("__nc_c").cast(dec) *
+      col("__nc_k").cast(dec) *
+      col("__twoS").cast(dec) * col("__twoS").cast(dec)).as("__sde"))
+    val ca = withNi.select(col("__i"), col("__g").as("__gc"),
+      col("__n").as("__na"), col("__ni"))
+    val cb = withNi.select(col("__i").as("__i2"), col("__g").as("__gk"),
+      col("__n").as("__nb"))
+    val ip = ca.join(cb, col("__i") === col("__i2") && col("__gc") < col("__gk"))
+      .join(broadcast(pairs.select(col("__gc"), col("__gk"), col("__twoS"))),
+        Seq("__gc", "__gk"))
+    val num = (col("__na") * col("__nb")).cast(dec) *
+      col("__twoS").cast(dec) * col("__twoS").cast(dec)
+    val perRow = num.cast("double") / ((col("__ni") - 1L).cast("double") * 4.0)
+    val doRow = ip.agg((sum(floor(perRow * 1073741824.0 + 0.5).cast(dec))
+      .cast("double") / 1073741824.0).as("__sdo"))
+    doRow.crossJoin(deRow)
+      .select(lit(nItems).as("n_items"), lit(nTot).as("n_ratings"),
+        (coalesce(col("__sdo"), lit(0.0)) * 2.0 / lit(nTot.toDouble))
+          .as("do_"),
+        (coalesce(col("__sde").cast("double"), lit(0.0)) * 2.0 / 4.0
+          / lit(nTot.toDouble * (nTot - 1).toDouble)).as("de"))
+      .select(col("n_items"), col("n_ratings"), col("do_"), col("de"),
+        when(col("de") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("do_") / col("de")).as("alpha"))
+  }
+
   // ---- fixed-grid histogram (the streaming-quantile substrate) ----------
 
   /** Fixed-grid histogram over `x`: bin i covers

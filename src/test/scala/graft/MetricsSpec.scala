@@ -190,6 +190,58 @@ class MetricsSpec extends SparkTestBase {
     assert(rc.isNullAt(rc.fieldIndex("kappa_w")))
   }
 
+  test("krippendorffAlphaOrdinal matches a naive reference; ordinal beats nominal on near-misses") {
+    // uneven panel: item 1 has 3 ratings, item 2 has 2, item 3 has 1
+    // (dropped as unpairable)
+    val data = Seq((1L, 0L), (1L, 1L), (1L, 1L), (2L, 3L), (2L, 4L), (3L, 2L))
+    val df = sqlDf("item" -> data.map(_._1), "g" -> data.map(_._2))
+    val r = Profiling.krippendorffAlphaOrdinal(df, col("item"), col("g")).head()
+    assert(r.getAs[Long]("n_items") == 2L && r.getAs[Long]("n_ratings") == 5L)
+    // naive reference over the pairable ratings
+    def alphaRef(rows: Seq[(Long, Long)]): Double = {
+      val byItem = rows.groupBy(_._1).filter(_._2.size >= 2)
+      val flat = byItem.values.flatten.map(_._2).toSeq
+      val n = flat.size.toDouble
+      val marg = flat.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      def d2(c: Long, k: Long): Double = {
+        val (lo, hi) = (math.min(c, k), math.max(c, k))
+        if (lo == hi) 0.0
+        else {
+          val mass = (lo to hi).map(g => marg.getOrElse(g, 0.0)).sum
+          val s = mass - (marg(lo) + marg(hi)) / 2.0
+          s * s
+        }
+      }
+      val dObs = byItem.values.map { rs =>
+        val gs = rs.map(_._2)
+        val ni = gs.size.toDouble
+        val sum = (for (x <- gs; y <- gs) yield d2(x, y)).sum
+        sum / (ni - 1.0)
+      }.sum / n
+      val dExp = (for (x <- flat; y <- flat) yield d2(x, y)).sum / (n * (n - 1.0))
+      1.0 - dObs / dExp
+    }
+    val expect = alphaRef(data)
+    assert(math.abs(r.getAs[Double]("alpha") - expect) < 1e-6,
+      s"${r.getAs[Double]("alpha")} vs $expect")
+    // perfect agreement: D_o = 0, alpha exactly 1
+    val perfect = sqlDf("item" -> Seq(1L, 1L, 2L, 2L),
+      "g" -> Seq(2L, 2L, 4L, 4L))
+    assert(Profiling.krippendorffAlphaOrdinal(perfect, col("item"), col("g"))
+      .head().getAs[Double]("alpha") == 1.0)
+    // the ordinal point: near-miss panels score higher than far-miss
+    // panels with identical cell shapes
+    val near = sqlDf("item" -> Seq(1L, 1L, 2L, 2L, 3L, 3L),
+      "g" -> Seq(1L, 2L, 2L, 3L, 3L, 4L))
+    val far = sqlDf("item" -> Seq(1L, 1L, 2L, 2L, 3L, 3L),
+      "g" -> Seq(1L, 4L, 2L, 4L, 3L, 1L))
+    val an = Profiling.krippendorffAlphaOrdinal(near, col("item"), col("g"))
+      .head().getAs[Double]("alpha")
+    val af = Profiling.krippendorffAlphaOrdinal(far, col("item"), col("g"))
+      .head().getAs[Double]("alpha")
+    assert(an > af, s"near $an must beat far $af")
+  }
+
   test("splitLeakage: straddling pairs counted, cluster-keyed split reads zero") {
     import graft.ops.Sampling
     val pairs = sqlDf("a" -> Seq(1L, 3L, 5L), "b" -> Seq(2L, 4L, 6L))

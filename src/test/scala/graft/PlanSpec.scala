@@ -640,6 +640,10 @@ class PlanSpec extends SparkTestBase {
       // construction — Classifier.gainsTable scaladoc); the row-grain
       // rank is the rowid sort
       "x_gains" -> "k-row gains-bin table",
+      // cumulative rating mass over the CATEGORY-marginal table
+      // (grades <= ~1000 by the ordinal contract —
+      // Profiling.krippendorffAlphaOrdinal scaladoc)
+      "x_kripp_ord" -> "category-marginal table",
       // same shared cutBatchesByBucket tail: |ratio edges|+1 rows
       "x_ar_batch" -> "bucket-count offset table",
       // global cum distribution over the m-row ordered value DOMAIN
