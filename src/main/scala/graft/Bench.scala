@@ -45,7 +45,10 @@ object Bench {
     // round-15 additions: the trend/eval metric reads (sub-second
     // aggregates) and the answer-preserving lakehouse serving reads
     "x_trend_mk", "x_spearman", "x_auprc", "x_gini",
-    "x_merge_into", "x_alter_schema")
+    "x_merge_into", "x_alter_schema",
+    // the four-rank-sort paired test and the grouped-rank fairness
+    // read — the two heaviest r15 metric topologies
+    "x_delong", "x_auc_by")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
