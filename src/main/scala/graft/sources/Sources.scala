@@ -753,6 +753,32 @@ object Sources {
     dead.map(_.getName)
   }
 
+  /** Expire archived manifest versions past the newest
+    * `retainVersions` — the log half of the retention policy
+    * ([[vacuumUnreferenced]] reclaims data files; this reclaims the
+    * version LOG). Without it a high-frequency writer grows
+    * `_manifest_log/` without bound — the exactly-once streaming sink
+    * publishes one version per micro-batch, and every publish lists
+    * the log to number the next version, so an unexpired log makes
+    * publish cost O(versions). Time travel and rollback to an expired
+    * version refuse loudly (readManifestVersion names what remains);
+    * run with the SAME retainVersions as the paired vacuum so the
+    * travelable window and the on-disk files agree. Returns the
+    * expired version numbers. */
+  def expireManifestLog(conf: org.apache.hadoop.conf.Configuration,
+                        path: String,
+                        retainVersions: Int): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    require(retainVersions >= 1,
+      s"expireManifestLog: retainVersions=$retainVersions must be >= 1")
+    val versions = manifestLogVersions(conf, path)
+    val expired = versions.dropRight(retainVersions)
+    val logDir = new Path(path, "_manifest_log")
+    val fs = logDir.getFileSystem(conf)
+    expired.foreach(v => fs.delete(new Path(logDir, f"v$v%06d"), false))
+    expired
+  }
+
   /** Targeted DELETE WHERE on a manifested table — the
     * right-to-be-forgotten / bad-batch-purge op at 100 TB: ONE pruned
     * scan (predicate pushed to the parquet footers, so row-group

@@ -24,10 +24,13 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
   * a driver-side manifest append, one rename. The manifest grows one
   * line per file — compact with
   * [[graft.sources.Sources.compactSmallFilesAtomic]] on the same
-  * table (both publish through the same one-rename protocol, so they
-  * compose; run them from one maintenance loop, not concurrently with
-  * each other — last-writer-wins between two MAINTENANCE jobs is the
-  * standard single-writer table contract). */
+  * table, and bound the VERSION log (one archived manifest per batch,
+  * listed at every publish) with
+  * [[graft.sources.Sources.expireManifestLog]] in the same
+  * maintenance loop (both publish through the same one-rename
+  * protocol, so they compose; run maintenance jobs sequentially, not
+  * concurrently with each other — last-writer-wins between two
+  * MAINTENANCE jobs is the standard single-writer table contract). */
 object ManifestSink {
 
   /** The last batch id published into the manifest at `path`, -1 if

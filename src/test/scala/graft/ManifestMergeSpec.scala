@@ -138,6 +138,41 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(e2.getMessage.contains("added no files"), e2.getMessage)
   }
 
+  test("expireManifestLog: bounded version log, travelable window intact, expired refusals loud") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_expire"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 20L).map(i => (i, i * 2L)).toDF("id", "n")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    // four appends -> five versions
+    for (b <- 1 to 4)
+      Sources.insertIntoAtomic(spark, path,
+        Seq((100L + b, b.toLong)).toDF("id", "n"))
+    val all = Sources.manifestLogVersions(conf, path)
+    assert(all.length == 5)
+    val expired = Sources.expireManifestLog(conf, path, retainVersions = 2)
+    assert(expired == all.dropRight(2), expired.toString)
+    assert(Sources.manifestLogVersions(conf, path) == all.takeRight(2))
+    // head still reads in full; the retained window stays travelable
+    assert(Sources.readManifested(spark, path).count() == 24)
+    assert(Sources.readManifestedAt(spark, path, all.last).count() == 24)
+    assert(Sources.readManifestedAt(spark, path, all(3)).count() == 23)
+    // travel/rollback past the window refuse loudly, naming what's left
+    val e = intercept[IllegalArgumentException] {
+      Sources.readManifestedAt(spark, path, all.head)
+    }
+    assert(e.getMessage.contains("no archived version"), e.getMessage)
+    // vacuum with the SAME retention agrees with the expired log
+    val dead = Sources.vacuumUnreferenced(spark, path, retainVersions = 2)
+    assert(dead.isEmpty, // append-only: every old file is still referenced
+      s"append-only history must keep all files: $dead")
+    // publishes keep working after expiry (version numbering survives)
+    Sources.insertIntoAtomic(spark, path, Seq((999L, 9L)).toDF("id", "n"))
+    assert(Sources.manifestLogVersions(conf, path).last == all.last + 1)
+    assert(Sources.readManifested(spark, path).count() == 25)
+  }
+
   test("mergeAtomic composes with addColumnAtomic: defaults survive the rewrite") {
     import spark.implicits._
     val dir = new java.io.File(tmp("graft_merge3"))
