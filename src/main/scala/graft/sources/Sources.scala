@@ -779,6 +779,56 @@ object Sources {
     expired
   }
 
+  /** Full-table OPTIMIZE ZORDER BY under the manifest protocol — the
+    * periodic recluster that [[graft.functions.ZOrder.zorderAppend]]
+    * and the streaming clustered sink defer to: the whole manifested
+    * table rewrites onto a fresh Z-curve grid sized to the CURRENT
+    * key domain (fixing the edge-bucket clamping a drifted domain
+    * accumulates), staged invisibly and published by ONE manifest
+    * rename — concurrent manifested readers see the old complete
+    * layout or the new one, never a mix, and the old files stay
+    * time-travelable until [[vacuumUnreferenced]]. The rewrite reads
+    * THROUGH the schema metadata, so pending ADD COLUMN defaults
+    * materialize and DROP/RENAME tombstones shed physically (the
+    * compaction contract). Grid metadata lands in `_zorder_meta.json`
+    * for subsequent delta appends. Cost: one range shuffle of the
+    * full table — the weekend job, not the ingest path. Returns
+    * (replaced file names, new file names). */
+  def optimizeClusteredAtomic(spark: SparkSession, path: String,
+                              cols: Seq[String], bits: Int,
+                              numFiles: Int): (Seq[String], Seq[String]) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, "optimizeClusteredAtomic: numFiles must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val names = publishManifest(spark, path)
+    val base = readFilesApplyingDefaults(spark, path, names)
+    val bs = graft.functions.ZOrder.bounds(base, cols)
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(path,
+      s"_optimize_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.functions.ZOrder.withZValueBounded(base, cols, bs, bits, "__zv")
+      .repartitionByRange(numFiles, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    val newNames = parts.map { p =>
+      val dst = new Path(root, p.getName)
+      require(fs.rename(p, dst),
+        s"optimizeClusteredAtomic: rename $p -> $dst failed")
+      dst.getName
+    }
+    graft.functions.CurveMeta.write(conf, path, "_zorder_meta.json",
+      "z", cols, bits, bs)
+    writeManifest(conf, path, newNames) // the atomic publish
+    fs.delete(staging, true)
+    (names, newNames)
+  }
+
   /** Targeted DELETE WHERE on a manifested table — the
     * right-to-be-forgotten / bad-batch-purge op at 100 TB: ONE pruned
     * scan (predicate pushed to the parquet footers, so row-group

@@ -173,6 +173,67 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(Sources.readManifested(spark, path).count() == 25)
   }
 
+  test("optimizeClusteredAtomic: full recluster under one publish; boxes tighten; alters materialize") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_opt"))
+    val path = new java.io.File(dir, "tbl").getPath
+    // scattered 2-d keys: row-order layout has full-domain boxes
+    val n = 4096
+    (0 until n).map { i => (i.toLong, (i * 2654435761L) % 64L,
+      (i * 40503L) % 64L) }
+      .toDF("id", "x", "y")
+      .repartition(8).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    Sources.addColumnAtomic(spark, path, "tag", "string", "t0")
+    val before = Sources.readManifest(conf, path).get
+    val vPre = Sources.manifestLogVersions(conf, path).last
+    val (replaced, fresh) =
+      Sources.optimizeClusteredAtomic(spark, path, Seq("x", "y"),
+        bits = 6, numFiles = 8)
+    assert(replaced.toSet == before.toSet && fresh.length == 8)
+    assert(Sources.readManifest(conf, path).get.sorted == fresh.sorted)
+    // answers preserved, pending default materialized physically
+    val got = Sources.readManifested(spark, path)
+    assert(got.count() == n)
+    assert(got.agg(sum("x")).head().getLong(0) ==
+      (0 until n).map(i => (i * 2654435761L) % 64L).sum)
+    assert(got.filter(col("tag") === "t0").count() == n)
+    assert(fresh.forall(f => footerHas(path, f, "tag")),
+      "optimize must materialize the pending default into new footers")
+    // clustering actually tightened the per-file boxes: total box
+    // area well under files x full domain (row-order would be ~full)
+    val spans = Sources.fileStats(spark, path, Seq("x", "y"))
+      .filter(col("file").isin(fresh: _*))
+      .collect()
+      .groupBy(r => (r.getAs[String]("file"), r.getAs[String]("column")))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getAs[Double]("min")).min,
+          rs.map(_.getAs[Double]("max")).max)
+      }
+    assert(spans.size == 16, spans.keys.toString) // 8 files x 2 cols
+    val area = fresh.map { f =>
+      val (x0, x1) = spans((f, "x")); val (y0, y1) = spans((f, "y"))
+      (x1 - x0 + 1) * (y1 - y0 + 1)
+    }.sum
+    assert(area < 8 * 64 * 64 * 0.5,
+      s"z-layout must tighten footer boxes: total area $area")
+    // old layout stays travelable until vacuum; then reclaims
+    assert(Sources.readManifestedAt(spark, path, vPre).count() == n)
+    val dead = Sources.vacuumUnreferenced(spark, path, retainVersions = 1)
+    assert(dead.toSet == before.toSet)
+  }
+
+  private def footerHas(path: String, n: String, c: String): Boolean = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path, n), conf))
+    try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .exists(_.getName == c)
+    finally rdr.close()
+  }
+
   test("mergeAtomic composes with addColumnAtomic: defaults survive the rewrite") {
     import spark.implicits._
     val dir = new java.io.File(tmp("graft_merge3"))
