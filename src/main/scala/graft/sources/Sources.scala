@@ -753,6 +753,34 @@ object Sources {
     dead.map(_.getName)
   }
 
+  /** Dry-run of [[vacuumUnreferenced]]: what WOULD be reclaimed at a
+    * given retention, as a frame of (file, bytes, referenced) — the
+    * pre-flight an operator reads before deleting anything (how many
+    * bytes does shrinking retention from 7 to 2 actually buy?).
+    * Listing + manifest reads only; zero data bytes, zero deletes. */
+  def vacuumReport(spark: SparkSession, path: String,
+                   retainVersions: Int = 1): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(retainVersions >= 1,
+      s"vacuumReport: retainVersions=$retainVersions must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    val head = readManifest(conf, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"vacuumReport: $path has no _MANIFEST"))
+    val retained = manifestLogVersions(conf, path).takeRight(retainVersions)
+      .flatMap(v => readManifestVersion(conf, path, v))
+    val referenced = (head ++ retained).toSet
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map(st => (st.getPath.getName, st.getLen,
+        referenced.contains(st.getPath.getName)))
+      .toSeq.toDF("file", "bytes", "referenced")
+  }
+
   /** Expire archived manifest versions past the newest
     * `retainVersions` — the log half of the retention policy
     * ([[vacuumUnreferenced]] reclaims data files; this reclaims the

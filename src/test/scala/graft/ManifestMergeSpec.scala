@@ -219,6 +219,11 @@ class ManifestMergeSpec extends SparkTestBase {
       s"z-layout must tighten footer boxes: total area $area")
     // old layout stays travelable until vacuum; then reclaims
     assert(Sources.readManifestedAt(spark, path, vPre).count() == n)
+    // the dry-run names exactly what the real vacuum then deletes
+    val report = Sources.vacuumReport(spark, path, retainVersions = 1)
+      .filter(!col("referenced")).collect()
+    assert(report.map(_.getString(0)).toSet == before.toSet)
+    assert(report.forall(_.getLong(1) > 0L))
     val dead = Sources.vacuumUnreferenced(spark, path, retainVersions = 1)
     assert(dead.toSet == before.toSet)
   }
