@@ -57,6 +57,7 @@ object Snapshot {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     graft.sources.Sources.publishManifest(spark, basePath)
+    val v0 = graft.sources.Sources.manifestVersion(conf, basePath)
     val base = graft.sources.Sources.readManifested(spark, basePath)
     val next0 = applyChanges(base, changes, id, op)
     val next = if (outFiles > 0) next0.repartition(outFiles) else next0
@@ -76,7 +77,8 @@ object Snapshot {
         s"applyChangesAtomic: rename $p -> $dst failed")
       dst.getName
     }
-    graft.sources.Sources.writeManifest(conf, basePath, newNames) // publish
+    graft.sources.Sources.writeManifest(conf, basePath, newNames,
+      Map.empty, v0) // publish, optimistically checked
     fs.delete(staging, true)
     newNames
   }

@@ -330,6 +330,38 @@ object Sources {
     require(fs.rename(tmp, dst), s"writeManifest: rename $tmp -> $dst failed")
   }
 
+  /** The current head version number (the last archived manifest),
+    * 0 when the table has no version log yet. */
+  def manifestVersion(conf: org.apache.hadoop.conf.Configuration,
+                      path: String): Long =
+    manifestLogVersions(conf, path).lastOption.getOrElse(0L)
+
+  /** Optimistically-checked publish — the enforcement half of the
+    * single-writer-per-table contract: a maintenance job records the
+    * head version when it reads its snapshot and passes it here; if
+    * another job published in between, the write REFUSES instead of
+    * silently dropping the other job's files from the manifest
+    * (plain last-writer-wins loses work — a compaction racing a
+    * MERGE would unpublish the merge's rewrites). The check is
+    * read-then-rename, not a CAS: it catches every overlap longer
+    * than the final rename's instant, which is the failure mode two
+    * scheduled maintenance jobs actually produce; true simultaneous
+    * renames remain the caller's single-writer responsibility. The
+    * refused job re-runs against the new head. */
+  def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+                    path: String, names: Seq[String],
+                    meta: Map[String, String],
+                    expectedVersion: Long): Unit = {
+    val head = manifestVersion(conf, path)
+    if (head != expectedVersion)
+      throw new IllegalStateException(
+        s"writeManifest: concurrent publish detected at $path — the head " +
+          s"moved v$expectedVersion -> v$head since this job read its " +
+          "snapshot; re-run the maintenance against the new head " +
+          "(optimistic single-writer check)")
+    writeManifest(conf, path, names, meta)
+  }
+
   /** Archived manifest versions at `path`, ascending. */
   def manifestLogVersions(conf: org.apache.hadoop.conf.Configuration,
                           path: String): Seq[Long] = {
@@ -419,6 +451,7 @@ object Sources {
   def rollbackManifest(spark: SparkSession, path: String,
                        version: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
+    val v0 = manifestVersion(conf, path)
     val names = readManifestVersion(conf, path, version)
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(conf)
@@ -426,7 +459,7 @@ object Sources {
     require(missing.isEmpty,
       s"rollbackManifest: version $version references vacuumed files " +
         s"(${missing.take(3).mkString(", ")}…) — past the retention window")
-    writeManifest(conf, path, names)
+    writeManifest(conf, path, names, Map.empty, v0)
     manifestLogVersions(conf, path).last
   }
 
@@ -610,6 +643,7 @@ object Sources {
       s"addColumnAtomic: column name '$name' must be space/colon-free")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val visible = readFilesWithMeta(spark, path, names,
       schemaMetaOf(readManifestMeta(conf, path))).columns
     require(!visible.contains(name) &&
@@ -627,7 +661,7 @@ object Sources {
         "the table to materialize the drop before reusing the name")
     val meta = readManifestMeta(conf, path) +
       (s"coldefault:$name" -> s"$dataType:${String.valueOf(default)}")
-    writeManifest(conf, path, names, meta)
+    writeManifest(conf, path, names, meta, v0)
   }
 
   /** Metadata-only ALTER TABLE DROP COLUMN on a manifested table —
@@ -650,6 +684,7 @@ object Sources {
       s"dropColumnAtomic: column name '$name' must be space/colon-free")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val sm = schemaMetaOf(readManifestMeta(conf, path))
     val visible = readFilesWithMeta(spark, path, names, sm).columns
     require(visible.contains(name),
@@ -663,7 +698,7 @@ object Sources {
     val meta = readManifestMeta(conf, path) ++
       physNames.map(p => s"coldrop:$p" -> "1") +
       (s"coldefault:$name" -> "!")
-    writeManifest(conf, path, names, meta)
+    writeManifest(conf, path, names, meta, v0)
   }
 
   /** Metadata-only ALTER TABLE RENAME COLUMN on a manifested table:
@@ -684,6 +719,7 @@ object Sources {
     require(oldName != newName, "renameColumnAtomic: old == new")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val sm = schemaMetaOf(readManifestMeta(conf, path))
     val visible = readFilesWithMeta(spark, path, names, sm).columns
     require(visible.contains(oldName),
@@ -711,7 +747,7 @@ object Sources {
     }
     val meta = readManifestMeta(conf, path) ++ repointed ++ defaultMove +
       (s"colrename:$oldName" -> newName)
-    writeManifest(conf, path, names, meta)
+    writeManifest(conf, path, names, meta, v0)
   }
 
   /** The stored ADD COLUMN defaults: name → (type, value). Tombstoned
@@ -830,6 +866,7 @@ object Sources {
     require(numFiles >= 1, "optimizeClusteredAtomic: numFiles must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val base = readFilesApplyingDefaults(spark, path, names)
     val bs = graft.functions.ZOrder.bounds(base, cols)
     val root = new Path(path)
@@ -852,7 +889,7 @@ object Sources {
     }
     graft.functions.CurveMeta.write(conf, path, "_zorder_meta.json",
       "z", cols, bits, bs)
-    writeManifest(conf, path, newNames) // the atomic publish
+    writeManifest(conf, path, newNames, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     (names, newNames)
   }
@@ -879,6 +916,7 @@ object Sources {
       count, input_file_name, lit, not}
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val hits = readManifested(spark, path).filter(predicate)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n")).collect()
@@ -909,7 +947,7 @@ object Sources {
       }
     }
     val after = names.filterNot(affected.contains) ++ newNames
-    writeManifest(conf, path, after) // the atomic publish
+    writeManifest(conf, path, after, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     (newNames, deleted)
   }
@@ -935,6 +973,7 @@ object Sources {
     require(assignments.nonEmpty, "updateWhereAtomic: no assignments")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val base = readManifested(spark, path)
     assignments.keys.foreach { c =>
       require(base.columns.contains(c),
@@ -973,7 +1012,7 @@ object Sources {
       dst.getName
     }
     val after = names.filterNot(affected.contains) ++ newNames
-    writeManifest(conf, path, after) // the atomic publish
+    writeManifest(conf, path, after, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     (newNames, updated)
   }
@@ -997,6 +1036,7 @@ object Sources {
       "compactSmallFilesAtomic: targetFileBytes must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val stats = names.map(n => fs.getFileStatus(new Path(path, n)))
@@ -1031,7 +1071,7 @@ object Sources {
     }
     val replaced = toRewrite.flatten.map(_.getName).toSet
     val after = names.filterNot(replaced.contains) ++ newNames
-    writeManifest(conf, path, after) // the atomic publish
+    writeManifest(conf, path, after, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     (names.length, after.length)
   }
@@ -1050,6 +1090,7 @@ object Sources {
     require(numFiles >= 1, s"insertIntoAtomic: numFiles=$numFiles must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
@@ -1064,7 +1105,7 @@ object Sources {
       require(fs.rename(p, dst), s"insertIntoAtomic: rename $p -> $dst failed")
       dst.getName
     }
-    writeManifest(conf, path, names ++ newNames) // the atomic publish
+    writeManifest(conf, path, names ++ newNames, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     newNames
   }
@@ -1105,6 +1146,7 @@ object Sources {
       col => fnCol, count, input_file_name, lit, struct, when => fnWhen}
     val conf = spark.sessionState.newHadoopConf()
     val names = publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
     val base = readManifested(spark, path)
     val payloadCols = base.columns.toSeq
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1186,7 +1228,7 @@ object Sources {
       }
     val after = names.filterNot(affected.contains) ++ rewrittenNames ++ appendedNames
     if (affected.nonEmpty || appendedNames.nonEmpty)
-      writeManifest(conf, path, after, publishMeta) // the atomic publish
+      writeManifest(conf, path, after, publishMeta, v0) // the atomic publish
     fs.delete(staging, true)
     MergeResult(rewrittenNames, appendedNames, updated, deleted, inserted)
   }

@@ -50,6 +50,7 @@ object ManifestSink {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     if (batchId <= lastBatchId(conf, path)) return
+    val v0 = graft.sources.Sources.manifestVersion(conf, path)
     val names = graft.sources.Sources.readManifest(conf, path)
       .getOrElse(Seq.empty)
     val root = new Path(path)
@@ -67,9 +68,11 @@ object ManifestSink {
       require(fs.rename(p, dst), s"manifestSink: rename $p -> $dst failed")
       dst.getName
     }
-    // the atomic publish: file set + batch id advance TOGETHER
+    // the atomic publish: file set + batch id advance TOGETHER; the
+    // optimistic check aborts the batch if maintenance published in
+    // between (foreachBatch retries it against the new head)
     graft.sources.Sources.writeManifest(conf, path, names ++ newNames,
-      Map("batch" -> batchId.toString))
+      Map("batch" -> batchId.toString), v0)
     fs.delete(staging, true)
   }
 

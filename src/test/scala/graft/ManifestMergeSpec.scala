@@ -239,6 +239,33 @@ class ManifestMergeSpec extends SparkTestBase {
     finally rdr.close()
   }
 
+  test("optimistic publish: a stale snapshot refuses instead of dropping the other job's files") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_occ"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 10L).map(i => (i, i)).toDF("id", "n")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    // job A reads its snapshot (head v1)...
+    val vA = Sources.manifestVersion(conf, path)
+    val namesA = Sources.readManifest(conf, path).get
+    // ...job B publishes in between (an append)
+    Sources.insertIntoAtomic(spark, path, Seq((11L, 11L)).toDF("id", "n"))
+    // job A's publish against the stale head REFUSES — last-writer-
+    // wins would silently unpublish B's file
+    val e = intercept[IllegalStateException] {
+      Sources.writeManifest(conf, path, namesA, Map.empty, vA)
+    }
+    assert(e.getMessage.contains("concurrent publish"), e.getMessage)
+    // B's append survives intact
+    assert(Sources.readManifested(spark, path).count() == 11)
+    // the re-run against the current head succeeds
+    val vB = Sources.manifestVersion(conf, path)
+    Sources.writeManifest(conf, path,
+      Sources.readManifest(conf, path).get, Map.empty, vB)
+    assert(Sources.readManifested(spark, path).count() == 11)
+  }
+
   test("mergeAtomic composes with addColumnAtomic: defaults survive the rewrite") {
     import spark.implicits._
     val dir = new java.io.File(tmp("graft_merge3"))
