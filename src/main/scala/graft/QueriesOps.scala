@@ -3977,10 +3977,15 @@ object QueriesOps {
         |    CAST(max(n) AS BIGINT) AS tot, CAST(max(np) AS BIGINT) AS totp
         |  FROM b GROUP BY bin)
         |SELECT bin, n, n_pos,
+        |  CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum_n,
         |  CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos,
         |  CASE WHEN totp = 0 THEN NULL
         |    ELSE CAST(sum(n_pos) OVER (ORDER BY bin) AS DOUBLE)
         |      / CAST(totp AS DOUBLE) END AS capture,
+        |  CASE WHEN sum(n) OVER (ORDER BY bin) = 0 THEN NULL
+        |    ELSE CAST(sum(n_pos) OVER (ORDER BY bin) AS DOUBLE)
+        |      / CAST(sum(n) OVER (ORDER BY bin) AS DOUBLE)
+        |  END AS precision_at,
         |  CASE WHEN totp = 0 OR n = 0 THEN NULL
         |    ELSE (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
         |      / (CAST(totp AS DOUBLE) / CAST(tot AS DOUBLE)) END AS lift

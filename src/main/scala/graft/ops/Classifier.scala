@@ -286,11 +286,14 @@ object Classifier {
     * tieBreak ASC — a total order, so bin membership is deterministic
     * under ties), split into k equal-population bins (bin 1 = top),
     * each reporting size, positives, cumulative capture of all
-    * positives, and lift vs the base rate. Scale shape: ONE
-    * range-partitioned rowid sort + one k-bounded keyed agg; the
-    * cumulative window runs over the k-row bin table. Counts exact;
-    * divisions exact-integer fixed shapes. Output per bin:
-    * (bin, n, n_pos, cum_pos, capture, lift). */
+    * positives, lift vs the base rate, and the operating point a
+    * "keep the top b bins" rule would run at (precision_at =
+    * cum_pos/cum_n; its recall IS capture) — the threshold-picking
+    * table. Scale shape: ONE range-partitioned rowid sort + one
+    * k-bounded keyed agg; the cumulative window runs over the k-row
+    * bin table. Counts exact; divisions exact-integer fixed shapes.
+    * Output per bin: (bin, n, n_pos, cum_n, cum_pos, capture,
+    * precision_at, lift). */
   def gainsTable(df: DataFrame, score: Column, label: Column,
                  tieBreak: Column, k: Int = 10): DataFrame = {
     require(k >= 2, s"gainsTable: k must be >= 2 (got $k)")
@@ -316,10 +319,15 @@ object Classifier {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // the window runs over the k-row bin table — bounded by contract
     bins.withColumn("cum_pos", sum(col("n_pos")).over(w))
-      .select(col("bin"), col("n"), col("n_pos"), col("cum_pos"),
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
         when(col("__np") === 0L, lit(null).cast("double"))
           .otherwise(col("cum_pos").cast("double")
             / col("__np").cast("double")).as("capture"),
+        when(col("cum_n") === 0L, lit(null).cast("double"))
+          .otherwise(col("cum_pos").cast("double")
+            / col("cum_n").cast("double")).as("precision_at"),
         when(col("__np") === 0L || col("n") === 0L,
           lit(null).cast("double"))
           .otherwise((col("n_pos").cast("double") / col("n").cast("double"))

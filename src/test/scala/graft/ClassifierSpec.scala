@@ -418,7 +418,12 @@ class ClassifierSpec extends SparkTestBase {
       && b1.getAs[Long]("n_pos") == 2L && b1.getAs[Long]("cum_pos") == 2L)
     assert(b1.getAs[Double]("capture") == 2.0 / 3.0)
     assert(b1.getAs[Double]("lift") == (2.0 / 3.0) / (3.0 / 6.0))
+    // the operating point of "keep the top half": precision 2/3
+    assert(b1.getAs[Long]("cum_n") == 3L
+      && b1.getAs[Double]("precision_at") == 2.0 / 3.0)
     assert(b2.getAs[Long]("cum_pos") == 3L && b2.getAs[Double]("capture") == 1.0)
+    assert(b2.getAs[Long]("cum_n") == 6L
+      && b2.getAs[Double]("precision_at") == 0.5)
     // deterministic under partitioning (the tieBreak totalizes ties)
     val rep = Classifier.gainsTable(df.repartition(4), col("s"), col("y"),
       col("id"), k = 2).collect()
