@@ -5798,7 +5798,7 @@ object QueriesOps {
         |    AS DECIMAL(38,0))) AS DOUBLE) / 1073741824.0 AS pe
         |  FROM (SELECT cat, sum(n) AS cj FROM cells GROUP BY 1) c
         |  CROSS JOIN t)
-        |SELECT po.n_items, nr.n AS n_raters, po.po, pe.pe,
+        |SELECT po.n_items, CAST(nr.n AS BIGINT) AS n_raters, po.po, pe.pe,
         |  CASE WHEN pe.pe = 1.0 THEN 1.0
         |    ELSE (po.po - pe.pe) / (1.0 - pe.pe) END AS kappa
         |FROM po CROSS JOIN pe CROSS JOIN nr""".stripMargin,

@@ -16,15 +16,32 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fail = 0
+npass = 0
+
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output"); fail += 1; continue
-    got = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+    got_sql = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+    got = con.execute(got_sql).df()
     try:
         exp = con.execute(sql).df()
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}"); fail += 1; continue
+    # DTYPE-STRICT at the pandas-kind grain — the level the driver's
+    # bit-hash is actually sensitive to (calibrated against driver
+    # artifacts): DuckDB HUGEINT lands as float64, so an uncast
+    # sum-of-sum oracle vs a Spark BIGINT output is kind f-vs-i and
+    # hash-RED even when every value agrees (the r15 x_fleiss bug);
+    # int32-vs-int64 and DECIMAL-vs-DOUBLE normalize in the driver's
+    # hash and stay green, so only the KIND must match.
+    kmis = [c for c in got.columns if c in exp.columns
+            and got[c].dtype.kind != exp[c].dtype.kind
+            and {got[c].dtype.kind, exp[c].dtype.kind} != {"i", "u"}]
+    if kmis:
+        print(f"FAIL {name}: dtype-kind mismatch " + ", ".join(
+            f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}" for c in kmis))
+        fail += 1; continue
     g = got.reindex(sorted(got.columns), axis=1)
     e = exp.reindex(sorted(exp.columns), axis=1)
     if sorted(g.columns) != sorted(e.columns):
@@ -53,16 +70,23 @@ for name, sql in sorted(oracle.items()):
         except Exception as ex:
             ok = False; print(f"FAIL {name}: col {c} compare error {ex}"); break
     if ok:
+        npass += 1
         print(f"OK   {name} ({len(g)} rows)")
     else:
         fail += 1
 
 # rows-only queries (no oracle): check >0 rows
+nrows_only = 0
 for spark_dir in sorted(glob.glob(f"{out}/*/")):
     name = os.path.basename(spark_dir.rstrip("/"))
     if name in oracle: continue
     n = con.execute(f"SELECT count(*) FROM read_parquet('{spark_dir}/*.parquet')").fetchone()[0]
     print(f"{'OK  ' if n > 0 else 'FAIL'} {name} rows-only ({n} rows)")
     if n == 0: fail += 1
+    else: nrows_only += 1
 
+# Canonical summary — seal-commit messages must quote THIS line verbatim
+# (generated from the comparison results, never hand-tallied).
+print(f"SUMMARY: {npass} of {len(oracle)} oracle queries dtype+hash-green, "
+      f"{nrows_only} rows-only green, {fail} failed")
 sys.exit(1 if fail else 0)
