@@ -515,6 +515,25 @@ object Sources {
     }
   }
 
+  /** Version-consistent snapshot pin for optimistically-checked
+    * maintenance ops: adopt-if-unmanifested, then read the head
+    * VERSION first and the file set second. A publish landing between
+    * the two reads leaves the file set NEWER than `v0`, so the final
+    * checked [[writeManifest]] refuses (head != v0) — fails closed.
+    * The reverse order (names first, version second) would pass the
+    * optimistic check with a STALE file set and unpublish the racing
+    * writer's files — the exact lost update the check exists to
+    * refuse. [[graft.streaming.ManifestSink.appendBatch]] reads in
+    * this order natively; every maintenance op goes through here. */
+  private def pinSnapshot(spark: SparkSession,
+                          path: String): (Seq[String], Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    publishManifest(spark, path)
+    val v0 = manifestVersion(conf, path)
+    val names = readManifest(conf, path).getOrElse(Seq.empty)
+    (names, v0)
+  }
+
   /** Read a manifested table: exactly the manifest's files, pinned at
     * the moment the manifest was read — concurrent maintenance
     * (compaction, snapshot apply) is invisible until its atomic
@@ -642,8 +661,7 @@ object Sources {
     require(!name.exists(c => c == ' ' || c == '\n' || c == ':'),
       s"addColumnAtomic: column name '$name' must be space/colon-free")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val visible = readFilesWithMeta(spark, path, names,
       schemaMetaOf(readManifestMeta(conf, path))).columns
     require(!visible.contains(name) &&
@@ -659,7 +677,23 @@ object Sources {
       s"addColumnAtomic: '$name' is still physically present in " +
         s"${phys.get} (a dropped column's footprint) — compact/rewrite " +
         "the table to materialize the drop before reusing the name")
-    val meta = readManifestMeta(conf, path) +
+    // Sticky meta outlives the column: a reused name must neutralize
+    // the old era's entries or files appended AFTER the re-add (which
+    // carry the column physically, with real values) would have those
+    // values dropped by the stale coldrop tombstone — or served under
+    // another name by a stale colrename mapping — silently. Safe to
+    // neutralize: the footer probe above proved no live file carries
+    // the physical name, so the old entries are inert for every
+    // pinned file; archived versions keep their own era's meta.
+    val smPrev = schemaMetaOf(readManifestMeta(conf, path))
+    val neutralized: Map[String, String] =
+      (if (smPrev.drops.contains(name)) Map(s"coldrop:$name" -> "0")
+       else Map.empty[String, String]) ++
+      smPrev.renames.collect {
+        case (p, logical) if p == name || logical == name =>
+          s"colrename:$p" -> "!"
+      }
+    val meta = readManifestMeta(conf, path) ++ neutralized +
       (s"coldefault:$name" -> s"$dataType:${String.valueOf(default)}")
     writeManifest(conf, path, names, meta, v0)
   }
@@ -683,8 +717,7 @@ object Sources {
     require(!name.exists(c => c == ' ' || c == '\n' || c == ':'),
       s"dropColumnAtomic: column name '$name' must be space/colon-free")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val sm = schemaMetaOf(readManifestMeta(conf, path))
     val visible = readFilesWithMeta(spark, path, names, sm).columns
     require(visible.contains(name),
@@ -718,8 +751,7 @@ object Sources {
       s"renameColumnAtomic: column name '$newName' must be space/colon-free")
     require(oldName != newName, "renameColumnAtomic: old == new")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val sm = schemaMetaOf(readManifestMeta(conf, path))
     val visible = readFilesWithMeta(spark, path, names, sm).columns
     require(visible.contains(oldName),
@@ -727,16 +759,17 @@ object Sources {
         s"(have: ${visible.mkString(", ")})")
     require(!visible.contains(newName),
       s"renameColumnAtomic: column '$newName' already exists at $path")
-    // a live footer still physically carrying newName (a dropped
-    // column's footprint) would collide the moment its tombstone is
-    // compacted away under a different logical story — refuse, as
+    // ANY live footer still physically carrying newName — a dropped
+    // column's footprint, or a renamed-away column's old-era files —
+    // would collide with the files this rename causes to be written
+    // under physical newName (their values dropped or forked by the
+    // old entries): refuse until compaction sheds the footprint, as
     // addColumnAtomic does
-    val phys = names.find(n =>
-      footerCols(conf, path, n).contains(newName) && sm.drops.contains(newName))
+    val phys = names.find(n => footerCols(conf, path, n).contains(newName))
     require(phys.isEmpty,
       s"renameColumnAtomic: '$newName' is still physically present in " +
-        s"${phys.getOrElse("")} (a dropped column's footprint) — compact " +
-        "the table before reusing the name")
+        s"${phys.getOrElse("")} (an earlier column era's footprint) — " +
+        "compact the table before reusing the name")
     val repointed = sm.renames.collect {
       case (p, logical) if logical == oldName => s"colrename:$p" -> newName
     }
@@ -745,8 +778,21 @@ object Sources {
         s"coldefault:$oldName" -> "!")
       case None => Map.empty
     }
-    val meta = readManifestMeta(conf, path) ++ repointed ++ defaultMove +
-      (s"colrename:$oldName" -> newName)
+    // neutralize the reused name's stale era (same hazard as
+    // addColumnAtomic: files written after this rename carry physical
+    // newName with real values — a stale coldrop/colrename entry
+    // would silently drop or fork them); safe because the probe above
+    // proved no live file carries the physical name
+    val neutralized: Map[String, String] =
+      (if (sm.drops.contains(newName)) Map(s"coldrop:$newName" -> "0")
+       else Map.empty[String, String]) ++
+      sm.renames.collect {
+        case (p, logical) if (p == newName || logical == newName) &&
+            logical != oldName =>
+          s"colrename:$p" -> "!"
+      }
+    val meta = readManifestMeta(conf, path) ++ neutralized ++ repointed ++
+      defaultMove + (s"colrename:$oldName" -> newName)
     writeManifest(conf, path, names, meta, v0)
   }
 
@@ -865,8 +911,7 @@ object Sources {
     import org.apache.spark.sql.functions.col
     require(numFiles >= 1, "optimizeClusteredAtomic: numFiles must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val base = readFilesApplyingDefaults(spark, path, names)
     val bs = graft.functions.ZOrder.bounds(base, cols)
     val root = new Path(path)
@@ -887,9 +932,13 @@ object Sources {
         s"optimizeClusteredAtomic: rename $p -> $dst failed")
       dst.getName
     }
+    writeManifest(conf, path, newNames, Map.empty, v0) // the atomic publish
+    // grid metadata AFTER the publish succeeds: a refused publish
+    // (concurrent head move) must not leave new-grid metadata live
+    // against the old layout — later delta appends would place rows
+    // on a grid the published table does not have
     graft.functions.CurveMeta.write(conf, path, "_zorder_meta.json",
       "z", cols, bits, bs)
-    writeManifest(conf, path, newNames, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
     (names, newNames)
   }
@@ -915,8 +964,7 @@ object Sources {
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce,
       count, input_file_name, lit, not}
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val hits = readManifested(spark, path).filter(predicate)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n")).collect()
@@ -972,8 +1020,7 @@ object Sources {
       count, input_file_name, lit, when => fnWhen, col => fnCol}
     require(assignments.nonEmpty, "updateWhereAtomic: no assignments")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val base = readManifested(spark, path)
     assignments.keys.foreach { c =>
       require(base.columns.contains(c),
@@ -1035,8 +1082,7 @@ object Sources {
     require(targetFileBytes >= 1,
       "compactSmallFilesAtomic: targetFileBytes must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val stats = names.map(n => fs.getFileStatus(new Path(path, n)))
@@ -1089,8 +1135,7 @@ object Sources {
     import org.apache.hadoop.fs.Path
     require(numFiles >= 1, s"insertIntoAtomic: numFiles=$numFiles must be >= 1")
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
@@ -1135,8 +1180,10 @@ object Sources {
     * per-op file histogram collects to the driver); keys are unique in
     * the batch (rejected loudly otherwise — resolve last-writer-wins
     * upstream); the payload carries the full base schema (whole-row
-    * upserts, the CDC-feed contract). Rewrite cost is one job per
-    * affected file — cluster the key so a delta lands in few files. */
+    * upserts, the CDC-feed contract). The rewrite is ONE Spark job
+    * regardless of how many files the delta touches (all affected
+    * files scanned together, written partitioned by source file) —
+    * still cluster the key so a delta REWRITES few files' bytes. */
   def mergeAtomic(spark: SparkSession, path: String, changes: DataFrame,
                   id: String, op: String = "op",
                   insertFiles: Int = 1,
@@ -1145,8 +1192,7 @@ object Sources {
     import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce,
       col => fnCol, count, input_file_name, lit, struct, when => fnWhen}
     val conf = spark.sessionState.newHadoopConf()
-    val names = publishManifest(spark, path)
-    val v0 = manifestVersion(conf, path)
+    val (names, v0) = pinSnapshot(spark, path)
     val base = readManifested(spark, path)
     val payloadCols = base.columns.toSeq
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1156,7 +1202,12 @@ object Sources {
     require(missingCols.isEmpty,
       s"mergeAtomic: delta lacks payload columns ${missingCols.mkString(", ")} " +
         "— upserts are whole-row (the CDC-feed contract)")
-    val badOp = changes.filter(!fnCol(op).isin("upsert", "delete")).limit(1).collect()
+    // NULL-safe: a NULL op must be rejected too — `!isin(...)` alone
+    // evaluates NULL on a NULL op, the filter drops the row, and the
+    // malformed CDC row would be silently ignored by both the rewrite
+    // join and the insert path (a partial apply without error)
+    val badOp = changes.filter(fnCol(op).isNull ||
+      !fnCol(op).isin("upsert", "delete")).limit(1).collect()
     require(badOp.isEmpty,
       s"mergeAtomic: op column carries a value other than upsert/delete")
     val dupKeys = changes.groupBy(fnCol(id)).agg(count(lit(1)).as("__c"))
@@ -1182,29 +1233,48 @@ object Sources {
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
       s"_merge_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    // rewrite only the files holding matched keys
-    val rewrittenNames = affected.flatMap { n =>
-      val src = readFilesApplyingDefaults(spark, path, Seq(n))
-      val kept = src.join(broadcast(delta), src(id) === fnCol("__k"), "left")
-        .filter(fnCol("__op").isNull || fnCol("__op") === "upsert")
-        .select(payloadCols.map(c =>
-          fnWhen(fnCol("__op") === "upsert", fnCol(s"__row.$c"))
-            .otherwise(src(c)).as(c)): _*)
-      if (kept.isEmpty) Seq.empty[String] // fully-deleted file vanishes
+    // rewrite only the files holding matched keys — in ONE Spark job
+    // however many files the delta touched (a per-file job loop would
+    // serialize a wide delta on an unclustered table through the
+    // driver): all affected files in one scan tagged by
+    // input_file_name, one broadcast merge join, one write
+    // PARTITIONED by source file so every source file's survivors
+    // land in their own directory and the one-file-per-source layout
+    // is preserved (repartition by the tag puts each source file in
+    // exactly one task)
+    val rewrittenNames =
+      if (affected.isEmpty) Seq.empty[String]
       else {
-        val binDir = new Path(staging, n)
-        kept.coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
-        val part = fs.listStatus(binDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-        require(part.length == 1,
-          s"mergeAtomic: expected 1 part file in $binDir")
-        val dst = new Path(root, part(0).getName)
-        require(fs.rename(part(0), dst),
-          s"mergeAtomic: rename ${part(0)} -> $dst failed")
-        Seq(dst.getName)
+        val src = readFilesApplyingDefaults(spark, path, affected)
+          .withColumn("__src", input_file_name())
+        val kept = src.join(broadcast(delta), src(id) === fnCol("__k"), "left")
+          .filter(fnCol("__op").isNull || fnCol("__op") === "upsert")
+          .select(payloadCols.map(c =>
+            fnWhen(fnCol("__op") === "upsert", fnCol(s"__row.$c"))
+              .otherwise(src(c)).as(c)) :+ src("__src"): _*)
+        val rewriteDir = new Path(staging, "__rewrites")
+        kept.repartition(fnCol("__src"))
+          .write.partitionBy("__src").mode(SaveMode.Overwrite)
+          .parquet(rewriteDir.toString)
+        // a fully-deleted source file writes no __src= directory and
+        // simply vanishes from the manifest
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val dirs =
+          if (fs.exists(rewriteDir))
+            fs.listStatus(rewriteDir).map(_.getPath)
+              .filter(_.getName.startsWith("__src=")).sortBy(_.getName).toSeq
+          else Seq.empty[Path]
+        dirs.zipWithIndex.flatMap { case (d, di) =>
+          fs.listStatus(d).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.map { case (p, pi) =>
+              val dst = new Path(root, s"merge-$tag-$di-$pi.parquet")
+              require(fs.rename(p, dst),
+                s"mergeAtomic: rename $p -> $dst failed")
+              dst.getName
+            }
+        }
       }
-    }
     // unmatched upserts are inserts: anti-join against the base's key
     // column only (column-pruned scan; compose with BloomPrune when
     // the delta is large against a huge base)

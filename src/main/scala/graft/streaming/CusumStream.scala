@@ -196,10 +196,16 @@ object CusumStream {
       (p.getFileSystem(conf0), p)
     }
     if (fs.exists(marker)) {
+      // enveloped like every other persisted monitor state: a raw
+      // unversioned byte would make a future format change read as a
+      // garbage shard count with no diagnosable error
       val bytes = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
-      val in = fs.open(marker)
-      try in.readFully(0, bytes) finally in.close()
-      val recorded = new String(bytes, "UTF-8").trim.toInt
+      val in0 = fs.open(marker)
+      try in0.readFully(0, bytes) finally in0.close()
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      graft.plans.SketchIO.readHeader(in, "cusum-shards", 1, "cusumStream")
+      val recorded = in.readInt()
       require(recorded == nShards,
         s"cusumStream: standing sharded monitor at $dir was built with " +
           s"nShards=$recorded, fold called with nShards=$nShards — " +
@@ -207,8 +213,13 @@ object CusumStream {
           "double-traces them; rebuild the state to change shard count")
     } else {
       val tmp = new org.apache.hadoop.fs.Path(dir, "_cusum_shards.tmp")
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      graft.plans.SketchIO.writeHeader(out, "cusum-shards", 1)
+      out.writeInt(nShards)
+      out.flush()
       val o = fs.create(tmp, true)
-      try o.write(nShards.toString.getBytes("UTF-8")) finally o.close()
+      try o.write(bos.toByteArray) finally o.close()
       require(fs.rename(tmp, marker),
         s"cusumStream: rename $tmp -> $marker failed")
     }

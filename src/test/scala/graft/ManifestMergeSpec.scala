@@ -266,6 +266,169 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(Sources.readManifested(spark, path).count() == 11)
   }
 
+  test("mergeAtomic: a delta touching 100+ files rewrites in O(1) Spark jobs") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_merge_wide"))
+    val path = new java.io.File(dir, "tbl").getPath
+    // UNCLUSTERED layout, 120 files: the adversarial case for a
+    // per-file rewrite loop (one Spark job per file = 120 jobs)
+    (0L until 1200L).map(i => (i, i * 2L)).toDF("id", "v")
+      .repartition(120, col("id"))
+      .write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    assert(Sources.readManifest(conf, path).get.length == 120)
+    val delta = (0L until 1200L by 3L)
+      .map(i => (i, -i, "upsert")).toDF("id", "v", "op")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try Sources.mergeAtomic(spark, path, delta, "id")
+      finally {
+        // listener events are async — drain before reading the count
+        Thread.sleep(100)
+        var prev = -1
+        var stable = 0
+        while (stable < 3 && prev <= jobs.get()) {
+          if (jobs.get() == prev) stable += 1 else stable = 0
+          prev = jobs.get(); Thread.sleep(150)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(res.updated == 400L && res.deleted == 0L && res.inserted == 0L)
+    assert(res.rewritten.length >= 100,
+      s"the spread delta must touch 100+ files: ${res.rewritten.length}")
+    // THE SCALE CONTRACT: one scan + one merge join + one partitioned
+    // write regardless of how many files the delta touches — a
+    // per-file loop would launch 100+ jobs here and serialize a wide
+    // delta through the driver at 100 TB
+    assert(jobs.get() <= 12,
+      s"mergeAtomic must rewrite in O(1) jobs, saw ${jobs.get()}")
+    // answers unchanged by the one-job shape
+    val got = Sources.readManifested(spark, path)
+    assert(got.count() == 1200)
+    assert(got.filter(col("id") % 3L === 0L).agg(sum("v")).head().getLong(0)
+      == (0L until 1200L by 3L).map(-_).sum)
+    assert(got.filter(col("id") % 3L =!= 0L).agg(sum("v")).head().getLong(0)
+      == (0L until 1200L).filter(_ % 3 != 0).map(_ * 2).sum)
+    // one-file-per-source layout preserved: file count stays 120
+    assert(Sources.readManifest(conf, path).get.length == 120)
+  }
+
+  test("mergeAtomic rejects a NULL op — a malformed CDC batch must not partially apply") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_merge_nullop"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 10L).map(i => (i, i)).toDF("id", "v")
+      .repartition(1).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    val delta = Seq((1L, 100L, "upsert"), (2L, 200L, null))
+      .toDF("id", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Sources.mergeAtomic(spark, path, delta, "id")
+    }
+    assert(e.getMessage.contains("upsert/delete"), e.getMessage)
+    // nothing applied
+    assert(Sources.readManifested(spark, path)
+      .filter(col("id") === 1L).head().getLong(1) == 1L)
+  }
+
+  test("optimistic contract under a GENUINE two-writer thread race: one wins, no file loss") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = new java.io.File(tmp("graft_occ_race"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 1000L).map(i => (i, i)).toDF("id", "n")
+      .repartition(4).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    val base = Sources.readManifest(conf, path).get.toSet
+    // both writers pin their snapshot within ms of the barrier; each
+    // then spends 100s of ms staging parquet before publishing — the
+    // slower publisher MUST land on a moved head and refuse
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def writer(lo: Long): Future[Either[Throwable, Seq[String]]] = Future {
+      barrier.await()
+      try Right(Sources.insertIntoAtomic(spark, path,
+        (lo until lo + 10L).map(i => (i, i)).toDF("id", "n")))
+      catch { case t: Throwable => Left(t) }
+    }
+    val (ra, rb) = (writer(9000L), writer(9500L))
+    val results = Seq(Await.result(ra, 120.seconds),
+      Await.result(rb, 120.seconds))
+    val wins = results.collect { case Right(names) => names }
+    val losses = results.collect { case Left(t) => t }
+    assert(wins.length == 1 && losses.length == 1,
+      s"exactly one publish must win the race: $results")
+    assert(losses.head.isInstanceOf[IllegalStateException] &&
+      losses.head.getMessage.contains("concurrent publish"),
+      s"the loser must refuse loudly: ${losses.head}")
+    // NO FILE LOSS: the head manifest carries every base file plus
+    // exactly the winner's files, and each referenced file exists
+    val head = Sources.readManifest(conf, path).get
+    assert(base.subsetOf(head.toSet), "the race must never unpublish base files")
+    assert(head.toSet -- base == wins.head.toSet,
+      "the head must carry exactly the winner's appends")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    head.foreach(n => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, n)), s"missing $n"))
+    val afterRace = Sources.readManifested(spark, path)
+    assert(afterRace.count() == 1010, "base + exactly one batch")
+    // the loser's orphaned staging renames are UNREFERENCED, not
+    // published — vacuum reclaims them without touching live files
+    val reclaimed = Sources.vacuumUnreferenced(spark, path)
+    assert(reclaimed.nonEmpty, "the losing writer's orphans must be vacuumable")
+    assert(Sources.readManifested(spark, path).count() == 1010)
+    // the refused writer re-runs against the new head and lands
+    Sources.insertIntoAtomic(spark, path,
+      (9990L until 10000L).map(i => (i, i)).toDF("id", "n"))
+    assert(Sources.readManifested(spark, path).count() == 1020)
+  }
+
+  test("CDC read refuses the window a racing OPTIMIZE published into") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = new java.io.File(tmp("graft_cdc_race"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 100L).map(i => (i, i * 2L)).toDF("id", "k")
+      .repartition(4).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    // the incremental reader pins its resume point (head version)...
+    val fromV = Sources.manifestVersion(conf, path)
+    Sources.insertIntoAtomic(spark, path,
+      (101L to 110L).map(i => (i, i * 2L)).toDF("id", "k"))
+    // ...and a maintenance OPTIMIZE publishes INSIDE the reader's
+    // window, on a racing thread (rewrites every pinned file)
+    val optimize = Future {
+      Sources.optimizeClusteredAtomic(spark, path,
+        Seq("id", "k"), bits = 8, numFiles = 2)
+    }
+    Await.result(optimize, 120.seconds)
+    // the resume read MUST refuse: rewritten survivors would double-
+    // count as \"new rows\" in any append-only interpretation
+    val e = intercept[IllegalArgumentException] {
+      Sources.readManifestedAdded(spark, path, fromV)
+    }
+    assert(e.getMessage.contains("not append-only") &&
+      e.getMessage.contains("corpusDiff"), e.getMessage)
+    // the named row-accurate alternative DOES serve the delta
+    val diff = graft.ops.Dedup.corpusDiff(
+      Sources.readManifestedAt(spark, path, fromV)
+        .withColumn("__t", col("k").cast("string")),
+      Sources.readManifested(spark, path)
+        .withColumn("__t", col("k").cast("string")),
+      "id", "__t")
+    assert(diff.filter(col("status") === "added").count() == 10)
+  }
+
   test("mergeAtomic composes with addColumnAtomic: defaults survive the rewrite") {
     import spark.implicits._
     val dir = new java.io.File(tmp("graft_merge3"))

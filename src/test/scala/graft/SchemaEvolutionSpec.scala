@@ -57,6 +57,79 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val re = Sources.readManifested(spark, path)
     assert(re.filter(col("id") === 7L).select("v").head().getString(0)
       == "fresh", "the re-added column serves the NEW default, not relics")
+    // THE STICKY-TOMBSTONE HAZARD: files appended AFTER the re-add
+    // carry the column physically with real values — a stale
+    // coldrop:v entry surviving the re-add would silently drop those
+    // values and substitute the default (data corruption). The re-add
+    // must have neutralized it.
+    Sources.insertIntoAtomic(spark, path,
+      Seq((200L, 600L, "explicit")).toDF("id", "n", "v"))
+    val post = Sources.readManifested(spark, path)
+    assert(post.filter(col("id") === 200L).select("v").head().getString(0)
+      == "explicit",
+      "a post-re-add append must serve its REAL values, not the default")
+    assert(post.filter(col("id") === 7L).select("v").head().getString(0)
+      == "fresh", "pre-re-add rows still serve the default")
+  }
+
+  test("reusing a renamed-away name neutralizes the stale rename mapping") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_reuse_ren"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 30L).map(i => (i, i * 2L)).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    // v renamed to w: old footers carry physical v, served as w
+    Sources.renameColumnAtomic(spark, path, "v", "w")
+    // while v-era footers are live, reusing the name is refused (their
+    // physical v would collide with the new column's story)
+    val e = intercept[IllegalArgumentException] {
+      Sources.addColumnAtomic(spark, path, "v", "bigint", -1L)
+    }
+    assert(e.getMessage.contains("physically present"), e.getMessage)
+    // compaction materializes the rename (footers now carry w)
+    Sources.compactSmallFilesAtomic(spark, path, targetFileBytes = 1L << 30)
+    assert(Sources.readManifest(conf, path).get
+      .forall(n => !footer(path, n).contains("v")))
+    // re-add a NEW column named v: the stale colrename:v->w mapping
+    // must be neutralized, or post-re-add files' v values would be
+    // silently served under w (forked column)
+    Sources.addColumnAtomic(spark, path, "v", "bigint", -1L)
+    Sources.insertIntoAtomic(spark, path,
+      Seq((100L, 1000L, 77L)).toDF("id", "w", "v"))
+    val got = Sources.readManifested(spark, path)
+    assert(got.filter(col("id") === 100L).select("v").head().getLong(0)
+      == 77L, "post-re-add v values must stay v, not fork into w")
+    assert(got.filter(col("id") === 100L).select("w").head().getLong(0)
+      == 1000L)
+    assert(got.filter(col("id") === 5L).select("v").head().getLong(0)
+      == -1L, "v-era rows read the new column's default")
+    assert(got.filter(col("id") === 5L).select("w").head().getLong(0)
+      == 10L, "v-era rows still serve their renamed w values")
+  }
+
+  test("renameColumnAtomic refuses a target name a live footer still carries") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_ren_guard"))
+    val path = new java.io.File(dir, "tbl").getPath
+    (1L to 20L).map(i => (i, i * 2L, i * 3L)).toDF("id", "a", "b")
+      .repartition(2).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    // a renamed away: footers still physically carry 'a' (serving a2)
+    Sources.renameColumnAtomic(spark, path, "a", "a2")
+    // renaming b -> a while a-era footers are live would have b's
+    // post-rename files (physical 'a') forked by colrename:a->a2 —
+    // refuse until compaction sheds the footprint
+    val e = intercept[IllegalArgumentException] {
+      Sources.renameColumnAtomic(spark, path, "b", "a")
+    }
+    assert(e.getMessage.contains("physically present"), e.getMessage)
+    Sources.compactSmallFilesAtomic(spark, path, targetFileBytes = 1L << 30)
+    Sources.renameColumnAtomic(spark, path, "b", "a")
+    val got = Sources.readManifested(spark, path)
+    assert(got.columns.sorted.toSeq == Seq("a", "a2", "id"))
+    assert(got.filter(col("id") === 4L).select("a").head().getLong(0) == 12L)
+    assert(got.filter(col("id") === 4L).select("a2").head().getLong(0) == 8L)
   }
 
   private def footer(path: String, n: String): Set[String] = {
