@@ -236,6 +236,35 @@ object QueriesTidyr {
       Tibble.enframe(s, Seq("x" -> 1, "y" -> 2, "z" -> 3))
         .orderBy(col("name"))),
 
+    // set_colnames: positional rename over a real table projection —
+    // the oracle re-derives the same values under the new names
+    "t_set_colnames" -> ((s, d) =>
+      Tibble.setColnames(
+        t(s, d, "nation").select("n_nationkey", "n_name"),
+        Seq("nk", "nname")).orderBy(col("nk"))),
+
+    // tibble_row: the one-row ctor; unioned onto enframe output to
+    // prove it composes as a frame, not just prints
+    "t_tibble_row" -> ((s, d) =>
+      Tibble.tibbleRow(s, "name" -> "w", "value" -> 9)
+        .unionByName(Tibble.enframe(s, Seq("x" -> 1, "y" -> 2)))
+        .orderBy(col("name"))),
+
+    // glimpse: the driver-side formatter's structural numbers (eager
+    // row count + column count) checked against the table itself
+    "t_glimpse" -> ((s, d) => {
+      import graft.core.GraftFrame.DataFrameOps
+      val text = t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .graft.glimpseEager()
+      val rows = "Rows: (\\d+)".r.findFirstMatchIn(text).get.group(1).toLong
+      val ncols =
+        "Columns: (\\d+)".r.findFirstMatchIn(text).get.group(1).toLong
+      require(text.contains("$ n_name <string>"),
+        s"glimpse must render per-column type lines: $text")
+      Tibble.of(s, "rows" -> Seq(rows), "columns" -> Seq(ncols))
+    }),
+
     "t_rowid" -> ((s, d) =>
       Tibble.rowidToColumn(
         t(s, d, "nation"), Seq(col("n_nationkey").asc))
@@ -459,6 +488,18 @@ object QueriesTidyr {
     "t_enframe" ->
       """SELECT * FROM (VALUES ('x', 1), ('y', 2), ('z', 3)) AS t(name, value)
         |ORDER BY name""".stripMargin,
+
+    "t_set_colnames" ->
+      """SELECT n_nationkey AS nk, n_name AS nname FROM nation
+        |ORDER BY nk""".stripMargin,
+
+    "t_tibble_row" ->
+      """SELECT * FROM (VALUES ('w', 9), ('x', 1), ('y', 2)) AS t(name, value)
+        |ORDER BY name""".stripMargin,
+
+    "t_glimpse" ->
+      """SELECT count(*) AS rows, CAST(3 AS BIGINT) AS columns
+        |FROM nation""".stripMargin,
 
     "t_rowid" ->
       """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS rowid,

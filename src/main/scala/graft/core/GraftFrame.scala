@@ -756,6 +756,13 @@ final class GraftFrame private (
     }
     s"Rows: ? (lazy)\nColumns: ${df.columns.length}\n" + cols.mkString("\n")
   }
+
+  /** glimpse with a COUNTED row total — one count(*) action (a
+    * metadata-only scan under parquet). The lazy variant stays the
+    * default: on a 100 TB frame an interactive schema peek must not
+    * force a count job. */
+  def glimpseEager(n: Int = 5): String =
+    glimpse(n).replaceFirst("Rows: \\? \\(lazy\\)", s"Rows: ${df.count()}")
 }
 
 object GraftFrame {
