@@ -333,6 +333,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val anchorStart = math.min(anchor(), anchor())
+    // quiet-host anchor band is 0.33–0.45s (BASELINE.md pins); past
+    // 0.60s the host is demonstrably contended and every row in that
+    // window is directional only. The marker rides IN the JSON so a
+    // reader of the artifact alone sees it (r15 shipped contended
+    // sf10 rows labeled only in BASELINE.md prose — a standalone
+    // BENCH reader saw a 3× regression that wasn't real).
+    val ContendedSec = 0.60
     def time1(name: String, dir: String): Option[(Double, Long)] = {
       val t0 = System.nanoTime()
       // A failed query is reported in a separate "failed" array and
@@ -419,15 +426,18 @@ object Bench {
       else erCc.map { case (scale, (it, edges)) =>
         s""""$scale":{"iterations":$it,"pairs":${edges / 2}}"""
       }.mkString(""","er_cc":{""", ",", "}")
-    def compactCore(anchors: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors$erCcJson}"""
-    println(compactCore(f"""{"start":$anchorStart%.3f}"""))
+    def compactCore(anchors: String, contended: Boolean): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors,"contended":$contended$erCcJson}"""
+    println(compactCore(f"""{"start":$anchorStart%.3f}""",
+      anchorStart > ContendedSec))
     // sf1 rehearsal: only when benching the standard sf0.1 dir (the
     // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
     val sf1Json =
       if (new java.io.File(sfDir).getName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
         val sf1Dir = synthSf1(spark, benchDir)
+        // contention can start mid-bench: anchor the sweep itself
+        val sweepAnchor1 = math.min(anchor(), anchor())
         // min-of-2 (+1 for >1s tails) like the headline: single-shot
         // sf1 rows rode the ±40% host-noise band and masked real
         // round-over-round signal
@@ -459,7 +469,8 @@ object Bench {
           .mkString(""","sf1_rows":{""", ",", "}")
         rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
           .mkString(""","sf1_queries":{""", ",",
-            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows
+            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows +
+          f""","sf1_anchor_sec":$sweepAnchor1%.3f,"sf1_contended":${sweepAnchor1 > ContendedSec}"""
       } else ""
     // the sweep as its OWN compact line, printed as soon as it exists
     // — BENCH_r13's raw tail truncated the combined blob's head, so
@@ -474,6 +485,7 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1") {
         val sf10Dir = synthSf10(spark, benchDir)
+        val sweepAnchor10 = math.min(anchor(), anchor())
         val rows = sf10Queries.filter(qs.contains).map { n =>
           val r = n -> timeN(n, sf10Dir)
           if (n == "x_entity_res") grabErCc("sf10")
@@ -496,11 +508,12 @@ object Bench {
         rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
           .mkString(""","sf10_queries":{""", ",",
             """},"sf10_synth":"100x-key-shifted-replicas-docs-lineitem-embeddings"""") +
-          growth + sf10Rows
+          growth + sf10Rows +
+          f""","sf10_anchor_sec":$sweepAnchor10%.3f,"sf10_contended":${sweepAnchor10 > ContendedSec}"""
       } else ""
     if (sf10Json.nonEmpty) println("{" + sf10Json.drop(1) + "}")
     val anchorEnd = math.min(anchor(), anchor())
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}$erCcJson$sf1Json$sf10Json}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f},"contended":${math.max(anchorStart, anchorEnd) > ContendedSec}$erCcJson$sf1Json$sf10Json}"""
     // the stdout line alone has been lost to artifact tail-truncation
     // two rounds running (BENCH_r10/r11 shipped "parsed": null with the
     // headline numbers cut out of the log tail) — land the full JSON on
@@ -512,7 +525,8 @@ object Bench {
     // last-N-bytes capture keeps THIS line whole even when the full
     // dump above gets its head cut
     println(compactCore(
-      f"""{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}"""))
+      f"""{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}""",
+      math.max(anchorStart, anchorEnd) > ContendedSec))
     spark.stop()
   }
 }

@@ -1210,6 +1210,19 @@ object QueriesOps {
         least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
         col("text").contains(" the "), k = 10)),
 
+    // histogram-binning calibration — the REMEDIATION half of the ECE
+    // audit: per-bin positive rates fit on even doc_ids, applied to
+    // odd doc_ids; gap_after vs gap_before is the held-out win
+    "x_calib_fit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.histogramCalibration(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+        col("text").contains(" the "), k = 10)
+        .orderBy(col("bin"))
+    }),
+
     // thresholded confusion matrix + accuracy/precision/recall/F1/MCC
     // of the "keep if n_chars >= 300" rule vs the stopword teacher:
     // ONE partial-agg scan, decimal MCC numerator, fixed sqrt chain
@@ -2507,6 +2520,41 @@ object QueriesOps {
           k = 2L, h = 6L, direction = "down")
         .orderBy(col("event_type"), col("wstart"))),
 
+    // truncated-EWMA control chart (alpha=1/2, horizon 16) over the
+    // same gap-filled hourly spine: dyadic weights make every value
+    // bit-exact on any IEEE engine; surge alarm n > 4*e_prev + 4.
+    // Per-type rollup: hours, the chart's final level, alarm count
+    "x_ewma" -> ((s, d) =>
+      EventAnalytics.ewmaChart(events(s, d), "1 hour",
+          horizon = 16, mult = 4L, guard = 4L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hours"),
+          max(struct(col("wstart"), col("ewma")))
+            .getField("ewma").as("last_ewma"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("alarms"))
+        .orderBy(col("event_type"))),
+
+    // interval-OVERLAP join, bucket topology with one-bin-ownership
+    // dedup (each pair claimed by the bin holding max(lo_l, lo_r)):
+    // view spans x error spans per user, rolled up to pair counts and
+    // total overlap seconds — the oracle replays the quadratic join
+    "x_interval_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("v_lo"))
+        .withColumn("v_hi", col("v_lo") + lit(600L))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("e_lo"))
+        .withColumn("e_hi", col("e_lo") + lit(900L))
+      RangeJoin.intervalOverlap(views, "v_lo", "v_hi",
+          errs, "e_lo", "e_hi", binWidth = 1024L, keys = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("pairs"),
+          sum(least(col("v_hi"), col("e_hi"))
+            - greatest(col("v_lo"), col("e_lo"))).as("overlap_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // STREAMING CUSUM, batch twin: the event log processed as three
     // hour-aligned time batches folded through the standing per-type
     // state; the emitted trace is row-identical to the batch operator,
@@ -3768,6 +3816,33 @@ object QueriesOps {
         |    / 1099511627776.0 / CAST(sum(n) AS DOUBLE) AS ece,
         |  max(abs(pos_rate - mean_p)) AS max_ce
         |FROM g""".stripMargin,
+
+    // calibration fit/apply replay: exact count ratios per bin on the
+    // even/odd doc_id split, decimal-grid mean scores, single-
+    // subtraction gaps
+    "x_calib_fit" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT) AS bin,
+        |    p, y FROM d),
+        |f AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_fit,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS calib_p
+        |  FROM b WHERE doc_id % 2 = 0 GROUP BY bin),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_apply,
+        |    ${graft.functions.Exact.dsumSql("p")}
+        |      / CAST(count(*) AS DOUBLE) AS mean_p_apply,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS apply_rate
+        |  FROM b WHERE doc_id % 2 = 1 GROUP BY bin)
+        |SELECT a.bin, f.n_fit, f.calib_p, a.n_apply, a.mean_p_apply,
+        |  a.apply_rate,
+        |  abs(a.apply_rate - a.mean_p_apply) AS gap_before,
+        |  abs(a.apply_rate - f.calib_p) AS gap_after
+        |FROM a LEFT JOIN f USING (bin)
+        |ORDER BY bin""".stripMargin,
 
     // confusion replay: exact counts, HUGEINT MCC numerator, the same
     // fixed four-sqrt denominator chain
@@ -6635,6 +6710,56 @@ s"""WITH lines AS (
         |SELECT event_type, wstart, n, CAST(cum - mnc AS BIGINT) AS cusum,
         |  (cum - mnc) > 6 AS changed
         |FROM m ORDER BY event_type, wstart""".stripMargin,
+
+    // truncated-EWMA replay over the same gap-filled spine: the
+    // 16-term dyadic chain is exact binary-double arithmetic on both
+    // engines, so no fixed-point grid is needed anywhere
+    "x_ewma" -> {
+      val chain = (0 until 16).map { j =>
+        val w = s"${1L << (j + 1)}.0"
+        if (j == 0) s"n / $w"
+        else s"coalesce(lag(n, $j) OVER win, 0) / $w"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+        |sp AS (SELECT t.event_type,
+        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+        |e AS (SELECT event_type, wstart, n, $chain AS ewma
+        |  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY wstart)),
+        |al AS (SELECT event_type, wstart, n, ewma,
+        |    coalesce(CAST(n AS DOUBLE) >
+        |      4.0 * (lag(ewma, 1) OVER win2) + 4.0, FALSE) AS alarm
+        |  FROM e WINDOW win2 AS (PARTITION BY event_type ORDER BY wstart))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS hours,
+        |  max_by(ewma, wstart) AS last_ewma,
+        |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS alarms
+        |FROM al GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    },
+
+    // interval-overlap replay: the QUADRATIC per-user join the bucket
+    // topology must reproduce pair-for-pair
+    "x_interval_join" ->
+      """WITH v AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS hi
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 900 AS hi
+        |  FROM events WHERE event_type = 'error')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS pairs,
+        |  CAST(sum(least(v.hi, e.hi) - greatest(v.lo, e.lo)) AS BIGINT)
+        |    AS overlap_sec
+        |FROM v JOIN e ON v.user_id = e.user_id
+        |  AND v.lo <= e.hi AND e.lo <= v.hi
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     // streaming down twin: row-identical trace, same replay
     "s_cusum_down" ->

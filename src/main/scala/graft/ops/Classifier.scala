@@ -575,6 +575,50 @@ object Classifier {
         (col("__sg") / col("n").cast("double")).as("ece"), col("max_ce"))
   }
 
+  /** Histogram-binning calibration (Zadrozny & Elkan 2001) — the
+    * REMEDIATION half of the [[expectedCalibrationError]] audit, the
+    * way [[graft.ops.TextAnalysis]] pairs the mojibake audit with its
+    * fix: FIT a per-bin empirical positive rate on one split, APPLY
+    * it as the calibrated probability to the other. The fitted table
+    * is ≤ k rows by construction, so at 100 TB this is two partial-agg
+    * scans joined on the tiny bin key — the fact table never shuffles
+    * beyond its bin aggregation, and the "model" broadcasts anywhere.
+    * Engine-exactness: calibrated rates are single divisions of exact
+    * longs; mean scores ride the decimal-sum grid; the before/after
+    * gaps are one subtraction of already-exact doubles. Output, one
+    * row per bin seen in the APPLY split: bin, n_fit, calib_p (the
+    * fitted rate; NULL when the fit split never saw the bin — the
+    * honest "model has no opinion" read), n_apply, mean_p_apply,
+    * apply_rate, gap_before (|apply_rate − mean_p_apply|), gap_after
+    * (|apply_rate − calib_p|). A calibration that works shows
+    * gap_after ≪ gap_before on the held-out split. */
+  def histogramCalibration(fit: DataFrame, applyTo: DataFrame,
+                           prob: Column, label: Column,
+                           k: Int = 10): DataFrame = {
+    require(k >= 2, s"histogramCalibration: k must be >= 2 (got $k)")
+    val bin = least(greatest(floor(prob * lit(k)), lit(0.0)), lit(k - 1.0))
+      .cast("int")
+    val fitted = fit.filter(prob.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), label.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_fit"),
+        (sum(when(col("__y"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("calib_p"))
+    val applied = applyTo.filter(prob.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), prob.as("__p"), label.as("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_apply"),
+        (graft.functions.Exact.dsum(col("__p"))
+          / count(lit(1)).cast("double")).as("mean_p_apply"),
+        (sum(when(col("__y"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("apply_rate"))
+    applied.join(broadcast(fitted), Seq("bin"), "left")
+      .select(col("bin"), col("n_fit"), col("calib_p"), col("n_apply"),
+        col("mean_p_apply"), col("apply_rate"),
+        abs(col("apply_rate") - col("mean_p_apply")).as("gap_before"),
+        abs(col("apply_rate") - col("calib_p")).as("gap_after"))
+  }
+
   /** Thresholded confusion matrix + the derived one-number reads —
     * the basic eval of a deployed filter rule ("keep if score ≥ t"):
     * tp/fp/fn/tn from ONE partial-agg scan, then accuracy, precision,

@@ -224,6 +224,60 @@ object EventAnalytics {
       .drop("__cum")
   }
 
+  /** Truncated-EWMA control chart (Roberts 1959) over per-type
+    * windowed counts — the SMOOTHED complement to [[cusumChangePoints]]
+    * (CUSUM accumulates shift evidence; EWMA tracks the level itself,
+    * the baseline an ops dashboard plots): with α = 1/2 and a hard
+    * horizon H,
+    *   e_t = Σ_{j=0..H−1} 2^{−(j+1)} · n_{t−j}
+    * over the gap-filled per-type spine (silent windows count 0 and
+    * drain the average, exactly like the CUSUM spine). DYADIC weights
+    * are the engine-exactness trick: every term n/2^{j+1} and every
+    * partial sum is an exactly-representable binary double (integer
+    * numerator, power-of-two denominator), so the chart replays
+    * bit-for-bit on any IEEE engine in any evaluation order — no
+    * decimal grid needed. The horizon bounds the window frame (H
+    * lags, codegen'd; the dropped tail weight is 2^−H of history —
+    * below one count at H = 20), and the whole chart is ONE partial
+    * agg to the (types × windows) profile plus one per-type-
+    * partitioned window pass: profile-sized at any corpus scale,
+    * never a global window.
+    * Alarm: a one-sided surge test n_t > mult · e_{t−1} + guard —
+    * integer-vs-dyadic comparison, exact; e_{t−1} undefined on each
+    * type's first window (no alarm there, SQL-style).
+    * Output: (event_type, wstart, n, ewma, alarm). */
+  def ewmaChart(events: DataFrame, windowLen: String = "1 hour",
+                horizon: Int = 16, mult: Long = 4L,
+                guard: Long = 4L): DataFrame = {
+    require(horizon >= 1 && horizon <= 48,
+      s"ewmaChart: horizon must be in [1, 48] (got $horizon)")
+    require(mult >= 1 && guard >= 0,
+      s"ewmaChart: need mult >= 1, guard >= 0 (got $mult, $guard)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+    val bounds = counts.agg(min("wstart").as("__mn"), max("wstart").as("__mx"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr(s"INTERVAL $windowLen"))).as("wstart"))
+    val filled = spine.join(counts, Seq("event_type", "wstart"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val byType = Window.partitionBy("event_type").orderBy("wstart")
+    val ewma = (0 until horizon).map { j =>
+      coalesce(lag(col("n"), j).over(byType), lit(0L)).cast("double") /
+        lit((1L << (j + 1)).toDouble)
+    }.reduce(_ + _)
+    filled.withColumn("ewma", ewma)
+      .withColumn("alarm",
+        coalesce(col("n").cast("double") >
+          lit(mult.toDouble) * lag(col("ewma"), 1).over(byType)
+            + lit(guard.toDouble), lit(false)))
+  }
+
   /** Semi-structured metadata extraction: pull typed fields out of a
     * JSON properties column (the crawl/event sidecar every real
     * pipeline carries — request params, page metadata, client tags).

@@ -93,6 +93,41 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-OVERLAP join — the interval×interval sibling of
+    * [[pointInInterval]] (incident windows × deploy windows, session
+    * spans × maintenance spans): `left` rows join every `right` row
+    * with `lLo <= rHi AND rLo <= lHi` (inclusive overlap). Same
+    * binning topology, with the classic ONE-BIN-OWNERSHIP dedup: both
+    * sides explode to the bins they cover and equi-join on the bin
+    * id, but a pair sharing many bins must emit ONCE — each
+    * overlapping pair is therefore claimed exactly by the bin holding
+    * max(lLo, rLo) (the overlap's left edge, covered by BOTH
+    * intervals whenever they overlap), a plan-time filter instead of
+    * a distinct over the blowup. At 100 TB: one shuffle per side on
+    * the bin key, replication bounded by interval-length/binWidth
+    * ([[replicationStats]] quantifies each side), residual predicate
+    * in codegen — never an all-pairs product. Optional `keys`
+    * tightens the shuffle to (keys, bin) — the usual "same user,
+    * overlapping spans" shape. Column names must be disjoint apart
+    * from `keys`. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      binWidth: Long,
+                      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(binWidth > 0, s"range join: binWidth must be positive (got $binWidth)")
+    val l = left.withColumn("__bin",
+      explode(sequence(bin(col(lLo).cast("long"), binWidth),
+        bin(col(lHi).cast("long"), binWidth))))
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(rLo).cast("long"), binWidth),
+        bin(col(rHi).cast("long"), binWidth))))
+    l.join(r, keys :+ "__bin")
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") ===
+        bin(greatest(col(lLo), col(rLo)).cast("long"), binWidth))
+      .drop("__bin")
+  }
+
   /** Timestamp flavor: converts both sides to epoch microseconds
     * (TIMESTAMP_NTZ included — ANSI forbids a direct long cast) and
     * bins `binDays` wide. */

@@ -1099,22 +1099,38 @@ object Sources {
     if (toRewrite.isEmpty) return (names.length, names.length)
     val staging = new Path(path,
       s"_compact_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    val newNames = toRewrite.zipWithIndex.map { case (bin, i) =>
-      val binDir = new Path(staging, s"bin_$i")
-      readFilesApplyingDefaults(spark, path, bin.map(_.getName))
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
-      val part = fs.listStatus(binDir)
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      require(part.length == 1,
-        s"compactSmallFilesAtomic: expected 1 part file in $binDir, " +
-          s"got ${part.length}")
-      // part-file names carry a per-job UUID — unique in the root
-      val dst = new Path(root, part(0).getName)
-      require(fs.rename(part(0), dst),
-        s"compactSmallFilesAtomic: rename ${part(0)} -> $dst failed")
-      dst.getName
-    }
+    // ONE Spark job however many bins there are (a per-bin loop
+    // serializes a 10k-small-file table through the driver): every
+    // bin member in one scan, each row tagged with its bin via a
+    // broadcast (file name -> bin) lookup, one write PARTITIONED by
+    // bin — repartition on the bin id lands each bin in exactly one
+    // task, preserving the one-file-per-bin layout
+    import org.apache.spark.sql.functions.{broadcast, col => fnCol,
+      element_at, input_file_name, split}
+    val binLookup = spark.createDataFrame(
+      toRewrite.zipWithIndex.flatMap { case (bin, i) =>
+        bin.map(p => (p.getName, i))
+      }).toDF("__name", "__bin")
+    val binDir = new Path(staging, "__bins")
+    readFilesApplyingDefaults(spark, path, toRewrite.flatten.map(_.getName))
+      .withColumn("__name", element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(binLookup), Seq("__name")).drop("__name")
+      .repartition(fnCol("__bin"))
+      .write.partitionBy("__bin").mode(SaveMode.Overwrite)
+      .parquet(binDir.toString)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val newNames = fs.listStatus(binDir).map(_.getPath)
+      .filter(_.getName.startsWith("__bin=")).sortBy(_.getName).toSeq
+      .zipWithIndex.flatMap { case (d, di) =>
+        fs.listStatus(d).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.map { case (p, pi) =>
+            val dst = new Path(root, s"compact-$tag-$di-$pi.parquet")
+            require(fs.rename(p, dst),
+              s"compactSmallFilesAtomic: rename $p -> $dst failed")
+            dst.getName
+          }
+      }
     val replaced = toRewrite.flatten.map(_.getName).toSet
     val after = names.filterNot(replaced.contains) ++ newNames
     writeManifest(conf, path, after, Map.empty, v0) // the atomic publish

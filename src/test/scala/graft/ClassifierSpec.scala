@@ -310,6 +310,41 @@ class ClassifierSpec extends SparkTestBase {
     assert(r1.isNullAt(r1.fieldIndex("mcc")))
   }
 
+  test("histogramCalibration: fitted rates, held-out gaps, unseen-bin NULL") {
+    import org.apache.spark.sql.functions.col
+    // fit split: bin0 rate 1/2, bin9 rate 3/4; bin5 never seen
+    val fit = sqlDf(
+      "p" -> Seq(0.05, 0.05, 0.95, 0.95, 0.95, 0.95),
+      "y" -> Seq(true, false, true, true, true, false))
+    // apply split: bin0 two rows, bin5 (no fitted opinion), bin9 one
+    val app = sqlDf(
+      "p" -> Seq(0.01, 0.09, 0.55, 0.91),
+      "y" -> Seq(false, true, false, true))
+    val out = Classifier.histogramCalibration(
+      fit, app, col("p"), col("y"), k = 10).orderBy("bin").collect()
+    assert(out.map(_.getAs[Int]("bin")).toSeq == Seq(0, 5, 9))
+    val b0 = out(0)
+    assert(b0.getAs[Long]("n_fit") == 2L &&
+      b0.getAs[Double]("calib_p") == 0.5)
+    assert(b0.getAs[Long]("n_apply") == 2L &&
+      b0.getAs[Double]("apply_rate") == 0.5)
+    assert(b0.getAs[Double]("mean_p_apply") == 0.05)
+    // on bin0 the raw scores sit at 0.05 vs a true rate of 0.5; the
+    // fitted rate nails it: remediation closes the gap to zero
+    assert(b0.getAs[Double]("gap_before") == 0.5 - 0.05 &&
+      b0.getAs[Double]("gap_after") == 0.0)
+    // unseen bin: the model honestly has no opinion
+    val b5 = out(1)
+    assert(b5.isNullAt(b5.fieldIndex("n_fit")) &&
+      b5.isNullAt(b5.fieldIndex("calib_p")) &&
+      b5.isNullAt(b5.fieldIndex("gap_after")))
+    assert(b5.getAs[Double]("gap_before") == 0.55)
+    val b9 = out(2)
+    assert(b9.getAs[Double]("calib_p") == 0.75 &&
+      b9.getAs[Double]("apply_rate") == 1.0)
+    assert(b9.getAs[Double]("gap_after") == 0.25)
+  }
+
   test("rocAucBy: per-key AUC matches the unkeyed value on each slice") {
     import org.apache.spark.sql.functions.col
     // key a: a decent scorer with a tie; key b: a perfect reversal

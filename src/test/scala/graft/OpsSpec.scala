@@ -2682,6 +2682,73 @@ class OpsSpec extends SparkTestBase {
       "the sustained +3/h shift must cross h=8 by hour 12")
   }
 
+  test("ewmaChart: dyadic levels, gap hours drain, surge alarm, first window silent") {
+    import spark.implicits._
+    val h0 = 1700000000000L
+    def at(tpe: String, hour: Int, nEvents: Int) =
+      (1 to nEvents).map(i => ((hour * 100 + i).toLong,
+        new java.sql.Timestamp(h0 + hour * 3600000L + i * 1000L), 1L, tpe, 1.0))
+    // type e: 4, 8, GAP, 40 — the gap hour must appear (count 0) via
+    // the spine and drain the level; type q pins the global bounds
+    // start and then goes silent
+    val rows = at("e", 0, 4) ++ at("e", 1, 8) ++ at("e", 3, 40) ++ at("q", 0, 3)
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventAnalytics
+      .ewmaChart(ev, "1 hour", horizon = 16, mult = 4L, guard = 4L)
+      .orderBy("event_type", "wstart").collect()
+    assert(out.length == 8, s"2 types x 4 spine hours: ${out.length}")
+    val e = out.filter(_.getAs[String]("event_type") == "e")
+    // hand dyadics: e_t = sum 2^-(j+1) n_{t-j}
+    assert(e.map(_.getAs[Long]("n")).toSeq == Seq(4L, 8L, 0L, 40L))
+    assert(e.map(_.getAs[Double]("ewma")).toSeq ==
+      Seq(2.0, 5.0, 2.5, 21.25), e.map(_.getAs[Double]("ewma")).toSeq)
+    // alarm only at the 40-surge (40 > 4*2.5 + 4); the first window
+    // has no e_{t-1} and must stay silent; 8 > 4*2 + 4 is a tie, not
+    // an alarm (strict >)
+    assert(e.map(_.getAs[Boolean]("alarm")).toSeq ==
+      Seq(false, false, false, true))
+    val q = out.filter(_.getAs[String]("event_type") == "q")
+    assert(q.map(_.getAs[Double]("ewma")).toSeq ==
+      Seq(1.5, 0.75, 0.375, 0.1875), "silence halves the level each hour")
+    assert(!q.exists(_.getAs[Boolean]("alarm")))
+  }
+
+  test("intervalOverlap matches the quadratic reference pair-for-pair (one-bin ownership)") {
+    import spark.implicits._
+    // deterministic mixed-length intervals, several spanning many
+    // bins (max len 84 vs binWidth 16), with per-key lanes
+    val left = (0 until 200).map { i =>
+      val lo = (i * 37L) % 1000L
+      (i.toLong, i % 3L, lo, lo + (i % 13L) * 7L)
+    }.toDF("l_id", "u", "l_lo", "l_hi")
+    val right = (0 until 150).map { j =>
+      val lo = (j * 53L) % 1000L
+      (j.toLong, j % 3L, lo, lo + (j % 17L) * 5L)
+    }.toDF("r_id", "u", "r_lo", "r_hi")
+    val got = graft.ops.RangeJoin.intervalOverlap(
+        left, "l_lo", "l_hi", right, "r_lo", "r_hi",
+        binWidth = 16L, keys = Seq("u"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // EXACTLY once per overlapping pair: the multi-bin pairs are the
+    // ones a naive bin join would duplicate
+    assert(got.length == got.toSet.size,
+      "one-bin ownership must emit each pair exactly once")
+    val expected = left.as("l").join(right.as("r"),
+        col("l.u") === col("r.u") &&
+          col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == expected,
+      s"got ${got.length}, expected ${expected.size}")
+    assert(expected.size > 500, "fixture must exercise real overlap volume")
+    // inclusive endpoints: touching intervals join
+    val l1 = Seq((1L, 0L, 10L, 20L)).toDF("l_id", "u", "l_lo", "l_hi")
+    val r1 = Seq((9L, 0L, 20L, 30L)).toDF("r_id", "u", "r_lo", "r_hi")
+    assert(graft.ops.RangeJoin.intervalOverlap(
+      l1, "l_lo", "l_hi", r1, "r_lo", "r_hi", 16L, Seq("u")).count() == 1L)
+  }
+
   test("cusumChangePoints direction=down flags a sustained stall the up test never sees") {
     import spark.implicits._
     val h0 = 1700000000000L
