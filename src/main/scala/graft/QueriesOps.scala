@@ -1223,6 +1223,17 @@ object QueriesOps {
         .orderBy(col("bin"))
     }),
 
+    // the one-row headline: held-out ECE before vs after serving the
+    // fitted rates, uncovered mass counted out loud
+    "x_calib_ece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.calibrationGain(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+        col("text").contains(" the "), k = 10)
+    }),
+
     // thresholded confusion matrix + accuracy/precision/recall/F1/MCC
     // of the "keep if n_chars >= 300" rule vs the stopword teacher:
     // ONE partial-agg scan, decimal MCC numerator, fixed sqrt chain
@@ -2534,6 +2545,36 @@ object QueriesOps {
           sum(when(col("alarm"), 1L).otherwise(0L)).as("alarms"))
         .orderBy(col("event_type"))),
 
+    // STREAMING EWMA, batch twin: the event log processed as three
+    // hour-aligned time batches folded through the standing per-type
+    // dyadic level state; the emitted trace is row-identical to the
+    // batch operator, so the same rollup replays x_ewma's oracle
+    "s_ewma" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ewmastream").toString
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      def hourFloor(ms: Long) = (ms / 3600000L) * 3600000L
+      val cut1 = new java.sql.Timestamp(hourFloor(t0 + (t1 - t0) / 3))
+      val cut2 = new java.sql.Timestamp(hourFloor(t0 + 2 * (t1 - t0) / 3))
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cut1)),
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+        ev.filter(col("ts") >= lit(cut2)))
+      batches.zipWithIndex
+        .map { case (b, i) =>
+          graft.streaming.EwmaStream.foldBatch(b, dir, i.toLong,
+            "1 hour", horizon = 16, mult = 4L, guard = 4L) }
+        .reduce(_.unionByName(_))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("hours"),
+          max(struct(col("wstart"), col("ewma")))
+            .getField("ewma").as("last_ewma"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("alarms"))
+        .orderBy(col("event_type"))
+    }),
+
     // interval-OVERLAP join, bucket topology with one-bin-ownership
     // dedup (each pair claimed by the bin holding max(lo_l, lo_r)):
     // view spans x error spans per user, rolled up to pair counts and
@@ -3410,6 +3451,37 @@ object QueriesOps {
     (header +: rounds).mkString(",\n")
   }
 
+  /** x_ewma's oracle, shared verbatim by s_ewma (the streaming fold's
+    * trace is row-identical to the batch operator, so the same rollup
+    * replays the same SQL — the s_cusum contract). */
+  private lazy val ewmaOracle: String = {
+    val chain = (0 until 16).map { j =>
+      val w = s"${1L << (j + 1)}.0"
+      if (j == 0) s"n / $w"
+      else s"coalesce(lag(n, $j) OVER win, 0) / $w"
+    }.mkString(" + ")
+    s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
+      |sp AS (SELECT t.event_type,
+      |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
+      |  FROM (SELECT DISTINCT event_type FROM c) t, b),
+      |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
+      |  FROM sp LEFT JOIN c USING (event_type, wstart)),
+      |e AS (SELECT event_type, wstart, n, $chain AS ewma
+      |  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY wstart)),
+      |al AS (SELECT event_type, wstart, n, ewma,
+      |    coalesce(CAST(n AS DOUBLE) >
+      |      4.0 * (lag(ewma, 1) OVER win2) + 4.0, FALSE) AS alarm
+      |  FROM e WINDOW win2 AS (PARTITION BY event_type ORDER BY wstart))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS hours,
+      |  max_by(ewma, wstart) AS last_ewma,
+      |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS alarms
+      |FROM al GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // recompute the synthetic 8x6 P6 raster (pixels = md5-hex ASCII,
     // repeated + '0'-padded to 144 bytes) and its channel means; the
@@ -3843,6 +3915,41 @@ object QueriesOps {
         |  abs(a.apply_rate - f.calib_p) AS gap_after
         |FROM a LEFT JOIN f USING (bin)
         |ORDER BY bin""".stripMargin,
+
+    // the gain headline: same fit/apply CTEs, 2^40-grid weighted ECEs
+    "x_calib_ece" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT) AS bin,
+        |    p, y FROM d),
+        |f AS (SELECT bin,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS calib_p
+        |  FROM b WHERE doc_id % 2 = 0 GROUP BY bin),
+        |a AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_apply,
+        |    ${graft.functions.Exact.dsumSql("p")}
+        |      / CAST(count(*) AS DOUBLE) AS mean_p_apply,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS apply_rate
+        |  FROM b WHERE doc_id % 2 = 1 GROUP BY bin),
+        |j AS (SELECT a.n_apply, a.mean_p_apply, a.apply_rate, f.calib_p
+        |  FROM a LEFT JOIN f USING (bin)),
+        |cov AS (SELECT CAST(sum(n_apply) AS BIGINT) AS n_covered,
+        |    CAST(SUM(CAST(FLOOR(CAST(n_apply AS DOUBLE)
+        |        * abs(apply_rate - mean_p_apply) * 1099511627776.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0 AS gb,
+        |    CAST(SUM(CAST(FLOOR(CAST(n_apply AS DOUBLE)
+        |        * abs(apply_rate - calib_p) * 1099511627776.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0 AS ga
+        |  FROM j WHERE calib_p IS NOT NULL),
+        |unc AS (SELECT CAST(coalesce(sum(CASE WHEN calib_p IS NULL
+        |    THEN n_apply END), 0) AS BIGINT) AS n_uncovered FROM j)
+        |SELECT cov.n_covered, unc.n_uncovered,
+        |  cov.gb / CAST(cov.n_covered AS DOUBLE) AS ece_before,
+        |  cov.ga / CAST(cov.n_covered AS DOUBLE) AS ece_after
+        |FROM cov CROSS JOIN unc""".stripMargin,
 
     // confusion replay: exact counts, HUGEINT MCC numerator, the same
     // fixed four-sqrt denominator chain
@@ -6714,33 +6821,10 @@ s"""WITH lines AS (
     // truncated-EWMA replay over the same gap-filled spine: the
     // 16-term dyadic chain is exact binary-double arithmetic on both
     // engines, so no fixed-point grid is needed anywhere
-    "x_ewma" -> {
-      val chain = (0 until 16).map { j =>
-        val w = s"${1L << (j + 1)}.0"
-        if (j == 0) s"n / $w"
-        else s"coalesce(lag(n, $j) OVER win, 0) / $w"
-      }.mkString(" + ")
-      s"""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT min(wstart) AS mn, max(wstart) AS mx FROM c),
-        |sp AS (SELECT t.event_type,
-        |    unnest(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS wstart
-        |  FROM (SELECT DISTINCT event_type FROM c) t, b),
-        |f AS (SELECT sp.event_type, sp.wstart, coalesce(c.n, 0) AS n
-        |  FROM sp LEFT JOIN c USING (event_type, wstart)),
-        |e AS (SELECT event_type, wstart, n, $chain AS ewma
-        |  FROM f WINDOW win AS (PARTITION BY event_type ORDER BY wstart)),
-        |al AS (SELECT event_type, wstart, n, ewma,
-        |    coalesce(CAST(n AS DOUBLE) >
-        |      4.0 * (lag(ewma, 1) OVER win2) + 4.0, FALSE) AS alarm
-        |  FROM e WINDOW win2 AS (PARTITION BY event_type ORDER BY wstart))
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS hours,
-        |  max_by(ewma, wstart) AS last_ewma,
-        |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS alarms
-        |FROM al GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
-    },
+    "x_ewma" -> ewmaOracle,
+
+    // the streaming fold's trace is row-identical → same oracle
+    "s_ewma" -> ewmaOracle,
 
     // interval-overlap replay: the QUADRATIC per-user join the bucket
     // topology must reproduce pair-for-pair

@@ -619,6 +619,34 @@ object Classifier {
         abs(col("apply_rate") - col("calib_p")).as("gap_after"))
   }
 
+  /** End-to-end calibration GAIN — the one-row headline read of
+    * [[histogramCalibration]]: held-out ECE served raw vs served
+    * through the fitted rates, over the bins the fit split covered.
+    * Apply-split rows in bins the fit never saw have no fitted
+    * opinion; they are counted OUT LOUD in n_uncovered (what to
+    * serve them — raw score, global rate — is the caller's policy,
+    * not a silent default). ece_* are n_apply-weighted
+    * |apply_rate − prediction| on the 2^40 grid (the ECE recipe).
+    * Output (1 row): n_covered, n_uncovered, ece_before, ece_after. */
+  def calibrationGain(fit: DataFrame, applyTo: DataFrame,
+                      prob: Column, label: Column,
+                      k: Int = 10): DataFrame = {
+    val bins = histogramCalibration(fit, applyTo, prob, label, k)
+    val covered = bins.filter(col("calib_p").isNotNull)
+      .agg(sum(col("n_apply")).as("n_covered"),
+        gridSum40(col("n_apply").cast("double") * col("gap_before"))
+          .as("__gb"),
+        gridSum40(col("n_apply").cast("double") * col("gap_after"))
+          .as("__ga"))
+    val uncovered = bins.agg(coalesce(
+      sum(when(col("calib_p").isNull, col("n_apply"))), lit(0L))
+      .as("n_uncovered"))
+    covered.crossJoin(broadcast(uncovered))
+      .select(col("n_covered"), col("n_uncovered"),
+        (col("__gb") / col("n_covered").cast("double")).as("ece_before"),
+        (col("__ga") / col("n_covered").cast("double")).as("ece_after"))
+  }
+
   /** Thresholded confusion matrix + the derived one-number reads —
     * the basic eval of a deployed filter rule ("keep if score ≥ t"):
     * tp/fp/fn/tn from ONE partial-agg scan, then accuracy, precision,

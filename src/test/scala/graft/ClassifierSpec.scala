@@ -343,6 +343,15 @@ class ClassifierSpec extends SparkTestBase {
     assert(b9.getAs[Double]("calib_p") == 0.75 &&
       b9.getAs[Double]("apply_rate") == 1.0)
     assert(b9.getAs[Double]("gap_after") == 0.25)
+    // the one-row gain read: covered mass 3 (bins 0 and 9), the
+    // unseen bin's single row counted out loud, and the remediation
+    // strictly wins on the held-out split
+    val g = Classifier.calibrationGain(fit, app, col("p"), col("y"),
+      k = 10).head()
+    assert(g.getAs[Long]("n_covered") == 3L &&
+      g.getAs[Long]("n_uncovered") == 1L)
+    assert(g.getAs[Double]("ece_after") == 0.25 / 3.0)
+    assert(g.getAs[Double]("ece_before") > g.getAs[Double]("ece_after"))
   }
 
   test("rocAucBy: per-key AUC matches the unkeyed value on each slice") {

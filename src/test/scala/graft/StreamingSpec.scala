@@ -528,6 +528,61 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("behind the cursor"))
   }
 
+  test("ewma sink emits the batch operator's exact trace; knobs are pinned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewsink").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val base = (1700000000000L / 3600000L) * 3600000L
+    def ev(hour: Int, n: Int, tpe: String = "e") =
+      (1 to n).map(i => ((hour * 1000 + i).toLong,
+        new java.sql.Timestamp(base + hour * 3600000L + i * 1000L), 1L, tpe, 1.0))
+    // batch 0: hours 0-2; batch 1: SILENT hours 3-4, a surge at hour
+    // 5, and a NEW type appearing at hour 6 (spine back-fill)
+    val b0 = (ev(0, 4) ++ ev(1, 8) ++ ev(2, 6))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b1 = (ev(5, 40) ++ ev(6, 7) ++ ev(6, 5, "late_type"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = graft.streaming.EwmaStream.foldBatch(b0, state, 0L, "1 hour",
+      horizon = 16, mult = 4L, guard = 4L)
+    val t1 = graft.streaming.EwmaStream.foldBatch(b1, state, 1L, "1 hour",
+      horizon = 16, mult = 4L, guard = 4L)
+    val trace = t0.unionByName(t1)
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // BIT-identical to the batch operator over everything seen so far
+    // — dyadic arithmetic makes the doubles comparable with ==
+    val expect = graft.ops.EventAnalytics
+      .ewmaChart(b0.unionByName(b1), "1 hour", horizon = 16,
+        mult = 4L, guard = 4L)
+      .orderBy("event_type", "wstart").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(trace.toSeq == expect.toSeq,
+      s"stream trace must equal the batch operator:\n${trace.toSeq}\nvs\n${expect.toSeq}")
+    // the surge actually alarmed somewhere in the stream trace
+    assert(trace.exists(_._5), "the hour-5 surge must alarm")
+    assert(trace.count(_._1 == "late_type") == 7,
+      "new type back-fills zero windows from the spine start")
+    // replaying a folded batch id emits nothing (idempotence)
+    assert(graft.streaming.EwmaStream.foldBatch(b1, state, 1L, "1 hour",
+      horizon = 16, mult = 4L, guard = 4L).count() == 0)
+    // a window behind the cursor fails loudly
+    val late = ev(1, 3).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.EwmaStream.foldBatch(late, state, 2L, "1 hour",
+        horizon = 16, mult = 4L, guard = 4L)
+    }
+    assert(e1.getMessage.contains("behind the cursor"))
+    // folding with different knobs refuses instead of splicing charts
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.EwmaStream.foldBatch(b1, state, 3L, "1 hour",
+        horizon = 8, mult = 4L, guard = 4L)
+    }
+    assert(e2.getMessage.contains("knobs"), e2.getMessage)
+  }
+
   test("sharded cusum fold: union of hash shards equals the unsharded trace") {
     val s = spark
     import s.implicits._
