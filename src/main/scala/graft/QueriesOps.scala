@@ -182,6 +182,25 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // day-2 incremental CC: the corpus split at the median doc_id —
+    // "yesterday" (both endpoints below) is labeled by the standing
+    // operator, "today"'s pairs (any endpoint at/above) fold in
+    // incrementally; exact equality with the full recompute means the
+    // x_dedup_clusters oracle replays VERBATIM
+    "x_dedup_clusters_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
+        .select("a", "b").persist()
+      val day1 = pairs.filter(col("a") < cut && col("b") < cut)
+      val delta = pairs.filter(col("a") >= cut || col("b") >= cut)
+      val standing = Dedup.dedupClusters(day1)
+      val out = Dedup.dedupClustersIncremental(standing, delta)
+        .orderBy(col("doc_id"))
+      out
+    }),
+
     // ensemble dedup policy: exact md5 groups first (reps = min id),
     // LSH+jaccard clusters over the REPS only, one per-doc verdict
     // (keep / drop_exact / drop_near) with kept_by = ultimate keeper
@@ -3481,6 +3500,31 @@ object QueriesOps {
       |FROM al GROUP BY event_type
       |ORDER BY event_type""".stripMargin
   }
+
+  /** The transitive-closure ground truth shared by x_dedup_clusters,
+    * the star variant, and the day-2 incremental fold — all three are
+    * label-identical by contract, so one oracle serves all. */
+  private lazy val ccClosureOracle: String =
+    """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+        |  FROM toks),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
+        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // recompute the synthetic 8x6 P6 raster (pixels = md5-hex ASCII,
@@ -7395,50 +7439,13 @@ s"""WITH lines AS (
 
     // components of the same ground-truth pair graph, via transitive
     // closure in a recursive CTE (25 pairs at this scale)
-    "x_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
-        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "x_dedup_clusters" -> ccClosureOracle,
 
     // star CC is label-identical by contract — same closure oracle
-    "x_dedup_clusters_star" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |    ELSE list_distinct(list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
-        |  FROM toks),
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.2),
-        |e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE r.a <> e.b)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "x_dedup_clusters_star" -> ccClosureOracle,
+
+    // incremental CC equals the full recompute by contract — same oracle
+    "x_dedup_clusters_incr" -> ccClosureOracle,
 
     // leakage-safe dedup split: the x_dedup_clusters closure feeding
     // the x_splits md5-range rule, keyed by the cluster id

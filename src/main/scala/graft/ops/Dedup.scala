@@ -493,6 +493,50 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Day-2 INCREMENTAL connected components — fold a delta's near-dup
+    * pairs into STANDING cluster labels without recomputing CC over
+    * the whole pair graph (the daily-crawl shape: yesterday's corpus
+    * is labeled, today adds 1% new docs and their LSH pairs; re-running
+    * closure over 10^10 standing pairs daily is the waste this
+    * removes). The standing labels are a CONTRACTION of the old
+    * graph: hanging every affected member off its cluster label
+    * preserves connectivity exactly, so CC over (affected-cluster
+    * star edges ∪ delta pairs) has the same components as CC over
+    * (all old pairs ∪ delta pairs) restricted to affected nodes — and
+    * because labels are component MINIMA (themselves member nodes),
+    * the relabeled minima equal the full recompute's. Untouched
+    * clusters keep their labels verbatim. Cost: delta-sized joins to
+    * find the affected clusters plus CC over the affected subgraph
+    * only — a delta merging two billion-doc clusters pays for those
+    * two clusters, not the corpus. EXACT-EQUALITY CONTRACT:
+    * output == [[dedupClusters]](oldPairs ∪ deltaPairs), row for row
+    * (DedupSpec proves it, including cluster merges through a
+    * bridging delta pair and a new node taking over as the minimum).
+    * `standing`: (doc_id, cluster_id) from a previous [[dedupClusters]]
+    * run; `deltaPairs`: (a, b) new pairs (new-new, new-old, or
+    * late-found old-old all valid). */
+  def dedupClustersIncremental(standing: DataFrame, deltaPairs: DataFrame,
+                               maxIter: Int = 20): DataFrame = {
+    val touched = deltaPairs.select(col("a").as("doc_id"))
+      .union(deltaPairs.select(col("b").as("doc_id"))).distinct()
+    // clusters holding a delta endpoint (delta-bounded; broadcast —
+    // a delta touching more clusters than a broadcast holds is a
+    // rebuild, not an increment)
+    val affectedClusters = standing
+      .join(touched, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affected = standing
+      .join(broadcast(affectedClusters), Seq("cluster_id"), "left_semi")
+    val starEdges = affected.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("a"), col("doc_id").as("b"))
+    val relabeled = dedupClusters(
+      starEdges.unionByName(deltaPairs.select(col("a"), col("b"))), maxIter)
+    standing
+      .join(broadcast(affectedClusters), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(relabeled)
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * (Kiveris et al. 2014, "Connected Components in MapReduce and
     * Beyond") — the documented swap-in for [[dedupClusters]] when

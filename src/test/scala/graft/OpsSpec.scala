@@ -84,6 +84,37 @@ class OpsSpec extends SparkTestBase {
       Seq(Seq(7L, 7L), Seq(8L, 8L), Seq(9L, 8L)))
   }
 
+  test("dedupClustersIncremental equals the full recompute: merges, takeovers, untouched clusters") {
+    import spark.implicits._
+    // day 1: {1,2,3} labeled 1, {5,6} labeled 5, {10,11} labeled 10
+    val day1 = sqlDf("a" -> Seq(1L, 2L, 5L, 10L), "b" -> Seq(2L, 3L, 6L, 11L))
+    val standing = Dedup.dedupClusters(day1)
+    // day 2: a bridge MERGES clusters 1 and 5 (3-5), a new node joins
+    // cluster 10 (11-20), a brand-new pair (30-31), and a new MINIMUM
+    // takes over a cluster (0-2: label 1 must become 0)
+    val delta = sqlDf("a" -> Seq(3L, 11L, 30L, 0L),
+      "b" -> Seq(5L, 20L, 31L, 2L))
+    val got = Dedup.dedupClustersIncremental(standing, delta)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Dedup.dedupClusters(day1.unionByName(delta))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == full, s"incremental != full recompute:\n$got\nvs\n$full")
+    // the merge landed under the new global min
+    assert(got.toMap.view.filterKeys(Seq(0L, 1L, 2L, 3L, 5L, 6L).contains)
+      .values.toSet == Set(0L))
+    // an untouched cluster keeps its label verbatim... (40,41) stays
+    val day1b = day1.unionByName(sqlDf("a" -> Seq(40L), "b" -> Seq(41L)))
+    val standing2 = Dedup.dedupClusters(day1b)
+    val got2 = Dedup.dedupClustersIncremental(standing2,
+      sqlDf("a" -> Seq(30L), "b" -> Seq(31L)))
+    assert(got2.filter(col("doc_id").isin(40L, 41L))
+      .collect().map(_.getLong(1)).toSet == Set(40L))
+    // ...and a delta touching NO standing node leaves standing intact
+    assert(got2.count() == standing2.count() + 2)
+  }
+
   test("dedupClusters uses a reliable checkpoint when a checkpoint dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
