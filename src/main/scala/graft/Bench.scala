@@ -48,7 +48,11 @@ object Bench {
     "x_merge_into", "x_alter_schema",
     // the four-rank-sort paired test and the grouped-rank fairness
     // read — the two heaviest r15 metric topologies
-    "x_delong", "x_auc_by")
+    "x_delong", "x_auc_by",
+    // round-16 additions: the new join topology, the dyadic monitor,
+    // the calibration remediation pair, the day-2 CC fold
+    "x_interval_join", "x_ewma", "x_calib_fit", "x_calib_ece",
+    "x_dedup_clusters_incr")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

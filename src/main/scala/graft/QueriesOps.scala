@@ -1762,6 +1762,35 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental materialized view: a manifested copy of documents
+    // built in TWO transactional inserts, the per-lang (count, sum)
+    // view folded after each — the second fold reads ONLY the second
+    // insert's files (the CDC window), yet the view equals the full
+    // aggregate the oracle computes over everything
+    "x_incr_view" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/mergecache/aggview_src_$tag"
+      val view = s"target/mergecache/aggview_$tag"
+      val ok = new java.io.File(s"$view/_FOLDED")
+      if (!ok.exists()) {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        docs.filter(col("doc_id") < cut)
+          .repartition(4).write.mode("overwrite").parquet(path)
+        graft.sources.Sources.publishManifest(s, path)
+        graft.sources.Sources.maintainAggView(s, path, view,
+          keys = Seq("lang"), sumCol = "n_chars")
+        graft.sources.Sources.insertIntoAtomic(s, path,
+          docs.filter(col("doc_id") >= cut), numFiles = 2)
+        graft.sources.Sources.maintainAggView(s, path, view,
+          keys = Seq("lang"), sumCol = "n_chars")
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.sources.Sources.readManifested(s, view)
+        .select(col("lang"), col("n"), col("sum_n_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // metadata-only schema evolution is answer-preserving: drop
     // `source`, rename n_chars -> len — ZERO files rewritten (the
     // spec proves that by file identity); the evolved table IS the
@@ -6124,6 +6153,13 @@ object QueriesOps {
     "x_incr_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    // the incrementally-folded view equals the full aggregate —
+    // counts and integer sums commute exactly
+    "x_incr_view" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // DROP + RENAME are answer-preserving: the evolved table IS the
     // projected base under the new names

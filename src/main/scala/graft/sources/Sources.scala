@@ -1361,4 +1361,82 @@ object Sources {
       s"readManifestedAdded: window v$fromVersion..v$toV added no files")
     readFilesApplyingDefaults(spark, path, added)
   }
+
+  /** INCREMENTAL MATERIALIZED-VIEW maintenance — the daily-report
+    * shape at 100 TB: a keyed aggregate table (count + long sum per
+    * key) maintained from an APPEND-ONLY manifested source by folding
+    * only the CDC window's new rows, never rescanning the corpus.
+    * Counts and integer sums commute exactly, so the fold equals the
+    * full recompute row for row (the contract a report reader needs;
+    * decimal-castable measures ride the same recipe). The view is
+    * itself a manifested table whose metadata pins the SOURCE VERSION
+    * it reflects, inside the same atomic publish as its file set:
+    * - EXACTLY-ONCE: re-running a folded window reads the pinned
+    *   version and no-ops (crash after publish = done; before = rerun
+    *   folds the same window onto the same standing state).
+    * - A non-append-only source window (compaction/DELETE/MERGE
+    *   rewrote files) fails LOUDLY via [[readManifestedAdded]] — the
+    *   honest signal that the view needs a rebuild, not a quiet
+    *   double-count.
+    * - The publish is optimistically checked, so a racing fold of the
+    *   same view refuses instead of losing an update.
+    * Cost per fold: one scan of the window's files + one keyed agg of
+    * (standing ∪ delta-agg) — view-sized, not source-sized. Returns
+    * the source version the view now reflects. */
+  def maintainAggView(spark: SparkSession, sourcePath: String,
+                      viewPath: String, keys: Seq[String],
+                      sumCol: String, numFiles: Int = 1): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col => fnCol, count, lit, sum}
+    require(keys.nonEmpty, "maintainAggView: declare at least one key")
+    require(numFiles >= 1, "maintainAggView: numFiles must be >= 1")
+    val conf = spark.sessionState.newHadoopConf()
+    publishManifest(spark, sourcePath)
+    val srcV = manifestVersion(conf, sourcePath)
+    // view version BEFORE the meta snapshot (the pinSnapshot order):
+    // a racing fold publishing in between fails the final check closed
+    val viewV0 = manifestVersion(conf, viewPath)
+    val viewMeta = readManifestMeta(conf, viewPath)
+    val v0 = viewMeta.get("aggview:src_version").map(_.toLong).getOrElse(0L)
+    require(v0 <= srcV,
+      s"maintainAggView: view at $viewPath reflects source v$v0 but the " +
+        s"source head is v$srcV — the view belongs to a different/rolled-" +
+        "back source; rebuild it")
+    if (srcV == v0) return v0 // window already folded: exactly-once no-op
+    // v0 == 0 means a fresh view: the "window" is the whole source
+    val added =
+      if (v0 == 0L) readManifested(spark, sourcePath)
+      else readManifestedAdded(spark, sourcePath, v0, srcV)
+    val deltaAgg = added.groupBy(keys.map(fnCol): _*)
+      .agg(count(lit(1)).as("n"), sum(fnCol(sumCol)).as(s"sum_$sumCol"))
+    val standing = readManifest(conf, viewPath) match {
+      case Some(names) if names.nonEmpty =>
+        readFilesApplyingDefaults(spark, viewPath, names)
+      case _ => deltaAgg.limit(0)
+    }
+    val merged = standing.unionByName(deltaAgg)
+      .groupBy(keys.map(fnCol): _*)
+      .agg(sum(fnCol("n")).as("n"),
+        sum(fnCol(s"sum_$sumCol")).as(s"sum_$sumCol"))
+    val root = new Path(viewPath)
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(viewPath,
+      s"_aggview_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.repartition(numFiles)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val newNames = fs.listStatus(staging)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq.zipWithIndex.map { case (p, i) =>
+        val dst = new Path(root, s"aggview-$tag-$i.parquet")
+        require(fs.rename(p, dst), s"maintainAggView: rename $p -> $dst failed")
+        dst.getName
+      }
+    // only the advanced key is passed; writeManifest's sticky merge
+    // re-reads the rest of the meta fresh at publish time
+    writeManifest(conf, viewPath, newNames,
+      Map("aggview:src_version" -> srcV.toString), viewV0)
+    fs.delete(staging, true)
+    srcV
+  }
 }

@@ -429,6 +429,68 @@ class ManifestMergeSpec extends SparkTestBase {
     assert(diff.filter(col("status") === "added").count() == 10)
   }
 
+  test("maintainAggView: delta-only folds equal the full recompute, exactly-once, loud on rewrites") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_aggview"))
+    val src = new java.io.File(dir, "src").getPath
+    val view = new java.io.File(dir, "view").getPath
+    val day1 = (1L to 600L).map(i => (i, s"k${i % 3}", i))
+      .toDF("id", "k", "v")
+    day1.repartition(3).write.mode("overwrite").parquet(src)
+    Sources.publishManifest(spark, src)
+    val v1 = Sources.maintainAggView(spark, src, view, Seq("k"), "v")
+    val after1 = Sources.readManifested(spark, view)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(after1.map(_._2).sum == 600L)
+    // day 2 appends and folds incrementally
+    Sources.insertIntoAtomic(spark, src,
+      (601L to 1000L).map(i => (i, s"k${i % 3}", i)).toDF("id", "k", "v"),
+      numFiles = 2)
+    val v2 = Sources.maintainAggView(spark, src, view, Seq("k"), "v")
+    assert(v2 > v1)
+    val got = Sources.readManifested(spark, view)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // equals the full recompute (counts and integer sums commute)
+    val expect = (1L to 1000L).map(i => (s"k${i % 3}", i))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got == expect, s"$got vs $expect")
+    // exactly-once: replaying the fold no-ops (no new view version)
+    val headBefore = Sources.manifestVersion(conf, view)
+    assert(Sources.maintainAggView(spark, src, view, Seq("k"), "v") == v2)
+    assert(Sources.manifestVersion(conf, view) == headBefore)
+    // day 3: the fold must read ONLY the window's files — proven by
+    // deleting every already-folded byte out from under it (the
+    // manifest still pins them; a corpus-rescan fold would crash)
+    Sources.insertIntoAtomic(spark, src,
+      (1001L to 1200L).map(i => (i, s"k${i % 3}", i)).toDF("id", "k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    Sources.readManifestVersion(conf, src, v2).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(src, n), false)
+    }
+    Sources.maintainAggView(spark, src, view, Seq("k"), "v")
+    val got3 = Sources.readManifested(spark, view)
+      .agg(sum("n"), sum("sum_v")).head()
+    assert(got3.getLong(0) == 1200L &&
+      got3.getLong(1) == (1L to 1200L).sum,
+      "the day-3 fold must land without touching the deleted history")
+    // a rewrite in the source window refuses loudly: the view needs a
+    // rebuild, not a silent double-count (fresh table, intact bytes)
+    val src2 = new java.io.File(dir, "src2").getPath
+    val view2 = new java.io.File(dir, "view2").getPath
+    (1L to 50L).map(i => (i, "k", i)).toDF("id", "k", "v")
+      .repartition(2).write.mode("overwrite").parquet(src2)
+    Sources.publishManifest(spark, src2)
+    Sources.maintainAggView(spark, src2, view2, Seq("k"), "v")
+    Sources.insertIntoAtomic(spark, src2,
+      Seq((51L, "k", 5L)).toDF("id", "k", "v"))
+    Sources.deleteWhereAtomic(spark, src2, col("id") === 7L)
+    val e = intercept[IllegalArgumentException] {
+      Sources.maintainAggView(spark, src2, view2, Seq("k"), "v")
+    }
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+  }
+
   test("mergeAtomic composes with addColumnAtomic: defaults survive the rewrite") {
     import spark.implicits._
     val dir = new java.io.File(tmp("graft_merge3"))
