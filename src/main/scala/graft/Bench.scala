@@ -219,7 +219,12 @@ object Bench {
     // the day-2 incremental twin, and the two-pass PRF retrieval over
     // the materialized postings; index builds amortize via idxcache
     // (min-of-2 drops the cold build, as for bm25_indexed)
-    "x_ann_ivfpq_idx", "x_ann_ivfpq_incr", "x_bm25_prf")
+    "x_ann_ivfpq_idx", "x_ann_ivfpq_incr", "x_bm25_prf",
+    // round-16: the interval-overlap join at its second decade — 100
+    // key-shifted user replicas keep per-user span density constant,
+    // so pair output scales exactly linearly and the bucket topology's
+    // time should track it (an all-pairs shape would go quadratic)
+    "x_interval_join", "x_ewma")
 
   /** Synthesize a ~100× (sf≈10) copy of JUST the tables the sf10
     * rehearsal reads: documents (doc_id, text — the only columns the
@@ -238,7 +243,7 @@ object Bench {
     // hash-agg map on the tokenize scans, the same lever as
     // maxPartitionBytes on a real cluster. v4: + embeddings for the
     // IVF-PQ serving-artifact rehearsal
-    val marker = s"from:$benchDir:v4"
+    val marker = s"from:$benchDir:v5"
     if (ok.exists() &&
         new String(java.nio.file.Files.readAllBytes(ok.toPath), "UTF-8") == marker)
       return cache.getPath
@@ -286,6 +291,17 @@ object Bench {
               .cast("float"))).as("embedding"))
       .repartition(16)
       .write.mode("overwrite").parquet(s"${cache.getPath}/embeddings.parquet")
+    // 100x events for the interval-overlap join and the monitor reads:
+    // user replicas shift user_id (and event_id for uniqueness) but
+    // keep ts/type verbatim — per-user span density stays constant, so
+    // the overlap-join's pair output scales exactly linearly and the
+    // window profiles just grow their counts
+    spark.read.parquet(s"$benchDir/events.parquet").crossJoin(reps)
+      .select((col("event_id") + col("__r") * K).as("event_id"),
+        col("ts"), (col("user_id") + col("__r") * K).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"${cache.getPath}/events.parquet")
     java.nio.file.Files.write(ok.toPath, marker.getBytes("UTF-8"))
     cache.getPath
   }

@@ -758,6 +758,12 @@ object QueriesOps {
         .select("doc_id", "ws_tokens", "bpe_ish_tokens", "approx_tokens")
         .orderBy(col("doc_id"))),
 
+    // tokenizer fertility per language: subword-ish tokens per word +
+    // chars per token — exact integer sums, two single divisions
+    "x_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(t(s, d, "documents"), "lang", "text")
+        .orderBy(col("lang"))),
+
     // markup strip over a synthetic HTML wrapping (script/style
     // blocks, tags, entities) — the same RE2 passes replay in SQL
     "x_strip" -> ((s, d) =>
@@ -7320,6 +7326,25 @@ s"""WITH lines AS (
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fertility replay: the x_tokens counters re-derived, summed as
+    // exact integers per language, divided once
+    "x_fertility" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tk,
+        |    CAST(len(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(w) AS BIGINT) AS words,
+        |  CAST(sum(tk) AS BIGINT) AS tokens,
+        |  CAST(sum(ch) AS BIGINT) AS chars,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE CAST(sum(tk) AS DOUBLE) / CAST(sum(w) AS DOUBLE) END AS fertility,
+        |  CASE WHEN sum(tk) = 0 THEN NULL
+        |    ELSE CAST(sum(ch) AS DOUBLE) / CAST(sum(tk) AS DOUBLE) END AS chars_per_token
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
     // chat-render replay: same line split, alternating roles, sorted
     // first-6 slice, identical template string

@@ -119,6 +119,33 @@ object TextAnalysis {
       .withColumn("approx_tokens", ceil(length(t).cast("double") / lit(4.0)).cast("long"))
   }
 
+  /** Tokenizer FERTILITY audit per language — the multilingual-
+    * tokenizer read behind per-language token budgets and serving-cost
+    * estimates (Rust/Ács fertility: subword tokens per word; its
+    * sibling chars-per-token is the compression read): languages a
+    * tokenizer fragments (fertility ≫ 1.5) pay more context window
+    * per sentence and train on fewer effective documents at the same
+    * token budget — the mix designer needs the table before setting
+    * per-language sampling weights. ONE partial-agg scan over
+    * [[tokenCounts]]' codegen'd counters; exact integer sums, two
+    * single divisions (engine-exact). Output per language: docs,
+    * words, tokens, chars, fertility = tokens/words, chars_per_token.
+    * Empty-text languages read NULL ratios, SQL-style. */
+  def tokenizerFertility(df: DataFrame, lang: String,
+                         text: String): DataFrame =
+    tokenCounts(df, text)
+      .groupBy(col(lang))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws_tokens").cast("long")).as("words"),
+        sum(col("bpe_ish_tokens").cast("long")).as("tokens"),
+        sum(length(col(text)).cast("long")).as("chars"))
+      .withColumn("fertility",
+        when(col("words") === 0L, lit(null).cast("double"))
+          .otherwise(col("tokens").cast("double") / col("words").cast("double")))
+      .withColumn("chars_per_token",
+        when(col("tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("chars").cast("double") / col("tokens").cast("double")))
+
   // ---- document chunking ---------------------------------------------------
   /** Token-bounded chunking with overlap — the standard pretraining /
     * RAG preprocessing step: each document becomes
