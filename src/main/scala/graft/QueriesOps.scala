@@ -1248,6 +1248,15 @@ object QueriesOps {
         .orderBy(col("bin"))
     }),
 
+    // McNemar's paired test between two filter rules (n_chars >= 300
+    // vs word-count >= 60) against the stopword teacher: decision-
+    // level "which filter wins" on the same corpus
+    "x_mcnemar" -> ((s, d) =>
+      Classifier.mcnemarTest(t(s, d, "documents"),
+        col("n_chars") >= 300L,
+        (size(split(trim(col("text")), "\\s+")) >= 60),
+        col("text").contains(" the "))),
+
     // the one-row headline: held-out ECE before vs after serving the
     // fitted rates, uncovered mass counted out loud
     "x_calib_ece" -> ((s, d) => {
@@ -3994,6 +4003,29 @@ object QueriesOps {
         |  abs(a.apply_rate - f.calib_p) AS gap_after
         |FROM a LEFT JOIN f USING (bin)
         |ORDER BY bin""".stripMargin,
+
+    // McNemar replay: exact disagreement cells, continuity-corrected
+    // chi2, signed z with one sqrt
+    "x_mcnemar" ->
+      """WITH d AS (SELECT
+        |    (n_chars >= 300) AS pa,
+        |    (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END >= 60) AS pb,
+        |    contains(text, ' the ') AS y FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+        |    CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+        |    CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM d)
+        |SELECT n, both_right, both_wrong, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    ELSE (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      * (CAST(abs(b - c) AS DOUBLE) - 1.0)
+        |      / CAST(b + c AS DOUBLE) END AS chi2,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    ELSE CAST(b - c AS DOUBLE) / sqrt(CAST(b + c AS DOUBLE)) END AS z
+        |FROM c""".stripMargin,
 
     // the gain headline: same fit/apply CTEs, 2^40-grid weighted ECEs
     "x_calib_ece" ->

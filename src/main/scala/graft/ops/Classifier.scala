@@ -619,6 +619,39 @@ object Classifier {
         abs(col("apply_rate") - col("calib_p")).as("gap_after"))
   }
 
+  /** McNemar's paired test (McNemar 1947, continuity-corrected) — the
+    * DECISION-level sibling of [[delongTest]]: two deployed filters'
+    * binary verdicts on the SAME corpus differ meaningfully only if
+    * the DISAGREEMENT cells are lopsided (rows both get right or both
+    * get wrong carry no information about which filter is better).
+    * b = A right & B wrong, c = A wrong & B right; the statistic is
+    * (|b − c| − 1)² / (b + c) (~χ²₁ under H0), and the signed
+    * z = (b − c)/√(b + c) says WHICH filter wins. ONE partial-agg
+    * scan; exact-integer numerator, one sqrt, one division — engine-
+    * exact. No disagreements (b + c = 0) reads NULL, SQL-style.
+    * Output (1 row): n, both_right, both_wrong, b, c, chi2, z. */
+  def mcnemarTest(df: DataFrame, predA: Column, predB: Column,
+                  label: Column): DataFrame = {
+    val okA = predA === label
+    val okB = predB === label
+    df.filter(predA.isNotNull && predB.isNotNull && label.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(okA && okB, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!okA && !okB, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(okA && !okB, 1L).otherwise(0L)).as("b"),
+        sum(when(!okA && okB, 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("both_right"), col("both_wrong"),
+        col("b"), col("c"),
+        when(col("b") + col("c") === 0L, lit(null).cast("double"))
+          .otherwise({
+            val d = abs(col("b") - col("c")).cast("double") - lit(1.0)
+            d * d / (col("b") + col("c")).cast("double")
+          }).as("chi2"),
+        when(col("b") + col("c") === 0L, lit(null).cast("double"))
+          .otherwise((col("b") - col("c")).cast("double")
+            / sqrt((col("b") + col("c")).cast("double"))).as("z"))
+  }
+
   /** End-to-end calibration GAIN — the one-row headline read of
     * [[histogramCalibration]]: held-out ECE served raw vs served
     * through the fitted rates, over the bins the fit split covered.

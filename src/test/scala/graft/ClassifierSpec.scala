@@ -354,6 +354,27 @@ class ClassifierSpec extends SparkTestBase {
     assert(g.getAs[Double]("ece_before") > g.getAs[Double]("ece_after"))
   }
 
+  test("mcnemarTest: disagreement cells, corrected chi2, signed z, no-disagreement null") {
+    import org.apache.spark.sql.functions.col
+    // b = 3 (A right, B wrong), c = 1, both_right = 1, both_wrong = 2
+    val df = sqlDf(
+      "pa" -> Seq(true, true, true, true, true, false, false),
+      "pb" -> Seq(false, false, false, true, true, true, false),
+      "y" -> Seq(true, true, true, true, false, true, true))
+    val r = Classifier.mcnemarTest(df, col("pa"), col("pb"), col("y")).head()
+    assert(r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Long]("both_right") == 1L &&
+      r.getAs[Long]("both_wrong") == 2L)
+    // chi2 = (|3-1|-1)^2 / 4; z = (3-1)/sqrt(4)
+    assert(r.getAs[Double]("chi2") == 0.25)
+    assert(r.getAs[Double]("z") == 1.0)
+    // identical filters: no disagreements, NULL statistic
+    val same = Classifier.mcnemarTest(df, col("pa"), col("pa"), col("y")).head()
+    assert(same.isNullAt(same.fieldIndex("chi2")) &&
+      same.isNullAt(same.fieldIndex("z")))
+  }
+
   test("rocAucBy: per-key AUC matches the unkeyed value on each slice") {
     import org.apache.spark.sql.functions.col
     // key a: a decent scorer with a tie; key b: a perfect reversal
