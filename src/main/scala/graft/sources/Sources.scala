@@ -976,24 +976,12 @@ object Sources {
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
       s"_delete_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    // ONE job however many files hold matches (a purge hitting a
+    // thousand files must not serialize a thousand jobs through the
+    // driver); a fully-purged file writes no directory and vanishes
     val keepPred = not(fnCoalesce(predicate, lit(false)))
-    val newNames = affected.keys.toSeq.sorted.flatMap { n =>
-      val kept = readFilesApplyingDefaults(spark, path, Seq(n)).filter(keepPred)
-      if (kept.isEmpty) Seq.empty[String] // fully-purged file vanishes
-      else {
-        val binDir = new Path(staging, n)
-        kept.coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
-        val part = fs.listStatus(binDir)
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-        require(part.length == 1,
-          s"deleteWhereAtomic: expected 1 part file in $binDir")
-        val dst = new Path(root, part(0).getName)
-        require(fs.rename(part(0), dst),
-          s"deleteWhereAtomic: rename ${part(0)} -> $dst failed")
-        Seq(dst.getName)
-      }
-    }
+    val newNames = rewriteFilesOneJob(spark, path,
+      affected.keys.toSeq.sorted, staging, "delete")(_.filter(keepPred))
     val after = names.filterNot(affected.contains) ++ newNames
     writeManifest(conf, path, after, Map.empty, v0) // the atomic publish
     fs.delete(staging, true)
@@ -1038,25 +1026,17 @@ object Sources {
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
       s"_update_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    // ONE job however many files hold matches; column order and
+    // unmatched rows preserved verbatim
     val hit = fnCoalesce(predicate, lit(false))
-    val newNames = affected.keys.toSeq.sorted.map { n =>
-      val src = readFilesApplyingDefaults(spark, path, Seq(n))
-      val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
-      val rewritten = assignments.foldLeft(src) { case (df, (c, expr)) =>
-        df.withColumn(c,
-          fnWhen(hit, expr.cast(types(c))).otherwise(fnCol(c)))
-      }.select(src.columns.map(fnCol): _*) // column order preserved
-      val binDir = new Path(staging, n)
-      rewritten.coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(binDir.toString)
-      val part = fs.listStatus(binDir)
-        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-      require(part.length == 1,
-        s"updateWhereAtomic: expected 1 part file in $binDir")
-      val dst = new Path(root, part(0).getName)
-      require(fs.rename(part(0), dst),
-        s"updateWhereAtomic: rename ${part(0)} -> $dst failed")
-      dst.getName
+    val payload = base.columns.toSeq
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val newNames = rewriteFilesOneJob(spark, path,
+      affected.keys.toSeq.sorted, staging, "update") { src =>
+      assignments.foldLeft(src.asInstanceOf[DataFrame]) {
+        case (df, (c, expr)) =>
+          df.withColumn(c, fnWhen(hit, expr.cast(types(c))).otherwise(fnCol(c)))
+      }.select((payload :+ "__src").map(fnCol): _*)
     }
     val after = names.filterNot(affected.contains) ++ newNames
     writeManifest(conf, path, after, Map.empty, v0) // the atomic publish
@@ -1171,6 +1151,56 @@ object Sources {
     newNames
   }
 
+  /** ONE-JOB rewrite of a set of table files (DELETE / UPDATE / MERGE
+    * share it): all affected files in one scan tagged by source-file
+    * BASENAME (tagging with the full input_file_name URI would make
+    * url-encoded `__src=` partition directory names that can exceed
+    * the 255-byte filesystem name limit on deep paths), transformed,
+    * and written PARTITIONED by the tag — repartition on the tag puts
+    * each source file in exactly one task, preserving the
+    * one-file-per-source layout; a source file whose rows all vanish
+    * writes no directory and drops out of the returned names. One
+    * Spark job regardless of how many files the predicate/delta
+    * touched — a per-file loop would serialize a wide rewrite through
+    * the driver. The transform receives the tagged frame and must
+    * keep the `__src` column on its output rows. */
+  private def rewriteFilesOneJob(spark: SparkSession, path: String,
+                                 affected: Seq[String],
+                                 staging: org.apache.hadoop.fs.Path,
+                                 prefix: String)
+                                (transform: DataFrame => DataFrame):
+      Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col => fnCol, element_at,
+      input_file_name, split}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val src = readFilesApplyingDefaults(spark, path, affected)
+      .withColumn("__src", element_at(split(input_file_name(), "/"), -1))
+    val out = transform(src)
+    val dir = new Path(staging, "__rewrites")
+    out.repartition(fnCol("__src"))
+      .write.partitionBy("__src").mode(SaveMode.Overwrite)
+      .parquet(dir.toString)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dirs =
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("__src=")).sortBy(_.getName).toSeq
+      else Seq.empty[Path]
+    dirs.zipWithIndex.flatMap { case (d, di) =>
+      fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.map { case (p, pi) =>
+          val dst = new Path(root, s"$prefix-$tag-$di-$pi.parquet")
+          require(fs.rename(p, dst),
+            s"$prefix rewrite: rename $p -> $dst failed")
+          dst.getName
+        }
+    }
+  }
+
   /** What a keyed MERGE did, at the file grain. */
   final case class MergeResult(rewritten: Seq[String], appended: Seq[String],
                                updated: Long, deleted: Long, inserted: Long)
@@ -1249,47 +1279,19 @@ object Sources {
     val fs = root.getFileSystem(conf)
     val staging = new Path(path,
       s"_merge_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    // rewrite only the files holding matched keys — in ONE Spark job
-    // however many files the delta touched (a per-file job loop would
-    // serialize a wide delta on an unclustered table through the
-    // driver): all affected files in one scan tagged by
-    // input_file_name, one broadcast merge join, one write
-    // PARTITIONED by source file so every source file's survivors
-    // land in their own directory and the one-file-per-source layout
-    // is preserved (repartition by the tag puts each source file in
-    // exactly one task)
+    // rewrite only the files holding matched keys — ONE Spark job
+    // however many files the delta touched ([[rewriteFilesOneJob]]):
+    // one broadcast merge join over the tagged scan; a fully-deleted
+    // source file vanishes from the manifest
     val rewrittenNames =
       if (affected.isEmpty) Seq.empty[String]
-      else {
-        val src = readFilesApplyingDefaults(spark, path, affected)
-          .withColumn("__src", input_file_name())
-        val kept = src.join(broadcast(delta), src(id) === fnCol("__k"), "left")
-          .filter(fnCol("__op").isNull || fnCol("__op") === "upsert")
-          .select(payloadCols.map(c =>
-            fnWhen(fnCol("__op") === "upsert", fnCol(s"__row.$c"))
-              .otherwise(src(c)).as(c)) :+ src("__src"): _*)
-        val rewriteDir = new Path(staging, "__rewrites")
-        kept.repartition(fnCol("__src"))
-          .write.partitionBy("__src").mode(SaveMode.Overwrite)
-          .parquet(rewriteDir.toString)
-        // a fully-deleted source file writes no __src= directory and
-        // simply vanishes from the manifest
-        val tag = java.util.UUID.randomUUID().toString.take(8)
-        val dirs =
-          if (fs.exists(rewriteDir))
-            fs.listStatus(rewriteDir).map(_.getPath)
-              .filter(_.getName.startsWith("__src=")).sortBy(_.getName).toSeq
-          else Seq.empty[Path]
-        dirs.zipWithIndex.flatMap { case (d, di) =>
-          fs.listStatus(d).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-            .zipWithIndex.map { case (p, pi) =>
-              val dst = new Path(root, s"merge-$tag-$di-$pi.parquet")
-              require(fs.rename(p, dst),
-                s"mergeAtomic: rename $p -> $dst failed")
-              dst.getName
-            }
-        }
+      else rewriteFilesOneJob(spark, path, affected, staging, "merge") {
+        src =>
+          src.join(broadcast(delta), src(id) === fnCol("__k"), "left")
+            .filter(fnCol("__op").isNull || fnCol("__op") === "upsert")
+            .select(payloadCols.map(c =>
+              fnWhen(fnCol("__op") === "upsert", fnCol(s"__row.$c"))
+                .otherwise(src(c)).as(c)) :+ src("__src"): _*)
       }
     // unmatched upserts are inserts: anti-join against the base's key
     // column only (column-pruned scan; compose with BloomPrune when

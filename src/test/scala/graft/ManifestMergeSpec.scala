@@ -318,6 +318,39 @@ class ManifestMergeSpec extends SparkTestBase {
       == (0L until 1200L).filter(_ % 3 != 0).map(_ * 2).sum)
     // one-file-per-source layout preserved: file count stays 120
     assert(Sources.readManifest(conf, path).get.length == 120)
+    // DELETE and UPDATE share the one-job rewrite: a predicate
+    // touching all 120 files must also stay O(1) jobs
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs2.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l2)
+    val (updNames, nUpd) =
+      try Sources.updateWhereAtomic(spark, path, col("id") % 5L === 1L,
+        Map("v" -> (col("v") + 1L)))
+      finally {
+        Thread.sleep(100)
+        var prev = -1; var stable = 0
+        while (stable < 3 && prev <= jobs2.get()) {
+          if (jobs2.get() == prev) stable += 1 else stable = 0
+          prev = jobs2.get(); Thread.sleep(150)
+        }
+        spark.sparkContext.removeSparkListener(l2)
+      }
+    assert(nUpd == 240L && updNames.length >= 100)
+    assert(jobs2.get() <= 10,
+      s"updateWhereAtomic must rewrite in O(1) jobs, saw ${jobs2.get()}")
+    val (delNames, nDel) = Sources.deleteWhereAtomic(spark, path,
+      col("id") % 5L === 2L)
+    assert(nDel == 240L && delNames.length >= 100)
+    val fin = Sources.readManifested(spark, path)
+    assert(fin.count() == 960L)
+    assert(fin.filter(col("id") % 5L === 1L).agg(sum("v")).head().getLong(0)
+      == (0L until 1200L).filter(_ % 5 == 1)
+        .map(i => (if (i % 3 == 0) -i else i * 2) + 1).sum)
   }
 
   test("mergeAtomic rejects a NULL op — a malformed CDC batch must not partially apply") {
