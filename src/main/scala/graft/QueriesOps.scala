@@ -764,6 +764,13 @@ object QueriesOps {
       TextAnalysis.tokenizerFertility(t(s, d, "documents"), "lang", "text")
         .orderBy(col("lang"))),
 
+    // vocabulary shift between eras (even vs odd doc_ids standing in
+    // for two snapshots): per-term rate deltas, top-25 by |shift|
+    "x_vocab_shift" -> ((s, d) =>
+      TextAnalysis.vocabShift(t(s, d, "documents"), "text",
+        col("doc_id") % 2 === 1, k = 25, minCount = 10L)
+        .orderBy(abs(col("shift")).desc, col("term"))),
+
     // markup strip over a synthetic HTML wrapping (script/style
     // blocks, tags, entities) — the same RE2 passes replay in SQL
     "x_strip" -> ((s, d) =>
@@ -7358,6 +7365,26 @@ s"""WITH lines AS (
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens,
         |  CAST(ceil(len(text) / 4.0) AS BIGINT) AS approx_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vocab-shift replay: same tokens, same counts, same two exact
+    // divisions; the ORDER BY replays the |shift| top-k total order
+    "x_vocab_shift" ->
+      s"""WITH tk AS (SELECT doc_id % 2 = 1 AS nw, unnest($toksSql) AS term
+        |  FROM documents),
+        |c AS (SELECT term,
+        |    CAST(sum(CASE WHEN nw THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN nw THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM tk GROUP BY term),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_,
+        |    CAST(sum(n_new) AS BIGINT) AS tn FROM c)
+        |SELECT term, n_old, n_new,
+        |  CAST(n_old AS DOUBLE) / CAST(t.to_ AS DOUBLE) AS rate_old,
+        |  CAST(n_new AS DOUBLE) / CAST(t.tn AS DOUBLE) AS rate_new,
+        |  CAST(n_new AS DOUBLE) / CAST(t.tn AS DOUBLE)
+        |    - CAST(n_old AS DOUBLE) / CAST(t.to_ AS DOUBLE) AS shift
+        |FROM c CROSS JOIN t
+        |WHERE n_old + n_new >= 10
+        |ORDER BY abs(shift) DESC, term LIMIT 25""".stripMargin,
 
     // fertility replay: the x_tokens counters re-derived, summed as
     // exact integers per language, divided once

@@ -379,6 +379,42 @@ object TextAnalysis {
           / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary SHIFT between two corpus eras — the per-term
+    * heavy-change read behind the distribution-level JS divergence
+    * (which says THAT the mix moved, not WHAT moved): for every term
+    * above a count floor, the occurrence-rate delta between the old
+    * and new era, top-k by |shift|. The trending-vocabulary audit a
+    * corpus curator runs between snapshots (a surging boilerplate
+    * token, a new spam campaign, a collapsing source). Shape: one
+    * explode → one (term × era) partial agg; the era totals are a
+    * 1-row broadcast; top-k is TakeOrdered, never a full sort.
+    * Engine-exact: integer counts, two exact divisions, one
+    * subtraction. minCount floors the rare tail (a 1-occurrence term
+    * has the noisiest possible rate). Output: (term, n_old, n_new,
+    * rate_old, rate_new, shift = rate_new − rate_old). */
+  def vocabShift(df: DataFrame, text: String, newEra: Column,
+                 k: Int = 50, minCount: Long = 10L): DataFrame = {
+    require(k >= 1 && minCount >= 1,
+      s"vocabShift: need k >= 1, minCount >= 1 (got $k, $minCount)")
+    val toks = df.select(newEra.as("__new"),
+      explode(Dedup.tokens(col(text))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy("term")
+      .agg(sum(when(col("__new"), 0L).otherwise(1L)).as("n_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum("n_old").as("__to"), sum("n_new").as("__tn"))
+    counts.filter(col("n_old") + col("n_new") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("n_old"), col("n_new"),
+        (col("n_old").cast("double") / col("__to").cast("double"))
+          .as("rate_old"),
+        (col("n_new").cast("double") / col("__tn").cast("double"))
+          .as("rate_new"))
+      .withColumn("shift", col("rate_new") - col("rate_old"))
+      .orderBy(abs(col("shift")).desc, col("term"))
+      .limit(k)
+  }
+
   // ---- corpus n-gram frequency -------------------------------------------
   /** Corpus-wide top-k word n-grams by occurrence count (ties broken
     * by gram text). Explode → partial-agg groupBy → global

@@ -64,6 +64,86 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("intervalOverlap == quadratic reference on random intervals at several bin widths") {
+    import spark.implicits._
+    for (seed <- Seq(7, 31); bw <- Seq(3L, 16L, 200L)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(120) { i =>
+        val lo = rnd.nextInt(500).toLong
+        (i.toLong, (i % 2).toLong, lo, lo + rnd.nextInt(60).toLong)
+      }.toDF("l_id", "u", "l_lo", "l_hi")
+      val right = Seq.tabulate(100) { j =>
+        val lo = rnd.nextInt(500).toLong
+        (j.toLong, (j % 2).toLong, lo, lo + rnd.nextInt(40).toLong)
+      }.toDF("r_id", "u", "r_lo", "r_hi")
+      val got = RangeJoin.intervalOverlap(left, "l_lo", "l_hi",
+          right, "r_lo", "r_hi", bw, Seq("u"))
+        .select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size,
+        s"seed=$seed bw=$bw: a pair emitted twice")
+      val brute = left.as("l").join(right.as("r"),
+          col("l.u") === col("r.u") &&
+            col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got.toSet == brute,
+        s"seed=$seed bw=$bw: missing=${brute -- got.toSet} extra=${got.toSet -- brute}")
+    }
+  }
+
+  test("incremental CC == full recompute under random graphs and random day splits") {
+    import spark.implicits._
+    for (seed <- Seq(13, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      // random split: day-1 keeps ~60% of pairs, the rest is the delta
+      val (day1, delta) = all.partition(_ => rnd.nextBoolean() || rnd.nextBoolean())
+      if (day1.nonEmpty && delta.nonEmpty) {
+        val d1 = day1.toDF("a", "b")
+        val dd = delta.toDF("a", "b")
+        val standing = Dedup.dedupClusters(d1, maxIter = 100)
+        val inc = Dedup.dedupClustersIncremental(standing, dd, maxIter = 100)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val full = Dedup.dedupClusters(d1.unionByName(dd), maxIter = 100)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(inc == full, s"seed=$seed: incremental != full recompute")
+      }
+    }
+  }
+
+  test("ewmaChart is invariant under input partitioning; fit==apply calibration has zero gap") {
+    import spark.implicits._
+    val base = (1700000000000L / 3600000L) * 3600000L
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 40).flatMap { h =>
+      (0 until (1 + rnd.nextInt(9))).map(i => ((h * 100 + i).toLong,
+        new java.sql.Timestamp(base + h * 3600000L + i * 1000L), 1L,
+        s"t${h % 3}", 1.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.ewmaChart(df, "1 hour", horizon = 16)
+        .orderBy("event_type", "wstart").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(run(ev) == run(ev.repartition(7)),
+      "dyadic EWMA must be bit-identical under any partitioning")
+    // histogram calibration applied to its own fit split: the fitted
+    // rate IS the apply rate in every bin — gap_after exactly zero
+    val docs = (1 to 200).map { i =>
+      (math.min(rnd.nextDouble(), 0.999), rnd.nextBoolean())
+    }.toDF("p", "y")
+    val bins = Classifier.histogramCalibration(docs, docs,
+      col("p"), col("y"), k = 10).collect()
+    assert(bins.nonEmpty &&
+      bins.forall(_.getAs[Double]("gap_after") == 0.0),
+      "in-sample histogram calibration must close every bin gap exactly")
+  }
+
   test("seeded sample and rowid are invariant under partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
