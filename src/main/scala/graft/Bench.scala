@@ -50,9 +50,10 @@ object Bench {
     // read — the two heaviest r15 metric topologies
     "x_delong", "x_auc_by",
     // round-16 additions: the new join topology, the dyadic monitor,
-    // the calibration remediation pair, the day-2 CC fold
+    // the calibration remediation pair, the day-2 CC fold, the
+    // per-term heavy-change read
     "x_interval_join", "x_ewma", "x_calib_fit", "x_calib_ece",
-    "x_dedup_clusters_incr")
+    "x_dedup_clusters_incr", "x_vocab_shift")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -504,6 +505,20 @@ object Bench {
     val sf10Json =
       if (new java.io.File(sfDir).getName == "sf0.1" &&
           sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1") {
+        // FRESH SESSION for the 100x sweep: after the headline + sf1
+        // window the JVM carries heap/page-cache residue that inflated
+        // in-sweep heavy rows 1.7-2.3x vs standalone quiet pins with
+        // IDENTICAL output (x_dedup_minhash 91s/68s in-sweep vs 39.4s
+        // standalone min-of-3, 27.3M pairs all three times — r16
+        // adjudication in BASELINE.md; clearCache alone did not shed
+        // it). The standalone pin IS the honest number; a clean
+        // session makes the sweep measure the queries, not the bench's
+        // own history. Disk caches (synth, idxcache) are unaffected.
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        spark.range(1000).selectExpr("sum(id)").collect() // codegen re-warm
         val sf10Dir = synthSf10(spark, benchDir)
         val sweepAnchor10 = math.min(anchor(), anchor())
         val rows = sf10Queries.filter(qs.contains).map { n =>
