@@ -1219,6 +1219,13 @@ object QueriesOps {
       Classifier.rocAuc(t(s, d, "documents"),
         col("n_chars").cast("double"), col("text").contains(" the "))),
 
+    // Youden-J optimal cutoff for the same score/teacher pair: the
+    // threshold-PICKING read beside x_auc's threshold-free ranking —
+    // distinct-score class counts, DESC prefix-scan TP/FP, 1-row argmax
+    "x_youden" -> ((s, d) =>
+      Classifier.youdenThreshold(t(s, d, "documents"),
+        col("n_chars").cast("double"), col("text").contains(" the "))),
+
     // calibration reliability bins of a clamped length-probability vs
     // the same teacher: bin id is a projection, ONE partial-agg scan
     "x_calib" -> ((s, d) =>
@@ -2556,6 +2563,22 @@ object QueriesOps {
         li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
     }),
 
+    // exact 1-Wasserstein drift — x_ks's magnitude companion on the
+    // same even/odd price halves: how much mass moved how far, in
+    // price units; value-collapse agg + prefix-scan CDFs + the fused
+    // lag scan for gaps, 2^-40 grid total
+    "x_wasserstein" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profiling.wasserstein1(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
+
+    // categorical association audit: is `source` just `lang` in
+    // disguise? chi2 + Cramér's V + MI + BOTH Theil's U off ONE
+    // contingency partial agg, zero-cell-free chi2 identity
+    "x_assoc" -> ((s, d) =>
+      Profiling.associationAudit(t(s, d, "documents"), "lang", "source")),
+
     // per-language KS drift report: which strata moved between the
     // halves, stratum-partitioned CDF windows, per-stratum sup
     "x_gks" -> ((s, d) => {
@@ -2563,6 +2586,21 @@ object QueriesOps {
       Profiling.groupedKs(docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
         .orderBy(col("stratum"))
+    }),
+
+    // BH-FDR over the per-language KS family: Smirnov asymptotic
+    // p = min(1, 2·exp(−2·(n1·n2/(n1+n2))·ks²)) per stratum, then the
+    // step-up rule at α=0.05 — the multiple-testing guard on x_gks
+    "x_bh_fdr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pv = Profiling.groupedKs(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
+        .withColumn("p", least(lit(1.0), lit(2.0) * exp(lit(-2.0) *
+          (col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double")) * col("ks") * col("ks"))))
+        .select(col("stratum"), col("p"))
+      Profiling.benjaminiHochberg(pv, "stratum", "p", alpha = 0.05)
+        .orderBy(col("rank"))
     }),
 
     // PSI drift over reference deciles: doc-length stability between
@@ -3927,6 +3965,30 @@ object QueriesOps {
         |    ELSE (srp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
         |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
         |FROM a""".stripMargin,
+
+    // Youden replay: distinct-score class counts, DESC cumulative
+    // TP/FP windows, exact-count rate divisions, (j DESC, t ASC) argmax
+    "x_youden" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y FROM documents),
+        |c AS (SELECT s,
+        |    sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS p,
+        |    sum(CASE WHEN y THEN 0.0 ELSE 1.0 END) AS n
+        |  FROM d GROUP BY s),
+        |f AS (SELECT s,
+        |    sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cp,
+        |    sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cn
+        |  FROM c),
+        |t AS (SELECT sum(p) AS tp, sum(n) AS tn FROM c)
+        |SELECT s AS threshold, cp / tp AS tpr, cn / tn AS fpr,
+        |  (cp / tp) - (cn / tn) AS j,
+        |  (cp + (tn - cn)) / (tp + tn) AS accuracy,
+        |  CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg
+        |FROM f CROSS JOIN t
+        |WHERE tp > 0.0 AND tn > 0.0
+        |ORDER BY j DESC, threshold ASC LIMIT 1""".stripMargin,
 
     // reliability-bin replay: identical floor/clamp bin id, decimal
     // mean, exact-count rate divisions
@@ -6704,6 +6766,45 @@ s"""WITH lines AS (
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         |FROM r WHERE rn = 1 ORDER BY stratum""".stripMargin,
 
+    // BH replay: the x_gks CTE chain -> Smirnov p -> step-up rule
+    "x_bh_fdr" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |c AS (SELECT g, v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1),
+        |f AS (SELECT c.g, c.v,
+        |    sum(c1) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM c),
+        |d AS (SELECT f.g, f.v,
+        |    abs(f1 / greatest(n1, 1.0) - f2 / greatest(n2, 1.0)) AS dd, n1, n2
+        |  FROM f JOIN t ON f.g = t.g),
+        |r AS (SELECT g, v, dd, n1, n2,
+        |    row_number() OVER (PARTITION BY g ORDER BY dd DESC, v) AS rn
+        |  FROM d),
+        |ks AS (SELECT g AS stratum, dd AS ks, n1, n2 FROM r WHERE rn = 1),
+        |pv AS (SELECT stratum,
+        |    least(1.0, 2.0 * exp(-2.0 * (n1 * n2 / (n1 + n2)) * ks * ks)) AS p
+        |  FROM ks),
+        |m AS (SELECT count(*) AS m FROM pv),
+        |rk AS (SELECT stratum, p,
+        |    CAST(row_number() OVER (ORDER BY p ASC, stratum ASC) AS INT) AS rank,
+        |    m.m AS m,
+        |    0.05 * CAST(row_number() OVER (ORDER BY p ASC, stratum ASC) AS DOUBLE)
+        |      / CAST(m.m AS DOUBLE) AS critical
+        |  FROM pv CROSS JOIN m),
+        |k AS (SELECT coalesce(max(CASE WHEN p <= critical THEN rank END), 0) AS k
+        |  FROM rk)
+        |SELECT stratum, p, rank, CAST(m AS BIGINT) AS m, critical,
+        |  rank <= k.k AS rejected
+        |FROM rk CROSS JOIN k ORDER BY rank""".stripMargin,
+
     // PSI replay: reference quantile_cont deciles, same comparison
     // chain, Laplace smoothing, floor-grid term sum
     "x_psi" -> {
@@ -6878,6 +6979,78 @@ s"""WITH lines AS (
         |SELECT dd AS ks, v AS at_value,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         |FROM d ORDER BY dd DESC, v LIMIT 1""".stripMargin,
+
+    // W1 replay: same value-collapse, CDF windows, lag for gaps, and
+    // the 2^40 grid with the string-bridged decimal->double total
+    "x_wasserstein" ->
+      """WITH u AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |c AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY v),
+        |f AS (SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f2
+        |  FROM c),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        |d AS (SELECT v, abs(f1 / n1 - f2 / n2) AS dd FROM f CROSS JOIN t),
+        |l AS (SELECT v, lag(v) OVER (ORDER BY v) AS vp,
+        |    lag(dd) OVER (ORDER BY v) AS dp FROM d),
+        |g AS (SELECT CAST(floor(coalesce(dp * (v - vp), 0.0)
+        |    * 1099511627776.0 + 0.5) AS DECIMAL(38,0)) AS tt FROM l)
+        |SELECT CAST(CAST(sum(tt) AS VARCHAR) AS DOUBLE) / 1099511627776.0 AS w1,
+        |  (SELECT CAST(n1 AS BIGINT) FROM t) AS n1,
+        |  (SELECT CAST(n2 AS BIGINT) FROM t) AS n2
+        |FROM g""".stripMargin,
+
+    // association replay: one contingency CTE, marginal re-aggs, the
+    // zero-cell-free chi2 identity, 2^40-grid cell sums
+    "x_assoc" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+        |mb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+        |t AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka,
+        |    count(DISTINCT b) AS kb FROM cells),
+        |core AS (SELECT
+        |    CAST(CAST(sum(CAST(floor(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+        |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS s,
+        |    CAST(CAST(sum(CAST(floor((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS mi,
+        |    CAST(max(n) AS BIGINT) AS n, max(ka) AS k_a, max(kb) AS k_b
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t),
+        |ha AS (SELECT
+        |    CAST(CAST(sum(CAST(floor(-(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS h_a
+        |  FROM ma CROSS JOIN t),
+        |hb AS (SELECT
+        |    CAST(CAST(sum(CAST(floor(-(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS h_b
+        |  FROM mb CROSS JOIN t)
+        |SELECT n, k_a, k_b,
+        |  CAST(n AS DOUBLE) * (s - 1.0) AS chi2,
+        |  CASE WHEN least(k_a, k_b) > 1
+        |    THEN sqrt(greatest(CAST(n AS DOUBLE) * (s - 1.0), 0.0)
+        |      / (CAST(n AS DOUBLE) * CAST(least(k_a, k_b) - 1 AS DOUBLE)))
+        |    END AS cramers_v,
+        |  mi, h_a, h_b,
+        |  CASE WHEN h_a > 0.0 THEN mi / h_a END AS u_a_given_b,
+        |  CASE WHEN h_b > 0.0 THEN mi / h_b END AS u_b_given_a
+        |FROM core CROSS JOIN ha CROSS JOIN hb""".stripMargin,
 
     // anomaly replay: date_trunc hour windows, quantile_cont medians
     // (type-7 — the proven x_quantiles convention), same z chain

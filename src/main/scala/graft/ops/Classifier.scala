@@ -745,4 +745,44 @@ object Classifier {
         when(col("n") === 0L, lit(null).cast("double"))
           .otherwise(col("__s") / col("n").cast("double")).as("brier"))
   }
+
+  /** Youden-J optimal operating point — the threshold-PICKING read
+    * the threshold-free [[rocAuc]] leaves open: over every achievable
+    * cutoff (predict keep when score ≥ t, t ranging over the distinct
+    * scores), the point maximizing J = TPR − FPR — the cutoff a
+    * curation rule should ship when false-keeps and false-drops cost
+    * the same (cost-asymmetric deployments reweight J; the sweep here
+    * is the reusable part). Exact on the full data: distinct-score
+    * class counts in ONE partial agg (the [[graft.ops.Profiling
+    * .ksTest]] shape), cumulative TP/FP from the distributed prefix
+    * scan in DESCENDING score order (score-≥-t semantics), the argmax
+    * a 1-row TakeOrdered — never a global window, never a per-
+    * threshold rescan. Rates are exact-count divisions; ties on J
+    * break to the SMALLEST threshold (keep more at equal J).
+    * Degenerate one-class corpora return zero rows.
+    * Output (1 row): threshold, tpr, fpr, j, accuracy, n_pos, n_neg. */
+  def youdenThreshold(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val d = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("__s"), label.cast("boolean").as("__y"))
+    val counts = d.groupBy(col("__s"))
+      .agg(sum(when(col("__y"), 1.0).otherwise(0.0)).as("__p"),
+        sum(when(col("__y"), 0.0).otherwise(1.0)).as("__n"))
+    val cum = graft.functions.ScanFns.withCumulatives(counts,
+      Seq((col("__p"), graft.functions.ScanFns.SumOp, "__cp"),
+          (col("__n"), graft.functions.ScanFns.SumOp, "__cn")),
+      Seq(col("__s").desc))
+    val tot = counts.agg(sum(col("__p")).as("__tp"), sum(col("__n")).as("__tn"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("__tp") > 0.0 && col("__tn") > 0.0)
+      .select(col("__s").as("threshold"),
+        (col("__cp") / col("__tp")).as("tpr"),
+        (col("__cn") / col("__tn")).as("fpr"),
+        ((col("__cp") / col("__tp")) - (col("__cn") / col("__tn"))).as("j"),
+        ((col("__cp") + (col("__tn") - col("__cn"))) /
+          (col("__tp") + col("__tn"))).as("accuracy"),
+        col("__tp").cast("long").as("n_pos"),
+        col("__tn").cast("long").as("n_neg"))
+      .orderBy(col("j").desc, col("threshold").asc)
+      .limit(1)
+  }
 }

@@ -613,6 +613,94 @@ object Profiling {
         max(col("__n2")).cast("long").as("n2"))
   }
 
+  /** Benjamini–Hochberg FDR control over a FAMILY of p-values — the
+    * multiple-testing guard a per-stratum drift REPORT needs before
+    * anyone acts on it: run [[groupedKs]] over 40 languages at
+    * α = 0.05 and two strata will "drift" by luck alone; BH (1995)
+    * bounds the EXPECTED false-discovery share of the rejected set at
+    * α instead of bounding each test. Step-up rule: sort p ascending,
+    * reject the largest prefix 1..k with p₍ᵢ₎ ≤ α·i/m, and everything
+    * before it (even rows above their own critical line — that is the
+    * step-up, not a bug). Ranks break p-ties by key so the rejected
+    * set is deterministic.
+    *
+    * Shape: the p-value table is one row per STRATUM — bounded by
+    * contract like the level/centroid tables (§5 invariant), so its
+    * rank window and the two 1-row broadcasts (m, k) are free; the
+    * fact tables were consumed upstream by whatever produced the
+    * p-values. Comparisons are exact-count rational arithmetic on
+    * IEEE doubles — engine-replayable.
+    * Output: (key, p, rank, m, critical, rejected), one row per test. */
+  def benjaminiHochberg(pv: DataFrame, key: String, p: String,
+                        alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"benjaminiHochberg: alpha=$alpha not in (0,1)")
+    val w = Window.orderBy(col(p).asc, col(key).asc)
+    val m = pv.agg(count(lit(1)).as("__m"))
+    val ranked = pv.select(col(key), col(p).cast("double").as(p))
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .withColumn("critical",
+        lit(alpha) * col("rank").cast("double") / col("__m").cast("double"))
+    val kmax = ranked.agg(coalesce(
+      max(when(col(p) <= col("critical"), col("rank"))), lit(0)).as("__k"))
+    ranked.crossJoin(broadcast(kmax))
+      .select(col(key), col(p), col("rank"), col("__m").as("m"),
+        col("critical"), (col("rank") <= col("__k")).as("rejected"))
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) distance between two numeric
+    * samples — the MAGNITUDE companion of [[ksTest]]'s sup statistic:
+    * KS says the CDFs separate somewhere; W₁ = ∫|F_a − F_b| dx says
+    * how much probability mass moved how far, in the column's own
+    * units (the drift read a token-budget or length-mix decision
+    * actually wants). Computed exactly on the full data: the union
+    * collapses to per-distinct-value counts in ONE partial agg (the
+    * ksTest shape), both empirical CDFs ride the distributed prefix
+    * scan, the NEXT-value gaps come from the fused whole-frame lag
+    * scan ([[graft.functions.ScanFns.withShifts]] — one more
+    * range-partitioned sort over the already-collapsed value table,
+    * never a global window), and the Σ|ΔF|·Δx total crosses the
+    * floor(x·2⁴⁰+0.5) grid so partitioning can never perturb the sum.
+    * CDF steps are integer counts in doubles (exact), per-term
+    * products fixed-order IEEE — fully engine-replayable.
+    * Output: one row (w1, n1, n2). */
+  def wasserstein1(a: DataFrame, b: DataFrame, value: String): DataFrame = {
+    def side(df: DataFrame, s1: Double, s2: Double) =
+      df.select(col(value).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s1", lit(s1)).withColumn("__s2", lit(s2))
+    val u = side(a, 1.0, 0.0).unionByName(side(b, 0.0, 1.0))
+    val counts = u.groupBy(col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+    val cum = graft.functions.ScanFns.withCumulatives(counts,
+      Seq((col("__c1"), graft.functions.ScanFns.SumOp, "__f1"),
+          (col("__c2"), graft.functions.ScanFns.SumOp, "__f2")),
+      Seq(col("__v").asc))
+    val tot = counts.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("__v"),
+        abs(col("__f1") / col("__n1") - col("__f2") / col("__n2")).as("__d"),
+        col("__n1"), col("__n2"))
+    // term between consecutive distinct values: |F diff at the LEFT
+    // point| x gap width. Lagging both columns in one fused scan makes
+    // the first row's term 0 by null-arithmetic (lag nulls at the edge).
+    val lagged = graft.functions.ScanFns.withShifts(d,
+      Seq((col("__v"), 1, "__vp"), (col("__d"), 1, "__dp")),
+      Seq(col("__v").asc))
+    lagged
+      .withColumn("__t",
+        floor(coalesce(col("__dp") * (col("__v") - col("__vp")), lit(0.0)) *
+          1099511627776.0 + 0.5).cast("decimal(38,0)"))
+      // string-bridged decimal->double (the Exact.dsum rule): the grid
+      // total can exceed 2^53, where direct decimal->double casts
+      // double-round differently across engines
+      .agg((sum(col("__t")).cast("string").cast("double") /
+          1099511627776.0).as("w1"),
+        max(col("__n1")).cast("long").as("n1"),
+        max(col("__n2")).cast("long").as("n2"))
+  }
+
   /** Population Stability Index (the scorecard-monitoring standard)
     * between a REFERENCE corpus and a CURRENT one, over equal-
     * population bins of the reference: PSI = Σ_bins (p−q)·ln(p/q).
@@ -692,6 +780,72 @@ object Profiling {
     d.agg((sum(col("__t")).cast("double") / 16777216.0).as("chi2"),
       (count(lit(1)) - 1L).as("dof"),
       max(col("__n1")).as("n1"), max(col("__n2")).as("n2"))
+  }
+
+  /** Categorical ASSOCIATION audit between two columns of ONE frame —
+    * the feature-redundancy / leakage read ([[chiSquareTest]] compares
+    * the same column across two frames; this asks whether two columns
+    * of the same corpus move together): is `source` just `lang` in
+    * disguise? does a metadata field leak the quality label? One row
+    * with the three standard strengths on their shared contingency
+    * table: Pearson chi², Cramér's V = √(chi²/(n·min(kₐ−1,k_b−1)))
+    * (the [0,1] effect size chi² itself hides behind n), mutual
+    * information in nats, and BOTH asymmetric Theil's U = MI/H
+    * (association is not symmetric: U(a|b)=1, U(b|a)<1 means b
+    * determines a but not back — V alone cannot say which).
+    *
+    * Shape: ONE (a,b) partial agg to the contingency cells (bounded
+    * BY CONTRACT — categorical columns), marginals re-agg from the
+    * cell table and broadcast back, every per-cell term a fixed-order
+    * IEEE division/log, every cell-sum on the floor(x·2⁴⁰+0.5) grid
+    * (order-invariant); chi² uses the zero-cell-free identity
+    * chi² = n·(Σ o²/(rₐ·c_b) − 1) so absent cells never materialize.
+    * The fact table is touched exactly once.
+    * Output: one row (n, k_a, k_b, chi2, cramers_v, mi, h_a, h_b,
+    * u_a_given_b, u_b_given_a). */
+  def associationAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val G = 1099511627776.0 // 2^40
+    // string-bridged decimal->double (the Exact.dsum rule)
+    def gsum(c: Column): Column =
+      sum(floor(c * G + 0.5).cast("decimal(38,0)"))
+        .cast("string").cast("double") / G
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb"))
+    // per-cell sums: S = sum o^2/(ra*cb) (chi2 identity) and MI
+    val core = cells.join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(tot))
+      .agg(
+        gsum(dbl(col("__o")) * dbl(col("__o")) /
+          (dbl(col("__ra")) * dbl(col("__cb")))).as("__s"),
+        gsum((dbl(col("__o")) / dbl(col("__n"))) *
+          log(dbl(col("__o")) * dbl(col("__n")) /
+            (dbl(col("__ra")) * dbl(col("__cb"))))).as("mi"),
+        max(col("__n")).as("n"), max(col("__ka")).as("k_a"),
+        max(col("__kb")).as("k_b"))
+    def entropy(m: DataFrame, cnt: String, as: String) =
+      m.crossJoin(broadcast(tot))
+        .agg(gsum(-(dbl(col(cnt)) / dbl(col("__n"))) *
+          log(dbl(col(cnt)) / dbl(col("__n")))).as(as))
+    core
+      .crossJoin(broadcast(entropy(ma, "__ra", "h_a")))
+      .crossJoin(broadcast(entropy(mb, "__cb", "h_b")))
+      .withColumn("chi2", dbl(col("n")) * (col("__s") - lit(1.0)))
+      .withColumn("cramers_v",
+        when(least(col("k_a"), col("k_b")) > 1,
+          sqrt(greatest(col("chi2"), lit(0.0)) /
+            (dbl(col("n")) * dbl(least(col("k_a"), col("k_b")) - lit(1))))))
+      .withColumn("u_a_given_b", when(col("h_a") > 0.0, col("mi") / col("h_a")))
+      .withColumn("u_b_given_a", when(col("h_b") > 0.0, col("mi") / col("h_b")))
+      .select(col("n"), col("k_a"), col("k_b"), col("chi2"),
+        col("cramers_v"), col("mi"), col("h_a"), col("h_b"),
+        col("u_a_given_b"), col("u_b_given_a"))
   }
 
   /** t-closeness profile (Li et al. 2007) — the third leg of the

@@ -509,4 +509,27 @@ class ClassifierSpec extends SparkTestBase {
     assert(Classifier.brierScore(perfect, col("p"), col("y"))
       .head().getAs[Double]("brier") == 0.0)
   }
+
+  test("youdenThreshold: perfect separation finds the split, ties break to smallest threshold") {
+    import org.apache.spark.sql.functions.col
+    // pos = {3,4}, neg = {1,2}: threshold 3 gives tpr=1 fpr=0 j=1
+    val sep = sqlDf("s" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "y" -> Seq(false, false, true, true))
+    val r = Classifier.youdenThreshold(sep, col("s"), col("y")).head()
+    assert(r.getAs[Double]("threshold") == 3.0 && r.getAs[Double]("j") == 1.0)
+    assert(r.getAs[Double]("tpr") == 1.0 && r.getAs[Double]("fpr") == 0.0)
+    assert(r.getAs[Double]("accuracy") == 1.0)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    // useless scorer: J = 0 at every cutoff -> smallest threshold wins
+    val flat = sqlDf("s" -> Seq(1.0, 2.0, 1.0, 2.0),
+      "y" -> Seq(true, true, false, false))
+    val f = Classifier.youdenThreshold(flat, col("s"), col("y")).head()
+    assert(f.getAs[Double]("j") == 0.0 && f.getAs[Double]("threshold") == 1.0, f)
+    // one-class corpus: zero rows, not a division blowup
+    val oneClass = sqlDf("s" -> Seq(1.0, 2.0), "y" -> Seq(true, true))
+    assert(Classifier.youdenThreshold(oneClass, col("s"), col("y")).count() == 0L)
+    // partition-invariant (prefix scan owns the order)
+    val rep = Classifier.youdenThreshold(sep.repartition(4), col("s"), col("y")).head()
+    assert(rep.getAs[Double]("threshold") == 3.0 && rep.getAs[Double]("j") == 1.0)
+  }
 }

@@ -2162,6 +2162,73 @@ class OpsSpec extends SparkTestBase {
     assert(again.getDouble(0) == 0.5 && again.getDouble(1) == shifted.getDouble(1))
   }
 
+  test("wasserstein1: 0 on identical samples, exact shift distance on shifted ones, partition-invariant") {
+    import spark.implicits._
+    val xs = (1 to 100).map(_.toDouble)
+    val same = graft.ops.Profiling.wasserstein1(
+      xs.toDF("v"), xs.toDF("v"), "v").head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 100L, s"identical -> 0: $same")
+    // a pure location shift by c moves every unit of mass exactly c
+    val shifted = graft.ops.Profiling.wasserstein1(
+      xs.toDF("v"), xs.map(_ + 50.0).toDF("v"), "v").head()
+    assert(math.abs(shifted.getDouble(0) - 50.0) < 1e-6,
+      s"shift-by-50 must read W1~50: $shifted")
+    val again = graft.ops.Profiling.wasserstein1(
+      xs.toDF("v").repartition(7), xs.map(_ + 50.0).toDF("v").repartition(3),
+      "v").head()
+    assert(again.getDouble(0) == shifted.getDouble(0),
+      "W1 must be partitioning-invariant")
+    // KS can't tell these apart (both sup=1); W1 can (10x the distance)
+    val near = graft.ops.Profiling.wasserstein1(
+      Seq(0.0).toDF("v"), Seq(1.0).toDF("v"), "v").head()
+    val far = graft.ops.Profiling.wasserstein1(
+      Seq(0.0).toDF("v"), Seq(10.0).toDF("v"), "v").head()
+    assert(math.abs(near.getDouble(0) - 1.0) < 1e-9 &&
+      math.abs(far.getDouble(0) - 10.0) < 1e-9,
+      s"W1 reads distance where KS saturates: $near vs $far")
+  }
+
+  test("associationAudit: perfect dependence reads V=1/U=1, independence reads ~0, asymmetry shows") {
+    import spark.implicits._
+    val dep = (Seq.fill(50)(("x", "x")) ++ Seq.fill(50)(("y", "y"))).toDF("a", "b")
+    val r1 = graft.ops.Profiling.associationAudit(dep, "a", "b").head()
+    assert(r1.getLong(0) == 100L && r1.getLong(1) == 2L && r1.getLong(2) == 2L)
+    assert(math.abs(r1.getDouble(3) - 100.0) < 1e-6, s"chi2 = n at perfect dep: $r1")
+    assert(math.abs(r1.getDouble(4) - 1.0) < 1e-9, s"V = 1: $r1")
+    assert(r1.getDouble(8) == 1.0 && r1.getDouble(9) == 1.0,
+      s"both U = 1 (grids cancel exactly): $r1")
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 25 }
+      yield (a, b)).toDF("a", "b")
+    val r2 = graft.ops.Profiling.associationAudit(ind, "a", "b").head()
+    assert(math.abs(r2.getDouble(3)) < 1e-6 && math.abs(r2.getDouble(5)) < 1e-6,
+      s"independence -> chi2 ~ 0, MI ~ 0: $r2")
+    // b determines a, a does not determine b: U(a|b)=1, U(b|a)<1
+    val asym = (Seq.fill(25)(("x", "p")) ++ Seq.fill(25)(("x", "q")) ++
+      Seq.fill(50)(("y", "r"))).toDF("a", "b")
+    val r3 = graft.ops.Profiling.associationAudit(asym, "a", "b").head()
+    assert(r3.getDouble(8) > 0.999 && r3.getDouble(9) < 0.7,
+      s"association must read asymmetric: $r3")
+  }
+
+  test("benjaminiHochberg: step-up rejects the full prefix, including rows above their own line") {
+    import spark.implicits._
+    // rank1 p=0.03 > its own critical 0.025, but rank3 passes -> ALL of
+    // ranks 1..3 reject (the step-up), rank4 survives
+    val pv = Seq(("s1", 0.03), ("s2", 0.04), ("s3", 0.06), ("s4", 0.9))
+      .toDF("stratum", "p")
+    val out = graft.ops.Profiling.benjaminiHochberg(pv, "stratum", "p", 0.1)
+      .orderBy("rank").collect()
+    assert(out.map(_.getBoolean(5)).toSeq == Seq(true, true, true, false),
+      out.mkString("; "))
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4))
+    assert(out.forall(_.getLong(3) == 4L))
+    // nothing passes -> nothing rejected (k=0, not a crash)
+    val none = graft.ops.Profiling.benjaminiHochberg(
+      Seq(("a", 0.5), ("b", 0.9)).toDF("stratum", "p"), "stratum", "p", 0.05)
+      .collect()
+    assert(none.forall(!_.getBoolean(5)))
+  }
+
   test("anomalousWindows flags the spike hour, not the steady ones; MAD-0 types yield NULL z") {
     import spark.implicits._
     val base = 1700000000000L
