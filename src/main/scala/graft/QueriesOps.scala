@@ -315,6 +315,18 @@ object QueriesOps {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("cos").desc, col("vec_id"))),
 
+    // hubness audit over the LSH self-retrieval: every 10th vector
+    // queries, k-occurrence counted per corpus vector — hubs at the
+    // top, the antihub count beside them
+    "x_hubness" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      Similarity.hubnessAudit(e, "vec_id", "embedding", qs, "q_id", "qv",
+          k = 5, nPlanes = 8, topN = 20)
+        .orderBy(col("k_occ").desc, col("neighbor_id"))
+    }),
+
     // 768-dim variant: same retrieval topology, but the corpus vectors
     // span SIX md5 sign chunks per plane — this is the query that
     // actually executes the multi-chunk chain (everything else in the
@@ -702,6 +714,20 @@ object QueriesOps {
           FuzzyJoin.mergePurgePairs(c, "id", "s", window = 4, maxDist = 1),
           pref = length(col("s")))
         .orderBy(col("id"))
+    }),
+
+    // blocking-quality audit: the deletion pass's candidates scored
+    // against the union-of-passes reference — pair completeness says
+    // what the single pass reaches, reduction ratio what it never
+    // had to score out of all n(n-1)/2
+    "x_blocking" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s"))
+      FuzzyJoin.blockingQuality(c, "id",
+        FuzzyJoin.editDistanceSelfJoin(c, "id", "s", maxDist = 1)
+          .select(col("a"), col("b")),
+        FuzzyJoin.mergePurgePairs(c, "id", "s", window = 4, maxDist = 1)
+          .select(col("a"), col("b")))
     }),
 
     // ---- text analysis --------------------------------------------------
@@ -1241,6 +1267,16 @@ object QueriesOps {
       Classifier.averagePrecision(t(s, d, "documents"),
         col("n_chars").cast("double"), col("text").contains(" the "),
         col("doc_id"))),
+
+    // isotonic (PAV) calibration over the same score/teacher pair:
+    // the monotone upgrade of histogram binning via the minimax
+    // identity — one fact scan to 10 levels, then k^3-bounded
+    // min/max joins on the level table, no grids needed
+    "x_isotonic" -> ((s, d) =>
+      Classifier.isotonicCalibration(t(s, d, "documents"),
+          least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+          col("text").contains(" the "), k = 10)
+        .orderBy(col("bin"))),
 
     // expected calibration error over the x_calib bins: weighted
     // |pos_rate - mean_p| on the fixed-point grid, plus the max gap
@@ -2371,6 +2407,18 @@ object QueriesOps {
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
     }),
 
+    // Dirichlet query-likelihood retrieval over the same queries: the
+    // language-model ranking beside BM25 — matched-terms
+    // decomposition, broadcast query constants, pruned postings
+    "x_qlm" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "spark window agg"), ("q2", "customer join order"),
+        ("q3", "vector scan stream")).toDF("q_id", "qtext")
+      Retrieval.queryLikelihoodTopK(t(s, d, "documents"), "doc_id", "text",
+          qs, "q_id", "qtext", k = 10, mu = 2000.0)
+        .orderBy(col("q_id"), col("ql").desc, col("doc_id"))
+    }),
+
     // BM25 over the MATERIALIZED inverted index (the standing-workload
     // path): per-call cost is postings scans only — no tokenization,
     // no corpus scan, stats from the sidecar. Same scores as x_bm25.
@@ -2536,6 +2584,16 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // triangle census + global clustering over the same link graph:
+    // degree-ordered orientation (wedges enumerate at the low vertex,
+    // fan-out bounded by oriented out-degree), one closing-edge join
+    "x_triangles" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.triangleStats(edges, "src", "dst")
+    }),
+
     // data-quality contracts: the scan-fused check table + uniqueness
     // + referential integrity, unioned into one audit report
     "x_checks" -> ((s, d) => {
@@ -2616,6 +2674,25 @@ object QueriesOps {
       val docs = t(s, d, "documents")
       Profiling.chiSquareTest(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences: one lag window (bounded user partitions), pair
+    // counts to <= k^2 rows, exact row-total divisions
+    "x_markov" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(events(s, d), col("user_id"),
+          col("ts"), col("event_type"), col("event_id"))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // stationary distribution of that chain by 3 power iterations:
+    // k-row joins + 18-decimal inflow sums (the pageRank recipe) —
+    // the log is consumed once by the matrix, never by the iteration
+    "x_markov_pi" -> ((s, d) => {
+      val tm = EventAnalytics.transitionMatrix(events(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"))
+      EventAnalytics.markovStationary(tm, "from_type", "to_type", "p",
+          iters = 3)
+        .orderBy(col("state"))
     }),
 
     // windowed event anomalies: hourly per-type counts, per-type
@@ -3397,6 +3474,43 @@ object QueriesOps {
       |SELECT q_id, doc_id, bm25 FROM r WHERE rn <= 10
       |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin
 
+  /** Dirichlet query-likelihood oracle: the bm25 tokenization CTEs,
+    * collection term frequencies, the matched-terms decomposition
+    * with decimal(38,18) sums, round-6 scores, per-query top-10. */
+  private lazy val qlmOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+      |tf AS (SELECT doc_id, len(w) AS dl, t AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, w, unnest(w) AS t FROM toks) GROUP BY 1, 2, 3),
+      |stats AS (SELECT count(*) AS nd, sum(len(w)) AS tl FROM toks),
+      |q(q_id, qtext) AS (VALUES ('q1', 'spark window agg'),
+      |  ('q2', 'customer join order'), ('q3', 'vector scan stream')),
+      |qt AS (SELECT DISTINCT q_id,
+      |    unnest(list_filter(string_split_regex(trim(regexp_replace(lower(qtext),
+      |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')) AS term FROM q),
+      |ctf AS (SELECT term, sum(tf) AS ctf FROM tf
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+      |qs AS (SELECT qt.q_id, qt.term, ctf.ctf, stats.tl
+      |  FROM qt JOIN ctf USING (term) CROSS JOIN stats),
+      |qc AS (SELECT q_id,
+      |    CAST(sum(CAST(ln(2000.0 * CAST(ctf AS DOUBLE) / CAST(tl AS DOUBLE))
+      |      AS DECIMAL(38,18))) AS DOUBLE) AS cq,
+      |    count(*) AS nq
+      |  FROM qs GROUP BY q_id),
+      |m AS (SELECT qs.q_id, tf.doc_id, tf.dl,
+      |    CAST(sum(CAST(ln(1.0 + CAST(tf.tf AS DOUBLE) * CAST(qs.tl AS DOUBLE)
+      |        / (2000.0 * CAST(qs.ctf AS DOUBLE)))
+      |      AS DECIMAL(38,18))) AS DOUBLE) AS ms
+      |  FROM tf JOIN qs USING (term) GROUP BY 1, 2, 3),
+      |scored AS (SELECT m.q_id, m.doc_id,
+      |    round(ms + cq - CAST(nq AS DOUBLE)
+      |      * ln(CAST(dl AS DOUBLE) + 2000.0), 6) AS ql
+      |  FROM m JOIN qc USING (q_id)),
+      |r AS (SELECT q_id, doc_id, ql,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY ql DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT q_id, doc_id, ql FROM r WHERE rn <= 10
+      |ORDER BY q_id, ql DESC, doc_id""".stripMargin
+
   /** RM3-PRF oracle: the bm25OracleSql chain twice — pass 1 cut at
     * fbDocs, total-tf feedback-term harvest minus original terms,
     * expanded-set pass 2 at k. */
@@ -3965,6 +4079,36 @@ object QueriesOps {
         |    ELSE (srp - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
         |      / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
         |FROM a""".stripMargin,
+
+    // isotonic replay: same bin chain, prefix sums, interval
+    // averages from prefix differences, the minimax double-agg
+    "x_isotonic" ->
+      """WITH d AS (SELECT
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT)
+        |    AS bin, y FROM d),
+        |lv AS (SELECT bin, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos FROM b GROUP BY bin),
+        |pre AS (SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cp
+        |  FROM lv),
+        |av AS (SELECT i.bin AS i, j.bin AS j,
+        |    CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+        |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+        |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+        |mm AS (SELECT l.bin AS l, av.i, min(av.a) AS mn
+        |  FROM av JOIN pre l ON av.i <= l.bin AND l.bin <= av.j
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT l, max(mn) AS iso_p FROM mm GROUP BY l)
+        |SELECT pre.bin, CAST(pre.bin AS DOUBLE) / 10.0 AS p_lo,
+        |  CAST(pre.n AS BIGINT) AS n,
+        |  CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE) AS pos_rate,
+        |  ft.iso_p
+        |FROM pre JOIN ft ON pre.bin = ft.l ORDER BY bin""".stripMargin,
 
     // Youden replay: distinct-score class counts, DESC cumulative
     // TP/FP windows, exact-count rate divisions, (j DESC, t ASC) argmax
@@ -6621,6 +6765,7 @@ s"""WITH lines AS (
     // IEEE idf/norm arithmetic (constants spelled as the identical
     // double ops, e.g. (1.2 + 1.0) not 2.2), decimal(38,18) term sums
     "x_bm25" -> bm25OracleSql,
+    "x_qlm" -> qlmOracleSql,
 
     // the indexed path scores bit-identically to x_bm25 (same
     // tokenizer contract, same scoring tail over the materialized
@@ -6738,6 +6883,30 @@ s"""WITH lines AS (
         |${iter("r1", "r2")}
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
+
+    // triangle replay: canonical a<b edges, the plain id-ordered
+    // triple join (count-identical to the degree-ordered plan), wedge
+    // total from degrees, one final division
+    "x_triangles" ->
+      """WITH raw AS (SELECT DISTINCT doc_id % 50 AS s,
+        |    (doc_id * 7 + 3) % 50 AS d FROM documents),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM raw WHERE s <> d),
+        |deg AS (SELECT node, count(*) AS dg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |sz AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  CAST((SELECT sum(dg * (dg - 1)) FROM deg) / 2 AS BIGINT) AS wedges)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(t AS BIGINT) AS triangles, wedges,
+        |  CASE WHEN wedges > 0
+        |    THEN 3.0 * CAST(t AS DOUBLE) / CAST(wedges AS DOUBLE) END
+        |    AS global_clustering
+        |FROM sz CROSS JOIN tri""".stripMargin,
 
     // grouped-KS replay: per-(lang, value) counts, lang-partitioned
     // window cumsums, per-lang sup with smallest-value ties
@@ -7051,6 +7220,60 @@ s"""WITH lines AS (
         |  CASE WHEN h_a > 0.0 THEN mi / h_a END AS u_a_given_b,
         |  CASE WHEN h_b > 0.0 THEN mi / h_b END AS u_b_given_a
         |FROM core CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // Markov replay: per-user lag window, pair counts, row-total
+    // divisions
+    "x_markov" ->
+      """WITH sq AS (SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events),
+        |pr AS (SELECT f AS from_type, t AS to_type, count(*) AS n
+        |  FROM sq WHERE f IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT from_type, sum(n) AS rtot FROM pr GROUP BY 1)
+        |SELECT pr.from_type, pr.to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(rtot AS DOUBLE) AS p
+        |FROM pr JOIN rt USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // stationary replay: the same matrix CTEs, then 3 unrolled power
+    // iterations on the 2^-40 dyadic grid (exactly-representable
+    // iteration values — the 18-decimal cast rounds its 19th digit
+    // differently across engines at this depth) with the uniform
+    // dangling redistribution
+    "x_markov_pi" -> {
+      def ds(x: String) =
+        "CAST(CAST(sum(CAST(floor((" + x + ") * 1099511627776.0 + 0.5) " +
+          "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1099511627776.0"
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.d AS state, ${ds(s"$prev.pi * e.p")} AS infl
+           |  FROM e JOIN $prev ON $prev.state = e.s GROUP BY e.d),
+           |g$out AS (SELECT coalesce(${ds("pi")}, 0.0) AS dang
+           |  FROM $prev WHERE state NOT IN (SELECT s FROM e)),
+           |$out AS (SELECT n.state,
+           |    coalesce(i$out.infl, 0.0) + g$out.dang / nn.N AS pi
+           |  FROM n LEFT JOIN i$out ON n.state = i$out.state
+           |  CROSS JOIN g$out CROSS JOIN nn)""".stripMargin
+      s"""WITH sq AS (SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events),
+        |pr AS (SELECT f, t, count(*) AS n
+        |  FROM sq WHERE f IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT f, sum(n) AS rtot FROM pr GROUP BY 1),
+        |e AS (SELECT pr.f AS s, pr.t AS d,
+        |    CAST(n AS DOUBLE) / CAST(rtot AS DOUBLE) AS p
+        |  FROM pr JOIN rt USING (f)),
+        |n AS (SELECT DISTINCT state FROM
+        |  (SELECT s AS state FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM n),
+        |r0 AS (SELECT state, CAST(1 AS DOUBLE) / nn.N AS pi
+        |  FROM n CROSS JOIN nn),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")}
+        |SELECT state, pi FROM r3 ORDER BY state""".stripMargin
+    },
 
     // anomaly replay: date_trunc hour windows, quantile_cont medians
     // (type-7 — the proven x_quantiles convention), same z chain
@@ -7952,6 +8175,43 @@ s"""WITH lines AS (
         |  FROM cand ORDER BY rawcos DESC, vec_id LIMIT 10)
         |SELECT vec_id, cos FROM topk ORDER BY cos DESC, vec_id""".stripMargin,
 
+    // hubness replay: the multi-query LSH chain (same md5 planes),
+    // per-query rank cut at 5, k-occurrence counts, antihub total
+    "x_hubness" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |q AS (SELECT b.vec_id AS q_id, b.bucket AS qb, e.v AS qv
+        |  FROM b JOIN e USING (vec_id) WHERE vec_id % 10 = 0),
+        |pr AS (SELECT q_id, qv, unnest([qb] || list_transform(range(0, 8),
+        |    p -> xor(qb, CAST(pow(2, p) AS BIGINT)))) AS bucket FROM q),
+        |cand AS (SELECT pr.q_id, e.vec_id,
+        |    list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |cut AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY rawcos DESC, vec_id) AS rn FROM cand)
+        |  WHERE rn <= 5),
+        |occ AS (SELECT vec_id AS neighbor_id, count(*) AS k_occ
+        |  FROM cut GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM q) AS n_queries,
+        |  (SELECT count(*) FROM e) - (SELECT count(*) FROM occ) AS antihubs)
+        |SELECT neighbor_id, CAST(k_occ AS BIGINT) AS k_occ,
+        |  CAST(k_occ AS DOUBLE) / CAST(n_queries AS DOUBLE) AS share,
+        |  CAST(n_queries AS BIGINT) AS n_queries,
+        |  CAST(antihubs AS BIGINT) AS antihubs
+        |FROM occ CROSS JOIN tot
+        |ORDER BY k_occ DESC, neighbor_id LIMIT 20""".stripMargin,
+
     // multi-chunk chain: 768 dims = 6 md5 chunks per plane; the fixture
     // widens the 64-dim vectors with exact double divisions both
     // engines reproduce (see embeddings768)
@@ -8288,6 +8548,38 @@ s"""WITH lines AS (
     // entity resolution replay: the x_fuzzy_join pair recipe, the
     // x_dedup_clusters recursive closure, canonical per entity by
     // (length DESC, id ASC), sizes over ALL rows (singletons = 1)
+    // blocking-audit replay: SymSpell deletion pairs as candidates,
+    // deletion ∪ sort-window(4) as the truth reference, exact counts
+    "x_blocking" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+        |v AS (SELECT id, s, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(s)+1),
+        |      i -> substring(s, 1, CAST(i-1 AS INT)) || substring(s, CAST(i+1 AS INT), 100)), s))) AS k
+        |  FROM c),
+        |p1 AS (SELECT DISTINCT l.id AS a, r.id AS b
+        |  FROM v l JOIN v r USING (k)
+        |  WHERE l.id < r.id AND levenshtein(l.s, r.s) <= 1),
+        |rk AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rid FROM c),
+        |p2 AS (SELECT DISTINCT least(l.id, r.id) AS a, greatest(l.id, r.id) AS b
+        |  FROM rk l JOIN rk r ON r.rid BETWEEN l.rid + 1 AND l.rid + 3
+        |  WHERE levenshtein(l.s, r.s) <= 1),
+        |tru AS (SELECT a, b FROM p1 UNION SELECT a, b FROM p2),
+        |agg AS (SELECT (SELECT count(*) FROM c) AS n_rows,
+        |  (SELECT count(*) FROM p1) AS n_candidates,
+        |  (SELECT count(*) FROM tru) AS n_truth,
+        |  (SELECT count(*) FROM tru WHERE EXISTS (SELECT 1 FROM p1
+        |     WHERE p1.a = tru.a AND p1.b = tru.b)) AS covered)
+        |SELECT n_rows,
+        |  CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS all_pairs,
+        |  n_candidates, n_truth, covered,
+        |  CASE WHEN n_truth > 0
+        |    THEN CAST(covered AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+        |    AS pair_completeness,
+        |  CASE WHEN n_rows > 1 THEN 1.0 - CAST(n_candidates AS DOUBLE)
+        |    / CAST(CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS DOUBLE) END
+        |    AS reduction_ratio
+        |FROM agg""".stripMargin,
+
     "x_entity_res" ->
       """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
         |v AS (SELECT id, s, unnest(list_distinct(list_append(

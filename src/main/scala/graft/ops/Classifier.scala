@@ -746,6 +746,68 @@ object Classifier {
           .otherwise(col("__s") / col("n").cast("double")).as("brier"))
   }
 
+  /** Isotonic (PAV) calibration over score levels — the
+    * NONPARAMETRIC upgrade of [[histogramCalibration]]: histogram
+    * binning fits each bin independently and can emit a
+    * NON-monotone map (bin 7 calibrated below bin 6 — nonsense for a
+    * monotone score); isotonic regression fits the best monotone
+    * step function (pool-adjacent-violators, Zadrozny & Elkan 2002).
+    * Computed by the MINIMAX identity instead of the sequential PAV
+    * sweep: ĝ(l) = max_{i≤l} min_{j≥l} avg(y over levels i..j) —
+    * pure min/max over exact count-ratio averages, so there is no
+    * sequential state to distribute and no arithmetic to grid.
+    *
+    * Shape: scores collapse to k equal-width levels in ONE
+    * partial-agg scan of the fact table (the [[calibrationBins]] bin
+    * chain); everything after runs on the ≤k-row level table —
+    * prefix sums over a bounded window, the ≤k² interval-average
+    * build, the ≤k³ minimax join (k=20 → 1.5k rows; bounded by
+    * contract like every level/centroid table). Averages are
+    * exact-integer-count divisions, min/max exact on doubles — the
+    * whole fit replays engine-identically.
+    * Output: (bin, p_lo, n, pos_rate, iso_p), iso_p non-decreasing. */
+  def isotonicCalibration(df: DataFrame, prob: Column, label: Column,
+                          k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && k <= 100, s"isotonicCalibration: k=$k out of [2,100]")
+    val bin = least(greatest(floor(prob * lit(k)), lit(0.0)), lit(k - 1.0))
+      .cast("int")
+    val lv = df.filter(prob.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), label.cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"))
+    // bounded level table (≤k rows): prefix sums over one window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = lv
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("__pos")).over(w))
+    // avg over levels i..j = (cp_j − cp_{i−1}) / (cn_j − cn_{i−1});
+    // the i−1 prefix is (cp_i − pos_i, cn_i − n_i) — no lag needed
+    val li = pre.select(col("bin").as("__i"),
+      (col("__cp") - col("__pos")).as("__cpPrev"),
+      (col("__cn") - col("n")).as("__cnPrev"))
+    val lj = pre.select(col("bin").as("__j"),
+      col("__cp").as("__cpj"), col("__cn").as("__cnj"))
+    val avgs = li.join(lj, col("__i") <= col("__j"))
+      .select(col("__i"), col("__j"),
+        ((col("__cpj") - col("__cpPrev")).cast("double") /
+          (col("__cnj") - col("__cnPrev")).cast("double")).as("__avg"))
+    // minimax: ĝ(l) = max_{i≤l} min_{j≥l} avg(i,j)
+    val grid = pre.select(col("bin").as("__l"))
+    val fitted = avgs
+      .join(grid, col("__i") <= col("__l") && col("__l") <= col("__j"))
+      .groupBy(col("__l"), col("__i")).agg(min(col("__avg")).as("__mn"))
+      .groupBy(col("__l")).agg(max(col("__mn")).as("iso_p"))
+    pre.join(fitted, col("bin") === col("__l"))
+      .select(col("bin"),
+        (col("bin").cast("double") / lit(k).cast("double")).as("p_lo"),
+        col("n"),
+        (col("__pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+        col("iso_p"))
+  }
+
   /** Youden-J optimal operating point — the threshold-PICKING read
     * the threshold-free [[rocAuc]] leaves open: over every achievable
     * cutoff (predict keep when score ≥ t, t ranging over the distinct

@@ -81,6 +81,86 @@ object EventAnalytics {
       .orderBy(col("users").desc, col("path")).limit(k)
   }
 
+  /** First-order Markov TRANSITION MATRIX over per-user event
+    * sequences — the model behind "what happens after X": P(next =
+    * to | cur = from) estimated as pair count over from-row total.
+    * [[topPaths]] reads literal openings; this reads the whole log's
+    * local dynamics (bot detection: near-deterministic rows; funnel
+    * design: where mass actually flows next).
+    *
+    * Scale shape: the consecutive pair is ONE user-partitioned lag
+    * window (bounded partitions — a user's own events, the topPaths
+    * trade), pair counts collapse in ONE partial agg to ≤ k² rows
+    * (k = event-type cardinality, bounded by contract), row totals
+    * re-agg from the pair table and broadcast back. The probability
+    * is an exact-count division.
+    * Output: (from_type, to_type, n, p), one row per OBSERVED pair. */
+  def transitionMatrix(df: DataFrame, user: Column, ts: Column,
+                       eventType: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(user).orderBy(ts, tieBreak)
+    val pairs = df
+      .select(eventType.as("__to"), lag(eventType, 1).over(w).as("__from"))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__rt"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__rt").cast("double")).as("p"))
+  }
+
+  /** Stationary distribution of a [[transitionMatrix]] by power
+    * iteration for a FIXED iteration count — where the chain spends
+    * its time in the long run (the steady-state event mix; compare
+    * against the observed mix to see whether the log is still
+    * transient). States with no outgoing row (a type observed only
+    * as someone's last event) redistribute their mass uniformly, the
+    * pageRank dangling convention.
+    *
+    * Engine-exact by the dyadic-grid rule rather than pageRank's
+    * 18-decimal sums: at iteration depth the 19th decimal digit of a
+    * π·p product rounds differently across engines (the documented
+    * x_ppr caveat), so every inflow term lands on the floor(x·2⁴⁰+0.5)
+    * grid instead — grid points are exactly representable binary
+    * doubles, the per-state sums are exact integer arithmetic
+    * (order-invariant, string-bridged out of decimal), and each
+    * iteration's π feeds the next bit-identically on any engine. Each
+    * iteration is one k-row join + partial agg — the event log itself
+    * is never touched (consume the matrix, not the log).
+    * Output: (state, pi), one row per state. */
+  def markovStationary(trans: DataFrame, from: String, to: String,
+                       p: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"markovStationary: iters=$iters out of the in-plan unroll range [1,20]")
+    val G = 1099511627776.0 // 2^40
+    def gsum(c: Column): Column =
+      sum(floor(c * G + 0.5).cast("decimal(38,0)"))
+        .cast("string").cast("double") / G
+    val e = trans.select(col(from).as("__s"), col(to).as("__d"),
+      col(p).cast("double").as("__p"))
+    val states = e.select(col("__s").as("state"))
+      .unionByName(e.select(col("__d").as("state"))).distinct()
+    val nDf = states.agg(count(lit(1)).cast("double").as("__N"))
+    var pi = states.crossJoin(broadcast(nDf))
+      .select(col("state"), (lit(1.0) / col("__N")).as("pi"))
+    for (_ <- 1 to iters) {
+      val inflow = e.join(pi, col("__s") === col("state"))
+        .groupBy(col("__d").as("state"))
+        .agg(gsum(col("pi") * col("__p")).as("__in"))
+      val dangling = pi.join(e.select(col("__s")).distinct(),
+          col("state") === col("__s"), "left_anti")
+        .agg(coalesce(gsum(col("pi")), lit(0.0)).as("__dang"))
+      pi = states.join(inflow, Seq("state"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nDf))
+        .select(col("state"),
+          (coalesce(col("__in"), lit(0.0)) + col("__dang") / col("__N"))
+            .as("pi"))
+    }
+    pi
+  }
+
   /** Weekly cohort retention: users cohorted by the week of their
     * first event, counted distinct in each later week they were active
     * — the (cohort_week, week_offset, users) retention triangle.

@@ -211,4 +211,64 @@ object Graph {
     }
     labels
   }
+
+  /** Triangle census + global clustering coefficient — the density
+    * read behind spam-farm / mirror-network triage ([[labelPropagation]]
+    * finds the communities; this measures how clique-like the graph is
+    * overall): exact triangle count, wedge count, and C = 3·T / W.
+    *
+    * Counted by DEGREE-ORDERED EDGE ORIENTATION (Schank & Wagner 2005
+    * — the compact-forward shape every distributed triangle counter
+    * uses): each undirected edge points from its lower-(degree, id)
+    * endpoint to the higher, wedges enumerate ONLY at each edge pair's
+    * common LOW vertex, and a wedge closes iff its (x, y) pair — x
+    * below y in the same order — appears in the oriented edge set.
+    * Each triangle is found exactly once (at its lowest-ordered
+    * vertex), and per-vertex fan-out is bounded by the oriented
+    * out-degree ≤ O(√m) instead of the raw degree — the hub that
+    * would explode a naive neighbor self-join only ever RECEIVES
+    * edges. Shapes: canonical-edge distinct, one degree agg, the
+    * wedge self-join keyed on the low vertex, one closing-edge join,
+    * integer-only arithmetic plus a single final division.
+    * Output (1 row): n_nodes, n_edges, triangles, wedges,
+    * global_clustering (NULL on a wedge-free graph). */
+  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(least(col(src), col(dst)).as("__a"),
+        greatest(col(src), col(dst)).as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .distinct()
+    val deg = e.select(col("__a").as("node"))
+      .unionByName(e.select(col("__b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("__a"), col("__deg").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("__deg").as("__db")), "__b")
+    val lowFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    val oriented = withDeg.select(
+      when(lowFirst, col("__a")).otherwise(col("__b")).as("lo"),
+      when(lowFirst, col("__b")).otherwise(col("__a")).as("hi"),
+      when(lowFirst, col("__db")).otherwise(col("__da")).as("dhi"))
+    val o1 = oriented.select(col("lo"), col("hi").as("__x"), col("dhi").as("__dx"))
+    val o2 = oriented.select(col("lo"), col("hi").as("__y"), col("dhi").as("__dy"))
+    val wedgePairs = o1.join(o2, Seq("lo"))
+      .filter(col("__dx") < col("__dy") ||
+        (col("__dx") === col("__dy") && col("__x") < col("__y")))
+    val closed = wedgePairs.join(
+      oriented.select(col("lo").as("__x"), col("hi").as("__y")),
+      Seq("__x", "__y"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("triangles"))
+    val sizes = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        // deg·(deg−1) is even, so the halving is exact; BIGINT out
+        (sum(col("__deg") * (col("__deg") - lit(1L))) / lit(2L))
+          .cast("long").as("wedges"))))
+    sizes.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("triangles"),
+        col("wedges"),
+        when(col("wedges") > 0L,
+          lit(3.0) * col("triangles").cast("double") /
+            col("wedges").cast("double")).as("global_clustering"))
+  }
 }

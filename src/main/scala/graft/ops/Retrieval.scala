@@ -131,6 +131,66 @@ object Retrieval {
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    * 1998; Zhai & Lafferty 2001 smoothing) — the LANGUAGE-MODEL
+    * ranking beside [[bm25TopK]]'s tf·idf: score(q,d) =
+    * Σ_{t∈q} ln((tf_{t,d} + μ·p_t)/(dl_d + μ)) with p_t the
+    * collection unigram probability. The two disagree exactly where
+    * their models differ (QL's length normalization is additive, its
+    * idf-like effect comes from p_t), which is why hybrid stacks run
+    * both and fuse.
+    *
+    * Computed in the matched-terms decomposition so unmatched terms
+    * never join: score = Σ_{t∈q∩d} ln(1 + tf·T/(μ·ctf_t)) +
+    * Σ_{t∈q} ln(μ·ctf_t/T) − |q|·ln(dl + μ) — the middle sum is
+    * doc-independent (one tiny per-query constant), so the corpus
+    * side only ever touches matched postings. Same scale shape as
+    * BM25: ONE tokenization pruned map-side by the broadcast
+    * query-term set, collection term frequencies from the pruned
+    * postings (pruning is by term — ctf is exact), per-doc sums in
+    * decimal(38,18), round-6 scores, GroupedTopK cut. Query terms
+    * absent from the corpus drop (no smoothing mass to stand on —
+    * the standard practical rule). Only docs matching ≥1 term are
+    * ranked (the all-smoothing tail is rank noise by construction).
+    * Output: (qid, id, ql) — k best per query, ties to ascending id. */
+  def queryLikelihoodTopK(docs: DataFrame, id: String, text: String,
+                          queries: DataFrame, qid: String, qtext: String,
+                          k: Int = 10, mu: Double = 2000.0): DataFrame = {
+    require(k >= 1, s"queryLikelihoodTopK: k must be >= 1 (got $k)")
+    require(mu > 0, s"queryLikelihoodTopK: mu must be > 0 (got $mu)")
+    val tok = toks(col(text))
+    val qterms = queries.select(col(qid),
+      explode(array_distinct(toks(col(qtext)))).as("term"))
+    val qtermSet = qterms.select("term").distinct()
+    val tf = docs
+      .select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+      .join(broadcast(qtermSet), Seq("term"), "leftsemi")
+      .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val qstats = qterms.join(broadcast(ctf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(qid), col("term"), col("ctf"), col("tl"))
+    val qconst = qstats
+      .withColumn("__lnmp",
+        log(lit(mu) * col("ctf").cast("double") / col("tl").cast("double")))
+      .groupBy(col(qid))
+      .agg(sum(col("__lnmp").cast("decimal(38,18)")).cast("double").as("__cq"),
+        count(lit(1)).as("__nq"))
+    val matched = tf.join(broadcast(qstats), Seq("term"))
+      .withColumn("__contrib", log(lit(1.0) +
+        col("tf").cast("double") * col("tl").cast("double") /
+          (lit(mu) * col("ctf").cast("double"))))
+      .groupBy(col(qid), col(id), col("dl"))
+      .agg(sum(col("__contrib").cast("decimal(38,18)")).cast("double").as("__ms"))
+    val scored = matched.join(broadcast(qconst), Seq(qid))
+      .select(col(qid), col(id),
+        round(col("__ms") + col("__cq") - col("__nq").cast("double") *
+          log(col("dl").cast("double") + lit(mu)), 6).as("ql"))
+    graft.plans.TopK.topKPerGroup(scored, Seq(qid),
+      Seq(col("ql").desc, col(id).asc), k)
+  }
+
   /** (docCount, totalTokens) under the index tokenizer — computed once
     * alongside [[invertedIndex]] and stored with it, so queries against
     * the index never touch the raw corpus. */

@@ -240,6 +240,43 @@ object Similarity {
       bruteForceTopKJoin(corpus, cid, cvec, queries, qid, qvec, k),
       lshTopKJoin(corpus, cid, cvec, queries, qid, qvec, k, nPlanes))
 
+  /** HUBNESS audit of the LSH retrieval (Radovanović et al. 2010) —
+    * the embedding-pathology read recall@k misses: in high dimensions
+    * a few vectors ("hubs") appear in a disproportionate share of
+    * OTHER points' top-k lists while many ("antihubs") appear in
+    * none, and a hubby space quietly biases every downstream
+    * neighbor-based step (dedup clusters collapse onto hubs, kNN
+    * labels echo them). Runs the [[lshTopKJoin]] self-retrieval over
+    * a query sample, counts each corpus vector's k-OCCURRENCE across
+    * the result lists, and reports the top hubs with their share plus
+    * the corpus-wide antihub count (vectors never retrieved).
+    *
+    * Shape: retrieval as in [[lshTopKJoin]] (bucket-pruned, never
+    * all-pairs), then ONE partial-agg count over the result set
+    * (queries×k rows), a TakeOrdered(topN) cut, and two 1-row
+    * broadcast totals. Counts are exact integers; the share is one
+    * division. Output: (neighbor_id, k_occ, share, n_queries,
+    * antihubs) — topN rows, (k_occ desc, id asc). */
+  def hubnessAudit(corpus: DataFrame, cid: String, cvec: String,
+                   queries: DataFrame, qid: String, qvec: String,
+                   k: Int, nPlanes: Int = 8, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"hubnessAudit: topN must be >= 1 (got $topN)")
+    val ret = lshTopKJoin(corpus, cid, cvec, queries, qid, qvec, k, nPlanes)
+    val occ = ret.groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occ"))
+    val tot = queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(
+        corpus.agg(count(lit(1)).as("__nc"))))
+      .crossJoin(broadcast(
+        occ.agg(count(lit(1)).as("__retrieved"))))
+      .select(col("n_queries"), (col("__nc") - col("__retrieved")).as("antihubs"))
+    occ.orderBy(col("k_occ").desc, col("neighbor_id").asc).limit(topN)
+      .crossJoin(broadcast(tot))
+      .select(col("neighbor_id"), col("k_occ"),
+        (col("k_occ").cast("double") / col("n_queries").cast("double"))
+          .as("share"),
+        col("n_queries"), col("antihubs"))
+  }
+
   /** NDCG@k of a retrieval against a ground-truth set — the standard
     * graded ranking metric next to [[recallAtK]] (position-blind) and
     * [[rbo]] (rank agreement between two rankings): binary relevance

@@ -510,6 +510,35 @@ class ClassifierSpec extends SparkTestBase {
       .head().getAs[Double]("brier") == 0.0)
   }
 
+  test("isotonicCalibration: PAV pools violators, leaves monotone input alone, output always monotone") {
+    import org.apache.spark.sql.functions.col
+    def mk(binRates: Seq[(Double, Int, Int)]) = {
+      // (bin-center prob, n, positives) -> row-level frame
+      val rows = binRates.flatMap { case (p, n, pos) =>
+        (0 until n).map(i => (p, i < pos)) }
+      sqlDf("p" -> rows.map(_._1), "y" -> rows.map(_._2))
+    }
+    // rates [0.8, 0.2, 0.5] violate; equal weights pool 1+2 -> 0.5,
+    // then level 3 at 0.5 joins the plateau: fitted = [0.5, 0.5, 0.5]
+    val v = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 10, 8), (0.15, 10, 2), (0.25, 10, 5))),
+      col("p"), col("y"), k = 10).orderBy("bin").collect()
+    assert(v.map(_.getAs[Double]("iso_p")).toSeq == Seq(0.5, 0.5, 0.5),
+      v.mkString("; "))
+    assert(v.map(_.getAs[Double]("pos_rate")).toSeq == Seq(0.8, 0.2, 0.5))
+    // already-monotone rates pass through untouched
+    val m = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 10, 2), (0.15, 10, 5), (0.25, 10, 8))),
+      col("p"), col("y"), k = 10).orderBy("bin").collect()
+    assert(m.map(_.getAs[Double]("iso_p")).toSeq == Seq(0.2, 0.5, 0.8))
+    // unequal weights: [0.9 (n=1), 0.0 (n=9)] pools to 1/10
+    val u = Classifier.isotonicCalibration(
+      mk(Seq((0.05, 1, 1), (0.15, 9, 0))),
+      col("p"), col("y"), k = 10).orderBy("bin").collect()
+    assert(u.map(_.getAs[Double]("iso_p")).toSeq == Seq(0.1, 0.1),
+      u.mkString("; "))
+  }
+
   test("youdenThreshold: perfect separation finds the split, ties break to smallest threshold") {
     import org.apache.spark.sql.functions.col
     // pos = {3,4}, neg = {1,2}: threshold 3 gives tpr=1 fpr=0 j=1

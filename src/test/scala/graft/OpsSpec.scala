@@ -1458,6 +1458,70 @@ class OpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("blockingQuality: completeness and reduction ratio exact; reversed/dup pairs canonicalize") {
+    import spark.implicits._
+    val reg = (1L to 4L).toDF("id")
+    // reversed + duplicated candidate rows collapse to the one pair
+    val cand = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    val truth = Seq((1L, 2L), (4L, 3L)).toDF("a", "b")
+    val r = graft.ops.FuzzyJoin.blockingQuality(reg, "id", cand, truth).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L, r)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 1L, r)
+    assert(r.getDouble(5) == 0.5, s"PC = 1/2: $r")
+    assert(r.getDouble(6) == 1.0 - 1.0 / 6.0, s"RR = 1 - 1/6: $r")
+    // empty truth: completeness NULL, not a crash
+    val e = graft.ops.FuzzyJoin.blockingQuality(reg, "id", cand,
+      Seq.empty[(Long, Long)].toDF("a", "b")).head()
+    assert(e.isNullAt(5) && e.getLong(3) == 0L)
+  }
+
+  test("hubnessAudit: co-directional corpus concentrates k-occurrence on the smallest ids; antihubs counted") {
+    import spark.implicits._
+    // six BIT-IDENTICAL vectors: every query's candidates tie at the
+    // same cos double, ranks break by id asc, so top-2 is {1,2} for
+    // every query (scaled copies would differ by magnitude-dependent
+    // ulps and break the tie)
+    val e = (1 to 6).map(i => (i.toLong,
+      Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val qs = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val out = graft.ops.Similarity.hubnessAudit(e, "vec_id", "embedding",
+        qs, "q_id", "qv", k = 2, nPlanes = 4, topN = 10)
+      .orderBy(col("neighbor_id")).collect()
+    assert(out.length == 2, out.mkString("; "))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getLong(1) == 6L), "both hubs in all 6 lists")
+    assert(out.forall(_.getDouble(2) == 1.0))
+    assert(out.forall(r => r.getLong(3) == 6L && r.getLong(4) == 4L),
+      s"4 of 6 vectors are never retrieved: ${out.mkString("; ")}")
+  }
+
+  test("queryLikelihoodTopK matches the Dirichlet formula; OOV terms drop; unmatched docs unranked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple"),
+      (3L, "cherry")).toDF("doc_id", "text")
+    val qs = Seq(("q", "apple zzz")).toDF("q_id", "qtext")
+    val out = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+        qs, "q_id", "qtext", k = 3, mu = 2.0)
+      .orderBy(col("ql").desc, col("doc_id")).collect()
+    // direct formula: T=5, ctf(apple)=3, p=0.6, mu=2 -> mu*p=1.2;
+    // score(d) = ln((tf + 1.2)/(dl + 2)); 'zzz' has no corpus mass
+    def direct(tf: Long, dl: Long): Double =
+      math.log((tf + 1.2) / (dl + 2.0))
+    assert(out.length == 2, s"cherry-only doc must not rank: ${out.mkString(";")}")
+    val got = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ql")).toMap
+    assert(math.abs(got(1L) - direct(2, 3)) < 1e-6, got.toString)
+    assert(math.abs(got(2L) - direct(1, 1)) < 1e-6, got.toString)
+    // short exact match outranks the longer doc here
+    assert(out.head.getAs[Long]("doc_id") == 2L)
+    // partitioning-invariant
+    val rep = Retrieval.queryLikelihoodTopK(docs.repartition(3), "doc_id",
+        "text", qs, "q_id", "qtext", k = 3, mu = 2.0)
+      .orderBy(col("ql").desc, col("doc_id")).collect()
+    assert(rep.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("bm25TopK keeps k per query and is partitioning-invariant") {
     import spark.implicits._
     val docs = (1 to 300).map(i =>
@@ -2942,6 +3006,63 @@ class OpsSpec extends SparkTestBase {
     }
     // and all three splits are populated at n=200
     assert(out.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
+  test("transitionMatrix: exact pair counts and row-normalized probabilities") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(i: Int) = new java.sql.Timestamp(base + i * 1000L)
+    // user 1: A,B,A,B -> A->B x2, B->A x1; user 2: A,C -> A->C x1
+    val ev = Seq(
+      (1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"),
+      (3L, ts(2), 1L, "A"), (4L, ts(3), 1L, "B"),
+      (5L, ts(0), 2L, "A"), (6L, ts(1), 2L, "C"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.EventAnalytics.transitionMatrix(ev, col("user_id"),
+        col("ts"), col("event_type"), col("event_id"))
+      .orderBy("from_type", "to_type").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq(
+      ("A", "B", 2L, 2.0 / 3.0), ("A", "C", 1L, 1.0 / 3.0),
+      ("B", "A", 1L, 1.0)))
+  }
+
+  test("markovStationary: 2-cycle holds uniform exactly; dangling mass redistributes; mass conserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A->B->A: uniform IS stationary, every iterate exactly 0.5
+    val cyc = Seq(("A", "B", 1.0), ("B", "A", 1.0)).toDF("f", "t", "p")
+    val pc = graft.ops.EventAnalytics.markovStationary(cyc, "f", "t", "p", 4)
+      .orderBy("state").collect()
+    assert(pc.map(_.getDouble(1)).toSeq == Seq(0.5, 0.5), pc.mkString(";"))
+    // A->B with B dangling: after 1 iter A = dang/2 = 0.25, B = 0.75
+    val dang = Seq(("A", "B", 1.0)).toDF("f", "t", "p")
+    val p1 = graft.ops.EventAnalytics.markovStationary(dang, "f", "t", "p", 1)
+      .orderBy("state").collect()
+    assert(p1.map(_.getDouble(1)).toSeq == Seq(0.25, 0.75), p1.mkString(";"))
+    // mass stays ~1 after several iterations (grid loses <=2^-40/term)
+    val p5 = graft.ops.EventAnalytics.markovStationary(dang, "f", "t", "p", 5)
+      .agg(org.apache.spark.sql.functions.sum(col("pi"))).head().getDouble(0)
+    assert(math.abs(p5 - 1.0) < 1e-9, s"mass must be conserved: $p5")
+  }
+
+  test("triangleStats: K4 counts 4 triangles with C=1; paths count none; dup/reversed edges collapse") {
+    import spark.implicits._
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst") // both directions + would-be dups
+    val r = graft.ops.Graph.triangleStats(k4, "src", "dst").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L, r)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 12L, r)
+    assert(r.getDouble(4) == 1.0, s"K4 clusters at exactly 1: $r")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = graft.ops.Graph.triangleStats(path, "src", "dst").head()
+    assert(p.getLong(2) == 0L && p.getLong(3) == 2L && p.getDouble(4) == 0.0, p)
+    // a lone triangle with self-loops and duplicates mixed in
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val n = graft.ops.Graph.triangleStats(noisy, "src", "dst").head()
+    assert(n.getLong(1) == 3L && n.getLong(2) == 1L, n)
   }
 
   test("labelPropagation finds two cliques joined by one bridge edge") {
