@@ -790,14 +790,17 @@ object Classifier {
       (col("__cn") - col("n")).as("__cnPrev"))
     val lj = pre.select(col("bin").as("__j"),
       col("__cp").as("__cpj"), col("__cn").as("__cnj"))
-    val avgs = li.join(lj, col("__i") <= col("__j"))
+    // broadcast the k-row sides so the non-equi joins plan as
+    // BroadcastNestedLoopJoin, never CartesianProduct (agg-derived
+    // size stats would otherwise leave the planner guessing)
+    val avgs = li.join(broadcast(lj), col("__i") <= col("__j"))
       .select(col("__i"), col("__j"),
         ((col("__cpj") - col("__cpPrev")).cast("double") /
           (col("__cnj") - col("__cnPrev")).cast("double")).as("__avg"))
     // minimax: ĝ(l) = max_{i≤l} min_{j≥l} avg(i,j)
     val grid = pre.select(col("bin").as("__l"))
     val fitted = avgs
-      .join(grid, col("__i") <= col("__l") && col("__l") <= col("__j"))
+      .join(broadcast(grid), col("__i") <= col("__l") && col("__l") <= col("__j"))
       .groupBy(col("__l"), col("__i")).agg(min(col("__avg")).as("__mn"))
       .groupBy(col("__l")).agg(max(col("__mn")).as("iso_p"))
     pre.join(fitted, col("bin") === col("__l"))

@@ -658,7 +658,13 @@ class PlanSpec extends SparkTestBase {
       "x_hist_q" -> "bins-bounded histogram table",
       // embeds the waterfill quota subplan; the selection window
       // itself is stratum-partitioned
-      "x_quota_select" -> "stratum-grain totals table")
+      "x_quota_select" -> "stratum-grain totals table",
+      // prefix sums over the <=k-row calibration LEVEL table
+      // (Classifier.isotonicCalibration scaladoc: bounded by contract)
+      "x_isotonic" -> "k-row calibration level table",
+      // BH rank window over the per-STRATUM p-value table (one row
+      // per stratum — Profiling.benjaminiHochberg scaladoc)
+      "x_bh_fdr" -> "stratum-grain p-value table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val offenders = qs.flatMap { case (name, fn) =>
       try {
