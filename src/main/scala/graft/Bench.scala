@@ -27,7 +27,10 @@ object Bench {
     "x_entity_res", "x_cusum", "x_ann_ivfpq",
     // round-13: the serve-from-materialized-index path (one-time
     // build cached under target/idxcache, excluded after run 1)
-    "x_ann_ivfpq_idx")
+    "x_ann_ivfpq_idx",
+    // round-16: the second lexical-retrieval scan path (QL shares
+    // BM25's tokenize-once topology — time them side by side)
+    "x_qlm")
 
   /** Stable sub-0.3s rows moved out of the per-round headline (r12
     * verdict item 10 — 67 rows at ~42s was drowning the signal):
@@ -53,7 +56,15 @@ object Bench {
     // the calibration remediation pair, the day-2 CC fold, the
     // per-term heavy-change read
     "x_interval_join", "x_ewma", "x_calib_fit", "x_calib_ece",
-    "x_dedup_clusters_incr", "x_vocab_shift")
+    "x_dedup_clusters_incr", "x_vocab_shift",
+    // round-16 second wave: drift magnitude + association + FDR, the
+    // operating-point/calibration pair, the event-chain pair, the
+    // graph census, the hubness audit, the blocking audit
+    "x_wasserstein", "x_assoc", "x_bh_fdr", "x_youden", "x_isotonic",
+    "x_markov", "x_markov_pi", "x_triangles", "x_hubness", "x_blocking",
+    "x_gwasserstein", "x_markov_drift", "x_textrank",
+    "x_cvm", "x_mrr", "x_fairness", "x_conformal",
+    "x_two_prop", "s_markov", "x_cmh", "x_conformal_by")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

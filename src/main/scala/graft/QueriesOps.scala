@@ -480,6 +480,20 @@ object QueriesOps {
         k = 10).orderBy(col("query_id"))
     }),
 
+    // MRR of the LSH retrieval vs the brute-force top-3 truth — the
+    // known-item metric: reciprocal rank of the FIRST truth hit in
+    // each top-10 list, 0 on a miss
+    "x_mrr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+      Similarity.reciprocalRankAtK(
+        Similarity.bruteForceTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 3),
+        Similarity.lshTopKJoin(e, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 10, nPlanes = 8),
+        k = 10).orderBy(col("query_id"))
+    }),
+
     // rank-biased overlap (p=1/2, exact dyadic weights) between the
     // LSH retrieval's ranking and brute-force truth — the top-heavy
     // ranking-agreement read recall@k can't give
@@ -1244,6 +1258,38 @@ object QueriesOps {
     "x_auc" -> ((s, d) =>
       Classifier.rocAuc(t(s, d, "documents"),
         col("n_chars").cast("double"), col("text").contains(" the "))),
+
+    // group-fairness audit of the n_chars >= 300 rule per language:
+    // per-stratum TPR/FPR/selection + gaps vs the pooled rates —
+    // equalized odds and demographic parity in one table
+    "x_fairness" -> ((s, d) =>
+      Classifier.groupFairness(t(s, d, "documents"), "lang",
+          col("n_chars").cast("double"), col("text").contains(" the "),
+          threshold = 300.0)
+        .orderBy(col("stratum"))),
+
+    // split-conformal keep-threshold on the even/odd doc split: the
+    // ceil((n+1)(1-alpha)) calibration order statistic + held-out
+    // empirical coverage (alpha = 0.1)
+    "x_conformal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.conformalThreshold(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars").cast("double"), alpha = 0.1)
+    }),
+
+    // group-conditional conformal coverage: the pooled qhat audited
+    // per language — the strata where the marginal guarantee hides
+    // under- or over-coverage
+    "x_conformal_by" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.conformalCoverageBy(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang",
+          col("n_chars").cast("double"), alpha = 0.1)
+        .orderBy(col("stratum"))
+    }),
 
     // Youden-J optimal cutoff for the same score/teacher pair: the
     // threshold-PICKING read beside x_auc's threshold-free ranking —
@@ -2370,6 +2416,12 @@ object QueriesOps {
       TextAnalysis.pmiBigrams(t(s, d, "documents"), "text",
         minCount = 5, k = 50)),
 
+    // TextRank keyterms: the pmiBigrams kernel feeds a co-occurrence
+    // edge set, pageRank's engine-exact 2-iteration score ranks terms
+    "x_textrank" -> ((s, d) =>
+      TextAnalysis.textRank(t(s, d, "documents"), "text",
+        minCount = 5, iters = 2, k = 20)),
+
     // corpus-wide adjacent-char pair counts (the first BPE merge
     // statistic): one tokenize scan + partial agg + TakeOrdered
     "x_bpe_pairs" -> ((s, d) =>
@@ -2637,6 +2689,33 @@ object QueriesOps {
     "x_assoc" -> ((s, d) =>
       Profiling.associationAudit(t(s, d, "documents"), "lang", "source")),
 
+    // two-proportion z: did the keep-rate of the length rule move
+    // between the even/odd eras? signed direction + pooled-SE z
+    "x_two_prop" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.twoProportionTest(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), col("n_chars") >= 300L)
+    }),
+
+    // CMH stratified rate test: the same keep-rate comparison
+    // CONTROLLED for language — the Simpson's-paradox guard on
+    // x_two_prop's pooled read
+    "x_cmh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.cmhTest(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "lang",
+        col("n_chars") >= 300L)
+    }),
+
+    // Cramér–von Mises drift: the whole-CDF read between KS's sup
+    // and W1's mass transport — squared CDF gaps weighted by pooled
+    // multiplicity, same prefix-scan machinery
+    "x_cvm" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Profiling.cramerVonMises(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    }),
+
     // per-language KS drift report: which strata moved between the
     // halves, stratum-partitioned CDF windows, per-stratum sup
     "x_gks" -> ((s, d) => {
@@ -2644,6 +2723,25 @@ object QueriesOps {
       Profiling.groupedKs(docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
         .orderBy(col("stratum"))
+    }),
+
+    // per-language Wasserstein drift report: which strata moved AND
+    // by how much, in characters — groupedKs's magnitude sibling
+    "x_gwasserstein" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Profiling.groupedWasserstein(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang", "n_chars")
+        .orderBy(col("stratum"))
+    }),
+
+    // behavioral drift between log eras: per from-state JSD of the
+    // next-event distributions (even/odd user_id cohorts)
+    "x_markov_drift" -> ((s, d) => {
+      val ev = events(s, d)
+      EventAnalytics.transitionDrift(ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), col("user_id"), col("ts"),
+          col("event_type"), col("event_id"))
+        .orderBy(col("from_type"))
     }),
 
     // BH-FDR over the per-language KS family: Smirnov asymptotic
@@ -2683,6 +2781,29 @@ object QueriesOps {
       EventAnalytics.transitionMatrix(events(s, d), col("user_id"),
           col("ts"), col("event_type"), col("event_id"))
         .orderBy(col("from_type"), col("to_type"))),
+
+    // STREAMING Markov monitor, batch twin: the log folded in three
+    // event-time batches through the standing (pair counts + per-user
+    // tail) state; the LAST emission is row-identical to x_markov —
+    // boundary pairs (a user's last event of batch N, first of N+1)
+    // are exactly what the state exists to keep
+    "s_markov" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_markovstream").toString
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val cut1 = new java.sql.Timestamp(t0 + (t1 - t0) / 3)
+      val cut2 = new java.sql.Timestamp(t0 + 2 * (t1 - t0) / 3)
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cut1)),
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+        ev.filter(col("ts") >= lit(cut2)))
+      batches.zipWithIndex.map { case (b, i) =>
+        graft.streaming.MarkovStream.foldBatch(b, dir, i.toLong,
+          "user_id", "ts", "event_type", "event_id")
+      }.last.orderBy(col("from_type"), col("to_type"))
+    }),
 
     // stationary distribution of that chain by 3 power iterations:
     // k-row joins + 18-decimal inflow sums (the pageRank recipe) —
@@ -3676,6 +3797,21 @@ object QueriesOps {
   /** x_ewma's oracle, shared verbatim by s_ewma (the streaming fold's
     * trace is row-identical to the batch operator, so the same rollup
     * replays the same SQL — the s_cusum contract). */
+  /** x_markov's oracle, shared verbatim by s_markov (the streaming
+    * fold's matrix-identity contract). */
+  private lazy val markovOracle: String =
+    """WITH sq AS (SELECT event_type AS t,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS f
+      |  FROM events),
+      |pr AS (SELECT f AS from_type, t AS to_type, count(*) AS n
+      |  FROM sq WHERE f IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS rtot FROM pr GROUP BY 1)
+      |SELECT pr.from_type, pr.to_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n AS DOUBLE) / CAST(rtot AS DOUBLE) AS p
+      |FROM pr JOIN rt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   private lazy val ewmaOracle: String = {
     val chain = (0 until 16).map { j =>
       val w = s"${1L << (j + 1)}.0"
@@ -4109,6 +4245,83 @@ object QueriesOps {
         |  CAST(pre.pos AS DOUBLE) / CAST(pre.n AS DOUBLE) AS pos_rate,
         |  ft.iso_p
         |FROM pre JOIN ft ON pre.bin = ft.l ORDER BY bin""".stripMargin,
+
+    // fairness replay: per-lang + pooled cells, exact-count rates,
+    // single-subtraction gaps
+    "x_fairness" ->
+      """WITH d AS (SELECT lang AS stratum,
+        |    (CAST(n_chars AS DOUBLE) >= 300.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents
+        |  WHERE lang IS NOT NULL),
+        |per AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT
+        |    CAST(sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS gtp,
+        |    CAST(sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS gfp,
+        |    CAST(sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS gfn,
+        |    CAST(sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS gtn
+        |  FROM d),
+        |r AS (SELECT per.*, g.*,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS tpr,
+        |    CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END AS fpr,
+        |    CAST(tp + fp AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS sel_rate,
+        |    CASE WHEN gtp + gfn > 0 THEN CAST(gtp AS DOUBLE) / CAST(gtp + gfn AS DOUBLE) END AS gtpr,
+        |    CASE WHEN gfp + gtn > 0 THEN CAST(gfp AS DOUBLE) / CAST(gfp + gtn AS DOUBLE) END AS gfpr,
+        |    CAST(gtp + gfp AS DOUBLE) / CAST(gtp + gfp + gfn + gtn AS DOUBLE) AS gsel
+        |  FROM per CROSS JOIN g)
+        |SELECT stratum, tp + fp + fn + tn AS n, tp, fp, fn, tn,
+        |  tpr, fpr, sel_rate,
+        |  tpr - gtpr AS tpr_gap, fpr - gfpr AS fpr_gap,
+        |  sel_rate - gsel AS sel_gap
+        |FROM r ORDER BY stratum""".stripMargin,
+
+    // conformal replay: calibration order statistic at
+    // ceil((n+1)(1-alpha)) clamped to n, held-out coverage ratio
+    "x_conformal" ->
+      """WITH cal AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |tst AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |rk AS (SELECT n_cal,
+        |    least(n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0) * 0.9)
+        |      AS BIGINT)) AS rank FROM n),
+        |o AS (SELECT s, row_number() OVER (ORDER BY s) AS rid FROM cal),
+        |q AS (SELECT rk.n_cal, rk.rank, o.s AS qhat
+        |  FROM o JOIN rk ON o.rid = rk.rank)
+        |SELECT q.n_cal, q.rank, q.qhat, CAST(0.1 AS DOUBLE) AS alpha,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN tst.s <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM tst CROSS JOIN q
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // group-conditional conformal replay: the x_conformal qhat CTEs,
+    // per-lang coverage of the held-out half
+    "x_conformal_by" ->
+      """WITH cal AS (SELECT CAST(n_chars AS DOUBLE) AS s FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |rk AS (SELECT least(n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0)
+        |    * 0.9) AS BIGINT)) AS rank FROM n),
+        |o AS (SELECT s, row_number() OVER (ORDER BY s) AS rid FROM cal),
+        |q AS (SELECT o.s AS qhat FROM o JOIN rk ON o.rid = rk.rank),
+        |tst AS (SELECT lang AS stratum, CAST(n_chars AS DOUBLE) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT stratum, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN t <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(sum(CASE WHEN t <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage,
+        |  CAST(0.9 AS DOUBLE) AS target,
+        |  CAST(sum(CASE WHEN t <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) - CAST(0.9 AS DOUBLE) AS gap
+        |FROM tst CROSS JOIN q
+        |GROUP BY stratum ORDER BY stratum""".stripMargin,
 
     // Youden replay: distinct-score class counts, DESC cumulative
     // TP/FP windows, exact-count rate divisions, (j DESC, t ASC) argmax
@@ -6839,6 +7052,46 @@ s"""WITH lines AS (
         |FROM j JOIN uc ua ON j.t1 = ua.t JOIN uc ub ON j.t2 = ub.t CROSS JOIN n
         |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
 
+    // TextRank replay: the x_pmi bigram CTEs -> floor-cut symmetrized
+    // edges -> the x_pagerank 2-iteration unroll -> top-20 terms
+    "x_textrank" -> {
+      def ds(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+      val b = s"CAST('${1.0 - 0.85}' AS DOUBLE)"
+      val dd = "CAST('0.85' AS DOUBLE)"
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.d AS node, ${ds(s"$prev.rank / od.od")} AS infl
+           |  FROM e JOIN od USING (s) JOIN $prev ON $prev.node = e.s GROUP BY e.d),
+           |g$out AS (SELECT coalesce(${ds("rank")}, 0.0) AS dang
+           |  FROM $prev WHERE node NOT IN (SELECT s FROM e)),
+           |$out AS (SELECT n.node,
+           |    $b / nn.N + $dd * (coalesce(i$out.infl, 0.0) + g$out.dang / nn.N) AS rank
+           |  FROM n LEFT JOIN i$out ON n.node = i$out.node
+           |  CROSS JOIN g$out CROSS JOIN nn)""".stripMargin
+      s"""WITH toks AS (SELECT $toksSql AS w FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(1, len(w)), i ->
+        |    array_to_string(w[i:i+1], ' '))) AS bigram
+        |  FROM toks WHERE len(w) >= 2),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |e0 AS (SELECT string_split(bigram, ' ')[1] AS s,
+        |    string_split(bigram, ' ')[2] AS d FROM bc
+        |  WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+        |    AND string_split(bigram, ' ')[1] <> ''
+        |    AND string_split(bigram, ' ')[2] <> ''),
+        |e AS (SELECT DISTINCT s, d FROM
+        |  (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0)),
+        |n AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM n),
+        |od AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY s),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.N AS rank FROM n CROSS JOIN nn),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")}
+        |SELECT node, rank FROM r2
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
     "x_bpe_pairs" ->
       s"""WITH toks AS (SELECT $toksSql AS w0 FROM documents),
         |w AS (SELECT unnest(w0) AS w FROM toks),
@@ -6934,6 +7187,78 @@ s"""WITH lines AS (
         |SELECT g AS stratum, dd AS ks, v AS at_value,
         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
         |FROM r WHERE rn = 1 ORDER BY stratum""".stripMargin,
+
+    // grouped-W1 replay: per-(lang, value) counts, lang-partitioned
+    // cum + lag windows, per-lang grid totals with the string bridge
+    "x_gwasserstein" ->
+      """WITH u AS (
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |c AS (SELECT g, v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c1) AS n1, sum(c2) AS n2 FROM c GROUP BY 1),
+        |f AS (SELECT c.g, c.v,
+        |    sum(c1) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (PARTITION BY c.g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM c),
+        |d AS (SELECT f.g, f.v,
+        |    abs(f1 / greatest(n1, 1.0) - f2 / greatest(n2, 1.0)) AS dd, n1, n2
+        |  FROM f JOIN t ON f.g = t.g),
+        |l AS (SELECT g, v, dd, n1, n2,
+        |    lag(v) OVER (PARTITION BY g ORDER BY v) AS vp,
+        |    lag(dd) OVER (PARTITION BY g ORDER BY v) AS dp
+        |  FROM d),
+        |gr AS (SELECT g, n1, n2,
+        |    CAST(floor(coalesce(dp * (v - vp), 0.0)
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0)) AS tt FROM l)
+        |SELECT g AS stratum,
+        |  CAST(CAST(sum(tt) AS VARCHAR) AS DOUBLE) / 1099511627776.0 AS w1,
+        |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |FROM gr GROUP BY g ORDER BY stratum""".stripMargin,
+
+    // behavioral-drift replay: the transition CTEs per era, full join
+    // on (from, to), zero-safe JSD half-terms on the 2^40 grid
+    "x_markov_drift" ->
+      """WITH sa AS (SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events WHERE user_id % 2 = 0),
+        |pa AS (SELECT f, t, count(*) AS n FROM sa WHERE f IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT f, sum(n) AS rtot FROM pa GROUP BY 1),
+        |ea AS (SELECT pa.f, pa.t, pa.n,
+        |    CAST(pa.n AS DOUBLE) / CAST(ra.rtot AS DOUBLE) AS p
+        |  FROM pa JOIN ra USING (f)),
+        |sb AS (SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events WHERE user_id % 2 = 1),
+        |pb AS (SELECT f, t, count(*) AS n FROM sb WHERE f IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rb AS (SELECT f, sum(n) AS rtot FROM pb GROUP BY 1),
+        |eb AS (SELECT pb.f, pb.t, pb.n,
+        |    CAST(pb.n AS DOUBLE) / CAST(rb.rtot AS DOUBLE) AS q
+        |  FROM pb JOIN rb USING (f)),
+        |j AS (SELECT coalesce(ea.f, eb.f) AS from_type,
+        |    coalesce(ea.p, 0.0) AS p, coalesce(eb.q, 0.0) AS q,
+        |    coalesce(ea.n, 0) AS na, coalesce(eb.n, 0) AS nb
+        |  FROM ea FULL JOIN eb ON ea.f = eb.f AND ea.t = eb.t),
+        |terms AS (SELECT from_type, na, nb,
+        |    CAST(floor((
+        |      CASE WHEN p > 0.0
+        |        THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END +
+        |      CASE WHEN q > 0.0
+        |        THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0)) AS tt
+        |  FROM j)
+        |SELECT from_type, CAST(sum(na) AS BIGINT) AS n_a,
+        |  CAST(sum(nb) AS BIGINT) AS n_b,
+        |  CAST(CAST(sum(tt) AS VARCHAR) AS DOUBLE) / 1099511627776.0 AS jsd
+        |FROM terms GROUP BY from_type ORDER BY from_type""".stripMargin,
 
     // BH replay: the x_gks CTE chain -> Smirnov p -> step-up rule
     "x_bh_fdr" ->
@@ -7176,6 +7501,87 @@ s"""WITH lines AS (
         |  (SELECT CAST(n2 AS BIGINT) FROM t) AS n2
         |FROM g""".stripMargin,
 
+    // CMH replay: per-stratum cells, grid-summed numerator/variance
+    // in the same operation order, one closing sqrt
+    "x_cmh" ->
+      """WITH a AS (SELECT lang AS g, count(*) AS n1,
+        |    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS k1
+        |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT lang AS g, count(*) AS n2,
+        |    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS k2
+        |  FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.g, b.g) AS g,
+        |    coalesce(n1, 0) AS n1, coalesce(k1, 0) AS k1,
+        |    coalesce(n2, 0) AS n2, coalesce(k2, 0) AS k2
+        |  FROM a FULL JOIN b ON a.g = b.g),
+        |f AS (SELECT *, n1 + n2 AS N, k1 + k2 AS m FROM j
+        |  WHERE n1 + n2 > 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n2) AS BIGINT) AS n2,
+        |    CAST(CAST(sum(CAST(floor((CAST(k1 AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(m AS DOUBLE) / CAST(N AS DOUBLE))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS cmh_num,
+        |    CAST(CAST(sum(CAST(floor(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        * CAST(m AS DOUBLE) * (CAST(N AS DOUBLE) - CAST(m AS DOUBLE))
+        |        / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+        |          * (CAST(N AS DOUBLE) - 1.0))
+        |      * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 AS cmh_var
+        |  FROM f)
+        |SELECT n_strata, n1, n2, cmh_num, cmh_var,
+        |  CASE WHEN cmh_var > 0.0 THEN cmh_num / sqrt(cmh_var) END AS z
+        |FROM agg""".stripMargin,
+
+    // two-proportion replay: exact counts, pooled SE, one sqrt
+    "x_two_prop" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS k1
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |j AS (SELECT n1, k1, n2, k2,
+        |    CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pooled
+        |  FROM a CROSS JOIN b)
+        |SELECT n1, k1, p1, n2, k2, p2, pooled,
+        |  CASE WHEN pooled > 0.0 AND pooled < 1.0
+        |    THEN (p1 - p2) / sqrt(pooled * (1.0 - pooled)
+        |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+        |    END AS z
+        |FROM j""".stripMargin,
+
+    // CvM replay: same CDF chain, squared gaps x pooled multiplicity
+    // on the grid, the n1n2/N^2 factor in the same operation order
+    "x_cvm" ->
+      """WITH u AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 1.0 AS s1, 0.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 0.0 AS s1, 1.0 AS s2
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |c AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM u GROUP BY v),
+        |f AS (SELECT v, c1, c2,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS f2
+        |  FROM c),
+        |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        |g AS (SELECT CAST(floor(
+        |    (f1 / n1 - f2 / n2) * (f1 / n1 - f2 / n2) * (c1 + c2)
+        |    * 1099511627776.0 + 0.5) AS DECIMAL(38,0)) AS tt, n1, n2
+        |  FROM f CROSS JOIN t)
+        |SELECT (CAST(CAST(sum(tt) AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |    * (max(n1) * max(n2) / ((max(n1) + max(n2)) * (max(n1) + max(n2))))
+        |    AS cvm,
+        |  CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |FROM g""".stripMargin,
+
     // association replay: one contingency CTE, marginal re-aggs, the
     // zero-cell-free chi2 identity, 2^40-grid cell sums
     "x_assoc" ->
@@ -7223,18 +7629,13 @@ s"""WITH lines AS (
 
     // Markov replay: per-user lag window, pair counts, row-total
     // divisions
-    "x_markov" ->
-      """WITH sq AS (SELECT event_type AS t,
-        |    lag(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS f
-        |  FROM events),
-        |pr AS (SELECT f AS from_type, t AS to_type, count(*) AS n
-        |  FROM sq WHERE f IS NOT NULL GROUP BY 1, 2),
-        |rt AS (SELECT from_type, sum(n) AS rtot FROM pr GROUP BY 1)
-        |SELECT pr.from_type, pr.to_type, CAST(n AS BIGINT) AS n,
-        |  CAST(n AS DOUBLE) / CAST(rtot AS DOUBLE) AS p
-        |FROM pr JOIN rt USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin,
+    "x_markov" -> markovOracle,
+
+    // the STREAMING monitor's contract: folding the log in three
+    // event-time batches through the standing (pair counts + per-user
+    // tail) state must land on the identical matrix — x_markov's
+    // oracle VERBATIM
+    "s_markov" -> markovOracle,
 
     // stationary replay: the same matrix CTEs, then 3 unrolled power
     // iterations on the 2^-40 dyadic grid (exactly-representable
@@ -8380,6 +8781,48 @@ s"""WITH lines AS (
         |ORDER BY ts.query_id""".stripMargin
     },
 
+    // MRR replay: brute top-3 truth, the multi-query LSH chain cut at
+    // 10, min matched rank per query, rr = 1/rank (0 on a miss)
+    "x_mrr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+        |    FROM e c CROSS JOIN qs q) WHERE rk <= 3),
+        |pl AS (SELECT unnest(range(0, 8)) AS p),
+        |d AS (SELECT e.vec_id, pl.p,
+        |    list_sum(list_transform(range(1, 65), k ->
+        |      v[CAST(k AS INT)] * (CAST(floor(
+        |          (strpos('0123456789abcdef', substring(md5('plane' || pl.p || '_0'),
+        |             CAST(floor((k-1)/4) AS INT) + 1, 1)) - 1)
+        |          / pow(2, (k-1) % 4)) AS INT) % 2 * 2 - 1))) AS dot
+        |  FROM e CROSS JOIN pl),
+        |b AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM d GROUP BY 1),
+        |pr AS (SELECT q.query_id, q.qv,
+        |    unnest([b.bucket] || list_transform(range(0, 8),
+        |      p -> xor(b.bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket
+        |  FROM qs q JOIN b ON q.query_id = b.vec_id),
+        |cand AS (SELECT pr.query_id, e.vec_id,
+        |    list_cosine_similarity(e.v, pr.qv) AS rawcos
+        |  FROM e JOIN b USING (vec_id) JOIN pr USING (bucket)),
+        |gotr AS (SELECT query_id, vec_id AS neighbor_id, rk FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rawcos DESC, vec_id) AS rk
+        |    FROM cand) WHERE rk <= 10),
+        |fh AS (SELECT g.query_id, CAST(min(g.rk) AS INT) AS first_hit_rank
+        |  FROM gotr g JOIN truth tr ON g.query_id = tr.query_id
+        |    AND g.neighbor_id = tr.neighbor_id
+        |  GROUP BY 1),
+        |qids AS (SELECT DISTINCT query_id FROM truth)
+        |SELECT qids.query_id, fh.first_hit_rank,
+        |  coalesce(1.0 / CAST(fh.first_hit_rank AS DOUBLE), 0.0) AS rr
+        |FROM qids LEFT JOIN fh USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "x_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -746,6 +746,130 @@ object Classifier {
           .otherwise(col("__s") / col("n").cast("double")).as("brier"))
   }
 
+  /** Group-fairness audit at an operating point — the equalized-odds
+    * / demographic-parity read a curation filter owes its strata
+    * ([[rocAucBy]] compares threshold-free ranking power; this
+    * compares the SHIPPED decision rule): per stratum the confusion
+    * counts at `score ≥ threshold`, TPR / FPR / selection rate, and
+    * each rate's GAP against the pooled global rate — equalized odds
+    * asks the TPR/FPR gaps to be small, demographic parity the
+    * selection-rate gap. A filter can pass a global audit while
+    * silently dropping one language's positives; this is the table
+    * that shows it.
+    *
+    * Shape: ONE stratum-keyed partial agg over the fact table + a
+    * 1-row pooled re-agg broadcast back; all rates exact-count
+    * divisions (one-class strata read NULL, SQL-style), gaps single
+    * IEEE subtractions. Output: (stratum, n, tp, fp, fn, tn, tpr,
+    * fpr, sel_rate, tpr_gap, fpr_gap, sel_gap). */
+  def groupFairness(df: DataFrame, stratum: String, score: Column,
+                    label: Column, threshold: Double): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d = df.filter(score.isNotNull && label.isNotNull &&
+        col(stratum).isNotNull)
+      .select(col(stratum).as("stratum"),
+        (score >= lit(threshold)).as("__p"), label.cast("boolean").as("__y"))
+    val aggs = Seq(
+      sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+    def rates(pre: String)(in: DataFrame) = in
+      .withColumn(s"${pre}tpr", when(col("tp") + col("fn") > 0L,
+        dbl(col("tp")) / dbl(col("tp") + col("fn"))))
+      .withColumn(s"${pre}fpr", when(col("fp") + col("tn") > 0L,
+        dbl(col("fp")) / dbl(col("fp") + col("tn"))))
+      .withColumn(s"${pre}sel",
+        dbl(col("tp") + col("fp")) /
+          dbl(col("tp") + col("fp") + col("fn") + col("tn")))
+    val per = rates("")(d.groupBy(col("stratum")).agg(aggs.head, aggs.tail: _*))
+    val glob = rates("g_")(d.agg(aggs.head, aggs.tail: _*))
+      .select(col("g_tpr"), col("g_fpr"), col("g_sel"))
+    per.crossJoin(broadcast(glob))
+      .select(col("stratum"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        col("tpr"), col("fpr"), col("sel").as("sel_rate"),
+        (col("tpr") - col("g_tpr")).as("tpr_gap"),
+        (col("fpr") - col("g_fpr")).as("fpr_gap"),
+        (col("sel") - col("g_sel")).as("sel_gap"))
+  }
+
+  /** Split-conformal selection threshold (Vovk; Papadopoulos et al.
+    * 2002) — the distribution-free guarantee a "keep if score ≤ q̂"
+    * rule can actually promise: with q̂ the ⌈(n+1)(1−α)⌉-th smallest
+    * CALIBRATION score, a fresh exchangeable score lands ≤ q̂ with
+    * probability ≥ 1−α — no model assumptions, just ranks. The audit
+    * also reports the rule's EMPIRICAL coverage on a held-out test
+    * frame (should sit at or above 1−α up to sampling noise).
+    *
+    * Shape: the order statistic comes from the distributed rowid sort
+    * ([[graft.core.Tibble.rowidToColumn]] — never a single-partition
+    * window), selected by one scan-resident rank filter; coverage is
+    * one broadcast-threshold partial agg over the test frame. Rank
+    * arithmetic is exact integer, coverage an exact-count division.
+    * Output (1 row): n_cal, rank, qhat, alpha, n_test, coverage. */
+  def conformalThreshold(cal: DataFrame, test: DataFrame, score: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1,
+      s"conformalThreshold: alpha=$alpha not in (0,1)")
+    val c = cal.filter(score.isNotNull).select(score.cast("double").as("__s"))
+    val n = c.agg(count(lit(1)).as("n_cal"))
+    val ranked = graft.core.Tibble.rowidToColumn(c, Seq(col("__s")), "__rid")
+    // rank = ceil((n+1)(1-alpha)), clamped to n (alpha < 1/(n+1) would
+    // demand more certainty than n points can give — q̂ = max then)
+    val rk = n.select(col("n_cal"),
+      least(col("n_cal"),
+        ceil((col("n_cal").cast("double") + 1.0) * lit(1.0 - alpha))
+          .cast("long")).as("rank"))
+    val qhat = ranked.join(broadcast(rk), col("__rid") === col("rank"))
+      .select(col("n_cal"), col("rank"), col("__s").as("qhat"))
+    val t = test.filter(score.isNotNull).select(score.cast("double").as("__t"))
+    t.crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("rank")).as("rank"),
+        max(col("qhat")).as("qhat"),
+        max(lit(alpha)).as("alpha"),
+        count(lit(1)).as("n_test"),
+        (sum(when(col("__t") <= col("qhat"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double")).as("coverage"))
+  }
+
+  /** GROUP-CONDITIONAL coverage audit of a [[conformalThreshold]] —
+    * the known failure mode of split conformal: the ≥ 1−α guarantee
+    * is MARGINAL, so a q̂ fit on the pooled calibration set can cover
+    * 99% of one language and 60% of another while averaging fine.
+    * This reports the held-out coverage of the pooled q̂ PER STRATUM
+    * with its gap to the 1−α target — the table that says which
+    * strata need their own threshold (Mondrian conformal).
+    *
+    * Shape: q̂ exactly as in [[conformalThreshold]] (rowid order
+    * statistic, broadcast), then ONE stratum-keyed partial agg over
+    * the test frame. Exact-count coverage divisions.
+    * Output: (stratum, n_test, covered, coverage, target, gap). */
+  def conformalCoverageBy(cal: DataFrame, test: DataFrame, stratum: String,
+                          score: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1,
+      s"conformalCoverageBy: alpha=$alpha not in (0,1)")
+    val c = cal.filter(score.isNotNull).select(score.cast("double").as("__s"))
+    val n = c.agg(count(lit(1)).as("__ncal"))
+    val ranked = graft.core.Tibble.rowidToColumn(c, Seq(col("__s")), "__rid")
+    val rk = n.select(least(col("__ncal"),
+      ceil((col("__ncal").cast("double") + 1.0) * lit(1.0 - alpha))
+        .cast("long")).as("__rank"))
+    val qhat = ranked.join(broadcast(rk), col("__rid") === col("__rank"))
+      .select(col("__s").as("__qhat"))
+    test.filter(score.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("stratum"), score.cast("double").as("__t"))
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__t") <= col("__qhat"), 1L).otherwise(0L)).as("covered"))
+      .withColumn("coverage",
+        col("covered").cast("double") / col("n_test").cast("double"))
+      .withColumn("target", lit(1.0 - alpha))
+      .withColumn("gap", col("coverage") - col("target"))
+  }
+
   /** Isotonic (PAV) calibration over score levels — the
     * NONPARAMETRIC upgrade of [[histogramCalibration]]: histogram
     * binning fits each bin independently and can emit a

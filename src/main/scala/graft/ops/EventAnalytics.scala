@@ -110,6 +110,50 @@ object EventAnalytics {
         (col("n").cast("double") / col("__rt").cast("double")).as("p"))
   }
 
+  /** BEHAVIORAL drift between two eras of the event log — per
+    * from-state Jensen–Shannon divergence between the eras' next-event
+    * distributions: [[transitionMatrix]] says how users behave; this
+    * says WHERE that behavior changed (a bot cohort arriving, a UI
+    * change rerouting a funnel) at the state grain, where a whole-log
+    * JSD would just say "something moved". JSD is symmetric, bounded
+    * by ln 2, and defined with zero-probability cells (0·ln0 = 0 —
+    * a transition present in only one era contributes its full
+    * half-term).
+    *
+    * Shape: each era pays the one lag-window + pair-agg pass of
+    * [[transitionMatrix]]; the matrices full-join on (from, to)
+    * (≤ k² rows, bounded by contract) and the per-cell terms cross
+    * the floor(x·2⁴⁰+0.5) grid into a per-from sum. Output:
+    * (from_type, n_a, n_b, jsd), one row per from-state observed in
+    * either era. */
+  def transitionDrift(a: DataFrame, b: DataFrame, user: Column, ts: Column,
+                      eventType: Column, tieBreak: Column): DataFrame = {
+    val G = 1099511627776.0 // 2^40
+    def gsum(c: Column): Column =
+      sum(floor(c * G + 0.5).cast("decimal(38,0)"))
+        .cast("string").cast("double") / G
+    def tm(df: DataFrame, pName: String, nName: String) =
+      transitionMatrix(df, user, ts, eventType, tieBreak)
+        .select(col("from_type"), col("to_type"),
+          col("p").as(pName), col("n").as(nName))
+    val j = tm(a, "__p", "__na").join(tm(b, "__q", "__nb"),
+        Seq("from_type", "to_type"), "full")
+      .select(col("from_type"),
+        coalesce(col("__p"), lit(0.0)).as("__p"),
+        coalesce(col("__q"), lit(0.0)).as("__q"),
+        coalesce(col("__na"), lit(0L)).as("__na"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"))
+    val m = (col("__p") + col("__q")) / 2.0
+    val term =
+      when(col("__p") > 0.0, lit(0.5) * col("__p") * log(col("__p") / m))
+        .otherwise(lit(0.0)) +
+      when(col("__q") > 0.0, lit(0.5) * col("__q") * log(col("__q") / m))
+        .otherwise(lit(0.0))
+    j.groupBy(col("from_type"))
+      .agg(sum(col("__na")).as("n_a"), sum(col("__nb")).as("n_b"),
+        gsum(term).as("jsd"))
+  }
+
   /** Stationary distribution of a [[transitionMatrix]] by power
     * iteration for a FIXED iteration count — where the chain spends
     * its time in the long run (the steady-state event mix; compare

@@ -701,6 +701,167 @@ object Profiling {
         max(col("__n2")).cast("long").as("n2"))
   }
 
+  /** Two-proportion z-test — the release-gate read for a RATE between
+    * two corpus versions (keep-rate after the quality filter, dedup
+    * hit-rate, refusal rate): did the proportion move beyond sampling
+    * noise? z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂ —
+    * the A/B-test workhorse beside [[chiSquareTest]] (which reads a
+    * whole categorical mix; this reads ONE binary rate with a signed
+    * direction). Counts come from two 1-row partial aggs; every
+    * closing op is a single IEEE step on exact counts — engine-exact
+    * with no grid. Degenerate pools (p̂ ∈ {0,1}) read NULL z.
+    * Output (1 row): n1, k1, p1, n2, k2, p2, pooled, z. */
+  def twoProportionTest(a: DataFrame, b: DataFrame, flag: Column): DataFrame = {
+    def side(df: DataFrame, n: String, k: String) =
+      df.filter(flag.isNotNull).agg(count(lit(1)).as(n),
+        sum(when(flag, 1L).otherwise(0L)).as(k))
+    def dbl(c: Column): Column = c.cast("double")
+    side(a, "n1", "k1").crossJoin(broadcast(side(b, "n2", "k2")))
+      .withColumn("p1", dbl(col("k1")) / dbl(col("n1")))
+      .withColumn("p2", dbl(col("k2")) / dbl(col("n2")))
+      .withColumn("pooled",
+        dbl(col("k1") + col("k2")) / dbl(col("n1") + col("n2")))
+      .withColumn("z",
+        when(col("pooled") > 0.0 && col("pooled") < 1.0,
+          (col("p1") - col("p2")) /
+            sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+              (lit(1.0) / dbl(col("n1")) + lit(1.0) / dbl(col("n2"))))))
+      .select(col("n1"), col("k1"), col("p1"), col("n2"), col("k2"),
+        col("p2"), col("pooled"), col("z"))
+  }
+
+  /** Cochran–Mantel–Haenszel test — [[twoProportionTest]] STRATIFIED:
+    * the rate comparison that survives Simpson's paradox. A corpus
+    * whose language mix shifted between eras can show the keep-rate
+    * moving in the POOLED table while every language's own rate held
+    * (or vice versa); CMH compares within each stratum and combines:
+    * z = Σₛ(k₁ₛ − n₁ₛ·mₛ/Nₛ) / √Σₛ n₁ₛn₂ₛmₛ(Nₛ−mₛ)/(Nₛ²(Nₛ−1)),
+    * mₛ = k₁ₛ+k₂ₛ. Per-stratum cells come from ONE stratum-keyed
+    * partial agg per side; the two stratum sums cross the
+    * floor(x·2⁴⁰+0.5) grid (order-invariant); single-row strata
+    * (Nₛ ≤ 1) contribute nothing, all-degenerate inputs read NULL z.
+    * Output (1 row): n_strata, n1, n2, cmh_num, cmh_var, z. */
+  def cmhTest(a: DataFrame, b: DataFrame, stratum: String,
+              flag: Column): DataFrame = {
+    val G = 1099511627776.0 // 2^40
+    def gsum(c: Column): Column =
+      sum(floor(c * G + 0.5).cast("decimal(38,0)"))
+        .cast("string").cast("double") / G
+    def dbl(c: Column): Column = c.cast("double")
+    def side(df: DataFrame, n: String, k: String) =
+      df.filter(flag.isNotNull && col(stratum).isNotNull)
+        .groupBy(col(stratum).as("__g"))
+        .agg(count(lit(1)).as(n), sum(when(flag, 1L).otherwise(0L)).as(k))
+    val j = side(a, "__n1", "__k1").join(side(b, "__n2", "__k2"),
+        Seq("__g"), "full")
+      .select(col("__g"),
+        coalesce(col("__n1"), lit(0L)).as("__n1"),
+        coalesce(col("__k1"), lit(0L)).as("__k1"),
+        coalesce(col("__n2"), lit(0L)).as("__n2"),
+        coalesce(col("__k2"), lit(0L)).as("__k2"))
+      .withColumn("__N", col("__n1") + col("__n2"))
+      .withColumn("__m", col("__k1") + col("__k2"))
+      .filter(col("__N") > 1L)
+    val agg = j.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__n1")).as("n1"), sum(col("__n2")).as("n2"),
+      gsum(dbl(col("__k1")) - dbl(col("__n1")) * dbl(col("__m")) /
+        dbl(col("__N"))).as("cmh_num"),
+      gsum(dbl(col("__n1")) * dbl(col("__n2")) * dbl(col("__m")) *
+        (dbl(col("__N")) - dbl(col("__m"))) /
+        (dbl(col("__N")) * dbl(col("__N")) * (dbl(col("__N")) - lit(1.0))))
+        .as("cmh_var"))
+    agg.select(col("n_strata"), col("n1"), col("n2"),
+      col("cmh_num"), col("cmh_var"),
+      when(col("cmh_var") > 0.0,
+        col("cmh_num") / sqrt(col("cmh_var"))).as("z"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962) — the
+    * WHOLE-CDF drift read between [[ksTest]] (sup: one worst point)
+    * and [[wasserstein1]] (first-moment mass transport): T =
+    * n₁n₂/N² · Σ over all N pooled observations of (F₁−F₂)², so many
+    * small separations accumulate where KS sees only the largest.
+    * Same topology as ksTest: per-distinct-value counts in ONE
+    * partial agg, prefix-scan CDFs, each distinct value's squared
+    * difference weighted by its pooled multiplicity on the 2⁻⁴⁰ grid
+    * (string-bridged total). Output: one row (cvm, n1, n2). */
+  def cramerVonMises(a: DataFrame, b: DataFrame, value: String): DataFrame = {
+    def side(df: DataFrame, s1: Double, s2: Double) =
+      df.select(col(value).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s1", lit(s1)).withColumn("__s2", lit(s2))
+    val u = side(a, 1.0, 0.0).unionByName(side(b, 0.0, 1.0))
+    val counts = u.groupBy(col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+    val cum = graft.functions.ScanFns.withCumulatives(counts,
+      Seq((col("__c1"), graft.functions.ScanFns.SumOp, "__f1"),
+          (col("__c2"), graft.functions.ScanFns.SumOp, "__f2")),
+      Seq(col("__v").asc))
+    val tot = counts.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    val d = cum.crossJoin(broadcast(tot))
+      .select(
+        ((col("__f1") / col("__n1") - col("__f2") / col("__n2")) *
+          (col("__f1") / col("__n1") - col("__f2") / col("__n2")) *
+          (col("__c1") + col("__c2"))).as("__t2"),
+        col("__n1"), col("__n2"))
+    d.withColumn("__t",
+        floor(col("__t2") * 1099511627776.0 + 0.5).cast("decimal(38,0)"))
+      .agg(
+        ((sum(col("__t")).cast("string").cast("double") / 1099511627776.0) *
+          (max(col("__n1")) * max(col("__n2")) /
+            ((max(col("__n1")) + max(col("__n2"))) *
+              (max(col("__n1")) + max(col("__n2")))))).as("cvm"),
+        max(col("__n1")).cast("long").as("n1"),
+        max(col("__n2")).cast("long").as("n2"))
+  }
+
+  /** Per-stratum [[wasserstein1]] — the drift-MAGNITUDE report beside
+    * [[groupedKs]]'s sup report: which languages/sources moved AND by
+    * how much, in the column's own units (two strata can share a KS
+    * of 0.2 while one moved 10 characters and the other 1000). Same
+    * exactness as the global form; CDF, lag, and gap windows all
+    * partition BY STRATUM (the groupedQuantiles trade). Strata
+    * present on only one side integrate against an empty CDF via the
+    * greatest(n,1) guard: W₁ = ∫F = max − mean of the present side
+    * (the mass-weighted distance to the stratum's top — defined, like
+    * groupedKs's ks=1 convention).
+    * Output: (stratum, w1, n1, n2). */
+  def groupedWasserstein(a: DataFrame, b: DataFrame, stratum: String,
+                         value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, s1: Double, s2: Double) =
+      df.select(col(stratum).as("__g"), col(value).cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .withColumn("__s1", lit(s1)).withColumn("__s2", lit(s2))
+    val u = side(a, 1.0, 0.0).unionByName(side(b, 0.0, 1.0))
+    val counts = u.groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__s1")).as("__c1"), sum(col("__s2")).as("__c2"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lagW = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    counts
+      .withColumn("__f1", sum(col("__c1")).over(w))
+      .withColumn("__f2", sum(col("__c2")).over(w))
+      .join(totals, Seq("__g"))
+      .select(col("__g"), col("__v"),
+        abs(col("__f1") / greatest(col("__n1"), lit(1.0)) -
+          col("__f2") / greatest(col("__n2"), lit(1.0))).as("__d"),
+        col("__n1"), col("__n2"))
+      .withColumn("__vp", lag(col("__v"), 1).over(lagW))
+      .withColumn("__dp", lag(col("__d"), 1).over(lagW))
+      .withColumn("__t",
+        floor(coalesce(col("__dp") * (col("__v") - col("__vp")), lit(0.0)) *
+          1099511627776.0 + 0.5).cast("decimal(38,0)"))
+      .groupBy(col("__g").as("stratum"))
+      .agg((sum(col("__t")).cast("string").cast("double") /
+          1099511627776.0).as("w1"),
+        max(col("__n1")).cast("long").as("n1"),
+        max(col("__n2")).cast("long").as("n2"))
+  }
+
   /** Population Stability Index (the scorecard-monitoring standard)
     * between a REFERENCE corpus and a CURRENT one, over equal-
     * population bins of the reference: PSI = Σ_bins (p−q)·ln(p/q).

@@ -326,6 +326,34 @@ object Similarity {
       .withColumn("ndcg", col("dcg") / col("idcg"))
   }
 
+  /** Mean-reciprocal-rank inputs — per-query reciprocal rank of the
+    * FIRST relevant hit (the metric of record when one right answer
+    * is enough: known-item search, RAG with a single gold passage),
+    * beside [[recallAtK]] (set overlap) and [[ndcgAtK]] (graded
+    * positions). RR = 1/rank of the earliest retrieved truth pair,
+    * 0 when none of the top k hit. 1/rank on an exact integer is a
+    * single IEEE division — engine-exact with no grid; averaging
+    * across queries is the caller's one-line agg (keep the per-query
+    * grain here so failures are attributable). Inputs carry
+    * (query_id, neighbor_id[, rank]) like every retrieval here.
+    * Work is result-set-sized. Output: (query_id, first_hit_rank
+    * — NULL on a miss, rr). */
+  def reciprocalRankAtK(truth: DataFrame, retrieved: DataFrame,
+                        k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"reciprocalRankAtK: k=$k outside 1..1000")
+    val truthPairs = truth.select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val queries = truthPairs.select(col("query_id")).distinct()
+    val firstHit = retrieved
+      .filter(col("rank") <= k)
+      .join(truthPairs, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit_rank"))
+    queries.join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_hit_rank"),
+        coalesce(lit(1.0) / col("first_hit_rank").cast("double"), lit(0.0))
+          .as("rr"))
+  }
+
   /** Rank-biased overlap (Webber et al. 2010) between two retrievals'
     * rankings, per query — the top-weighted ranking-agreement read
     * that recall@k misses (recall treats rank 1 and rank k the same;

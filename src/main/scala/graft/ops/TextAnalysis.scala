@@ -468,6 +468,41 @@ object TextAnalysis {
       .select("bigram", "cnt", "lift")
   }
 
+  /** TextRank keyterms (Mihalcea & Tarau 2004) — graph-centrality
+    * keyword extraction over the corpus co-occurrence graph: where
+    * [[tfidf]] scores terms per document and [[pmiBigrams]] scores
+    * PAIRS, TextRank scores single terms by how central they sit in
+    * the adjacency structure (a term adjacent to many well-connected
+    * terms outranks a merely frequent one — the classic
+    * stopword-resistant keyphrase signal). Composition, not new
+    * machinery: adjacent-word bigram counts (the [[pmiBigrams]]
+    * kernel) above a count floor become undirected edges, and
+    * [[Graph.pageRank]] runs its engine-exact fixed-iteration score
+    * over them.
+    *
+    * Shape: one tokenize scan → bigram partial agg → floor cut, a
+    * vocabulary-sized symmetrized edge distinct, the pageRank
+    * iterations (edge-table joins — vocabulary-sized, not corpus-
+    * sized), TakeOrdered(k). Output: (node, rank), top-k terms. */
+  def textRank(df: DataFrame, text: String, minCount: Int = 5,
+               iters: Int = 2, k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"textRank: minCount must be >= 1 (got $minCount)")
+    require(k >= 1, s"textRank: k must be >= 1 (got $k)")
+    val bi = df.select(explode(Dedup.shinglesFast(col(text), 2)).as("bigram"))
+      .filter(col("bigram").contains(" "))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(split(col("bigram"), " ").getItem(0).as("src"),
+        split(col("bigram"), " ").getItem(1).as("dst"))
+      .filter(col("src") =!= col("dst") &&
+        col("src") =!= "" && col("dst") =!= "")
+    val sym = bi.unionByName(
+        bi.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    Graph.pageRank(sym, "src", "dst", iters)
+      .orderBy(col("rank").desc, col("node")).limit(k)
+  }
+
   /** Adjacent-symbol pair counts inside words — the statistic the
     * first BPE merge maximizes (Sennrich et al. 2016): every 2-char
     * window of every word, counted corpus-wide. One tokenize scan,

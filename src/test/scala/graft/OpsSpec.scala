@@ -1458,6 +1458,186 @@ class OpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("reciprocalRankAtK: first hit wins, misses read 0, absent retrievals read 0") {
+    import spark.implicits._
+    val truth = Seq((1L, 5L), (2L, 9L), (3L, 4L)).toDF("query_id", "neighbor_id")
+    val ret = Seq(
+      (1L, 3L, 1), (1L, 5L, 2), (1L, 7L, 3), // hit at rank 2
+      (2L, 8L, 1), (2L, 7L, 2))              // 9 never retrieved
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = graft.ops.Similarity.reciprocalRankAtK(truth, ret, k = 10)
+      .orderBy("query_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(1) == 2 && out(0).getDouble(2) == 0.5, out(0))
+    assert(out(1).isNullAt(1) && out(1).getDouble(2) == 0.0, out(1))
+    // query 3 has truth but zero retrieved rows: rr 0, not a dropout
+    assert(out(2).isNullAt(1) && out(2).getDouble(2) == 0.0, out(2))
+  }
+
+  test("cmhTest: Simpson's-paradox fixture — pooled rate flips, CMH reads the within-stratum truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum X: a = 90 rows at 50% true, b = 10 rows at 40%
+    // stratum Y: a = 10 rows at 90%, b = 90 rows at 80%
+    // within EVERY stratum a beats b by 10 points, but pooled
+    // a = 54/100 vs b = 76/100 reads b ahead — the paradox
+    def mk(rows: Seq[(String, Int, Int)]) = rows.flatMap { case (g, n, k) =>
+      (1 to n).map(i => (g, i <= k)) }.toDF("g", "f")
+    val a = mk(Seq(("X", 90, 45), ("Y", 10, 9)))
+    val b = mk(Seq(("X", 10, 4), ("Y", 90, 72)))
+    val pooled = graft.ops.Profiling.twoProportionTest(a, b, col("f")).head()
+    assert(pooled.getDouble(2) < pooled.getDouble(5),
+      s"pooled must read b ahead (the paradox): $pooled")
+    val cmh = graft.ops.Profiling.cmhTest(a, b, "g", col("f")).head()
+    assert(cmh.getLong(0) == 2L && cmh.getDouble(5) > 0.0,
+      s"CMH must read a ahead within strata: $cmh")
+    // identical sides: numerator 0, z 0
+    val same = graft.ops.Profiling.cmhTest(a, a, "g", col("f")).head()
+    assert(same.getDouble(3) == 0.0 && same.getDouble(5) == 0.0, same)
+  }
+
+  test("conformalCoverageBy: pooled qhat covers strata unevenly; the audit shows the gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // calibration scores uniform 1..100; qhat at alpha=0.1 ~ rank 91
+    val cal = (1 to 100).map(i => ("z", i.toDouble)).toDF("g", "s")
+    // test: stratum lo sits entirely under qhat, stratum hi above it
+    val test = ((1 to 10).map(i => ("lo", i.toDouble)) ++
+      (1 to 10).map(i => ("hi", 200.0 + i))).toDF("g", "s")
+    val out = graft.ops.Classifier.conformalCoverageBy(cal, test, "g",
+        col("s"), alpha = 0.1)
+      .orderBy("stratum").collect()
+    val hi = out(0); val lo = out(1)
+    assert(lo.getAs[Double]("coverage") == 1.0 &&
+      math.abs(lo.getAs[Double]("gap") - 0.1) < 1e-12, lo)
+    assert(hi.getAs[Double]("coverage") == 0.0 &&
+      math.abs(hi.getAs[Double]("gap") + 0.9) < 1e-12, hi)
+    assert(out.forall(_.getAs[Double]("target") == 0.9))
+  }
+
+  test("twoProportionTest: golden z on a hand pair, NULL on degenerate pools") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a: 30/100 true, b: 20/100 true -> pooled 0.25,
+    // z = 0.1 / sqrt(0.25*0.75*0.02)
+    val a = (1 to 100).map(i => i <= 30).toDF("f")
+    val b = (1 to 100).map(i => i <= 20).toDF("f")
+    val r = graft.ops.Profiling.twoProportionTest(a, b, col("f")).head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 30L)
+    val zExp = 0.1 / math.sqrt(0.25 * 0.75 * (1.0 / 100 + 1.0 / 100))
+    assert(math.abs(r.getDouble(7) - zExp) < 1e-12, r)
+    // all-false pools: z NULL, rates still reported
+    val z0 = graft.ops.Profiling.twoProportionTest(
+      Seq(false, false).toDF("f"), Seq(false).toDF("f"), col("f")).head()
+    assert(z0.isNullAt(7) && z0.getDouble(2) == 0.0)
+  }
+
+  test("cramerVonMises: 0 on identical samples, hand value on a tiny disjoint pair") {
+    import spark.implicits._
+    val xs = (1 to 50).map(_.toDouble)
+    val same = graft.ops.Profiling.cramerVonMises(
+      xs.toDF("v"), xs.toDF("v"), "v").head()
+    assert(same.getDouble(0) == 0.0 && same.getLong(1) == 50L)
+    // a={1,2}, b={3,4}: sum d^2*mult = .25+1+.25+0 = 1.5, factor 4/16
+    val tiny = graft.ops.Profiling.cramerVonMises(
+      Seq(1.0, 2.0).toDF("v"), Seq(3.0, 4.0).toDF("v"), "v").head()
+    assert(math.abs(tiny.getDouble(0) - 0.375) < 1e-9, tiny)
+  }
+
+  test("conformalThreshold: order-statistic rank and held-out coverage are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cal = (1 to 9).map(_.toDouble).toDF("s")
+    val test10 = (1 to 10).map(_.toDouble).toDF("s")
+    // n=9, alpha=0.1: rank = ceil(10*0.9) = 9 -> qhat = 9
+    val r = graft.ops.Classifier.conformalThreshold(cal, test10, col("s"), 0.1)
+      .head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 9L && r.getDouble(2) == 9.0, r)
+    assert(r.getDouble(5) == 0.9, s"9 of 10 held-out under qhat: $r")
+    // alpha=0.5: rank = ceil(10*0.5) = 5 -> qhat = 5, coverage 0.5
+    val r2 = graft.ops.Classifier.conformalThreshold(cal, test10, col("s"), 0.5)
+      .head()
+    assert(r2.getLong(1) == 5L && r2.getDouble(2) == 5.0 && r2.getDouble(5) == 0.5, r2)
+  }
+
+  test("groupFairness: per-stratum rates and gaps against the pooled point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A: 2 pos both kept (tpr 1), 2 neg both dropped (fpr 0)
+    // stratum B: 2 pos both dropped (tpr 0), 2 neg both kept (fpr 1)
+    val df = Seq(
+      ("A", 10.0, true), ("A", 10.0, true), ("A", 1.0, false), ("A", 1.0, false),
+      ("B", 1.0, true), ("B", 1.0, true), ("B", 10.0, false), ("B", 10.0, false))
+      .toDF("g", "s", "y")
+    val out = graft.ops.Classifier.groupFairness(df, "g", col("s"), col("y"), 5.0)
+      .orderBy("stratum").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Double]("tpr") == 1.0 && a.getAs[Double]("fpr") == 0.0, a)
+    assert(b.getAs[Double]("tpr") == 0.0 && b.getAs[Double]("fpr") == 1.0, b)
+    // pooled tpr = fpr = 0.5 -> gaps are +/-0.5; selection identical
+    assert(a.getAs[Double]("tpr_gap") == 0.5 && b.getAs[Double]("tpr_gap") == -0.5)
+    assert(a.getAs[Double]("fpr_gap") == -0.5 && b.getAs[Double]("fpr_gap") == 0.5)
+    assert(a.getAs[Double]("sel_gap") == 0.0 && b.getAs[Double]("sel_gap") == 0.0)
+  }
+
+  test("groupedWasserstein: stable stratum 0, shifted stratum reads the shift, one-sided reads the range") {
+    import spark.implicits._
+    val a = ((1 to 100).map(i => ("stable", i.toDouble)) ++
+      (1 to 100).map(i => ("moved", i.toDouble)) ++
+      (1 to 100).map(i => ("only_a", i.toDouble))).toDF("g", "v")
+    val b = ((1 to 100).map(i => ("stable", i.toDouble)) ++
+      (1 to 100).map(i => ("moved", i + 50.0))).toDF("g", "v")
+    val out = graft.ops.Profiling.groupedWasserstein(a, b, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("stable") == 0.0, s"unchanged stratum reads 0: $out")
+    assert(math.abs(out("moved") - 50.0) < 1e-6, s"shift-by-50 reads ~50: $out")
+    // one-sided: |F_a - 0| integrates the CDF = max - mean
+    // (uniform 1..100 -> 100 - 50.5 = 49.5)
+    assert(math.abs(out("only_a") - 49.5) < 1e-6,
+      s"one-sided stratum reads max - mean: $out")
+  }
+
+  test("transitionDrift: identical eras read 0; disjoint next-event mixes read ln 2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = 1700000000000L
+    def ts(i: Int) = new java.sql.Timestamp(base + i * 1000L)
+    // era A: A->B five times; era B: A->C five times (from-state 'A')
+    def era(u: Long, nxt: String) = (0 until 5).flatMap(r => Seq(
+      (u * 100 + r * 2 + 0, ts(r * 2 + 0), u, "A"),
+      (u * 100 + r * 2 + 1, ts(r * 2 + 1), u, nxt)))
+    // one user per era, each A immediately followed by the era's next
+    val evA = era(1L, "B").toDF("event_id", "ts", "user_id", "event_type")
+    val evB = era(2L, "C").toDF("event_id", "ts", "user_id", "event_type")
+    val drift = graft.ops.EventAnalytics.transitionDrift(evA, evB,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy("from_type").collect()
+    val aRow = drift.find(_.getString(0) == "A").get
+    assert(math.abs(aRow.getDouble(3) - math.log(2.0)) < 1e-9,
+      s"disjoint mixes read ln 2: ${drift.mkString("; ")}")
+    val same = graft.ops.EventAnalytics.transitionDrift(evA, evA,
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect()
+    assert(same.forall(_.getDouble(3) == 0.0),
+      s"identical eras read 0: ${same.mkString("; ")}")
+  }
+
+  test("textRank: the connective term outranks frequent-but-peripheral ones") {
+    import spark.implicits._
+    // 'hub' co-occurs with three distinct terms; each spoke only with
+    // hub. Degree beats raw frequency: the spokes appear as often as
+    // hub in their own docs, but hub is central.
+    val docs = (1L to 5L).flatMap(i => Seq(
+      (i * 10 + 1, "hub one"), (i * 10 + 2, "hub two"), (i * 10 + 3, "hub three")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.textRank(docs, "text",
+      minCount = 5, iters = 2, k = 4).collect()
+    assert(out.head.getString(0) == "hub", out.mkString("; "))
+    assert(out.length == 4)
+    // rank mass is a probability-ish distribution: all positive
+    assert(out.forall(_.getDouble(1) > 0.0))
+  }
+
   test("blockingQuality: completeness and reduction ratio exact; reversed/dup pairs canonicalize") {
     import spark.implicits._
     val reg = (1L to 4L).toDF("id")

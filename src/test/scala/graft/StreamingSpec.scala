@@ -583,6 +583,50 @@ class StreamingSpec extends SparkTestBase {
     assert(e2.getMessage.contains("knobs"), e2.getMessage)
   }
 
+  test("markov monitor: boundary pairs counted once, emission equals the batch matrix, replay/order guards") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkvstream").toFile
+    val state = new java.io.File(dir, "state").getPath
+    val base = 1700000000000L
+    def ts(i: Int) = new java.sql.Timestamp(base + i * 1000L)
+    // user 1: A(0) B(1) | A(10) C(11)  -> boundary pair B->A
+    // user 2: A(2)      | B(12)        -> boundary pair A->B
+    val b0 = Seq((1L, ts(0), 1L, "A"), (2L, ts(1), 1L, "B"),
+      (3L, ts(2), 2L, "A")).toDF("event_id", "ts", "user_id", "event_type")
+    val b1 = Seq((4L, ts(10), 1L, "A"), (5L, ts(11), 1L, "C"),
+      (6L, ts(12), 2L, "B")).toDF("event_id", "ts", "user_id", "event_type")
+    graft.streaming.MarkovStream.foldBatch(b0, state, 0L,
+      "user_id", "ts", "event_type", "event_id")
+    val m1 = graft.streaming.MarkovStream.foldBatch(b1, state, 1L,
+      "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect().map(_.toSeq)
+    val expect = graft.ops.EventAnalytics.transitionMatrix(
+        b0.unionByName(b1), col("user_id"), col("ts"), col("event_type"),
+        col("event_id"))
+      .orderBy("from_type", "to_type").collect().map(_.toSeq)
+    assert(m1.toSeq == expect.toSeq,
+      s"fold must equal the batch matrix:\n${m1.toSeq}\nvs\n${expect.toSeq}")
+    // the two boundary pairs are present — a per-batch union drops them
+    assert(expect.exists(r => r(0) == "B" && r(1) == "A"),
+      "boundary pair B->A must be counted")
+    // replaying a folded id emits nothing and changes nothing
+    assert(graft.streaming.MarkovStream.foldBatch(b1, state, 1L,
+      "user_id", "ts", "event_type", "event_id").count() == 0)
+    val m2 = graft.streaming.MarkovStream.foldBatch(
+        Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+          .toDF("event_id", "ts", "user_id", "event_type"),
+        state, 2L, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect().map(_.toSeq)
+    assert(m2.toSeq == expect.toSeq, "empty batch re-emits the standing matrix")
+    // an out-of-order batch refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.MarkovStream.foldBatch(b0, state, 3L,
+        "user_id", "ts", "event_type", "event_id")
+    }
+    assert(e.getMessage.contains("event-time order"), e.getMessage)
+  }
+
   test("sharded cusum fold: union of hash shards equals the unsharded trace") {
     val s = spark
     import s.implicits._
