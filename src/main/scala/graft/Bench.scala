@@ -145,7 +145,11 @@ object Bench {
     // round-15: the two global rank sorts behind Spearman and the
     // fused precision prefix scan behind AP — both rowid topologies
     // whose linear-growth claims need 10x evidence like d_cum_u's
-    "x_spearman", "x_auprc")
+    "x_spearman", "x_auprc",
+    // round-16: the QL retrieval shares BM25's tokenize-once corpus
+    // scan — its growth must track x_bm25's; the markov lag window
+    // and the triangle wedge join are the round's new shuffle shapes
+    "x_qlm", "x_markov", "x_triangles")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/
@@ -236,7 +240,10 @@ object Bench {
     // key-shifted user replicas keep per-user span density constant,
     // so pair output scales exactly linearly and the bucket topology's
     // time should track it (an all-pairs shape would go quadratic)
-    "x_interval_join", "x_ewma")
+    "x_interval_join", "x_ewma",
+    // round-16 second wave: the QL scan path beside x_bm25 at the
+    // same decade (same tokenize-once shape, same expected growth)
+    "x_qlm")
 
   /** Synthesize a ~100× (sf≈10) copy of JUST the tables the sf10
     * rehearsal reads: documents (doc_id, text — the only columns the
