@@ -64,7 +64,8 @@ object Bench {
     "x_markov", "x_markov_pi", "x_triangles", "x_hubness", "x_blocking",
     "x_gwasserstein", "x_markov_drift", "x_textrank",
     "x_cvm", "x_mrr", "x_fairness", "x_conformal",
-    "x_two_prop", "s_markov", "x_cmh", "x_conformal_by")
+    "x_two_prop", "s_markov", "x_cmh", "x_conformal_by",
+    "x_km", "x_did", "x_coreness")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

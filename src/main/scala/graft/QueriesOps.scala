@@ -2636,6 +2636,17 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // coreness by 3 iterated-h-index rounds over the same link graph:
+    // each round one neighbor join + degree-bounded h-index windows,
+    // all-integer — the monotone upper bound on exact k-core depth
+    "x_coreness" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.corenessHIndex(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // triangle census + global clustering over the same link graph:
     // degree-ordered orientation (wedges enumerate at the low vertex,
     // fan-out bounded by oriented out-degree), one closing-edge join
@@ -2772,6 +2783,27 @@ object QueriesOps {
       val docs = t(s, d, "documents")
       Profiling.chiSquareTest(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "lang")
+    }),
+
+    // Kaplan–Meier survival over user lifetimes: censoring-aware
+    // retention (users still active at the log edge are censored,
+    // not dead); at-risk via reverse cumulative, survival via
+    // exp(grid-sum of ln terms)
+    "x_km" -> ((s, d) =>
+      EventAnalytics.kaplanMeier(events(s, d), col("user_id"), col("ts"),
+          censorMargin = "1 hour")
+        .orderBy(col("t"))),
+
+    // difference-in-differences on event value: treated = even users,
+    // post = the log's second half — the time-confound-netted read of
+    // a cohort change
+    "x_did" -> ((s, d) => {
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val cut = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
+      Profiling.diffInDiff(ev, col("user_id") % 2 === 0,
+        col("ts") >= lit(cut), col("value"))
     }),
 
     // first-order Markov transition matrix over per-user event
@@ -7137,6 +7169,30 @@ s"""WITH lines AS (
         |SELECT node, rank FROM r2 ORDER BY node""".stripMargin
     },
 
+    // coreness replay: symmetrized edges, 3 unrolled h-index rounds
+    // (neighbor join + per-node rank window), all-integer
+    "x_coreness" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (SELECT a AS node,
+           |    coalesce(max(CASE WHEN nv >= r THEN r END), 0) AS value
+           |  FROM (SELECT e.a, $prev.value AS nv,
+           |      row_number() OVER (PARTITION BY e.a
+           |        ORDER BY $prev.value DESC, e.b) AS r
+           |    FROM e JOIN $prev ON $prev.node = e.b)
+           |  GROUP BY a)""".stripMargin
+      s"""WITH raw AS (SELECT DISTINCT doc_id % 50 AS s,
+        |    (doc_id * 7 + 3) % 50 AS d FROM documents),
+        |dir AS (SELECT s AS a, d AS b FROM raw WHERE s <> d),
+        |e AS (SELECT DISTINCT a, b FROM
+        |  (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir)),
+        |v0 AS (SELECT a AS node, count(*) AS value FROM e GROUP BY 1),
+        |${iter("v0", "v1")},
+        |${iter("v1", "v2")},
+        |${iter("v2", "v3")}
+        |SELECT node, CAST(value AS BIGINT) AS coreness
+        |FROM v3 ORDER BY node""".stripMargin
+    },
+
     // triangle replay: canonical a<b edges, the plain id-ordered
     // triple join (count-identical to the degree-ordered plan), wedge
     // total from degrees, one final division
@@ -7626,6 +7682,84 @@ s"""WITH lines AS (
         |  CASE WHEN h_a > 0.0 THEN mi / h_a END AS u_a_given_b,
         |  CASE WHEN h_b > 0.0 THEN mi / h_b END AS u_b_given_a
         |FROM core CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // KM replay: user lifetimes, censor mark, reverse-cumulative
+    // at-risk, grid-summed ln terms, the dead-all zero tail
+    "x_km" ->
+      """WITH lt AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1),
+        |ee AS (SELECT max(ts) AS endts FROM events),
+        |m AS (SELECT epoch_ms(l) - epoch_ms(f) AS t,
+        |    l < endts - INTERVAL 1 HOUR AS died
+        |  FROM lt CROSS JOIN ee),
+        |g AS (SELECT t, sum(CASE WHEN died THEN 1 ELSE 0 END) AS deaths,
+        |    sum(CASE WHEN died THEN 0 ELSE 1 END) AS censored
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT t, deaths, censored,
+        |    sum(deaths + censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g),
+        |s AS (SELECT t, n_risk, deaths, censored,
+        |    CASE WHEN deaths > 0 AND deaths < n_risk
+        |      THEN ln(1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS term,
+        |    CASE WHEN deaths = n_risk THEN t END AS da
+        |  FROM r),
+        |cc AS (SELECT t, n_risk, deaths, censored,
+        |    sum(CAST(floor(term * 1099511627776.0 + 0.5) AS DECIMAL(38,0)))
+        |      OVER (ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+        |    max(da) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dall
+        |  FROM s)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths,
+        |  CAST(censored AS BIGINT) AS censored,
+        |  CASE WHEN dall IS NOT NULL THEN 0.0
+        |    ELSE round(exp(CAST(CAST(ls AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0), 10)
+        |    END AS survival
+        |FROM cc ORDER BY t""".stripMargin,
+
+    // DiD replay: the same epoch-ms cut, four decimal-exact cells,
+    // the identical mean/variance/sqrt chain
+    "x_did" -> {
+      def cell(cond: String, tag: String) =
+        s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$tag,
+           |    ${graft.functions.Exact.dsumSql(s"CASE WHEN $cond THEN y END")} AS s$tag,
+           |    ${graft.functions.Exact.dprodSumSql(
+                 s"CASE WHEN $cond THEN y END", s"CASE WHEN $cond THEN y END")} AS q$tag""".stripMargin
+      def mean(tag: String) = s"(s$tag / CAST(n$tag AS DOUBLE))"
+      def vm(tag: String) =
+        s"""(CASE WHEN n$tag > 1 THEN ((q$tag - s$tag * s$tag
+           | / CAST(n$tag AS DOUBLE)) / (CAST(n$tag AS DOUBLE) - 1.0))
+           | / CAST(n$tag AS DOUBLE) END)""".stripMargin.replace("\n", "")
+      s"""WITH c AS (SELECT epoch_ms(min(ts))
+        |    + (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 2 AS cut
+        |  FROM events),
+        |d AS (SELECT (user_id % 2 = 0) AS g, epoch_ms(ts) >= cut AS p,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events CROSS JOIN c),
+        |a AS (SELECT
+        |    ${cell("g AND NOT p", "tp")},
+        |    ${cell("g AND p", "tq")},
+        |    ${cell("NOT g AND NOT p", "cp")},
+        |    ${cell("NOT g AND p", "cq")}
+        |  FROM d)
+        |SELECT ntp + ntq + ncp + ncq AS n,
+        |  ${mean("tp")} AS y_t_pre, ${mean("tq")} AS y_t_post,
+        |  ${mean("cp")} AS y_c_pre, ${mean("cq")} AS y_c_post,
+        |  (${mean("tq")} - ${mean("tp")}) - (${mean("cq")} - ${mean("cp")})
+        |    AS did,
+        |  sqrt(${vm("tp")} + ${vm("tq")} + ${vm("cp")} + ${vm("cq")}) AS se,
+        |  CASE WHEN sqrt(${vm("tp")} + ${vm("tq")} + ${vm("cp")}
+        |      + ${vm("cq")}) > 0.0
+        |    THEN ((${mean("tq")} - ${mean("tp")}) - (${mean("cq")}
+        |      - ${mean("cp")})) / sqrt(${vm("tp")} + ${vm("tq")}
+        |      + ${vm("cp")} + ${vm("cq")})
+        |    END AS t_stat
+        |FROM a""".stripMargin
+    },
 
     // Markov replay: per-user lag window, pair counts, row-total
     // divisions

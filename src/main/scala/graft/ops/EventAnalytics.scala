@@ -110,6 +110,68 @@ object EventAnalytics {
         (col("n").cast("double") / col("__rt").cast("double")).as("p"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes — the retention
+    * read [[cohortRetention]]'s triangle can't give: an unbiased
+    * survival function UNDER CENSORING (users still active at the log
+    * edge haven't "died" — dropping them biases survival down,
+    * counting them as dead biases it worse). Lifetime = last event −
+    * first event per user; a user whose last event falls within
+    * `censorMargin` of the log's end is censored at that lifetime.
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct death times, nᵢ = at
+    * risk (lifetime ≥ tᵢ, death or censor).
+    *
+    * Shape: ONE user-grain agg (first/last event), a lifetime-grain
+    * partial agg to the (time, deaths, censored) table, at-risk from
+    * a reverse cumulative over that bounded table (distinct lifetimes
+    * ≤ distinct durations — the level-table contract), and the
+    * product via exp(Σ ln(1−d/n)) with the Σ on the 2⁻⁴⁰ grid
+    * (order-invariant). With thousands of distinct lifetimes a last-ulp
+    * libm ln difference occasionally crosses a grid boundary, so the
+    * shipped survival rounds to 10 digits (the x_ppr display-rounding
+    * convention — each crossing moves S by ~1e-12). Zero-survivor
+    * tails (d = n at the last time) read S = 0 exactly, not exp(−∞)
+    * noise. Output: (t, n_risk, deaths, censored, survival). */
+  def kaplanMeier(df: DataFrame, user: Column, ts: Column,
+                  censorMargin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 1099511627776.0 // 2^40
+    val lifetimes = df.groupBy(user.as("__u"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"))
+    val logEnd = df.agg(max(ts).as("__end"))
+    val marked = lifetimes.crossJoin(broadcast(logEnd))
+      .select(
+        (unix_millis(col("__last")) - unix_millis(col("__first"))).as("t"),
+        (col("__last") < col("__end") - expr(s"INTERVAL $censorMargin"))
+          .as("__died"))
+    val grain = marked.groupBy(col("t"))
+      .agg(sum(when(col("__died"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("__died"), 0L).otherwise(1L)).as("censored"))
+    // at-risk = everyone with lifetime >= t: reverse cumulative over
+    // the bounded distinct-lifetime table
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grain
+      .withColumn("n_risk", sum(col("deaths") + col("censored")).over(wDesc))
+      .withColumn("__term",
+        // d = n would be ln(0): keep the term finite (0) and let the
+        // __dead_all marker zero survival from that time on
+        when(col("deaths") > 0L && col("deaths") < col("n_risk"),
+          log(lit(1.0) -
+            col("deaths").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead_all",
+        max(when(col("deaths") === col("n_risk"), col("t"))).over(wAsc))
+      .withColumn("__ls",
+        sum(floor(col("__term") * G + 0.5).cast("decimal(38,0)")).over(wAsc))
+      .select(col("t"), col("n_risk"), col("deaths"), col("censored"),
+        when(col("__dead_all").isNotNull, lit(0.0))
+          .otherwise(round(
+            exp(col("__ls").cast("string").cast("double") / G), 10))
+          .as("survival"))
+  }
+
   /** BEHAVIORAL drift between two eras of the event log — per
     * from-state Jensen–Shannon divergence between the eras' next-event
     * distributions: [[transitionMatrix]] says how users behave; this

@@ -212,6 +212,50 @@ object Graph {
     labels
   }
 
+  /** Coreness estimate by ITERATED H-INDEX (Lü et al. 2016) — the
+    * k-core read (how deep does each node sit in the graph's dense
+    * backbone: crawl-frontier prioritization, spam-ring density
+    * beyond [[triangleStats]]'s global count). Classic k-core peeling
+    * is inherently sequential; the h-index operator H(v) = h-index of
+    * neighbors' current values converges MONOTONICALLY DOWN from the
+    * degree to the exact coreness — each fixed iteration is a clean
+    * distributed pass, and Lü et al. prove convergence (typically a
+    * handful of rounds; pass `iters` accordingly — the result after k
+    * iterations is a documented UPPER BOUND on coreness, exact once
+    * converged, and all-integer so any engine replays it).
+    *
+    * Shape per iteration: ONE neighbor-keyed shuffle join of the
+    * (node, value) table onto the symmetrized edges + a per-node
+    * h-index window (partitioned by node, bounded by degree — the
+    * vote-window shape [[labelPropagation]] uses). Output:
+    * (node, coreness). */
+  def corenessHIndex(edges: DataFrame, src: String, dst: String,
+                     iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && iters <= 20,
+      s"corenessHIndex: iters=$iters out of the in-plan unroll range [1,20]")
+    val dir = edges.select(col(src).as("__a"), col(dst).as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+    val sym = dir.unionByName(dir.select(col("__b").as("__a"),
+      col("__a").as("__b"))).distinct()
+    var vals = sym.groupBy(col("__a").as("node"))
+      .agg(count(lit(1)).as("value"))
+    for (_ <- 1 to iters) {
+      // h-index of neighbor values: sort each node's neighbor values
+      // descending, h = max rank with value >= rank
+      val w = Window.partitionBy(col("__a"))
+        .orderBy(col("__nv").desc, col("__b"))
+      vals = sym.join(vals, col("__b") === col("node"))
+        .select(col("__a"), col("__b"), col("value").as("__nv"))
+        .withColumn("__r", row_number().over(w))
+        .groupBy(col("__a").as("node"))
+        .agg(coalesce(max(when(col("__nv") >= col("__r"), col("__r"))),
+          lit(0)).cast("long").as("value"))
+    }
+    vals.select(col("node"), col("value").as("coreness"))
+  }
+
   /** Triangle census + global clustering coefficient — the density
     * read behind spam-farm / mirror-network triage ([[labelPropagation]]
     * finds the communities; this measures how clique-like the graph is

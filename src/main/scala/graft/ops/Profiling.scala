@@ -730,6 +730,57 @@ object Profiling {
         col("p2"), col("pooled"), col("z"))
   }
 
+  /** Difference-in-differences — the causal read for "we changed the
+    * pipeline for cohort A": a raw before/after comparison confounds
+    * the change with time (everything drifts); DiD nets time out with
+    * the control cohort: DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post −
+    * ȳ_C,pre), SE from the four cell variances (Welch-style,
+    * independent cells), t = DiD/SE. The parallel-trends assumption
+    * is the caller's to defend; the arithmetic is this one row.
+    *
+    * Shape: ONE partial agg to the four (group, era) cells — count,
+    * exact-decimal Σy and Σy² (the Exact.dsum/dprodSum rules, so
+    * means and variances are order-invariant) — then a fixed chain of
+    * single IEEE ops. Cells with n < 2 read NULL se/t.
+    * Output (1 row): n, y_t_pre, y_t_post, y_c_pre, y_c_post, did,
+    * se, t_stat. */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 outcome: Column): DataFrame = {
+    import graft.functions.Exact
+    def dbl(c: Column): Column = c.cast("double")
+    val d = df.filter(treated.isNotNull && post.isNotNull &&
+        outcome.isNotNull)
+      .select(treated.cast("boolean").as("__g"),
+        post.cast("boolean").as("__p"), outcome.cast("double").as("__y"))
+    def cell(g: Boolean, p: Boolean, tag: String) = Seq(
+      sum(when(col("__g") === g && col("__p") === p, 1L).otherwise(0L))
+        .as(s"__n$tag"),
+      Exact.dsum(when(col("__g") === g && col("__p") === p, col("__y")))
+        .as(s"__s$tag"),
+      Exact.dprodSum(
+        when(col("__g") === g && col("__p") === p, col("__y"))
+          .otherwise(lit(null)),
+        when(col("__g") === g && col("__p") === p, col("__y"))
+          .otherwise(lit(null))).as(s"__q$tag"))
+    val aggs = cell(true, false, "tp") ++ cell(true, true, "tq") ++
+      cell(false, false, "cp") ++ cell(false, true, "cq")
+    val a = d.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = col(s"__s$tag") / dbl(col(s"__n$tag"))
+    // cell variance-of-mean: (Σy² − (Σy)²/n) / (n−1) / n
+    def vm(tag: String) = when(col(s"__n$tag") > 1L,
+      (col(s"__q$tag") - col(s"__s$tag") * col(s"__s$tag") /
+        dbl(col(s"__n$tag"))) /
+        (dbl(col(s"__n$tag")) - lit(1.0)) / dbl(col(s"__n$tag")))
+    a.select(
+        (col("__ntp") + col("__ntq") + col("__ncp") + col("__ncq")).as("n"),
+        mean("tp").as("y_t_pre"), mean("tq").as("y_t_post"),
+        mean("cp").as("y_c_pre"), mean("cq").as("y_c_post"),
+        ((mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))).as("did"),
+        sqrt(vm("tp") + vm("tq") + vm("cp") + vm("cq")).as("se"))
+      .withColumn("t_stat",
+        when(col("se") > 0.0, col("did") / col("se")))
+  }
+
   /** Cochran–Mantel–Haenszel test — [[twoProportionTest]] STRATIFIED:
     * the rate comparison that survives Simpson's paradox. A corpus
     * whose language mix shifted between eras can show the keep-rate

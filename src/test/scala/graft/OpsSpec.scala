@@ -1474,6 +1474,58 @@ class OpsSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(2).getDouble(2) == 0.0, out(2))
   }
 
+  test("kaplanMeier: censoring holds survival flat, deaths step it down, all-dead tail reads 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    // u1 dies at 10s, u2 at 20s; u3's last event IS the log end ->
+    // censored at its lifetime (2h), not dead
+    val ev = Seq(
+      (1L, ts(0), 1L, "e"), (2L, ts(10000), 1L, "e"),
+      (3L, ts(0), 2L, "e"), (4L, ts(20000), 2L, "e"),
+      (5L, ts(0), 3L, "e"), (6L, ts(7200000), 3L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val km = graft.ops.EventAnalytics.kaplanMeier(ev, col("user_id"),
+      col("ts"), "1 hour").orderBy("t").collect()
+    assert(km.map(_.getLong(0)).toSeq == Seq(10000L, 20000L, 7200000L))
+    assert(km.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L), "at-risk counts")
+    assert(km.map(_.getLong(2)).toSeq == Seq(1L, 1L, 0L), "deaths")
+    assert(km.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L), "censored")
+    val s = km.map(_.getDouble(4))
+    assert(math.abs(s(0) - 2.0 / 3.0) < 1e-9 &&
+      math.abs(s(1) - 1.0 / 3.0) < 1e-9, s.toSeq.toString)
+    assert(s(2) == s(1), "censoring must not move survival")
+    // everyone dies at the same lifetime: the tail reads exactly 0
+    val all = Seq((1L, ts(0), 1L, "e"), (2L, ts(5000), 1L, "e"),
+      (3L, ts(0), 2L, "e"), (4L, ts(5000), 2L, "e"),
+      (5L, ts(0), 9L, "e"), (6L, ts(7200000), 9L, "e"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val k2 = graft.ops.EventAnalytics.kaplanMeier(all, col("user_id"),
+      col("ts"), "1 hour").orderBy("t").collect()
+    // at t=5000: n_risk 3, d 2 -> S = 1/3; the censored tail holds it
+    assert(math.abs(k2(0).getDouble(4) - 1.0 / 3.0) < 1e-9, k2.mkString(";"))
+  }
+
+  test("diffInDiff: nets the time trend out; zero-variance cells read NULL t") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // constant cells: treated 1 -> 3, control 1 -> 2: did = exactly 1
+    val rows =
+      Seq.fill(3)((true, false, 1.0)) ++ Seq.fill(3)((true, true, 3.0)) ++
+      Seq.fill(3)((false, false, 1.0)) ++ Seq.fill(3)((false, true, 2.0))
+    val r = graft.ops.Profiling.diffInDiff(rows.toDF("g", "p", "y"),
+      col("g"), col("p"), col("y")).head()
+    assert(r.getLong(0) == 12L && r.getDouble(5) == 1.0, r)
+    assert(r.getDouble(6) == 0.0 && r.isNullAt(7), "zero variance -> no t")
+    // with spread in one cell the SE turns on and t is finite
+    val noisy = (rows ++ Seq((true, true, 4.0), (true, true, 2.0)))
+      .toDF("g", "p", "y")
+    val r2 = graft.ops.Profiling.diffInDiff(noisy, col("g"), col("p"),
+      col("y")).head()
+    assert(r2.getDouble(6) > 0.0 && !r2.isNullAt(7), r2)
+  }
+
   test("cmhTest: Simpson's-paradox fixture — pooled rate flips, CMH reads the within-stratum truth") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -3225,6 +3277,22 @@ class OpsSpec extends SparkTestBase {
     val p5 = graft.ops.EventAnalytics.markovStationary(dang, "f", "t", "p", 5)
       .agg(org.apache.spark.sql.functions.sum(col("pi"))).head().getDouble(0)
     assert(math.abs(p5 - 1.0) < 1e-9, s"mass must be conserved: $p5")
+  }
+
+  test("corenessHIndex: converges to exact k-core depth on a clique with a pendant tail") {
+    import spark.implicits._
+    // K4 (nodes 1-4, coreness 3) + a path 4-5-6 (coreness 1)
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val out = graft.ops.Graph.corenessHIndex(edges, "src", "dst", iters = 5)
+      .orderBy("node").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L), out.toSeq.toString)
+    // monotone from degree: one round is an upper bound, never below
+    val one = graft.ops.Graph.corenessHIndex(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (n, c) => one(n) >= c },
+      "h-index iterates DOWN to coreness")
   }
 
   test("triangleStats: K4 counts 4 triangles with C=1; paths count none; dup/reversed edges collapse") {

@@ -664,7 +664,10 @@ class PlanSpec extends SparkTestBase {
       "x_isotonic" -> "k-row calibration level table",
       // BH rank window over the per-STRATUM p-value table (one row
       // per stratum — Profiling.benjaminiHochberg scaladoc)
-      "x_bh_fdr" -> "stratum-grain p-value table")
+      "x_bh_fdr" -> "stratum-grain p-value table",
+      // KM at-risk/survival cumulatives over the distinct-LIFETIME
+      // table (EventAnalytics.kaplanMeier scaladoc: level-table grain)
+      "x_km" -> "distinct-lifetime grain table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val offenders = qs.flatMap { case (name, fn) =>
       try {

@@ -280,6 +280,160 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("wasserstein1 and cramerVonMises == brute-force references on random samples (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(5, 19, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val a = Seq.fill(180)(rnd.nextInt(30).toDouble)
+      val b = Seq.fill(140)(rnd.nextInt(30).toDouble + rnd.nextInt(8))
+      def cdf(xs: Seq[Double], v: Double) = xs.count(_ <= v).toDouble / xs.size
+      val support = (a ++ b).distinct.sorted
+      // W1 = sum over gaps of |F1-F2| at the left point x gap width
+      val bruteW1 = support.sliding(2).map {
+        case Seq(lo, hi) => math.abs(cdf(a, lo) - cdf(b, lo)) * (hi - lo)
+        case _ => 0.0
+      }.sum
+      val w1 = graft.ops.Profiling.wasserstein1(a.toDF("v"), b.toDF("v"), "v")
+        .head().getDouble(0)
+      assert(math.abs(w1 - bruteW1) < 1e-6, s"seed=$seed: w1=$w1 brute=$bruteW1")
+      // CvM = n1 n2 / N^2 * sum over POOLED OBS of (F1-F2)^2
+      val n1 = a.size.toDouble; val n2 = b.size.toDouble; val nn = n1 + n2
+      val bruteCvm = (a ++ b).map(v =>
+        math.pow(cdf(a, v) - cdf(b, v), 2)).sum * (n1 * n2 / (nn * nn))
+      val cvm = graft.ops.Profiling.cramerVonMises(a.toDF("v"), b.toDF("v"), "v")
+        .head().getDouble(0)
+      assert(math.abs(cvm - bruteCvm) < 1e-6,
+        s"seed=$seed: cvm=$cvm brute=$bruteCvm")
+    }
+  }
+
+  test("youdenThreshold == brute-force cutoff sweep on random scores (3 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(7, 29, 53)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(300)((rnd.nextInt(50).toDouble,
+        rnd.nextDouble() < 0.4))
+      val df = rows.toDF("s", "y")
+      val got = graft.ops.Classifier.youdenThreshold(df, col("s"), col("y"))
+        .head()
+      val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+      val cands = rows.map(_._1).distinct.sorted
+      val best = cands.map { t =>
+        val j = pos.count(_ >= t).toDouble / pos.size -
+          neg.count(_ >= t).toDouble / neg.size
+        (t, j)
+      }.sortBy { case (t, j) => (-j, t) }.head
+      assert(got.getAs[Double]("threshold") == best._1 &&
+        math.abs(got.getAs[Double]("j") - best._2) < 1e-12,
+        s"seed=$seed: got=$got brute=$best")
+    }
+  }
+
+  test("isotonicCalibration == sequential PAV on random level rates (3 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(2, 13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 10
+      // random occupied levels with random weights/rates
+      val levels = (0 until k).filter(_ => rnd.nextDouble() < 0.8).map { l =>
+        val n = 1 + rnd.nextInt(20)
+        (l, n, rnd.nextInt(n + 1))
+      }
+      val rows = levels.flatMap { case (l, n, pos) =>
+        (0 until n).map(i => ((l + 0.5) / k, i < pos)) }
+      val got = graft.ops.Classifier.isotonicCalibration(
+          rows.toDF("p", "y"), col("p"), col("y"), k = k)
+        .orderBy("bin").collect()
+        .map(r => r.getInt(0) -> r.getAs[Double]("iso_p")).toMap
+      // sequential pool-adjacent-violators reference
+      case class Block(w: Long, pos: Long)
+      var stack = List.empty[(List[Int], Block)]
+      levels.foreach { case (l, n, pos) =>
+        var cur = (List(l), Block(n, pos))
+        while (stack.nonEmpty && {
+          val (_, top) = stack.head
+          top.pos.toDouble / top.w >= cur._2.pos.toDouble / cur._2.w
+        }) {
+          val (ls, top) = stack.head
+          stack = stack.tail
+          cur = (ls ++ cur._1, Block(top.w + cur._2.w, top.pos + cur._2.pos))
+        }
+        stack = cur :: stack
+      }
+      val ref = stack.flatMap { case (ls, b) =>
+        ls.map(_ -> b.pos.toDouble / b.w) }.toMap
+      levels.foreach { case (l, _, _) =>
+        assert(math.abs(got(l) - ref(l)) < 1e-12,
+          s"seed=$seed level=$l: got=${got(l)} pav=${ref(l)}")
+      }
+    }
+  }
+
+  test("benjaminiHochberg == reference step-up on random p-values (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(3, 23, 43)) {
+      val rnd = new scala.util.Random(seed)
+      val pv = (1 to 25).map(i => (s"s$i", rnd.nextDouble()))
+      val alpha = 0.2
+      val got = graft.ops.Profiling.benjaminiHochberg(
+          pv.toDF("stratum", "p"), "stratum", "p", alpha)
+        .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+      val sorted = pv.sortBy { case (k, p) => (p, k) }
+      val kMax = sorted.zipWithIndex
+        .filter { case ((_, p), i) => p <= alpha * (i + 1) / 25.0 }
+        .map(_._2 + 1).lastOption.getOrElse(0)
+      val ref = sorted.zipWithIndex
+        .map { case ((k, _), i) => k -> (i + 1 <= kMax) }.toMap
+      assert(got == ref, s"seed=$seed: got=$got ref=$ref")
+    }
+  }
+
+  test("kaplanMeier == reference product-limit estimator on random lifetimes (3 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = 1700000000000L
+    for (seed <- Seq(11, 29, 59)) {
+      val rnd = new scala.util.Random(seed)
+      // lifetimes in ms; the sentinel user pins the log end far out so
+      // censoring is exactly "last event within 1h of the end"
+      val endMs = 100000000L
+      val users = (1L to 120L).map { u =>
+        val life = (rnd.nextInt(20) + 1) * 3600000L +
+          (if (rnd.nextBoolean()) endMs - (rnd.nextInt(20) + 1) * 3600000L else 0L)
+        (u, math.min(life, endMs))
+      }
+      val ev = users.flatMap { case (u, life) => Seq(
+        (u * 2, new java.sql.Timestamp(base), u, "e"),
+        (u * 2 + 1, new java.sql.Timestamp(base + life), u, "e"))
+      } :+ ((9999L, new java.sql.Timestamp(base + endMs), 9999L, "e"))
+      val df = ev.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.ops.EventAnalytics.kaplanMeier(df, col("user_id"),
+          col("ts"), "1 hour")
+        .orderBy("t").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toMap
+      // reference product-limit over the same lifetime/censor marks
+      // (the single-event sentinel has lifetime 0 and sits at the log
+      // edge -> censored at 0)
+      val marks = (users.map { case (_, life) =>
+        (life, life < endMs - 3600000L)
+      } :+ ((0L, false))).sortBy(_._1)
+      val times = marks.map(_._1).distinct.sorted
+      var s = 1.0
+      val ref = times.map { t =>
+        val atRisk = marks.count(_._1 >= t)
+        val deaths = marks.count(m => m._1 == t && m._2)
+        if (deaths > 0) s = s * (1.0 - deaths.toDouble / atRisk)
+        t -> s
+      }.toMap
+      times.foreach { t =>
+        assert(math.abs(got(t) - ref(t)) < 1e-9,
+          s"seed=$seed t=$t: got=${got(t)} ref=${ref(t)}")
+      }
+    }
+  }
+
   test("epochOrder: every epoch a permutation under random seeds; same seed replays") {
     import spark.implicits._
     for (seed <- Seq(1L, 99L)) {
