@@ -2700,6 +2700,33 @@ object QueriesOps {
     "x_assoc" -> ((s, d) =>
       Profiling.associationAudit(t(s, d, "documents"), "lang", "source")),
 
+    // one-way ANOVA F: does mean doc length differ by language?
+    // per-group exact-decimal moments, grid group sums, one F
+    "x_anova" -> ((s, d) =>
+      Profiling.anovaF(t(s, d, "documents"), "lang",
+        col("n_chars").cast("double"))),
+
+    // Kruskal–Wallis H: the rank-based sibling for the same read —
+    // global avg ranks off the rowid sort, tie-corrected
+    "x_kruskal" -> ((s, d) =>
+      Profiling.kruskalWallis(t(s, d, "documents"), "lang",
+        col("n_chars").cast("double"))),
+
+    // entropy rate of the event chain: predictability in one number
+    // (pi-weighted next-event entropy; near-zero = scripted traffic)
+    "x_markov_entropy" -> ((s, d) => {
+      val tm = EventAnalytics.transitionMatrix(events(s, d), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"))
+      EventAnalytics.markovEntropyRate(tm, "from_type", "to_type", "p",
+        iters = 3)
+    }),
+
+    // Kish effective sample size of an n_chars-weighted corpus: the
+    // honest n (and design effect) behind any weighted mean
+    "x_ess" -> ((s, d) =>
+      Sampling.effectiveSampleSize(t(s, d, "documents"),
+        col("n_chars").cast("double"))),
+
     // two-proportion z: did the keep-rate of the length rule move
     // between the even/odd eras? signed direction + pooled-SE z
     "x_two_prop" -> ((s, d) => {
@@ -7556,6 +7583,116 @@ s"""WITH lines AS (
         |  (SELECT CAST(n1 AS BIGINT) FROM t) AS n1,
         |  (SELECT CAST(n2 AS BIGINT) FROM t) AS n2
         |FROM g""".stripMargin,
+
+    // ANOVA replay: per-lang exact-decimal moments, grid group sums,
+    // the identical closing chain
+    "x_anova" -> {
+      val ds = graft.functions.Exact.dsumSql("y")
+      val dq = graft.functions.Exact.dprodSumSql("y", "y")
+      s"""WITH d AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS cn,
+        |    $ds AS s, $dq AS q
+        |  FROM d GROUP BY g),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(cn) AS BIGINT) AS n,
+        |    ${graft.functions.Exact.dsumSql("s * s / CAST(cn AS DOUBLE)")} AS sb,
+        |    ${graft.functions.Exact.dsumSql(
+             "q - s * s / CAST(cn AS DOUBLE)")} AS ssw,
+        |    ${graft.functions.Exact.dsumSql("s")} AS bigs
+        |  FROM cells),
+        |f AS (SELECT k, n, sb - bigs * bigs / CAST(n AS DOUBLE) AS ssb, ssw
+        |  FROM agg)
+        |SELECT k, n, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0.0
+        |    THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END AS f
+        |FROM f""".stripMargin
+    },
+
+    // KW replay: avg ranks (the withRankAvg identity), decimal group
+    // rank sums, grid R^2/n sum, decimal tie cubes, same chain
+    "x_kruskal" -> {
+      val dr = graft.functions.Exact.dsumSql("r")
+      s"""WITH d AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT g, CAST(rank() OVER (ORDER BY v) AS DOUBLE)
+        |    + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1.0) / 2.0 AS r,
+        |    v
+        |  FROM d),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS cn, $dr AS R
+        |  FROM rk GROUP BY g),
+        |ga AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(cn) AS BIGINT) AS n,
+        |    ${graft.functions.Exact.dsumSql("R * R / CAST(cn AS DOUBLE)")} AS rr
+        |  FROM grp),
+        |tie AS (SELECT CAST(CAST(sum(CAST(t AS DECIMAL(38,0))
+        |      * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+        |      - CAST(t AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS tsum
+        |  FROM (SELECT count(*) AS t FROM d GROUP BY v)),
+        |hh AS (SELECT k, n,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * rr
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h0,
+        |    1.0 - tsum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c
+        |  FROM ga CROSS JOIN tie)
+        |SELECT k, n,
+        |  CASE WHEN k > 1 AND c > 0.0 THEN h0 / c END AS h
+        |FROM hh""".stripMargin
+    },
+
+    // entropy-rate replay: the x_markov_pi CTE chain (matrix + 3 grid
+    // iterations), pi-weighted p·ln p cell terms on the grid
+    "x_markov_entropy" -> {
+      def ds(x: String) =
+        "CAST(CAST(sum(CAST(floor((" + x + ") * 1099511627776.0 + 0.5) " +
+          "AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1099511627776.0"
+      def iter(prev: String, out: String) =
+        s"""i$out AS (SELECT e.d AS state, ${ds(s"$prev.pi * e.p")} AS infl
+           |  FROM e JOIN $prev ON $prev.state = e.s GROUP BY e.d),
+           |g$out AS (SELECT coalesce(${ds("pi")}, 0.0) AS dang
+           |  FROM $prev WHERE state NOT IN (SELECT s FROM e)),
+           |$out AS (SELECT n.state,
+           |    coalesce(i$out.infl, 0.0) + g$out.dang / nn.N AS pi
+           |  FROM n LEFT JOIN i$out ON n.state = i$out.state
+           |  CROSS JOIN g$out CROSS JOIN nn)""".stripMargin
+      s"""WITH sq AS (SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS f
+        |  FROM events),
+        |pr AS (SELECT f, t, count(*) AS n
+        |  FROM sq WHERE f IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT f, sum(n) AS rtot FROM pr GROUP BY 1),
+        |e AS (SELECT pr.f AS s, pr.t AS d,
+        |    CAST(n AS DOUBLE) / CAST(rtot AS DOUBLE) AS p
+        |  FROM pr JOIN rt USING (f)),
+        |n AS (SELECT DISTINCT state FROM
+        |  (SELECT s AS state FROM e UNION ALL SELECT d FROM e)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM n),
+        |r0 AS (SELECT state, CAST(1 AS DOUBLE) / nn.N AS pi
+        |  FROM n CROSS JOIN nn),
+        |${iter("r0", "r1")},
+        |${iter("r1", "r2")},
+        |${iter("r2", "r3")}
+        |SELECT CAST(count(DISTINCT e.s) AS BIGINT) AS n_states,
+        |  -(${ds("r3.pi * e.p * ln(e.p)")}) AS entropy_rate
+        |FROM e JOIN r3 ON r3.state = e.s""".stripMargin
+    },
+
+    // ESS replay: exact-decimal sum and sum-of-squares, two divisions
+    "x_ess" -> {
+      val ds = graft.functions.Exact.dsumSql("y")
+      val dq = graft.functions.Exact.dprodSumSql("y", "y")
+      s"""WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS y FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, $ds AS sum_w, $dq AS q
+        |  FROM d)
+        |SELECT n, sum_w,
+        |  CASE WHEN q > 0.0 THEN sum_w * sum_w / q END AS ess,
+        |  CASE WHEN q > 0.0 AND sum_w * sum_w / q > 0.0
+        |    THEN CAST(n AS DOUBLE) / (sum_w * sum_w / q) END AS design_effect
+        |FROM a""".stripMargin
+    },
 
     // CMH replay: per-stratum cells, grid-summed numerator/variance
     // in the same operation order, one closing sqrt

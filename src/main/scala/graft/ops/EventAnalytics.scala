@@ -267,6 +267,30 @@ object EventAnalytics {
     pi
   }
 
+  /** ENTROPY RATE of the event chain — how predictable is user
+    * behavior, in one number: H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ (nats per
+    * step) over the [[transitionMatrix]] weighted by its
+    * [[markovStationary]] distribution. Near-zero reads scripted
+    * traffic (bots repeat); the log's ceiling is ln k. Pure
+    * composition: the log pays the one matrix pass, the iteration and
+    * the entropy run on the ≤ k²-row matrix; per-cell terms are
+    * single IEEE ops on the grid-exact π and exact-count p, the cell
+    * sum crosses the 2⁻⁴⁰ grid. Output (1 row): n_states,
+    * entropy_rate. */
+  def markovEntropyRate(trans: DataFrame, from: String, to: String,
+                        p: String, iters: Int): DataFrame = {
+    val G = 1099511627776.0 // 2^40
+    def gsum(c: Column): Column =
+      sum(floor(c * G + 0.5).cast("decimal(38,0)"))
+        .cast("string").cast("double") / G
+    val pi = markovStationary(trans, from, to, p, iters)
+    trans.select(col(from).as("state"), col(to), col(p).cast("double").as("__p"))
+      .join(broadcast(pi), Seq("state"))
+      .agg(countDistinct(col("state")).as("n_states"),
+        (-gsum(col("pi") * col("__p") * log(col("__p"))))
+          .as("entropy_rate"))
+  }
+
   /** Weekly cohort retention: users cohorted by the week of their
     * first event, counted distinct in each later week they were active
     * — the (cohort_week, week_offset, users) retention triangle.

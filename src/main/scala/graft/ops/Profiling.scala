@@ -730,6 +730,82 @@ object Profiling {
         col("p2"), col("pooled"), col("z"))
   }
 
+  /** One-way ANOVA F across strata — "does mean length/quality/price
+    * actually differ by language/source?" beyond eyeballing the group
+    * means: F = (SSB/(k−1)) / (SSW/(N−k)) with SSB = Σ s_g²/n_g −
+    * S²/N and SSW = Σ (q_g − s_g²/n_g) off per-group (n, Σy, Σy²).
+    *
+    * Shape: ONE stratum-keyed partial agg carrying count +
+    * exact-decimal Σy and Σy² per group (order-invariant), then the
+    * two group sums accumulate in exact decimal TOO (the Exact.dsum
+    * rule — sum-of-squares terms are ~Σy²-sized, far past the 2⁴⁰
+    * grid's Long envelope) and the closing chain is single IEEE ops.
+    * Degenerate inputs (k < 2, N ≤ k, SSW = 0) read NULL f.
+    * Output (1 row): k, n, ssb, ssw, f. */
+  def anovaF(df: DataFrame, stratum: String, value: Column): DataFrame = {
+    import graft.functions.Exact
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.filter(value.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("__g"), value.cast("double").as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), Exact.dsum(col("__y")).as("__s"),
+        Exact.dprodSum(col("__y"), col("__y")).as("__q"))
+    val agg = cells.agg(
+      count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      Exact.dsum(col("__s") * col("__s") / dbl(col("__n"))).as("__sb"),
+      Exact.dsum(col("__q") - col("__s") * col("__s") / dbl(col("__n")))
+        .as("ssw"),
+      Exact.dsum(col("__s")).as("__S"))
+    agg
+      .withColumn("ssb",
+        col("__sb") - col("__S") * col("__S") / dbl(col("n")))
+      .withColumn("f",
+        when(col("k") > 1L && col("n") > col("k") && col("ssw") > 0.0,
+          (col("ssb") / (dbl(col("k")) - lit(1.0))) /
+            (col("ssw") / (dbl(col("n")) - dbl(col("k"))))))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f"))
+  }
+
+  /** Kruskal–Wallis H across strata — [[anovaF]]'s RANK-based sibling
+    * (heavy-tailed doc lengths and quality scores violate ANOVA's
+    * variance assumptions; KW compares rank distributions): H =
+    * [12/(N(N+1)) · Σ R_g²/n_g − 3(N+1)] / C with average ranks for
+    * ties and the tie correction C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Shape: global average ranks from the distributed rowid sort
+    * ([[graft.functions.SeqFns.withRankAvg]] — never a global
+    * window), per-group decimal rank sums in ONE partial agg, tie
+    * sizes from a per-distinct-value agg; the group R²/n and tie-cube
+    * sums accumulate in exact decimal (R² is far past the 2⁴⁰ grid's
+    * Long envelope — the anovaF rule), the closing chain single IEEE
+    * ops. Degenerate inputs (k < 2 or all values tied, C = 0) read
+    * NULL h. Output (1 row): k, n, h. */
+  def kruskalWallis(df: DataFrame, stratum: String, value: Column): DataFrame = {
+    import graft.functions.Exact
+    def dbl(c: Column): Column = c.cast("double")
+    val d = df.filter(value.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("__g"), value.cast("double").as("__v"))
+    val ranked = graft.functions.SeqFns.withRankAvg(d, col("__v"), "__r")
+    val groups = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), Exact.dsum(col("__r")).as("__R"))
+    val gAgg = groups.agg(count(lit(1)).as("k"), sum(col("__n")).as("n"),
+      Exact.dsum(col("__R") * col("__R") / dbl(col("__n"))).as("__rr"))
+    val ties = d.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .agg(sum((col("__t").cast("decimal(38,0)") *
+          col("__t").cast("decimal(38,0)") * col("__t").cast("decimal(38,0)") -
+          col("__t").cast("decimal(38,0)")))
+        .cast("string").cast("double").as("__tsum"))
+    gAgg.crossJoin(broadcast(ties))
+      .withColumn("__h0",
+        lit(12.0) / (dbl(col("n")) * (dbl(col("n")) + lit(1.0))) *
+          col("__rr") - lit(3.0) * (dbl(col("n")) + lit(1.0)))
+      .withColumn("__c", lit(1.0) - col("__tsum") /
+        (dbl(col("n")) * dbl(col("n")) * dbl(col("n")) - dbl(col("n"))))
+      .select(col("k"), col("n"),
+        when(col("k") > 1L && col("__c") > 0.0,
+          col("__h0") / col("__c")).as("h"))
+  }
+
   /** Difference-in-differences — the causal read for "we changed the
     * pipeline for cohort A": a raw before/after comparison confounds
     * the change with time (everything drifts); DiD nets time out with

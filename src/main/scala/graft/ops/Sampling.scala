@@ -267,6 +267,32 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Effective sample size of a WEIGHTED sample (Kish 1965) — the
+    * honest "n" behind every weighted mean this library reports:
+    * importance weights (DSIR, temperature mixing, HT inverse-
+    * probability) concentrate evidence on few rows, and ESS =
+    * (Σw)²/Σw² says how many EQUAL-weight rows the sample is actually
+    * worth; design effect = n/ESS is the variance inflation to quote
+    * beside any weighted estimate. ONE partial-agg scan with
+    * exact-decimal Σw and Σw² (the Exact rules — order-invariant),
+    * two closing divisions. Zero/negative weights are contract
+    * violations and excluded. Output (1 row): n, sum_w, ess,
+    * design_effect. */
+  def effectiveSampleSize(df: DataFrame, weight: Column): DataFrame = {
+    import graft.functions.Exact
+    val ok = df.filter(weight.isNotNull && weight > 0.0)
+    ok.agg(count(lit(1)).as("n"),
+        Exact.dsum(weight.cast("double")).as("sum_w"),
+        Exact.dprodSum(weight.cast("double"), weight.cast("double"))
+          .as("__q"))
+      .withColumn("ess",
+        when(col("__q") > 0.0,
+          col("sum_w") * col("sum_w") / col("__q")))
+      .withColumn("design_effect",
+        when(col("ess") > 0.0, col("n").cast("double") / col("ess")))
+      .select(col("n"), col("sum_w"), col("ess"), col("design_effect"))
+  }
+
   /** Horvitz–Thompson estimation over a [[weightedSample]] output —
     * the read-back half of the sampling story: each kept row carries
     * its inclusion probability `sample_p`, so the corpus total of any

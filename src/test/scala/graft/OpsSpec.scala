@@ -1474,6 +1474,65 @@ class OpsSpec extends SparkTestBase {
     assert(out(2).isNullAt(1) && out(2).getDouble(2) == 0.0, out(2))
   }
 
+  test("anovaF and kruskalWallis: golden values on separated groups, degenerate reads NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq(1.0, 2.0, 3.0).map(("g1", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("g2", _))).toDF("g", "y")
+    val a = graft.ops.Profiling.anovaF(df, "g", col("y")).head()
+    // SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5 — all exact
+    assert(a.getLong(0) == 2L && a.getLong(1) == 6L)
+    assert(a.getDouble(2) == 13.5 && a.getDouble(3) == 4.0 &&
+      a.getDouble(4) == 13.5, a)
+    val kw = graft.ops.Profiling.kruskalWallis(df, "g", col("y")).head()
+    // ranks 1..6, R = 6/15: H = 12/42*87 - 21 = 27/7, no ties
+    assert(math.abs(kw.getDouble(2) - 27.0 / 7.0) < 1e-9, kw)
+    // one group: F and H read NULL, not a crash
+    val one = graft.ops.Profiling.anovaF(
+      Seq(("g", 1.0), ("g", 2.0)).toDF("g", "y"), "g", col("y")).head()
+    assert(one.isNullAt(4))
+    // all-tied values: C = 0 -> NULL h
+    val tied = graft.ops.Profiling.kruskalWallis(
+      (Seq.fill(3)(("a", 5.0)) ++ Seq.fill(3)(("b", 5.0))).toDF("g", "y"),
+      "g", col("y")).head()
+    assert(tied.isNullAt(2), tied)
+  }
+
+  test("markovEntropyRate: deterministic cycle reads 0, a fair coin chain reads ln 2") {
+    import spark.implicits._
+    val cyc = Seq(("A", "B", 1.0), ("B", "A", 1.0)).toDF("f", "t", "p")
+    val r0 = graft.ops.EventAnalytics.markovEntropyRate(cyc, "f", "t", "p", 4)
+      .head()
+    assert(r0.getLong(0) == 2L && r0.getDouble(1) == 0.0, r0)
+    // symmetric half/half chain: pi stays uniform, H = ln 2
+    val coin = Seq(("A", "A", 0.5), ("A", "B", 0.5),
+      ("B", "A", 0.5), ("B", "B", 0.5)).toDF("f", "t", "p")
+    val r1 = graft.ops.EventAnalytics.markovEntropyRate(coin, "f", "t", "p", 4)
+      .head()
+    assert(math.abs(r1.getDouble(1) - math.log(2.0)) < 1e-9, r1)
+  }
+
+  test("effectiveSampleSize: equal weights read n, a dominant weight collapses ESS") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val eq = Seq(2.0, 2.0, 2.0, 2.0).toDF("w")
+    val r = graft.ops.Sampling.effectiveSampleSize(eq, col("w")).head()
+    assert(r.getLong(0) == 4L && r.getDouble(2) == 4.0 &&
+      r.getDouble(3) == 1.0, r)
+    // w = {2,2,4}: ESS = 64/24 = 8/3, deff = 9/8 — exact decimals
+    val mix = graft.ops.Sampling.effectiveSampleSize(
+      Seq(2.0, 2.0, 4.0).toDF("w"), col("w")).head()
+    assert(math.abs(mix.getDouble(2) - 8.0 / 3.0) < 1e-12 &&
+      math.abs(mix.getDouble(3) - 9.0 / 8.0) < 1e-12, mix)
+    val dom = graft.ops.Sampling.effectiveSampleSize(
+      (Seq(1000.0) ++ Seq.fill(99)(1.0)).toDF("w"), col("w")).head()
+    assert(dom.getDouble(2) < 2.0, s"one dominant weight -> ESS ~ 1: $dom")
+    // zero/negative weights excluded, not propagated
+    val z = graft.ops.Sampling.effectiveSampleSize(
+      Seq(2.0, 0.0, -1.0, 2.0).toDF("w"), col("w")).head()
+    assert(z.getLong(0) == 2L && z.getDouble(2) == 2.0, z)
+  }
+
   test("kaplanMeier: censoring holds survival flat, deaths step it down, all-dead tail reads 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -434,6 +434,90 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("triangleStats == brute-force triangle/wedge census on random graphs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(9, 21, 51)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      val got = graft.ops.Graph.triangleStats(
+        edges.toDF("src", "dst"), "src", "dst").head()
+      val undirected = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = undirected.flatMap(e => Seq(e._1, e._2))
+      def adj(a: Long, b: Long) =
+        undirected((math.min(a, b), math.max(a, b)))
+      val ns = nodes.toSeq.sorted
+      val tri = (for {
+        i <- ns.indices; j <- (i + 1) until ns.size; k <- (j + 1) until ns.size
+        if adj(ns(i), ns(j)) && adj(ns(j), ns(k)) && adj(ns(i), ns(k))
+      } yield 1).size
+      val wedges = ns.map { v =>
+        val d = ns.count(u => u != v && adj(u, v)).toLong; d * (d - 1) / 2
+      }.sum
+      assert(got.getLong(0) == nodes.size.toLong &&
+        got.getLong(1) == undirected.size.toLong, s"seed=$seed sizes: $got")
+      assert(got.getLong(2) == tri.toLong && got.getLong(3) == wedges,
+        s"seed=$seed: got=$got tri=$tri wedges=$wedges")
+    }
+  }
+
+  test("associationAudit == brute-force chi2/MI/entropies on random contingency data (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(4, 27, 61)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(400)((s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+      val got = graft.ops.Profiling.associationAudit(
+        rows.toDF("x", "y"), "x", "y").head()
+      val n = rows.size.toDouble
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val ra = rows.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val cb = rows.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val chi2 = cells.map { case ((a, b), o) =>
+        val e = ra(a) * cb(b) / n; (o - e) * (o - e) / e
+      }.sum + (for { a <- ra.keys; b <- cb.keys
+        if !cells.contains((a, b)) } yield ra(a) * cb(b) / n).sum
+      val mi = cells.map { case ((a, b), o) =>
+        (o / n) * math.log(o * n / (ra(a) * cb(b))) }.sum
+      val ha = -ra.values.map(c => (c / n) * math.log(c / n)).sum
+      assert(math.abs(got.getDouble(3) - chi2) < 1e-6,
+        s"seed=$seed chi2: ${got.getDouble(3)} vs $chi2")
+      assert(math.abs(got.getDouble(5) - mi) < 1e-6,
+        s"seed=$seed mi: ${got.getDouble(5)} vs $mi")
+      assert(math.abs(got.getDouble(6) - ha) < 1e-6,
+        s"seed=$seed h_a: ${got.getDouble(6)} vs $ha")
+    }
+  }
+
+  test("transitionMatrix == brute per-user bigram counts on random logs (3 seeds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = 1700000000000L
+    for (seed <- Seq(6, 33, 57)) {
+      val rnd = new scala.util.Random(seed)
+      val ev = (1 to 300).map { i =>
+        (i.toLong, new java.sql.Timestamp(base + i * 1000L),
+          rnd.nextInt(8).toLong, s"e${rnd.nextInt(5)}")
+      }
+      val got = graft.ops.EventAnalytics.transitionMatrix(
+          ev.toDF("event_id", "ts", "user_id", "event_type"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      val pairs = ev.groupBy(_._3).toSeq.flatMap { case (_, es) =>
+        val seq = es.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+        seq.zip(seq.tail)
+      }
+      val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rowTot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got.keySet == cnt.keySet, s"seed=$seed key sets differ")
+      cnt.foreach { case (k, c) =>
+        assert(got(k)._1 == c &&
+          got(k)._2 == c.toDouble / rowTot(k._1).toDouble,
+          s"seed=$seed $k: ${got(k)} vs ($c, ${c.toDouble / rowTot(k._1)})")
+      }
+    }
+  }
+
   test("epochOrder: every epoch a permutation under random seeds; same seed replays") {
     import spark.implicits._
     for (seed <- Seq(1L, 99L)) {
