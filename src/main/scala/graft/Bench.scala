@@ -66,7 +66,8 @@ object Bench {
     "x_cvm", "x_mrr", "x_fairness", "x_conformal",
     "x_two_prop", "s_markov", "x_cmh", "x_conformal_by",
     "x_km", "x_did", "x_coreness",
-    "x_anova", "x_kruskal", "x_markov_entropy", "x_ess")
+    "x_anova", "x_kruskal", "x_markov_entropy", "x_ess",
+    "x_conformal_mondrian", "x_isotonic_fit")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

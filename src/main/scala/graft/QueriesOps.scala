@@ -1291,6 +1291,30 @@ object QueriesOps {
         .orderBy(col("stratum"))
     }),
 
+    // Mondrian conformal: per-language thresholds (the remediation
+    // the x_conformal_by audit asks for) — every stratum gets its own
+    // order statistic and its held-out coverage
+    "x_conformal_mondrian" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.conformalThresholdBy(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang",
+          col("n_chars").cast("double"), alpha = 0.1)
+        .orderBy(col("stratum"))
+    }),
+
+    // isotonic fit/apply gain: the monotone map fitted on even docs,
+    // applied to odd — per-bin before/after gaps, NULL on uncovered
+    "x_isotonic_fit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.isotonicGain(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          least(col("n_chars").cast("double") / lit(2000.0), lit(1.0)),
+          col("text").contains(" the "), k = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Youden-J optimal cutoff for the same score/teacher pair: the
     // threshold-PICKING read beside x_auc's threshold-free ranking —
     // distinct-score class counts, DESC prefix-scan TP/FP, 1-row argmax
@@ -4358,6 +4382,74 @@ object QueriesOps {
         |    / CAST(count(*) AS DOUBLE) AS coverage
         |FROM tst CROSS JOIN q
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Mondrian replay: per-lang rank windows, per-stratum order
+    // statistics, per-stratum held-out coverage
+    "x_conformal_mondrian" ->
+      """WITH cal AS (SELECT lang AS stratum, CAST(n_chars AS DOUBLE) AS s
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |ns AS (SELECT stratum, count(*) AS n_cal,
+        |    least(count(*), CAST(ceil((CAST(count(*) AS DOUBLE) + 1.0) * 0.9)
+        |      AS BIGINT)) AS rank
+        |  FROM cal GROUP BY 1),
+        |o AS (SELECT stratum, s,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY s) AS rid
+        |  FROM cal),
+        |q AS (SELECT o.stratum, ns.n_cal, ns.rank, o.s AS qhat
+        |  FROM o JOIN ns ON o.stratum = ns.stratum AND o.rid = ns.rank),
+        |tst AS (SELECT lang AS stratum, CAST(n_chars AS DOUBLE) AS t
+        |  FROM documents
+        |  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL AND lang IS NOT NULL)
+        |SELECT q.stratum, CAST(q.n_cal AS BIGINT) AS n_cal,
+        |  CAST(q.rank AS BIGINT) AS rank, q.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN tst.t <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS covered,
+        |  CAST(sum(CASE WHEN tst.t <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage,
+        |  CAST(0.9 AS DOUBLE) AS target
+        |FROM tst JOIN q ON tst.stratum = q.stratum
+        |GROUP BY 1, 2, 3, 4 ORDER BY q.stratum""".stripMargin,
+
+    // isotonic gain replay: the x_isotonic fit CTEs on the even
+    // split, apply-side bin aggregates on the odd, per-bin gaps
+    "x_isotonic_fit" ->
+      s"""WITH d AS (SELECT doc_id,
+        |    least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) AS p,
+        |    contains(text, ' the ') AS y FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(least(greatest(floor(p * 10), 0.0), 9.0) AS INT) AS bin,
+        |    p, y FROM d),
+        |lv AS (SELECT bin, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos FROM b
+        |  WHERE doc_id % 2 = 0 GROUP BY bin),
+        |pre AS (SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cp
+        |  FROM lv),
+        |av AS (SELECT i.bin AS i, j.bin AS j,
+        |    CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+        |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+        |  FROM pre i JOIN pre j ON i.bin <= j.bin),
+        |mm AS (SELECT l.bin AS l, av.i, min(av.a) AS mn
+        |  FROM av JOIN pre l ON av.i <= l.bin AND l.bin <= av.j
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT l AS bin, max(mn) AS iso_p FROM mm GROUP BY l),
+        |ap AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_apply,
+        |    ${graft.functions.Exact.dsumSql("p")}
+        |      / CAST(count(*) AS DOUBLE) AS mean_p_apply,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS apply_rate
+        |  FROM b WHERE doc_id % 2 = 1 GROUP BY bin)
+        |SELECT ap.bin, ap.n_apply, ap.mean_p_apply, ap.apply_rate,
+        |  ft.iso_p,
+        |  abs(ap.apply_rate - ap.mean_p_apply) AS gap_before,
+        |  abs(ap.apply_rate - ft.iso_p) AS gap_after
+        |FROM ap LEFT JOIN ft USING (bin)
+        |ORDER BY bin""".stripMargin,
 
     // group-conditional conformal replay: the x_conformal qhat CTEs,
     // per-lang coverage of the held-out half

@@ -870,6 +870,53 @@ object Classifier {
       .withColumn("gap", col("coverage") - col("target"))
   }
 
+  /** MONDRIAN (per-stratum) conformal thresholds — the REMEDIATION
+    * half of [[conformalCoverageBy]]'s audit, paired like the
+    * mojibake audit/fix: fit each stratum its OWN
+    * ⌈(n_s+1)(1−α)⌉-th-smallest calibration score, so the ≥ 1−α
+    * guarantee holds PER STRATUM (exchangeability within stratum),
+    * not just marginally. Reports each stratum's q̂ and its held-out
+    * coverage — the after picture the audit's gap column asked for.
+    *
+    * Shape: per-stratum order statistics from ONE stratum-partitioned
+    * rank window (the groupedQuantiles trade — a stratum pays one
+    * sort of its own rows), the ≤k-row threshold table broadcasts
+    * onto the test frame, ONE stratum-keyed coverage agg. Exact
+    * integer ranks, exact-count coverage. Strata absent from the
+    * calibration frame are absent from the output (no q̂ to serve —
+    * route them to the pooled [[conformalThreshold]]).
+    * Output: (stratum, n_cal, rank, qhat, n_test, covered, coverage,
+    * target). */
+  def conformalThresholdBy(cal: DataFrame, test: DataFrame, stratum: String,
+                           score: Column, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1,
+      s"conformalThresholdBy: alpha=$alpha not in (0,1)")
+    val c = cal.filter(score.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("stratum"), score.cast("double").as("__s"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("__s"))
+    val ranked = c.withColumn("__rid", row_number().over(w))
+    val ns = c.groupBy(col("stratum")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("rank", least(col("n_cal"),
+        ceil((col("n_cal").cast("double") + 1.0) * lit(1.0 - alpha))
+          .cast("long")))
+    val qhat = ranked.join(broadcast(ns), Seq("stratum"))
+      .filter(col("__rid") === col("rank"))
+      .select(col("stratum"), col("n_cal"), col("rank"),
+        col("__s").as("qhat"))
+    test.filter(score.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("stratum"), score.cast("double").as("__t"))
+      .join(broadcast(qhat), Seq("stratum"))
+      .groupBy(col("stratum"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("rank")).as("rank"),
+        max(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__t") <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+      .withColumn("coverage",
+        col("covered").cast("double") / col("n_test").cast("double"))
+      .withColumn("target", lit(1.0 - alpha))
+  }
+
   /** Isotonic (PAV) calibration over score levels — the
     * NONPARAMETRIC upgrade of [[histogramCalibration]]: histogram
     * binning fits each bin independently and can emit a
@@ -933,6 +980,34 @@ object Classifier {
         col("n"),
         (col("__pos").cast("double") / col("n").cast("double")).as("pos_rate"),
         col("iso_p"))
+  }
+
+  /** Isotonic calibration GAIN — [[isotonicCalibration]]'s held-out
+    * fit/apply form, the analog of [[histogramCalibration]]'s
+    * before/after read: FIT the monotone map on one split, APPLY it
+    * on the other, report per-bin gap_before (|apply rate − mean
+    * score|) vs gap_after (|apply rate − fitted iso_p|). Apply-side
+    * bins with no fitted level read NULL iso_p/gap_after (the
+    * uncovered-mass signal). One fact scan per side; the fitted table
+    * is ≤k rows and broadcasts. Output: (bin, n_apply, mean_p_apply,
+    * apply_rate, iso_p, gap_before, gap_after). */
+  def isotonicGain(fit: DataFrame, applyTo: DataFrame, prob: Column,
+                   label: Column, k: Int = 10): DataFrame = {
+    val fitted = isotonicCalibration(fit, prob, label, k)
+      .select(col("bin"), col("iso_p"))
+    val bin = least(greatest(floor(prob * lit(k)), lit(0.0)), lit(k - 1.0))
+      .cast("int")
+    applyTo.filter(prob.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), prob.as("__p"), label.cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_apply"),
+        (graft.functions.Exact.dsum(col("__p"))
+          / count(lit(1)).cast("double")).as("mean_p_apply"),
+        (sum(when(col("__y"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double")).as("apply_rate"))
+      .join(broadcast(fitted), Seq("bin"), "left")
+      .withColumn("gap_before", abs(col("apply_rate") - col("mean_p_apply")))
+      .withColumn("gap_after", abs(col("apply_rate") - col("iso_p")))
   }
 
   /** Youden-J optimal operating point — the threshold-PICKING read

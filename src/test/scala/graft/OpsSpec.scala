@@ -1607,6 +1607,57 @@ class OpsSpec extends SparkTestBase {
     assert(same.getDouble(3) == 0.0 && same.getDouble(5) == 0.0, same)
   }
 
+  test("conformalThresholdBy: per-stratum qhats restore coverage the pooled threshold loses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two strata on disjoint score scales — the pooled qhat failure
+    val cal = ((1 to 100).map(i => ("lo", i.toDouble)) ++
+      (1 to 100).map(i => ("hi", 200.0 + i))).toDF("g", "s")
+    val test = ((1 to 20).map(i => ("lo", i * 5.0)) ++
+      (1 to 20).map(i => ("hi", 200.0 + i * 5.0))).toDF("g", "s")
+    val out = graft.ops.Classifier.conformalThresholdBy(cal, test, "g",
+        col("s"), alpha = 0.1)
+      .orderBy("stratum").collect()
+    assert(out.length == 2)
+    val hi = out(0); val lo = out(1)
+    // each stratum gets its own order statistic: rank 91 of its own 100
+    assert(lo.getAs[Long]("rank") == 91L && lo.getAs[Double]("qhat") == 91.0, lo)
+    assert(hi.getAs[Double]("qhat") == 291.0, hi)
+    // per-stratum coverage sits near the target on BOTH strata
+    assert(out.forall(r => r.getAs[Double]("coverage") >= 0.85),
+      out.mkString("; "))
+    // a test stratum absent from calibration has no qhat to serve
+    val extra = test.unionByName(Seq(("mid", 50.0)).toDF("g", "s"))
+    assert(graft.ops.Classifier.conformalThresholdBy(cal, extra, "g",
+      col("s"), 0.1).filter(col("stratum") === "mid").count() == 0L)
+  }
+
+  test("isotonicGain: fitted monotone map shrinks held-out gaps; uncovered bins read NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def mk(binRates: Seq[(Double, Int, Int)]) = {
+      val rows = binRates.flatMap { case (p, n, pos) =>
+        (0 until n).map(i => (p, i < pos)) }
+      rows.toDF("p", "y")
+    }
+    // fit carries a violator (PAV pools to 0.5 on the first two
+    // levels); apply split shares the pooled truth
+    val fit = mk(Seq((0.05, 20, 16), (0.15, 20, 4), (0.25, 20, 14)))
+    val app = mk(Seq((0.05, 10, 5), (0.15, 10, 5), (0.35, 10, 9)))
+    val out = graft.ops.Classifier.isotonicGain(fit, app,
+        col("p"), col("y"), k = 10)
+      .orderBy("bin").collect()
+    // bins 0/1: fitted 0.5 matches the apply rate exactly -> gap 0
+    assert(out(0).getAs[Double]("iso_p") == 0.5 &&
+      out(0).getAs[Double]("gap_after") == 0.0, out(0))
+    assert(out(1).getAs[Double]("gap_after") == 0.0, out(1))
+    // bin 3 was never fitted: NULL iso_p and gap_after, loudly visible
+    assert(out(2).getAs[Int]("bin") == 3 && out(2).isNullAt(4) &&
+      out(2).isNullAt(6), out(2))
+    // gap_before is the raw miscalibration it repaired
+    assert(out(0).getAs[Double]("gap_before") > 0.4, out(0))
+  }
+
   test("conformalCoverageBy: pooled qhat covers strata unevenly; the audit shows the gaps") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

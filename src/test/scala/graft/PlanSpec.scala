@@ -667,7 +667,9 @@ class PlanSpec extends SparkTestBase {
       "x_bh_fdr" -> "stratum-grain p-value table",
       // KM at-risk/survival cumulatives over the distinct-LIFETIME
       // table (EventAnalytics.kaplanMeier scaladoc: level-table grain)
-      "x_km" -> "distinct-lifetime grain table")
+      "x_km" -> "distinct-lifetime grain table",
+      // embeds the isotonic fit subplan (same k-row level table)
+      "x_isotonic_fit" -> "k-row calibration level table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     val offenders = qs.flatMap { case (name, fn) =>
       try {
