@@ -67,7 +67,7 @@ object Bench {
     "x_two_prop", "s_markov", "x_cmh", "x_conformal_by",
     "x_km", "x_did", "x_coreness",
     "x_anova", "x_kruskal", "x_markov_entropy", "x_ess",
-    "x_conformal_mondrian", "x_isotonic_fit")
+    "x_conformal_mondrian", "x_isotonic_fit", "x_youden_by")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

@@ -1291,6 +1291,14 @@ object QueriesOps {
         .orderBy(col("stratum"))
     }),
 
+    // per-language Youden cutoffs: the remediation the x_fairness
+    // gaps point at — ship one global threshold or per-stratum ones,
+    // decided from a table
+    "x_youden_by" -> ((s, d) =>
+      Classifier.youdenThresholdBy(t(s, d, "documents"), "lang",
+          col("n_chars").cast("double"), col("text").contains(" the "))
+        .orderBy(col("stratum"))),
+
     // Mondrian conformal: per-language thresholds (the remediation
     // the x_conformal_by audit asks for) — every stratum gets its own
     // order statistic and its held-out coverage
@@ -4382,6 +4390,34 @@ object QueriesOps {
         |    / CAST(count(*) AS DOUBLE) AS coverage
         |FROM tst CROSS JOIN q
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // per-lang Youden replay: stratum-partitioned DESC cum windows,
+    // per-stratum (j DESC, threshold ASC) argmax
+    "x_youden_by" ->
+      """WITH d AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS s,
+        |    contains(text, ' the ') AS y FROM documents
+        |  WHERE lang IS NOT NULL),
+        |c AS (SELECT g, s,
+        |    sum(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS p,
+        |    sum(CASE WHEN y THEN 0.0 ELSE 1.0 END) AS n
+        |  FROM d GROUP BY g, s),
+        |t AS (SELECT g, sum(p) AS tp, sum(n) AS tn FROM c GROUP BY g),
+        |f AS (SELECT c.g, c.s,
+        |    sum(p) OVER (PARTITION BY c.g ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(n) OVER (PARTITION BY c.g ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        |  FROM c),
+        |j AS (SELECT f.g, f.s, cp / tp AS tpr, cn / tn AS fpr,
+        |    (cp / tp) - (cn / tn) AS j, tp, tn
+        |  FROM f JOIN t ON f.g = t.g
+        |  WHERE tp > 0.0 AND tn > 0.0),
+        |r AS (SELECT g, s, tpr, fpr, j, tp, tn,
+        |    row_number() OVER (PARTITION BY g ORDER BY j DESC, s ASC) AS rn
+        |  FROM j)
+        |SELECT g AS stratum, s AS threshold, tpr, fpr, j,
+        |  CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg
+        |FROM r WHERE rn = 1 ORDER BY stratum""".stripMargin,
 
     // Mondrian replay: per-lang rank windows, per-stratum order
     // statistics, per-stratum held-out coverage

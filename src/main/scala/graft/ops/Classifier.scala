@@ -870,6 +870,51 @@ object Classifier {
       .withColumn("gap", col("coverage") - col("target"))
   }
 
+  /** Per-stratum [[youdenThreshold]] — the remediation the
+    * [[groupFairness]] audit points at: when one language's TPR gaps
+    * at the pooled cutoff, the fix is usually a PER-STRATUM operating
+    * point; this reports each stratum's own J-optimal threshold so
+    * the decision "ship one global cutoff vs per-stratum cutoffs" is
+    * a table, not a guess. Same exactness as the global form; the
+    * cumulative TP/FP and the argmax windows partition BY STRATUM
+    * (the groupedKs trade). One-class strata are absent (no ROC to
+    * sweep). Ties on J break to the smallest threshold.
+    * Output: (stratum, threshold, tpr, fpr, j, n_pos, n_neg). */
+  def youdenThresholdBy(df: DataFrame, stratum: String, score: Column,
+                        label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.filter(score.isNotNull && label.isNotNull &&
+        col(stratum).isNotNull)
+      .select(col(stratum).as("__g"), score.cast("double").as("__s"),
+        label.cast("boolean").as("__y"))
+    val counts = d.groupBy(col("__g"), col("__s"))
+      .agg(sum(when(col("__y"), 1.0).otherwise(0.0)).as("__p"),
+        sum(when(col("__y"), 0.0).otherwise(1.0)).as("__n"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = counts.groupBy(col("__g"))
+      .agg(sum(col("__p")).as("__tp"), sum(col("__n")).as("__tn"))
+    counts
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .join(totals, Seq("__g"))
+      .filter(col("__tp") > 0.0 && col("__tn") > 0.0)
+      .select(col("__g"), col("__s"),
+        (col("__cp") / col("__tp")).as("__tpr"),
+        (col("__cn") / col("__tn")).as("__fpr"),
+        ((col("__cp") / col("__tp")) - (col("__cn") / col("__tn")))
+          .as("__j"),
+        col("__tp"), col("__tn"))
+      .groupBy(col("__g").as("stratum"))
+      .agg(
+        max_by(col("__s"), struct(col("__j"), -col("__s"))).as("threshold"),
+        max_by(col("__tpr"), struct(col("__j"), -col("__s"))).as("tpr"),
+        max_by(col("__fpr"), struct(col("__j"), -col("__s"))).as("fpr"),
+        max(struct(col("__j"), -col("__s"))).getField("__j").as("j"),
+        max(col("__tp")).cast("long").as("n_pos"),
+        max(col("__tn")).cast("long").as("n_neg"))
+  }
+
   /** MONDRIAN (per-stratum) conformal thresholds — the REMEDIATION
     * half of [[conformalCoverageBy]]'s audit, paired like the
     * mojibake audit/fix: fit each stratum its OWN

@@ -1607,6 +1607,30 @@ class OpsSpec extends SparkTestBase {
     assert(same.getDouble(3) == 0.0 && same.getDouble(5) == 0.0, same)
   }
 
+  test("youdenThresholdBy: each stratum finds its own split; one-class strata drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // stratum A separates at 3, stratum B at 30 — a pooled cutoff
+    // cannot serve both; stratum C is one-class and must drop
+    val df = Seq(
+      ("A", 1.0, false), ("A", 2.0, false), ("A", 3.0, true), ("A", 4.0, true),
+      ("B", 10.0, false), ("B", 20.0, false), ("B", 30.0, true), ("B", 40.0, true),
+      ("C", 5.0, true), ("C", 6.0, true))
+      .toDF("g", "s", "y")
+    val out = graft.ops.Classifier.youdenThresholdBy(df, "g", col("s"),
+      col("y")).orderBy("stratum").collect()
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0).getString(0) == "A" && out(0).getDouble(1) == 3.0 &&
+      out(0).getDouble(4) == 1.0, out(0))
+    assert(out(1).getString(0) == "B" && out(1).getDouble(1) == 30.0 &&
+      out(1).getDouble(4) == 1.0, out(1))
+    // the per-stratum cutoffs agree with running the global op on
+    // each stratum alone
+    val solo = graft.ops.Classifier.youdenThreshold(
+      df.filter(col("g") === "A"), col("s"), col("y")).head()
+    assert(solo.getAs[Double]("threshold") == 3.0)
+  }
+
   test("conformalThresholdBy: per-stratum qhats restore coverage the pooled threshold loses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
