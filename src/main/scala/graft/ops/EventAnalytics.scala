@@ -91,21 +91,24 @@ object EventAnalytics {
     * Scale shape: the consecutive pair is ONE user-partitioned lag
     * window (bounded partitions — a user's own events, the topPaths
     * trade), pair counts collapse in ONE partial agg to ≤ k² rows
-    * (k = event-type cardinality, bounded by contract), row totals
-    * re-agg from the pair table and broadcast back. The probability
-    * is an exact-count division.
+    * (k = event-type cardinality, bounded by contract), and the row
+    * totals come from a from_type-partitioned window OVER THE PAIR
+    * TABLE — a re-agg + broadcast join would make Catalyst recompute
+    * the fact-table lag window for the broadcast side (the plan audit
+    * showed exactly that: two Window chains over the log), while the
+    * window over the ≤k²-row table consumes the pipeline once. The
+    * probability is an exact-count division.
     * Output: (from_type, to_type, n, p), one row per OBSERVED pair. */
   def transitionMatrix(df: DataFrame, user: Column, ts: Column,
                        eventType: Column, tieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(user).orderBy(ts, tieBreak)
-    val pairs = df
-      .select(eventType.as("__to"), lag(eventType, 1).over(w).as("__from"))
+    val wTot = Window.partitionBy(col("from_type"))
+    df.select(eventType.as("__to"), lag(eventType, 1).over(w).as("__from"))
       .filter(col("__from").isNotNull)
       .groupBy(col("__from").as("from_type"), col("__to").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("__rt"))
-    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("__rt", sum(col("n")).over(wTot))
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("__rt").cast("double")).as("p"))
   }
@@ -243,8 +246,20 @@ object EventAnalytics {
     def gsum(c: Column): Column =
       sum(floor(c * G + 0.5).cast("decimal(38,0)"))
         .cast("string").cast("double") / G
-    val e = trans.select(col(from).as("__s"), col(to).as("__d"),
+    // MATERIALIZE the ≤k²-row matrix (bounded by the event-type
+    // contract, capped loudly): each of the `iters` rounds consumes it
+    // for inflow AND dangling — left lazy, Catalyst would re-execute
+    // the caller's whole matrix subplan (the fact-table lag window)
+    // ~2·iters times. The collect is codebook-sized, the documented
+    // exception class.
+    val eSel = trans.select(col(from).as("__s"), col(to).as("__d"),
       col(p).cast("double").as("__p"))
+    val eRows = eSel.limit(4000001).collect()
+    require(eRows.length <= 4000000,
+      "markovStationary: transition matrix exceeds 4M rows — not an " +
+        "event-TYPE chain; shard or pre-aggregate the state space")
+    val e = trans.sparkSession.createDataFrame(
+      java.util.Arrays.asList(eRows: _*), eSel.schema)
     val states = e.select(col("__s").as("state"))
       .unionByName(e.select(col("__d").as("state"))).distinct()
     val nDf = states.agg(count(lit(1)).cast("double").as("__N"))
