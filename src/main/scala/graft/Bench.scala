@@ -67,7 +67,11 @@ object Bench {
     "x_two_prop", "s_markov", "x_cmh", "x_conformal_by",
     "x_km", "x_did", "x_coreness",
     "x_anova", "x_kruskal", "x_markov_entropy", "x_ess",
-    "x_conformal_mondrian", "x_isotonic_fit", "x_youden_by")
+    "x_conformal_mondrian", "x_isotonic_fit", "x_youden_by",
+    // round-16 third wave: sketch algebra (join-size planning read,
+    // F2 skew scalar, day-2 CMS fold) and the EG mixture fit
+    "x_join_size", "x_f2", "x_cms_incr", "x_doremi",
+    "s_cms", "s_join_size")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -152,7 +156,11 @@ object Bench {
     // round-16: the QL retrieval shares BM25's tokenize-once corpus
     // scan — its growth must track x_bm25's; the markov lag window
     // and the triangle wedge join are the round's new shuffle shapes
-    "x_qlm", "x_markov", "x_triangles")
+    "x_qlm", "x_markov", "x_triangles",
+    // round-16 third wave: the sketch inner-product read scans BOTH
+    // 10x fact tables through a 4-way md5 explode — the widest
+    // projection-only topology in the tree, join-free by design
+    "x_join_size")
 
   /** Synthesize a ~10× (sf≈1) copy of the tables the rehearsal subset
     * reads: 10 key-shifted replicas of the facts (orderkey/custkey/

@@ -1576,6 +1576,17 @@ object QueriesOps {
         .select("doc_id", "lang", "n_chars", "mix_rate")
         .orderBy(col("doc_id"))),
 
+    // DoReMi exponentiated-gradient language weights: doc_id%6 as the
+    // training rounds, per-doc char count as the integer loss signal;
+    // the EG recursion collapses to one cumulative-sum window over
+    // the 6×K level table (normalizers cancel), smoothed with a 10%
+    // uniform floor — the learned-mixture sibling of x_temp_mix
+    "x_doremi" -> ((s, d) =>
+      Sampling.doremiWeights(t(s, d, "documents"), col("lang"),
+          pmod(col("doc_id"), lit(6)), col("n_chars"),
+          eta = 0.5, smoothing = 0.1)
+        .orderBy(col("domain"))),
+
     // length-grouped dynamic batches: bucket by n_chars edges, seeded
     // md5 shuffle within bucket, fixed-size cut — one global rowid
     // sort, never a per-bucket window
@@ -2375,6 +2386,86 @@ object QueriesOps {
             .select(explode(Dedup.tokens(col("text"))).as("term")),
           width = 4096, depth = 4)
         .orderBy(col("key"))
+    }),
+
+    // day-2 CMS maintenance: the corpus split 80/20 into a standing
+    // sketch and a delta sketch, folded by EXACT counter addition —
+    // probing the merged sketch must equal the full rebuild bit for
+    // bit (the oracle IS x_cms's full-corpus replay)
+    "x_cms_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def terms(f: DataFrame => DataFrame) =
+        f(docs).select(explode(Dedup.tokens(col("text"))).as("term"))
+      val merged = Profiling.cmsMerge(
+        Profiling.cmsSketch(terms(_.filter(col("doc_id") % 5 =!= 0)),
+          col("term"), width = 4096, depth = 4),
+        Profiling.cmsSketch(terms(_.filter(col("doc_id") % 5 === 0)),
+          col("term"), width = 4096, depth = 4))
+      Profiling.cmsProbe(merged,
+          terms(_.filter(col("doc_id") % 50 === 0)),
+          col("term"), width = 4096, depth = 4)
+        .orderBy(col("key"))
+    }),
+
+    // STREAMING CMS, batch-twin: the term stream processed as three
+    // micro-batches folded into the standing counter table by EXACT
+    // addition — the probe after the last batch must equal the batch
+    // rebuild bit for bit; same oracle as x_cms
+    "s_cms" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cmsstream").toString
+      val docs = t(s, d, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("term"))
+      (0L to 2L).foreach { b =>
+        graft.streaming.CmsStream.mergeBatch(
+          terms.filter(pmod(col("doc_id"), lit(3L)) === b),
+          col("term"), width = 4096, depth = 4, dir, b)
+      }
+      graft.streaming.CmsStream.standingEstimates(s, dir,
+          docs.filter(col("doc_id") % 50 === 0)
+            .select(explode(Dedup.tokens(col("text"))).as("term")),
+          col("term"), width = 4096, depth = 4)
+        .orderBy(col("key"))
+    }),
+
+    // STREAMING join-size monitor: the lineitem stream's standing
+    // sketch probed against the static orders sketch — the pre-join
+    // planning signal served continuously; exact counter algebra, so
+    // the estimate equals x_join_size's batch form (same oracle)
+    "s_join_size" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cmsjs").toString
+      val li = t(s, d, "lineitem")
+      (0L to 2L).foreach { b =>
+        graft.streaming.CmsStream.mergeBatch(
+          li.filter(pmod(col("l_linenumber"), lit(3L)) === b),
+          col("l_orderkey"), width = 65536, depth = 4, dir, b)
+      }
+      Profiling.cmsJoinSize(
+          Profiling.cmsSketch(t(s, d, "orders"), col("o_orderkey"),
+            width = 65536, depth = 4),
+          graft.streaming.CmsStream.standingSketch(s, dir, 65536, 4))
+        .orderBy(col("r"))
+    }),
+
+    // pre-join planning: |orders ⋈ lineitem| estimated from two
+    // INDEPENDENT one-pass sketches — neither fact table shuffles,
+    // no join runs; min over rows of the counter inner products
+    "x_join_size" -> ((s, d) =>
+      Profiling.cmsJoinSize(
+          Profiling.cmsSketch(t(s, d, "orders"), col("o_orderkey"),
+            width = 65536, depth = 4),
+          Profiling.cmsSketch(t(s, d, "lineitem"), col("l_orderkey"),
+            width = 65536, depth = 4))
+        .orderBy(col("r"))),
+
+    // key-skew scalar: F2 = Σ f_k² (the self-join size) of the
+    // lineitem join key from ONE sketch scan, no self-join
+    "x_f2" -> ((s, d) => {
+      val sk = Profiling.cmsSketch(t(s, d, "lineitem"), col("l_suppkey"),
+        width = 65536, depth = 4)
+      Profiling.cmsJoinSize(sk, sk).orderBy(col("r"))
     }),
 
     // filter-funnel telemetry: exact survivor counts per cumulative
@@ -3653,6 +3744,14 @@ object QueriesOps {
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
   private val toksSql =
     """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"""
+
+  /** CMS md5-bucket replay (digit-by-digit: 8 hex digits < 2^32, exact
+    * in double) — the DuckDB twin of Profiling.cmsBucket for a sketch
+    * row alias `pr.r` and the given key expression. */
+  private def cmsBucketSql(key: String, width: Int): String =
+    "CAST(list_sum(list_transform(range(1, 9), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5(pr.r || '|' || $key), CAST(i AS INT), 1)) - 1) " +
+      s"* pow(16, 8 - i))) AS BIGINT) % $width"
 
   /** The full BM25 chain in DuckDB — same tokenization, fixed-order
     * IEEE idf/norm arithmetic (constants spelled as the identical
@@ -5312,6 +5411,33 @@ object QueriesOps {
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    // replays the EG recursion in its closed form: per-cell exact
+    // integer-sum/count loss means, relative excess rounded to 6dp
+    // BEFORE the ordered cumulative sum (so exp sees identical
+    // doubles), per-round softmax, round-6 published weights
+    "x_doremi" ->
+      """WITH lvl AS (SELECT lang AS domain, doc_id % 6 AS rnd,
+        |    CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS loss
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT d.domain, r.rnd
+        |  FROM (SELECT DISTINCT domain FROM lvl) d
+        |  CROSS JOIN (SELECT DISTINCT rnd FROM lvl) r),
+        |cent AS (SELECT g.domain, g.rnd,
+        |    round(coalesce(l.loss, avg(l.loss) OVER (PARTITION BY g.rnd))
+        |      / avg(l.loss) OVER (PARTITION BY g.rnd) - 1.0, 6) AS ex
+        |  FROM grid g LEFT JOIN lvl l ON g.domain = l.domain AND g.rnd = l.rnd),
+        |u AS (SELECT domain, rnd, exp(0.5 * sum(ex) OVER (PARTITION BY domain
+        |    ORDER BY rnd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS uw
+        |  FROM cent),
+        |wt AS (SELECT domain, uw / sum(uw) OVER (PARTITION BY rnd) AS w,
+        |    count(*) OVER (PARTITION BY rnd) AS k
+        |  FROM u),
+        |ag AS (SELECT domain, round(avg(w), 6) AS w_avg,
+        |    max(k) AS k FROM wt GROUP BY domain)
+        |SELECT domain, w_avg,
+        |  round(0.9 * w_avg + 0.1 / CAST(k AS DOUBLE), 6) AS doremi_weight
+        |FROM ag ORDER BY domain""".stripMargin,
+
     // replays stripMarkup: same wrapping, same RE2 passes with the
     // 'g' ('gs' for the dotall block pass) flags
     "x_strip" ->
@@ -6246,6 +6372,86 @@ object QueriesOps {
         |SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
         |FROM crb LEFT JOIN sketch USING (r, bucket)
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // streaming fold == batch rebuild (exact counter addition): the
+    // standing-sketch probe replays as x_cms's full-corpus oracle
+    "s_cms" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |term AS (SELECT unnest(w) AS term FROM toks),
+        |rb AS (SELECT pr.r, ${cmsBucketSql("term", 4096)} AS bucket
+        |  FROM term CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr),
+        |sketch AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT unnest(w) AS key FROM toks WHERE doc_id % 50 = 0),
+        |crb AS (SELECT key, pr.r, ${cmsBucketSql("key", 4096)} AS bucket
+        |  FROM cand CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr)
+        |SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        |FROM crb LEFT JOIN sketch USING (r, bucket)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // the streamed lineitem sketch is bit-identical to the batch one
+    // (exact addition), so the monitor's estimate replays as
+    // x_join_size's full two-table oracle
+    "s_join_size" ->
+      s"""WITH pr AS (SELECT unnest(range(0, 4)) AS r),
+        |sa AS (SELECT r, bucket, count(*) AS ca FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(o_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM orders CROSS JOIN pr) GROUP BY 1, 2),
+        |sb AS (SELECT r, bucket, count(*) AS cb FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(l_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM lineitem CROSS JOIN pr) GROUP BY 1, 2),
+        |prods AS (SELECT r, sum(ca * cb) AS ip
+        |  FROM sa JOIN sb USING (r, bucket) GROUP BY r),
+        |ip AS (SELECT pr.r, CAST(coalesce(prods.ip, 0) AS BIGINT) AS inner_product
+        |  FROM pr LEFT JOIN prods ON pr.r = prods.r)
+        |SELECT CAST(r AS INT) AS r, inner_product,
+        |  CAST(min(inner_product) OVER () AS BIGINT) AS est_join_size
+        |FROM ip ORDER BY r""".stripMargin,
+
+    // merge == rebuild: the incremental probe must equal x_cms's
+    // full-corpus replay bit for bit (counter addition is exact)
+    "x_cms_incr" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+        |term AS (SELECT unnest(w) AS term FROM toks),
+        |rb AS (SELECT pr.r, ${cmsBucketSql("term", 4096)} AS bucket
+        |  FROM term CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr),
+        |sketch AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT unnest(w) AS key FROM toks WHERE doc_id % 50 = 0),
+        |crb AS (SELECT key, pr.r, ${cmsBucketSql("key", 4096)} AS bucket
+        |  FROM cand CROSS JOIN (SELECT unnest(range(0, 4)) AS r) pr)
+        |SELECT key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        |FROM crb LEFT JOIN sketch USING (r, bucket)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // replays both counter tables and the per-row inner products;
+    // rows whose buckets never overlap keep inner_product 0 via the
+    // r-spine left join so the min sees them
+    "x_join_size" ->
+      s"""WITH pr AS (SELECT unnest(range(0, 4)) AS r),
+        |sa AS (SELECT r, bucket, count(*) AS ca FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(o_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM orders CROSS JOIN pr) GROUP BY 1, 2),
+        |sb AS (SELECT r, bucket, count(*) AS cb FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(l_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM lineitem CROSS JOIN pr) GROUP BY 1, 2),
+        |prods AS (SELECT r, sum(ca * cb) AS ip
+        |  FROM sa JOIN sb USING (r, bucket) GROUP BY r),
+        |ip AS (SELECT pr.r, CAST(coalesce(prods.ip, 0) AS BIGINT) AS inner_product
+        |  FROM pr LEFT JOIN prods ON pr.r = prods.r)
+        |SELECT CAST(r AS INT) AS r, inner_product,
+        |  CAST(min(inner_product) OVER () AS BIGINT) AS est_join_size
+        |FROM ip ORDER BY r""".stripMargin,
+
+    // F2 self-join replay: one counter table, inner product with itself
+    "x_f2" ->
+      s"""WITH pr AS (SELECT unnest(range(0, 4)) AS r),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(l_suppkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM lineitem CROSS JOIN pr) GROUP BY 1, 2),
+        |ip AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS inner_product
+        |  FROM sk GROUP BY r)
+        |SELECT CAST(r AS INT) AS r, inner_product,
+        |  CAST(min(inner_product) OVER () AS BIGINT) AS est_join_size
+        |FROM ip ORDER BY r""".stripMargin,
 
     // k-anonymity replay: equivalence-class sizes under the two
     // quasi-identifiers, size histogram, headline min/at-risk totals

@@ -334,26 +334,92 @@ object Profiling {
     * Output: (key, est_count); candidates absent from the corpus
     * report their collision mass (0 when their buckets are clean). */
   def cmsEstimates(df: DataFrame, key: Column, candidates: DataFrame,
-                   width: Int = 8192, depth: Int = 4): DataFrame = {
+                   width: Int = 8192, depth: Int = 4): DataFrame =
+    cmsProbe(cmsSketch(df, key, width, depth), candidates, key, width, depth)
+
+  private def cmsRequire(width: Int, depth: Int): Unit = {
     require(width >= 16 && (width & (width - 1)) == 0,
-      s"cmsEstimates: width must be a power of two >= 16 (got $width)")
-    require(depth >= 1 && depth <= 8,
-      s"cmsEstimates: depth must be in [1,8] (got $depth)")
-    def bucket(r: Int, k: Column): Column =
-      conv(substring(md5(concat_ws("|", lit(r.toString), k.cast("string"))), 1, 8),
-        16, 10).cast("long") % width
-    def rbPairs(k: Column): Column = explode(array((0 until depth).map(r =>
-      struct(lit(r).as("r"), bucket(r, k).as("bucket"))): _*))
-    val sketch = df.select(rbPairs(key).as("rb"))
+      s"cms: width must be a power of two >= 16 (got $width)")
+    require(depth >= 1 && depth <= 8, s"cms: depth must be in [1,8] (got $depth)")
+  }
+
+  private def cmsBucket(r: Int, k: Column, width: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(r.toString), k.cast("string"))), 1, 8),
+      16, 10).cast("long") % width
+
+  private def cmsRbPairs(k: Column, width: Int, depth: Int): Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, k, width).as("bucket"))): _*))
+
+  /** The CMS counter table itself — (r, bucket, cnt), ≤ depth·width
+    * rows regardless of input size: the MATERIALIZABLE half of the
+    * sketch (persist it as the day-1 artifact; [[cmsMerge]] folds a
+    * delta's sketch in EXACTLY, [[cmsProbe]] serves estimates without
+    * re-reading the corpus). One projection emits each occurrence's
+    * depth (row, md5-bucket) pairs, one partial agg collapses them —
+    * map-side combine does the work, the shuffle carries counters. */
+  def cmsSketch(df: DataFrame, key: Column,
+                width: Int = 8192, depth: Int = 4): DataFrame = {
+    cmsRequire(width, depth)
+    df.select(cmsRbPairs(key, width, depth).as("rb"))
       .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** EXACT sketch union: counters are plain sums, so
+    * merge(sketch(A), sketch(B)) == sketch(A ⊎ B) bit-for-bit —
+    * the algebra that makes CMS a day-2 artifact at 100 TB (fold the
+    * day's delta sketch into the standing one; never rescan the
+    * base). Inputs must share (width, depth) — counter tables of
+    * different geometry are meaningless to add, and width is
+    * unrecoverable from the table, so the caller owns that contract
+    * (the persisted form should ride [[graft.plans.SketchIO]]). */
+  def cmsMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge: need at least one sketch")
+    sketches.reduce(_.unionByName(_))
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Probe a (possibly merged / reloaded) counter table for candidate
+    * keys: est(k) = min over rows of k's bucket counters, ≥ the true
+    * count always, exact when a row's bucket is collision-free.
+    * (width, depth) must match the sketch's build geometry. */
+  def cmsProbe(sketch: DataFrame, candidates: DataFrame, key: Column,
+               width: Int = 8192, depth: Int = 4): DataFrame = {
+    cmsRequire(width, depth)
     val candRb = candidates.select(key.as("key")).distinct()
-      .select(col("key"), rbPairs(col("key")).as("rb"))
+      .select(col("key"), cmsRbPairs(col("key"), width, depth).as("rb"))
       .select(col("key"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
     // left join + coalesce: an untouched bucket means est 0, which an
     // inner join would silently inflate to the min of the HIT rows
     candRb.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy("key").agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** Join-cardinality estimation from two CMS counter tables (Cormode
+    * & Muthukrishnan 2005 §4.2): |A ⋈ B| on the sketched keys is
+    * estimated as min over rows r of Σ_bucket cntA·cntB — each row's
+    * inner product equals Σ_k f_A(k)·f_B(k) plus non-negative
+    * collision mass, so every row over-estimates and the min is the
+    * tightest. THE pre-join planning read at 100 TB: two independent
+    * one-pass scans (no shuffle of either fact table, no join), then
+    * depth·width-bounded arithmetic — decide broadcast vs shuffle vs
+    * skew-salt from the estimate before paying for the join itself.
+    * Self-application (a = b) estimates the SECOND FREQUENCY MOMENT
+    * F2 = Σ f_k² — the self-join size, the canonical key-skew scalar.
+    * Output: (r, inner_product, est_join_size) — one row per sketch
+    * row, est = min over them (same value on every row). */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
+    val prods = a.join(
+        b.select(col("r"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("cnt") * col("cnt_b")).as("inner_product"))
+    // spine keeps rows whose buckets never overlap: their inner
+    // product is 0, which MUST reach the min (est 0), not vanish
+    val spine = a.select("r").union(b.select("r")).distinct()
+    val ip = spine.join(prods, Seq("r"), "left")
+      .select(col("r"), coalesce(col("inner_product"), lit(0L)).as("inner_product"))
+    ip.crossJoin(broadcast(ip.agg(min("inner_product").as("est_join_size"))))
   }
 
   // ---- KMV distinct / overlap sketch ---------------------------------------

@@ -214,6 +214,67 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** DoReMi-style exponentiated-gradient domain reweighting (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining" — arXiv:2305.10429): given an integer-valued
+    * per-row loss signal observed over training rounds, each round t
+    * multiplies every domain's weight by exp(η · excess_t(d)) and
+    * renormalizes; the published mixture is the smoothed AVERAGE of
+    * the per-round softmax weights, (1−c)·mean_t w_t + c/K — domains
+    * that persistently run "hot" (above the round mean) gain share,
+    * the uniform floor c/K keeps every domain sampled. The output
+    * weight table feeds [[mixtureSample]] directly.
+    *
+    * The EG recursion needs NO driver loop: with per-step
+    * renormalization the unnormalized weight is u_t(d) =
+    * exp(η · Σ_{s≤t} excess_s(d)) — normalizers cancel — so the whole
+    * fit is one cumulative-sum window over the (rounds × domains)
+    * level table. Scale shape: ONE partial-agg scan of the corpus to
+    * T·K rows, then level-table windows (bounded by contract, the §5
+    * invariant); nothing fact-sized shuffles twice.
+    *
+    * Cross-engine exactness: `loss` is cast to LONG (integer loss
+    * units — chars, tokens, milli-loss; round means must be positive,
+    * since the excess divides by them), so per-cell means are
+    * exact-integer-sum / count (order-invariant); the RELATIVE excess
+    * (L/mean_round − 1, dimensionless, bounded) is rounded to 6
+    * decimals BEFORE the cumulative sum, and the published weights
+    * are rounded to 6 decimals after the softmax, so a 1-ulp libm
+    * exp() difference can never surface.
+    *
+    * Output: (domain, w_avg, doremi_weight), one row per domain. */
+  def doremiWeights(df: DataFrame, domain: Column, roundId: Column,
+                    loss: Column, eta: Double = 0.5,
+                    smoothing: Double = 0.1): DataFrame = {
+    require(eta > 0, s"doremiWeights: eta must be positive (got $eta)")
+    require(smoothing >= 0 && smoothing < 1,
+      s"doremiWeights: smoothing must be in [0,1) (got $smoothing)")
+    import org.apache.spark.sql.expressions.Window
+    val lvl = df.groupBy(domain.as("domain"), roundId.cast("long").as("round"))
+      .agg((sum(loss.cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("__loss"))
+    // complete grid: a domain absent from a round carries excess 0
+    // (no evidence either way), so its weight coasts through the step
+    val grid = lvl.select("domain").distinct()
+      .crossJoin(broadcast(lvl.select("round").distinct()))
+    val byRound = Window.partitionBy("round")
+    val cent = grid.join(lvl, Seq("domain", "round"), "left")
+      .withColumn("__rmean", avg("__loss").over(byRound))
+      .withColumn("__ex", round(
+        coalesce(col("__loss"), col("__rmean")) / col("__rmean") - lit(1.0), 6))
+    val cum = Window.partitionBy("domain").orderBy("round")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = cent
+      .withColumn("__u", exp(lit(eta) * sum("__ex").over(cum)))
+      .withColumn("__wt", col("__u") / sum("__u").over(byRound))
+      .withColumn("__k", count(lit(1)).over(byRound))
+    wt.groupBy("domain")
+      .agg(round(avg("__wt"), 6).as("w_avg"), max("__k").as("__k"))
+      .select(col("domain"), col("w_avg"),
+        round(lit(1.0 - smoothing) * col("w_avg") +
+          lit(smoothing) / col("__k").cast("double"), 6).as("doremi_weight"))
+  }
+
   /** Deterministic weighted (importance) sampling: keep probability
     * p = min(1, rate · w / mean(w)), decided by the md5Unif uniform —
     * high-weight (high-quality) docs oversample at a fixed expected

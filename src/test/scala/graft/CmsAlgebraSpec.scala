@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Profiling, Sampling}
+
+/** CMS sketch algebra (SURVEY §2 rows 90i7/90i8) and the DoReMi EG
+  * mixture fit (84b6): merge==rebuild exactness, join-size estimation
+  * bounds, and the closed-form EG recursion against an explicit
+  * iteration replay. */
+class CmsAlgebraSpec extends SparkTestBase {
+
+  private def terms(rows: Seq[String]) = sqlDf("term" -> rows)
+
+  private def counterSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("cmsMerge of a split corpus equals the full rebuild exactly") {
+    val all = Seq("a", "b", "b", "c", "c", "c", "d", "e", "e", "f")
+    val (p1, p2) = all.splitAt(4)
+    val full = Profiling.cmsSketch(terms(all), col("term"), 64, 4)
+    val merged = Profiling.cmsMerge(
+      Profiling.cmsSketch(terms(p1), col("term"), 64, 4),
+      Profiling.cmsSketch(terms(p2), col("term"), 64, 4))
+    assert(counterSet(merged) == counterSet(full),
+      "counter addition must reproduce the rebuilt sketch bit-for-bit")
+    // and the probe through the merged sketch == cmsEstimates of the whole
+    val cand = terms(Seq("a", "c", "e", "zzz"))
+    val viaMerge = Profiling.cmsProbe(merged, cand, col("term"), 64, 4)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaFull = Profiling.cmsEstimates(terms(all), col("term"), cand, 64, 4)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaMerge == viaFull)
+    // estimates are upper bounds; the absent key reports collision mass only
+    val est = viaMerge.toMap
+    assert(est("a") >= 1 && est("c") >= 3 && est("e") >= 2)
+  }
+
+  test("cmsJoinSize estimates the exact join size on a collision-free sketch") {
+    // A: keys 1..10 once each; B: key k repeated k times
+    // exact |A JOIN B| = sum f_A(k)*f_B(k) = 1+2+...+10 = 55
+    val a = sqlDf("k" -> (1 to 10).map(_.toLong))
+    val b = sqlDf("k" -> (1 to 10).flatMap(k => Seq.fill(k)(k.toLong)))
+    val exact = a.join(b, "k").count()
+    assert(exact == 55L)
+    val sa = Profiling.cmsSketch(a, col("k"), 65536, 4)
+    val sb = Profiling.cmsSketch(b, col("k"), 65536, 4)
+    val out = Profiling.cmsJoinSize(sa, sb).orderBy("r").collect()
+    assert(out.length == 4)
+    val est = out.head.getAs[Long]("est_join_size")
+    // every row's inner product over-estimates; min is the estimate
+    out.foreach(r => assert(r.getAs[Long]("inner_product") >= exact))
+    assert(out.forall(_.getAs[Long]("est_join_size") == est))
+    // 20 distinct keys in 65536 buckets: collision-free, so exact
+    assert(est == exact, s"wide sketch should be collision-free: $est")
+  }
+
+  test("cmsJoinSize on disjoint key sets estimates (near) zero") {
+    val a = sqlDf("k" -> (1L to 20L))
+    val b = sqlDf("k" -> (1001L to 1020L))
+    val est = Profiling.cmsJoinSize(
+        Profiling.cmsSketch(a, col("k"), 65536, 4),
+        Profiling.cmsSketch(b, col("k"), 65536, 4))
+      .select("est_join_size").head().getLong(0)
+    assert(est <= 2L, s"disjoint keys should estimate ~0 joins, got $est")
+  }
+
+  test("self-application estimates F2 (self-join size) exactly when clean") {
+    val b = sqlDf("k" -> (1 to 10).flatMap(k => Seq.fill(k)(k.toLong)))
+    val sk = Profiling.cmsSketch(b, col("k"), 65536, 4)
+    val est = Profiling.cmsJoinSize(sk, sk)
+      .select("est_join_size").head().getLong(0)
+    val f2 = (1 to 10).map(k => k.toLong * k).sum // 385
+    assert(est >= f2, "F2 estimate must upper-bound the true moment")
+    assert(est == f2, s"collision-free sketch should be exact: $est vs $f2")
+  }
+
+  // ---- CmsStream ----------------------------------------------------------
+
+  test("CmsStream fold == batch rebuild, replay no-ops, refusals are loud") {
+    import graft.streaming.CmsStream
+    val all = Seq("a", "b", "b", "c", "c", "c", "d", "e", "e", "f",
+      "g", "g", "g", "g", "h")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_spec").toString
+    val batches = all.grouped(5).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CmsStream.mergeBatch(terms(b), col("term"), 64, 4, dir, i.toLong)
+    }
+    // standing counter table is bit-identical to the batch rebuild
+    val standing = counterSet(CmsStream.standingSketch(spark, dir, 64, 4))
+    val rebuilt = counterSet(Profiling.cmsSketch(terms(all), col("term"), 64, 4))
+    assert(standing == rebuilt, "exact addition must reproduce the rebuild")
+    // probe through the standing sketch == the one-shot batch estimate
+    val cand = terms(Seq("c", "g", "zzz"))
+    val viaStream = CmsStream.standingEstimates(spark, dir, cand, col("term"), 64, 4)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaBatch = Profiling.cmsEstimates(terms(all), col("term"), cand, 64, 4)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaStream == viaBatch)
+    // replaying an already-merged batch id must not double-count
+    CmsStream.mergeBatch(terms(batches.head), col("term"), 64, 4, dir, 0L)
+    assert(counterSet(CmsStream.standingSketch(spark, dir, 64, 4)) == rebuilt,
+      "replayed batch id must be skipped")
+    // geometry mismatch refuses loudly
+    val geo = intercept[IllegalArgumentException] {
+      CmsStream.mergeBatch(terms(Seq("x")), col("term"), 128, 4, dir, 9L)
+    }
+    assert(geo.getMessage.contains("geometry"))
+    // foreign bytes refuse loudly (SketchIO envelope) — written via
+    // the Hadoop FS so the local-FS checksum sidecar stays consistent
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir, "_cms_sketch.bin")
+    val o = p.getFileSystem(conf).create(p, true)
+    try o.write("not a sketch".getBytes("UTF-8")) finally o.close()
+    val env = intercept[IllegalArgumentException] {
+      CmsStream.standingSketch(spark, dir, 64, 4)
+    }
+    assert(env.getMessage.contains("envelope"))
+  }
+
+  // ---- doremiWeights ------------------------------------------------------
+
+  private def mix(rows: Seq[(String, Int, Long)]) =
+    sqlDf("domain" -> rows.map(_._1), "rnd" -> rows.map(_._2.toLong),
+      "loss" -> rows.map(_._3))
+
+  test("doremiWeights: uniform loss yields the uniform mixture") {
+    val rows = for (d <- Seq("a", "b", "c"); t <- 0 until 4) yield (d, t, 100L)
+    val out = Sampling.doremiWeights(mix(rows), col("domain"), col("rnd"),
+        col("loss")).orderBy("domain").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("w_avg") - 1.0 / 3) < 1e-5)
+      assert(math.abs(r.getAs[Double]("doremi_weight") - 1.0 / 3) < 1e-5)
+    }
+  }
+
+  test("doremiWeights: a persistently hot domain gains share; sums stay 1") {
+    val rows = for (d <- Seq("a", "b", "c"); t <- 0 until 4)
+      yield (d, t, if (d == "b") 200L else 100L)
+    val out = Sampling.doremiWeights(mix(rows), col("domain"), col("rnd"),
+        col("loss"), eta = 0.5, smoothing = 0.1)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("w_avg"),
+        r.getAs[Double]("doremi_weight"))).toSeq
+    val m = out.map(t => t._1 -> t._2).toMap
+    assert(m("b") > m("a") && m("a") == m("c"),
+      s"hot domain must out-weigh the cool ones: $out")
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4, "w_avg sums to 1")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "smoothed mixture sums to 1")
+    // smoothing floor: no domain below c/K
+    out.foreach(t => assert(t._3 >= 0.1 / 3 - 1e-9))
+
+    // closed form == the explicit per-round EG iteration, replayed in Scala
+    val domains = Seq("a", "b", "c")
+    val excess = domains.map { d =>
+      val mean = (200.0 + 100.0 + 100.0) / 3
+      val l = if (d == "b") 200.0 else 100.0
+      math.rint((l / mean - 1.0) * 1e6) / 1e6
+    }
+    var cum = Seq(0.0, 0.0, 0.0)
+    var wsum = Seq(0.0, 0.0, 0.0)
+    for (_ <- 0 until 4) {
+      cum = cum.zip(excess).map { case (c, e) => c + e }
+      val u = cum.map(c => math.exp(0.5 * c))
+      val z = u.sum
+      wsum = wsum.zip(u).map { case (w, uu) => w + uu / z }
+    }
+    val expectAvg = wsum.map(w => math.rint(w / 4 * 1e6) / 1e6)
+    domains.zip(expectAvg).foreach { case (d, e) =>
+      assert(math.abs(m(d) - e) < 1e-9,
+        s"closed form diverges from the explicit iteration for $d: ${m(d)} vs $e")
+    }
+  }
+
+  test("doremiWeights: a domain absent from a round coasts (excess 0)") {
+    val rows = (for (d <- Seq("a", "b"); t <- 0 until 3)
+      yield (d, t, if (d == "b") 300L else 100L))
+      .filterNot { case (d, t, _) => d == "a" && t == 1 }
+    val out = Sampling.doremiWeights(mix(rows), col("domain"), col("rnd"),
+        col("loss")).orderBy("domain").collect()
+    assert(out.length == 2, "the grid must complete the missing cell")
+    out.foreach { r =>
+      assert(!r.getAs[Double]("w_avg").isNaN && !r.getAs[Double]("doremi_weight").isNaN)
+    }
+    assert(math.abs(out.map(_.getAs[Double]("doremi_weight")).sum - 1.0) < 1e-4)
+  }
+}
