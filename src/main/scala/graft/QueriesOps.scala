@@ -306,6 +306,19 @@ object QueriesOps {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy(col("query_id"), col("rank"))),
 
+    // KNN-Shapley data valuation (Jia 2019 Thm 1): every training
+    // vector's exact Shapley value for the 5-NN utility, averaged
+    // over the 10-query validation split — the suffix-scan closed
+    // form over per-query similarity-sorted windows; sort key is the
+    // round-6 cosine so the ORDER itself is engine-replayable
+    "x_shapley" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnShapley(
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5)
+    }),
+
     // hyperplane signs are md5-derived (Similarity.planeDigest), so the
     // DuckDB oracle recomputes the exact bucket assignment and replays
     // the same multi-probe retrieval
@@ -9807,6 +9820,37 @@ s"""WITH lines AS (
         |  FROM m)
         |SELECT query_id, vec_id, round(rawcos, 4) AS cos, q_label, c_label, neg_rank
         |FROM r WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
+
+    // replays the Jia-2019 suffix recursion: round-6 cosine sort key
+    // (id tiebreak), lead() match flags, the delta suffix sum, and
+    // the per-point round-6 average over validation queries
+    "x_shapley" ->
+      """WITH j AS (SELECT t.vec_id AS id, t.label AS y,
+        |    q.vec_id AS query_id, q.label AS qy,
+        |    round(list_cosine_similarity(t.embedding::DOUBLE[],
+        |      q.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings t
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+        |  WHERE t.vec_id >= 10),
+        |o AS (SELECT *,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS idx,
+        |    count(*) OVER (PARTITION BY query_id) AS n,
+        |    CASE WHEN y = qy THEN 1.0 ELSE 0.0 END AS m
+        |  FROM j),
+        |d AS (SELECT *, lead(m) OVER (PARTITION BY query_id ORDER BY idx) AS mn
+        |  FROM o),
+        |e AS (SELECT *,
+        |    CASE WHEN idx = n THEN 0.0
+        |      ELSE (m - mn) / 5.0 * least(5.0, CAST(idx AS DOUBLE))
+        |        / CAST(idx AS DOUBLE) END AS delta,
+        |    max(CASE WHEN idx = n THEN m / CAST(n AS DOUBLE) END)
+        |      OVER (PARTITION BY query_id) AS slast
+        |  FROM d),
+        |s AS (SELECT id, y, slast + sum(delta) OVER (PARTITION BY query_id
+        |    ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS si
+        |  FROM e)
+        |SELECT id, y AS label, round(avg(si), 6) AS shapley
+        |FROM s GROUP BY 1, 2 ORDER BY shapley DESC, id""".stripMargin,
 
     "x_ann_brute" ->
       """WITH scored AS (

@@ -1537,4 +1537,63 @@ object Similarity {
     ivfPqServeJoin(enc, idCol, centroids, books, m, dsub,
       queries, qid, qvec, k, nProbe)
   }
+
+  // ---- KNN-Shapley data valuation -------------------------------------------
+
+  /** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019,
+    * "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    * Algorithms", Theorem 1): each training point's Shapley value for
+    * the K-NN utility v(S) = (1/K)·Σ_{j ≤ min(K,|S|)} 1[y_j = y_test],
+    * averaged over a validation set — the principled "which documents
+    * actually help" score behind valuation-driven pruning (drop the
+    * lowest-value tail, keep the head). The O(2^N) Shapley sum
+    * collapses to a closed recursion over the distance-sorted order:
+    * s_(N) = 1[y_(N)=y]/N and s_(i) = s_(i+1) +
+    * (1[y_(i)=y] − 1[y_(i+1)=y])/K · min(K,i)/i — a SUFFIX SCAN, so
+    * the whole valuation is one broadcast cross join (queries are
+    * dimension-sized by contract, like every ANN query frame here)
+    * plus per-query windows: rank by similarity, lead(), one suffix
+    * sum. Nothing leaves the executors until the final per-point
+    * average (one partial agg). At 100 TB this is the brute-force
+    * valuation shape — same contract as [[bruteForceTopKJoin]]; the
+    * scale path is valuing a stratified sample or per-shard corpora.
+    *
+    * Cross-engine exactness: the sort key is cosine similarity
+    * QUANTIZED to 6 decimals (ties broken by id) — raw cosines differ
+    * across engines by ~dim·ulp (summation order), which would make
+    * the sort order itself engine-dependent; the published value is
+    * round-6 like every hash-compared double here.
+    *
+    * Output: (id, label, shapley), descending by value. */
+  def knnShapley(train: DataFrame, tid: String, tvec: String, tlabel: String,
+                 valSet: DataFrame, qid: String, qvec: String, qlabel: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"knnShapley: k must be >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val kd = k.toDouble
+    val j = train.select(col(tid).as("id"), col(tlabel).as("__y"),
+        col(tvec).as("__tv"))
+      .crossJoin(broadcast(valSet.select(col(qid).as("__qid"),
+        col(qlabel).as("__qy"), col(qvec).as("__qv"))))
+      .withColumn("__cos", round(cosine(col("__tv"), col("__qv")), 6))
+    val byQ = Window.partitionBy("__qid")
+    val order = byQ.orderBy(col("__cos").desc, col("id"))
+    val suffix = byQ.orderBy("__idx")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val s = j
+      .withColumn("__idx", row_number().over(order))
+      .withColumn("__n", count(lit(1)).over(byQ))
+      .withColumn("__m", when(col("__y") === col("__qy"), 1.0).otherwise(0.0))
+      .withColumn("__mn", lead("__m", 1).over(byQ.orderBy("__idx")))
+      .withColumn("__delta", when(col("__idx") === col("__n"), 0.0)
+        .otherwise((col("__m") - col("__mn")) / lit(kd)
+          * least(lit(kd), col("__idx").cast("double"))
+          / col("__idx").cast("double")))
+      .withColumn("__slast", max(when(col("__idx") === col("__n"),
+        col("__m") / col("__n").cast("double"))).over(byQ))
+      .withColumn("__si", col("__slast") + sum("__delta").over(suffix))
+    s.groupBy(col("id"), col("__y").as("label"))
+      .agg(round(avg("__si"), 6).as("shapley"))
+      .orderBy(col("shapley").desc, col("id"))
+  }
 }

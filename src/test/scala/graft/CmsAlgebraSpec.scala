@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Profiling, Sampling}
+import graft.ops.{Profiling, Sampling, Similarity}
 
 /** CMS sketch algebra (SURVEY §2 rows 90i7/90i8) and the DoReMi EG
   * mixture fit (84b6): merge==rebuild exactness, join-size estimation
@@ -170,6 +170,70 @@ class CmsAlgebraSpec extends SparkTestBase {
       assert(math.abs(m(d) - e) < 1e-9,
         s"closed form diverges from the explicit iteration for $d: ${m(d)} vs $e")
     }
+  }
+
+  // ---- knnShapley ----------------------------------------------------------
+
+  /** Exact Shapley by subset enumeration for the K-NN utility
+    * v(S) = (1/K)·Σ_{j ≤ min(K,|S|)} 1[label_j = qlabel] with points
+    * pre-sorted by similarity desc — the ground truth the closed
+    * recursion must reproduce. */
+  private def bruteShapley(matches: Seq[Boolean], k: Int): Seq[Double] = {
+    val n = matches.size
+    def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
+    def v(s: Seq[Int]): Double =
+      s.sorted.take(k).count(matches).toDouble / k
+    (0 until n).map { i =>
+      val rest = (0 until n).filterNot(_ == i)
+      (0 to rest.size).flatMap(sz => rest.combinations(sz)).map { s =>
+        val w = fact(s.size) * fact(n - s.size - 1) / fact(n)
+        w * (v(s.toSeq :+ i) - v(s.toSeq))
+      }.sum
+    }
+  }
+
+  test("knnShapley matches exact subset-enumeration Shapley and the efficiency axiom") {
+    import spark.implicits._
+    // 8 train points on distinct angles from the query (1,0); labels
+    // alternate so matches sit at sorted positions 0,2,4,6
+    val angles = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+    val train = angles.zipWithIndex.map { case (a, i) =>
+      (i.toLong + 10L, Seq(math.cos(a), math.sin(a)), if (i % 2 == 0) 1 else 2)
+    }.toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Seq(1.0, 0.0), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnShapley(train, "vec_id", "embedding", "label",
+        q, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ground truth over the similarity-sorted order (angle asc = cos desc)
+    val expected = bruteShapley(angles.indices.map(_ % 2 == 0), k = 2)
+    angles.indices.foreach { i =>
+      assert(math.abs(out(i.toLong + 10L) - expected(i)) < 1e-5,
+        s"closed form diverges from subset enumeration at sorted pos $i: " +
+          s"${out(i.toLong + 10L)} vs ${expected(i)}")
+    }
+    // efficiency axiom: values sum to v(full) − v(∅) = matches-in-top-K / K
+    val topKMatches = angles.indices.take(2).count(_ % 2 == 0) // pos 0 matches
+    assert(math.abs(out.values.sum - topKMatches.toDouble / 2) < 1e-4)
+    // the nearest correct-label point carries the largest value
+    val best = out.maxBy(_._2)._1
+    assert(best == 10L, s"nearest matching point must dominate, got $best")
+  }
+
+  test("knnShapley: flipping the query label flips which group is valued") {
+    import spark.implicits._
+    val angles = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6)
+    val train = angles.zipWithIndex.map { case (a, i) =>
+      (i.toLong + 10L, Seq(math.cos(a), math.sin(a)), if (i % 2 == 0) 1 else 2)
+    }.toDF("vec_id", "embedding", "label")
+    def run(qlabel: Int) =
+      Similarity.knnShapley(train, "vec_id", "embedding", "label",
+          Seq((0L, Seq(1.0, 0.0), qlabel)).toDF("vec_id", "embedding", "label"),
+          "vec_id", "embedding", "label", k = 3)
+        .collect().map(r => r.getInt(1) -> r.getDouble(2)).toSeq
+    val v1 = run(1).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val v2 = run(2).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(v1(1) > 0 && v1(1) > v1(2), s"label-1 mass must dominate for a label-1 query: $v1")
+    assert(v2(2) > 0 && v2(2) > v2(1), s"label-2 mass must dominate for a label-2 query: $v2")
   }
 
   test("doremiWeights: a domain absent from a round coasts (excess 0)") {
