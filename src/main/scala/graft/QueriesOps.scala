@@ -1832,6 +1832,23 @@ object QueriesOps {
         .orderBy(col("item"))
     }),
 
+    // Plackett–Luce listwise ratings (Hunter 2004 MM, 3 iterations):
+    // 50 ranking events over 6 items, each event's order an md5
+    // permutation — the listwise generalization of x_bradley_terry;
+    // the oracle replays every iteration's suffix/prefix windows and
+    // 2^-40-grid sums as unrolled CTEs
+    "x_plackett_luce" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id") % 50)
+        .orderBy(md5(col("doc_id").cast("string")))
+      val rk = t(s, d, "documents").filter(col("doc_id") < 300)
+        .select((col("doc_id") % 50).cast("string").as("g"),
+          call_function("div", col("doc_id"), lit(50L)).cast("string").as("item"),
+          row_number().over(w).cast("long").as("pos"))
+      Classifier.plackettLuce(rk, "g", "item", "pos", iters = 3)
+        .orderBy(col("item"))
+    }),
+
     // unbiased pass@k (Chen et al. 2021) over a synthetic eval table:
     // per task n samples (3 for doc_id%4=0 — under-sampled, NULL at
     // k=5/10; else 10), c = doc_id % (n+1) passing. The oracle spells
@@ -6959,6 +6976,47 @@ object QueriesOps {
          |nt AS (SELECT a AS item, CAST(sum(n) AS BIGINT) AS n_matches
          |  FROM p GROUP BY 1)
          |SELECT r3.item, CAST(r3.W AS BIGINT) AS wins, nt.n_matches, r3.rating
+         |FROM r3 JOIN nt USING (item) ORDER BY item""".stripMargin
+    },
+
+    "x_plackett_luce" -> {
+      def ds(x: String) =
+        s"(CAST(sum(CAST(FLOOR(($x) * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)"
+      def iter(prev: String, i: Int) =
+        s"""sc$i AS (SELECT rm.g, rm.item, rm.pos, rm.mx,
+           |    sum(r.rating) OVER (PARTITION BY rm.g ORDER BY rm.pos DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |  FROM rm JOIN $prev r USING (item)),
+           |tc$i AS (SELECT g, item,
+           |    sum(CASE WHEN pos = mx THEN 0.0 ELSE 1.0 / s END)
+           |      OVER (PARTITION BY g ORDER BY pos
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           |  FROM sc$i),
+           |d$i AS (SELECT item, ${ds("c")} AS den FROM tc$i GROUP BY item),
+           |u$i AS (SELECT b0.item, b0.W,
+           |    CASE WHEN d$i.den > 0 THEN b0.W / d$i.den ELSE 0.0 END AS rating
+           |  FROM b0 JOIN d$i USING (item)),
+           |t$i AS (SELECT ${ds("rating")} AS t, CAST(count(*) AS DOUBLE) AS c
+           |  FROM u$i),
+           |r$i AS (SELECT item, W, rating * t$i.c / t$i.t AS rating
+           |  FROM u$i CROSS JOIN t$i)""".stripMargin
+      s"""WITH rk AS (SELECT CAST(doc_id % 50 AS VARCHAR) AS g,
+         |    CAST(doc_id // 50 AS VARCHAR) AS item,
+         |    row_number() OVER (PARTITION BY doc_id % 50
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pos
+         |  FROM documents WHERE doc_id < 300),
+         |rm AS (SELECT g, item, pos, max(pos) OVER (PARTITION BY g) AS mx FROM rk),
+         |wn AS (SELECT item, CAST(count(*) AS DOUBLE) AS W FROM rm
+         |  WHERE pos < mx GROUP BY 1),
+         |it AS (SELECT DISTINCT item FROM rm),
+         |b0 AS (SELECT it.item, coalesce(wn.W, 0.0) AS W
+         |  FROM it LEFT JOIN wn USING (item)),
+         |r0 AS (SELECT item, W, CAST(1 AS DOUBLE) AS rating FROM b0),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)},
+         |nt AS (SELECT item, count(*) AS n_rankings FROM rm GROUP BY 1)
+         |SELECT r3.item, nt.n_rankings, CAST(r3.W AS BIGINT) AS wins, r3.rating
          |FROM r3 JOIN nt USING (item) ORDER BY item""".stripMargin
     },
 

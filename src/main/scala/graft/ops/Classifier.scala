@@ -522,6 +522,80 @@ object Classifier {
         col("n_matches"), col("rating"))
   }
 
+  /** Plackett–Luce strength ratings from LISTWISE rankings (Hunter
+    * 2004 MM, §3) — Bradley–Terry's generalization from pairwise
+    * matches to full ranked lists (the listwise judge-eval read: a
+    * panel ranks J candidates per prompt; what are the global
+    * strengths?). Model: a ranking is a sequence of choices, each
+    * picking the winner from the remaining suffix with probability
+    * γ_i/Σ_suffix γ. MM update at a FIXED iteration count:
+    * γ_i ← W_i / D_i with W_i = #rankings where i is not last (i "won"
+    * its stage) and D_i = Σ_rankings Σ_{stages p ≤ pos_i, p < J}
+    * 1/S_{r,p}, S_{r,p} the rating sum over the stage-p suffix;
+    * renormalized to mean 1 each round. With J = 2 this IS
+    * [[bradleyTerry]] — the spec pins the two bit-identical.
+    *
+    * Scale shape: each iteration is one join of the rankings table to
+    * the items-sized ratings, a suffix-sum and a prefix-sum window
+    * per ranking group (bounded by the list length), and one keyed
+    * partial agg; per-round frames are checkpointed (the BT lineage
+    * discipline). Engine-exact: within-group window sums run in
+    * declared pos order, cross-ranking sums on the 2^-40 grid
+    * ([[gridSum40]]), divisions are per-row IEEE.
+    *
+    * Input: one row per (group, item, pos) with pos 1..J_group and
+    * distinct items per group. Output: (item, n_rankings, wins,
+    * rating). */
+  def plackettLuce(rankings: DataFrame, group: String, item: String,
+                   pos: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"plackettLuce: iters=$iters out of the unroll range [1,20]")
+    import org.apache.spark.sql.expressions.Window
+    val rk0 = rankings.select(col(group).cast("string").as("__g"),
+        col(item).cast("string").as("__i"), col(pos).cast("long").as("__p"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull && col("__p").isNotNull)
+    val sc = rankings.sparkSession.sparkContext
+    def cp(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val byG = Window.partitionBy("__g")
+    val rk = cp(rk0.withColumn("__mx", max("__p").over(byG)))
+    val wins = rk.filter(col("__p") < col("__mx"))
+      .groupBy(col("__i").as("item")).agg(count(lit(1)).cast("double").as("__W"))
+    val items = rk.select(col("__i").as("item")).distinct()
+    val base = cp(items.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("__W"), lit(0.0)).as("__W")))
+    val suffix = byG.orderBy(col("__p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = byG.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var r = base.withColumn("rating", lit(1.0))
+    for (_ <- 1 to iters) {
+      val scored = rk.join(r.select(col("item").as("__i"), col("rating")), "__i")
+        .withColumn("__s", sum("rating").over(suffix))
+        // the last stage (a single remaining item) makes no choice
+        .withColumn("__term", when(col("__p") === col("__mx"), lit(0.0))
+          .otherwise(lit(1.0) / col("__s")))
+        .withColumn("__c", sum("__term").over(prefix))
+      val denom = scored.groupBy(col("__i").as("item"))
+        .agg(gridSum40(col("__c")).as("__den"))
+      val unnorm = r.drop("rating").join(denom, Seq("item"))
+        .select(col("item"), col("__W"),
+          when(col("__den") > 0.0, col("__W") / col("__den"))
+            .otherwise(lit(0.0)).as("rating"))
+      val tot = unnorm.agg(gridSum40(col("rating")).as("__t"),
+        count(lit(1)).cast("double").as("__c"))
+      r = cp(unnorm.crossJoin(broadcast(tot))
+        .select(col("item"), col("__W"),
+          (col("rating") * col("__c") / col("__t")).as("rating")))
+    }
+    val nTot = rk.groupBy(col("__i").as("item"))
+      .agg(count(lit(1)).as("n_rankings"))
+    r.join(nTot, Seq("item"))
+      .select(col("item"), col("n_rankings"),
+        col("__W").cast("long").as("wins"), col("rating"))
+  }
+
   /** Average precision (the area under the precision-recall curve in
     * its standard step-function reading) — ROC-AUC's complement for
     * the imbalanced regimes a quality filter lives in (1% positives:

@@ -172,6 +172,50 @@ class CmsAlgebraSpec extends SparkTestBase {
     }
   }
 
+  // ---- plackettLuce --------------------------------------------------------
+
+  test("plackettLuce at J=2 coincides with bradleyTerry") {
+    import graft.ops.Classifier
+    // 30 matches over 4 items with skewed win pattern
+    val ms = (0 until 30).map { i =>
+      val w = (i % 4).toString
+      val l = ((i * 3 + 1) % 4).toString
+      (w, l)
+    }.filter { case (w, l) => w != l }
+    val matches = sqlDf("w" -> ms.map(_._1), "l" -> ms.map(_._2))
+    val rankings = sqlDf(
+      "g" -> ms.indices.flatMap(i => Seq(i.toLong, i.toLong)),
+      "item" -> ms.flatMap { case (w, l) => Seq(w, l) },
+      "pos" -> ms.indices.flatMap(_ => Seq(1L, 2L)))
+    val bt = Classifier.bradleyTerry(matches, "w", "l", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+    val pl = Classifier.plackettLuce(rankings, "g", "item", "pos", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+    assert(bt.keySet == pl.keySet)
+    bt.foreach { case (item, r) =>
+      assert(math.abs(pl(item) - r) <= 1e-9 * math.max(1.0, math.abs(r)),
+        s"J=2 Plackett-Luce must collapse to Bradley-Terry: $item ${pl(item)} vs $r")
+    }
+  }
+
+  test("plackettLuce: consistent first place dominates, constant last hits 0") {
+    import graft.ops.Classifier
+    // 10 rankings of (a, b, c), always in that order
+    val rows = (0 until 10).flatMap(g =>
+      Seq((g.toLong, "a", 1L), (g.toLong, "b", 2L), (g.toLong, "c", 3L)))
+    val rk = sqlDf("g" -> rows.map(_._1), "item" -> rows.map(_._2),
+      "pos" -> rows.map(_._3))
+    val out = Classifier.plackettLuce(rk, "g", "item", "pos", iters = 5)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("wins"),
+        r.getAs[Double]("rating"))).toSeq
+    val m = out.map(t => t._1 -> t._3).toMap
+    assert(m("a") > m("b") && m("b") > m("c"), s"order must hold: $m")
+    assert(m("c") == 0.0, "an always-last item has zero wins -> MLE boundary 0")
+    assert(out.find(_._1 == "a").get._2 == 10L)
+    // mean-1 normalization invariant
+    assert(math.abs(out.map(_._3).sum / out.size - 1.0) < 1e-9)
+  }
+
   // ---- knnShapley ----------------------------------------------------------
 
   /** Exact Shapley by subset enumeration for the K-NN utility
