@@ -2986,6 +2986,30 @@ object QueriesOps {
         col("ts") >= lit(cut), col("value"))
     }),
 
+    // CUPED variance-reduced A/B lift: treated = even users, the
+    // pre-period covariate = each user's first-half event count, the
+    // outcome = second-half count — exact long sufficient statistics
+    // from one unit agg + one global agg, lift algebra on one row
+    "x_cuped" -> ((s, d) => {
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      val cut = new java.sql.Timestamp(t0 + (t1 - t0) / 2)
+      Profiling.cupedLift(ev, col("user_id"), col("user_id") % 2 === 0,
+        when(col("ts") < lit(cut), 1L).otherwise(0L),
+        when(col("ts") >= lit(cut), 1L).otherwise(0L))
+    }),
+
+    // Wald SPRT per event type: H0 p=0.18 vs H1 p=0.22 on the
+    // deterministic user_id%5 success flag, hourly buckets, default
+    // alpha=beta=0.05 bounds; LLR quantized to the round-6 grid
+    // before every crossing comparison
+    "x_sprt" -> ((s, d) =>
+      EventAnalytics.sprt(events(s, d), col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L).cast("long"),
+          col("user_id") % 5 === 0, p0 = 0.18, p1 = 0.22)
+        .orderBy(col("key"))),
+
     // first-order Markov transition matrix over per-user event
     // sequences: one lag window (bounded user partitions), pair
     // counts to <= k^2 rows, exact row-total divisions
@@ -8302,6 +8326,82 @@ s"""WITH lines AS (
         |    END AS t_stat
         |FROM a""".stripMargin
     },
+
+    // CUPED replay: unit-grain integer counts, pooled + per-arm exact
+    // sums, the same theta/lift/rho2 double algebra, round-6 publish
+    "x_cuped" ->
+      """WITH c AS (SELECT epoch_ms(min(ts))
+        |    + (epoch_ms(max(ts)) - epoch_ms(min(ts))) // 2 AS cut
+        |  FROM events),
+        |u AS (SELECT user_id, (user_id % 2 = 0) AS g,
+        |    sum(CASE WHEN epoch_ms(ts) < cut THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN epoch_ms(ts) >= cut THEN 1 ELSE 0 END) AS y
+        |  FROM events CROSS JOIN c GROUP BY 1, 2),
+        |a AS (SELECT count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy,
+        |    sum(CASE WHEN g THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN g THEN x ELSE 0 END) AS sxt,
+        |    sum(CASE WHEN g THEN y ELSE 0 END) AS syt,
+        |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN NOT g THEN x ELSE 0 END) AS sxc,
+        |    sum(CASE WHEN NOT g THEN y ELSE 0 END) AS syc
+        |  FROM u),
+        |b AS (SELECT CAST(n AS BIGINT) AS n_units,
+        |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS covxy,
+        |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS varx,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS vary,
+        |    CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) AS lraw,
+        |    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      - CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS xdiff
+        |  FROM a)
+        |SELECT n_units,
+        |  round(CASE WHEN varx > 0.0 THEN covxy / varx ELSE 0.0 END, 6) AS theta,
+        |  round(lraw, 6) AS lift_raw,
+        |  round(lraw - (CASE WHEN varx > 0.0 THEN covxy / varx ELSE 0.0 END)
+        |    * xdiff, 6) AS lift_cuped,
+        |  round(CASE WHEN varx > 0.0 AND vary > 0.0
+        |    THEN covxy * covxy / (varx * vary) ELSE 0.0 END, 6) AS rho2
+        |FROM b""".stripMargin,
+
+    // SPRT replay: hourly (key x bucket) level table, cumulative LLR
+    // on the round-6 grid, first-crossing buckets, Wald verdict
+    "x_sprt" ->
+      """WITH lvl AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+        |    count(*) AS n,
+        |    sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS s
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT key, h, n, s,
+        |    round(CAST(sum(s) OVER w AS DOUBLE) * ln(0.22 / 0.18)
+        |      + CAST(sum(n) OVER w - sum(s) OVER w AS DOUBLE)
+        |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr
+        |  FROM lvl
+        |  WINDOW w AS (PARTITION BY key ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+        |    CAST(sum(s) AS BIGINT) AS n_success,
+        |    min(CASE WHEN llr >= 2.944439 THEN h END) AS hup,
+        |    min(CASE WHEN llr <= -2.944439 THEN h END) AS hlo
+        |  FROM t GROUP BY key),
+        |g AS (SELECT key, n_obs, n_success,
+        |    round(CAST(n_success AS DOUBLE) * ln(0.22 / 0.18)
+        |      + CAST(n_obs - n_success AS DOUBLE)
+        |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr,
+        |    CASE WHEN hup IS NULL AND hlo IS NULL THEN 'continue'
+        |      WHEN hlo IS NULL OR (hup IS NOT NULL AND hup <= hlo)
+        |        THEN 'accept_h1'
+        |      ELSE 'accept_h0' END AS decision,
+        |    hup, hlo
+        |  FROM f)
+        |SELECT key, n_obs, n_success, llr, decision,
+        |  CASE WHEN decision = 'accept_h1' THEN hup
+        |    WHEN decision = 'accept_h0' THEN hlo END AS decided_bucket
+        |FROM g ORDER BY key""".stripMargin,
 
     // Markov replay: per-user lag window, pair counts, row-total
     // divisions

@@ -471,6 +471,73 @@ object EventAnalytics {
     * integer-vs-dyadic comparison, exact; e_{t−1} undefined on each
     * type's first window (no alarm there, SQL-style).
     * Output: (event_type, wstart, n, ewma, alarm). */
+  /** Wald's sequential probability ratio test (SPRT, 1945) per series
+    * key — the ALWAYS-VALID sequential decision the fixed-horizon
+    * tests (two-prop, CMH) can't give: H0: p = p0 vs H1: p = p1 on a
+    * Bernoulli stream, stop the moment the cumulative log-likelihood
+    * ratio LLR = s·ln(p1/p0) + f·ln((1−p1)/(1−p0)) leaves
+    * (lower, upper) — with Wald's thresholds ln(β/(1−α)), ln((1−α)/β)
+    * the error rates are bounded at (α, β) REGARDLESS of when you
+    * peek, the property dashboard-watched experiments actually need.
+    *
+    * Scale shape: one keyed partial agg to the (key × bucket) level
+    * table, a cumulative window per key (bounded by the monitor
+    * contract), and one final keyed agg for the verdict — the
+    * fact table is touched once. The sufficient statistic is two
+    * integer counts, so the monitor folds across micro-batches
+    * exactly (the CMS property) if run under foreachBatch.
+    *
+    * Engine-exact: the cumulative LLR is QUANTIZED to 6 decimals
+    * before every threshold comparison (the ln() weights differ
+    * cross-engine by an ulp; scaled by ≤ millions of observations
+    * that is ≤ 1e-9 — far inside the grid), and the thresholds are
+    * caller-supplied literals, default Wald bounds for
+    * α = β = 0.05 rounded to the same grid.
+    *
+    * Output per key: (key, n_obs, n_success, llr, decision ∈
+    * accept_h1/accept_h0/continue, decided_bucket — the FIRST bucket
+    * whose cumulative LLR crossed, NULL while the test continues). */
+  def sprt(df: DataFrame, key: Column, bucket: Column, success: Column,
+           p0: Double, p1: Double, upper: Double = 2.944439,
+           lower: Double = -2.944439): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprt: p0, p1 must be distinct probabilities in (0,1) (got $p0, $p1)")
+    require(lower < 0 && upper > 0,
+      s"sprt: thresholds must bracket 0 (got $lower, $upper)")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = math.log(p1 / p0)
+    val w0 = math.log((1.0 - p1) / (1.0 - p0))
+    val lvl = df.filter(success.isNotNull)
+      .groupBy(key.as("key"), bucket.cast("long").as("h"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("__s"))
+    val cum = Window.partitionBy("key").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = lvl
+      .withColumn("__cn", sum("__n").over(cum))
+      .withColumn("__cs", sum("__s").over(cum))
+      .withColumn("__llr", round(col("__cs").cast("double") * lit(w1) +
+        (col("__cn") - col("__cs")).cast("double") * lit(w0), 6))
+    val fin = t.groupBy("key").agg(
+      sum("__n").as("n_obs"), sum("__s").as("n_success"),
+      min(when(col("__llr") >= upper, col("h"))).as("__hup"),
+      min(when(col("__llr") <= lower, col("h"))).as("__hlo"))
+    fin.select(col("key"), col("n_obs"), col("n_success"),
+        round(col("n_success").cast("double") * lit(w1) +
+          (col("n_obs") - col("n_success")).cast("double") * lit(w0), 6)
+          .as("llr"),
+        when(col("__hup").isNull && col("__hlo").isNull, lit("continue"))
+          .when(col("__hlo").isNull ||
+            (col("__hup").isNotNull && col("__hup") <= col("__hlo")),
+            lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        col("__hup"), col("__hlo"))
+      .withColumn("decided_bucket",
+        when(col("decision") === "accept_h1", col("__hup"))
+          .when(col("decision") === "accept_h0", col("__hlo")))
+      .drop("__hup", "__hlo")
+  }
+
   def ewmaChart(events: DataFrame, windowLen: String = "1 hour",
                 horizon: Int = 16, mult: Long = 4L,
                 guard: Long = 4L): DataFrame = {

@@ -923,6 +923,65 @@ object Profiling {
         when(col("se") > 0.0, col("did") / col("se")))
   }
 
+  /** CUPED variance-reduced A/B lift (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013, "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): the experiment
+    * readout every platform team runs — adjust each unit's outcome by
+    * its PRE-period covariate, y′ = y − θ(x − x̄) with
+    * θ = cov(x,y)/var(x), removing the between-user variance the
+    * randomization already balanced; the lift estimate is unchanged
+    * in expectation but its variance shrinks by ρ² (published as
+    * `rho2`, the fraction of outcome variance the covariate
+    * explains).
+    *
+    * Scale shape: ONE unit-keyed partial agg collapses the event log
+    * to unit grain (integer metric sums — the contract that keeps
+    * every later moment exact), then ONE global agg produces the
+    * pooled and per-arm sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    * Σy² + arm splits) — the lift algebra runs on a single row.
+    * Nothing fact-sized shuffles twice; the adjusted lift is computed
+    * from the sums directly (mean of y−θ(x−x̄) over an arm is
+    * ȳ_a − θ·x̄_a + θ·x̄), so no per-unit double arithmetic exists to
+    * be order-dependent. Integer inputs → exact long sums → per-value
+    * IEEE divisions; published doubles round-6.
+    *
+    * `treated` must be constant per unit (a randomization key).
+    * Output: one row (n_units, theta, lift_raw, lift_cuped, rho2). */
+  def cupedLift(df: DataFrame, unit: Column, treated: Column,
+                preMetric: Column, postMetric: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val units = df.filter(treated.isNotNull)
+      .groupBy(unit.as("__u"), treated.cast("boolean").as("__g"))
+      .agg(sum(coalesce(preMetric.cast("long"), lit(0L))).as("__x"),
+        sum(coalesce(postMetric.cast("long"), lit(0L))).as("__y"))
+    def armSum(g: Boolean, c: Column, tag: String) =
+      sum(when(col("__g") === g, c).otherwise(0L)).as(tag)
+    val a = units.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      armSum(true, lit(1L), "__nt"), armSum(true, col("__x"), "__sxt"),
+      armSum(true, col("__y"), "__syt"),
+      armSum(false, lit(1L), "__nc"), armSum(false, col("__x"), "__sxc"),
+      armSum(false, col("__y"), "__syc"))
+    val n = dbl(col("__n"))
+    val covXY = dbl(col("__sxy")) - dbl(col("__sx")) * dbl(col("__sy")) / n
+    val varX = dbl(col("__sxx")) - dbl(col("__sx")) * dbl(col("__sx")) / n
+    val varY = dbl(col("__syy")) - dbl(col("__sy")) * dbl(col("__sy")) / n
+    val theta = when(varX > 0.0, covXY / varX).otherwise(lit(0.0))
+    val liftRaw = dbl(col("__syt")) / dbl(col("__nt")) -
+      dbl(col("__syc")) / dbl(col("__nc"))
+    val liftCuped = liftRaw - theta *
+      (dbl(col("__sxt")) / dbl(col("__nt")) - dbl(col("__sxc")) / dbl(col("__nc")))
+    val rho2 = when(varX > 0.0 && varY > 0.0,
+      covXY * covXY / (varX * varY)).otherwise(lit(0.0))
+    a.select(col("__n").as("n_units"), round(theta, 6).as("theta"),
+      round(liftRaw, 6).as("lift_raw"), round(liftCuped, 6).as("lift_cuped"),
+      round(rho2, 6).as("rho2"))
+  }
+
   /** Cochran–Mantel–Haenszel test — [[twoProportionTest]] STRATIFIED:
     * the rate comparison that survives Simpson's paradox. A corpus
     * whose language mix shifted between eras can show the keep-rate

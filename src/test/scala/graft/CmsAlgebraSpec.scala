@@ -172,6 +172,66 @@ class CmsAlgebraSpec extends SparkTestBase {
     }
   }
 
+  // ---- cupedLift / sprt ----------------------------------------------------
+
+  test("cupedLift removes covariate-explained variance from the lift") {
+    import graft.ops.Profiling
+    // 8 units; outcome y = x + armEffect: the covariate explains all
+    // within-arm variance, so theta = 1, rho2 high, and the CUPED lift
+    // equals the true effect exactly while the raw lift is confounded
+    // by the arms' unequal covariate draw
+    val units = Seq(
+      // (unit, treated, x, y = x + 3 if treated else x)
+      (1L, true, 10L, 13L), (2L, true, 20L, 23L),
+      (3L, true, 30L, 33L), (4L, true, 40L, 43L),
+      (5L, false, 30L, 30L), (6L, false, 40L, 40L),
+      (7L, false, 50L, 50L), (8L, false, 60L, 60L))
+    val df = sqlDf("u" -> units.map(_._1), "g" -> units.map(_._2),
+      "x" -> units.map(_._3), "y" -> units.map(_._4))
+    val r = Profiling.cupedLift(df, col("u"), col("g"), col("x"), col("y"))
+      .head()
+    assert(r.getAs[Long]("n_units") == 8L)
+    // pooled theta: y = x + 1.5g-ish; cov/var on the pooled data
+    val xs = units.map(_._3.toDouble); val ys = units.map(_._4.toDouble)
+    val n = xs.size
+    val cov = xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum / n
+    val vx = xs.map(a => a * a).sum - xs.sum * xs.sum / n
+    val theta = cov / vx
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-6)
+    val rawT = units.filter(_._2).map(_._4).sum / 4.0
+    val rawC = units.filterNot(_._2).map(_._4).sum / 4.0
+    assert(math.abs(r.getAs[Double]("lift_raw") - (rawT - rawC)) < 1e-6)
+    val xT = units.filter(_._2).map(_._3).sum / 4.0
+    val xC = units.filterNot(_._2).map(_._3).sum / 4.0
+    val cuped = (rawT - rawC) - theta * (xT - xC)
+    assert(math.abs(r.getAs[Double]("lift_cuped") - cuped) < 1e-6)
+    // the adjusted lift is far closer to the true effect (+3) than raw
+    assert(math.abs(cuped - 3.0) < math.abs((rawT - rawC) - 3.0))
+    assert(r.getAs[Double]("rho2") > 0.8)
+  }
+
+  test("sprt: decisive streams cross the right bound, boundary rate continues") {
+    import graft.ops.EventAnalytics
+    // three keyed Bernoulli series over 20 buckets x 10 obs each:
+    // 'hot' all successes, 'cold' all failures, 'mid' exactly 1-in-5
+    val rows = for {
+      (k, hit) <- Seq(("hot", (i: Int) => true), ("cold", (_: Int) => false),
+        ("mid", (i: Int) => i % 5 == 0))
+      b <- 0 until 20; i <- 0 until 10
+    } yield (k, b.toLong, hit(b * 10 + i))
+    val df = sqlDf("k" -> rows.map(_._1), "h" -> rows.map(_._2),
+      "ok" -> rows.map(_._3))
+    val out = EventAnalytics.sprt(df, col("k"), col("h"), col("ok"),
+        p0 = 0.18, p1 = 0.22)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(4), Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out("hot")._1 == "accept_h1" && out("hot")._2.exists(_ <= 2),
+      s"an all-success stream must accept H1 within the first buckets: $out")
+    assert(out("cold")._1 == "accept_h0" && out("cold")._2.nonEmpty)
+    assert(out("mid")._1 == "continue" && out("mid")._2.isEmpty,
+      s"a rate between p0 and p1 should keep sampling: ${out("mid")}")
+  }
+
   // ---- plackettLuce --------------------------------------------------------
 
   test("plackettLuce at J=2 coincides with bradleyTerry") {
