@@ -3000,6 +3000,15 @@ object QueriesOps {
         when(col("ts") >= lit(cut), 1L).otherwise(0L))
     }),
 
+    // delta-method ratio-metric z-test: purchases-per-view between
+    // even/odd user arms — unit-grain exact sums, per-arm delta
+    // variance, single-row IEEE chain
+    "x_ratio_delta" -> ((s, d) =>
+      Profiling.ratioMetricTest(events(s, d), col("user_id"),
+        col("user_id") % 2 === 0,
+        when(col("event_type") === "view", 1L).otherwise(0L),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))),
+
     // Wald SPRT per event type: H0 p=0.18 vs H1 p=0.22 on the
     // deterministic user_id%5 success flag, hourly buckets, default
     // alpha=beta=0.05 bounds; LLR quantized to the round-6 grid
@@ -8367,6 +8376,61 @@ s"""WITH lines AS (
         |  round(CASE WHEN varx > 0.0 AND vary > 0.0
         |    THEN covxy * covxy / (varx * vary) ELSE 0.0 END, 6) AS rho2
         |FROM b""".stripMargin,
+
+    // delta-method replay: unit-grain integer sums, per-arm moment
+    // algebra in the identical operation order, round-6 publish
+    "x_ratio_delta" ->
+      """WITH u AS (SELECT user_id, (user_id % 2 = 0) AS g,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT
+        |    sum(CASE WHEN g THEN 1 ELSE 0 END) AS nt,
+        |    sum(CASE WHEN g THEN x ELSE 0 END) AS sxt,
+        |    sum(CASE WHEN g THEN y ELSE 0 END) AS syt,
+        |    sum(CASE WHEN g THEN x * x ELSE 0 END) AS sxxt,
+        |    sum(CASE WHEN g THEN y * y ELSE 0 END) AS syyt,
+        |    sum(CASE WHEN g THEN x * y ELSE 0 END) AS sxyt,
+        |    sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN NOT g THEN x ELSE 0 END) AS sxc,
+        |    sum(CASE WHEN NOT g THEN y ELSE 0 END) AS syc,
+        |    sum(CASE WHEN NOT g THEN x * x ELSE 0 END) AS sxxc,
+        |    sum(CASE WHEN NOT g THEN y * y ELSE 0 END) AS syyc,
+        |    sum(CASE WHEN NOT g THEN x * y ELSE 0 END) AS sxyc
+        |  FROM u),
+        |b AS (SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        |    CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) AS xbt,
+        |    CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) AS ybt,
+        |    CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE) AS xbc,
+        |    CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE) AS ybc,
+        |    CAST(nt AS DOUBLE) AS dnt, CAST(nc AS DOUBLE) AS dnc,
+        |    CAST(sxt AS DOUBLE) AS dsxt, CAST(syt AS DOUBLE) AS dsyt,
+        |    CAST(sxxt AS DOUBLE) AS dsxxt, CAST(syyt AS DOUBLE) AS dsyyt,
+        |    CAST(sxyt AS DOUBLE) AS dsxyt,
+        |    CAST(sxc AS DOUBLE) AS dsxc, CAST(syc AS DOUBLE) AS dsyc,
+        |    CAST(sxxc AS DOUBLE) AS dsxxc, CAST(syyc AS DOUBLE) AS dsyyc,
+        |    CAST(sxyc AS DOUBLE) AS dsxyc,
+        |    (nt > 1 AND sxt > 0) AS okt, (nc > 1 AND sxc > 0) AS okc
+        |  FROM a),
+        |c AS (SELECT n_t, n_c,
+        |    CASE WHEN okt THEN ybt / xbt END AS rt,
+        |    CASE WHEN okc THEN ybc / xbc END AS rc,
+        |    CASE WHEN okt THEN
+        |      (((dsyyt - dsyt * ybt) / (dnt - 1.0))
+        |        - 2.0 * (ybt / xbt) * ((dsxyt - dsxt * ybt) / (dnt - 1.0))
+        |        + (ybt / xbt) * (ybt / xbt) * ((dsxxt - dsxt * xbt) / (dnt - 1.0)))
+        |        / (dnt * xbt * xbt) END AS vt,
+        |    CASE WHEN okc THEN
+        |      (((dsyyc - dsyc * ybc) / (dnc - 1.0))
+        |        - 2.0 * (ybc / xbc) * ((dsxyc - dsxc * ybc) / (dnc - 1.0))
+        |        + (ybc / xbc) * (ybc / xbc) * ((dsxxc - dsxc * xbc) / (dnc - 1.0)))
+        |        / (dnc * xbc * xbc) END AS vc
+        |  FROM b)
+        |SELECT n_t, n_c, round(rt, 6) AS ratio_t, round(rc, 6) AS ratio_c,
+        |  round(rt - rc, 6) AS diff, round(sqrt(vt + vc), 6) AS se,
+        |  round(CASE WHEN sqrt(vt + vc) > 0.0
+        |    THEN (rt - rc) / sqrt(vt + vc) END, 6) AS z
+        |FROM c""".stripMargin,
 
     // SPRT replay: hourly (key x bucket) level table, cumulative LLR
     // on the round-6 grid, first-crossing buckets, Wald verdict

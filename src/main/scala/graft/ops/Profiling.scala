@@ -982,6 +982,64 @@ object Profiling {
       round(rho2, 6).as("rho2"))
   }
 
+  /** Delta-method ratio-metric test (Deng, Knoblich & Lu, KDD 2018,
+    * "Applying the Delta Method in Metric Analytics"): the z-test for
+    * RATIO metrics (CTR = Σclicks/Σviews, revenue-per-session) whose
+    * numerator and denominator are sums over the SAME randomization
+    * units — the naive per-row variance is wrong because rows within
+    * a unit are correlated; the delta method gives
+    * var(R_a) ≈ (s_yy − 2R·s_xy + R²·s_xx) / (n·x̄²) from unit-grain
+    * moments. Completes the experimentation kit beside [[cupedLift]]
+    * (variance reduction), [[diffInDiff]] (time confounds) and
+    * [[graft.ops.EventAnalytics.sprt]] (sequential stopping).
+    *
+    * Scale shape: one unit-keyed partial agg (integer metrics → exact
+    * long sums), one global agg to per-arm sufficient statistics
+    * (n, Σx, Σy, Σxx, Σyy, Σxy), then a single-row IEEE chain.
+    * `treated` must be constant per unit. Arms with n ≤ 1 or a zero
+    * denominator read NULL ratio/variance (loudly absent, never a
+    * division blow-up). Output: one row (n_t, n_c, ratio_t, ratio_c,
+    * diff, se, z), doubles round-6. */
+  def ratioMetricTest(df: DataFrame, unit: Column, treated: Column,
+                      denomMetric: Column, numerMetric: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val units = df.filter(treated.isNotNull)
+      .groupBy(unit.as("__u"), treated.cast("boolean").as("__g"))
+      .agg(sum(coalesce(denomMetric.cast("long"), lit(0L))).as("__x"),
+        sum(coalesce(numerMetric.cast("long"), lit(0L))).as("__y"))
+    def arm(g: Boolean, tag: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(col("__g") === g, col("__x")).otherwise(0L)).as(s"__sx$tag"),
+      sum(when(col("__g") === g, col("__y")).otherwise(0L)).as(s"__sy$tag"),
+      sum(when(col("__g") === g, col("__x") * col("__x")).otherwise(0L))
+        .as(s"__sxx$tag"),
+      sum(when(col("__g") === g, col("__y") * col("__y")).otherwise(0L))
+        .as(s"__syy$tag"),
+      sum(when(col("__g") === g, col("__x") * col("__y")).otherwise(0L))
+        .as(s"__sxy$tag"))
+    val aggs = arm(true, "t") ++ arm(false, "c")
+    val a = units.agg(aggs.head, aggs.tail: _*)
+    def stats(tag: String): (Column, Column) = {
+      val n = dbl(col(s"__n$tag"))
+      val xb = dbl(col(s"__sx$tag")) / n
+      val yb = dbl(col(s"__sy$tag")) / n
+      val r = yb / xb
+      val sxx = (dbl(col(s"__sxx$tag")) - dbl(col(s"__sx$tag")) * xb) / (n - lit(1.0))
+      val syy = (dbl(col(s"__syy$tag")) - dbl(col(s"__sy$tag")) * yb) / (n - lit(1.0))
+      val sxy = (dbl(col(s"__sxy$tag")) - dbl(col(s"__sx$tag")) * yb) / (n - lit(1.0))
+      val ok = col(s"__n$tag") > 1L && col(s"__sx$tag") > 0L
+      (when(ok, r),
+        when(ok, (syy - lit(2.0) * r * sxy + r * r * sxx) / (n * xb * xb)))
+    }
+    val (rt, vt) = stats("t")
+    val (rc, vc) = stats("c")
+    val se = sqrt(vt + vc)
+    a.select(col("__nt").as("n_t"), col("__nc").as("n_c"),
+      round(rt, 6).as("ratio_t"), round(rc, 6).as("ratio_c"),
+      round(rt - rc, 6).as("diff"), round(se, 6).as("se"),
+      round(when(se > 0.0, (rt - rc) / se), 6).as("z"))
+  }
+
   /** Cochran–Mantel–Haenszel test — [[twoProportionTest]] STRATIFIED:
     * the rate comparison that survives Simpson's paradox. A corpus
     * whose language mix shifted between eras can show the keep-rate

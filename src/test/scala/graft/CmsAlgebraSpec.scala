@@ -210,6 +210,42 @@ class CmsAlgebraSpec extends SparkTestBase {
     assert(r.getAs[Double]("rho2") > 0.8)
   }
 
+  test("ratioMetricTest: delta-method moments match hand computation; degenerate arm is NULL") {
+    import graft.ops.Profiling
+    // unit grain: (unit, treated, views x, purchases y)
+    val units = Seq(
+      (1L, true, 10L, 4L), (2L, true, 20L, 6L), (3L, true, 30L, 12L),
+      (4L, false, 10L, 2L), (5L, false, 20L, 5L), (6L, false, 40L, 8L))
+    val df = sqlDf("u" -> units.map(_._1), "g" -> units.map(_._2),
+      "x" -> units.map(_._3), "y" -> units.map(_._4))
+    val r = Profiling.ratioMetricTest(df, col("u"), col("g"),
+      col("x"), col("y")).head()
+    def hand(rows: Seq[(Long, Long)]): (Double, Double) = {
+      val n = rows.size.toDouble
+      val xb = rows.map(_._1).sum / n; val yb = rows.map(_._2).sum / n
+      val ratio = yb / xb
+      def sv(f: ((Long, Long)) => Double, g: ((Long, Long)) => Double) =
+        (rows.map(t => f(t) * g(t)).sum - rows.map(f).sum * rows.map(g).sum / n) / (n - 1)
+      val (sxx, syy, sxy) = (sv(_._1.toDouble, _._1.toDouble),
+        sv(_._2.toDouble, _._2.toDouble), sv(_._1.toDouble, _._2.toDouble))
+      (ratio, (syy - 2 * ratio * sxy + ratio * ratio * sxx) / (n * xb * xb))
+    }
+    val (rt, vt) = hand(units.filter(_._2).map(t => (t._3, t._4)))
+    val (rc, vc) = hand(units.filterNot(_._2).map(t => (t._3, t._4)))
+    assert(math.abs(r.getAs[Double]("ratio_t") - rt) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ratio_c") - rc) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se") - math.sqrt(vt + vc)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") -
+      (rt - rc) / math.sqrt(vt + vc)) < 1e-5)
+    // an arm with a zero denominator reads NULL, never a blow-up
+    val degen = sqlDf("u" -> Seq(1L, 2L, 3L, 4L), "g" -> Seq(true, true, false, false),
+      "x" -> Seq(0L, 0L, 5L, 7L), "y" -> Seq(1L, 2L, 1L, 1L))
+    val dr = Profiling.ratioMetricTest(degen, col("u"), col("g"),
+      col("x"), col("y")).head()
+    assert(dr.isNullAt(dr.fieldIndex("ratio_t")) &&
+      dr.isNullAt(dr.fieldIndex("z")) && !dr.isNullAt(dr.fieldIndex("ratio_c")))
+  }
+
   test("sprt: decisive streams cross the right bound, boundary rate continues") {
     import graft.ops.EventAnalytics
     // three keyed Bernoulli series over 20 buckets x 10 obs each:
