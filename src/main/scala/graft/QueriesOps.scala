@@ -2490,6 +2490,16 @@ object QueriesOps {
             width = 65536, depth = 4))
         .orderBy(col("r"))),
 
+    // join-strategy advisor: counts + sketch estimate -> verdict; the
+    // 1000-row broadcast budget forces the estimate-dependent branch
+    // (neither side fits, est stays under the fanout ceiling ->
+    // shuffle_hash)
+    "x_join_plan" -> ((s, d) =>
+      Profiling.joinPlan(t(s, d, "orders"), col("o_orderkey"),
+        t(s, d, "lineitem"), col("l_orderkey"),
+        width = 65536, depth = 4, broadcastRows = 1000L,
+        fanoutFactor = 4.0)),
+
     // key-skew scalar: F2 = Σ f_k² (the self-join size) of the
     // lineitem join key from ONE sketch scan, no self-join
     "x_f2" -> ((s, d) => {
@@ -6503,6 +6513,33 @@ object QueriesOps {
         |SELECT CAST(r AS INT) AS r, inner_product,
         |  CAST(min(inner_product) OVER () AS BIGINT) AS est_join_size
         |FROM ip ORDER BY r""".stripMargin,
+
+    // advisor replay: the x_join_size estimate + exact counts through
+    // the identical threshold CASE
+    "x_join_plan" ->
+      s"""WITH pr AS (SELECT unnest(range(0, 4)) AS r),
+        |sa AS (SELECT r, bucket, count(*) AS ca FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(o_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM orders CROSS JOIN pr) GROUP BY 1, 2),
+        |sb AS (SELECT r, bucket, count(*) AS cb FROM (
+        |    SELECT pr.r, ${cmsBucketSql("CAST(l_orderkey AS VARCHAR)", 65536)} AS bucket
+        |    FROM lineitem CROSS JOIN pr) GROUP BY 1, 2),
+        |prods AS (SELECT r, sum(ca * cb) AS ip
+        |  FROM sa JOIN sb USING (r, bucket) GROUP BY r),
+        |ip AS (SELECT pr.r, CAST(coalesce(prods.ip, 0) AS BIGINT) AS inner_product
+        |  FROM pr LEFT JOIN prods ON pr.r = prods.r),
+        |e AS (SELECT min(inner_product) AS est FROM ip),
+        |na AS (SELECT count(o_orderkey) AS n_a FROM orders),
+        |nb AS (SELECT count(l_orderkey) AS n_b FROM lineitem)
+        |SELECT n_a, n_b, est AS est_join_size,
+        |  round(CAST(est AS DOUBLE) / CAST(greatest(n_a, n_b) AS DOUBLE), 6)
+        |    AS fanout,
+        |  CASE WHEN n_a <= 1000 AND n_a <= n_b THEN 'broadcast_a'
+        |    WHEN n_b <= 1000 THEN 'broadcast_b'
+        |    WHEN CAST(est AS DOUBLE) > 4.0 * CAST(n_a + n_b AS DOUBLE)
+        |      THEN 'salt_or_bucket'
+        |    ELSE 'shuffle_hash' END AS strategy
+        |FROM na CROSS JOIN nb CROSS JOIN e""".stripMargin,
 
     // F2 self-join replay: one counter table, inner product with itself
     "x_f2" ->

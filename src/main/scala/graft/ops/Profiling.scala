@@ -982,6 +982,44 @@ object Profiling {
       round(rho2, 6).as("rho2"))
   }
 
+  /** Join-strategy advisor — the decision [[cmsJoinSize]] exists to
+    * feed, packaged as one read: from two INDEPENDENT one-pass scans
+    * (a count + a CMS sketch per side, no join, no shuffle of either
+    * fact table) it publishes the side cardinalities, the estimated
+    * join cardinality, the fanout ratio est/max(n), and a strategy
+    * verdict — `broadcast_a`/`broadcast_b` when a side fits the
+    * broadcast budget, `salt_or_bucket` when the estimated output
+    * explodes past `fanoutFactor`·(n_a+n_b) (many-to-many or a hot
+    * key — pre-shuffle mitigation needed), `shuffle_hash` otherwise.
+    * At 100 TB this is the read a pipeline runs BEFORE submitting the
+    * join: two sketch scans cost minutes, a mis-planned join costs
+    * hours. Thresholds are caller-declared (rows, not bytes — the
+    * caller knows its row width); the verdict is a deterministic
+    * function of exact counts and the deterministic sketch estimate.
+    * Output: one row (n_a, n_b, est_join_size, fanout, strategy). */
+  def joinPlan(a: DataFrame, akey: Column, b: DataFrame, bkey: Column,
+               width: Int = 65536, depth: Int = 4,
+               broadcastRows: Long = 1000000L,
+               fanoutFactor: Double = 4.0): DataFrame = {
+    require(broadcastRows > 0 && fanoutFactor > 0,
+      s"joinPlan: thresholds must be positive (got $broadcastRows, $fanoutFactor)")
+    val na = a.agg(count(akey).as("n_a"))
+    val nb = b.agg(count(bkey).as("n_b"))
+    val est = cmsJoinSize(cmsSketch(a, akey, width, depth),
+        cmsSketch(b, bkey, width, depth))
+      .agg(min("est_join_size").as("est_join_size"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(est))
+      .select(col("n_a"), col("n_b"), col("est_join_size"),
+        round(col("est_join_size").cast("double") /
+          greatest(col("n_a"), col("n_b")).cast("double"), 6).as("fanout"),
+        when(col("n_a") <= broadcastRows && col("n_a") <= col("n_b"),
+            lit("broadcast_a"))
+          .when(col("n_b") <= broadcastRows, lit("broadcast_b"))
+          .when(col("est_join_size").cast("double") > lit(fanoutFactor) *
+            (col("n_a") + col("n_b")).cast("double"), lit("salt_or_bucket"))
+          .otherwise(lit("shuffle_hash")).as("strategy"))
+  }
+
   /** Delta-method ratio-metric test (Deng, Knoblich & Lu, KDD 2018,
     * "Applying the Delta Method in Metric Analytics"): the z-test for
     * RATIO metrics (CTR = Σclicks/Σviews, revenue-per-session) whose

@@ -74,6 +74,30 @@ class CmsAlgebraSpec extends SparkTestBase {
     assert(est == f2, s"collision-free sketch should be exact: $est vs $f2")
   }
 
+  test("joinPlan issues all three verdicts on crafted shapes") {
+    import graft.ops.Profiling
+    val tiny = sqlDf("k" -> (1L to 2L))
+    val mid = sqlDf("k" -> (1L to 5L))
+    val hot = sqlDf("k" -> Seq.fill(8)(1L)) // one hot key
+    // a fits the budget -> broadcast the small side
+    val p1 = Profiling.joinPlan(tiny, col("k"), mid, col("k"),
+      broadcastRows = 2L).head()
+    assert(p1.getAs[String]("strategy") == "broadcast_a")
+    assert(p1.getAs[Long]("n_a") == 2L && p1.getAs[Long]("n_b") == 5L)
+    // neither side fits, one hot key explodes the output -> salt
+    val p2 = Profiling.joinPlan(hot, col("k"),
+      sqlDf("k" -> Seq.fill(5)(1L)), col("k"),
+      broadcastRows = 2L, fanoutFactor = 1.0).head()
+    assert(p2.getAs[Long]("est_join_size") == 40L, "8x5 on one key = 40")
+    assert(p2.getAs[String]("strategy") == "salt_or_bucket")
+    // neither fits, benign 1:1 overlap -> plain shuffle
+    val p3 = Profiling.joinPlan(mid, col("k"),
+      sqlDf("k" -> (1L to 8L)), col("k"),
+      broadcastRows = 2L, fanoutFactor = 1.0).head()
+    assert(p3.getAs[Long]("est_join_size") == 5L)
+    assert(p3.getAs[String]("strategy") == "shuffle_hash")
+  }
+
   // ---- CmsStream ----------------------------------------------------------
 
   test("CmsStream fold == batch rebuild, replay no-ops, refusals are loud") {
