@@ -410,16 +410,30 @@ object Profiling {
     * Output: (r, inner_product, est_join_size) — one row per sketch
     * row, est = min over them (same value on every row). */
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
-    val prods = a.join(
-        b.select(col("r"), col("bucket"), col("cnt").as("cnt_b")),
-        Seq("r", "bucket"))
-      .groupBy("r").agg(sum(col("cnt") * col("cnt_b")).as("inner_product"))
-    // spine keeps rows whose buckets never overlap: their inner
-    // product is 0, which MUST reach the min (est 0), not vanish
-    val spine = a.select("r").union(b.select("r")).distinct()
-    val ip = spine.join(prods, Seq("r"), "left")
-      .select(col("r"), coalesce(col("inner_product"), lit(0L)).as("inner_product"))
-    ip.crossJoin(broadcast(ip.agg(min("inner_product").as("est_join_size"))))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    // self-application (F2): every bucket pairs with itself, so the
+    // inner product is Σ cnt² — ONE scan, no join (the two-sided plan
+    // would scan the same table twice; exchange reuse does not match
+    // across the differently-aliased sides)
+    if (a eq b)
+      return a.groupBy("r")
+        .agg(sum(col("cnt") * col("cnt")).as("inner_product"))
+        .withColumn("est_join_size", min("inner_product").over(all))
+    // FULL OUTER on (r, bucket): unmatched buckets contribute 0 to the
+    // product but keep their r alive, so a row whose buckets never
+    // overlap still reaches the min with inner_product 0 — and each
+    // sketch subtree is referenced exactly ONCE (a separate r-spine
+    // union would re-evaluate both sketch scans)
+    val prods = a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("__cb")),
+        Seq("r", "bucket"), "full")
+      .groupBy("r")
+      .agg(sum(coalesce(col("__ca"), lit(0L)) * coalesce(col("__cb"), lit(0L)))
+        .as("inner_product"))
+    // window-min over the ≤ depth-row level table (constant partition
+    // key — bounded by the sketch geometry, the §5 invariant): a
+    // crossJoin(agg) here would evaluate the product table twice
+    prods.withColumn("est_join_size", min("inner_product").over(all))
   }
 
   // ---- KMV distinct / overlap sketch ---------------------------------------
