@@ -2490,6 +2490,14 @@ object QueriesOps {
             width = 65536, depth = 4))
         .orderBy(col("r"))),
 
+    // one-pass ANALYZE TABLE: row count, per-column nulls, KMV NDV
+    // (exact below k=1024 distinct — l_suppkey/l_returnflag; bottom-k
+    // estimate above — l_orderkey), numeric min/max, all from ONE agg
+    "x_analyze" -> ((s, d) =>
+      Profiling.analyzeTable(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_suppkey", "l_returnflag"), k = 1024)
+        .orderBy(col("column"))),
+
     // join-strategy advisor: counts + sketch estimate -> verdict; the
     // 1000-row broadcast budget forces the estimate-dependent branch
     // (neither side fits, est stays under the fanout ceiling ->
@@ -6513,6 +6521,36 @@ object QueriesOps {
         |SELECT CAST(r AS INT) AS r, inner_product,
         |  CAST(min(inner_product) OVER () AS BIGINT) AS est_join_size
         |FROM ip ORDER BY r""".stripMargin,
+
+    // ANALYZE replay: per column, distinct-md5 cardinality decides the
+    // exact-vs-estimate branch; the estimate reads the 1024th smallest
+    // distinct hash digit by digit (12 hex digits exact in double)
+    "x_analyze" -> {
+      def stats(c: String, numeric: Boolean) = {
+        val minmax =
+          if (numeric)
+            s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num"
+          else
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num"
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  (SELECT CASE WHEN count(*) < 1024 THEN CAST(count(*) AS DOUBLE)
+           |    ELSE 1023.0 / ((SELECT list_sum(list_transform(range(1, 13), j ->
+           |      (strpos('0123456789abcdef', substring(h, CAST(j AS INT), 1)) - 1)
+           |        * pow(16, 12 - j)))
+           |      FROM (SELECT md5(CAST($c AS VARCHAR)) AS h FROM lineitem
+           |        WHERE $c IS NOT NULL GROUP BY 1 ORDER BY 1 LIMIT 1 OFFSET 1023))
+           |      / 281474976710656.0) END
+           |   FROM (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h FROM lineitem
+           |     WHERE $c IS NOT NULL)) AS ndv_est,
+           |  $minmax
+           |FROM lineitem""".stripMargin
+      }
+      Seq(stats("l_orderkey", numeric = true),
+        stats("l_returnflag", numeric = false),
+        stats("l_suppkey", numeric = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // advisor replay: the x_join_size estimate + exact counts through
     // the identical threshold CASE

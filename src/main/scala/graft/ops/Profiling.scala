@@ -436,6 +436,68 @@ object Profiling {
     prods.withColumn("est_join_size", min("inner_product").over(all))
   }
 
+  /** One-pass ANALYZE TABLE — the per-column statistics a planner (or
+    * [[joinPlan]]-style advisor) reads before touching a 100 TB table:
+    * row count, per-column null count, NDV estimated by the KMV
+    * bottom-k sketch ([[graft.plans.KmvSketchAgg]] — EXACT below k
+    * distinct values, (k−1)/frac(kth hash) above), and numeric
+    * min/max. ALL columns' statistics come from ONE scan: every
+    * column contributes its count/min/max/KMV aggregate to a single
+    * agg (map-side combined, bounded k·|cols| state), and the result
+    * row explodes to the per-column stats frame. Persist with
+    * [[writeTableStats]] beside the table and serve lookups without a
+    * rescan. Output: (column, n_rows, n_nulls, ndv_est, min_num,
+    * max_num) — min/max NULL for non-numeric columns. */
+  def analyzeTable(df: DataFrame, cols: Seq[String], k: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.NumericType
+    require(cols.nonEmpty, "analyzeTable: need at least one column")
+    require(k >= 16, s"analyzeTable: k must be >= 16 (got $k)")
+    val schema = df.schema
+    val numeric = cols.filter(c => schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }).toSet
+    val aggs = cols.flatMap { c =>
+      val kmv = ColumnBridge.column(graft.plans.KmvSketchAgg(
+        ColumnBridge.expr(md5(col(c).cast("string"))), k).toAggregateExpression())
+      Seq(count(col(c)).as(s"__n_$c"), kmv.as(s"__kmv_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+        else Seq.empty)
+    } :+ count(lit(1)).as("__rows")
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    def ndv(c: String): Column = {
+      val s = col(s"__kmv_$c")
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit(k - 1).cast("double") /
+          (conv(substring(element_at(s, k), 1, 12), 16, 10).cast("double") /
+            lit(math.pow(16.0, 12))))
+    }
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__n_$c")).as("n_nulls"),
+        ndv(c).as("ndv_est"),
+        (if (numeric(c)) col(s"__min_$c") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric(c)) col(s"__max_$c") else lit(null).cast("double"))
+          .as("max_num"))
+    }
+    a.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  /** Persist the [[analyzeTable]] frame beside the table (one tiny
+    * parquet under `<path>/_table_stats`) — the serve-without-rescan
+    * half; a maintenance rewrite re-runs ANALYZE and overwrites. */
+  def writeTableStats(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_table_stats")
+
+  def readTableStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(s"$path/_table_stats")
+
   // ---- KMV distinct / overlap sketch ---------------------------------------
 
   /** KMV distinct sketch of a key column (plans.KmvKernels): ONE

@@ -196,6 +196,25 @@ class CmsAlgebraSpec extends SparkTestBase {
     }
   }
 
+  test("analyzeTable: exact regime stats, nulls counted, sidecar round-trips") {
+    import graft.ops.Profiling
+    val df = sqlDf("a" -> Seq[Any](1L, 2L, 2L, 3L, null),
+      "s" -> Seq[Any]("x", "y", "x", null, "z"))
+    val stats = Profiling.analyzeTable(df, Seq("a", "s"), k = 16)
+      .orderBy("column").collect()
+    val a = stats(0); val s = stats(1)
+    assert(a.getString(0) == "a" && a.getLong(1) == 5L && a.getLong(2) == 1L)
+    assert(a.getDouble(3) == 3.0, "4 non-null values, 3 distinct -> exact NDV")
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 3.0)
+    assert(s.getLong(2) == 1L && s.getDouble(3) == 3.0)
+    assert(s.isNullAt(4) && s.isNullAt(5), "non-numeric column has no min/max")
+    // sidecar round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    Profiling.writeTableStats(Profiling.analyzeTable(df, Seq("a", "s"), k = 16), dir)
+    val back = Profiling.readTableStats(spark, dir).orderBy("column").collect()
+    assert(back.map(_.toSeq).toSeq == stats.map(_.toSeq).toSeq)
+  }
+
   // ---- cupedLift / sprt ----------------------------------------------------
 
   test("cupedLift removes covariate-explained variance from the lift") {
