@@ -711,4 +711,155 @@ class RandomPropertySpec extends SparkTestBase {
     }
   }
 
+  test("CMS merge == rebuild on random splits, any merge order") {
+    import spark.implicits._
+    for (seed <- Seq(7, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val terms = Seq.fill(200)(s"t${rnd.nextInt(40)}")
+      val parts = terms.grouped(70).toSeq
+      def sk(xs: Seq[String]) =
+        Profiling.cmsSketch(xs.toDF("term"), col("term"), 64, 4)
+      def cs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val full = cs(sk(terms))
+      val fwd = cs(Profiling.cmsMerge(parts.map(sk): _*))
+      val rev = cs(Profiling.cmsMerge(parts.reverse.map(sk): _*))
+      assert(fwd == full && rev == full,
+        s"seed=$seed: merge must equal rebuild in any order")
+    }
+  }
+
+  test("cmsJoinSize upper-bounds the exact join size on random multisets") {
+    import spark.implicits._
+    for (seed <- Seq(3, 13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val a = Seq.fill(150)(rnd.nextInt(40).toLong)
+      val b = Seq.fill(200)(rnd.nextInt(40).toLong)
+      val exact = (0 until 40).map(k =>
+        a.count(_ == k).toLong * b.count(_ == k)).sum
+      val est = Profiling.cmsJoinSize(
+          Profiling.cmsSketch(a.toDF("k"), col("k"), 65536, 4),
+          Profiling.cmsSketch(b.toDF("k"), col("k"), 65536, 4))
+        .select("est_join_size").head().getLong(0)
+      assert(est >= exact, s"seed=$seed: CM inner product must over-estimate")
+      // 40 keys in 65536 buckets: collision-free, so exact
+      assert(est == exact, s"seed=$seed: $est vs $exact")
+    }
+  }
+
+  test("doremiWeights closed form == explicit EG iteration on random loss grids") {
+    import spark.implicits._
+    for (seed <- Seq(17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val doms = Seq("a", "b", "c", "d")
+      val rounds = 0 until 5
+      val loss = (for (d <- doms; t <- rounds)
+        yield (d, t) -> (50L + rnd.nextInt(100))).toMap
+      val rows = loss.toSeq.map { case ((d, t), l) => (d, t.toLong, l) }
+      val out = Sampling.doremiWeights(rows.toDF("domain", "rnd", "loss"),
+          col("domain"), col("rnd"), col("loss"), eta = 0.5, smoothing = 0.1)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("w_avg")).toMap
+      // explicit iteration on the same round-6 excess grid
+      var cum = doms.map(_ => 0.0)
+      var wsum = doms.map(_ => 0.0)
+      for (t <- rounds) {
+        val ls = doms.map(d => loss((d, t)).toDouble)
+        val mean = ls.sum / doms.size
+        val ex = ls.map(l => math.rint((l / mean - 1.0) * 1e6) / 1e6)
+        cum = cum.zip(ex).map { case (c, e) => c + e }
+        val u = cum.map(c => math.exp(0.5 * c))
+        val z = u.sum
+        wsum = wsum.zip(u).map { case (w, uu) => w + uu / z }
+      }
+      doms.zip(wsum.map(w => math.rint(w / rounds.size * 1e6) / 1e6))
+        .foreach { case (d, e) =>
+          assert(math.abs(out(d) - e) < 2e-6, s"seed=$seed domain=$d: ${out(d)} vs $e")
+        }
+      assert(math.abs(out.values.sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("knnShapley == subset-enumeration Shapley on random labelings") {
+    import spark.implicits._
+    def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
+    for (seed <- Seq(9, 27); k <- Seq(1, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 7
+      val angles = Seq.tabulate(n)(i => 0.05 + i * 0.09)
+      val labels = Seq.fill(n)(rnd.nextInt(3))
+      val qLabel = rnd.nextInt(3)
+      val train = angles.zipWithIndex.map { case (a, i) =>
+        (i.toLong, Seq(math.cos(a), math.sin(a)), labels(i))
+      }.toDF("vec_id", "embedding", "label")
+      val q = Seq((99L, Seq(1.0, 0.0), qLabel)).toDF("vec_id", "embedding", "label")
+      val out = Similarity.knnShapley(train, "vec_id", "embedding", "label",
+          q, "vec_id", "embedding", "label", k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val matches = labels.map(_ == qLabel)
+      def v(s: Seq[Int]): Double = s.sorted.take(k).count(matches).toDouble / k
+      val expect = (0 until n).map { i =>
+        val rest = (0 until n).filterNot(_ == i)
+        (0 to rest.size).flatMap(sz => rest.combinations(sz)).map { s =>
+          fact(s.size) * fact(n - s.size - 1) / fact(n) *
+            (v(s.toSeq :+ i) - v(s.toSeq))
+        }.sum
+      }
+      (0 until n).foreach { i =>
+        assert(math.abs(out(i.toLong) - expect(i)) < 1e-5,
+          s"seed=$seed k=$k pos=$i: ${out(i.toLong)} vs ${expect(i)}")
+      }
+    }
+  }
+
+  test("plackettLuce at J=2 == bradleyTerry on random match sets") {
+    import spark.implicits._
+    for (seed <- Seq(21, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val ms = Seq.fill(40) {
+        val w = rnd.nextInt(5); var l = rnd.nextInt(5)
+        while (l == w) l = rnd.nextInt(5)
+        (w.toString, l.toString)
+      }
+      val bt = Classifier.bradleyTerry(ms.toDF("w", "l"), "w", "l", iters = 3)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+      val rk = ms.zipWithIndex.flatMap { case ((w, l), g) =>
+        Seq((g.toLong, w, 1L), (g.toLong, l, 2L)) }
+      val pl = Classifier.plackettLuce(rk.toDF("g", "item", "pos"),
+          "g", "item", "pos", iters = 3)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("rating")).toMap
+      bt.foreach { case (item, r) =>
+        assert(math.abs(pl(item) - r) <= 1e-9 * math.max(1.0, math.abs(r)),
+          s"seed=$seed item=$item: ${pl(item)} vs $r")
+      }
+    }
+  }
+
+  test("ratioMetricTest == direct delta-method computation on random unit tables") {
+    import spark.implicits._
+    for (seed <- Seq(15, 33)) {
+      val rnd = new scala.util.Random(seed)
+      val units = Seq.tabulate(30)(i =>
+        (i.toLong, i % 2 == 0, 1L + rnd.nextInt(50), rnd.nextInt(20).toLong))
+      val r = Profiling.ratioMetricTest(
+        units.toDF("u", "g", "x", "y"), col("u"), col("g"),
+        col("x"), col("y")).head()
+      def hand(rows: Seq[(Long, Long)]): (Double, Double) = {
+        val n = rows.size.toDouble
+        val xb = rows.map(_._1).sum / n; val yb = rows.map(_._2).sum / n
+        val ratio = yb / xb
+        def sv(f: ((Long, Long)) => Double, g: ((Long, Long)) => Double) =
+          (rows.map(t => f(t) * g(t)).sum -
+            rows.map(f).sum * rows.map(g).sum / n) / (n - 1)
+        (ratio, (sv(_._2.toDouble, _._2.toDouble)
+          - 2 * ratio * sv(_._1.toDouble, _._2.toDouble)
+          + ratio * ratio * sv(_._1.toDouble, _._1.toDouble)) / (n * xb * xb))
+      }
+      val (rt, vt) = hand(units.filter(_._2).map(t => (t._3, t._4)))
+      val (rc, vc) = hand(units.filterNot(_._2).map(t => (t._3, t._4)))
+      assert(math.abs(r.getAs[Double]("ratio_t") - rt) < 1e-6, s"seed=$seed")
+      assert(math.abs(r.getAs[Double]("se") - math.sqrt(vt + vc)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("z") - (rt - rc) / math.sqrt(vt + vc)) < 1e-5)
+    }
+  }
+
 }
