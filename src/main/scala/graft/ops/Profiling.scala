@@ -410,30 +410,35 @@ object Profiling {
     * Output: (r, inner_product, est_join_size) — one row per sketch
     * row, est = min over them (same value on every row). */
   def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    // the min over rows rides ONE global agg of the ≤ depth-row
+    // product table (collect the rows alongside the min, re-explode):
+    // no single-partition Window, and the product table — hence both
+    // sketch scans — is evaluated exactly once (a crossJoin(agg) or an
+    // r-spine union would re-run the scans)
+    def withMin(prods: DataFrame): DataFrame = prods
+      .agg(collect_list(struct(col("r"), col("inner_product"))).as("__rows"),
+        min("inner_product").as("est_join_size"))
+      .select(explode(col("__rows")).as("__x"), col("est_join_size"))
+      .select(col("__x.r").as("r"),
+        col("__x.inner_product").as("inner_product"), col("est_join_size"))
     // self-application (F2): every bucket pairs with itself, so the
     // inner product is Σ cnt² — ONE scan, no join (the two-sided plan
     // would scan the same table twice; exchange reuse does not match
     // across the differently-aliased sides)
     if (a eq b)
-      return a.groupBy("r")
-        .agg(sum(col("cnt") * col("cnt")).as("inner_product"))
-        .withColumn("est_join_size", min("inner_product").over(all))
+      return withMin(a.groupBy("r")
+        .agg(sum(col("cnt") * col("cnt")).as("inner_product")))
     // FULL OUTER on (r, bucket): unmatched buckets contribute 0 to the
     // product but keep their r alive, so a row whose buckets never
     // overlap still reaches the min with inner_product 0 — and each
     // sketch subtree is referenced exactly ONCE (a separate r-spine
     // union would re-evaluate both sketch scans)
-    val prods = a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+    withMin(a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
       .join(b.select(col("r"), col("bucket"), col("cnt").as("__cb")),
         Seq("r", "bucket"), "full")
       .groupBy("r")
       .agg(sum(coalesce(col("__ca"), lit(0L)) * coalesce(col("__cb"), lit(0L)))
-        .as("inner_product"))
-    // window-min over the ≤ depth-row level table (constant partition
-    // key — bounded by the sketch geometry, the §5 invariant): a
-    // crossJoin(agg) here would evaluate the product table twice
-    prods.withColumn("est_join_size", min("inner_product").over(all))
+        .as("inner_product")))
   }
 
   /** One-pass ANALYZE TABLE — the per-column statistics a planner (or
