@@ -237,6 +237,9 @@ object Bench {
   val sf10Queries: Seq[String] = Seq(
     "x_dedup_minhash", "x_ks", "x_dedup_ensemble", "x_bm25", "x_rag",
     "x_entity_res",
+    // round-16 third wave: the pre-join planning read's second decade
+    // — two projection-only sketch scans, growth should stay ~linear
+    "x_join_size",
     // the standing-workload answer to x_bm25's per-call scan growth:
     // postings probes over the one-time materialized index (built on
     // first run, fingerprint-cached in target/idxcache)
