@@ -72,7 +72,8 @@ object Bench {
     // F2 skew scalar, day-2 CMS fold) and the EG mixture fit
     "x_join_size", "x_f2", "x_cms_incr", "x_doremi",
     "s_cms", "s_join_size", "x_shapley", "x_plackett_luce",
-    "x_cuped", "x_sprt", "x_ratio_delta", "x_join_plan", "x_analyze")
+    "x_cuped", "x_sprt", "x_ratio_delta", "x_join_plan", "x_analyze",
+    "s_sprt")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

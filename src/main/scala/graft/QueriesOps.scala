@@ -3037,6 +3037,26 @@ object QueriesOps {
           col("user_id") % 5 === 0, p0 = 0.18, p1 = 0.22)
         .orderBy(col("key"))),
 
+    // STREAMING SPRT monitor, batch-twin: the log folded in three
+    // ARBITRARY batches (event_id%3 — bucket straddling is fine, the
+    // level fold is exact addition) through the standing level table;
+    // the standing verdict is the batch x_sprt bit for bit (same
+    // oracle)
+    "s_sprt" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sprtstream").toString
+      val ev = events(s, d)
+      (0L to 2L).foreach { b =>
+        graft.streaming.SprtStream.mergeBatch(
+          ev.filter(pmod(col("event_id"), lit(3L)) === b),
+          col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L).cast("long"),
+          col("user_id") % 5 === 0, dir, b)
+      }
+      graft.streaming.SprtStream.standingVerdict(s, dir, p0 = 0.18, p1 = 0.22)
+        .orderBy(col("key"))
+    }),
+
     // first-order Markov transition matrix over per-user event
     // sequences: one lag window (bounded user partitions), pair
     // counts to <= k^2 rows, exact row-total divisions
@@ -4070,6 +4090,43 @@ object QueriesOps {
     * replays the same SQL — the s_cusum contract). */
   /** x_markov's oracle, shared verbatim by s_markov (the streaming
     * fold's matrix-identity contract). */
+  /** SPRT replay — hourly (key × bucket) level table, cumulative LLR
+    * on the round-6 grid, first-crossing buckets, Wald verdict.
+    * Shared by x_sprt and s_sprt: the streaming fold is exact level
+    * addition, so the standing verdict is the batch form verbatim. */
+  private lazy val sprtOracleSql: String =
+    """WITH lvl AS (SELECT CAST(event_type AS VARCHAR) AS key,
+      |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+      |    count(*) AS n,
+      |    sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS s
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT key, h, n, s,
+      |    round(CAST(sum(s) OVER w AS DOUBLE) * ln(0.22 / 0.18)
+      |      + CAST(sum(n) OVER w - sum(s) OVER w AS DOUBLE)
+      |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr
+      |  FROM lvl
+      |  WINDOW w AS (PARTITION BY key ORDER BY h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |f AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
+      |    CAST(sum(s) AS BIGINT) AS n_success,
+      |    min(CASE WHEN llr >= 2.944439 THEN h END) AS hup,
+      |    min(CASE WHEN llr <= -2.944439 THEN h END) AS hlo
+      |  FROM t GROUP BY key),
+      |g AS (SELECT key, n_obs, n_success,
+      |    round(CAST(n_success AS DOUBLE) * ln(0.22 / 0.18)
+      |      + CAST(n_obs - n_success AS DOUBLE)
+      |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr,
+      |    CASE WHEN hup IS NULL AND hlo IS NULL THEN 'continue'
+      |      WHEN hlo IS NULL OR (hup IS NOT NULL AND hup <= hlo)
+      |        THEN 'accept_h1'
+      |      ELSE 'accept_h0' END AS decision,
+      |    hup, hlo
+      |  FROM f)
+      |SELECT key, n_obs, n_success, llr, decision,
+      |  CASE WHEN decision = 'accept_h1' THEN hup
+      |    WHEN decision = 'accept_h0' THEN hlo END AS decided_bucket
+      |FROM g ORDER BY key""".stripMargin
+
   private lazy val markovOracle: String =
     """WITH sq AS (SELECT event_type AS t,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -8509,38 +8566,11 @@ s"""WITH lines AS (
 
     // SPRT replay: hourly (key x bucket) level table, cumulative LLR
     // on the round-6 grid, first-crossing buckets, Wald verdict
-    "x_sprt" ->
-      """WITH lvl AS (SELECT CAST(event_type AS VARCHAR) AS key,
-        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
-        |    count(*) AS n,
-        |    sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS s
-        |  FROM events GROUP BY 1, 2),
-        |t AS (SELECT key, h, n, s,
-        |    round(CAST(sum(s) OVER w AS DOUBLE) * ln(0.22 / 0.18)
-        |      + CAST(sum(n) OVER w - sum(s) OVER w AS DOUBLE)
-        |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr
-        |  FROM lvl
-        |  WINDOW w AS (PARTITION BY key ORDER BY h
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |f AS (SELECT key, CAST(sum(n) AS BIGINT) AS n_obs,
-        |    CAST(sum(s) AS BIGINT) AS n_success,
-        |    min(CASE WHEN llr >= 2.944439 THEN h END) AS hup,
-        |    min(CASE WHEN llr <= -2.944439 THEN h END) AS hlo
-        |  FROM t GROUP BY key),
-        |g AS (SELECT key, n_obs, n_success,
-        |    round(CAST(n_success AS DOUBLE) * ln(0.22 / 0.18)
-        |      + CAST(n_obs - n_success AS DOUBLE)
-        |        * ln((1.0 - 0.22) / (1.0 - 0.18)), 6) AS llr,
-        |    CASE WHEN hup IS NULL AND hlo IS NULL THEN 'continue'
-        |      WHEN hlo IS NULL OR (hup IS NOT NULL AND hup <= hlo)
-        |        THEN 'accept_h1'
-        |      ELSE 'accept_h0' END AS decision,
-        |    hup, hlo
-        |  FROM f)
-        |SELECT key, n_obs, n_success, llr, decision,
-        |  CASE WHEN decision = 'accept_h1' THEN hup
-        |    WHEN decision = 'accept_h0' THEN hlo END AS decided_bucket
-        |FROM g ORDER BY key""".stripMargin,
+    "x_sprt" -> sprtOracleSql,
+
+    // the streamed level table is bit-identical to the batch one
+    // (exact addition), so the standing verdict replays as x_sprt
+    "s_sprt" -> sprtOracleSql,
 
     // Markov replay: per-user lag window, pair counts, row-total
     // divisions

@@ -500,6 +500,22 @@ object EventAnalytics {
   def sprt(df: DataFrame, key: Column, bucket: Column, success: Column,
            p0: Double, p1: Double, upper: Double = 2.944439,
            lower: Double = -2.944439): DataFrame = {
+    val lvl = df.filter(success.isNotNull)
+      .groupBy(key.as("key"), bucket.cast("long").as("h"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("__s"))
+    sprtFromLevel(lvl, p0, p1, upper, lower)
+  }
+
+  /** The verdict half of [[sprt]] over a pre-built (key, h, __n, __s)
+    * level table — shared with the STANDING monitor
+    * ([[graft.streaming.SprtStream]]), whose state IS the level table
+    * (per-bucket counts are additive, so the stream fold is exact and
+    * the standing verdict is bit-identical to the batch form by
+    * construction). */
+  def sprtFromLevel(lvl: DataFrame, p0: Double, p1: Double,
+                    upper: Double = 2.944439,
+                    lower: Double = -2.944439): DataFrame = {
     require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
       s"sprt: p0, p1 must be distinct probabilities in (0,1) (got $p0, $p1)")
     require(lower < 0 && upper > 0,
@@ -507,10 +523,6 @@ object EventAnalytics {
     import org.apache.spark.sql.expressions.Window
     val w1 = math.log(p1 / p0)
     val w0 = math.log((1.0 - p1) / (1.0 - p0))
-    val lvl = df.filter(success.isNotNull)
-      .groupBy(key.as("key"), bucket.cast("long").as("h"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("__s"))
     val cum = Window.partitionBy("key").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = lvl

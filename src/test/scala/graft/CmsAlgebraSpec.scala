@@ -311,6 +311,42 @@ class CmsAlgebraSpec extends SparkTestBase {
       s"a rate between p0 and p1 should keep sampling: ${out("mid")}")
   }
 
+  test("SprtStream fold == batch verdict, replay no-ops, envelope refusal") {
+    import graft.ops.EventAnalytics
+    import graft.streaming.SprtStream
+    val rows = for {
+      (k, hit) <- Seq(("hot", (_: Int) => true), ("cold", (_: Int) => false))
+      b <- 0 until 12; i <- 0 until 10
+    } yield (k, b.toLong, hit(i), (b * 10 + i).toLong)
+    val df = sqlDf("k" -> rows.map(_._1), "h" -> rows.map(_._2),
+      "ok" -> rows.map(_._3), "id" -> rows.map(_._4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sprt_spec").toString
+    // arbitrary (non-time-ordered) batches: bucket straddling is fine
+    (0L to 2L).foreach { b =>
+      SprtStream.mergeBatch(df.filter(col("id") % 3 === b),
+        col("k"), col("h"), col("ok"), dir, b)
+    }
+    def rowsOfV(v: org.apache.spark.sql.DataFrame) =
+      v.orderBy("key").collect().map(_.toSeq).toSeq
+    val standing = rowsOfV(SprtStream.standingVerdict(spark, dir, 0.18, 0.22))
+    val batch = rowsOfV(EventAnalytics.sprt(df, col("k"), col("h"),
+      col("ok"), 0.18, 0.22))
+    assert(standing == batch, "standing verdict must equal the batch form")
+    // replayed batch id must not double-count
+    SprtStream.mergeBatch(df.filter(col("id") % 3 === 0),
+      col("k"), col("h"), col("ok"), dir, 0L)
+    assert(rowsOfV(SprtStream.standingVerdict(spark, dir, 0.18, 0.22)) == batch)
+    // foreign bytes refuse loudly
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir, "_sprt_level.bin")
+    val o = p.getFileSystem(conf).create(p, true)
+    try o.write("junk".getBytes("UTF-8")) finally o.close()
+    val env = intercept[IllegalArgumentException] {
+      SprtStream.standingLevel(spark, dir)
+    }
+    assert(env.getMessage.contains("envelope"))
+  }
+
   // ---- plackettLuce --------------------------------------------------------
 
   test("plackettLuce at J=2 coincides with bradleyTerry") {
