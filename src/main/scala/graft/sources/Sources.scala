@@ -300,14 +300,20 @@ object Sources {
     * and no file-set change removes a declared column default. */
   def writeManifest(conf: org.apache.hadoop.conf.Configuration,
                     path: String, names: Seq[String],
-                    meta: Map[String, String]): Unit = {
+                    meta: Map[String, String]): Unit =
+    writeManifestAt(conf, path, names, meta,
+      manifestLogVersions(conf, path).lastOption.getOrElse(0L) + 1L)
+
+  private def writeManifestAt(conf: org.apache.hadoop.conf.Configuration,
+                              path: String, names: Seq[String],
+                              meta: Map[String, String], v: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val merged = readManifestMeta(conf, path) ++ meta
-    merged.foreach { case (k, v) =>
-      require(!k.contains('\n') && !v.contains('\n') && !k.contains(' '),
+    merged.foreach { case (k, mv) =>
+      require(!k.contains('\n') && !mv.contains('\n') && !k.contains(' '),
         s"writeManifest: meta key/value must be single-line, key spaceless: $k")
     }
-    val metaLines = merged.toSeq.sortBy(_._1).map { case (k, v) => s"#$k $v" }
+    val metaLines = merged.toSeq.sortBy(_._1).map { case (k, mv) => s"#$k $mv" }
     val body = (("graft-manifest 1" +: metaLines) ++ names.sorted)
       .mkString("\n").getBytes("UTF-8")
     val fs = new Path(path).getFileSystem(conf)
@@ -315,14 +321,35 @@ object Sources {
     // published version is a rollback/time-travel target; a crash
     // between archive and swap leaves a harmless orphan version),
     // then swap the head by one atomic rename
-    val v = manifestLogVersions(conf, path).lastOption.getOrElse(0L) + 1L
+    // WRITER-UNIQUE tmp names: with a shared literal tmp name, a racer
+    // overwrites this writer's staged bytes between create and rename,
+    // and the archived version can carry the OTHER writer's body while
+    // each job proceeds on its own in-memory state — the archive would
+    // lie to time travel. Unique tmps leave the version rename as the
+    // only shared point, and rename-to-existing refuses atomically.
+    val tag = java.util.UUID.randomUUID().toString.take(8)
     val logDir = new Path(path, "_manifest_log")
-    val ltmp = new Path(logDir, f"v$v%06d.tmp")
+    val ltmp = new Path(logDir, f"v$v%06d.$tag.tmp")
     val ldst = new Path(logDir, f"v$v%06d")
     val lo = fs.create(ltmp, true)
     try lo.write(body) finally lo.close()
-    require(fs.rename(ltmp, ldst), s"writeManifest: rename $ltmp -> $ldst failed")
-    val tmp = new Path(path, "_MANIFEST.tmp")
+    if (!fs.rename(ltmp, ldst)) {
+      // rename-to-existing fails atomically on HDFS/local: if another
+      // writer claimed this version number in the window between the
+      // log listing and this rename, the collision IS the concurrent-
+      // publish signal — the same event the optimistic version check
+      // catches for any longer overlap, so it throws the same type
+      val concurrent = fs.exists(ldst)
+      fs.delete(ltmp, false)
+      if (concurrent)
+        throw new IllegalStateException(
+          s"writeManifest: concurrent publish detected at $path — version " +
+            s"v$v was claimed by another writer while this publish staged " +
+            "(archive-rename arbiter); re-run the maintenance against the " +
+            "new head")
+      require(requirement = false, s"writeManifest: rename $ltmp -> $ldst failed")
+    }
+    val tmp = new Path(path, s"_MANIFEST.$tag.tmp")
     val dst = new Path(path, "_MANIFEST")
     val o = fs.create(tmp, true)
     try o.write(body) finally o.close()
@@ -344,10 +371,11 @@ object Sources {
     * (plain last-writer-wins loses work — a compaction racing a
     * MERGE would unpublish the merge's rewrites). The check is
     * read-then-rename, not a CAS: it catches every overlap longer
-    * than the final rename's instant, which is the failure mode two
-    * scheduled maintenance jobs actually produce; true simultaneous
-    * renames remain the caller's single-writer responsibility. The
-    * refused job re-runs against the new head. */
+    * than the publish's instant, and TRUE simultaneous publishes land
+    * on the archive-rename arbiter inside [[writeManifest]] (version
+    * file names collide; rename-to-existing fails atomically), which
+    * throws the same IllegalStateException — so exactly one writer
+    * wins any race. The refused job re-runs against the new head. */
   def writeManifest(conf: org.apache.hadoop.conf.Configuration,
                     path: String, names: Seq[String],
                     meta: Map[String, String],
@@ -359,7 +387,11 @@ object Sources {
           s"moved v$expectedVersion -> v$head since this job read its " +
           "snapshot; re-run the maintenance against the new head " +
           "(optimistic single-writer check)")
-    writeManifest(conf, path, names, meta)
+    // claim EXACTLY expectedVersion+1: a racer that passed the same
+    // check with the same expected head MUST collide on the archive
+    // rename (computing "last archived + 1" here would let it slip
+    // past onto a fresh version number and both writers would win)
+    writeManifestAt(conf, path, names, meta, expectedVersion + 1L)
   }
 
   /** Archived manifest versions at `path`, ascending. */

@@ -411,6 +411,13 @@ class ManifestMergeSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     head.foreach(n => assert(
       fs.exists(new org.apache.hadoop.fs.Path(path, n)), s"missing $n"))
+    // the archived head version must BE the head — a shared tmp name
+    // once let the loser overwrite the winner's staged archive bytes,
+    // so v-head referenced the loser's files while _MANIFEST carried
+    // the winner's (the archive lying to time travel)
+    val vHead = Sources.manifestVersion(conf, path)
+    assert(Sources.readManifestVersion(conf, path, vHead).toSet == head.toSet,
+      "the archived head version must reference exactly the head's files")
     val afterRace = Sources.readManifested(spark, path)
     assert(afterRace.count() == 1010, "base + exactly one batch")
     // the loser's orphaned staging renames are UNREFERENCED, not
