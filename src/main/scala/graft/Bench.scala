@@ -73,7 +73,9 @@ object Bench {
     "x_join_size", "x_f2", "x_cms_incr", "x_doremi",
     "s_cms", "s_join_size", "x_shapley", "x_plackett_luce",
     "x_cuped", "x_sprt", "x_ratio_delta", "x_join_plan", "x_analyze",
-    "s_sprt")
+    "s_sprt",
+    // round-17: the two answer-preserving streaming-sink replays
+    "x_stream_sink", "x_stream_upsert")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -341,9 +343,29 @@ object Bench {
     cache.getPath
   }
 
+  /** Set by the JVM shutdown hook the moment a SIGTERM/exit begins:
+    * query loops bail out, ensureAlive refuses to rebuild a session
+    * during shutdown (BENCH_r16 died exactly there — the driver's
+    * timeout kill landed mid-sf1-sweep, Spark's own hook stopped the
+    * context, and the old ensureAlive threw "Cannot call methods on a
+    * stopped SparkContext" as the uncaught tail of the artifact). */
+  @volatile private var shuttingDown = false
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    // Wall budget for the WHOLE bench (headline + sweeps). The driver
+    // killed r16's JVM on its own timeout with zero sealed evidence;
+    // a budget well inside that timeout turns "killed mid-sweep" into
+    // "sweep members skipped loudly, artifact complete". r15's full
+    // sealed run was ~2600s wall; the quiet target after the min-of-1
+    // heavy-row trim is ~15 min, so 1500s leaves 2x contention room
+    // while staying far inside the driver's kill window.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def budgetLeft: Double = budgetSec - elapsedSec
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -362,14 +384,122 @@ object Bench {
     // sweep) stops the local-mode SparkContext; without this guard
     // every subsequent query "fails" against the dead context and the
     // round's artifact loses the whole tail. Rebuild and carry on —
-    // the failed query is still reported in "failed".
-    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
-      System.err.println("[bench] SparkContext died; rebuilding session")
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      spark = newSession()
-    }
+    // the failed query is still reported in "failed". During JVM
+    // shutdown, do NOT rebuild: Spark's shutdown hook already stopped
+    // the context and getOrCreate throws (the exact r16 death).
+    def ensureAlive(): Unit =
+      if (!shuttingDown && spark.sparkContext.isStopped) {
+        System.err.println("[bench] SparkContext died; rebuilding session")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
     val qs = SparkEntry.queries
+
+    // ---- kill-proof bench state: every completed timing lands here
+    // under the lock, and a JVM shutdown hook renders + flushes
+    // whatever is complete the instant the driver's timeout (or any
+    // other kill) begins — the artifact of record can no longer die
+    // with the JVM (r16: rc 124, parsed null, zero sealed evidence).
+    val lock = new Object
+    val headRes = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(Double, Long)]]
+    val sf1Res = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(Double, Long)]]
+    val sf10Res = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(Double, Long)]]
+    // sf0.1 denominators for sweep members outside the headline
+    val denomRes = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[(Double, Long)]]
+    // budget-skipped sweep members, phase-tagged ("sf1:x_foo")
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var anchorStartV = -1.0; var anchorEndV = -1.0
+    var sf1AnchorV = -1.0; var sf10AnchorV = -1.0
+    val erCc = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    val ContendedSec = 0.60
+
+    def mapJson(m: scala.collection.Map[String, Option[(Double, Long)]],
+                time: Boolean): String =
+      m.collect { case (k, Some((v, n))) =>
+        if (time) "\"" + k + f"""":$v%.3f""" else "\"" + k + "\":" + n
+      }.mkString("{", ",", "}")
+    def failedJsonOf(m: scala.collection.Map[String, Option[(Double, Long)]],
+                     tag: String): Seq[String] =
+      m.collect { case (k, None) => "\"" + tag + k + "\"" }.toSeq
+    def erCcJson: String =
+      if (erCc.isEmpty) ""
+      else erCc.map { case (scale, (it, edges)) =>
+        s""""$scale":{"iterations":$it,"pairs":${edges / 2}}"""
+      }.mkString(""","er_cc":{""", ",", "}")
+    def anchorsJson: String =
+      (if (anchorEndV >= 0)
+        f"""{"start":$anchorStartV%.3f,"end":$anchorEndV%.3f}"""
+      else f"""{"start":$anchorStartV%.3f}""")
+    def contendedV: Boolean =
+      math.max(anchorStartV, anchorEndV) > ContendedSec
+    def skippedJson: String =
+      skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // growth on the sweep scale vs the sf0.1 denominator (headline or
+    // the explicitly-timed denomRes row), emitted directly so no
+    // reader divides two maps
+    def growthJson(sweep: scala.collection.Map[String, Option[(Double, Long)]],
+                   key: String): String = {
+      val denom = (headRes ++ denomRes).toMap
+      sweep.collect {
+        case (k, Some((v, _))) if denom.get(k).flatten.exists(_._1 > 0.0) =>
+          "\"" + k + f"""":${v / denom(k).get._1}%.1f"""
+      }.mkString(s""","$key":{""", ",", "}")
+    }
+    def sf1Frag: String =
+      if (sf1Res.isEmpty && !skipped.exists(_.startsWith("sf1:"))) ""
+      else ""","sf1_queries":""" + mapJson(sf1Res, time = true) +
+        ""","sf1_synth":"10x-key-shifted-replicas"""" +
+        growthJson(sf1Res, "sf1_growth_on_10x") +
+        ""","sf1_rows":""" + mapJson(sf1Res, time = false) +
+        (if (sf1AnchorV >= 0)
+          f""","sf1_anchor_sec":$sf1AnchorV%.3f,"sf1_contended":${sf1AnchorV > ContendedSec}"""
+        else "")
+    def sf10Frag: String =
+      if (sf10Res.isEmpty && !skipped.exists(_.startsWith("sf10:"))) ""
+      else ""","sf10_queries":""" + mapJson(sf10Res, time = true) +
+        ""","sf10_synth":"100x-key-shifted-replicas-docs-lineitem-embeddings"""" +
+        growthJson(sf10Res, "sf10_growth_on_100x") +
+        ""","sf10_rows":""" + mapJson(sf10Res, time = false) +
+        (if (sf10AnchorV >= 0)
+          f""","sf10_anchor_sec":$sf10AnchorV%.3f,"sf10_contended":${sf10AnchorV > ContendedSec}"""
+        else "")
+    val timingTag = "min-of-2;sweep>30s-min-of-1"
+    def totalV: Double = headRes.values.flatten.map(_._1).sum
+    def allFailedJson: String =
+      (failedJsonOf(headRes, "") ++ failedJsonOf(sf1Res, "sf1:") ++
+        failedJsonOf(sf10Res, "sf10:")).mkString("[", ",", "]")
+    // the compact core: headline + anchors + failures + skips, always
+    // under ~1.5 KB — the line the driver's tail capture parses
+    def renderCompact(): String =
+      f"""{"metric":"total","value":$totalV%.3f,"unit":"sec","queries":${mapJson(headRes, time = true)},"failed":$allFailedJson,"skipped":$skippedJson,"sf":"$sfDir","timing":"$timingTag","anchor_sec":$anchorsJson,"contended":$contendedV$erCcJson}"""
+    def renderFull(): String =
+      f"""{"metric":"total","value":$totalV%.3f,"unit":"sec","queries":${mapJson(headRes, time = true)},"rows":${mapJson(headRes, time = false)},"failed":$allFailedJson,"skipped":$skippedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"$timingTag","budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"anchor_sec":$anchorsJson,"contended":$contendedV$erCcJson$sf1Frag$sf10Frag}"""
+    def flushDisk(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench.json"),
+        lock.synchronized(renderFull()).getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    // The kill-proofing itself: on ANY exit (driver timeout SIGTERM
+    // included) flush the full JSON to disk and print full + compact
+    // as the process's last stdout lines — the driver parses the last
+    // JSON line of the tail, which r16 lost to a stack trace.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      shuttingDown = true
+      val (full, compact) =
+        lock.synchronized((renderFull(), renderCompact()))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench.json"), full.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      System.out.println(full)
+      System.out.println(compact)
+      System.out.flush()
+    }))
+
     val benchDir = multiRowGroupCopy(spark, sfDir)
     // absorb session/codegen/parquet-footer warmup so per-query times
     // measure the queries, not JVM startup
@@ -381,20 +511,17 @@ object Bench {
     // driver-run sf1 rows came out 3-8x the quiet-machine numbers with
     // UNCHANGED plans (BASELINE.md "Round 10"), and the anchor makes
     // that contamination measurable instead of a forensic exercise.
+    // Quiet-host anchor band is 0.33–0.45s (BASELINE.md pins); past
+    // 0.60s (ContendedSec) the host is demonstrably contended and
+    // every row in that window is directional only. The marker rides
+    // IN the JSON so a reader of the artifact alone sees it.
     def anchor(): Double = {
       val t0 = System.nanoTime()
       spark.range(20000000L).selectExpr("id % 1000 AS k", "id")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("id")).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val anchorStart = math.min(anchor(), anchor())
-    // quiet-host anchor band is 0.33–0.45s (BASELINE.md pins); past
-    // 0.60s the host is demonstrably contended and every row in that
-    // window is directional only. The marker rides IN the JSON so a
-    // reader of the artifact alone sees it (r15 shipped contended
-    // sf10 rows labeled only in BASELINE.md prose — a standalone
-    // BENCH reader saw a 3× regression that wasn't real).
-    val ContendedSec = 0.60
+    lock.synchronized { anchorStartV = math.min(anchor(), anchor()) }
     def time1(name: String, dir: String): Option[(Double, Long)] = {
       val t0 = System.nanoTime()
       // A failed query is reported in a separate "failed" array and
@@ -410,36 +537,50 @@ object Bench {
           Some(((System.nanoTime() - t0) / 1e9, rows))
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          ensureAlive()
+          if (!shuttingDown) {
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            ensureAlive()
+          }
           None }
       // the 2-pass scan operators persist their sorted rows and leave
       // them cached (the output stays lazy); drop them OUTSIDE the
       // timing so one query's cache pressure can't skew the next
       // (x_contam swung 0.29->0.95 behind d_cum_u before this).
       // Scan-scoped: a global getPersistentRDDs sweep would also
-      // clobber caches the queries themselves own.
-      graft.functions.ScanFns.unpersistScans()
-      // drop any remaining cached relations + broadcast/GC residue:
-      // r10's judge measured x_bitext 17x slower WITHIN the 37-query
-      // bench than standalone with an unchanged plan — late-bench JVM
-      // state was contaminating the heavy tails
-      spark.catalog.clearCache()
+      // clobber caches the queries themselves own. Cache drops throw
+      // on a context stopped mid-shutdown — swallow, the timing is
+      // already taken.
+      try {
+        graft.functions.ScanFns.unpersistScans()
+        // drop any remaining cached relations + broadcast/GC residue:
+        // r10's judge measured x_bitext 17x slower WITHIN the 37-query
+        // bench than standalone with an unchanged plan — late-bench
+        // JVM state was contaminating the heavy tails
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
       r
     }
     // min-of-2 per query, and a third run when the min is >1s — the
     // heavy tails are exactly where within-JVM contamination lands and
-    // where one more sample is cheap relative to the signal it buys
-    // (±40% documented host-noise band; r10 judge saw 17x within-bench
-    // inflation on a heavy query that min-of-2 failed to converge)
-    def timeN(name: String, dir: String): Option[(Double, Long)] = {
-      val two = Seq(time1(name, dir), time1(name, dir)).flatten
-      val best = two.reduceOption((a, b) => if (a._1 <= b._1) a else b)
-      best match {
-        case Some((t, _)) if t > 1.0 =>
-          (time1(name, dir).toSeq :+ best.get)
-            .reduceOption((a, b) => if (a._1 <= b._1) a else b)
-        case other => other
+    // where one more sample is cheap relative to the signal it buys.
+    // Sweep rows whose FIRST sample exceeds heavyCutoff stay min-of-1
+    // (r16 verdict item 3: the sf10 heavy trio at min-of-2/3 was ~5-6
+    // min alone and made the driver's timeout the binding constraint;
+    // the standalone Probe min-of-3 stays the standing-pin instrument).
+    def timeN(name: String, dir: String,
+              heavyCutoff: Double = Double.MaxValue): Option[(Double, Long)] = {
+      val first = time1(name, dir)
+      first match {
+        case Some((t, _)) if t > heavyCutoff => first
+        case _ =>
+          val two = first.toSeq ++ time1(name, dir).toSeq
+          val best = two.reduceOption((a, b) => if (a._1 <= b._1) a else b)
+          best match {
+            case Some((t, _)) if t > 1.0 =>
+              (time1(name, dir).toSeq :+ best.get)
+                .reduceOption((a, b) => if (a._1 <= b._1) a else b)
+            case other => other
+          }
       }
     }
     // SPARK_GRAFT_FULL=1: the quarterly full sweep — re-adds the
@@ -453,149 +594,141 @@ object Bench {
     // x_entity_res's closure — the read that decides whether the
     // large-star/small-star CC swap is ever needed (it is iff
     // iterations grow with corpus diameter)
-    val erCc = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
     def grabErCc(scale: String): Unit =
-      graft.ops.Dedup.lastCcStats.foreach(st => erCc(scale) = st)
-    val results = effHeadline.filter(qs.contains).map { name =>
-      val r = name -> timeN(name, benchDir)
-      if (name == "x_entity_res")
-        grabErCc(new java.io.File(sfDir).getName)
-      r
+      graft.ops.Dedup.lastCcStats.foreach(st =>
+        lock.synchronized { erCc(scale) = st })
+    effHeadline.filter(qs.contains).foreach { name =>
+      if (shuttingDown) lock.synchronized { skipped += s"head:$name" }
+      else {
+        val r = timeN(name, benchDir)
+        if (name == "x_entity_res")
+          grabErCc(new java.io.File(sfDir).getName)
+        lock.synchronized { headRes(name) = r }
+        flushDisk()
+      }
     }
-    val qJson = results.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val rowsJson = results.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
-    val failedJson = results.collect { case (k, None) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.flatMap(_._2.map(_._1)).sum
-    // The compact core (queries + start anchor + failures) prints
-    // FIRST, before the sf1/sf10 sweeps, and again as the very last
-    // line — BENCH_r10..r12 all shipped "parsed": null because the
-    // single ~8 KB JSON line printed last and the driver's stdout
-    // tail cut its head. This line stays under ~1.5 KB, and a
-    // parseable copy now exists at BOTH ends of the capture window
-    // whichever end the driver keeps.
-    def erCcJson: String =
-      if (erCc.isEmpty) ""
-      else erCc.map { case (scale, (it, edges)) =>
-        s""""$scale":{"iterations":$it,"pairs":${edges / 2}}"""
-      }.mkString(""","er_cc":{""", ",", "}")
-    def compactCore(anchors: String, contended: Boolean): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","timing":"min-of-2","anchor_sec":$anchors,"contended":$contended$erCcJson}"""
-    println(compactCore(f"""{"start":$anchorStart%.3f}""",
-      anchorStart > ContendedSec))
+    // The headline JSON prints (and is already on disk via the
+    // per-query flushes) BEFORE any sweep — r16's only full flush came
+    // after both sweeps, so a kill mid-sweep erased the 50 completed
+    // headline timings; now it can cost at most one sweep's tail.
+    println(lock.synchronized(renderCompact()))
+    flushDisk()
+    val runSweeps = new java.io.File(sfDir).getName == "sf0.1"
     // sf1 rehearsal: only when benching the standard sf0.1 dir (the
-    // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0
-    val sf1Json =
-      if (new java.io.File(sfDir).getName == "sf0.1" &&
-          sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+    // driver's per-round run), opt-out via SPARK_GRAFT_SF1=0.
+    // min-of-2 (+1 for 1–30s tails) like the headline; >30s rows
+    // min-of-1. Budget-guarded per member: when the wall budget is
+    // spent the remainder lands in "skipped" instead of a timeout.
+    if (runSweeps && sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+      if (budgetLeft < 90)
+        lock.synchronized {
+          sf1Queries.filter(qs.contains).foreach(n => skipped += s"sf1:$n") }
+      else {
         val sf1Dir = synthSf1(spark, benchDir)
         // contention can start mid-bench: anchor the sweep itself
-        val sweepAnchor1 = math.min(anchor(), anchor())
-        // min-of-2 (+1 for >1s tails) like the headline: single-shot
-        // sf1 rows rode the ±40% host-noise band and masked real
-        // round-over-round signal
-        val rows = sf1Queries.filter(qs.contains).map { n =>
-          val r = n -> timeN(n, sf1Dir)
-          if (n == "x_entity_res") grabErCc("sf1")
-          r
+        val a1 = math.min(anchor(), anchor())
+        lock.synchronized { sf1AnchorV = a1 }
+        sf1Queries.filter(qs.contains).foreach { n =>
+          if (shuttingDown || budgetLeft < 15)
+            lock.synchronized { skipped += s"sf1:$n" }
+          else {
+            val r = timeN(n, sf1Dir, heavyCutoff = 30.0)
+            if (n == "x_entity_res") grabErCc("sf1")
+            lock.synchronized { sf1Res(n) = r }
+            flushDisk()
+          }
         }
         // sf0.1 denominators for sf1 members the trimmed headline no
         // longer times (the stableSweep rows) — cheap (all sub-0.3s),
         // and without them the growth map would silently lose those
         // families
-        val denoms = sf1Queries.filter(qs.contains)
-          .filterNot(effHeadline.contains).map { n =>
-            n -> timeN(n, benchDir)
+        sf1Queries.filter(qs.contains).filterNot(effHeadline.contains)
+          .foreach { n =>
+            if (!shuttingDown && budgetLeft > 15 &&
+                sf1Res.get(n).exists(_.isDefined)) {
+              val r = timeN(n, benchDir)
+              lock.synchronized { denomRes(n) = r }
+            }
           }
-        val headlineTimes = (results ++ denoms).toMap
-        // growth = sf1 / sf0.1 on 10x data, for queries timed at both
-        // scales — the scale-readiness signal, emitted directly so no
-        // reader has to divide two JSON maps. Read it AGAINST
-        // sf1_rows/rows: output-bound queries (the keyless range join)
-        // legitimately grow super-linearly in time because their
-        // output grows quadratically.
-        val growth = rows.collect {
-          case (k, Some((v, _))) if headlineTimes.get(k).flatten.exists(_._1 > 0.0) =>
-            "\"" + k + f"""":${v / headlineTimes(k).get._1}%.1f"""
-        }.mkString(""","sf1_growth_on_10x":{""", ",", "}")
-        val sf1Rows = rows.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
-          .mkString(""","sf1_rows":{""", ",", "}")
-        rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
-          .mkString(""","sf1_queries":{""", ",",
-            """},"sf1_synth":"10x-key-shifted-replicas"""") + growth + sf1Rows +
-          f""","sf1_anchor_sec":$sweepAnchor1%.3f,"sf1_contended":${sweepAnchor1 > ContendedSec}"""
-      } else ""
-    // the sweep as its OWN compact line, printed as soon as it exists
-    // — BENCH_r13's raw tail truncated the combined blob's head, so
-    // the sf1/sf10 maps were only recoverable from target/bench.json
-    // (r13 verdict item 7); a standalone line survives any tail cut
-    if (sf1Json.nonEmpty) println("{" + sf1Json.drop(1) + "}")
+        // the sweep as its OWN compact line, printed as soon as it
+        // exists — BENCH_r13's raw tail truncated the combined blob's
+        // head, so the maps were only recoverable from the disk copy;
+        // a standalone line survives any tail cut
+        val frag = lock.synchronized(sf1Frag)
+        if (frag.nonEmpty) println("{" + frag.drop(1) + "}")
+        flushDisk()
+      }
+    }
     // sf10 rehearsal: 100× data for the worst growers — the second
     // scale decade behind the 100 TB claims (r11 verdict item 8).
-    // Growth here is read against sf0.1, so ~linear-per-decade shows
-    // as ~100 (time ratio over 100× data).
-    val sf10Json =
-      if (new java.io.File(sfDir).getName == "sf0.1" &&
-          sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1") {
+    // Growth is read against sf0.1, so ~linear-per-decade shows as
+    // ~100 (time ratio over 100× data).
+    if (runSweeps && sys.env.getOrElse("SPARK_GRAFT_SF10", "1") == "1" &&
+        !shuttingDown) {
+      if (budgetLeft < 120)
+        lock.synchronized {
+          sf10Queries.filter(qs.contains).foreach(n => skipped += s"sf10:$n") }
+      else {
         // FRESH SESSION for the 100x sweep: after the headline + sf1
         // window the JVM carries heap/page-cache residue that inflated
         // in-sweep heavy rows 1.7-2.3x vs standalone quiet pins with
         // IDENTICAL output (x_dedup_minhash 91s/68s in-sweep vs 39.4s
         // standalone min-of-3, 27.3M pairs all three times — r16
         // adjudication in BASELINE.md; clearCache alone did not shed
-        // it). The standalone pin IS the honest number; a clean
-        // session makes the sweep measure the queries, not the bench's
-        // own history. Disk caches (synth, idxcache) are unaffected.
+        // it). A clean session makes the sweep measure the queries,
+        // not the bench's own history. Disk caches are unaffected.
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         spark = newSession()
         spark.range(1000).selectExpr("sum(id)").collect() // codegen re-warm
         val sf10Dir = synthSf10(spark, benchDir)
-        val sweepAnchor10 = math.min(anchor(), anchor())
-        val rows = sf10Queries.filter(qs.contains).map { n =>
-          val r = n -> timeN(n, sf10Dir)
-          if (n == "x_entity_res") grabErCc("sf10")
-          r
+        val a10 = math.min(anchor(), anchor())
+        lock.synchronized { sf10AnchorV = a10 }
+        sf10Queries.filter(qs.contains).foreach { n =>
+          if (shuttingDown || budgetLeft < 15)
+            lock.synchronized { skipped += s"sf10:$n" }
+          else {
+            val r = timeN(n, sf10Dir, heavyCutoff = 30.0)
+            if (n == "x_entity_res") grabErCc("sf10")
+            lock.synchronized { sf10Res(n) = r }
+            flushDisk()
+          }
         }
         // sf0.1 denominators for sf10 members the headline doesn't
         // time (x_ann_ivfpq_incr) — without them the growth map
         // silently drops the family (the sf1 denoms recipe)
-        val denoms10 = sf10Queries.filter(qs.contains)
-          .filterNot(effHeadline.contains).map { n =>
-            n -> timeN(n, benchDir)
+        sf10Queries.filter(qs.contains).filterNot(effHeadline.contains)
+          .foreach { n =>
+            if (!shuttingDown && budgetLeft > 15 &&
+                sf10Res.get(n).exists(_.isDefined) &&
+                !denomRes.contains(n)) {
+              val r = timeN(n, benchDir)
+              lock.synchronized { denomRes(n) = r }
+            }
           }
-        val headlineTimes = (results ++ denoms10).toMap
-        val growth = rows.collect {
-          case (k, Some((v, _))) if headlineTimes.get(k).flatten.exists(_._1 > 0.0) =>
-            "\"" + k + f"""":${v / headlineTimes(k).get._1}%.1f"""
-        }.mkString(""","sf10_growth_on_100x":{""", ",", "}")
-        val sf10Rows = rows.collect { case (k, Some((_, n))) => "\"" + k + "\":" + n }
-          .mkString(""","sf10_rows":{""", ",", "}")
-        rows.collect { case (k, Some((v, _))) => "\"" + k + f"""":$v%.3f""" }
-          .mkString(""","sf10_queries":{""", ",",
-            """},"sf10_synth":"100x-key-shifted-replicas-docs-lineitem-embeddings"""") +
-          growth + sf10Rows +
-          f""","sf10_anchor_sec":$sweepAnchor10%.3f,"sf10_contended":${sweepAnchor10 > ContendedSec}"""
-      } else ""
-    if (sf10Json.nonEmpty) println("{" + sf10Json.drop(1) + "}")
-    val anchorEnd = math.min(anchor(), anchor())
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"rows":$rowsJson,"failed":$failedJson,"sf":"$sfDir","benchdata":"multi-rowgroup-copy","timing":"min-of-2","anchor_sec":{"start":$anchorStart%.3f,"end":$anchorEnd%.3f},"contended":${math.max(anchorStart, anchorEnd) > ContendedSec}$erCcJson$sf1Json$sf10Json}"""
+        val frag = lock.synchronized(sf10Frag)
+        if (frag.nonEmpty) println("{" + frag.drop(1) + "}")
+        flushDisk()
+      }
+    }
+    if (!shuttingDown) {
+      val aEnd = math.min(anchor(), anchor())
+      lock.synchronized { anchorEndV = aEnd }
+    }
+    val (fullJ, compactJ) = lock.synchronized((renderFull(), renderCompact()))
     // the stdout line alone has been lost to artifact tail-truncation
     // two rounds running (BENCH_r10/r11 shipped "parsed": null with the
     // headline numbers cut out of the log tail) — land the full JSON on
     // disk too, where no log buffer can eat it
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      json.getBytes("UTF-8"))
-    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench.json"), fullJ.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(fullJ)
     // final line = the compact core again, now with both anchors — a
     // last-N-bytes capture keeps THIS line whole even when the full
     // dump above gets its head cut
-    println(compactCore(
-      f"""{"start":$anchorStart%.3f,"end":$anchorEnd%.3f}""",
-      math.max(anchorStart, anchorEnd) > ContendedSec))
-    spark.stop()
+    println(compactJ)
+    try spark.stop() catch { case _: Throwable => () }
   }
 }

@@ -1946,6 +1946,71 @@ object QueriesOps {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.7 row 82n answer-preserving replay: the corpus arrives as
+    // three micro-batches through the EXACTLY-ONCE manifest sink,
+    // with batch 1 REDELIVERED mid-sequence (the crash-between-write-
+    // and-checkpoint-commit case) — the id guard absorbs the replay,
+    // so the sunk table IS the plain corpus (a duplicating sink would
+    // double a third of the rows and hash-mismatch)
+    "x_stream_sink" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/sinkcache/stream_sink_$tag"
+      val ok = new java.io.File(s"$path/_SUNK")
+      if (!ok.exists()) {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        (0L to 2L).foreach { b =>
+          graft.streaming.ManifestSink.appendBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b), path, b,
+            filesPerBatch = 2)
+          if (b == 1L) // the redelivery: same id, same content — no-op
+            graft.streaming.ManifestSink.appendBatch(
+              docs.filter(pmod(col("doc_id"), lit(3)) === b), path, b,
+              filesPerBatch = 2)
+        }
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.streaming.ManifestSink.read(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.7 row 82o answer-preserving replay: a CDC stream applied by
+    // the streaming UPSERT sink — batch 0 bootstraps the even-keyed
+    // half, batch 1 updates/deletes/inserts (and is REDELIVERED: the
+    // id guard absorbs it), batch 2 overwrites a stratum with an
+    // absolute value (so no compounding hides a double-apply). The
+    // final table IS one CASE projection of the base corpus.
+    "x_stream_upsert" -> ((s, d) => {
+      val tag = srcTag(d, "documents")
+      val path = s"target/sinkcache/stream_upsert_$tag"
+      val ok = new java.io.File(s"$path/_SUNK")
+      if (!ok.exists()) {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val b0 = even.withColumn("op", lit("upsert"))
+        val b1 = even.filter(col("doc_id") % 6 === 0 && col("doc_id") % 10 =!= 4)
+          .withColumn("n_chars", col("n_chars") + 500L)
+          .withColumn("op", lit("upsert"))
+          .unionByName(even.filter(col("doc_id") % 10 === 4)
+            .withColumn("op", lit("delete")))
+          .unionByName(docs.filter(col("doc_id") % 14 === 7)
+            .withColumn("n_chars", col("n_chars") + 3L)
+            .withColumn("op", lit("upsert")))
+        val b2 = even.filter(col("doc_id") % 9 === 2)
+          .withColumn("n_chars", col("doc_id") % 1000L)
+          .withColumn("op", lit("upsert"))
+        graft.streaming.ManifestSink.upsertBatch(b0, path, 0L, "doc_id")
+        graft.streaming.ManifestSink.upsertBatch(b1, path, 1L, "doc_id")
+        // the redelivery: same id, same delta — the guard no-ops it
+        graft.streaming.ManifestSink.upsertBatch(b1, path, 1L, "doc_id")
+        graft.streaming.ManifestSink.upsertBatch(b2, path, 2L, "doc_id")
+        java.nio.file.Files.write(ok.toPath, Array.empty[Byte])
+      }
+      graft.streaming.ManifestSink.read(s, path)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental materialized view: a manifested copy of documents
     // built in TWO transactional inserts, the per-lang (count, sum)
     // view folded after each — the second fold reads ONLY the second
@@ -5552,7 +5617,10 @@ object QueriesOps {
     // replays the EG recursion in its closed form: per-cell exact
     // integer-sum/count loss means, relative excess rounded to 6dp
     // BEFORE the ordered cumulative sum (so exp sees identical
-    // doubles), per-round softmax, round-6 published weights
+    // doubles), per-round softmax, round-6 published weights. Every
+    // unordered double reduction (round loss mean, softmax
+    // denominator, cross-round average) rides the 2^-40 fixed-point
+    // grid like the Spark side
     "x_doremi" ->
       """WITH lvl AS (SELECT lang AS domain, doc_id % 6 AS rnd,
         |    CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS loss
@@ -5560,17 +5628,28 @@ object QueriesOps {
         |grid AS (SELECT d.domain, r.rnd
         |  FROM (SELECT DISTINCT domain FROM lvl) d
         |  CROSS JOIN (SELECT DISTINCT rnd FROM lvl) r),
-        |cent AS (SELECT g.domain, g.rnd,
-        |    round(coalesce(l.loss, avg(l.loss) OVER (PARTITION BY g.rnd))
-        |      / avg(l.loss) OVER (PARTITION BY g.rnd) - 1.0, 6) AS ex
+        |cent0 AS (SELECT g.domain, g.rnd, l.loss,
+        |    (CAST(sum(CAST(FLOOR(l.loss * 1099511627776.0 + 0.5)
+        |        AS DECIMAL(38,0))) OVER (PARTITION BY g.rnd) AS DOUBLE)
+        |      / 1099511627776.0)
+        |      / CAST(count(l.loss) OVER (PARTITION BY g.rnd) AS DOUBLE) AS rmean
         |  FROM grid g LEFT JOIN lvl l ON g.domain = l.domain AND g.rnd = l.rnd),
+        |cent AS (SELECT domain, rnd,
+        |    round(coalesce(loss, rmean) / rmean - 1.0, 6) AS ex
+        |  FROM cent0),
         |u AS (SELECT domain, rnd, exp(0.5 * sum(ex) OVER (PARTITION BY domain
         |    ORDER BY rnd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS uw
         |  FROM cent),
-        |wt AS (SELECT domain, uw / sum(uw) OVER (PARTITION BY rnd) AS w,
+        |wt AS (SELECT domain,
+        |    uw / (CAST(sum(CAST(FLOOR(uw * 1099511627776.0 + 0.5)
+        |        AS DECIMAL(38,0))) OVER (PARTITION BY rnd) AS DOUBLE)
+        |      / 1099511627776.0) AS w,
         |    count(*) OVER (PARTITION BY rnd) AS k
         |  FROM u),
-        |ag AS (SELECT domain, round(avg(w), 6) AS w_avg,
+        |ag AS (SELECT domain,
+        |    round((CAST(sum(CAST(FLOOR(w * 1099511627776.0 + 0.5)
+        |        AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+        |      / CAST(count(*) AS DOUBLE), 6) AS w_avg,
         |    max(k) AS k FROM wt GROUP BY domain)
         |SELECT domain, w_avg,
         |  round(0.9 * w_avg + 0.1 / CAST(k AS DOUBLE), 6) AS doremi_weight
@@ -7240,6 +7319,29 @@ object QueriesOps {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars + 7 AS n_chars
         |  FROM documents WHERE doc_id % 17 = 0
+        |) ORDER BY doc_id""".stripMargin,
+
+    // the exactly-once sink is answer-preserving: three batches plus
+    // one REDELIVERED batch land the corpus exactly once — the sunk
+    // table IS the corpus (a duplicating sink doubles a third of it)
+    "x_stream_sink" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streaming UPSERT sink is answer-preserving: bootstrap +
+    // CDC delta (redelivered once) + absolute overwrite = one CASE
+    // projection of the base, priority batch 2 > delete > batch 1
+    "x_stream_upsert" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 9 = 2 THEN doc_id % 1000
+        |         WHEN doc_id % 6 = 0 THEN n_chars + 500
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 2 = 0 AND NOT (doc_id % 10 = 4 AND doc_id % 9 <> 2)
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 3 AS n_chars
+        |  FROM documents WHERE doc_id % 14 = 7
         |) ORDER BY doc_id""".stripMargin,
 
     // the CDC window's added files hold EXACTLY the appended batch
@@ -10176,7 +10278,10 @@ s"""WITH lines AS (
         |s AS (SELECT id, y, slast + sum(delta) OVER (PARTITION BY query_id
         |    ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS si
         |  FROM e)
-        |SELECT id, y AS label, round(avg(si), 6) AS shapley
+        |SELECT id, y AS label,
+        |  round((CAST(sum(CAST(FLOOR(si * 1099511627776.0 + 0.5)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)
+        |    / CAST(count(*) AS DOUBLE), 6) AS shapley
         |FROM s GROUP BY 1, 2 ORDER BY shapley DESC, id""".stripMargin,
 
     "x_ann_brute" ->

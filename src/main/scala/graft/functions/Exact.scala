@@ -49,4 +49,21 @@ object Exact {
   // stays ≤38 without scale loss. The VALUES are identical.
   def dprodSumSql(x: String, y: String): String =
     s"CAST(CAST(sum(CAST($x AS DECIMAL(19,6)) * CAST($y AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)"
+
+  /** 2^40 — the fixed-point grid the dimensionless-aggregate family
+    * sums on (ratings, weights, calibration gaps: |term| ≲ 2^13). */
+  val Grid40 = 1099511627776.0
+  /** One term floored onto the 2^-40 grid — floor of an IEEE double
+    * is EXACT in every engine, unlike a double→DECIMAL cast where
+    * Spark rounds the shortest string repr and DuckDB the exact
+    * binary value (a 1-ulp lottery). Use inside sum(...).over(w) for
+    * window contexts; [[gridSum40]] is the plain-aggregate form. */
+  def gridFloor40(c: Column): Column =
+    floor(c * Grid40 + 0.5).cast("decimal(38,0)")
+  /** Order-invariant engine-exact sum on the 2^-40 grid, as double. */
+  def gridSum40(c: Column): Column =
+    sum(gridFloor40(c)).cast("double") / Grid40
+  /** The DuckDB twin of [[gridSum40]]. */
+  def gridSum40Sql(x: String): String =
+    s"(CAST(sum(CAST(FLOOR(($x) * 1099511627776.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1099511627776.0)"
 }

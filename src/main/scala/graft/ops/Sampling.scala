@@ -258,18 +258,28 @@ object Sampling {
     val grid = lvl.select("domain").distinct()
       .crossJoin(broadcast(lvl.select("round").distinct()))
     val byRound = Window.partitionBy("round")
+    // every unordered double reduction (per-round loss mean, softmax
+    // denominator, cross-round weight average) runs on the 2^-40
+    // fixed-point grid — a raw double sum is addition-order-dependent,
+    // a latent round-6 boundary lottery against the DuckDB oracle
+    // (the terms are dimensionless and O(1), far inside the grid)
+    import graft.functions.Exact.{gridFloor40, Grid40}
     val cent = grid.join(lvl, Seq("domain", "round"), "left")
-      .withColumn("__rmean", avg("__loss").over(byRound))
+      .withColumn("__rmean",
+        (sum(gridFloor40(col("__loss"))).over(byRound).cast("double") /
+          lit(Grid40)) / count(col("__loss")).over(byRound).cast("double"))
       .withColumn("__ex", round(
         coalesce(col("__loss"), col("__rmean")) / col("__rmean") - lit(1.0), 6))
     val cum = Window.partitionBy("domain").orderBy("round")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wt = cent
       .withColumn("__u", exp(lit(eta) * sum("__ex").over(cum)))
-      .withColumn("__wt", col("__u") / sum("__u").over(byRound))
+      .withColumn("__wt", col("__u") /
+        (sum(gridFloor40(col("__u"))).over(byRound).cast("double") / lit(Grid40)))
       .withColumn("__k", count(lit(1)).over(byRound))
     wt.groupBy("domain")
-      .agg(round(avg("__wt"), 6).as("w_avg"), max("__k").as("__k"))
+      .agg(round(graft.functions.Exact.gridSum40(col("__wt")) /
+        count(lit(1)).cast("double"), 6).as("w_avg"), max("__k").as("__k"))
       .select(col("domain"), col("w_avg"),
         round(lit(1.0 - smoothing) * col("w_avg") +
           lit(smoothing) / col("__k").cast("double"), 6).as("doremi_weight"))

@@ -1592,8 +1592,12 @@ object Similarity {
       .withColumn("__slast", max(when(col("__idx") === col("__n"),
         col("__m") / col("__n").cast("double"))).over(byQ))
       .withColumn("__si", col("__slast") + sum("__delta").over(suffix))
+    // the per-point average over validation queries runs on the 2^-40
+    // fixed-point grid: a raw double avg is addition-order-dependent,
+    // a latent round-6 boundary lottery against the DuckDB oracle
     s.groupBy(col("id"), col("__y").as("label"))
-      .agg(round(avg("__si"), 6).as("shapley"))
+      .agg(round(graft.functions.Exact.gridSum40(col("__si")) /
+        count(lit(1)).cast("double"), 6).as("shapley"))
       .orderBy(col("shapley").desc, col("id"))
   }
 }

@@ -51,6 +51,27 @@ private[graft] object SketchIO {
         "— upgrade the reader or rebuild the state")
   }
 
+  /** [[readHeader]] for readers that speak several versions (a format
+    * upgrade that still reads its predecessor in place). Returns the
+    * file's version so the caller can branch on the layout. */
+  def readHeaderVersions(in: DataInputStream, family: String,
+                         versions: Set[Int], what: String): Int = {
+    val m = in.readInt()
+    require(m == Magic,
+      s"$what: state file has no graft envelope (magic 0x${m.toHexString}) " +
+        "— written by an older graft version or not a graft state file; " +
+        "delete the state dir to rebuild, or migrate it explicitly")
+    val f = readStr(in)
+    require(f == family,
+      s"$what: state file belongs to monitor family '$f', reader is '$family'")
+    val v = in.readInt()
+    require(versions.contains(v),
+      s"$what: state format version $v, this reader speaks " +
+        s"${versions.toSeq.sorted.mkString("/")} — upgrade the reader or " +
+        "rebuild the state")
+    v
+  }
+
   def writeStr(out: DataOutputStream, s: String): Unit = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.writeInt(b.length)

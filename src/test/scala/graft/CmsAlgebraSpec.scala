@@ -130,15 +130,66 @@ class CmsAlgebraSpec extends SparkTestBase {
     }
     assert(geo.getMessage.contains("geometry"))
     // foreign bytes refuse loudly (SketchIO envelope) — written via
-    // the Hadoop FS so the local-FS checksum sidecar stays consistent
+    // the Hadoop FS so the local-FS checksum sidecar stays consistent;
+    // a FRESH dir so the junk reads as the (legacy, fixed-name) head
+    // instead of being shadowed by the versioned files above
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir, "_cms_sketch.bin")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_cms_env").toString
+    val p = new org.apache.hadoop.fs.Path(dir2, "_cms_sketch.bin")
     val o = p.getFileSystem(conf).create(p, true)
     try o.write("not a sketch".getBytes("UTF-8")) finally o.close()
     val env = intercept[IllegalArgumentException] {
-      CmsStream.standingSketch(spark, dir, 64, 4)
+      CmsStream.standingSketch(spark, dir2, 64, 4)
     }
     assert(env.getMessage.contains("envelope"))
+    // stream-id arbitration: a fold under a different id than the
+    // standing state refuses loudly (the fresh-checkpoint-restart
+    // hazard: batch ids restart at 0 and would be dropped silently)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_cms_sid").toString
+    CmsStream.mergeBatch(terms(Seq("a")), col("term"), 64, 4, dir3, 0L,
+      streamId = "runA")
+    val sid = intercept[IllegalArgumentException] {
+      CmsStream.mergeBatch(terms(Seq("b")), col("term"), 64, 4, dir3, 0L,
+        streamId = "runB")
+    }
+    assert(sid.getMessage.contains("runA") && sid.getMessage.contains("runB"))
+    // the n in the envelope counts every row the sketch hashed — null
+    // keys too (concat_ws drops the null, so they land in the
+    // r-string bucket), keeping metadata and counter mass in agreement
+    val withNull = terms(Seq("x", "y")).unionByName(
+      terms(Seq("z")).select(lit(null).cast("string").as("term")))
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_cms_n").toString
+    CmsStream.mergeBatch(withNull, col("term"), 64, 4, dir4, 0L)
+    val (counters4, n4, _) = CmsStream.readStanding(conf, dir4, 64, 4)
+    assert(n4 == 3L, "n must count null-keyed rows the sketch hashed")
+    assert(counters4.values.sum == 3L * 4, "counter mass = n × depth")
+  }
+
+  test("MonitorStateIO arbiter: concurrent publish of one version loses loudly") {
+    import graft.streaming.MonitorStateIO
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = java.nio.file.Files.createTempDirectory("graft_msio").toString
+    MonitorStateIO.publish(conf, dir, "_x_state", Array[Byte](1, 2), 0L)
+    MonitorStateIO.publish(conf, dir, "_x_state", Array[Byte](3, 4), 1L)
+    // two writers that both read v1 race to publish v2: the second
+    // rename-to-existing refuses loudly instead of losing the winner's
+    // fold to a read-modify-write overwrite
+    MonitorStateIO.publish(conf, dir, "_x_state", Array[Byte](5), 2L)
+    val race = intercept[IllegalStateException] {
+      MonitorStateIO.publish(conf, dir, "_x_state", Array[Byte](6), 2L)
+    }
+    assert(race.getMessage.contains("concurrent writer"))
+    // the winner's bytes survive; the loser's tmp is cleaned up
+    val (bytes, v) = MonitorStateIO.readLatest(conf, dir, "_x_state").get
+    assert(v == 2L && bytes.toSeq == Seq[Byte](5))
+    val leftovers = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, "loser must clean its staged tmp")
+    // prune keeps exactly the last two versions (ignore the local-FS
+    // .crc checksum sidecars Hadoop leaves beside each file)
+    val kept = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".bin")).sorted.toSeq
+    assert(kept == Seq("_x_state.v000001.bin", "_x_state.v000002.bin"))
   }
 
   // ---- doremiWeights ------------------------------------------------------
@@ -336,15 +387,36 @@ class CmsAlgebraSpec extends SparkTestBase {
     SprtStream.mergeBatch(df.filter(col("id") % 3 === 0),
       col("k"), col("h"), col("ok"), dir, 0L)
     assert(rowsOfV(SprtStream.standingVerdict(spark, dir, 0.18, 0.22)) == batch)
-    // foreign bytes refuse loudly
+    // foreign bytes refuse loudly — a fresh dir so the junk reads as
+    // the (legacy, fixed-name) head, not shadowed by versioned files
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir, "_sprt_level.bin")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sprt_env").toString
+    val p = new org.apache.hadoop.fs.Path(dir2, "_sprt_level.bin")
     val o = p.getFileSystem(conf).create(p, true)
     try o.write("junk".getBytes("UTF-8")) finally o.close()
     val env = intercept[IllegalArgumentException] {
-      SprtStream.standingLevel(spark, dir)
+      SprtStream.standingLevel(spark, dir2)
     }
     assert(env.getMessage.contains("envelope"))
+    // the high-cardinality guard: a fact-sized key column fails the
+    // fold LOUDLY with the shard recipe instead of ballooning driver
+    // state (cap overridden downward — the production 4M default
+    // would need a 4M-row batch to exercise)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_sprt_cap").toString
+    val cap = intercept[IllegalArgumentException] {
+      SprtStream.mergeBatch(df, col("id"), col("h"), col("ok"), dir3, 0L,
+        maxLevels = 16)
+    }
+    assert(cap.getMessage.contains("shard the monitor by key hash"))
+    // stream-id arbitration (the fresh-checkpoint-restart hazard)
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_sprt_sid").toString
+    SprtStream.mergeBatch(df, col("k"), col("h"), col("ok"), dir4, 0L,
+      streamId = "runA")
+    val sid = intercept[IllegalArgumentException] {
+      SprtStream.mergeBatch(df, col("k"), col("h"), col("ok"), dir4, 1L,
+        streamId = "runB")
+    }
+    assert(sid.getMessage.contains("runA") && sid.getMessage.contains("runB"))
   }
 
   // ---- plackettLuce --------------------------------------------------------
