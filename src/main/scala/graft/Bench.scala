@@ -74,8 +74,9 @@ object Bench {
     "s_cms", "s_join_size", "x_shapley", "x_plackett_luce",
     "x_cuped", "x_sprt", "x_ratio_delta", "x_join_plan", "x_analyze",
     "s_sprt",
-    // round-17: the two answer-preserving streaming-sink replays
-    "x_stream_sink", "x_stream_upsert")
+    // round-17: the two answer-preserving streaming-sink replays and
+    // the affix (boilerplate head/tail) dedup over the CDC chunk table
+    "x_stream_sink", "x_stream_upsert", "x_affix_dedup")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md
@@ -360,11 +361,13 @@ object Bench {
     // killed r16's JVM on its own timeout with zero sealed evidence;
     // a budget well inside that timeout turns "killed mid-sweep" into
     // "sweep members skipped loudly, artifact complete". r15's full
-    // sealed run was ~2600s wall; the quiet target after the min-of-1
-    // heavy-row trim is ~15 min, so 1500s leaves 2x contention room
-    // while staying far inside the driver's kill window.
+    // sealed run passed at ~2600s wall; the quiet target after the
+    // min-of-1 heavy-row trim is ~15 min, so 2100s covers ~2.3x
+    // contention while staying inside the kill window that passed
+    // r15 — and the shutdown-hook flush remains the hard backstop if
+    // the driver's timeout turns out tighter than the budget.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     def budgetLeft: Double = budgetSec - elapsedSec
     def newSession(): SparkSession = {
       val s = SparkSession.builder()

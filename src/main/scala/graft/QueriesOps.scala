@@ -858,6 +858,29 @@ object QueriesOps {
           w = 16, boundaryHex = "03")
         .orderBy(col("doc_id"))),
 
+    // cross-doc PREFIX/SUFFIX overlap dedup over the CDC chunk table:
+    // every doc wrapped in per-source crawl-shard boilerplate (the
+    // exact corpus shape the operator exists for — common exported
+    // heads/tails), then the cumulative chunk-path neighbor join;
+    // the oracle replays it as a QUADRATIC all-pairs chunk-grain LCP
+    "x_affix_dedup" -> ((s, d) => {
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          lit("crawl-shard standard header :: source="), col("source"),
+          lit(" :: every page in this shard carries this exact " +
+            "boilerplate preamble, inserted by the export pipeline " +
+            "before the document body; tokenizer and decontamination " +
+            "passes must not count it :: "),
+          col("text"),
+          lit(" :: standard shard footer: this page was exported by " +
+            "the crawl pipeline; copyright shard "), col("source"),
+          lit("; the exact same trailing boilerplate is appended to " +
+            "every page in the shard, all rights reserved :: end"))
+          .as("text"))
+      Dedup.affixDedup(wrapped, "doc_id", "text", minShared = 48L)
+        .orderBy(col("kind"), col("doc_id"))
+    }),
+
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
@@ -5675,6 +5698,54 @@ object QueriesOps {
         |  FROM s2)
         |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // QUADRATIC ground truth for the affix dedup: every doc pair
+    // (a < b) cross-joined, chunk-grain LCP computed by DIRECT list
+    // comparison (prefix slices of the per-doc chunk-hash lists — no
+    // bucketing shortcut), then the same per-doc argmax/min-partner
+    // read the operator publishes; chunking replayed as in x_cdc
+    "x_affix_dedup" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    'crawl-shard standard header :: source=' || source ||
+        |    ' :: every page in this shard carries this exact boilerplate preamble, inserted by the export pipeline before the document body; tokenizer and decontamination passes must not count it :: '
+        |    || text ||
+        |    ' :: standard shard footer: this page was exported by the crawl pipeline; copyright shard '
+        |    || source ||
+        |    '; the exact same trailing boilerplate is appended to every page in the shard, all rights reserved :: end' AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM d0),
+        |b AS (SELECT doc_id, text, n,
+        |    list_concat([CAST(1 AS BIGINT)], CASE WHEN n - 16 + 1 >= 2 THEN
+        |      list_filter(range(2, n - 16 + 2),
+        |        i -> substring(md5(substring(text, CAST(i AS INT), 16)), 1, 2) <= '03')
+        |      ELSE CAST([] AS BIGINT[]) END) AS starts
+        |  FROM d),
+        |c AS (SELECT doc_id, text, n, starts,
+        |    list_concat(starts[2:], [CAST(n + 1 AS BIGINT)]) AS ends FROM b),
+        |j AS (SELECT doc_id, text, unnest(starts) AS s, unnest(ends) AS e FROM c),
+        |ch AS (SELECT doc_id, s, e - s AS len,
+        |    md5(substring(text, CAST(s AS INT), CAST(e - s AS INT))) AS h FROM j),
+        |dc AS (SELECT doc_id,
+        |    list(h ORDER BY s) AS hs, list(len ORDER BY s) AS lens,
+        |    list(h ORDER BY s DESC) AS rhs, list(len ORDER BY s DESC) AS rlens
+        |  FROM ch GROUP BY doc_id),
+        |hits AS (
+        |  SELECT 'prefix' AS kind, b2.doc_id AS hdoc, a.doc_id AS part,
+        |    CAST(coalesce(list_sum(a.lens[1:CAST(list_max(list_filter(
+        |      range(1, least(length(a.hs), length(b2.hs)) + 1),
+        |      i -> a.hs[1:CAST(i AS INT)] = b2.hs[1:CAST(i AS INT)])) AS INT)]), 0) AS BIGINT) AS shared
+        |  FROM dc a JOIN dc b2 ON a.doc_id < b2.doc_id
+        |  UNION ALL
+        |  SELECT 'suffix' AS kind, b2.doc_id AS hdoc, a.doc_id AS part,
+        |    CAST(coalesce(list_sum(a.rlens[1:CAST(list_max(list_filter(
+        |      range(1, least(length(a.rhs), length(b2.rhs)) + 1),
+        |      i -> a.rhs[1:CAST(i AS INT)] = b2.rhs[1:CAST(i AS INT)])) AS INT)]), 0) AS BIGINT) AS shared
+        |  FROM dc a JOIN dc b2 ON a.doc_id < b2.doc_id),
+        |mx AS (SELECT kind AS mkind, hdoc AS mdoc, max(shared) AS shared_chars
+        |  FROM hits WHERE shared >= 48 GROUP BY 1, 2)
+        |SELECT kind, hdoc AS doc_id, min(part) AS partner, shared_chars
+        |FROM hits JOIN mx ON kind = mkind AND hdoc = mdoc AND shared = shared_chars
+        |GROUP BY 1, 2, 4 ORDER BY kind, doc_id""".stripMargin,
 
     // CDC replay: identical hex-prefix boundary rule, per-doc
     // starts/ends zip, chunk md5s, then the count-1/min(doc) identity

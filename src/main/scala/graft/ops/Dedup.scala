@@ -791,6 +791,61 @@ object Dedup {
         (col("__chars") - coalesce(col("__uniq_chars"), lit(0L))).as("dup_chars"))
   }
 
+  /** Cross-document PREFIX/SUFFIX overlap dedup — the crawl-shard
+    * boilerplate heads/tails read (the Lee et al. 2022 exact-substring
+    * family at the AFFIX grain, reference-adjacent to the 90f span
+    * reads). Two docs share a prefix (suffix) at CHUNK grain when
+    * their [[cdcChunks]] sequences agree from the start (end):
+    * content-defined boundaries are content-local, so equal text
+    * affixes chunk identically up to the divergence chunk. Each doc
+    * reduces to its cumulative chunk-path levels — level i carries
+    * md5 over its first (last) i chunk hashes plus the cumulative
+    * char length — and ONE equi-join on (kind, level, path) finds
+    * every affix-sharing pair inside bounded hash buckets, never
+    * all-pairs; levels under `minShared` chars are pruned BEFORE the
+    * join (boilerplate levels are rare and deep, the noise floor is
+    * level-1 single chunks). Output is PER DUPLICATED DOC (linear,
+    * not quadratic pairs): (kind ∈ prefix/suffix, doc, partner = the
+    * earliest doc sharing the doc's deepest shared level,
+    * shared_chars ≥ minShared). Char-grain truth may extend past the
+    * last shared boundary into the diverging chunk — the reported
+    * length is the chunk-grain floor (the documented grain).
+    *
+    * 100 TB shape: per-doc windows partition by doc id; the join
+    * shuffles (level, path) keys whose bucket sizes are duplicate
+    * cluster sizes; the per-doc argmax is one partial agg. */
+  def affixDedup(df: DataFrame, id: String, text: String,
+                 minShared: Long = 32L, w: Int = 16,
+                 boundaryHex: String = "03"): DataFrame = {
+    require(minShared >= 1, s"affixDedup: minShared=$minShared must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = cdcChunks(df, id, text, w, boundaryHex)
+    def levels(rev: Boolean, kind: String): DataFrame = {
+      val win = Window.partitionBy(col(id))
+        .orderBy(if (rev) col("start").desc else col("start").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chunks
+        .withColumn("__path",
+          md5(concat_ws("", collect_list(col("chunk_md5")).over(win))))
+        .withColumn("__cum", sum(col("chunk_len")).over(win))
+        .withColumn("__lvl", count(lit(1)).over(win))
+        .filter(col("__cum") >= minShared)
+        .select(lit(kind).as("kind"), col(id),
+          col("__lvl"), col("__path"), col("__cum"))
+    }
+    val lvl = levels(rev = false, "prefix")
+      .unionByName(levels(rev = true, "suffix"))
+    val buckets = lvl.groupBy("kind", "__lvl", "__path")
+      .agg(min(col(id)).as("partner"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val hits = lvl.join(buckets, Seq("kind", "__lvl", "__path"))
+      .filter(col(id) > col("partner"))
+    hits.groupBy(col("kind"), col(id))
+      .agg(max_by(col("partner"), col("__cum")).as("partner"),
+        max(col("__cum")).as("shared_chars"))
+      .select(col("kind"), col(id), col("partner"), col("shared_chars"))
+  }
+
   /** LSH S-curve detection probability: a pair with true jaccard `j`
     * is caught by at least one of `b` bands of `r` rows with
     * P = 1 − (1 − j^r)^b. The planning read behind every

@@ -2343,6 +2343,55 @@ class OpsSpec extends SparkTestBase {
     assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L)
   }
 
+  test("affixDedup: shared heads/tails found, unique doc clean, quadratic ground truth") {
+    import spark.implicits._
+    val hdr = (1 to 40).map(i => s"hdr$i x${i % 5}").mkString(" ")
+    val ftr = (1 to 40).map(i => s"ftr$i y${i % 7}").mkString(" ")
+    def body(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$hdr ${body("aa")} tailone"),
+      (2L, s"$hdr ${body("bb")} tailtwo"),
+      (3L, s"headthree ${body("cc")} $ftr"),
+      (4L, s"headfour ${body("dd")} $ftr"),
+      (5L, s"loner ${body("ee")} loneend"),
+      (6L, s"$hdr ${body("ff")} tailsix")).toDF("doc_id", "text")
+    val minShared = 48L
+    val out = Dedup.affixDedup(df, "doc_id", "text", minShared)
+      .orderBy("kind", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // quadratic chunk-grain ground truth, computed independently of
+    // the bucketed join: pairwise LCP over the per-doc chunk lists
+    val chunkSeqs = Dedup.cdcChunks(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(c => (c._4, c._3)).toSeq).toMap
+    def lcpChars(a: Seq[(String, Long)], b: Seq[(String, Long)]): Long =
+      a.zip(b).takeWhile { case (x, y) => x._1 == y._1 }.map(_._1._2).sum
+    val expected = (for {
+      (kind, seqOf) <- Seq(
+        ("prefix", (x: Long) => chunkSeqs(x)),
+        ("suffix", (x: Long) => chunkSeqs(x).reverse))
+      b <- 1L to 6L
+      cands = (1L until b).map(a => (a, lcpChars(seqOf(a), seqOf(b))))
+        .filter(_._2 >= minShared)
+      if cands.nonEmpty
+    } yield {
+      val best = cands.map(_._2).max
+      (kind, b, cands.filter(_._2 == best).map(_._1).min, best)
+    }).sortBy(r => (r._1, r._2))
+    assert(out == expected, s"operator ${out.toList} vs quadratic ${expected.toList}")
+    // the hand-known shape: 1/2/6 share the header (prefix), 3/4 the
+    // footer (suffix), 5 pairs with nobody
+    assert(out.filter(_._1 == "prefix").map(_._2).toSet == Set(2L, 6L))
+    assert(out.filter(_._1 == "prefix").forall(_._3 == 1L))
+    assert(out.filter(_._1 == "suffix").map(r => (r._2, r._3)) == Seq((4L, 3L)))
+    assert(!out.exists(r => r._2 == 5L || r._3 == 5L), "the loner is clean")
+    // chunk-grain floor: shared length is positive, bounded by the
+    // wrapped affix region (header/footer + one diverging chunk)
+    assert(out.forall(r => r._4 >= minShared))
+  }
+
   test("normalizeText: fold, unicode spaces, control strip, squash, paragraphs") {
     val df = sqlDf("t" -> Seq(
       "‘a’ “b” – — …",

@@ -232,4 +232,59 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(Sources.readManifested(spark, path).columns.toSeq
       == Seq("id", "count_"))
   }
+
+  test("chained drop/re-add cycles of ONE name across compactions; time travel reads each era") {
+    import spark.implicits._
+    val dir = new java.io.File(tmp("graft_cycle"))
+    val path = new java.io.File(dir, "tbl").getPath
+    // era 0: v carries real per-row values
+    (1L to 50L).map(i => (i, s"real$i", i * 2L)).toDF("id", "v", "n")
+      .repartition(2).write.mode("overwrite").parquet(path)
+    Sources.publishManifest(spark, path)
+    val v0 = Sources.manifestLogVersions(conf, path).last
+    def vAt(col: String, version: Long, id: Long): String =
+      Sources.readManifestedAt(spark, path, version)
+        .filter(org.apache.spark.sql.functions.col("id") === id)
+        .select(col).head().getString(0)
+    // cycle 1: drop -> compact (materializes the tombstone, freeing
+    // the name) -> re-add with default A -> append an explicit value
+    Sources.dropColumnAtomic(spark, path, "v")
+    val vDrop1 = Sources.manifestLogVersions(conf, path).last
+    Sources.compactSmallFilesAtomic(spark, path, targetFileBytes = 1L << 30)
+    Sources.addColumnAtomic(spark, path, "v", "string", "eraA")
+    val vAddA = Sources.manifestLogVersions(conf, path).last
+    Sources.insertIntoAtomic(spark, path,
+      Seq((100L, 7L, "expA")).toDF("id", "n", "v"))
+    val vInsA = Sources.manifestLogVersions(conf, path).last
+    // cycle 2: the SAME name again — the stale-neutralization must
+    // compose, not just survive one cycle (r16 ADVICE follow-through)
+    Sources.dropColumnAtomic(spark, path, "v")
+    val vDrop2 = Sources.manifestLogVersions(conf, path).last
+    Sources.compactSmallFilesAtomic(spark, path, targetFileBytes = 1L << 30)
+    Sources.addColumnAtomic(spark, path, "v", "string", "eraB")
+    Sources.insertIntoAtomic(spark, path,
+      Seq((200L, 9L, "expB")).toDF("id", "n", "v"))
+    // HEAD era: everything compacted before re-add B serves eraB
+    // (cycle-1's physical expA was materialized away by compaction 2);
+    // only the post-re-add-B append carries real values
+    val head = Sources.readManifested(spark, path)
+    assert(head.columns.sorted.toSeq == Seq("id", "n", "v"))
+    assert(head.count() == 52)
+    assert(vAt("v", Sources.manifestLogVersions(conf, path).last, 7L) == "eraB")
+    assert(vAt("v", Sources.manifestLogVersions(conf, path).last, 100L) == "eraB",
+      "cycle-1 appends were compacted before the cycle-2 re-add: default B")
+    assert(vAt("v", Sources.manifestLogVersions(conf, path).last, 200L) == "expB")
+    // time travel into each era serves that era's OWN schema + values
+    assert(Sources.readManifestedAt(spark, path, v0).columns.toSeq
+      == Seq("id", "v", "n"))
+    assert(vAt("v", v0, 7L) == "real7", "era 0: the original values")
+    assert(Sources.readManifestedAt(spark, path, vDrop1).columns.toSeq
+      == Seq("id", "n"), "era drop-1: the column is gone")
+    assert(vAt("v", vAddA, 7L) == "eraA", "era A: the first re-add default")
+    assert(vAt("v", vInsA, 100L) == "expA",
+      "era A append: its REAL value, not the default")
+    assert(vAt("v", vInsA, 7L) == "eraA")
+    assert(Sources.readManifestedAt(spark, path, vDrop2).columns.toSeq
+      == Seq("id", "n"), "era drop-2: gone again")
+  }
 }
