@@ -29,12 +29,6 @@ import org.apache.spark.sql.functions._
   * fail loudly rather than corrupt S. */
 object CusumStream {
 
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** (spineStartMs, lastBatchId, direction, per-type (S, lastWindowMs));
     * (-1, -1, "", empty) if absent. Direction is PERSISTED: restarting
     * a monitor with the direction flipped would silently splice the up
@@ -42,11 +36,10 @@ object CusumStream {
     * loudly instead (the grids-must-match pattern). */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Long, Long, String, Map[String, (Long, Long)]) = {
-    val (fs, p) = fsp(conf, dir, "_cusum_state.bin")
-    if (!fs.exists(p)) return (-1L, -1L, "", Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in0 = fs.open(p)
-    try in0.readFully(0, bytes) finally in0.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_cusum_state") match {
+      case None => return (-1L, -1L, "", Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "cusum", 1, "cusumStream")
     val spine = in.readLong(); val lastBatch = in.readLong()
@@ -70,12 +63,10 @@ object CusumStream {
       graft.plans.SketchIO.writeStr(out, t); out.writeLong(s); out.writeLong(w)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_cusum_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_cusum_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"cusumStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's S series in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_cusum_state", bos.toByteArray)
   }
 
   /** Fold one micro-batch; returns the emitted trace rows
@@ -96,9 +87,15 @@ object CusumStream {
         s"direction='$dirn0', fold called with direction='$direction' — " +
         "flipping direction mid-stream would splice the up and down " +
         "recursions into one S series; use a fresh state dir per direction")
-    if (batchId <= lastBatch)
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[cusumStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
       return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
         .toDF("event_type", "wstart", "n", "cusum", "changed")
+    }
     // the batch's window-count profile (ONE partial agg; driver-tiny)
     val profile = batch
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
@@ -212,7 +209,11 @@ object CusumStream {
           "re-sharding re-hashes types into different state dirs and " +
           "double-traces them; rebuild the state to change shard count")
     } else {
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_cusum_shards.tmp")
+      // writer-unique tmp: a fixed name would let a racing first-fold
+      // overwrite these staged bytes; the rename below (no prior
+      // delete) stays the write-once arbiter
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_cusum_shards.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       graft.plans.SketchIO.writeHeader(out, "cusum-shards", 1)

@@ -33,22 +33,15 @@ import org.apache.spark.sql.functions._
   * pattern). */
 object EwmaStream {
 
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** (spineStartMs, lastBatchId, horizon, mult, guard,
     * per-type (lastWindowMs, recent counts most-recent-first));
     * (-1, -1, 0, 0, 0, empty) if absent. */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Long, Long, Int, Long, Long, Map[String, (Long, Vector[Long])]) = {
-    val (fs, p) = fsp(conf, dir, "_ewma_state.bin")
-    if (!fs.exists(p)) return (-1L, -1L, 0, 0L, 0L, Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in0 = fs.open(p)
-    try in0.readFully(0, bytes) finally in0.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_ewma_state") match {
+      case None => return (-1L, -1L, 0, 0L, 0L, Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "ewma", 1, "ewmaStream")
@@ -82,12 +75,10 @@ object EwmaStream {
       hist.foreach(out.writeLong)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_ewma_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_ewma_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"ewmaStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's histories in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_ewma_state", bos.toByteArray)
   }
 
   /** The level from a most-recent-first history: Σ hist(j) / 2^(j+1).
@@ -122,9 +113,15 @@ object EwmaStream {
         s"($horizon, $mult, $guard) — changing the knobs mid-stream " +
         "splices two different charts into one trace; use a fresh " +
         "state dir per configuration")
-    if (batchId <= lastBatch)
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[ewmaStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
       return Seq.empty[(String, java.sql.Timestamp, Long, Double, Boolean)]
         .toDF("event_type", "wstart", "n", "ewma", "alarm")
+    }
     val profile = batch
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))

@@ -28,21 +28,14 @@ object HeavyHitterStream {
 
   /** State I/O through the Hadoop FileSystem API, so the standing
     * summary can live next to the data on HDFS/S3/local alike. */
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** ((items sorted by (est desc, item), running N), last merged
     * batch id); empty/-1 if absent. */
   def readStanding(conf: org.apache.hadoop.conf.Configuration,
                    dir: String): (Seq[(String, Long)], Long, Long) = {
-    val (fs, p) = fsp(conf, dir, "_mg_summary.bin")
-    if (!fs.exists(p)) return (Seq.empty, 0L, -1L)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val fin = fs.open(p)
-    try fin.readFully(0, bytes) finally fin.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_mg_summary") match {
+      case None => return (Seq.empty, 0L, -1L)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "mg", 1, "heavyHitterStream")
     val n = in.readLong()
@@ -62,15 +55,10 @@ object HeavyHitterStream {
     out.writeInt(items.size)
     items.foreach { case (s, c) => graft.plans.SketchIO.writeStr(out, s); out.writeLong(c) }
     out.flush()
-    // write-then-rename: atomic on HDFS/local (object stores document
-    // their own rename semantics — the standard sidecar caveat)
-    val (fs, tmp) = fsp(conf, dir, "_mg_summary.tmp")
-    val (_, dst) = fsp(conf, dir, "_mg_summary.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst),
-      s"heavyHitterStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's summary in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_mg_summary", bos.toByteArray)
   }
 
   /** Agarwal et al. merge of two ≤ k-entry summaries (driver-side by
@@ -107,7 +95,14 @@ object HeavyHitterStream {
                  batchId: Long): Unit = {
     val conf = batch.sparkSession.sessionState.newHadoopConf()
     val (sItems, sN, lastBatch) = readStanding(conf, dir)
-    if (batchId <= lastBatch) return
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[heavyHitterStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
+      return
+    }
     val (bItems, bN) = summarize(batch, key, k)
     writeStanding(conf, dir, mergeSummaries(sItems, bItems, k), sN + bN, batchId)
   }

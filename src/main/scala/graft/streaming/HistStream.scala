@@ -27,20 +27,13 @@ import org.apache.spark.sql.functions._
   * the histogram IS a sum, and sums of longs are order-free. */
 object HistStream {
 
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** (lo, hi, bins, lastBatchId, bin→count); bins = -1 if absent. */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Double, Double, Int, Long, Map[Long, Long]) = {
-    val (fs, p) = fsp(conf, dir, "_hist_state.bin")
-    if (!fs.exists(p)) return (0.0, 0.0, -1, -1L, Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in0 = fs.open(p)
-    try in0.readFully(0, bytes) finally in0.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_hist_state") match {
+      case None => return (0.0, 0.0, -1, -1L, Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "hist", 1, "histStream")
     val lo = in.readDouble(); val hi = in.readDouble()
@@ -63,12 +56,10 @@ object HistStream {
       out.writeLong(b); out.writeLong(n)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_hist_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_hist_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"histStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's counts in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_hist_state", bos.toByteArray)
   }
 
   /** Fold one micro-batch's grid profile into the standing counts.
@@ -82,7 +73,14 @@ object HistStream {
     require(bins0 == -1 || (lo0 == lo && hi0 == hi && bins0 == bins),
       s"histStream: standing grid at $dir is ($lo0,$hi0,$bins0), " +
         s"fold called with ($lo,$hi,$bins) — grids must match")
-    if (batchId <= lastBatch) return
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[histStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
+      return
+    }
     val prof = graft.ops.Profiling.gridHistogram(batch, x, lo, hi, bins)
       .select("bin", "n").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -153,11 +151,10 @@ object HistStream {
     * absent. */
   def readStateBy(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Double, Double, Int, Long, Map[(String, Long), Long]) = {
-    val (fs, p) = fsp(conf, dir, "_histby_state.bin")
-    if (!fs.exists(p)) return (0.0, 0.0, -1, -1L, Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in0 = fs.open(p)
-    try in0.readFully(0, bytes) finally in0.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_histby_state") match {
+      case None => return (0.0, 0.0, -1, -1L, Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "histby", 1, "histStream")
     val lo = in.readDouble(); val hi = in.readDouble()
@@ -183,12 +180,8 @@ object HistStream {
       graft.plans.SketchIO.writeStr(out, k); out.writeLong(b); out.writeLong(n)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_histby_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_histby_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"histStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO)
+    MonitorStateIO.publishNext(conf, dir, "_histby_state", bos.toByteArray)
   }
 
   /** Keyed fold: one standing grid per stratum (per event type, per
@@ -206,7 +199,14 @@ object HistStream {
     require(bins0 == -1 || (lo0 == lo && hi0 == hi && bins0 == bins),
       s"histStream: standing grid at $dir is ($lo0,$hi0,$bins0), " +
         s"fold called with ($lo,$hi,$bins) — grids must match")
-    if (batchId <= lastBatch) return
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[histStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
+      return
+    }
     // NULL stratum keys are dropped like the unkeyed fold drops NULL
     // values (gridHistogram's bin-null filter) — a null event_type row
     // would otherwise ride through gridHistogramBy's groupBy as a null

@@ -21,20 +21,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
   * triples (≤ keys×2^p entries — the sketch-size contract). */
 object HllStream {
 
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** (p, (key, bucket) → rho); (-1, empty) if absent. */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Int, Map[(String, Long), Int]) = {
-    val (fs, p) = fsp(conf, dir, "_hll_state.bin")
-    if (!fs.exists(p)) return (-1, Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val fin = fs.open(p)
-    try fin.readFully(0, bytes) finally fin.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_hll_state") match {
+      case None => return (-1, Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "hll", 1, "hllStream")
     val prec = in.readInt()
@@ -56,12 +49,10 @@ object HllStream {
       graft.plans.SketchIO.writeStr(out, k); out.writeLong(b); out.writeInt(r)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_hll_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_hll_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"hllStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's registers in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_hll_state", bos.toByteArray)
   }
 
   /** Fold one micro-batch's registers into the standing table

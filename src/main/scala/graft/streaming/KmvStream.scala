@@ -33,11 +33,17 @@ object KmvStream {
   /** (k, sorted k-min hashes); (-1, empty) if absent. */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Int, Seq[String]) = {
-    val (fs, p) = fsp(conf, dir, "_kmv_state.txt")
-    if (!fs.exists(p)) return (-1, Seq.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val fin = fs.open(p)
-    try fin.readFully(0, bytes) finally fin.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_kmv_state") match {
+      case Some((b, _)) => b
+      case None =>
+        // pre-versioned layout: the fixed-name .txt file
+        val (fs, p) = fsp(conf, dir, "_kmv_state.txt")
+        if (!fs.exists(p)) return (-1, Seq.empty)
+        val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val fin = fs.open(p)
+        try fin.readFully(0, b) finally fin.close()
+        b
+    }
     val lines = new String(bytes, "UTF-8").split("\n").filter(_.nonEmpty)
     // text-format envelope — the binary monitors' magic/family/version
     // header, as a first line (same loud-fail contract)
@@ -50,13 +56,13 @@ object KmvStream {
 
   private def writeState(conf: org.apache.hadoop.conf.Configuration,
                          dir: String, k: Int, mins: Seq[String]): Unit = {
-    val (fs, tmp) = fsp(conf, dir, "_kmv_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_kmv_state.txt")
-    val o = fs.create(tmp, true)
-    try o.write(("graft-kmv 1" +: k.toString +: mins).mkString("\n").getBytes("UTF-8"))
-    finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"kmvStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's mins in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_kmv_state",
+      ("graft-kmv 1" +: k.toString +: mins).mkString("\n").getBytes("UTF-8"))
+    val (fs, legacy) = fsp(conf, dir, "_kmv_state.txt")
+    if (fs.exists(legacy)) fs.delete(legacy, false) // superseded layout
   }
 
   /** Fold one micro-batch's sketch into the standing k-min set

@@ -49,7 +49,15 @@ object ManifestSink {
       s"manifestSink: filesPerBatch=$filesPerBatch must be >= 1")
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    if (batchId <= lastBatchId(conf, path)) return
+    val standing = lastBatchId(conf, path)
+    if (batchId <= standing) {
+      System.err.println(
+        s"[manifestSink] skipping replayed batch $batchId (standing " +
+          s"cursor $standing) — crash-redelivery idempotence; a FRESH-" +
+          "CHECKPOINT restart also lands here and would drop real data: " +
+          "point the restarted stream at a fresh table path")
+      return
+    }
     val v0 = graft.sources.Sources.manifestVersion(conf, path)
     val names = graft.sources.Sources.readManifest(conf, path)
       .getOrElse(Seq.empty)
@@ -112,7 +120,15 @@ object ManifestSink {
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    if (batchId <= lastBatchId(conf, path)) return
+    val standing = lastBatchId(conf, path)
+    if (batchId <= standing) {
+      System.err.println(
+        s"[manifestSink] skipping replayed upsert batch $batchId " +
+          s"(standing cursor $standing) — crash-redelivery idempotence; a " +
+          "FRESH-CHECKPOINT restart also lands here and would drop real " +
+          "data: point the restarted stream at a fresh table path")
+      return
+    }
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val hasTable = fs.exists(new Path(path, "_MANIFEST"))

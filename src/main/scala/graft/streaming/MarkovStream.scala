@@ -32,21 +32,14 @@ import org.apache.spark.sql.functions._
   * operator — the emission replays bit-for-bit. */
 object MarkovStream {
 
-  private def fsp(conf: org.apache.hadoop.conf.Configuration, dir: String,
-                  name: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    (p.getFileSystem(conf), p)
-  }
-
   /** (lastBatchId, maxTsMs, per-user last type, per-(from,to) count);
     * (-1, Long.MinValue, empty, empty) if absent. */
   def readState(conf: org.apache.hadoop.conf.Configuration, dir: String):
       (Long, Long, Map[String, String], Map[(String, String), Long]) = {
-    val (fs, p) = fsp(conf, dir, "_markov_state.bin")
-    if (!fs.exists(p)) return (-1L, Long.MinValue, Map.empty, Map.empty)
-    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in0 = fs.open(p)
-    try in0.readFully(0, bytes) finally in0.close()
+    val bytes = MonitorStateIO.readLatest(conf, dir, "_markov_state") match {
+      case None => return (-1L, Long.MinValue, Map.empty, Map.empty)
+      case Some((b, _)) => b
+    }
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     graft.plans.SketchIO.readHeader(in, "markov", 1, "markovStream")
@@ -83,12 +76,10 @@ object MarkovStream {
       out.writeLong(n)
     }
     out.flush()
-    val (fs, tmp) = fsp(conf, dir, "_markov_state.tmp")
-    val (_, dst) = fsp(conf, dir, "_markov_state.bin")
-    val o = fs.create(tmp, true)
-    try o.write(bos.toByteArray) finally o.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"markovStream: rename $tmp -> $dst failed")
+    // writer-unique tmp + versioned arbiter rename (MonitorStateIO):
+    // a concurrent fold into one state dir loses LOUDLY instead of
+    // erasing this writer's tails in a read-modify-write race
+    MonitorStateIO.publishNext(conf, dir, "_markov_state", bos.toByteArray)
   }
 
   /** Fold one micro-batch; returns the CURRENT transition matrix
@@ -102,9 +93,15 @@ object MarkovStream {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val (lastBatch, maxTs0, users0, pairs0) = readState(conf, dir)
-    if (batchId <= lastBatch)
+    if (batchId <= lastBatch) {
+      System.err.println(
+        s"[markovStream] skipping replayed batch $batchId (standing cursor " +
+          s"$lastBatch) — crash-redelivery idempotence; a FRESH-CHECKPOINT " +
+          "restart also lands here and would drop real data: clear the " +
+          "state dir to start over")
       return Seq.empty[(String, String, Long, Double)]
         .toDF("from_type", "to_type", "n", "p")
+    }
     val seq0 = batch.select(col(user).cast("string").as("__u"),
       col(ts).as("__ts"), col(tieBreak).as("__tb"),
       col(eventType).as("__e"))

@@ -56,6 +56,29 @@ private[graft] object MonitorStateIO {
     }
   }
 
+  /** [[publish]] at the next version after the currently-listed
+    * latest — for monitors whose fold does not thread the read
+    * version through. A writer that raced past this one between the
+    * listing and the rename still trips the arbiter (the version it
+    * published already exists), so the lost-update window is closed
+    * either way. */
+  def publishNext(conf: org.apache.hadoop.conf.Configuration, dir: String,
+                  prefix: String, body: Array[Byte]): Unit = {
+    val v = readLatestVersion(conf, dir, prefix).getOrElse(-1L)
+    publish(conf, dir, prefix, body, v + 1L)
+  }
+
+  private def readLatestVersion(conf: org.apache.hadoop.conf.Configuration,
+                                dir: String, prefix: String): Option[Long] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return None
+    val versions = fs.listStatus(d).toSeq
+      .flatMap(st => versionOf(prefix, st.getPath.getName))
+    if (versions.nonEmpty) Some(versions.max)
+    else if (fs.exists(new Path(d, s"$prefix.bin"))) Some(0L) else None
+  }
+
   /** Publish `body` as version `newVersion` (= the read version + 1).
     * Refuses loudly when that version already exists — the concurrent-
     * writer signal. */

@@ -674,8 +674,12 @@ class StreamingSpec extends SparkTestBase {
       assert(sh.count(_._1 == t) == 6, s"$t backfill: ${sh.filter(_._1 == t)}")
     }
     // per-shard state files exist — independent, not one hot file
-    assert((0 until 3).count(i =>
-      new java.io.File(s"$stateS/shard=$i/_cusum_state.bin").exists()) == 3)
+    // (versioned layout: _cusum_state.vNNNNNN.bin per publish)
+    assert((0 until 3).count { i =>
+      val d = new java.io.File(s"$stateS/shard=$i")
+      d.exists() && d.listFiles().exists(f =>
+        f.getName.startsWith("_cusum_state.") && f.getName.endsWith(".bin"))
+    } == 3)
     // replay idempotence holds shard-wise too
     assert(graft.streaming.CusumStream
       .foldBatchSharded(b1, stateS, 1L, nShards = 3, "1 hour", 4L, 8L)
@@ -1098,8 +1102,12 @@ class StreamingSpec extends SparkTestBase {
       cusumDir, 0L, windowLen = "1 hour", k = 1L, h = 2L)
     val crossDir = new java.io.File(base, "cross")
     crossDir.mkdirs()
-    java.nio.file.Files.copy(
-      new java.io.File(cusumDir, "_cusum_state.bin").toPath,
+    // latest versioned cusum state, planted under hist's LEGACY fixed
+    // name (the fallback read path) — family arbitration must still fire
+    val cusumState = new java.io.File(cusumDir).listFiles()
+      .filter(f => f.getName.startsWith("_cusum_state.") &&
+        f.getName.endsWith(".bin")).maxBy(_.getName)
+    java.nio.file.Files.copy(cusumState.toPath,
       new java.io.File(crossDir, "_hist_state.bin").toPath)
     val e2 = intercept[IllegalArgumentException] {
       graft.streaming.HistStream.readState(conf, crossDir.getPath)
