@@ -881,6 +881,27 @@ object QueriesOps {
         .orderBy(col("kind"), col("doc_id"))
     }),
 
+    // the remediation half: shared boilerplate heads/tails CUT from
+    // every non-representative doc (chunk-grain floor), boilerplate
+    // survives once per group on the representative
+    "x_affix_strip" -> ((s, d) => {
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          lit("crawl-shard standard header :: source="), col("source"),
+          lit(" :: every page in this shard carries this exact " +
+            "boilerplate preamble, inserted by the export pipeline " +
+            "before the document body; tokenizer and decontamination " +
+            "passes must not count it :: "),
+          col("text"),
+          lit(" :: standard shard footer: this page was exported by " +
+            "the crawl pipeline; copyright shard "), col("source"),
+          lit("; the exact same trailing boilerplate is appended to " +
+            "every page in the shard, all rights reserved :: end"))
+          .as("text"))
+      Dedup.affixStrip(wrapped, "doc_id", "text", minShared = 48L)
+        .orderBy(col("doc_id"))
+    }),
+
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(t(s, d, "documents"), "text", k = 8, w = 4)
         .select("doc_id", "n_fingerprints", "doc_fingerprint")
@@ -5746,6 +5767,57 @@ object QueriesOps {
         |SELECT kind, hdoc AS doc_id, min(part) AS partner, shared_chars
         |FROM hits JOIN mx ON kind = mkind AND hdoc = mdoc AND shared = shared_chars
         |GROUP BY 1, 2, 4 ORDER BY kind, doc_id""".stripMargin,
+
+    // the strip replay: the quadratic finder above as a CTE, then the
+    // same clamped substring cut per doc (pass-through docs cut 0)
+    "x_affix_strip" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    'crawl-shard standard header :: source=' || source ||
+        |    ' :: every page in this shard carries this exact boilerplate preamble, inserted by the export pipeline before the document body; tokenizer and decontamination passes must not count it :: '
+        |    || text ||
+        |    ' :: standard shard footer: this page was exported by the crawl pipeline; copyright shard '
+        |    || source ||
+        |    '; the exact same trailing boilerplate is appended to every page in the shard, all rights reserved :: end' AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, text, length(text) AS n FROM d0),
+        |b AS (SELECT doc_id, text, n,
+        |    list_concat([CAST(1 AS BIGINT)], CASE WHEN n - 16 + 1 >= 2 THEN
+        |      list_filter(range(2, n - 16 + 2),
+        |        i -> substring(md5(substring(text, CAST(i AS INT), 16)), 1, 2) <= '03')
+        |      ELSE CAST([] AS BIGINT[]) END) AS starts
+        |  FROM d),
+        |c AS (SELECT doc_id, text, n, starts,
+        |    list_concat(starts[2:], [CAST(n + 1 AS BIGINT)]) AS ends FROM b),
+        |j AS (SELECT doc_id, text, unnest(starts) AS s, unnest(ends) AS e FROM c),
+        |ch AS (SELECT doc_id, s, e - s AS len,
+        |    md5(substring(text, CAST(s AS INT), CAST(e - s AS INT))) AS h FROM j),
+        |dc AS (SELECT doc_id,
+        |    list(h ORDER BY s) AS hs, list(len ORDER BY s) AS lens,
+        |    list(h ORDER BY s DESC) AS rhs, list(len ORDER BY s DESC) AS rlens
+        |  FROM ch GROUP BY doc_id),
+        |hits AS (
+        |  SELECT 'prefix' AS kind, b2.doc_id AS hdoc,
+        |    CAST(coalesce(list_sum(a.lens[1:CAST(list_max(list_filter(
+        |      range(1, least(length(a.hs), length(b2.hs)) + 1),
+        |      i -> a.hs[1:CAST(i AS INT)] = b2.hs[1:CAST(i AS INT)])) AS INT)]), 0) AS BIGINT) AS shared
+        |  FROM dc a JOIN dc b2 ON a.doc_id < b2.doc_id
+        |  UNION ALL
+        |  SELECT 'suffix' AS kind, b2.doc_id AS hdoc,
+        |    CAST(coalesce(list_sum(a.rlens[1:CAST(list_max(list_filter(
+        |      range(1, least(length(a.rhs), length(b2.rhs)) + 1),
+        |      i -> a.rhs[1:CAST(i AS INT)] = b2.rhs[1:CAST(i AS INT)])) AS INT)]), 0) AS BIGINT) AS shared
+        |  FROM dc a JOIN dc b2 ON a.doc_id < b2.doc_id),
+        |mx AS (SELECT kind, hdoc AS doc_id, max(shared) AS shared_chars
+        |  FROM hits WHERE shared >= 48 GROUP BY 1, 2),
+        |pre AS (SELECT doc_id, shared_chars AS p FROM mx WHERE kind = 'prefix'),
+        |suf AS (SELECT doc_id, shared_chars AS sc FROM mx WHERE kind = 'suffix')
+        |SELECT d.doc_id,
+        |  substring(d.text, CAST(coalesce(p, 0) + 1 AS INT),
+        |    CAST(greatest(n - coalesce(p, 0) - coalesce(sc, 0), 0) AS INT)) AS clean,
+        |  CAST(coalesce(p, 0) AS BIGINT) AS cut_prefix,
+        |  CAST(coalesce(sc, 0) AS BIGINT) AS cut_suffix
+        |FROM d LEFT JOIN pre USING (doc_id) LEFT JOIN suf USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // CDC replay: identical hex-prefix boundary rule, per-doc
     // starts/ends zip, chunk md5s, then the count-1/min(doc) identity

@@ -846,6 +846,36 @@ object Dedup {
       .select(col("kind"), col(id), col("partner"), col("shared_chars"))
   }
 
+  /** The remediation half of [[affixDedup]] (the 90f2 pattern: find
+    * the duplicated region, then CUT it): every doc that shares a
+    * prefix (suffix) with an earlier doc loses those shared chars —
+    * the boilerplate survives once, on each group's representative,
+    * instead of once per page. Cuts clamp so a doc that is pure
+    * boilerplate (prefix + suffix cover everything) strips to empty
+    * rather than negative. Output: (id, clean, cut_prefix,
+    * cut_suffix); pass-through docs carry cuts of 0. Same chunk-grain
+    * floor as the finder — the cut lands at the last shared chunk
+    * boundary, never mid-divergence. */
+  def affixStrip(df: DataFrame, id: String, text: String,
+                 minShared: Long = 32L, w: Int = 16,
+                 boundaryHex: String = "03"): DataFrame = {
+    val aff = affixDedup(df, id, text, minShared, w, boundaryHex)
+    val pre = aff.filter(col("kind") === "prefix")
+      .select(col(id), col("shared_chars").as("__pre"))
+    val suf = aff.filter(col("kind") === "suffix")
+      .select(col(id), col("shared_chars").as("__suf"))
+    df.join(pre, Seq(id), "left").join(suf, Seq(id), "left")
+      .withColumn("__p", coalesce(col("__pre"), lit(0L)))
+      .withColumn("__s", coalesce(col("__suf"), lit(0L)))
+      .withColumn("__keep",
+        greatest(length(col(text)).cast("long") - col("__p") - col("__s"),
+          lit(0L)))
+      .select(col(id),
+        col(text).substr((col("__p") + 1L).cast("int"),
+          col("__keep").cast("int")).as("clean"),
+        col("__p").as("cut_prefix"), col("__s").as("cut_suffix"))
+  }
+
   /** LSH S-curve detection probability: a pair with true jaccard `j`
     * is caught by at least one of `b` bands of `r` rows with
     * P = 1 − (1 − j^r)^b. The planning read behind every

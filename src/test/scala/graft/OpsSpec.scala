@@ -2390,6 +2390,24 @@ class OpsSpec extends SparkTestBase {
     // chunk-grain floor: shared length is positive, bounded by the
     // wrapped affix region (header/footer + one diverging chunk)
     assert(out.forall(r => r._4 >= minShared))
+    // the remediation half: every doc's clean text is exactly the
+    // original minus its found cuts; representatives pass through
+    val texts = df.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val cuts = out.groupBy(_._2).view.mapValues(rs =>
+      (rs.find(_._1 == "prefix").map(_._4).getOrElse(0L),
+        rs.find(_._1 == "suffix").map(_._4).getOrElse(0L))).toMap
+    val stripped = Dedup.affixStrip(df, "doc_id", "text", minShared)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(stripped.length == 6)
+    stripped.foreach { case (doc, clean, p, s) =>
+      val (ep, es) = cuts.getOrElse(doc, (0L, 0L))
+      assert((p, s) == (ep, es), s"doc $doc cuts")
+      val t0 = texts(doc)
+      assert(clean == t0.drop(p.toInt).dropRight(s.toInt), s"doc $doc text")
+    }
+    assert(stripped.find(_._1 == 1L).get._2 == texts(1L),
+      "the prefix-group representative passes through untouched")
   }
 
   test("normalizeText: fold, unicode spaces, control strip, squash, paragraphs") {
