@@ -422,6 +422,14 @@ object Bench {
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     var anchorStartV = -1.0; var anchorEndV = -1.0
     var sf1AnchorV = -1.0; var sf10AnchorV = -1.0
+    // sustained-anchor readings (min/max of 6 back-to-back anchors,
+    // ~12s of full-width load): the 2s burst anchor reads 0.5s on a
+    // host whose SUSTAINED throughput is 2-10x degraded (burst
+    // credits) — r17 measured heavy sf10 rows at 2-10x the standing
+    // pins with burst anchors inside the threshold; max/min >> 1 (or
+    // a max far above the quiet band) flags that regime in the
+    // artifact itself
+    var sustMinV = -1.0; var sustMaxV = -1.0
     val erCc = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
     val ContendedSec = 0.60
 
@@ -474,6 +482,9 @@ object Bench {
         ""","sf10_rows":""" + mapJson(sf10Res, time = false) +
         (if (sf10AnchorV >= 0)
           f""","sf10_anchor_sec":$sf10AnchorV%.3f,"sf10_contended":${sf10AnchorV > ContendedSec}"""
+        else "") +
+        (if (sustMinV >= 0)
+          f""","sf10_anchor_sustained":{"min":$sustMinV%.3f,"max":$sustMaxV%.3f}"""
         else "")
     val timingTag = "min-of-2;sweep>30s-min-of-1"
     def totalV: Double = headRes.values.flatten.map(_._1).sum
@@ -585,7 +596,12 @@ object Bench {
       val first = time1(name, dir)
       first match {
         case Some((t, _)) if t > heavyCutoff =>
-          if (!shuttingDown && budgetLeft > t * 1.5 + 60) {
+          // second sample only when (a) the budget affords it and
+          // (b) the first sample is under 120s — a reading past that
+          // is already host-degraded (r17 adjudication band), where a
+          // repeat converges to the degraded level, not the pin, and
+          // just burns the budget the remaining sweep members need
+          if (!shuttingDown && t <= 120.0 && budgetLeft > t * 1.5 + 60) {
             val second = time1(name, dir)
             (first.toSeq ++ second.toSeq)
               .reduceOption((a, b) => if (a._1 <= b._1) a else b)
@@ -702,7 +718,13 @@ object Bench {
         spark.range(1000).selectExpr("sum(id)").collect() // codegen re-warm
         val sf10Dir = synthSf10(spark, benchDir)
         val a10 = math.min(anchor(), anchor())
-        lock.synchronized { sf10AnchorV = a10 }
+        // sustained anchor: 6 back-to-back runs expose burst-credit
+        // throttling the 2s anchor hides (see sustMinV scaladoc)
+        val sustained = (1 to 6).map(_ => anchor())
+        lock.synchronized {
+          sf10AnchorV = a10
+          sustMinV = sustained.min; sustMaxV = sustained.max
+        }
         sf10Queries.filter(qs.contains).foreach { n =>
           if (shuttingDown || budgetLeft < 15)
             lock.synchronized { skipped += s"sf10:$n" }
