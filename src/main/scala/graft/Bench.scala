@@ -76,7 +76,8 @@ object Bench {
     "s_sprt",
     // round-17: the two answer-preserving streaming-sink replays and
     // the affix (boilerplate head/tail) dedup over the CDC chunk table
-    "x_stream_sink", "x_stream_upsert", "x_affix_dedup", "x_affix_strip")
+    "x_stream_sink", "x_stream_upsert", "x_affix_dedup", "x_affix_strip",
+    "x_lsh_recall")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

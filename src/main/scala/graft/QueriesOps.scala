@@ -138,6 +138,22 @@ object QueriesOps {
         w = 3, numPerm = 64, numBands = 16, threshold = 0.2)
         .orderBy(col("a"), col("b"))),
 
+    // MEASURED LSH recall/precision on a 250-doc md5-ranked sample of
+    // the corpus plus perturbed near-copies (every 5th doc, suffix-
+    // wrapped): quadratic exact-jaccard ground truth vs the 8x8
+    // engine-portable band proposals — the empirical S-curve check
+    // behind every (bands, rows) choice; recall here reads sub-1 by
+    // design (threshold 0.5 sits below the 8x8 midpoint 0.77)
+    "x_lsh_recall" -> ((s, d) => {
+      val base = t(s, d, "documents").select("doc_id", "text")
+      val d0 = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          concat(col("text"), lit(" terms apply contact support"))
+            .as("text")))
+      Dedup.lshRecallAudit(d0, "doc_id", "text", sampleN = 250, seed = 7L,
+        w = 3, numBands = 8, rowsPerBand = 8, threshold = 0.5)
+    }),
+
     // near-dedup from the MATERIALIZED signature index (the standing-
     // workload path): candidate join + jaccard verification read the
     // index alone — zero text scans, zero re-hashing per pass
@@ -9458,6 +9474,55 @@ s"""WITH lines AS (
     // hash-compares exactly (integer-count jaccards divide identically
     // in both engines).
     "x_dedup_minhash" -> minhashOracleSql,
+
+    // the audit replay: same md5-ranked sample, quadratic exact
+    // jaccard truth, full 64-perm portable-minhash band replay
+    // (12-hex md5 decode, the s_neardup idiom), INTERSECT for caught
+    "x_lsh_recall" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id,
+        |    text || ' terms apply contact support' AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT doc_id, text,
+        |    list_sum(list_transform(range(1, 14), j ->
+        |      (strpos('0123456789abcdef', substring(md5('7' || CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |        * pow(16, 13 - j))) / 4503599627370496.0 AS u
+        |  FROM d0),
+        |smp AS (SELECT doc_id, text FROM u ORDER BY u, doc_id LIMIT 250),
+        |toks AS (SELECT doc_id, $toksSql AS wd FROM smp),
+        |shl AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(wd) < 3 THEN [array_to_string(wd, ' ')]
+        |      ELSE list_transform(range(1, len(wd) - 1), i -> array_to_string(wd[i:i+2], ' ')) END) AS s
+        |  FROM toks),
+        |truth AS (SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM shl x JOIN shl y ON x.doc_id < y.doc_id
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |    / CAST(len(list_distinct(x.s || y.s)) AS DOUBLE) >= 0.5),
+        |sh2 AS (SELECT doc_id, unnest(s) AS s FROM shl),
+        |hj AS (SELECT doc_id, pj.j,
+        |    CAST(list_sum(list_transform(range(1, 13), i ->
+        |      (strpos('0123456789abcdef', substr(md5(s || ':' || pj.j), CAST(i AS INT), 1)) - 1)
+        |        * pow(16, 12 - i))) AS BIGINT) AS h
+        |  FROM sh2 CROSS JOIN (SELECT unnest(range(0, 64)) AS j) pj),
+        |sigs AS (SELECT doc_id, j, min(h) AS h FROM hj GROUP BY 1, 2),
+        |buckets AS (SELECT doc_id, CAST(floor(j / 8) AS INT) AS band,
+        |    array_to_string(list(CAST(h AS VARCHAR) ORDER BY j), ',') AS bucket
+        |  FROM sigs GROUP BY 1, 2),
+        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band
+        |    AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |caught AS (SELECT a, b FROM cands INTERSECT SELECT a, b FROM truth)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidate_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM caught) AS n_caught,
+        |  round(CASE WHEN (SELECT count(*) FROM truth) > 0
+        |    THEN CAST((SELECT count(*) FROM caught) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM truth) AS DOUBLE) END, 6) AS recall,
+        |  round(CASE WHEN (SELECT count(*) FROM cands) > 0
+        |    THEN CAST((SELECT count(*) FROM caught) AS DOUBLE)
+        |      / CAST((SELECT count(*) FROM cands) AS DOUBLE) END, 6) AS candidate_precision""".stripMargin,
 
     // the indexed path generates the identical candidate set and the
     // identical jaccard verdicts (same signatures, read from parquet

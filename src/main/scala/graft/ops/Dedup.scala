@@ -876,6 +876,72 @@ object Dedup {
         col("__p").as("cut_prefix"), col("__s").as("cut_suffix"))
   }
 
+  /** MEASURED LSH recall/precision audit on a deterministic sample —
+    * the empirical twin of [[lshPlan]]'s theoretical S-curve: of the
+    * sample's TRUE near-dup pairs (exact shingle-set jaccard ≥
+    * `threshold`, quadratic within the sample), how many do the
+    * engine-portable band buckets actually propose, and how much of
+    * the proposed candidate set survives verification. "Caught"
+    * applies the SAME exact-jaccard verdict to the candidates, so
+    * caught ⊆ true by construction and the two published rates are
+    * exactly the knobs lshPlan trades: recall = caught/true (what
+    * the bands find) and candidate_precision = caught/candidates
+    * (verification work not wasted). The sample is md5-ranked
+    * (engine-replayable) and the quadratic cross join is
+    * sample-sized BY CONTRACT (the knnShapley broadcast discipline)
+    * — at 100 TB you audit a stratified sample, never the corpus.
+    * The band table is referenced twice by the self-join (the
+    * 64-perm md5 signatures evaluate twice) — sample-sized, priced
+    * in. Output: one row (n_docs, n_true_pairs, n_candidate_pairs,
+    * n_caught, recall, candidate_precision); rates NULL when their
+    * denominator is zero. */
+  def lshRecallAudit(df: DataFrame, id: String, text: String,
+                     sampleN: Int, seed: Long, w: Int = 3,
+                     numBands: Int = 8, rowsPerBand: Int = 8,
+                     threshold: Double = 0.5): DataFrame = {
+    require(sampleN >= 2 && sampleN <= 100000,
+      s"lshRecallAudit: sampleN=$sampleN must be in [2, 100000] — the " +
+        "audit cross join is sample-sized by contract (stratify upstream " +
+        "at corpus scale)")
+    val sample = df
+      .select(col(id).as("__d"), col(text).as("__text"))
+      .withColumn("__u", graft.functions.BaseFns.md5Unif(col("__d"), seed))
+      .orderBy(col("__u"), col("__d")).limit(sampleN)
+      .select(col("__d"), col("__text"))
+    val sh = sample.select(col("__d"),
+      array_distinct(shingles(tokens(col("__text")), w)).as("__sh"))
+    val truth = sh.select(col("__d").as("a"), col("__sh").as("__sa"))
+      .crossJoin(broadcast(
+        sh.select(col("__d").as("b"), col("__sh").as("__sb"))))
+      .filter(col("a") < col("b"))
+      .filter(jaccard(col("__sa"), col("__sb")) >= threshold)
+      .select("a", "b")
+    val bandRows = sample.select(col("__d"),
+        explode(portableMinhashBands(col("__text"), w, numBands,
+          rowsPerBand)).as("__b"))
+      .select(col("__d"), col("__b.band").as("band"),
+        col("__b.bucket").as("bucket"))
+    val cands = bandRows.select(col("__d").as("a"), col("band"), col("bucket"))
+      .join(bandRows.select(col("__d").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val caught = cands.join(truth, Seq("a", "b")).select("a", "b")
+    sample.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidate_pairs")))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_docs"), col("n_true_pairs"), col("n_candidate_pairs"),
+        col("n_caught"),
+        round(when(col("n_true_pairs") > 0,
+          col("n_caught").cast("double") /
+            col("n_true_pairs").cast("double")), 6).as("recall"),
+        round(when(col("n_candidate_pairs") > 0,
+          col("n_caught").cast("double") /
+            col("n_candidate_pairs").cast("double")), 6)
+          .as("candidate_precision"))
+  }
+
   /** LSH S-curve detection probability: a pair with true jaccard `j`
     * is caught by at least one of `b` bands of `r` rows with
     * P = 1 − (1 − j^r)^b. The planning read behind every

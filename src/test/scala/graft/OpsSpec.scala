@@ -2410,6 +2410,25 @@ class OpsSpec extends SparkTestBase {
       "the prefix-group representative passes through untouched")
   }
 
+  test("lshRecallAudit: exact dups read recall 1, disjoint corpus reads NULL, caught bounded") {
+    import spark.implicits._
+    val distinct = (1 to 30).map(i =>
+      (i.toLong, (1 to 40).map(k => s"w$i$k u${(i * k) % 11}").mkString(" ")))
+    // identical copies collide in EVERY band: recall is exactly 1
+    val dups = distinct.take(10).map { case (i, t) => (i + 100L, t) }
+    val out = Dedup.lshRecallAudit((distinct ++ dups).toDF("doc_id", "text"),
+      "doc_id", "text", sampleN = 40, seed = 3L).head()
+    assert(out.getLong(1) == 10L, "true pairs = the 10 identical copies")
+    assert(out.getDouble(4) == 1.0, "identical copies are always caught")
+    assert(out.getLong(3) <= out.getLong(2) && out.getLong(3) <= out.getLong(1),
+      "caught is bounded by candidates and truth")
+    // a corpus with no near-dups: zero truth, recall NULL (not 0/0)
+    val clean = Dedup.lshRecallAudit(distinct.toDF("doc_id", "text"),
+      "doc_id", "text", sampleN = 30, seed = 3L).head()
+    assert(clean.getLong(1) == 0L && clean.isNullAt(4))
+    assert(clean.getLong(0) == 30L)
+  }
+
   test("normalizeText: fold, unicode spaces, control strip, squash, paragraphs") {
     val df = sqlDf("t" -> Seq(
       "‘a’ “b” – — …",
