@@ -77,7 +77,12 @@ object Bench {
     // round-17: the two answer-preserving streaming-sink replays and
     // the affix (boilerplate head/tail) dedup over the CDC chunk table
     "x_stream_sink", "x_stream_upsert", "x_affix_dedup", "x_affix_strip",
-    "x_lsh_recall")
+    "x_lsh_recall",
+    // round-17 second wave: the autocorrelation layer over the hourly
+    // monitor series, the plain Welch cohort test, and the modularity
+    // acceptance read on the LPA partition
+    "x_acf", "x_ljung_box", "x_runs_test", "x_welch",
+    "x_modularity", "x_modularity_g")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

@@ -656,6 +656,53 @@ object QueriesOps {
         col("n_events")).orderBy(col("key"))
     }),
 
+    // sample autocorrelation per event type over the hourly count
+    // series, lags 1..6: seasonality/burst-clustering read beside the
+    // trend tests — exact-integer numerator/denominator, one closing
+    // IEEE division per (key, lag)
+    "x_acf" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.acf(hourly, col("event_type"), col("h"),
+        col("n_events"), maxLag = 6).orderBy(col("key"), col("lag"))
+    }),
+
+    // Ljung-Box portmanteau over the same series: is the hourly
+    // arrival pattern white noise? Fixed ascending-lag IEEE chain
+    // over the six bit-replayable ACF values
+    "x_ljung_box" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.ljungBox(hourly, col("event_type"), col("h"),
+        col("n_events"), maxLag = 6).orderBy(col("key"))
+    }),
+
+    // Wald-Wolfowitz runs test over the same series: do high hours
+    // cluster into regimes? Above/below-mean by exact integer
+    // compare, ties dropped, fixed IEEE z chain
+    "x_runs_test" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.runsTest(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
+    // Welch two-sample t on event value, cohorts = even/odd users:
+    // the uncorrected cohort-mean read beside x_did/x_cuped — two
+    // exact-decimal cells, fixed IEEE chain
+    "x_welch" -> ((s, d) =>
+      Profiling.welchT(events(s, d), col("user_id") % 2 === 0,
+        col("value"))),
+
     // Gini concentration of characters across languages — the
     // corpus-composition audit number off the Lorenz curve
     "x_gini" -> ((s, d) =>
@@ -2930,6 +2977,28 @@ object QueriesOps {
         ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
       Graph.labelPropagation(edges, "src", "dst", iters = 3)
         .orderBy(col("node"))
+    }),
+
+    // per-community Newman modularity of the x_lpa partition — the
+    // acceptance read on a community assignment (≈0 = no better than
+    // random): exact integer m_c/d_c/m, per-row fixed IEEE q_part
+    "x_modularity" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      val labels = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      Graph.modularity(edges, "src", "dst", labels, "node", "label")
+        .orderBy(col("community"))
+    }),
+
+    // global modularity Q as one exact-rational row (order-free:
+    // (4m·Σm_c − Σd_c²)/(4m²), single closing division)
+    "x_modularity_g" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      val labels = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      Graph.modularityGlobal(edges, "src", "dst", labels, "node", "label")
     }),
 
     // coreness by 3 iterated-h-index rounds over the same link graph:
@@ -9119,6 +9188,15 @@ s"""WITH lines AS (
         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
     },
 
+    // per-community modularity of the x_lpa partition: replay the 3
+    // LPA rounds, then exact integer m_c/d_c/m and the fixed two-
+    // division q_part chain
+    "x_modularity" -> ModularitySql.perCommunity,
+
+    // global Q: the order-free exact-rational closed form
+    // (4m·Σm_c − Σd_c²)/(4m²), one closing division
+    "x_modularity_g" -> ModularitySql.global,
+
     // topPaths: same (ts, event_id) deterministic order, DuckDB
     // string_agg ORDER BY rebuilds the identical path strings
     "x_paths" ->
@@ -10727,6 +10805,79 @@ s"""WITH lines AS (
         |FROM n LEFT JOIN sl USING (key) LEFT JOIN ic USING (key)
         |ORDER BY key""".stripMargin,
 
+    // ACF replay: exact HUGEINT numerator/denominator (the n²-scaled
+    // mean-centered identity), one string-bridged closing division
+    "x_acf" -> AcfSql.acfSelect,
+
+    // Ljung-Box replay: pivot the six bit-replayable ACF values, then
+    // the identical ascending-lag left-fold IEEE chain
+    "x_ljung_box" -> AcfSql.ljungBoxSelect,
+
+    // runs-test replay: exact integer classify (n·y vs S, ties
+    // dropped), window lag run starts, the identical fixed z chain
+    "x_runs_test" ->
+      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM h GROUP BY key),
+        |c AS (SELECT h.key AS key, h.t AS t, (st.n * h.y > st.s) AS above
+        |  FROM h JOIN st ON h.key = st.key WHERE st.n * h.y <> st.s),
+        |mk AS (SELECT key, above,
+        |    lag(above) OVER (PARTITION BY key ORDER BY t) AS prev FROM c),
+        |a AS (SELECT key,
+        |    CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |    CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM mk GROUP BY key),
+        |a2 AS (SELECT key, n_above, n_below, runs,
+        |    CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE) AS prod,
+        |    CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) AS np
+        |  FROM a)
+        |SELECT key, n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+        |      AND prod * 2.0 * (prod * 2.0 - np) / (np * np * (np - 1.0)) > 0.0
+        |    THEN (CAST(runs AS DOUBLE) - (prod * 2.0 / np + 1.0))
+        |      / sqrt(prod * 2.0 * (prod * 2.0 - np) / (np * np * (np - 1.0)))
+        |    END AS z
+        |FROM a2 ORDER BY key""".stripMargin,
+
+    // Welch replay: the x_did cell recipe on two cohorts, identical
+    // t/df chain
+    "x_welch" -> {
+      def cell(cond: String, tag: String) =
+        s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n$tag,
+           |    ${graft.functions.Exact.dsumSql(s"CASE WHEN $cond THEN y END")} AS s$tag,
+           |    ${graft.functions.Exact.dprodSumSql(
+                 s"CASE WHEN $cond THEN y END", s"CASE WHEN $cond THEN y END")} AS q$tag""".stripMargin
+      def mean(tag: String) = s"(s$tag / CAST(n$tag AS DOUBLE))"
+      def vm(tag: String) =
+        s"""(CASE WHEN n$tag > 1 THEN ((q$tag - s$tag * s$tag
+           | / CAST(n$tag AS DOUBLE)) / (CAST(n$tag AS DOUBLE) - 1.0))
+           | / CAST(n$tag AS DOUBLE) END)""".stripMargin.replace("\n", "")
+      val va = vm("a")
+      val vb = vm("b")
+      s"""WITH d AS (SELECT (user_id % 2 = 0) AS g, CAST(value AS DOUBLE) AS y
+        |  FROM events),
+        |a AS (SELECT
+        |    ${cell("g", "a")},
+        |    ${cell("NOT g", "b")}
+        |  FROM d)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ${mean("a")} AS mean_a, ${mean("b")} AS mean_b,
+        |  CASE WHEN $va + $vb > 0.0
+        |    THEN (${mean("a")} - ${mean("b")}) / sqrt($va + $vb) END AS t_stat,
+        |  CASE WHEN $va + $vb > 0.0
+        |      AND $va * $va / (CAST(na AS DOUBLE) - 1.0)
+        |        + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0) > 0.0
+        |    THEN ($va + $vb) * ($va + $vb)
+        |      / ($va * $va / (CAST(na AS DOUBLE) - 1.0)
+        |        + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0)) END AS df_w
+        |FROM a""".stripMargin
+    },
+
     // Gini replay: order-statistic identity over strata ranked
     // (weight, name) — exact integer sums, fixed-shape final division
     "x_gini" ->
@@ -11146,4 +11297,126 @@ s"""WITH lines AS (
         |FROM b ORDER BY zval, o_orderkey""".stripMargin
     }
   )
+}
+
+/** Shared DuckDB SQL for the ACF family (x_acf / x_ljung_box): the
+  * exact-integer autocorrelation CTEs are identical, only the closing
+  * SELECT differs. HUGEINT keeps every sufficient statistic exact; the
+  * decimal→double conversions are string-bridged (the Exact rule). */
+private[graft] object AcfSql {
+  private val ctes =
+    """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+      |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT key, y,
+      |    row_number() OVER (PARTITION BY key ORDER BY t) AS rn FROM h),
+      |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+      |  FROM r GROUP BY key),
+      |ks AS (SELECT UNNEST(range(1, 7)) AS lag),
+      |lg AS (SELECT st.key, st.n, st.s, st.q, CAST(ks.lag AS BIGINT) AS lag
+      |  FROM st CROSS JOIN ks),
+      |pp AS (SELECT a.key AS key, CAST(b.rn - a.rn AS BIGINT) AS lag,
+      |    CAST(sum(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS syy,
+      |    CAST(sum(CAST(a.y AS HUGEINT)) AS HUGEINT) AS hh,
+      |    CAST(sum(CAST(b.y AS HUGEINT)) AS HUGEINT) AS tt
+      |  FROM r a JOIN r b ON a.key = b.key AND b.rn - a.rn BETWEEN 1 AND 6
+      |  GROUP BY 1, 2),
+      |acf AS (SELECT lg.key, lg.lag, lg.n,
+      |  CASE WHEN CAST(lg.n AS HUGEINT) * (lg.n * lg.q - lg.s * lg.s) <> 0
+      |      AND pp.syy IS NOT NULL
+      |    THEN CAST(CAST(CAST(lg.n AS HUGEINT) * lg.n * pp.syy
+      |        - CAST(lg.n AS HUGEINT) * lg.s * (pp.hh + pp.tt)
+      |        + (lg.n - lg.lag) * lg.s * lg.s AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(CAST(lg.n AS HUGEINT) * (lg.n * lg.q - lg.s * lg.s)
+      |          AS VARCHAR) AS DOUBLE)
+      |    END AS r
+      |  FROM lg LEFT JOIN pp ON lg.key = pp.key AND lg.lag = pp.lag)""".stripMargin
+
+  val acfSelect: String =
+    s"""$ctes
+      |SELECT key, CAST(lag AS INT) AS lag, n, r FROM acf
+      |ORDER BY key, lag""".stripMargin
+
+  val ljungBoxSelect: String = {
+    val terms = (1 to 6).map(k =>
+      s"r$k * r$k / (CAST(n AS DOUBLE) - $k.0)")
+    // the identical ascending-lag left fold: ((((t1+t2)+t3)+...)+t6)
+    val chain = terms.reduceLeft((a, b) => s"($a + $b)")
+    val pivots = (1 to 6).map(k =>
+      s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(",\n      |    ")
+    s"""$ctes,
+      |p AS (SELECT key, max(n) AS n,
+      |    $pivots
+      |  FROM acf GROUP BY key)
+      |SELECT key, n,
+      |  CASE WHEN n > 6 THEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+      |    * $chain END AS q_stat,
+      |  CAST(6 AS INT) AS df_lb
+      |FROM p ORDER BY key""".stripMargin
+  }
+}
+
+/** Shared DuckDB SQL for the modularity pair (x_modularity /
+  * x_modularity_g): the x_lpa label-propagation replay plus the
+  * canonical-undirected edge/degree CTEs are identical; only the
+  * closing aggregation differs. All counts exact integers. */
+private[graft] object ModularitySql {
+  private def iter(prev: String, out: String) =
+    s"""v$out AS (SELECT sym.a, $prev.label, count(*) AS c
+       |  FROM sym JOIN $prev ON sym.b = $prev.node GROUP BY 1, 2),
+       |w$out AS (SELECT a AS node, label,
+       |    row_number() OVER (PARTITION BY a ORDER BY c DESC, label) AS rn
+       |  FROM v$out),
+       |$out AS (SELECT $prev.node,
+       |    coalesce(w.label, $prev.label) AS label
+       |  FROM $prev LEFT JOIN (SELECT node, label FROM w$out WHERE rn = 1) w
+       |    USING (node))""".stripMargin
+
+  private val ctes =
+    s"""WITH dir AS (SELECT DISTINCT doc_id % 50 AS a, (doc_id * 7 + 3) % 50 AS b
+      |  FROM documents),
+      |sym AS (SELECT DISTINCT a, b FROM
+      |  (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir) WHERE a <> b),
+      |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+      |${iter("l0", "l1")},
+      |${iter("l1", "l2")},
+      |${iter("l2", "l3")},
+      |lab AS (SELECT node, label FROM l3),
+      |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      |  FROM dir WHERE a <> b),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |  GROUP BY node),
+      |dt AS (SELECT lab.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg.deg) AS BIGINT) AS d_total
+      |  FROM deg JOIN lab ON deg.node = lab.node GROUP BY 1),
+      |ie AS (SELECT la.label AS community, CAST(count(*) AS BIGINT) AS m_intra
+      |  FROM e JOIN lab la ON e.a = la.node JOIN lab lb ON e.b = lb.node
+      |  WHERE la.label = lb.label GROUP BY 1),
+      |per AS (SELECT dt.community, dt.n_nodes,
+      |    COALESCE(ie.m_intra, 0) AS m_intra, dt.d_total
+      |  FROM dt LEFT JOIN ie USING (community))""".stripMargin
+
+  val perCommunity: String =
+    s"""$ctes
+      |SELECT per.community, per.n_nodes, per.m_intra, per.d_total,
+      |  CAST(per.m_intra AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |    - (CAST(per.d_total AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      |    * (CAST(per.d_total AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      |    AS q_part
+      |FROM per CROSS JOIN m ORDER BY community""".stripMargin
+
+  val global: String =
+    s"""$ctes,
+      |g AS (SELECT CAST(sum(m_intra) AS BIGINT) AS intra_edges,
+      |    CAST(sum(d_total * d_total) AS BIGINT) AS sum_d2 FROM per)
+      |SELECT m.m AS m, g.intra_edges, g.sum_d2,
+      |  CASE WHEN m.m > 0
+      |    THEN CAST(4 * m.m * g.intra_edges - g.sum_d2 AS DOUBLE)
+      |      / CAST(4 * m.m * m.m AS DOUBLE) END AS q
+      |FROM g CROSS JOIN m""".stripMargin
 }

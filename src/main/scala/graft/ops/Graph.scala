@@ -315,4 +315,86 @@ object Graph {
           lit(3.0) * col("triangles").cast("double") /
             col("wedges").cast("double")).as("global_clustering"))
   }
+
+  /** Canonical undirected simple edges: (least, greatest), self-loops
+    * dropped, deduped — the shared base for the modularity reads. */
+  private def undirected(edges: DataFrame, src: String,
+                         dst: String): DataFrame =
+    edges.select(least(col(src), col(dst)).as("__a"),
+        greatest(col(src), col(dst)).as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .distinct()
+
+  /** Per-community Newman modularity table (Newman & Girvan 2004) —
+    * the quality score for a community assignment (e.g.
+    * [[labelPropagation]]'s output): how much denser is each
+    * community than the degree-preserving random graph? Per community
+    * c: q_c = m_c/m − (d_c/2m)², with m_c = intra-community edges,
+    * d_c = total degree, m = total edges. This is the acceptance read
+    * on a partition BEFORE it drives curation (a spam-farm label set
+    * whose communities score ≈0 is noise, not structure).
+    *
+    * Exactness: m_c, d_c, m are exact integers (graph-sized, exact in
+    * double), q_c = one divide − (one divide)² in a fixed chain —
+    * replays anywhere. Unlabeled endpoints fall out by the inner
+    * join; communities therefore partition the LABELED subgraph and
+    * m/degrees are computed over the full canonical edge set.
+    *
+    * Shape: one distinct + one degree agg + two broadcast-sized label
+    * joins + one keyed partial agg — no quadratic step anywhere.
+    * Output (community, n_nodes, m_intra, d_total, q_part). */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame, node: String,
+                 label: String): DataFrame =
+    modularityWithM(edges, src, dst, labels, node, label)._1
+
+  private def modularityWithM(edges: DataFrame, src: String, dst: String,
+                              labels: DataFrame, node: String,
+                              label: String): (DataFrame, Long) = {
+    val e = undirected(edges, src, dst)
+    val m = e.count()
+    val lab = labels.select(col(node).as("__n"), col(label).as("__c"))
+    val deg = e.select(col("__a").as("__n"))
+      .unionByName(e.select(col("__b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    val dTot = deg.join(lab, Seq("__n"))
+      .groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("d_total"))
+    val intra = e
+      .join(lab.select(col("__n").as("__a"), col("__c").as("__ca")), "__a")
+      .join(lab.select(col("__n").as("__b"), col("__c").as("__cb")), "__b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("m_intra"))
+    val mD = lit(m.toDouble)
+    val per = dTot.join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_intra"), lit(0L)).as("m_intra"), col("d_total"))
+      .withColumn("q_part",
+        col("m_intra").cast("double") / mD -
+          (col("d_total").cast("double") / (lit(2.0) * mD)) *
+          (col("d_total").cast("double") / (lit(2.0) * mD)))
+    (per, m)
+  }
+
+  /** Global modularity Q as ONE exact-rational row — the
+    * order-independent closed form Σq_c = (4m·Σm_c − Σd_c²)/(4m²)
+    * (summing [[modularity]]'s per-community doubles would be
+    * order-dependent; this keeps numerator and denominator exact
+    * integers and closes with a single IEEE division). Q ∈ [−1/2, 1);
+    * ≈0 means the partition is no better than random, ≥0.3 is real
+    * community structure. Output (1 row): m, intra_edges, sum_d2, q. */
+  def modularityGlobal(edges: DataFrame, src: String, dst: String,
+                       labels: DataFrame, node: String,
+                       label: String): DataFrame = {
+    val (per, m) = modularityWithM(edges, src, dst, labels, node, label)
+    per.agg(sum(col("m_intra")).as("intra_edges"),
+        sum(col("d_total") * col("d_total")).as("sum_d2"))
+      .select(lit(m).as("m"), col("intra_edges"), col("sum_d2"),
+        when(lit(m) > 0L,
+          (lit(4L) * lit(m) * col("intra_edges") - col("sum_d2"))
+            .cast("double") /
+            (lit(4L) * lit(m) * lit(m)).cast("double")).as("q"))
+  }
 }

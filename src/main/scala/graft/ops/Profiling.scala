@@ -1004,6 +1004,55 @@ object Profiling {
         when(col("se") > 0.0, col("did") / col("se")))
   }
 
+  /** Welch's two-sample unequal-variance t-test (Welch 1947) — the
+    * plain cohort-mean comparison underneath the corrected designs in
+    * this family ([[diffInDiff]] nets a time trend, [[cupedLift]]
+    * nets a pre-period covariate; this is the read when neither
+    * confound applies): t = (ȳ_a−ȳ_b)/√(s_a²/n_a + s_b²/n_b) with the
+    * Welch–Satterthwaite df = (v_a+v_b)²/(v_a²/(n_a−1)+v_b²/(n_b−1)),
+    * v_i = s_i²/n_i. Never pooled-variance Student: corpus cohorts
+    * are routinely unequal-sized AND unequal-variance.
+    *
+    * Shape: ONE partial agg to the two cells — count, exact-decimal
+    * Σy and Σy² (the Exact.dsum/dprodSum rules, so means and
+    * variances are order-invariant) — then a fixed chain of single
+    * IEEE ops identical on any engine. Cells with n < 2 read NULL
+    * se/t/df. Output (1 row): n_a, n_b, mean_a, mean_b, t_stat,
+    * df_w. */
+  def welchT(df: DataFrame, groupA: Column, outcome: Column): DataFrame = {
+    import graft.functions.Exact
+    def dbl(c: Column): Column = c.cast("double")
+    val d = df.filter(groupA.isNotNull && outcome.isNotNull)
+      .select(groupA.cast("boolean").as("__g"),
+        outcome.cast("double").as("__y"))
+    def cell(g: Boolean, tag: String) = Seq(
+      sum(when(col("__g") === g, 1L).otherwise(0L)).as(s"__n$tag"),
+      Exact.dsum(when(col("__g") === g, col("__y"))).as(s"__s$tag"),
+      Exact.dprodSum(
+        when(col("__g") === g, col("__y")).otherwise(lit(null)),
+        when(col("__g") === g, col("__y")).otherwise(lit(null)))
+        .as(s"__q$tag"))
+    val aggs = cell(true, "a") ++ cell(false, "b")
+    val a = d.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) = col(s"__s$tag") / dbl(col(s"__n$tag"))
+    // cell variance-of-mean v_i = s_i²/n_i = (Σy² − (Σy)²/n)/(n−1)/n
+    def vm(tag: String) = when(col(s"__n$tag") > 1L,
+      (col(s"__q$tag") - col(s"__s$tag") * col(s"__s$tag") /
+        dbl(col(s"__n$tag"))) /
+        (dbl(col(s"__n$tag")) - lit(1.0)) / dbl(col(s"__n$tag")))
+    val va = vm("a")
+    val vb = vm("b")
+    a.select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        mean("a").as("mean_a"), mean("b").as("mean_b"),
+        when(va + vb > 0.0, (mean("a") - mean("b")) / sqrt(va + vb))
+          .as("t_stat"),
+        when(va + vb > 0.0 && va * va / (dbl(col("__na")) - lit(1.0)) +
+            vb * vb / (dbl(col("__nb")) - lit(1.0)) > 0.0,
+          (va + vb) * (va + vb) /
+            (va * va / (dbl(col("__na")) - lit(1.0)) +
+             vb * vb / (dbl(col("__nb")) - lit(1.0)))).as("df_w"))
+  }
+
   /** CUPED variance-reduced A/B lift (Deng, Xu, Kohavi & Walker, WSDM
     * 2013, "Improving the Sensitivity of Online Controlled
     * Experiments by Utilizing Pre-Experiment Data"): the experiment

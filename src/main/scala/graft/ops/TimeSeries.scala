@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-series-key time-series diagnostics over monitor output — the
+  * autocorrelation layer beside the trend tests (Profiling.mannKendall
+  * / theilSen) and the control charts (EventAnalytics.ewmaChart /
+  * cusum): a drift test says WHETHER a monitor series moves; the ACF
+  * says whether what's left is white noise (seasonality, burst
+  * clustering, crawl-scheduler echoes all surface as significant
+  * autocorrelation long before they are visible in a trend line).
+  *
+  * Reference scope: the reference engine exposes window/lag verbs
+  * (reference datar_polars/api/dplyr/lead_lag.py, window.py); the
+  * composed diagnostics here are the standing monitor reads a
+  * 100 TB pipeline's hourly health tables need on top of them.
+  *
+  * Scale + exactness contract (shared by all three):
+  * - Series are BOUNDED per key (time-bucketed monitor output —
+  *   hours/days per event type, not raw events): the per-key windows
+  *   partition BY KEY, never a whole-frame sort, and per-key row
+  *   counts are monitor-sized (hundreds..thousands) at ANY corpus sf.
+  * - `y` is INTEGER-valued (counts — the same contract as CUPED's
+  *   unit sums): every sufficient statistic below is an exact decimal
+  *   integer, so the closing one-or-two IEEE ops replay bit-for-bit
+  *   on any engine with no decimal grid or round-6 fence.
+  */
+object TimeSeries {
+
+  private val Dec = "decimal(38,0)"
+  // decimal -> double through a STRING on both engines (see
+  // graft.functions.Exact): one correctly-rounded conversion even when
+  // the exact integer exceeds 2^53.
+  private def decToDouble(c: Column): Column = c.cast("string").cast("double")
+
+  /** Per-key series ordered by `t`, with 1-based rank and long y.
+    * Distinct `t` per key is the caller's contract (bucketed output). */
+  private def ranked(df: DataFrame, key: Column, t: Column,
+                     y: Column): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("__t"))
+    df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("double").as("__t"),
+        y.cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(w))
+  }
+
+  /** Sample autocorrelation r_k per series key, lags 1..maxLag
+    * (Box & Jenkins convention: mean-centered, denominator over ALL n
+    * regardless of lag, so r_k is a proper correlation taper).
+    *
+    * Exactness: r_k = num_k/den with BOTH sides exact decimal
+    * integers —
+    *   num_k·n² = n²·Σy_t·y_{t+k} − n·S·(H_k+T_k) + (n−k)·S²
+    *   den·n²  = n·(n·Q − S²)
+    * where S = Σy, Q = Σy², H_k/T_k the head/tail partial sums the
+    * lag-k overlap leaves out. Everything up to the single closing
+    * IEEE division is integer arithmetic, so the value replays on any
+    * engine; the decimal→double conversions are string-bridged.
+    *
+    * Shape: one per-key rank window, ONE lag-exploded self-equi-join
+    * on (key, rn+k) — n·maxLag rows, never pair-quadratic — and two
+    * partial aggs. Output (key, lag, n, r); r is NULL for a constant
+    * series (den = 0) and absent lags (n ≤ k) carry r NULL too. */
+  def acf(df: DataFrame, key: Column, t: Column, y: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val d = ranked(df, key, t, y)
+    val stats = d.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(col("__y").cast(Dec)).cast(Dec).as("__s"),
+      sum((col("__y").cast(Dec) * col("__y").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__q"))
+    val a = d.select(col("key"), col("__rn"), col("__y"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val b = d.select(col("key").as("__k2"), col("__rn").as("__rn2"),
+      col("__y").as("__y2"))
+    val lagged = a.join(b,
+        col("key") === col("__k2") && col("__rn2") === col("__rn") + col("lag"))
+      .groupBy(col("key"), col("lag"))
+      .agg(
+        sum((col("__y").cast(Dec) * col("__y2").cast(Dec)).cast(Dec))
+          .cast(Dec).as("__syy"),
+        sum(col("__y").cast(Dec)).cast(Dec).as("__h"),
+        sum(col("__y2").cast(Dec)).cast(Dec).as("__t2s"))
+    val lags = stats.select(col("key"), col("n"), col("__s"), col("__q"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val j = lags.join(lagged, Seq("key", "lag"), "left")
+    val nD = col("n").cast(Dec)
+    val num = (nD * nD * col("__syy") - nD * col("__s") *
+        (col("__h") + col("__t2s")) +
+        (nD - col("lag").cast(Dec)) * col("__s") * col("__s")).cast(Dec)
+    val den = (nD * (nD * col("__q") - col("__s") * col("__s"))).cast(Dec)
+    j.select(col("key"), col("lag"), col("n"),
+      when(den =!= lit(0).cast(Dec) && col("__syy").isNotNull,
+        decToDouble(num) / decToDouble(den)).as("r"))
+  }
+
+  /** Ljung–Box portmanteau white-noise statistic per series key
+    * (Ljung & Box 1978): Q = n(n+2)·Σ_{k=1..L} r_k²/(n−k). The
+    * monitor read on what the trend tests leave behind — a high Q on
+    * the residual hourly series means bursts cluster (bot traffic,
+    * scheduler echo) rather than arriving independently; compare to
+    * chi-square with L dof.
+    *
+    * Exactness: each r_k is [[acf]]'s bit-replayable double; the sum
+    * runs in a FIXED ascending-lag left-fold of single IEEE ops
+    * (conditional-aggregation pivot to L static columns first — L is
+    * a knob, never data), so the chain replays verbatim. Q is NULL
+    * unless all L lags exist (n > L) and the series is non-constant —
+    * the classical test's own applicability bound.
+    * Output (key, n, q_stat, df_lb). */
+  def ljungBox(df: DataFrame, key: Column, t: Column, y: Column,
+               maxLag: Int): DataFrame = {
+    val r = acf(df, key, t, y, maxLag)
+    val pivots = (1 to maxLag).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"__r$k"))
+    val g = r.groupBy(col("key"), col("n")).agg(pivots.head, pivots.tail: _*)
+    val nD = col("n").cast("double")
+    val sum0 = (1 to maxLag).map { k =>
+      col(s"__r$k") * col(s"__r$k") / (nD - lit(k).cast("double"))
+    }.reduceLeft(_ + _) // ascending-k left fold: ((t1+t2)+t3)+...
+    g.select(col("key"), col("n"),
+      when(col("n") > maxLag, nD * (nD + lit(2.0)) * sum0).as("q_stat"),
+      lit(maxLag).as("df_lb"))
+  }
+
+  /** Wald–Wolfowitz runs test per series key (1940) — is the series'
+    * above/below-mean pattern random, or do high hours CLUSTER (the
+    * burst/regime read a trend test scores zero on)? Each point is
+    * classified above/below the series mean by the EXACT integer
+    * compare n·y_t vs S (no double mean), exact-mean points are
+    * dropped (the classical convention), R = number of runs in time
+    * order, and z = (R−μ)/σ with μ = 2·n1·n2/n′+1,
+    * σ² = 2·n1·n2·(2·n1·n2−n′)/(n′²·(n′−1)).
+    *
+    * Exactness: n1, n2, R are exact integers (monitor-bounded, far
+    * under 2^53, so the long→double casts are exact) and the closing
+    * chain is fixed single IEEE ops — replays on any engine. One-class
+    * series (n1 or n2 = 0) and n′ < 2 read z NULL.
+    * Shape: one per-key stats agg, one join back, one per-key-
+    * partitioned lag window, one final agg.
+    * Output (key, n_above, n_below, runs, z). */
+  def runsTest(df: DataFrame, key: Column, t: Column,
+               y: Column): DataFrame = {
+    val d = ranked(df, key, t, y)
+    val stats = d.groupBy("key").agg(count(lit(1)).as("__n"),
+      sum(col("__y")).as("__s"))
+    val cls = d.join(stats, Seq("key"))
+      .withColumn("__above", col("__n") * col("__y") > col("__s"))
+      .filter(col("__n") * col("__y") =!= col("__s"))
+    val w = Window.partitionBy("key").orderBy(col("__t"))
+    val marked = cls.withColumn("__prev", lag(col("__above"), 1).over(w))
+    val agg = marked.groupBy("key").agg(
+      sum(when(col("__above"), 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("__above"), 0L).otherwise(1L)).as("n_below"),
+      sum(when(col("__prev").isNull ||
+        col("__prev") =!= col("__above"), 1L).otherwise(0L)).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val np = n1 + n2
+    val prod = n1 * n2
+    val mu = prod * lit(2.0) / np + lit(1.0)
+    val v = prod * lit(2.0) * (prod * lit(2.0) - np) /
+      (np * np * (np - lit(1.0)))
+    agg.select(col("key"), col("n_above"), col("n_below"), col("runs"),
+      when(col("n_above") > 0L && col("n_below") > 0L &&
+          col("n_above") + col("n_below") > 1L && v > 0.0,
+        (col("runs").cast("double") - mu) / sqrt(v)).as("z"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Graph, Profiling, TimeSeries}
+
+/** Round-17 second wave: the autocorrelation layer (ACF, Ljung-Box,
+  * runs test), the plain Welch cohort test, and Newman modularity. */
+class TimeSeriesSpec extends SparkTestBase {
+
+  private def series(key: String, ys: Seq[Long]) = (
+    ys.indices.map(_ => key),
+    ys.indices.map(_.toLong),
+    ys)
+
+  test("acf: hand values on 1..5, constant series NULL, short lags NULL") {
+    val (k1, t1, y1) = series("a", Seq(1L, 2L, 3L, 4L, 5L))
+    val (k2, t2, y2) = series("c", Seq(7L, 7L, 7L, 7L))
+    val df = sqlDf("k" -> (k1 ++ k2), "t" -> (t1 ++ t2), "y" -> (y1 ++ y2))
+    val out = TimeSeries.acf(df, col("k"), col("t"), col("y"), maxLag = 6)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // 1..5: mean 3, den Σ(y-3)² = 10; lag1 num = (-2)(-1)+(-1)(0)+0·1+1·2 = 4
+    assert(out(("a", 1)).getDouble(3) == 0.4)
+    // lag2 num = (-2)(0)+(-1)(1)+0·2 = -1
+    assert(out(("a", 2)).getDouble(3) == -0.1)
+    // lag3 num = (-2)(1)+(-1)(2) = -4; lag4 num = (-2)(2) = -4
+    assert(out(("a", 3)).getDouble(3) == -0.4)
+    assert(out(("a", 4)).getDouble(3) == -0.4)
+    // lag >= n: no pairs -> NULL r, row still present
+    assert(out(("a", 5)).isNullAt(3) && out(("a", 6)).isNullAt(3))
+    // constant series: zero variance -> NULL at every lag
+    (1 to 6).foreach(k => assert(out(("c", k)).isNullAt(3)))
+    assert(out(("a", 1)).getLong(2) == 5L && out(("c", 1)).getLong(2) == 4L)
+  }
+
+  test("ljungBox: matches the closed-form fold of acf, short series NULL") {
+    val ys = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val (k, t, y) = series("a", ys)
+    val df = sqlDf("k" -> k, "t" -> t, "y" -> y)
+    val r = TimeSeries.acf(df, col("k"), col("t"), col("y"), 6)
+      .orderBy("lag").collect().map(_.getDouble(3))
+    val n = ys.size.toDouble
+    val expected = n * (n + 2.0) *
+      (1 to 6).map(kk => r(kk - 1) * r(kk - 1) / (n - kk)).reduceLeft(_ + _)
+    val out = TimeSeries.ljungBox(df, col("k"), col("t"), col("y"), 6).head()
+    assert(out.getDouble(2) == expected && out.getInt(3) == 6)
+    // n = 5 <= maxLag: NULL q_stat
+    val short = sqlDf("k" -> Seq.fill(5)("s"), "t" -> (0L to 4L),
+      "y" -> Seq(1L, 2L, 3L, 4L, 5L))
+    assert(TimeSeries.ljungBox(short, col("k"), col("t"), col("y"), 6)
+      .head().isNullAt(2))
+  }
+
+  test("runsTest: alternation z>0 count, blocks z<0, ties dropped, one-class NULL") {
+    // alternating 1,3 around mean 2: every point starts a run
+    val alt = Seq.tabulate(12)(i => if (i % 2 == 0) 1L else 3L)
+    val (ka, ta, ya) = series("alt", alt)
+    // two blocks: 6 low then 6 high -> runs = 2, z strongly negative
+    val blk = Seq.fill(6)(1L) ++ Seq.fill(6)(3L)
+    val (kb, tb, yb) = series("blk", blk)
+    // ties: mean 2 points (y=2) must be dropped before run counting
+    val tie = Seq(1L, 2L, 3L, 2L, 1L, 3L)
+    val (kt, tt, yt) = series("tie", tie)
+    // one-class after tie-drop: constant series
+    val (kc, tc, yc) = series("const", Seq.fill(5)(4L))
+    val df = sqlDf("k" -> (ka ++ kb ++ kt ++ kc),
+      "t" -> (ta ++ tb ++ tt ++ tc), "y" -> (ya ++ yb ++ yt ++ yc))
+    val out = TimeSeries.runsTest(df, col("k"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getLong(3) == 12L && out("alt").getDouble(4) > 3.0)
+    assert(out("blk").getLong(3) == 2L && out("blk").getDouble(4) < -2.0)
+    // tie series: mean 2, the two y=2 points drop -> 1,3,1,3 = 4 runs
+    assert(out("tie").getLong(1) == 2L && out("tie").getLong(2) == 2L &&
+      out("tie").getLong(3) == 4L)
+    // constant: every point ties the mean -> zero kept rows -> no row
+    assert(!out.contains("const"))
+  }
+
+  test("welchT: hand value on unequal cells, degenerate cells NULL") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0)
+    val df = sqlDf("g" -> (a.map(_ => true) ++ b.map(_ => false)),
+      "y" -> (a ++ b))
+    val r = Profiling.welchT(df, col("g"), col("y")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 6.0)
+    // va = (5/3)/4, vb = 10/5 = 2 -> t = -3.5/sqrt(29/12)
+    val va = (5.0 / 3.0) / 4.0
+    val vb = 2.0
+    val t = (2.5 - 6.0) / math.sqrt(va + vb)
+    assert(math.abs(r.getDouble(4) - t) < 1e-12)
+    val dfw = (va + vb) * (va + vb) / (va * va / 3.0 + vb * vb / 4.0)
+    assert(math.abs(r.getDouble(5) - dfw) < 1e-12)
+    // single-point cell: NULL t/df
+    val one = sqlDf("g" -> Seq(true, false, false), "y" -> Seq(1.0, 2.0, 3.0))
+    val r1 = Profiling.welchT(one, col("g"), col("y")).head()
+    assert(r1.isNullAt(4) && r1.isNullAt(5))
+  }
+
+  test("modularity: two clean triangles score Q=0.5, mixed labels score lower") {
+    val edges = sqlDf(
+      "src" -> Seq(0L, 1L, 0L, 3L, 4L, 3L),
+      "dst" -> Seq(1L, 2L, 2L, 4L, 5L, 5L))
+    val good = sqlDf("node" -> (0L to 5L),
+      "label" -> Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    val per = Graph.modularity(edges, "src", "dst", good, "node", "label")
+      .orderBy("community").collect()
+    assert(per.length == 2)
+    per.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3L &&
+        r.getAs[Long]("m_intra") == 3L && r.getAs[Long]("d_total") == 6L)
+      // q_c = 3/6 - (6/12)² = 0.25
+      assert(r.getAs[Double]("q_part") == 0.25)
+    }
+    val g = Graph.modularityGlobal(edges, "src", "dst", good, "node", "label")
+      .head()
+    assert(g.getAs[Long]("m") == 6L && g.getAs[Long]("intra_edges") == 6L &&
+      g.getAs[Long]("sum_d2") == 72L && g.getAs[Double]("q") == 0.5)
+    // a shuffled labeling scores strictly lower than the true partition
+    val bad = sqlDf("node" -> (0L to 5L),
+      "label" -> Seq(0L, 1L, 0L, 1L, 0L, 1L))
+    val gb = Graph.modularityGlobal(edges, "src", "dst", bad, "node", "label")
+      .head().getAs[Double]("q")
+    assert(gb < 0.5)
+    // duplicate + reversed + self edges collapse in the canonical set
+    val messy = sqlDf(
+      "src" -> Seq(0L, 1L, 1L, 0L, 2L, 3L, 4L, 3L, 5L),
+      "dst" -> Seq(1L, 2L, 0L, 2L, 2L, 4L, 5L, 5L, 5L))
+    val gm = Graph.modularityGlobal(messy, "src", "dst", good, "node", "label")
+      .head()
+    assert(gm.getAs[Long]("m") == 6L && gm.getAs[Double]("q") == 0.5)
+  }
+}
