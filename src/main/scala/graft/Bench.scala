@@ -82,7 +82,8 @@ object Bench {
     // monitor series, the plain Welch cohort test, and the modularity
     // acceptance read on the LPA partition
     "x_acf", "x_ljung_box", "x_runs_test", "x_welch",
-    "x_modularity", "x_modularity_g")
+    "x_modularity", "x_modularity_g",
+    "x_ols", "x_ccf", "x_backtest")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

@@ -703,6 +703,53 @@ object QueriesOps {
       Profiling.welchT(events(s, d), col("user_id") % 2 === 0,
         col("value"))),
 
+    // per-type OLS trend line with R² over the hourly series — the
+    // parametric estimator beside x_theil_sen (variance-explained
+    // number the robust line can't give); exact decimal moments, two
+    // string-bridged closing divisions
+    "x_ols" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.ols(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
+    // cross-correlation lead-lag curve for two behavioral funnels
+    // (view leads click? click leads purchase?) at lags -6..6: the
+    // exact-integer two-series identity, one sqrt + divide per lag
+    "x_ccf" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("h"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xv"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("yc"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("zp"))
+      val vc = hourly.select(lit("view>click").as("pair"), col("h"),
+        col("xv").as("x"), col("yc").as("y"))
+      val cp = hourly.select(lit("click>purchase").as("pair"), col("h"),
+        col("yc").as("x"), col("zp").as("y"))
+      TimeSeries.ccf(vc.unionByName(cp), col("pair"), col("h"),
+          col("x"), col("y"), maxLag = 6)
+        .orderBy(col("key"), col("lag"))
+    }),
+
+    // dyadic SES one-step backtest per type: MASE vs the random-walk
+    // naive — the forecastability scorecard; every term exact dyadic
+    "x_backtest" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.sesBacktest(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
     // Gini concentration of characters across languages — the
     // corpus-composition audit number off the Lorenz curve
     "x_gini" -> ((s, d) =>
@@ -10878,6 +10925,81 @@ s"""WITH lines AS (
         |FROM a""".stripMargin
     },
 
+    // OLS replay: exact HUGEINT moment differences, string-bridged
+    // slope/intercept/r2 divisions in the identical chain
+    "x_ols" ->
+      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy2,
+        |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+        |  FROM h GROUP BY key),
+        |b AS (SELECT key, n, st, sy,
+        |    CAST(n AS HUGEINT) * sty - st * sy AS sxy,
+        |    CAST(n AS HUGEINT) * stt - st * st AS sxx,
+        |    CAST(n AS HUGEINT) * syy2 - sy * sy AS syy
+        |  FROM a)
+        |SELECT key, n,
+        |  CASE WHEN n > 1 AND sxx <> 0
+        |    THEN CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(sxx AS VARCHAR) AS DOUBLE) END AS slope,
+        |  CASE WHEN n > 1 AND sxx <> 0
+        |    THEN CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |        * (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    END AS intercept,
+        |  CASE WHEN n > 1 AND sxx <> 0 AND syy <> 0
+        |    THEN CAST(CAST(sxy * sxy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(sxx * syy AS VARCHAR) AS DOUBLE) END AS r2
+        |FROM b ORDER BY key""".stripMargin,
+
+    // CCF replay: both directions of the two-series exact identity,
+    // positive lags (x leads) + mirrored negative lags
+    "x_ccf" -> CcfSql.select,
+
+    // SES-backtest replay: 16 dyadic lag terms (every value exactly
+    // representable), order-free exact sums, two closing divisions
+    "x_backtest" -> {
+      val weights = (1 to 16).map(j =>
+        java.math.BigDecimal.valueOf(math.pow(2.0, -j)).toPlainString)
+      val lagDefs = (1 to 16).map(j =>
+        s"lag(y, $j) OVER (PARTITION BY key ORDER BY t) AS l$j")
+        .mkString(",\n        |    ")
+      val f = (1 to 16).map(j => s"CAST(l$j AS DOUBLE) * ${weights(j - 1)}")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT key, y,
+        |    $lagDefs
+        |  FROM h),
+        |s AS (SELECT key, y, l1, l16,
+        |    CASE WHEN l16 IS NOT NULL
+        |      THEN abs(CAST(y AS DOUBLE) - $f) END AS err,
+        |    CASE WHEN l16 IS NOT NULL
+        |      THEN abs(CAST(y - l1 AS DOUBLE)) END AS naive
+        |  FROM r),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l16 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_scored,
+        |    sum(err) AS se, sum(naive) AS sn
+        |  FROM s GROUP BY key)
+        |SELECT key, n, n_scored,
+        |  CASE WHEN n_scored > 0 AND sn > 0.0 THEN se / sn END AS mase,
+        |  CASE WHEN n_scored > 0 THEN se / CAST(n_scored AS DOUBLE) END
+        |    AS mean_abs_err,
+        |  CASE WHEN n_scored > 0 THEN sn / CAST(n_scored AS DOUBLE) END
+        |    AS mean_abs_naive
+        |FROM a ORDER BY key""".stripMargin
+    },
+
     // Gini replay: order-statistic identity over strata ranked
     // (weight, name) — exact integer sums, fixed-shape final division
     "x_gini" ->
@@ -11419,4 +11541,71 @@ private[graft] object ModularitySql {
       |    THEN CAST(4 * m.m * g.intra_edges - g.sum_d2 AS DOUBLE)
       |      / CAST(4 * m.m * m.m AS DOUBLE) END AS q
       |FROM g CROSS JOIN m""".stripMargin
+}
+
+/** DuckDB SQL for x_ccf: both directions of the exact-integer
+  * two-series cross-correlation identity over the behavioral-funnel
+  * hourly pair series (view→click, click→purchase). */
+private[graft] object CcfSql {
+  // r for one direction given stat columns (sa, sb, qa, qb) and pair
+  // sums (sab = Σ a_t·b_{t+k}, hh = Σ head a, tt = Σ tail b)
+  private def rExpr(sa: String, sb: String, qa: String, qb: String) =
+    s"""CASE WHEN (CAST(n AS HUGEINT) * $qa - $sa * $sa)
+       |      * (CAST(n AS HUGEINT) * $qb - $sb * $sb) > 0
+       |      AND sab IS NOT NULL
+       |    THEN CAST(CAST(CAST(n AS HUGEINT) * n * sab
+       |        - CAST(n AS HUGEINT) * $sb * hh
+       |        - CAST(n AS HUGEINT) * $sa * tt
+       |        + (n - k.lag) * $sa * $sb AS VARCHAR) AS DOUBLE)
+       |      / (CAST(n AS DOUBLE)
+       |        * sqrt(CAST(CAST((CAST(n AS HUGEINT) * $qa - $sa * $sa)
+       |          * (CAST(n AS HUGEINT) * $qb - $sb * $sb)
+       |          AS VARCHAR) AS DOUBLE)))
+       |    END""".stripMargin
+
+  val select: String =
+    s"""WITH e AS (SELECT
+      |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS h,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS xv,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS yc,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS zp
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT 'view>click' AS key, h, xv AS x, yc AS y FROM e
+      |  UNION ALL SELECT 'click>purchase', h, yc, zp FROM e),
+      |r AS (SELECT key, x, y,
+      |    row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM s),
+      |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy
+      |  FROM r GROUP BY key),
+      |kp AS (SELECT CAST(UNNEST(range(0, 7)) AS BIGINT) AS lag),
+      |kn AS (SELECT CAST(UNNEST(range(1, 7)) AS BIGINT) AS lag),
+      |pp AS (SELECT a.key AS key, CAST(b.rn - a.rn AS BIGINT) AS lag,
+      |    CAST(sum(CAST(a.x AS HUGEINT) * b.y) AS HUGEINT) AS sab,
+      |    CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS hh,
+      |    CAST(sum(CAST(b.y AS HUGEINT)) AS HUGEINT) AS tt
+      |  FROM r a JOIN r b ON a.key = b.key AND b.rn - a.rn BETWEEN 0 AND 6
+      |  GROUP BY 1, 2),
+      |pn AS (SELECT a.key AS key, CAST(b.rn - a.rn AS BIGINT) AS lag,
+      |    CAST(sum(CAST(a.y AS HUGEINT) * b.x) AS HUGEINT) AS sab,
+      |    CAST(sum(CAST(a.y AS HUGEINT)) AS HUGEINT) AS hh,
+      |    CAST(sum(CAST(b.x AS HUGEINT)) AS HUGEINT) AS tt
+      |  FROM r a JOIN r b ON a.key = b.key AND b.rn - a.rn BETWEEN 1 AND 6
+      |  GROUP BY 1, 2),
+      |pos AS (SELECT st.key, k.lag, st.n,
+      |    ${rExpr("sx", "sy", "qx", "qy")} AS r
+      |  FROM st CROSS JOIN kp k
+      |  LEFT JOIN pp ON st.key = pp.key AND k.lag = pp.lag),
+      |ng AS (SELECT st.key, k.lag, st.n,
+      |    ${rExpr("sy", "sx", "qy", "qx")} AS r
+      |  FROM st CROSS JOIN kn k
+      |  LEFT JOIN pn ON st.key = pn.key AND k.lag = pn.lag)
+      |SELECT key, CAST(lag AS INT) AS lag, n, r FROM pos
+      |UNION ALL SELECT key, CAST(-lag AS INT) AS lag, n, r FROM ng
+      |ORDER BY key, lag""".stripMargin
 }

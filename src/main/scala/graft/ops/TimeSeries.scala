@@ -169,4 +169,171 @@ object TimeSeries {
           col("n_above") + col("n_below") > 1L && v > 0.0,
         (col("runs").cast("double") - mu) / sqrt(v)).as("z"))
   }
+
+  /** Per-key ordinary-least-squares line y = a + b·t with R² — the
+    * parametric trend read beside the robust pair
+    * (Profiling.mannKendall decides, theilSen estimates robustly;
+    * OLS is the right estimator when the series is clean and the
+    * caller wants the variance-explained number R² that Theil–Sen
+    * can't give). `t` and `y` must be INTEGER-valued (bucket index,
+    * counts): slope = Sxy/Sxx, R² = Sxy²/(Sxx·Syy) with
+    * Sxy = nΣty − ΣtΣy, Sxx = nΣt² − (Σt)², Syy = nΣy² − (Σy)² ALL
+    * exact decimal integers, so the closing divisions (string-bridged
+    * operands) replay bit-for-bit. intercept = ȳ − b·t̄ is a fixed
+    * 4-op IEEE chain on exact inputs.
+    *
+    * Shape: ONE keyed partial agg — no window, no join. Degenerate
+    * keys (n < 2 or constant t) read NULL slope/intercept/r2;
+    * constant y reads slope 0 exactly and NULL r2.
+    * Output (key, n, slope, intercept, r2). */
+  def ols(df: DataFrame, key: Column, t: Column, y: Column): DataFrame = {
+    val d = df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("long").as("__t"),
+        y.cast("long").as("__y"))
+    val a = d.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(col("__t").cast(Dec)).cast(Dec).as("__st"),
+      sum(col("__y").cast(Dec)).cast(Dec).as("__sy"),
+      sum((col("__t").cast(Dec) * col("__t").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__stt"),
+      sum((col("__y").cast(Dec) * col("__y").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__syy"),
+      sum((col("__t").cast(Dec) * col("__y").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__sty"))
+    val nD = col("n").cast(Dec)
+    val sxy = (nD * col("__sty") - col("__st") * col("__sy")).cast(Dec)
+    val sxx = (nD * col("__stt") - col("__st") * col("__st")).cast(Dec)
+    val syy = (nD * col("__syy") - col("__sy") * col("__sy")).cast(Dec)
+    val slope = decToDouble(sxy) / decToDouble(sxx)
+    val nd = col("n").cast("double")
+    a.select(col("key"), col("n"),
+      when(col("n") > 1L && sxx =!= lit(0).cast(Dec), slope).as("slope"),
+      when(col("n") > 1L && sxx =!= lit(0).cast(Dec),
+        decToDouble(col("__sy")) / nd -
+          slope * (decToDouble(col("__st")) / nd)).as("intercept"),
+      when(col("n") > 1L && sxx =!= lit(0).cast(Dec) &&
+          syy =!= lit(0).cast(Dec),
+        decToDouble((sxy * sxy).cast(Dec)) /
+          decToDouble((sxx * syy).cast(Dec))).as("r2"))
+  }
+
+  /** Cross-correlation function between two integer series sharing a
+    * time spine, lags −L..+L per key — the LEAD–LAG read between two
+    * monitor series ("do error spikes FOLLOW deploy bursts, and by
+    * how many hours?") that neither series' own ACF can give.
+    * Positive lag k means y LAGS x by k steps (x leads); the negative
+    * side is computed as the mirrored pair, so one call gives the
+    * full curve and its argmax is the lead time.
+    *
+    * Exactness (the [[acf]] identity with two series): r_k = NUM_k /
+    * (n·√P) with NUM_k = n²Σx_t·y_{t+k} − n·Sy·H_k − n·Sx·T_k +
+    * (n−k)·Sx·Sy and P = (nΣx²−Sx²)(nΣy²−Sy²), all exact decimal
+    * integers; √ of an exact double and the closing multiply/divide
+    * are single correctly-rounded IEEE ops. Same bounded-series and
+    * lag-exploded join shape as [[acf]].
+    * Output (key, lag, n, r); constant either-series reads NULL. */
+  def ccf(df: DataFrame, key: Column, t: Column, x: Column, y: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag out of range: $maxLag")
+    val base = df.filter(t.isNotNull && x.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("double").as("__t"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val w = Window.partitionBy("key").orderBy(col("__t"))
+    val d = base.withColumn("__rn", row_number().over(w))
+
+    // one direction: r_k for k = 0..L of (a_t, b_{t+k})
+    def side(aCol: String, bCol: String, keep0: Boolean): DataFrame = {
+      val lo = if (keep0) 0 else 1
+      val stats = d.groupBy("key").agg(
+        count(lit(1)).as("n"),
+        sum(col(aCol).cast(Dec)).cast(Dec).as("__sa"),
+        sum(col(bCol).cast(Dec)).cast(Dec).as("__sb"),
+        sum((col(aCol).cast(Dec) * col(aCol).cast(Dec)).cast(Dec))
+          .cast(Dec).as("__qa"),
+        sum((col(bCol).cast(Dec) * col(bCol).cast(Dec)).cast(Dec))
+          .cast(Dec).as("__qb"))
+      val left = d.select(col("key"), col("__rn"), col(aCol).as("__a"),
+        explode(sequence(lit(lo), lit(maxLag))).as("lag"))
+      val right = d.select(col("key").as("__k2"), col("__rn").as("__rn2"),
+        col(bCol).as("__b"))
+      val pair = left.join(right,
+          col("key") === col("__k2") &&
+            col("__rn2") === col("__rn") + col("lag"))
+        .groupBy(col("key"), col("lag"))
+        .agg(
+          sum((col("__a").cast(Dec) * col("__b").cast(Dec)).cast(Dec))
+            .cast(Dec).as("__sab"),
+          sum(col("__a").cast(Dec)).cast(Dec).as("__h"),
+          sum(col("__b").cast(Dec)).cast(Dec).as("__t2"))
+      val lags = stats.select(col("key"), col("n"), col("__sa"), col("__sb"),
+        col("__qa"), col("__qb"),
+        explode(sequence(lit(lo), lit(maxLag))).as("lag"))
+      val j = lags.join(pair, Seq("key", "lag"), "left")
+      val nD = col("n").cast(Dec)
+      val num = (nD * nD * col("__sab") - nD * col("__sb") * col("__h") -
+        nD * col("__sa") * col("__t2") +
+        (nD - col("lag").cast(Dec)) * col("__sa") * col("__sb")).cast(Dec)
+      val p = ((nD * col("__qa") - col("__sa") * col("__sa")) *
+        (nD * col("__qb") - col("__sb") * col("__sb"))).cast(Dec)
+      j.select(col("key"), col("lag"), col("n"),
+        when(p > lit(0).cast(Dec) && col("__sab").isNotNull,
+          decToDouble(num) /
+            (col("n").cast("double") * sqrt(decToDouble(p)))).as("r"))
+    }
+
+    val pos = side("__x", "__y", keep0 = true)
+    val neg = side("__y", "__x", keep0 = false)
+      .select(col("key"), (-col("lag")).as("lag"), col("n"), col("r"))
+    pos.unionByName(neg)
+  }
+
+  /** Dyadic SES one-step-ahead backtest per series key — the
+    * FORECASTABILITY scorecard (pairs with the event-chain entropy
+    * rate): forecast f_t = Σ_{j=1..16} 2^{-j}·y_{t−j} (the truncated
+    * alpha=1/2 exponential smoother, EventAnalytics.ewmaChart's
+    * convention shifted one step so it never sees y_t), scored
+    * against the naive random-walk forecast y_{t−1} via
+    * MASE = Σ|y_t−f_t| / Σ|y_t−y_{t−1}| over rows with a full lag
+    * window. MASE < 1 = the smoother beats naive = the series has
+    * exploitable structure; ≈1 = random walk; a capacity-planning
+    * monitor series that reads ≫1 is alarm-worthy in itself.
+    *
+    * Exactness: DYADIC weights on integer y make every term, partial
+    * sum, error, and absolute value an exactly-representable binary
+    * double (the 90l6 discipline), so sums are order-independent and
+    * the two closing divisions replay anywhere. Rows are scored in
+    * RANK order (the caller buckets/gap-fills upstream); only rows
+    * with all 16 lags present score, so short series (n ≤ 16) read
+    * NULL. Shape: one per-key window with 16 lags + one agg.
+    * Output (key, n, n_scored, mase, mean_abs_err, mean_abs_naive). */
+  def sesBacktest(df: DataFrame, key: Column, t: Column,
+                  y: Column): DataFrame = {
+    val d = ranked(df, key, t, y)
+    val w = Window.partitionBy("key").orderBy(col("__t"))
+    val lagged = (1 to 16).foldLeft(d) { (acc, j) =>
+      acc.withColumn(s"__l$j", lag(col("__y"), j).over(w))
+    }
+    val f = (1 to 16).map(j =>
+        col(s"__l$j").cast("double") * lit(math.pow(2.0, -j)))
+      .reduceLeft(_ + _)
+    val scored = lagged
+      .withColumn("__scored", col("__l16").isNotNull)
+      .withColumn("__err",
+        when(col("__scored"), abs(col("__y").cast("double") - f)))
+      .withColumn("__naive",
+        when(col("__scored"),
+          abs((col("__y") - col("__l1")).cast("double"))))
+    val a = scored.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__scored"), 1L).otherwise(0L)).as("n_scored"),
+      sum(col("__err")).as("__se"),
+      sum(col("__naive")).as("__sn"))
+    a.select(col("key"), col("n"), col("n_scored"),
+      when(col("n_scored") > 0L && col("__sn") > 0.0,
+        col("__se") / col("__sn")).as("mase"),
+      when(col("n_scored") > 0L,
+        col("__se") / col("n_scored").cast("double")).as("mean_abs_err"),
+      when(col("n_scored") > 0L,
+        col("__sn") / col("n_scored").cast("double")).as("mean_abs_naive"))
+  }
 }

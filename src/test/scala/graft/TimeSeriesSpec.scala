@@ -96,6 +96,68 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r1.isNullAt(4) && r1.isNullAt(5))
   }
 
+  test("ols: exact line recovers slope/intercept/r2=1, degenerate NULLs") {
+    val t = 0L to 4L
+    val df = sqlDf("k" -> (t.map(_ => "line") ++ t.map(_ => "flat") ++ Seq("one")),
+      "t" -> (t ++ t ++ Seq(0L)),
+      "y" -> (t.map(i => 2 * i + 1) ++ t.map(_ => 7L) ++ Seq(3L)))
+    val out = TimeSeries.ols(df, col("k"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val line = out("line")
+    assert(line.getDouble(2) == 2.0 && line.getDouble(3) == 1.0 &&
+      line.getDouble(4) == 1.0)
+    // constant y: slope exactly 0, r2 NULL (zero outcome variance)
+    val flat = out("flat")
+    assert(flat.getDouble(2) == 0.0 && flat.isNullAt(4))
+    // single point: all NULL
+    val one = out("one")
+    assert(one.isNullAt(2) && one.isNullAt(3) && one.isNullAt(4))
+  }
+
+  test("ccf: self-correlation 1 at lag 0, shifted pair peaks at its lead") {
+    val x = Seq(5L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val y = 0L +: x.init // y lags x by one step -> peak at lag +1
+    val df = sqlDf("k" -> x.map(_ => "p"), "t" -> x.indices.map(_.toLong),
+      "x" -> x, "y" -> y)
+    val self = TimeSeries.ccf(
+        sqlDf("k" -> x.map(_ => "s"), "t" -> x.indices.map(_.toLong),
+          "x" -> x, "y" -> x),
+        col("k"), col("t"), col("x"), col("y"), maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(self(0).getDouble(3) == 1.0) // exact: num == n*den at lag 0
+    val out = TimeSeries.ccf(df, col("k"), col("t"), col("x"), col("y"), 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out.size == 7) // lags -3..3
+    assert((-3 to 3).filter(_ != 1).forall(l => out(1) > out(l)),
+      s"peak not at +1: $out")
+  }
+
+  test("sesBacktest: constant bias 2^-16, smoother beats naive on alternation, loses on ramp") {
+    val n = 40
+    val const = Seq.fill(n)(65536L)
+    val alt = Seq.tabulate(n)(i => if (i % 2 == 0) 0L else 2L)
+    val ramp = Seq.tabulate(n)(_.toLong)
+    val df = sqlDf(
+      "k" -> (const.map(_ => "c") ++ alt.map(_ => "a") ++ ramp.map(_ => "r")),
+      "t" -> (0 until 3 * n).map(i => (i % n).toLong),
+      "y" -> (const ++ alt ++ ramp))
+    val out = TimeSeries.sesBacktest(df, col("k"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // constant: f = c(1 - 2^-16) -> err exactly c/65536 = 1.0; naive 0
+    val c = out("c")
+    assert(c.getLong(2) == (n - 16).toLong && c.isNullAt(3) &&
+      c.getDouble(4) == 1.0 && c.getDouble(5) == 0.0)
+    // alternation: naive always misses by 2, the smoother hovers near 1
+    assert(out("a").getDouble(3) < 1.0)
+    // trend: a lagging smoother underpredicts a ramp, naive is off by 1
+    assert(out("r").getDouble(3) > 1.0)
+    // short series: no scored rows
+    val short = sqlDf("k" -> Seq.fill(10)("s"), "t" -> (0L to 9L),
+      "y" -> (0L to 9L))
+    val s = TimeSeries.sesBacktest(short, col("k"), col("t"), col("y")).head()
+    assert(s.getLong(2) == 0L && s.isNullAt(3))
+  }
+
   test("modularity: two clean triangles score Q=0.5, mixed labels score lower") {
     val edges = sqlDf(
       "src" -> Seq(0L, 1L, 0L, 3L, 4L, 3L),
