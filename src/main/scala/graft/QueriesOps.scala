@@ -670,6 +670,30 @@ object QueriesOps {
         col("n_events"), maxLag = 6).orderBy(col("key"), col("lag"))
     }),
 
+    // STREAMING ACF monitor, batch-twin: the event log folded as
+    // three hour-aligned micro-batches into exact integer sufficient
+    // statistics (n, S, Q, per-lag cross sums, first/last-L rings);
+    // the final standing read is bit-identical to x_acf — same oracle
+    // VERBATIM
+    "s_acf" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_acfstream").toString
+      val ev = events(s, d)
+      val mm = ev.agg(min("ts"), max("ts")).head()
+      val (t0, t1) = (mm.getTimestamp(0).getTime, mm.getTimestamp(1).getTime)
+      def hourFloor(ms: Long) = (ms / 3600000L) * 3600000L
+      val cut1 = new java.sql.Timestamp(hourFloor(t0 + (t1 - t0) / 3))
+      val cut2 = new java.sql.Timestamp(hourFloor(t0 + 2 * (t1 - t0) / 3))
+      val batches = Seq(
+        ev.filter(col("ts") < lit(cut1)),
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2)),
+        ev.filter(col("ts") >= lit(cut2)))
+      batches.zipWithIndex.map { case (b, i) =>
+        graft.streaming.AcfStream.foldBatch(b, dir, i.toLong,
+          "1 hour", maxLag = 6)
+      }.last.orderBy(col("key"), col("lag"))
+    }),
+
     // Ljung-Box portmanteau over the same series: is the hourly
     // arrival pattern white noise? Fixed ascending-lag IEEE chain
     // over the six bit-replayable ACF values
@@ -10855,6 +10879,10 @@ s"""WITH lines AS (
     // ACF replay: exact HUGEINT numerator/denominator (the n²-scaled
     // mean-centered identity), one string-bridged closing division
     "x_acf" -> AcfSql.acfSelect,
+
+    // the streaming fold's final standing read is bit-identical to
+    // the batch ACF — x_acf's oracle verbatim
+    "s_acf" -> AcfSql.acfSelect,
 
     // Ljung-Box replay: pivot the six bit-replayable ACF values, then
     // the identical ascending-lag left-fold IEEE chain

@@ -158,6 +158,50 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(s.getLong(2) == 0L && s.isNullAt(3))
   }
 
+  test("AcfStream: fold == batch bits, replay no-ops, knob/order refusal") {
+    import graft.ops.TimeSeries
+    import graft.streaming.AcfStream
+    def tstr(h: Int, m: Int = 0) = f"2026-01-01 $h%02d:$m%02d:00"
+    def ts(h: Int, m: Int = 0) = java.sql.Timestamp.valueOf(tstr(h, m))
+    // two types with irregular hourly counts over 9 hours (type b
+    // silent some hours — observed-hours-only semantics, like batch)
+    val rows = (0 until 9).flatMap { h =>
+      Seq.fill(1 + (h * h) % 5)(("a", tstr(h, 1))) ++
+        (if (h % 3 != 1) Seq.fill(2 + h % 4)(("b", tstr(h, 30))) else Nil)
+    }
+    val ev = sqlDf("event_type" -> rows.map(_._1), "tss" -> rows.map(_._2))
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val dir = java.nio.file.Files.createTempDirectory("acfstream").toString
+    val batches = Seq(
+      ev.filter(col("ts") < ts(3)), ev.filter(col("ts") >= ts(3) &&
+        col("ts") < ts(6)), ev.filter(col("ts") >= ts(6)))
+    val folded = batches.zipWithIndex.map { case (b, i) =>
+      AcfStream.foldBatch(b, dir, i.toLong, "1 hour", maxLag = 6)
+    }.last
+    val hourly = ev.groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val batch = TimeSeries.acf(hourly, col("event_type"), col("h"),
+      col("n_events"), maxLag = 6)
+    val f = rowsOf(folded.orderBy("key", "lag"))
+    val g = rowsOf(batch.orderBy("key", "lag"))
+    assert(f == g, s"stream fold != batch:\n$f\n$g")
+    // replayed batch: skipped, standing read unchanged
+    val replay = AcfStream.foldBatch(batches(1), dir, 1L, "1 hour", 6)
+    assert(rowsOf(replay.orderBy("key", "lag")) == g)
+    // knob mismatch refuses loudly
+    val eKnob = intercept[IllegalArgumentException] {
+      AcfStream.foldBatch(batches(2), dir, 9L, "1 hour", maxLag = 4)
+    }
+    assert(eKnob.getMessage.contains("lag grid"))
+    // out-of-order window refuses loudly
+    val eOrd = intercept[IllegalArgumentException] {
+      AcfStream.foldBatch(batches(0), dir, 10L, "1 hour", 6)
+    }
+    assert(eOrd.getMessage.contains("event-time order"))
+  }
+
   test("modularity: two clean triangles score Q=0.5, mixed labels score lower") {
     val edges = sqlDf(
       "src" -> Seq(0L, 1L, 0L, 3L, 4L, 3L),
