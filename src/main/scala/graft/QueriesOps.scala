@@ -707,6 +707,19 @@ object QueriesOps {
         col("n_events"), maxLag = 6).orderBy(col("key"))
     }),
 
+    // PACF via Durbin-Levinson over the same series: the AR-order
+    // read (which autoregressive depth does the series carry?);
+    // recursion unrolled to named stages, every op single IEEE
+    "x_pacf" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.pacf(hourly, col("event_type"), col("h"),
+        col("n_events"), maxLag = 6).orderBy(col("key"), col("lag"))
+    }),
+
     // Wald-Wolfowitz runs test over the same series: do high hours
     // cluster into regimes? Above/below-mean by exact integer
     // compare, ties dropped, fixed IEEE z chain
@@ -10888,6 +10901,10 @@ s"""WITH lines AS (
     // the identical ascending-lag left-fold IEEE chain
     "x_ljung_box" -> AcfSql.ljungBoxSelect,
 
+    // PACF replay: the same Durbin-Levinson unroll generated from the
+    // same recursion — identical IEEE chain stage by stage
+    "x_pacf" -> AcfSql.pacfSelect,
+
     // runs-test replay: exact integer classify (n·y vs S, ties
     // dropped), window lag run starts, the identical fixed z chain
     "x_runs_test" ->
@@ -11489,6 +11506,36 @@ private[graft] object AcfSql {
     s"""$ctes
       |SELECT key, CAST(lag AS INT) AS lag, n, r FROM acf
       |ORDER BY key, lag""".stripMargin
+
+  /** x_pacf: the Durbin-Levinson recursion unrolled into per-stage
+    * CTE columns — generated by the SAME recursion as
+    * TimeSeries.pacf, so every IEEE op and fold order is identical. */
+  val pacfSelect: String = {
+    val pivots = (1 to 6).map(k =>
+      s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(",\n    ")
+    val sb = new StringBuilder
+    sb ++= s"$ctes,\n"
+    sb ++= s"p AS (SELECT key, max(n) AS n,\n    $pivots\n  FROM acf GROUP BY key),\n"
+    sb ++= "s1 AS (SELECT *, r1 AS a1_1 FROM p)"
+    var prev = "s1"
+    for (k <- 2 to 6) {
+      val cFold = (1 until k).map(j => s"a${k - 1}_$j * r${k - j}")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val dFold = (1 until k).map(j => s"a${k - 1}_$j * r$j")
+        .reduceLeft((a, b) => s"($a + $b)")
+      sb ++= s",\ns${k}a AS (SELECT *, r$k - $cFold AS c$k, 1.0 - $dFold AS d$k FROM $prev)"
+      sb ++= s",\ns${k}b AS (SELECT *, CASE WHEN d$k <> 0 THEN c$k / d$k END AS a${k}_$k FROM s${k}a)"
+      val updates = (1 until k).map(j =>
+        s"a${k - 1}_$j - a${k}_$k * a${k - 1}_${k - j} AS a${k}_$j").mkString(", ")
+      sb ++= s",\ns${k}c AS (SELECT *, $updates FROM s${k}b)"
+      prev = s"s${k}c"
+    }
+    val union = (1 to 6).map(k =>
+      s"SELECT key, CAST($k AS INT) AS lag, n, a${k}_$k AS pacf FROM $prev")
+      .mkString("\nUNION ALL ")
+    sb ++= s"\n$union\nORDER BY key, lag"
+    sb.toString
+  }
 
   val ljungBoxSelect: String = {
     val terms = (1 to 6).map(k =>

@@ -126,6 +126,52 @@ object TimeSeries {
       lit(maxLag).as("df_lb"))
   }
 
+  /** Partial autocorrelation function per series key via the
+    * Durbin–Levinson recursion — the AR-ORDER read on top of [[acf]]
+    * (the ACF of an AR(p) series decays geometrically and never
+    * "cuts"; the PACF cuts to ≈0 after lag p, so this is the table
+    * that says WHICH autoregressive depth a monitor series carries,
+    * and pacf(1) is the AR(1) coefficient itself):
+    * a(k,k) = (r_k − Σ_{j<k} a(k−1,j)·r_{k−j}) /
+    * (1 − Σ_{j<k} a(k−1,j)·r_j), a(k,j) = a(k−1,j) − a(k,k)·a(k−1,k−j).
+    *
+    * Exactness: the recursion is UNROLLED into named per-stage
+    * columns (one projection per stage — no exponential expression
+    * swell), every op a single IEEE +/·/÷ on [[acf]]'s bit-replayable
+    * r values, fold order fixed ascending-j — the DuckDB oracle
+    * generates the IDENTICAL chain from the same recursion, so the
+    * values replay bit-for-bit. Zero denominators and missing lags
+    * (short/constant series) read NULL and propagate.
+    * Output (key, lag, n, pacf), lags 1..maxLag. */
+  def pacf(df: DataFrame, key: Column, t: Column, y: Column,
+           maxLag: Int): DataFrame = {
+    val r = acf(df, key, t, y, maxLag)
+    val pivots = (1 to maxLag).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"r$k"))
+    var g = r.groupBy(col("key"), col("n")).agg(pivots.head, pivots.tail: _*)
+    // stage 1: a1_1 = r1
+    g = g.withColumn("a1_1", col("r1"))
+    for (k <- 2 to maxLag) {
+      val cNum = col(s"r$k") -
+        (1 until k).map(j => col(s"a${k - 1}_$j") * col(s"r${k - j}"))
+          .reduceLeft(_ + _)
+      val cDen = lit(1.0) -
+        (1 until k).map(j => col(s"a${k - 1}_$j") * col(s"r$j"))
+          .reduceLeft(_ + _)
+      g = g.withColumn(s"c$k", cNum).withColumn(s"d$k", cDen)
+      g = g.withColumn(s"a${k}_$k",
+        when(col(s"d$k") =!= 0.0, col(s"c$k") / col(s"d$k")))
+      for (j <- 1 until k)
+        g = g.withColumn(s"a${k}_$j",
+          col(s"a${k - 1}_$j") - col(s"a${k}_$k") * col(s"a${k - 1}_${k - j}"))
+    }
+    val stacked = (1 to maxLag).map(k =>
+        g.select(col("key"), lit(k).as("lag"), col("n"),
+          col(s"a${k}_$k").as("pacf")))
+      .reduceLeft(_.unionByName(_))
+    stacked
+  }
+
   /** Wald–Wolfowitz runs test per series key (1940) — is the series'
     * above/below-mean pattern random, or do high hours CLUSTER (the
     * burst/regime read a trend test scores zero on)? Each point is

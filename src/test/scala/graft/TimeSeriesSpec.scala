@@ -50,6 +50,23 @@ class TimeSeriesSpec extends SparkTestBase {
       .head().isNullAt(2))
   }
 
+  test("pacf: Durbin-Levinson hand values, NULL propagation past n") {
+    val (k1, t1, y1) = series("a", Seq(1L, 2L, 3L, 4L, 5L))
+    val df = sqlDf("k" -> k1, "t" -> t1, "y" -> y1)
+    val out = TimeSeries.pacf(df, col("k"), col("t"), col("y"), maxLag = 6)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    // pacf(1) = r1 = 0.4; pacf(2) = (r2 - r1²)/(1 - r1²) = -0.26/0.84
+    assert(out(1).getDouble(3) == 0.4)
+    assert(out(2).getDouble(3) == (-0.1 - 0.4 * 0.4) / (1.0 - 0.4 * 0.4))
+    // lags with no ACF value (k >= n) propagate NULL
+    assert(out(5).isNullAt(3) && out(6).isNullAt(3))
+    // constant series: all NULL
+    val c = sqlDf("k" -> Seq.fill(8)("c"), "t" -> (0L to 7L),
+      "y" -> Seq.fill(8)(3L))
+    assert(TimeSeries.pacf(c, col("k"), col("t"), col("y"), 3)
+      .collect().forall(_.isNullAt(3)))
+  }
+
   test("runsTest: alternation z>0 count, blocks z<0, ties dropped, one-class NULL") {
     // alternating 1,3 around mean 2: every point starts a run
     val alt = Seq.tabulate(12)(i => if (i % 2 == 0) 1L else 3L)
