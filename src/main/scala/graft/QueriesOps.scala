@@ -840,6 +840,26 @@ object QueriesOps {
         .select(col("a"), col("b"), col("dist"))
         .orderBy(col("a"), col("b"))),
 
+    // Fellegi-Sunter probabilistic linkage over the sort-window
+    // candidate pairs: EM learns per-field m/u weights + match prior
+    // from the 2^3 agreement-pattern counts (name-close / same-nation
+    // / same-segment), 20 driver-unrolled iterations; the oracle
+    // GENERATES the identical IEEE chain (the pacf twin discipline)
+    "x_fellegi" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val pairs = FuzzyJoin.sortedNeighborhoodPairs(cust, "c_custkey",
+        "c_name", window = 4, maxDist = 100)
+      val ca = cust.select(col("c_custkey").as("a"),
+        col("c_nationkey").as("__na"), col("c_mktsegment").as("__sa2"))
+      val cb = cust.select(col("c_custkey").as("b"),
+        col("c_nationkey").as("__nb"), col("c_mktsegment").as("__sb2"))
+      val att = pairs.join(ca, "a").join(cb, "b")
+      RecordLinkage.fellegiSunter(att, Seq(
+        "name_close" -> (col("dist") <= 1),
+        "same_nation" -> (col("__na") === col("__nb")),
+        "same_segment" -> (col("__sa2") === col("__sb2"))), iters = 20)
+    }),
+
     // multi-pass merge/purge: deletion blocking ∪ sort-window pairs —
     // the production recall recipe (each pass misses what the other
     // catches); oracle replays both passes and the distinct union
@@ -10388,6 +10408,10 @@ s"""WITH lines AS (
         |SELECT a, b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
         |FROM p WHERE levenshtein(s_a, s_b) <= 2 ORDER BY a, b""".stripMargin,
 
+    // Fellegi-Sunter replay: SN pairs -> agreement patterns -> the
+    // generated 20-iteration EM unroll (identical IEEE chain)
+    "x_fellegi" -> FellegiSql.select,
+
     "x_fuzzy_lookup" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
         |pr AS (SELECT id + 1000000000 AS pid,
@@ -11683,4 +11707,111 @@ private[graft] object CcfSql {
       |SELECT key, CAST(lag AS INT) AS lag, n, r FROM pos
       |UNION ALL SELECT key, CAST(-lag AS INT) AS lag, n, r FROM ng
       |ORDER BY key, lag""".stripMargin
+}
+
+/** DuckDB SQL for x_fellegi — GENERATED from the same EM recursion as
+  * RecordLinkage.em (the pacf generator-twin discipline): ascending-
+  * pattern / ascending-field folds, least/greatest clamps with the
+  * upper bound written as the op (1.0 - 0.000001), one CTE stage per
+  * (weights, totals, updates) step per iteration. */
+private[graft] object FellegiSql {
+  private val F = 3
+  private val NP = 1 << F
+  private val T = 20
+
+  private def cd(g: Int) = s"CAST(c$g AS DOUBLE)"
+
+  // w expression for pattern g from params suffixed `k`
+  private def wExpr(g: Int, pk: String, mk: Int => String,
+                    uk: Int => String): String = {
+    val num = (0 until F).foldLeft(pk)((acc, f) =>
+      if (((g >> f) & 1) == 1) s"$acc * ${mk(f)}"
+      else s"$acc * (1.0 - ${mk(f)})")
+    val den = (0 until F).foldLeft(s"(1.0 - $pk)")((acc, f) =>
+      if (((g >> f) & 1) == 1) s"$acc * ${uk(f)}"
+      else s"$acc * (1.0 - ${uk(f)})")
+    s"($num) / (($num) + ($den))"
+  }
+
+  private def fold(terms: Seq[String]): String =
+    terms.reduceLeft((a, b) => s"($a + $b)")
+
+  private def clamp(x: String): String =
+    s"least(greatest($x, 0.000001), (1.0 - 0.000001))"
+
+  val select: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH r AS (SELECT c_custkey AS id, c_name AS s,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rid
+      |  FROM customer WHERE c_name IS NOT NULL),
+      |p0 AS (SELECT l.id AS ida, l.s AS sa, r2.id AS idb, r2.s AS sb
+      |  FROM r l JOIN r r2
+      |    ON r2.rid > l.rid AND r2.rid <= l.rid + 3),
+      |pr AS (SELECT DISTINCT
+      |    CASE WHEN ida < idb THEN ida ELSE idb END AS a,
+      |    CASE WHEN ida < idb THEN idb ELSE ida END AS b,
+      |    CASE WHEN ida < idb THEN sa ELSE sb END AS s_a,
+      |    CASE WHEN ida < idb THEN sb ELSE sa END AS s_b
+      |  FROM p0),
+      |att AS (SELECT levenshtein(pr.s_a, pr.s_b) <= 1 AS g1,
+      |    ca.c_nationkey = cb.c_nationkey AS g2,
+      |    ca.c_mktsegment = cb.c_mktsegment AS g3
+      |  FROM pr JOIN customer ca ON pr.a = ca.c_custkey
+      |    JOIN customer cb ON pr.b = cb.c_custkey),
+      |pat AS (SELECT
+      |    (CASE WHEN COALESCE(g1, false) THEN 1 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(g2, false) THEN 2 ELSE 0 END)
+      |    + (CASE WHEN COALESCE(g3, false) THEN 4 ELSE 0 END) AS g
+      |  FROM att),
+      |cnt AS (SELECT
+      |""".stripMargin
+    sb ++= (0 until NP).map(g =>
+      s"    CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS c$g")
+      .mkString(",\n")
+    sb ++= "\n  FROM pat),\n"
+    sb ++= "it0 AS (SELECT *, 0.1 AS p_0"
+    (0 until F).foreach(f => sb ++= s", 0.9 AS m_0_$f, 0.1 AS u_0_$f")
+    sb ++= " FROM cnt)"
+    var prev = "it0"
+    for (k <- 1 to T) {
+      val pk = s"p_${k - 1}"
+      def mk(f: Int) = s"m_${k - 1}_$f"
+      def uk(f: Int) = s"u_${k - 1}_$f"
+      sb ++= s",\nw$k AS (SELECT *"
+      (0 until NP).foreach(g =>
+        sb ++= s", ${wExpr(g, pk, mk, uk)} AS w${k}_$g")
+      sb ++= s" FROM $prev)"
+      val tF = fold((0 until NP).map(g => s"w${k}_$g * ${cd(g)}"))
+      val vF = fold((0 until NP).map(g => s"(1.0 - w${k}_$g) * ${cd(g)}"))
+      val nF = fold((0 until NP).map(cd))
+      sb ++= s",\nt$k AS (SELECT *, $tF AS tt_$k, $vF AS vv_$k, $nF AS nn_$k FROM w$k)"
+      sb ++= s",\nit$k AS (SELECT *"
+      (0 until F).foreach { f =>
+        val sM = fold((0 until NP).filter(g => ((g >> f) & 1) == 1)
+          .map(g => s"w${k}_$g * ${cd(g)}"))
+        val sU = fold((0 until NP).filter(g => ((g >> f) & 1) == 1)
+          .map(g => s"(1.0 - w${k}_$g) * ${cd(g)}"))
+        sb ++= s", ${clamp(s"CASE WHEN tt_$k <> 0 THEN ($sM) / tt_$k ELSE ${mk(f)} END")} AS m_${k}_$f"
+        sb ++= s", ${clamp(s"CASE WHEN vv_$k <> 0 THEN ($sU) / vv_$k ELSE ${uk(f)} END")} AS u_${k}_$f"
+      }
+      sb ++= s", ${clamp(s"CASE WHEN nn_$k <> 0 THEN tt_$k / nn_$k ELSE $pk END")} AS p_$k"
+      sb ++= s" FROM t$k)"
+      prev = s"it$k"
+    }
+    // final posteriors from the converged params
+    sb ++= s",\nfin AS (SELECT *"
+    (0 until NP).foreach(g =>
+      sb ++= s", ${wExpr(g, s"p_$T", f => s"m_${T}_$f", f => s"u_${T}_$f")} AS wf_$g")
+    sb ++= s" FROM $prev)"
+    val branches = (0 until NP).map { g =>
+      val pat = (0 until F).map(f => if (((g >> f) & 1) == 1) '1' else '0')
+        .mkString
+      val ms = (0 until F).map(f => s"m_${T}_$f AS m_${f + 1}").mkString(", ")
+      val us = (0 until F).map(f => s"u_${T}_$f AS u_${f + 1}").mkString(", ")
+      s"SELECT '$pat' AS pattern, c$g AS n, wf_$g AS posterior, p_$T AS p_match, $ms, $us FROM fin WHERE c$g > 0"
+    }
+    sb ++= "\n" + branches.mkString("\nUNION ALL ")
+    sb ++= "\nORDER BY pattern"
+    sb.toString
+  }
 }
