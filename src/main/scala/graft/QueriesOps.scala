@@ -3083,6 +3083,23 @@ object QueriesOps {
         .orderBy(col("node"))
     }),
 
+    // burstiness + memory of inter-arrival gaps per event type (Goh-
+    // Barabási): periodic bots read B near -1, bursty humans B>0 with
+    // M>0; exact integer gap moments, two closing sqrt/divide chains
+    "x_burstiness" -> ((s, d) =>
+      EventAnalytics.burstiness(events(s, d), col("event_type"),
+        col("ts"), col("event_id"))),
+
+    // degree assortativity of the link graph (Newman 2002): hubs-to-
+    // hubs vs hubs-to-leaves in one exact-Pearson number over the
+    // symmetrized edge list
+    "x_assortativity" -> ((s, d) => {
+      val edges = t(s, d, "documents").select(
+        (col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst")).distinct()
+      Graph.assortativity(edges, "src", "dst")
+    }),
+
     // per-community Newman modularity of the x_lpa partition — the
     // acceptance read on a community assignment (≈0 = no better than
     // random): exact integer m_c/d_c/m, per-row fixed IEEE q_part
@@ -9290,6 +9307,73 @@ s"""WITH lines AS (
         |${iter("l1", "l2")},
         |${iter("l2", "l3")}
         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+
+    // burstiness/memory replay: per-key gap list off the same
+    // (ms, event_id) order, exact HUGEINT moments, identical chains
+    "x_burstiness" -> {
+      val varN = "(CAST(st.n_gaps AS HUGEINT) * st.q - st.s * st.s)"
+      val sq = s"sqrt(CAST(CAST($varN AS VARCHAR) AS DOUBLE))"
+      val sD = "CAST(CAST(st.s AS VARCHAR) AS DOUBLE)"
+      val mden = "((CAST(pr.np AS HUGEINT) * pr.qh - pr.sh * pr.sh) * (CAST(pr.np AS HUGEINT) * pr.qt - pr.stl * pr.stl))"
+      s"""WITH g0 AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    epoch_ms(ts) AS ms, event_id,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT key, ms - prev AS gp,
+        |    row_number() OVER (PARTITION BY key ORDER BY ms, event_id) AS rn
+        |  FROM g0 WHERE prev IS NOT NULL),
+        |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CAST(gp AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(gp AS HUGEINT) * gp) AS HUGEINT) AS q
+        |  FROM g GROUP BY key),
+        |pr AS (SELECT a.key AS key, CAST(count(*) AS BIGINT) AS np,
+        |    CAST(sum(CAST(a.gp AS HUGEINT) * b.gp) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(a.gp AS HUGEINT)) AS HUGEINT) AS sh,
+        |    CAST(sum(CAST(b.gp AS HUGEINT)) AS HUGEINT) AS stl,
+        |    CAST(sum(CAST(a.gp AS HUGEINT) * a.gp) AS HUGEINT) AS qh,
+        |    CAST(sum(CAST(b.gp AS HUGEINT) * b.gp) AS HUGEINT) AS qt
+        |  FROM g a JOIN g b ON a.key = b.key AND b.rn = a.rn + 1
+        |  GROUP BY 1)
+        |SELECT st.key, st.n_gaps,
+        |  CASE WHEN st.n_gaps > 1 AND $varN >= 0 AND ($sq + $sD) > 0.0
+        |    THEN ($sq - $sD) / ($sq + $sD) END AS burstiness,
+        |  CASE WHEN pr.np > 1 AND $mden > 0
+        |    THEN CAST(CAST(CAST(pr.np AS HUGEINT) * pr.sxy - pr.sh * pr.stl
+        |        AS VARCHAR) AS DOUBLE)
+        |      / sqrt(CAST(CAST($mden AS VARCHAR) AS DOUBLE)) END AS memory
+        |FROM st LEFT JOIN pr ON st.key = pr.key ORDER BY st.key""".stripMargin
+    },
+
+    // assortativity replay: symmetrized canonical edges, exact
+    // HUGEINT Pearson moments, one sqrt + divide
+    "x_assortativity" -> {
+      val den = "((CAST(n2 AS HUGEINT) * qx - sx * sx) * (CAST(n2 AS HUGEINT) * qy - sy * sy))"
+      s"""WITH dir AS (SELECT DISTINCT doc_id % 50 AS a, (doc_id * 7 + 3) % 50 AS b
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        |  FROM dir WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |  GROUP BY node),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |wd AS (SELECT da.deg AS dx, db.deg AS dy
+        |  FROM sym JOIN deg da ON sym.a = da.node
+        |    JOIN deg db ON sym.b = db.node),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS qx,
+        |    CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS qy
+        |  FROM wd)
+        |SELECT n2 // 2 AS n_edges,
+        |  CASE WHEN $den > 0
+        |    THEN CAST(CAST(CAST(n2 AS HUGEINT) * sxy - sx * sy AS VARCHAR)
+        |        AS DOUBLE)
+        |      / sqrt(CAST(CAST($den AS VARCHAR) AS DOUBLE)) END AS r
+        |FROM ag""".stripMargin
     },
 
     // per-community modularity of the x_lpa partition: replay the 3

@@ -13,6 +13,74 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Burstiness + memory of inter-arrival times per series key (Goh &
+    * Barabási 2008, "Burstiness and memory in complex systems") — the
+    * two-number fingerprint separating bot traffic (periodic: B→−1)
+    * from human/bursty arrivals (B→1 heavy-tailed gaps, M>0 when
+    * long gaps follow long gaps): B = (σ−μ)/(σ+μ) over the gap
+    * distribution, M = Pearson correlation of consecutive gaps
+    * (head vs tail windows, the paper's convention).
+    *
+    * Exactness: gaps are integer milliseconds off a per-key
+    * (ts, tiebreak) rank window; B reduces to
+    * (√(nQ−S²) − S)/(√(nQ−S²) + S) — the n cancels — and M to the
+    * n-scaled Pearson identity over the lag-1 pair join, every
+    * sufficient statistic an exact decimal integer, closing √/÷
+    * single IEEE ops on string-bridged operands. One rank window +
+    * one lag-pair self-join (n·1 rows) + two partial aggs.
+    * Degenerate keys (n < 2 gaps, zero variance) read NULL.
+    * Output (key, n_gaps, burstiness, memory). */
+  def burstiness(df: DataFrame, key: Column, ts: Column,
+                 tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val w = Window.partitionBy("key").orderBy(col("__ms"), col("__tb"))
+    val gaps = df.filter(ts.isNotNull)
+      .select(key.cast("string").as("key"),
+        unix_millis(ts).as("__ms"),
+        tiebreak.cast("long").as("__tb"))
+      .withColumn("__prev", lag(col("__ms"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .select(col("key"), col("__rn"), (col("__ms") - col("__prev")).as("__g"))
+    val stats = gaps.groupBy("key").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__g").cast(Dec)).cast(Dec).as("__s"),
+      sum((col("__g").cast(Dec) * col("__g").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__q"))
+    // lag-1 pair list for M: (g_i, g_{i+1})
+    val b = gaps.select(col("key").as("__k2"), col("__rn").as("__rn2"),
+      col("__g").as("__g2"))
+    val pairs = gaps.join(b,
+        col("key") === col("__k2") && col("__rn2") === col("__rn") + 1)
+      .groupBy("key").agg(
+        count(lit(1)).as("__np"),
+        sum((col("__g").cast(Dec) * col("__g2").cast(Dec)).cast(Dec))
+          .cast(Dec).as("__sxy"),
+        sum(col("__g").cast(Dec)).cast(Dec).as("__sh"),
+        sum(col("__g2").cast(Dec)).cast(Dec).as("__st"),
+        sum((col("__g").cast(Dec) * col("__g").cast(Dec)).cast(Dec))
+          .cast(Dec).as("__qh"),
+        sum((col("__g2").cast(Dec) * col("__g2").cast(Dec)).cast(Dec))
+          .cast(Dec).as("__qt"))
+    val nD = col("n_gaps").cast(Dec)
+    val varN = (nD * col("__q") - col("__s") * col("__s")).cast(Dec)
+    val npD = col("__np").cast(Dec)
+    val mNum = (npD * col("__sxy") - col("__sh") * col("__st")).cast(Dec)
+    val mDen = ((npD * col("__qh") - col("__sh") * col("__sh")) *
+      (npD * col("__qt") - col("__st") * col("__st"))).cast(Dec)
+    stats.join(pairs, Seq("key"), "left")
+      .select(col("key"), col("n_gaps"),
+        when(col("n_gaps") > 1L && varN >= lit(0).cast(Dec) &&
+            (sqrt(d2d(varN)) + d2d(col("__s"))) > 0.0,
+          (sqrt(d2d(varN)) - d2d(col("__s"))) /
+            (sqrt(d2d(varN)) + d2d(col("__s")))).as("burstiness"),
+        when(col("__np") > 1L && mDen > lit(0).cast(Dec),
+          d2d(mNum) / sqrt(d2d(mDen))).as("memory"))
+      .orderBy(col("key"))
+  }
+
   /** Ordered conversion funnel: how many users performed stage 1, then
     * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3
     * strictly after that first qualifying stage-2 event, … ("first

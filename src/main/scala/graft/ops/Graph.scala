@@ -378,6 +378,53 @@ object Graph {
     (per, m)
   }
 
+  /** Degree assortativity coefficient (Newman 2002, "Assortative
+    * mixing in networks") — does the link graph wire hubs to hubs
+    * (r > 0, social/citation shape) or hubs to leaves (r < 0, the
+    * web/spam-farm shape)? The single-number topology read beside the
+    * triangle census and coreness: r = Pearson correlation of
+    * endpoint degrees over the SYMMETRIZED edge list (each canonical
+    * edge contributes both orientations — the standard convention
+    * that makes the marginals equal).
+    *
+    * Exactness: degrees and the five moment sums over the 2m-row
+    * directed list are exact decimal integers; r closes with the
+    * n-scaled Pearson identity — one √ and one ÷ on string-bridged
+    * exact operands. Shape: one distinct + one degree agg + two
+    * broadcast-sized joins + ONE global agg. Degenerate graphs
+    * (regular: zero degree variance) read NULL.
+    * Output (1 row): n_edges, r. */
+  def assortativity(edges: DataFrame, src: String,
+                    dst: String): DataFrame = {
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val e = undirected(edges, src, dst)
+    val deg = e.select(col("__a").as("node"))
+      .unionByName(e.select(col("__b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val sym = e.select(col("__a"), col("__b"))
+      .unionByName(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    val withDeg = sym
+      .join(deg.select(col("node").as("__a"), col("__deg").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("__deg").as("__db")), "__b")
+    val a = withDeg.agg(
+      count(lit(1)).as("__n2"),
+      sum(col("__da").cast(Dec)).cast(Dec).as("__sx"),
+      sum(col("__db").cast(Dec)).cast(Dec).as("__sy"),
+      sum((col("__da").cast(Dec) * col("__db").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__sxy"),
+      sum((col("__da").cast(Dec) * col("__da").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__qx"),
+      sum((col("__db").cast(Dec) * col("__db").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__qy"))
+    val nD = col("__n2").cast(Dec)
+    val num = (nD * col("__sxy") - col("__sx") * col("__sy")).cast(Dec)
+    val den = ((nD * col("__qx") - col("__sx") * col("__sx")) *
+      (nD * col("__qy") - col("__sy") * col("__sy"))).cast(Dec)
+    a.select((col("__n2") / lit(2L)).cast("long").as("n_edges"),
+      when(den > lit(0).cast(Dec), d2d(num) / sqrt(d2d(den))).as("r"))
+  }
+
   /** Global modularity Q as ONE exact-rational row — the
     * order-independent closed form Σq_c = (4m·Σm_c − Σd_c²)/(4m²)
     * (summing [[modularity]]'s per-community doubles would be

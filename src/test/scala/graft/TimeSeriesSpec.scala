@@ -219,6 +219,39 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(eOrd.getMessage.contains("event-time order"))
   }
 
+  test("burstiness: periodic B=-1 exactly, heavy-tail B>0, persistent gaps M>0") {
+    import graft.ops.EventAnalytics
+    def mk(key: String, gaps: Seq[Long]): Seq[(String, Long)] = {
+      val ts = gaps.scanLeft(1000000L)(_ + _)
+      ts.map(key -> _)
+    }
+    val periodic = mk("per", Seq.fill(20)(60000L))
+    val heavy = mk("hvy", Seq.tabulate(40)(i => if (i % 8 == 0) 100000L else 10L))
+    val persist = mk("mem", Seq.fill(10)(10L) ++ Seq.fill(10)(10000L) ++
+      Seq.fill(10)(10L) ++ Seq.fill(10)(10000L))
+    val all = periodic ++ heavy ++ persist
+    val df = sqlDf("k" -> all.map(_._1), "ms" -> all.map(_._2),
+        "id" -> all.indices.map(_.toLong))
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val out = EventAnalytics.burstiness(df, col("k"), col("ts"), col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // equal gaps: sigma 0 -> B = (0-mu)/(0+mu) = -1 exactly; M NULL
+    assert(out("per").getDouble(2) == -1.0 && out("per").isNullAt(3))
+    // heavy-tailed gaps: B > 0
+    assert(out("hvy").getDouble(2) > 0.3, s"B=${out("hvy").getDouble(2)}")
+    // long gaps follow long gaps: positive memory
+    assert(out("mem").getDouble(3) > 0.5, s"M=${out("mem").getDouble(3)}")
+  }
+
+  test("assortativity: star graph -1 exactly, regular graph NULL") {
+    val star = sqlDf("src" -> Seq(0L, 0L, 0L), "dst" -> Seq(1L, 2L, 3L))
+    val r = Graph.assortativity(star, "src", "dst").head()
+    assert(r.getAs[Long]("n_edges") == 3L && r.getAs[Double]("r") == -1.0)
+    // triangle: every degree 2 -> zero variance -> NULL
+    val tri = sqlDf("src" -> Seq(0L, 1L, 2L), "dst" -> Seq(1L, 2L, 0L))
+    assert(Graph.assortativity(tri, "src", "dst").head().isNullAt(1))
+  }
+
   test("modularity: two clean triangles score Q=0.5, mixed labels score lower") {
     val edges = sqlDf(
       "src" -> Seq(0L, 1L, 0L, 3L, 4L, 3L),
