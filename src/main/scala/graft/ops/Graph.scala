@@ -352,9 +352,18 @@ object Graph {
   private def modularityWithM(edges: DataFrame, src: String, dst: String,
                               labels: DataFrame, node: String,
                               label: String): (DataFrame, Long) = {
-    val e = undirected(edges, src, dst)
+    // both inputs are referenced by multiple joins below — materialize
+    // once (checkpoint dir on a cluster, localCheckpoint in local
+    // mode, the dedupClusters convention) instead of re-evaluating the
+    // caller's subtree (labels is often a multi-iteration LPA plan)
+    // per reference
+    val sc = edges.sparkSession.sparkContext
+    def cp(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val e = cp(undirected(edges, src, dst))
     val m = e.count()
-    val lab = labels.select(col(node).as("__n"), col(label).as("__c"))
+    val lab = cp(labels.select(col(node).as("__n"), col(label).as("__c")))
     val deg = e.select(col("__a").as("__n"))
       .unionByName(e.select(col("__b").as("__n")))
       .groupBy("__n").agg(count(lit(1)).as("__deg"))
