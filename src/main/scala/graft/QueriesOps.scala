@@ -792,6 +792,20 @@ object QueriesOps {
     "x_gini" -> ((s, d) =>
       Profiling.gini(t(s, d, "documents"), col("lang"), col("n_chars"))),
 
+    // Yule's characteristic K per language: the size-stable lexical-
+    // concentration constant off the frequency-of-frequency spectrum
+    // (template/boilerplate text reads high) — exact integers, one
+    // string-bridged division
+    "x_yule" -> ((s, d) =>
+      TextAnalysis.yuleK(t(s, d, "documents"), col("lang"), "text")),
+
+    // Simpson concentration + effective stratum count of characters
+    // across languages: "how many languages is this corpus REALLY" —
+    // exact integer sums, three single divisions
+    "x_simpson" -> ((s, d) =>
+      Profiling.simpson(t(s, d, "documents"), col("lang"),
+        col("n_chars"))),
+
     // leakage-safe split: keyed by SOURCE, so every doc of a domain
     // lands in one split — group-level contamination can't leak
     // train->test as the corpus grows (same md5-range rule as
@@ -11077,6 +11091,49 @@ s"""WITH lines AS (
         |        + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0)) END AS df_w
         |FROM a""".stripMargin
     },
+
+    // Yule K replay: frequency-of-frequency spectrum, exact HUGEINT
+    // sums, the identical 10^4-scaled division
+    "x_yule" ->
+      s"""WITH tf AS (SELECT CAST(lang AS VARCHAR) AS key, t, count(*) AS m
+        |  FROM (SELECT lang, unnest($toksSql) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT key, CAST(sum(m) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS s2
+        |  FROM tf GROUP BY key)
+        |SELECT key, n_tokens, n_types,
+        |  CASE WHEN n_tokens > 1
+        |    THEN CAST(CAST(10000 * (s2 - CAST(n_tokens AS HUGEINT))
+        |        AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS VARCHAR)
+        |        AS DOUBLE) END AS yule_k
+        |FROM a ORDER BY key""".stripMargin,
+
+    // Simpson replay: per-stratum weight sums then the three exact
+    // single divisions
+    "x_simpson" ->
+      """WITH per AS (SELECT CAST(lang AS VARCHAR) AS k,
+        |    CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2,
+        |    CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS s11
+        |  FROM per)
+        |SELECT n_strata, total,
+        |  CASE WHEN total > 0 THEN CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(total AS HUGEINT) * total AS VARCHAR) AS DOUBLE)
+        |    END AS lambda,
+        |  CASE WHEN total > 1 THEN CAST(CAST(s11 AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(total AS HUGEINT) * (CAST(total AS HUGEINT) - 1)
+        |      AS VARCHAR) AS DOUBLE) END AS simpson_unbiased,
+        |  CASE WHEN s2 > 0
+        |    THEN CAST(CAST(CAST(total AS HUGEINT) * total AS VARCHAR)
+        |        AS DOUBLE) / CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+        |    END AS eff_strata
+        |FROM a""".stripMargin,
 
     // OLS replay: exact HUGEINT moment differences, string-bridged
     // slope/intercept/r2 divisions in the identical chain

@@ -2161,6 +2161,44 @@ object Profiling {
     * while n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals
     * beyond that degrade in the last ulps, stated loudly here).
     * Output: one row (n_strata, total, gini). */
+  /** Simpson concentration / diversity of an integer weight across
+    * strata — [[gini]]'s probabilistic sibling with an EFFECTIVE-
+    * NUMBER reading (Hill number of order 2): λ = Σnᵢ²/N² is the
+    * chance two sampled tokens share a stratum, the unbiased
+    * (without-replacement) form is Σnᵢ(nᵢ−1)/(N(N−1)), and
+    * eff_strata = N²/Σnᵢ² is "how many equally-sized strata would
+    * look like this" — the one-number answer to "is this corpus
+    * really 40 languages or 3 big ones plus a tail".
+    *
+    * Exactness: one keyed partial agg + one global agg of exact
+    * decimal integers; each published number is ONE division of
+    * string-bridged exact operands. Degenerate (N < 2) reads the
+    * unbiased form NULL. Output (1 row): n_strata, total, lambda,
+    * simpson_unbiased, eff_strata. */
+  def simpson(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val per = df.filter(weight.isNotNull && key.isNotNull)
+      .groupBy(key.cast("string").as("__k"))
+      .agg(sum(weight.cast("long")).as("__n"))
+    val a = per.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__n")).as("total"),
+      sum((col("__n").cast(Dec) * col("__n").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__s2"),
+      sum((col("__n").cast(Dec) * (col("__n") - 1L).cast(Dec)).cast(Dec))
+        .cast(Dec).as("__s11"))
+    val nD = col("total").cast(Dec)
+    a.select(col("n_strata"), col("total"),
+      when(col("total") > 0L,
+        d2d(col("__s2")) / d2d((nD * nD).cast(Dec))).as("lambda"),
+      when(col("total") > 1L,
+        d2d(col("__s11")) /
+          d2d((nD * (nD - lit(1).cast(Dec))).cast(Dec))).as("simpson_unbiased"),
+      when(col("__s2") > lit(0).cast(Dec),
+        d2d((nD * nD).cast(Dec)) / d2d(col("__s2"))).as("eff_strata"))
+  }
+
   def gini(df: DataFrame, key: Column, weight: Column): DataFrame = {
     val strata = df.groupBy(key.cast("string").as("stratum"))
       .agg(sum(weight.cast("long")).as("__x"))

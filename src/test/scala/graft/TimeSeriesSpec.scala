@@ -219,6 +219,40 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(eOrd.getMessage.contains("event-time order"))
   }
 
+  test("yuleK: all-distinct K=0 exactly, repetition raises K, hand value") {
+    import graft.ops.TextAnalysis
+    val df = sqlDf(
+      "lang" -> Seq("flat", "rep", "hand"),
+      "text" -> Seq(
+        "one two three four five", // every type once: S2 = N -> K = 0
+        "spam spam spam spam eggs", // heavy repetition
+        "a a b"))                   // N=3, S2 = 4+1 = 5 -> K = 10^4*2/9
+    val out = TextAnalysis.yuleK(df, col("lang"), "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getDouble(3) == 0.0)
+    assert(out("hand").getDouble(3) == 10000.0 * 2.0 / 9.0)
+    assert(out("rep").getDouble(3) > out("flat").getDouble(3))
+    assert(out("hand").getLong(1) == 3L && out("hand").getLong(2) == 2L)
+  }
+
+  test("simpson: even strata hand values, single stratum lambda=1") {
+    import graft.ops.Profiling
+    // four equal strata: lambda = 4/16 = 0.25, eff = 4 exactly
+    val even = sqlDf("k" -> Seq("a", "b", "c", "d"),
+      "w" -> Seq(5L, 5L, 5L, 5L))
+    val r = Profiling.simpson(even, col("k"), col("w")).head()
+    assert(r.getAs[Long]("n_strata") == 4L && r.getAs[Long]("total") == 20L)
+    assert(r.getAs[Double]("lambda") == 0.25 &&
+      r.getAs[Double]("eff_strata") == 4.0)
+    // unbiased form: sum 5*4*4 / (20*19) = 80/380
+    assert(r.getAs[Double]("simpson_unbiased") == 80.0 / 380.0)
+    // everything in one stratum: lambda 1, eff 1
+    val one = sqlDf("k" -> Seq("a"), "w" -> Seq(7L))
+    val r1 = Profiling.simpson(one, col("k"), col("w")).head()
+    assert(r1.getAs[Double]("lambda") == 1.0 &&
+      r1.getAs[Double]("eff_strata") == 1.0)
+  }
+
   test("burstiness: periodic B=-1 exactly, heavy-tail B>0, persistent gaps M>0") {
     import graft.ops.EventAnalytics
     def mk(key: String, gaps: Seq[Long]): Seq[(String, Long)] = {
