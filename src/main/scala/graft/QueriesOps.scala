@@ -754,6 +754,21 @@ object QueriesOps {
         col("n_events")).orderBy(col("key"))
     }),
 
+    // STREAMING OLS trend monitor, batch-twin: state IS the
+    // (key, hour) count table so the fold is plain addition — exact
+    // under ANY split (arbitrary event_id%3 batches, hours straddling
+    // batches, no time order); final standing read is bit-identical
+    // to x_ols — same oracle VERBATIM
+    "s_ols" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_olsstream").toString
+      val ev = events(s, d)
+      (0L to 2L).map { b =>
+        graft.streaming.OlsStream.foldBatch(
+          ev.filter(pmod(col("event_id"), lit(3L)) === b), dir, b)
+      }.last.orderBy(col("key"))
+    }),
+
     // cross-correlation lead-lag curve for two behavioral funnels
     // (view leads click? click leads purchase?) at lags -6..6: the
     // exact-integer two-series identity, one sqrt + divide per lag
@@ -4174,6 +4189,38 @@ object QueriesOps {
   /** Shared oracle fragment: the Dedup.tokens normalization in DuckDB. */
   private val toksSql =
     """list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"""
+
+  private val olsSelect: String =
+    """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy2,
+        |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+        |  FROM h GROUP BY key),
+        |b AS (SELECT key, n, st, sy,
+        |    CAST(n AS HUGEINT) * sty - st * sy AS sxy,
+        |    CAST(n AS HUGEINT) * stt - st * st AS sxx,
+        |    CAST(n AS HUGEINT) * syy2 - sy * sy AS syy
+        |  FROM a)
+        |SELECT key, n,
+        |  CASE WHEN n > 1 AND sxx <> 0
+        |    THEN CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(sxx AS VARCHAR) AS DOUBLE) END AS slope,
+        |  CASE WHEN n > 1 AND sxx <> 0
+        |    THEN CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |        * (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    END AS intercept,
+        |  CASE WHEN n > 1 AND sxx <> 0 AND syy <> 0
+        |    THEN CAST(CAST(sxy * sxy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(sxx * syy AS VARCHAR) AS DOUBLE) END AS r2
+        |FROM b ORDER BY key""".stripMargin
 
   /** CMS md5-bucket replay (digit-by-digit: 8 hex digits < 2^32, exact
     * in double) — the DuckDB twin of Profiling.cmsBucket for a sketch
@@ -11137,37 +11184,11 @@ s"""WITH lines AS (
 
     // OLS replay: exact HUGEINT moment differences, string-bridged
     // slope/intercept/r2 divisions in the identical chain
-    "x_ols" ->
-      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
-        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
-        |    CAST(count(*) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
-        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
-        |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
-        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy2,
-        |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
-        |  FROM h GROUP BY key),
-        |b AS (SELECT key, n, st, sy,
-        |    CAST(n AS HUGEINT) * sty - st * sy AS sxy,
-        |    CAST(n AS HUGEINT) * stt - st * st AS sxx,
-        |    CAST(n AS HUGEINT) * syy2 - sy * sy AS syy
-        |  FROM a)
-        |SELECT key, n,
-        |  CASE WHEN n > 1 AND sxx <> 0
-        |    THEN CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(sxx AS VARCHAR) AS DOUBLE) END AS slope,
-        |  CASE WHEN n > 1 AND sxx <> 0
-        |    THEN CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-        |        / CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
-        |        * (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
-        |    END AS intercept,
-        |  CASE WHEN n > 1 AND sxx <> 0 AND syy <> 0
-        |    THEN CAST(CAST(sxy * sxy AS VARCHAR) AS DOUBLE)
-        |      / CAST(CAST(sxx * syy AS VARCHAR) AS DOUBLE) END AS r2
-        |FROM b ORDER BY key""".stripMargin,
+    "x_ols" -> olsSelect,
+
+    // the streaming fold's standing read is bit-identical to the
+    // batch OLS — x_ols's oracle verbatim
+    "s_ols" -> olsSelect,
 
     // CCF replay: both directions of the two-series exact identity,
     // positive lags (x leads) + mirrored negative lags

@@ -286,6 +286,35 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(Graph.assortativity(tri, "src", "dst").head().isNullAt(1))
   }
 
+  test("OlsStream: arbitrary splits fold == batch bits, replay no-ops") {
+    import graft.ops.TimeSeries
+    import graft.streaming.OlsStream
+    def tstr(h: Int, m: Int) = f"2026-02-01 $h%02d:$m%02d:00"
+    val rows = (0 until 8).flatMap { h =>
+      (0 until 2 + (h * 3) % 5).map(i => ("a", tstr(h, (i * 7) % 60))) ++
+        (0 until 1 + h % 3).map(i => ("b", tstr(h, (i * 11) % 60)))
+    }.zipWithIndex
+    val ev = sqlDf("event_type" -> rows.map(_._1._1),
+        "tss" -> rows.map(_._1._2), "event_id" -> rows.map(_._2.toLong))
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val dir = java.nio.file.Files.createTempDirectory("olsstream").toString
+    // arbitrary id-mod batches: hours straddle batch boundaries
+    val folded = (0L to 2L).map { b =>
+      OlsStream.foldBatch(ev.filter(pmod(col("event_id"), lit(3L)) === b),
+        dir, b)
+    }.last
+    val hourly = ev.groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_events"))
+    val batch = TimeSeries.ols(hourly, col("event_type"), col("h"),
+      col("n_events"))
+    assert(rowsOf(folded.orderBy("key")) == rowsOf(batch.orderBy("key")))
+    // replay: skipped, standing read unchanged
+    val replay = OlsStream.foldBatch(ev.filter(col("event_id") < 5), dir, 1L)
+    assert(rowsOf(replay.orderBy("key")) == rowsOf(batch.orderBy("key")))
+  }
+
   test("modularity: two clean triangles score Q=0.5, mixed labels score lower") {
     val edges = sqlDf(
       "src" -> Seq(0L, 1L, 0L, 3L, 4L, 3L),
