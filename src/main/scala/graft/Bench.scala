@@ -84,7 +84,8 @@ object Bench {
     "x_acf", "x_ljung_box", "x_runs_test", "x_welch",
     "x_modularity", "x_modularity_g",
     "x_ols", "x_ccf", "x_backtest", "s_acf", "x_pacf", "x_fellegi",
-    "x_burstiness", "x_assortativity", "x_yule", "x_simpson", "s_ols")
+    "x_burstiness", "x_assortativity", "x_yule", "x_simpson", "s_ols",
+    "x_dp_release")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

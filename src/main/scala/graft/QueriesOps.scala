@@ -821,6 +821,12 @@ object QueriesOps {
       Profiling.simpson(t(s, d, "documents"), col("lang"),
         col("n_chars"))),
 
+    // DP count release (geometric mechanism, eps = ln 2, seeded):
+    // per-language doc counts + exact integer inverse-CDF noise —
+    // the release leg beside the k-anonymity/l-diversity audits
+    "x_dp_release" -> ((s, d) =>
+      Profiling.dpCounts(t(s, d, "documents"), col("lang"), salt = "r17")),
+
     // leakage-safe split: keyed by SOURCE, so every doc of a domain
     // lands in one split — group-level contamination can't leak
     // train->test as the corpus grows (same md5-range rule as
@@ -11139,6 +11145,10 @@ s"""WITH lines AS (
         |FROM a""".stripMargin
     },
 
+    // DP release replay: the generated geometric-mechanism CASE
+    // ladder over the exact 64-bit md5 fraction
+    "x_dp_release" -> DpSql.select,
+
     // Yule K replay: frequency-of-frequency spectrum, exact HUGEINT
     // sums, the identical 10^4-scaled division
     "x_yule" ->
@@ -11975,5 +11985,35 @@ private[graft] object FellegiSql {
     sb ++= "\n" + branches.mkString("\nUNION ALL ")
     sb ++= "\nORDER BY pattern"
     sb.toString
+  }
+}
+
+/** DuckDB SQL for x_dp_release — the geometric-mechanism CASE ladder
+  * GENERATED from the same thresholds as Profiling.dpCounts: exact
+  * 64-bit md5 fraction (two 32-bit digit-conv halves), HUGEINT
+  * comparisons 3·2^j·U vs c·2^64, ±20 truncation. */
+private[graft] object DpSql {
+  private val B = 20
+  private def half(lo: Int, hi: Int, expBase: Int) =
+    s"CAST(CAST(list_sum(list_transform(range($lo, $hi), i -> " +
+      "(strpos('0123456789abcdef', substr(md5(key || '|' || 'r17'), " +
+      s"CAST(i AS INT), 1)) - 1) * pow(16, $expBase - i))) AS BIGINT) AS HUGEINT)"
+
+  val select: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val negArms = (B to 1 by -1).map(m =>
+      s"WHEN ${3L << (m - 1)} * u < $two64 THEN ${-m}")
+    val posArms = (0 until B).map(k =>
+      s"WHEN ${3L << k} * u < ${(3L << k) - 1L} * $two64 THEN $k")
+    val ladder = (negArms ++ posArms).mkString("\n    ") + s"\n    ELSE $B"
+    s"""WITH c AS (SELECT CAST(lang AS VARCHAR) AS key,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      |h AS (SELECT key, n,
+      |    ${half(1, 9, 8)} * 4294967296 + ${half(9, 17, 16)} AS u
+      |  FROM c)
+      |SELECT key, n + CAST(CASE
+      |    $ladder END AS BIGINT) AS n_noisy
+      |FROM h ORDER BY key""".stripMargin
   }
 }

@@ -2161,6 +2161,59 @@ object Profiling {
     * while n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals
     * beyond that degrade in the last ulps, stated loudly here).
     * Output: one row (n_strata, total, gini). */
+  /** Differentially-private count release via the GEOMETRIC mechanism
+    * (Ghosh, Roughgarden & Sundararajan 2009 — the discrete Laplace,
+    * the universally-optimal mechanism for counts) at ε = ln 2: each
+    * per-key count is released as n + X with
+    * P(X = k) ∝ 2^-|k| — the privacy leg beside the k-anonymity /
+    * l-diversity / t-closeness profiles (90m family): those AUDIT
+    * re-identification risk, this RELEASES a table with a proof.
+    *
+    * Noise is SEEDED from md5(key, salt) — deterministic and
+    * replayable, the reproducible-pipeline form (splits/sampling use
+    * the same convention); a production ε-DP release swaps the seed
+    * for fresh entropy, everything else unchanged. The tail is
+    * truncated at ±`bound` (default 20: residual mass (1/3)·2⁻²⁰ ≈
+    * 3·10⁻⁷ folded into the extreme bins — documented bias, far
+    * below the noise scale).
+    *
+    * Exactness: the inverse CDF runs on EXACT integers — u is the
+    * first 64 md5 bits as two 32-bit halves, the geometric CDF
+    * thresholds are rationals with denominator 3·2^j, and each CASE
+    * arm compares 3·2^j·U against c·2^64 in decimal(38,0) — no
+    * floating point anywhere until nothing (the release is integer).
+    * The DuckDB oracle generates the identical CASE ladder.
+    * Shape: ONE keyed partial agg + per-row integer ops on the
+    * aggregate-sized table. Output (key, n_noisy). */
+  def dpCounts(df: DataFrame, key: Column, salt: String,
+               bound: Int = 20): DataFrame = {
+    require(bound >= 4 && bound <= 20, s"dpCounts: bound in 4..20 (got $bound)")
+    val Dec = "decimal(38,0)"
+    val counts = df.filter(key.isNotNull)
+      .groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("__n"))
+    val h = md5(concat(col("key"), lit("|"), lit(salt)))
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    val u = (hi.cast(Dec) * lit(4294967296L).cast(Dec) + lo.cast(Dec))
+      .cast(Dec)
+    val two64 = lit("18446744073709551616").cast(Dec)
+    // CASE ladder, ascending CDF: F(−m) ⇔ 3·2^(m−1)·U < 2^64;
+    // F(k) ⇔ 3·2^k·U < (3·2^k − 1)·2^64
+    var noise: Column = lit(bound) // else-branch: the clamped top bin
+    val arms =
+      (bound to 1 by -1).map(m => (lit(3L << (m - 1)).cast(Dec) * u <
+        two64) -> lit(-m)) ++
+      (0 until bound).map(k => (lit(3L << k).cast(Dec) * u <
+        lit((3L << k) - 1L).cast(Dec) * two64) -> lit(k))
+    noise = arms.foldRight(noise) { case ((cond, v), els) =>
+      when(cond, v).otherwise(els)
+    }
+    counts.select(col("key"),
+        (col("__n") + noise.cast("long")).as("n_noisy"))
+      .orderBy(col("key"))
+  }
+
   /** Simpson concentration / diversity of an integer weight across
     * strata — [[gini]]'s probabilistic sibling with an EFFECTIVE-
     * NUMBER reading (Hill number of order 2): λ = Σnᵢ²/N² is the

@@ -253,6 +253,32 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("dpCounts: geometric noise shape, bounded, seeded-deterministic") {
+    import graft.ops.Profiling
+    val keys = (0 until 3000).map(i => s"k$i")
+    val df = sqlDf("k" -> keys.flatMap(k => Seq.fill(3)(k)))
+    val rel = Profiling.dpCounts(df, col("k"), salt = "spec")
+      .collect().map(r => r.getString(0) -> (r.getLong(1) - 3L)).toMap
+    val noise = rel.values.toSeq
+    assert(noise.forall(n => n >= -20L && n <= 20L))
+    // P(X=0) = 1/3; mean 0; sd = 2*alpha... ~ 2.0 -> se(mean) ~ 0.04
+    val zeroShare = noise.count(_ == 0L).toDouble / noise.size
+    assert(math.abs(zeroShare - 1.0 / 3.0) < 0.04, s"zeroShare=$zeroShare")
+    val mean = noise.map(_.toDouble).sum / noise.size
+    assert(math.abs(mean) < 0.25, s"mean=$mean")
+    // symmetric-ish tails
+    val posShare = noise.count(_ > 0L).toDouble / noise.size
+    assert(math.abs(posShare - 1.0 / 3.0) < 0.04, s"posShare=$posShare")
+    // seeded: a second run releases identical values; a different
+    // salt draws different noise
+    val again = Profiling.dpCounts(df, col("k"), salt = "spec")
+      .collect().map(r => r.getString(0) -> (r.getLong(1) - 3L)).toMap
+    assert(again == rel)
+    val other = Profiling.dpCounts(df, col("k"), salt = "other")
+      .collect().map(r => r.getString(0) -> (r.getLong(1) - 3L)).toMap
+    assert(other != rel)
+  }
+
   test("burstiness: periodic B=-1 exactly, heavy-tail B>0, persistent gaps M>0") {
     import graft.ops.EventAnalytics
     def mk(key: String, gaps: Seq[Long]): Seq[(String, Long)] = {
