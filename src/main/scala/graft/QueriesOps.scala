@@ -3342,6 +3342,13 @@ object QueriesOps {
           censorMargin = "1 hour")
         .orderBy(col("t"))),
 
+    // log-rank survival comparison between even/odd-user cohorts: the
+    // censoring-aware "did retention change" read on top of x_km —
+    // exact integer at-risk tables, 2^40-grid E/V sums, one z chain
+    "x_logrank" -> ((s, d) =>
+      EventAnalytics.logRank(events(s, d), col("user_id"), col("ts"),
+        col("user_id") % 2 === 0, censorMargin = "1 hour")),
+
     // difference-in-differences on event value: treated = even users,
     // post = the log's second half — the time-confound-netted read of
     // a cohort change
@@ -8945,6 +8952,68 @@ s"""WITH lines AS (
         |      / 1099511627776.0), 10)
         |    END AS survival
         |FROM cc ORDER BY t""".stripMargin,
+
+    // log-rank replay: cohort at-risk windows, the identical E/V IEEE
+    // chains on the 2^40 grid, one closing z
+    "x_logrank" -> {
+      val dd = "CAST(d1 + d0 AS DOUBLE)"
+      val n1d = "CAST(n1 AS DOUBLE)"
+      val nd = "CAST(n1 + n0 AS DOUBLE)"
+      val e1 = s"$dd * $n1d / $nd"
+      val v = s"$dd * $n1d / $nd * (1.0 - $n1d / $nd) * ($nd - $dd) / ($nd - 1.0)"
+      s"""WITH lt AS (SELECT user_id, min(ts) AS f, max(ts) AS l,
+        |    (user_id % 2 = 0) AS a
+        |  FROM events GROUP BY user_id),
+        |ee AS (SELECT max(ts) AS endts FROM events),
+        |m AS (SELECT epoch_ms(l) - epoch_ms(f) AS t,
+        |    l < endts - INTERVAL 1 HOUR AS died, a
+        |  FROM lt CROSS JOIN ee),
+        |g AS (SELECT t,
+        |    sum(CASE WHEN a AND died THEN 1 ELSE 0 END) AS d1,
+        |    sum(CASE WHEN a AND NOT died THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN NOT a AND died THEN 1 ELSE 0 END) AS d0,
+        |    sum(CASE WHEN NOT a AND NOT died THEN 1 ELSE 0 END) AS c0
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT t, d1, c1, d0, c0,
+        |    sum(d1 + c1) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+        |    sum(d0 + c0) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0
+        |  FROM g),
+        |s AS (SELECT d1, c1, d0, c0,
+        |    CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+        |      THEN CAST(floor($e1 * 1099511627776.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS eg,
+        |    CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+        |      THEN CAST(floor($v * 1099511627776.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END AS vg
+        |  FROM r),
+        |a2 AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS n_a,
+        |    CAST(sum(d0 + c0) AS BIGINT) AS n_b,
+        |    CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(CAST(eg AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS se,
+        |    CAST(sum(CAST(vg AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv
+        |  FROM s)
+        |SELECT n_a, n_b, o1,
+        |  CAST(CAST(se AS VARCHAR) AS DOUBLE) / 1099511627776.0 AS e1,
+        |  CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0 AS var1,
+        |  CASE WHEN CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0 > 0.0
+        |    THEN (CAST(o1 AS DOUBLE)
+        |        - CAST(CAST(se AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |      / sqrt(CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |    END AS z,
+        |  (CASE WHEN CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0 > 0.0
+        |    THEN (CAST(o1 AS DOUBLE)
+        |        - CAST(CAST(se AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |      / sqrt(CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |    END) * (CASE WHEN CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+        |      / 1099511627776.0 > 0.0
+        |    THEN (CAST(o1 AS DOUBLE)
+        |        - CAST(CAST(se AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |      / sqrt(CAST(CAST(sv AS VARCHAR) AS DOUBLE) / 1099511627776.0)
+        |    END) AS chi2
+        |FROM a2""".stripMargin
+    },
 
     // DiD replay: the same epoch-ms cut, four decimal-exact cells,
     // the identical mean/variance/sqrt chain

@@ -243,6 +243,79 @@ object EventAnalytics {
           .as("survival"))
   }
 
+  /** Log-rank (Mantel–Cox) test between two cohorts' survival curves
+    * — [[kaplanMeier]]'s COMPARISON half (KM draws each curve; this
+    * says whether cohort A's retention differs from B's beyond
+    * chance, censoring-aware, the read behind "did the signup-flow
+    * change alter user lifetime?"): at each death time, observed
+    * cohort-A deaths vs the hypergeometric expectation
+    * E₁ = d·n₁/n and variance V = d·(n₁/n)(1−n₁/n)(n−d)/(n−1);
+    * Z = (ΣO₁−ΣE₁)/√ΣV, χ² = Z².
+    *
+    * Exactness: counts and at-risk tables are exact integers (the KM
+    * reverse-cumulative over the bounded distinct-lifetime grain —
+    * the documented single-partition exception); each per-time E/V
+    * term is a fixed IEEE chain quantized to the 2⁴⁰ grid
+    * (floor(x·G+0.5), the KM discipline) so the GLOBAL sums are
+    * order-free exact decimals; the closing subtract/√/÷ replays
+    * anywhere. `cohortA` must be constant per user.
+    * Output (1 row): n_a, n_b, o1, e1, var1, z, chi2. */
+  def logRank(df: DataFrame, user: Column, ts: Column, cohortA: Column,
+              censorMargin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 1099511627776.0 // 2^40
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val lifetimes = df.groupBy(user.as("__u"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"),
+        max(cohortA.cast("boolean")).as("__a"))
+    val logEnd = df.agg(max(ts).as("__end"))
+    val marked = lifetimes.crossJoin(broadcast(logEnd))
+      .select(
+        (unix_millis(col("__last")) - unix_millis(col("__first"))).as("t"),
+        (col("__last") < col("__end") - expr(s"INTERVAL $censorMargin"))
+          .as("__died"),
+        col("__a"))
+    val grain = marked.groupBy(col("t")).agg(
+      sum(when(col("__a") && col("__died"), 1L).otherwise(0L)).as("__d1"),
+      sum(when(col("__a") && !col("__died"), 1L).otherwise(0L)).as("__c1"),
+      sum(when(!col("__a") && col("__died"), 1L).otherwise(0L)).as("__d0"),
+      sum(when(!col("__a") && !col("__died"), 1L).otherwise(0L)).as("__c0"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val r = grain
+      .withColumn("__n1", sum(col("__d1") + col("__c1")).over(wDesc))
+      .withColumn("__n0", sum(col("__d0") + col("__c0")).over(wDesc))
+    val dd = (col("__d1") + col("__d0")).cast("double")
+    val n1d = col("__n1").cast("double")
+    val nd = (col("__n1") + col("__n0")).cast("double")
+    val active = col("__d1") + col("__d0") > 0L &&
+      col("__n1") + col("__n0") > 1L
+    val e1 = dd * n1d / nd
+    val v = dd * n1d / nd * (lit(1.0) - n1d / nd) * (nd - dd) /
+      (nd - lit(1.0))
+    val terms = r.select(col("__d1"),
+      when(active, floor(e1 * G + 0.5)).otherwise(lit(0L))
+        .cast(Dec).as("__eg"),
+      when(active, floor(v * G + 0.5)).otherwise(lit(0L))
+        .cast(Dec).as("__vg"),
+      col("__n1"), col("__n0"), col("__c1"), col("__c0"),
+      col("__d0"))
+    val a = terms.agg(
+      sum(col("__d1") + col("__c1")).as("n_a"),
+      sum(col("__d0") + col("__c0")).as("n_b"),
+      sum(col("__d1")).as("o1"),
+      sum(col("__eg")).cast(Dec).as("__se"),
+      sum(col("__vg")).cast(Dec).as("__sv"))
+    val e1Sum = d2d(col("__se")) / lit(G)
+    val vSum = d2d(col("__sv")) / lit(G)
+    a.select(col("n_a"), col("n_b"), col("o1"),
+        e1Sum.as("e1"), vSum.as("var1"),
+        when(vSum > 0.0,
+          (col("o1").cast("double") - e1Sum) / sqrt(vSum)).as("z"))
+      .withColumn("chi2", col("z") * col("z"))
+  }
+
   /** BEHAVIORAL drift between two eras of the event log — per
     * from-state Jensen–Shannon divergence between the eras' next-event
     * distributions: [[transitionMatrix]] says how users behave; this

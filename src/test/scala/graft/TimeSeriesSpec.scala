@@ -253,6 +253,36 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("logRank: mirrored cohorts z=0 exactly, separated cohorts fire") {
+    import graft.ops.EventAnalytics
+    def evRows(uBase: Long, even: Boolean, lifeMins: Seq[Long]) =
+      lifeMins.zipWithIndex.flatMap { case (life, i) =>
+        val u = uBase + 2 * i + (if (even) 0 else 1)
+        Seq((u, 0L), (u, life * 60000L))
+      }
+    // mirrored: both cohorts have identical lifetime multisets ->
+    // every time slice has d1 = d0 and n1 = n0 -> E1 = d/2 exactly
+    val lives = Seq(10L, 20L, 30L, 40L, 500L)
+    val rowsM = evRows(0L, even = true, lives) ++
+      evRows(100L, even = false, lives) ++ Seq((999L, 500L * 60000L))
+    val dfM = sqlDf("user_id" -> rowsM.map(_._1), "ms" -> rowsM.map(_._2))
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val m = EventAnalytics.logRank(dfM, col("user_id"), col("ts"),
+      col("user_id") % 2 === 0).head()
+    assert(m.getAs[Double]("z") == 0.0 && m.getAs[Double]("chi2") == 0.0)
+    assert(m.getAs[Double]("e1") == m.getAs[Long]("o1").toDouble)
+    // separated: cohort A all dies early, cohort B survives to the
+    // censor edge -> A deaths exceed expectation, z > 2
+    val rowsS = evRows(0L, even = true, Seq(5L, 6L, 7L, 8L, 9L, 10L)) ++
+      evRows(100L, even = false, Seq(500L, 500L, 500L, 500L, 500L, 500L))
+    val dfS = sqlDf("user_id" -> rowsS.map(_._1), "ms" -> rowsS.map(_._2))
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val sep = EventAnalytics.logRank(dfS, col("user_id"), col("ts"),
+      col("user_id") % 2 === 0).head()
+    assert(sep.getAs[Long]("o1") == 6L)
+    assert(sep.getAs[Double]("z") > 2.0, s"z=${sep.getAs[Double]("z")}")
+  }
+
   test("dpCounts: geometric noise shape, bounded, seeded-deterministic") {
     import graft.ops.Profiling
     val keys = (0 until 3000).map(i => s"k$i")
