@@ -807,6 +807,13 @@ object QueriesOps {
     "x_gini" -> ((s, d) =>
       Profiling.gini(t(s, d, "documents"), col("lang"), col("n_chars"))),
 
+    // WordPiece merge training (BERT's learner): 3 rounds scored by
+    // the likelihood gain c(ab)/(c(a)c(b)) — rare-but-cohesive pairs
+    // beat merely-common ones; exact counts, one division per pair
+    "x_wp_train" -> ((s, d) =>
+      TextAnalysis.wordPieceTrain(t(s, d, "documents"), "text", merges = 3)
+        .orderBy(col("rank"))),
+
     // Yule's characteristic K per language: the size-stable lexical-
     // concentration constant off the frequency-of-frequency spectrum
     // (template/boilerplate text reads high) — exact integers, one
@@ -11217,6 +11224,43 @@ s"""WITH lines AS (
     // DP release replay: the generated geometric-mechanism CASE
     // ladder over the exact 64-bit md5 fraction
     "x_dp_release" -> DpSql.select,
+
+    // WordPiece replay: the BPE round chain + per-round symbol
+    // counts and the identical likelihood-score argmax
+    "x_wp_train" -> {
+      def round(i: Int) =
+        s"""a$i AS (SELECT s[2:length(s)-1] AS core, wc, s FROM s$i),
+           |ar$i AS (SELECT string_split(core, '||') AS arr, wc FROM a$i),
+           |sy$i AS (SELECT sym, CAST(sum(wc) AS BIGINT) AS sc
+           |  FROM (SELECT unnest(arr) AS sym, wc FROM ar$i) GROUP BY 1),
+           |p$i AS (SELECT pr[1] AS l, pr[2] AS r, CAST(sum(wc) AS BIGINT) AS c
+           |  FROM (SELECT unnest(list_transform(range(1, len(arr)),
+           |          k -> [arr[CAST(k AS INT)], arr[CAST(k AS INT) + 1]])) AS pr, wc
+           |        FROM ar$i WHERE len(arr) >= 2)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT p$i.l AS l, p$i.r AS r, c,
+           |    CAST(c AS DOUBLE) / CAST(sl.sc * sr.sc AS DOUBLE) AS score
+           |  FROM p$i JOIN sy$i sl ON p$i.l = sl.sym
+           |    JOIN sy$i sr ON p$i.r = sr.sym
+           |  WHERE c >= 1
+           |  ORDER BY score DESC, l, r LIMIT 1),
+           |s${i + 1} AS MATERIALIZED (SELECT
+           |    replace(t.s, '|'||m.l||'||'||m.r||'|', '|'||m.l||m.r||'|') AS s, wc
+           |  FROM s$i t CROSS JOIN m$i m)""".stripMargin
+      s"""WITH w AS (SELECT w, count(*) AS wc
+        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |s1 AS MATERIALIZED (SELECT '|' || array_to_string(
+        |    list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]),
+        |    '||') || '|' AS s, wc FROM w),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)}
+        |SELECT 1 AS rank, l AS l_sym, r AS r_sym, c AS pair_count, score FROM m1
+        |UNION ALL SELECT 2, l, r, c, score FROM m2
+        |UNION ALL SELECT 3, l, r, c, score FROM m3
+        |ORDER BY rank""".stripMargin
+    },
 
     // Yule K replay: frequency-of-frequency spectrum, exact HUGEINT
     // sums, the identical 10^4-scaled division

@@ -621,6 +621,81 @@ object TextAnalysis {
     } finally { words.unpersist(); () }
   }
 
+  /** WordPiece merge-rule training (Schuster & Nakajima 2012; the
+    * BERT tokenizer's learner) — [[bpeTrain]]'s LIKELIHOOD-scored
+    * sibling: each round merges the pair maximizing
+    * score = count(ab) / (count(a)·count(b)) — the unigram-LM
+    * likelihood GAIN of the merge — instead of BPE's raw frequency,
+    * so rare-but-cohesive pairs ("##ing" after a rare stem) win over
+    * merely common ones. Same machinery: ONE corpus pass to the
+    * persisted vocab-sized word table, per round one pair agg + one
+    * symbol agg + a broadcast-sized argmax, greedy boundary-encoded
+    * replace.
+    *
+    * Exactness: counts are exact longs; the score is ONE division of
+    * exact integers (identical double on any engine), argmax breaks
+    * ties by (l, r) ascending — the round unroll replays verbatim.
+    * Output (rank, l_sym, r_sym, pair_count, score). */
+  def wordPieceTrain(df: DataFrame, text: String, merges: Int,
+                     minCount: Long = 1L): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"wordPieceTrain: merges must be in [1, 64] (got $merges)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(Dedup.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit("|"),
+        array_join(split(col("w"), ""), "||"), lit("|")).as("s"), col("wc"))
+      .persist()
+    try {
+      var cur = words
+      val learned = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Double)]
+      var r = 1
+      var exhausted = false
+      while (r <= merges && !exhausted) {
+        val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+        val withArr = cur.withColumn("__arr", arr)
+        val sym = withArr
+          .select(explode(col("__arr")).as("sym"), col("wc"))
+          .groupBy("sym").agg(sum(col("wc")).as("sc"))
+        val pairs = withArr
+          .select(explode(when(size(col("__arr")) >= 2,
+            expr("""transform(sequence(1, size(__arr) - 1),
+                    i -> struct(element_at(__arr, i) AS l,
+                                element_at(__arr, i + 1) AS r))"""))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as("__p"), col("wc"))
+          .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+          .agg(sum(col("wc")).as("c"))
+          .filter(col("c") >= minCount)
+        val top = pairs
+          .join(broadcast(sym.select(col("sym").as("l"),
+            col("sc").as("__scl"))), "l")
+          .join(broadcast(sym.select(col("sym").as("r"),
+            col("sc").as("__scr"))), "r")
+          .withColumn("score", col("c").cast("double") /
+            (col("__scl") * col("__scr")).cast("double"))
+          .orderBy(col("score").desc, col("l"), col("r")).limit(1)
+          .select("l", "r", "c", "score")
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, rr, c, sc) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2), top(0).getDouble(3))
+          learned += ((r, l, rr, c, sc))
+          cur = cur.select(
+            org.apache.spark.sql.functions.replace(col("s"),
+              lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"), col("wc"))
+          r += 1
+        }
+      }
+      learned.toSeq.toDF("rank", "l_sym", "r_sym", "pair_count", "score")
+    } finally { words.unpersist(); () }
+  }
+
   /** Apply learned BPE merge rules — the inference half of
     * [[bpeTrain]]: every word takes the SAME boundary encoding and
     * the same greedy left-to-right replace, one rule per rank in

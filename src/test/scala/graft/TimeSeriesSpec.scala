@@ -219,6 +219,21 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(eOrd.getMessage.contains("event-time order"))
   }
 
+  test("wordPieceTrain: likelihood score beats raw frequency, merges cascade") {
+    import graft.ops.TextAnalysis
+    // 'aa' is the most FREQUENT pair (BPE's pick) but 'bc' is the most
+    // COHESIVE: score(a,a) = 100/(200*200), score(b,c) = 10/(10*10)
+    val docs = sqlDf("text" -> (Seq.fill(100)("aa") ++ Seq.fill(10)("bc")))
+      .select(concat_ws(" ", collect_list(col("text"))).as("text"))
+    val wp = TextAnalysis.wordPieceTrain(docs, "text", merges = 2).collect()
+    assert(wp(0).getString(1) == "b" && wp(0).getString(2) == "c")
+    assert(wp(0).getDouble(4) == 10.0 / 100.0)
+    // after bc merges (score 1e-1), aa is next
+    assert(wp(1).getString(1) == "a" && wp(1).getString(2) == "a")
+    val bpe = TextAnalysis.bpeTrain(docs, "text", merges = 1).collect()
+    assert(bpe(0).getString(1) == "a" && bpe(0).getString(2) == "a")
+  }
+
   test("yuleK: all-distinct K=0 exactly, repetition raises K, hand value") {
     import graft.ops.TextAnalysis
     val df = sqlDf(
