@@ -3349,6 +3349,20 @@ object QueriesOps {
           censorMargin = "1 hour")
         .orderBy(col("t"))),
 
+    // Nelson-Aalen cumulative hazard over user lifetimes: the churn-
+    // rate dual of x_km (a bend in H(t) = a mortality regime change);
+    // same at-risk window, d/n terms on the 2^40 grid
+    "x_nelson" -> ((s, d) =>
+      EventAnalytics.nelsonAalen(events(s, d), col("user_id"), col("ts"),
+        censorMargin = "1 hour").orderBy(col("t"))),
+
+    // restricted mean survival time to 2 days: the one-number cohort
+    // lifetime read off the KM curve (defined even when the median
+    // isn't); day-scale areas on the 2^40 grid
+    "x_rmst" -> ((s, d) =>
+      EventAnalytics.rmst(events(s, d), col("user_id"), col("ts"),
+        tauMs = 172800000L, censorMargin = "1 hour")),
+
     // log-rank survival comparison between even/odd-user cohorts: the
     // censoring-aware "did retention change" read on top of x_km —
     // exact integer at-risk tables, 2^40-grid E/V sums, one z chain
@@ -8959,6 +8973,91 @@ s"""WITH lines AS (
         |      / 1099511627776.0), 10)
         |    END AS survival
         |FROM cc ORDER BY t""".stripMargin,
+
+    // Nelson-Aalen replay: the km at-risk window with d/n hazard
+    // terms on the identical 2^40 grid
+    "x_nelson" ->
+      """WITH lt AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1),
+        |ee AS (SELECT max(ts) AS endts FROM events),
+        |m AS (SELECT epoch_ms(l) - epoch_ms(f) AS t,
+        |    l < endts - INTERVAL 1 HOUR AS died
+        |  FROM lt CROSS JOIN ee),
+        |g AS (SELECT t, sum(CASE WHEN died THEN 1 ELSE 0 END) AS deaths,
+        |    sum(CASE WHEN died THEN 0 ELSE 1 END) AS censored
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT t, deaths, censored,
+        |    sum(deaths + censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g),
+        |s AS (SELECT t, n_risk, deaths, censored,
+        |    CASE WHEN deaths > 0
+        |      THEN CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      ELSE 0.0 END AS term
+        |  FROM r),
+        |cc AS (SELECT t, n_risk, deaths, censored,
+        |    sum(CAST(floor(term * 1099511627776.0 + 0.5) AS DECIMAL(38,0)))
+        |      OVER (ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hs
+        |  FROM s)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(deaths AS BIGINT) AS deaths,
+        |  CAST(censored AS BIGINT) AS censored,
+        |  round(CAST(CAST(hs AS VARCHAR) AS DOUBLE) / 1099511627776.0, 10)
+        |    AS cum_hazard
+        |FROM cc ORDER BY t""".stripMargin,
+
+    // RMST replay: the km chain, lead segments clipped at tau,
+    // day-scale areas on the identical grid
+    "x_rmst" ->
+      """WITH lt AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY 1),
+        |ee AS (SELECT max(ts) AS endts FROM events),
+        |m AS (SELECT epoch_ms(l) - epoch_ms(f) AS t,
+        |    l < endts - INTERVAL 1 HOUR AS died
+        |  FROM lt CROSS JOIN ee),
+        |g AS (SELECT t, sum(CASE WHEN died THEN 1 ELSE 0 END) AS deaths,
+        |    sum(CASE WHEN died THEN 0 ELSE 1 END) AS censored
+        |  FROM m GROUP BY 1),
+        |r AS (SELECT t, deaths, censored,
+        |    sum(deaths + censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g),
+        |s AS (SELECT t, n_risk, deaths, censored,
+        |    CASE WHEN deaths > 0 AND deaths < n_risk
+        |      THEN ln(1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS term,
+        |    CASE WHEN deaths = n_risk THEN t END AS da
+        |  FROM r),
+        |cc AS (SELECT t, n_risk,
+        |    sum(CAST(floor(term * 1099511627776.0 + 0.5) AS DECIMAL(38,0)))
+        |      OVER (ORDER BY t ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+        |    max(da) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dall
+        |  FROM s),
+        |km AS (SELECT t, n_risk,
+        |    CASE WHEN dall IS NOT NULL THEN 0.0
+        |      ELSE round(exp(CAST(CAST(ls AS VARCHAR) AS DOUBLE)
+        |        / 1099511627776.0), 10) END AS survival
+        |  FROM cc),
+        |seg AS (SELECT n_risk, survival,
+        |    least(t, 172800000) AS lo,
+        |    least(COALESCE(lead(t, 1) OVER (ORDER BY t ASC),
+        |      9223372036854775807), 172800000) AS hi
+        |  FROM km),
+        |ar AS (SELECT CAST(sum(CAST(floor(
+        |      survival * (CAST(hi - lo AS DOUBLE) / 86400000.0)
+        |        * 1099511627776.0 + 0.5) AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0)) AS asum
+        |  FROM seg WHERE hi > lo),
+        |hd AS (SELECT min(t) AS tmin, CAST(max(n_risk) AS BIGINT) AS n_users
+        |  FROM km)
+        |SELECT CAST(172800000 AS BIGINT) AS tau, hd.n_users,
+        |  round(CAST(least(hd.tmin, 172800000) AS DOUBLE) / 86400000.0
+        |    + CAST(CAST(ar.asum AS VARCHAR) AS DOUBLE) / 1099511627776.0, 6)
+        |    AS rmst_days
+        |FROM ar CROSS JOIN hd""".stripMargin,
 
     // log-rank replay: cohort at-risk windows, the identical E/V IEEE
     // chains on the 2^40 grid, one closing z

@@ -243,6 +243,91 @@ object EventAnalytics {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard (Nelson 1972, Aalen 1978) —
+    * [[kaplanMeier]]'s estimator-dual: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. Where
+    * KM answers "what fraction survives to t", the hazard curve's
+    * SLOPE reads the instantaneous churn rate — a bend in H(t) is a
+    * regime change in user mortality that the survival curve smooths
+    * over. Same shape as KM: one lifetime agg, the bounded-grain
+    * reverse-cumulative at-risk window, per-time dᵢ/nᵢ terms on the
+    * 2⁴⁰ grid (order-free exact cumulative), published round-10.
+    * Output (t, n_risk, deaths, censored, cum_hazard). */
+  def nelsonAalen(df: DataFrame, user: Column, ts: Column,
+                  censorMargin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val G = 1099511627776.0
+    val Dec = "decimal(38,0)"
+    val lifetimes = df.groupBy(user.as("__u"))
+      .agg(min(ts).as("__first"), max(ts).as("__last"))
+    val logEnd = df.agg(max(ts).as("__end"))
+    val marked = lifetimes.crossJoin(broadcast(logEnd))
+      .select(
+        (unix_millis(col("__last")) - unix_millis(col("__first"))).as("t"),
+        (col("__last") < col("__end") - expr(s"INTERVAL $censorMargin"))
+          .as("__died"))
+    val grain = marked.groupBy(col("t"))
+      .agg(sum(when(col("__died"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("__died"), 0L).otherwise(1L)).as("censored"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grain
+      .withColumn("n_risk", sum(col("deaths") + col("censored")).over(wDesc))
+      .withColumn("__term",
+        when(col("deaths") > 0L,
+          col("deaths").cast("double") / col("n_risk").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("__hs",
+        sum(floor(col("__term") * G + 0.5).cast(Dec)).over(wAsc))
+      .select(col("t"), col("n_risk"), col("deaths"), col("censored"),
+        round(col("__hs").cast("string").cast("double") / G, 10)
+          .as("cum_hazard"))
+  }
+
+  /** Restricted mean survival time (RMST) to horizon τ — the ONE
+    * NUMBER a survival curve collapses to for cohort dashboards and
+    * A/B deltas ("average user lifetime over the first 30 days"),
+    * robust where the median lifetime is undefined (curves that never
+    * cross 0.5): the area under [[kaplanMeier]]'s step curve from 0
+    * to τ. S = 1 on [0, t₁); each step contributes S(tᵢ)·(min(tᵢ₊₁,τ)
+    * − tᵢ) clipped at τ. Survival values are KM's round-10 published
+    * doubles; interval lengths exact integers; per-interval products
+    * land on the 2⁴⁰ grid and the global sum is order-free exact.
+    * Output (1 row): tau, n_users, rmst. */
+  def rmst(df: DataFrame, user: Column, ts: Column, tauMs: Long,
+           censorMargin: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauMs > 0L, s"rmst: tauMs must be positive (got $tauMs)")
+    val G = 1099511627776.0
+    val Dec = "decimal(38,0)"
+    val km = kaplanMeier(df, user, ts, censorMargin)
+    val wLead = Window.orderBy(col("t").asc)
+    val seg = km
+      .withColumn("__next", lead(col("t"), 1).over(wLead))
+      .withColumn("__lo", least(col("t"), lit(tauMs)))
+      .withColumn("__hi",
+        least(coalesce(col("__next"), lit(Long.MaxValue)), lit(tauMs)))
+      .filter(col("__hi") > col("__lo"))
+      // areas in DAYS: keeps every grid term exactly representable
+      // (ms-scale areas would overflow the 2^40 grid's double range)
+      .select(col("n_risk"),
+        (col("survival") *
+          ((col("__hi") - col("__lo")).cast("double") / lit(86400000.0)))
+          .as("__area"))
+    // the S = 1 head segment [0, t_min) — t_min from the same table
+    val head = km.agg(min(col("t")).as("__tmin"),
+      max(col("n_risk")).as("n_users"))
+    val a = seg.agg(
+      sum(floor(col("__area") * G + 0.5).cast(Dec)).cast(Dec).as("__as"))
+    a.crossJoin(broadcast(head)).select(
+      lit(tauMs).as("tau"),
+      col("n_users"),
+      round(least(col("__tmin"), lit(tauMs)).cast("double") / lit(86400000.0)
+        + col("__as").cast("string").cast("double") / G, 6)
+        .as("rmst_days"))
+  }
+
   /** Log-rank (Mantel–Cox) test between two cohorts' survival curves
     * — [[kaplanMeier]]'s COMPARISON half (KM draws each curve; this
     * says whether cohort A's retention differs from B's beyond

@@ -268,6 +268,33 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("nelsonAalen + rmst: hand survival fixture") {
+    import graft.ops.EventAnalytics
+    // 4 users: lifetimes 1d, 2d, 3d died; one 10d censored at log end
+    val day = 86400000L
+    val rows = Seq((1L, 0L), (1L, day), (2L, 0L), (2L, 2 * day),
+      (3L, 0L), (3L, 3 * day), (4L, 0L), (4L, 10 * day))
+    val df = sqlDf("user_id" -> rows.map(_._1), "ms" -> rows.map(_._2))
+      .withColumn("ts", timestamp_millis(col("ms")))
+    val na = EventAnalytics.nelsonAalen(df, col("user_id"), col("ts"))
+      .orderBy("t").collect()
+    // H at t=1d: 1/4; t=2d: 1/4+1/3; t=3d: +1/2; censored adds 0
+    assert(na.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 2L, 1L))
+    assert(math.abs(na(0).getAs[Double]("cum_hazard") - 0.25) < 1e-9)
+    assert(math.abs(na(2).getAs[Double]("cum_hazard")
+      - (0.25 + 1.0 / 3.0 + 0.5)) < 1e-9)
+    assert(na(3).getAs[Double]("cum_hazard") ==
+      na(2).getAs[Double]("cum_hazard"))
+    // RMST to 2d: S=1 on [0,1d) + S(1d)=0.75 on [1d,2d) = 1.75 days
+    val r2 = EventAnalytics.rmst(df, col("user_id"), col("ts"), 2 * day)
+      .head()
+    assert(math.abs(r2.getAs[Double]("rmst_days") - 1.75) < 1e-6)
+    // RMST to 4d adds 0.5 on [2d,3d) and 0.25 on [3d,4d)
+    val r4 = EventAnalytics.rmst(df, col("user_id"), col("ts"), 4 * day)
+      .head()
+    assert(math.abs(r4.getAs[Double]("rmst_days") - 2.5) < 1e-6)
+  }
+
   test("logRank: mirrored cohorts z=0 exactly, separated cohorts fire") {
     import graft.ops.EventAnalytics
     def evRows(uBase: Long, even: Boolean, lifeMins: Seq[Long]) =
