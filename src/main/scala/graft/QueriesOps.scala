@@ -828,6 +828,14 @@ object QueriesOps {
       Profiling.simpson(t(s, d, "documents"), col("lang"),
         col("n_chars"))),
 
+    // empirical-Bayes shrunken purchase propensity per user cohort:
+    // the corpus-fit Beta prior pulls thin-evidence cohorts toward
+    // the mean — the leaderboard-safe rate ranking
+    "x_eb_shrink" -> ((s, d) =>
+      Profiling.ebShrink(events(s, d),
+        pmod(col("user_id"), lit(100L)).cast("string"),
+        col("event_type") === "purchase")),
+
     // DP count release (geometric mechanism, eps = ln 2, seeded):
     // per-language doc counts + exact integer inverse-CDF noise —
     // the release leg beside the k-anonymity/l-diversity audits
@@ -11319,6 +11327,41 @@ s"""WITH lines AS (
         |        + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0)) END AS df_w
         |FROM a""".stripMargin
     },
+
+    // EB shrinkage replay: per-cohort exact cells, decimal(38,18)
+    // moment sums, the identical fit + posterior chains
+    "x_eb_shrink" ->
+      """WITH per AS (SELECT CAST(user_id % 100 AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS trials,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS successes
+        |  FROM events GROUP BY 1),
+        |p2 AS (SELECT key, trials, successes,
+        |    CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS rate_raw
+        |  FROM per),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(CAST(sum(CAST(rate_raw AS DECIMAL(38,18))) AS VARCHAR)
+        |      AS DOUBLE) AS s1d,
+        |    CAST(CAST(sum(CAST(rate_raw * rate_raw AS DECIMAL(38,18)))
+        |      AS VARCHAR) AS DOUBLE) AS s2d
+        |  FROM p2),
+        |f2 AS (SELECT k, s1d, s2d, s1d / CAST(k AS DOUBLE) AS m FROM f),
+        |f3 AS (SELECT k, s1d, s2d, m,
+        |    s2d / CAST(k AS DOUBLE) - m * m AS v FROM f2),
+        |f4 AS (SELECT m, v, m * (1.0 - m) / v - 1.0 AS sc FROM f3),
+        |f5 AS (SELECT
+        |    CASE WHEN v > 0.0 AND v < m * (1.0 - m) AND sc > 0.0
+        |      THEN m * sc END AS alpha,
+        |    CASE WHEN v > 0.0 AND v < m * (1.0 - m) AND sc > 0.0
+        |      THEN (1.0 - m) * sc END AS beta
+        |  FROM f4)
+        |SELECT p2.key, p2.trials, p2.successes, p2.rate_raw,
+        |  f5.alpha, f5.beta,
+        |  CASE WHEN f5.alpha IS NOT NULL
+        |    THEN (CAST(p2.successes AS DOUBLE) + f5.alpha)
+        |      / (CAST(p2.trials AS DOUBLE) + f5.alpha + f5.beta)
+        |    ELSE p2.rate_raw END AS rate_shrunk
+        |FROM p2 CROSS JOIN f5 ORDER BY key""".stripMargin,
 
     // DP release replay: the generated geometric-mechanism CASE
     // ladder over the exact 64-bit md5 fraction

@@ -2161,6 +2161,58 @@ object Profiling {
     * while n·Σx and Σ i·xᵢ sit under 2^53 — petabyte token totals
     * beyond that degrade in the last ulps, stated loudly here).
     * Output: one row (n_strata, total, gini). */
+  /** Empirical-Bayes beta-binomial shrinkage of per-key rates
+    * (Robbins 1956; the method-of-moments fit) — the "rank by
+    * SHRUNKEN rate, not raw rate" read every curation leaderboard
+    * needs: a 2/2 domain must not outrank a 480/1000 one. The Beta
+    * prior is fit FROM THE CORPUS ITSELF by moments of the observed
+    * per-key rates (m, v → α = m(m(1−m)/v − 1), β = (1−m)(…)), then
+    * each key's posterior mean (x+α)/(n+α+β) pulls small-sample keys
+    * toward the corpus mean exactly as hard as the evidence is thin.
+    *
+    * Exactness: per-key (x, n) are exact longs; each rate is ONE
+    * division; the cross-key moment sums run in decimal(38,18) (the
+    * entropy-sum discipline — deterministic rounding, order-free
+    * sum), and the fit + posteriors are fixed IEEE chains. Degenerate
+    * fits (v ≤ 0 or v ≥ m(1−m): under-dispersed — nothing to shrink
+    * toward) publish NULL alpha/beta and the raw rate as posterior.
+    * Shape: one keyed partial agg + one broadcast 1-row fit join.
+    * Output (key, trials, successes, rate_raw, alpha, beta,
+    * rate_shrunk). */
+  def ebShrink(df: DataFrame, key: Column, success: Column): DataFrame = {
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val Dec18 = "decimal(38,18)"
+    val per = df.filter(key.isNotNull && success.isNotNull)
+      .groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("trials"),
+        sum(when(success.cast("boolean"), 1L).otherwise(0L)).as("successes"))
+      .withColumn("rate_raw",
+        col("successes").cast("double") / col("trials").cast("double"))
+    val fit = per.agg(
+        count(lit(1)).as("__k"),
+        sum(col("rate_raw").cast(Dec18)).as("__s1"),
+        sum((col("rate_raw") * col("rate_raw")).cast(Dec18)).as("__s2"))
+      .select(col("__k"), d2d(col("__s1")).as("__s1d"),
+        d2d(col("__s2")).as("__s2d"))
+    val kD = col("__k").cast("double")
+    val m = col("__s1d") / kD
+    val v = col("__s2d") / kD - m * m
+    val scale = m * (lit(1.0) - m) / v - lit(1.0)
+    val ok = v > 0.0 && v < m * (lit(1.0) - m) && scale > 0.0
+    val withFit = fit.select(
+      when(ok, m * scale).as("alpha"),
+      when(ok, (lit(1.0) - m) * scale).as("beta"))
+    per.crossJoin(broadcast(withFit))
+      .withColumn("rate_shrunk",
+        when(col("alpha").isNotNull,
+          (col("successes").cast("double") + col("alpha")) /
+            (col("trials").cast("double") + col("alpha") + col("beta")))
+          .otherwise(col("rate_raw")))
+      .select("key", "trials", "successes", "rate_raw", "alpha", "beta",
+        "rate_shrunk")
+      .orderBy(col("key"))
+  }
+
   /** Differentially-private count release via the GEOMETRIC mechanism
     * (Ghosh, Roughgarden & Sundararajan 2009 — the discrete Laplace,
     * the universally-optimal mechanism for counts) at ε = ln 2: each

@@ -268,6 +268,34 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("ebShrink: thin evidence pulls to the mean, strong evidence holds") {
+    import graft.ops.Profiling
+    // 40 cohorts around rate 0.3 with real dispersion, plus one tiny
+    // 2/2 cohort and one large 480/1000 cohort
+    val base = (0 until 40).flatMap { i =>
+      val n = 200
+      val x = 40 + (i % 21) * 2 // rates 0.2..0.4
+      Seq.fill(x)((s"c$i", true)) ++ Seq.fill(n - x)((s"c$i", false))
+    }
+    val tiny = Seq.fill(2)(("tiny", true))
+    val big = Seq.fill(480)(("big", true)) ++ Seq.fill(520)(("big", false))
+    val all = base ++ tiny ++ big
+    val df = sqlDf("k" -> all.map(_._1), "s" -> all.map(_._2))
+    val out = Profiling.ebShrink(df, col("k"), col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = out("tiny")
+    val b = out("big")
+    assert(!t.isNullAt(4), "fit degenerate — fixture needs dispersion")
+    // tiny 2/2: raw 1.0, shrunk far toward the ~0.3 corpus mean
+    assert(t.getAs[Double]("rate_raw") == 1.0 &&
+      t.getAs[Double]("rate_shrunk") < 0.6)
+    // big 480/1000: raw 0.48, barely moves
+    assert(math.abs(b.getAs[Double]("rate_shrunk") - 0.48) < 0.02)
+    // shrunken tiny must no longer outrank the big cohort
+    assert(t.getAs[Double]("rate_shrunk") <
+      b.getAs[Double]("rate_shrunk") + 0.2)
+  }
+
   test("nelsonAalen + rmst: hand survival fixture") {
     import graft.ops.EventAnalytics
     // 4 users: lifetimes 1d, 2d, 3d died; one 10d censored at log end
