@@ -720,6 +720,19 @@ object QueriesOps {
         col("n_events"), maxLag = 6).orderBy(col("key"), col("lag"))
     }),
 
+    // Durbin-Watson residual autocorrelation per type: does the OLS
+    // trend fit leave lag-1 structure behind? Exact-identity fit,
+    // decimal(38,18) residual sums, one closing division
+    "x_dw" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.durbinWatson(hourly, col("event_type"), col("h"),
+        col("n_events")).orderBy(col("key"))
+    }),
+
     // Wald-Wolfowitz runs test over the same series: do high hours
     // cluster into regimes? Above/below-mean by exact integer
     // compare, ties dropped, fixed IEEE z chain
@@ -11454,6 +11467,52 @@ s"""WITH lines AS (
     // the streaming fold's standing read is bit-identical to the
     // batch OLS — x_ols's oracle verbatim
     "s_ols" -> olsSelect,
+
+    // Durbin-Watson replay: the OLS identity fit, identical residual
+    // chains, decimal(38,18) sums, one division
+    "x_dw" ->
+      """WITH h AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+        |    CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty
+        |  FROM h GROUP BY key),
+        |b AS (SELECT key, n, st, sy,
+        |    CAST(n AS HUGEINT) * sty - st * sy AS sxy,
+        |    CAST(n AS HUGEINT) * stt - st * st AS sxx
+        |  FROM a),
+        |f AS (SELECT key,
+        |    CASE WHEN n > 1 AND sxx <> 0
+        |      THEN CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(sxx AS VARCHAR) AS DOUBLE) END AS slope,
+        |    CASE WHEN n > 1 AND sxx <> 0
+        |      THEN CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |          / CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |          * (CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+        |      END AS icept
+        |  FROM b),
+        |r AS (SELECT h.key AS key, h.t AS t,
+        |    CAST(h.y AS DOUBLE) - (f.icept + f.slope * CAST(h.t AS DOUBLE))
+        |      AS e
+        |  FROM h JOIN f ON h.key = f.key),
+        |l AS (SELECT key, e,
+        |    lag(e) OVER (PARTITION BY key ORDER BY t) AS ep FROM r),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(e * e AS DECIMAL(38,18))) AS den,
+        |    sum(CAST(CASE WHEN ep IS NOT NULL
+        |      THEN (e - ep) * (e - ep) END AS DECIMAL(38,18))) AS num
+        |  FROM l GROUP BY key)
+        |SELECT key, n,
+        |  CASE WHEN n > 2 AND den IS NOT NULL
+        |      AND CAST(CAST(den AS VARCHAR) AS DOUBLE) > 0.0
+        |    THEN round(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(den AS VARCHAR) AS DOUBLE), 6) END AS dw
+        |FROM g ORDER BY key""".stripMargin,
 
     // CCF replay: both directions of the two-series exact identity,
     // positive lags (x leads) + mirrored negative lags

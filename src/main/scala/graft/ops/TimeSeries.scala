@@ -263,6 +263,53 @@ object TimeSeries {
           decToDouble((sxx * syy).cast(Dec))).as("r2"))
   }
 
+  /** Durbin–Watson statistic per series key (Durbin & Watson 1950) —
+    * the residual-autocorrelation audit CLOSING the trend-fit loop:
+    * [[ols]] fits the line, [[acf]] reads raw autocorrelation; DW
+    * asks whether the FIT's residuals still carry lag-1 structure
+    * (DW ≈ 2 = clean fit; → 0 = positive residual autocorrelation,
+    * the line is missing a regime; → 4 = negative, overdifferenced):
+    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ².
+    *
+    * Exactness: slope/intercept come from the [[ols]] exact-decimal
+    * identity (string-bridged), each residual is a fixed per-row IEEE
+    * chain, and the two sums run in decimal(38,18) (deterministic
+    * rounding, order-free) closing with one string-bridged division.
+    * One keyed moment agg + one broadcast-per-key join + one per-key
+    * lag window + one agg. Degenerate keys (n < 3, constant t, or a
+    * perfect fit Σe² = 0) read NULL.
+    * Output (key, n, dw). */
+  def durbinWatson(df: DataFrame, key: Column, t: Column,
+                   y: Column): DataFrame = {
+    val fit = ols(df, key, t, y)
+      .select(col("key"), col("slope").as("__b"), col("intercept").as("__a"))
+    val d = df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), t.cast("long").as("__t"),
+        y.cast("long").as("__y"))
+      .join(fit, Seq("key"))
+    val e = col("__y").cast("double") -
+      (col("__a") + col("__b") * col("__t").cast("double"))
+    val w = Window.partitionBy("key").orderBy(col("__t"))
+    val withE = d.withColumn("__e", e)
+      .withColumn("__ep", lag(col("__e"), 1).over(w))
+    val Dec18 = "decimal(38,18)"
+    val a = withE.groupBy("key").agg(
+      count(lit(1)).as("n"),
+      sum((col("__e") * col("__e")).cast(Dec18)).as("__den"),
+      sum(when(col("__ep").isNotNull,
+        (col("__e") - col("__ep")) * (col("__e") - col("__ep")))
+        .cast(Dec18)).as("__num"))
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    // round-6 publish: the double→decimal(38,18) residual-sum casts
+    // round their 18th decimal differently across engines (shortest-
+    // repr vs binary-expansion — the entropy-sum lesson), so the
+    // ratio is fenced like every cross-engine libm-grade output
+    a.select(col("key"), col("n"),
+      when(col("n") > 2L && col("__den").isNotNull &&
+          d2d(col("__den")) > 0.0,
+        round(d2d(col("__num")) / d2d(col("__den")), 6)).as("dw"))
+  }
+
   /** Cross-correlation function between two integer series sharing a
     * time spine, lags −L..+L per key — the LEAD–LAG read between two
     * monitor series ("do error spikes FOLLOW deploy bursts, and by

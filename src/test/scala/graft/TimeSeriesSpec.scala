@@ -50,6 +50,27 @@ class TimeSeriesSpec extends SparkTestBase {
       .head().isNullAt(2))
   }
 
+  test("durbinWatson: clean fit ~2, regime break ~0, alternation ~4, perfect fit NULL") {
+    // residuals alternate exactly around a flat line: e = +1,-1,... ->
+    // DW = sum((+-2)^2)*(n-1)/sum(1)*n = 4(n-1)/n -> ~4
+    val alt = Seq.tabulate(20)(i => if (i % 2 == 0) 11L else 9L)
+    // a regime break the line can't fit: residuals all + then all -
+    val brk = Seq.fill(10)(0L) ++ Seq.fill(10)(100L)
+    // perfect line: residuals 0 -> NULL
+    val line = (0L until 10L).map(i => 3 * i + 2)
+    val df = sqlDf(
+      "k" -> (alt.map(_ => "alt") ++ brk.map(_ => "brk") ++ line.map(_ => "ln")),
+      "t" -> (alt.indices ++ brk.indices ++ line.indices).map(_.toLong),
+      "y" -> (alt ++ brk ++ line))
+    val out = TimeSeries.durbinWatson(df, col("k"), col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getDouble(2) > 3.5, s"alt=${out("alt").getDouble(2)}")
+    // the fitted slope soaks up part of the step; DW ~0.77 still
+    // flags strong positive residual autocorrelation (<< 2)
+    assert(out("brk").getDouble(2) < 1.0, s"brk=${out("brk").getDouble(2)}")
+    assert(out("ln").isNullAt(2))
+  }
+
   test("pacf: Durbin-Levinson hand values, NULL propagation past n") {
     val (k1, t1, y1) = series("a", Seq(1L, 2L, 3L, 4L, 5L))
     val df = sqlDf("k" -> k1, "t" -> t1, "y" -> y1)
