@@ -841,6 +841,22 @@ object QueriesOps {
       Profiling.simpson(t(s, d, "documents"), col("lang"),
         col("n_chars"))),
 
+    // Brown-Forsythe variance homogeneity: does doc-length VARIANCE
+    // differ by language? The ANOVA-prerequisite check (significant
+    // F here = compare medians/ranks, not means)
+    "x_brown_forsythe" -> ((s, d) =>
+      Profiling.brownForsythe(t(s, d, "documents"), "lang",
+        col("n_chars"))),
+
+    // Cochran's Q over three paired document filters: do the filters
+    // differ in pass rate beyond chance? Exact integer Q, one
+    // string-bridged division
+    "x_cochran_q" -> ((s, d) =>
+      Profiling.cochranQ(t(s, d, "documents"), Seq(
+        col("n_chars") > 200L,
+        lower(col("text")).contains("the"),
+        col("n_chars") < 2000L))),
+
     // empirical-Bayes shrunken purchase propensity per user cohort:
     // the corpus-fit Beta prior pulls thin-evidence cohorts toward
     // the mean — the leaderboard-safe rate ranking
@@ -11340,6 +11356,63 @@ s"""WITH lines AS (
         |        + $vb * $vb / (CAST(nb AS DOUBLE) - 1.0)) END AS df_w
         |FROM a""".stripMargin
     },
+
+    // Brown-Forsythe replay: per-group order-statistic medians, |dev|
+    // rows, then the x_anova cell chain verbatim
+    "x_brown_forsythe" -> {
+      val ds = graft.functions.Exact.dsumSql("y")
+      val dq = graft.functions.Exact.dprodSumSql("y", "y")
+      s"""WITH d0 AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS m FROM d0),
+        |md AS (SELECT g, sum(v) / CAST(count(*) AS DOUBLE) AS med
+        |  FROM rk WHERE rn = floor((m + 1) / 2.0) OR rn = floor(m / 2.0) + 1
+        |  GROUP BY g),
+        |d AS (SELECT d0.g AS g, abs(d0.v - md.med) AS y
+        |  FROM d0 JOIN md ON d0.g = md.g),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS cn,
+        |    $ds AS s, $dq AS q
+        |  FROM d GROUP BY g),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(cn) AS BIGINT) AS n,
+        |    ${graft.functions.Exact.dsumSql("s * s / CAST(cn AS DOUBLE)")} AS sb,
+        |    ${graft.functions.Exact.dsumSql(
+             "q - s * s / CAST(cn AS DOUBLE)")} AS ssw,
+        |    ${graft.functions.Exact.dsumSql("s")} AS bigs
+        |  FROM cells),
+        |f AS (SELECT k, n, sb - bigs * bigs / CAST(n AS DOUBLE) AS ssb, ssw
+        |  FROM agg)
+        |SELECT k, n, ssb, ssw,
+        |  CASE WHEN k > 1 AND n > k AND ssw > 0.0
+        |    THEN (ssb / (CAST(k AS DOUBLE) - 1.0))
+        |      / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) END AS f
+        |FROM f""".stripMargin
+    },
+
+    // Cochran Q replay: one aggregation scan to the exact integer
+    // column/row totals, the identical closing division
+    "x_cochran_q" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN n_chars > 200 THEN 1 ELSE 0 END AS x0,
+        |    CASE WHEN lower(text) LIKE '%the%' THEN 1 ELSE 0 END AS x1,
+        |    CASE WHEN n_chars < 2000 THEN 1 ELSE 0 END AS x2
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x0) AS HUGEINT) AS c0, CAST(sum(x1) AS HUGEINT) AS c1,
+        |    CAST(sum(x2) AS HUGEINT) AS c2,
+        |    CAST(sum(CAST(x0 + x1 + x2 AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(sum(CAST(x0 + x1 + x2 AS HUGEINT)
+        |      * (x0 + x1 + x2)) AS HUGEINT) AS s2
+        |  FROM d)
+        |SELECT n, CAST(3 AS INT) AS k,
+        |  CASE WHEN 3 * s1 - s2 <> 0
+        |    THEN CAST(CAST((3 * (c0 * c0 + c1 * c1 + c2 * c2) - s1 * s1) * 2
+        |        AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(3 * s1 - s2 AS VARCHAR) AS DOUBLE) END AS q_stat,
+        |  CAST(2 AS INT) AS df_q
+        |FROM a""".stripMargin,
 
     // EB shrinkage replay: per-cohort exact cells, decimal(38,18)
     // moment sums, the identical fit + posterior chains

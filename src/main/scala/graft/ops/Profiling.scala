@@ -913,6 +913,80 @@ object Profiling {
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    * 1974; the median-centered Levene) — [[anovaF]]'s PREREQUISITE
+    * check: ANOVA assumes equal within-group variances; this tests
+    * exactly that by running the ANOVA F on |y − median_g| (median
+    * centering keeps the test robust under the heavy tails corpus
+    * columns actually have). A significant F here means "compare
+    * medians/ranks (84t14), not means".
+    *
+    * Shape: per-group medians off group-partitioned order-statistic
+    * windows (the theilSen convention — ascending ranks, even count =
+    * single-op mean of the two middles), one join back, |dev| a
+    * per-row single IEEE op, then [[anovaF]]'s exact-decimal cells.
+    * Output (1 row): k, n, ssb, ssw, f — over the deviations. */
+  def brownForsythe(df: DataFrame, stratum: String,
+                    value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.filter(value.isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).as("__g"), value.cast("double").as("__y"))
+    val w = Window.partitionBy("__g").orderBy(col("__y"))
+    val ranked = d.withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("__g")))
+    val lo = floor((col("__m") + 1L).cast("double") / 2.0)
+    val hi = floor(col("__m").cast("double") / 2.0) + 1.0
+    val med = ranked.filter(col("__rn") === lo || col("__rn") === hi)
+      .groupBy("__g")
+      .agg((sum(col("__y")) / count(lit(1)).cast("double")).as("__med"))
+    val dev = d.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__y") - col("__med")).as("__dev"))
+    anovaF(dev, "__g", col("__dev"))
+  }
+
+  /** Cochran's Q test (Cochran 1950) — McNemar's k-treatment
+    * generalization: do k binary FILTERS (pass/fail per document)
+    * differ in their pass rates beyond chance, accounting for the
+    * per-document pairing? The release gate before swapping one
+    * quality filter for another across a battery of k candidates;
+    * follows the agreement family (Cohen/Fleiss/Krippendorff measure
+    * agreement, this tests marginal homogeneity).
+    *
+    * Exactness: Q = (k−1)·(k·ΣCⱼ² − S₁²)/(k·S₁ − S₂) with column
+    * totals Cⱼ, S₁ = ΣRᵢ, S₂ = ΣRᵢ² — ALL exact integers from ONE
+    * aggregation scan (the runChecks fusion shape), one closing
+    * string-bridged division. All-pass/all-fail batteries (zero
+    * denominator) read NULL. Output (1 row): n, k, q_stat, df_q. */
+  def cochranQ(df: DataFrame, filters: Seq[Column]): DataFrame = {
+    require(filters.size >= 2 && filters.size <= 32,
+      s"cochranQ: 2..32 filters (got ${filters.size})")
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val k = filters.size
+    val bits = filters.zipWithIndex.map { case (f, i) =>
+      when(coalesce(f.cast("boolean"), lit(false)), 1L).otherwise(0L)
+        .as(s"__x$i")
+    }
+    val d = df.select(bits: _*)
+    val r = (0 until k).map(i => col(s"__x$i")).reduceLeft(_ + _)
+    val aggs =
+      (0 until k).map(i => sum(col(s"__x$i")).as(s"__c$i")) ++ Seq(
+        count(lit(1)).as("n"),
+        sum(r.cast(Dec)).cast(Dec).as("__s1"),
+        sum((r.cast(Dec) * r.cast(Dec)).cast(Dec)).cast(Dec).as("__s2"))
+    val a = d.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(i =>
+      (col(s"__c$i").cast(Dec) * col(s"__c$i").cast(Dec)).cast(Dec))
+      .reduceLeft(_ + _).cast(Dec)
+    val kDec = lit(k.toLong).cast(Dec)
+    val num = ((kDec * sumC2 - col("__s1") * col("__s1")) *
+      lit((k - 1).toLong).cast(Dec)).cast(Dec)
+    val den = (kDec * col("__s1") - col("__s2")).cast(Dec)
+    a.select(col("n"), lit(k).as("k"),
+      when(den =!= lit(0).cast(Dec), d2d(num) / d2d(den)).as("q_stat"),
+      lit(k - 1).as("df_q"))
+  }
+
   /** Kruskal–Wallis H across strata — [[anovaF]]'s RANK-based sibling
     * (heavy-tailed doc lengths and quality scores violate ANOVA's
     * variance assumptions; KW compares rank distributions): H =

@@ -289,6 +289,43 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("brownForsythe + cochranQ: hand fixtures") {
+    import graft.ops.Profiling
+    // equal-variance groups: F small; one wild group: F large
+    val tight1 = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
+    val tight2 = Seq(20.0, 21.0, 22.0, 23.0, 24.0)
+    val wild = Seq(0.0, 50.0, 1.0, 49.0, 25.0)
+    val even = sqlDf("g" -> (tight1.map(_ => "a") ++ tight2.map(_ => "b")),
+      "y" -> (tight1 ++ tight2))
+    val fEven = Profiling.brownForsythe(even, "g", col("y")).head()
+    val mix = sqlDf("g" -> (tight1.map(_ => "a") ++ wild.map(_ => "w")),
+      "y" -> (tight1 ++ wild))
+    val fMix = Profiling.brownForsythe(mix, "g", col("y")).head()
+    assert(fEven.getAs[Double]("f") < 1e-9) // identical |dev| profiles
+    assert(fMix.getAs[Double]("f") > 5.0,
+      s"f=${fMix.getAs[Double]("f")}")
+    // Cochran Q: identical filters -> Q = 0; one divergent filter fires
+    val same = sqlDf("a" -> Seq(true, true, false, false, true),
+      "b" -> Seq(true, true, false, false, true),
+      "c" -> Seq(true, true, false, false, true))
+    val q0 = Profiling.cochranQ(same, Seq(col("a"), col("b"), col("c")))
+      .head()
+    // perfectly concordant battery: every row all-pass or all-fail ->
+    // zero denominator -> the statistic is undefined, NULL
+    assert(q0.isNullAt(2) && q0.getAs[Int]("df_q") == 2)
+    val div = sqlDf("a" -> Seq.fill(12)(true),
+      "b" -> Seq.fill(12)(true),
+      "c" -> (Seq.fill(6)(false) ++ Seq.fill(6)(true)))
+    val q1 = Profiling.cochranQ(div, Seq(col("a"), col("b"), col("c")))
+      .head()
+    assert(q1.getAs[Double]("q_stat") > 9.0,
+      s"q=${q1.getAs[Double]("q_stat")}")
+    // all-pass battery: zero denominator -> NULL
+    val allp = sqlDf("a" -> Seq(true, true), "b" -> Seq(true, true))
+    assert(Profiling.cochranQ(allp, Seq(col("a"), col("b"))).head()
+      .isNullAt(2))
+  }
+
   test("ebShrink: thin evidence pulls to the mean, strong evidence holds") {
     import graft.ops.Profiling
     // 40 cohorts around rate 0.3 with real dispersion, plus one tiny
