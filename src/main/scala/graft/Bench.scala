@@ -86,7 +86,8 @@ object Bench {
     "x_ols", "x_ccf", "x_backtest", "s_acf", "x_pacf", "x_fellegi",
     "x_burstiness", "x_assortativity", "x_yule", "x_simpson", "s_ols",
     "x_dp_release", "x_logrank", "x_wp_train", "x_nelson", "x_rmst",
-    "x_eb_shrink", "x_dw", "x_brown_forsythe", "x_cochran_q")
+    "x_eb_shrink", "x_dw", "x_brown_forsythe", "x_cochran_q",
+    "x_partial_corr", "x_ess_mean")
 
   /** The driver-written sf parquet files are single row groups, so a
     * scan stage cannot fan out past one task (BASELINE.md

@@ -841,6 +841,31 @@ object QueriesOps {
       Profiling.simpson(t(s, d, "documents"), col("lang"),
         col("n_chars"))),
 
+    // partial correlation: do token and TYPE counts correlate beyond
+    // their shared size confound (n_chars)? Ten exact moments, three
+    // Pearson identities, one fixed partial chain
+    "x_partial_corr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = Dedup.tokens(col("text"))
+      Profiling.partialCorr(
+        docs.select(size(toks).as("x"),
+          size(array_distinct(toks)).as("y"), col("n_chars").as("z")),
+        col("x"), col("y"), col("z"))
+    }),
+
+    // autocorrelation-adjusted monitor mean per type: the honest
+    // error bar on a correlated hourly series via the truncated-ACF
+    // effective sample size
+    "x_ess_mean" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.essMean(hourly, col("event_type"), col("h"),
+        col("n_events"), maxLag = 6).orderBy(col("key"))
+    }),
+
     // Brown-Forsythe variance homogeneity: does doc-length VARIANCE
     // differ by language? The ANOVA-prerequisite check (significant
     // F here = compare medians/ranks, not means)
@@ -11357,6 +11382,52 @@ s"""WITH lines AS (
         |FROM a""".stripMargin
     },
 
+    // partial-correlation replay: HUGEINT moments, the three Pearson
+    // identities, the identical partial chain
+    "x_partial_corr" -> {
+      def rx(sa: String, sb: String, sab: String, qa: String, qb: String) = {
+        val va = s"(CAST(n AS HUGEINT) * $qa - $sa * $sa)"
+        val vb = s"(CAST(n AS HUGEINT) * $qb - $sb * $sb)"
+        s"""CASE WHEN $va * $vb > 0
+           | THEN CAST(CAST(CAST(n AS HUGEINT) * $sab - $sa * $sb
+           |     AS VARCHAR) AS DOUBLE)
+           |   / sqrt(CAST(CAST($va * $vb AS VARCHAR) AS DOUBLE)) END"""
+          .stripMargin.replace("\n", "")
+      }
+      s"""WITH d AS (SELECT CAST(len($toksSql) AS BIGINT) AS x,
+        |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS y,
+        |    n_chars AS z
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS qy,
+        |    CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS qz,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+        |    CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+        |  FROM d),
+        |rr AS (SELECT n,
+        |    ${rx("sx", "sy", "sxy", "qx", "qy")} AS r_xy,
+        |    ${rx("sx", "sz", "sxz", "qx", "qz")} AS r_xz,
+        |    ${rx("sy", "sz", "syz", "qy", "qz")} AS r_yz
+        |  FROM a)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+        |      AND r_yz IS NOT NULL
+        |      AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0
+        |    THEN (r_xy - r_xz * r_yz)
+        |      / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)) END
+        |    AS r_partial
+        |FROM rr""".stripMargin
+    },
+
+    // ESS-mean replay: the shared ACF CTE + moment stats + the
+    // identical ascending fold and SE chains
+    "x_ess_mean" -> AcfSql.essMeanSelect,
+
     // Brown-Forsythe replay: per-group order-statistic medians, |dev|
     // rows, then the x_anova cell chain verbatim
     "x_brown_forsythe" -> {
@@ -12118,6 +12189,34 @@ private[graft] object AcfSql {
       .mkString("\nUNION ALL ")
     sb ++= s"\n$union\nORDER BY key, lag"
     sb.toString
+  }
+
+  /** x_ess_mean: the shared ACF CTE + moment stats + the identical
+    * ascending fold and ESS/SE chains. */
+  val essMeanSelect: String = {
+    val pivots = (1 to 6).map(k =>
+      s"max(CASE WHEN lag = $k THEN r END) AS r$k").mkString(",\n    ")
+    val sum0 = (1 to 6).map(k => s"r$k").reduceLeft((a, b) => s"($a + $b)")
+    val varS = "CAST(CAST(CAST(p.n AS HUGEINT) * st2.q - st2.s * st2.s " +
+      "AS VARCHAR) AS DOUBLE) / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) - 1.0))"
+    s"""$ctes,
+      |p AS (SELECT key, max(n) AS n,
+      |    $pivots
+      |  FROM acf GROUP BY key),
+      |st2 AS (SELECT key,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+      |  FROM h GROUP BY key)
+      |SELECT p.key, p.n,
+      |  CAST(CAST(st2.s AS VARCHAR) AS DOUBLE) / CAST(p.n AS DOUBLE) AS mean,
+      |  CASE WHEN 1.0 + 2.0 * $sum0 > 0.0
+      |    THEN CAST(p.n AS DOUBLE) / (1.0 + 2.0 * $sum0) END AS ess,
+      |  CASE WHEN p.n > 1 AND $varS > 0.0
+      |    THEN sqrt($varS) / sqrt(CAST(p.n AS DOUBLE)) END AS se_naive,
+      |  CASE WHEN p.n > 1 AND $varS > 0.0 AND 1.0 + 2.0 * $sum0 > 0.0
+      |    THEN sqrt($varS)
+      |      / sqrt(CAST(p.n AS DOUBLE) / (1.0 + 2.0 * $sum0)) END AS se_adj
+      |FROM p JOIN st2 ON p.key = st2.key ORDER BY p.key""".stripMargin
   }
 
   val ljungBoxSelect: String = {

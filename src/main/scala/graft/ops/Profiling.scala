@@ -913,6 +913,56 @@ object Profiling {
       .select(col("k"), col("n"), col("ssb"), col("ssw"), col("f"))
   }
 
+  /** First-order partial correlation r_xy·z — "does x correlate with
+    * y AFTER controlling for z?", the confound-screen beside
+    * [[spearman]] (raw rank agreement) and 84t6's categorical
+    * association: corpus features routinely correlate only through a
+    * shared size/volume confound (tokens vs types through n_chars),
+    * and this is the one-number screen that catches it:
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    *
+    * Exactness: `x`/`y`/`z` must be INTEGER-valued; the ten moment
+    * sums are exact decimals off ONE aggregation scan, each pairwise
+    * r is the n-scaled Pearson identity (string-bridged operands, one
+    * √ + ÷), and the partial chain is fixed single IEEE ops.
+    * Degenerate inputs (any zero variance, |r_xz| or |r_yz| = 1)
+    * read NULL. Output (1 row): n, r_xy, r_xz, r_yz, r_partial. */
+  def partialCorr(df: DataFrame, x: Column, y: Column,
+                  z: Column): DataFrame = {
+    val Dec = "decimal(38,0)"
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val d = df.filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .select(x.cast("long").as("__x"), y.cast("long").as("__y"),
+        z.cast("long").as("__z"))
+    def s1(c: String) = sum(col(c).cast(Dec)).cast(Dec)
+    def s2(a: String, b: String) =
+      sum((col(a).cast(Dec) * col(b).cast(Dec)).cast(Dec)).cast(Dec)
+    val a = d.agg(count(lit(1)).as("n"),
+      s1("__x").as("__sx"), s1("__y").as("__sy"), s1("__z").as("__sz"),
+      s2("__x", "__x").as("__qx"), s2("__y", "__y").as("__qy"),
+      s2("__z", "__z").as("__qz"),
+      s2("__x", "__y").as("__sxy"), s2("__x", "__z").as("__sxz"),
+      s2("__y", "__z").as("__syz"))
+    val nD = col("n").cast(Dec)
+    def vr(s: String, q: String) = (nD * col(q) - col(s) * col(s)).cast(Dec)
+    def r(sa: String, sb: String, sab: String, qa: String,
+          qb: String): Column = {
+      val num = (nD * col(sab) - col(sa) * col(sb)).cast(Dec)
+      val den = (vr(sa, qa) * vr(sb, qb)).cast(Dec)
+      when(den > lit(0).cast(Dec), d2d(num) / sqrt(d2d(den)))
+    }
+    val withR = a.select(col("n"),
+      r("__sx", "__sy", "__sxy", "__qx", "__qy").as("r_xy"),
+      r("__sx", "__sz", "__sxz", "__qx", "__qz").as("r_xz"),
+      r("__sy", "__sz", "__syz", "__qy", "__qz").as("r_yz"))
+    val denP = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    withR.withColumn("r_partial",
+      when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+          col("r_yz").isNotNull && denP > 0.0,
+        (col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(denP)))
+  }
+
   /** Brown–Forsythe variance-homogeneity test (Brown & Forsythe
     * 1974; the median-centered Levene) — [[anovaF]]'s PREREQUISITE
     * check: ANOVA assumes equal within-group variances; this tests

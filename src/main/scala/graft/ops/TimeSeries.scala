@@ -172,6 +172,51 @@ object TimeSeries {
     stacked
   }
 
+  /** Autocorrelation-adjusted monitor mean per series key — the
+    * honest error bar on a correlated series (the [[acf]] family's
+    * ACTIONABLE output): a naive SE on an autocorrelated hourly
+    * series understates uncertainty by the factor monitoring
+    * dashboards then false-alarm on; the effective sample size
+    * n_eff = n / (1 + 2·Σ_{k≤L} r_k) (Kish/Anderson truncated form)
+    * deflates it. Pairs with 84m3's weighted-sample ESS — same
+    * honesty, different correlation source.
+    *
+    * Exactness: mean and variance come from the exact decimal
+    * moments (string-bridged); the r_k are [[acf]]'s bit-replayable
+    * values folded ascending; the closing chain is fixed IEEE ops.
+    * Keys too short for all L lags, constant series, or a
+    * non-positive correlation-sum denominator read NULL ess/se.
+    * Output (key, n, mean, ess, se_naive, se_adj). */
+  def essMean(df: DataFrame, key: Column, t: Column, y: Column,
+              maxLag: Int): DataFrame = {
+    val r = acf(df, key, t, y, maxLag)
+    val pivots = (1 to maxLag).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"__r$k"))
+    val g = r.groupBy(col("key"), col("n")).agg(pivots.head, pivots.tail: _*)
+    val d = df.filter(t.isNotNull && y.isNotNull)
+      .select(key.cast("string").as("key"), y.cast("long").as("__y"))
+    val stats = d.groupBy("key").agg(
+      sum(col("__y").cast(Dec)).cast(Dec).as("__s"),
+      sum((col("__y").cast(Dec) * col("__y").cast(Dec)).cast(Dec))
+        .cast(Dec).as("__q"))
+    val j = g.join(stats, Seq("key"))
+    val nD = col("n").cast("double")
+    val nDec = col("n").cast(Dec)
+    val mean = decToDouble(col("__s")) / nD
+    // sample variance off the exact n-scaled identity
+    val varS = decToDouble((nDec * col("__q") - col("__s") * col("__s"))
+      .cast(Dec)) / (nD * (nD - lit(1.0)))
+    val sum0 = (1 to maxLag).map(k => col(s"__r$k")).reduceLeft(_ + _)
+    val denom = lit(1.0) + lit(2.0) * sum0
+    val ess = nD / denom
+    j.select(col("key"), col("n"), mean.as("mean"),
+      when(denom > 0.0, ess).as("ess"),
+      when(col("n") > 1L && varS > 0.0, sqrt(varS) / sqrt(nD))
+        .as("se_naive"),
+      when(col("n") > 1L && varS > 0.0 && denom > 0.0,
+        sqrt(varS) / sqrt(ess)).as("se_adj"))
+  }
+
   /** Wald–Wolfowitz runs test per series key (1940) — is the series'
     * above/below-mean pattern random, or do high hours CLUSTER (the
     * burst/regime read a trend test scores zero on)? Each point is

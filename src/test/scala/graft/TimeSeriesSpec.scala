@@ -289,6 +289,51 @@ class TimeSeriesSpec extends SparkTestBase {
       r1.getAs[Double]("eff_strata") == 1.0)
   }
 
+  test("partialCorr: confound-driven correlation vanishes, direct survives") {
+    import graft.ops.Profiling
+    // x and y both = z plus independent-ish deterministic noise: raw
+    // r_xy high, partial near zero
+    val z = (1 to 60).map(_.toLong * 10)
+    val x = z.zipWithIndex.map { case (v, i) => v + (i * 7) % 13 }
+    val y = z.zipWithIndex.map { case (v, i) => v + (i * 11) % 17 }
+    val conf = sqlDf("x" -> x, "y" -> y, "z" -> z)
+    val r = Profiling.partialCorr(conf, col("x"), col("y"), col("z")).head()
+    assert(r.getAs[Double]("r_xy") > 0.9)
+    assert(math.abs(r.getAs[Double]("r_partial")) < 0.5,
+      s"partial=${r.getAs[Double]("r_partial")}")
+    assert(r.getAs[Double]("r_xy") - r.getAs[Double]("r_partial") > 0.4)
+    // direct relation independent of z survives partialling
+    val x2 = (1 to 60).map(_.toLong)
+    val y2 = x2.map(_ * 2 + 1)
+    val z2 = x2.zipWithIndex.map { case (_, i) => ((i * 13) % 7).toLong }
+    val dir = sqlDf("x" -> x2, "y" -> y2, "z" -> z2)
+    val rd = Profiling.partialCorr(dir, col("x"), col("y"), col("z")).head()
+    // y = 2x+1 exactly: r_xy = 1 and r_xz = r_yz, so the partial
+    // collapses to (1 - r²)/(1 - r²) = 1 — the relation survives
+    assert(rd.getAs[Double]("r_xy") == 1.0)
+    assert(math.abs(rd.getAs[Double]("r_partial") - 1.0) < 1e-9)
+  }
+
+  test("essMean: positive autocorrelation deflates ESS, white noise doesn't") {
+    // strongly positively autocorrelated: long runs
+    val runs = Seq.fill(30)(10L) ++ Seq.fill(30)(20L) ++
+      Seq.fill(30)(10L) ++ Seq.fill(30)(20L)
+    val (kr, tr, yr) = series("runs", runs)
+    // alternating: negative r1 -> ess can EXCEED n
+    val alt = Seq.tabulate(120)(i => if (i % 2 == 0) 10L else 20L)
+    val (ka, ta, ya) = series("alt", alt)
+    val df = sqlDf("k" -> (kr ++ ka), "t" -> (tr ++ ta), "y" -> (runs ++ alt))
+    val out = TimeSeries.essMean(df, col("k"), col("t"), col("y"), 6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rr = out("runs")
+    assert(rr.getAs[Double]("mean") == 15.0)
+    assert(rr.getAs[Double]("ess") < 40.0, s"ess=${rr.getAs[Double]("ess")}")
+    assert(rr.getAs[Double]("se_adj") > rr.getAs[Double]("se_naive"))
+    val aa = out("alt")
+    assert(aa.getAs[Double]("ess") > 120.0)
+    assert(aa.getAs[Double]("se_adj") < aa.getAs[Double]("se_naive"))
+  }
+
   test("brownForsythe + cochranQ: hand fixtures") {
     import graft.ops.Profiling
     // equal-variance groups: F small; one wild group: F large
