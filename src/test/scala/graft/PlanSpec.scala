@@ -668,6 +668,13 @@ class PlanSpec extends SparkTestBase {
       // KM at-risk/survival cumulatives over the distinct-LIFETIME
       // table (EventAnalytics.kaplanMeier scaladoc: level-table grain)
       "x_km" -> "distinct-lifetime grain table",
+      // the survival family shares KM's bounded lifetime grain: the
+      // log-rank cohort at-risk windows, the Nelson-Aalen hazard
+      // cumulative, and RMST's lead-segment window all run over the
+      // same distinct-lifetime table (scaladocs: level-table grain)
+      "x_logrank" -> "distinct-lifetime grain table",
+      "x_nelson" -> "distinct-lifetime grain table",
+      "x_rmst" -> "distinct-lifetime grain table",
       // embeds the isotonic fit subplan (same k-row level table)
       "x_isotonic_fit" -> "k-row calibration level table")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
