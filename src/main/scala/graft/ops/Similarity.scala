@@ -506,6 +506,11 @@ object Similarity {
       s"ivfIndexDeterministic: nLists=$nLists would broadcast a centroid table " +
         "past the safe envelope — shard the assignment join (see scaladoc)")
     import org.apache.spark.sql.expressions.Window
+    // The centroid table is nLists rows but its SUBTREE is a corpus
+    // TakeOrdered — and every consumer (the assignment's broadcast, the
+    // residual join, probe ranking, per-cell LUTs) re-executes a lazy
+    // subtree from the scan up. Materialize it once (r17: x_ann_ivfpq
+    // re-ran this TakeOrdered ~26x per call through the lazy lineage).
     val centroids = corpus
       .select(col(id), col(vec).cast("array<double>").as("centroid"))
       .orderBy(md5(col(id).cast("string")), col(id)).limit(nLists)
@@ -513,6 +518,7 @@ object Similarity {
       .withColumn("list_id",
         (row_number().over(Window.orderBy(md5(col(id).cast("string")), col(id))) - 1))
       .select("list_id", "centroid")
+      .localCheckpoint(true)
     val assigned = corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", l2(col(vec).cast("array<double>"), col("centroid")))
       .groupBy(col(id))
@@ -1170,7 +1176,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dsub = dims / m
+    // m·ksub rows, materialized: the cb collect and the query-LUT
+    // collect below otherwise EACH re-run the full per-subspace Lloyd
+    // training (m seed TakeOrdereds + m centroid aggs over the corpus)
     val books = pqTrain(corpus, id, vec, dims, m, ksub, iters)
+      .localCheckpoint(true)
     val cb = books.select("subspace", "cid", "centroid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     var enc = corpus.select(col(id), col(vec).cast("array<double>").as("__v"))
@@ -1258,12 +1268,21 @@ object Similarity {
       s"ivfPqTopK: nProbe=$nProbe must be in 1..$nLists")
     // coarse quantizer + one-partial-agg assignment
     val (assigned, centroids) = ivfIndexDeterministic(corpus, id, vec, nLists)
-    // residual frame: v − centroid[list], codegen projection
+    // residual frame: v − centroid[list], codegen projection.
+    // MATERIALIZED once: the lazy frame is otherwise re-executed by
+    // every pqTrain seed/step scan, the codebook collect, each probe
+    // LUT, and the final ADC scan — 13 full recomputes of the
+    // assignment aggregation measured at r17 (guide §5: cache an
+    // intermediate that is reused and expensive to recompute).
     val resid = assigned.join(broadcast(centroids), Seq("list_id"))
       .select(col(id), col("list_id"),
         vecDiff(col(vec), col("centroid")).as("__rv"))
-    // global PQ codebooks over residual space (standard IVFADC)
+      .localCheckpoint(true)
+    // global PQ codebooks over residual space (standard IVFADC) —
+    // m·ksub rows, materialized so the cb collect and the per-probe
+    // LUT jobs below don't each re-run the Lloyd training subtree
     val books = pqTrain(resid, id, "__rv", dims, m, ksub, iters)
+      .localCheckpoint(true)
     val cb = books.select("subspace", "cid", "centroid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     var enc = resid
@@ -1366,10 +1385,15 @@ object Similarity {
       (DataFrame, DataFrame, DataFrame) = {
     val dsub = dims / m
     val (assigned, centroids) = ivfIndexDeterministic(corpus, id, vec, nLists)
+    // materialized like ivfPqTopK's: the Lloyd seed/step scans, the
+    // codebook collect, and the encode scan otherwise each re-run the
+    // assignment aggregation from the parquet scan up
     val resid = assigned.join(broadcast(centroids), Seq("list_id"))
       .select(col(id), col("list_id"),
         vecDiff(col(vec), col("centroid")).as("__rv"))
+      .localCheckpoint(true)
     val books = pqTrain(resid, id, "__rv", dims, m, ksub, iters)
+      .localCheckpoint(true)
     val cb = books.select("subspace", "cid", "centroid").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     (pqEncodeResiduals(resid, cb, m, dsub), centroids, books)
