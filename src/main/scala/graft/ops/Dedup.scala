@@ -56,6 +56,23 @@ object Dedup {
   def tokens(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " ")), " ")
 
+  /** [[tokens]] with the empty-token artifact dropped, LAMBDA-FREE.
+    * Equivalent to `filter(tokens(text), t => length(t) > 0)`: the
+    * regexp collapses every separator run to one space and the trim
+    * removes lead/trail, so the split can only produce an empty token
+    * when the WHOLE normalized string is empty — i.e. the array is
+    * exactly `[""]`. Testing element 0 therefore decides the whole
+    * filter. The filter-HOF form is a CodegenFallback expression that
+    * forces the surrounding projection interpreted AND defeats plan
+    * canonicalization (ReuseExchange never matched the twin tokenize
+    * subtrees of the retrieval queries); this form stays inside
+    * whole-stage codegen and canonicalizes. Null text stays null,
+    * exactly like filter(null). */
+  def tokensNonEmpty(text: Column): Column = {
+    val t = tokens(text)
+    when(get(t, lit(0)) === "", array().cast("array<string>")).otherwise(t)
+  }
+
   /** EVALUATION-SHAPE RULE for every kernel below: higher-order-
     * function lambdas may reference ONLY their lambda variables.
     * Referencing an outer subtree (e.g. `slice(toks, i, w)` inside a
@@ -480,10 +497,39 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nc")).as("mn"))
-      val updated = cp(labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // POINTER DOUBLING from round 3 on (r17, guide §2.4 "fewer
+      // passes"): besides the neighbor minimum, each node adopts its
+      // current label's label — label chains halve per round, so a
+      // deep component converges in O(log diameter) rounds instead of
+      // O(diameter) (the sf0.1 registry graph: 6 -> 5 rounds; a long
+      // path now fits maxIter=20 up to ~2^17 nodes). The first two
+      // rounds stay plain: near-dup graphs are mostly shallow cliques
+      // that finish in 2 rounds, where the extra labels-sized join
+      // would be pure cost (measured: minhash-cluster rows regressed
+      // ~15% with unconditional doubling, the deep entity graph won
+      // ~10%). Invariants unchanged: labels only decrease, only to an
+      // id inside the component (a label's label is a member), and at
+      // fixpoint the symmetric edges force label equality across every
+      // edge — each component still lands on its MIN id, bit-identical
+      // to plain propagation. The label-key join can run hot on a
+      // giant component's label; it is an equi-join, which AQE
+      // skew-split handles (guide §2.5).
+      val withMn = labels.join(neighborMin, Seq("id"), "left")
+      val updated = cp(if (i < 2) {
+        withMn.select(col("id"),
           least(col("cluster"), coalesce(col("mn"), col("cluster"))).as("cluster"),
-          (coalesce(col("mn"), col("cluster")) < col("cluster")).as("__chg")))
+          (coalesce(col("mn"), col("cluster")) < col("cluster")).as("__chg"))
+      } else {
+        val lookup = labels
+          .select(col("id").as("__pid"), col("cluster").as("__pc"))
+        withMn
+          .join(lookup, withMn("cluster") === col("__pid"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("mn"), col("cluster")),
+              coalesce(col("__pc"), col("cluster"))).as("cluster"),
+            (least(coalesce(col("mn"), col("cluster")),
+              coalesce(col("__pc"), col("cluster"))) < col("cluster")).as("__chg"))
+      })
       // scan of the materialized checkpoint, no join
       changed = updated.filter(col("__chg")).count()
       labels = updated.drop("__chg")

@@ -33,9 +33,23 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Non-empty normalized word tokens ([[Dedup.tokens]] minus the
-    * empty-string artifact of fully-non-alphanumeric text). */
-  private def toks(text: Column): Column =
-    filter(Dedup.tokens(text), t => length(t) > 0)
+    * empty-string artifact of fully-non-alphanumeric text). Lambda-free
+    * ([[Dedup.tokensNonEmpty]]) so the tokenize projection stays in
+    * whole-stage codegen and the twin postings subtrees canonicalize
+    * to one Exchange (ReuseExchange). */
+  private def toks(text: Column): Column = Dedup.tokensNonEmpty(text)
+
+  /** Tokenize the corpus ONCE PER ROW: project the token array as a
+    * real column first, then take size + explode from that column.
+    * The fused `select(id, size(tok), explode(tok))` form evaluates
+    * the full tokenizer twice per document — once in the Generate's
+    * generator and once in the Project computing `dl` (no CSE across
+    * the operator boundary). CollapseProject keeps the two-step form:
+    * the alias is non-cheap and referenced twice. */
+  private def postings(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), toks(col(text)).as("__tok"))
+      .select(col(id), size(col("__tok")).as("dl"),
+        explode(col("__tok")).as("term"))
 
   /** BM25 top-k documents per query.
     *
@@ -78,8 +92,7 @@ object Retrieval {
     // doc-grain join back against the corpus is needed. (A standing
     // query workload would materialize the unpruned tf as a bucketed
     // inverted index instead of re-scanning per call.)
-    val tf = docs
-      .select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+    val tf = postings(docs, id, text)
       .join(broadcast(qtermSet), Seq("term"), "leftsemi")
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     // corpus stats: one columnar agg scan (count + total tokens),
@@ -125,11 +138,9 @@ object Retrieval {
     * write this out (bucket/cluster by `term` at warehouse scale so
     * per-term row groups min/max-prune), and every subsequent query
     * scans postings instead of re-tokenizing 100 TB of text. */
-  def invertedIndex(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tok = toks(col(text))
-    docs.select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+  def invertedIndex(docs: DataFrame, id: String, text: String): DataFrame =
+    postings(docs, id, text)
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-  }
 
   /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
     * 1998; Zhai & Lafferty 2001 smoothing) — the LANGUAGE-MODEL
@@ -158,15 +169,14 @@ object Retrieval {
                           k: Int = 10, mu: Double = 2000.0): DataFrame = {
     require(k >= 1, s"queryLikelihoodTopK: k must be >= 1 (got $k)")
     require(mu > 0, s"queryLikelihoodTopK: mu must be > 0 (got $mu)")
-    val tok = toks(col(text))
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
     val qtermSet = qterms.select("term").distinct()
-    val tf = docs
-      .select(col(id), size(tok).as("dl"), explode(tok).as("term"))
+    val tf = postings(docs, id, text)
       .join(broadcast(qtermSet), Seq("term"), "leftsemi")
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(count(lit(1)).as("nd"), sum(size(tok)).as("tl"))
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(size(toks(col(text)))).as("tl"))
     val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
     val qstats = qterms.join(broadcast(ctf), Seq("term"))
       .crossJoin(broadcast(stats))

@@ -943,10 +943,17 @@ object Similarity {
       // per-row projection on the fixed-point grid (order-invariant)
       val proj = aggregate(zip_with(x, vLit, (a, b) => fx(a * b)), lit(0L), _ + _)
         .cast("double") / lit(scale)
-      // w_j = Σ_rows x_j · proj, one partial-agg scan of dims Long sums
+      // w_j = Σ_rows x_j · proj, one partial-agg scan of dims Long
+      // sums. proj and the cast array are PROJECTED ONCE per row below
+      // the aggregate (r17): referenced directly inside all `dims`
+      // aggregate expressions, the interpreted HOF subtree (zip_with +
+      // aggregate — CodegenFallback, no CSE) re-evaluated per
+      // expression, turning one O(dims) projection into O(dims²) work
+      // per row. Same expressions, same grid, bit-identical sums.
       val aggs = (0 until dims).map(j =>
-        sum(fx(element_at(x, j + 1) * proj)).as(s"w$j"))
-      val row = corpus.select(col(vec)).agg(aggs.head, aggs.tail: _*).collect().head
+        sum(fx(element_at(col("__x"), j + 1) * col("__proj"))).as(s"w$j"))
+      val row = corpus.select(x.as("__x"), proj.as("__proj"))
+        .agg(aggs.head, aggs.tail: _*).collect().head
       val w = Array.tabulate(dims)(j => row.getLong(j).toDouble / scale)
       // norm in dimension order — the oracle's left-assoc + chain
       lam = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
