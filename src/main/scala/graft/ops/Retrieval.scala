@@ -39,6 +39,22 @@ object Retrieval {
     * to one Exchange (ReuseExchange). */
   private def toks(text: Column): Column = Dedup.tokensNonEmpty(text)
 
+  /** The distinct query-term list, collected to the driver — legal
+    * because the query frame is SMALL BY CONTRACT (see [[bm25TopK]]).
+    * Collecting it turns the corpus-side term pruning into a literal
+    * In() predicate instead of a broadcast semi-join: an In() reaches
+    * a materialized index's parquet scan as a PushedFilter (row-group
+    * min/max pruning on the term-clustered layout — the broadcast
+    * probe never prunes any I/O), and on the scan path it keeps the
+    * filter inside the tokenize projection's codegen stage with no
+    * BroadcastExchange to build and wait on. Sorted so the plan (and
+    * its canonicalized form, for ReuseExchange) is deterministic. */
+  private def termFilter(qterms: DataFrame, termCol: Column): Column = {
+    val terms = qterms.select("term").distinct().collect()
+      .map(_.getString(0)).filter(_ != null).sorted.toSeq
+    if (terms.isEmpty) lit(false) else termCol.isin(terms: _*)
+  }
+
   /** Tokenize the corpus ONCE PER ROW: project the token array as a
     * real column first, then take size + explode from that column.
     * The fused `select(id, size(tok), explode(tok))` form evaluates
@@ -82,10 +98,9 @@ object Retrieval {
     // distinct query terms (duplicate terms in a query count once)
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
-    val qtermSet = qterms.select("term").distinct()
-    // ONE corpus tokenization, PRUNED BEFORE THE SHUFFLE: the broadcast
-    // semi-join on the query-term set runs map-side against the
-    // exploded scan, so the tf aggregation only ever shuffles rows
+    // ONE corpus tokenization, PRUNED BEFORE THE SHUFFLE: the literal
+    // In() on the query-term set evaluates inside the exploded scan's
+    // codegen stage, so the tf aggregation only ever shuffles rows
     // whose term a query mentions — at corpus scale that is the
     // difference between shuffling every (doc, term) pair and shuffling
     // a few terms' postings. Doc length rides the agg key, so no
@@ -93,7 +108,7 @@ object Retrieval {
     // query workload would materialize the unpruned tf as a bucketed
     // inverted index instead of re-scanning per call.)
     val tf = postings(docs, id, text)
-      .join(broadcast(qtermSet), Seq("term"), "leftsemi")
+      .filter(termFilter(qterms, col("term")))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     // corpus stats: one columnar agg scan (count + total tokens),
     // skipped entirely when the caller passes the known constants
@@ -171,9 +186,8 @@ object Retrieval {
     require(mu > 0, s"queryLikelihoodTopK: mu must be > 0 (got $mu)")
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
-    val qtermSet = qterms.select("term").distinct()
     val tf = postings(docs, id, text)
-      .join(broadcast(qtermSet), Seq("term"), "leftsemi")
+      .filter(termFilter(qterms, col("term")))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("nd"),
       sum(size(toks(col(text)))).as("tl"))
@@ -260,8 +274,11 @@ object Retrieval {
       s"bm25TopKIndexed: need k1 > 0 and b in [0,1] (got k1=$k1, b=$b)")
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
-    val qtermSet = qterms.select("term").distinct()
-    val tf = index.join(broadcast(qtermSet), Seq("term"), "leftsemi")
+    // literal In() so the term pruning reaches the postings parquet
+    // scan as a PushedFilter — with the index term-clustered on write,
+    // row-group min/max stats skip every non-matching group, where the
+    // old broadcast semi-join decoded the full postings file per call
+    val tf = index.filter(termFilter(qterms, col("term")))
     val statsDf = index.sparkSession.range(1)
       .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
     scoreAndCut(tf, statsDf, id, qterms, qid, k, k1, b)
@@ -288,22 +305,40 @@ object Retrieval {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fbDocs >= 1, s"bm25PrfTopK: fbDocs must be >= 1 (got $fbDocs)")
     require(fbTerms >= 1, s"bm25PrfTopK: fbTerms must be >= 1 (got $fbTerms)")
+    val spark = index.sparkSession
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
     val first = bm25TopKIndexed(index, stats, id, queries, qid, qtext,
       fbDocs, k1, b)
-    val fb = index.join(broadcast(first.select(col(qid), col(id))), Seq(id))
+    // The feedback-doc list is (queries × fbDocs)-sized: collect it
+    // once and replay it as a LITERAL frame. Lazily, `expanded` fed
+    // BOTH the pass-2 term set and the scoring join — two independent
+    // broadcast builds, each re-running the whole first retrieval
+    // (Catalyst recomputes shared subtrees; the two prunings
+    // canonicalize differently, so no reuse). The collect pins pass 1
+    // to exactly one execution, and the harvested doc ids become an
+    // In() the postings scan can push down.
+    val firstSel = first.select(col(qid), col(id))
+    val firstRows = firstSel.collect()
+    val firstLit = spark.createDataFrame(
+      java.util.Arrays.asList(firstRows: _*), firstSel.schema)
+    val fbIds = firstRows.map(_.get(1)).distinct.toSeq
+    val fbScan = if (fbIds.isEmpty) index.filter(lit(false))
+      else index.filter(col(id).isin(fbIds: _*))
+    val fb = fbScan.join(broadcast(firstLit), Seq(id))
       .groupBy(col(qid), col("term")).agg(sum(col("tf")).as("__w"))
       .join(qterms, Seq(qid, "term"), "left_anti")
     val topFb = graft.plans.TopK.topKPerGroup(fb, Seq(qid),
         Seq(col("__w").desc, col("term").asc), fbTerms)
       .select(col(qid), col("term"))
     val expanded = qterms.unionByName(topFb).distinct()
-    val qtermSet = expanded.select("term").distinct()
-    val tf = index.join(broadcast(qtermSet), Seq("term"), "leftsemi")
-    val statsDf = index.sparkSession.range(1)
+    val expRows = expanded.collect()
+    val expLit = spark.createDataFrame(
+      java.util.Arrays.asList(expRows: _*), expanded.schema)
+    val tf = index.filter(termFilter(expLit, col("term")))
+    val statsDf = spark.range(1)
       .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
-    scoreAndCut(tf, statsDf, id, expanded, qid, k, k1, b)
+    scoreAndCut(tf, statsDf, id, expLit, qid, k, k1, b)
   }
 
   /** RAG context assembly — the end-to-end composition a
@@ -327,9 +362,15 @@ object Retrieval {
     require(k >= 1, s"ragContext: k must be >= 1 (got $k)")
     require(tokenBudget >= 1, s"ragContext: tokenBudget must be >= 1")
     val hits = bm25TopK(chunks, cid, ctext, queries, qid, qtext, k, k1, b)
-    val joined = hits.join(
-      chunks.select(col(cid), col(ctext).as("__ct"),
-        col(ctok).cast("long").as("__tk")), Seq(cid))
+    // hits is (queries × k)-sized — make it the BROADCAST side
+    // explicitly. Size estimation over the GroupedTopK operator put
+    // the CHUNK side under the broadcast threshold at bench scale,
+    // building a corpus-sized hash relation on the driver (and at
+    // warehouse scale that side is 100 TB of chunk text): the corpus
+    // must always stream, the candidate list must always build.
+    val joined = chunks.select(col(cid), col(ctext).as("__ct"),
+        col(ctok).cast("long").as("__tk"))
+      .join(broadcast(hits), Seq(cid))
     val w = Window.partitionBy(col(qid)).orderBy(col("bm25").desc, col(cid))
     val kept = joined
       .withColumn("__cum", sum(col("__tk")).over(

@@ -172,9 +172,15 @@ object TextAnalysis {
           i => concat_ws(" ", slice(col("__toks"), i * step + 1, lit(chunkTokens))))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
+      // the chunk is slice(__toks, idx·step + 1, chunkTokens) of
+      // non-empty whitespace-free tokens, so its token count is pure
+      // arithmetic on the slice bounds — min(chunkTokens, n − idx·step),
+      // clamped to 0 for the empty-doc placeholder chunk. Equal to
+      // size(split(chunk_text, " ")) row for row, without re-splitting
+      // every chunk's text.
       .withColumn("chunk_tokens",
-        when(length(col("chunk_text")) === 0, lit(0))
-          .otherwise(size(split(col("chunk_text"), " "))))
+        greatest(least(lit(chunkTokens),
+          col("doc_tokens") - col("chunk_idx") * step), lit(0)))
   }
 
   // ---- TF-IDF ------------------------------------------------------------
