@@ -52,9 +52,23 @@ object SparkEntry {
     * agg + top-k by revenue. The BROADCAST side is the filtered
     * customer selection (a dimension-sized input at any scale) — never
     * the orders fact table, which would exceed the broadcast threshold
-    * at 100x and fall back mid-query. orders⋈lineitem stays a shuffle
-    * join on the orderkey (AQE handles skew/sizing). */
-  private def q3TopK(s: SparkSession, d: String): DataFrame =
+    * at 100x and fall back mid-query.
+    *
+    * r17 (guide §2.3 "aggregate before you shuffle"): lineitem revenue
+    * is PRE-AGGREGATED by orderkey BEFORE the join. The old
+    * join-then-agg shape shuffled every joined lineitem row wide (and
+    * at bench scale Catalyst's size estimate even put the 600k-row
+    * lineitem on the BUILD side of a broadcast join — the fact must
+    * stream, at every scale); the pre-agg shuffles one narrow
+    * (orderkey, decimal) row per map-side group, the orders⋈revenue
+    * join then carries order-grain rows only, and the per-order
+    * decimal sum is EXACT, so the result is bit-identical (revenue
+    * per order was already one dsum group per orderkey). */
+  private def q3TopK(s: SparkSession, d: String): DataFrame = {
+    val liRev = li(s, d).graft
+      .groupBy("l_orderkey")
+      .summarise("revenue" -> dsum(revenueExpr))
+      .ungroup
     ord(s, d).graft
       .innerJoin(
         cust(s, d).graft
@@ -62,13 +76,12 @@ object SparkEntry {
           .rename("o_custkey" -> "c_custkey"),
         Seq("o_custkey"), broadcastRight = true)
       .rename("l_orderkey" -> "o_orderkey")
-      .innerJoin(li(s, d).graft, Seq("l_orderkey"))
-      .groupBy("l_orderkey")
-      .summarise("revenue" -> dsum(revenueExpr))
-      .ungroup
+      .innerJoin(liRev, Seq("l_orderkey"))
+      .select("l_orderkey", "revenue")
       .arrange(col("revenue").desc, col("l_orderkey"))
       .sliceHead(10).df
       .orderBy(col("revenue").desc, col("l_orderkey"))
+  }
 
   /** TPC-H Q5-shaped: broadcast dim chain region→nation→customer, agg
     * revenue by nation. The ASIA filter is applied to the dim chain
@@ -82,14 +95,26 @@ object SparkEntry {
           .filterRows(col("r_name") === "ASIA")
           .rename("n_regionkey" -> "r_regionkey"),
         Seq("n_regionkey"), broadcastRight = true)
+    // r17 (guide §2.3): lineitem revenue pre-aggregated by orderkey
+    // before the join — the fact streams one narrow partial-agged
+    // (orderkey, decimal) row per group into the join instead of
+    // every wide lineitem row (bench-scale Catalyst had even made
+    // 600k-row lineitem the broadcast BUILD side). Decimal sums are
+    // exact and associative, so summing the per-order decimals by
+    // nation is bit-identical to the one-level dsum; the final
+    // decimal→double bridge is the same string-bridged cast dsum uses.
+    val liRev = li(s, d).graft
+      .groupBy("l_orderkey")
+      .summarise("__rev" -> sum(revenueExpr.cast("decimal(28,6)")))
+      .ungroup
     cust(s, d).graft
       .innerJoin(dims, Seq("c_nationkey"), broadcastRight = true)
       .rename("o_custkey" -> "c_custkey")
       .innerJoin(ord(s, d).graft, Seq("o_custkey"))
       .rename("l_orderkey" -> "o_orderkey")
-      .innerJoin(li(s, d).graft, Seq("l_orderkey"))
+      .innerJoin(liRev, Seq("l_orderkey"))
       .groupBy("n_name")
-      .summarise("revenue" -> dsum(revenueExpr))
+      .summarise("revenue" -> sum(col("__rev")).cast("string").cast("double"))
       .ungroup
       .arrange(col("n_name")).df
   }

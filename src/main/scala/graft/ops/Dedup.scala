@@ -489,10 +489,22 @@ object Dedup {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct())
     val edgeCount = edges.count() // scan of the materialized checkpoint
-    var labels = cp(edges.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")))
-    var changed = 1L
-    var i = 0
+    // Round 1 fused into the label init (r17, guide §2.4 "remove
+    // shuffles outright"): with labels at identity, round 1's
+    // neighbor-min join is algebraically edges.groupBy(a).min(b) —
+    // one partial agg replaces the identity-labels
+    // distinct+checkpoint, the edges⋈labels join, and the labels-side
+    // left join. Bit-identical: the edge list is symmetrized, so
+    // every endpoint appears as `a`; cluster = least(id, min(b)) and
+    // changed = [min(b) < id] are exactly round 1's update.
+    var labels = cp(edges.groupBy(col("a"))
+      .agg(min(col("b")).as("__mn"))
+      .select(col("a").as("id"),
+        least(col("a"), col("__mn")).as("cluster"),
+        (col("__mn") < col("a")).as("__chg")))
+    var changed = labels.filter(col("__chg")).count()
+    labels = labels.drop("__chg")
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster", "nc"), Seq("b"))

@@ -78,10 +78,19 @@ object FuzzyJoin {
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket).drop("__bn")
     val l = capped.toDF("a", "s_a", "__k")
     val r = capped.toDF("b", "s_b", "__k")
+    // distance BEFORE distinct (r17, guide §2.3 "shuffle fewer
+    // bytes"): the threshold DP re-runs on the handful of variant
+    // keys a matching pair shares, but the distinct's string-wide
+    // shuffle then carries only pairs that PASSED the filter —
+    // candidates that verification rejects (the vast majority at a
+    // loose block radius) never reach the exchange. `dist` is a pure
+    // function of (s_a, s_b), so distinct-then-compute and
+    // compute-then-distinct emit identical rows.
     l.join(r, Seq("__k")).filter(col("a") < col("b"))
-      .select("a", "b", "s_a", "s_b").distinct()
+      .select("a", "b", "s_a", "s_b")
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 
   /** Sorted-neighborhood blocking self-join (Hernández & Stolfo's
@@ -129,9 +138,10 @@ object FuzzyJoin {
           .otherwise(col("__sb")).as("s_a"),
         when(col("__ida") < col("__idb"), col("__sb"))
           .otherwise(col("__sa")).as("s_b"))
-      .distinct()
+      // same verify-before-distinct ordering as editDistanceSelfJoin
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 
   /** Production merge/purge pair generation: the UNION of the two
@@ -176,9 +186,11 @@ object FuzzyJoin {
         .filter(col("__bn") <= maxBucket).drop("__bn")
     expand(left, lid, ls, "left_id", "left_s")
       .join(expand(right, rid, rs, "right_id", "right_s"), Seq("__k"))
-      .select("left_id", "right_id", "left_s", "right_s").distinct()
+      .select("left_id", "right_id", "left_s", "right_s")
+      // same verify-before-distinct ordering as editDistanceSelfJoin
       .withColumn("dist", levenshtein(col("left_s"), col("right_s"), maxDist))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 
   /** End-to-end ENTITY RESOLUTION over a dirty registry: fuzzy-match
