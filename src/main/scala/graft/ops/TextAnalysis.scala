@@ -276,8 +276,16 @@ object TextAnalysis {
     val tf2 = pairs.groupBy(col(id), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
     val bigrams = tf2.groupBy("w1", "w2").agg(sum(col("tf")).as("c2"))
-    val uni = df.select(explode(clean).as("__t")).filter(col("__t") =!= "")
-      .groupBy("__t").agg(count(lit(1)).as("c1"))
+    // unigram model materialized once (r17, dedupClusters checkpoint
+    // convention): `uni` is vocabulary-bounded but was referenced by
+    // THREE consumers (totals, w1 join, w2 join), each re-running the
+    // corpus token scan behind it — 3 of this query's 5 corpus scans
+    val sc = df.sparkSession.sparkContext
+    def cp(d: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    val uni = cp(df.select(explode(clean).as("__t")).filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
     val p = lit(0.5) * (col("c2").cast("double") / col("c1w1").cast("double")) +
       lit(0.5) * ((col("c1w2") + lit(1)).cast("double")
@@ -1316,15 +1324,33 @@ object TextAnalysis {
     require(vocabSize >= 1,
       s"domainJsDivergence: vocabSize=$vocabSize must be >= 1")
     val Oov = "__OOV__" // tokens are lowercased — uppercase cannot collide
-    val toks = df.select(domain.cast("string").as("domain"),
-      explode(Dedup.tokens(text)).as("__tok"))
-    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    // TWO corpus tokenizes, down from SIXTEEN (r17, guide §1.2/§2.4):
+    // the exploded scan collapses to per-(domain, token) counts
+    // immediately — the global vocab cut re-aggregates THOSE counts
+    // and the OOV bucketing sums them — and the (domains × vocab)
+    // `counts` summary is materialized per the dedupClusters
+    // checkpoint convention, so the four downstream consumers and the
+    // pair join's two sides read the tiny checkpoint instead of each
+    // re-running the corpus subtree. tokCounts itself stays LAZY: its
+    // two consumers (vocab + counts) evaluate concurrently inside the
+    // one checkpoint job, where an eager tokCounts materialization
+    // would serialize a second fact-sized write for no scan saved
+    // (the bm25-diamond measurement, OPTIMIZATION_r17.md §1).
+    val sc = df.sparkSession.sparkContext
+    def cp(d: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    val tokCounts = df.select(domain.cast("string").as("domain"),
+        explode(Dedup.tokens(text)).as("__tok"))
+      .groupBy("domain", "__tok").agg(count(lit(1)).as("__c0"))
+    val vocab = tokCounts.groupBy("__tok").agg(sum(col("__c0")).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
       .select(col("__tok"), lit(1).as("__in"))
-    val bucketed = toks.join(broadcast(vocab), Seq("__tok"), "left")
+    val counts = cp(tokCounts.join(broadcast(vocab), Seq("__tok"), "left")
       .select(col("domain"),
-        when(col("__in").isNotNull, col("__tok")).otherwise(lit(Oov)).as("term"))
-    val counts = bucketed.groupBy("domain", "term").agg(count(lit(1)).as("__c"))
+        when(col("__in").isNotNull, col("__tok")).otherwise(lit(Oov)).as("term"),
+        col("__c0"))
+      .groupBy("domain", "term").agg(sum(col("__c0")).as("__c")))
     val totals = counts.groupBy("domain").agg(sum(col("__c")).as("__n"))
     val support = counts.select("term").distinct()
     val supportSize = support.agg(count(lit(1)).as("__v"))
