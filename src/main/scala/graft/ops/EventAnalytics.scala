@@ -573,11 +573,19 @@ object EventAnalytics {
     require(smooth > 0, s"trending: smooth=$smooth must be > 0")
     val agg = graft.streaming.EventStreams.windowedAgg(events, windowLen)
       .select(col("wstart"), col("event_type"), col("n"))
-    val prev = agg.select(
-      (col("wstart") + expr(s"INTERVAL $windowLen")).as("wstart"),
-      col("event_type"), col("n").as("n_prev"))
-    agg.join(prev, Seq("wstart", "event_type"), "left")
-      .withColumn("n_prev", coalesce(col("n_prev"), lit(0L)))
+    // previous-window count via ONE per-type lag window instead of a
+    // time-shifted self-join (r17, guide §2.4): the join planted the
+    // fact-collapsing agg subtree in the plan twice and shuffled the
+    // profile a second time. lag(1) is the previous EXISTING window;
+    // the wstart equality check restores the join's gap semantics
+    // (a silent preceding window reads n_prev = 0). Row-identical.
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type").orderBy("wstart")
+    agg
+      .withColumn("n_prev",
+        when(lag(col("wstart"), 1).over(byType) ===
+            col("wstart") - expr(s"INTERVAL $windowLen"),
+          lag(col("n"), 1).over(byType)).otherwise(lit(0L)))
       .withColumn("trend",
         (col("n").cast("double") + lit(smooth)) /
           (col("n_prev").cast("double") + lit(smooth)))
@@ -599,10 +607,18 @@ object EventAnalytics {
   def anomalousWindows(events: DataFrame, windowLen: String = "1 hour",
                        k: Double = 3.5): DataFrame = {
     require(k > 0.0, s"anomalousWindows: k must be positive (got $k)")
-    val counts = events
+    // the (windows × types) profile is referenced by the median pass,
+    // the deviation/MAD pass, and the final frame — materialize it
+    // once (dedupClusters checkpoint convention) so the fact scan
+    // behind it runs once, not per consumer (r17, guide §1.2)
+    val sc = events.sparkSession.sparkContext
+    def cp(d: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    val counts = cp(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n")))
     val med = Profiling.groupedQuantiles(counts, Seq("event_type"),
         col("n"), Seq(0.5))
       .select(col("event_type"), col("quantile").as("med"))
@@ -653,10 +669,17 @@ object EventAnalytics {
     require(direction == "up" || direction == "down",
       s"cusumChangePoints: direction must be 'up' or 'down' (got $direction)")
     import org.apache.spark.sql.expressions.Window
-    val counts = events
+    // profile materialized once (dedupClusters checkpoint convention):
+    // bounds, the spine distinct, and the gap-fill join each
+    // referenced it — 3 fact scans for one (windows × types) profile
+    val cpSc = events.sparkSession.sparkContext
+    def cpCounts(d: DataFrame): DataFrame =
+      if (cpSc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    val counts = cpCounts(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n")))
     val bounds = counts.agg(min("wstart").as("__mn"), max("wstart").as("__mx"))
     val spine = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
@@ -784,10 +807,17 @@ object EventAnalytics {
     require(mult >= 1 && guard >= 0,
       s"ewmaChart: need mult >= 1, guard >= 0 (got $mult, $guard)")
     import org.apache.spark.sql.expressions.Window
-    val counts = events
+    // profile materialized once (dedupClusters checkpoint convention):
+    // bounds, the spine distinct, and the gap-fill join each
+    // referenced it — 3 fact scans for one (windows × types) profile
+    val cpSc = events.sparkSession.sparkContext
+    def cpCounts(d: DataFrame): DataFrame =
+      if (cpSc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(true)
+    val counts = cpCounts(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .select(col("event_type"), col("w.start").as("wstart"), col("n"))
+      .select(col("event_type"), col("w.start").as("wstart"), col("n")))
     val bounds = counts.agg(min("wstart").as("__mn"), max("wstart").as("__mx"))
     val spine = counts.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
