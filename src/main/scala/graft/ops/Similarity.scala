@@ -646,17 +646,33 @@ object Similarity {
     require(iters >= 1, s"kmeansLloyd: iters=$iters must be >= 1")
     require(k >= 1 && k <= 65536,
       s"kmeansLloyd: k=$k outside the broadcastable-centroid envelope")
+    // Assignment with DRIVER-RESIDENT centroids (the loop materializes
+    // them between rounds anyway) — see [[kmeansLloydFrom]]: small
+    // k·dims inlines the centroids as literals and computes the argmin
+    // as least() over k (dist,cid) structs, a pure codegen projection
+    // with ZERO shuffle per iteration; past the literal-inlining
+    // envelope it falls back to broadcast-join + map-side-collapsed
+    // argmin.
+    // seeds: k lowest ids (TakeOrdered — driver-tiny at any scale)
+    val cents0 = corpus
+      .select(col(id).cast("long").as("cid"),
+        col(vec).cast("array<double>").as("cv"))
+      .orderBy(col("cid")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    kmeansLloydFrom(corpus, id, vec, k, dims, iters, cents0)
+  }
+
+  /** [[kmeansLloyd]] from PRECOLLECTED initial centroids — the shared
+    * loop body, exposed so [[pqTrain]] can seed all m subspaces from
+    * ONE TakeOrdered collect (the per-subspace seed scans were m full
+    * corpus passes for the same k lowest ids). Bit-identical to
+    * [[kmeansLloyd]] when fed its own seed rows. */
+  private[ops] def kmeansLloydFrom(corpus: DataFrame, id: String, vec: String,
+                                   k: Int, dims: Int, iters: Int,
+                                   cents0: Array[(Long, Array[Double])]): DataFrame = {
+    require(iters >= 1, s"kmeansLloyd: iters=$iters must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Assignment with DRIVER-RESIDENT centroids (the loop materializes
-    // them between rounds anyway). Small k·dims inlines the centroids
-    // as literals and computes the argmin as least() over k (dist,cid)
-    // structs — a pure codegen projection, ZERO shuffle per iteration
-    // (the struct comparison is lexicographic: dist, then cid — the
-    // identical min_by tie-break, so results are bit-identical to the
-    // join form). Past the literal-inlining envelope (codegen method
-    // size), fall back to broadcast-join + map-side-collapsed argmin:
-    // one corpus-size shuffle per iteration.
     def assign(cents: Array[(Long, Array[Double])]): DataFrame =
       if (k.toLong * dims <= 65536) {
         val cand = cents.map { case (cid, cv) =>
@@ -673,12 +689,7 @@ object Similarity {
           .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("cid"),
             first(col(vec)).as(vec))
       }
-    // seeds: k lowest ids (TakeOrdered — driver-tiny at any scale)
-    var cents = corpus
-      .select(col(id).cast("long").as("cid"),
-        col(vec).cast("array<double>").as("cv"))
-      .orderBy(col("cid")).limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    var cents = cents0
     var result: DataFrame = null
     for (it <- 1 to iters) {
       result = centroidsByKey(assign(cents), Seq(col("cid")), col(vec), dims)
@@ -1148,10 +1159,23 @@ object Similarity {
     require(m >= 1 && dims % m == 0,
       s"pqTrain: m=$m must divide dims=$dims")
     val dsub = dims / m
+    // ONE seed TakeOrdered for all m subspaces (r17, guide §1.2): the
+    // per-subspace seeds are the same k lowest ids carrying that
+    // subspace's slice — collect (id, vec) once and slice on the
+    // driver. Per-subspace kmeansLloyd seeding was m full corpus
+    // scans for identical id sets; element-wise cast-then-slice
+    // equals slice-then-cast, so the seed doubles are bit-identical.
+    val seedRows = corpus
+      .select(col(id).cast("long").as("cid"),
+        col(vec).cast("array<double>").as("cv"))
+      .orderBy(col("cid")).limit(ksub)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     (0 until m).map { s =>
       val sub = corpus.select(col(id),
         slice(col(vec).cast("array<double>"), s * dsub + 1, dsub).as("__sv"))
-      kmeansLloyd(sub, id, "__sv", ksub, dsub, iters)
+      val seeds = seedRows.map { case (cid, v) =>
+        (cid, v.slice(s * dsub, math.min(v.length, s * dsub + dsub))) }
+      kmeansLloydFrom(sub, id, "__sv", ksub, dsub, iters, seeds)
         .select(lit(s).as("subspace"), col("cid"), col("n"), col("centroid"))
     }.reduce(_.union(_))
   }

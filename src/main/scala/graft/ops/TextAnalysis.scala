@@ -1464,14 +1464,28 @@ object TextAnalysis {
     val ex = cum.select(col("__cum"), col("__n"), posexplode(col("__tk")))
       .select(((col("__cum") - col("__n")).cast("long") + col("pos") + 1L)
         .as("__gpos"), col("col").as("__term"))
+    // total tokens from the PLAIN token scan (Σ size == the exploded
+    // row count, exactly) — counting `ex` re-ran the whole
+    // rowid-cumsum sort just to count its rows (r17, guide §1.2)
+    val total = toks.agg(
+      coalesce(sum(greatest(size(col("__tk")), lit(0)).cast("long")),
+        lit(0L)).as("__t"))
     val firsts = ex.groupBy(col("__term")).agg(min(col("__gpos")).as("__fp"))
-      .crossJoin(broadcast(ex.agg(count(lit(1)).as("__t"))))
+      .crossJoin(broadcast(total))
     val ckptAt = (k: Int) => call_function("div",
       col("__t") * k + (checkpoints - 1), lit(checkpoints.toLong))
     val aggs = (1 to checkpoints).map(k =>
       sum(when(col("__fp") <= ckptAt(k), 1L).otherwise(0L)).as(s"__v$k")) :+
       max(col("__t")).as("__t")
-    val wide = firsts.agg(aggs.head, aggs.tail: _*)
+    // ONE row, but its subtree is the whole first-position aggregation
+    // over the prefix-scanned corpus — and the curve feeds both the
+    // OLS aggregate and the closing crossJoin. Materialize (the
+    // dedupClusters checkpoint convention) so that subtree runs once.
+    val sc = df.sparkSession.sparkContext
+    val wide0 = firsts.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (sc.getCheckpointDir.isDefined) wide0.checkpoint(eager = true)
+      else wide0.localCheckpoint(true)
     val stackArgs = (1 to checkpoints)
       .map(k => s"CAST($k AS BIGINT), __v$k").mkString(", ")
     val pts = wide.selectExpr(
