@@ -481,6 +481,10 @@ object Dedup {
   @volatile var lastCcStats: Option[(Int, Long)] = None
 
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // round 1 is fused into the label init below, so a zero-round run
+    // is no longer expressible — reject it loudly rather than return
+    // one round's labels for a request that asked for none
+    require(maxIter >= 1, s"dedupClusters: maxIter=$maxIter must be >= 1")
     val sc = pairs.sparkSession.sparkContext
     def cp(df: DataFrame): DataFrame =
       if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)

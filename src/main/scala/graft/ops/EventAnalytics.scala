@@ -611,11 +611,7 @@ object EventAnalytics {
     // the deviation/MAD pass, and the final frame — materialize it
     // once (dedupClusters checkpoint convention) so the fact scan
     // behind it runs once, not per consumer (r17, guide §1.2)
-    val sc = events.sparkSession.sparkContext
-    def cp(d: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
-      else d.localCheckpoint(true)
-    val counts = cp(events
+    val counts = Materialize.cp(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("wstart"), col("n")))
@@ -672,11 +668,7 @@ object EventAnalytics {
     // profile materialized once (dedupClusters checkpoint convention):
     // bounds, the spine distinct, and the gap-fill join each
     // referenced it — 3 fact scans for one (windows × types) profile
-    val cpSc = events.sparkSession.sparkContext
-    def cpCounts(d: DataFrame): DataFrame =
-      if (cpSc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
-      else d.localCheckpoint(true)
-    val counts = cpCounts(events
+    val counts = Materialize.cp(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("wstart"), col("n")))
@@ -810,11 +802,7 @@ object EventAnalytics {
     // profile materialized once (dedupClusters checkpoint convention):
     // bounds, the spine distinct, and the gap-fill join each
     // referenced it — 3 fact scans for one (windows × types) profile
-    val cpSc = events.sparkSession.sparkContext
-    def cpCounts(d: DataFrame): DataFrame =
-      if (cpSc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
-      else d.localCheckpoint(true)
-    val counts = cpCounts(events
+    val counts = Materialize.cp(events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("w.start").as("wstart"), col("n")))

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   *   string whose variant bucket would go quadratic) BEFORE the join —
   *   the same skew contract as Dedup.bucketPairs, size counted under
   *   the join's own hash partitioning so the Exchange is shared;
-  * - candidate pairs dedupe (DISTINCT) before the O(L²) Levenshtein
-  *   DP runs, and the DP early-exits past `maxDist` (Spark's
-  *   threshold form of `levenshtein`).
+  * - the threshold Levenshtein DP (early-exit past `maxDist`) runs on
+  *   each candidate occurrence and REJECTS before the closing
+  *   DISTINCT, so only verified pairs cross that exchange; a matching
+  *   pair pays the cheap DP once per shared variant key (bounded by
+  *   the per-string variant count) — strings-wide shuffle bytes for
+  *   the rejected majority was the bigger cost (r17, guide §2.3).
   */
 object FuzzyJoin {
 

@@ -49,11 +49,33 @@ object Retrieval {
     * filter inside the tokenize projection's codegen stage with no
     * BroadcastExchange to build and wait on. Sorted so the plan (and
     * its canonicalized form, for ReuseExchange) is deterministic. */
+  private val TermInlineCap = 1024
+
   private def termFilter(qterms: DataFrame, termCol: Column): Column = {
-    val terms = qterms.select("term").distinct().collect()
-      .map(_.getString(0)).filter(_ != null).sorted.toSeq
-    if (terms.isEmpty) lit(false) else termCol.isin(terms: _*)
+    // probe one past the cap so an over-cap workload is detected
+    // without collecting it in full
+    val terms = qterms.select("term").distinct().limit(TermInlineCap + 1)
+      .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+    if (terms.isEmpty) lit(false)
+    else if (terms.size <= TermInlineCap) termCol.isin(terms: _*)
+    else null // caller falls back to the broadcast semi-join
   }
+
+  /** Prune a postings-shaped frame to the query terms: a literal In()
+    * when the distinct term set is small (≤ [[TermInlineCap]] — it
+    * reaches a parquet scan as a PushedFilter and row-group
+    * min/max-prunes a term-clustered index; see [[bm25TopKIndexed]]),
+    * falling back to the broadcast semi-join for term sets big enough
+    * that inlining them would bloat the plan (the thousands-of-queries
+    * contract: the semi-join keeps the plan O(1)-sized). */
+  private def pruneByTerms(df: DataFrame, qterms: DataFrame,
+                           termCol: Column): DataFrame =
+    termFilter(qterms, termCol) match {
+      case null =>
+        df.join(broadcast(qterms.select("term").distinct()),
+          Seq("term"), "leftsemi")
+      case f => df.filter(f)
+    }
 
   /** Tokenize the corpus ONCE PER ROW: project the token array as a
     * real column first, then take size + explode from that column.
@@ -107,8 +129,7 @@ object Retrieval {
     // doc-grain join back against the corpus is needed. (A standing
     // query workload would materialize the unpruned tf as a bucketed
     // inverted index instead of re-scanning per call.)
-    val tf = postings(docs, id, text)
-      .filter(termFilter(qterms, col("term")))
+    val tf = pruneByTerms(postings(docs, id, text), qterms, col("term"))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     // corpus stats: one columnar agg scan (count + total tokens),
     // skipped entirely when the caller passes the known constants
@@ -186,8 +207,7 @@ object Retrieval {
     require(mu > 0, s"queryLikelihoodTopK: mu must be > 0 (got $mu)")
     val qterms = queries.select(col(qid),
       explode(array_distinct(toks(col(qtext)))).as("term"))
-    val tf = postings(docs, id, text)
-      .filter(termFilter(qterms, col("term")))
+    val tf = pruneByTerms(postings(docs, id, text), qterms, col("term"))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("nd"),
       sum(size(toks(col(text)))).as("tl"))
@@ -278,7 +298,7 @@ object Retrieval {
     // scan as a PushedFilter — with the index term-clustered on write,
     // row-group min/max stats skip every non-matching group, where the
     // old broadcast semi-join decoded the full postings file per call
-    val tf = index.filter(termFilter(qterms, col("term")))
+    val tf = pruneByTerms(index, qterms, col("term"))
     val statsDf = index.sparkSession.range(1)
       .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
     scoreAndCut(tf, statsDf, id, qterms, qid, k, k1, b)
@@ -323,8 +343,12 @@ object Retrieval {
     val firstLit = spark.createDataFrame(
       java.util.Arrays.asList(firstRows: _*), firstSel.schema)
     val fbIds = firstRows.map(_.get(1)).distinct.toSeq
-    val fbScan = if (fbIds.isEmpty) index.filter(lit(false))
-      else index.filter(col(id).isin(fbIds: _*))
+    val fbScan =
+      if (fbIds.isEmpty) index.filter(lit(false))
+      else if (fbIds.size <= TermInlineCap) index.filter(col(id).isin(fbIds: _*))
+      // thousands-of-queries contract: past the inline cap the doc-id
+      // pruning rides the broadcast join itself (no literal blow-up)
+      else index
     val fb = fbScan.join(broadcast(firstLit), Seq(id))
       .groupBy(col(qid), col("term")).agg(sum(col("tf")).as("__w"))
       .join(qterms, Seq(qid, "term"), "left_anti")
@@ -335,7 +359,7 @@ object Retrieval {
     val expRows = expanded.collect()
     val expLit = spark.createDataFrame(
       java.util.Arrays.asList(expRows: _*), expanded.schema)
-    val tf = index.filter(termFilter(expLit, col("term")))
+    val tf = pruneByTerms(index, expLit, col("term"))
     val statsDf = spark.range(1)
       .select(lit(stats._1).as("nd"), lit(stats._2).as("tl"))
     scoreAndCut(tf, statsDf, id, expLit, qid, k, k1, b)

@@ -1158,6 +1158,8 @@ object Similarity {
               dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"pqTrain: m=$m must divide dims=$dims")
+    require(ksub >= 1 && ksub <= 65536,
+      s"pqTrain: ksub=$ksub outside the broadcastable-centroid envelope")
     val dsub = dims / m
     // ONE seed TakeOrdered for all m subspaces (r17, guide §1.2): the
     // per-subspace seeds are the same k lowest ids carrying that

@@ -173,14 +173,19 @@ object TextAnalysis {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
       // the chunk is slice(__toks, idx·step + 1, chunkTokens) of
-      // non-empty whitespace-free tokens, so its token count is pure
-      // arithmetic on the slice bounds — min(chunkTokens, n − idx·step),
-      // clamped to 0 for the empty-doc placeholder chunk. Equal to
-      // size(split(chunk_text, " ")) row for row, without re-splitting
-      // every chunk's text.
+      // whitespace-free tokens, so its token count is pure arithmetic
+      // on the slice bounds — min(chunkTokens, n − idx·step), clamped
+      // to 0 for the empty-doc placeholder chunk. The length guard
+      // covers the one divergent edge: a chunk holding ONLY the empty
+      // token that split() leaves behind non-space trailing/leading
+      // whitespace (trim strips spaces only) renders as "" and must
+      // count 0, as size(split("", " ")) did. Every non-empty chunk's
+      // count equals size(split(chunk_text, " ")) exactly (empties
+      // within a chunk are preserved by both forms).
       .withColumn("chunk_tokens",
-        greatest(least(lit(chunkTokens),
-          col("doc_tokens") - col("chunk_idx") * step), lit(0)))
+        when(length(col("chunk_text")) === 0, lit(0))
+          .otherwise(greatest(least(lit(chunkTokens),
+            col("doc_tokens") - col("chunk_idx") * step), lit(0))))
   }
 
   // ---- TF-IDF ------------------------------------------------------------
@@ -280,11 +285,7 @@ object TextAnalysis {
     // convention): `uni` is vocabulary-bounded but was referenced by
     // THREE consumers (totals, w1 join, w2 join), each re-running the
     // corpus token scan behind it — 3 of this query's 5 corpus scans
-    val sc = df.sparkSession.sparkContext
-    def cp(d: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
-      else d.localCheckpoint(true)
-    val uni = cp(df.select(explode(clean).as("__t")).filter(col("__t") =!= "")
+    val uni = Materialize.cp(df.select(explode(clean).as("__t")).filter(col("__t") =!= "")
       .groupBy("__t").agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
     val p = lit(0.5) * (col("c2").cast("double") / col("c1w1").cast("double")) +
@@ -1336,17 +1337,13 @@ object TextAnalysis {
     // one checkpoint job, where an eager tokCounts materialization
     // would serialize a second fact-sized write for no scan saved
     // (the bm25-diamond measurement, OPTIMIZATION_r17.md §1).
-    val sc = df.sparkSession.sparkContext
-    def cp(d: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) d.checkpoint(eager = true)
-      else d.localCheckpoint(true)
     val tokCounts = df.select(domain.cast("string").as("domain"),
         explode(Dedup.tokens(text)).as("__tok"))
       .groupBy("domain", "__tok").agg(count(lit(1)).as("__c0"))
     val vocab = tokCounts.groupBy("__tok").agg(sum(col("__c0")).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
       .select(col("__tok"), lit(1).as("__in"))
-    val counts = cp(tokCounts.join(broadcast(vocab), Seq("__tok"), "left")
+    val counts = Materialize.cp(tokCounts.join(broadcast(vocab), Seq("__tok"), "left")
       .select(col("domain"),
         when(col("__in").isNotNull, col("__tok")).otherwise(lit(Oov)).as("term"),
         col("__c0"))
@@ -1481,11 +1478,7 @@ object TextAnalysis {
     // over the prefix-scanned corpus — and the curve feeds both the
     // OLS aggregate and the closing crossJoin. Materialize (the
     // dedupClusters checkpoint convention) so that subtree runs once.
-    val sc = df.sparkSession.sparkContext
-    val wide0 = firsts.agg(aggs.head, aggs.tail: _*)
-    val wide =
-      if (sc.getCheckpointDir.isDefined) wide0.checkpoint(eager = true)
-      else wide0.localCheckpoint(true)
+    val wide = Materialize.cp(firsts.agg(aggs.head, aggs.tail: _*))
     val stackArgs = (1 to checkpoints)
       .map(k => s"CAST($k AS BIGINT), __v$k").mkString(", ")
     val pts = wide.selectExpr(

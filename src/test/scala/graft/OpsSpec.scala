@@ -525,6 +525,21 @@ class OpsSpec extends SparkTestBase {
       (1L, 0, "w1 w2 w3 w4", 4), (1L, 1, "w4 w5 w6 w7", 4), (1L, 2, "w7 w8 w9 w10", 4)))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short text", 2)))
     assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0))) // empty doc: 1 empty chunk
+    // r17 arithmetic chunk_tokens: counts must still equal
+    // size(split(chunk_text, " ")) with the length-0 guard, including
+    // the non-space-whitespace edges (trim strips spaces only, so a
+    // trailing tab leaves a trailing "" token; a chunk rendering as ""
+    // counts 0)
+    val edge = sqlDf("doc_id" -> Seq(10L, 11L),
+      "text" -> Seq("a b c\t", "\tx y"))
+    val got = TextAnalysis.chunkDocuments(edge, "doc_id", "text",
+        chunkTokens = 4, overlap = 0)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getInt(4)))
+    got.foreach { case (_, _, ct, n) =>
+      val expected = if (ct.isEmpty) 0 else ct.split(" ", -1).length
+      assert(n == expected, s"chunk '$ct': got $n, expected $expected")
+    }
     // no shuffle: pure projection + generate
     val plan = TextAnalysis.chunkDocuments(df, "doc_id", "text", 4, 1)
       .queryExecution.executedPlan.toString
